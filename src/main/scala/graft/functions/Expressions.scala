@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions (all codegen'd — `doGenCode`, no Scala UDF in
+ * the hot path) plus their Column wrappers and SQL registration.
+ *
+ * These cover the JVM-specific semantics the reference exposes through MVEL
+ * (e.g. `my_col.hashCode()` in
+ * reference config/migration-config.example.yaml:112-120) and the
+ * hashing primitives the LLM-pipeline operators (MinHash, SimHash,
+ * fingerprinting) are built on. Native expressions keep the operators inside
+ * whole-stage codegen — the reference's per-row MVEL interpretation
+ * (implementation/DefaultMigratorPlugin.java:367-387) is replaced by
+ * generated Java.
+ */
+
+/** Exact JVM `String.hashCode` as a Catalyst expression.
+  *
+  * Needed for parity with reference calculated columns like
+  * `abs(my_col.hashCode()) % 32` whose expected values depend on JVM string
+  * hashing (SURVEY §7.4 "MVEL generality").
+  */
+case class JavaHashCode(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    v.asInstanceOf[UTF8String].toString.hashCode
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$c.toString().hashCode()")
+  override protected def withNewChildInternal(newChild: Expression): JavaHashCode =
+    copy(child = newChild)
+  override def prettyName: String = "java_hash_code"
+}
+
+/** 64-bit polynomial rolling hash of a string (base-31, wrapping Long
+  * arithmetic) — the document-fingerprinting primitive. Deterministic and
+  * cheap; equivalent semantics are expressible in ANSI SQL for oracle
+  * checking (codegen: a tight loop over UTF-16 code units).
+  */
+case class PolyHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 31L + s.charAt(i).toLong; i += 1 }
+    h
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+        java.lang.String $s = $c.toString();
+        long $h = 0L;
+        for (int $i = 0; $i < $s.length(); $i++) { $h = $h * 31L + (long) $s.charAt($i); }
+        ${ev.value} = $h;
+      """
+    })
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "poly_hash64"
+}
+
+/** MurmurHash3-finalizer-style avalanche of a long with a seed — the MinHash
+  * family generator: `minhash_i(x) = avalanche(x ^ seed_i)`. One codegen'd
+  * expression evaluates one hash family member; MinHash builds
+  * `min over shingles` per family with built-in array functions.
+  */
+case class Mix64(child: Expression, seed: Long) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Mix64.mix(v.asInstanceOf[Long] ^ seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("h")
+      s"""
+        long $h = $c ^ ${seed}L;
+        $h ^= $h >>> 33; $h *= -49064778989728563L;
+        $h ^= $h >>> 33; $h *= -4265267296055464877L;
+        $h ^= $h >>> 33;
+        ${ev.value} = $h;
+      """
+    })
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+  override def prettyName: String = "mix64"
+}
+
+object Mix64 {
+  /** fmix64 from MurmurHash3 (public domain, Austin Appleby). */
+  def mix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+}
+
+/** Dot product of two float/double array columns, accumulated in Double in
+  * index order (deterministic). The scalar core of cosine similarity /
+  * embedding near-dup (brute-force and IVF paths both reduce to this).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** Column API + SQL registration for the expressions above. */
+object GraftFunctions {
+  def java_hash_code(c: Column): Column = ExpressionUtils.column(
+    JavaHashCode(ExpressionUtils.expression(c)))
+  def poly_hash64(c: Column): Column = ExpressionUtils.column(
+    PolyHash64(ExpressionUtils.expression(c)))
+  def mix64(c: Column, seed: Long): Column = ExpressionUtils.column(
+    Mix64(ExpressionUtils.expression(c), seed))
+  def dot_product(a: Column, b: Column): Column = ExpressionUtils.column(
+    DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register SQL names so `expr("java_hash_code(col)")` (and thus the MVEL
+    * translator output) resolves. Reference parity for the plugin/UDF
+    * surface (SURVEY §2 O22).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("java_hash_code", es => JavaHashCode(es.head), "builtin")
+    reg.createOrReplaceTempFunction("poly_hash64", es => PolyHash64(es.head), "builtin")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "builtin")
+  }
+}
