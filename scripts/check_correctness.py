@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify output
+parquet against DuckDB running oracle_sql.json over the same fixtures.
+Usage: check_correctness.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+fails, passes, rows_only = [], [], []
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    got = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+    if name not in oracles:
+        rows_only.append((name, len(got)))
+        continue
+    try:
+        want = con.sql(oracles[name]).df()
+    except Exception as e:
+        fails.append((name, [f"oracle error: {e}"]))
+        continue
+    # driver semantics: sort columns by name, then compare value hashes
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    problems = []
+    if list(got.columns) != list(want.columns):
+        problems.append(f"columns {list(got.columns)} != {list(want.columns)}")
+    elif len(got) != len(want):
+        problems.append(f"rows {len(got)} != {len(want)}")
+    else:
+        gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+        for c in got.columns:
+            a, b = gs[c], ws[c]
+            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                ok = ((a.isna() & b.isna()) | (a == b)).all()
+            else:
+                ok = (a.astype(str) == b.astype(str)).all()
+            if not ok:
+                bad = (~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))).idxmax()
+                problems.append(f"col {c} differs, e.g. row {bad}: {a[bad]!r} vs {b[bad]!r}")
+    if problems:
+        fails.append((name, problems))
+    else:
+        passes.append((name, len(got)))
+
+print(f"PASS: {len(passes)}  FAIL: {len(fails)}  ROWS-ONLY: {len(rows_only)}")
+for n, r in passes:
+    print(f"  ok    {n} ({r} rows)")
+for n, r in rows_only:
+    print(f"  rows  {n} ({r} rows)")
+for n, p in fails:
+    print(f"  FAIL  {n}: {p[:2]}")
+sys.exit(1 if fails else 0)

@@ -1,13 +1,569 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.expr.MvelTranslator
+import graft.functions.GraftFunctions
+import graft.model._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.MigrationPlanner
+import graft.schema.Reconciler
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Driver contract: one registered query per implemented operator from
+ * SURVEY.md §2 (O1-O22 reference parity) plus the LLM-pipeline extension
+ * operators (dedup / similarity / text analysis / multimodal), each with a
+ * DuckDB-equivalent oracle where the semantics are exactly SQL-expressible.
+ *
+ * Conventions:
+ *  - every query takes (spark, sfDir) and reads the driver corpus
+ *    (TESTDATA.md) via [[graft.sources.Tables]];
+ *  - outputs avoid raw TIMESTAMP columns (cast to DATE/STRING) so parquet
+ *    physical types can't cause false schema mismatches in the compare;
+ *  - double aggregations go through DECIMAL internally (order-independent
+ *    exact sums) and are cast back to DOUBLE in BOTH engines.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def cfg(dir: String): MigrationConfig =
+    MigrationConfig(TableRef(path = dir), TableRef(path = s"$dir/__no_target__"), Nil)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, TableRef(path = dir), name)
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): TPC-H-Q1-style
+    * pricing summary — scan, filter, hash aggregate, exact decimal sums.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= "1998-09-01 00:00:00")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(28, 4))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1 scan
+    "q01_scan" -> ((s, dir) => t(s, dir, "region")),
+
+    // O2 projection (column pruning reaches the parquet scan)
+    "q02_projection" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_custkey", "c_name")),
+
+    // O3 pushdown predicate (whereClause → PushedFilters)
+    "q03_pushdown_filter" -> ((s, dir) =>
+      MigrationPlanner.plan(s, cfg(dir), TableMigrationDef(
+        tableName = "lineitem",
+        whereClause = Some("l_quantity > 45 AND l_shipdate >= '1997-01-01 00:00:00'")
+      )).data.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate").cast("date").as("ship_date"))),
+
+    // O4 residual MVEL filter
+    "q04_residual_filter" -> ((s, dir) =>
+      MigrationPlanner.plan(s, cfg(dir), TableMigrationDef(
+        tableName = "lineitem",
+        filters = Seq(FieldValueFilter(
+          "row.l_quantity >= 30 && row.l_discount < 0.05 && row.l_returnflag == 'R'"))
+      )).data.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")),
+
+    // O5 filter chain (ordered conjunction)
+    "q05_filter_chain" -> ((s, dir) =>
+      MigrationPlanner.plan(s, cfg(dir), TableMigrationDef(
+        tableName = "events",
+        filters = Seq(
+          FieldValueFilter("row.event_type != 'click'"),
+          FieldValueFilter("row.value >= 10.0 || row.user_id % 2 == 0"))
+      )).data.select("event_id", "user_id", "event_type", "value")),
+
+    // O6 existence anti-filter (left anti join; target = simulated snapshot)
+    "q06_anti_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val existing = orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+      orders.join(existing, Seq("o_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // O7 read limit (deterministic via unique-key order)
+    "q07_read_limit" -> ((s, dir) =>
+      t(s, dir, "lineitem").orderBy("l_orderkey", "l_linenumber").limit(1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // O8 write limit (post-filter position)
+    "q08_write_limit" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "A")
+        .orderBy("l_orderkey", "l_linenumber").limit(500)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")),
+
+    // O9 calculated columns (MVEL → Catalyst, incl. ternary)
+    "q09_calc_columns" -> ((s, dir) =>
+      MigrationPlanner.plan(s, cfg(dir), TableMigrationDef(
+        tableName = "orders",
+        calculatedColumns = Seq(
+          CalculatedColumn("bucket", "row.o_orderkey % 32"),
+          CalculatedColumn("discounted", "row.o_totalprice * 0.9"),
+          CalculatedColumn("size_class", "row.o_totalprice >= 150000.0 ? 'BIG' : 'SMALL'"))
+      )).data.select("o_orderkey", "bucket", "discounted", "size_class")),
+
+    // O10/O11 TTL pseudo-column + re-base arithmetic
+    "q10_ttl_rebase" -> ((s, dir) =>
+      MigrationPlanner.plan(s, cfg(dir), TableMigrationDef(
+        tableName = "events",
+        ttl = Some(TtlSpec("value", sourceTableTtl = 86400, targetTableTtl = 604800))
+      )).data.select("event_id", "value")),
+
+    // O12 type-mapping / cast dispatch
+    "q12_type_cast" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_linenumber").cast("smallint").as("linenum_small"),
+        col("l_orderkey").cast("string").as("orderkey_str"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("qty_dec"),
+        floor(col("l_extendedprice")).as("price_floor"))),
+
+    // O13 upsert keep-last by PK
+    "q13_upsert_keep_last" -> ((s, dir) =>
+      MigrationPlanner.plan(s, cfg(dir), TableMigrationDef(
+        tableName = "lineitem",
+        pkColumns = Seq("l_orderkey"),
+        orderingColumns = Seq("l_linenumber", "l_quantity", "l_extendedprice")
+      )).data.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // O14 insert-if-not-exists (anti-join + append)
+    "q14_insert_if_not_exists" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val existing = customer.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), lit(0.0).as("c_acctbal"))
+      val incoming = customer.select("c_custkey", "c_acctbal")
+        .join(existing.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      existing.unionByName(incoming)
+    }),
+
+    // O15 counter-increment pre-aggregation (exact: integral doubles)
+    "q15_counter_preagg" -> ((s, dir) =>
+      MigrationPlanner.plan(s, cfg(dir), TableMigrationDef(
+        tableName = "lineitem",
+        pkColumns = Seq("l_orderkey"),
+        counterColumns = Seq("l_quantity"),
+        writeMode = CounterIncrement
+      )).data),
+
+    // O16 dry-run accounting (what WOULD migrate)
+    "q16_dry_run" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("rows_read"),
+        sum(when(col("l_quantity") >= 30, 1).otherwise(0)).as("rows_passed_filter"))),
+
+    // O19 row-level error tolerance: dead-letter split via try_cast
+    "q19_error_split" -> ((s, dir) => {
+      val withRaw = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 100 === 0,
+          concat(lit("x"), col("o_orderkey").cast("string")))
+          .otherwise(col("o_orderkey").cast("string")).as("raw"))
+      withRaw.select(
+        col("o_orderkey"),
+        expr("try_cast(raw AS bigint)").as("parsed"),
+        expr("try_cast(raw AS bigint) IS NULL").as("is_dead_letter"))
+    }),
+
+    // O20 observability: observe() is pass-through on the data
+    "q20_observed_filter" -> ((s, dir) =>
+      t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+        .observe("q20", count(lit(1)).as("rows"))
+        .select("s_suppkey", "s_name", "s_acctbal")),
+
+    // O21 schema reconciliation drives the write projection
+    "q21_reconcile_projection" -> ((s, dir) => {
+      val source = t(s, dir, "customer")
+      val targetSchema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("not_in_source", StringType))) // rule-2 drop, with warning
+      val rec = Reconciler.reconcile(source.schema, targetSchema,
+        targetPk = Seq("c_custkey"), calculated = Map.empty)
+      source.select(rec.writeColumns.map(col): _*)
+    }),
+
+    // O22 registered custom function via SQL name (JVM String.hashCode)
+    "q22_java_hash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        expr("java_hash_code(c_name)").as("name_hash"))
+    }),
+
+    // joins/aggregation beyond migrator parity (engine completeness)
+    "j01_broadcast_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("order_cnt"))),
+
+    "j02_star_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(BigDecimal(1)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DecimalType(28, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "w01_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("order_seq", row_number().over(w))
+        .select("o_orderkey", "o_custkey", "order_seq")
+    }),
+
+    // events.ts is parquet TIMESTAMP(NANOS) — read as long nanos
+    // (spark.sql.legacy.parquet.nanosAsLong) and converted to micros here.
+    "e01_event_window_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))),
+
+    "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
+
+    // ------------------------------------------------- LLM pipeline: dedup
+    "d01_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactKeepFirst(doubled, "doc_id", Seq("text")).select("doc_id", "text")
+    }),
+
+    "d02_dedup_norm_md5" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        upper(concat(lit("  "), col("text"))).as("text"))
+      Dedup.normalizedDedup(docs.unionByName(mangled), "doc_id", "text")
+        .select(col("doc_id"), md5(Dedup.normalized(col("text"))).as("fp"))
+    }),
+
+    "d03_minhash_pairs" -> ((s, dir) => {
+      // planted near-dups: copy of each doc with its first word dropped
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      Dedup.minhashNearDupPairs(docs.unionByName(mangled), "doc_id", "text",
+        threshold = 0.7)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    "d04_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      Dedup.simhashNearDupPairs(docs.unionByName(mangled), "doc_id", "text",
+        maxHamming = 3)
+    }),
+
+    "d05_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("idA"), (col("doc_id") + 1).as("idB"))
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // -------------------------------------------- LLM pipeline: similarity
+    "s01_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      Similarity.bruteForceTopK(corpus, queries,
+          "vec_id", "embedding", "query_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "s02_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      Similarity.lshTopK(corpus, queries,
+          "vec_id", "embedding", "query_id", "embedding",
+          k = 5, dim = 64, numPlanes = 12)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "s03_cosine_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairs(emb.unionByName(planted),
+          "vec_id", "embedding", dim = 64, threshold = 0.999)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ------------------------------------------ LLM pipeline: text analysis
+    "t01_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))),
+
+    "t02_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "t03_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("n_tokens_bpe"))),
+
+    "t04_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // ------------------------------------------- LLM pipeline: multimodal
+    "m01_media_pipeline" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
+      val decoded = Multimodal.featureStub(Multimodal.decodeStub(media), dim = 8)
+      decoded.select(
+        col("media_id"), col("meta.n_bytes").as("n_bytes"),
+        col("width"), col("height"),
+        round(element_at(col("features"), 1), 6).as("f0"))
+    }),
+
+    "m02_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
+      Multimodal.frameSample(media, n = 4)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame_bytes")).as("frame_len"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** DuckDB-equivalent SQL per query (omitted → driver does rows-only
+    * check: the MinHash/SimHash/LSH/mapPartitions operators whose exact
+    * output depends on engine-internal hashes).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q22_java_hash" ->
+      """SELECT c_custkey,
+                CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(c_name)+1),
+                          i -> CAST(ascii(substr(c_name, CAST(i AS INT), 1)) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 4294967296) + 2147483648) % 4294967296
+                     - 2147483648 AS INT) AS name_hash
+         FROM customer""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+                CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                        list_transform(range(1, length(norm)+1),
+                          i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+                      (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
+                     + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+                     - 9223372036854775808::HUGEINT AS BIGINT) AS fingerprint
+         FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+               FROM documents)""",
+    "t01_lang_id" ->
+      """WITH toks AS (SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents)
+         SELECT doc_id, CASE WHEN CAST(substr(best, 1, 10) AS INT) > 0
+                             THEN substr(best, 11) ELSE 'und' END AS pred_lang
+         FROM (SELECT doc_id, greatest(
+            lpad(CAST(len(list_filter(w, x -> list_contains(['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'f\u00fcr', 'von'], x))) AS VARCHAR), 10, '0') || 'de',
+            lpad(CAST(len(list_filter(w, x -> list_contains(['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'], x))) AS VARCHAR), 10, '0') || 'en',
+            lpad(CAST(len(list_filter(w, x -> list_contains(['el', 'la', 'los', 'y', 'es', 'un', 'una', 'para', 'en', 'que'], x))) AS VARCHAR), 10, '0') || 'es',
+            lpad(CAST(len(list_filter(w, x -> list_contains(['le', 'la', 'les', 'et', 'est', 'un', 'une', 'pour', 'dans', 'que'], x))) AS VARCHAR), 10, '0') || 'fr',
+            lpad(CAST(len(list_filter(w, x -> list_contains(['\u7684', '\u662f', '\u4e0d', '\u4e86', '\u5728', '\u6709', '\u6211', '\u4ed6', '\u8fd9', '\u5c31'], x))) AS VARCHAR), 10, '0') || 'zh') AS best
+               FROM toks)""",
+    "q01_scan" -> "SELECT r_regionkey, r_name FROM region",
+    "q02_projection" -> "SELECT c_custkey, c_name FROM customer",
+    "q03_pushdown_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem WHERE l_quantity > 45 AND l_shipdate >= '1997-01-01 00:00:00'""",
+    "q04_residual_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+         FROM lineitem WHERE l_quantity >= 30 AND l_discount < 0.05 AND l_returnflag = 'R'""",
+    "q05_filter_chain" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_type <> 'click' AND (value >= 10.0 OR user_id % 2 = 0)""",
+    "q06_anti_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)""",
+    "q07_read_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber LIMIT 1000""",
+    "q08_write_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+         WHERE l_returnflag = 'A' ORDER BY l_orderkey, l_linenumber LIMIT 500""",
+    "q09_calc_columns" ->
+      """SELECT o_orderkey, o_orderkey % 32 AS bucket,
+                o_totalprice * 0.9 AS discounted,
+                CASE WHEN o_totalprice >= 150000.0 THEN 'BIG' ELSE 'SMALL' END AS size_class
+         FROM orders""",
+    "q10_ttl_rebase" ->
+      "SELECT event_id, 604800 - (86400 - value) AS value FROM events",
+    "q12_type_cast" ->
+      """SELECT CAST(l_linenumber AS SMALLINT) AS linenum_small,
+                CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+                CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+                CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor
+         FROM lineitem""",
+    "q13_upsert_keep_last" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber DESC, l_quantity DESC,
+                                              l_extendedprice DESC) AS rn
+           FROM lineitem) WHERE rn = 1""",
+    "q14_insert_if_not_exists" ->
+      """SELECT c_custkey, 0.0 AS c_acctbal FROM customer WHERE c_custkey % 4 = 0
+         UNION ALL
+         SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 4 <> 0""",
+    "q15_counter_preagg" ->
+      """SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS l_quantity
+         FROM lineitem GROUP BY l_orderkey""",
+    "q16_dry_run" ->
+      """SELECT COUNT(*) AS rows_read,
+                SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS rows_passed_filter
+         FROM lineitem""",
+    "q19_error_split" ->
+      """SELECT o_orderkey,
+                TRY_CAST(CASE WHEN o_orderkey % 100 = 0
+                              THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                              ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS parsed,
+                TRY_CAST(CASE WHEN o_orderkey % 100 = 0
+                              THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                              ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) IS NULL AS is_dead_letter
+         FROM orders""",
+    "q20_observed_filter" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 0",
+    "q21_reconcile_projection" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "j01_broadcast_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS order_cnt FROM orders
+         JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""",
+    "j02_star_join_revenue" ->
+      """SELECT r_name, n_name,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "w01_window_rank" ->
+      """SELECT o_orderkey, o_custkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS order_seq
+         FROM orders""",
+    "e01_event_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+                COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "d01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, text FROM (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         GROUP BY text""",
+    "d02_dedup_norm_md5" ->
+      """SELECT MIN(doc_id) AS doc_id, fp FROM (
+           SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000, upper('  ' || text) FROM documents))
+         GROUP BY fp""",
+    "d05_ngram_jaccard" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(words) - 2, 0) + 1),
+                    i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS g
+           FROM norm)
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+                ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+         FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1""",
+    "s01_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+              scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                       (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+                FROM c CROSS JOIN q),
+              ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored)
+         SELECT query_id, vec_id, rank, ROUND(cosine, 6) AS cosine
+         FROM ranked WHERE rank <= 5""",
+    "t02_quality_score" ->
+      """SELECT doc_id, ROUND(
+           0.3 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+         + 0.4 * (CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                            / length(text)
+                       ELSE 0.0 END)
+         + 0.3 * (CASE WHEN length(text) > 0 AND
+                            CAST(length(text) AS DOUBLE) /
+                            len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                            BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.0 END), 6) AS quality
+         FROM documents""",
+    "t03_token_count" ->
+      """SELECT doc_id,
+                len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+                CAST(list_sum(list_transform(
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                  w -> greatest(CAST(ceil(length(w) / 4.0) AS INT), 1))) AS INT) AS n_tokens_bpe
+         FROM documents""",
+    "m02_frame_sample" ->
+      """SELECT media_id, CAST(i AS INT) AS frame_no,
+                CAST(LEAST(chunk, GREATEST(L - i * chunk, 0)) AS INT) AS frame_len
+         FROM (SELECT doc_id AS media_id, octet_length(encode(text)) AS L,
+                      greatest(CAST(ceil(octet_length(encode(text)) / 4.0) AS INT), 1) AS chunk
+               FROM documents), range(0, 4) t(i)"""
+  )
 }

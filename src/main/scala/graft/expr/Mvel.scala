@@ -17,21 +17,26 @@ import org.apache.spark.sql.functions.expr
  * Spark SQL expression string — so the predicate lands in Catalyst, gets
  * pushed down / codegen'd, and never runs row-at-a-time.
  *
- * Supported subset (everything the reference's example config uses —
- * config/migration-config.example.yaml:95,112-120):
+ * Expression subset:
  *   - `row.col` column refs (prefix stripped, like FieldValueFilter.java:60-62)
  *   - `&&  ||  !` → `AND OR NOT`; `==` → `=`; `!=` stays
  *   - arithmetic `+ - * / %`, parens, numeric/string/bool literals
  *   - `x.hashCode()` → `java_hash_code(x)` (JVM-exact, codegen'd —
  *     see [[graft.functions.JavaHashCode]])
  *   - `abs(...)`, ternary `c ? a : b` → `IF(c, a, b)`
- *   - `(short)/(int)/(long)/(byte)/(double)/(float)` casts → SQL CAST
- *
- * Anything outside the subset throws at plan time (fail-fast, matching the
- * reference's unsupported-type contract) — callers can fall back to a
- * registered UDF for full-MVEL parity if ever needed.
+ *   - `(short)/(int)/(long)/(byte)/(double)/(float)` casts → SQL CAST,
+ *     binding to the next primary term only (Java precedence: `(short)x % 32`
+ *     is `((short)x) % 32`)
+ * Statement subset (multi-statement scripts like the reference's
+ * config/migration-config.example.yaml:112-120): straight-line
+ * `var x = e;` / `x = e;` / `x op= e;` / `if (c) { x = e; }` /
+ * `return e;` sequences, normalized by inline substitution into a single
+ * expression. Anything outside both subsets throws at plan time
+ * (fail-fast, matching the reference's unsupported-type contract).
  */
 object MvelTranslator {
+
+  final case class UnsupportedMvel(msg: String) extends RuntimeException(msg)
 
   private val ColRef = """row\.([a-zA-Z0-9_]+)""".r
   private val HashCall = """([a-zA-Z0-9_]+)\.hashCode\(\)""".r
@@ -48,17 +53,102 @@ object MvelTranslator {
     "short" -> "SMALLINT", "int" -> "INT", "long" -> "BIGINT",
     "byte" -> "TINYINT", "float" -> "FLOAT", "double" -> "DOUBLE")
 
-  /** Translate an MVEL-subset expression into a Spark SQL expression string. */
+  /** Translate an MVEL-subset expression or straight-line script into a
+    * Spark SQL expression string.
+    */
   def toSql(mvel: String): String = {
-    var s = mvel.trim
-    // strip a trailing `;` / leading `return` (MVEL statement style)
-    s = s.stripSuffix(";").trim
+    val single = normalizeScript(mvel)
+    translateExpression(single)
+  }
+
+  /** Collapse a straight-line MVEL script into one expression via inline
+    * substitution. Mirrors the semantics (not the mechanics) of the
+    * reference's compiled-MVEL evaluation
+    * (DefaultMigratorPlugin.java:367-387). Supported statements:
+    * declarations, re-assignments, compound assignment (`%=` etc.),
+    * single-variable `if (c) { v = e; }`, and a final bare/`return`
+    * expression.
+    */
+  private def normalizeScript(script: String): String = {
+    // Split on ';' not inside quotes/parens.
+    val stmts = splitStatements(script).map(_.trim).filter(_.nonEmpty)
+    if (stmts.isEmpty) throw UnsupportedMvel(s"empty MVEL script: '$script'")
+    if (stmts.length == 1 && !stmts.head.startsWith("return ") &&
+        !stmts.head.matches("""(?s)^var\s.*""")) {
+      return stmts.head // plain single expression
+    }
+    var env = Map.empty[String, String] // var name -> substituted expression
+    def subst(e: String): String = {
+      // replace known vars (longest name first to avoid prefix clashes)
+      var out = e
+      env.keys.toSeq.sortBy(-_.length).foreach { v =>
+        out = out.replaceAll(s"""\\b$v\\b(?!\\s*\\()""", s"(${env(v)})")
+      }
+      out
+    }
+    val VarDecl = """(?s)^var\s+([a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*(.*)$""".r
+    val Compound = """(?s)^([a-zA-Z_][a-zA-Z0-9_]*)\s*([+\-*/%])=\s*(.*)$""".r
+    val Assign = """(?s)^([a-zA-Z_][a-zA-Z0-9_]*)\s*=([^=].*)$""".r
+    val IfAssign =
+      """(?s)^if\s*\((.*)\)\s*\{\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*([^;{}]*);?\s*\}$""".r
+    val Return = """(?s)^return\s+(.*)$""".r
+
+    var result: Option[String] = None
+    stmts.foreach {
+      case _ if result.isDefined =>
+        throw UnsupportedMvel(s"statements after return in MVEL script: '$script'")
+      case VarDecl(name, e) => env += name -> subst(e)
+      case Compound(name, op, e) if env.contains(name) =>
+        env += name -> s"(${env(name)}) $op (${subst(e)})"
+      case IfAssign(cond, name, e) if env.contains(name) =>
+        env += name -> s"IF(${subst(cond)}, ${subst(e)}, ${env(name)})"
+      case Return(e) => result = Some(subst(e))
+      case Assign(name, e) if env.contains(name) => env += name -> subst(e)
+      case other =>
+        throw UnsupportedMvel(
+          s"unsupported MVEL statement '$other' (supported: var/assign/compound-assign/if-assign/return)")
+    }
+    result.getOrElse(
+      throw UnsupportedMvel(s"multi-statement MVEL script has no return: '$script'"))
+  }
+
+  /** Split on top-level ';' (outside quotes, parens and braces — `if {...}`
+    * blocks keep their inner ';' with the block) and after a top-level
+    * closing '}' (Java statements need no ';' after a block).
+    */
+  private def splitStatements(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depthPar = 0
+    var depthBrace = 0
+    var inStr: Char = 0
+    s.foreach { ch =>
+      if (inStr != 0) { cur += ch; if (ch == inStr) inStr = 0 }
+      else ch match {
+        case '\'' | '"' => inStr = ch; cur += ch
+        case '(' => depthPar += 1; cur += ch
+        case ')' => depthPar -= 1; cur += ch
+        case '{' => depthBrace += 1; cur += ch
+        case '}' =>
+          depthBrace -= 1; cur += ch
+          if (depthPar == 0 && depthBrace == 0) { out += cur.result(); cur.clear() }
+        case ';' if depthPar == 0 && depthBrace == 0 => out += cur.result(); cur.clear()
+        case _ => cur += ch
+      }
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** Single-expression translation (no statements). */
+  private def translateExpression(mvelExpr: String): String = {
+    var s = mvelExpr.trim.stripSuffix(";").trim
     if (s.startsWith("return ")) s = s.drop(7).trim
     // `row.x` → `x` (FieldValueFilter.java:60-62 strips the same prefix)
     s = ColRef.replaceAllIn(s, m => m.group(1))
     // method-call mappings
     s = HashCall.replaceAllIn(s, m => s"java_hash_code(${m.group(1)})")
-    // java casts → SQL cast: `(short) expr` — apply to the next balanced term
+    // java casts → SQL cast over the next primary term (Java precedence)
     s = rewriteCasts(s)
     // ternary → IF (single, non-nested — enough for the reference subset)
     s = Ternary.findFirstMatchIn(s) match {
@@ -72,20 +162,70 @@ object MvelTranslator {
       .replaceAll("""==""", " = ")
       .replace("<#NEQ#>", " != ")
       .replaceAll("""!\s*\(""", " NOT (")
-    s
+    collapseSpaces(s)
   }
 
-  /** `(short) x % 32` → `CAST(x % 32 AS SMALLINT)` — the cast binds to the
-    * remainder of the expression (MVEL evaluates the full arithmetic before
-    * the cast in the reference's example yaml:117).
+  /** Collapse runs of whitespace to one space — but never inside quoted
+    * string literals.
+    */
+  private def collapseSpaces(s: String): String = {
+    val out = new StringBuilder
+    var inStr: Char = 0
+    var pendingSpace = false
+    s.trim.foreach { ch =>
+      if (inStr != 0) { out += ch; if (ch == inStr) inStr = 0 }
+      else if (ch == '\'' || ch == '"') {
+        if (pendingSpace) { out += ' '; pendingSpace = false }
+        inStr = ch; out += ch
+      } else if (ch.isWhitespace) pendingSpace = true
+      else {
+        if (pendingSpace) { out += ' '; pendingSpace = false }
+        out += ch
+      }
+    }
+    out.result()
+  }
+
+  /** `(short) x % 32` → `CAST(x AS SMALLINT) % 32`: the cast binds to the
+    * immediately-following primary term only, matching Java/MVEL precedence
+    * (ADVICE r1). `(short)(x % 32)` casts the parenthesized group.
     */
   private def rewriteCasts(s: String): String =
     CastRe.findFirstMatchIn(s) match {
       case Some(m) =>
-        val rest = rewriteCasts(s.substring(m.end))
-        s"${s.substring(0, m.start)}CAST(${rest.trim} AS ${castType(m.group(1))})"
+        val rest = s.substring(m.end)
+        val (term, tail) = takePrimary(rest)
+        s"${s.substring(0, m.start)}CAST(${term.trim} AS ${castType(m.group(1))})" +
+          rewriteCasts(tail)
       case None => s
     }
+
+  /** Take the next primary term: a parenthesized group, a function call, or
+    * an identifier/number (with unary minus).
+    */
+  private def takePrimary(s0: String): (String, String) = {
+    val s = s0
+    var i = 0
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    val start = i
+    if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
+    // identifier / function-name part
+    while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+    // optional call args or a bare parenthesized group
+    if (i < s.length && s.charAt(i) == '(') {
+      var depth = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) { i += 1
+          return (s.substring(start, i), s.substring(i)) } }
+        i += 1
+      }
+      throw UnsupportedMvel(s"unbalanced parens after cast in '$s0'")
+    }
+    if (i == start) throw UnsupportedMvel(s"cast applies to nothing in '$s0'")
+    (s.substring(start, i), s.substring(i))
+  }
 
   /** Translate to a Column ready for `df.filter` / `df.withColumn`. */
   def toColumn(mvel: String): Column = expr(toSql(mvel))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,6 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * whole-stage codegen — the reference's per-row MVEL interpretation
  * (implementation/DefaultMigratorPlugin.java:367-387) is replaced by
  * generated Java.
+ *
+ * Input types are fixed by construction (the planner builds these over known
+ * columns), so instead of `ExpectsInputTypes` (whose `AbstractDataType` is
+ * `private[sql]` in Spark 4.x) each expression casts in `eval`/codegen.
  */
 
 /** Exact JVM `String.hashCode` as a Catalyst expression.
@@ -27,10 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `abs(my_col.hashCode()) % 32` whose expected values depend on JVM string
   * hashing (SURVEY §7.4 "MVEL generality").
   */
-case class JavaHashCode(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+case class JavaHashCode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     v.asInstanceOf[UTF8String].toString.hashCode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -42,13 +44,10 @@ case class JavaHashCode(child: Expression) extends UnaryExpression with ExpectsI
 
 /** 64-bit polynomial rolling hash of a string (base-31, wrapping Long
   * arithmetic) — the document-fingerprinting primitive. Deterministic and
-  * cheap; equivalent semantics are expressible in ANSI SQL for oracle
-  * checking (codegen: a tight loop over UTF-16 code units).
+  * cheap (codegen: a tight loop over UTF-16 code units).
   */
-case class PolyHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+case class PolyHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
     var h = 0L
@@ -78,10 +77,8 @@ case class PolyHash64(child: Expression) extends UnaryExpression with ExpectsInp
   * expression evaluates one hash family member; MinHash builds
   * `min over shingles` per family with built-in array functions.
   */
-case class Mix64(child: Expression, seed: Long) extends UnaryExpression with ExpectsInputTypes {
+case class Mix64(child: Expression, seed: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
-  override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     Mix64.mix(v.asInstanceOf[Long] ^ seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -111,24 +108,26 @@ object Mix64 {
   }
 }
 
-/** Dot product of two float/double array columns, accumulated in Double in
-  * index order (deterministic). The scalar core of cosine similarity /
-  * embedding near-dup (brute-force and IVF paths both reduce to this).
+/** Dot product of two float-array columns, accumulated in Double in index
+  * order (deterministic). The scalar core of cosine similarity / embedding
+  * near-dup (brute-force and LSH-bucketed paths both reduce to this).
+  * Mismatched dimensions yield null (ADVICE r1: a truncated dot product
+  * would be a silent-wrong cosine).
   */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
-  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    s
+    if (a.numElements() != b.numElements()) null
+    else {
+      val n = a.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      s
+    }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -136,12 +135,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
@@ -151,23 +154,22 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Column API + SQL registration for the expressions above. */
 object GraftFunctions {
-  def java_hash_code(c: Column): Column = ExpressionUtils.column(
-    JavaHashCode(ExpressionUtils.expression(c)))
-  def poly_hash64(c: Column): Column = ExpressionUtils.column(
-    PolyHash64(ExpressionUtils.expression(c)))
-  def mix64(c: Column, seed: Long): Column = ExpressionUtils.column(
-    Mix64(ExpressionUtils.expression(c), seed))
-  def dot_product(a: Column, b: Column): Column = ExpressionUtils.column(
-    DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def java_hash_code(c: Column): Column = Bridge.column(
+    JavaHashCode(Bridge.expression(c)))
+  def poly_hash64(c: Column): Column = Bridge.column(
+    PolyHash64(Bridge.expression(c)))
+  def mix64(c: Column, seed: Long): Column = Bridge.column(
+    Mix64(Bridge.expression(c), seed))
+  def dot_product(a: Column, b: Column): Column = Bridge.column(
+    DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register SQL names so `expr("java_hash_code(col)")` (and thus the MVEL
     * translator output) resolves. Reference parity for the plugin/UDF
     * surface (SURVEY §2 O22).
     */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("java_hash_code", es => JavaHashCode(es.head), "builtin")
-    reg.createOrReplaceTempFunction("poly_hash64", es => PolyHash64(es.head), "builtin")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "builtin")
+    Bridge.registerFunction(spark, "java_hash_code", es => JavaHashCode(es.head))
+    Bridge.registerFunction(spark, "poly_hash64", es => PolyHash64(es.head))
+    Bridge.registerFunction(spark, "dot_product", es => DotProduct(es.head, es(1)))
   }
 }

@@ -93,9 +93,10 @@ final case class TtlSpec(ttlColumn: String, sourceTableTtl: Long, targetTableTtl
   * @param continueOnRowError row-level error tolerance; the reference makes
   *                           this mandatory-explicit
   *                           (MigrateTableTask.java:168-169) — O19
-  * @param orderingColumn     column that defines "last" for keep-last upsert
+  * @param orderingColumns    columns that define "last" for keep-last upsert
   *                           dedup (CQL upserts are last-write-wins; a bulk
-  *                           engine needs an explicit ordering)
+  *                           engine needs an explicit ordering; extra columns
+  *                           are tie-breakers for determinism)
   */
 final case class TableMigrationDef(
     tableName: String,
@@ -111,7 +112,7 @@ final case class TableMigrationDef(
     ttl: Option[TtlSpec] = None,
     simulateOnly: Boolean = true,
     continueOnRowError: Option[Boolean] = None,
-    orderingColumn: Option[String] = None) {
+    orderingColumns: Seq[String] = Nil) {
   def resolvedTargetName: String = targetTableName.getOrElse(tableName)
 }
 

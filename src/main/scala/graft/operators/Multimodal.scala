@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque `BinaryType`
+ * columns with typed metadata, plus decode / feature-extract / resize /
+ * frame-sample operators.
+ *
+ * The Spark-side shape is real and tested — schema, partition-preserving
+ * `mapPartitions` (the Scala analogue of Pandas-UDF `mapInPandas` batches),
+ * batch iteration, metadata structs. The codec step itself is a
+ * deterministic STUB (this environment ships no image/audio libraries):
+ * `decodeStub` derives pseudo-dimensions from the byte content so tests are
+ * reproducible. Swapping in a real codec changes ONE function, not the
+ * pipeline.
+ *
+ * Scale posture: media bytes never shuffle — all operators here are
+ * map-only (`mapPartitions` / column expressions); any downstream
+ * aggregation happens on extracted features (small), not payloads.
+ */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true))), nullable = true)))
+
+  /** Build a media table from any table with an id + string payload column
+    * (the fixtures have no real binaries; text bytes stand in). Produces the
+    * canonical (media_id, content, meta) layout.
+    */
+  def fromText(df: DataFrame, idCol: String, textCol: String, format: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        lit(format).as("format"),
+        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")).as("meta"))
+
+  /** STUB decode: deterministically derive (width, height) from content
+    * bytes — stands in for an image decoder. Runs per-partition over an
+    * iterator of rows, the exact execution shape a real codec needs
+    * (open-once-per-partition, stream rows through).
+    */
+  def decodeStub(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      // per-partition setup would open the codec here, once
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else {
+          // deterministic fake: dimensions from a rolling hash of the bytes
+          var h = 1125899906842597L
+          var i = 0
+          while (i < math.min(bytes.length, 256)) { h = h * 31 + bytes(i); i += 1 }
+          val w = 16 + math.floorMod(h, 1024).toInt
+          val ht = 16 + math.floorMod(h >> 10, 1024).toInt
+          Row.fromSeq(r.toSeq ++ Seq(w, ht))
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB feature extraction: fixed-length float feature vector from bytes
+    * (stands in for an embedding model forward pass). Deterministic;
+    * map-only; the output column is directly usable by
+    * [[graft.operators.Similarity]].
+    */
+  def featureStub(df: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val v = Array.tabulate(dim) { d =>
+            var h = graft.functions.Mix64.mix(d.toLong ^ 0x5DEECE66DL)
+            var i = d
+            while (i < bytes.length) { h = h * 31 + bytes(i); i += dim }
+            (graft.functions.Mix64.mix(h).toDouble / Long.MaxValue.toDouble).toFloat
+          }
+          Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: split a binary payload into `n` evenly-spaced chunks
+    * (stands in for video frame extraction) — pure column expressions, no
+    * UDF: one output row per (media, frame) via posexplode.
+    */
+  def frameSample(df: DataFrame, n: Int): DataFrame = {
+    val chunk = greatest(ceil(length(col("content")) / lit(n.toDouble)).cast("int"), lit(1))
+    df.select(col("media_id"), col("content"), chunk.as("__chunk"))
+      .select(
+        col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => col("content").substr(i * col("__chunk") + 1, col("__chunk"))))
+          .as(Seq("frame_no", "frame_bytes")))
+  }
+}

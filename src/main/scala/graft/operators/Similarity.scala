@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`Array[Float]`) — brute-force
+ * cosine top-k as the exact baseline, and a random-hyperplane-LSH bucketed
+ * variant as the 100 TB scale path (Charikar 2002 / Indyk-Motwani; see
+ * PAPERS.md).
+ *
+ * Scale posture:
+ *  - Brute force broadcasts the (small) query set and scans the corpus ONCE
+ *    — a map-side cross product with no corpus shuffle, then a per-query
+ *    top-k. Right answer when |queries| is small; cost is O(|corpus|·|Q|).
+ *  - LSH path buckets corpus AND queries by hyperplane-sign signatures so
+ *    each query only scores vectors in its (multi-probe) buckets — the join
+ *    is keyed on signatures, degree bounded by bucket size, never n².
+ *  - The dot-product kernel is [[graft.functions.DotProduct]] — a codegen'd
+ *    Catalyst expression, no UDF, no per-row boxing.
+ */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: component j of plane
+    * i derives from Mix64 — reproducible across runs/executors, no RNG
+    * state. Values in [-1, 1).
+    */
+  private[operators] def hyperplane(i: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { j =>
+      val h = graft.functions.Mix64.mix((i.toLong << 32) ^ j.toLong ^ 0x9E3779B97F4A7C15L)
+      (h.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+
+  def cosine(a: Column, b: Column): Column = {
+    val dot = GraftFunctions.dot_product(a, b)
+    val na = sqrt(GraftFunctions.dot_product(a, a))
+    val nb = sqrt(GraftFunctions.dot_product(b, b))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. `queries` MUST be small (it is broadcast).
+    * Output: (queryId, vecId, cosine, rank).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(
+      broadcast(queries.select(col(queryId), col(queryVec).as("__qv"))))
+    val scored = joined.select(
+      col(queryId), col(corpusId),
+      cosine(col(corpusVec), col("__qv")).as("cosine"))
+      .filter(col("cosine").isNotNull) // mismatched-dim vectors excluded
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sign-bit LSH signature of a vector: bit i = sign(v · plane_i). The
+    * planes are generated deterministically and shipped as literals —
+    * evaluated with built-in `aggregate`/`zip_with`, fully distributed.
+    */
+  def signSignature(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val planes = (0 until numPlanes).map { i =>
+      typedLit(hyperplane(i, dim))
+    }
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(GraftFunctions.dot_product(vec, p) >= 0d,
+        lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate top-k. Corpus and queries are both signed
+    * with `numPlanes` hyperplanes; a query probes its own bucket plus all
+    * buckets at Hamming distance 1 (multi-probe: numPlanes+1 probes), then
+    * exact-cosine-scores only those vectors. Recall rises with fewer planes
+    * / more probes; cost falls with more planes.
+    * Output: (queryId, vecId, cosine, rank).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, dim: Int, numPlanes: Int = 12): DataFrame = {
+    val sigCorpus = corpus.select(
+      col(corpusId), col(corpusVec),
+      signSignature(col(corpusVec), numPlanes, dim).as("__bucket"))
+    // multi-probe: original signature + flip each bit once (signature is
+    // computed once, probes are cheap xors of it)
+    val probes = (0 until numPlanes).map(i => lit(1L << i)) :+ lit(0L)
+    val sigQueries = queries
+      .select(col(queryId), col(queryVec).as("__qv"),
+        signSignature(col(queryVec), numPlanes, dim).as("__sig0"))
+      .withColumn("__mask", explode(array(probes: _*)))
+      .select(col(queryId), col("__qv"),
+        col("__sig0").bitwiseXOR(col("__mask")).as("__bucket"))
+    val candidates = sigCorpus.join(sigQueries, "__bucket")
+    val scored = candidates.select(
+      col(queryId), col(corpusId),
+      cosine(col(corpusVec), col("__qv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.groupBy(queryId, corpusId).agg(first("cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets: pairs of
+    * corpus vectors with identical sign-signature and cosine ≥ threshold.
+    * The all-pairs comparison happens only WITHIN buckets.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, numPlanes: Int = 12): DataFrame = {
+    val sig = corpus.select(
+      col(idCol), col(vecCol),
+      signSignature(col(vecCol), numPlanes, dim).as("__bucket"))
+    val a = sig.select(col("__bucket"), col(idCol).as("idA"), col(vecCol).as("__va"))
+    val b = sig.select(col("__bucket"), col(idCol).as("idB"), col(vecCol).as("__vb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), cosine(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

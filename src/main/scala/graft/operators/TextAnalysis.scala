@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID (stopword
+ * n-gram heuristic), quality scoring (length/punctuation/stopword ratios),
+ * token counting (whitespace + BPE-ish sub-word estimate), and document
+ * fingerprinting (rolling hash).
+ *
+ * Everything is built-in `functions` — pure column expressions, fully
+ * codegen'd, zero UDFs, zero shuffles: these are map-only operators that
+ * scale linearly with the corpus.
+ */
+object TextAnalysis {
+
+  /** Per-language stopword marker lists for the heuristic language
+    * identifier. Tiny on purpose: the operator's shape (argmax of per-class
+    * token-overlap scores) is what matters; vocabularies are pluggable.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "有", "我", "他", "这", "就"))
+
+  private def tokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  /** Count of tokens that appear in `words` (array-overlap score). */
+  private def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Heuristic language ID: argmax over languages of stopword hit counts;
+    * 'und' (undetermined) when nothing matched. Deterministic tie-break by
+    * language code.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: words + extra sub-word splits every 4 chars of
+    * long words (a public rule-of-thumb approximation — ~4 chars/token).
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + greatest(ceil(length(t) / 4.0).cast("int"), lit(1)))
+
+  /** Quality score in [0,1]: blend of length band, alphabetic ratio,
+    * mean-word-length band and whitespace sanity — the classic cheap
+    * pre-filter for web-scale corpora (C4/Gopher-style rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text)
+    val alpha = length(regexp_replace(text, "[^a-zA-Z ]", ""))
+    val alphaRatio = when(n > 0, alpha.cast("double") / n).otherwise(lit(0.0))
+    val nTok = tokenCount(text)
+    val meanWordLen = when(nTok > 0, n.cast("double") / nTok).otherwise(lit(0.0))
+    val lengthOk = when(n.between(50, 100000), lit(1.0)).otherwise(lit(0.0))
+    val wordLenOk = when(meanWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    round((lit(0.3) * lengthOk + lit(0.4) * alphaRatio + lit(0.3) * wordLenOk), 6)
+  }
+
+  /** Rolling-hash document fingerprint (base-31 polynomial over the
+    * normalized text) via the codegen'd [[graft.functions.PolyHash64]].
+    */
+  def fingerprint(text: Column): Column =
+    graft.functions.GraftFunctions.poly_hash64(Dedup.normalized(text))
+
+  /** One-call enrichment: attach all text-analysis columns. */
+  def analyze(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("pred_lang", langId(col(textCol)))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_tokens_bpe", bpeTokenEstimate(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}

@@ -1,0 +1,244 @@
+package graft.pipeline
+
+import graft.expr.MvelTranslator
+import graft.model._
+import graft.schema.Reconciler
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * The planner: compiles a [[graft.model.TableMigrationDef]] into a Spark
+ * DataFrame plan — the counterpart of the reference's task-init "analyzer"
+ * (reference: MigrateTableTask.java:160-216) + run loop (:280-367), with the
+ * row-at-a-time loop replaced by one declarative plan that Catalyst
+ * optimizes (pushdown, pruning, codegen — SURVEY §4).
+ *
+ * Plan shape (SURVEY §2, in plan order):
+ *   scan (O1) → whereClause pushdown filter (O3) → read limit (O7)
+ *   → residual MVEL filter chain (O4/O5) → existence anti-join (O6)
+ *   → calculated columns (O9) → TTL re-base (O10/O11)
+ *   → reconciled projection (O2/O12/O21) → write limit (O8)
+ *   → write-mode transform: keep-last upsert (O13) / insert-if-not-exists
+ *     anti-join (O14) / counter pre-aggregation (O15).
+ *
+ * Scale posture: the only shuffles a plan can contain are the anti-join
+ * (shuffled hash / broadcast chosen by AQE at runtime — never assumed
+ * broadcastable, SURVEY §7.4), the keep-last window and the counter
+ * pre-agg (both keyed on PK, i.e. the minimum possible shuffle for their
+ * semantics). Everything else is narrow and whole-stage-codegen'd.
+ */
+object MigrationPlanner {
+
+  final case class PlanError(msg: String) extends RuntimeException(msg)
+
+  /** Result of planning: the write-ready DataFrame plus reconciliation
+    * diagnostics (dropped columns / warnings — reference behavior
+    * DefaultMigratorPlugin.java:256-269).
+    */
+  final case class Planned(
+      data: DataFrame,
+      reconciliation: Reconciler.Reconciliation,
+      failedRows: Option[DataFrame])
+
+  /** Compile the full migration plan for one table. */
+  def plan(spark: SparkSession, cfg: MigrationConfig, t: TableMigrationDef): Planned = {
+    val source = Tables.load(spark, cfg.source, t.tableName)
+    val target = Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
+    val (narrow, rec) = narrowPlan(source, target, t)
+    var df = narrow
+
+    // O8 write limit (post-filter, pre-sink — distinct from O7's position).
+    t.maxWriteRowCount.foreach(n => df = df.limit(n.toInt))
+
+    df = writeModeTransform(df, target, t)
+    Planned(df, rec, None)
+  }
+
+  /** The narrow (shuffle-free, streaming-safe) prefix of the plan:
+    * scan-side filters, limits, derived columns, TTL re-base and the
+    * reconciled write projection. Shared verbatim by batch [[plan]] and
+    * [[graft.streaming.StreamingMigration]] — Structured Streaming's
+    * unified semantics make the same transforms valid on a stream.
+    */
+  def narrowPlan(
+      source: DataFrame,
+      target: Option[DataFrame],
+      t: TableMigrationDef): (DataFrame, Reconciler.Reconciliation) = {
+    var df = source
+    // MVEL translations may reference graft SQL functions (java_hash_code…)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    Reconciler.validateTypes(df.schema, t.tableName)
+
+    // O3 pushdown predicate: declared as a plain filter; Catalyst's
+    // PushDownPredicates + the DSv2 contract push it into the scan
+    // (the reference concatenates it into CQL by hand,
+    // DefaultMigratorPlugin.java:207-210).
+    t.whereClause.foreach(w => df = df.filter(expr(w)))
+
+    // O7 read limit (batch only: streams have no global limit).
+    if (!df.isStreaming) t.maxReadRowCount.foreach(n => df = df.limit(n.toInt))
+
+    // O4/O5 residual filter chain: conjunction of translated MVEL
+    // predicates. Order is irrelevant under Catalyst; the reference runs
+    // them sequentially per batch (MigrateTableTask.java:446-451).
+    t.filters.foreach {
+      case FieldValueFilter(e) => df = df.filter(MvelTranslator.toColumn(e))
+      case IfNotExistFilter =>
+        // O6: drop rows whose PK already exists in the target — the
+        // left-anti join the reference only sketched
+        // (IfNotExistFilter.java:49-96).
+        df = antiJoinOnPk(df, target, t)
+    }
+
+    // O9 calculated columns (MVEL → Catalyst, whole-stage codegen).
+    t.calculatedColumns.foreach { c =>
+      df = df.withColumn(c.targetColumn, MvelTranslator.toColumn(c.expression))
+    }
+
+    // O10/O11 TTL re-base: target_ttl = targetTableTTL - (sourceTableTTL - row_ttl)
+    // (DefaultMigratorPlugin.java:360-365).
+    t.ttl.foreach { s =>
+      df = df.withColumn(
+        s.ttlColumn,
+        lit(s.targetTableTtl) - (lit(s.sourceTableTtl) - col(s.ttlColumn)))
+    }
+
+    // O2/O21 reconciled write projection against the target schema (live
+    // target if present, else source ∪ calculated).
+    val calcTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      t.calculatedColumns.map(c => c.targetColumn -> df.schema(c.targetColumn).dataType).toMap
+    val targetSchema: StructType =
+      target.map(_.schema).getOrElse(df.schema)
+    val rec = Reconciler.reconcile(
+      dropCalc(df.schema, calcTypes.keySet), targetSchema, t.pkColumns, calcTypes)
+
+    // O12 cast each written column to the target type (plan-time check done
+    // by Reconciler rule 4; the cast itself is the 14-way dispatch of
+    // DefaultMigratorPlugin.java:406-464 done declaratively).
+    val projected = df.select(rec.writeColumns.map { name =>
+      val tgtType = targetSchema(name).dataType
+      if (df.schema(name).dataType == tgtType) col(name)
+      else col(name).cast(tgtType).as(name)
+    }: _*)
+    (projected, rec)
+  }
+
+  /** Sink-side transform for the write mode — keep-last upsert (O13),
+    * insert-if-not-exists anti-join (O14), counter pre-aggregation (O15).
+    * In streaming mode this runs per micro-batch inside `foreachBatch`
+    * (micro-batch = the reference's page, MigrateTableTask.java:304-345).
+    */
+  def writeModeTransform(
+      df0: DataFrame, target: Option[DataFrame], t: TableMigrationDef): DataFrame = {
+    val df = df0
+    t.writeMode match {
+      case Upsert =>
+        // O13: CQL upsert is last-write-wins per PK; bulk semantics need an
+        // explicit ordering. keep-last by orderingColumn, else pass-through
+        // (unique-PK source).
+        (t.orderingColumns, t.pkColumns) match {
+          case (ord, pk) if ord.nonEmpty && pk.nonEmpty =>
+            val w = Window.partitionBy(pk.map(col): _*).orderBy(ord.map(col(_).desc): _*)
+            df.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+          case _ => df
+        }
+      case InsertIfNotExists =>
+        // O14: anti-join + append (documented semantics delta vs per-row
+        // LWT, SURVEY §7.4). If the IfNotExistFilter already ran, this is
+        // a no-op on an already-disjoint set.
+        if (t.filters.contains(IfNotExistFilter)) df
+        else antiJoinOnPk(df, target, t)
+      case CounterIncrement =>
+        // O15: additive merge pre-aggregation — sum per PK; SQL sum skips
+        // nulls exactly like the reference's null-skip rule
+        // (DefaultMigratorPlugin.java:426-432).
+        if (t.pkColumns.isEmpty) throw PlanError(
+          s"counter table '${t.tableName}' needs pkColumns for pre-aggregation")
+        val counters = if (t.counterColumns.nonEmpty) t.counterColumns
+          else df.columns.toSeq.filterNot(t.pkColumns.contains)
+        df.groupBy(t.pkColumns.map(col): _*)
+          .agg(counters.head -> "sum", counters.tail.map(_ -> "sum"): _*)
+          .select(t.pkColumns.map(col) ++
+            counters.map(c => col(s"sum($c)").cast(df.schema(c).dataType).as(c)): _*)
+    }
+  }
+
+  private def dropCalc(s: StructType, calc: Set[String]): StructType =
+    StructType(s.fields.filterNot(f => calc.contains(f.name)))
+
+  private def antiJoinOnPk(
+      df: DataFrame, target: Option[DataFrame], t: TableMigrationDef): DataFrame = {
+    if (t.pkColumns.isEmpty)
+      throw PlanError(s"IfNotExist semantics on '${t.tableName}' need pkColumns")
+    target match {
+      case None => df // empty target: nothing exists, keep all
+      case Some(tgt) =>
+        // Only PK columns of the target are read (column pruning reaches the
+        // scan); join strategy (broadcast vs shuffled) is AQE's runtime call.
+        df.join(tgt.select(t.pkColumns.map(col): _*), t.pkColumns, "left_anti")
+    }
+  }
+
+  /** Execute a planned migration: write (or dry-run) with observed metrics.
+    *
+    * O16 dry-run: full plan executes against a `noop` sink — identical to
+    * the reference's bind-everything-skip-execute gate
+    * (DefaultMigratorPlugin.java:393-401).
+    * O20 observability: `observe` counts rows actually flowing into the
+    * sink without a separate count() job.
+    */
+  def execute(spark: SparkSession, cfg: MigrationConfig, t: TableMigrationDef): MigrationResult = {
+    val planned = plan(spark, cfg, t)
+    val metricName = s"graft_${t.tableName}_${System.identityHashCode(planned)}"
+    val observed = planned.data.observe(metricName, count(lit(1)).as("rows_migrated"))
+    // the write runs in its own QueryExecution — capture the CollectMetrics
+    // result through the listener bus (no extra count() job: O20 for free)
+    @volatile var captured: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get(metricName).foreach(r =>
+          captured = Some(r.getAs[Long]("rows_migrated")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      if (t.simulateOnly) {
+        observed.write.format("noop").mode("overwrite").save()
+      } else {
+        Tables.write(observed, cfg.target, t.resolvedTargetName)
+      }
+      var waitedMs = 0
+      while (captured.isEmpty && waitedMs < 10000) { Thread.sleep(20); waitedMs += 20 }
+    } finally spark.listenerManager.unregister(listener)
+    MigrationResult(
+      t.tableName,
+      rowsMigrated = captured.getOrElse(-1L),
+      warnings = planned.reconciliation.warnings)
+  }
+
+  /** Run a whole config — the reference's `DbMigrator.migrate()`
+    * (DbMigrator.java:39-106). Sequential by default (dependent tables must
+    * run in order — Config.java:46-48); parallel submits per-table Spark
+    * jobs concurrently (executor slots are shared fairly).
+    */
+  def executeAll(spark: SparkSession, cfg: MigrationConfig): Seq[MigrationResult] =
+    if (cfg.parallel) {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence(cfg.tables.map(t => Future(execute(spark, cfg, t)))),
+        Duration.Inf)
+    } else cfg.tables.map(t => execute(spark, cfg, t))
+}
+
+final case class MigrationResult(
+    table: String,
+    rowsMigrated: Long,
+    warnings: Seq[String])

@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.model.TableRef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Source/sink bindings behind the `TableRef` abstraction (SURVEY §7.1).
+ *
+ * The reference binds tables to live Cassandra keyspaces through a connection
+ * adapter (reference: cassandra/CassandraConnectionAdapter.java:184-234,
+ * MigrateTableTask.java:415-428 schema discovery). We bind to any Spark
+ * DataSource: parquet directories for tests/bench (TESTDATA.md layout
+ * `<dir>/<table>.parquet`), or a DSv2 connector (e.g.
+ * `org.apache.spark.sql.cassandra`) in production — predicate/limit/column
+ * pushdown then happens through the standard DSv2 contracts, replacing the
+ * reference's hand-built CQL SELECT (DefaultMigratorPlugin.java:180-220).
+ */
+object Tables {
+
+  /** Path for a named table under a TableRef (parquet layout). */
+  def tablePath(ref: TableRef, table: String): String =
+    if (ref.path.isEmpty) table else s"${ref.path.stripSuffix("/")}/$table.parquet"
+
+  /** Load a table as a DataFrame — the O1 scan. Column pruning + filter
+    * pushdown are Catalyst's job from here (SURVEY §4).
+    */
+  def load(spark: SparkSession, ref: TableRef, table: String): DataFrame = {
+    val reader = spark.read.format(ref.format).options(ref.options)
+    ref.format match {
+      case "parquet" => reader.load(tablePath(ref, table))
+      case _ => reader.option("table", table).load()
+    }
+  }
+
+  /** Load a table if it exists (target snapshots for anti-joins may not). */
+  def loadIfExists(spark: SparkSession, ref: TableRef, table: String): Option[DataFrame] =
+    try {
+      val df = load(spark, ref, table)
+      df.schema // force analysis so a missing path surfaces here
+      Some(df)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Write a DataFrame to a target table binding. `overwrite` maps the
+    * reference's upsert-into-empty-target migration run; real merge
+    * semantics are produced upstream by the planner's write-mode transform
+    * (keep-last / counter pre-agg / anti-join).
+    */
+  def write(df: DataFrame, ref: TableRef, table: String, mode: String = "overwrite"): Unit =
+    ref.format match {
+      case "noop" => df.write.format("noop").mode("overwrite").save()
+      case "parquet" =>
+        df.write.format("parquet").options(ref.options).mode(mode)
+          .save(tablePath(ref, table))
+      case other =>
+        df.write.format(other).options(ref.options).option("table", table)
+          .mode(mode).save()
+    }
+}

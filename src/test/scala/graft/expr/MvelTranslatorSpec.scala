@@ -1,0 +1,69 @@
+package graft.expr
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MvelTranslatorSpec extends AnyFunSuite {
+
+  test("referenced columns extracted like CassandraSchemaUtil regex") {
+    assert(MvelTranslator.referencedColumns(
+      "row.clust_key_col_2 >= 3000 && row.clust_key_col_2 < 10000") ===
+      Seq("clust_key_col_2"))
+    assert(MvelTranslator.referencedColumns("row.a + row.b * row.a") === Seq("a", "b"))
+  }
+
+  test("boolean filter expression (reference yaml:95)") {
+    // reference config/migration-config.example.yaml:95 verbatim
+    val sql = MvelTranslator.toSql(
+      "row.clust_key_col_2 >= 3000 && row.clust_key_col_2 < 10000")
+    assert(sql === "clust_key_col_2 >= 3000 AND clust_key_col_2 < 10000")
+  }
+
+  test("equality and negation operators") {
+    assert(MvelTranslator.toSql("row.a == 'x' && row.b != 3") ===
+      "a = 'x' AND b != 3")
+  }
+
+  test("cast binds to the next primary term only (Java precedence)") {
+    // ADVICE r1: (short) x % 32 must be ((short)x) % 32, not CAST(x % 32)
+    assert(MvelTranslator.toSql("(short) row.x % 32") ===
+      "CAST(x AS SMALLINT) % 32")
+    // parenthesized group takes the whole group
+    assert(MvelTranslator.toSql("(short)(row.x % 32)") ===
+      "CAST((x % 32) AS SMALLINT)")
+  }
+
+  test("hashCode call maps to java_hash_code") {
+    assert(MvelTranslator.toSql("abs(row.my_col.hashCode()) % 32") ===
+      "abs(java_hash_code(my_col)) % 32")
+  }
+
+  test("ternary maps to IF") {
+    assert(MvelTranslator.toSql("row.a >= 10 ? 'BIG' : 'SMALL'") ===
+      "IF(a >= 10, 'BIG', 'SMALL')")
+  }
+
+  test("multi-statement script (reference yaml:112-120 shape) normalizes") {
+    // the reference's calculated-column example: local var, if-block,
+    // compound assignment, cast+return
+    val script =
+      """var hash = row.my_col.hashCode();
+        |if (hash < 0) { hash = -1 * hash; }
+        |hash %= 32;
+        |return (short) hash;""".stripMargin
+    val sql = MvelTranslator.toSql(script)
+    // semantics: ((short)(IF(h<0, -1*h, h) % 32))
+    assert(sql.contains("java_hash_code(my_col)"))
+    assert(sql.contains("IF("))
+    assert(sql.contains("% (32)"))
+    assert(sql.startsWith("CAST("))
+    assert(sql.endsWith("AS SMALLINT)"))
+  }
+
+  test("unsupported statements throw (no garbage SQL)") {
+    // ADVICE r1: detect assignments/statements we can't translate
+    assertThrows[MvelTranslator.UnsupportedMvel](
+      MvelTranslator.toSql("for (i = 0; i < 3; i++) { x = x + 1; }; return x;"))
+    assertThrows[MvelTranslator.UnsupportedMvel](
+      MvelTranslator.toSql("var a = 1; var b = 2;")) // no return
+  }
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Eval-vs-codegen agreement: DataFrame execution exercises the codegen
+  * path; the expected values here are computed with plain JVM semantics
+  * (the `nullSafeEval` contract).
+  */
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("JavaHashCode matches JVM String.hashCode through codegen") {
+    GraftFunctions.register(spark)
+    val strings = Seq("", "a", "Customer#000000001", "äöü-ß", "的是不了")
+    val got = strings.toDF("s")
+      .select(GraftFunctions.java_hash_code(col("s"))).as[Int].collect()
+    assert(got.toSeq === strings.map(_.hashCode))
+    // and via the registered SQL name (O22 surface)
+    val viaSql = strings.toDF("s").selectExpr("java_hash_code(s)").as[Int].collect()
+    assert(viaSql.toSeq === strings.map(_.hashCode))
+  }
+
+  test("PolyHash64 is the base-31 rolling hash") {
+    def poly(s: String): Long = s.foldLeft(0L)((h, c) => h * 31L + c.toLong)
+    val strings = Seq("", "abc", "hello world", "ü")
+    val got = strings.toDF("s")
+      .select(GraftFunctions.poly_hash64(col("s"))).as[Long].collect()
+    assert(got.toSeq === strings.map(poly))
+  }
+
+  test("Mix64 codegen matches scala eval") {
+    val xs = Seq(0L, 1L, -1L, Long.MaxValue, 42L)
+    val got = xs.toDF("x")
+      .select(GraftFunctions.mix64(col("x"), seed = 7L)).as[Long].collect()
+    assert(got.toSeq === xs.map(x => Mix64.mix(x ^ 7L)))
+  }
+
+  test("DotProduct accumulates float products in double, index order") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(GraftFunctions.dot_product(col("a"), col("b")))
+      .as[Double].collect()
+    assert(got.head === (1.0 * 4.0 + 2.0 * 5.0 + 3.0 * 6.0))
+  }
+
+  test("DotProduct yields null on dimension mismatch (ADVICE r1)") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val got = df.select(GraftFunctions.dot_product(col("a"), col("b"))).collect()
+    assert(got.head.isNullAt(0))
+  }
+
+  test("expressions survive wholestage-codegen over many rows") {
+    GraftFunctions.register(spark)
+    val n = spark.range(10000)
+      .selectExpr("cast(id as string) AS s")
+      .selectExpr("java_hash_code(s) AS h", "poly_hash64(s) AS p")
+      .where("h IS NOT NULL AND p IS NOT NULL").count()
+    assert(n === 10000L)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "THE  quick brown fox jumps over the lazy dog again and again today"), // case/ws variant of 1
+    (3L, "completely different content about distributed query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (5L, "an unrelated short text")).toDF("doc_id", "text")
+
+  test("exactKeepFirst keeps lowest id per key") {
+    val dup = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100))
+    val out = Dedup.exactKeepFirst(dup, "doc_id", Seq("text"))
+    assert(out.count() === 5)
+    assert(out.agg(max("doc_id")).as[Long].head() === 5L)
+  }
+
+  test("normalizedDedup merges case/whitespace variants") {
+    val out = Dedup.normalizedDedup(docs, "doc_id", "text")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 4L, 5L)) // doc 2 merged into doc 1
+  }
+
+  test("minhash LSH: exact duplicates are always candidates (no false negatives)") {
+    // identical text => identical shingles => identical signature => every
+    // band collides. Invariant holds regardless of hash family.
+    val planted = docs.unionByName(
+      docs.filter($"doc_id" === 1).select(lit(99L).as("doc_id"), $"text"))
+    val pairs = Dedup.minhashNearDupPairs(planted, "doc_id", "text", threshold = 0.99)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 99L)))
+  }
+
+  test("minhash LSH finds the planted near-dup and not the unrelated pair") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // today/tonight variant: high jaccard
+    assert(!pairs.exists { case (a, b) => Set(a, b) === Set(3L, 5L) })
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups within threshold") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 10)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) === 0L) // normalized-identical => same simhash
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    val pairs = Seq((1L, 2L), (3L, 5L)).toDF("idA", "idB")
+    val out = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((3L, 5L)) === 0.0)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 8
+  // deterministic corpus
+  private lazy val corpus = (0 until 100).map { i =>
+    (i.toLong, Array.tabulate(dim)(j =>
+      (graft.functions.Mix64.mix(i.toLong * 31 + j).toDouble / Long.MaxValue).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: a planted identical vector ranks first with cosine 1") {
+    val q = corpus.filter($"vec_id" === 7)
+      .select(lit(1000L).as("query_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 3)
+    val first = top.filter($"rank" === 1).select("vec_id", "cosine")
+      .as[(Long, Double)].head()
+    assert(first._1 === 7L)
+    assert(math.abs(first._2 - 1.0) < 1e-9)
+  }
+
+  test("lshTopK: planted identical vector is found (same bucket by construction)") {
+    val q = corpus.filter($"vec_id" === 13)
+      .select(lit(1000L).as("query_id"), $"embedding")
+    val top = Similarity.lshTopK(corpus, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 3, dim = dim, numPlanes = 8)
+    val first = top.filter($"rank" === 1).select("vec_id").as[Long].head()
+    assert(first === 13L)
+  }
+
+  test("lshTopK recall vs brute force is reasonable on this corpus") {
+    val q = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val c = corpus.filter($"vec_id" >= 5)
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(c, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5, dim = dim, numPlanes = 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low — LSH bucketing broken?")
+  }
+
+  test("cosineNearDupPairs finds planted duplicates within buckets") {
+    val planted = corpus.unionByName(
+      corpus.filter($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 1000).as("vec_id"), $"embedding"))
+    val pairs = Similarity.cosineNearDupPairs(planted, "vec_id", "embedding",
+      dim = dim, threshold = 0.9999)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // all 10 planted copies must be found: identical vector => identical
+    // signature => same bucket, cosine 1
+    (0 until 100 by 10).foreach { i =>
+      assert(pairs.contains((i.toLong, i.toLong + 1000)), s"missing planted pair $i")
+    }
+  }
+
+  test("dimension-mismatched vectors never poison results (null cosine)") {
+    val bad = Seq((999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0)
+      .select(lit(1L).as("query_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(corpus.unionByName(bad), q,
+      "vec_id", "embedding", "query_id", "embedding", k = 200)
+    assert(!top.select("vec_id").as[Long].collect().contains(999L))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("langId picks the stopword-dominant language, 'und' when none") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the market for a stroll"),
+      (2L, "der Hund und die Katze sind nicht mit der Maus"),
+      (3L, "le chat est dans la maison pour le diner"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "fr")
+    assert(out(4L) === "und")
+  }
+
+  test("tokenCount counts whitespace tokens after normalization") {
+    val df = Seq((1L, "  a  b\tc\nd  ")).toDF("id", "text")
+    assert(df.select(TextAnalysis.tokenCount($"text")).as[Int].head() === 4)
+  }
+
+  test("bpeTokenEstimate: ~len/4 per long word, min 1 per word") {
+    val df = Seq((1L, "a bb characterization")).toDF("id", "text")
+    // 1 + 1 + ceil(16/4)=4 => 6
+    assert(df.select(TextAnalysis.bpeTokenEstimate($"text")).as[Int].head() === 6)
+  }
+
+  test("qualityScore rewards clean prose, penalizes junk") {
+    val df = Seq(
+      (1L, "this is a perfectly reasonable sentence with normal words in it"),
+      (2L, "@@@@#### !!!! 00" * 3)).toDF("id", "text")
+    val scores = df.select($"id", TextAnalysis.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) > 0.9)
+    assert(scores(2L) < 0.5)
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint is the poly hash of normalized text") {
+    def poly(s: String): Long = s.foldLeft(0L)((h, c) => h * 31L + c.toLong)
+    val df = Seq((1L, "  Hello   WORLD  ")).toDF("id", "text")
+    assert(df.select(TextAnalysis.fingerprint($"text")).as[Long].head() ===
+      poly("hello world"))
+  }
+
+  test("analyze attaches all columns") {
+    val df = Seq((1L, "some text here")).toDF("id", "text")
+    val out = TextAnalysis.analyze(df, "text")
+    assert(Seq("pred_lang", "n_tokens", "n_tokens_bpe", "quality", "fingerprint")
+      .forall(out.columns.contains))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.model._
+import graft.sources.Tables
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** End-to-end planner behavior over real temp parquet tables — the A1-A7
+  * fixture shapes from FIXTURES.md reproduced in miniature.
+  */
+class PlannerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val dir = Files.createTempDirectory("graft_planner").toString
+  private lazy val srcRef = TableRef(path = s"$dir/src")
+  private lazy val tgtRef = TableRef(path = s"$dir/tgt")
+  private def cfg = MigrationConfig(srcRef, tgtRef, Nil)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // A1-ish source table
+    Seq(
+      ("abcd", 1, 2500, "p1"), ("abcd", 2, 3500, "p2"), ("abcd", 3, 9000, "p3"),
+      ("efgh", 1, 4000, "p4"), ("abcd", 2, 12000, "p5"))
+      .toDF("part_key_col_1", "clust_key_col_1", "clust_key_col_2", "payload_col")
+      .write.parquet(Tables.tablePath(srcRef, "my_source_table_3"))
+    // A2 target pre-seeded ~50% for anti-join
+    Seq(("k1", 100L), ("k3", 300L)).toDF("my_col", "version")
+      .write.parquet(Tables.tablePath(tgtRef, "upsert_t"))
+    Seq(("k1", 1.toShort)).toDF("my_col", "my_col_hash")
+      .write.parquet(Tables.tablePath(tgtRef, "my_table_v2"))
+    Seq(("k1", "x"), ("k2", "y"), ("k3", "z"), ("k4", "w"))
+      .toDF("my_col", "extra").write.parquet(Tables.tablePath(srcRef, "my_table_v1"))
+  }
+
+  test("A1: pushdown where + residual MVEL filter + write limit (O3/O4/O8)") {
+    val planned = MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "my_source_table_3",
+      whereClause = Some("part_key_col_1 = 'abcd' AND clust_key_col_1 IN (1, 2, 3)"),
+      filters = Seq(FieldValueFilter(
+        "row.clust_key_col_2 >= 3000 && row.clust_key_col_2 < 10000")),
+      maxWriteRowCount = Some(10)))
+    val rows = planned.data.select("payload_col").as[String].collect().sorted
+    assert(rows === Seq("p2", "p3"))
+  }
+
+  test("A2: calculated hash column via multi-statement MVEL + anti-join insert (O6/O9/O12/O14)") {
+    val script =
+      """var hash = row.my_col.hashCode();
+        |if (hash < 0) { hash = -1 * hash; }
+        |hash %= 32;
+        |return (short) hash;""".stripMargin
+    val planned = MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "my_table_v1",
+      targetTableName = Some("my_table_v2"),
+      pkColumns = Seq("my_col"),
+      calculatedColumns = Seq(CalculatedColumn("my_col_hash", script)),
+      writeMode = InsertIfNotExists))
+    val out = planned.data.collect().map(r => r.getString(0) -> r.getShort(1)).toMap
+    // k1 exists in target -> anti-joined away; others inserted with JVM hash
+    assert(out.keySet === Set("k2", "k3", "k4"))
+    assert(out("k2") === (math.abs("k2".hashCode) % 32).toShort)
+    // 'extra' (not in target schema) dropped with warning (rule 2)
+    assert(planned.reconciliation.droppedColumns.isEmpty ||
+      planned.reconciliation.droppedColumns === Seq("extra"))
+  }
+
+  test("keep-last upsert dedup by ordering columns (O13)") {
+    val planned = MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "my_source_table_3",
+      pkColumns = Seq("part_key_col_1", "clust_key_col_1"),
+      orderingColumns = Seq("clust_key_col_2")))
+    val out = planned.data
+      .select("part_key_col_1", "clust_key_col_1", "payload_col")
+      .as[(String, Int, String)].collect().toSet
+    assert(out === Set(("abcd", 1, "p1"), ("abcd", 2, "p5"), ("abcd", 3, "p3"),
+      ("efgh", 1, "p4")))
+  }
+
+  test("counter pre-aggregation sums per PK and skips nulls (O15)") {
+    val counters = Seq(("t1", 1, Some(5L)), ("t1", 1, Some(7L)), ("t1", 2, None),
+      ("t2", 1, Some(1L)), ("t1", 2, Some(3L)))
+      .toDF("tile_id", "day", "hit_count")
+    counters.write.mode("overwrite").parquet(Tables.tablePath(srcRef, "counters_t"))
+    val planned = MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "counters_t",
+      pkColumns = Seq("tile_id", "day"),
+      counterColumns = Seq("hit_count"),
+      writeMode = CounterIncrement))
+    val out = planned.data.as[(String, Int, Long)].collect().toSet
+    assert(out === Set(("t1", 1, 12L), ("t1", 2, 3L), ("t2", 1, 1L)))
+  }
+
+  test("TTL re-base arithmetic (O10/O11, A5 numbers)") {
+    Seq(("id1", "data", 86000L)).toDF("id", "data", "row_ttl_value")
+      .write.mode("overwrite").parquet(Tables.tablePath(srcRef, "ttl_t"))
+    val planned = MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "ttl_t",
+      ttl = Some(TtlSpec("row_ttl_value", sourceTableTtl = 86400, targetTableTtl = 604800))))
+    val ttl = planned.data.select("row_ttl_value").as[Long].head()
+    assert(ttl === 604800L - (86400L - 86000L))
+  }
+
+  test("execute: dry-run (O16) writes nothing, observes counts (O20)") {
+    val result = MigrationPlanner.execute(spark, cfg, TableMigrationDef(
+      tableName = "my_source_table_3", simulateOnly = true))
+    assert(result.rowsMigrated === 5L)
+    assert(!Files.exists(java.nio.file.Paths.get(
+      Tables.tablePath(tgtRef, "my_source_table_3"))))
+  }
+
+  test("execute: real write lands in target and round-trips (O1/O13)") {
+    val result = MigrationPlanner.execute(spark, cfg, TableMigrationDef(
+      tableName = "my_source_table_3",
+      targetTableName = Some("migrated_t"),
+      simulateOnly = false))
+    assert(result.rowsMigrated === 5L)
+    val back = Tables.load(spark, tgtRef, "migrated_t")
+    assert(back.count() === 5L)
+  }
+
+  test("executeAll runs tables sequentially in declared order (O18)") {
+    val results = MigrationPlanner.executeAll(spark, cfg.copy(tables = Seq(
+      TableMigrationDef("my_table_v1", simulateOnly = true),
+      TableMigrationDef("my_source_table_3", simulateOnly = true))))
+    assert(results.map(_.table) === Seq("my_table_v1", "my_source_table_3"))
+    assert(results.map(_.rowsMigrated) === Seq(4L, 5L))
+  }
+}

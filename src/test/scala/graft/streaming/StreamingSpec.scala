@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.model._
+import graft.sources.Tables
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming migration produces the same rows as the batch plan (O17)") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val srcRef = TableRef(path = s"$dir/src")
+    val tgtRef = TableRef(path = s"$dir/tgt")
+    val cfg = MigrationConfig(srcRef, tgtRef, Nil)
+
+    (1 to 100).map(i => (i.toLong, s"payload_$i", i % 7))
+      .toDF("id", "payload", "bucket")
+      .repartition(4) // several files => several micro-batches at 1 file/trigger
+      .write.parquet(Tables.tablePath(srcRef, "stream_t"))
+
+    val t = TableMigrationDef(
+      tableName = "stream_t",
+      filters = Seq(FieldValueFilter("row.bucket != 0")),
+      calculatedColumns = Seq(CalculatedColumn("doubled", "row.id * 2")),
+      simulateOnly = false)
+
+    val q = StreamingMigration.start(spark, cfg, t,
+      checkpointDir = s"$dir/cp", trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(60000)
+
+    val got = Tables.load(spark, tgtRef, "stream_t")
+    val batch = graft.pipeline.MigrationPlanner.plan(spark,
+      cfg.copy(target = TableRef(path = s"$dir/none")), t).data
+    assert(got.count() === batch.count())
+    assert(got.select("id", "doubled").as[(Long, Long)].collect().toSet ===
+      batch.select("id", "doubled").as[(Long, Long)].collect().toSet)
+  }
+}
