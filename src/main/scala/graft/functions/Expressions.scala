@@ -162,6 +162,14 @@ object GraftFunctions {
     Mix64(Bridge.expression(c), seed))
   def dot_product(a: Column, b: Column): Column = Bridge.column(
     DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def shingle_hashes(c: Column, k: Int, word: Boolean = false,
+      distinct: Boolean = true): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))
+  def minhash_sig(c: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
+  def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+  def band_keys(c: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(BandKeys(Bridge.expression(c), bands, rowsPerBand))
 
   /** Register SQL names so `expr("java_hash_code(col)")` (and thus the MVEL
     * translator output) resolves. Reference parity for the plugin/UDF
@@ -172,4 +180,67 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "poly_hash64", es => PolyHash64(es.head))
     Bridge.registerFunction(spark, "dot_product", es => DotProduct(es.head, es(1)))
   }
+}
+
+/** Distinct sorted 64-bit hashes of the k-char-grams (word=false) or
+  * k-word-grams (word=true) of a string. One generated call per row; the
+  * O(len·k) loop runs in [[HashKernels]] — the shingling stage of the
+  * MinHash pipeline (MMDS §3.2) without per-shingle expression overhead.
+  */
+case class ShingleHashes(child: Expression, k: Int, word: Boolean,
+    distinct: Boolean = true) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    if (word) HashKernels.wordShingleHashes(v.asInstanceOf[UTF8String], k, distinct)
+    else HashKernels.charShingleHashes(v.asInstanceOf[UTF8String], k, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (word) "wordShingleHashes" else "charShingleHashes"
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.$m($c, $k, $distinct)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** MinHash signature (numHashes mins of seeded avalanche hashes) of an
+  * array<long> of element hashes. Broder's resemblance sketch, one kernel
+  * call per row.
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.minHashSig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minHashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 64-bit SimHash (Charikar) of an array<long> of element hashes. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.simHash(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** LSH band keys of a MinHash signature (bands × rowsPerBand layout). */
+case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.bandKeys(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.bandKeys($c, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+  override def prettyName: String = "band_keys"
 }

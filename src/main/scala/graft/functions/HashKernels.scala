@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Tight-loop JVM kernels behind the MinHash / SimHash / LSH expressions.
+ *
+ * The naive formulation (higher-order `transform` lambdas over shingle
+ * arrays) evaluates one interpreted expression per (shingle × hash-family)
+ * element — measured 284 s for the sf0.1 near-dup query. These kernels do
+ * the same math in generated-code-callable static methods: one virtual call
+ * per ROW, then primitive long loops. Called from both the interpreted
+ * `eval` and the Janino-generated code of the wrapper expressions (Scala
+ * objects expose static forwarders, so `graft.functions.HashKernels.x(...)`
+ * is valid generated Java).
+ *
+ * Algorithmic shape per PAPERS.md / MMDS ch.3: k-shingle → 64-bit hash
+ * per shingle → per-family min of an avalanche-mixed hash (Broder
+ * resemblance sketch) → banded keys for LSH bucketing.
+ */
+object HashKernels {
+
+  /** Base-31 polynomial hash of chars [from, to) finalized with fmix64. */
+  private def windowHash(s: String, from: Int, to: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < to) { h = h * 31L + s.charAt(i).toLong; i += 1 }
+    Mix64.mix(h ^ 0x9E3779B97F4A7C15L)
+  }
+
+  private def distinctSorted(a: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return a
+    java.util.Arrays.sort(a)
+    var n = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(a, n)
+  }
+
+  /** 64-bit hashes of all k-char-grams of `s`; `distinct` gives the sorted
+    * shingle SET (for Jaccard), false keeps the multiset in order (for
+    * SimHash weighting).
+    */
+  def charShingleHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val str = s.toString
+    if (str.length < k) {
+      if (str.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+      return new GenericArrayData(Array(windowHash(str, 0, str.length)))
+    }
+    val out = new Array[Long](str.length - k + 1)
+    var i = 0
+    while (i + k <= str.length) { out(i) = windowHash(str, i, i + k); i += 1 }
+    new GenericArrayData(if (distinct) distinctSorted(out) else out)
+  }
+
+  /** Distinct sorted 64-bit hashes of all k-word-grams of `s` (single-space
+    * separated; callers normalize whitespace first). k=1 = token hashes.
+    */
+  def wordShingleHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val str = s.toString
+    if (str.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    // word boundaries: indices of spaces
+    var words = 1
+    var i = 0
+    while (i < str.length) { if (str.charAt(i) == ' ') words += 1; i += 1 }
+    val starts = new Array[Int](words + 1)
+    var w = 1
+    i = 0
+    while (i < str.length) {
+      if (str.charAt(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(words) = str.length + 1
+    if (words < k) return new GenericArrayData(Array(windowHash(str, 0, str.length)))
+    val out = new Array[Long](words - k + 1)
+    var g = 0
+    while (g + k <= words) {
+      out(g) = windowHash(str, starts(g), starts(g + k) - 1)
+      g += 1
+    }
+    new GenericArrayData(if (distinct) distinctSorted(out) else out)
+  }
+
+  /** MinHash signature: element i = min over hashes of fmix64(h ^ seed_i).
+    * Null-free long array in, long array out.
+    */
+  def minHashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val seed = Mix64.mix(0x9E3779B97F4A7C15L * (i + 1))
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = Mix64.mix(hashes.getLong(j) ^ seed)
+        if (v < min) min = v
+        j += 1
+      }
+      sig(i) = min
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over element hashes (Charikar 2002): bit j set iff the
+    * sum over elements of ±1 (by bit j of the element hash) is positive.
+    */
+  def simHash(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** LSH band keys: key b = fmix64 of the base-31 fold of signature rows
+    * [b*rowsPerBand, (b+1)*rowsPerBand) xor'd with the band index (separates
+    * band key spaces).
+    */
+  def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L
+      var r = b * rowsPerBand
+      val end = r + rowsPerBand
+      while (r < end && r < sig.numElements()) { h = h * 31L + sig.getLong(r); r += 1 }
+      out(b) = Mix64.mix(h ^ b.toLong)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
