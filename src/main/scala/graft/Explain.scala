@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: dumps `explain("formatted")` for the named queries (or
+  * a default headline set) so scan pushdown (`PushedFilters`), column
+  * pruning (`ReadSchema`), join strategies and WholeStageCodegen spans can
+  * be reviewed. Usage: runMain graft.Explain [sfDir] [query...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q02_projection", "q03_pushdown_filter", "q13_upsert_keep_last",
+        "j01_broadcast_join", "j02_star_join_revenue", "q1_agg", "d03_minhash_pairs")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.config
+
+import graft.model._
+
+/**
+ * YAML → [[graft.model.MigrationConfig]] codec — the config front-end the
+ * reference drives from the CLI (reference: Main.java:29-45 →
+ * Config.parseFromYamlFile, model/config/Config.java:15-19). Field names
+ * mirror the reference's where the concept survives
+ * (TableMigrationDefinition.java:17-139); thread/timeout knobs have no
+ * Spark counterpart and are rejected politely rather than silently ignored.
+ */
+object ConfigCodec {
+
+  final case class ConfigError(msg: String) extends RuntimeException(msg)
+
+  def fromYamlFile(path: String): MigrationConfig =
+    fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromYaml(yaml: String): MigrationConfig = {
+    val root = asMap(Yaml.parse(yaml), "document root")
+    MigrationConfig(
+      source = tableRef(root, "sourceDB"),
+      target = tableRef(root, "targetDB"),
+      tables = asList(root.getOrElse("tableMigrations", Nil), "tableMigrations")
+        .map(m => tableDef(asMap(m, "table migration"))),
+      parallel = bool(root, "parallel", default = false))
+  }
+
+  private def tableRef(root: Map[String, Any], key: String): TableRef = {
+    val m = asMap(root.getOrElse(key,
+      throw ConfigError(s"missing '$key' section")), key)
+    TableRef(
+      format = str(m, "format", "parquet"),
+      path = str(m, "path", ""),
+      options = m.get("options").map(asMap(_, "options").map {
+        case (k, v) => k -> v.toString
+      }).getOrElse(Map.empty))
+  }
+
+  private def tableDef(m: Map[String, Any]): TableMigrationDef =
+    TableMigrationDef(
+      tableName = str(m, "tableName", null) match {
+        case null => throw ConfigError("table migration missing 'tableName'")
+        case v => v
+      },
+      targetTableName = m.get("targetTableName").map(_.toString),
+      whereClause = m.get("whereClause").map(_.toString),
+      maxReadRowCount = m.get("maxReadRowCount").map(v => parseLong(v, "maxReadRowCount")),
+      maxWriteRowCount = m.get("maxWriteRowCount").map(v => parseLong(v, "maxWriteRowCount")),
+      filters = asList(m.getOrElse("filters", Nil), "filters").map(filterDef),
+      calculatedColumns = asList(m.getOrElse("calculatedColumns", Nil), "calculatedColumns")
+        .map { c =>
+          val cm = asMap(c, "calculated column")
+          CalculatedColumn(
+            str(cm, "targetColumn", null), str(cm, "expression", null))
+        },
+      writeMode = str(m, "writeMode", "upsert").toLowerCase match {
+        case "upsert" => Upsert
+        case "insertifnotexists" | "insert-if-not-exists" => InsertIfNotExists
+        case "counterincrement" | "counter" => CounterIncrement
+        case other => throw ConfigError(s"unknown writeMode '$other'")
+      },
+      pkColumns = strList(m, "pkColumns"),
+      counterColumns = strList(m, "counterColumns"),
+      ttl = m.get("ttl").map { v =>
+        val tm = asMap(v, "ttl")
+        TtlSpec(str(tm, "ttlColumn", null),
+          parseLong(tm("sourceTableTtl"), "sourceTableTtl"),
+          parseLong(tm("targetTableTtl"), "targetTableTtl"))
+      },
+      simulateOnly = bool(m, "simulateOnly", default = true),
+      continueOnRowError = m.get("continueOnRowError").map(v => parseBool(v, "continueOnRowError")),
+      orderingColumns = strList(m, "orderingColumns"))
+
+  private def filterDef(v: Any): FilterDef = {
+    val m = asMap(v, "filter")
+    str(m, "type", "FieldValueFilter") match {
+      case "FieldValueFilter" => FieldValueFilter(str(m, "expression", null) match {
+        case null => throw ConfigError("FieldValueFilter missing 'expression'")
+        case e => e
+      })
+      case "IfNotExistFilter" => IfNotExistFilter
+      case other => throw ConfigError(s"unknown filter type '$other'")
+    }
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def asMap(v: Any, what: String): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case other => throw ConfigError(s"expected a map for $what, got: $other")
+  }
+  private def asList(v: Any, what: String): List[Any] = v match {
+    case l: List[_] => l
+    case other => throw ConfigError(s"expected a list for $what, got: $other")
+  }
+  private def str(m: Map[String, Any], key: String, default: String): String =
+    m.get(key).map(_.toString).getOrElse(default)
+  private def strList(m: Map[String, Any], key: String): Seq[String] =
+    m.get(key).map(asList(_, key).map(_.toString)).getOrElse(Nil)
+  private def bool(m: Map[String, Any], key: String, default: Boolean): Boolean =
+    m.get(key).map(v => parseBool(v, key)).getOrElse(default)
+  private def parseBool(v: Any, what: String): Boolean = v.toString.toLowerCase match {
+    case "true" | "yes" => true
+    case "false" | "no" => false
+    case other => throw ConfigError(s"expected boolean for $what, got '$other'")
+  }
+  private def parseLong(v: Any, what: String): Long =
+    try v.toString.toLong
+    catch { case _: NumberFormatException =>
+      throw ConfigError(s"expected number for $what, got '$v'") }
+}

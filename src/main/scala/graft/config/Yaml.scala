@@ -1,0 +1,131 @@
+package graft.config
+
+/**
+ * Minimal YAML-subset parser — enough for migration configs shaped like the
+ * reference's `config/migration-config.example.yaml` (nested maps, block
+ * lists of maps, inline `[a, b]` lists, quoted/plain scalars, `#` comments).
+ * No anchors/aliases/multi-doc/flow-maps; zero dependencies by design (the
+ * build is offline — build.sbt pins the dependency set).
+ *
+ * Result tree: `Map[String, Any]` | `List[Any]` | `String`.
+ */
+object Yaml {
+
+  final case class YamlError(msg: String) extends RuntimeException(msg)
+
+  private final case class Line(indent: Int, text: String)
+
+  def parse(yaml: String): Any = {
+    val lines = yaml.linesIterator.zipWithIndex
+      .map { case (raw, i) => (stripComment(raw), i) }
+      .filter { case (l, _) => l.trim.nonEmpty }
+      .map { case (l, _) => Line(l.takeWhile(_ == ' ').length, l.trim) }
+      .toList
+    val (value, rest) = parseBlock(lines, if (lines.isEmpty) 0 else lines.head.indent)
+    if (rest.nonEmpty) throw YamlError(s"trailing content at '${rest.head.text}'")
+    value
+  }
+
+  /** Strip a trailing comment, respecting quoted strings. */
+  private def stripComment(l: String): String = {
+    var inStr: Char = 0
+    var i = 0
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (inStr != 0) { if (c == inStr) inStr = 0 }
+      else if (c == '\'' || c == '"') inStr = c
+      else if (c == '#' && (i == 0 || l.charAt(i - 1).isWhitespace)) return l.substring(0, i)
+      i += 1
+    }
+    l
+  }
+
+  private def parseBlock(lines: List[Line], indent: Int): (Any, List[Line]) =
+    lines match {
+      case Nil => ("", Nil)
+      case first :: _ if first.text.startsWith("- ") || first.text == "-" =>
+        parseList(lines, indent)
+      case _ => parseMap(lines, indent)
+    }
+
+  private def parseList(lines0: List[Line], indent: Int): (List[Any], List[Line]) = {
+    var lines = lines0
+    val out = List.newBuilder[Any]
+    while (lines.nonEmpty && lines.head.indent == indent &&
+        (lines.head.text.startsWith("- ") || lines.head.text == "-")) {
+      val head = lines.head
+      val inline = head.text.stripPrefix("-").trim
+      lines = lines.tail
+      if (inline.isEmpty) {
+        // nested block item
+        val (v, rest) = parseBlock(lines, lines.headOption.map(_.indent).getOrElse(indent))
+        out += v
+        lines = rest
+      } else if (inline.contains(":") && !isQuotedScalar(inline)) {
+        // "- key: value" starts an inline map item; its continuation lines
+        // are more-indented keys
+        val itemIndent = head.indent + 2
+        val (cont, rest) = lines.span(_.indent >= itemIndent)
+        val (v, leftover) = parseMap(Line(itemIndent, inline) :: cont, itemIndent)
+        if (leftover.nonEmpty) throw YamlError(s"bad list item near '${inline}'")
+        out += v
+        lines = rest
+      } else {
+        out += scalar(inline)
+      }
+    }
+    (out.result(), lines)
+  }
+
+  private def parseMap(lines0: List[Line], indent: Int): (Map[String, Any], List[Line]) = {
+    var lines = lines0
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    while (lines.nonEmpty && lines.head.indent == indent && !lines.head.text.startsWith("- ")) {
+      val Line(_, text) = lines.head
+      val ci = colonIndex(text)
+      if (ci < 0) throw YamlError(s"expected 'key: value' at '$text'")
+      val key = unquote(text.substring(0, ci).trim)
+      val value = text.substring(ci + 1).trim
+      lines = lines.tail
+      if (value.nonEmpty) {
+        out += key -> scalar(value)
+      } else {
+        // block value: everything more-indented
+        val (block, rest) = lines.span(_.indent > indent)
+        if (block.isEmpty) out += key -> ""
+        else {
+          val (v, leftover) = parseBlock(block, block.head.indent)
+          if (leftover.nonEmpty) throw YamlError(s"bad block under '$key'")
+          out += key -> v
+        }
+        lines = rest
+      }
+    }
+    (out.toMap, lines)
+  }
+
+  private def colonIndex(text: String): Int = {
+    var inStr: Char = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr != 0) { if (c == inStr) inStr = 0 }
+      else if (c == '\'' || c == '"') inStr = c
+      else if (c == ':' && (i + 1 >= text.length || text.charAt(i + 1) == ' ')) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def isQuotedScalar(s: String): Boolean =
+    (s.startsWith("'") && s.endsWith("'")) || (s.startsWith("\"") && s.endsWith("\""))
+
+  private def scalar(v: String): Any =
+    if (v.startsWith("[") && v.endsWith("]")) {
+      val inner = v.substring(1, v.length - 1).trim
+      if (inner.isEmpty) Nil else inner.split(",").map(s => unquote(s.trim)).toList
+    } else unquote(v)
+
+  private def unquote(s: String): String =
+    if (isQuotedScalar(s) && s.length >= 2) s.substring(1, s.length - 1) else s
+}

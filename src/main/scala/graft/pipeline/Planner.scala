@@ -47,14 +47,14 @@ object MigrationPlanner {
   def plan(spark: SparkSession, cfg: MigrationConfig, t: TableMigrationDef): Planned = {
     val source = Tables.load(spark, cfg.source, t.tableName)
     val target = Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
-    val (narrow, rec) = narrowPlan(source, target, t)
+    val (narrow, rec, failed) = narrowPlanWithErrors(source, target, t)
     var df = narrow
 
     // O8 write limit (post-filter, pre-sink — distinct from O7's position).
     t.maxWriteRowCount.foreach(n => df = df.limit(n.toInt))
 
     df = writeModeTransform(df, target, t)
-    Planned(df, rec, None)
+    Planned(df, rec, failed)
   }
 
   /** The narrow (shuffle-free, streaming-safe) prefix of the plan:
@@ -67,6 +67,21 @@ object MigrationPlanner {
       source: DataFrame,
       target: Option[DataFrame],
       t: TableMigrationDef): (DataFrame, Reconciler.Reconciliation) = {
+    val (df, rec, _) = narrowPlanWithErrors(source, target, t)
+    (df, rec)
+  }
+
+  /** [[narrowPlan]] plus the O19 dead-letter frame when
+    * `continueOnRowError=true`: rows whose values cannot be represented in
+    * the target column types are split out instead of failing the write
+    * (reference abort-vs-continue dispatch: MigrateTableTask.java:496-517).
+    * With false/unset, a bad value fails the job at write time (ANSI cast) —
+    * the reference's abort path.
+    */
+  def narrowPlanWithErrors(
+      source: DataFrame,
+      target: Option[DataFrame],
+      t: TableMigrationDef): (DataFrame, Reconciler.Reconciliation, Option[DataFrame]) = {
     var df = source
     // MVEL translations may reference graft SQL functions (java_hash_code…)
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -118,12 +133,26 @@ object MigrationPlanner {
     // O12 cast each written column to the target type (plan-time check done
     // by Reconciler rule 4; the cast itself is the 14-way dispatch of
     // DefaultMigratorPlugin.java:406-464 done declaratively).
+    val tolerant = t.continueOnRowError.getOrElse(false)
+    val castedCols = rec.writeColumns.filter { name =>
+      df.schema(name).dataType != targetSchema(name).dataType
+    }
+    // O19: a row is "bad" when any value exists but its target-type
+    // conversion does not (try_cast null while source non-null)
+    val badRow: Option[Column] =
+      if (!tolerant || castedCols.isEmpty) None
+      else Some(castedCols.map { name =>
+        col(name).isNotNull &&
+          expr(s"try_cast($name AS ${targetSchema(name).dataType.sql})").isNull
+      }.reduce(_ || _))
+    val failed = badRow.map(b => df.filter(b))
+    badRow.foreach(b => df = df.filter(!b))
     val projected = df.select(rec.writeColumns.map { name =>
       val tgtType = targetSchema(name).dataType
       if (df.schema(name).dataType == tgtType) col(name)
       else col(name).cast(tgtType).as(name)
     }: _*)
-    (projected, rec)
+    (projected, rec, failed)
   }
 
   /** Sink-side transform for the write mode — keep-last upsert (O13),
@@ -216,9 +245,18 @@ object MigrationPlanner {
       var waitedMs = 0
       while (captured.isEmpty && waitedMs < 10000) { Thread.sleep(20); waitedMs += 20 }
     } finally spark.listenerManager.unregister(listener)
+    // O19 dead-letter handling: failed rows are preserved next to the
+    // target (reference counts rowsFailed and proceeds,
+    // MigrateTableTask.java:496-517)
+    val rowsFailed = planned.failedRows.map { f =>
+      if (!t.simulateOnly)
+        Tables.write(f, cfg.target, t.resolvedTargetName + "_dead_letter")
+      f.count()
+    }.getOrElse(0L)
     MigrationResult(
       t.tableName,
       rowsMigrated = captured.getOrElse(-1L),
+      rowsFailed = rowsFailed,
       warnings = planned.reconciliation.warnings)
   }
 
@@ -241,4 +279,5 @@ object MigrationPlanner {
 final case class MigrationResult(
     table: String,
     rowsMigrated: Long,
-    warnings: Seq[String])
+    rowsFailed: Long = 0L,
+    warnings: Seq[String] = Nil)

@@ -120,6 +120,29 @@ class PlannerSpec extends SparkTestBase {
     assert(back.count() === 5L)
   }
 
+  test("A7: continueOnRowError splits unconvertible rows to dead letter (O19)") {
+    import org.apache.spark.sql.types._
+    Seq(("r1", "123"), ("r2", "not_a_number"), ("r3", "456"))
+      .toDF("pk", "val_str")
+      .write.mode("overwrite").parquet(Tables.tablePath(srcRef, "errors_src"))
+    // target wants val_str as INT
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("pk", StringType), StructField("val_str", IntegerType))))
+      .write.mode("overwrite").parquet(Tables.tablePath(tgtRef, "errors_t"))
+    val planned = MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "errors_src",
+      targetTableName = Some("errors_t"),
+      continueOnRowError = Some(true)))
+    assert(planned.data.select("pk").as[String].collect().sorted === Seq("r1", "r3"))
+    assert(planned.failedRows.get.select("pk").as[String].collect() === Seq("r2"))
+    // abort mode: plan succeeds, the bad row fails at execution (ANSI cast)
+    val strict = MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "errors_src",
+      targetTableName = Some("errors_t"),
+      continueOnRowError = Some(false)))
+    assertThrows[org.apache.spark.SparkThrowable](strict.data.collect())
+  }
+
   test("executeAll runs tables sequentially in declared order (O18)") {
     val results = MigrationPlanner.executeAll(spark, cfg.copy(tables = Seq(
       TableMigrationDef("my_table_v1", simulateOnly = true),
