@@ -152,6 +152,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dot_product"
 }
 
+/** Jaccard of two sorted distinct long arrays (merge-based kernel). */
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    HashKernels.sortedJaccard(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted"
+}
+
 /** Column API + SQL registration for the expressions above. */
 object GraftFunctions {
   def java_hash_code(c: Column): Column = Bridge.column(
@@ -170,6 +184,8 @@ object GraftFunctions {
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def band_keys(c: Column, bands: Int, rowsPerBand: Int): Column =
     Bridge.column(BandKeys(Bridge.expression(c), bands, rowsPerBand))
+  def jaccard_sorted(a: Column, b: Column): Column =
+    Bridge.column(JaccardSorted(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register SQL names so `expr("java_hash_code(col)")` (and thus the MVEL
     * translator output) resolves. Reference parity for the plugin/UDF

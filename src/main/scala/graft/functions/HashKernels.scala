@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -48,13 +49,13 @@ object HashKernels {
   def charShingleHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
     val str = s.toString
     if (str.length < k) {
-      if (str.isEmpty) return new GenericArrayData(Array.emptyLongArray)
-      return new GenericArrayData(Array(windowHash(str, 0, str.length)))
+      if (str.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      return UnsafeArrayData.fromPrimitiveArray(Array(windowHash(str, 0, str.length)))
     }
     val out = new Array[Long](str.length - k + 1)
     var i = 0
     while (i + k <= str.length) { out(i) = windowHash(str, i, i + k); i += 1 }
-    new GenericArrayData(if (distinct) distinctSorted(out) else out)
+    UnsafeArrayData.fromPrimitiveArray(if (distinct) distinctSorted(out) else out)
   }
 
   /** Distinct sorted 64-bit hashes of all k-word-grams of `s` (single-space
@@ -62,7 +63,7 @@ object HashKernels {
     */
   def wordShingleHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
     val str = s.toString
-    if (str.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    if (str.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     // word boundaries: indices of spaces
     var words = 1
     var i = 0
@@ -75,14 +76,14 @@ object HashKernels {
       i += 1
     }
     starts(words) = str.length + 1
-    if (words < k) return new GenericArrayData(Array(windowHash(str, 0, str.length)))
+    if (words < k) return UnsafeArrayData.fromPrimitiveArray(Array(windowHash(str, 0, str.length)))
     val out = new Array[Long](words - k + 1)
     var g = 0
     while (g + k <= words) {
       out(g) = windowHash(str, starts(g), starts(g + k) - 1)
       g += 1
     }
-    new GenericArrayData(if (distinct) distinctSorted(out) else out)
+    UnsafeArrayData.fromPrimitiveArray(if (distinct) distinctSorted(out) else out)
   }
 
   /** MinHash signature: element i = min over hashes of fmix64(h ^ seed_i).
@@ -104,7 +105,7 @@ object HashKernels {
       sig(i) = min
       i += 1
     }
-    new GenericArrayData(sig)
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
   /** 64-bit SimHash over element hashes (Charikar 2002): bit j set iff the
@@ -144,6 +145,28 @@ object HashKernels {
       out(b) = Mix64.mix(h ^ b.toLong)
       b += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Jaccard similarity of two SORTED distinct long arrays via linear merge
+    * — O(n+m) with zero allocation, vs hash-set building per pair in
+    * `array_intersect`/`array_union`. The verification kernel for LSH
+    * candidate pairs (millions of pairs on dup-heavy corpora).
+    */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter)
   }
 }

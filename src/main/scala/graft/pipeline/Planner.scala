@@ -166,13 +166,21 @@ object MigrationPlanner {
     t.writeMode match {
       case Upsert =>
         // O13: CQL upsert is last-write-wins per PK; bulk semantics need an
-        // explicit ordering. keep-last by orderingColumn, else pass-through
-        // (unique-PK source).
+        // explicit ordering. keep-last = argmax per PK of the ordering
+        // tuple, expressed as max_by over a hash aggregate: partial (map
+        // side) + final aggregation instead of a full sort-window — the
+        // shuffle carries one pre-combined row per (partition × PK), which
+        // is the difference between sorting 100 TB and aggregating it.
         (t.orderingColumns, t.pkColumns) match {
           case (ord, pk) if ord.nonEmpty && pk.nonEmpty =>
-            val w = Window.partitionBy(pk.map(col): _*).orderBy(ord.map(col(_).desc): _*)
-            df.withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1).drop("__rn")
+            val payload = df.columns.filterNot(pk.contains)
+            df.groupBy(pk.map(col): _*)
+              .agg(max_by(
+                struct(payload.map(col).toIndexedSeq: _*),
+                struct(ord.map(col): _*)).as("__r"))
+              .select(df.columns.map { c =>
+                if (pk.contains(c)) col(c) else col(s"__r.$c").as(c)
+              }.toIndexedSeq: _*)
           case _ => df
         }
       case InsertIfNotExists =>
