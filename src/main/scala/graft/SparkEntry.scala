@@ -315,6 +315,18 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    "s04_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      Similarity.ivfTopK(corpus, queries,
+          "vec_id", "embedding", "query_id", "embedding",
+          k = 5, numCentroids = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
     "s03_cosine_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") % 50 === 0)

@@ -126,4 +126,52 @@ object Similarity {
       .select(col("idA"), col("idB"), cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** IVF (inverted-file) approximate top-k. A tiny centroid model (C
+    * vectors, deterministically sampled) is collected driver-side and
+    * shipped as literals — corpus vectors are assigned to their nearest
+    * centroid with a MAP-ONLY expression (no shuffle, no crossjoin), and
+    * each query probes its `nprobe` nearest centroid lists. The join is
+    * keyed on the list id; scoring touches only probed lists.
+    * Output: (queryId, vecId, cosine, rank).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic centroid sample: first C corpus vectors by id
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .orderBy(col(corpusId)).limit(numCentroids)
+      .select(col(corpusVec)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+
+    def nearestCentroid(vec: Column): Column = {
+      val scored = centroids.map { case (i, c) =>
+        struct(cosine(vec, typedLit(c)).as("sim"), lit(i).as("cid"))
+      }
+      greatest(scored.toIndexedSeq: _*).getField("cid")
+    }
+    def probeLists(vec: Column): Column = {
+      val scored = centroids.map { case (i, c) =>
+        // negate sim so ascending sort ranks best first
+        struct((-cosine(vec, typedLit(c))).as("negsim"), lit(i).as("cid"))
+      }
+      slice(transform(array_sort(array(scored.toIndexedSeq: _*)),
+        s => s.getField("cid")), 1, nprobe)
+    }
+
+    val assigned = corpus.select(
+      col(corpusId), col(corpusVec), nearestCentroid(col(corpusVec)).as("__list"))
+    val probed = queries.select(
+      col(queryId), col(queryVec).as("__qv"),
+      explode(probeLists(col(queryVec))).as("__list"))
+    val scored = assigned.join(probed, "__list")
+      .select(col(queryId), col(corpusId),
+        cosine(col(corpusVec), col("__qv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

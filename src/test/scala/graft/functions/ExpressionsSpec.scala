@@ -59,4 +59,26 @@ class ExpressionsSpec extends SparkTestBase {
       .where("h IS NOT NULL AND p IS NOT NULL").count()
     assert(n === 10000L)
   }
+
+  test("JaccardSorted: identity, disjoint, empty edge cases") {
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(1L, 2L), Array(3L, 4L)),
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L))).toDF("a", "b")
+    val got = df.select(GraftFunctions.jaccard_sorted(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    assert(got === Seq(1.0, 0.0, 0.0, 2.0 / 6.0))
+  }
+
+  test("ShingleHashes word mode splits on single spaces, multiset preserved") {
+    val df = Seq("a b a").toDF("s")
+    val distinct = df.select(GraftFunctions.shingle_hashes(col("s"), 1, word = true))
+      .as[Seq[Long]].head()
+    val multi = df.select(GraftFunctions.shingle_hashes(col("s"), 1, word = true,
+      distinct = false)).as[Seq[Long]].head()
+    assert(distinct.length === 2)
+    assert(multi.length === 3)
+    assert(multi.head === multi(2)) // same word, same hash
+  }
 }

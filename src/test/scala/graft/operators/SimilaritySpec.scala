@@ -47,6 +47,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall $recall too low — LSH bucketing broken?")
   }
 
+  test("ivfTopK: planted identical vector is found via its centroid list") {
+    val q = corpus.filter($"vec_id" === 21)
+      .select(lit(1000L).as("query_id"), $"embedding")
+    val top = Similarity.ivfTopK(corpus, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 3, numCentroids = 8, nprobe = 3)
+    val first = top.filter($"rank" === 1).select("vec_id", "cosine")
+      .as[(Long, Double)].head()
+    assert(first._1 === 21L)
+    assert(math.abs(first._2 - 1.0) < 1e-9)
+  }
+
+  test("ivfTopK recall vs brute force") {
+    val q = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val c = corpus.filter($"vec_id" >= 5)
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(c, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5, numCentroids = 8, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
   test("cosineNearDupPairs finds planted duplicates within buckets") {
     val planted = corpus.unionByName(
       corpus.filter($"vec_id" % 10 === 0)
