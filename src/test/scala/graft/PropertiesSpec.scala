@@ -1,0 +1,121 @@
+package graft
+
+import graft.model._
+import graft.operators.Dedup
+import graft.pipeline.MigrationPlanner
+import graft.sources.Tables
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5.2): upsert idempotence, filter-chain
+  * order-insensitivity, TTL monotonicity, signature determinism, Jaccard
+  * bounds. Small generated datasets through the REAL planner/operators.
+  */
+class PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic property loop: n seeded samples from a ScalaCheck Gen
+    * (the scalatest-scalacheck bridge isn't in the offline dep set).
+    */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 12)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+
+  private val rowsGen: Gen[Seq[(String, Int, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      pk <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(0, 5)
+      ord <- Gen.choose(0L, 100L)
+    } yield (pk, v, ord))
+  } yield rows
+
+  test("property: keep-last upsert is idempotent (migrate twice == once)") {
+    forAllSeeded(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val dir = Files.createTempDirectory("graft_prop").toString
+        val srcRef = TableRef(path = s"$dir/src")
+        val tgtRef = TableRef(path = s"$dir/tgt")
+        rows.toDF("pk", "v", "ord").write.mode("overwrite")
+          .parquet(Tables.tablePath(srcRef, "t"))
+        val t = TableMigrationDef("t", pkColumns = Seq("pk"),
+          orderingColumns = Seq("ord", "v"), simulateOnly = false)
+        val cfg = MigrationConfig(srcRef, tgtRef, Nil)
+        MigrationPlanner.execute(spark, cfg, t)
+        val once = Tables.load(spark, tgtRef, "t")
+          .as[(String, Int, Long)].collect().toSet
+        // migrating the (already deduped) result again changes nothing
+        val cfg2 = MigrationConfig(tgtRef, TableRef(path = s"$dir/tgt2"), Nil)
+        MigrationPlanner.execute(spark, cfg2, t)
+        val twice = Tables.load(spark, TableRef(path = s"$dir/tgt2"), "t")
+          .as[(String, Int, Long)].collect().toSet
+        assert(once === twice)
+        // exactly one row per pk, carrying the max ordering tuple
+        assert(once.size === rows.map(_._1).distinct.size)
+      }
+    }
+  }
+
+  test("property: pure filter chains are order-insensitive") {
+    forAllSeeded(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("pk", "v", "ord")
+        val f1 = "row.v >= 2"
+        val f2 = "row.ord < 80 || row.pk == 'a'"
+        def run(filters: Seq[FilterDef]) = {
+          val t = TableMigrationDef("t", filters = filters)
+          val (out, _) = MigrationPlanner.narrowPlan(df, None, t)
+          out.as[(String, Int, Long)].collect().toSet
+        }
+        assert(run(Seq(FieldValueFilter(f1), FieldValueFilter(f2))) ===
+          run(Seq(FieldValueFilter(f2), FieldValueFilter(f1))))
+      }
+    }
+  }
+
+  test("property: TTL re-base preserves ordering (monotone)") {
+    forAllSeeded(Gen.listOfN(10, Gen.choose(0L, 86400L))) { ttls =>
+      if (ttls.nonEmpty) {
+        val df = ttls.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "ttl")
+        val t = TableMigrationDef("t",
+          ttl = Some(TtlSpec("ttl", sourceTableTtl = 86400, targetTableTtl = 604800)))
+        val (out, _) = MigrationPlanner.narrowPlan(df, None, t)
+        val res = out.orderBy("id").select("ttl").as[Long].collect()
+        // same order as input ttls (monotone transform), all <= target ttl
+        assert(res.zip(ttls).toSeq.sliding(2).forall {
+          case Seq((a, ta), (b, tb)) => (ta <= tb) == (a <= b)
+          case _ => true
+        })
+        assert(res.forall(_ <= 604800L))
+      }
+    }
+  }
+
+  test("property: minhash signatures are deterministic and length-stable") {
+    forAllSeeded(Gen.alphaStr.suchThat(_.length < 200), n = 6) { text =>
+      val df = Seq((1L, text), (2L, text)).toDF("id", "text")
+      val sigs = df.select(
+        graft.functions.GraftFunctions.minhash_sig(
+          graft.functions.GraftFunctions.shingle_hashes(
+            Dedup.normalized(col("text")), 5), 32)).as[Seq[Long]].collect()
+      assert(sigs(0) === sigs(1)) // identical input, identical signature
+      assert(sigs(0).length === 32)
+    }
+  }
+
+  test("property: jaccard_sorted is within [0,1] and symmetric") {
+    val arrGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted.toArray)
+    forAllSeeded(Gen.zip(arrGen, arrGen), n = 8) { case (a, b) =>
+      val df = Seq((a, b), (b, a)).toDF("x", "y")
+      val js = df.select(
+        graft.functions.GraftFunctions.jaccard_sorted(col("x"), col("y")))
+        .as[Double].collect()
+      assert(js(0) === js(1))
+      assert(js(0) >= 0.0 && js(0) <= 1.0)
+      if (a.nonEmpty && a.sameElements(b)) assert(js(0) === 1.0)
+    }
+  }
+}
