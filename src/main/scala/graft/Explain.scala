@@ -13,6 +13,7 @@ object Explain {
       else Seq("q02_projection", "q03_pushdown_filter", "q13_upsert_keep_last",
         "j01_broadcast_join", "j02_star_join_revenue", "q1_agg", "d03_minhash_pairs")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -32,13 +32,22 @@ object Tables {
     }
   }
 
-  /** Load a table if it exists (target snapshots for anti-joins may not). */
-  def loadIfExists(spark: SparkSession, ref: TableRef, table: String): Option[DataFrame] =
+  /** Load a table if it exists (target snapshots for anti-joins may not).
+    * Local parquet paths are probed directly — avoids Spark logging a WARN
+    * + stacktrace for the (entirely expected) missing-target case.
+    */
+  def loadIfExists(spark: SparkSession, ref: TableRef, table: String): Option[DataFrame] = {
+    if (ref.format == "parquet") {
+      val p = tablePath(ref, table).stripPrefix("file:")
+      if (!p.contains("://") && !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        return None
+    }
     try {
       val df = load(spark, ref, table)
       df.schema // force analysis so a missing path surfaces here
       Some(df)
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Write a DataFrame to a target table binding. `overwrite` maps the
     * reference's upsert-into-empty-target migration run; real merge

@@ -38,4 +38,39 @@ class StreamingSpec extends SparkTestBase {
     assert(got.select("id", "doubled").as[(Long, Long)].collect().toSet ===
       batch.select("id", "doubled").as[(Long, Long)].collect().toSet)
   }
+
+  test("streaming counter mode: appended batch pre-aggregates sum to batch totals (O15/O17)") {
+    val dir = Files.createTempDirectory("graft_stream_ctr").toString
+    val srcRef = TableRef(path = s"$dir/src")
+    val tgtRef = TableRef(path = s"$dir/tgt")
+    val cfg = MigrationConfig(srcRef, tgtRef, Nil)
+
+    (1 to 200).map(i => (s"tile_${i % 5}", i % 3, i.toLong))
+      .toDF("tile_id", "day", "hits")
+      .repartition(4)
+      .write.parquet(Tables.tablePath(srcRef, "ctr_t"))
+
+    val t = TableMigrationDef(
+      tableName = "ctr_t",
+      pkColumns = Seq("tile_id", "day"),
+      counterColumns = Seq("hits"),
+      writeMode = CounterIncrement,
+      simulateOnly = false)
+
+    val q = StreamingMigration.start(spark, cfg, t,
+      checkpointDir = s"$dir/cp", trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(60000)
+
+    // each micro-batch appended its per-PK partial sums; the counter value
+    // is the read-time additive merge (sum per PK) - which must equal the
+    // single-batch totals
+    val got = Tables.load(spark, tgtRef, "ctr_t")
+      .groupBy("tile_id", "day").sum("hits")
+      .as[(String, Int, Long)].collect().toSet
+    val expect = graft.pipeline.MigrationPlanner.plan(spark,
+      cfg.copy(target = TableRef(path = s"$dir/none")), t).data
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === expect)
+  }
 }
