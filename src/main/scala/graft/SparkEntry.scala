@@ -5,6 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
+import graft.streaming.StreamingMigration
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -162,6 +163,40 @@ object SparkEntry {
       t(s, dir, "lineitem").agg(
         count(lit(1)).as("rows_read"),
         sum(when(col("l_quantity") >= 30, 1).otherwise(0)).as("rows_passed_filter"))),
+
+    // O17 rate-limited streaming: the SAME narrow plan under Structured
+    // Streaming (micro-batches = the reference's pages, trigger = rate
+    // limiter), result read back from the streamed target — so the driver's
+    // oracle checks batch/stream parity
+    "q17_streaming_migration" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q17").toString
+      val scfg = MigrationConfig(TableRef(path = dir), TableRef(path = s"$tmp/tgt"), Nil)
+      val t = TableMigrationDef("events",
+        filters = Seq(FieldValueFilter("row.event_type != 'click'")),
+        calculatedColumns = Seq(CalculatedColumn("vx2", "row.value * 2.0")),
+        simulateOnly = false)
+      val q = StreamingMigration.start(s, scfg, t, s"$tmp/cp",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+      q.awaitTermination(180000)
+      Tables.load(s, TableRef(path = s"$tmp/tgt"), "events")
+        .select("event_id", "event_type", "value", "vx2")
+    }),
+
+    // O18 parallel execution: two table migrations run as concurrent Spark
+    // jobs; result = per-table row accounting from the written targets
+    "q18_parallel_exec" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q18").toString
+      val tgt = TableRef(path = s"$tmp/tgt")
+      val pcfg = MigrationConfig(TableRef(path = dir), tgt, Seq(
+        TableMigrationDef("region", simulateOnly = false),
+        TableMigrationDef("nation", simulateOnly = false)), parallel = true)
+      MigrationPlanner.executeAll(s, pcfg)
+      val r = Tables.load(s, tgt, "region").agg(count(lit(1)).as("n"))
+        .select(lit("region").as("table_name"), col("n"))
+      val n = Tables.load(s, tgt, "nation").agg(count(lit(1)).as("n"))
+        .select(lit("nation").as("table_name"), col("n"))
+      r.unionByName(n)
+    }),
 
     // O19 row-level error tolerance: dead-letter split via try_cast
     "q19_error_split" -> ((s, dir) => {
@@ -471,6 +506,12 @@ object SparkEntry {
                               THEN 'x' || CAST(o_orderkey AS VARCHAR)
                               ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) IS NULL AS is_dead_letter
          FROM orders""",
+    "q17_streaming_migration" ->
+      """SELECT event_id, event_type, value, value * 2.0 AS vx2
+         FROM events WHERE event_type <> 'click'""",
+    "q18_parallel_exec" ->
+      """SELECT 'region' AS table_name, COUNT(*) AS n FROM region
+         UNION ALL SELECT 'nation', COUNT(*) FROM nation""",
     "q20_observed_filter" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 0",
     "q21_reconcile_projection" ->

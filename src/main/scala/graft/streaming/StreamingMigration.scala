@@ -39,12 +39,17 @@ object StreamingMigration {
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     // schema comes from a static peek — streaming file sources need it declared
     val schema = Tables.load(spark, cfg.source, t.tableName).schema
+    val path = Tables.tablePath(cfg.source, t.tableName)
+    // streaming file sources want a directory basePath; fixture tables may
+    // be single parquet FILES — anchor basePath at the parent directory
+    val isFile = !path.contains("://") &&
+      java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path))
     val stream = spark.readStream
       .format(cfg.source.format)
       .options(cfg.source.options)
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .load(Tables.tablePath(cfg.source, t.tableName))
+      .load(if (isFile) path + "*" else path) // glob => basePath = parent dir
 
     val target = Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
     val (narrow, _) = MigrationPlanner.narrowPlan(stream, target, t)
