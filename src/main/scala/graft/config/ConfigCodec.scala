@@ -72,6 +72,9 @@ object ConfigCodec {
       },
       simulateOnly = bool(m, "simulateOnly", default = true),
       continueOnRowError = m.get("continueOnRowError").map(v => parseBool(v, "continueOnRowError")),
+      pageSize = m.get("pageSize").map(v => parseLong(v, "pageSize").toInt),
+      pauseMillisBetweenPages =
+        m.get("pauseMillisBetweenPages").map(v => parseLong(v, "pauseMillisBetweenPages")),
       orderingColumns = strList(m, "orderingColumns"))
 
   private def filterDef(v: Any): FilterDef = {

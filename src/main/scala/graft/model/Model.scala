@@ -93,6 +93,11 @@ final case class TtlSpec(ttlColumn: String, sourceTableTtl: Long, targetTableTtl
   * @param continueOnRowError row-level error tolerance; the reference makes
   *                           this mandatory-explicit
   *                           (MigrateTableTask.java:168-169) — O19
+  * @param pageSize           micro-batch size bound in streaming mode
+  *                           (reference pageSize, TableMigrationDefinition
+  *                           .java:75 — maps to maxFilesPerTrigger)
+  * @param pauseMillisBetweenPages streaming trigger interval — the rate
+  *                           limiter (reference :86-91, O17)
   * @param orderingColumns    columns that define "last" for keep-last upsert
   *                           dedup (CQL upserts are last-write-wins; a bulk
   *                           engine needs an explicit ordering; extra columns
@@ -112,6 +117,8 @@ final case class TableMigrationDef(
     ttl: Option[TtlSpec] = None,
     simulateOnly: Boolean = true,
     continueOnRowError: Option[Boolean] = None,
+    pageSize: Option[Int] = None,
+    pauseMillisBetweenPages: Option[Long] = None,
     orderingColumns: Seq[String] = Nil) {
   def resolvedTargetName: String = targetTableName.getOrElse(tableName)
 }

@@ -35,8 +35,14 @@ object StreamingMigration {
       cfg: MigrationConfig,
       t: TableMigrationDef,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0),
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      trigger: Trigger = null,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    // explicit args win; otherwise the reference's config fields drive the
+    // micro-batch size (pageSize) and rate limit (pauseMillisBetweenPages)
+    val resolvedTrigger = Option(trigger).getOrElse(
+      Trigger.ProcessingTime(t.pauseMillisBetweenPages.getOrElse(0L)))
+    val resolvedMaxFiles =
+      if (maxFilesPerTrigger > 0) maxFilesPerTrigger else t.pageSize.getOrElse(1)
     // schema comes from a static peek — streaming file sources need it declared
     val schema = Tables.load(spark, cfg.source, t.tableName).schema
     val path = Tables.tablePath(cfg.source, t.tableName)
@@ -48,14 +54,14 @@ object StreamingMigration {
       .format(cfg.source.format)
       .options(cfg.source.options)
       .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .option("maxFilesPerTrigger", resolvedMaxFiles.toString)
       .load(if (isFile) path + "*" else path) // glob => basePath = parent dir
 
     val target = Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
     val (narrow, _) = MigrationPlanner.narrowPlan(stream, target, t)
 
     narrow.writeStream
-      .trigger(trigger)
+      .trigger(resolvedTrigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val out = MigrationPlanner.writeModeTransform(batch, target, t)

@@ -159,6 +159,29 @@ class PlannerSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") || back.count() === 2L)
   }
 
+  test("A6: collection types (list/set/map) migrate end-to-end; unsupported types fail fast") {
+    import org.apache.spark.sql.types._
+    Seq(
+      (1L, Seq(1, 2, 3), Map("a" -> 1.5), Some("txt")),
+      (2L, Seq.empty[Int], Map.empty[String, Double], None))
+      .toDF("id", "l", "m", "vc")
+      .write.mode("overwrite").parquet(Tables.tablePath(srcRef, "collections_t"))
+    val result = MigrationPlanner.execute(spark, cfg, TableMigrationDef(
+      tableName = "collections_t",
+      targetTableName = Some("collections_out"),
+      simulateOnly = false))
+    assert(result.rowsMigrated === 2L)
+    val back = Tables.load(spark, tgtRef, "collections_out")
+    assert(back.schema("l").dataType.isInstanceOf[ArrayType])
+    assert(back.schema("m").dataType.isInstanceOf[MapType])
+    assert(back.filter($"id" === 1).select(element_at($"m", "a")).as[Double].head() === 1.5)
+    // unsupported column type fails at plan time (CassandraSchemaUtil.java:153-157 contract)
+    val badDf = spark.range(1).select($"id",
+      expr("make_interval(0, 0, 0, 1, 0, 0, 0)").as("iv"))
+    assertThrows[graft.schema.Reconciler.ReconcileError](
+      MigrationPlanner.narrowPlan(badDf, None, TableMigrationDef("bad")))
+  }
+
   test("executeAll runs tables sequentially in declared order (O18)") {
     val results = MigrationPlanner.executeAll(spark, cfg.copy(tables = Seq(
       TableMigrationDef("my_table_v1", simulateOnly = true),
