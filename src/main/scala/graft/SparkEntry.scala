@@ -285,6 +285,40 @@ object SparkEntry {
 
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
 
+    // engine breadth beyond migrator parity: rollup, set ops, functions
+    "g01_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"))),
+
+    "g02_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 1000).select("c_custkey")
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.exceptAll(b).withColumn("tag", lit("only_building")))
+    }),
+
+    "f01_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 10, 5).as("mid"),
+        regexp_replace(col("c_name"), "Customer", "C").as("short_name"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        length(col("c_name")).as("name_len"))),
+
+    "f02_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_98"))),
+
     // ------------------------------------------------- LLM pipeline: dedup
     "d01_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -549,6 +583,32 @@ object SparkEntry {
                 COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= '1998-09-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+    "g01_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "g02_set_ops" ->
+      """SELECT c_custkey, 'both' AS tag FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+         UNION ALL
+         SELECT c_custkey, 'only_building' AS tag FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           EXCEPT ALL
+           SELECT c_custkey FROM customer WHERE c_acctbal > 1000)""",
+    "f01_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 10, 5) AS mid,
+                regexp_replace(c_name, 'Customer', 'C', 'g') AS short_name,
+                lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+                length(c_name) AS name_len
+         FROM customer""",
+    "f02_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+                quarter(o_orderdate) AS q,
+                CAST(o_orderdate AS DATE) + 30 AS plus30,
+                date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+         FROM orders""",
     "d01_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, text FROM (
            SELECT doc_id, text FROM documents
