@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale-critical properties of headline
+  * plans (pushdown reaching the scan, column pruning, broadcast for dims,
+  * no accidental cartesian joins) are pinned here so a refactor can't
+  * silently regress them. These assert on `explain` output — the same
+  * evidence `graft.Explain` prints for human review.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03: whereClause predicates are pushed into the parquet scan") {
+    val p = plan("q03_pushdown_filter")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), s"missing pushed filter in:\n$p")
+  }
+
+  test("q02: projection prunes the scan to selected columns") {
+    val p = plan("q02_projection")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("j01: dimension join broadcasts, aggregation is partial+final") {
+    val p = plan("j01_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // partial then final hash aggregation (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q15: counter pre-agg is hash aggregation keyed on PK, no sort") {
+    val p = plan("q15_counter_preagg")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+  }
+
+  test("q13: keep-last upsert aggregates (max_by), not a global sort-window") {
+    val p = plan("q13_upsert_keep_last")
+    assert(!p.contains("Window"), s"keep-last regressed to sort-window:\n$p")
+  }
+
+  test("LSH operators never produce a cartesian or nested-loop join") {
+    Seq("d03_minhash_pairs", "d04_simhash_pairs", "s03_cosine_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
+  test("kernel expressions appear in the minhash plan (not HOF lambdas)") {
+    val p = plan("d03_minhash_pairs")
+    assert(p.contains("minhash_sig") || p.contains("MinHashSig"))
+    assert(p.contains("shingle_hashes") || p.contains("ShingleHashes"))
+  }
+}
