@@ -7,8 +7,9 @@ import graft.model._
  * reference drives from the CLI (reference: Main.java:29-45 →
  * Config.parseFromYamlFile, model/config/Config.java:15-19). Field names
  * mirror the reference's where the concept survives
- * (TableMigrationDefinition.java:17-139); thread/timeout knobs have no
- * Spark counterpart and are rejected politely rather than silently ignored.
+ * (TableMigrationDefinition.java:17-139); unrecognized keys (e.g. the
+ * reference's thread/timeout knobs, which have no Spark counterpart) are
+ * reported on stderr rather than silently ignored.
  */
 object ConfigCodec {
 
@@ -39,7 +40,18 @@ object ConfigCodec {
       }).getOrElse(Map.empty))
   }
 
-  private def tableDef(m: Map[String, Any]): TableMigrationDef =
+  private val knownTableKeys = Set(
+    "tableName", "targetTableName", "whereClause", "maxReadRowCount",
+    "maxWriteRowCount", "filters", "calculatedColumns", "writeMode",
+    "pkColumns", "counterColumns", "ttl", "simulateOnly",
+    "continueOnRowError", "pageSize", "pauseMillisBetweenPages",
+    "orderingColumns")
+
+  private def tableDef(m: Map[String, Any]): TableMigrationDef = {
+    (m.keySet -- knownTableKeys).foreach { k =>
+      System.err.println(s"[graft-config] ignoring unrecognized key '$k' " +
+        s"in table migration '${m.getOrElse("tableName", "?")}'")
+    }
     TableMigrationDef(
       tableName = str(m, "tableName", null) match {
         case null => throw ConfigError("table migration missing 'tableName'")
@@ -76,6 +88,7 @@ object ConfigCodec {
       pauseMillisBetweenPages =
         m.get("pauseMillisBetweenPages").map(v => parseLong(v, "pauseMillisBetweenPages")),
       orderingColumns = strList(m, "orderingColumns"))
+  }
 
   private def filterDef(v: Any): FilterDef = {
     val m = asMap(v, "filter")

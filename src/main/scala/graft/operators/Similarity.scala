@@ -60,8 +60,8 @@ object Similarity {
   }
 
   /** Sign-bit LSH signature of a vector: bit i = sign(v · plane_i). The
-    * planes are generated deterministically and shipped as literals —
-    * evaluated with built-in `aggregate`/`zip_with`, fully distributed.
+    * planes are generated deterministically and shipped as literals; each
+    * dot product is the codegen'd [[graft.functions.DotProduct]].
     */
   def signSignature(vec: Column, numPlanes: Int, dim: Int): Column = {
     val planes = (0 until numPlanes).map { i =>

@@ -5,7 +5,6 @@ import graft.model._
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -26,9 +25,10 @@ import org.apache.spark.sql.types.StructType
  *
  * Scale posture: the only shuffles a plan can contain are the anti-join
  * (shuffled hash / broadcast chosen by AQE at runtime — never assumed
- * broadcastable, SURVEY §7.4), the keep-last window and the counter
- * pre-agg (both keyed on PK, i.e. the minimum possible shuffle for their
- * semantics). Everything else is narrow and whole-stage-codegen'd.
+ * broadcastable, SURVEY §7.4) and the keep-last / counter hash
+ * aggregations (keyed on PK with map-side partial combine — the minimum
+ * possible shuffle for their semantics). Everything else is narrow and
+ * whole-stage-codegen'd.
  */
 object MigrationPlanner {
 
@@ -214,6 +214,10 @@ object MigrationPlanner {
     target match {
       case None => df // empty target: nothing exists, keep all
       case Some(tgt) =>
+        val missing = t.pkColumns.filterNot(tgt.columns.contains)
+        if (missing.nonEmpty) throw PlanError(
+          s"target '${t.resolvedTargetName}' lacks PK column(s) ${missing.mkString(", ")} " +
+            "required for existence filtering")
         // Only PK columns of the target are read (column pruning reaches the
         // scan); join strategy (broadcast vs shuffled) is AQE's runtime call.
         df.join(tgt.select(t.pkColumns.map(col): _*), t.pkColumns, "left_anti")
