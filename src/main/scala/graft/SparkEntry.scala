@@ -309,6 +309,21 @@ object SparkEntry {
         lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
         length(col("c_name")).as("name_len"))),
 
+    "f03_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))),
+
+    // custom sketch aggregate (TypedImperativeAggregate) — estimate only,
+    // rows-only check; the invariant test pins the error bound
+    "a01_hll_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        GraftFunctions.hll_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))),
+
     "f02_date_funcs" -> ((s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -603,6 +618,12 @@ object SparkEntry {
                 lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
                 length(c_name) AS name_len
          FROM customer""",
+    "f03_percentiles" ->
+      """SELECT o_orderpriority,
+                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
     "f02_date_funcs" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
                 quarter(o_orderdate) AS q,

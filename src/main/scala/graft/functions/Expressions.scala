@@ -186,6 +186,8 @@ object GraftFunctions {
     Bridge.column(BandKeys(Bridge.expression(c), bands, rowsPerBand))
   def jaccard_sorted(a: Column, b: Column): Column =
     Bridge.column(JaccardSorted(Bridge.expression(a), Bridge.expression(b)))
+  def hll_distinct(c: Column, p: Int = 12): Column = Bridge.column(
+    HllSketch(Bridge.expression(c), p).toAggregateExpression())
 
   /** Register SQL names so `expr("java_hash_code(col)")` (and thus the MVEL
     * translator output) resolves. Reference parity for the plugin/UDF

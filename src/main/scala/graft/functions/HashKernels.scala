@@ -148,6 +148,12 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** 64-bit hash of a whole string (base-31 polynomial + fmix64). */
+  def stringHash64(s: UTF8String): Long = {
+    val str = s.toString
+    windowHash(str, 0, str.length)
+  }
+
   /** Jaccard similarity of two SORTED distinct long arrays via linear merge
     * — O(n+m) with zero allocation, vs hash-set building per pair in
     * `array_intersect`/`array_union`. The verification kernel for LSH

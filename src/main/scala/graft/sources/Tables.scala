@@ -17,9 +17,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Tables {
 
-  /** Path for a named table under a TableRef (parquet layout). */
-  def tablePath(ref: TableRef, table: String): String =
-    if (ref.path.isEmpty) table else s"${ref.path.stripSuffix("/")}/$table.parquet"
+  /** Path for a named table under a TableRef: `<dir>/<table>.<ext>` with
+    * the extension following the format (TESTDATA.md parquet layout; csv/
+    * json/orc sources use their own suffix; other formats address by name).
+    */
+  def tablePath(ref: TableRef, table: String): String = {
+    val ext = ref.format match {
+      case "parquet" | "csv" | "json" | "orc" => ref.format
+      case _ => "parquet"
+    }
+    if (ref.path.isEmpty) table else s"${ref.path.stripSuffix("/")}/$table.$ext"
+  }
+
+  private val pathFormats = Set("parquet", "csv", "json", "orc")
 
   /** Load a table as a DataFrame — the O1 scan. Column pruning + filter
     * pushdown are Catalyst's job from here (SURVEY §4).
@@ -27,7 +37,7 @@ object Tables {
   def load(spark: SparkSession, ref: TableRef, table: String): DataFrame = {
     val reader = spark.read.format(ref.format).options(ref.options)
     ref.format match {
-      case "parquet" => reader.load(tablePath(ref, table))
+      case f if pathFormats.contains(f) => reader.load(tablePath(ref, table))
       case _ => reader.option("table", table).load()
     }
   }
@@ -37,7 +47,7 @@ object Tables {
     * + stacktrace for the (entirely expected) missing-target case.
     */
   def loadIfExists(spark: SparkSession, ref: TableRef, table: String): Option[DataFrame] = {
-    if (ref.format == "parquet") {
+    if (pathFormats.contains(ref.format)) {
       val p = tablePath(ref, table).stripPrefix("file:")
       if (!p.contains("://") && !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
         return None
@@ -65,8 +75,8 @@ object Tables {
       if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     ref.format match {
       case "noop" => df.write.format("noop").mode("overwrite").save()
-      case "parquet" =>
-        withParts(df.write.format("parquet").options(opts).mode(mode))
+      case f if pathFormats.contains(f) =>
+        withParts(df.write.format(f).options(opts).mode(mode))
           .save(tablePath(ref, table))
       case other =>
         withParts(df.write.format(other).options(opts).option("table", table)

@@ -60,4 +60,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("minhash_sig") || p.contains("MinHashSig"))
     assert(p.contains("shingle_hashes") || p.contains("ShingleHashes"))
   }
+
+  test("bucketed tables join without a shuffle exchange (co-located join)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_b1")
+    spark.sql("DROP TABLE IF EXISTS graft_b2")
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_b1")
+    (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "w")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_b2")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_b1").join(spark.table("graft_b2"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      // bucketed scans align partitioning: sort-merge join with NO shuffle
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin"))
+      assert(p.contains("Bucketed: true"), s"bucketing not used:\n$p")
+      assert(j.count() === 1000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

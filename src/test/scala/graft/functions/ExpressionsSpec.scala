@@ -81,4 +81,20 @@ class ExpressionsSpec extends SparkTestBase {
     assert(multi.length === 3)
     assert(multi.head === multi(2)) // same word, same hash
   }
+
+  test("HllSketch estimates distinct counts within HLL error bounds") {
+    // 50k longs with 20k distinct
+    val est = spark.range(50000).selectExpr("id % 20000 AS v")
+      .agg(GraftFunctions.hll_distinct(col("v"))).as[Long].head()
+    val err = math.abs(est - 20000.0) / 20000.0
+    assert(err < 0.05, s"HLL estimate $est off by ${err * 100}%")
+    // strings too, grouped
+    val df = spark.range(30000)
+      .selectExpr("id % 3 AS g", "concat('user_', id % 5000) AS u")
+    val byGroup = df.groupBy("g").agg(GraftFunctions.hll_distinct(col("u")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    byGroup.values.foreach { est =>
+      assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"group estimate $est")
+    }
+  }
 }

@@ -182,6 +182,22 @@ class PlannerSpec extends SparkTestBase {
       MigrationPlanner.narrowPlan(badDf, None, TableMigrationDef("bad")))
   }
 
+  test("csv source migrates into a parquet target (format-aware paths)") {
+    val csvRef = TableRef(format = "csv", path = s"$dir/csv",
+      options = Map("header" -> "true", "inferSchema" -> "true"))
+    Seq((1L, "a", 10.5), (2L, "b", 20.0), (3L, "a", 1.25))
+      .toDF("id", "tag", "amount")
+      .write.option("header", "true").csv(Tables.tablePath(csvRef, "csv_t"))
+    val result = MigrationPlanner.execute(spark,
+      MigrationConfig(csvRef, tgtRef, Nil),
+      TableMigrationDef("csv_t",
+        filters = Seq(FieldValueFilter("row.tag == 'a'")),
+        targetTableName = Some("from_csv"), simulateOnly = false))
+    assert(result.rowsMigrated === 2L)
+    val back = Tables.load(spark, tgtRef, "from_csv")
+    assert(back.count() === 2L)
+  }
+
   test("executeAll runs tables sequentially in declared order (O18)") {
     val results = MigrationPlanner.executeAll(spark, cfg.copy(tables = Seq(
       TableMigrationDef("my_table_v1", simulateOnly = true),

@@ -73,4 +73,24 @@ class StreamingSpec extends SparkTestBase {
       .as[(String, Int, Long)].collect().toSet
     assert(got === expect)
   }
+
+  test("streaming dedup holds state across micro-batches") {
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    // 4 files, same 10 texts repeated in each => 40 rows, 10 distinct
+    (0 until 40).map(i => (i.toLong, s"doc text number ${i % 10}"))
+      .toDF("id", "text").repartition(4)
+      .write.parquet(s"$dir/src/docs.parquet")
+    val schema = spark.read.parquet(s"$dir/src/docs.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src/docs.parquet")
+    val deduped = StreamingDedup.dedupByText(stream, "text")
+    val q = deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/cp")
+      .format("parquet").option("path", s"$dir/out")
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === 10L) // duplicates across batches suppressed
+  }
 }
