@@ -29,8 +29,9 @@ object Main {
     val results = MigrationPlanner.executeAll(spark, cfg)
     // final per-table summary, like DbMigrator.java:91-106
     results.foreach { r =>
-      println(s"[graft] table=${r.table} rowsMigrated=${r.rowsMigrated} " +
-        s"rowsFailed=${r.rowsFailed}" +
+      println(f"[graft] table=${r.table} rowsMigrated=${r.rowsMigrated} " +
+        f"rowsFailed=${r.rowsFailed} elapsedMs=${r.elapsedMillis} " +
+        f"rowsPerSec=${r.rowsPerSecond}%.0f" +
         (if (r.warnings.nonEmpty) s" warnings=${r.warnings.mkString("; ")}" else ""))
     }
     spark.stop()

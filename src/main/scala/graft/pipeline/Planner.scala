@@ -233,6 +233,7 @@ object MigrationPlanner {
     * sink without a separate count() job.
     */
   def execute(spark: SparkSession, cfg: MigrationConfig, t: TableMigrationDef): MigrationResult = {
+    val startNanos = System.nanoTime()
     val planned = plan(spark, cfg, t)
     val metricName = s"graft_${t.tableName}_${System.identityHashCode(planned)}"
     val observed = planned.data.observe(metricName, count(lit(1)).as("rows_migrated"))
@@ -265,10 +266,12 @@ object MigrationPlanner {
         Tables.write(f, cfg.target, t.resolvedTargetName + "_dead_letter")
       f.count()
     }.getOrElse(0L)
+    val elapsedMs = (System.nanoTime() - startNanos) / 1000000L
     MigrationResult(
       t.tableName,
       rowsMigrated = captured.getOrElse(-1L),
       rowsFailed = rowsFailed,
+      elapsedMillis = elapsedMs,
       warnings = planned.reconciliation.warnings)
   }
 
@@ -292,4 +295,11 @@ final case class MigrationResult(
     table: String,
     rowsMigrated: Long,
     rowsFailed: Long = 0L,
-    warnings: Seq[String] = Nil)
+    elapsedMillis: Long = 0L,
+    warnings: Seq[String] = Nil) {
+  /** Observed throughput (O20 — the rows/s figure the reference never
+    * published, SURVEY §6).
+    */
+  def rowsPerSecond: Double =
+    if (elapsedMillis <= 0) 0.0 else rowsMigrated * 1000.0 / elapsedMillis
+}
