@@ -45,7 +45,7 @@ object ConfigCodec {
     "maxWriteRowCount", "filters", "calculatedColumns", "writeMode",
     "pkColumns", "counterColumns", "ttl", "simulateOnly",
     "continueOnRowError", "pageSize", "pauseMillisBetweenPages",
-    "orderingColumns")
+    "patchNullsFromTarget", "orderingColumns")
 
   private def tableDef(m: Map[String, Any]): TableMigrationDef = {
     (m.keySet -- knownTableKeys).foreach { k =>
@@ -87,6 +87,7 @@ object ConfigCodec {
       pageSize = m.get("pageSize").map(v => parseLong(v, "pageSize").toInt),
       pauseMillisBetweenPages =
         m.get("pauseMillisBetweenPages").map(v => parseLong(v, "pauseMillisBetweenPages")),
+      patchNullsFromTarget = bool(m, "patchNullsFromTarget", default = false),
       orderingColumns = strList(m, "orderingColumns"))
   }
 

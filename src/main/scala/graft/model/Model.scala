@@ -98,6 +98,12 @@ final case class TtlSpec(ttlColumn: String, sourceTableTtl: Long, targetTableTtl
   *                           .java:75 — maps to maxFilesPerTrigger)
   * @param pauseMillisBetweenPages streaming trigger interval — the rate
   *                           limiter (reference :86-91, O17)
+  * @param patchNullsFromTarget CQL sparse-row upsert fidelity: a CQL
+  *                           UPDATE leaves columns it doesn't set untouched
+  *                           (reference DefaultMigratorPlugin.java:345-358);
+  *                           with true, null source values are patched from
+  *                           the existing target row (null = "unset"), and
+  *                           target rows missing from the source are kept
   * @param orderingColumns    columns that define "last" for keep-last upsert
   *                           dedup (CQL upserts are last-write-wins; a bulk
   *                           engine needs an explicit ordering; extra columns
@@ -119,6 +125,7 @@ final case class TableMigrationDef(
     continueOnRowError: Option[Boolean] = None,
     pageSize: Option[Int] = None,
     pauseMillisBetweenPages: Option[Long] = None,
+    patchNullsFromTarget: Boolean = false,
     orderingColumns: Seq[String] = Nil) {
   def resolvedTargetName: String = targetTableName.getOrElse(tableName)
 }

@@ -165,23 +165,22 @@ object MigrationPlanner {
     val df = df0
     t.writeMode match {
       case Upsert =>
-        // O13: CQL upsert is last-write-wins per PK; bulk semantics need an
-        // explicit ordering. keep-last = argmax per PK of the ordering
-        // tuple, expressed as max_by over a hash aggregate: partial (map
-        // side) + final aggregation instead of a full sort-window — the
-        // shuffle carries one pre-combined row per (partition × PK), which
-        // is the difference between sorting 100 TB and aggregating it.
-        (t.orderingColumns, t.pkColumns) match {
-          case (ord, pk) if ord.nonEmpty && pk.nonEmpty =>
-            val payload = df.columns.filterNot(pk.contains)
-            df.groupBy(pk.map(col): _*)
-              .agg(max_by(
-                struct(payload.map(col).toIndexedSeq: _*),
-                struct(ord.map(col): _*)).as("__r"))
-              .select(df.columns.map { c =>
-                if (pk.contains(c)) col(c) else col(s"__r.$c").as(c)
-              }.toIndexedSeq: _*)
-          case _ => df
+        val deduped = dfDeduped(df, t)
+        // CQL sparse-row fidelity: merge-patch against the live target
+        // (null source value = "unset" -> keep target's value; target rows
+        // absent from the source survive the upsert)
+        (t.patchNullsFromTarget, target) match {
+          case (true, Some(tgt)) if t.pkColumns.nonEmpty =>
+            val pk = t.pkColumns
+            val nonPk = deduped.columns.filterNot(pk.contains).toSeq
+            val src = deduped.alias("__s")
+            val tg = tgt.select(deduped.columns.map(col).toIndexedSeq: _*).alias("__t")
+            src.join(tg, pk.map(k => col(s"__s.$k") === col(s"__t.$k")).reduce(_ && _),
+                "full_outer")
+              .select(
+                pk.map(k => coalesce(col(s"__s.$k"), col(s"__t.$k")).as(k)) ++
+                nonPk.map(c => coalesce(col(s"__s.$c"), col(s"__t.$c")).as(c)): _*)
+          case _ => deduped
         }
       case InsertIfNotExists =>
         // O14: anti-join + append (documented semantics delta vs per-row
@@ -203,6 +202,27 @@ object MigrationPlanner {
             counters.map(c => col(s"sum($c)").cast(df.schema(c).dataType).as(c)): _*)
     }
   }
+
+  /** O13 keep-last: CQL upsert is last-write-wins per PK; bulk semantics
+    * need an explicit ordering. keep-last = argmax per PK of the ordering
+    * tuple, expressed as max_by over a hash aggregate: partial (map side) +
+    * final aggregation instead of a full sort-window — the shuffle carries
+    * one pre-combined row per (partition × PK), which is the difference
+    * between sorting 100 TB and aggregating it.
+    */
+  private def dfDeduped(df: DataFrame, t: TableMigrationDef): DataFrame =
+    (t.orderingColumns, t.pkColumns) match {
+      case (ord, pk) if ord.nonEmpty && pk.nonEmpty =>
+        val payload = df.columns.filterNot(pk.contains)
+        df.groupBy(pk.map(col): _*)
+          .agg(max_by(
+            struct(payload.map(col).toIndexedSeq: _*),
+            struct(ord.map(col): _*)).as("__r"))
+          .select(df.columns.map { c =>
+            if (pk.contains(c)) col(c) else col(s"__r.$c").as(c)
+          }.toIndexedSeq: _*)
+      case _ => df
+    }
 
   private def dropCalc(s: StructType, calc: Set[String]): StructType =
     StructType(s.fields.filterNot(f => calc.contains(f.name)))

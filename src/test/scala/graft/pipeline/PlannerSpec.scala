@@ -198,6 +198,25 @@ class PlannerSpec extends SparkTestBase {
     assert(back.count() === 2L)
   }
 
+  test("patchNullsFromTarget: CQL sparse-row upsert semantics (null = unset)") {
+    Seq(("k1", Some(1), Some(2)), ("k2", Some(3), Some(4)))
+      .toDF("k", "a", "b")
+      .write.mode("overwrite").parquet(Tables.tablePath(tgtRef, "patch_t"))
+    Seq(("k1", None, Some(9)), ("k3", Some(7), Some(8)))
+      .toDF("k", "a", "b")
+      .write.mode("overwrite").parquet(Tables.tablePath(srcRef, "patch_src"))
+    val planned = MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "patch_src",
+      targetTableName = Some("patch_t"),
+      pkColumns = Seq("k"),
+      patchNullsFromTarget = true))
+    val out = planned.data.as[(String, Option[Int], Option[Int])].collect().toSet
+    assert(out === Set(
+      ("k1", Some(1), Some(9)), // a unset in source -> target's 1 kept; b overwritten
+      ("k2", Some(3), Some(4)), // absent from source -> target row survives
+      ("k3", Some(7), Some(8)))) // new row inserted
+  }
+
   test("executeAll runs tables sequentially in declared order (O18)") {
     val results = MigrationPlanner.executeAll(spark, cfg.copy(tables = Seq(
       TableMigrationDef("my_table_v1", simulateOnly = true),
