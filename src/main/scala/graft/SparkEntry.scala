@@ -435,6 +435,16 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.bpeTokenEstimate(col("text")).as("n_tokens_bpe"))),
 
+    "t05_chunking" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+        size = 100, overlap = 20)
+        .select(col("doc_id"), col("chunk_no"),
+          length(col("chunk_text")).as("chunk_len"))),
+
+    "t06_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("occurrences").desc, col("token").asc).limit(100)),
+
     "t04_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -495,6 +505,21 @@ object SparkEntry {
             lpad(CAST(len(list_filter(w, x -> list_contains(['le', 'la', 'les', 'et', 'est', 'un', 'une', 'pour', 'dans', 'que'], x))) AS VARCHAR), 10, '0') || 'fr',
             lpad(CAST(len(list_filter(w, x -> list_contains(['\u7684', '\u662f', '\u4e0d', '\u4e86', '\u5728', '\u6709', '\u6211', '\u4ed6', '\u8fd9', '\u5c31'], x))) AS VARCHAR), 10, '0') || 'zh') AS best
                FROM toks)""",
+    "t05_chunking" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_no,
+                length(substring(text, CAST(i * 80 + 1 AS INT), 100)) AS chunk_len
+         FROM (SELECT doc_id, text,
+                      CAST(greatest(ceil((length(text) - 20) / 80.0), 1) AS INT) AS nchunks
+               FROM documents), range(0, 2000) t(i)
+         WHERE i < nchunks
+           AND length(substring(text, CAST(i * 80 + 1 AS INT), 100)) > 0""",
+    "t06_vocabulary" ->
+      """SELECT token, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+         FROM (SELECT doc_id,
+                      unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+               FROM documents)
+         WHERE length(token) > 0
+         GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""",
     "q01_scan" -> "SELECT r_regionkey, r_name FROM region",
     "q02_projection" -> "SELECT c_custkey, c_name FROM customer",
     "q03_pushdown_filter" ->

@@ -76,6 +76,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.GraftFunctions.poly_hash64(Dedup.normalized(text))
 
+  /** Split documents into fixed-size character chunks with overlap — the
+    * standard context-window preparation step for training pipelines.
+    * Map-only (one posexplode); output (id, chunk_no, chunk_text).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(overlap < size, "overlap must be smaller than chunk size")
+    val stride = size - overlap
+    df.select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, int(greatest(ceil((length($textCol) - $overlap) / $stride.0D), 1)) - 1), " +
+            s"i -> substring($textCol, i * $stride + 1, $size))"))
+          .as(Seq("chunk_no", "chunk_text")))
+      .filter(length(col("chunk_text")) > 0)
+  }
+
+  /** Corpus vocabulary statistics: token -> document frequency + total
+    * occurrences. One explode + one aggregation keyed on the token.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col(idCol)).as("doc_freq"))
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))
