@@ -499,11 +499,11 @@ object SparkEntry {
          SELECT doc_id, CASE WHEN CAST(substr(best, 1, 10) AS INT) > 0
                              THEN substr(best, 11) ELSE 'und' END AS pred_lang
          FROM (SELECT doc_id, greatest(
-            lpad(CAST(len(list_filter(w, x -> list_contains(['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'f\u00fcr', 'von'], x))) AS VARCHAR), 10, '0') || 'de',
+            lpad(CAST(len(list_filter(w, x -> list_contains(['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'für', 'von'], x))) AS VARCHAR), 10, '0') || 'de',
             lpad(CAST(len(list_filter(w, x -> list_contains(['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'], x))) AS VARCHAR), 10, '0') || 'en',
             lpad(CAST(len(list_filter(w, x -> list_contains(['el', 'la', 'los', 'y', 'es', 'un', 'una', 'para', 'en', 'que'], x))) AS VARCHAR), 10, '0') || 'es',
             lpad(CAST(len(list_filter(w, x -> list_contains(['le', 'la', 'les', 'et', 'est', 'un', 'une', 'pour', 'dans', 'que'], x))) AS VARCHAR), 10, '0') || 'fr',
-            lpad(CAST(len(list_filter(w, x -> list_contains(['\u7684', '\u662f', '\u4e0d', '\u4e86', '\u5728', '\u6709', '\u6211', '\u4ed6', '\u8fd9', '\u5c31'], x))) AS VARCHAR), 10, '0') || 'zh') AS best
+            lpad(CAST(len(list_filter(w, x -> list_contains(['的', '是', '不', '了', '在', '有', '我', '他', '这', '就'], x))) AS VARCHAR), 10, '0') || 'zh') AS best
                FROM toks)""",
     "t05_chunking" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_no,
