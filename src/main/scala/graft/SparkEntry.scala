@@ -283,6 +283,17 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))),
 
+    "e02_sessionization" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("session_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("n_events"), col("session_value"))),
+
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
 
     // engine breadth beyond migrator parity: rollup, set ops, functions
@@ -623,6 +634,44 @@ object SparkEntry {
                 COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= '1998-09-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+    "e02_sessionization" ->
+      """WITH base AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+         flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS new_s
+           FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id,
+                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+         FROM sess GROUP BY user_id, sid""",
+    "e02_sessionization" ->
+      """WITH base AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+         flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS new_s
+           FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id,
+                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+         FROM sess GROUP BY user_id, sid""",
     "g01_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
