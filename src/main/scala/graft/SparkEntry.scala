@@ -446,6 +446,9 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.bpeTokenEstimate(col("text")).as("n_tokens_bpe"))),
 
+    "t07_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(t(s, dir, "documents"), "doc_id", "text")),
+
     "t05_chunking" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
         size = 100, overlap = 20)
@@ -516,6 +519,18 @@ object SparkEntry {
             lpad(CAST(len(list_filter(w, x -> list_contains(['le', 'la', 'les', 'et', 'est', 'un', 'une', 'pour', 'dans', 'que'], x))) AS VARCHAR), 10, '0') || 'fr',
             lpad(CAST(len(list_filter(w, x -> list_contains(['的', '是', '不', '了', '在', '有', '我', '他', '这', '就'], x))) AS VARCHAR), 10, '0') || 'zh') AS best
                FROM toks)""",
+    "t07_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         toks2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks2 GROUP BY 1, 2),
+         dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM toks2 GROUP BY 1),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents)
+         SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+                ROUND(tf.tf * ln(CAST(nn + 1 AS DOUBLE) / (doc_freq + 1)), 4) AS tfidf
+         FROM tf JOIN dfq USING (token), n""",
     "t05_chunking" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_no,
                 length(substring(text, CAST(i * 80 + 1 AS INT), 100)) AS chunk_len

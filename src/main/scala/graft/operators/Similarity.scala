@@ -139,12 +139,18 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
-      k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic centroid sample: first C corpus vectors by id
-    val centroids: Array[(Int, Array[Float])] = corpus
-      .orderBy(col(corpusId)).limit(numCentroids)
+      k: Int, numCentroids: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
+    // deterministic centroid model: a bounded sample (model fitting is the
+    // one sanctioned driver-side collect) refined with a few Lloyd
+    // iterations — init = first C sample vectors by id
+    val sampleSize = math.max(numCentroids * 32, 512)
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(col(corpusId)).limit(sampleSize)
       .select(col(corpusVec)).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+      .map(_.getSeq[Float](0).toArray)
+    val centroids: Array[(Int, Array[Float])] =
+      kmeans(sample, numCentroids, kmeansIters).zipWithIndex.map(_.swap)
 
     def nearestCentroid(vec: Column): Column = {
       val scored = centroids.map { case (i, c) =>
@@ -173,5 +179,41 @@ object Similarity {
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Tiny deterministic Lloyd's k-means over a driver-side sample (cosine
+    * assignment, mean update). Input order fixes initialization, so the
+    * model is reproducible run to run.
+    */
+  private[operators] def kmeans(
+      sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
+    }
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = -2.0
+        var c = 0
+        while (c < cents.length) {
+          val s = cos(v, cents(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
   }
 }

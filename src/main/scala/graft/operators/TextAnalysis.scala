@@ -102,6 +102,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col(idCol)).as("doc_freq"))
 
+  /** TF-IDF per (document, token): term frequency joined with document
+    * frequency from [[vocabulary]] and the (broadcast) corpus size.
+    * idf = ln((N+1)/(df+1)) — smoothed; two aggregations + one broadcast
+    * join, no driver-side collection.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val docFreq = toks.groupBy("token")
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+    val n = df.agg(countDistinct(col(idCol)).as("__n"))
+    tf.join(docFreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"), col("tf"), col("doc_freq"),
+        round(col("tf") * log((col("__n") + 1).cast("double") /
+          (col("doc_freq") + 1)), 4).as("tfidf"))
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))
