@@ -668,25 +668,6 @@ object SparkEntry {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
          FROM sess GROUP BY user_id, sid""",
-    "e02_sessionization" ->
-      """WITH base AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
-         flagged AS (
-           SELECT user_id, ts, value,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                       THEN 1 ELSE 0 END AS new_s
-           FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         sess AS (
-           SELECT user_id, ts, value,
-                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) AS sid
-           FROM flagged)
-         SELECT user_id,
-                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-                COUNT(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
-         FROM sess GROUP BY user_id, sid""",
     "g01_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

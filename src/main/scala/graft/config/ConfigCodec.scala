@@ -66,7 +66,8 @@ object ConfigCodec {
         .map { c =>
           val cm = asMap(c, "calculated column")
           CalculatedColumn(
-            str(cm, "targetColumn", null), str(cm, "expression", null))
+            required(cm, "targetColumn", "calculated column"),
+            required(cm, "expression", "calculated column"))
         },
       writeMode = str(m, "writeMode", "upsert").toLowerCase match {
         case "upsert" => Upsert
@@ -78,9 +79,9 @@ object ConfigCodec {
       counterColumns = strList(m, "counterColumns"),
       ttl = m.get("ttl").map { v =>
         val tm = asMap(v, "ttl")
-        TtlSpec(str(tm, "ttlColumn", null),
-          parseLong(tm("sourceTableTtl"), "sourceTableTtl"),
-          parseLong(tm("targetTableTtl"), "targetTableTtl"))
+        TtlSpec(required(tm, "ttlColumn", "ttl"),
+          parseLong(required(tm, "sourceTableTtl", "ttl"), "sourceTableTtl"),
+          parseLong(required(tm, "targetTableTtl", "ttl"), "targetTableTtl"))
       },
       simulateOnly = bool(m, "simulateOnly", default = true),
       continueOnRowError = m.get("continueOnRowError").map(v => parseBool(v, "continueOnRowError")),
@@ -113,6 +114,9 @@ object ConfigCodec {
     case l: List[_] => l
     case other => throw ConfigError(s"expected a list for $what, got: $other")
   }
+  private def required(m: Map[String, Any], key: String, what: String): String =
+    m.get(key).map(_.toString).getOrElse(
+      throw ConfigError(s"$what missing required key '$key'"))
   private def str(m: Map[String, Any], key: String, default: String): String =
     m.get(key).map(_.toString).getOrElse(default)
   private def strList(m: Map[String, Any], key: String): Seq[String] =

@@ -63,8 +63,9 @@ object Yaml {
         lines = rest
       } else if (inline.contains(":") && !isQuotedScalar(inline)) {
         // "- key: value" starts an inline map item; its continuation lines
-        // are more-indented keys
-        val itemIndent = head.indent + 2
+        // are keys aligned with the first key (dash prefix may have any
+        // number of spaces)
+        val itemIndent = head.indent + (head.text.length - inline.length)
         val (cont, rest) = lines.span(_.indent >= itemIndent)
         val (v, leftover) = parseMap(Line(itemIndent, inline) :: cont, itemIndent)
         if (leftover.nonEmpty) throw YamlError(s"bad list item near '${inline}'")
@@ -90,8 +91,14 @@ object Yaml {
       if (value.nonEmpty) {
         out += key -> scalar(value)
       } else {
-        // block value: everything more-indented
-        val (block, rest) = lines.span(_.indent > indent)
+        // block value: everything more-indented, plus the common YAML style
+        // of a list at the SAME indent as its key ("key:\n- item")
+        val (block, rest) =
+          if (lines.nonEmpty && lines.head.indent == indent &&
+              (lines.head.text.startsWith("- ") || lines.head.text == "-"))
+            lines.span(l => l.indent > indent ||
+              (l.indent == indent && (l.text.startsWith("- ") || l.text == "-")))
+          else lines.span(_.indent > indent)
         if (block.isEmpty) out += key -> ""
         else {
           val (v, leftover) = parseBlock(block, block.head.indent)

@@ -54,12 +54,40 @@ object MvelTranslator {
     "byte" -> "TINYINT", "float" -> "FLOAT", "double" -> "DOUBLE")
 
   /** Translate an MVEL-subset expression or straight-line script into a
-    * Spark SQL expression string.
+    * Spark SQL expression string. String literals are masked before any
+    * rewriting, so operator translation (`&&` → AND, `row.` stripping, …)
+    * can never mutate quoted values like `'a&&b'` or `'see row.id'`.
     */
   def toSql(mvel: String): String = {
-    val single = normalizeScript(mvel)
-    translateExpression(single)
+    val (masked, literals) = maskStrings(mvel)
+    val single = normalizeScript(masked)
+    unmask(translateExpression(single), literals)
   }
+
+  /** Replace quoted literals with identifier-shaped placeholders. */
+  private def maskStrings(s: String): (String, Vector[String]) = {
+    val out = new StringBuilder
+    val lits = Vector.newBuilder[String]
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        val close = s.indexOf(c, i + 1)
+        if (close < 0) throw UnsupportedMvel(s"unterminated string literal in '$s'")
+        lits += s.substring(i, close + 1)
+        out ++= s"__GRAFT_STR_${n}__"
+        n += 1
+        i = close + 1
+      } else { out += c; i += 1 }
+    }
+    (out.result(), lits.result())
+  }
+
+  private def unmask(s: String, lits: Vector[String]): String =
+    lits.zipWithIndex.foldLeft(s) { case (acc, (lit, idx)) =>
+      acc.replace(s"__GRAFT_STR_${idx}__", lit)
+    }
 
   /** Collapse a straight-line MVEL script into one expression via inline
     * substitution. Mirrors the semantics (not the mechanics) of the
@@ -82,7 +110,8 @@ object MvelTranslator {
       // replace known vars (longest name first to avoid prefix clashes)
       var out = e
       env.keys.toSeq.sortBy(-_.length).foreach { v =>
-        out = out.replaceAll(s"""\\b$v\\b(?!\\s*\\()""", s"(${env(v)})")
+        // (?<!\.) keeps `row.value` intact when a local is named `value`
+        out = out.replaceAll(s"""(?<!\\.)\\b$v\\b(?!\\s*\\()""", s"(${env(v)})")
       }
       out
     }

@@ -189,8 +189,11 @@ object Similarity {
       sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
     if (sample.isEmpty) return Array.empty
     val dim = sample.head.length
+    // vectors whose dimension differs from the model are excluded from
+    // the update step too (they would corrupt the mean)
     var cents = sample.take(k).map(_.clone)
     def cos(a: Array[Float], b: Array[Float]): Double = {
+      if (a.length != dim || b.length != dim) return -1.0 // mismatched dims never win
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -200,6 +203,7 @@ object Similarity {
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Int](cents.length)
       sample.foreach { v =>
+        if (v.length == dim) {
         var best = 0; var bestSim = -2.0
         var c = 0
         while (c < cents.length) {
@@ -208,6 +212,7 @@ object Similarity {
         counts(best) += 1
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        }
       }
       cents = cents.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old

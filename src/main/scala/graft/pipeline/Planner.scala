@@ -54,7 +54,16 @@ object MigrationPlanner {
     t.maxWriteRowCount.foreach(n => df = df.limit(n.toInt))
 
     df = writeModeTransform(df, target, t)
-    Planned(df, rec, failed)
+    // silent-dedup-skip guard: upsert with a PK but no ordering writes
+    // duplicate-PK rows as-is — legitimate for unique-PK sources, but worth
+    // a warning since last-write-wins then has no defined "last"
+    val rec2 = if (t.writeMode == Upsert && t.pkColumns.nonEmpty &&
+        t.orderingColumns.isEmpty)
+      rec.copy(warnings = rec.warnings :+
+        (s"upsert on '${t.tableName}' has pkColumns but no orderingColumns: " +
+          "duplicate-PK rows are not deduplicated"))
+    else rec
+    Planned(df, rec2, failed)
   }
 
   /** The narrow (shuffle-free, streaming-safe) prefix of the plan:
@@ -287,9 +296,12 @@ object MigrationPlanner {
       f.count()
     }.getOrElse(0L)
     val elapsedMs = (System.nanoTime() - startNanos) / 1000000L
+    // listener missed the window (loaded bus, long GC): fall back to a
+    // recount rather than reporting a successful migration as failed
+    val rowsMigrated = captured.getOrElse(planned.data.count())
     MigrationResult(
       t.tableName,
-      rowsMigrated = captured.getOrElse(-1L),
+      rowsMigrated = rowsMigrated,
       rowsFailed = rowsFailed,
       elapsedMillis = elapsedMs,
       warnings = planned.reconciliation.warnings)

@@ -47,16 +47,24 @@ object Tables {
     * + stacktrace for the (entirely expected) missing-target case.
     */
   def loadIfExists(spark: SparkSession, ref: TableRef, table: String): Option[DataFrame] = {
-    if (pathFormats.contains(ref.format)) {
-      val p = tablePath(ref, table).stripPrefix("file:")
-      if (!p.contains("://") && !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-        return None
-    }
-    try {
+    val p = tablePath(ref, table).stripPrefix("file:")
+    val localPath = pathFormats.contains(ref.format) && !p.contains("://")
+    if (localPath && !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      return None
+    if (localPath) {
+      // the path EXISTS: a load failure now is corruption/permissions, not
+      // absence — surface it instead of silently disabling existence
+      // filtering / null-patching against this target
       val df = load(spark, ref, table)
-      df.schema // force analysis so a missing path surfaces here
+      df.schema
       Some(df)
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } else {
+      try {
+        val df = load(spark, ref, table)
+        df.schema // force analysis so a missing table surfaces here
+        Some(df)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Write a DataFrame to a target table binding. `overwrite` maps the

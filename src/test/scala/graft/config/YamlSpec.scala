@@ -48,4 +48,27 @@ class YamlSpec extends AnyFunSuite {
     val v = Yaml.parse("""w: "a: b"""").asInstanceOf[Map[String, Any]]
     assert(v("w") === "a: b")
   }
+
+  test("zero-indent block list under a key (common YAML style)") {
+    val v = Yaml.parse(
+      """tableMigrations:
+        |- tableName: t1
+        |- tableName: t2
+        |next: x
+        |""".stripMargin).asInstanceOf[Map[String, Any]]
+    val items = v("tableMigrations").asInstanceOf[List[Map[String, Any]]]
+    assert(items.map(_("tableName")) === List("t1", "t2"))
+    assert(v("next") === "x")
+  }
+
+  test("extra spaces after the dash align continuations correctly") {
+    val v = Yaml.parse(
+      """items:
+        |  -  name: first
+        |     opt: a
+        |""".stripMargin).asInstanceOf[Map[String, Any]]
+    val items = v("items").asInstanceOf[List[Map[String, Any]]]
+    assert(items.head("name") === "first")
+    assert(items.head("opt") === "a")
+  }
 }

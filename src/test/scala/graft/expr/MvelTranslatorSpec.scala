@@ -66,4 +66,17 @@ class MvelTranslatorSpec extends AnyFunSuite {
     assertThrows[MvelTranslator.UnsupportedMvel](
       MvelTranslator.toSql("var a = 1; var b = 2;")) // no return
   }
+
+  test("operators inside string literals are never rewritten") {
+    assert(MvelTranslator.toSql("row.tag == 'a&&b'") === "tag = 'a&&b'")
+    assert(MvelTranslator.toSql("row.note == 'see row.id'") === "note = 'see row.id'")
+    assert(MvelTranslator.toSql("row.x == 'a ? b : c'") === "x = 'a ? b : c'")
+  }
+
+  test("local var sharing a column name does not corrupt row refs") {
+    val sql = MvelTranslator.toSql(
+      "var value = row.value * 2; value += row.value; return value;")
+    // row.value must survive as the column ref `value`, locals substituted
+    assert(sql === "((value * 2) + (value))")
+  }
 }
