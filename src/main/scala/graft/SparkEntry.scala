@@ -263,6 +263,27 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "j03_outer_join" -> ((s, dir) => {
+      // left join with an intentionally-sparse right side: null semantics
+      val n = t(s, dir, "nation")
+      val bigNations = t(s, dir, "customer")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+        .filter(col("n_customers") >= 70)
+      n.join(bigNations, col("n_nationkey") === col("c_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+    }),
+
+    "j04_exists_subquery" -> ((s, dir) => {
+      // correlated EXISTS through the SQL surface (temp views + spark.sql)
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_v
+           WHERE EXISTS (SELECT 1 FROM orders_v
+                         WHERE o_custkey = c_custkey AND o_totalprice > 400000)""")
+    }),
+
     "w01_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -630,6 +651,16 @@ object SparkEntry {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
+    "j03_outer_join" ->
+      """SELECT n_nationkey, n_name, COALESCE(n_customers, 0) AS n_customers
+         FROM nation LEFT JOIN (
+           SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+           GROUP BY c_nationkey HAVING COUNT(*) >= 70) big
+         ON n_nationkey = c_nationkey""",
+    "j04_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
     "w01_window_rank" ->
       """SELECT o_orderkey, o_custkey,
                 row_number() OVER (PARTITION BY o_custkey
