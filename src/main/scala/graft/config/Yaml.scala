@@ -57,10 +57,15 @@ object Yaml {
       val inline = head.text.stripPrefix("-").trim
       lines = lines.tail
       if (inline.isEmpty) {
-        // nested block item
-        val (v, rest) = parseBlock(lines, lines.headOption.map(_.indent).getOrElse(indent))
-        out += v
-        lines = rest
+        // nested block item: its content must be MORE indented than the
+        // dash; a following line at the same indent is the next item
+        if (lines.nonEmpty && lines.head.indent > indent) {
+          val (block, rest) = lines.span(_.indent > indent)
+          val (v, leftover) = parseBlock(block, block.head.indent)
+          if (leftover.nonEmpty) throw YamlError("bad block under '-'")
+          out += v
+          lines = rest
+        } else out += ""
       } else if (inline.contains(":") && !isQuotedScalar(inline)) {
         // "- key: value" starts an inline map item; its continuation lines
         // are keys aligned with the first key (dash prefix may have any

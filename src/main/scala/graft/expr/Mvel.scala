@@ -73,12 +73,14 @@ object MvelTranslator {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\'' || c == '"') {
-        val close = s.indexOf(c, i + 1)
-        if (close < 0) throw UnsupportedMvel(s"unterminated string literal in '$s'")
-        lits += s.substring(i, close + 1)
+        // find the close, honoring backslash escapes inside the literal
+        var j = i + 1
+        while (j < s.length && !(s.charAt(j) == c && s.charAt(j - 1) != '\\')) j += 1
+        if (j >= s.length) throw UnsupportedMvel(s"unterminated string literal in '$s'")
+        lits += s.substring(i, j + 1)
         out ++= s"__GRAFT_STR_${n}__"
         n += 1
-        i = close + 1
+        i = j + 1
       } else { out += c; i += 1 }
     }
     (out.result(), lits.result())
@@ -102,7 +104,8 @@ object MvelTranslator {
     val stmts = splitStatements(script).map(_.trim).filter(_.nonEmpty)
     if (stmts.isEmpty) throw UnsupportedMvel(s"empty MVEL script: '$script'")
     if (stmts.length == 1 && !stmts.head.startsWith("return ") &&
-        !stmts.head.matches("""(?s)^var\s.*""")) {
+        !stmts.head.matches(
+          """(?s)^(?:var|int|long|short|byte|float|double|boolean|String)\s.*""")) {
       return stmts.head // plain single expression
     }
     var env = Map.empty[String, String] // var name -> substituted expression
@@ -115,11 +118,12 @@ object MvelTranslator {
       }
       out
     }
-    val VarDecl = """(?s)^var\s+([a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*(.*)$""".r
+    val VarDecl =
+      """(?s)^(?:var|int|long|short|byte|float|double|boolean|String)\s+([a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*(.*)$""".r
     val Compound = """(?s)^([a-zA-Z_][a-zA-Z0-9_]*)\s*([+\-*/%])=\s*(.*)$""".r
     val Assign = """(?s)^([a-zA-Z_][a-zA-Z0-9_]*)\s*=([^=].*)$""".r
     val IfAssign =
-      """(?s)^if\s*\((.*)\)\s*\{\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*([^;{}]*);?\s*\}$""".r
+      """(?s)^if\s*\((.*)\)\s*\{\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:([+\-*/%])\s*)?=\s*([^;{}]*);?\s*\}$""".r
     val Return = """(?s)^return\s+(.*)$""".r
 
     var result: Option[String] = None
@@ -129,10 +133,13 @@ object MvelTranslator {
       case VarDecl(name, e) => env += name -> subst(e)
       case Compound(name, op, e) if env.contains(name) =>
         env += name -> s"(${env(name)}) $op (${subst(e)})"
-      case IfAssign(cond, name, e) if env.contains(name) =>
-        env += name -> s"IF(${subst(cond)}, ${subst(e)}, ${env(name)})"
+      case IfAssign(cond, name, op, e) if env.contains(name) =>
+        val thenExpr =
+          if (op == null) subst(e)
+          else s"(${env(name)}) $op (${subst(e)})" // `if (c) { v *= e; }`
+        env += name -> s"IF(${subst(cond)}, $thenExpr, ${env(name)})"
       case Return(e) => result = Some(subst(e))
-      case Assign(name, e) if env.contains(name) => env += name -> subst(e)
+      case Assign(name, e) => env += name -> subst(e) // first use declares (MVEL-style)
       case other =>
         throw UnsupportedMvel(
           s"unsupported MVEL statement '$other' (supported: var/assign/compound-assign/if-assign/return)")

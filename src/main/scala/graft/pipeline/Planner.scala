@@ -51,7 +51,7 @@ object MigrationPlanner {
     var df = narrow
 
     // O8 write limit (post-filter, pre-sink — distinct from O7's position).
-    t.maxWriteRowCount.foreach(n => df = df.limit(n.toInt))
+    t.maxWriteRowCount.foreach(n => df = df.limit(intLimit(n, "maxWriteRowCount")))
 
     df = writeModeTransform(df, target, t)
     // silent-dedup-skip guard: upsert with a PK but no ordering writes
@@ -103,7 +103,8 @@ object MigrationPlanner {
     t.whereClause.foreach(w => df = df.filter(expr(w)))
 
     // O7 read limit (batch only: streams have no global limit).
-    if (!df.isStreaming) t.maxReadRowCount.foreach(n => df = df.limit(n.toInt))
+    if (!df.isStreaming)
+      t.maxReadRowCount.foreach(n => df = df.limit(intLimit(n, "maxReadRowCount")))
 
     // O4/O5 residual filter chain: conjunction of translated MVEL
     // predicates. Order is irrelevant under Catalyst; the reference runs
@@ -233,6 +234,12 @@ object MigrationPlanner {
       case _ => df
     }
 
+  private def intLimit(n: Long, what: String): Int = {
+    if (n < 0 || n > Int.MaxValue)
+      throw PlanError(s"$what=$n outside supported range [0, ${Int.MaxValue}]")
+    n.toInt
+  }
+
   private def dropCalc(s: StructType, calc: Set[String]): StructType =
     StructType(s.fields.filterNot(f => calc.contains(f.name)))
 
@@ -277,10 +284,26 @@ object MigrationPlanner {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
+    // Write-mode disposition against a pre-existing target:
+    //  - anti-join modes produce ONLY the new rows => APPEND (existing rows
+    //    must survive, and appending never conflicts with the scan);
+    //  - merge modes (patchNullsFromTarget) produce the FULL result set but
+    //    READ the target in the same plan — Spark refuses to overwrite a
+    //    path it is reading, so materialize to a staging path and swap.
+    val producesOnlyNewRows = t.writeMode == InsertIfNotExists ||
+      t.filters.contains(IfNotExistFilter)
+    val readsTarget = producesOnlyNewRows || t.patchNullsFromTarget
+    val targetPath = Tables.tablePath(cfg.target, t.resolvedTargetName)
+    val targetExists = !targetPath.contains("://") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(targetPath))
     spark.listenerManager.register(listener)
     try {
       if (t.simulateOnly) {
         observed.write.format("noop").mode("overwrite").save()
+      } else if (producesOnlyNewRows && targetExists) {
+        Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append")
+      } else if (readsTarget && targetExists) {
+        Tables.writeReplacing(observed, cfg.target, t.resolvedTargetName)
       } else {
         Tables.write(observed, cfg.target, t.resolvedTargetName)
       }
@@ -296,9 +319,17 @@ object MigrationPlanner {
       f.count()
     }.getOrElse(0L)
     val elapsedMs = (System.nanoTime() - startNanos) / 1000000L
-    // listener missed the window (loaded bus, long GC): fall back to a
-    // recount rather than reporting a successful migration as failed
-    val rowsMigrated = captured.getOrElse(planned.data.count())
+    // listener missed the window (loaded bus, long GC): fall back to the
+    // cheapest truthful count — the written output (parquet footer counts)
+    // when one exists, the plan itself only for dry runs
+    val rowsMigrated = captured.getOrElse {
+      if (!t.simulateOnly && !(producesOnlyNewRows && targetExists))
+        // the write fully replaced the target: its (footer-cheap) count IS
+        // the migrated row count
+        Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
+          .map(_.count()).getOrElse(planned.data.count())
+      else planned.data.count()
+    }
     MigrationResult(
       t.tableName,
       rowsMigrated = rowsMigrated,

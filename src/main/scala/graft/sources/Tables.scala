@@ -63,7 +63,15 @@ object Tables {
         val df = load(spark, ref, table)
         df.schema // force analysis so a missing table surfaces here
         Some(df)
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch {
+        // only genuine absence maps to None — auth/network/corruption on a
+        // DSv2 target must NOT silently read as "target is empty" (that
+        // would re-insert every existing row under anti-join modes)
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+              (e.getCondition.contains("NOT_FOUND") ||
+                e.getCondition.contains("TABLE_OR_VIEW")) => None
+      }
     }
   }
 
@@ -91,4 +99,27 @@ object Tables {
           .mode(mode)).save()
     }
   }
+
+  /** Replace a path-based target that the writing plan is simultaneously
+    * READING (merge modes): materialize to a staging path, then swap.
+    * Spark refuses a direct overwrite of an input path — and is right to.
+    */
+  def writeReplacing(df: DataFrame, ref: TableRef, table: String): Unit = {
+    require(pathFormats.contains(ref.format),
+      s"writeReplacing needs a path-based target, got '${ref.format}'")
+    val path = java.nio.file.Paths.get(tablePath(ref, table).stripPrefix("file:"))
+    val staging = path.resolveSibling(path.getFileName.toString + ".staging")
+    deleteRecursively(staging)
+    df.write.format(ref.format).options(ref.options - "partitionBy")
+      .mode("overwrite").save(staging.toString)
+    deleteRecursively(path)
+    java.nio.file.Files.move(staging, path)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
 }

@@ -42,6 +42,23 @@ class MvelTranslatorSpec extends AnyFunSuite {
       "IF(a >= 10, 'BIG', 'SMALL')")
   }
 
+  test("reference example verbatim: typed declaration and compound ops") {
+    // the reference's calculated-column script uses `int hash = ...`
+    // (config/migration-config.example.yaml:112-120)
+    val sql = MvelTranslator.toSql(
+      """int hash = row.my_col.hashCode();
+        |if (hash < 0) { hash *= -1; }
+        |hash %= 32;
+        |return (short) hash;""".stripMargin)
+    assert(sql.contains("java_hash_code(my_col)"))
+    assert(sql.startsWith("CAST(") && sql.endsWith("AS SMALLINT)"))
+  }
+
+  test("escaped quotes inside literals survive masking") {
+    assert(MvelTranslator.toSql("""row.name == 'O\'Brien'""") ===
+      """name = 'O\'Brien'""")
+  }
+
   test("multi-statement script (reference yaml:112-120 shape) normalizes") {
     // the reference's calculated-column example: local var, if-block,
     // compound assignment, cast+return

@@ -217,6 +217,33 @@ class PlannerSpec extends SparkTestBase {
       ("k3", Some(7), Some(8)))) // new row inserted
   }
 
+  test("insert-if-not-exists EXECUTES against a pre-existing target (append)") {
+    Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .write.mode("overwrite").parquet(Tables.tablePath(tgtRef, "incr_t"))
+    Seq(("b", 20), ("c", 30)).toDF("k", "v")
+      .write.mode("overwrite").parquet(Tables.tablePath(srcRef, "incr_src"))
+    val r = MigrationPlanner.execute(spark, cfg, TableMigrationDef(
+      tableName = "incr_src", targetTableName = Some("incr_t"),
+      pkColumns = Seq("k"), writeMode = InsertIfNotExists, simulateOnly = false))
+    assert(r.rowsMigrated === 1L) // only 'c' is new
+    val out = Tables.load(spark, tgtRef, "incr_t").as[(String, Int)].collect().toSet
+    assert(out === Set(("a", 1), ("b", 2), ("c", 30)))
+  }
+
+  test("patchNullsFromTarget EXECUTES via staging swap (target read+replaced)") {
+    Seq(("k1", Some(1)), ("k2", Some(2))).toDF("k", "a")
+      .write.mode("overwrite").parquet(Tables.tablePath(tgtRef, "swap_t"))
+    Seq(("k1", None: Option[Int]), ("k3", Some(3))).toDF("k", "a")
+      .write.mode("overwrite").parquet(Tables.tablePath(srcRef, "swap_src"))
+    val r = MigrationPlanner.execute(spark, cfg, TableMigrationDef(
+      tableName = "swap_src", targetTableName = Some("swap_t"),
+      pkColumns = Seq("k"), patchNullsFromTarget = true, simulateOnly = false))
+    assert(r.rowsMigrated === 3L)
+    val out = Tables.load(spark, tgtRef, "swap_t")
+      .as[(String, Option[Int])].collect().toSet
+    assert(out === Set(("k1", Some(1)), ("k2", Some(2)), ("k3", Some(3))))
+  }
+
   test("executeAll runs tables sequentially in declared order (O18)") {
     val results = MigrationPlanner.executeAll(spark, cfg.copy(tables = Seq(
       TableMigrationDef("my_table_v1", simulateOnly = true),
