@@ -73,10 +73,18 @@ object MvelTranslator {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\'' || c == '"') {
-        // find the close, honoring backslash escapes inside the literal
+        // find the close, consuming backslash escapes pairwise (so a
+        // literal ending in an escaped backslash still terminates)
         var j = i + 1
-        while (j < s.length && !(s.charAt(j) == c && s.charAt(j - 1) != '\\')) j += 1
-        if (j >= s.length) throw UnsupportedMvel(s"unterminated string literal in '$s'")
+        var closed = false
+        while (j < s.length && !closed) {
+          val cj = s.charAt(j)
+          if (cj == '\\') j += 2
+          else if (cj == c) closed = true
+          else j += 1
+        }
+        if (!closed || j >= s.length)
+          throw UnsupportedMvel(s"unterminated string literal in '$s'")
         lits += s.substring(i, j + 1)
         out ++= s"__GRAFT_STR_${n}__"
         n += 1
@@ -123,7 +131,7 @@ object MvelTranslator {
     val Compound = """(?s)^([a-zA-Z_][a-zA-Z0-9_]*)\s*([+\-*/%])=\s*(.*)$""".r
     val Assign = """(?s)^([a-zA-Z_][a-zA-Z0-9_]*)\s*=([^=].*)$""".r
     val IfAssign =
-      """(?s)^if\s*\((.*)\)\s*\{\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:([+\-*/%])\s*)?=\s*([^;{}]*);?\s*\}$""".r
+      """(?s)^if\s*\((.*)\)\s*\{\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:([+\-*/%])\s*)?=\s*([^=;{}][^;{}]*);?\s*\}$""".r
     val Return = """(?s)^return\s+(.*)$""".r
 
     var result: Option[String] = None

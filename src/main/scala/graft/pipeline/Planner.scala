@@ -290,12 +290,15 @@ object MigrationPlanner {
     //  - merge modes (patchNullsFromTarget) produce the FULL result set but
     //    READ the target in the same plan — Spark refuses to overwrite a
     //    path it is reading, so materialize to a staging path and swap.
-    val producesOnlyNewRows = t.writeMode == InsertIfNotExists ||
-      t.filters.contains(IfNotExistFilter)
+    // patchNullsFromTarget produces the FULL merged set, so it must never
+    // take the append branch even when an anti-join filter is also present
+    val producesOnlyNewRows = !t.patchNullsFromTarget &&
+      (t.writeMode == InsertIfNotExists || t.filters.contains(IfNotExistFilter))
     val readsTarget = producesOnlyNewRows || t.patchNullsFromTarget
-    val targetPath = Tables.tablePath(cfg.target, t.resolvedTargetName)
-    val targetExists = !targetPath.contains("://") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(targetPath))
+    // existence probed through the source abstraction (works for DSv2
+    // table targets and file: prefixes, not just bare local paths)
+    val targetExists =
+      Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName).isDefined
     spark.listenerManager.register(listener)
     try {
       if (t.simulateOnly) {
@@ -303,7 +306,17 @@ object MigrationPlanner {
       } else if (producesOnlyNewRows && targetExists) {
         Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append")
       } else if (readsTarget && targetExists) {
-        Tables.writeReplacing(observed, cfg.target, t.resolvedTargetName)
+        if (Tables.isLocalPath(cfg.target, t.resolvedTargetName)) {
+          Tables.writeReplacing(observed, cfg.target, t.resolvedTargetName)
+        } else if (Tables.isPathFormat(cfg.target)) {
+          throw PlanError(
+            s"merge-mode write to remote path target '${t.resolvedTargetName}' " +
+              "needs a staging swap, which is only implemented for local paths")
+        } else {
+          // table-addressed connector: row-level upsert semantics make a
+          // plain append the correct merge write
+          Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append")
+        }
       } else {
         Tables.write(observed, cfg.target, t.resolvedTargetName)
       }

@@ -31,6 +31,13 @@ object Tables {
 
   private val pathFormats = Set("parquet", "csv", "json", "orc")
 
+  /** Is this ref addressed by filesystem path (vs. a table-name DSv2)? */
+  def isPathFormat(ref: TableRef): Boolean = pathFormats.contains(ref.format)
+
+  /** Is the table a LOCAL filesystem path (staging swaps possible)? */
+  def isLocalPath(ref: TableRef, table: String): Boolean =
+    isPathFormat(ref) && !tablePath(ref, table).stripPrefix("file:").contains("://")
+
   /** Load a table as a DataFrame — the O1 scan. Column pruning + filter
     * pushdown are Catalyst's job from here (SURVEY §4).
     */
@@ -64,13 +71,11 @@ object Tables {
         df.schema // force analysis so a missing table surfaces here
         Some(df)
       } catch {
-        // only genuine absence maps to None — auth/network/corruption on a
-        // DSv2 target must NOT silently read as "target is empty" (that
-        // would re-insert every existing row under anti-join modes)
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition != null &&
-              (e.getCondition.contains("NOT_FOUND") ||
-                e.getCondition.contains("TABLE_OR_VIEW")) => None
+        // analysis-time failures at load are absence/misconfiguration ->
+        // None; transport/auth errors (IO, driver exceptions) are NOT
+        // absence and must surface: treating them as "target is empty"
+        // would re-insert every existing row under anti-join modes
+        case _: org.apache.spark.sql.AnalysisException => None
       }
     }
   }
@@ -105,13 +110,18 @@ object Tables {
     * Spark refuses a direct overwrite of an input path — and is right to.
     */
   def writeReplacing(df: DataFrame, ref: TableRef, table: String): Unit = {
-    require(pathFormats.contains(ref.format),
-      s"writeReplacing needs a path-based target, got '${ref.format}'")
+    require(isLocalPath(ref, table),
+      s"writeReplacing needs a local path-based target, got '${ref.format}'")
     val path = java.nio.file.Paths.get(tablePath(ref, table).stripPrefix("file:"))
     val staging = path.resolveSibling(path.getFileName.toString + ".staging")
     deleteRecursively(staging)
-    df.write.format(ref.format).options(ref.options - "partitionBy")
-      .mode("overwrite").save(staging.toString)
+    // same writer shape as write() so the partitionBy layout survives swaps
+    val partitionCols = ref.options.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val w = df.write.format(ref.format).options(ref.options - "partitionBy")
+      .mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .save(staging.toString)
     deleteRecursively(path)
     java.nio.file.Files.move(staging, path)
   }

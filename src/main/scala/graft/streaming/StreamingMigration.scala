@@ -30,6 +30,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object StreamingMigration {
 
+  /** Batch-keyed partition dirs are only safe when the target is absent or
+    * already batch-partitioned — mixing them into a flat file layout would
+    * break partition discovery for readers.
+    */
+  private def batchDirsUsable(cfg: MigrationConfig, t: TableMigrationDef): Boolean = {
+    val p = java.nio.file.Paths.get(
+      Tables.tablePath(cfg.target, t.resolvedTargetName).stripPrefix("file:"))
+    if (!java.nio.file.Files.exists(p)) true
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala.forall { child =>
+        val name = child.getFileName.toString
+        name.startsWith("__graft_batch=") || name.startsWith("_") || name.startsWith(".")
+      }
+    }
+  }
+
   /** Start the streaming migration for one table. Caller owns the returned
     * query lifecycle (`awaitTermination` / `stop`).
     */
@@ -69,16 +86,23 @@ object StreamingMigration {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val out = MigrationPlanner.writeModeTransform(batch, target, t)
         if (t.simulateOnly) out.write.format("noop").mode("overwrite").save()
-        else {
+        else if (Tables.isPathFormat(cfg.target) && batchDirsUsable(cfg, t)) {
           // idempotent per batch: each micro-batch OVERWRITES its own
           // batch-keyed partition directory, so a post-crash replay of the
           // same batchId rewrites identical files instead of appending
-          // duplicates (this is what makes counter increments retry-safe)
+          // duplicates (this is what makes counter increments retry-safe).
+          // Readers see `__graft_batch` as an ordinary partition column.
           val base = Tables.tablePath(cfg.target, t.resolvedTargetName)
           out.write.format(cfg.target.format)
             .options(cfg.target.options - "partitionBy")
             .mode("overwrite")
             .save(s"$base/__graft_batch=$batchId")
+        } else {
+          // flat pre-existing target (mixing batch dirs into it would break
+          // partition discovery) or a table-addressed connector: plain
+          // append — at-least-once for file sinks, idempotent when the
+          // connector upserts by PK
+          Tables.write(out, cfg.target, t.resolvedTargetName, mode = "append")
         }
       }
       .start()
