@@ -34,6 +34,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, TableRef(path = dir), name)
 
+  /** Direction-planted ANN probe queries: each query is a corpus vector
+    * scaled by 2 (an exact power-of-2 scaling, so every float product and
+    * double accumulation scales exactly) — its true nearest neighbor is the
+    * source vector at cosine EXACTLY 1.0, and sign-LSH signatures / IVF
+    * centroid rankings are provably identical to the source's. A correct
+    * index therefore MUST return the source at rank 1; random fixture data
+    * can't make recall of arbitrary neighbors a stable contract, but this
+    * routing+scoring+ranking guarantee is structural.
+    */
+  private def plantedQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+
+  private def plantedHit(ann: DataFrame): DataFrame =
+    ann.filter(col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("rank"), round(col("cosine"), 6).as("cosine"))
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): TPC-H-Q1-style
     * pricing summary — scan, filter, hash aggregate, exact decimal sums.
     */
@@ -128,7 +145,10 @@ object SparkEntry {
       t(s, dir, "lineitem").select(
         col("l_linenumber").cast("smallint").as("linenum_small"),
         col("l_orderkey").cast("string").as("orderkey_str"),
-        col("l_quantity").cast(DecimalType(12, 2)).as("qty_dec"),
+        // decimal cast exercised, then emitted as DOUBLE: the driver's value
+        // hash distinguishes Decimal('41.00') from 41.0, so keep the compare
+        // representation-stable on both sides
+        col("l_quantity").cast(DecimalType(12, 2)).cast("double").as("qty_dec"),
         floor(col("l_extendedprice")).as("price_floor"))),
 
     // O13 upsert keep-last by PK
@@ -349,12 +369,16 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))),
 
-    // custom sketch aggregate (TypedImperativeAggregate) — estimate only,
-    // rows-only check; the invariant test pins the error bound
+    // custom sketch aggregate (TypedImperativeAggregate) — the oracle checks
+    // the exact count plus the sketch's error-bound contract (|err| <= 5%,
+    // comfortably above the 2^12-register HLL's ~1.6% standard error)
     "a01_hll_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
         GraftFunctions.hll_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) /
+            col("exact_parts") <= 0.05).as("within_5pct"))),
 
     "f02_date_funcs" -> ((s, dir) =>
       t(s, dir, "orders").select(
@@ -419,28 +443,21 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // ANN correctness contract (see [[plantedQueries]]): the index must
+    // return each planted query's source vector at rank 1, cosine 1.0 —
+    // a missed bucket/probe/centroid drops the row and turns the gate red.
     "s02_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val corpus = emb.filter(col("vec_id") >= 10)
-      Similarity.lshTopK(corpus, queries,
-          "vec_id", "embedding", "query_id", "embedding",
-          k = 5, dim = 64, numPlanes = 12)
-        .select(col("query_id"), col("vec_id"), col("rank"),
-          round(col("cosine"), 6).as("cosine"))
+      plantedHit(Similarity.lshTopK(emb, plantedQueries(emb),
+        "vec_id", "embedding", "query_id", "embedding",
+        k = 5, dim = 64, numPlanes = 12))
     }),
 
     "s04_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val corpus = emb.filter(col("vec_id") >= 10)
-      Similarity.ivfTopK(corpus, queries,
-          "vec_id", "embedding", "query_id", "embedding",
-          k = 5, numCentroids = 16, nprobe = 4)
-        .select(col("query_id"), col("vec_id"), col("rank"),
-          round(col("cosine"), 6).as("cosine"))
+      plantedHit(Similarity.ivfTopK(emb, plantedQueries(emb),
+        "vec_id", "embedding", "query_id", "embedding",
+        k = 5, numCentroids = 16, nprobe = 4))
     }),
 
     "s03_cosine_neardup" -> ((s, dir) => {
@@ -491,7 +508,9 @@ object SparkEntry {
       decoded.select(
         col("media_id"), col("meta.n_bytes").as("n_bytes"),
         col("width"), col("height"),
-        round(element_at(col("features"), 1), 6).as("f0"))
+        // widen float→double BEFORE rounding so both engines round the
+        // exact same IEEE value (the oracle mirrors the cast chain)
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
     "m02_frame_sample" -> ((s, dir) => {
@@ -597,7 +616,7 @@ object SparkEntry {
     "q12_type_cast" ->
       """SELECT CAST(l_linenumber AS SMALLINT) AS linenum_small,
                 CAST(l_orderkey AS VARCHAR) AS orderkey_str,
-                CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+                CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
                 CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor
          FROM lineitem""",
     "q13_upsert_keep_last" ->
@@ -616,7 +635,7 @@ object SparkEntry {
          FROM lineitem GROUP BY l_orderkey""",
     "q16_dry_run" ->
       """SELECT COUNT(*) AS rows_read,
-                SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS rows_passed_filter
+                CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS rows_passed_filter
          FROM lineitem""",
     "q19_error_split" ->
       """SELECT o_orderkey,
@@ -794,6 +813,81 @@ object SparkEntry {
                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
                   w -> greatest(CAST(ceil(length(w) / 4.0) AS INT), 1))) AS INT) AS n_tokens_bpe
          FROM documents""",
+    "a01_hll_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
+         FROM lineitem""",
+    // the ANN planted-probe contract: every query finds its source vector
+    // at rank 1 with cosine exactly 1.0 (see plantedQueries scaladoc)
+    "s02_ann_lsh" ->
+      """SELECT vec_id AS query_id, CAST(1 AS INT) AS rank,
+                CAST(1.0 AS DOUBLE) AS cosine
+         FROM embeddings WHERE vec_id < 10""",
+    "s04_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS INT) AS rank,
+                CAST(1.0 AS DOUBLE) AS cosine
+         FROM embeddings WHERE vec_id < 10""",
+    // exact all-pairs cosine over the planted corpus: the LSH-bucketed
+    // Spark plan must find EVERY pair >= 0.999 (identical vectors share a
+    // signature by construction, and the fixture has no borderline pairs)
+    "s03_cosine_neardup" ->
+      """WITH u AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         p AS (
+           SELECT a.vec_id AS idA, b.vec_id AS idB,
+                  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+           FROM u a JOIN u b ON a.vec_id < b.vec_id)
+         SELECT idA, idB, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.999""",
+    // the multimodal decode/feature stubs are deterministic byte hashes —
+    // reproduced here over codepoints (the fixture text is pure ASCII, so
+    // bytes == codepoints): a signed-64-bit base-31 rolling hash for
+    // (width, height), and h*31 over stride-8 bytes + the MurmurHash3
+    // fmix64 finalizer for feature[0], in HUGEINT mod-2^64 arithmetic
+    // (64x64-bit multiply split into 32-bit halves to stay inside HUGEINT)
+    "m01_media_pipeline" ->
+      """WITH b AS (
+           SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+                  list_transform(range(1, least(length(text), 256) + 1),
+                    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT)) AS hb,
+                  list_transform(range(1, length(text) + 1, 8),
+                    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT)) AS fb
+           FROM documents),
+         h AS (
+           SELECT media_id, n_bytes,
+                  list_reduce(list_prepend(1125899906842597::HUGEINT, hb),
+                    (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT) AS wu,
+                  list_reduce(list_prepend(11859617469485776670::HUGEINT, fb),
+                    (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT) AS fu
+           FROM b),
+         m1 AS (SELECT media_id, n_bytes, wu,
+                  CAST(xor(CAST(CASE WHEN fu >= 9223372036854775808::HUGEINT THEN fu - 18446744073709551616::HUGEINT ELSE fu END AS BIGINT),
+                           CAST(fu // 8589934592::HUGEINT AS BIGINT)) AS HUGEINT) AS x1s FROM h),
+         m1u AS (SELECT media_id, n_bytes, wu,
+                  CASE WHEN x1s < 0::HUGEINT THEN x1s + 18446744073709551616::HUGEINT ELSE x1s END AS x1 FROM m1),
+         m2 AS (SELECT media_id, n_bytes, wu,
+                  ((x1 % 4294967296::HUGEINT) * 3981806797::HUGEINT
+                   + (((x1 % 4294967296::HUGEINT) * 4283543511::HUGEINT + (x1 // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS x2 FROM m1u),
+         m3 AS (SELECT media_id, n_bytes, wu,
+                  CAST(xor(CAST(CASE WHEN x2 >= 9223372036854775808::HUGEINT THEN x2 - 18446744073709551616::HUGEINT ELSE x2 END AS BIGINT),
+                           CAST(x2 // 8589934592::HUGEINT AS BIGINT)) AS HUGEINT) AS x3s FROM m2),
+         m3u AS (SELECT media_id, n_bytes, wu,
+                  CASE WHEN x3s < 0::HUGEINT THEN x3s + 18446744073709551616::HUGEINT ELSE x3s END AS x3 FROM m3),
+         m4 AS (SELECT media_id, n_bytes, wu,
+                  ((x3 % 4294967296::HUGEINT) * 444984403::HUGEINT
+                   + (((x3 % 4294967296::HUGEINT) * 3301882366::HUGEINT + (x3 // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS x4 FROM m3u),
+         m5 AS (SELECT media_id, n_bytes, wu,
+                  xor(CAST(CASE WHEN x4 >= 9223372036854775808::HUGEINT THEN x4 - 18446744073709551616::HUGEINT ELSE x4 END AS BIGINT),
+                      CAST(x4 // 8589934592::HUGEINT AS BIGINT)) AS fsigned FROM m4)
+         SELECT media_id, n_bytes,
+                CAST(16 + wu % 1024::HUGEINT AS INT) AS width,
+                CAST(16 + (wu // 1024::HUGEINT) % 1024::HUGEINT AS INT) AS height,
+                ROUND(CAST(CAST(CAST(fsigned AS DOUBLE) / 9223372036854775807 AS FLOAT) AS DOUBLE), 6) AS f0
+         FROM m5""",
     "m02_frame_sample" ->
       """SELECT media_id, CAST(i AS INT) AS frame_no,
                 CAST(LEAST(chunk, GREATEST(L - i * chunk, 0)) AS INT) AS frame_len
