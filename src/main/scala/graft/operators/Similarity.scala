@@ -111,18 +111,32 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets: pairs of
     * corpus vectors with identical sign-signature and cosine ≥ threshold.
-    * The all-pairs comparison happens only WITHIN buckets.
+    * The all-pairs comparison happens only WITHIN buckets, and the bucket
+    * self-join is SKINNY — only (bucket, id) rows shuffle, never the
+    * vectors. Candidate pairs then re-join the embeddings BY ID for
+    * scoring, so payload vectors cross the wire once per side instead of
+    * once per candidate-pair membership. Buckets above `maxBucketSize`
+    * are dropped (skew guard, on by default — see
+    * [[graft.operators.Dedup.capBuckets]]).
     */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, numPlanes: Int = 12): DataFrame = {
+      dim: Int, threshold: Double = 0.95, numPlanes: Int = 12,
+      maxBucketSize: Int = 1000): DataFrame = {
     val sig = corpus.select(
-      col(idCol), col(vecCol),
+      col(idCol),
       signSignature(col(vecCol), numPlanes, dim).as("__bucket"))
-    val a = sig.select(col("__bucket"), col(idCol).as("idA"), col(vecCol).as("__va"))
-    val b = sig.select(col("__bucket"), col(idCol).as("idB"), col(vecCol).as("__vb"))
-    a.join(b, Seq("__bucket"))
+    val capped = Dedup.capBuckets(sig, Seq("__bucket"),
+      maxBucketSize, "cosine_skew_guard")
+    val a = capped.select(col("__bucket"), col(idCol).as("idA"))
+    val b = capped.select(col("__bucket"), col(idCol).as("idB"))
+    val candidates = a.join(b, Seq("__bucket"))
       .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.select(col(idCol).as("idA"), col(vecCol).as("__va")), "idA")
+      .join(vecs.select(col(idCol).as("idB"), col(vecCol).as("__vb")), "idB")
       .select(col("idA"), col("idB"), cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

