@@ -19,13 +19,26 @@ object ConfigCodec {
     fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  private val knownRootKeys = Set("sourceDB", "targetDB", "tableMigrations", "parallel")
+
   def fromYaml(yaml: String): MigrationConfig = {
     val root = asMap(Yaml.parse(yaml), "document root")
+    // reference-style or typo'd root keys (e.g. 'tables:') must not produce
+    // a silent do-nothing run: surface every unknown root key, and fail
+    // outright when no tableMigrations are declared
+    (root.keySet -- knownRootKeys).foreach { k =>
+      System.err.println(s"[graft-config] ignoring unrecognized root key '$k'" +
+        (if (k == "tables") " (did you mean 'tableMigrations'?)" else ""))
+    }
+    val tables = asList(root.getOrElse("tableMigrations", Nil), "tableMigrations")
+      .map(m => tableDef(asMap(m, "table migration")))
+    if (tables.isEmpty) throw ConfigError(
+      "config declares no 'tableMigrations' — an empty migration would " +
+        "silently succeed doing nothing; declare at least one table")
     MigrationConfig(
       source = tableRef(root, "sourceDB"),
       target = tableRef(root, "targetDB"),
-      tables = asList(root.getOrElse("tableMigrations", Nil), "tableMigrations")
-        .map(m => tableDef(asMap(m, "table migration"))),
+      tables = tables,
       parallel = bool(root, "parallel", default = false))
   }
 

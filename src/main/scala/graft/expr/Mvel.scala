@@ -41,7 +41,6 @@ object MvelTranslator {
   private val ColRef = """row\.([a-zA-Z0-9_]+)""".r
   private val HashCall = """([a-zA-Z0-9_]+)\.hashCode\(\)""".r
   private val CastRe = """\((short|int|long|byte|float|double)\)\s*""".r
-  private val Ternary = """(?s)^(.*?)\?(.*):(.*)$""".r
 
   /** Column names referenced as `row.x` — mirrors
     * CassandraSchemaUtil.findRowColumnReferencesInString (:58-65).
@@ -194,12 +193,11 @@ object MvelTranslator {
     s = HashCall.replaceAllIn(s, m => s"java_hash_code(${m.group(1)})")
     // java casts → SQL cast over the next primary term (Java precedence)
     s = rewriteCasts(s)
-    // ternary → IF (single, non-nested — enough for the reference subset)
-    s = Ternary.findFirstMatchIn(s) match {
-      case Some(m) if !s.contains("?:") =>
-        s"IF(${m.group(1).trim}, ${m.group(2).trim}, ${m.group(3).trim})"
-      case _ => s
-    }
+    // ternary → IF: precedence-aware (top-level '?' with its matching ':',
+    // recursing into parenthesized groups — so an EMBEDDED ternary like
+    // `x + (c > 0 ? 1 : 2)` rewrites correctly instead of producing
+    // malformed SQL, ADVICE r2)
+    s = rewriteTernaries(s)
     // boolean algebra / equality
     s = s.replace("&&", " AND ").replace("||", " OR ")
     s = s.replaceAll("""!=""", "<#NEQ#>")
@@ -226,6 +224,80 @@ object MvelTranslator {
         if (pendingSpace) { out += ' '; pendingSpace = false }
         out += ch
       }
+    }
+    out.result()
+  }
+
+  /** Rewrite every ternary to IF(c, a, b), honoring precedence: the ternary
+    * is the lowest-precedence right-associative operator, so a top-level
+    * `?` splits (condition)?(then):(else) with the matching `:` found by
+    * tracking nested `?` depth; parenthesized groups rewrite recursively.
+    * Runs after string masking, so `?`/`:` inside literals can't confuse it.
+    */
+  private def rewriteTernaries(s: String): String = {
+    var depth = 0
+    var q = -1
+    var i = 0
+    while (i < s.length && q < 0) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '?' if depth == 0 => q = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (q < 0) return rewriteTernaryGroups(s)
+    // find the ':' matching THIS '?': nested ternaries in the then-branch
+    // push/pop; parens shield their contents
+    var pending = 0
+    depth = 0
+    i = q + 1
+    var colon = -1
+    while (i < s.length && colon < 0) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '?' if depth == 0 => pending += 1
+        case ':' if depth == 0 =>
+          if (pending == 0) colon = i else pending -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (colon < 0)
+      throw UnsupportedMvel(s"ternary '?' without matching ':' in '$s'")
+    val cond = rewriteTernaries(s.substring(0, q))
+    val thenE = rewriteTernaries(s.substring(q + 1, colon))
+    val elseE = rewriteTernaries(s.substring(colon + 1)) // right-assoc tail
+    s"IF(${cond.trim}, ${thenE.trim}, ${elseE.trim})"
+  }
+
+  /** No top-level ternary: recurse into each parenthesized group. */
+  private def rewriteTernaryGroups(s: String): String = {
+    if (!s.contains('?')) return s
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') {
+        var depth = 0
+        var j = i
+        var end = -1
+        while (j < s.length && end < 0) {
+          s.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (end < 0) throw UnsupportedMvel(s"unbalanced parens in '$s'")
+        out += '('
+        out ++= rewriteTernaries(s.substring(i + 1, end))
+        out += ')'
+        i = end + 1
+      } else { out += c; i += 1 }
     }
     out.result()
   }

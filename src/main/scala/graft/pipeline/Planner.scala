@@ -243,7 +243,7 @@ object MigrationPlanner {
   private def dropCalc(s: StructType, calc: Set[String]): StructType =
     StructType(s.fields.filterNot(f => calc.contains(f.name)))
 
-  private def antiJoinOnPk(
+  private[graft] def antiJoinOnPk(
       df: DataFrame, target: Option[DataFrame], t: TableMigrationDef): DataFrame = {
     if (t.pkColumns.isEmpty)
       throw PlanError(s"IfNotExist semantics on '${t.tableName}' need pkColumns")
@@ -299,6 +299,16 @@ object MigrationPlanner {
     // table targets and file: prefixes, not just bare local paths)
     val targetExists =
       Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName).isDefined
+    // pre-write footprint for the append path: lets the listener-miss
+    // fallback report appended = after - before instead of re-executing the
+    // anti-join AFTER the rows landed (which would anti-join them all away
+    // and report 0). Parquet footer statistics make this metadata-cheap.
+    val targetCountBefore: Long =
+      if (producesOnlyNewRows && targetExists && !t.simulateOnly)
+        Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
+          .map(_.count()).getOrElse(0L)
+      else 0L
+    var extraWarnings: Seq[String] = Nil
     spark.listenerManager.register(listener)
     try {
       if (t.simulateOnly) {
@@ -317,7 +327,22 @@ object MigrationPlanner {
           // plain append the correct merge write
           Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append")
         }
+      } else if (targetExists && !Tables.isPathFormat(cfg.target)) {
+        // plain upsert into a live connector table: the reference's CQL
+        // upsert NEVER removes existing rows, and mode=overwrite can
+        // TRUNCATE a live table through some DSv2 connectors — append is
+        // the faithful write (per-row last-write-wins at the connector)
+        Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append")
       } else {
+        if (targetExists && t.writeMode == Upsert)
+          // populated path target without patchNullsFromTarget: overwrite
+          // replaces the whole table, so target rows absent from the source
+          // are DROPPED — the reference's row-wise upsert would keep them.
+          // Loud warning; merge semantics need patchNullsFromTarget=true.
+          extraWarnings :+= (s"upsert over existing target " +
+            s"'${t.resolvedTargetName}' overwrites it: target rows absent " +
+            "from the source are dropped (set patchNullsFromTarget=true " +
+            "for merge semantics)")
         Tables.write(observed, cfg.target, t.resolvedTargetName)
       }
       var waitedMs = 0
@@ -327,28 +352,33 @@ object MigrationPlanner {
     // target (reference counts rowsFailed and proceeds,
     // MigrateTableTask.java:496-517)
     val rowsFailed = planned.failedRows.map { f =>
-      if (!t.simulateOnly)
+      if (!t.simulateOnly) {
         Tables.write(f, cfg.target, t.resolvedTargetName + "_dead_letter")
-      f.count()
+        // count what was actually persisted (footer-cheap) — re-running the
+        // dead-letter plan after the target was mutated could drift
+        Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName + "_dead_letter")
+          .map(_.count()).getOrElse(0L)
+      } else f.count()
     }.getOrElse(0L)
     val elapsedMs = (System.nanoTime() - startNanos) / 1000000L
     // listener missed the window (loaded bus, long GC): fall back to the
-    // cheapest truthful count — the written output (parquet footer counts)
-    // when one exists, the plan itself only for dry runs
+    // cheapest truthful count — written-output footer counts, never a
+    // re-execution of a plan whose inputs the write just mutated
     val rowsMigrated = captured.getOrElse {
-      if (!t.simulateOnly && !(producesOnlyNewRows && targetExists))
-        // the write fully replaced the target: its (footer-cheap) count IS
-        // the migrated row count
+      if (t.simulateOnly) planned.data.count()
+      else if (producesOnlyNewRows && targetExists)
+        Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
+          .map(_.count()).getOrElse(0L) - targetCountBefore
+      else
         Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
           .map(_.count()).getOrElse(planned.data.count())
-      else planned.data.count()
     }
     MigrationResult(
       t.tableName,
       rowsMigrated = rowsMigrated,
       rowsFailed = rowsFailed,
       elapsedMillis = elapsedMs,
-      warnings = planned.reconciliation.warnings)
+      warnings = planned.reconciliation.warnings ++ extraWarnings)
   }
 
   /** Run a whole config — the reference's `DbMigrator.migrate()`

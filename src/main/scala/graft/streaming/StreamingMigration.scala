@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.model.{MigrationConfig, TableMigrationDef}
+import graft.model.{IfNotExistFilter, InsertIfNotExists, MigrationConfig, TableMigrationDef}
 import graft.pipeline.MigrationPlanner
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -77,14 +77,48 @@ object StreamingMigration {
       .option("maxFilesPerTrigger", resolvedMaxFiles.toString)
       .load(if (isFile) path + "*" else path) // glob => basePath = parent dir
 
-    val target = Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
-    val (narrow, _) = MigrationPlanner.narrowPlan(stream, target, t)
+    // patchNullsFromTarget is a whole-table merge: running its full_outer
+    // join per micro-batch would re-emit EVERY target row in EVERY batch
+    // (duplicating the target once per batch). It has no per-batch
+    // semantics — reject it here; use the batch planner for merge-patch.
+    if (t.patchNullsFromTarget) throw MigrationPlanner.PlanError(
+      s"patchNullsFromTarget on '${t.tableName}' is not supported in " +
+        "streaming mode: the target merge would re-emit all target rows " +
+        "each micro-batch. Run this table through the batch planner.")
+
+    // Existence filtering must see rows written by EARLIER micro-batches
+    // (the reference probes the live target per page,
+    // IfNotExistFilter.java:71-89). A pre-stream snapshot pins its file
+    // listing, so the anti-join is deferred: stripped from the narrow plan
+    // here and applied per batch against a FRESH target load below. The
+    // pre-stream snapshot is still the right schema anchor for the
+    // reconciled projection (schemas don't change mid-stream).
+    val schemaTarget = Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
+    val needsExistenceFilter =
+      t.filters.contains(IfNotExistFilter) || t.writeMode == InsertIfNotExists
+    val tNarrow = t.copy(filters = t.filters.filterNot(_ == IfNotExistFilter))
+    val (narrow, _) = MigrationPlanner.narrowPlan(stream, schemaTarget, tNarrow)
+    // the per-batch transform must not anti-join a second time
+    val tBatch =
+      if (needsExistenceFilter && !t.filters.contains(IfNotExistFilter))
+        t.copy(filters = t.filters :+ IfNotExistFilter)
+      else t
 
     narrow.writeStream
       .trigger(resolvedTrigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = MigrationPlanner.writeModeTransform(batch, target, t)
+        // fresh snapshot per batch: a new load builds a new file index, so
+        // rows landed by earlier micro-batches are visible to the anti-join
+        val target =
+          if (needsExistenceFilter)
+            Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
+          else schemaTarget
+        val filtered =
+          if (needsExistenceFilter)
+            MigrationPlanner.antiJoinOnPk(batch, target, t)
+          else batch
+        val out = MigrationPlanner.writeModeTransform(filtered, target, tBatch)
         if (t.simulateOnly) out.write.format("noop").mode("overwrite").save()
         else if (Tables.isPathFormat(cfg.target) && batchDirsUsable(cfg, t)) {
           // idempotent per batch: each micro-batch OVERWRITES its own

@@ -81,6 +81,28 @@ class ConfigCodecSpec extends AnyFunSuite {
       yaml.replace("maxWriteRowCount: 2000", "maxWriteRowCount: many")))
   }
 
+  test("a config without tableMigrations fails instead of silently doing nothing") {
+    // reference-style 'tables:' root key (ADVICE r2): must not parse as an
+    // empty migration that "succeeds"
+    val e = intercept[ConfigCodec.ConfigError](ConfigCodec.fromYaml(
+      """sourceDB:
+        |  path: /data/src
+        |targetDB:
+        |  path: /data/tgt
+        |tables:
+        |  - tableName: t1
+        |""".stripMargin))
+    assert(e.msg.contains("tableMigrations"))
+    val e2 = intercept[ConfigCodec.ConfigError](ConfigCodec.fromYaml(
+      """sourceDB:
+        |  path: /a
+        |targetDB:
+        |  path: /b
+        |tableMigrations: []
+        |""".stripMargin))
+    assert(e2.msg.contains("tableMigrations"))
+  }
+
   test("parsed config drives the planner (config-as-query round trip)") {
     val spark = graft.SparkTestBase.session
     import spark.implicits._

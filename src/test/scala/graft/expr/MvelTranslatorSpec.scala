@@ -42,6 +42,26 @@ class MvelTranslatorSpec extends AnyFunSuite {
       "IF(a >= 10, 'BIG', 'SMALL')")
   }
 
+  test("embedded ternary rewrites with correct precedence (ADVICE r2)") {
+    // parenthesized embedded ternary
+    assert(MvelTranslator.toSql("row.x + (row.c > 0 ? 1 : 2)") ===
+      "x + (IF(c > 0, 1, 2))")
+    // top-level ternary with an arithmetic condition prefix
+    assert(MvelTranslator.toSql("row.c > 0 ? row.x + 1 : row.x - 1") ===
+      "IF(c > 0, x + 1, x - 1)")
+    // nested ternary in the then-branch finds ITS colon first
+    assert(MvelTranslator.toSql("row.a > 0 ? (row.b > 0 ? 1 : 2) : 3") ===
+      "IF(a > 0, (IF(b > 0, 1, 2)), 3)")
+    // right-associative else-chain
+    assert(MvelTranslator.toSql("row.a > 9 ? 'hi' : row.a > 5 ? 'mid' : 'lo'") ===
+      "IF(a > 9, 'hi', IF(a > 5, 'mid', 'lo'))")
+  }
+
+  test("ternary with no matching colon throws, not malformed SQL") {
+    assertThrows[MvelTranslator.UnsupportedMvel](
+      MvelTranslator.toSql("row.a > 0 ? 1"))
+  }
+
   test("reference example verbatim: typed declaration and compound ops") {
     // the reference's calculated-column script uses `int hash = ...`
     // (config/migration-config.example.yaml:112-120)

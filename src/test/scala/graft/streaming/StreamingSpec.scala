@@ -74,6 +74,51 @@ class StreamingSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("streaming insert-if-not-exists sees earlier micro-batches (no dup PKs)") {
+    val dir = Files.createTempDirectory("graft_stream_ine").toString
+    val srcRef = TableRef(path = s"$dir/src")
+    val tgtRef = TableRef(path = s"$dir/tgt")
+    val cfg = MigrationConfig(srcRef, tgtRef, Nil)
+
+    // two source files with overlapping PKs => two micro-batches at
+    // 1 file/trigger; batch 2's overlap must anti-join against batch 1's
+    // freshly-written rows, whatever order the file source picks
+    val path = Tables.tablePath(srcRef, "ov_t")
+    (1 to 10).map(i => (i.toLong, s"first_$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(path)
+    (5 to 15).map(i => (i.toLong, s"second_$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(path)
+
+    val t = TableMigrationDef(
+      tableName = "ov_t",
+      pkColumns = Seq("id"),
+      writeMode = InsertIfNotExists,
+      simulateOnly = false)
+
+    val q = StreamingMigration.start(spark, cfg, t,
+      checkpointDir = s"$dir/cp", trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(60000)
+
+    val got = Tables.load(spark, tgtRef, "ov_t")
+    assert(got.count() === 15L, "each PK written exactly once")
+    assert(got.select("id").distinct().count() === 15L)
+  }
+
+  test("streaming rejects patchNullsFromTarget (whole-table merge has no per-batch semantics)") {
+    val dir = Files.createTempDirectory("graft_stream_patch").toString
+    val srcRef = TableRef(path = s"$dir/src")
+    val cfg = MigrationConfig(srcRef, TableRef(path = s"$dir/tgt"), Nil)
+    (1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+      .write.parquet(Tables.tablePath(srcRef, "p_t"))
+    val t = TableMigrationDef("p_t", pkColumns = Seq("id"),
+      patchNullsFromTarget = true, simulateOnly = false)
+    val e = intercept[graft.pipeline.MigrationPlanner.PlanError] {
+      StreamingMigration.start(spark, cfg, t, checkpointDir = s"$dir/cp")
+    }
+    assert(e.getMessage.contains("patchNullsFromTarget"))
+  }
+
   test("streaming dedup holds state across micro-batches") {
     val dir = Files.createTempDirectory("graft_sdedup").toString
     // 4 files, same 10 texts repeated in each => 40 rows, 10 distinct
