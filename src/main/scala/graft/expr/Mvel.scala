@@ -198,6 +198,15 @@ object MvelTranslator {
     // `x + (c > 0 ? 1 : 2)` rewrites correctly instead of producing
     // malformed SQL, ADVICE r2)
     s = rewriteTernaries(s)
+    // residual method calls (`x.endsWith(…)`, `Math.abs(…)`) parse as
+    // qualified SQL routines and only fail at ANALYSIS time — far past the
+    // fallback's reach. Fail fast here so [[toColumnFor]] can route the
+    // expression to the interpreter instead.
+    val resid = """[a-zA-Z0-9_]\.\s*[a-zA-Z_][a-zA-Z0-9_]*\s*\(""".r
+    resid.findFirstIn(s).foreach { m =>
+      throw UnsupportedMvel(
+        s"method call '$m…' outside the translator subset (interpreter fallback applies)")
+    }
     // boolean algebra / equality
     s = s.replace("&&", " AND ").replace("||", " OR ")
     s = s.replaceAll("""!=""", "<#NEQ#>")
@@ -345,4 +354,26 @@ object MvelTranslator {
 
   /** Translate to a Column ready for `df.filter` / `df.withColumn`. */
   def toColumn(mvel: String): Column = expr(toSql(mvel))
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Translate with interpreter fallback: the Catalyst translation is the
+    * fast path (codegen, pushdown); an expression outside the subset —
+    * loops, method calls, mutation-heavy scripts — falls back to
+    * [[MvelInterp]]'s row-interpreting UDF with JVM-exact semantics, and
+    * the de-optimization is logged (the reference compiles arbitrary MVEL,
+    * DefaultMigratorPlugin.java:367-387 — generality must not be a plan
+    * error).
+    */
+  def toColumnFor(mvel: String, schema: org.apache.spark.sql.types.StructType): Column =
+    try toColumn(mvel)
+    catch {
+      case reason @ (_: UnsupportedMvel | _: org.apache.spark.sql.catalyst.parser.ParseException) =>
+        val c = MvelInterp.toColumn(mvel, schema)
+        log.warn(
+          s"MVEL expression falls back to interpreted UDF (no pushdown/codegen " +
+            s"for this expression): '${mvel.linesIterator.mkString(" ").take(120)}' " +
+            s"(${reason.getClass.getSimpleName})")
+        c
+    }
 }

@@ -110,7 +110,7 @@ object MigrationPlanner {
     // predicates. Order is irrelevant under Catalyst; the reference runs
     // them sequentially per batch (MigrateTableTask.java:446-451).
     t.filters.foreach {
-      case FieldValueFilter(e) => df = df.filter(MvelTranslator.toColumn(e))
+      case FieldValueFilter(e) => df = df.filter(MvelTranslator.toColumnFor(e, df.schema))
       case IfNotExistFilter =>
         // O6: drop rows whose PK already exists in the target — the
         // left-anti join the reference only sketched
@@ -120,7 +120,8 @@ object MigrationPlanner {
 
     // O9 calculated columns (MVEL → Catalyst, whole-stage codegen).
     t.calculatedColumns.foreach { c =>
-      df = df.withColumn(c.targetColumn, MvelTranslator.toColumn(c.expression))
+      df = df.withColumn(c.targetColumn,
+        MvelTranslator.toColumnFor(c.expression, df.schema))
     }
 
     // O10/O11 TTL re-base: target_ttl = targetTableTTL - (sourceTableTTL - row_ttl)
