@@ -43,8 +43,23 @@ object MigrationPlanner {
       reconciliation: Reconciler.Reconciliation,
       failedRows: Option[DataFrame])
 
+  /** Fill in pkColumns from connector metadata when the definition leaves
+    * them empty — the reference discovers PKs from cluster metadata instead
+    * of requiring them in config (MigrateTableTask.java:415-428). A DSv2
+    * source advertises partition keys as identity transforms; path sources
+    * discover nothing and the definition stands as written.
+    */
+  private[graft] def resolvePk(
+      spark: SparkSession, cfg: MigrationConfig, t: TableMigrationDef): TableMigrationDef =
+    if (t.pkColumns.nonEmpty) t
+    else {
+      val discovered = Tables.discoverPkColumns(spark, cfg.source, t.tableName)
+      if (discovered.nonEmpty) t.copy(pkColumns = discovered) else t
+    }
+
   /** Compile the full migration plan for one table. */
-  def plan(spark: SparkSession, cfg: MigrationConfig, t: TableMigrationDef): Planned = {
+  def plan(spark: SparkSession, cfg: MigrationConfig, t0: TableMigrationDef): Planned = {
+    val t = resolvePk(spark, cfg, t0)
     val source = Tables.load(spark, cfg.source, t.tableName)
     val target = Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
     val (narrow, rec, failed) = narrowPlanWithErrors(source, target, t)
@@ -312,10 +327,12 @@ object MigrationPlanner {
     var extraWarnings: Seq[String] = Nil
     spark.listenerManager.register(listener)
     try {
+      val ttlCol = t.ttl.map(_.ttlColumn)
       if (t.simulateOnly) {
         observed.write.format("noop").mode("overwrite").save()
       } else if (producesOnlyNewRows && targetExists) {
-        Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append")
+        Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append",
+          ttlColumn = ttlCol)
       } else if (readsTarget && targetExists) {
         if (Tables.isLocalPath(cfg.target, t.resolvedTargetName)) {
           Tables.writeReplacing(observed, cfg.target, t.resolvedTargetName)
@@ -326,14 +343,16 @@ object MigrationPlanner {
         } else {
           // table-addressed connector: row-level upsert semantics make a
           // plain append the correct merge write
-          Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append")
+          Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append",
+            ttlColumn = ttlCol)
         }
       } else if (targetExists && !Tables.isPathFormat(cfg.target)) {
         // plain upsert into a live connector table: the reference's CQL
         // upsert NEVER removes existing rows, and mode=overwrite can
         // TRUNCATE a live table through some DSv2 connectors — append is
         // the faithful write (per-row last-write-wins at the connector)
-        Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append")
+        Tables.write(observed, cfg.target, t.resolvedTargetName, mode = "append",
+          ttlColumn = ttlCol)
       } else {
         if (targetExists && t.writeMode == Upsert)
           // populated path target without patchNullsFromTarget: overwrite
@@ -344,7 +363,7 @@ object MigrationPlanner {
             s"'${t.resolvedTargetName}' overwrites it: target rows absent " +
             "from the source are dropped (set patchNullsFromTarget=true " +
             "for merge semantics)")
-        Tables.write(observed, cfg.target, t.resolvedTargetName)
+        Tables.write(observed, cfg.target, t.resolvedTargetName, ttlColumn = ttlCol)
       }
       var waitedMs = 0
       while (captured.isEmpty && waitedMs < 10000) { Thread.sleep(20); waitedMs += 20 }

@@ -80,18 +80,39 @@ object Tables {
     }
   }
 
+  /** Primary-key columns a table-addressed DSv2 source advertises as its
+    * identity partitioning (the Cassandra connector surfaces partition keys
+    * this way; so does the memdb test double) — the schema-discovery path
+    * the reference reads from cluster metadata
+    * (MigrateTableTask.java:415-428). Path sources return Nil.
+    */
+  def discoverPkColumns(spark: SparkSession, ref: TableRef, table: String): Seq[String] =
+    if (isPathFormat(ref)) Nil
+    else loadIfExists(spark, ref, table)
+      .map(org.apache.spark.sql.graft.Bridge.v2PartitioningColumns)
+      .getOrElse(Nil)
+
   /** Write a DataFrame to a target table binding. `overwrite` maps the
     * reference's upsert-into-empty-target migration run; real merge
     * semantics are produced upstream by the planner's write-mode transform
     * (keep-last / counter pre-agg / anti-join).
+    *
+    * @param ttlColumn re-based per-row TTL column (O10/O11): for a
+    *                  table-addressed connector target it is handed to the
+    *                  writer as the per-row TTL option — key from the ref's
+    *                  `ttlOptionKey` option, default "ttl" (the Cassandra
+    *                  DSv2 writer's per-row `USING TTL` binding; reference
+    *                  DefaultMigratorPlugin.java:290-304). Path targets
+    *                  keep it as an ordinary data column.
     */
-  def write(df: DataFrame, ref: TableRef, table: String, mode: String = "overwrite"): Unit = {
+  def write(df: DataFrame, ref: TableRef, table: String, mode: String = "overwrite",
+      ttlColumn: Option[String] = None): Unit = {
     // `partitionBy` option: comma-separated columns -> hive-style partition
     // layout on the target, enabling partition pruning for downstream reads
     // (the 100 TB posture: migrated tables should be partitioned)
     val partitionCols = ref.options.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val opts = ref.options - "partitionBy"
+    val opts = ref.options - "partitionBy" - "ttlOptionKey"
     def withParts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
       if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     ref.format match {
@@ -100,8 +121,11 @@ object Tables {
         withParts(df.write.format(f).options(opts).mode(mode))
           .save(tablePath(ref, table))
       case other =>
-        withParts(df.write.format(other).options(opts).option("table", table)
-          .mode(mode)).save()
+        val ttlOpts = ttlColumn
+          .map(c => Map(ref.options.getOrElse("ttlOptionKey", "ttl") -> c))
+          .getOrElse(Map.empty)
+        withParts(df.write.format(other).options(opts ++ ttlOpts)
+          .option("table", table).mode(mode)).save()
     }
   }
 

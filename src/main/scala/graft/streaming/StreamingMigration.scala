@@ -53,10 +53,11 @@ object StreamingMigration {
   def start(
       spark: SparkSession,
       cfg: MigrationConfig,
-      t: TableMigrationDef,
+      t0: TableMigrationDef,
       checkpointDir: String,
       trigger: Trigger = null,
       maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val t = MigrationPlanner.resolvePk(spark, cfg, t0)
     // explicit args win; otherwise the reference's config fields drive the
     // micro-batch size (pageSize) and rate limit (pauseMillisBetweenPages)
     val resolvedTrigger = Option(trigger).getOrElse(
@@ -136,7 +137,8 @@ object StreamingMigration {
           // partition discovery) or a table-addressed connector: plain
           // append — at-least-once for file sinks, idempotent when the
           // connector upserts by PK
-          Tables.write(out, cfg.target, t.resolvedTargetName, mode = "append")
+          Tables.write(out, cfg.target, t.resolvedTargetName, mode = "append",
+            ttlColumn = t.ttl.map(_.ttlColumn))
         }
       }
       .start()

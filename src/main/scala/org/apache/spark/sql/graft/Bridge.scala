@@ -33,4 +33,18 @@ object Bridge {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+
+  /** The identity-transform partitioning columns of every DSv2 relation in
+    * a DataFrame's plan — how a table-addressed connector (Cassandra, the
+    * memdb test double) advertises its partition/primary-key columns.
+    * `DataSourceV2Relation` lives in an execution package, hence here.
+    */
+  def v2PartitioningColumns(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.partitioning().toSeq.collect {
+          case t if t.name == "identity" =>
+            t.references().flatMap(_.fieldNames()).toSeq
+        }.flatten
+    }.flatten
 }

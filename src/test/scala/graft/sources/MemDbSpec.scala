@@ -1,0 +1,117 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model._
+import graft.sinks.{InMemoryLwtStore, InMemoryLwtWriter, StrictSink}
+import graft.sources.memdb.MemStore
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Table-addressed connector path, end to end through the same
+  * [[Tables]]/planner code the Cassandra binding would use — only the
+  * format string differs in production (VERDICT r2 item 5).
+  */
+class MemDbSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.memdb.MemDb"
+  private def ref(db: String) = TableRef(format = fmt, options = Map("db" -> db))
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("val", StringType)))
+
+  test("table-addressed DSv2 source/sink round trip through Tables") {
+    MemStore.create("rt", "t1", schema, pk = Seq("id"))
+    Tables.write(Seq((1L, "a"), (2L, "b")).toDF("id", "val"),
+      ref("rt"), "t1", mode = "append")
+    val got = Tables.load(spark, ref("rt"), "t1")
+    assert(got.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // append accumulates; overwrite truncates
+    Tables.write(Seq((3L, "c")).toDF("id", "val"), ref("rt"), "t1", mode = "append")
+    assert(Tables.load(spark, ref("rt"), "t1").count() === 3L)
+    Tables.write(Seq((9L, "z")).toDF("id", "val"), ref("rt"), "t1", mode = "overwrite")
+    assert(Tables.load(spark, ref("rt"), "t1").as[(Long, String)].collect().toSet ===
+      Set((9L, "z")))
+  }
+
+  test("loadIfExists treats a missing connector table as absence, not failure") {
+    assert(Tables.loadIfExists(spark, ref("rt"), "never_created").isEmpty)
+  }
+
+  test("PK discovery reads identity partitioning from the DSv2 table (O21)") {
+    MemStore.create("disc", "t2", schema, pk = Seq("id"))
+    assert(Tables.discoverPkColumns(spark, ref("disc"), "t2") === Seq("id"))
+    // and the planner auto-fills pkColumns: keep-last upsert works with NO
+    // declared pkColumns (reference discovers PKs from cluster metadata)
+    MemStore.create("disc", "src3", schema, pk = Seq("id"))
+    Tables.write(Seq((1L, "old"), (1L, "new"), (2L, "only")).toDF("id", "val"),
+      ref("disc"), "src3", mode = "append")
+    val cfg = MigrationConfig(ref("disc"), TableRef(path = "/nonexistent_tgt"), Nil)
+    val planned = graft.pipeline.MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "src3", orderingColumns = Seq("val")))
+    val got = planned.data.as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "old", 2L -> "only")) // max_by ordering col
+  }
+
+  test("re-based TTL column is handed to the connector writer as the per-row TTL option") {
+    val ttlSchema = StructType(Seq(
+      StructField("id", LongType), StructField("row_ttl_value", LongType)))
+    MemStore.create("ttl", "src", ttlSchema, pk = Seq("id"))
+    MemStore.create("ttl", "tgt", ttlSchema, pk = Seq("id"))
+    Tables.write(Seq((1L, 1000L), (2L, 2000L)).toDF("id", "row_ttl_value"),
+      ref("ttl"), "src", mode = "append")
+    val cfg = MigrationConfig(ref("ttl"), ref("ttl"), Nil)
+    val t = TableMigrationDef("src", targetTableName = Some("tgt"),
+      ttl = Some(TtlSpec("row_ttl_value", sourceTableTtl = 86400, targetTableTtl = 604800)),
+      simulateOnly = false)
+    graft.pipeline.MigrationPlanner.execute(spark, cfg, t)
+    // the writer received the ttl option naming the re-based column
+    assert(MemStore.lastWriteOptions("ttl", "tgt").get("ttl") === Some("row_ttl_value"))
+    // and the written values are re-based: 604800 - (86400 - v)
+    val got = Tables.load(spark, ref("ttl"), "tgt")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> (604800L - (86400L - 1000L)),
+      2L -> (604800L - (86400L - 2000L))))
+  }
+
+  test("upsert into an existing connector table appends (never truncates)") {
+    MemStore.create("up", "src", schema, pk = Seq("id"))
+    MemStore.create("up", "tgt", schema, pk = Seq("id"))
+    Tables.write(Seq((5L, "keep")).toDF("id", "val"), ref("up"), "tgt", mode = "append")
+    Tables.write(Seq((1L, "new")).toDF("id", "val"), ref("up"), "src", mode = "append")
+    val cfg = MigrationConfig(ref("up"), ref("up"), Nil)
+    graft.pipeline.MigrationPlanner.execute(spark, cfg,
+      TableMigrationDef("src", targetTableName = Some("tgt"), simulateOnly = false))
+    // the pre-existing row SURVIVED the upsert (CQL upsert never removes rows)
+    val got = Tables.load(spark, ref("up"), "tgt").as[(Long, String)].collect().toSet
+    assert(got === Set((5L, "keep"), (1L, "new")))
+  }
+
+  test("strict LWT sink: per-row insert-if-not-exists with applied/rejected accounting") {
+    InMemoryLwtStore.drop("lwt_t")
+    val first = (1 to 100).map(i => (i.toLong, s"first_$i")).toDF("id", "val")
+    val second = (51 to 150).map(i => (i.toLong, s"second_$i")).toDF("id", "val")
+    val r1 = StrictSink.insertIfNotExists(first.repartition(8), Seq("id"),
+      InMemoryLwtWriter("lwt_t"))
+    assert(r1 === StrictSink.StrictSinkResult(100L, 0L))
+    val r2 = StrictSink.insertIfNotExists(second.repartition(8), Seq("id"),
+      InMemoryLwtWriter("lwt_t"))
+    assert(r2 === StrictSink.StrictSinkResult(50L, 50L)) // 51..100 rejected
+    val t = InMemoryLwtStore.table("lwt_t")
+    assert(t.size() === 150)
+    // losers never overwrote winners
+    assert(t.get(Seq(60L)) === Seq(60L, "first_60"))
+    assert(t.get(Seq(120L)) === Seq(120L, "second_120"))
+  }
+
+  test("strict LWT sink: intra-DataFrame duplicate PKs race to one winner") {
+    InMemoryLwtStore.drop("lwt_dup")
+    // every PK appears twice across partitions — exactly one application each
+    val dup = ((1 to 50) ++ (1 to 50)).map(i => (i.toLong, s"v$i")).toDF("id", "val")
+    val r = StrictSink.insertIfNotExists(dup.repartition(8), Seq("id"),
+      InMemoryLwtWriter("lwt_dup"))
+    assert(r.rowsApplied === 50L)
+    assert(r.rowsRejected === 50L)
+    assert(InMemoryLwtStore.table("lwt_dup").size() === 50)
+  }
+}
