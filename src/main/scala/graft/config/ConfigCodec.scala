@@ -19,7 +19,8 @@ object ConfigCodec {
     fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
-  private val knownRootKeys = Set("sourceDB", "targetDB", "tableMigrations", "parallel")
+  private val knownRootKeys =
+    Set("sourceDB", "targetDB", "tableMigrations", "parallel", "statusIntervalMillis")
 
   def fromYaml(yaml: String): MigrationConfig = {
     val root = asMap(Yaml.parse(yaml), "document root")
@@ -39,7 +40,9 @@ object ConfigCodec {
       source = tableRef(root, "sourceDB"),
       target = tableRef(root, "targetDB"),
       tables = tables,
-      parallel = bool(root, "parallel", default = false))
+      parallel = bool(root, "parallel", default = false),
+      statusIntervalMillis =
+        root.get("statusIntervalMillis").map(v => parseLong(v, "statusIntervalMillis")))
   }
 
   private def tableRef(root: Map[String, Any], key: String): TableRef = {
@@ -113,7 +116,16 @@ object ConfigCodec {
         case e => e
       })
       case "IfNotExistFilter" => IfNotExistFilter
-      case other => throw ConfigError(s"unknown filter type '$other'")
+      case cls if cls.contains(".") =>
+        // reference plugin contract: a fully-qualified class name, loaded
+        // reflectively (TableDataFilterDefinition.java:53-71); options map
+        // passes through to the stage
+        PluginFilter(cls, m.get("options").map(asMap(_, "options").map {
+          case (k, vv) => k -> vv.toString
+        }).getOrElse(Map.empty))
+      case other => throw ConfigError(
+        s"unknown filter type '$other' (built-ins: FieldValueFilter, " +
+          "IfNotExistFilter; or a fully-qualified graft.plugin.GraftStage class)")
     }
   }
 

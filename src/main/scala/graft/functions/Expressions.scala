@@ -189,15 +189,24 @@ object GraftFunctions {
   def hll_distinct(c: Column, p: Int = 12): Column = Bridge.column(
     HllSketch(Bridge.expression(c), p).toAggregateExpression())
 
+  // once-per-session guard: register() is called from every plan build, and
+  // re-registering makes SimpleFunctionRegistry WARN "replaced a previously
+  // registered function" on every query — weakly held so sessions can GC
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Register SQL names so `expr("java_hash_code(col)")` (and thus the MVEL
     * translator output) resolves. Reference parity for the plugin/UDF
-    * surface (SURVEY §2 O22).
+    * surface (SURVEY §2 O22). Idempotent per session.
     */
-  def register(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "java_hash_code", es => JavaHashCode(es.head))
-    Bridge.registerFunction(spark, "poly_hash64", es => PolyHash64(es.head))
-    Bridge.registerFunction(spark, "dot_product", es => DotProduct(es.head, es(1)))
-  }
+  def register(spark: SparkSession): Unit =
+    if (registeredSessions.add(spark)) {
+      Bridge.registerFunction(spark, "java_hash_code", es => JavaHashCode(es.head))
+      Bridge.registerFunction(spark, "poly_hash64", es => PolyHash64(es.head))
+      Bridge.registerFunction(spark, "dot_product", es => DotProduct(es.head, es(1)))
+    }
 }
 
 /** Distinct sorted 64-bit hashes of the k-char-grams (word=false) or

@@ -41,6 +41,14 @@ final case class TableRef(
 sealed trait FilterDef
 final case class FieldValueFilter(expression: String) extends FilterDef
 case object IfNotExistFilter extends FilterDef
+/** A reflective plugin stage: `type:` carries a fully-qualified class name
+  * implementing [[graft.plugin.GraftStage]] — the reference's
+  * `Class.forName` extension contract
+  * (TableDataFilterDefinition.java:53-71) re-expressed as a
+  * DataFrame → DataFrame hook.
+  */
+final case class PluginFilter(className: String,
+    options: Map[String, String] = Map.empty) extends FilterDef
 
 /** A derived target column computed from source columns.
   *
@@ -140,4 +148,9 @@ final case class MigrationConfig(
     source: TableRef,
     target: TableRef,
     tables: Seq[TableMigrationDef],
-    parallel: Boolean = false)
+    parallel: Boolean = false,
+    /** Periodic status-line interval (reference logs rowsRead/rowsMigrated
+      * deltas on a timer, MigrateTableTask.java:369-413). None = final
+      * result only.
+      */
+    statusIntervalMillis: Option[Long] = None)

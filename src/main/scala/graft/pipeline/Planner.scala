@@ -131,6 +131,10 @@ object MigrationPlanner {
         // left-anti join the reference only sketched
         // (IfNotExistFilter.java:49-96).
         df = antiJoinOnPk(df, target, t)
+      case PluginFilter(cls, opts) =>
+        // O22/plugins: reflective stage (the reference's Class.forName
+        // extension point) — a DataFrame→DataFrame hook in plan order
+        df = graft.plugin.GraftStage.load(cls).apply(df, opts)
     }
 
     // O9 calculated columns (MVEL → Catalyst, whole-stage codegen).
@@ -325,6 +329,12 @@ object MigrationPlanner {
           .map(_.count()).getOrElse(0L)
       else 0L
     var extraWarnings: Seq[String] = Nil
+    // O20 periodic status lines while the write runs (reference interval
+    // logging, MigrateTableTask.java:369-413)
+    val progress = cfg.statusIntervalMillis.map { interval =>
+      val r = new BatchProgressReporter(spark, t.tableName, interval)
+      r.start(); r
+    }
     spark.listenerManager.register(listener)
     try {
       val ttlCol = t.ttl.map(_.ttlColumn)
@@ -367,7 +377,10 @@ object MigrationPlanner {
       }
       var waitedMs = 0
       while (captured.isEmpty && waitedMs < 10000) { Thread.sleep(20); waitedMs += 20 }
-    } finally spark.listenerManager.unregister(listener)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      progress.foreach(_.stop())
+    }
     // O19 dead-letter handling: failed rows are preserved next to the
     // target (reference counts rowsFailed and proceeds,
     // MigrateTableTask.java:496-517)

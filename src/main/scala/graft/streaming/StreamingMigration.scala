@@ -30,6 +30,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object StreamingMigration {
 
+  // one progress listener per session (guarded weakly so sessions can GC):
+  // repeated start() calls must not stack duplicate status lines
+  private val progressAttached =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Batch-keyed partition dirs are only safe when the target is absent or
     * already batch-partitioned — mixing them into a flat file layout would
     * break partition discovery for readers.
@@ -58,6 +65,9 @@ object StreamingMigration {
       trigger: Trigger = null,
       maxFilesPerTrigger: Int = 0): StreamingQuery = {
     val t = MigrationPlanner.resolvePk(spark, cfg, t0)
+    // O20: per-micro-batch status lines (micro-batch = the reference's page)
+    if (cfg.statusIntervalMillis.isDefined && progressAttached.add(spark))
+      spark.streams.addListener(new graft.pipeline.StreamingProgressListener())
     // explicit args win; otherwise the reference's config fields drive the
     // micro-batch size (pageSize) and rate limit (pauseMillisBetweenPages)
     val resolvedTrigger = Option(trigger).getOrElse(
