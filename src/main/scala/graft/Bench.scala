@@ -23,15 +23,38 @@ object Bench {
     // first timed query doesn't absorb JVM/session startup
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
+    // engine-observed output rows per query (an `observe` CollectMetrics
+    // node rides the normal execution — no second job), captured through
+    // the listener bus and reported as rows/s alongside wall time
+    val observedRows = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val obsListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (metric, row) =>
+          if (metric.startsWith("bench_"))
+            observedRows.put(metric.stripPrefix("bench_"), row.getAs[Long]("rows"))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(obsListener)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          fn(spark, sfDir)
+            .observe(s"bench_$name",
+              org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    spark.listenerManager.unregister(obsListener)
     // failed queries carry a -1 sentinel so a failure can never read as a
     // fast success in the JSON line
     val qs = results.map { case (k, v, ok) =>
@@ -39,8 +62,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val rates = results.collect { case (k, v, true) if observedRows.containsKey(k) =>
+      "\"" + k + "\":" + f"${observedRows.get(k) / math.max(v, 1e-9)}%.0f"
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rows_per_sec":$rates,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
