@@ -70,4 +70,27 @@ class DedupSpec extends SparkTestBase {
       maxBucketSize = 10)
     assert(guarded.filter($"idA" >= 100 && $"idB" >= 100).count() === 0L)
   }
+
+  test("skew guard publishes the dropped-bucket count as an observe metric") {
+    val clones = (100L to 129L).map(i => (i, "identical text repeated all over the corpus"))
+      .toDF("doc_id", "text")
+    @volatile var dropped: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("minhash_skew_guard").foreach(r =>
+          dropped = Some(r.getAs[Long]("dropped_buckets")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.minhashNearDupPairs(clones.unionByName(docs), "doc_id", "text",
+        threshold = 0.9, maxBucketSize = 10).count()
+      var waited = 0
+      while (dropped.isEmpty && waited < 10000) { Thread.sleep(50); waited += 50 }
+    } finally spark.listenerManager.unregister(listener)
+    // every band bucket holding the 30 clones exceeded the cap of 10
+    assert(dropped.exists(_ >= 1L), s"expected dropped_buckets >= 1, got $dropped")
+  }
 }

@@ -119,6 +119,36 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("patchNullsFromTarget"))
   }
 
+  test("streaming windowed agg with watermark matches the batch plan") {
+    val dir = Files.createTempDirectory("graft_swin").toString
+    // deterministic event-time data across 3 hours, several files =>
+    // several micro-batches; watermark tolerates the shuffled file order
+    val rows = (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 3}%02d:${i % 60}%02d:00"),
+        s"type_${i % 4}", (i % 10).toDouble)
+    }
+    rows.toDF("ts", "event_type", "value").repartition(4)
+      .write.parquet(s"$dir/src/ev.parquet")
+    val schema = spark.read.parquet(s"$dir/src/ev.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src/ev.parquet")
+    val agg = StreamingWindowAgg.windowedAgg(stream, "ts", "event_type", "value")
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete") // finite backfill: emit every window at the end
+      .format("memory").queryName("swin")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("swin")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val expect = StreamingWindowAgg.windowedAgg(
+        spark.read.parquet(s"$dir/src/ev.parquet"), "ts", "event_type", "value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got === expect)
+    assert(got.size === 12) // 3 hours x 4 types
+  }
+
   test("streaming dedup holds state across micro-batches") {
     val dir = Files.createTempDirectory("graft_sdedup").toString
     // 4 files, same 10 texts repeated in each => 40 rows, 10 distinct
