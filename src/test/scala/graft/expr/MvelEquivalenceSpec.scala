@@ -1,0 +1,63 @@
+package graft.expr
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** The translator (pure Catalyst) and the interpreter (UDF fallback) share
+  * a large expression subset; on it they MUST agree — otherwise plan-path
+  * selection would silently change results. Known, documented divergence:
+  * `/` on integers (SQL division is double; the interpreter keeps Java int
+  * division) — excluded here, covered by its own semantics tests.
+  */
+class MvelEquivalenceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = (1 to 50).map { i =>
+    (i.toLong, (53 - i * 7 % 19).toLong, i * 0.75 - 11.5, (i % 13) * 2.25, s"str_$i")
+  }.toDF("a", "b", "x", "y", "s")
+
+  private val overlap = Seq(
+    "row.a + row.b * 2",
+    "row.a - row.b % 7",
+    "row.a % 7",
+    "(row.a > row.b) ? row.x : row.y",
+    "row.x * 0.5 + row.y",
+    "row.a >= 10 && row.b < 30 || row.a == row.b",
+    "!(row.a > 25)",
+    "row.x >= 0.0 ? row.a + 1 : row.a - 1",
+    "(long) row.x",
+    "(int) row.y % 5",
+    "abs(row.b - 40)",
+    "row.a > 9 ? 'hi' : row.a > 5 ? 'mid' : 'lo'",
+    "row.s == 'str_7' || row.s != 'str_8'",
+    "row.a + (row.b > 20 ? 1 : 2)")
+
+  test("translator and interpreter agree on the shared expression subset") {
+    overlap.foreach { mvel =>
+      val fast = MvelTranslator.toColumn(mvel)
+      val interp = MvelInterp.toColumn(mvel, df.schema)
+      val rows = df.select(
+        fast.cast("string").as("fast"),
+        interp.cast("string").as("interp")).collect()
+      val bad = rows.zipWithIndex.filter { case (r, _) => r.getString(0) != r.getString(1) }
+      assert(bad.isEmpty,
+        s"'$mvel' diverges: ${bad.take(3).map { case (r, i) =>
+          s"row $i fast=${r.getString(0)} interp=${r.getString(1)}" }.mkString("; ")}")
+    }
+  }
+
+  test("filter results agree on the shared boolean subset") {
+    val preds = Seq(
+      "row.a >= 10 && row.b < 30",
+      "row.x < 0.0 || row.y >= 20.0",
+      "row.s != 'str_3'",
+      "(row.a % 2 == 0) != (row.b % 2 == 0)")
+    preds.foreach { mvel =>
+      val fastIds = df.filter(MvelTranslator.toColumn(mvel))
+        .select("a").as[Long].collect().toSet
+      val interpIds = df.filter(MvelInterp.toColumn(mvel, df.schema))
+        .select("a").as[Long].collect().toSet
+      assert(fastIds === interpIds, s"'$mvel' filter diverges")
+    }
+  }
+}

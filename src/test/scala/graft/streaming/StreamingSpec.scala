@@ -149,6 +149,41 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size === 12) // 3 hours x 4 types
   }
 
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    val dir = Files.createTempDirectory("graft_mgws").toString
+    // 4 files => 4 micro-batches; each key appears in several batches
+    (0 until 200).map(i => (s"user_${i % 5}", i.toDouble))
+      .toDF("user", "amount").repartition(4)
+      .write.parquet(s"$dir/src/tx.parquet")
+    val schema = spark.read.parquet(s"$dir/src/tx.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src/tx.parquet")
+    val q = StreamingRunningTotals.startToMemory(spark, stream, "user", "amount",
+      queryName = "totals", checkpointDir = s"$dir/cp",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    // update mode re-emits a key's totals each batch it appears in; the
+    // LAST emission per key must equal the exact batch totals
+    val last = spark.table("totals")
+      .groupBy("key").agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct("count", "sum")).as("t"))
+      .selectExpr("key", "t.count", "t.sum")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expect = spark.read.parquet(s"$dir/src/tx.parquet")
+      .groupBy("user").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("amount").as("s"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(last.keySet === expect.keySet)
+    last.foreach { case (k, (c, s)) =>
+      assert((c, math.round(s * 100)) ===
+        (expect(k)._1, math.round(expect(k)._2 * 100)), s"key $k")
+    }
+  }
+
   test("streaming dedup holds state across micro-batches") {
     val dir = Files.createTempDirectory("graft_sdedup").toString
     // 4 files, same 10 texts repeated in each => 40 rows, 10 distinct
