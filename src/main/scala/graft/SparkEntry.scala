@@ -501,6 +501,17 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // sequence packing: fixed-token-budget training sequences, windowed
+    // per deterministic group (parallel across groups, no global sort)
+    "t08_seq_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        tokenBudget = 512, numGroups = 8)),
+
+    // deterministic content-keyed sampling: reproducible across runs
+    "t09_deterministic_sample" -> ((s, dir) =>
+      TextAnalysis.deterministicSample(t(s, dir, "documents"), "text", keepPct = 20)
+        .select("doc_id", "sample_bucket")),
+
     // ------------------------------------------- LLM pipeline: multimodal
     "m01_media_pipeline" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
@@ -813,6 +824,33 @@ object SparkEntry {
                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
                   w -> greatest(CAST(ceil(length(w) / 4.0) AS INT), 1))) AS INT) AS n_tokens_bpe
          FROM documents""",
+    "t08_seq_pack" ->
+      """WITH base AS (
+           SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS pack_group,
+                  CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS INT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, pack_group, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id) AS cum
+           FROM base)
+         SELECT doc_id, pack_group, n_tokens,
+                CAST(cum AS BIGINT) AS cum_tokens,
+                CAST(FLOOR((cum - n_tokens) / 512.0) AS INT) AS seq_no
+         FROM c""",
+    // the fingerprint CTE is the t04 oracle verbatim; buckets are pmod 100
+    "t09_deterministic_sample" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, length(norm)+1),
+                            i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+                        (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
+                       + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+                       - 9223372036854775808::HUGEINT AS BIGINT) AS fp
+           FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                 FROM documents))
+         SELECT doc_id, CAST(((fp % 100) + 100) % 100 AS BIGINT) AS sample_bucket
+         FROM f WHERE ((fp % 100) + 100) % 100 < 20""",
     "a01_hll_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
          FROM lineitem""",

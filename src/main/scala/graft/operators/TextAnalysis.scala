@@ -121,6 +121,42 @@ object TextAnalysis {
           (col("doc_freq") + 1)), 4).as("tfidf"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences, greedily in id order. Docs are first split into
+    * `numGroups` deterministic groups (id mod numGroups) and packed WITHIN
+    * each group — the 100 TB posture: a window per group is a shuffle +
+    * per-group sort running in parallel across groups, never one global
+    * sort. A document's sequence is decided by its starting token offset
+    * (`floor(start / budget)`), so assignment is a pure window expression.
+    * Output: (id, pack_group, n_tokens, cum_tokens, seq_no).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Int, numGroups: Int = 64): DataFrame = {
+    require(tokenBudget > 0 && numGroups > 0, "budget and groups must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
+    df.select(col(idCol),
+        pmod(col(idCol).cast("long"), lit(numGroups.toLong)).as("pack_group"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("seq_no",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(tokenBudget)).cast("int"))
+  }
+
+  /** Deterministic (reproducible) sampling: keep documents whose content
+    * fingerprint lands in the first `keepPct` of 100 hash buckets. Unlike
+    * `rand()`-based sampling this is stable across runs, retries and
+    * cluster layouts — the property training-data pipelines need so a
+    * sampled corpus can be reproduced exactly. Content-keyed, so exact
+    * duplicates sample identically (dedup first if that matters).
+    * Output adds the `sample_bucket` column.
+    */
+  def deterministicSample(df: DataFrame, textCol: String, keepPct: Int): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, "keepPct in [0,100]")
+    df.withColumn("sample_bucket", pmod(fingerprint(col(textCol)), lit(100L)))
+      .filter(col("sample_bucket") < keepPct)
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))

@@ -55,4 +55,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(Seq("pred_lang", "n_tokens", "n_tokens_bpe", "quality", "fingerprint")
       .forall(out.columns.contains))
   }
+
+  test("packSequences: cumulative tokens and bins are monotone per group") {
+    val docs = (1L to 100L).map(i => (i, ("word " * (i % 30 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text",
+      tokenBudget = 40, numGroups = 4)
+      .orderBy("pack_group", "doc_id")
+      .select("pack_group", "doc_id", "n_tokens", "cum_tokens", "seq_no")
+      .as[(Long, Long, Int, Long, Int)].collect()
+    assert(packed.length === 100)
+    packed.groupBy(_._1).values.foreach { grp =>
+      val sorted = grp.sortBy(_._2)
+      // cum_tokens is the running sum; seq_no = start offset / budget
+      var cum = 0L
+      sorted.foreach { case (_, _, n, c, s) =>
+        assert(c === cum + n)
+        assert(s === (cum / 40).toInt)
+        cum = c
+      }
+    }
+  }
+
+  test("deterministicSample is stable and content-keyed") {
+    val docs = (1L to 200L).map(i => (i, s"document number $i with some text"))
+      .toDF("doc_id", "text")
+    val s1 = TextAnalysis.deterministicSample(docs, "text", 30)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = TextAnalysis.deterministicSample(docs, "text", 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2) // reproducible
+    assert(s1.nonEmpty && s1.size < 200)
+    // keepPct=100 keeps everything; 0 keeps nothing
+    assert(TextAnalysis.deterministicSample(docs, "text", 100).count() === 200L)
+    assert(TextAnalysis.deterministicSample(docs, "text", 0).count() === 0L)
+  }
 }
