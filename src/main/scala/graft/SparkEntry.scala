@@ -524,6 +524,16 @@ object SparkEntry {
         round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
+    // resize: decoded dims scaled to fit a target, payload truncated to
+    // the new pixel count — metadata/shape contract with a full oracle
+    "m03_resize" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
+      Multimodal.resizeStub(Multimodal.decodeStub(media), maxDim = 64)
+        .select(col("media_id"), col("width"), col("height"),
+          col("new_width"), col("new_height"),
+          length(col("resized_content")).as("resized_bytes"))
+    }),
+
     "m02_frame_sample" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
       Multimodal.frameSample(media, n = 4)
@@ -926,6 +936,36 @@ object SparkEntry {
                 CAST(16 + (wu // 1024::HUGEINT) % 1024::HUGEINT AS INT) AS height,
                 ROUND(CAST(CAST(CAST(fsigned AS DOUBLE) / 9223372036854775807 AS FLOAT) AS DOUBLE), 6) AS f0
          FROM m5""",
+    // width/height CTE = the m01 oracle's rolling hash; resize math mirrors
+    // resizeStub exactly (stride = ceil(max/64), dims = ceil(dim/stride),
+    // payload truncated to new_w*new_h bytes bounded by the original size)
+    "m03_resize" ->
+      """WITH b AS (
+           SELECT doc_id AS media_id, octet_length(encode(text)) AS L,
+                  list_transform(range(1, least(length(text), 256) + 1),
+                    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT)) AS hb
+           FROM documents),
+         h AS (
+           SELECT media_id, L,
+                  list_reduce(list_prepend(1125899906842597::HUGEINT, hb),
+                    (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT) AS wu
+           FROM b),
+         d AS (
+           SELECT media_id, L,
+                  CAST(16 + wu % 1024::HUGEINT AS INT) AS width,
+                  CAST(16 + (wu // 1024::HUGEINT) % 1024::HUGEINT AS INT) AS height
+           FROM h),
+         r AS (
+           SELECT media_id, L, width, height,
+                  GREATEST(CAST(CEIL(GREATEST(width, height) / 64.0) AS INT), 1) AS stride
+           FROM d)
+         SELECT media_id, width, height,
+                CAST(CEIL(width / CAST(stride AS DOUBLE)) AS INT) AS new_width,
+                CAST(CEIL(height / CAST(stride AS DOUBLE)) AS INT) AS new_height,
+                CAST(LEAST(CAST(CEIL(width / CAST(stride AS DOUBLE)) AS INT) *
+                           CAST(CEIL(height / CAST(stride AS DOUBLE)) AS INT), L) AS INT)
+                  AS resized_bytes
+         FROM r""",
     "m02_frame_sample" ->
       """SELECT media_id, CAST(i AS INT) AS frame_no,
                 CAST(LEAST(chunk, GREATEST(L - i * chunk, 0)) AS INT) AS frame_len

@@ -102,6 +102,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: rescale the decoded (width, height) to fit `maxDim` and
+    * produce a proportionally smaller payload — pure column expressions
+    * (a real resize swaps the payload expression for a codec call; the
+    * metadata/shape contract is what downstream operators consume).
+    * stride = ceil(max(w,h)/maxDim); new dims = ceil(dim/stride); payload
+    * truncated to new_w*new_h "pixels" (bytes stand in for pixels).
+    */
+  def resizeStub(decoded: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, "maxDim must be positive")
+    val stride = greatest(
+      ceil(greatest(col("width"), col("height")) / lit(maxDim.toDouble)).cast("int"),
+      lit(1))
+    decoded
+      .withColumn("new_width", ceil(col("width") / stride.cast("double")).cast("int"))
+      .withColumn("new_height", ceil(col("height") / stride.cast("double")).cast("int"))
+      .withColumn("resized_content",
+        col("content").substr(lit(1), col("new_width") * col("new_height")))
+  }
+
   /** Frame sampling: split a binary payload into `n` evenly-spaced chunks
     * (stands in for video frame extraction) — pure column expressions, no
     * UDF: one output row per (media, frame) via posexplode.
