@@ -12,7 +12,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_projection", "q03_pushdown_filter", "q13_upsert_keep_last",
         "j01_broadcast_join", "j02_star_join_revenue", "q1_agg", "g01_rollup",
-        "d03_minhash_pairs", "s01_ann_bruteforce", "s04_ann_ivf")
+        "d03_minhash_pairs", "s01_ann_bruteforce", "s04_ann_ivf",
+        "s03_cosine_neardup", "t08_seq_pack")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
