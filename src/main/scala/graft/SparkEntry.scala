@@ -544,6 +544,78 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
+  /** DuckDB-dialect SQL builders for oracles that must reproduce the
+    * engine's 64-bit hash kernels ([[graft.functions.HashKernels]]):
+    * unsigned 64-bit arithmetic lives in HUGEINT mod 2^64, xor routes
+    * through signed BIGINT (bit-identical), and the 64x64 multiply splits
+    * into 32-bit halves so the 128-bit product never overflows HUGEINT.
+    * Stages are applied via successive `list_transform` lambdas at the
+    * call site — the lambda variable keeps the generated SQL linear in
+    * the number of stages instead of exponentially nested.
+    */
+  private object DuckHash {
+    val U = "18446744073709551616::HUGEINT" // 2^64
+    val H = "9223372036854775808::HUGEINT" // 2^63
+    def toI(x: String): String =
+      s"CAST(CASE WHEN ($x) >= $H THEN ($x) - $U ELSE ($x) END AS BIGINT)"
+    def toU(x: String): String =
+      s"(CASE WHEN ($x) < 0::HUGEINT THEN ($x) + $U ELSE ($x) END)"
+    /** x ^ (x >>> 33) on the unsigned domain. */
+    def xorShift33(x: String): String =
+      toU(s"CAST(xor(${toI(x)}, CAST(($x) // 8589934592::HUGEINT AS BIGINT)) AS HUGEINT)")
+    /** (x * c) mod 2^64 via 32-bit half products. */
+    def mulMod(x: String, c: BigInt): String = {
+      val cl = c & 0xffffffffL
+      val ch = c >> 32
+      s"((($x) % 4294967296::HUGEINT) * $cl::HUGEINT" +
+        s" + (((($x) % 4294967296::HUGEINT) * $ch::HUGEINT + (($x) // 4294967296::HUGEINT) * $cl::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $U"
+    }
+    /** x ^ signedConstant on the unsigned domain. */
+    def xorConst(x: String, signedC: Long): String =
+      toU(s"CAST(xor(${toI(x)}, CAST($signedC AS BIGINT)) AS HUGEINT)")
+  }
+
+  /** The d04 oracle: reproduces HashKernels.windowHash (base-31 roll ^
+    * golden-ratio constant, fmix64) per token, the per-bit-majority
+    * SimHash, and the exact pair set at Hamming distance <= maxHamming —
+    * validated byte-for-byte against the Spark output at sf0.01.
+    */
+  private def d04OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    val goldSigned = -7046029254386353131L // 0x9E3779B97F4A7C15 as signed
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s', '') FROM documents),
+       |toks AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ts
+       |  FROM docs2),
+       |h0 AS (SELECT doc_id, list_transform(ts, t ->
+       |         list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, length(t)+1),
+       |           i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
+       |           (a, c) -> (a * 31 + c) % $U)) AS hs FROM toks),
+       |h1 AS (SELECT doc_id, list_transform(hs, h -> ${xorConst("h", goldSigned)}) AS hs FROM h0),
+       |h2 AS (SELECT doc_id, list_transform(hs, h -> ${xorShift33("h")}) AS hs FROM h1),
+       |h3 AS (SELECT doc_id, list_transform(hs, h -> ${mulMod("h", C1)}) AS hs FROM h2),
+       |h4 AS (SELECT doc_id, list_transform(hs, h -> ${xorShift33("h")}) AS hs FROM h3),
+       |h5 AS (SELECT doc_id, list_transform(hs, h -> ${mulMod("h", C2)}) AS hs FROM h4),
+       |h6 AS (SELECT doc_id, list_transform(hs, h -> ${toI(xorShift33("h"))}) AS hs FROM h5),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(0, 64), j ->
+       |           CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1)) > len(hs)
+       |                THEN CASE WHEN j = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(j AS INT)) END
+       |                ELSE 0 END)) AS BIGINT) AS sim
+       |  FROM h6)
+       |SELECT a.doc_id AS idA, b.doc_id AS idB,
+       |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (omitted → driver does rows-only
     * check: the MinHash/SimHash/LSH/mapPartitions operators whose exact
     * output depends on engine-internal hashes).
@@ -834,6 +906,41 @@ object SparkEntry {
                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
                   w -> greatest(CAST(ceil(length(w) / 4.0) AS INT), 1))) AS INT) AS n_tokens_bpe
          FROM documents""",
+    // SimHash pairs: the oracle rebuilds the token hash (base-31 ^ golden,
+    // fmix64), the per-bit-majority simhash and the exact Hamming<=3 pair
+    // set — the engine's pigeonhole banding guarantees candidate recall,
+    // so its output IS that set (skew cap can't fire at fixture scale)
+    "d04_simhash_pairs" -> d04OracleSql,
+    // MinHash pairs: the oracle computes TRUE all-pairs 5-gram Jaccard via
+    // explode + equi-join + group-by (set-similarity in relational form —
+    // pairs sharing no gram never materialize) and keeps >= 0.7. Spark's
+    // output equals it because (a) banded-LSH candidate recall is 100% on
+    // this corpus (deterministic: fixed hashes, fixed fixture) and (b)
+    // 64-bit gram hashing is collision-free at ~550 grams/doc, so
+    // hashed-set Jaccard == string-set Jaccard on both engines.
+    "d03_minhash_pairs" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents),
+         norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT idA, idB,
+                ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+         FROM inter
+         WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7""",
     "t08_seq_pack" ->
       """WITH base AS (
            SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS pack_group,
