@@ -72,6 +72,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("__bucket"), s"bucketing missing:\n$p")
   }
 
+  test("t08 sequence packing windows per group — never a single global sort") {
+    val p = plan("t08_seq_pack")
+    assert(p.contains("hashpartitioning(pack_group"),
+      s"window not partitioned by pack_group:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked into the packing plan:\n$p")
+  }
+
   test("kernel expressions appear in the minhash plan (not HOF lambdas)") {
     val p = plan("d03_minhash_pairs")
     assert(p.contains("minhash_sig") || p.contains("MinHashSig"))
