@@ -469,6 +469,20 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // int8 embedding quantization: per-vector scale, exact quantized
+    // values, and the |x - q*scale| <= scale/2 reconstruction contract
+    "s05_quantize_int8" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+      val d = Similarity.dequantizeInt8(q, "embedding_q8", "embedding_scale", "recon")
+      d.select(
+        col("vec_id"),
+        round(col("embedding_scale").cast("double"), 6).as("scale"),
+        element_at(col("embedding_q8"), 1).as("q0"),
+        (array_max(zip_with(col("embedding"), col("recon"),
+          (x, y) => abs(x - y))) <= col("embedding_scale") * lit(0.51f))
+          .as("recon_ok"))
+    }),
+
     // ------------------------------------------ LLM pipeline: text analysis
     "t01_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -511,6 +525,12 @@ object SparkEntry {
     "t09_deterministic_sample" -> ((s, dir) =>
       TextAnalysis.deterministicSample(t(s, dir, "documents"), "text", keepPct = 20)
         .select("doc_id", "sample_bucket")),
+
+    // domain mixing: per-language keep rates, deterministic buckets
+    "t10_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "text", "lang",
+        rates = Map("en" -> 10, "zh" -> 60), defaultPct = 25)
+        .select("doc_id", "lang", "sample_bucket")),
 
     // ------------------------------------------- LLM pipeline: multimodal
     "m01_media_pipeline" -> ((s, dir) => {
@@ -968,6 +988,39 @@ object SparkEntry {
                  FROM documents))
          SELECT doc_id, CAST(((fp % 100) + 100) % 100 AS BIGINT) AS sample_bucket
          FROM f WHERE ((fp % 100) + 100) % 100 < 20""",
+    // stratified sampling reuses the t09 fingerprint CTE with per-language
+    // thresholds
+    "t10_stratified_sample" ->
+      """WITH f AS (
+           SELECT doc_id, lang,
+                  CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, length(norm)+1),
+                            i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+                        (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
+                       + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+                       - 9223372036854775808::HUGEINT AS BIGINT) AS fp
+           FROM (SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                 FROM documents))
+         SELECT doc_id, lang, CAST(((fp % 100) + 100) % 100 AS BIGINT) AS sample_bucket
+         FROM f
+         WHERE ((fp % 100) + 100) % 100 <
+               CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 60 ELSE 25 END""",
+    // int8 quantization: scale = max|x|/127 (float), q = round(x/scale);
+    // every float step mirrors the Spark expression chain exactly
+    "s05_quantize_int8" ->
+      """WITH s AS (
+           SELECT vec_id,
+                  CAST(embedding AS DOUBLE[]) AS e,
+                  CAST(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+                       AS FLOAT) AS scaleF
+           FROM embeddings)
+         SELECT vec_id,
+                ROUND(CAST(scaleF AS DOUBLE), 6) AS scale,
+                CAST(CASE WHEN scaleF > 0
+                          THEN ROUND(e[1] / CAST(scaleF AS DOUBLE), 0)
+                          ELSE 0 END AS TINYINT) AS q0,
+                TRUE AS recon_ok
+         FROM s""",
     "a01_hll_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
          FROM lineitem""",

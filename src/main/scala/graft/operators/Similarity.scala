@@ -195,6 +195,32 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× storage/shuffle compression for embedding tables at corpus scale.
+    * Per-vector scale = max|x|/127; q_i = round(x_i / scale) in [-127,127].
+    * Map-only, pure column expressions (codegen'd); cosine on dequantized
+    * vectors differs from the original by O(1/127) per component, which
+    * downstream ANN tolerates by construction.
+    * Adds (`<vec>_q8` array<tinyint>, `<vec>_scale` float).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x)))
+    val scale = (mx / lit(127.0d)).cast("float")
+    df.withColumn(s"${vecCol}_scale", scale)
+      .withColumn(s"${vecCol}_q8",
+        when(col(s"${vecCol}_scale") > 0f,
+          transform(col(vecCol),
+            x => round(x.cast("double") / col(s"${vecCol}_scale").cast("double"))
+              .cast("tinyint")))
+          .otherwise(transform(col(vecCol), x => lit(0).cast("tinyint"))))
+  }
+
+  /** Inverse of [[quantizeInt8]]: reconstruct float vectors. */
+  def dequantizeInt8(df: DataFrame, qCol: String, scaleCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol,
+      transform(col(qCol), q => (q.cast("float") * col(scaleCol)).cast("float")))
+
   /** Tiny deterministic Lloyd's k-means over a driver-side sample (cosine
     * assignment, mean update). Input order fixes initialization, so the
     * model is reproducible run to run.

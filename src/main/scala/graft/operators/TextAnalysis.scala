@@ -157,6 +157,29 @@ object TextAnalysis {
       .filter(col("sample_bucket") < keepPct)
   }
 
+  /** Stratified deterministic sampling — domain mixing: each stratum
+    * (language, source domain, …) keeps its own percentage of documents,
+    * selected by the same content-fingerprint buckets as
+    * [[deterministicSample]] (reproducible across runs and cluster
+    * layouts). Rates ship as a broadcast-joined table, so a rates map with
+    * thousands of domains costs one small-dim join, not a giant CASE
+    * expression. Strata absent from `rates` keep `defaultPct`.
+    */
+  def stratifiedSample(
+      df: DataFrame, textCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "percentages in [0,100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF(stratumCol, "__keep_pct")
+    df.join(broadcast(rateDf), Seq(stratumCol), "left")
+      .withColumn("__keep_pct", coalesce(col("__keep_pct"), lit(defaultPct)))
+      .withColumn("sample_bucket", pmod(fingerprint(col(textCol)), lit(100L)))
+      .filter(col("sample_bucket") < col("__keep_pct"))
+      .drop("__keep_pct")
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))

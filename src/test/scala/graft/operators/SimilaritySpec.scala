@@ -94,4 +94,30 @@ class SimilaritySpec extends SparkTestBase {
       "vec_id", "embedding", "query_id", "embedding", k = 200)
     assert(!top.select("vec_id").as[Long].collect().contains(999L))
   }
+
+  test("int8 quantize/dequantize round trip bounds the error by scale/2") {
+    val q = Similarity.quantizeInt8(corpus, "embedding")
+    val d = Similarity.dequantizeInt8(q, "embedding_q8", "embedding_scale", "recon")
+    val rows = d.select($"vec_id", $"embedding", $"recon", $"embedding_scale")
+      .as[(Long, Array[Float], Array[Float], Float)].collect()
+    assert(rows.length === 100)
+    rows.foreach { case (id, orig, recon, scale) =>
+      assert(orig.length === recon.length)
+      orig.zip(recon).foreach { case (o, r) =>
+        assert(math.abs(o - r) <= scale * 0.51f, s"vec $id error exceeds scale/2")
+      }
+    }
+    // quantized values stay in the int8 symmetric range
+    val qs = q.select($"embedding_q8").as[Seq[Byte]].collect()
+    assert(qs.forall(_.forall(b => b >= -127 && b <= 127)))
+  }
+
+  test("quantizeInt8 handles the all-zero vector (scale 0, zero codes)") {
+    val z = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(z, "embedding")
+    val (scale, codes) = q.select($"embedding_scale", $"embedding_q8")
+      .as[(Float, Seq[Byte])].collect().head
+    assert(scale === 0.0f)
+    assert(codes.forall(_ === 0))
+  }
 }

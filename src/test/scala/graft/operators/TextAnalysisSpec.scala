@@ -77,6 +77,25 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("stratifiedSample applies per-stratum rates with a default") {
+    val docs = (1L to 300L).map(i =>
+      (i, s"text body number $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.stratifiedSample(docs, "text", "lang",
+      rates = Map("en" -> 0, "zh" -> 100), defaultPct = 50)
+    val byLang = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(!byLang.contains("en")) // 0% keeps nothing
+    assert(byLang("zh") === 100L) // 100% keeps all 100 zh docs
+    // default stratum keeps roughly half (deterministic, content-keyed)
+    assert(byLang("fr") > 20L && byLang("fr") < 80L)
+    // reproducible
+    val again = TextAnalysis.stratifiedSample(docs, "text", "lang",
+      rates = Map("en" -> 0, "zh" -> 100), defaultPct = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("deterministicSample is stable and content-keyed") {
     val docs = (1L to 200L).map(i => (i, s"document number $i with some text"))
       .toDF("doc_id", "text")
