@@ -322,9 +322,12 @@ object MigrationPlanner {
     // pre-write footprint for the append path: lets the listener-miss
     // fallback report appended = after - before instead of re-executing the
     // anti-join AFTER the rows landed (which would anti-join them all away
-    // and report 0). Parquet footer statistics make this metadata-cheap.
+    // and report 0). Parquet footer statistics make this metadata-cheap —
+    // for PATH targets only: a connector COUNT is a full table scan, not a
+    // price to pay up front on every migration for a rare fallback.
+    val pathTarget = Tables.isPathFormat(cfg.target)
     val targetCountBefore: Long =
-      if (producesOnlyNewRows && targetExists && !t.simulateOnly)
+      if (producesOnlyNewRows && targetExists && !t.simulateOnly && pathTarget)
         Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
           .map(_.count()).getOrElse(0L)
       else 0L
@@ -399,10 +402,18 @@ object MigrationPlanner {
     // re-execution of a plan whose inputs the write just mutated
     val rowsMigrated = captured.getOrElse {
       if (t.simulateOnly) planned.data.count()
-      else if (producesOnlyNewRows && targetExists)
+      else if (producesOnlyNewRows && targetExists && pathTarget)
         Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
           .map(_.count()).getOrElse(0L) - targetCountBefore
-      else
+      else if (producesOnlyNewRows && targetExists) {
+        // connector target with a missed listener: the appended rows are
+        // already IN the target, so no cheap truthful count exists —
+        // re-running the anti-join would report 0. Flag it instead of lying.
+        extraWarnings :+= ("rowsMigrated unavailable: observed-metric " +
+          "listener missed and the connector target has no cheap count; " +
+          "reporting 0 (rows WERE appended)")
+        0L
+      } else
         Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
           .map(_.count()).getOrElse(planned.data.count())
     }

@@ -61,17 +61,21 @@ final class BatchProgressReporter(
     thread = new Thread(() => {
       var lastRead = 0L
       var lastWritten = 0L
-      while (running.get()) {
-        Thread.sleep(intervalMillis)
-        val r = rowsRead.get()
-        val w = rowsWritten.get()
-        if (running.get() && (r != lastRead || w != lastWritten)) {
-          val rate = (r - lastRead) * 1000.0 / intervalMillis
-          sink(f"[graft-progress] table=$table rowsRead=$r (+${r - lastRead}) " +
-            f"rowsWritten=$w (+${w - lastWritten}) readRate=$rate%.0f rows/s")
-          lastRead = r
-          lastWritten = w
+      try {
+        while (running.get()) {
+          Thread.sleep(intervalMillis)
+          val r = rowsRead.get()
+          val w = rowsWritten.get()
+          if (running.get() && (r != lastRead || w != lastWritten)) {
+            val rate = (r - lastRead) * 1000.0 / intervalMillis
+            sink(f"[graft-progress] table=$table rowsRead=$r (+${r - lastRead}) " +
+              f"rowsWritten=$w (+${w - lastWritten}) readRate=$rate%.0f rows/s")
+            lastRead = r
+            lastWritten = w
+          }
         }
+      } catch {
+        case _: InterruptedException => // stop() interrupting the sleep: exit quietly
       }
     }, s"graft-progress-$table")
     thread.setDaemon(true)

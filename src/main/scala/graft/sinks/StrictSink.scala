@@ -43,7 +43,14 @@ object StrictSink {
 
   final case class StrictSinkResult(rowsApplied: Long, rowsRejected: Long)
 
-  /** Write `df` row-by-row with insert-if-not-exists semantics. */
+  /** Write `df` row-by-row with insert-if-not-exists semantics.
+    *
+    * Accounting caveat (same as the reference's counters): the TARGET's
+    * putIfAbsent is exactly-once per PK, but the applied/rejected COUNTS
+    * ride accumulators, which re-add on task retry — after a task failure
+    * the counts are at-least-once. The data can never duplicate; only the
+    * report can over-count on retry.
+    */
   def insertIfNotExists(
       df: DataFrame, pkColumns: Seq[String],
       factory: LwtWriterFactory): StrictSinkResult = {
