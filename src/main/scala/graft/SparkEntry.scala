@@ -526,6 +526,15 @@ object SparkEntry {
       TextAnalysis.deterministicSample(t(s, dir, "documents"), "text", keepPct = 20)
         .select("doc_id", "sample_bucket")),
 
+    // boilerplate cleaning: tags/entities/URLs stripped, whitespace
+    // collapsed — fixture text is already clean, so the contract is
+    // "cleaning never corrupts clean text" plus the whitespace collapse
+    "t11_text_cleaning" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(TextAnalysis.cleanText(col("text"))).as("clean_md5"),
+        length(TextAnalysis.cleanText(col("text"))).as("clean_len"))),
+
     // domain mixing: per-language keep rates, deterministic buckets
     "t10_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(t(s, dir, "documents"), "text", "lang",
@@ -988,6 +997,20 @@ object SparkEntry {
                  FROM documents))
          SELECT doc_id, CAST(((fp % 100) + 100) % 100 AS BIGINT) AS sample_bucket
          FROM f WHERE ((fp % 100) + 100) % 100 < 20""",
+    "t11_text_cleaning" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  trim(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(
+                      regexp_replace(
+                        regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                        'https?://[^ \t\n]+', ' ', 'g'),
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                    '\s+', ' ', 'g')) AS clean
+           FROM documents)
+         SELECT doc_id, md5(clean) AS clean_md5, length(clean) AS clean_len
+         FROM c""",
     // stratified sampling reuses the t09 fingerprint CTE with per-language
     // thresholds
     "t10_stratified_sample" ->

@@ -157,6 +157,22 @@ object TextAnalysis {
       .filter(col("sample_bucket") < keepPct)
   }
 
+  /** C4-style boilerplate cleaning for web text: strip HTML tags, unescape
+    * the common entities, drop URLs, collapse whitespace. Pure column
+    * expressions (codegen'd regex/replace chain), map-only. Patterns are
+    * deliberately restricted to the regex subset Java and RE2 share, so
+    * the same cleaning is reproducible outside the JVM.
+    */
+  def cleanText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val noUrls = regexp_replace(noTags, "https?://[^ \\t\\n]+", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: && escapes stay escaped until the end
+      .foldLeft(noUrls) { case (c, (k, v)) => regexp_replace(c, k, v) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Stratified deterministic sampling — domain mixing: each stratum
     * (language, source domain, …) keeps its own percentage of documents,
     * selected by the same content-fingerprint buckets as

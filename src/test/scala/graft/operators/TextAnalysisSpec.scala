@@ -77,6 +77,19 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("cleanText strips tags, entities and URLs, collapses whitespace") {
+    val dirty = Seq(
+      (1L, "<p>Hello &amp; welcome</p> to <b>the</b> site https://ex.com/a?b=1 now"),
+      (2L, "already clean text"),
+      (3L, "&amp;lt; stays escaped-once: &lt;tag&gt;")) // double-escape order
+      .toDF("doc_id", "text")
+    val out = dirty.select($"doc_id",
+      TextAnalysis.cleanText($"text").as("clean")).as[(Long, String)].collect().toMap
+    assert(out(1L) === "Hello & welcome to the site now")
+    assert(out(2L) === "already clean text")
+    assert(out(3L) === "&lt; stays escaped-once: <tag>")
+  }
+
   test("stratifiedSample applies per-stratum rates with a default") {
     val docs = (1L to 300L).map(i =>
       (i, s"text body number $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
