@@ -46,6 +46,53 @@ class MvelEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("property: random expressions in the shared grammar agree (seeded)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // typed expression generators over cols a,b (long) and x,y (double);
+    // '%' divisors restricted to nonzero literals (x % 0 is NULL in SQL but
+    // throws in the JVM — a documented boundary, not part of the overlap)
+    def lit: Gen[String] = Gen.choose(1, 9).map(_.toString)
+    def numE(depth: Int): Gen[String] =
+      if (depth <= 0) Gen.oneOf(Gen.oneOf("row.a", "row.b", "row.x", "row.y"), lit)
+      else Gen.frequency(
+        2 -> numE(0),
+        2 -> (for {
+          l <- numE(depth - 1); r <- numE(depth - 1)
+          op <- Gen.oneOf("+", "-", "*")
+        } yield s"($l $op $r)"),
+        1 -> (for { l <- numE(depth - 1); d <- lit } yield s"($l % $d)"),
+        1 -> (for {
+          c <- boolE(depth - 1); t <- numE(depth - 1); f <- numE(depth - 1)
+        } yield s"($c ? $t : $f)"))
+    def boolE(depth: Int): Gen[String] =
+      if (depth <= 0)
+        for { l <- numE(0); r <- numE(0); op <- Gen.oneOf("<", ">", "<=", ">=", "==", "!=") }
+          yield s"($l $op $r)"
+      else Gen.frequency(
+        2 -> boolE(0),
+        1 -> (for { l <- boolE(depth - 1); r <- boolE(depth - 1) } yield s"($l && $r)"),
+        1 -> (for { l <- boolE(depth - 1); r <- boolE(depth - 1) } yield s"($l || $r)"),
+        1 -> boolE(depth - 1).map(b => s"(!$b)"))
+    val gen = Gen.oneOf(numE(3), boolE(2))
+
+    val data = (1 to 30).map(i =>
+      (i.toLong, (i * 7 % 13).toLong, i * 0.5 - 7.25, (i % 9) * 1.75))
+      .toDF("a", "b", "x", "y")
+    (0 until 60).foreach { seed =>
+      gen(Gen.Parameters.default, Seed(seed.toLong)).foreach { mvel =>
+        val rows = data.select(
+          MvelTranslator.toColumn(mvel).cast("string").as("fast"),
+          MvelInterp.toColumn(mvel, data.schema).cast("string").as("interp"))
+          .collect()
+        val bad = rows.filter(r => r.getString(0) != r.getString(1))
+        assert(bad.isEmpty,
+          s"seed=$seed '$mvel': ${bad.take(2).map(r =>
+            s"fast=${r.getString(0)} interp=${r.getString(1)}").mkString("; ")}")
+      }
+    }
+  }
+
   test("filter results agree on the shared boolean subset") {
     val preds = Seq(
       "row.a >= 10 && row.b < 30",
