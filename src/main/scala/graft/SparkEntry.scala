@@ -526,6 +526,14 @@ object SparkEntry {
       TextAnalysis.deterministicSample(t(s, dir, "documents"), "text", keepPct = 20)
         .select("doc_id", "sample_bucket")),
 
+    // repetition quality signal: duplicated-bigram and duplicated-line
+    // fractions (Gopher-style boilerplate detection)
+    "t12_repetition" -> ((s, dir) => {
+      val (dupB, dupL) = TextAnalysis.repetitionScores(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"), dupB.as("dup_bigram_frac"), dupL.as("dup_line_frac"))
+    }),
+
     // boilerplate cleaning: tags/entities/URLs stripped, whitespace
     // collapsed — fixture text is already clean, so the contract is
     // "cleaning never corrupts clean text" plus the whitespace collapse
@@ -997,6 +1005,27 @@ object SparkEntry {
                  FROM documents))
          SELECT doc_id, CAST(((fp % 100) + 100) % 100 AS BIGINT) AS sample_bucket
          FROM f WHERE ((fp % 100) + 100) % 100 < 20""",
+    "t12_repetition" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+                  list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+           FROM documents),
+         g AS (
+           SELECT doc_id, lines,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                              i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+                       ELSE [] END AS bg
+           FROM b)
+         SELECT doc_id,
+                CASE WHEN len(bg) > 0
+                     THEN ROUND(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+                     ELSE 0.0 END AS dup_bigram_frac,
+                CASE WHEN len(lines) > 0
+                     THEN ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+                     ELSE 0.0 END AS dup_line_frac
+         FROM g""",
     "t11_text_cleaning" ->
       """WITH c AS (
            SELECT doc_id,

@@ -157,6 +157,33 @@ object TextAnalysis {
       .filter(col("sample_bucket") < keepPct)
   }
 
+  /** Gopher-style repetition scores: the fraction of duplicated word
+    * bigrams and duplicated lines inside a document — the standard cheap
+    * signal for boilerplate/spam (high repetition => low quality). Pure
+    * array expressions, map-only.
+    * Output: (dup_bigram_frac, dup_line_frac), both in [0,1], 0 for
+    * degenerate inputs.
+    */
+  def repetitionScores(text: Column): (Column, Column) = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val bigrams = when(n >= 2,
+      zip_with(slice(toks, lit(1), greatest(n - 1, lit(1))),
+        slice(toks, lit(2), greatest(n - 1, lit(1))),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array())
+    val nb = size(bigrams)
+    val dupB = when(nb > 0,
+      round((nb - size(array_distinct(bigrams))).cast("double") / nb, 6))
+      .otherwise(lit(0.0))
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nl = size(lines)
+    val dupL = when(nl > 0,
+      round((nl - size(array_distinct(lines))).cast("double") / nl, 6))
+      .otherwise(lit(0.0))
+    (dupB, dupL)
+  }
+
   /** C4-style boilerplate cleaning for web text: strip HTML tags, unescape
     * the common entities, drop URLs, collapse whitespace. Pure column
     * expressions (codegen'd regex/replace chain), map-only. Patterns are

@@ -77,6 +77,21 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("repetitionScores flag duplicated bigrams and lines") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"), // heavy bigram repetition
+      (2L, "each word appears only a single time here"),
+      (3L, "line one\nline two\nline one\n\nline two")) // dup lines
+      .toDF("doc_id", "text")
+    val (dupB, dupL) = TextAnalysis.repetitionScores($"text")
+    val out = docs.select($"doc_id", dupB.as("b"), dupL.as("l"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 > 0.5) // "buy now"/"now buy" repeat heavily
+    assert(out(2L)._1 === 0.0)
+    assert(out(2L)._2 === 0.0) // single line, no duplicates
+    assert(out(3L)._2 === 0.5) // 4 nonempty lines, 2 duplicated
+  }
+
   test("cleanText strips tags, entities and URLs, collapses whitespace") {
     val dirty = Seq(
       (1L, "<p>Hello &amp; welcome</p> to <b>the</b> site https://ex.com/a?b=1 now"),
