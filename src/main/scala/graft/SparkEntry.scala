@@ -304,6 +304,32 @@ object SparkEntry {
                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)""")
     }),
 
+    // pivot (conditional aggregation surface); absent combos coalesce to 0
+    // so both engines agree on empty cells
+    "g03_pivot" -> ((s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "orders")
+        .withColumn("y", year(col("o_orderdate")))
+        .groupBy("y")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .select(col("y") +: prios.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
+    }),
+
+    // lag/lead + running total (DECIMAL-routed so window accumulation
+    // strategy differences can't perturb the double)
+    "w02_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wRun)
+          .cast("double").as("running_total"))
+    }),
+
     "w01_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -810,6 +836,23 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    "g03_pivot" ->
+      """SELECT year(o_orderdate) AS y,
+                COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+                COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+                COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+                COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+                COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+         FROM orders GROUP BY 1""",
+    "w02_lag_lead" ->
+      """SELECT o_orderkey, o_custkey,
+                lag(o_totalprice) OVER w AS prev_price,
+                lead(o_totalprice) OVER w AS next_price,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
     "w01_window_rank" ->
       """SELECT o_orderkey, o_custkey,
                 row_number() OVER (PARTITION BY o_custkey
