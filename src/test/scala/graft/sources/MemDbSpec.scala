@@ -104,6 +104,36 @@ class MemDbSpec extends SparkTestBase {
     assert(t.get(Seq(120L)) === Seq(120L, "second_120"))
   }
 
+  test("cross-format migration: csv source -> parquet target through the planner") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Seq((1L, "a", 10.5), (2L, "b", 20.25), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+      .write.option("header", "true").csv(s"$dir/src/t.csv")
+    val cfg = MigrationConfig(
+      TableRef(format = "csv", path = s"$dir/src",
+        options = Map("header" -> "true", "inferSchema" -> "true")),
+      TableRef(path = s"$dir/tgt"), Nil)
+    val r = graft.pipeline.MigrationPlanner.execute(spark, cfg,
+      TableMigrationDef("t", whereClause = Some("v > 15.0"), simulateOnly = false))
+    assert(r.rowsMigrated === 2L)
+    val got = spark.read.parquet(s"$dir/tgt/t.parquet")
+      .selectExpr("id", "name").as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "b"), (3L, "c")))
+  }
+
+  test("cross-format migration: json source -> parquet target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "tag")
+      .write.json(s"$dir/src/t.json")
+    val cfg = MigrationConfig(
+      TableRef(format = "json", path = s"$dir/src"),
+      TableRef(path = s"$dir/tgt"), Nil)
+    val r = graft.pipeline.MigrationPlanner.execute(spark, cfg,
+      TableMigrationDef("t", simulateOnly = false))
+    assert(r.rowsMigrated === 2L)
+    assert(spark.read.parquet(s"$dir/tgt/t.parquet").count() === 2L)
+  }
+
   test("strict LWT sink: intra-DataFrame duplicate PKs race to one winner") {
     InMemoryLwtStore.drop("lwt_dup")
     // every PK appears twice across partitions — exactly one application each
