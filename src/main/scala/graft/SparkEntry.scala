@@ -406,6 +406,19 @@ object SparkEntry {
           (abs(col("approx_parts") - col("exact_parts")) /
             col("exact_parts") <= 0.05).as("within_5pct"))),
 
+    // scalar array-function surface (construct/sort/fold/position) — array
+    // OUTPUTS are avoided (engine list renderings differ); every result is
+    // a scalar both engines agree on bit-for-bit
+    "f04_array_funcs" -> ((s, dir) => {
+      val arr = array(col("l_quantity"), col("l_linenumber") * 10.0,
+        col("l_discount") * 100.0)
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        element_at(sort_array(arr), 1).as("arr_min"),
+        aggregate(arr, lit(0.0), (a, x) => a + x).as("arr_sum"),
+        array_position(sort_array(arr), col("l_quantity")).as("qty_pos"))
+    }),
+
     "f02_date_funcs" -> ((s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -917,6 +930,15 @@ object SparkEntry {
                 ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
                 COUNT(*) AS n
          FROM orders GROUP BY o_orderpriority""",
+    "f04_array_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                list_sort([l_quantity, l_linenumber * 10.0, l_discount * 100.0])[1] AS arr_min,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    [l_quantity, l_linenumber * 10.0, l_discount * 100.0]),
+                  (a, x) -> a + x) AS arr_sum,
+                CAST(list_position(list_sort([l_quantity, l_linenumber * 10.0, l_discount * 100.0]),
+                     l_quantity) AS BIGINT) AS qty_pos
+         FROM lineitem""",
     "f02_date_funcs" ->
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
                 quarter(o_orderdate) AS q,

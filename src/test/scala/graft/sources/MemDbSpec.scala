@@ -121,6 +121,17 @@ class MemDbSpec extends SparkTestBase {
     assert(got === Set((2L, "b"), (3L, "c")))
   }
 
+  test("cross-format migration: orc source -> parquet target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v").write.orc(s"$dir/src/t.orc")
+    val cfg = MigrationConfig(
+      TableRef(format = "orc", path = s"$dir/src"),
+      TableRef(path = s"$dir/tgt"), Nil)
+    val r = graft.pipeline.MigrationPlanner.execute(spark, cfg,
+      TableMigrationDef("t", simulateOnly = false))
+    assert(r.rowsMigrated === 2L)
+  }
+
   test("cross-format migration: json source -> parquet target") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     Seq((1L, "x"), (2L, "y")).toDF("id", "tag")
