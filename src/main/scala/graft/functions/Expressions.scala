@@ -188,6 +188,9 @@ object GraftFunctions {
     Bridge.column(JaccardSorted(Bridge.expression(a), Bridge.expression(b)))
   def hll_distinct(c: Column, p: Int = 12): Column = Bridge.column(
     HllSketch(Bridge.expression(c), p).toAggregateExpression())
+  def top_k_by(score: Column, id: Column, k: Int): Column = Bridge.column(
+    TopKByScore(Bridge.expression(score.cast("double")), Bridge.expression(id), k)
+      .toAggregateExpression())
 
   // once-per-session guard: register() is called from every plan build, and
   // re-registering makes SimpleFunctionRegistry WARN "replaced a previously

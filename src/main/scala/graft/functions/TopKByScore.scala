@@ -1,0 +1,194 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Bounded top-k aggregate: keeps the k best (score DESC, id ASC) entries in
+ * a size-k heap, so ranking `n` candidates per group shuffles **k rows per
+ * group per map partition** instead of every candidate score (VERDICT r3 #1
+ * — the per-query `row_number` window shipped the whole candidate set to
+ * ONE task per query; at 100 TB the brute-force variant put the entire
+ * corpus in that task).
+ *
+ * Partial aggregation works the natural way (same shape as
+ * [[HllSketch]]): map-side update caps each partition's state at k entries,
+ * merge is a k+k → k heap merge, and the final buffer evaluates to an
+ * `array<struct<id, score>>` sorted best-first — callers `posexplode` it to
+ * recover a dense rank. State is O(k) regardless of input cardinality.
+ *
+ * Ordering matches Spark's SQL ordering for `row_number() OVER
+ * (ORDER BY score DESC, id ASC)`: doubles via `java.lang.Double.compare`
+ * (NaN greatest, -0.0 < 0.0), ids via their natural Catalyst ordering.
+ */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]] {
+
+  require(k > 0, s"top_k_by requires k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", id.dataType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  /** Natural ascending ordering on the id's internal representation. */
+  private def cmpIds(a: Any, b: Any): Int = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) =>
+      // unsigned lexicographic, the SQL BINARY ordering
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+  }
+
+  /** Heap ordering: the WORST entry (lowest score, then largest id) ranks
+    * highest, so `head` is always the eviction candidate.
+    */
+  private object worstFirst extends Ordering[(Double, Any)] {
+    override def compare(x: (Double, Any), y: (Double, Any)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c else cmpIds(x._2, y._2)
+    }
+  }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Any)] =
+    mutable.PriorityQueue.empty[(Double, Any)](worstFirst)
+
+  /** Values coming out of `eval` on unsafe rows may alias reused buffers —
+    * copy the ones that do before they outlive the input row.
+    */
+  private def own(v: Any): Any = v match {
+    case u: UTF8String => UTF8String.fromBytes(u.getBytes)
+    case b: Array[Byte] => b.clone()
+    case other => other
+  }
+
+  private def offer(buf: mutable.PriorityQueue[(Double, Any)],
+      entry: (Double, Any), copied: Boolean): Unit = {
+    if (buf.size < k) {
+      buf.enqueue(if (copied) entry else (entry._1, own(entry._2)))
+    } else if (worstFirst.compare(entry, buf.head) < 0) {
+      buf.dequeue()
+      buf.enqueue(if (copied) entry else (entry._1, own(entry._2)))
+    }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Double, Any)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Any)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      offer(buf, (s.asInstanceOf[Double], i), copied = false)
+    }
+    buf
+  }
+
+  override def merge(a: mutable.PriorityQueue[(Double, Any)],
+      b: mutable.PriorityQueue[(Double, Any)]): mutable.PriorityQueue[(Double, Any)] = {
+    b.foreach(e => offer(a, e, copied = true))
+    a
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any = {
+    // dequeue order is worst-first; reverse for a best-first result array
+    val n = buf.size
+    val out = new Array[Any](n)
+    var i = n - 1
+    while (i >= 0) {
+      val (s, id) = buf.dequeue()
+      out(i) = InternalRow(id, s)
+      i -= 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Any)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, v) =>
+      out.writeDouble(s)
+      writeId(out, v)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Any)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble()
+      buf.enqueue((s, readId(in)))
+      i += 1
+    }
+    buf
+  }
+
+  private def writeId(out: DataOutputStream, v: Any): Unit = id.dataType match {
+    case LongType | TimestampType | TimestampNTZType => out.writeLong(v.asInstanceOf[Long])
+    case IntegerType | DateType => out.writeInt(v.asInstanceOf[Int])
+    case ShortType => out.writeShort(v.asInstanceOf[Short].toInt)
+    case ByteType => out.writeByte(v.asInstanceOf[Byte].toInt)
+    case DoubleType => out.writeDouble(v.asInstanceOf[Double])
+    case FloatType => out.writeFloat(v.asInstanceOf[Float])
+    case StringType =>
+      val b = v.asInstanceOf[UTF8String].getBytes
+      out.writeInt(b.length); out.write(b)
+    case BinaryType =>
+      val b = v.asInstanceOf[Array[Byte]]
+      out.writeInt(b.length); out.write(b)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"top_k_by: unsupported id type $other")
+  }
+
+  private def readId(in: DataInputStream): Any = id.dataType match {
+    case LongType | TimestampType | TimestampNTZType => in.readLong()
+    case IntegerType | DateType => in.readInt()
+    case ShortType => in.readShort()
+    case ByteType => in.readByte()
+    case DoubleType => in.readDouble()
+    case FloatType => in.readFloat()
+    case StringType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      UTF8String.fromBytes(b)
+    case BinaryType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      b
+    case other =>
+      throw new UnsupportedOperationException(
+        s"top_k_by: unsupported id type $other")
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKByScore =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKByScore =
+    copy(score = c(0), id = c(1))
+  override def prettyName: String = "top_k_by"
+}

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -54,10 +53,25 @@ object Similarity {
       col(queryId), col(corpusId),
       cosine(col(corpusVec), col("__qv")).as("cosine"))
       .filter(col("cosine").isNotNull) // mismatched-dim vectors excluded
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, queryId, corpusId, k)
   }
+
+  /** Rank candidate scores per query with the bounded top-k aggregate
+    * ([[graft.functions.TopKByScore]]) — shuffles k entries per query per
+    * map partition. A per-query `row_number` window here would ship EVERY
+    * candidate score to one task per query (for brute force, the whole
+    * corpus); the heap aggregate caps state at O(k) map-side. Ordering is
+    * identical to `row_number() OVER (ORDER BY cosine DESC, id ASC)`.
+    * Output: (queryId, idCol, cosine, rank) with rank in 1..k.
+    */
+  private[operators] def rankTopK(
+      scored: DataFrame, queryId: String, idCol: String, k: Int): DataFrame =
+    scored.groupBy(col(queryId))
+      .agg(GraftFunctions.top_k_by(col("cosine"), col(idCol), k).as("__topk"))
+      .select(col(queryId), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(queryId), col("__e.id").as(idCol),
+        col("__e.score").as("cosine"),
+        (col("__pos") + 1).cast("int").as("rank"))
 
   /** Sign-bit LSH signature of a vector: bit i = sign(v · plane_i). The
     * planes are generated deterministically and shipped as literals; each
@@ -103,10 +117,10 @@ object Similarity {
       col(queryId), col(corpusId),
       cosine(col(corpusVec), col("__qv")).as("cosine"))
       .filter(col("cosine").isNotNull)
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    scored.groupBy(queryId, corpusId).agg(first("cosine").as("cosine"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // multi-probe can surface the same (query, vector) via several buckets —
+    // dedup before ranking so a duplicate never occupies two top-k slots
+    val deduped = scored.groupBy(queryId, corpusId).agg(first("cosine").as("cosine"))
+    rankTopK(deduped, queryId, corpusId, k)
   }
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets: pairs of
@@ -190,9 +204,7 @@ object Similarity {
       .select(col(queryId), col(corpusId),
         cosine(col(corpusVec), col("__qv")).as("cosine"))
       .filter(col("cosine").isNotNull)
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, queryId, corpusId, k)
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

@@ -80,6 +80,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"global sort leaked into the packing plan:\n$p")
   }
 
+  test("ANN top-k ranks via bounded heap aggregate — no per-query Window") {
+    // VERDICT r3 #1: a row_number window ships every candidate score to one
+    // task per query; the TopKByScore aggregate caps shuffle at k per query
+    Seq("s01_ann_bruteforce", "s02_ann_lsh", "s04_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via a window again:\n$p")
+      assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+        s"$q missing the bounded top-k aggregate:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q top-k not aggregated map-side:\n$p")
+    }
+  }
+
   test("kernel expressions appear in the minhash plan (not HOF lambdas)") {
     val p = plan("d03_minhash_pairs")
     assert(p.contains("minhash_sig") || p.contains("MinHashSig"))

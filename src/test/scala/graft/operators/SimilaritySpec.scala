@@ -86,6 +86,36 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("rankTopK heap aggregate is row-for-row equal to a row_number window") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial scores: duplicates (tie-break on id), negatives, many
+    // queries — the heap must reproduce (score DESC, id ASC) exactly
+    val scored = (0 until 2000).map { i =>
+      (i % 7L, i.toLong, ((i * 37) % 100).toDouble / 10.0)
+    }.toDF("query_id", "vec_id", "cosine")
+      .repartition(8) // force multi-partition partial aggregation + merge
+    val viaHeap = Similarity.rankTopK(scored, "query_id", "vec_id", k = 9)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 9)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaHeap === viaWindow)
+    assert(viaHeap.size === 7 * 9)
+  }
+
+  test("rankTopK with string ids orders ties lexicographically like SQL") {
+    val scored = Seq(
+      ("q", "bb", 1.0), ("q", "aa", 1.0), ("q", "cc", 1.0), ("q", "ab", 0.5))
+      .toDF("query_id", "doc_id", "cosine").repartition(3)
+    val got = Similarity.rankTopK(scored, "query_id", "doc_id", k = 3)
+      .orderBy("rank").select("doc_id", "rank")
+      .as[(String, Int)].collect().toSeq
+    assert(got === Seq(("aa", 1), ("bb", 2), ("cc", 3)))
+  }
+
   test("dimension-mismatched vectors never poison results (null cosine)") {
     val bad = Seq((999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val q = corpus.filter($"vec_id" === 0)
