@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -26,8 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
  * recover a dense rank. State is O(k) regardless of input cardinality.
  *
  * Ordering matches Spark's SQL ordering for `row_number() OVER
- * (ORDER BY score DESC, id ASC)`: doubles via `java.lang.Double.compare`
- * (NaN greatest, -0.0 < 0.0), ids via their natural Catalyst ordering.
+ * (ORDER BY score DESC, id ASC)`: doubles compared the way
+ * `SQLOrderingUtil` does — `==` first so `-0.0` ties `0.0` (ties then fall
+ * through to the id tie-break, exactly like the window), NaN greatest via
+ * `java.lang.Double.compare`; ids via their natural Catalyst ordering with
+ * the same `±0.0` rule for float/double ids.
+ *
+ * Null handling: rows with a null score OR a null id are skipped — the
+ * result array's struct fields are declared non-nullable. This differs
+ * from the replaced window (`ASC NULLS FIRST` ranked a null id ahead of
+ * score-ties); ANN ids are join keys and never null in practice, so the
+ * drop is the honest contract rather than a silent reorder.
  */
 case class TopKByScore(
     score: Expression,
@@ -41,6 +51,30 @@ case class TopKByScore(
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
+
+  /** Unsupported id types must fail at analysis time, not as an
+    * `UnsupportedOperationException` from [[writeId]] mid-shuffle (or a
+    * `ClassCastException` from [[cmpIds]] on a non-`Comparable` id).
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: score must be DOUBLE, got ${score.dataType.simpleString}")
+    else id.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | DateType | TimestampType | TimestampNTZType |
+          StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: unsupported id type ${other.simpleString} " +
+          "(supported: integral, float, double, date, timestamp, string, binary)")
+    }
+  }
+
+  /** Spark's SQL double ordering (`SQLOrderingUtil.compareDoubles`):
+    * `-0.0 == 0.0` (unlike `java.lang.Double.compare`), NaN greatest.
+    */
+  private def cmpScores(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id", id.dataType, nullable = false),
@@ -59,6 +93,12 @@ case class TopKByScore(
         i += 1
       }
       java.lang.Integer.compare(x.length, y.length)
+    // SQL orders -0.0 == 0.0 for float/double ids too (then the pair is a
+    // full tie); Comparable.compareTo would order -0.0 < 0.0
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      if (x.doubleValue() == y.doubleValue()) 0 else x.compareTo(y)
+    case (x: java.lang.Float, y: java.lang.Float) =>
+      if (x.floatValue() == y.floatValue()) 0 else x.compareTo(y)
     case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
   }
 
@@ -67,7 +107,7 @@ case class TopKByScore(
     */
   private object worstFirst extends Ordering[(Double, Any)] {
     override def compare(x: (Double, Any), y: (Double, Any)): Int = {
-      val c = java.lang.Double.compare(y._1, x._1)
+      val c = cmpScores(y._1, x._1)
       if (c != 0) c else cmpIds(x._2, y._2)
     }
   }
@@ -111,14 +151,15 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any = {
-    // dequeue order is worst-first; reverse for a best-first result array
-    val n = buf.size
-    val out = new Array[Any](n)
-    var i = n - 1
-    while (i >= 0) {
-      val (s, id) = buf.dequeue()
-      out(i) = InternalRow(id, s)
-      i -= 1
+    // non-destructive: sort a copy best-first instead of draining the heap,
+    // so a second eval of the same buffer (window frames, retries) still
+    // sees the state
+    val entries = buf.toArray.sorted(worstFirst) // ascending worstFirst = best first
+    val out = new Array[Any](entries.length)
+    var i = 0
+    while (i < entries.length) {
+      out(i) = InternalRow(entries(i)._2, entries(i)._1)
+      i += 1
     }
     new GenericArrayData(out)
   }

@@ -116,6 +116,56 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === Seq(("aa", 1), ("bb", 2), ("cc", 3)))
   }
 
+  test("rankTopK orders -0.0 and 0.0 as equal scores, exactly like the window") {
+    import org.apache.spark.sql.expressions.Window
+    // SQL ordering treats -0.0 == 0.0 (SQLOrderingUtil), so ±0.0 scores are
+    // ties broken by id ASC; java.lang.Double.compare would put -0.0 below
+    // 0.0 and diverge from the window (ADVICE r4)
+    val scored = Seq(
+      ("q", 4L, -0.0), ("q", 1L, 0.0), ("q", 3L, -0.0), ("q", 2L, 0.0),
+      ("q", 5L, -1.0))
+      .toDF("query_id", "vec_id", "cosine").repartition(3)
+    val viaHeap = Similarity.rankTopK(scored, "query_id", "vec_id", k = 3)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toSet
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toSet
+    assert(viaHeap === viaWindow)
+    assert(viaHeap === Set((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("top_k_by rejects unsupported id types at analysis time") {
+    // an array id would ClassCastException in the heap ordering and throw
+    // UnsupportedOperationException at serialize time — must fail analysis
+    val df = Seq((1L, Array(1, 2), 0.5)).toDF("q", "arr_id", "score")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("q")
+        .agg(graft.functions.GraftFunctions.top_k_by($"score", $"arr_id", 3).as("t"))
+        .collect()
+    }
+    assert(e.getMessage.contains("unsupported id type"))
+  }
+
+  test("TopKByScore eval is non-destructive (same buffer evaluates twice)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.functions.TopKByScore(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true), k = 2)
+    val buf = agg.createAggregationBuffer()
+    Seq((0.3, 7L), (0.9, 1L), (0.5, 4L)).foreach { case (s, i) =>
+      agg.update(buf, InternalRow(s, i))
+    }
+    val first = agg.eval(buf)
+    val second = agg.eval(buf)
+    assert(first.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() === 2)
+    assert(first.toString === second.toString)
+    assert(buf.size === 2, "buffer must survive eval")
+  }
+
   test("dimension-mismatched vectors never poison results (null cosine)") {
     val bad = Seq((999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val q = corpus.filter($"vec_id" === 0)
