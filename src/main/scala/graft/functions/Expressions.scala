@@ -192,24 +192,23 @@ object GraftFunctions {
     TopKByScore(Bridge.expression(score.cast("double")), Bridge.expression(id), k)
       .toAggregateExpression())
 
-  // once-per-session guard: register() is called from every plan build, and
-  // re-registering makes SimpleFunctionRegistry WARN "replaced a previously
-  // registered function" on every query — weakly held so sessions can GC
-  private val registeredSessions =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(
-        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
-
   /** Register SQL names so `expr("java_hash_code(col)")` (and thus the MVEL
     * translator output) resolves. Reference parity for the plugin/UDF
-    * surface (SURVEY §2 O22). Idempotent per session.
+    * surface (SURVEY §2 O22). Idempotent per REGISTRY, not per session: a
+    * cloned session copies its parent's registry, so a session-keyed guard
+    * set would re-register into the clone and trip the
+    * "replaced a previously registered function" WARN on every query
+    * (VERDICT r4 #5). Asking the registry itself is the only check that
+    * survives cloning.
     */
-  def register(spark: SparkSession): Unit =
-    if (registeredSessions.add(spark)) {
-      Bridge.registerFunction(spark, "java_hash_code", es => JavaHashCode(es.head))
-      Bridge.registerFunction(spark, "poly_hash64", es => PolyHash64(es.head))
-      Bridge.registerFunction(spark, "dot_product", es => DotProduct(es.head, es(1)))
-    }
+  def register(spark: SparkSession): Unit = {
+    def ifAbsent(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!Bridge.functionExists(spark, name))
+        Bridge.registerFunction(spark, name, builder)
+    ifAbsent("java_hash_code")(es => JavaHashCode(es.head))
+    ifAbsent("poly_hash64")(es => PolyHash64(es.head))
+    ifAbsent("dot_product")(es => DotProduct(es.head, es(1)))
+  }
 }
 
 /** Distinct sorted 64-bit hashes of the k-char-grams (word=false) or

@@ -34,6 +34,28 @@ object Bridge {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
   }
 
+  /** True when `name` already resolves in this session's function registry.
+    * This — not a guard set keyed on the session — is the correct
+    * idempotence check for [[registerFunction]]: cloned sessions COPY the
+    * parent's registry, so a session-keyed guard misses them and the
+    * re-registration makes `SimpleFunctionRegistry` WARN
+    * "replaced a previously registered function" on every query.
+    */
+  def functionExists(spark: SparkSession, name: String): Boolean = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+  }
+
+  /** A clone of the session with COPIED state — the same operation the
+    * streaming engine performs per query (`MicroBatchExecution` runs each
+    * batch in a cloned session), which is exactly where a session-keyed
+    * registration guard broke down. `cloneSession` is `private[sql]`, so
+    * the registry-idempotence test reaches it through here.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** The identity-transform partitioning columns of every DSv2 relation in
     * a DataFrame's plan — how a table-addressed connector (Cassandra, the
     * memdb test double) advertises its partition/primary-key columns.

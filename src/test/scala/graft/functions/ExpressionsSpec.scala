@@ -22,6 +22,21 @@ class ExpressionsSpec extends SparkTestBase {
     assert(viaSql.toSeq === strings.map(_.hashCode))
   }
 
+  test("register is a no-op on cloned sessions (registry survives the clone)") {
+    import org.apache.spark.sql.graft.Bridge
+    GraftFunctions.register(spark)
+    // the streaming engine runs each micro-batch in a cloned session whose
+    // registry COPIES the parent's — register() must detect the copies and
+    // not re-register (the "replaced a previously registered function"
+    // WARN of VERDICT r4 #5)
+    val clone = Bridge.cloneSession(spark)
+    assert(Bridge.functionExists(clone, "java_hash_code"))
+    assert(Bridge.functionExists(clone, "poly_hash64"))
+    assert(Bridge.functionExists(clone, "dot_product"))
+    GraftFunctions.register(clone) // must take the functionExists no-op path
+    assert(clone.sql("SELECT poly_hash64('abc')").collect().nonEmpty)
+  }
+
   test("PolyHash64 is the base-31 rolling hash") {
     def poly(s: String): Long = s.foldLeft(0L)((h, c) => h * 31L + c.toLong)
     val strings = Seq("", "abc", "hello world", "ü")
