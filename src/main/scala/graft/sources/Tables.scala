@@ -38,10 +38,20 @@ object Tables {
   def isLocalPath(ref: TableRef, table: String): Boolean =
     isPathFormat(ref) && !tablePath(ref, table).stripPrefix("file:").contains("://")
 
+  /** Per-table load-call counts — lets specs assert a plan resolves a
+    * table once, not per micro-batch (VERDICT r4 #2 "target read once").
+    */
+  private[graft] val loadCalls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def loadCallCount(ref: TableRef, table: String): Long =
+    Option(loadCalls.get(tablePath(ref, table))).map(_.get()).getOrElse(0L)
+
   /** Load a table as a DataFrame — the O1 scan. Column pruning + filter
     * pushdown are Catalyst's job from here (SURVEY §4).
     */
   def load(spark: SparkSession, ref: TableRef, table: String): DataFrame = {
+    loadCalls.computeIfAbsent(tablePath(ref, table),
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
     val reader = spark.read.format(ref.format).options(ref.options)
     ref.format match {
       case f if pathFormats.contains(f) => reader.load(tablePath(ref, table))

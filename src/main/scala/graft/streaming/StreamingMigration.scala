@@ -16,9 +16,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *    the trigger interval is the rate limiter — O17);
  *  - the narrow plan (filters, derived columns, TTL, projection) is BYTE
  *    IDENTICAL to batch mode — [[MigrationPlanner.narrowPlan]] is shared;
- *  - the sink-side write-mode transform (keep-last / counter pre-agg /
- *    anti-join) runs per micro-batch inside `foreachBatch`, exactly the
- *    reference's per-page semantics;
+ *  - existence filtering (O6/O14) runs in keyed streaming state seeded
+ *    from ONE target read ([[StreamingExistenceFilter]]) — the reference's
+ *    per-page live probe without a per-batch target scan;
+ *  - the sink-side write-mode transform (keep-last / counter pre-agg)
+ *    runs per micro-batch inside `foreachBatch`, exactly the reference's
+ *    per-page semantics;
  *  - task parallelism inside a batch replaces the write pool (O18).
  *
  * At scale, sink batches are retry-safe: each micro-batch overwrites its
@@ -99,16 +102,29 @@ object StreamingMigration {
 
     // Existence filtering must see rows written by EARLIER micro-batches
     // (the reference probes the live target per page,
-    // IfNotExistFilter.java:71-89). A pre-stream snapshot pins its file
-    // listing, so the anti-join is deferred: stripped from the narrow plan
-    // here and applied per batch against a FRESH target load below. The
-    // pre-stream snapshot is still the right schema anchor for the
-    // reconciled projection (schemas don't change mid-stream).
+    // IfNotExistFilter.java:71-89). The target is read ONCE — its PKs seed
+    // the keyed state of [[StreamingExistenceFilter]]; from then on the
+    // state store answers "seen?" locally instead of a per-batch full
+    // target re-scan (VERDICT r4 #2). The pre-stream snapshot is also the
+    // schema anchor for the reconciled projection (schemas don't change
+    // mid-stream).
     val schemaTarget = Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
     val needsExistenceFilter =
       t.filters.contains(IfNotExistFilter) || t.writeMode == InsertIfNotExists
     val tNarrow = t.copy(filters = t.filters.filterNot(_ == IfNotExistFilter))
-    val (narrow, _) = MigrationPlanner.narrowPlan(stream, schemaTarget, tNarrow)
+    val (narrowNoExist, _) = MigrationPlanner.narrowPlan(stream, schemaTarget, tNarrow)
+    val narrow = if (needsExistenceFilter) {
+      if (t.pkColumns.isEmpty) throw MigrationPlanner.PlanError(
+        s"IfNotExist semantics on '${t.tableName}' need pkColumns")
+      val missing = schemaTarget.toSeq.flatMap(tgt =>
+        t.pkColumns.filterNot(tgt.columns.contains))
+      if (missing.nonEmpty) throw MigrationPlanner.PlanError(
+        s"target '${t.resolvedTargetName}' lacks PK column(s) " +
+          s"${missing.mkString(", ")} required for existence filtering")
+      StreamingExistenceFilter(narrowNoExist,
+        schemaTarget.map(_.select(t.pkColumns.map(org.apache.spark.sql.functions.col): _*)),
+        t.pkColumns)
+    } else narrowNoExist
     // the per-batch transform must not anti-join a second time
     val tBatch =
       if (needsExistenceFilter && !t.filters.contains(IfNotExistFilter))
@@ -119,17 +135,9 @@ object StreamingMigration {
       .trigger(resolvedTrigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // fresh snapshot per batch: a new load builds a new file index, so
-        // rows landed by earlier micro-batches are visible to the anti-join
-        val target =
-          if (needsExistenceFilter)
-            Tables.loadIfExists(spark, cfg.target, t.resolvedTargetName)
-          else schemaTarget
-        val filtered =
-          if (needsExistenceFilter)
-            MigrationPlanner.antiJoinOnPk(batch, target, t)
-          else batch
-        val out = MigrationPlanner.writeModeTransform(filtered, target, tBatch)
+        // existence filtering already happened upstream in keyed state —
+        // the batch arrives pre-filtered, no target re-read here
+        val out = MigrationPlanner.writeModeTransform(batch, schemaTarget, tBatch)
         if (t.simulateOnly) out.write.format("noop").mode("overwrite").save()
         else if (Tables.isPathFormat(cfg.target) && batchDirsUsable(cfg, t)) {
           // idempotent per batch: each micro-batch OVERWRITES its own
