@@ -42,6 +42,9 @@ class ProgressSpec extends SparkTestBase {
       // cumulative count is monotonically non-decreasing across batches
       val cums = batchLines.map(_.split("cumulative=")(1).split(" ")(0).toLong)
       assert(cums === cums.sorted)
+      // VERDICT r4 #3: sliding-window latency percentiles on the status line
+      assert(batchLines.exists(l => l.contains("batchMillis[p50=") &&
+        l.contains("p99=")), s"expected batch latency histogram, got:\n$batchLines")
     } finally spark.streams.removeListener(listener)
   }
 
@@ -63,5 +66,21 @@ class ProgressSpec extends SparkTestBase {
     assert(got.nonEmpty, "expected at least one interval delta line")
     assert(got.head.contains("rowsRead="))
     assert(got.head.contains("rows/s"))
+    // VERDICT r4 #3: task-duration percentiles ride the same status line
+    assert(got.exists(l => l.contains("taskMillis[p50=") && l.contains("p99=")),
+      s"expected task latency histogram on a status line, got:\n$got")
+  }
+
+  test("latency window: nearest-rank percentiles, old samples age out") {
+    val w = new LatencyWindow(windowMillis = 1000L)
+    (1L to 100L).foreach(v => w.record(v, now = 5000L))
+    val s = w.summary(now = 5000L).get
+    assert(s.contains("p50=50ms") && s.contains("p95=95ms") &&
+      s.contains("p99=99ms") && s.contains("max=100ms") && s.contains("n=100"), s)
+    // 1.2 s later every sample has aged out of the 1 s window
+    assert(w.summary(now = 6200L).isEmpty)
+    // a fresh sample after expiry stands alone
+    w.record(7L, now = 6300L)
+    assert(w.summary(now = 6300L).get.contains("p50=7ms"))
   }
 }
