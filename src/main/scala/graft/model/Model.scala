@@ -103,9 +103,14 @@ final case class TtlSpec(ttlColumn: String, sourceTableTtl: Long, targetTableTtl
   *                           (MigrateTableTask.java:168-169) — O19
   * @param pageSize           micro-batch size bound in streaming mode
   *                           (reference pageSize, TableMigrationDefinition
-  *                           .java:75 — maps to maxFilesPerTrigger)
-  * @param pauseMillisBetweenPages streaming trigger interval — the rate
-  *                           limiter (reference :86-91, O17)
+  *                           .java:75 — maps to maxFilesPerTrigger); in
+  *                           batch mode, the rows-per-page unit of the
+  *                           pacing below
+  * @param pauseMillisBetweenPages rate limiter (reference :86-91, O17):
+  *                           the streaming trigger interval, and in batch
+  *                           mode each task's pause between pageSize-row
+  *                           pages on the way into the sink
+  *                           ([[graft.pipeline.Throttle]])
   * @param patchNullsFromTarget CQL sparse-row upsert fidelity: a CQL
   *                           UPDATE leaves columns it doesn't set untouched
   *                           (reference DefaultMigratorPlugin.java:345-358);

@@ -291,8 +291,15 @@ object MigrationPlanner {
   def execute(spark: SparkSession, cfg: MigrationConfig, t: TableMigrationDef): MigrationResult = {
     val startNanos = System.nanoTime()
     val planned = plan(spark, cfg, t)
+    // O17 for batch: pauseMillisBetweenPages paces every task between its
+    // pageSize-row pages on the way into the sink (reference
+    // MigrateTableTask.java:325-330; 5000 is the reference driver's
+    // default fetch/page size when none is configured)
+    val paced = t.pauseMillisBetweenPages.filter(_ > 0)
+      .map(p => Throttle.paced(planned.data, t.pageSize.getOrElse(5000), p))
+      .getOrElse(planned.data)
     val metricName = s"graft_${t.tableName}_${System.identityHashCode(planned)}"
-    val observed = planned.data.observe(metricName, count(lit(1)).as("rows_migrated"))
+    val observed = paced.observe(metricName, count(lit(1)).as("rows_migrated"))
     // the write runs in its own QueryExecution — capture the CollectMetrics
     // result through the listener bus (no extra count() job: O20 for free)
     @volatile var captured: Option[Long] = None
