@@ -30,7 +30,11 @@ import org.apache.spark.sql.types._
  * comparisons, Java arithmetic, String methods (length/substring/indexOf/
  * toUpperCase/toLowerCase/trim/contains/startsWith/endsWith/replace/
  * charAt/isEmpty/equals/concat/matches/hashCode), Math.* and abs/min/max,
- * Integer/Long/Double.parse*, String.valueOf. Nulls propagate through
+ * Integer/Long/Double.parse*, String.valueOf. Collection columns (CQL
+ * list/set/map arrive as Spark array/map — reference
+ * CassandraSchemaUtil.java:170-179): subscripts `xs[i]` / `m['k']` with
+ * Spark SQL null-on-miss semantics, and size/isEmpty/contains/indexOf/
+ * get/containsKey/containsValue. Nulls propagate through
  * arithmetic and method calls (a per-row NPE would fail the whole task;
  * CQL-shaped data is sparse by design).
  */
@@ -56,6 +60,7 @@ object MvelInterp {
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   final case class Tern(c: Expr, t: Expr, f: Expr) extends Expr
   final case class Method(target: Expr, name: String, args: List[Expr]) extends Expr
+  final case class Index(target: Expr, key: Expr) extends Expr
   final case class Fun(name: String, args: List[Expr]) extends Expr
   final case class CastE(tpe: String, e: Expr) extends Expr
 
@@ -271,7 +276,15 @@ object MvelInterp {
 
     private def postfix(): Expr = {
       var e = primary()
-      while (at(".")) {
+      while (at(".") || at("[")) {
+        if (eat("[")) {
+          // list / map subscript: `row.tags[0]`, `row.attrs['k']` — the
+          // SAME spelling the translator passes through as Spark SQL
+          // element access, so both paths accept it
+          val k = expression()
+          expect("]")
+          e = Index(e, k)
+        } else {
         next()
         val name = next()
         if (name.kind != "id") throw UnsupportedMvel(
@@ -291,6 +304,7 @@ object MvelInterp {
           case VarRef(ns) => e = VarRef(s"$ns.${name.text}") // Math.abs target
           case _ => throw UnsupportedMvel(
             s"field access '.${name.text}' unsupported in '$src'")
+        }
         }
       }
       e
@@ -454,6 +468,27 @@ object MvelInterp {
       case (s: String, "equals", List(a)) => Boolean.box(s == a)
       case (s: String, "concat", List(a: String)) => s.concat(a)
       case (s: String, "matches", List(a: String)) => Boolean.box(s.matches(a))
+      // CQL list/set/map columns arrive as Spark Seq / Map values
+      // (reference type surface: CassandraSchemaUtil.java:170-179).
+      // Element equality is numeric-aware ([[eq]]): Spark boxes CQL int as
+      // Integer and bigint as Long while MVEL literals default to Integer,
+      // so raw .equals would make `row.big_ids.contains(3)` false purely
+      // through boxing — a representation artifact, not user intent.
+      case (xs: scala.collection.Seq[_], "size", Nil) => Int.box(xs.size)
+      case (xs: scala.collection.Seq[_], "isEmpty", Nil) => Boolean.box(xs.isEmpty)
+      case (xs: scala.collection.Seq[_], "contains", List(a)) =>
+        Boolean.box(xs.exists(x => eq(fromSpark(x), a)))
+      case (xs: scala.collection.Seq[_], "indexOf", List(a)) =>
+        Int.box(xs.indexWhere(x => eq(fromSpark(x), a)))
+      case (xs: scala.collection.Seq[_], "get", List(a: Number)) =>
+        subscript(xs, a)
+      case (m: scala.collection.Map[_, _], "size", Nil) => Int.box(m.size)
+      case (m: scala.collection.Map[_, _], "isEmpty", Nil) => Boolean.box(m.isEmpty)
+      case (m: scala.collection.Map[_, _], "containsKey", List(a)) =>
+        Boolean.box(m.keysIterator.exists(k => eq(fromSpark(k), a)))
+      case (m: scala.collection.Map[_, _], "containsValue", List(a)) =>
+        Boolean.box(m.valuesIterator.exists(v => eq(fromSpark(v), a)))
+      case (m: scala.collection.Map[_, _], "get", List(a)) => subscript(m, a)
       case (t, "hashCode", Nil) => Int.box(t.hashCode()) // JVM-exact (O22 parity)
       case (n: Number, "intValue", Nil) => Int.box(n.intValue())
       case (n: Number, "longValue", Nil) => Long.box(n.longValue())
@@ -462,6 +497,26 @@ object MvelInterp {
       case (n: Number, "toString", Nil) => valueOfStr(n)
       case _ => throw UnsupportedMvel(
         s"unsupported method .$name/${args.length} on ${target.getClass.getSimpleName}")
+    }
+  }
+
+  /** `xs[i]` / `m[k]` — Spark SQL element-access semantics on BOTH paths
+    * (the translator passes the same spelling through as SQL): list index
+    * out of bounds yields null, missing map key yields null, null
+    * target/key propagates null. Map keys match with numeric-aware
+    * equality for the same boxing reason as `.contains` above.
+    */
+  private def subscript(target: Any, key: Any): Any = {
+    if (target == null || key == null) return null
+    (target, key) match {
+      case (xs: scala.collection.Seq[_], i: Number) =>
+        val idx = i.intValue()
+        if (idx < 0 || idx >= xs.size) null else fromSpark(xs(idx))
+      case (m: scala.collection.Map[_, _], k) =>
+        m.collectFirst { case (mk, v) if eq(fromSpark(mk), k) => fromSpark(v) }
+          .orNull
+      case _ => throw UnsupportedMvel(
+        s"subscript on ${target.getClass.getSimpleName} unsupported")
     }
   }
 
@@ -529,6 +584,7 @@ object MvelInterp {
       case Method(t, name, args) => callMethod(evalExpr(t), name, args.map(evalExpr))
       case Fun(name, args) => callFun(name, args.map(evalExpr))
       case CastE(tpe, x) => castNum(tpe, evalExpr(x))
+      case Index(t, k) => subscript(evalExpr(t), evalExpr(k))
     }
 
     def run(ss: List[Stmt]): Unit = ss.foreach { s =>
@@ -584,11 +640,17 @@ object MvelInterp {
   private case object TBool extends T
   private case object TStr extends T
   private case object TNull extends T
+  private final case class TArr(elem: T) extends T
+  private final case class TMap(key: T, value: T) extends T
 
   private def join(a: T, b: T): T = (a, b) match {
     case (x, y) if x == y => x
     case (TNull, x) => x
     case (x, TNull) => x
+    case (TArr(x), TArr(y)) => TArr(join(x, y))
+    case (TMap(k1, v1), TMap(k2, v2)) => TMap(join(k1, k2), join(v1, v2))
+    case (_: TArr | _: TMap, _) | (_, _: TArr | _: TMap) =>
+      throw UnsupportedMvel(s"cannot unify collection type with $a/$b")
     case (TStr, _) | (_, TStr) => TStr
     case (TDouble, _) | (_, TDouble) => TDouble
     case (TFloat, _) | (_, TFloat) => TFloat
@@ -604,6 +666,10 @@ object MvelInterp {
     case DoubleType | _: DecimalType => TDouble
     case BooleanType => TBool
     case StringType => TStr
+    // CQL list/set → Spark array, CQL map → Spark map
+    // (reference CassandraSchemaUtil.java:170-179)
+    case ArrayType(e, _) => TArr(colT(e))
+    case MapType(k, v, _) => TMap(colT(k), colT(v))
     case other => throw UnsupportedMvel(
       s"column type ${other.simpleString} unsupported in interpreted MVEL")
   }
@@ -634,13 +700,24 @@ object MvelInterp {
         case t => t
       }
       case Tern(_, t, f) => join(tExpr(t), tExpr(f))
-      case Method(_, name, _) => name match {
-        case "length" | "indexOf" | "hashCode" | "intValue" => TInt
+      case Method(tgt, name, _) => name match {
+        case "length" | "indexOf" | "hashCode" | "intValue" | "size" => TInt
         case "longValue" => TLong
         case "doubleValue" => TDouble
         case "contains" | "startsWith" | "endsWith" | "isEmpty" | "equals" |
-             "matches" => TBool
+             "matches" | "containsKey" | "containsValue" => TBool
+        case "get" => tExpr(tgt) match {
+          case TMap(_, v) => v
+          case TArr(e) => e
+          case _ => TStr
+        }
         case _ => TStr
+      }
+      case Index(tgt, _) => tExpr(tgt) match {
+        case TArr(e) => e
+        case TMap(_, v) => v
+        case TNull => TNull
+        case other => throw UnsupportedMvel(s"subscript on $other unsupported")
       }
       case Fun(name, args) => name match {
         case "Math.floor" | "Math.ceil" | "Math.sqrt" | "Math.pow" |
@@ -698,6 +775,8 @@ object MvelInterp {
     case TFloat => FloatType
     case TDouble => DoubleType
     case TBool => BooleanType
+    case TArr(e) => ArrayType(dataTypeOf(e))
+    case TMap(k, v) => MapType(dataTypeOf(k), dataTypeOf(v))
     case TStr | TNull => StringType
   }
 
@@ -709,6 +788,15 @@ object MvelInterp {
       case TFloat => Float.box(num(v).floatValue())
       case TDouble => Double.box(num(v).doubleValue())
       case TBool => v
+      // a returned collection re-coerces its elements: the evaluator's
+      // value domain promotes byte/short/decimal, and the declared Spark
+      // type above was mapped through the same promotion
+      case TArr(e) =>
+        v.asInstanceOf[scala.collection.Seq[Any]].map(x => coerce(fromSpark(x), e))
+      case TMap(k, w) =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].map { case (a, b) =>
+          coerce(fromSpark(a), k) -> coerce(fromSpark(b), w)
+        }
       case _ => valueOfStr(v)
     }
   }

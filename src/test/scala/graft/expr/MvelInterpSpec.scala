@@ -93,4 +93,85 @@ class MvelInterpSpec extends SparkTestBase {
     val plan = df.filter(c).queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("udf"), s"unexpected UDF in:\n$plan")
   }
+
+  // ----- collection columns (VERDICT r4 #6): CQL list/set/map surface
+
+  test("list methods: size/contains/isEmpty/indexOf with boxing-insensitive equality") {
+    val tags = scala.collection.immutable.ArraySeq(10L, 20L, 30L)
+    assert(evalOne("row.tags.size()", Map("tags" -> tags)) === Int.box(3))
+    assert(evalOne("row.tags.size() > 0", Map("tags" -> tags)) === Boolean.box(true))
+    // Integer literal vs Long element: boxing must not hide the match
+    assert(evalOne("row.tags.contains(20)", Map("tags" -> tags)) === Boolean.box(true))
+    assert(evalOne("row.tags.contains(25)", Map("tags" -> tags)) === Boolean.box(false))
+    assert(evalOne("row.tags.indexOf(30)", Map("tags" -> tags)) === Int.box(2))
+    assert(evalOne("row.tags.isEmpty()", Map("tags" -> tags)) === Boolean.box(false))
+    assert(evalOne("row.tags.size()", Map("tags" -> null)) === null)
+  }
+
+  test("list subscript: Spark SQL semantics (0-based, null out of bounds)") {
+    val tags = Seq("a", "b", "c")
+    assert(evalOne("row.tags[1]", Map("tags" -> tags)) === "b")
+    assert(evalOne("row.tags[7]", Map("tags" -> tags)) === null)
+    assert(evalOne("row.tags[0].toUpperCase()", Map("tags" -> tags)) === "A")
+    assert(evalOne("row.nums[1] + 5", Map("nums" -> Seq(1, 2, 3))) === Int.box(7))
+  }
+
+  test("map methods and subscript: get/containsKey/containsValue, null on missing key") {
+    val attrs = Map("lang" -> "en", "tier" -> "gold")
+    assert(evalOne("row.attrs['lang']", Map("attrs" -> attrs)) === "en")
+    assert(evalOne("row.attrs['absent']", Map("attrs" -> attrs)) === null)
+    assert(evalOne("row.attrs.get('tier')", Map("attrs" -> attrs)) === "gold")
+    assert(evalOne("row.attrs.containsKey('lang')", Map("attrs" -> attrs)) === Boolean.box(true))
+    assert(evalOne("row.attrs.containsValue('gold')", Map("attrs" -> attrs)) === Boolean.box(true))
+    assert(evalOne("row.attrs.size()", Map("attrs" -> attrs)) === Int.box(2))
+  }
+
+  test("collection ops in loops keep JVM numeric semantics") {
+    val v = evalOne(
+      "var s = 0; for (int i = 0; i < row.xs.size(); i++) { s += row.xs[i]; } return s;",
+      Map("xs" -> Seq(1L, 2L, 3L, 4L)))
+    assert(v === Long.box(10L))
+  }
+
+  test("translator REJECTS collection method calls; planner falls back to the " +
+      "interpreter for a collection filter (VERDICT r4 #6)") {
+    // the user expression the verdict cites verbatim
+    assertThrows[MvelTranslator.UnsupportedMvel](
+      MvelTranslator.toSql("row.tags.size() > 0"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvelcoll").toString
+    Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]), (3L, Seq("c")))
+      .toDF("id", "tags").write.parquet(s"$dir/src/t.parquet")
+    val cfg = MigrationConfig(TableRef(path = s"$dir/src"),
+      TableRef(path = s"$dir/none"), Nil)
+    val planned = graft.pipeline.MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "t",
+      filters = Seq(FieldValueFilter("row.tags.size() > 0"))))
+    assert(planned.data.select("id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("interpreter calculated column over a map column infers the value type") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvelmap").toString
+    Seq((1L, Map("score" -> 10)), (2L, Map("score" -> 20)), (3L, Map.empty[String, Int]))
+      .toDF("id", "attrs").write.parquet(s"$dir/src/t.parquet")
+    val cfg = MigrationConfig(TableRef(path = s"$dir/src"),
+      TableRef(path = s"$dir/none"), Nil)
+    val planned = graft.pipeline.MigrationPlanner.plan(spark, cfg, TableMigrationDef(
+      tableName = "t",
+      calculatedColumns = Seq(CalculatedColumn("bonus",
+        "row.attrs.containsKey('score') ? row.attrs.get('score') * 2 : 0"))))
+    val got = planned.data.select("id", "bonus").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 20, 2L -> 40, 3L -> 0))
+  }
+
+  test("subscript TRANSLATES on the fast path (no UDF) and matches the interpreter") {
+    val df = Seq((1L, Seq(5, 6), Map("k" -> 2))).toDF("id", "xs", "m")
+    // `tags[i]` / `m['k']` pass through the translator as Spark SQL element
+    // access — pure Catalyst, no fallback
+    val c = MvelTranslator.toColumnFor("row.xs[0] + row.m['k']", df.schema)
+    val plan = df.select(c.as("v")).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), s"unexpected UDF in:\n$plan")
+    assert(df.select(c.as("v")).as[Int].head() === 7)
+    assert(evalOne("row.xs[0] + row.m['k']",
+      Map("xs" -> Seq(5, 6), "m" -> Map("k" -> 2))) === Int.box(7))
+  }
 }
