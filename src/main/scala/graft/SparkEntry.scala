@@ -470,6 +470,19 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // pairs → duplicate GROUPS: connected components (pointer-jumping
+    // min-label propagation) over the d03 near-dup pair list; every doc
+    // gets the min reachable id as its cluster, singletons keep their own
+    "d06_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val all = docs.unionByName(mangled)
+      val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text", threshold = 0.7)
+      Dedup.clusterAssignments(pairs.select("idA", "idB"),
+        all.select("doc_id"), "doc_id")
+    }),
+
     // -------------------------------------------- LLM pipeline: similarity
     "s01_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -571,6 +584,18 @@ object SparkEntry {
       val (dupB, dupL) = TextAnalysis.repetitionScores(col("text"))
       t(s, dir, "documents").select(
         col("doc_id"), dupB.as("dup_bigram_frac"), dupL.as("dup_line_frac"))
+    }),
+
+    // benchmark decontamination: training docs sharing any word 5-gram
+    // with the (synthetic) eval set — eval grams broadcast, corpus never
+    // shuffles its grams. Eval set = first-word-dropped variants of every
+    // doc_id % 10 == 3 doc, so overlap is planted and non-trivial.
+    "t13_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val evalDocs = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      TextAnalysis.decontaminate(docs, evalDocs, "doc_id", "text", n = 5)
     }),
 
     // boilerplate cleaning: tags/entities/URLs stripped, whitespace
@@ -1043,6 +1068,41 @@ object SparkEntry {
                 ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
          FROM inter
          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7""",
+    // clusters = transitive closure of the d03 pair set (same recall
+    // argument); the recursive CTE computes reachability, min reachable id
+    // is the cluster label, singletons fall out of the base case
+    "d06_dedup_clusters" ->
+      """WITH RECURSIVE docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents),
+         norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT idA, idB FROM inter
+           WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7),
+         edges AS (
+           SELECT idA AS u, idB AS v FROM pairs
+           UNION ALL
+           SELECT idB, idA FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM docs2
+           UNION
+           SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+         SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY id""",
     "t08_seq_pack" ->
       """WITH base AS (
            SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS pack_group,
@@ -1091,6 +1151,34 @@ object SparkEntry {
                      THEN ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
                      ELSE 0.0 END AS dup_line_frac
          FROM g""",
+    // decontamination: shared-gram COUNTS are hash-agnostic (each engine
+    // hashes the same word-5-gram strings; set intersections agree while
+    // 64-bit hashing stays collision-free, as with d03)
+    "t13_decontaminate" ->
+      """WITH tnorm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+           FROM documents),
+         ttok AS (SELECT doc_id, n, string_split(n, ' ') AS w FROM tnorm),
+         tg AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, len(w) - 3),
+                              i -> hash(list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4], 'string_agg', ' ')))) END AS g
+           FROM ttok),
+         enorm AS (
+           SELECT regexp_replace(lower(trim(regexp_replace(text, '^\S+\s', ''))), '\s+', ' ', 'g') AS n
+           FROM documents WHERE doc_id % 10 = 3),
+         etok AS (SELECT n, string_split(n, ' ') AS w FROM enorm),
+         eg AS (
+           SELECT CASE WHEN len(w) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, len(w) - 3),
+                              i -> hash(list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4], 'string_agg', ' ')))) END AS g
+           FROM etok),
+         evset AS (SELECT DISTINCT unnest(g) AS p FROM eg),
+         tex AS (SELECT doc_id, unnest(g) AS p FROM tg)
+         SELECT tex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+         FROM tex JOIN evset ON tex.p = evset.p
+         GROUP BY tex.doc_id""",
     "t11_text_cleaning" ->
       """WITH c AS (
            SELECT doc_id,

@@ -223,6 +223,37 @@ object TextAnalysis {
       .drop("__keep_pct")
   }
 
+  /** Benchmark decontamination: flag training documents sharing at least
+    * one word n-gram with any document of an evaluation set — the overlap
+    * check run before training so test material is removed from the
+    * corpus. Returns (idCol, n_shared_grams) for contaminated training
+    * docs only.
+    *
+    * Scale shape: both sides explode to skinny (gram_hash, id) pairs, but
+    * the EVAL side is small by nature (benchmarks are thousands of docs,
+    * the corpus is billions) — its distinct gram set is broadcast, so the
+    * 100 TB training side is a map-side hash semi-join + partial-agg count
+    * with NO shuffle of the corpus grams; only the per-doc counts shuffle.
+    * Gram hashing is the same 64-bit kernel as the dedup family
+    * ([[graft.functions.HashKernels]]), collision-free in practice at
+    * benchmark scale.
+    */
+  def decontaminate(
+      training: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+        explode(graft.functions.GraftFunctions.shingle_hashes(
+          regexp_replace(lower(trim(col(textCol))), "\\s+", " "), n,
+          word = true)).as("__g"))
+    val evalGrams = grams(evalDocs).select("__g").distinct()
+    grams(training)
+      .join(broadcast(evalGrams), "__g")
+      // shingle_hashes emits each doc's grams pre-distinct, so a plain
+      // count is the distinct-gram count without a distinct-agg expand
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))

@@ -138,6 +138,29 @@ class DedupSpec extends SparkTestBase {
     assert(dropped.exists(_ >= 1L), s"expected subband dropped_buckets >= 1, got $dropped")
   }
 
+  test("clusterAssignments: chains merge transitively, singletons label themselves") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (1 and 4 never pair
+    // directly), {10,11}, singleton {99}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("idA", "idB")
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val got = Dedup.clusterAssignments(pairs, verts, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("clusterAssignments converges in O(log n) rounds on a long path graph") {
+    // a 64-node path is the adversarial case for plain neighbor-min
+    // propagation (63 rounds); pointer jumping must finish well under the
+    // 50-round cap
+    val n = 64L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("idA", "idB")
+    val verts = (0L until n).toDF("doc_id")
+    val got = Dedup.clusterAssignments(pairs, verts, "doc_id", maxIters = 20)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 === 0L), s"all labels must collapse to 0: ${got.toSeq}")
+  }
+
   test("skew guard publishes the dropped-bucket count as an observe metric") {
     val clones = (100L to 129L).map(i => (i, "identical text repeated all over the corpus"))
       .toDF("doc_id", "text")

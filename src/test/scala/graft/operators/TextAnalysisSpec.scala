@@ -137,4 +137,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.deterministicSample(docs, "text", 100).count() === 200L)
     assert(TextAnalysis.deterministicSample(docs, "text", 0).count() === 0L)
   }
+
+  test("decontaminate flags exactly the training docs sharing an n-gram with the eval set") {
+    val training = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // contains eval 5-gram
+      (2L, "one two three four five six seven"),       // disjoint
+      (3L, "beta gamma delta epsilon zeta something else")) // shares the same window
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (100L, "beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(training, evalDocs, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 3L -> 1L), s"got $got")
+  }
+
+  test("decontaminate broadcasts the eval gram set (corpus grams never shuffle)") {
+    val training = (1L to 50L).map(i => (i, s"doc $i has words w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((1L, "doc 1 has words w1 x1")).toDF("doc_id", "text")
+    val p = TextAnalysis.decontaminate(training, evalDocs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+  }
 }
