@@ -535,6 +535,23 @@ object SparkEntry {
           .as("recon_ok"))
     }),
 
+    // retrieval over the QUANTIZED corpus: quantize both sides, search the
+    // reconstructions. The planted ×2 queries keep the contract exact —
+    // power-of-two scaling reconstructs exactly proportional vectors, so
+    // the self hit is still rank 1 at cosine 1.0 (quantize → search is the
+    // 4× memory-saving serving path, not just a storage trick)
+    "s06_ann_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def recon(df: DataFrame, idCol: String): DataFrame =
+        Similarity.dequantizeInt8(
+          Similarity.quantizeInt8(df, "embedding"),
+          "embedding_q8", "embedding_scale", "recon")
+          .select(col(idCol), col("recon").as("embedding"))
+      plantedHit(Similarity.bruteForceTopK(
+        recon(emb, "vec_id"), recon(plantedQueries(emb), "query_id"),
+        "vec_id", "embedding", "query_id", "embedding", k = 5))
+    }),
+
     // ------------------------------------------ LLM pipeline: text analysis
     "t01_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1236,6 +1253,12 @@ object SparkEntry {
                 CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 10""",
     "s04_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS INT) AS rank,
+                CAST(1.0 AS DOUBLE) AS cosine
+         FROM embeddings WHERE vec_id < 10""",
+    // quantized retrieval keeps the planted contract exactly (see the
+    // query's power-of-two-scaling note)
+    "s06_ann_quantized" ->
       """SELECT vec_id AS query_id, CAST(1 AS INT) AS rank,
                 CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 10""",

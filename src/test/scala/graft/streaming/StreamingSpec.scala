@@ -148,6 +148,41 @@ class StreamingSpec extends SparkTestBase {
       .forall(_.startsWith("existing_")))
   }
 
+  test("streaming existence filter state survives a checkpointed restart") {
+    val dir = Files.createTempDirectory("graft_stream_restart").toString
+    val srcRef = TableRef(path = s"$dir/src")
+    val tgtRef = TableRef(path = s"$dir/tgt")
+    val cfg = MigrationConfig(srcRef, tgtRef, Nil)
+    (1 to 3).map(i => (i.toLong, s"seed_$i")).toDF("id", "payload")
+      .write.parquet(Tables.tablePath(tgtRef, "rs_t"))
+    val srcPath = Tables.tablePath(srcRef, "rs_t")
+    (1 to 6).map(i => (i.toLong, s"runA_$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(srcPath)
+
+    val t = TableMigrationDef("rs_t", pkColumns = Seq("id"),
+      writeMode = InsertIfNotExists, simulateOnly = false)
+    val q1 = StreamingMigration.start(spark, cfg, t,
+      checkpointDir = s"$dir/cp", trigger = Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+
+    // new data lands while the stream is DOWN, overlapping run 1's writes;
+    // the restarted query must resume the state store, NOT re-admit 4..6
+    (4 to 9).map(i => (i.toLong, s"runB_$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(srcPath)
+    val q2 = StreamingMigration.start(spark, cfg, t,
+      checkpointDir = s"$dir/cp", trigger = Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+
+    val got = Tables.load(spark, tgtRef, "rs_t")
+    assert(got.count() === 9L, "3 seeded + 3 from run A + 3 from run B")
+    assert(got.select("id").distinct().count() === 9L)
+    assert(got.filter($"id" <= 3).select("payload").as[String].collect()
+      .forall(_.startsWith("seed_")), "seeded rows must keep their payloads")
+    assert(got.filter($"id" >= 4 && $"id" <= 6).select("payload").as[String]
+      .collect().forall(_.startsWith("runA_")),
+      "run B must not re-admit PKs already written by run A")
+  }
+
   test("streaming rejects patchNullsFromTarget (whole-table merge has no per-batch semantics)") {
     val dir = Files.createTempDirectory("graft_stream_patch").toString
     val srcRef = TableRef(path = s"$dir/src")
