@@ -603,6 +603,17 @@ object SparkEntry {
         col("doc_id"), dupB.as("dup_bigram_frac"), dupL.as("dup_line_frac"))
     }),
 
+    // training-mix rebalancing: per-language token shares vs a target
+    // distribution; weight = target/actual is the sampling factor per
+    // stratum. One corpus aggregate; targets and the global total broadcast
+    "t14_mixture_weights" -> ((s, dir) =>
+      TextAnalysis.mixtureWeights(t(s, dir, "documents"), "lang", "text",
+        Map("en" -> 0.4, "de" -> 0.2), defaultTarget = 0.1)
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("actual_frac"), 6).as("actual_frac"),
+          col("target_frac"),
+          round(col("weight"), 6).as("weight"))),
+
     // benchmark decontamination: training docs sharing any word 5-gram
     // with the (synthetic) eval set — eval grams broadcast, corpus never
     // shuffles its grams. Eval set = first-word-dropped variants of every
@@ -1168,6 +1179,21 @@ object SparkEntry {
                      THEN ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
                      ELSE 0.0 END AS dup_line_frac
          FROM g""",
+    "t14_mixture_weights" ->
+      """WITH tc AS (
+           SELECT lang,
+                  len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS nt
+           FROM documents),
+         ps AS (SELECT lang, COUNT(*) AS n_docs, SUM(nt) AS n_tokens FROM tc GROUP BY lang),
+         tot AS (SELECT SUM(n_tokens) AS total FROM ps)
+         SELECT lang,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                ROUND(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) AS actual_frac,
+                CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 ELSE 0.1 END AS DOUBLE) AS target_frac,
+                ROUND(CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 ELSE 0.1 END AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS weight
+         FROM ps, tot""",
     // decontamination: shared-gram COUNTS are hash-agnostic (each engine
     // hashes the same word-5-gram strings; set intersections agree while
     // 64-bit hashing stays collision-free, as with d03)

@@ -254,6 +254,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Training-mix rebalancing weights: per-stratum (domain/language) token
+    * shares vs a target distribution. Returns one row per stratum with
+    * document/token counts, the corpus share actually observed, the target
+    * share, and `weight` = target/actual — the per-stratum sampling (or
+    * repetition) factor that makes the mixture hit the target. Strata
+    * absent from `targets` get `defaultTarget`.
+    *
+    * Scale shape: one hash aggregate over the corpus (map-side combined),
+    * then the tiny per-stratum frame joins the broadcast targets and a
+    * single global total — nothing corpus-sized shuffles twice.
+    */
+  def mixtureWeights(
+      df: DataFrame, stratumCol: String, textCol: String,
+      targets: Map[String, Double], defaultTarget: Double): DataFrame = {
+    require(defaultTarget >= 0 && targets.values.forall(_ >= 0),
+      "target fractions must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targetDf = targets.toSeq.toDF(stratumCol, "__target")
+    val perStratum = df.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val total = perStratum.agg(sum("n_tokens").as("__total_tokens"))
+    perStratum
+      .crossJoin(broadcast(total))
+      .join(broadcast(targetDf), Seq(stratumCol), "left")
+      .withColumn("__target", coalesce(col("__target"), lit(defaultTarget)))
+      .select(
+        col(stratumCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__total_tokens")).as("actual_frac"),
+        col("__target").as("target_frac"),
+        (col("__target") / (col("n_tokens").cast("double") / col("__total_tokens")))
+          .as("weight"))
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))

@@ -138,6 +138,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.deterministicSample(docs, "text", 0).count() === 0L)
   }
 
+  test("mixtureWeights: weight = target share / actual token share, default for unlisted strata") {
+    val docs = Seq(
+      (1L, "en", "one two three four"),          // 4 tokens
+      (2L, "en", "five six seven eight"),        // 4 tokens
+      (3L, "de", "eins zwei"),                   // 2 tokens
+      (4L, "fr", "un deux")).toDF("doc_id", "lang", "text") // 2 tokens
+    val got = TextAnalysis.mixtureWeights(docs, "lang", "text",
+        Map("en" -> 0.5, "de" -> 0.4), defaultTarget = 0.1)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // total 12 tokens: en 8/12, de 2/12, fr 2/12
+    assert(got("en")._3 === 8L)
+    assert(math.abs(got("en")._6 - 0.5 / (8.0 / 12)) < 1e-12)
+    assert(math.abs(got("de")._6 - 0.4 / (2.0 / 12)) < 1e-12, "de upweighted 2.4x")
+    assert(got("fr")._5 === 0.1, "unlisted stratum gets the default target")
+  }
+
   test("decontaminate flags exactly the training docs sharing an n-gram with the eval set") {
     val training = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"), // contains eval 5-gram

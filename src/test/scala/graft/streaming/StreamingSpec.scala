@@ -227,6 +227,55 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size === 12) // 3 hours x 4 types
   }
 
+  test("streaming session windows close at the watermark and match the batch plan") {
+    val dir = Files.createTempDirectory("graft_ssess").toString
+    def ev(hour: Int, minute: Int, key: String, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00"), key, v)
+    // per-key event-time-ordered FILES (append mode really drops
+    // watermark-late rows, unlike the complete-mode tumbling test): hour-0
+    // file, then hours 1-2, then a next-day flush that advances the
+    // watermark past every real session's gap so append emits them all
+    val f1 = Seq(ev(0, 0, "a", 1), ev(0, 10, "a", 2), ev(0, 45, "a", 4),
+      ev(0, 5, "b", 8))
+    val f2 = Seq(ev(1, 30, "a", 16), ev(1, 50, "a", 32), ev(2, 40, "b", 64))
+    val flush = Seq((java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), "a", 0.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), "b", 0.0))
+    val path = s"$dir/src/ev.parquet"
+    f1.toDF("ts", "k", "value").coalesce(1).write.mode("append").parquet(path)
+    Thread.sleep(1100) // file source orders batches by modification time
+    f2.toDF("ts", "k", "value").coalesce(1).write.mode("append").parquet(path)
+    Thread.sleep(1100)
+    flush.toDF("ts", "k", "value").coalesce(1).write.mode("append").parquet(path)
+
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    val q = StreamingSessionAgg.sessionAgg(stream, "ts", "k", "value",
+        gap = "30 minutes", lateness = "1 hour")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("append") // sessions emit once, when the watermark closes them
+      .format("memory").queryName("ssess")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    q.awaitTermination(60000)
+
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val got = spark.table("ssess")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long, Double)]
+      .collect().filter(_._1.before(cutoff)).toSet
+    val expect = StreamingSessionAgg.sessionAgg(
+        spark.read.parquet(path), "ts", "k", "value",
+        gap = "30 minutes", lateness = "1 hour")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long, Double)]
+      .collect().filter(_._1.before(cutoff)).toSet
+    assert(got === expect)
+    // a(00:00,00:10 merge; 00:45 is 5 min past the 00:40 session end, so a
+    // NEW session), a(01:30,01:50 merge), b(00:05), b(02:40) => 5 sessions
+    assert(got.size === 5, s"got $got")
+    assert(got.exists(r => r._3 == "a" && r._4 === 2L && r._5 === 3.0),
+      "the hour-0 'a' session must merge the two events inside the gap")
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     val dir = Files.createTempDirectory("graft_mgws").toString
     // 4 files => 4 micro-batches; each key appears in several batches
