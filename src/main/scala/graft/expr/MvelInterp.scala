@@ -33,8 +33,9 @@ import org.apache.spark.sql.types._
  * Integer/Long/Double.parse*, String.valueOf. Collection columns (CQL
  * list/set/map arrive as Spark array/map — reference
  * CassandraSchemaUtil.java:170-179): subscripts `xs[i]` / `m['k']` with
- * Spark SQL null-on-miss semantics, and size/isEmpty/contains/indexOf/
- * get/containsKey/containsValue. Nulls propagate through
+ * ANSI-SQL/JVM semantics (array OOB throws, missing map key is null, both
+ * matching the translator's SQL passthrough), and size/isEmpty/contains/
+ * indexOf/get/containsKey/containsValue. Nulls propagate through
  * arithmetic and method calls (a per-row NPE would fail the whole task;
  * CQL-shaped data is sparse by design).
  */
@@ -500,18 +501,22 @@ object MvelInterp {
     }
   }
 
-  /** `xs[i]` / `m[k]` — Spark SQL element-access semantics on BOTH paths
-    * (the translator passes the same spelling through as SQL): list index
-    * out of bounds yields null, missing map key yields null, null
-    * target/key propagates null. Map keys match with numeric-aware
-    * equality for the same boxing reason as `.contains` above.
+  /** `xs[i]` / `m[k]` — element-access semantics matching BOTH the JVM and
+    * the translator's SQL passthrough under ANSI mode (probed, Spark 4
+    * default): list index out of bounds THROWS (Java List.get and ANSI
+    * `xs[i]` agree), missing map key yields null (ANSI map access returns
+    * NULL, probed), null target/key propagates null. Map keys match with
+    * numeric-aware equality for the same boxing reason as `.contains`
+    * above.
     */
   private def subscript(target: Any, key: Any): Any = {
     if (target == null || key == null) return null
     (target, key) match {
       case (xs: scala.collection.Seq[_], i: Number) =>
         val idx = i.intValue()
-        if (idx < 0 || idx >= xs.size) null else fromSpark(xs(idx))
+        if (idx < 0 || idx >= xs.size) throw new IndexOutOfBoundsException(
+          s"list index $idx out of bounds for length ${xs.size}")
+        else fromSpark(xs(idx))
       case (m: scala.collection.Map[_, _], k) =>
         m.collectFirst { case (mk, v) if eq(fromSpark(mk), k) => fromSpark(v) }
           .orNull

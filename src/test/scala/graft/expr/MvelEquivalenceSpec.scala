@@ -46,6 +46,30 @@ class MvelEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("subscripts agree between paths: 0-based, missing map key is null") {
+    val cdf = (1 to 20).map { i =>
+      (i.toLong, Seq(i, i * 2, i * 3), Map("k" -> i, "n" -> -i))
+    }.toDF("a", "xs", "m")
+    Seq(
+      "row.xs[0] + row.xs[2]",
+      "row.xs[1] * 2 > row.a",
+      "row.m['k'] + row.m['n']",
+      "row.m['absent']",       // missing key => null on BOTH paths (ANSI)
+      "row.m['k'] > 10 ? row.xs[0] : row.xs[1]").foreach { mvel =>
+      val fast = MvelTranslator.toColumn(mvel)
+      val interp = MvelInterp.toColumn(mvel, cdf.schema)
+      val rows = cdf.select(
+        fast.cast("string").as("fast"),
+        interp.cast("string").as("interp")).collect()
+      val bad = rows.filter(r => r.getString(0) != r.getString(1))
+      assert(bad.isEmpty, s"'$mvel' diverges: ${bad.take(3).mkString("; ")}")
+    }
+    // array OOB throws on BOTH paths (ANSI SQL and Java agree)
+    intercept[Exception](cdf.select(MvelTranslator.toColumn("row.xs[9]")).collect())
+    intercept[Exception](
+      cdf.select(MvelInterp.toColumn("row.xs[9]", cdf.schema)).collect())
+  }
+
   test("property: random expressions in the shared grammar agree (seeded)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

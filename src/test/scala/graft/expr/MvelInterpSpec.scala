@@ -108,12 +108,14 @@ class MvelInterpSpec extends SparkTestBase {
     assert(evalOne("row.tags.size()", Map("tags" -> null)) === null)
   }
 
-  test("list subscript: Spark SQL semantics (0-based, null out of bounds)") {
+  test("list subscript: 0-based; out of bounds throws like Java and ANSI SQL") {
     val tags = Seq("a", "b", "c")
     assert(evalOne("row.tags[1]", Map("tags" -> tags)) === "b")
-    assert(evalOne("row.tags[7]", Map("tags" -> tags)) === null)
+    assertThrows[IndexOutOfBoundsException](
+      evalOne("row.tags[7]", Map("tags" -> tags)))
     assert(evalOne("row.tags[0].toUpperCase()", Map("tags" -> tags)) === "A")
     assert(evalOne("row.nums[1] + 5", Map("nums" -> Seq(1, 2, 3))) === Int.box(7))
+    assert(evalOne("row.tags[0]", Map("tags" -> null)) === null)
   }
 
   test("map methods and subscript: get/containsKey/containsValue, null on missing key") {
