@@ -121,6 +121,14 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("d06 connected components: every round is equi-joins, never cartesian") {
+    val p = plan("d06_dedup_clusters")
+    assert(!p.contains("CartesianProduct"), s"cartesian in CC plan:\n$p")
+    // s06's bruteForce crossJoin(broadcast) is the INTENTIONAL exception —
+    // d06's edge/label joins must all stay hash-keyed
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in CC plan:\n$p")
+  }
+
   test("partition pruning: whereClause on a partition column prunes the scan " +
       "(VERDICT r4 #7)") {
     // partitioned variant of the orders bench table (fixtures are read-only

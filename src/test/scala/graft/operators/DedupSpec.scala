@@ -149,6 +149,16 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("keepRepresentatives keeps exactly the min-id doc per cluster") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (10L, "b"), (11L, "b'"),
+      (99L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+    val clusters = Dedup.clusterAssignments(pairs, docs.select("doc_id"), "doc_id")
+    val kept = Dedup.keepRepresentatives(docs, clusters, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 10L, 99L))
+  }
+
   test("clusterAssignments converges in O(log n) rounds on a long path graph") {
     // a 64-node path is the adversarial case for plain neighbor-min
     // propagation (63 rounds); pointer jumping must finish well under the
