@@ -416,9 +416,21 @@ object MvelInterp {
     }
   }
 
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
   private def eq(l: Any, r: Any): Boolean = (l, r) match {
     case (null, null) => true
     case (null, _) | (_, null) => false
+    // integral vs integral compares exactly — doubleValue would collapse
+    // distinct longs above 2^53 (snowflake-style CQL bigint ids live
+    // there). Mixed int/float goes through double, which IS Java's own
+    // (lossy) widening rule for long == double.
+    case (a: Number, b: Number) if isIntegral(a) && isIntegral(b) =>
+      a.longValue() == b.longValue()
     case (a: Number, b: Number) => a.doubleValue() == b.doubleValue()
     case (a, b) => a == b
   }

@@ -201,7 +201,11 @@ object GraftFunctions {
     * (VERDICT r4 #5). Asking the registry itself is the only check that
     * survives cloning.
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = synchronized {
+    // synchronized: the exists/register pair is check-then-act, and two
+    // concurrent plan builds on one session would otherwise both pass the
+    // exists check and the second would WARN "replaced a previously
+    // registered function" — the exact noise the guard exists to prevent
     def ifAbsent(name: String)(builder: Seq[Expression] => Expression): Unit =
       if (!Bridge.functionExists(spark, name))
         Bridge.registerFunction(spark, name, builder)

@@ -40,6 +40,10 @@ object Tables {
 
   /** Per-table load-call counts — lets specs assert a plan resolves a
     * table once, not per micro-batch (VERDICT r4 #2 "target read once").
+    * Diagnostic only: keyed by resolved path (two refs naming the same
+    * path share a counter) and never cleared; one AtomicLong bump per
+    * load() CALL (not per scan), so the production cost is a map lookup
+    * at plan-build time.
     */
   private[graft] val loadCalls =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()

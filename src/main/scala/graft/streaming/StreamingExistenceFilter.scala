@@ -60,8 +60,11 @@ object StreamingExistenceFilter {
     // seed: one skinny projection of the target's PKs, cast to the stream's
     // key types so the binary key encodings line up
     val seeded = initialPks.map { pks =>
+      // distinct BEFORE seeding: Spark rejects initial state with multiple
+      // rows per key, and duplicate target PKs are a normal occurrence for
+      // the at-least-once file-sink path this filter fronts
       val aligned = pks.select(pkCols.map(c =>
-        col(c).cast(stream.schema(c).dataType).as(c)): _*)
+        col(c).cast(stream.schema(c).dataType).as(c)): _*).dropDuplicates()
       aligned.as(keyEnc).groupByKey((r: Row) => r)(keyEnc)
         .mapValues((_: Row) => true)(stateEnc)
     }

@@ -69,4 +69,16 @@ object Bridge {
             t.references().flatMap(_.fieldNames()).toSeq
         }.flatten
     }.flatten
+
+  /** Free the cached blocks behind a `localCheckpoint()`ed DataFrame.
+    * Iterative algorithms checkpoint per round; superseded rounds would
+    * otherwise pin executor storage until the ContextCleaner happens to
+    * GC them. `LogicalRDD` lives in an execution package, hence here.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

@@ -118,6 +118,17 @@ class MvelInterpSpec extends SparkTestBase {
     assert(evalOne("row.tags[0]", Map("tags" -> null)) === null)
   }
 
+  test("collection equality is exact for longs above 2^53 (no double collapse)") {
+    val a = 912345678901234567L
+    val b = 912345678901234568L // same double as a, different long
+    assert(evalOne("row.ids.contains(912345678901234567l)",
+      Map("ids" -> Seq(b))) === Boolean.box(false))
+    assert(evalOne("row.ids.contains(912345678901234567l)",
+      Map("ids" -> Seq(a))) === Boolean.box(true))
+    assert(evalOne("row.ids.indexOf(912345678901234568l)",
+      Map("ids" -> Seq(a, b))) === Int.box(1))
+  }
+
   test("map methods and subscript: get/containsKey/containsValue, null on missing key") {
     val attrs = Map("lang" -> "en", "tier" -> "gold")
     assert(evalOne("row.attrs['lang']", Map("attrs" -> attrs)) === "en")

@@ -148,6 +148,29 @@ class StreamingSpec extends SparkTestBase {
       .forall(_.startsWith("existing_")))
   }
 
+  test("streaming existence filter tolerates duplicate PKs in the seed target") {
+    // the at-least-once file-sink path can leave duplicate PK rows in the
+    // target; initial state must dedup them or Spark rejects the seed with
+    // "initial state contained multiple rows with the same key"
+    val dir = Files.createTempDirectory("graft_stream_dupseed").toString
+    val srcRef = TableRef(path = s"$dir/src")
+    val tgtRef = TableRef(path = s"$dir/tgt")
+    val cfg = MigrationConfig(srcRef, tgtRef, Nil)
+    Seq((1L, "dup_a"), (1L, "dup_b"), (2L, "one"))
+      .toDF("id", "payload").write.parquet(Tables.tablePath(tgtRef, "dup_t"))
+    Seq((1L, "new_1"), (2L, "new_2"), (3L, "new_3"))
+      .toDF("id", "payload").coalesce(1).write.mode("append")
+      .parquet(Tables.tablePath(srcRef, "dup_t"))
+    val t = TableMigrationDef("dup_t", pkColumns = Seq("id"),
+      writeMode = InsertIfNotExists, simulateOnly = false)
+    val q = StreamingMigration.start(spark, cfg, t,
+      checkpointDir = s"$dir/cp", trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val got = Tables.load(spark, tgtRef, "dup_t")
+    assert(got.count() === 4L, "3 seeded rows (incl. the dup pair) + only id 3 added")
+    assert(got.filter($"id" === 3L).count() === 1L)
+  }
+
   test("streaming existence filter state survives a checkpointed restart") {
     val dir = Files.createTempDirectory("graft_stream_restart").toString
     val srcRef = TableRef(path = s"$dir/src")
