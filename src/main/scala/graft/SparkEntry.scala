@@ -395,6 +395,31 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))),
 
+    // quantile SKETCH surface: approx_percentile is Spark's mergeable
+    // one-pass sketch (map-side partials, bounded state — the 100 TB shape
+    // for quantiles; exact percentile() sorts per group). Gated like a01:
+    // the oracle pins the exact quantiles and the sketch's rank-error
+    // contract, not sketch internals (engine-specific by nature)
+    "a02_approx_quantiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
+          expr("approx_percentile(o_totalprice, 0.5, 5000)").as("__a50"),
+          expr("approx_percentile(o_totalprice, 0.95, 5000)").as("__a95"),
+          expr("percentile(o_totalprice, 0.49)").as("__lo50"),
+          expr("percentile(o_totalprice, 0.51)").as("__hi50"),
+          expr("percentile(o_totalprice, 0.94)").as("__lo95"),
+          expr("percentile(o_totalprice, 0.96)").as("__hi95"))
+        .select(col("o_orderpriority"), col("p50_exact"), col("p95_exact"),
+          // accuracy 5000 => rank error <= 1/5000; a +-0.01-quantile
+          // bracket is 50x that margin
+          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+            .as("p50_in_bracket"),
+          (col("__a95") >= col("__lo95") && col("__a95") <= col("__hi95"))
+            .as("p95_in_bracket"))),
+
     // custom sketch aggregate (TypedImperativeAggregate) — the oracle checks
     // the exact count plus the sketch's error-bound contract (|err| <= 5%,
     // comfortably above the 2^12-register HLL's ~1.6% standard error)
@@ -1272,6 +1297,13 @@ object SparkEntry {
     "a01_hll_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
          FROM lineitem""",
+    "a02_approx_quantiles" ->
+      """SELECT o_orderpriority,
+                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+                ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+                TRUE AS p50_in_bracket,
+                TRUE AS p95_in_bracket
+         FROM orders GROUP BY o_orderpriority""",
     // the ANN planted-probe contract: every query finds its source vector
     // at rank 1 with cosine exactly 1.0 (see plantedQueries scaladoc)
     "s02_ann_lsh" ->
