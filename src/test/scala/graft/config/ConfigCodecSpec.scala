@@ -123,4 +123,33 @@ class ConfigCodecSpec extends AnyFunSuite {
     val results = graft.pipeline.MigrationPlanner.executeAll(spark, cfg)
     assert(results.head.rowsMigrated === 2L)
   }
+
+  test("anchored config: shared table boilerplate via <<: merge drives the planner") {
+    val spark = graft.SparkTestBase.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_anchor").toString
+    Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v")
+      .write.parquet(s"$dir/src/t1.parquet")
+    Seq((4L, 40), (5L, 50)).toDF("id", "v")
+      .write.parquet(s"$dir/src/t2.parquet")
+    // the reference's configs share per-table settings through YAML
+    // anchors (Jackson resolves them); same shape must drive our planner
+    val cfg = ConfigCodec.fromYaml(
+      s"""sourceDB:
+         |  path: $dir/src
+         |targetDB:
+         |  path: $dir/tgt
+         |defaults: &defaults
+         |  filters:
+         |    - expression: "row.v >= 20"
+         |tableMigrations:
+         |  - tableName: t1
+         |    <<: *defaults
+         |  - tableName: t2
+         |    <<: *defaults
+         |""".stripMargin)
+    val results = graft.pipeline.MigrationPlanner.executeAll(spark, cfg)
+    assert(results.map(r => r.table -> r.rowsMigrated).toMap ===
+      Map("t1" -> 2L, "t2" -> 2L))
+  }
 }
