@@ -67,8 +67,14 @@ object Yaml {
       (Some(name), s.drop(1 + name.length).trim)
     } else (None, s)
 
-  private def resolveAlias(name: String, anchors: Anchors): Any =
+  private def resolveAlias(ref: String, anchors: Anchors): Any = {
+    // the alias is ONE token; trailing content after it is malformed YAML
+    // and should say so, not report a garbled "undefined alias 'a extra'"
+    val name = ref.takeWhile(c => !c.isWhitespace)
+    if (name.length != ref.trim.length || name != ref)
+      throw YamlError(s"content after alias '*$name': '${ref.drop(name.length).trim}'")
     anchors.getOrElse(name, throw YamlError(s"undefined alias '*$name'"))
+  }
 
   private def parseList(lines0: List[Line], indent: Int, anchors: Anchors): (List[Any], List[Line]) = {
     var lines = lines0

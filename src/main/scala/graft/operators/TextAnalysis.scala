@@ -243,8 +243,7 @@ object TextAnalysis {
       n: Int = 5): DataFrame = {
     def grams(df: DataFrame) = df.select(col(idCol),
         explode(graft.functions.GraftFunctions.shingle_hashes(
-          regexp_replace(lower(trim(col(textCol))), "\\s+", " "), n,
-          word = true)).as("__g"))
+          Dedup.normalized(col(textCol)), n, word = true)).as("__g"))
     val evalGrams = grams(evalDocs).select("__g").distinct()
     grams(training)
       .join(broadcast(evalGrams), "__g")

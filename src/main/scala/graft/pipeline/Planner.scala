@@ -294,8 +294,11 @@ object MigrationPlanner {
     // O17 for batch: pauseMillisBetweenPages paces every task between its
     // pageSize-row pages on the way into the sink (reference
     // MigrateTableTask.java:325-330; 5000 is the reference driver's
-    // default fetch/page size when none is configured)
-    val paced = t.pauseMillisBetweenPages.filter(_ > 0)
+    // default fetch/page size when none is configured). Dry runs skip the
+    // pacing: O16 is a cheap validation gate, and sleeping through the
+    // production throttle schedule while writing nothing would make it as
+    // slow as the real run
+    val paced = t.pauseMillisBetweenPages.filter(_ > 0 && !t.simulateOnly)
       .map(p => Throttle.paced(planned.data, t.pageSize.getOrElse(5000), p))
       .getOrElse(planned.data)
     val metricName = s"graft_${t.tableName}_${System.identityHashCode(planned)}"

@@ -121,6 +121,14 @@ object StreamingMigration {
       if (missing.nonEmpty) throw MigrationPlanner.PlanError(
         s"target '${t.resolvedTargetName}' lacks PK column(s) " +
           s"${missing.mkString(", ")} required for existence filtering")
+      // the STREAM side must carry the PKs too (the source may lack them,
+      // or the projection may have dropped them) — fail as a plan error
+      // with the table name, not a bare schema lookup exception
+      val missingSrc = t.pkColumns.filterNot(narrowNoExist.columns.contains)
+      if (missingSrc.nonEmpty) throw MigrationPlanner.PlanError(
+        s"stream for '${t.tableName}' lacks PK column(s) " +
+          s"${missingSrc.mkString(", ")} required for existence filtering " +
+          "(missing from the source or dropped by the projection)")
       StreamingExistenceFilter(narrowNoExist,
         schemaTarget.map(_.select(t.pkColumns.map(org.apache.spark.sql.functions.col): _*)),
         t.pkColumns)

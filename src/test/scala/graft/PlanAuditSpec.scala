@@ -121,12 +121,18 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("d06 connected components: every round is equi-joins, never cartesian") {
-    val p = plan("d06_dedup_clusters")
-    assert(!p.contains("CartesianProduct"), s"cartesian in CC plan:\n$p")
+  test("d06 connected components: the propagation round is equi-joins, never cartesian") {
+    // the loop checkpoints every round, so the FINAL frame's plan is just
+    // a scan of the last checkpoint — audit the round builder itself
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "lbl")
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
+    val p = graft.operators.Dedup.propagationRound(labels, edges)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in CC round:\n$p")
     // s06's bruteForce crossJoin(broadcast) is the INTENTIONAL exception —
-    // d06's edge/label joins must all stay hash-keyed
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in CC plan:\n$p")
+    // the CC round's edge/label joins must all stay hash-keyed
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in CC round:\n$p")
   }
 
   test("partition pruning: whereClause on a partition column prunes the scan " +

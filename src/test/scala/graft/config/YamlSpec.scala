@@ -152,4 +152,10 @@ class YamlSpec extends AnyFunSuite {
     val v = Yaml.parse("""x: "&not_an_anchor"""").asInstanceOf[Map[String, Any]]
     assert(v("x") === "&not_an_anchor")
   }
+
+  test("content after an alias is rejected as such, not as a garbled alias name") {
+    val e = intercept[Yaml.YamlError](
+      Yaml.parse("a: &a 1\nx: *a extra"))
+    assert(e.msg.contains("content after alias '*a'"), e.msg)
+  }
 }

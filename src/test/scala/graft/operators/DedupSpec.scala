@@ -149,6 +149,14 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("clusterAssignments works for string ids (no decimal-sum convergence probe)") {
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("idA", "idB")
+    val verts = Seq("a", "b", "c", "z").toDF("doc_id")
+    val got = Dedup.clusterAssignments(pairs, verts, "doc_id")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
+
   test("keepRepresentatives keeps exactly the min-id doc per cluster") {
     val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (10L, "b"), (11L, "b'"),
       (99L, "solo")).toDF("doc_id", "text")

@@ -36,4 +36,21 @@ class ThrottleSpec extends SparkTestBase {
     assert(res.elapsedMillis >= 300L,
       s"expected >= 300 ms with 2 pauses x 150 ms per task, got ${res.elapsedMillis} ms")
   }
+
+  test("dry runs skip the pacing (O16 stays a cheap gate)") {
+    val dir = Files.createTempDirectory("graft_throttle_dry").toString
+    val srcRef = TableRef(path = s"$dir/src")
+    val cfg = MigrationConfig(srcRef, TableRef(path = s"$dir/tgt"), Nil)
+    (1 to 50).map(i => (i.toLong, s"p_$i")).toDF("id", "payload")
+      .repartition(2).write.parquet(Tables.tablePath(srcRef, "dry_t"))
+    // paced this would sleep >= 2 tasks x 2 pages x 10 s; unpaced it's
+    // a sub-second noop write
+    val t = TableMigrationDef("dry_t",
+      pageSize = Some(10), pauseMillisBetweenPages = Some(10000L),
+      simulateOnly = true)
+    val res = MigrationPlanner.execute(spark, cfg, t)
+    assert(res.rowsMigrated === 50L)
+    assert(res.elapsedMillis < 8000L,
+      s"dry run slept through the throttle schedule: ${res.elapsedMillis} ms")
+  }
 }
