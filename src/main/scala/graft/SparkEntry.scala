@@ -404,20 +404,22 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
-          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_exact"),
-          expr("approx_percentile(o_totalprice, 0.5, 5000)").as("__a50"),
-          expr("approx_percentile(o_totalprice, 0.95, 5000)").as("__a95"),
-          expr("percentile(o_totalprice, 0.49)").as("__lo50"),
-          expr("percentile(o_totalprice, 0.51)").as("__hi50"),
-          expr("percentile(o_totalprice, 0.94)").as("__lo95"),
-          expr("percentile(o_totalprice, 0.96)").as("__hi95"))
-        .select(col("o_orderpriority"), col("p50_exact"), col("p95_exact"),
+          // ONE exact-percentile aggregate evaluates the whole probe array
+          // in a single per-group pass (six separate calls would sort the
+          // group six times); same for the sketch pair
+          expr("percentile(o_totalprice, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))")
+            .as("__ex"),
+          expr("approx_percentile(o_totalprice, array(0.5, 0.95), 5000)").as("__ap"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("__ex"), 2), 4).as("p50_exact"),
+          round(element_at(col("__ex"), 5), 4).as("p95_exact"),
           // accuracy 5000 => rank error <= 1/5000; a +-0.01-quantile
           // bracket is 50x that margin
-          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+          (element_at(col("__ap"), 1) >= element_at(col("__ex"), 1) &&
+            element_at(col("__ap"), 1) <= element_at(col("__ex"), 3))
             .as("p50_in_bracket"),
-          (col("__a95") >= col("__lo95") && col("__a95") <= col("__hi95"))
+          (element_at(col("__ap"), 2) >= element_at(col("__ex"), 4) &&
+            element_at(col("__ap"), 2) <= element_at(col("__ex"), 6))
             .as("p95_in_bracket"))),
 
     // custom sketch aggregate (TypedImperativeAggregate) — the oracle checks
