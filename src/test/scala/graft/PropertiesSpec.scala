@@ -106,6 +106,39 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: clusterAssignments equals union-find on random graphs") {
+    val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(m, Gen.zip(
+        Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    forAllSeeded(graphGen, n = 8) { case (n, edges) =>
+      // reference model: textbook union-find with path compression
+      val parent = Array.tabulate(n.toLong.toInt)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+
+      val pairsDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("idA", "idB")
+        else edges.toDF("idA", "idB")
+      val got = Dedup.clusterAssignments(pairsDf,
+        (0L until n.toLong).toDF("doc_id"), "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"n=$n edges=$edges")
+    }
+  }
+
   test("property: jaccard_sorted is within [0,1] and symmetric") {
     val arrGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted.toArray)
     forAllSeeded(Gen.zip(arrGen, arrGen), n = 8) { case (a, b) =>
