@@ -53,6 +53,43 @@ class MemDbSpec extends SparkTestBase {
     assert(got === Map(1L -> "old", 2L -> "only")) // max_by ordering col
   }
 
+  test("full migration memdb -> memdb through execute(): discovered PKs, " +
+      "keep-last, existence filter against the live connector target") {
+    // the whole production seam in ONE pass — exactly what the Cassandra
+    // binding would run with a different format string: connector source,
+    // PK discovery (no pkColumns declared), keep-last pre-aggregation,
+    // anti-join against the live target, connector append
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("val", StringType), StructField("ver", LongType)))
+    MemStore.create("e2e", "src", s, pk = Seq("id"))
+    MemStore.create("e2e", "tgt", s, pk = Seq("id"))
+    Tables.write(
+      Seq((1L, "v1", 1L), (1L, "v2", 2L), (2L, "w", 1L), (3L, "x", 1L))
+        .toDF("id", "val", "ver"),
+      ref("e2e"), "src", mode = "append")
+    // pre-existing target row: id 3 must survive untouched
+    Tables.write(Seq((3L, "keep", 9L)).toDF("id", "val", "ver"),
+      ref("e2e"), "tgt", mode = "append")
+    val cfg = MigrationConfig(ref("e2e"), ref("e2e"), Nil)
+    // Upsert + IfNotExistFilter + orderingColumns: keep-last collapses the
+    // in-batch duplicate, the anti-join protects the live target row.
+    // (Plain InsertIfNotExists mode deliberately does NOT keep-last — its
+    // bulk anti-join passes all first-seen rows, the documented delta vs
+    // per-row LWT.)
+    val res = graft.pipeline.MigrationPlanner.execute(spark, cfg,
+      TableMigrationDef(
+        tableName = "src", targetTableName = Some("tgt"),
+        orderingColumns = Seq("ver"),
+        filters = Seq(IfNotExistFilter),
+        writeMode = Upsert,
+        simulateOnly = false))
+    val got = Tables.load(spark, ref("e2e"), "tgt")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "v2", 2L), (2L, "w", 1L), (3L, "keep", 9L)),
+      "keep-last picked ver=2 for id 1; id 3 kept the target row")
+    assert(res.rowsMigrated === 2L)
+  }
+
   test("re-based TTL column is handed to the connector writer as the per-row TTL option") {
     val ttlSchema = StructType(Seq(
       StructField("id", LongType), StructField("row_ttl_value", LongType)))
