@@ -23,13 +23,16 @@ object Tables {
     */
   def tablePath(ref: TableRef, table: String): String = {
     val ext = ref.format match {
-      case "parquet" | "csv" | "json" | "orc" => ref.format
+      case "parquet" | "csv" | "json" | "orc" | "text" => ref.format
       case _ => "parquet"
     }
     if (ref.path.isEmpty) table else s"${ref.path.stripSuffix("/")}/$table.$ext"
   }
 
-  private val pathFormats = Set("parquet", "csv", "json", "orc")
+  // "text" reads line-oriented corpora as a single `value` column — the
+  // rawest LLM-ingestion format; writing text requires a one-string-column
+  // frame (Spark's own contract for the text sink)
+  private val pathFormats = Set("parquet", "csv", "json", "orc", "text")
 
   /** Is this ref addressed by filesystem path (vs. a table-name DSv2)? */
   def isPathFormat(ref: TableRef): Boolean = pathFormats.contains(ref.format)

@@ -182,6 +182,44 @@ class MemDbSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/tgt/t.parquet").count() === 2L)
   }
 
+  test("cross-format migration: raw text corpus -> parquet with derived columns") {
+    // line-oriented text is the rawest LLM-ingestion format: one `value`
+    // column per line; the planner filters/enriches it like any table
+    val dir = java.nio.file.Files.createTempDirectory("graft_text").toString
+    Seq("the quick brown fox", "", "jumps over the lazy dog", "short")
+      .toDF("value").coalesce(1).write.text(s"$dir/src/corpus.text")
+    val cfg = MigrationConfig(
+      TableRef(format = "text", path = s"$dir/src"),
+      TableRef(path = s"$dir/tgt"), Nil)
+    val r = graft.pipeline.MigrationPlanner.execute(spark, cfg,
+      TableMigrationDef("corpus",
+        filters = Seq(FieldValueFilter("row.value.length() > 0")),
+        calculatedColumns = Seq(CalculatedColumn("n_chars", "row.value.length()")),
+        simulateOnly = false))
+    assert(r.rowsMigrated === 3L, "the empty line is filtered out")
+    val got = spark.read.parquet(s"$dir/tgt/corpus.parquet")
+      .select("value", "n_chars").as[(String, Int)].collect().toMap
+    assert(got("the quick brown fox") === 19)
+  }
+
+  test("cross-format migration: single-column frame -> text sink") {
+    // text sinks take exactly one string column (Spark's own contract);
+    // the planner migrates such a frame like any other table
+    val dir = java.nio.file.Files.createTempDirectory("graft_text_out").toString
+    Seq("alpha beta", "gamma", "skip me").toDF("line")
+      .write.parquet(s"$dir/src/t.parquet")
+    val cfg = MigrationConfig(
+      TableRef(path = s"$dir/src"),
+      TableRef(format = "text", path = s"$dir/tgt"), Nil)
+    val r = graft.pipeline.MigrationPlanner.execute(spark, cfg,
+      TableMigrationDef("t",
+        filters = Seq(FieldValueFilter("!row.line.startsWith('skip')")),
+        simulateOnly = false))
+    assert(r.rowsMigrated === 2L)
+    assert(spark.read.text(s"$dir/tgt/t.text").as[String].collect().toSet ===
+      Set("alpha beta", "gamma"))
+  }
+
   test("strict LWT sink: intra-DataFrame duplicate PKs race to one winner") {
     InMemoryLwtStore.drop("lwt_dup")
     // every PK appears twice across partitions — exactly one application each
