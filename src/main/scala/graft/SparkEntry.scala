@@ -641,6 +641,16 @@ object SparkEntry {
           col("target_frac"),
           round(col("weight"), 6).as("weight"))),
 
+    // corpus-statistics quality signal: per-doc fraction of char bigrams
+    // rarer than minCount corpus-wide — integer counting, one division,
+    // exactly reproducible
+    "t15_rare_bigrams" -> ((s, dir) =>
+      TextAnalysis.rareBigramFraction(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", minCount = 5L)
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          round(col("rare_frac"), 6).as("rare_frac"))),
+
     // benchmark decontamination: training docs sharing any word 5-gram
     // with the (synthetic) eval set — eval grams broadcast, corpus never
     // shuffles its grams. Eval set = first-word-dropped variants of every
@@ -1221,6 +1231,28 @@ object SparkEntry {
                 ROUND(CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 ELSE 0.1 END AS DOUBLE)
                       / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS weight
          FROM ps, tot""",
+    // rare-bigram counts are hash-agnostic like t13: each engine counts
+    // its own representation of the same bigram multiset
+    "t15_rare_bigrams" ->
+      """WITH norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+                  CASE WHEN length(n) = 0 THEN []
+                       WHEN length(n) < 2 THEN [n]
+                       ELSE list_transform(range(1, length(n)),
+                              i -> substr(n, CAST(i AS INT), 2)) END AS g
+           FROM norm),
+         ex AS (SELECT doc_id, unnest(g) AS p FROM bg),
+         cc AS (SELECT p, COUNT(*) AS cnt FROM ex GROUP BY p)
+         SELECT ex.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                CAST(SUM(CASE WHEN cc.cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                ROUND(CAST(SUM(CASE WHEN cc.cnt < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS rare_frac
+         FROM ex JOIN cc ON ex.p = cc.p
+         GROUP BY ex.doc_id""",
     // decontamination: shared-gram COUNTS are hash-agnostic (each engine
     // hashes the same word-5-gram strings; set intersections agree while
     // 64-bit hashing stays collision-free, as with d03)

@@ -288,6 +288,39 @@ object TextAnalysis {
           .as("weight"))
   }
 
+  /** Corpus-statistics quality signal: the fraction of each document's
+    * char bigrams whose CORPUS-WIDE frequency is below `minCount` —
+    * gibberish, encoding damage, and wrong-language text light up with
+    * rare bigrams while ordinary prose stays near zero. Integer counting
+    * plus one final division keeps the result exactly reproducible (no
+    * float accumulation ordering).
+    *
+    * Scale shape: bigrams ride as 64-bit kernel hashes
+    * ([[graft.functions.HashKernels]], multiset — no per-position strings
+    * shuffle). The corpus count aggregate map-side combines into a key
+    * space bounded by the bigram vocabulary (≈ alphabet², tiny), and the
+    * per-doc aggregate is keyed by the id the caller needs anyway. Two
+    * passes over the text, both narrow until their aggregates.
+    */
+  def rareBigramFraction(
+      df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    def bigrams(c: Column): Column =
+      graft.functions.GraftFunctions.shingle_hashes(
+        Dedup.normalized(c), 2, word = false, distinct = false)
+    val exploded = df.select(col(idCol), explode(bigrams(col(textCol))).as("__bg"))
+    val corpusCounts = exploded.groupBy("__bg")
+      .agg(count(lit(1)).as("__n"))
+    exploded
+      .join(corpusCounts, "__bg")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__n") < minCount, 1L).otherwise(0L)).as("n_rare"))
+      .select(col(idCol), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))

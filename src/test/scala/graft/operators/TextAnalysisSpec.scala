@@ -155,6 +155,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got("fr")._5 === 0.1, "unlisted stratum gets the default target")
   }
 
+  test("rareBigramFraction: gibberish scores high, repeated prose scores zero") {
+    val prose = "the cat sat on the mat"
+    val docs = ((1L to 6L).map(i => (i, prose)) :+ (99L, "zxqj#k@w%"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rareBigramFraction(docs, "doc_id", "text", minCount = 5L)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // every prose bigram occurs 6x >= minCount => rare_frac 0; the
+    // gibberish doc's bigrams are all singletons => rare_frac 1
+    assert(got(1L)._4 === 0.0)
+    assert(got(99L)._4 === 1.0)
+    assert(got(99L)._2 === got(99L)._3, "all gibberish bigrams are rare")
+  }
+
   test("decontaminate flags exactly the training docs sharing an n-gram with the eval set") {
     val training = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"), // contains eval 5-gram
