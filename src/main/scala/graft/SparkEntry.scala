@@ -1226,10 +1226,16 @@ object SparkEntry {
          SELECT lang,
                 CAST(n_docs AS BIGINT) AS n_docs,
                 CAST(n_tokens AS BIGINT) AS n_tokens,
-                ROUND(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) AS actual_frac,
+                -- zero-token strata carry NULL share/weight (never Inf/NaN),
+                -- mirroring the engine's guard
+                CASE WHEN COALESCE(n_tokens, 0) > 0
+                     THEN ROUND(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                     END AS actual_frac,
                 CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 ELSE 0.1 END AS DOUBLE) AS target_frac,
-                ROUND(CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 ELSE 0.1 END AS DOUBLE)
-                      / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS weight
+                CASE WHEN COALESCE(n_tokens, 0) > 0
+                     THEN ROUND(CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 ELSE 0.1 END AS DOUBLE)
+                                / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                     END AS weight
          FROM ps, tot""",
     // rare-bigram counts are hash-agnostic like t13: each engine counts
     // its own representation of the same bigram multiset

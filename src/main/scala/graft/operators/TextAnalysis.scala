@@ -282,9 +282,16 @@ object TextAnalysis {
       .withColumn("__target", coalesce(col("__target"), lit(defaultTarget)))
       .select(
         col(stratumCol), col("n_docs"), col("n_tokens"),
-        (col("n_tokens").cast("double") / col("__total_tokens")).as("actual_frac"),
+        // a stratum with no tokens (all-empty or all-null text) has no
+        // meaningful share or weight — emit NULL, never Infinity/NaN,
+        // so downstream sampling that multiplies by weight skips it
+        // instead of being silently poisoned
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("n_tokens").cast("double") / col("__total_tokens"))
+          .as("actual_frac"),
         col("__target").as("target_frac"),
-        (col("__target") / (col("n_tokens").cast("double") / col("__total_tokens")))
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("__target") / (col("n_tokens").cast("double") / col("__total_tokens")))
           .as("weight"))
   }
 

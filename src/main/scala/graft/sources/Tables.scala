@@ -43,11 +43,14 @@ object Tables {
 
   /** Per-table load-call counts — lets specs assert a plan resolves a
     * table once, not per micro-batch (VERDICT r4 #2 "target read once").
-    * Diagnostic only: keyed by resolved path (two refs naming the same
-    * path share a counter) and never cleared; one AtomicLong bump per
-    * load() CALL (not per scan), so the production cost is a map lookup
-    * at plan-build time.
+    * Diagnostic only and OFF unless a spec flips [[countLoads]] on (so
+    * long-lived production drivers never accumulate map entries); keyed
+    * by resolved path (two refs naming the same path share a counter) and
+    * never cleared, so assertions must diff before/after counts rather
+    * than expect absolute values. One AtomicLong bump per load() CALL
+    * (not per scan) while enabled.
     */
+  private[graft] val countLoads = new java.util.concurrent.atomic.AtomicBoolean(false)
   private[graft] val loadCalls =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private[graft] def loadCallCount(ref: TableRef, table: String): Long =
@@ -57,8 +60,9 @@ object Tables {
     * pushdown are Catalyst's job from here (SURVEY §4).
     */
   def load(spark: SparkSession, ref: TableRef, table: String): DataFrame = {
-    loadCalls.computeIfAbsent(tablePath(ref, table),
-      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    if (countLoads.get())
+      loadCalls.computeIfAbsent(tablePath(ref, table),
+        _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
     val reader = spark.read.format(ref.format).options(ref.options)
     ref.format match {
       case f if pathFormats.contains(f) => reader.load(tablePath(ref, table))

@@ -155,6 +155,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got("fr")._5 === 0.1, "unlisted stratum gets the default target")
   }
 
+  test("mixtureWeights: token-less stratum yields NULL share/weight, not Infinity") {
+    // an all-null-text stratum has n_tokens NULL (sum over no non-null
+    // inputs) — the one reachable case of the 0-or-null token guard
+    val docs = Seq(
+      (1L, "en", "one two three"),
+      (2L, "yy", null),
+      (3L, "yy", null)).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.mixtureWeights(docs, "lang", "text",
+        Map("en" -> 0.5), defaultTarget = 0.1)
+      .select("lang", "actual_frac", "weight")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got("en").isNullAt(2) && got("en").getDouble(2).isFinite)
+    assert(got("yy").isNullAt(1), "actual_frac must be NULL")
+    assert(got("yy").isNullAt(2), "weight must be NULL, never Infinity")
+  }
+
   test("rareBigramFraction: gibberish scores high, repeated prose scores zero") {
     val prose = "the cat sat on the mat"
     val docs = ((1L to 6L).map(i => (i, prose)) :+ (99L, "zxqj#k@w%"))

@@ -129,6 +129,7 @@ class StreamingSpec extends SparkTestBase {
       writeMode = InsertIfNotExists,
       simulateOnly = false)
 
+    Tables.countLoads.set(true) // diagnostic counter is opt-in (off in prod)
     val before = Tables.loadCallCount(tgtRef, "pre_t")
     val q = StreamingMigration.start(spark, cfg, t,
       checkpointDir = s"$dir/cp", trigger = Trigger.AvailableNow(),
