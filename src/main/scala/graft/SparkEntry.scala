@@ -304,6 +304,45 @@ object SparkEntry {
                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)""")
     }),
 
+    // as-of join: each click paired with the user's latest prior purchase
+    // (union-merge formulation — ONE shuffle on user_id, no range blowup);
+    // ties on (user_id, ts) broken by max purchase id, whole-row
+    "j05_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us").as("click_ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"), col("value").as("purchase_value"))
+      graft.operators.TemporalJoin.asOfJoin(
+        clicks, purchases, Seq("user_id"), "click_ts_us", "purchase_ts_us",
+        payload = Seq("purchase_id", "purchase_ts_us", "purchase_value"),
+        prefix = "", tieBreak = Some("purchase_id"))
+    }),
+
+    // interval range join: clicks landing in each error's 10-minute window
+    // (bucketized — intervals explode to covered buckets, points equi-join
+    // on bucket + residual range filter; no cartesian, no broadcast of a
+    // whole side)
+    "j06_range_join" -> ((s, dir) => {
+      val tenMinUs = 600000000L
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          col("ts_us").as("win_start"),
+          (col("ts_us") + lit(tenMinUs)).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_us").as("click_ts"))
+      val pairs = graft.operators.TemporalJoin.rangeJoin(
+        clicks, errors, "click_ts", "win_start", "win_end",
+        bucketWidth = tenMinUs)
+      errors.join(
+          pairs.groupBy("err_id").agg(count(lit(1)).as("n_clicks")),
+          Seq("err_id"), "left")
+        .select(col("err_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+    }),
+
     // pivot (conditional aggregation surface); absent combos coalesce to 0
     // so both engines agree on empty cells
     "g03_pivot" -> ((s, dir) => {
@@ -939,6 +978,33 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    // DuckDB's native ASOF JOIN is an independent implementation of the
+    // same semantics — right side pre-deduped per (user_id, ts) by max
+    // event id so both engines break exact-ts ties identically
+    "j05_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                            event_type, value FROM events),
+         clicks AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
+                    FROM ev WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts_us AS purchase_ts_us,
+                          max(event_id) AS purchase_id,
+                          max_by(value, event_id) AS purchase_value
+                   FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.click_id, c.user_id, c.click_ts_us,
+                p.purchase_id, p.purchase_ts_us, p.purchase_value
+         FROM clicks c ASOF LEFT JOIN purch p
+           ON c.user_id = p.user_id AND c.click_ts_us >= p.purchase_ts_us""",
+    "j06_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         err AS (SELECT event_id AS err_id, ts_us AS win_start,
+                        ts_us + 600000000 AS win_end
+                 FROM ev WHERE event_type = 'error'),
+         clk AS (SELECT event_id AS click_id, ts_us AS click_ts
+                 FROM ev WHERE event_type = 'click')
+         SELECT e.err_id, count(c.click_id) AS n_clicks
+         FROM err e LEFT JOIN clk c
+           ON c.click_ts >= e.win_start AND c.click_ts < e.win_end
+         GROUP BY 1""",
     "g03_pivot" ->
       """SELECT year(o_orderdate) AS y,
                 COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators the reference's config language cannot express
+ * but an event-log migration/analytics user reaches for immediately:
+ * as-of joins ("latest right row at or before each left row") and
+ * point-in-interval range joins. The reference stores raw event streams
+ * (`events`-style CQL tables with a clustering timestamp) and leaves
+ * temporal correlation to the consumer; here they are first-class,
+ * Spark-shaped operators.
+ *
+ * Both are built so the shuffle cost is the cost of an ordinary keyed
+ * shuffle — NO range-cross-product, NO broadcast of a whole table, no
+ * per-row subqueries:
+ *
+ *  - [[asOfJoin]] is the union-merge formulation: tag both inputs, union,
+ *    ONE shuffle+sort on `(keys, ts)`, and a running `last(ignoreNulls)`
+ *    window carries the most recent right payload forward into each left
+ *    row. O(n log n) per key group, k rows of state, and the plan is one
+ *    Window over one Exchange regardless of how many right rows precede
+ *    each left row (a naive range join is O(left × right) per key).
+ *  - [[rangeJoin]] buckets time: each point lands in exactly one
+ *    fixed-width bucket, each interval explodes into the buckets it
+ *    covers, and the match becomes an equi-join on bucket plus a residual
+ *    range predicate. Every qualifying pair meets in exactly one bucket
+ *    (the point's), so no dedup pass is needed. Shuffle volume is
+ *    |points| + Σ interval-spans — linear, not quadratic, and skew is
+ *    bounded by the bucket width.
+ */
+object TemporalJoin {
+
+  /**
+   * For every left row, attach the payload of the latest right row with
+   * the same `keys` whose `rightTs` is <= (or strictly <, when
+   * `allowExactMatch` is false) the left row's `leftTs`. Left rows with
+   * no earlier right row keep null payload columns (left-outer
+   * semantics); right rows with a null timestamp never match.
+   *
+   * When several right rows share the winning `(keys, ts)`, the one with
+   * the greatest `tieBreak` value wins (whole-payload, atomically — the
+   * payload travels as one struct, so the winner's columns are never
+   * mixed with another row's). With no tie-break the winner among exact
+   * ts duplicates is input-order-dependent; pass one whenever the right
+   * side can hold duplicate timestamps per key.
+   *
+   * Payload columns are emitted as `prefix + name` alongside every left
+   * column; include the right timestamp column in `payload` if the
+   * output should carry it.
+   */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      prefix: String = "right_",
+      allowExactMatch: Boolean = true,
+      tieBreak: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin requires at least one equi-key")
+    require(payload.nonEmpty, "asOfJoin requires at least one payload column")
+    val outNames = payload.map(prefix + _)
+    val clash = outNames.intersect(left.columns.toSeq)
+    require(clash.isEmpty,
+      s"payload output columns ${clash.mkString(", ")} collide with left " +
+        "columns — pass a different prefix")
+
+    val payloadType = right.select(struct(payload.map(col): _*)).schema.head.dataType
+    val leftRowType = left.select(struct(left.columns.map(col).toIndexedSeq: _*))
+      .schema.head.dataType
+
+    val lPrep = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast("double").as("__tie"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("__lrow"),
+        lit(null).cast(payloadType).as("__payload")): _*)
+    val rPrep = right
+      .filter(col(rightTs).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("__ts"),
+          lit(0).as("__side"),
+          tieBreak.map(col(_).cast("double")).getOrElse(lit(0d)).as("__tie"),
+          lit(null).cast(leftRowType).as("__lrow"),
+          struct(payload.map(col): _*).as("__payload")): _*)
+
+    // At equal ts the right row must sort BEFORE the left row to be
+    // visible to it (<= semantics) and after it for strict <; among
+    // right ts-duplicates ascending __tie puts the greatest tie-break
+    // last, which is exactly the row last(ignoreNulls) picks up.
+    val sideOrder = if (allowExactMatch) col("__side").asc else col("__side").desc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, sideOrder, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = lPrep.unionByName(rPrep)
+      .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val leftCols = left.columns.toSeq.map(c => col("__lrow").getField(c).as(c))
+    val payloadCols = payload.zip(outNames).map { case (p, o) =>
+      col("__matched").getField(p).as(o)
+    }
+    matched.select(leftCols ++ payloadCols: _*)
+  }
+
+  /**
+   * Inner point-in-interval join: pairs every `points` row with every
+   * `intervals` row (sharing `extraKeys`, if given) whose half-open
+   * numeric window `[start, end)` contains `pointTs`. All three bound
+   * columns must be on the same numeric axis (epoch micros, seconds —
+   * anything totally ordered and subtractable).
+   *
+   * `bucketWidth` trades shuffle fan-out for residual-filter work: an
+   * interval is replicated once per covered bucket, so pick a width near
+   * the typical interval length (one-to-two buckets per interval).
+   * Intervals spanning more than `maxBucketsPerInterval` buckets are
+   * dropped, not exploded — the same default-on skew-guard contract as
+   * the LSH `capBuckets` family — and the drop count is published via
+   * `observe` as `dropped_intervals` so a production run can alert on
+   * loss rather than silently eat a 10^6-bucket explosion. Degenerate
+   * intervals (`end <= start`) contain no points and are likewise
+   * dropped (uncounted).
+   */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointTs: String, start: String, end: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Int = 1024): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val bucketOf: Column => Column = c => floor(c / lit(bucketWidth))
+    val span = bucketOf(col(end) - 1) - bucketOf(col(start))
+    val guarded = intervals
+      .filter(col(end) > col(start))
+      .withColumn("__span", span)
+      .observe("range_join_guard",
+        sum(when(col("__span") >= maxBucketsPerInterval, 1L).otherwise(0L))
+          .as("dropped_intervals"))
+      .filter(col("__span") < maxBucketsPerInterval)
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(start)), bucketOf(col(end) - 1))))
+      .drop("__span")
+    val bucketed = points.withColumn("__bucket", bucketOf(col(pointTs)))
+    bucketed.join(guarded, Seq("__bucket") ++ extraKeys)
+      .where(col(pointTs) >= col(start) && col(pointTs) < col(end))
+      .drop("__bucket")
+  }
+}

@@ -166,4 +166,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scan.metrics("numPartitions").value === 1L,
       s"expected 1 of 5 partition dirs read, got ${scan.metrics("numPartitions").value}")
   }
+
+  test("j05: as-of join is one keyed window — no range join, no cartesian") {
+    // union-merge as-of: the only wide operations allowed are the key
+    // shuffle feeding one Window; a SortMergeJoin/BNLJ here would mean the
+    // formulation regressed to a per-pair range join (O(left × right) per
+    // key at corpus scale)
+    val p = plan("j05_asof_join")
+    assert(p.contains("Window"), s"as-of lost its running-last window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in as-of plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in as-of plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"as-of regressed to a pair join:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window not partitioned by the as-of key:\n$p")
+  }
+
+  test("j06: range join buckets to an equi-join — no nested-loop pair scan") {
+    val p = plan("j06_range_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian in range-join plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested-loop:\n$p")
+    assert(p.contains("__bucket"), s"bucketized equi-key missing:\n$p")
+    assert(p.contains("CollectMetrics"),
+      s"interval-explosion guard metrics missing:\n$p")
+  }
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TemporalJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (id, key, ts, value) quotes; (id, key, ts) trades — classic as-of shape
+  private def quotes = Seq(
+    (1L, "a", 10L, 1.0),
+    (2L, "a", 20L, 2.0),
+    (3L, "a", 30L, 3.0),
+    (4L, "b", 15L, 9.0)).toDF("q_id", "key", "q_ts", "price")
+
+  private def trades = Seq(
+    (100L, "a", 5L),   // before every quote
+    (101L, "a", 20L),  // exactly on quote 2
+    (102L, "a", 25L),  // between quotes 2 and 3
+    (103L, "b", 14L),  // just before b's only quote
+    (104L, "c", 50L)   // key with no quotes at all
+  ).toDF("t_id", "key", "t_ts")
+
+  test("asOfJoin: latest right row at-or-before each left row, per key") {
+    val got = TemporalJoin.asOfJoin(
+      trades, quotes, Seq("key"), "t_ts", "q_ts",
+      payload = Seq("q_id", "price"), prefix = "q_")
+      .select("t_id", "q_q_id", "q_price")
+      .collect().map(r => r.getLong(0) -> (
+        (if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2)))).toMap
+
+    assert(got(100L) === (-1L, -1.0), "no quote at or before ts=5")
+    assert(got(101L) === (2L, 2.0), "exact-ts match is visible by default")
+    assert(got(102L) === (2L, 2.0))
+    assert(got(103L) === (-1L, -1.0), "b's quote is later than the trade")
+    assert(got(104L) === (-1L, -1.0), "unseen key matches nothing")
+  }
+
+  test("asOfJoin: allowExactMatch=false takes strictly-earlier rows only") {
+    val got = TemporalJoin.asOfJoin(
+      trades, quotes, Seq("key"), "t_ts", "q_ts",
+      payload = Seq("q_id"), prefix = "q_", allowExactMatch = false)
+      .select("t_id", "q_q_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(101L) === 1L, "ts=20 must see quote 1 (ts=10), not quote 2 (ts=20)")
+  }
+
+  test("asOfJoin: tie-break picks one whole payload row, never a column mix") {
+    // two right rows at the same (key, ts): winner = max tie-break, and
+    // BOTH its fields must come from the same row
+    val right = Seq(
+      (1L, "a", 10L, "low"),
+      (2L, "a", 10L, "high")).toDF("r_id", "key", "r_ts", "tag")
+    val left = Seq((7L, "a", 11L)).toDF("l_id", "key", "l_ts")
+    val row = TemporalJoin.asOfJoin(
+      left, right, Seq("key"), "l_ts", "r_ts",
+      payload = Seq("r_id", "tag"), tieBreak = Some("r_id")).collect()(0)
+    assert(row.getAs[Long]("right_r_id") === 2L)
+    assert(row.getAs[String]("right_tag") === "high")
+  }
+
+  test("asOfJoin: equivalent to the naive per-row max subquery on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+      .toDF("l_id", "key", "l_ts")
+    val r = (1 to 200).map(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+      .toDF("r_id", "key", "r_ts")
+    // naive oracle: unique winning r_id via (r_ts max, then r_id max)
+    l.createOrReplaceTempView("l_v"); r.createOrReplaceTempView("r_v")
+    val naive = spark.sql(
+      """SELECT l_id, (SELECT max_by(r_id, struct(r_ts, r_id)) FROM r_v
+                       WHERE r_v.key = l_v.key AND r_ts <= l_ts) AS want
+         FROM l_v""").collect()
+      .map(r0 => r0.getLong(0) -> (if (r0.isNullAt(1)) -1L else r0.getLong(1))).toMap
+    val got = TemporalJoin.asOfJoin(
+      l, r, Seq("key"), "l_ts", "r_ts",
+      payload = Seq("r_id"), tieBreak = Some("r_id"))
+      .collect().map(r0 => r0.getAs[Long]("l_id") ->
+        (if (r0.isNullAt(r0.fieldIndex("right_r_id"))) -1L
+         else r0.getAs[Long]("right_r_id"))).toMap
+    assert(got === naive)
+  }
+
+  private def intervals = Seq(
+    (1L, 0L, 10L),    // [0, 10)
+    (2L, 10L, 30L),   // [10, 30) — spans multiple width-10 buckets
+    (3L, 25L, 26L),   // sub-bucket interval
+    (4L, 40L, 40L),   // degenerate (empty)
+    (5L, 35L, 45L)    // straddles a bucket boundary
+  ).toDF("i_id", "lo", "hi")
+
+  test("rangeJoin: half-open containment, each pair exactly once") {
+    val points = Seq((1L, 0L), (2L, 9L), (3L, 10L), (4L, 25L), (5L, 29L),
+      (6L, 40L), (7L, 44L), (8L, 45L)).toDF("p_id", "ts")
+    val got = TemporalJoin.rangeJoin(points, intervals, "ts", "lo", "hi",
+        bucketWidth = 10L)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, 1L), (2L, 1L),            // [0,10) gets ts 0 and 9
+      (3L, 2L), (4L, 2L),            // [10,30) gets 10, 25, 29
+      (4L, 3L), (5L, 2L),            // [25,26) gets 25
+      (6L, 5L), (7L, 5L)             // [35,45) gets 40 and 44; 45 excluded
+    ), "degenerate interval 4 matches nothing; no pair is duplicated")
+  }
+
+  test("rangeJoin: extra equi-keys restrict matches") {
+    val points = Seq((1L, "u1", 5L), (2L, "u2", 5L)).toDF("p_id", "who", "ts")
+    val ivs = Seq((10L, "u1", 0L, 10L)).toDF("i_id", "who", "lo", "hi")
+    val got = TemporalJoin.rangeJoin(points, ivs, "ts", "lo", "hi",
+        bucketWidth = 10L, extraKeys = Seq("who"))
+      .select("p_id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("rangeJoin: over-cap intervals are dropped, not exploded") {
+    val points = Seq((1L, 5L)).toDF("p_id", "ts")
+    val ivs = Seq((1L, 0L, 10L), (2L, 0L, 1000000L)).toDF("i_id", "lo", "hi")
+    val got = TemporalJoin.rangeJoin(points, ivs, "ts", "lo", "hi",
+        bucketWidth = 10L, maxBucketsPerInterval = 100)
+      .select("i_id").as[Long].collect().toSeq
+    assert(got === Seq(1L), "the 100k-bucket interval must be guarded away")
+  }
+}
