@@ -690,6 +690,29 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
           round(col("rare_frac"), 6).as("rare_frac"))),
 
+    // corpus heavy hitters: top-20 tokens by frequency — hash agg for the
+    // counts, bounded-heap top-k for the ranking (never a global sort of
+    // the vocabulary)
+    "t16_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.topTokens(t(s, dir, "documents"), "text", 20)),
+
+    // PII redaction: emails/IPv4/phone-like runs replaced with tags and
+    // counted. The fixture corpus is PII-free, so each doc gets a
+    // deterministic PII suffix derived from its own id — the redaction
+    // then provably fires on every row in both engines
+    "t17_pii_redaction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from "), (col("doc_id") % 256).cast("string"), lit(".0.10."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" tel +1 555 01"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      TextAnalysis.redactPii(docs, "text")
+        .select("doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone")
+    }),
+
     // benchmark decontamination: training docs sharing any word 5-gram
     // with the (synthetic) eval set — eval grams broadcast, corpus never
     // shuffles its grams. Eval set = first-word-dropped variants of every
@@ -700,6 +723,30 @@ object SparkEntry {
         .select((col("doc_id") + 2000000).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
       TextAnalysis.decontaminate(docs, evalDocs, "doc_id", "text", n = 5)
+    }),
+
+    // Bloom-screen decontamination: constant-size membership sketch over
+    // the eval grams instead of t13's exact broadcast set. Gated like a01:
+    // the exact counts plus two structurally-guaranteed booleans (no
+    // false negatives ever; false positives under the design bound —
+    // deterministic because the filter hashing is seeded/fixed)
+    "b01_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val evalDocs = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val screened = TextAnalysis.decontaminateBloom(docs, evalDocs,
+        "doc_id", "text", n = 5, expectedGrams = 100000L, fpp = 1e-6)
+      val exact = TextAnalysis.decontaminate(docs, evalDocs, "doc_id", "text",
+          n = 5).select(col("doc_id"), lit(true).as("exact_hit"))
+      screened.join(exact, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_contaminated"),
+          (sum(when(col("exact_hit") && !col("flagged"), 1L).otherwise(0L)) === 0)
+            .as("no_false_negatives"),
+          (sum(when(col("flagged") && col("exact_hit").isNull, 1L).otherwise(0L))
+            <= count(lit(1)) / 20).as("fp_within_bound"))
     }),
 
     // boilerplate cleaning: tags/entities/URLs stripped, whitespace
@@ -1303,6 +1350,39 @@ object SparkEntry {
                                 / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6)
                      END AS weight
          FROM ps, tot""",
+    "t16_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         counts AS (SELECT token, count(*) AS n FROM toks
+                    WHERE length(token) > 0 GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+                token, n
+         FROM counts ORDER BY n DESC, token ASC LIMIT 20""",
+    // same RE2-safe patterns and replacement order as
+    // TextAnalysis.piiPatterns; counts come from the pre-redaction text
+    "t17_pii_redaction" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       || ' from ' || CAST(doc_id % 256 AS VARCHAR) || '.0.10.'
+                       || CAST((doc_id * 7) % 256 AS VARCHAR)
+                       || ' tel +1 555 01' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    AS text
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g'),
+                  '[+]?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS text_redacted,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(text,
+                  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(text,
+                  '[+]?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone
+         FROM aug""",
     // rare-bigram counts are hash-agnostic like t13: each engine counts
     // its own representation of the same bigram multiset
     "t15_rare_bigrams" ->
@@ -1328,6 +1408,37 @@ object SparkEntry {
     // decontamination: shared-gram COUNTS are hash-agnostic (each engine
     // hashes the same word-5-gram strings; set intersections agree while
     // 64-bit hashing stays collision-free, as with d03)
+    // the Bloom screen's booleans are structural guarantees (no false
+    // negatives; false positives under the 5% bound at the 1e-6 design
+    // point), so the oracle pins them as literals next to exact counts
+    // computed the t13 way
+    "b01_bloom_decontaminate" ->
+      """WITH tnorm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+           FROM documents),
+         ttok AS (SELECT doc_id, n, string_split(n, ' ') AS w FROM tnorm),
+         tg AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, len(w) - 3),
+                              i -> hash(list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4], 'string_agg', ' ')))) END AS g
+           FROM ttok),
+         enorm AS (
+           SELECT regexp_replace(lower(trim(regexp_replace(text, '^\S+\s', ''))), '\s+', ' ', 'g') AS n
+           FROM documents WHERE doc_id % 10 = 3),
+         etok AS (SELECT n, string_split(n, ' ') AS w FROM enorm),
+         eg AS (
+           SELECT CASE WHEN len(w) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, len(w) - 3),
+                              i -> hash(list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4], 'string_agg', ' ')))) END AS g
+           FROM etok),
+         evset AS (SELECT DISTINCT unnest(g) AS p FROM eg),
+         tex AS (SELECT doc_id, unnest(g) AS p FROM tg),
+         contaminated AS (SELECT DISTINCT tex.doc_id FROM tex JOIN evset ON tex.p = evset.p)
+         SELECT (SELECT count(*) FROM documents) AS n_docs,
+                (SELECT count(*) FROM contaminated) AS n_contaminated,
+                TRUE AS no_false_negatives,
+                TRUE AS fp_within_bound""",
     "t13_decontaminate" ->
       """WITH tnorm AS (
            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n

@@ -191,6 +191,10 @@ object GraftFunctions {
   def top_k_by(score: Column, id: Column, k: Int): Column = Bridge.column(
     TopKByScore(Bridge.expression(score.cast("double")), Bridge.expression(id), k)
       .toAggregateExpression())
+  def bloom_agg(c: Column, numBits: Int, numHashes: Int): Column = Bridge.column(
+    BloomFilterAgg(Bridge.expression(c), numBits, numHashes).toAggregateExpression())
+  def bloom_might_contain(filter: Column, key: Column): Column = Bridge.column(
+    BloomMightContain(Bridge.expression(filter), Bridge.expression(key)))
 
   /** Register SQL names so `expr("java_hash_code(col)")` (and thus the MVEL
     * translator output) resolves. Reference parity for the plugin/UDF

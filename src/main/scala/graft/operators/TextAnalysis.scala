@@ -253,6 +253,96 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Corpus heavy hitters: the `k` most frequent normalized tokens with
+    * deterministic ranking (count DESC, token ASC). The count is one hash
+    * aggregate (map-side combined); the ranking rides the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate, so the final stage
+    * receives k entries per map partition — never a global sort of the
+    * whole vocabulary, which at web-corpus scale is billions of distinct
+    * tokens for a result of twenty.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions
+    val counts = df
+      .select(explode(split(Dedup.normalized(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    counts
+      .agg(GraftFunctions.top_k_by(
+        col("n").cast("double"), col("token"), k).as("__top"))
+      .select(posexplode(col("__top")))
+      .select((col("pos") + 1).as("rank"), col("col.id").as("token"),
+        col("col.score").cast("long").as("n"))
+  }
+
+  /** PII patterns shared by [[redactPii]] and its oracle: RE2-compatible
+    * (no backtracking constructs), so the same pattern runs identically on
+    * Spark's Java regex and RE2-based engines. Redaction order is part of
+    * the contract — emails first (their local part can look like a phone),
+    * then IPv4, then phone-like digit runs.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "phone" -> "[+]?[0-9][0-9 ()-]{7,}[0-9]")
+
+  /** Redact personally-identifiable substrings (emails, IPv4 addresses,
+    * phone-like digit runs), replacing each match with `<CATEGORY>`, and
+    * count matches per category from the pre-redaction text. Map-only
+    * column expressions — linear scans, no shuffle, stays inside
+    * whole-stage codegen.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) { case (acc, (name, re)) =>
+      regexp_replace(acc, re, s"<${name.toUpperCase}>")
+    }
+    piiPatterns.foldLeft(df.withColumn(s"${textCol}_redacted", redacted)) {
+      case (d, (name, re)) =>
+        d.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+  }
+
+  /** Bloom-filter decontamination screen: flags every training document
+    * sharing at least one word-`n`-gram with the eval set, using a
+    * constant-size membership sketch instead of [[decontaminate]]'s exact
+    * broadcast gram set. Same gram pipeline (normalized word shingles),
+    * but the eval side collapses to ONE `bloom_agg` row that rides along
+    * as a broadcast literal — at a 10^9-gram eval corpus that is the
+    * difference between broadcasting gigabytes of exact hashes and ~200 MB
+    * of bits. No false negatives by construction (a contaminated doc is
+    * always flagged); false positives at rate `fpp` only admit extra docs,
+    * so the intended composition is screen-here → exact [[decontaminate]]
+    * recheck on the survivors, which touches |flagged| docs instead of the
+    * whole corpus.
+    *
+    * Returns one row per training doc: (idCol, n_maybe_shared, flagged).
+    * `expectedGrams` sizes the filter (overestimating is cheap: bits are
+    * linear in it; underestimating inflates the false-positive rate, never
+    * drops a true positive).
+    */
+  def decontaminateBloom(
+      training: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.{BloomFilterKernel, GraftFunctions}
+    val numBits = BloomFilterKernel.optimalBits(expectedGrams, fpp)
+    val numHashes = BloomFilterKernel.optimalHashes(numBits.toLong, expectedGrams)
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(GraftFunctions.shingle_hashes(
+        Dedup.normalized(col(textCol)), n, word = true)).as("__g"))
+    val bloom = grams(evalDocs)
+      .agg(GraftFunctions.bloom_agg(col("__g"), numBits, numHashes).as("__bloom"))
+    val hits = grams(training)
+      .crossJoin(broadcast(bloom))
+      .filter(GraftFunctions.bloom_might_contain(col("__bloom"), col("__g")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_maybe_shared"))
+    training.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_maybe_shared"), lit(0L)).as("n_maybe_shared"),
+        (coalesce(col("n_maybe_shared"), lit(0L)) > 0).as("flagged"))
+  }
+
   /** Training-mix rebalancing weights: per-stratum (domain/language) token
     * shares vs a target distribution. Returns one row per stratum with
     * document/token counts, the corpus share actually observed, the target

@@ -171,6 +171,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got("yy").isNullAt(2), "weight must be NULL, never Infinity")
   }
 
+  test("topTokens: exact top-k with (count DESC, token ASC) tie-break") {
+    val docs = Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "banana cherry date   date"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTokens(docs, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // apple=3, banana=3 (tie → apple first alphabetically), then cherry=2
+    // vs date=2 tie → cherry
+    assert(got === Seq((1, "apple", 3L), (2, "banana", 3L), (3, "cherry", 2L)))
+  }
+
+  test("redactPii: emails, IPs, phones replaced and counted; clean text untouched") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.org or b@x.io, host 10.0.255.7, call +1 555 010-9999"),
+      (2L, "no pii here at all"),
+      (3L, "edge 999.999.999.999 still shaped like an ip")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "text")
+      .select("doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L)._1 === "mail <EMAIL> or <EMAIL>, host <IPV4>, call <PHONE>")
+    assert(got(1L)._2 === 2L && got(1L)._3 === 1L && got(1L)._4 === 1L)
+    assert(got(2L) === (("no pii here at all", 0L, 0L, 0L)))
+    assert(got(3L)._3 === 1L, "syntactic IPv4 shape is redacted (no range check)")
+  }
+
   test("rareBigramFraction: gibberish scores high, repeated prose scores zero") {
     val prose = "the cat sat on the mat"
     val docs = ((1L to 6L).map(i => (i, prose)) :+ (99L, "zxqj#k@w%"))
