@@ -618,6 +618,24 @@ object SparkEntry {
         "vec_id", "embedding", "query_id", "embedding", k = 5))
     }),
 
+    // class prototypes: per-(label, position) exact means, DECIMAL-routed
+    // so partition order can't perturb the float sum
+    "s07_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos"), col("n"),
+          round(col("centroid"), 6).as("centroid"))),
+
+    // kNN majority-vote classification of the held-out queries against the
+    // labeled corpus (bounded-heap top-k + one vote aggregate)
+    "s08_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      Similarity.knnClassify(corpus, queries, "vec_id", "embedding",
+        "query_id", "embedding", "label", k = 10)
+    }),
+
     // ------------------------------------------ LLM pipeline: text analysis
     "t01_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1191,6 +1209,33 @@ object SparkEntry {
                 FROM scored)
          SELECT query_id, vec_id, rank, ROUND(cosine, 6) AS cosine
          FROM ranked WHERE rank <= 5""",
+    "s07_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                                    AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6)
+                  AS centroid
+         FROM embeddings, range(1, 65) AS t(i)
+         GROUP BY 1, 2""",
+    "s08_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 10),
+              scored AS (
+                SELECT q.query_id, c.vec_id, c.label,
+                       list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                       (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+                FROM c CROSS JOIN q),
+              ranked AS (
+                SELECT query_id, vec_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored),
+              votes AS (
+                SELECT query_id, label, count(*) AS votes
+                FROM ranked WHERE rank <= 10 GROUP BY 1, 2)
+         SELECT query_id, label, votes FROM votes
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY votes DESC, label ASC) = 1""",
     "t02_quality_score" ->
       """SELECT doc_id, ROUND(
            0.3 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)

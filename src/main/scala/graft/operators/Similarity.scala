@@ -273,4 +273,51 @@ object Similarity {
     }
     cents
   }
+
+  /** Per-label mean embedding (class prototypes — the distributed step of
+    * prototype classifiers and of IVF coarse-quantizer refresh). Shape:
+    * positional explode → ONE hash aggregate keyed `(label, pos)`,
+    * map-side combined, so the shuffle carries `labels × dim` partial
+    * sums, not vectors. Sums route through DECIMAL — float addition is
+    * order-dependent and partition order is not deterministic, so a
+    * double sum here would make the centroid itself nondeterministic run
+    * to run.
+    *
+    * Output: one row per (label, pos): (labelCol, pos, n, centroid).
+    */
+  def labelCentroids(
+      df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10))).cast("double") /
+          count(lit(1))).as("centroid"))
+
+  /** k-nearest-neighbor majority-vote classification of `queries` against
+    * a labeled corpus: top-k by cosine (bounded-heap ranked, same engine
+    * as [[bruteForceTopK]]), then one vote per neighbor, winner = most
+    * votes with deterministic smallest-label tie-break. The neighbor list
+    * (|queries| × k rows) is broadcast back against the corpus labels, so
+    * the only corpus-sized work is the scoring scan itself.
+    *
+    * Output: one row per query: (queryId, labelCol, votes).
+    */
+  def knnClassify(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, corpusId, corpusVec,
+      queryId, queryVec, k)
+    corpus.select(col(corpusId), col(labelCol))
+      .join(broadcast(nn.select(col(queryId), col(corpusId))), Seq(corpusId))
+      .groupBy(col(queryId), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col(queryId))
+      .agg(
+        min_by(col(labelCol),
+          struct((-col("votes")).as("__nv"), col(labelCol))).as(labelCol),
+        max(col("votes")).as("votes"))
+  }
 }

@@ -200,4 +200,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(scale === 0.0f)
     assert(codes.forall(_ === 0))
   }
+
+  test("labelCentroids: per-(label, position) exact means") {
+    val df = Seq(
+      (1L, 0, Array(1.0f, 2.0f)),
+      (2L, 0, Array(3.0f, 6.0f)),
+      (3L, 1, Array(10.0f, 20.0f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got((0, 0)) === ((2L, 2.0)))
+    assert(got((0, 1)) === ((2L, 4.0)))
+    assert(got((1, 0)) === ((1L, 10.0)))
+    assert(got((1, 1)) === ((1L, 20.0)))
+  }
+
+  test("knnClassify: majority label wins; vote ties break to smallest label") {
+    // axis-aligned clusters: label 5 along e0, label 9 along e1; the query
+    // sits on e0 so its 3 nearest are the label-5 vectors
+    val corpus = Seq(
+      (1L, 5, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 5, Array(0.9f, 0.1f, 0.0f)),
+      (3L, 5, Array(0.95f, 0.05f, 0.0f)),
+      (4L, 9, Array(0.0f, 1.0f, 0.0f)),
+      (5L, 9, Array(0.0f, 0.9f, 0.1f))).toDF("vec_id", "label", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.01f, 0.0f))).toDF("query_id", "embedding")
+    val got = Similarity.knnClassify(corpus, q, "vec_id", "embedding",
+        "query_id", "embedding", "label", k = 3)
+      .as[(Long, Int, Long)].collect().head
+    assert(got === ((100L, 5, 3L)))
+
+    // 1-1 vote split between labels 5 and 9 → smaller label wins: the
+    // symmetric query is equidistant from the two axis vectors
+    val q2 = Seq((200L, Array(0.7f, 0.7f, 0.0f))).toDF("query_id", "embedding")
+    val tied = Similarity.knnClassify(
+        corpus.filter($"vec_id".isin(1L, 4L)), q2, "vec_id", "embedding",
+        "query_id", "embedding", "label", k = 2)
+      .as[(Long, Int, Long)].collect().head
+    assert(tied === ((200L, 5, 1L)))
+  }
 }
