@@ -85,6 +85,24 @@ object BloomFilterKernel {
     while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
     a
   }
+
+  /** How many of the array's longs MIGHT be members — the per-document
+    * probe loop as one kernel call (the whole array is scanned inside one
+    * generated call, mirroring the [[HashKernels]] convention: no
+    * per-element HOF lambda interpretation on the hot path).
+    */
+  def countContained(
+      buf: Array[Byte],
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (mightContain(buf, arr.getLong(i))) c += 1
+      i += 1
+    }
+    c
+  }
 }
 
 /** Aggregate a LONG key column into a serialized Bloom filter (binary). */
@@ -159,4 +177,37 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): BloomMightContain = copy(left = l, right = r)
   override def prettyName: String = "bloom_might_contain"
+}
+
+/** Count of the elements of an `array<bigint>` that MIGHT be members of
+  * the filter. One generated kernel call per row; with the filter as a
+  * `Literal`, codegen references the byte array object once — carrying
+  * the filter as a data COLUMN instead would memcpy the whole bit array
+  * out of every probe row (measured 20 s vs 0.5 s on a 500k-probe scan).
+  */
+case class BloomCountContained(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_count_contained takes (BINARY filter, ARRAY<BIGINT> keys), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+
+  override protected def nullSafeEval(filter: Any, arr: Any): Any =
+    BloomFilterKernel.countContained(
+      filter.asInstanceOf[Array[Byte]],
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (f, a) => s"graft.functions.BloomFilterKernel.countContained($f, $a)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BloomCountContained = copy(left = l, right = r)
+  override def prettyName: String = "bloom_count_contained"
 }

@@ -195,6 +195,8 @@ object GraftFunctions {
     BloomFilterAgg(Bridge.expression(c), numBits, numHashes).toAggregateExpression())
   def bloom_might_contain(filter: Column, key: Column): Column = Bridge.column(
     BloomMightContain(Bridge.expression(filter), Bridge.expression(key)))
+  def bloom_count_contained(filter: Column, keys: Column): Column = Bridge.column(
+    BloomCountContained(Bridge.expression(filter), Bridge.expression(keys)))
 
   /** Register SQL names so `expr("java_hash_code(col)")` (and thus the MVEL
     * translator output) resolves. Reference parity for the plugin/UDF

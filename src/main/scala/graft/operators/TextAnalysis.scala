@@ -302,45 +302,57 @@ object TextAnalysis {
     }
   }
 
+  /** Build the eval-set gram Bloom filter: distributed `bloom_agg` over
+    * the normalized word-`n`-gram hashes, then ONE driver-side collect of
+    * the single constant-size sketch row (same sanction as the bounded
+    * IVF centroid sample). The sketch is meant to be embedded as a
+    * `lit(...)` — codegen references the byte array object once per
+    * query. Carrying it as a data column through a join instead memcpys
+    * the whole bit array out of EVERY probe row (measured: 20 s vs 0.5 s
+    * for a 500k-gram scan at a 360 KB sketch).
+    */
+  def buildGramBloom(
+      evalDocs: DataFrame, textCol: String, n: Int,
+      expectedGrams: Long, fpp: Double): Array[Byte] = {
+    import graft.functions.{BloomFilterKernel, GraftFunctions}
+    val numBits = BloomFilterKernel.optimalBits(expectedGrams, fpp)
+    val numHashes = BloomFilterKernel.optimalHashes(numBits.toLong, expectedGrams)
+    evalDocs
+      .select(explode(GraftFunctions.shingle_hashes(
+        Dedup.normalized(col(textCol)), n, word = true)).as("__g"))
+      .agg(GraftFunctions.bloom_agg(col("__g"), numBits, numHashes).as("__bloom"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
   /** Bloom-filter decontamination screen: flags every training document
     * sharing at least one word-`n`-gram with the eval set, using a
     * constant-size membership sketch instead of [[decontaminate]]'s exact
-    * broadcast gram set. Same gram pipeline (normalized word shingles),
-    * but the eval side collapses to ONE `bloom_agg` row that rides along
-    * as a broadcast literal — at a 10^9-gram eval corpus that is the
-    * difference between broadcasting gigabytes of exact hashes and ~200 MB
-    * of bits. No false negatives by construction (a contaminated doc is
-    * always flagged); false positives at rate `fpp` only admit extra docs,
-    * so the intended composition is screen-here → exact [[decontaminate]]
-    * recheck on the survivors, which touches |flagged| docs instead of the
-    * whole corpus.
+    * broadcast gram set — at a 10^9-gram eval corpus that is the
+    * difference between broadcasting gigabytes of exact hashes and
+    * ~200 MB of bits. The probe is MAP-ONLY: one codegen'd
+    * `bloom_count_contained` kernel call per document over its gram
+    * array, no explode, no shuffle, no join. No false negatives by
+    * construction (a contaminated doc is always flagged); false positives
+    * at rate `fpp` only admit extra docs, so the intended composition is
+    * screen-here → exact [[decontaminate]] recheck on the survivors,
+    * which touches |flagged| docs instead of the whole corpus.
     *
-    * Returns one row per training doc: (idCol, n_maybe_shared, flagged).
+    * Returns one row per training row: (idCol, n_maybe_shared, flagged).
     * `expectedGrams` sizes the filter (overestimating is cheap: bits are
-    * linear in it; underestimating inflates the false-positive rate, never
-    * drops a true positive).
+    * linear in it; underestimating inflates the false-positive rate,
+    * never drops a true positive).
     */
   def decontaminateBloom(
       training: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    import graft.functions.{BloomFilterKernel, GraftFunctions}
-    val numBits = BloomFilterKernel.optimalBits(expectedGrams, fpp)
-    val numHashes = BloomFilterKernel.optimalHashes(numBits.toLong, expectedGrams)
-    def grams(df: DataFrame) = df.select(col(idCol),
-      explode(GraftFunctions.shingle_hashes(
-        Dedup.normalized(col(textCol)), n, word = true)).as("__g"))
-    val bloom = grams(evalDocs)
-      .agg(GraftFunctions.bloom_agg(col("__g"), numBits, numHashes).as("__bloom"))
-    val hits = grams(training)
-      .crossJoin(broadcast(bloom))
-      .filter(GraftFunctions.bloom_might_contain(col("__bloom"), col("__g")))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_maybe_shared"))
-    training.select(col(idCol)).distinct()
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_maybe_shared"), lit(0L)).as("n_maybe_shared"),
-        (coalesce(col("n_maybe_shared"), lit(0L)) > 0).as("flagged"))
+    import graft.functions.GraftFunctions
+    val bloomBytes = buildGramBloom(evalDocs, textCol, n, expectedGrams, fpp)
+    training.select(col(idCol),
+        GraftFunctions.bloom_count_contained(lit(bloomBytes),
+          GraftFunctions.shingle_hashes(
+            Dedup.normalized(col(textCol)), n, word = true))
+          .cast("long").as("n_maybe_shared"))
+      .withColumn("flagged", col("n_maybe_shared") > 0)
   }
 
   /** Training-mix rebalancing weights: per-stratum (domain/language) token

@@ -39,6 +39,39 @@ class StreamingSpec extends SparkTestBase {
       batch.select("id", "doubled").as[(Long, Long)].collect().toSet)
   }
 
+  test("streaming bloom screen matches the batch screen and misses no exact hit") {
+    val dir = Files.createTempDirectory("graft_stream_bloom").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally unrelated words nothing shared here at all"),
+      (4L, "alpha beta gamma delta epsilon eta theta"))
+      .toDF("doc_id", "text")
+    docs.repartition(2).write.parquet(s"$dir/in")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon"),
+      (101L, "three four five six seven")).toDF("doc_id", "text")
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val q = StreamingDecontaminate.screen(stream, eval, "text",
+        expectedGrams = 1000L)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "flagged").as[(Long, Boolean)].collect().toMap
+    val exact = graft.operators.TextAnalysis
+      .decontaminate(docs, eval, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(exact.forall(got(_)), "stream screen must never miss an exact hit")
+    val batch = graft.operators.TextAnalysis
+      .decontaminateBloom(docs, eval, "doc_id", "text", expectedGrams = 1000L)
+      .select("doc_id", "flagged").as[(Long, Boolean)].collect().toMap
+    assert(got === batch, "stream and batch screens must agree")
+  }
+
   test("streaming counter mode: appended batch pre-aggregates sum to batch totals (O15/O17)") {
     val dir = Files.createTempDirectory("graft_stream_ctr").toString
     val srcRef = TableRef(path = s"$dir/src")
