@@ -472,6 +472,17 @@ object SparkEntry {
           (abs(col("approx_parts") - col("exact_parts")) /
             col("exact_parts") <= 0.05).as("within_5pct"))),
 
+    // grouped HLL: one constant-size sketch per group, partial-merged
+    // map-side — the per-domain/per-shard cardinality shape; gated like
+    // a01 (exact counts pinned, sketch within its error envelope)
+    "a03_hll_groups" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        GraftFunctions.hll_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) /
+            col("exact_parts") <= 0.05).as("within_5pct"))),
+
     // scalar array-function surface (construct/sort/fold/position) — array
     // OUTPUTS are avoided (engine list renderings differ); every result is
     // a scalar both engines agree on bit-for-bit
@@ -1559,6 +1570,10 @@ object SparkEntry {
     "a01_hll_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
          FROM lineitem""",
+    "a03_hll_groups" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+                TRUE AS within_5pct
+         FROM lineitem GROUP BY l_returnflag""",
     "a02_approx_quantiles" ->
       """SELECT o_orderpriority,
                 ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,

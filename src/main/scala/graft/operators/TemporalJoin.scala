@@ -34,11 +34,20 @@ import org.apache.spark.sql.functions._
 object TemporalJoin {
 
   /**
-   * For every left row, attach the payload of the latest right row with
-   * the same `keys` whose `rightTs` is <= (or strictly <, when
-   * `allowExactMatch` is false) the left row's `leftTs`. Left rows with
-   * no earlier right row keep null payload columns (left-outer
-   * semantics); right rows with a null timestamp never match.
+   * For every left row, attach the payload of the matching right row with
+   * the same `keys` — by `direction`:
+   *
+   *  - `"backward"` (default): the latest right row with `rightTs` <=
+   *    `leftTs` (strictly <, when `allowExactMatch` is false)
+   *  - `"forward"`: the earliest right row with `rightTs` >= `leftTs`
+   *    (strictly >, when `allowExactMatch` is false)
+   *  - `"nearest"`: whichever of the two is closer in time; exact
+   *    distance ties go backward. Still one shuffle: both direction
+   *    windows sort the SAME keyed exchange (the second Window reuses the
+   *    exchange, paying only a re-sort).
+   *
+   * Left rows with no match keep null payload columns (left-outer
+   * semantics); rows with a null timestamp on either side never match.
    *
    * When several right rows share the winning `(keys, ts)`, the one with
    * the greatest `tieBreak` value wins (whole-payload, atomically — the
@@ -56,16 +65,22 @@ object TemporalJoin {
       leftTs: String, rightTs: String, payload: Seq[String],
       prefix: String = "right_",
       allowExactMatch: Boolean = true,
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asOfJoin requires at least one equi-key")
     require(payload.nonEmpty, "asOfJoin requires at least one payload column")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val outNames = payload.map(prefix + _)
     val clash = outNames.intersect(left.columns.toSeq)
     require(clash.isEmpty,
       s"payload output columns ${clash.mkString(", ")} collide with left " +
         "columns — pass a different prefix")
 
-    val payloadType = right.select(struct(payload.map(col): _*)).schema.head.dataType
+    // the right ts rides INSIDE the payload struct (field "__rts") so
+    // "nearest" can compare distances without a second pass over `right`
+    val payloadStruct = struct(col(rightTs).as("__rts") +: payload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
     val leftRowType = left.select(struct(left.columns.map(col).toIndexedSeq: _*))
       .schema.head.dataType
 
@@ -84,19 +99,47 @@ object TemporalJoin {
           lit(0).as("__side"),
           tieBreak.map(col(_).cast("double")).getOrElse(lit(0d)).as("__tie"),
           lit(null).cast(leftRowType).as("__lrow"),
-          struct(payload.map(col): _*).as("__payload")): _*)
+          payloadStruct.as("__payload")): _*)
 
-    // At equal ts the right row must sort BEFORE the left row to be
-    // visible to it (<= semantics) and after it for strict <; among
-    // right ts-duplicates ascending __tie puts the greatest tie-break
-    // last, which is exactly the row last(ignoreNulls) picks up.
+    // In iteration order the right row must come BEFORE the left row to
+    // be visible to it (<=/>= semantics) and after it for strict </>;
+    // among right ts-duplicates ascending __tie puts the greatest
+    // tie-break last, which is exactly the row last(ignoreNulls) picks
+    // up. The backward window iterates ts ascending, the forward one
+    // descending — same partitioning, so they share one exchange.
     val sideOrder = if (allowExactMatch) col("__side").asc else col("__side").desc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, sideOrder, col("__tie").asc_nulls_last)
+    def w(tsOrder: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(tsOrder, sideOrder, col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBack = w(col("__ts").asc_nulls_first)
+    // desc puts nulls LAST by default: null-ts left rows would "see"
+    // every right row — force them first so they match nothing
+    val wFwd = w(col("__ts").desc_nulls_first)
 
-    val matched = lPrep.unionByName(rPrep)
-      .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
+    val union = lPrep.unionByName(rPrep)
+    val withDirs = direction match {
+      case "backward" =>
+        union.withColumn("__mb", last(col("__payload"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        union.withColumn("__mf", last(col("__payload"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        union
+          .withColumn("__mb", last(col("__payload"), ignoreNulls = true).over(wBack))
+          .withColumn("__mf", last(col("__payload"), ignoreNulls = true).over(wFwd))
+    }
+    val matchedCol = direction match {
+      case "backward" => col("__mb")
+      case "forward" => col("__mf")
+      case "nearest" =>
+        when(col("__mb").isNull, col("__mf"))
+          .when(col("__mf").isNull, col("__mb"))
+          // backward wins exact-distance ties
+          .when((col("__ts") - col("__mb.__rts")) <= (col("__mf.__rts") - col("__ts")),
+            col("__mb"))
+          .otherwise(col("__mf"))
+    }
+    val matched = withDirs
+      .withColumn("__matched", when(col("__ts").isNotNull, matchedCol))
       .filter(col("__side") === 1)
 
     val leftCols = left.columns.toSeq.map(c => col("__lrow").getField(c).as(c))

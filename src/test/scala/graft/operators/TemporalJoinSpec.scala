@@ -85,6 +85,37 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(got === naive)
   }
 
+  test("asOfJoin: forward direction takes the earliest row at-or-after") {
+    val got = TemporalJoin.asOfJoin(
+      trades, quotes, Seq("key"), "t_ts", "q_ts",
+      payload = Seq("q_id"), prefix = "q_", direction = "forward")
+      .select("t_id", "q_q_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(100L) === 1L, "ts=5 sees the ts=10 quote ahead")
+    assert(got(101L) === 2L, "exact-ts match visible forward too")
+    assert(got(102L) === 3L, "ts=25 sees ts=30")
+    assert(got(103L) === 4L, "b's quote at ts=15 is ahead of the ts=14 trade")
+    assert(got(104L) === -1L, "unseen key matches nothing")
+  }
+
+  test("asOfJoin: nearest picks the closer side, backward on ties") {
+    val right = Seq(
+      (1L, "a", 10L), (2L, "a", 20L)).toDF("r_id", "key", "r_ts")
+    val left = Seq(
+      (50L, "a", 11L),  // 1 back vs 9 fwd -> backward
+      (51L, "a", 19L),  // 9 back vs 1 fwd -> forward
+      (52L, "a", 15L),  // 5 vs 5 -> tie goes backward
+      (53L, "a", 2L),   // nothing behind -> forward
+      (54L, "a", 30L)   // nothing ahead -> backward
+    ).toDF("l_id", "key", "l_ts")
+    val got = TemporalJoin.asOfJoin(
+      left, right, Seq("key"), "l_ts", "r_ts",
+      payload = Seq("r_id"), direction = "nearest")
+      .select("l_id", "right_r_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(50L -> 1L, 51L -> 2L, 52L -> 1L, 53L -> 1L, 54L -> 2L))
+  }
+
   private def intervals = Seq(
     (1L, 0L, 10L),    // [0, 10)
     (2L, 10L, 30L),   // [10, 30) — spans multiple width-10 buckets
