@@ -719,6 +719,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
           round(col("rare_frac"), 6).as("rare_frac"))),
 
+    // mixture application: deterministic per-doc repetition factors from
+    // integer-permille targets — all keep decisions are integer
+    // arithmetic (a float boundary would be an engine-ulp coin flip)
+    "t18_apply_mixture" -> ((s, dir) =>
+      TextAnalysis.applyMixture(t(s, dir, "documents"), "lang", "text",
+          Map("en" -> 400, "de" -> 200), defaultPermille = 100)
+        .select("doc_id", "lang", "n_copies")),
+
     // corpus heavy hitters: top-20 tokens by frequency — hash agg for the
     // counts, bounded-heap top-k for the ranking (never a global sort of
     // the vocabulary)
@@ -1406,6 +1414,42 @@ object SparkEntry {
                                 / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6)
                      END AS weight
          FROM ps, tot""",
+    // integer reproduction of the keep rule: bucket·den < rem·buckets in
+    // HUGEINT, with the rolling-x31 fingerprint from the t09 oracle
+    "t18_apply_mixture" ->
+      """WITH tc AS (
+           SELECT doc_id, lang,
+                  len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS nt
+           FROM documents),
+         ps AS (SELECT lang, SUM(nt) AS n_tokens FROM tc GROUP BY lang),
+         tot AS (SELECT SUM(n_tokens) AS total FROM ps),
+         f AS (
+           SELECT doc_id,
+                  CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, length(norm)+1),
+                            i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+                        (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
+                       + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+                       - 9223372036854775808::HUGEINT AS BIGINT) AS fp
+           FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                 FROM documents)),
+         j AS (
+           SELECT d.doc_id, d.lang,
+                  ((f.fp % 1000000) + 1000000) % 1000000 AS bucket,
+                  CAST(CASE d.lang WHEN 'en' THEN 400 WHEN 'de' THEN 200 ELSE 100 END
+                       AS BIGINT) * tot.total AS wnum,
+                  1000 * ps.n_tokens AS wden
+           FROM documents d
+           JOIN ps USING (lang) CROSS JOIN tot JOIN f USING (doc_id)
+           WHERE ps.n_tokens > 0),
+         k AS (
+           SELECT doc_id, lang,
+                  CAST(wnum // wden
+                       + CASE WHEN CAST(bucket AS HUGEINT) * CAST(wden AS HUGEINT)
+                                   < CAST(wnum % wden AS HUGEINT) * 1000000::HUGEINT
+                              THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           FROM j)
+         SELECT doc_id, lang, n_copies FROM k WHERE n_copies >= 1""",
     "t16_heavy_hitters" ->
       """WITH toks AS (
            SELECT unnest(string_split(

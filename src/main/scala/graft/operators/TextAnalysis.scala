@@ -302,6 +302,58 @@ object TextAnalysis {
     }
   }
 
+  /** Apply a mixture-rebalancing plan as a deterministic per-document
+    * repetition factor: each document of a stratum with weight `w`
+    * (target share / actual share, as [[mixtureWeights]]) receives
+    * `n_copies = floor(w)` plus one more for the content-keyed bucket
+    * fraction `frac(w)` — downsampling strata with w < 1, upsampling
+    * (repeating) strata with w > 1. Documents with `n_copies = 0` are
+    * dropped; zero-token strata are dropped entirely (they have no
+    * share to rebalance).
+    *
+    * Targets are INTEGER permille and every keep decision is integer
+    * arithmetic (`bucket · den < rem · buckets`, 128-bit-safe via
+    * DECIMAL(38)): a float weight here would make the keep boundary an
+    * engine-specific ulp coin-flip, the exact failure mode the t15
+    * integer-counting rule exists for. Deterministic across runs,
+    * cluster layouts, and engines; content-keyed buckets mean duplicate
+    * texts stand or fall together. Scale shape: one token-count hash
+    * aggregate, then broadcast joins of the tiny per-stratum frames —
+    * the corpus never shuffles.
+    */
+  def applyMixture(
+      df: DataFrame, stratumCol: String, textCol: String,
+      targetsPermille: Map[String, Int], defaultPermille: Int,
+      buckets: Long = 1000000L): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require((targetsPermille.values ++ Seq(defaultPermille)).forall(_ >= 0),
+      "permille targets must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perStratum = df.groupBy(col(stratumCol)).agg(
+      sum(tokenCount(col(textCol)).cast("long")).as("__n_tokens"))
+    val total = perStratum.agg(sum("__n_tokens").as("__total_tokens"))
+    val targetDf = targetsPermille.toSeq.toDF(stratumCol, "__t_permille")
+    df.join(broadcast(perStratum), Seq(stratumCol))
+      .crossJoin(broadcast(total))
+      .join(broadcast(targetDf), Seq(stratumCol), "left")
+      .withColumn("__t_permille",
+        coalesce(col("__t_permille"), lit(defaultPermille)))
+      .filter(col("__n_tokens") > 0)
+      .withColumn("__wnum", col("__t_permille").cast("long") * col("__total_tokens"))
+      .withColumn("__wden", lit(1000L) * col("__n_tokens"))
+      .withColumn("__bucket", pmod(fingerprint(col(textCol)), lit(buckets)))
+      .withColumn("n_copies",
+        (expr("__wnum div __wden") +
+          when(col("__bucket").cast(dec) * col("__wden").cast(dec) <
+            (col("__wnum") % col("__wden")).cast(dec) * lit(buckets).cast(dec),
+            1L).otherwise(0L)).cast("long"))
+      .filter(col("n_copies") >= 1)
+      .drop("__n_tokens", "__total_tokens", "__t_permille",
+        "__wnum", "__wden", "__bucket")
+  }
+
   /** Build the eval-set gram Bloom filter: distributed `bloom_agg` over
     * the normalized word-`n`-gram hashes, then ONE driver-side collect of
     * the single constant-size sketch row (same sanction as the bounded

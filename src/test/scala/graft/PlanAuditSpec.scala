@@ -181,6 +181,37 @@ class PlanAuditSpec extends SparkTestBase {
       s"window not partitioned by the as-of key:\n$p")
   }
 
+  test("bloom screen probe is map-only: no join, no exchange, kernel call") {
+    // the sketch is a collected literal; the corpus-sized probe must be a
+    // pure scan+project (a join or shuffle here would mean the screen
+    // regressed to carrying the sketch as data)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val eval = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 3)
+    val p = graft.operators.TextAnalysis
+      .decontaminateBloom(docs, eval, "doc_id", "text", expectedGrams = 10000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"shuffle in the probe plan:\n$p")
+    assert(!p.contains("Join"), s"join in the probe plan:\n$p")
+    assert(p.contains("bloom_count_contained"), s"kernel probe missing:\n$p")
+  }
+
+  test("s07 centroids: one shuffle, partial+final hash aggregation") {
+    val p = plan("s07_label_centroids")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one keyed shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"aggregation not map-side combined:\n$p")
+  }
+
+  test("s08 knn: bounded-heap ranking and broadcast vote join — no window") {
+    val p = plan("s08_knn_classify")
+    assert(!p.contains("Window"), s"knn ranks via a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"missing bounded top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"neighbor list not broadcast back to labels:\n$p")
+  }
+
   test("j06: range join buckets to an equi-join — no nested-loop pair scan") {
     val p = plan("j06_range_join")
     assert(!p.contains("CartesianProduct"), s"cartesian in range-join plan:\n$p")

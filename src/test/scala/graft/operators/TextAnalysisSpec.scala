@@ -171,6 +171,50 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got("yy").isNullAt(2), "weight must be NULL, never Infinity")
   }
 
+  test("applyMixture: exact-weight strata get exact copy counts") {
+    // en: 3 docs x 10 tokens = 30; de: 1 doc x 10 = 10; total 40.
+    // en at 750 permille -> w = 0.75*40/30 = 1 exactly -> 1 copy each;
+    // de at 750 permille -> w = 0.75*40/10 = 3 exactly -> 3 copies
+    val ten = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, "en", ten), (2L, "en", ten + " "), (3L, "en", " " + ten),
+      (4L, "de", ten.toUpperCase)).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.applyMixture(docs, "lang", "text",
+        Map("en" -> 750, "de" -> 750), defaultPermille = 0)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+  }
+
+  test("applyMixture: fractional weights keep the bucket share, deterministically") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 400L).map(i =>
+      (i, "en", (1 to 10).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    // single stratum at 500 permille -> w = 0.5 -> ~half kept, one copy
+    val got = TextAnalysis.applyMixture(docs, "lang", "text",
+      Map("en" -> 500), defaultPermille = 0)
+    val kept = got.select("doc_id").as[Long].collect().toSet
+    assert(got.select("n_copies").as[Long].collect().forall(_ === 1L))
+    assert(kept.size > 120 && kept.size < 280, s"~50% expected, got ${kept.size}")
+    val again = TextAnalysis.applyMixture(docs, "lang", "text",
+      Map("en" -> 500), defaultPermille = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept, "keep decision must be deterministic")
+  }
+
+  test("applyMixture: zero-token strata and zero targets drop out") {
+    val docs = Seq(
+      (1L, "en", "one two three"),
+      (2L, "yy", null.asInstanceOf[String]),
+      (3L, "zz", "four five")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.applyMixture(docs, "lang", "text",
+        Map("en" -> 1000, "zz" -> 0), defaultPermille = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!got.contains(2L), "null-text stratum cannot be rebalanced")
+    assert(!got.contains(3L), "zero target drops the stratum")
+    assert(got.contains(1L))
+  }
+
   test("topTokens: exact top-k with (count DESC, token ASC) tie-break") {
     val docs = Seq(
       (1L, "apple apple apple banana banana cherry"),
