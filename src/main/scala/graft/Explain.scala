@@ -13,7 +13,9 @@ object Explain {
       else Seq("q02_projection", "q03_pushdown_filter", "q13_upsert_keep_last",
         "j01_broadcast_join", "j02_star_join_revenue", "q1_agg", "g01_rollup",
         "d03_minhash_pairs", "s01_ann_bruteforce", "s04_ann_ivf",
-        "s03_cosine_neardup", "t08_seq_pack")
+        "s03_cosine_neardup", "t08_seq_pack",
+        "j05_asof_join", "j06_range_join", "b01_bloom_decontaminate",
+        "s07_label_centroids", "s08_knn_classify", "t18_apply_mixture")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")

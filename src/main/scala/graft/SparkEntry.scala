@@ -304,6 +304,18 @@ object SparkEntry {
                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)""")
     }),
 
+    // semi-structured surface: JSON property extraction (schema-on-read
+    // from the events props column) + typed aggregation per event type
+    "f05_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+
     // as-of join: each click paired with the user's latest prior purchase
     // (union-merge formulation — ONE shuffle on user_id, no range blowup);
     // ties on (user_id, ts) broken by max purchase id, whole-row
@@ -1062,6 +1074,12 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    "f05_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
     // DuckDB's native ASOF JOIN is an independent implementation of the
     // same semantics — right side pre-deduped per (user_id, ts) by max
     // event id so both engines break exact-ts ties identically
