@@ -731,6 +731,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
           round(col("rare_frac"), 6).as("rare_frac"))),
 
+    // composed quality-filter pipeline: language ID + quality score +
+    // repetition screen in ONE map-only pass over the corpus — the
+    // standard pre-training keep/drop filter chain. All three signals are
+    // internally rounded to 6 places, so the threshold comparisons are
+    // engine-exact
+    "c01_quality_pipeline" -> ((s, dir) => {
+      val (dupB, _) = TextAnalysis.repetitionScores(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("pred_lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          dupB.as("dup_bigram_frac"))
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.9 &&
+          col("dup_bigram_frac") <= 0.05)
+    }),
+
     // mixture application: deterministic per-doc repetition factors from
     // integer-permille targets — all keep decisions are integer
     // arithmetic (a float boundary would be an engine-ulp coin flip)
@@ -917,6 +933,58 @@ object SparkEntry {
        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
   }
 
+  // shared oracle fragments: t01/t02/t12 are gated standalone AND stitched
+  // into the composed c01 pipeline oracle
+  private val t01LangSql =
+    """WITH toks AS (SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents)
+         SELECT doc_id, CASE WHEN CAST(substr(best, 1, 10) AS INT) > 0
+                             THEN substr(best, 11) ELSE 'und' END AS pred_lang
+         FROM (SELECT doc_id, greatest(
+            lpad(CAST(len(list_filter(w, x -> list_contains(['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'für', 'von'], x))) AS VARCHAR), 10, '0') || 'de',
+            lpad(CAST(len(list_filter(w, x -> list_contains(['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'], x))) AS VARCHAR), 10, '0') || 'en',
+            lpad(CAST(len(list_filter(w, x -> list_contains(['el', 'la', 'los', 'y', 'es', 'un', 'una', 'para', 'en', 'que'], x))) AS VARCHAR), 10, '0') || 'es',
+            lpad(CAST(len(list_filter(w, x -> list_contains(['le', 'la', 'les', 'et', 'est', 'un', 'une', 'pour', 'dans', 'que'], x))) AS VARCHAR), 10, '0') || 'fr',
+            lpad(CAST(len(list_filter(w, x -> list_contains(['的', '是', '不', '了', '在', '有', '我', '他', '这', '就'], x))) AS VARCHAR), 10, '0') || 'zh') AS best
+               FROM toks)"""
+
+  private val t02QualitySql =
+    """SELECT doc_id, ROUND(
+           0.3 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+         + 0.4 * (CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                            / length(text)
+                       ELSE 0.0 END)
+         + 0.3 * (CASE WHEN length(text) > 0 AND
+                            CAST(length(text) AS DOUBLE) /
+                            len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                            BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.0 END), 6) AS quality
+         FROM documents"""
+
+  private val t12RepetitionSql =
+    """WITH b AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+                  list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+           FROM documents),
+         g AS (
+           SELECT doc_id, lines,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                              i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+                       ELSE [] END AS bg
+           FROM b)
+         SELECT doc_id,
+                CASE WHEN len(bg) > 0
+                     THEN ROUND(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+                     ELSE 0.0 END AS dup_bigram_frac,
+                CASE WHEN len(lines) > 0
+                     THEN ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+                     ELSE 0.0 END AS dup_line_frac
+         FROM g"""
+
   /** DuckDB-equivalent SQL per query (omitted → driver does rows-only
     * check: the MinHash/SimHash/LSH/mapPartitions operators whose exact
     * output depends on engine-internal hashes).
@@ -940,19 +1008,7 @@ object SparkEntry {
                      - 9223372036854775808::HUGEINT AS BIGINT) AS fingerprint
          FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
                FROM documents)""",
-    "t01_lang_id" ->
-      """WITH toks AS (SELECT doc_id,
-                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-              FROM documents)
-         SELECT doc_id, CASE WHEN CAST(substr(best, 1, 10) AS INT) > 0
-                             THEN substr(best, 11) ELSE 'und' END AS pred_lang
-         FROM (SELECT doc_id, greatest(
-            lpad(CAST(len(list_filter(w, x -> list_contains(['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'für', 'von'], x))) AS VARCHAR), 10, '0') || 'de',
-            lpad(CAST(len(list_filter(w, x -> list_contains(['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for'], x))) AS VARCHAR), 10, '0') || 'en',
-            lpad(CAST(len(list_filter(w, x -> list_contains(['el', 'la', 'los', 'y', 'es', 'un', 'una', 'para', 'en', 'que'], x))) AS VARCHAR), 10, '0') || 'es',
-            lpad(CAST(len(list_filter(w, x -> list_contains(['le', 'la', 'les', 'et', 'est', 'un', 'une', 'pour', 'dans', 'que'], x))) AS VARCHAR), 10, '0') || 'fr',
-            lpad(CAST(len(list_filter(w, x -> list_contains(['的', '是', '不', '了', '在', '有', '我', '他', '这', '就'], x))) AS VARCHAR), 10, '0') || 'zh') AS best
-               FROM toks)""",
+    "t01_lang_id" -> t01LangSql,
     "t07_tfidf" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -1273,19 +1329,19 @@ object SparkEntry {
          SELECT query_id, label, votes FROM votes
          QUALIFY row_number() OVER (PARTITION BY query_id
                                     ORDER BY votes DESC, label ASC) = 1""",
-    "t02_quality_score" ->
-      """SELECT doc_id, ROUND(
-           0.3 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
-         + 0.4 * (CASE WHEN length(text) > 0
-                       THEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
-                            / length(text)
-                       ELSE 0.0 END)
-         + 0.3 * (CASE WHEN length(text) > 0 AND
-                            CAST(length(text) AS DOUBLE) /
-                            len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
-                            BETWEEN 2.0 AND 12.0
-                       THEN 1.0 ELSE 0.0 END), 6) AS quality
-         FROM documents""",
+    "t02_quality_score" -> t02QualitySql,
+    // composed pre-training keep/drop chain: t01 + t02 + t12 signals
+    // joined and thresholded — each fragment is the SAME SQL that gates
+    // the standalone query, so the composition can only disagree if the
+    // components do
+    "c01_quality_pipeline" ->
+      s"""WITH lang AS ($t01LangSql),
+         qual AS ($t02QualitySql),
+         rep AS ($t12RepetitionSql)
+         SELECT l.doc_id, pred_lang, quality, dup_bigram_frac
+         FROM lang l JOIN qual q ON l.doc_id = q.doc_id
+                     JOIN rep r ON l.doc_id = r.doc_id
+         WHERE pred_lang = 'en' AND quality >= 0.9 AND dup_bigram_frac <= 0.05""",
     "t03_token_count" ->
       """SELECT doc_id,
                 len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
@@ -1390,27 +1446,7 @@ object SparkEntry {
                  FROM documents))
          SELECT doc_id, CAST(((fp % 100) + 100) % 100 AS BIGINT) AS sample_bucket
          FROM f WHERE ((fp % 100) + 100) % 100 < 20""",
-    "t12_repetition" ->
-      """WITH b AS (
-           SELECT doc_id,
-                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
-                  list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
-           FROM documents),
-         g AS (
-           SELECT doc_id, lines,
-                  CASE WHEN len(toks) >= 2
-                       THEN list_transform(range(1, len(toks)),
-                              i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
-                       ELSE [] END AS bg
-           FROM b)
-         SELECT doc_id,
-                CASE WHEN len(bg) > 0
-                     THEN ROUND(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
-                     ELSE 0.0 END AS dup_bigram_frac,
-                CASE WHEN len(lines) > 0
-                     THEN ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
-                     ELSE 0.0 END AS dup_line_frac
-         FROM g""",
+    "t12_repetition" -> t12RepetitionSql,
     "t14_mixture_weights" ->
       """WITH tc AS (
            SELECT lang,
