@@ -147,6 +147,27 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(got === Seq(1L))
   }
 
+  test("rangeJoin: equals the naive inequality join on random data") {
+    val rnd = new scala.util.Random(13)
+    val points = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("p_id", "ts")
+    val ivs = (1 to 200).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(50).toLong)
+    }.toDF("i_id", "lo", "hi")
+    val naive = points.crossJoin(ivs)
+      .where(col("ts") >= col("lo") && col("ts") < col("hi"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    // a width far from the interval scale stresses boundary handling
+    Seq(7L, 64L, 1024L).foreach { width =>
+      val got = TemporalJoin.rangeJoin(points, ivs, "ts", "lo", "hi",
+          bucketWidth = width)
+        .select("p_id", "i_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"width=$width produced dup pairs")
+      assert(got.toSet === naive, s"width=$width diverged from the naive join")
+    }
+  }
+
   test("rangeJoin: over-cap intervals are dropped, not exploded") {
     val points = Seq((1L, 5L)).toDF("p_id", "ts")
     val ivs = Seq((1L, 0L, 10L), (2L, 0L, 1000000L)).toDF("i_id", "lo", "hi")

@@ -202,6 +202,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again === kept, "keep decision must be deterministic")
   }
 
+  test("applyMixture: rebalanced token shares land near the targets") {
+    val rnd = new scala.util.Random(23)
+    def doc(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(99)}").mkString(" ")
+    // en over-represented 4:1; rebalance to 50/50
+    val docs = ((1L to 400L).map(i => (i, "en", doc(10))) ++
+      (401L to 500L).map(i => (i, "de", doc(10)))).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.applyMixture(docs, "lang", "text",
+        Map("en" -> 500, "de" -> 500), defaultPermille = 0)
+      .groupBy("lang").agg(sum(col("n_copies") * 10).as("tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = got.values.sum.toDouble
+    // en w = 0.625 (keep ~62%), de w = 2.5 (2 or 3 copies) -> both
+    // strata's post-mixture token shares approach the 50/50 target
+    assert(math.abs(got("en") / total - 0.5) < 0.05,
+      s"en share ${got("en") / total} should approach 0.5")
+    assert(math.abs(got("de") / total - 0.5) < 0.05,
+      s"de share ${got("de") / total} should approach 0.5")
+  }
+
   test("applyMixture: zero-token strata and zero targets drop out") {
     val docs = Seq(
       (1L, "en", "one two three"),
