@@ -258,6 +258,33 @@ object SparkEntry {
         expr("java_hash_code(c_name)").as("name_hash"))
     }),
 
+    // CQL sparse-row merge-patch (patchNullsFromTarget): null source
+    // values are "unset" and keep the target's value; target rows absent
+    // from the source survive — gated against a full-outer COALESCE
+    "q23_patch_nulls" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val src = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 4 =!= 0, col("o_totalprice")))
+      val tgt = orders.filter(col("o_orderkey") % 3 === 0)
+      MigrationPlanner.patchMerge(src, tgt, Seq("o_orderkey"))
+    }),
+
+    // salted skew join: result-identical to the plain equi-join (gated
+    // so), shuffle layout spread over saltFactor reducers for hot keys
+    "j07_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(o, c, Seq("o_custkey"), saltFactor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+    }),
+
     // joins/aggregation beyond migrator parity (engine completeness)
     "j01_broadcast_join" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1130,6 +1157,21 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    "q23_patch_nulls" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         src AS (SELECT o_orderkey, o_orderstatus,
+                        CASE WHEN o_orderkey % 4 <> 0 THEN o_totalprice END AS o_totalprice
+                 FROM o WHERE o_orderkey % 2 = 0),
+         tgt AS (SELECT * FROM o WHERE o_orderkey % 3 = 0)
+         SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+                COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+         FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey""",
+    "j07_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "f05_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
                 CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -201,15 +201,7 @@ object MigrationPlanner {
         // absent from the source survive the upsert)
         (t.patchNullsFromTarget, target) match {
           case (true, Some(tgt)) if t.pkColumns.nonEmpty =>
-            val pk = t.pkColumns
-            val nonPk = deduped.columns.filterNot(pk.contains).toSeq
-            val src = deduped.alias("__s")
-            val tg = tgt.select(deduped.columns.map(col).toIndexedSeq: _*).alias("__t")
-            src.join(tg, pk.map(k => col(s"__s.$k") === col(s"__t.$k")).reduce(_ && _),
-                "full_outer")
-              .select(
-                pk.map(k => coalesce(col(s"__s.$k"), col(s"__t.$k")).as(k)) ++
-                nonPk.map(c => coalesce(col(s"__s.$c"), col(s"__t.$c")).as(c)): _*)
+            patchMerge(deduped, tgt, t.pkColumns)
           case _ => deduped
         }
       case InsertIfNotExists =>
@@ -240,6 +232,24 @@ object MigrationPlanner {
     * one pre-combined row per (partition × PK), which is the difference
     * between sorting 100 TB and aggregating it.
     */
+  /** CQL sparse-row merge-patch: full-outer join on the PK, source value
+    * wins unless null ("unset" keeps the target's value; target rows
+    * absent from the source survive). Public because the driver gate
+    * (`q23_patch_nulls`) exercises this exact implementation, not a
+    * re-statement of it.
+    */
+  private[graft] def patchMerge(
+      src0: DataFrame, tgt0: DataFrame, pk: Seq[String]): DataFrame = {
+    val nonPk = src0.columns.filterNot(pk.contains).toSeq
+    val src = src0.alias("__s")
+    val tg = tgt0.select(src0.columns.map(col).toIndexedSeq: _*).alias("__t")
+    src.join(tg, pk.map(k => col(s"__s.$k") === col(s"__t.$k")).reduce(_ && _),
+        "full_outer")
+      .select(
+        pk.map(k => coalesce(col(s"__s.$k"), col(s"__t.$k")).as(k)) ++
+        nonPk.map(c => coalesce(col(s"__s.$c"), col(s"__t.$c")).as(c)): _*)
+  }
+
   private def dfDeduped(df: DataFrame, t: TableMigrationDef): DataFrame =
     (t.orderingColumns, t.pkColumns) match {
       case (ord, pk) if ord.nonEmpty && pk.nonEmpty =>
