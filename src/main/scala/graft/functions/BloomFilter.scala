@@ -28,12 +28,22 @@ object BloomFilterKernel {
   /** Mixing constant for deriving the second hash (golden-ratio odd). */
   private val Phi = 0x9E3779B97F4A7C15L
 
+  /** Largest bit count an `Array[Byte]`-backed filter can hold with the
+    * count itself still an Int (≈ 2^31 bits = 256 MB). Asking for more
+    * clamps here — the false-positive rate degrades (never the no-false-
+    * negative guarantee); eval sets needing more bits should shard into
+    * multiple filters.
+    */
+  val MaxBits: Int = 2147483640 // Int.MaxValue floored to a multiple of 8
+
   def optimalBits(expectedItems: Long, fpp: Double): Int = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
     val ln2sq = math.log(2) * math.log(2)
     val bits = math.ceil(-expectedItems * math.log(fpp) / ln2sq).toLong
-    // byte-align, floor 64 bits, cap at 1 GiB of bits
-    math.min(math.max((bits + 7) / 8 * 8, 64), 1L << 33).toInt
+    // byte-align, floor 64 bits; clamp BEFORE narrowing — a Long→Int cast
+    // of a 10^9-item filter size would wrap to a tiny/negative count and
+    // silently flag everything
+    math.min(math.max((bits + 7) / 8 * 8, 64L), MaxBits.toLong).toInt
   }
 
   def optimalHashes(numBits: Long, expectedItems: Long): Int =

@@ -83,21 +83,29 @@ object TemporalJoin {
     val payloadType = right.select(payloadStruct).schema.head.dataType
     val leftRowType = left.select(struct(left.columns.map(col).toIndexedSeq: _*))
       .schema.head.dataType
+    // the tie-break keeps its NATIVE type: casting to double would
+    // collapse 64-bit ids above 2^53 and make the "greatest wins"
+    // contract input-order-dependent for snowflake-style ids
+    val tieType = tieBreak.map(tb => right.schema(tb).dataType)
+      .getOrElse(org.apache.spark.sql.types.IntegerType)
 
     val lPrep = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(1).as("__side"),
-        lit(null).cast("double").as("__tie"),
+        lit(null).cast(tieType).as("__tie"),
         struct(left.columns.map(col).toIndexedSeq: _*).as("__lrow"),
         lit(null).cast(payloadType).as("__payload")): _*)
     val rPrep = right
-      .filter(col(rightTs).isNotNull)
+      // null timestamps never match; neither do null equi-keys (the
+      // window's null partition would otherwise pair them, diverging
+      // from join semantics where NULL = NULL is not a match)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
       .select(
         keys.map(col) ++ Seq(
           col(rightTs).as("__ts"),
           lit(0).as("__side"),
-          tieBreak.map(col(_).cast("double")).getOrElse(lit(0d)).as("__tie"),
+          tieBreak.map(col(_)).getOrElse(lit(0)).cast(tieType).as("__tie"),
           lit(null).cast(leftRowType).as("__lrow"),
           payloadStruct.as("__payload")): _*)
 
@@ -105,11 +113,13 @@ object TemporalJoin {
     // be visible to it (<=/>= semantics) and after it for strict </>;
     // among right ts-duplicates ascending __tie puts the greatest
     // tie-break last, which is exactly the row last(ignoreNulls) picks
-    // up. The backward window iterates ts ascending, the forward one
-    // descending — same partitioning, so they share one exchange.
+    // up — with NULL tie-breaks FIRST, so a row without a tie-break can
+    // only win when no tie-broken row exists (max_by-style null
+    // handling). The backward window iterates ts ascending, the forward
+    // one descending — same partitioning, so they share one exchange.
     val sideOrder = if (allowExactMatch) col("__side").asc else col("__side").desc
     def w(tsOrder: Column) = Window.partitionBy(keys.map(col): _*)
-      .orderBy(tsOrder, sideOrder, col("__tie").asc_nulls_last)
+      .orderBy(tsOrder, sideOrder, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBack = w(col("__ts").asc_nulls_first)
     // desc puts nulls LAST by default: null-ts left rows would "see"
@@ -152,9 +162,12 @@ object TemporalJoin {
   /**
    * Inner point-in-interval join: pairs every `points` row with every
    * `intervals` row (sharing `extraKeys`, if given) whose half-open
-   * numeric window `[start, end)` contains `pointTs`. All three bound
-   * columns must be on the same numeric axis (epoch micros, seconds —
-   * anything totally ordered and subtractable).
+   * INTEGER window `[start, end)` contains `pointTs`. All three bound
+   * columns must be integral (epoch micros/nanos, sequence numbers):
+   * bucketing runs in exact 64-bit arithmetic — a double-division
+   * formulation would misassign buckets above 2^53 (i.e. every
+   * nanosecond epoch) and silently drop boundary pairs, and fractional
+   * axes would under-cover an interval's final bucket.
    *
    * `bucketWidth` trades shuffle fan-out for residual-filter work: an
    * interval is replicated once per covered bucket, so pick a width near
@@ -162,7 +175,9 @@ object TemporalJoin {
    * Intervals spanning more than `maxBucketsPerInterval` buckets are
    * dropped, not exploded — the same default-on skew-guard contract as
    * the LSH `capBuckets` family — and the drop count is published via
-   * `observe` as `dropped_intervals` so a production run can alert on
+   * `observe` as `dropped_intervals` under `metricName` (override it
+   * when composing several rangeJoins in one query: Spark rejects two
+   * observe nodes with the same name) so a production run can alert on
    * loss rather than silently eat a 10^6-bucket explosion. Degenerate
    * intervals (`end <= start`) contain no points and are likewise
    * dropped (uncounted).
@@ -171,21 +186,35 @@ object TemporalJoin {
       points: DataFrame, intervals: DataFrame,
       pointTs: String, start: String, end: String,
       bucketWidth: Long, extraKeys: Seq[String] = Nil,
-      maxBucketsPerInterval: Int = 1024): DataFrame = {
+      maxBucketsPerInterval: Int = 1024,
+      metricName: String = "range_join_guard"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val bucketOf: Column => Column = c => floor(c / lit(bucketWidth))
-    val span = bucketOf(col(end) - 1) - bucketOf(col(start))
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+    Seq(points.schema(pointTs), intervals.schema(start), intervals.schema(end))
+      .foreach(f => require(integral(f.dataType),
+        s"rangeJoin needs an integral time axis, got ${f.name}: ${f.dataType.sql}"))
+    // exact floor division: subtract the (non-negative) pmod remainder,
+    // then `div` (integral divide) — no doubles anywhere on the bucket
+    // path; `/` would round through double and misassign past 2^53
+    def bucketOf(sqlVal: String): Column =
+      expr(s"($sqlVal - pmod($sqlVal, ${bucketWidth}L)) div ${bucketWidth}L")
+    def bucketOfCol(name: String): Column =
+      bucketOf(s"CAST(`$name` AS BIGINT)")
+    val bucketEndM1 = bucketOf(s"(CAST(`$end` AS BIGINT) - 1)")
+    val span = bucketEndM1 - bucketOfCol(start)
     val guarded = intervals
       .filter(col(end) > col(start))
       .withColumn("__span", span)
-      .observe("range_join_guard",
+      .observe(metricName,
         sum(when(col("__span") >= maxBucketsPerInterval, 1L).otherwise(0L))
           .as("dropped_intervals"))
       .filter(col("__span") < maxBucketsPerInterval)
       .withColumn("__bucket",
-        explode(sequence(bucketOf(col(start)), bucketOf(col(end) - 1))))
+        explode(sequence(bucketOfCol(start), bucketEndM1)))
       .drop("__span")
-    val bucketed = points.withColumn("__bucket", bucketOf(col(pointTs)))
+    val bucketed = points.withColumn("__bucket", bucketOfCol(pointTs))
     bucketed.join(guarded, Seq("__bucket") ++ extraKeys)
       .where(col(pointTs) >= col(start) && col(pointTs) < col(end))
       .drop("__bucket")

@@ -309,7 +309,8 @@ object TextAnalysis {
     * fraction `frac(w)` — downsampling strata with w < 1, upsampling
     * (repeating) strata with w > 1. Documents with `n_copies = 0` are
     * dropped; zero-token strata are dropped entirely (they have no
-    * share to rebalance).
+    * share to rebalance). A NULL stratum value is treated as its own
+    * stratum (with `defaultPermille`), not silently discarded.
     *
     * Targets are INTEGER permille and every keep decision is integer
     * arithmetic (`bucket · den < rem · buckets`, 128-bit-safe via
@@ -331,13 +332,19 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val perStratum = df.groupBy(col(stratumCol)).agg(
+    // a NULL stratum is a real stratum (dirty metadata must not silently
+    // shrink the corpus): group/join on a sentinel-coalesced string key
+    // so null-stratum docs flow through with the default target instead
+    // of being dropped by the null-key join
+    val skey = coalesce(col(stratumCol).cast("string"), lit(" __null__"))
+    val perStratum = df.groupBy(skey.as("__stratum")).agg(
       sum(tokenCount(col(textCol)).cast("long")).as("__n_tokens"))
     val total = perStratum.agg(sum("__n_tokens").as("__total_tokens"))
-    val targetDf = targetsPermille.toSeq.toDF(stratumCol, "__t_permille")
-    df.join(broadcast(perStratum), Seq(stratumCol))
+    val targetDf = targetsPermille.toSeq.toDF("__stratum", "__t_permille")
+    df.withColumn("__stratum", skey)
+      .join(broadcast(perStratum), Seq("__stratum"))
       .crossJoin(broadcast(total))
-      .join(broadcast(targetDf), Seq(stratumCol), "left")
+      .join(broadcast(targetDf), Seq("__stratum"), "left")
       .withColumn("__t_permille",
         coalesce(col("__t_permille"), lit(defaultPermille)))
       .filter(col("__n_tokens") > 0)
@@ -350,7 +357,7 @@ object TextAnalysis {
             (col("__wnum") % col("__wden")).cast(dec) * lit(buckets).cast(dec),
             1L).otherwise(0L)).cast("long"))
       .filter(col("n_copies") >= 1)
-      .drop("__n_tokens", "__total_tokens", "__t_permille",
+      .drop("__stratum", "__n_tokens", "__total_tokens", "__t_permille",
         "__wnum", "__wden", "__bucket")
   }
 

@@ -85,6 +85,36 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(got === naive)
   }
 
+  test("asOfJoin: 64-bit tie-breaks above 2^53 stay exact; null ties lose") {
+    // ids differing only in the low bits a double would collapse
+    val big = (1L << 60)
+    val right = Seq(
+      (big + 1L, "a", 10L, "low"),
+      (big + 2L, "a", 10L, "high"),
+      (-1L, "a", 10L, "junk")).toDF("r_id", "key", "r_ts", "tag")
+    val nullTied = right.withColumn("r_id",
+      when(col("tag") === "junk", lit(null).cast("long")).otherwise(col("r_id")))
+    val left = Seq((7L, "a", 11L)).toDF("l_id", "key", "l_ts")
+    val row = TemporalJoin.asOfJoin(
+      left, nullTied, Seq("key"), "l_ts", "r_ts",
+      payload = Seq("tag"), tieBreak = Some("r_id")).collect()(0)
+    assert(row.getAs[String]("right_tag") === "high",
+      "max 64-bit id must win exactly; a null tie-break must never beat it")
+  }
+
+  test("asOfJoin: null equi-keys never match (join semantics, not window)") {
+    val right = Seq((1L, null.asInstanceOf[String], 10L))
+      .toDF("r_id", "key", "r_ts")
+    val left = Seq((7L, null.asInstanceOf[String], 20L), (8L, "a", 20L))
+      .toDF("l_id", "key", "l_ts")
+    val got = TemporalJoin.asOfJoin(
+      left, right, Seq("key"), "l_ts", "r_ts", payload = Seq("r_id"))
+      .select("l_id", "right_r_id")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got === Map(7L -> true, 8L -> true),
+      "NULL = NULL is not a match, same as the equi-join and ASOF oracles")
+  }
+
   test("asOfJoin: forward direction takes the earliest row at-or-after") {
     val got = TemporalJoin.asOfJoin(
       trades, quotes, Seq("key"), "t_ts", "q_ts",
@@ -175,5 +205,35 @@ class TemporalJoinSpec extends SparkTestBase {
         bucketWidth = 10L, maxBucketsPerInterval = 100)
       .select("i_id").as[Long].collect().toSeq
     assert(got === Seq(1L), "the 100k-bucket interval must be guarded away")
+  }
+
+  test("rangeJoin: exact at nanosecond-epoch magnitudes (no double rounding)") {
+    // values above 2^53 where double-divided buckets go wrong near
+    // boundaries; width = 1e9 ns
+    val base = 1700000000000000000L
+    val w = 1000000000L
+    val points = Seq((1L, base + w - 1), (2L, base + w), (3L, base + 2 * w - 1))
+      .toDF("p_id", "ts")
+    val ivs = Seq((10L, base, base + w), (11L, base + w, base + 2 * w))
+      .toDF("i_id", "lo", "hi")
+    val got = TemporalJoin.rangeJoin(points, ivs, "ts", "lo", "hi", bucketWidth = w)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 10L), (2L, 11L), (3L, 11L)))
+  }
+
+  test("rangeJoin: rejects a non-integral axis; metricName allows composition") {
+    val p = Seq((1L, 5.0)).toDF("p_id", "ts")
+    val iv = Seq((1L, 0L, 10L)).toDF("i_id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.rangeJoin(p, iv, "ts", "lo", "hi", bucketWidth = 10L)
+    }
+    assert(e.getMessage.contains("integral"))
+    // two guards in one query need distinct observe names
+    val pts = Seq((1L, 5L)).toDF("p_id", "ts")
+    val a = TemporalJoin.rangeJoin(pts, iv, "ts", "lo", "hi", 10L,
+      metricName = "rj_a").select("p_id", "i_id")
+    val b = TemporalJoin.rangeJoin(pts, iv, "ts", "lo", "hi", 10L,
+      metricName = "rj_b").select("p_id", "i_id")
+    assert(a.unionByName(b).count() === 2L)
   }
 }

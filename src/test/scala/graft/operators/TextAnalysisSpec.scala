@@ -234,6 +234,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.contains(1L))
   }
 
+  test("applyMixture: a NULL stratum is kept as its own stratum, not dropped") {
+    val docs = Seq(
+      (1L, "en", "one two three"),
+      (2L, null.asInstanceOf[String], "four five six"),
+      (3L, null.asInstanceOf[String], "seven eight nine")).toDF("doc_id", "lang", "text")
+    // default target 500‰ covers the null stratum; its docs must flow
+    // through (the old null-key equi-join silently discarded them)
+    val got = TextAnalysis.applyMixture(docs, "lang", "text",
+        Map("en" -> 500), defaultPermille = 500)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.contains(1L))
+    assert((got - 1L).nonEmpty, "null-stratum docs must not vanish")
+    // and a zero default drops the null stratum deliberately, not by accident
+    val dropped = TextAnalysis.applyMixture(docs, "lang", "text",
+        Map("en" -> 1000), defaultPermille = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped === Set(1L))
+  }
+
   test("topTokens: exact top-k with (count DESC, token ASC) tie-break") {
     val docs = Seq(
       (1L, "apple apple apple banana banana cherry"),
