@@ -599,6 +599,18 @@ object SparkEntry {
         all.select("doc_id"), "doc_id")
     }),
 
+    "d07_span_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // near-dup corpus: each doc's copy drops the first word and gains a
+      // unique tail token, so the copy's leading span duplicates the
+      // original (trimmed) while its tail grams stay unique (kept)
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(regexp_replace(col("text"), "^\\S+\\s", ""),
+          lit(" u"), col("doc_id").cast("string")).as("text"))
+      Dedup.removeDuplicatedSpans(docs.unionByName(mangled), "doc_id", "text",
+        n = 8)
+    }),
+
     // -------------------------------------------- LLM pipeline: similarity
     "s01_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1461,6 +1473,51 @@ object SparkEntry {
            SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
          SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
          FROM reach GROUP BY id""",
+    // span dedup oracle works on the gram STRINGS themselves — fully
+    // independent of the engine's 64-bit gram hashing, so a hash-collision
+    // recall/precision bug would surface here as a mismatch
+    "d07_span_dedup" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  regexp_replace(text, '^\S+\s', '') || ' u' || CAST(doc_id AS VARCHAR)
+           FROM documents),
+         toks AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+           FROM docs2),
+         grams0 AS (
+           SELECT doc_id, UNNEST(
+             CASE WHEN len(ts) >= 8
+                  THEN list_transform(range(1, len(ts) - 6),
+                         i -> struct_pack(pos := i - 1,
+                                g := array_to_string(list_slice(ts, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')))
+                  ELSE [struct_pack(pos := 0, g := array_to_string(ts, ' '))]
+             END) AS u
+           FROM toks),
+         grams AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM grams0),
+         occ AS (
+           SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY g) AS cnt
+           FROM grams),
+         cov0 AS (
+           SELECT doc_id, UNNEST(range(pos, pos + 8)) AS cov
+           FROM occ WHERE cnt >= 2 AND rn > 1),
+         covered AS (SELECT DISTINCT doc_id, cov FROM cov0),
+         tokpos0 AS (
+           SELECT doc_id, len(ts) AS n_tokens,
+                  UNNEST(list_transform(range(1, len(ts) + 1),
+                    i -> struct_pack(p := i - 1, tok := ts[CAST(i AS INT)]))) AS u
+           FROM toks),
+         tokpos AS (SELECT doc_id, n_tokens, u.p AS p, u.tok AS tok FROM tokpos0)
+         SELECT tp.doc_id,
+                coalesce(string_agg(CASE WHEN c.cov IS NULL THEN tp.tok END, ' ' ORDER BY tp.p), '') AS text_kept,
+                CAST(any_value(tp.n_tokens) AS INT) AS n_tokens,
+                CAST(count(c.cov) AS INT) AS n_removed
+         FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.cov
+         GROUP BY tp.doc_id""",
     "t08_seq_pack" ->
       """WITH base AS (
            SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS pack_group,

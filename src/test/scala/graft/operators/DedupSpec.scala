@@ -201,4 +201,56 @@ class DedupSpec extends SparkTestBase {
     // every band bucket holding the 30 clones exceeded the cap of 10
     assert(dropped.exists(_ >= 1L), s"expected dropped_buckets >= 1, got $dropped")
   }
+
+  test("removeDuplicatedSpans: shared span trimmed everywhere but its first occurrence") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unique one tail"),
+      (2L, "prefix two alpha beta gamma delta other words"),
+      (3L, "prefix three alpha beta gamma delta closing words"),
+      (4L, "nothing shared with anything here at all")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // the 4-gram "alpha beta gamma delta" occurs in docs 1,2,3; doc 1 pos 0
+    // is canonical and keeps it, docs 2 and 3 lose exactly those 4 tokens
+    assert(out(1L) === (("alpha beta gamma delta unique one tail", 7, 0)))
+    assert(out(2L) === (("prefix two other words", 8, 4)))
+    assert(out(3L) === (("prefix three closing words", 8, 4)))
+    assert(out(4L)._3 === 0)
+  }
+
+  test("removeDuplicatedSpans: overlapping duplicated grams cover their union") {
+    // docs 1 and 2 share a 5-word run => two overlapping 4-grams in doc 2;
+    // covered positions must union, not double-remove or miss the overlap
+    val corpus = Seq(
+      (1L, "a b c d e one"),
+      (2L, "x a b c d e y")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b c d e one", "canonical occurrences stay")
+    assert(out(2L) === "x y", "both overlapping grams' positions removed once")
+  }
+
+  test("removeDuplicatedSpans: within-doc repetition counts toward minCount") {
+    val corpus = Seq(
+      (1L, "p q r s middle p q r s end"),
+      (2L, "totally distinct words everywhere in this row")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(3)))).toMap
+    // "p q r s" occurs twice inside doc 1: pos 0 is canonical, pos 5 removed
+    assert(out(1L) === (("p q r s middle end", 4)))
+    assert(out(2L)._2 === 0)
+  }
+
+  test("removeDuplicatedSpans: short exact-dup docs dedup as whole-text grams") {
+    val corpus = Seq(
+      (1L, "tiny doc"),
+      (2L, "tiny doc"),
+      (3L, "other text")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "tiny doc", "first occurrence is canonical")
+    assert(out(2L) === "", "second copy fully covered")
+    assert(out(3L) === "other text")
+  }
 }
