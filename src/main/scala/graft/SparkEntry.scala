@@ -3,7 +3,7 @@ package graft
 import graft.expr.MvelTranslator
 import graft.functions.GraftFunctions
 import graft.model._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
 import graft.streaming.StreamingMigration
 import graft.schema.Reconciler
@@ -396,6 +396,14 @@ object SparkEntry {
 
     // lag/lead + running total (DECIMAL-routed so window accumulation
     // strategy differences can't perturb the double)
+    "z01_zorder_layout" -> ((s, dir) => {
+      // write-clustering key over (customer, order) — the layout a
+      // clustered parquet write sorts by so file min/max stats prune on
+      // both dimensions; the gate checks the exact interleaved keys
+      Layout.zorderKey(t(s, dir, "orders"), "o_custkey", "o_orderkey",
+        bits = 10).select("o_orderkey", "zkey")
+    }),
+
     "w02_lag_lead" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -1239,6 +1247,22 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate ASC, o_orderkey ASC) AS order_seq
          FROM orders""",
+    // reproduces the exact integer min-max scaling + Morton interleave:
+    // all-BIGINT arithmetic on both engines (DuckDB // floors, Spark div
+    // truncates — identical on the non-negative scaled domain)
+    "z01_zorder_layout" ->
+      """WITH mm AS (SELECT min(o_custkey) AS la, max(o_custkey) AS ha,
+                            min(o_orderkey) AS lb, max(o_orderkey) AS hb
+                     FROM orders),
+         s AS (SELECT o_orderkey,
+                      ((o_custkey - la) * 1023) // (ha - la) AS sa,
+                      ((o_orderkey - lb) * 1023) // (hb - lb) AS sb
+               FROM orders, mm)
+         SELECT o_orderkey,
+                CAST(list_sum(list_transform(range(0, 10), j ->
+                  (((sa >> j) & 1) << (2 * j)) + (((sb >> j) & 1) << (2 * j + 1))))
+                  AS BIGINT) AS zkey
+         FROM s""",
     "e01_event_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                 COUNT(*) AS n_events,

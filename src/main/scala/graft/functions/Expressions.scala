@@ -114,6 +114,24 @@ object Mix64 {
   * Mismatched dimensions yield null (ADVICE r1: a truncated dot product
   * would be a silent-wrong cosine).
   */
+/** Morton/Z-order bit interleave of two long coordinates (low `bits` bits
+  * each) — the layout key for multi-dimensional write clustering. Codegen'd
+  * static call, no UDF boxing on the write path.
+  */
+case class InterleaveBits(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    HashKernels.interleaveBits(l.asInstanceOf[Long], r.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.interleaveBits($a, $b, $bits)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterleaveBits =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "interleave_bits"
+}
+
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -176,6 +194,9 @@ object GraftFunctions {
     Mix64(Bridge.expression(c), seed))
   def dot_product(a: Column, b: Column): Column = Bridge.column(
     DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def interleave_bits(a: Column, b: Column, bits: Int): Column = Bridge.column(
+    InterleaveBits(Bridge.expression(a.cast("long")),
+      Bridge.expression(b.cast("long")), bits))
   def shingle_hashes(c: Column, k: Int, word: Boolean = false,
       distinct: Boolean = true): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))

@@ -175,4 +175,21 @@ object HashKernels {
     }
     inter.toDouble / (n + m - inter)
   }
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative scaled coordinates: bit j of `a` lands at output bit
+    * 2j, bit j of `b` at 2j+1. With bits <= 31 the result stays well
+    * under 2^63 — a total order whose prefix ranges approximate 2-D
+    * boxes, the standard multi-column data-layout key.
+    */
+  def interleaveBits(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var j = 0
+    while (j < bits) {
+      z |= ((a >> j) & 1L) << (2 * j)
+      z |= ((b >> j) & 1L) << (2 * j + 1)
+      j += 1
+    }
+    z
+  }
 }

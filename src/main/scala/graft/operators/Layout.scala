@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Multi-dimensional data layout for write clustering — the Z-order
+ * (Morton) curve over two columns, as used by lakehouse OPTIMIZE/ZORDER
+ * commands to make file-level min/max statistics selective on BOTH
+ * columns at once. A table range-partitioned and sorted by `zkey` stores
+ * rows of a 2-D box in a handful of contiguous key ranges, so a scan
+ * with predicates on either (or both) dimensions prunes most files;
+ * a plain lexicographic sort only ever prunes on the leading column.
+ *
+ * Scale shape: scaling bounds come from ONE bounded aggregate (4 longs
+ * collected at plan time — same sanctioned pattern as the IVF centroid
+ * sample); the key itself is a codegen'd bit-interleave expression, and
+ * the layout is `repartitionByRange` + `sortWithinPartitions` — exactly
+ * one range shuffle, no global sort on the driver.
+ */
+object Layout {
+
+  /** Exact integer scaling of `[lo, hi]` onto `[0, 2^bits)`:
+    * `((v - lo) * mask) div (hi - lo)` — all-BIGINT arithmetic, no
+    * doubles (a double formulation misplaces cells past 2^53, silently
+    * breaking locality for snowflake-id axes).
+    */
+  private def scaledExpr(name: String, lo: Long, hi: Long, bits: Int) = {
+    val mask = (1L << bits) - 1
+    require(hi == lo || hi - lo <= Long.MaxValue / mask,
+      s"column $name range ${hi - lo} overflows the $bits-bit scaler; " +
+        "use fewer bits or pre-scale")
+    if (hi == lo) expr("0L")
+    else expr(s"((CAST(`$name` AS BIGINT) - ${lo}L) * ${mask}L) div ${hi - lo}L")
+  }
+
+  /** Adds column `zkey`: the Morton interleave of `a` and `b` min-max
+    * scaled to `bits` bits each. Inputs must be integral and non-null.
+    */
+  def zorderKey(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val Array(la, ha, lb, hb) = df
+      .agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
+        min(col(b)).cast("long"), max(col(b)).cast("long"))
+      .collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    df.withColumn("zkey",
+      GraftFunctions.interleave_bits(
+        scaledExpr(a, la, ha, bits), scaledExpr(b, lb, hb, bits), bits))
+  }
+
+  /** Full layout: key, one range shuffle on it, in-partition sort — the
+    * shape a clustered parquet write wants (each output file covers a
+    * compact z-range, i.e. a compact 2-D box).
+    */
+  def zorderBy(df: DataFrame, a: String, b: String, bits: Int = 16,
+      numPartitions: Int = 0): DataFrame = {
+    val keyed = zorderKey(df, a, b, bits)
+    val parted =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("zkey"))
+      else keyed.repartitionByRange(col("zkey"))
+    parted.sortWithinPartitions("zkey")
+  }
+}

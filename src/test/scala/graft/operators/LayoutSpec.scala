@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.HashKernels
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("interleaveBits: exact Morton bit placement") {
+    // a = 101b lands on even bits (0,4), b = 011b on odd bits (1,3)
+    assert(HashKernels.interleaveBits(5L, 3L, 3) === 27L)
+    assert(HashKernels.interleaveBits(0L, 0L, 16) === 0L)
+    assert(HashKernels.interleaveBits((1L << 16) - 1, 0L, 16) === 0x55555555L)
+    assert(HashKernels.interleaveBits(0L, (1L << 16) - 1, 16) === 0xAAAAAAAAL)
+    // adjacent cells differ in low bits only — the locality property
+    assert(HashKernels.interleaveBits(2L, 3L, 2) ===
+      HashKernels.interleaveBits(3L, 3L, 2) - 1)
+  }
+
+  test("zorderKey scales exactly with integer arithmetic (identity on [0, 2^bits))") {
+    val df = Seq((0L, 31L), (31L, 0L), (10L, 20L)).toDF("a", "b")
+    val got = Layout.zorderKey(df, "a", "b", bits = 5)
+      .select("a", "b", "zkey").as[(Long, Long, Long)].collect().toSet
+    def z(a: Long, b: Long) = HashKernels.interleaveBits(a, b, 5)
+    assert(got === Set((0L, 31L, z(0, 31)), (31L, 0L, z(31, 0)), (10L, 20L, z(10, 20))))
+  }
+
+  test("zorderBy: a 2-D box touches fewer partitions than a lexicographic layout") {
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y)).toDF("x", "y")
+    def boxParts(laid: org.apache.spark.sql.DataFrame): Long = laid
+      .withColumn("pid", spark_partition_id())
+      .filter(col("x").between(8, 11) && col("y").between(16, 19))
+      .select("pid").distinct().count()
+    // 1024 cells into 64 partitions of ~16 rows; an aligned 4x4 box is one
+    // contiguous z-range of 16 keys -> a couple of partitions
+    val zParts = boxParts(Layout.zorderBy(grid, "x", "y", bits = 5, numPartitions = 64))
+    // lexicographic (x, y) layout: the box spans 4 widely-separated x-runs
+    val lexParts = boxParts(
+      grid.repartitionByRange(64, col("x"), col("y")).sortWithinPartitions("x", "y"))
+    assert(zParts < lexParts,
+      s"z-order box spread $zParts must beat lexicographic $lexParts")
+    assert(zParts <= 3L, s"aligned box should stay in ~1-2 z-partitions, got $zParts")
+  }
+
+  test("zorderKey: constant column degrades gracefully to the other axis") {
+    val df = Seq((7L, 0L), (7L, 1L), (7L, 2L)).toDF("a", "b")
+    val got = Layout.zorderKey(df, "a", "b", bits = 4)
+      .select("b", "zkey").as[(Long, Long)].collect().toMap
+    // a contributes 0 everywhere; b in [0,2] scales to {0, 7, 15} and its
+    // bits land on odd positions: 7 -> 2+8+32, 15 -> 2+8+32+128
+    assert(got === Map(0L -> 0L, 1L -> 42L, 2L -> 170L))
+  }
+}
