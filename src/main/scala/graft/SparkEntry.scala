@@ -802,6 +802,10 @@ object SparkEntry {
           Map("en" -> 400, "de" -> 200), defaultPermille = 100)
         .select("doc_id", "lang", "n_copies")),
 
+    "t19_importance" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 1024).select("doc_id", "score")),
+
     // corpus heavy hitters: top-20 tokens by frequency — hash agg for the
     // counts, bounded-heap top-k for the ranking (never a global sort of
     // the vocabulary)
@@ -995,6 +999,42 @@ object SparkEntry {
             lpad(CAST(len(list_filter(w, x -> list_contains(['le', 'la', 'les', 'et', 'est', 'un', 'une', 'pour', 'dans', 'que'], x))) AS VARCHAR), 10, '0') || 'fr',
             lpad(CAST(len(list_filter(w, x -> list_contains(['的', '是', '不', '了', '在', '有', '我', '他', '这', '就'], x))) AS VARCHAR), 10, '0') || 'zh') AS best
                FROM toks)"""
+
+  /** The t19 oracle: reproduces the per-token windowHash (same staged
+    * chain as d04), buckets on the unsigned domain (h % B ≡ pmod of the
+    * signed value since 2^64 ≡ 0 mod B for power-of-two B), then computes
+    * the linearized importance divergence Σ (t_b·S − s_b·T) relationally
+    * in HUGEINT — exact integer arithmetic end to end, no libm.
+    */
+  private def t19OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    val goldSigned = -7046029254386353131L // 0x9E3779B97F4A7C15 as signed
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ts
+       |  FROM documents),
+       |h0 AS (SELECT doc_id, lang, list_transform(ts, t ->
+       |         list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, length(t)+1),
+       |           i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
+       |           (a, c) -> (a * 31 + c) % $U)) AS hs FROM toks),
+       |h1 AS (SELECT doc_id, lang, list_transform(hs, h -> ${xorConst("h", goldSigned)}) AS hs FROM h0),
+       |h2 AS (SELECT doc_id, lang, list_transform(hs, h -> ${xorShift33("h")}) AS hs FROM h1),
+       |h3 AS (SELECT doc_id, lang, list_transform(hs, h -> ${mulMod("h", C1)}) AS hs FROM h2),
+       |h4 AS (SELECT doc_id, lang, list_transform(hs, h -> ${xorShift33("h")}) AS hs FROM h3),
+       |h5 AS (SELECT doc_id, lang, list_transform(hs, h -> ${mulMod("h", C2)}) AS hs FROM h4),
+       |h6 AS (SELECT doc_id, lang, list_transform(hs, h ->
+       |         CAST((${xorShift33("h")}) % 1024 AS INT)) AS bs FROM h5),
+       |tokb AS (SELECT doc_id, lang, unnest(bs) AS b FROM h6),
+       |stats AS (SELECT b, CAST(count(*) AS HUGEINT) AS s,
+       |                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS t
+       |          FROM tokb GROUP BY b),
+       |tot AS (SELECT CAST(sum(s) AS HUGEINT) AS stot, CAST(sum(t) AS HUGEINT) AS ttot FROM stats)
+       |SELECT tokb.doc_id, CAST(SUM(st.t * tot.stot - st.s * tot.ttot) AS BIGINT) AS score
+       |FROM tokb JOIN stats st USING (b) CROSS JOIN tot
+       |GROUP BY tokb.doc_id""".stripMargin
+  }
 
   private val t02QualitySql =
     """SELECT doc_id, ROUND(
@@ -1432,6 +1472,7 @@ object SparkEntry {
     // set — the engine's pigeonhole banding guarantees candidate recall,
     // so its output IS that set (skew cap can't fire at fixture scale)
     "d04_simhash_pairs" -> d04OracleSql,
+    "t19_importance" -> t19OracleSql,
     // MinHash pairs: the oracle computes TRUE all-pairs 5-gram Jaccard via
     // explode + equi-join + group-by (set-similarity in relational form —
     // pairs sharing no gram never materialize) and keeps >= 0.7. Spark's

@@ -489,6 +489,61 @@ object TextAnalysis {
         (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"))
   }
 
+  /** DSIR-style importance scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): rank every document by
+    * how much more its hashed-token-bucket profile looks like a target
+    * subset than like the whole pool. The classic weight is
+    * `Σ_b c_b · log(p_target(b)/p_source(b))`; to keep the score exact
+    * (and therefore oracle-gateable — libm `log` ulp drift flips rounded
+    * sums across engines), this uses the linearized divergence
+    * `Σ_tokens (t_b·S − s_b·T)` over the doc's token buckets, where
+    * `t_b/T` and `s_b/S` are target/source bucket counts and totals.
+    * Positive = closer to target, same sign structure as the log form at
+    * first order, monotone per token in the probability gap.
+    *
+    * Scale shape: bucket statistics are ONE partial-aggregable count over
+    * exploded token buckets (the shuffle unit is `buckets` rows); the
+    * resulting weight table — `buckets` longs, bounded at plan time like
+    * the IVF centroid sample — is embedded as a literal array, so scoring
+    * is a map-only codegen'd fold over each row's token hashes: no join,
+    * no second shuffle, nothing per-token leaves the executor.
+    *
+    * Weights are computed exactly in BigInt driver-side and must fit a
+    * signed 64-bit long; per-doc summation runs in DECIMAL(38,0) and the
+    * final cast to long throws (ANSI) rather than wrapping.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "need at least two hash buckets")
+    val hashes = graft.functions.GraftFunctions.shingle_hashes(
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+      k = 1, word = true, distinct = false)
+    val bucketOf: Column => Column = h => pmod(h, lit(buckets.toLong)).cast("int")
+    val stats = df.select(targetFilter.as("__t"), explode(hashes).as("__h"))
+      .groupBy(bucketOf(col("__h")).as("__b"))
+      .agg(count(lit(1)).as("__s"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"))
+      .collect()
+    val s = new Array[Long](buckets)
+    val t = new Array[Long](buckets)
+    stats.foreach { r => s(r.getInt(0)) = r.getLong(1); t(r.getInt(0)) = r.getLong(2) }
+    val bigS = BigInt(s.sum)
+    val bigT = BigInt(t.sum)
+    val weights: Seq[Long] = (0 until buckets).map { b =>
+      val w = BigInt(t(b)) * bigS - BigInt(s(b)) * bigT
+      require(w.isValidLong,
+        s"bucket $b weight $w overflows long — corpus too large for exact " +
+          "scoring at this bucket count; reduce buckets or pre-sample")
+      w.toLong
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wArr = typedLit(weights)
+    df.withColumn("score",
+      aggregate(hashes, lit(0L).cast(dec),
+        (acc, h) => acc + element_at(wArr, bucketOf(h) + 1).cast(dec))
+        .cast("long"))
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))

@@ -314,4 +314,39 @@ class TextAnalysisSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
   }
+
+  test("importanceWeights: exact linearized divergence matches brute force") {
+    val docs = Seq(
+      (1L, true, "good clean target text"),
+      (2L, true, "good target words here"),
+      (3L, false, "noisy junk spam junk"),
+      (4L, false, "good mixed junk text")).toDF("doc_id", "is_t", "text")
+    val buckets = 64
+    val got = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+        col("is_t"), buckets)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+
+    // brute force: same hash kernel, driver-side integer arithmetic
+    import org.apache.spark.unsafe.types.UTF8String
+    def bucket(tok: String): Int = java.lang.Math.floorMod(
+      graft.functions.HashKernels.stringHash64(UTF8String.fromString(tok)),
+      buckets.toLong).toInt
+    val corpus = Map(
+      1L -> (true, "good clean target text"), 2L -> (true, "good target words here"),
+      3L -> (false, "noisy junk spam junk"), 4L -> (false, "good mixed junk text"))
+    val allToks = corpus.values.flatMap { case (_, s) => s.split(" ") }.toSeq
+    val tToks = corpus.values.filter(_._1).flatMap(_._2.split(" ")).toSeq
+    val s = allToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val t = tToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (bigS, bigT) = (allToks.size.toLong, tToks.size.toLong)
+    val expected = corpus.map { case (id, (_, text)) =>
+      id -> text.split(" ").map { tok =>
+        val b = bucket(tok)
+        t.getOrElse(b, 0L) * bigS - s.getOrElse(b, 0L) * bigT
+      }.sum
+    }
+    assert(got === expected)
+    // the point of the score: target-like docs outrank pool-like docs
+    assert(got(1L) > got(3L) && got(2L) > got(3L))
+  }
 }
