@@ -3,7 +3,7 @@ package graft
 import graft.expr.MvelTranslator
 import graft.functions.GraftFunctions
 import graft.model._
-import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Cdc, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
 import graft.streaming.StreamingMigration
 import graft.schema.Reconciler
@@ -794,6 +794,34 @@ object SparkEntry {
           col("dup_bigram_frac") <= 0.05)
     }),
 
+    // SCD2 history: validity intervals from the event change log — one
+    // key-partitioned lead window after the keep-last hash agg
+    "c02_scd2_history" -> ((s, dir) =>
+      Cdc.scd2History(
+        // micros, not nanos: DuckDB reads parquet TIMESTAMP(NANOS) at
+        // micro precision, so the gate compares on the shared precision
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("ver"),
+          col("event_id"), col("event_type")),
+        Seq("user_id"), "ver", tieBreak = Seq("event_id"))
+        .select("user_id", "event_id", "event_type", "valid_from",
+          "valid_to", "is_current")),
+
+    // CDC merge: latest change per key wins (upsert/insert/delete) —
+    // max_by hash agg + one full-outer join, no window over the log
+    "c03_apply_cdc" -> ((s, dir) => {
+      val snap = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val changes = t(s, dir, "events").select(
+        col("user_id").as("c_custkey"),
+        concat(lit("upd_"), col("event_id").cast("string")).as("c_name"),
+        col("value").as("c_acctbal"),
+        col("ts").as("ver"),
+        col("event_id"),
+        when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U").as("op"))
+      Cdc.applyCdc(snap, changes, Seq("c_custkey"), "ver", "op",
+        tieBreak = Seq("event_id"))
+    }),
+
     // mixture application: deterministic per-doc repetition factors from
     // integer-permille targets — all keep decisions are integer
     // arithmetic (a float boundary would be an engine-ulp coin flip)
@@ -1303,6 +1331,31 @@ object SparkEntry {
                   (((sa >> j) & 1) << (2 * j)) + (((sb >> j) & 1) << (2 * j + 1))))
                   AS BIGINT) AS zkey
          FROM s""",
+    "c02_scd2_history" ->
+      """SELECT user_id, event_id, event_type,
+                epoch_us(ts) AS valid_from,
+                lead(epoch_us(ts)) OVER w AS valid_to,
+                lead(epoch_us(ts)) OVER w IS NULL AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""",
+    "c03_apply_cdc" ->
+      """WITH ch AS (
+           SELECT user_id AS c_custkey,
+                  'upd_' || CAST(event_id AS VARCHAR) AS c_name,
+                  value AS c_acctbal,
+                  epoch_ns(ts) AS ver, event_id,
+                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM events),
+         latest AS (
+           SELECT c_custkey, c_name, c_acctbal, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_custkey
+                         ORDER BY ver DESC, event_id DESC) AS rn
+             FROM ch) t WHERE rn = 1)
+         SELECT c_custkey,
+                CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE c.c_name END AS c_name,
+                CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE c.c_acctbal END AS c_acctbal
+         FROM customer c FULL JOIN latest l USING (c_custkey)
+         WHERE l.op IS NULL OR l.op <> 'D'""",
     "e01_event_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                 COUNT(*) AS n_events,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Change-data-capture operators: turn an append-only change log into
+ * either a point-in-time history (SCD type 2) or a current snapshot
+ * (CDC merge/apply). The batch-side generalization of the reference's
+ * upsert keep-last write mode (`writeMode: Upsert`,
+ * reference/src/main/java/.../MigrateTableTask.java) — same "latest
+ * version of a key wins" contract, extended with validity intervals and
+ * explicit delete ops.
+ */
+object Cdc {
+
+  /** Keep the highest-`ord` change per group — max_by over a hash
+    * aggregate, so duplicates combine map-side and the shuffle carries
+    * one candidate per (partition × key), never a sorted window of the
+    * whole log.
+    */
+  private def keepLast(df: DataFrame, groupCols: Seq[String],
+      ordCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(groupCols.contains)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col).toIndexedSeq: _*),
+        struct(ordCols.map(col).toIndexedSeq: _*)).as("__r"))
+      .select(df.columns.map { c =>
+        if (groupCols.contains(c)) col(c) else col(s"__r.$c").as(c)
+      }.toIndexedSeq: _*)
+  }
+
+  /** SCD2 history: one row per retained change with `valid_from` (its
+    * version), `valid_to` (the next version for the same key, null while
+    * current) and `is_current`. When `tieBreak` is given, colliding
+    * versions of a key are first collapsed keep-last by it (hash agg);
+    * without it, `(keys, versionCol)` must be unique or intervals
+    * degenerate to zero length.
+    *
+    * Shape: the interval stitch is one `lead` window — a single shuffle
+    * on the key columns and a partition-local sort by version; nothing
+    * global.
+    */
+  def scd2History(changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val base =
+      if (tieBreak.isEmpty) changes
+      else keepLast(changes, keyCols :+ versionCol, tieBreak)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).asc)
+    base
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** CDC merge: apply a change log to a snapshot and return the new
+    * snapshot. The latest change per key wins (`versionCol` then
+    * `tieBreak`, exactly the upsert ordering-columns contract); a latest
+    * op equal to `deleteOp` removes the key, anything else upserts the
+    * change row's payload (insert when the key is new). `changes` must
+    * carry every non-key snapshot column plus `opCol`.
+    *
+    * Shape: keep-last is a map-side-combining hash aggregate (the change
+    * log never sorts), then ONE full-outer join against the snapshot —
+    * no window, no second pass.
+    */
+  def applyCdc(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, opCol: String, deleteOp: String = "D",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val payload = snapshot.columns.filterNot(keyCols.contains)
+    val missing = (payload :+ opCol).filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is missing column(s) ${missing.mkString(", ")}")
+    val latest = keepLast(
+      changes.select((((keyCols ++ payload) :+ opCol :+ versionCol) ++ tieBreak)
+        .distinct.map(col).toIndexedSeq: _*),
+      keyCols, versionCol +: tieBreak)
+      .select(keyCols.map(col) ++ payload.map(c => col(c).as(s"__n_$c")) :+
+        col(opCol).as("__op"): _*)
+    snapshot.join(latest, keyCols, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= lit(deleteOp))
+      .select(keyCols.map(col) ++ payload.map(c =>
+        when(col("__op").isNotNull, col(s"__n_$c")).otherwise(col(c)).as(c))
+        : _*)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val log = Seq(
+    // key 1: three versions, the middle one twice (seq tie-break)
+    (1L, 10L, 1, "v1"), (1L, 20L, 1, "v2-lost"), (1L, 20L, 2, "v2"), (1L, 30L, 1, "v3"),
+    // key 2: single version
+    (2L, 15L, 1, "only")).toDF("k", "ver", "seq", "payload")
+
+  test("scd2History: intervals chain, tie-break collapses version collisions") {
+    val got = Cdc.scd2History(log, Seq("k"), "ver", tieBreak = Seq("seq"))
+      .select("k", "payload", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got === Set(
+      (1L, "v1", 10L, 20L, false),
+      (1L, "v2", 20L, 30L, false), // seq=2 won the ver=20 collision
+      (1L, "v3", 30L, -1L, true),
+      (2L, "only", 15L, -1L, true)))
+  }
+
+  test("applyCdc: upsert, insert, and delete all resolve from the latest op") {
+    val snap = Seq(
+      (1L, "old-a", 10.0), (2L, "old-b", 20.0), (3L, "old-c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "new-a1", 11.0, 100L, 1, "U"), // superseded
+      (1L, "new-a2", 12.0, 200L, 1, "U"), // latest for key 1 -> update
+      (2L, "gone", 0.0, 150L, 1, "D"), // delete key 2
+      (4L, "ins-d", 44.0, 120L, 1, "U"), // insert new key 4
+      (5L, "never", 0.0, 90L, 1, "D")) // delete of absent key -> no row
+      .toDF("k", "name", "bal", "ver", "seq", "op")
+    val got = Cdc.applyCdc(snap, changes, Seq("k"), "ver", "op",
+        tieBreak = Seq("seq"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set(
+      (1L, "new-a2", 12.0),
+      (3L, "old-c", 30.0),
+      (4L, "ins-d", 44.0)))
+  }
+
+  test("applyCdc: delete then later re-insert keeps the key (latest wins)") {
+    val snap = Seq((1L, "x", 1.0)).toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "dead", 0.0, 100L, 1, "D"),
+      (1L, "reborn", 2.0, 200L, 1, "U")).toDF("k", "name", "bal", "ver", "seq", "op")
+    val got = Cdc.applyCdc(snap, changes, Seq("k"), "ver", "op",
+      tieBreak = Seq("seq")).as[(Long, String, Double)].collect().toSet
+    assert(got === Set((1L, "reborn", 2.0)))
+  }
+
+  test("applyCdc plan: keep-last is a hash aggregate, not a window sort") {
+    val snap = Seq((1L, "x", 1.0)).toDF("k", "name", "bal")
+    val changes = Seq((1L, "y", 2.0, 100L, 1, "U"))
+      .toDF("k", "name", "bal", "ver", "seq", "op")
+    val plan = Cdc.applyCdc(snap, changes, Seq("k"), "ver", "op",
+      tieBreak = Seq("seq")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in CDC apply:\n$plan")
+  }
+
+  test("applyCdc rejects changes missing a snapshot payload column") {
+    val snap = Seq((1L, "x", 1.0)).toDF("k", "name", "bal")
+    val changes = Seq((1L, "y", 100L, "U")).toDF("k", "name", "ver", "op")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyCdc(snap, changes, Seq("k"), "ver", "op")
+    }
+    assert(e.getMessage.contains("bal"))
+  }
+}
