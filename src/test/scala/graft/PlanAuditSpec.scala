@@ -221,4 +221,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("CollectMetrics"),
       s"interval-explosion guard metrics missing:\n$p")
   }
+
+  test("d07 span dedup: equi-joins on skinny keys only, no window, no cartesian") {
+    val p = plan("d07_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair scan in span-dedup plan:\n$p")
+    assert(!p.contains("Window"), s"canonical pick regressed to a window:\n$p")
+    assert(p.contains("shingle_hashes"), s"gram kernel missing from plan:\n$p")
+  }
+
+  test("z01 z-order key is map-only over the scan (bounds come from plan time)") {
+    val p = plan("z01_zorder_layout")
+    assert(!p.contains("Exchange"), s"shuffle in the key computation:\n$p")
+    assert(!p.contains("Join"), s"join in the key computation:\n$p")
+    assert(p.contains("interleave_bits"), s"Morton kernel missing:\n$p")
+  }
+
+  test("t19 importance scoring is a map-only literal-weight fold — no join") {
+    val p = plan("t19_importance")
+    assert(!p.contains("Exchange"), s"shuffle in the scoring plan:\n$p")
+    assert(!p.contains("Join"), s"join in the scoring plan:\n$p")
+    assert(p.contains("shingle_hashes"), s"token-hash kernel missing:\n$p")
+  }
 }
