@@ -139,6 +139,115 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: span dedup equals the brute-force spec and conserves counts") {
+    // tiny vocabulary forces heavy gram collisions across random docs
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      nDocs <- Gen.choose(3, 8)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(5, 20)
+        toks <- Gen.listOfN(len, Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllSeeded(corpusGen, n = 6) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val once = Dedup.removeDuplicatedSpans(df, "doc_id", "text", n = 3)
+      val out = once.collect().map(r =>
+        r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+      // conservation: kept tokens + removed == original count, per doc
+      rows.foreach { case (id, text) =>
+        val (kept, nTok, nRem) = out(id)
+        assert(nTok === text.split(" ").length)
+        val keptCount = if (kept.isEmpty) 0 else kept.split(" ").length
+        assert(keptCount + nRem === nTok, s"doc $id: $kept / $nTok / $nRem")
+      }
+      // brute-force equivalence on gram STRINGS (note: the op is NOT
+      // idempotent by design — removal creates new boundary adjacencies
+      // whose grams may duplicate again, same as token-stream ExactSubstr)
+      val occs = rows.flatMap { case (id, text) =>
+        text.split(" ").sliding(3).zipWithIndex.map {
+          case (g, pos) => (g.mkString(" "), id, pos)
+        }
+      }
+      val dupGroups = occs.groupBy(_._1).filter(_._2.size >= 2)
+      val covered: Map[Long, Set[Int]] = dupGroups.toSeq.flatMap {
+        case (_, os) =>
+          val canon = os.minBy(o => (o._2, o._3))
+          os.filterNot(_ == canon).flatMap {
+            case (_, id, pos) => (pos until pos + 3).map(id -> _)
+          }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      rows.foreach { case (id, text) =>
+        val cov = covered.getOrElse(id, Set.empty)
+        val expect = text.split(" ").zipWithIndex
+          .collect { case (t, i) if !cov(i) => t }.mkString(" ")
+        assert(out(id)._1 === expect, s"doc $id diverged from brute force")
+      }
+    }
+  }
+
+  test("property: SCD2 intervals chain per key with exactly one current row") {
+    val logGen: Gen[Seq[(Long, Long, Int)]] = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 4L)
+        ver <- Gen.choose(1L, 50L)
+        p <- Gen.choose(0, 99)
+      } yield (k, ver, p))
+    } yield rows
+    forAllSeeded(logGen, n = 8) { rows =>
+      val df = rows.toDF("k", "ver", "p")
+      val got = graft.operators.Cdc.scd2History(df, Seq("k"), "ver",
+          tieBreak = Seq("p"))
+        .select("k", "valid_from", "valid_to", "is_current")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) Long.MaxValue else r.getLong(2), r.getBoolean(3)))
+      got.groupBy(_._1).foreach { case (k, ivs) =>
+        val sorted = ivs.sortBy(_._2)
+        // one row per distinct version, chained, half-open, one current
+        assert(sorted.map(_._2).distinct.length === sorted.length)
+        sorted.sliding(2).foreach {
+          case Array((_, _, to, _), (_, from2, _, _)) => assert(to === from2)
+          case _ =>
+        }
+        assert(sorted.count(_._4) === 1, s"key $k currents != 1")
+        assert(sorted.last._4, s"key $k: current must be the max version")
+        assert(sorted.forall(iv => iv._3 > iv._2), s"key $k: empty interval")
+      }
+    }
+  }
+
+  test("property: applyCdc equals the driver-side latest-wins fold") {
+    val caseGen: Gen[(Seq[(Long, Int)], Seq[(Long, Int, Long, String)])] = for {
+      snapKeys <- Gen.someOf(1L to 6L)
+      snap = snapKeys.map(k => (k, k.toInt * 10)).toSeq
+      nCh <- Gen.choose(0, 25)
+      ch <- Gen.listOfN(nCh, for {
+        k <- Gen.choose(1L, 8L)
+        p <- Gen.choose(0, 99)
+        ver <- Gen.choose(1L, 40L)
+        op <- Gen.oneOf("U", "U", "U", "D") // deletes rarer
+      } yield (k, p, ver, op))
+    } yield (snap, ch)
+    forAllSeeded(caseGen, n = 10) { case (snap, chRows) =>
+      // make (k, ver) unique so latest-wins is well-defined without ties
+      val ch = chRows.groupBy(r => (r._1, r._3)).values.map(_.head).toSeq
+      val snapDf = snap.toDF("k", "p")
+      val chDf = ch.toDF("k", "p", "ver", "op")
+      val got = graft.operators.Cdc.applyCdc(snapDf, chDf, Seq("k"), "ver", "op")
+        .as[(Long, Int)].collect().toMap
+      val latest = ch.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+      val expected = ((snap.map(_._1) ++ ch.map(_._1)).distinct.flatMap { k =>
+        latest.get(k) match {
+          case Some((_, p, _, "U")) => Some(k -> p)
+          case Some((_, _, _, "D")) => None
+          case None => snap.find(_._1 == k).map(s => k -> s._2)
+          case _ => None
+        }
+      }).toMap
+      assert(got === expected)
+    }
+  }
+
   test("property: jaccard_sorted is within [0,1] and symmetric") {
     val arrGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted.toArray)
     forAllSeeded(Gen.zip(arrGen, arrGen), n = 8) { case (a, b) =>
