@@ -394,6 +394,30 @@ object SparkEntry {
         .select(col("y") +: prios.map(p => coalesce(col(p), lit(0L)).as(p)): _*)
     }),
 
+    // explicit grouping sets with the grouping-id bitmask (first grouping
+    // column = MSB in both engines)
+    "g04_grouping_sets" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"))
+    }),
+
+    // ranking window family: ntile buckets, percent_rank, cume_dist —
+    // integer-ratio doubles of identical ints are bit-stable cross-engine
+    "w03_rank_family" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
+
     // lag/lead + running total (DECIMAL-routed so window accumulation
     // strategy differences can't perturb the double)
     "z01_zorder_layout" -> ((s, dir) => {
@@ -1393,6 +1417,20 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "g04_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    "w03_rank_family" ->
+      """SELECT o_orderkey, o_custkey,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
     "g02_set_ops" ->
       """SELECT c_custkey, 'both' AS tag FROM (
            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
