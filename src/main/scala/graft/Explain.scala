@@ -15,7 +15,9 @@ object Explain {
         "d03_minhash_pairs", "s01_ann_bruteforce", "s04_ann_ivf",
         "s03_cosine_neardup", "t08_seq_pack",
         "j05_asof_join", "j06_range_join", "b01_bloom_decontaminate",
-        "s07_label_centroids", "s08_knn_classify", "t18_apply_mixture")
+        "s07_label_centroids", "s08_knn_classify", "t18_apply_mixture",
+        "d07_span_dedup", "z01_zorder_layout", "t19_importance",
+        "c02_scd2_history", "c03_apply_cdc", "g04_grouping_sets")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
