@@ -86,4 +86,40 @@ object Cdc {
         when(col("__op").isNotNull, col(s"__n_$c")).otherwise(col(c)).as(c))
         : _*)
   }
+
+  /** Version-aware CDC merge for incremental (micro-batch) application:
+    * the snapshot itself carries `versionCol`, and a change only wins if
+    * its version is higher than the stored one — so late/duplicate
+    * deliveries of old changes are ignored instead of clobbering newer
+    * state. This is the `foreachBatch` building block: fold each
+    * micro-batch into the running snapshot and the result is independent
+    * of how the log was batched (same max-semilattice as batch
+    * [[applyCdc]]), with one caveat — a delete drops the row AND its
+    * version, so an update older than an already-applied delete can
+    * resurrect the key in a later batch. If the log can be that
+    * disordered, retain tombstone rows instead of filtering them.
+    *
+    * Shape: union + one keep-last hash aggregate on the keys; no window,
+    * no join.
+    */
+  def applyCdcVersioned(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], versionCol: String, opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(snapshot.columns.contains(versionCol),
+      s"versioned snapshot must carry $versionCol")
+    val cols = snapshot.columns
+    val missing = (cols :+ opCol).filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is missing column(s) ${missing.mkString(", ")}")
+    // snapshot rows re-enter the fold as op "S"; on a version tie an
+    // update beats the stored row ("U" > "S" — idempotent redelivery of
+    // the change that produced the stored version) and a delete-vs-stored
+    // tie is vacuous (an applied delete means the key is absent)
+    val all = snapshot.withColumn(opCol, lit("S"))
+      .unionByName(changes.select((cols :+ opCol).map(col).toIndexedSeq: _*))
+    keepLast(all, keyCols, Seq(versionCol, opCol))
+      .filter(col(opCol) =!= lit(deleteOp))
+      .drop(opCol)
+  }
 }

@@ -64,6 +64,40 @@ class CdcSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"unexpected window in CDC apply:\n$plan")
   }
 
+  test("applyCdcVersioned: stale deliveries never clobber newer state") {
+    val snap = Seq((1L, "cur", 5.0, 100L)).toDF("k", "name", "bal", "ver")
+    val changes = Seq(
+      (1L, "stale", 1.0, 50L, "U"), // older than stored 100 -> ignored
+      (2L, "new", 2.0, 60L, "U")).toDF("k", "name", "bal", "ver", "op")
+    val got = Cdc.applyCdcVersioned(snap, changes, Seq("k"), "ver", "op")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got === Set((1L, "cur", 5.0, 100L), (2L, "new", 2.0, 60L)))
+    // version tie with the stored row: the (redelivered) update wins
+    val tie = Seq((1L, "cur", 5.0, 100L, "U")).toDF("k", "name", "bal", "ver", "op")
+    val got2 = Cdc.applyCdcVersioned(snap, tie, Seq("k"), "ver", "op")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got2 === Set((1L, "cur", 5.0, 100L)))
+  }
+
+  test("applyCdcVersioned: batching-independent (fold over batches == one shot)") {
+    val snap = Seq((1L, "a", 1.0, 10L), (2L, "b", 2.0, 10L))
+      .toDF("k", "name", "bal", "ver")
+    val batches = Seq(
+      Seq((1L, "a2", 1.2, 30L, "U"), (3L, "c", 3.0, 20L, "U")),
+      Seq((2L, "dead", 0.0, 40L, "D"), (1L, "late-stale", 0.0, 20L, "U")),
+      Seq((3L, "c2", 3.3, 50L, "U"), (4L, "d", 4.0, 15L, "U")))
+    val folded = batches.foldLeft(snap) { (acc, b) =>
+      Cdc.applyCdcVersioned(acc, b.toDF("k", "name", "bal", "ver", "op"),
+        Seq("k"), "ver", "op")
+    }.as[(Long, String, Double, Long)].collect().toSet
+    val oneShot = Cdc.applyCdcVersioned(snap,
+      batches.flatten.toDF("k", "name", "bal", "ver", "op"),
+      Seq("k"), "ver", "op").as[(Long, String, Double, Long)].collect().toSet
+    assert(folded === oneShot)
+    assert(folded === Set(
+      (1L, "a2", 1.2, 30L), (3L, "c2", 3.3, 50L), (4L, "d", 4.0, 15L)))
+  }
+
   test("applyCdc rejects changes missing a snapshot payload column") {
     val snap = Seq((1L, "x", 1.0)).toDF("k", "name", "bal")
     val changes = Seq((1L, "y", 100L, "U")).toDF("k", "name", "ver", "op")

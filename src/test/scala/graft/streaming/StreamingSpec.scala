@@ -387,4 +387,52 @@ class StreamingSpec extends SparkTestBase {
     val out = spark.read.parquet(s"$dir/out")
     assert(out.count() === 10L) // duplicates across batches suppressed
   }
+
+  test("streaming CDC apply: foreachBatch folds micro-batches into a versioned snapshot") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_scdc").toString
+    // three change files; a stale update for key 1 (ver 20 < 30) lands in
+    // a LATER file than the fresh one — the versioned merge must drop it
+    // regardless of batch order
+    val files = Seq(
+      Seq((1L, "a2", 30L, "U"), (3L, "c", 20L, "U")),
+      Seq((2L, "dead", 40L, "D"), (1L, "stale", 20L, "U")),
+      Seq((3L, "c2", 50L, "U"), (4L, "d", 15L, "U")))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("k", "name", "ver", "op")
+        .coalesce(1).write.parquet(s"$dir/ch/f$i.parquet")
+      Thread.sleep(1100) // mtime ordering => deterministic batch order
+    }
+    val schema = spark.read.parquet(s"$dir/ch/f0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/ch/*")
+
+    var snap = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "name", "ver")
+    var batches = 0
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = graft.operators.Cdc.applyCdcVersioned(
+          snap, batch, Seq("k"), "ver", "op")
+        // materialize: the batch frame is only valid inside this call
+        snap = spark.createDataFrame(
+          java.util.Arrays.asList(next.collect(): _*), next.schema)
+        batches += 1
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+
+    assert(batches === 3, s"expected one micro-batch per file, got $batches")
+    val got = snap.select("k", "name", "ver")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "a2", 30L), (3L, "c2", 50L), (4L, "d", 15L)))
+    // parity with the one-shot batch merge of the whole log
+    val oneShot = graft.operators.Cdc.applyCdcVersioned(
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "name", "ver"),
+      files.flatten.toDF("k", "name", "ver", "op"), Seq("k"), "ver", "op")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === oneShot)
+  }
 }
