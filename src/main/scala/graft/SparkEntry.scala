@@ -858,6 +858,11 @@ object SparkEntry {
       TextAnalysis.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", buckets = 1024).select("doc_id", "score")),
 
+    // vocab small enough that real OOVs occur (corpus vocabulary is larger)
+    "t20_token_ids" -> ((s, dir) =>
+      TextAnalysis.encodeTokens(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 20)),
+
     // corpus heavy hitters: top-20 tokens by frequency — hash agg for the
     // counts, bounded-heap top-k for the ranking (never a global sort of
     // the vocabulary)
@@ -1564,6 +1569,28 @@ object SparkEntry {
     // so its output IS that set (skew cap can't fire at fixture scale)
     "d04_simhash_pairs" -> d04OracleSql,
     "t19_importance" -> t19OracleSql,
+    "t20_token_ids" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+           FROM documents),
+         tok0 AS (
+           SELECT doc_id, UNNEST(list_transform(range(1, len(ts) + 1),
+                    i -> struct_pack(p := i - 1, tok := ts[CAST(i AS INT)]))) AS u
+           FROM toks),
+         tok AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tok0 WHERE length(u.tok) > 0),
+         counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         vocab AS (
+           SELECT tok, id FROM (
+             SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS id
+             FROM counts) v WHERE id <= 20),
+         enc AS (
+           SELECT t.doc_id, t.p, coalesce(v.id, 0) AS id
+           FROM tok t LEFT JOIN vocab v USING (tok))
+         SELECT doc_id,
+                string_agg(CAST(id AS VARCHAR), ' ' ORDER BY p) AS ids,
+                CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         FROM enc GROUP BY doc_id""",
     // MinHash pairs: the oracle computes TRUE all-pairs 5-gram Jaccard via
     // explode + equi-join + group-by (set-similarity in relational form —
     // pairs sharing no gram never materialize) and keeps >= 0.7. Spark's

@@ -544,6 +544,39 @@ object TextAnalysis {
         .cast("long"))
   }
 
+  /** Vocabulary-id encoding: build a frequency-ranked vocabulary of the
+    * top `vocabSize` tokens (count DESC, token ASC — same deterministic
+    * order as [[topTokens]]) and encode every document as a space-joined
+    * sequence of ids; out-of-vocabulary tokens get `oovId` (0, below all
+    * real ids which are 1-based ranks). The word-level analogue of
+    * tokenizer encoding, plus the per-doc OOV count quality signal.
+    *
+    * Shape: the vocabulary never sorts globally — ranking is the bounded
+    * top-k heap aggregate; encoding explodes the corpus once, joins the
+    * broadcast vocabulary, and regroups per document (the tfIdf shuffle
+    * shape). Documents with no tokens are absent from the output.
+    */
+  def encodeTokens(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, oovId: Int = 0): DataFrame = {
+    require(vocabSize >= 1, "vocabulary must be non-empty")
+    val vocab = topTokens(df, textCol, vocabSize).select(
+      col("token").as("__tok"), col("rank").as("__rank"))
+    df.select(col(idCol),
+        posexplode(split(Dedup.normalized(col(textCol)), " "))
+          .as(Seq("__p", "__t")))
+      .filter(length(col("__t")) > 0)
+      .join(broadcast(vocab), col("__t") === col("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__p"),
+              coalesce(col("__rank"), lit(oovId)).as("__id")))),
+            s => s.getField("__id").cast("string")),
+          " ").as("ids"),
+        sum(when(col("__rank").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))

@@ -315,6 +315,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
   }
 
+  test("encodeTokens: frequency-ranked ids, OOV as 0, original order kept") {
+    val docs = Seq(
+      (1L, "b a a c b a"), // a:3 b:2 c:1 corpus-wide
+      (2L, "a c d")).toDF("doc_id", "text")
+    // vocab size 2 -> a=1, b=2; c and d are OOV
+    val got = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("2 1 1 0 2 1", 1L)))
+    assert(got(2L) === (("1 0 0", 2L)))
+    // full vocab -> zero OOV, ties ranked token-ascending (b=2, c=3, d=4)
+    val full = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocabSize = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full(2L) === "1 3 4")
+  }
+
   test("importanceWeights: exact linearized divergence matches brute force") {
     val docs = Seq(
       (1L, true, "good clean target text"),
