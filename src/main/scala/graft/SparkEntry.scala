@@ -959,6 +959,11 @@ object SparkEntry {
           length(col("resized_content")).as("resized_bytes"))
     }),
 
+    "m04_audio_energy" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "wav")
+      Multimodal.audioEnergyStub(media, windowBytes = 64)
+    }),
+
     "m02_frame_sample" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
       Multimodal.frameSample(media, n = 4)
@@ -2069,6 +2074,15 @@ object SparkEntry {
                            CAST(CEIL(height / CAST(stride AS DOUBLE)) AS INT), L) AS INT)
                   AS resized_bytes
          FROM r""",
+    // ASCII fixture: byte value == codepoint, so window energies are
+    // relational codepoint sums over 64-char windows
+    "m04_audio_energy" ->
+      """WITH pos AS (
+           SELECT doc_id AS media_id, text, UNNEST(range(1, length(text) + 1)) AS i
+           FROM documents)
+         SELECT media_id, CAST((i - 1) // 64 AS INT) AS window_no,
+                CAST(SUM(unicode(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS energy
+         FROM pos GROUP BY 1, 2""",
     "m02_frame_sample" ->
       """SELECT media_id, CAST(i AS INT) AS frame_no,
                 CAST(LEAST(chunk, GREATEST(L - i * chunk, 0)) AS INT) AS frame_len

@@ -114,6 +114,21 @@ object Mix64 {
   * Mismatched dimensions yield null (ADVICE r1: a truncated dot product
   * would be a silent-wrong cosine).
   */
+/** Per-window unsigned-byte sums of a binary column (window size fixed at
+  * plan time) — the audio-loudness stub kernel, codegen'd.
+  */
+case class ByteWindowEnergies(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.byteWindowEnergies(v.asInstanceOf[Array[Byte]], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.byteWindowEnergies($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): ByteWindowEnergies =
+    copy(child = newChild)
+  override def prettyName: String = "byte_window_energies"
+}
+
 /** Morton/Z-order bit interleave of two long coordinates (low `bits` bits
   * each) — the layout key for multi-dimensional write clustering. Codegen'd
   * static call, no UDF boxing on the write path.
@@ -197,6 +212,8 @@ object GraftFunctions {
   def interleave_bits(a: Column, b: Column, bits: Int): Column = Bridge.column(
     InterleaveBits(Bridge.expression(a.cast("long")),
       Bridge.expression(b.cast("long")), bits))
+  def byte_window_energies(c: Column, w: Int): Column = Bridge.column(
+    ByteWindowEnergies(Bridge.expression(c), w))
   def shingle_hashes(c: Column, k: Int, word: Boolean = false,
       distinct: Boolean = true): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))

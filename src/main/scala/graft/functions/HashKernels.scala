@@ -176,6 +176,19 @@ object HashKernels {
     inter.toDouble / (n + m - inter)
   }
 
+  /** Per-window unsigned-byte sums of a binary payload: element k =
+    * Σ bytes[kw, (k+1)w). The stub "loudness" kernel for audio-shaped
+    * payloads — a real pipeline swaps byte sums for decoded-sample RMS,
+    * keeping the schema and the one-kernel-call-per-row shape.
+    */
+  def byteWindowEnergies(bytes: Array[Byte], w: Int): ArrayData = {
+    val n = (bytes.length + w - 1) / w
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < bytes.length) { out(i / w) += (bytes(i) & 0xff).toLong; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Morton (Z-order) interleave of the low `bits` bits of two
     * non-negative scaled coordinates: bit j of `a` lands at output bit
     * 2j, bit j of `b` at 2j+1. With bits <= 31 the result stays well

@@ -134,4 +134,17 @@ object Multimodal {
           i => col("content").substr(i * col("__chunk") + 1, col("__chunk"))))
           .as(Seq("frame_no", "frame_bytes")))
   }
+
+  /** STUB audio loudness: per fixed-size byte window, the unsigned byte
+    * sum of the payload (one codegen'd kernel call per row — a real
+    * pipeline swaps byte sums for decoded-PCM RMS, keeping the
+    * one-row-per-(media, window) schema). Map-only until the explode;
+    * payload bytes never shuffle.
+    */
+  def audioEnergyStub(df: DataFrame, windowBytes: Int = 64): DataFrame = {
+    require(windowBytes >= 1, "window must be at least one byte")
+    df.select(col("media_id"),
+      posexplode(graft.functions.GraftFunctions.byte_window_energies(
+        col("content"), windowBytes)).as(Seq("window_no", "energy")))
+  }
 }

@@ -45,4 +45,18 @@ class MultimodalSpec extends SparkTestBase {
     val total = byMedia(1L).map(_._3).sum
     assert(total === "hello world this is payload".getBytes("UTF-8").length)
   }
+
+  test("audioEnergyStub: window sums partition the payload byte sum exactly") {
+    val docs = Seq((1L, "abcd" * 5), (2L, "xy")).toDF("doc_id", "text") // 20 and 2 bytes
+    val media = Multimodal.fromText(docs, "doc_id", "text", "wav")
+    val got = Multimodal.audioEnergyStub(media, windowBytes = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def s(cs: String) = cs.map(_.toLong).sum
+    // 20 bytes at w=8 -> windows of 8, 8, 4
+    assert(got(1L) === Seq(s("abcdabcd"), s("abcdabcd"), s("abcd")))
+    assert(got(2L) === Seq(s("xy")))
+    // exact partition of the total
+    assert(got(1L).sum === s("abcd") * 5)
+  }
 }
