@@ -418,8 +418,6 @@ object SparkEntry {
         cume_dist().over(w).as("cume"))
     }),
 
-    // lag/lead + running total (DECIMAL-routed so window accumulation
-    // strategy differences can't perturb the double)
     "z01_zorder_layout" -> ((s, dir) => {
       // write-clustering key over (customer, order) — the layout a
       // clustered parquet write sorts by so file min/max stats prune on
@@ -428,6 +426,8 @@ object SparkEntry {
         bits = 10).select("o_orderkey", "zkey")
     }),
 
+    // lag/lead + running total (DECIMAL-routed so window accumulation
+    // strategy differences can't perturb the double)
     "w02_lag_lead" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")

@@ -112,14 +112,21 @@ object Cdc {
     val missing = (cols :+ opCol).filterNot(changes.columns.contains)
     require(missing.isEmpty,
       s"changes is missing column(s) ${missing.mkString(", ")}")
-    // snapshot rows re-enter the fold as op "S"; on a version tie an
-    // update beats the stored row ("U" > "S" — idempotent redelivery of
-    // the change that produced the stored version) and a delete-vs-stored
-    // tie is vacuous (an applied delete means the key is absent)
-    val all = snapshot.withColumn(opCol, lit("S"))
-      .unionByName(changes.select((cols :+ opCol).map(col).toIndexedSeq: _*))
-    keepLast(all, keyCols, Seq(versionCol, opCol))
-      .filter(col(opCol) =!= lit(deleteOp))
-      .drop(opCol)
+    // version ties resolve on an explicit numeric rank — update (2) >
+    // stored snapshot row (1) > delete (0) — independent of the op
+    // vocabulary's lexicographic order (a raw-string comparison would
+    // invert the documented tie semantics for e.g. lowercase "d"/"u"
+    // feeds, and conflate change rows whose op is literally "S" with
+    // snapshot rows). Update-beats-stored covers idempotent redelivery
+    // of the change that produced the stored version; delete-vs-stored
+    // ties are vacuous (an applied delete means the key is absent).
+    val snap2 = snapshot.withColumn(opCol, lit("S"))
+      .withColumn("__rank", lit(1))
+    val ch2 = changes.select((cols :+ opCol).map(col).toIndexedSeq: _*)
+      .withColumn("__rank",
+        when(col(opCol) === lit(deleteOp), lit(0)).otherwise(lit(2)))
+    keepLast(snap2.unionByName(ch2), keyCols, Seq(versionCol, "__rank"))
+      .filter(col("__rank") =!= lit(0))
+      .drop(opCol, "__rank")
   }
 }

@@ -28,11 +28,15 @@ object Layout {
     */
   private def scaledExpr(name: String, lo: Long, hi: Long, bits: Int) = {
     val mask = (1L << bits) - 1
-    require(hi == lo || hi - lo <= Long.MaxValue / mask,
-      s"column $name range ${hi - lo} overflows the $bits-bit scaler; " +
+    // guard in BigInt: hi - lo itself overflows Long for ranges wider
+    // than 2^63 (signed ids spanning both halves), which would slip a
+    // wrapped-negative span past a Long-arithmetic check
+    val span = BigInt(hi) - BigInt(lo)
+    require(span == 0 || span <= Long.MaxValue / mask,
+      s"column $name range $span overflows the $bits-bit scaler; " +
         "use fewer bits or pre-scale")
-    if (hi == lo) expr("0L")
-    else expr(s"((CAST(`$name` AS BIGINT) - ${lo}L) * ${mask}L) div ${hi - lo}L")
+    if (span == 0) expr("0L")
+    else expr(s"((CAST(`$name` AS BIGINT) - ${lo}L) * ${mask}L) div ${span.toLong}L")
   }
 
   /** Adds column `zkey`: the Morton interleave of `a` and `b` min-max

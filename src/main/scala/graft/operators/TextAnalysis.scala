@@ -516,8 +516,7 @@ object TextAnalysis {
       targetFilter: Column, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, "need at least two hash buckets")
     val hashes = graft.functions.GraftFunctions.shingle_hashes(
-      regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
-      k = 1, word = true, distinct = false)
+      Dedup.normalized(col(textCol)), k = 1, word = true, distinct = false)
     val bucketOf: Column => Column = h => pmod(h, lit(buckets.toLong)).cast("int")
     val stats = df.select(targetFilter.as("__t"), explode(hashes).as("__h"))
       .groupBy(bucketOf(col("__h")).as("__b"))

@@ -79,6 +79,23 @@ class CdcSpec extends SparkTestBase {
     assert(got2 === Set((1L, "cur", 5.0, 100L)))
   }
 
+  test("applyCdcVersioned: tie semantics hold for any op vocabulary") {
+    // lowercase ops: with raw-string ordering "d" would beat the snapshot
+    // sentinel on a version tie and wrongly delete the stored row
+    val snap = Seq((1L, "cur", 100L)).toDF("k", "name", "ver")
+    val redelivered = Seq((1L, "cur", 100L, "d"))
+      .toDF("k", "name", "ver", "op")
+    val got = Cdc.applyCdcVersioned(snap, redelivered, Seq("k"), "ver", "op",
+      deleteOp = "d").as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "cur", 100L)),
+      "same-version delete redelivery must not beat the stored row")
+    // an op value literally "S" is an ordinary update, not a snapshot row
+    val sOp = Seq((1L, "upd", 200L, "S")).toDF("k", "name", "ver", "op")
+    val got2 = Cdc.applyCdcVersioned(snap, sOp, Seq("k"), "ver", "op")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got2 === Set((1L, "upd", 200L)))
+  }
+
   test("applyCdcVersioned: batching-independent (fold over batches == one shot)") {
     val snap = Seq((1L, "a", 1.0, 10L), (2L, "b", 2.0, 10L))
       .toDF("k", "name", "bal", "ver")
