@@ -388,6 +388,58 @@ class StreamingSpec extends SparkTestBase {
     assert(out.count() === 10L) // duplicates across batches suppressed
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_ssjoin").toString
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + min * 60000L)
+    val imps = Seq((1L, ts(0), "i1"), (1L, ts(30), "i2"), (2L, ts(5), "i3"))
+    val clicks = Seq((1L, ts(4), "c1"), (1L, ts(33), "c2"),
+      (2L, ts(40), "c3"), (3L, ts(1), "c4"))
+    imps.toDF("uid", "imp_ts", "imp_id")
+      .coalesce(1).write.parquet(s"$dir/imp")
+    clicks.toDF("uid", "click_ts", "click_id")
+      .coalesce(1).write.parquet(s"$dir/click")
+    def stream(path: String) = spark.readStream
+      .schema(spark.read.parquet(path).schema).parquet(path)
+
+    val joined = StreamingJoin.intervalJoin(
+      stream(s"$dir/imp"), stream(s"$dir/click"),
+      key = "uid", leftTs = "imp_ts", rightTs = "click_ts",
+      after = "10 minutes")
+    val q = joined.select("imp_id", "click_id").writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/cp")
+      .format("parquet").option("path", s"$dir/out")
+      .start()
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(s"$dir/out")
+      .as[(String, String)].collect().toSet
+    // c1 4 min after i1, c2 3 min after i2; c3 is 35 min late, c4 has no imp
+    assert(got === Set(("i1", "c1"), ("i2", "c2")))
+    // equivalent batch join (qualified refs dodge the name ambiguity)
+    val impB = spark.read.parquet(s"$dir/imp")
+    val clickB = spark.read.parquet(s"$dir/click")
+    val batchGot = impB.join(clickB,
+        impB("uid") === clickB("uid") &&
+          clickB("click_ts") >= impB("imp_ts") &&
+          clickB("click_ts") <= impB("imp_ts") +
+            org.apache.spark.sql.functions.expr("INTERVAL 10 minutes"))
+      .select("imp_id", "click_id").as[(String, String)].collect().toSet
+    assert(got === batchGot)
+  }
+
+  test("interval join refuses non-streaming inputs and ambiguous columns") {
+    val b = Seq((1L, ts0, "x")).toDF("uid", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      StreamingJoin.intervalJoin(b, b, "uid", "ts", "ts")
+    }
+    assert(e.getMessage.contains("streaming"))
+  }
+
+  private lazy val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
   test("streaming CDC apply: foreachBatch folds micro-batches into a versioned snapshot") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_scdc").toString
