@@ -554,6 +554,28 @@ object SparkEntry {
           (abs(col("approx_parts") - col("exact_parts")) /
             col("exact_parts") <= 0.05).as("within_5pct"))),
 
+    // count-min sketch: frequency estimates for every corpus token,
+    // gated by the sketch's structural guarantees (never underestimates;
+    // within the eps·N bound) against exact relational counts — the a01
+    // pattern. The sketch is ONE collected row embedded as a literal and
+    // probed by a reference-cached kernel (the b01 literal-probe shape).
+    "a04_count_min" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+          explode(split(graft.operators.Dedup.normalized(col("text")), " "))
+            .as("token"))
+        .filter(length(col("token")) > 0)
+      val sketch = toks
+        .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val est = GraftFunctions.cms_estimate(lit(sketch), col("token"))
+      val total = toks.count()
+      val bound = math.max(1L, math.ceil(0.001 * total).toLong)
+      toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .select(col("token"), col("n"),
+          (est >= col("n")).as("overestimates"),
+          (est <= col("n") + lit(bound)).as("within_bound"))
+    }),
+
     // scalar array-function surface (construct/sort/fold/position) — array
     // OUTPUTS are avoided (engine list renderings differ); every result is
     // a scalar both engines agree on bit-for-bit
@@ -1959,6 +1981,12 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
                 TRUE AS within_5pct
          FROM lineitem GROUP BY l_returnflag""",
+    "a04_count_min" ->
+      """WITH tok AS (
+           SELECT UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents)
+         SELECT token, COUNT(*) AS n, TRUE AS overestimates, TRUE AS within_bound
+         FROM tok WHERE length(token) > 0 GROUP BY token""",
     "a02_approx_quantiles" ->
       """SELECT o_orderpriority,
                 ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,

@@ -114,6 +114,38 @@ object Mix64 {
   * Mismatched dimensions yield null (ADVICE r1: a truncated dot product
   * would be a silent-wrong cosine).
   */
+/** Probe a serialized Spark `CountMinSketch` (the binary produced by the
+  * built-in `count_min_sketch` aggregate) for a key's estimated count.
+  * The sketch is expected to be a plan-time literal (the b01 pattern —
+  * one bounded collected row, never a per-row join column), so the
+  * deserialized sketch is cached by array reference and re-read only
+  * when the bytes object changes. String keys probe by their UTF-8
+  * bytes, matching the aggregate's add path; integral keys by value.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedSketch: org.apache.spark.util.sketch.CountMinSketch = _
+  override protected def nullSafeEval(s: Any, k: Any): Any = {
+    val bytes = s.asInstanceOf[Array[Byte]]
+    if (!(bytes eq cachedBytes)) {
+      cachedSketch = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      cachedBytes = bytes
+    }
+    k match {
+      case u: UTF8String => cachedSketch.estimateCount(u.toString)
+      case other => cachedSketch.estimateCount(other)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cms_estimate"
+}
+
 /** Per-window unsigned-byte sums of a binary column (window size fixed at
   * plan time) — the audio-loudness stub kernel, codegen'd.
   */
@@ -214,6 +246,8 @@ object GraftFunctions {
       Bridge.expression(b.cast("long")), bits))
   def byte_window_energies(c: Column, w: Int): Column = Bridge.column(
     ByteWindowEnergies(Bridge.expression(c), w))
+  def cms_estimate(sketch: Column, key: Column): Column = Bridge.column(
+    CmsEstimate(Bridge.expression(sketch), Bridge.expression(key)))
   def shingle_hashes(c: Column, k: Int, word: Boolean = false,
       distinct: Boolean = true): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))

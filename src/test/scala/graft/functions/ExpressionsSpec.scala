@@ -97,6 +97,28 @@ class ExpressionsSpec extends SparkTestBase {
     assert(multi.head === multi(2)) // same word, same hash
   }
 
+  test("CmsEstimate probes the built-in count_min_sketch; never underestimates") {
+    import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
+    val words = (1 to 400).map(i => s"w${i % 25}") // 25 keys, 16 each
+    val df = words.toDF("w")
+    val sketch = df.agg(expr("count_min_sketch(w, 0.01d, 0.99d, 7)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val got = df.groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("w"), col("n"),
+        GraftFunctions.cms_estimate(lit(sketch), col("w")).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 25)
+    got.foreach { case (w, n, est) =>
+      assert(est >= n, s"$w underestimated: $est < $n")
+      assert(est <= n + 4, s"$w drifted: $est vs $n") // eps*N = 4
+    }
+    // absent key estimates stay within the additive bound of zero
+    val miss = df.limit(1)
+      .select(GraftFunctions.cms_estimate(lit(sketch), lit("absent-key")))
+      .as[Long].head()
+    assert(miss >= 0L && miss <= 4L)
+  }
+
   test("HllSketch estimates distinct counts within HLL error bounds") {
     // 50k longs with 20k distinct
     val est = spark.range(50000).selectExpr("id % 20000 AS v")
