@@ -294,6 +294,73 @@ object Similarity {
           .cast(org.apache.spark.sql.types.DecimalType(28, 10))).cast("double") /
           count(lit(1))).as("centroid"))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space, compare vectors only WITHIN a cluster,
+    * and drop every vector that has a smaller-id cluster-mate with cosine
+    * ≥ `threshold`. Exact/near copies whose text differs (paraphrases,
+    * boilerplate variants) collapse to one representative — the smallest
+    * id, so the choice is deterministic and idempotent.
+    *
+    * Centroids are the `numClusters` smallest-id corpus vectors — a
+    * bounded driver-side collect (same sanction as the IVF centroid
+    * sample) that makes the whole operator reproducible run-to-run and
+    * oracle-checkable end to end (a k-means model would be better
+    * centroids but is not exactly replayable outside the engine; swap in
+    * [[kmeans]] output when gate-exactness is not required).
+    *
+    * Scale shape: assignment is a MAP-ONLY expression over centroid
+    * literals (no shuffle, no crossjoin); the within-cluster self-join is
+    * SKINNY — only (cluster, id) rows shuffle, vectors re-join BY ID so
+    * payloads cross the wire once per side, not per pair; clusters above
+    * `maxClusterSize` are exempted from pairing by the standard skew
+    * guard ([[Dedup.capBuckets]], observe-reported) — their members are
+    * conservatively KEPT, never silently dropped.
+    *
+    * Output: one row per input vector: (idCol, cluster, dup_of, keep)
+    * where `dup_of` = smallest qualifying cluster-mate id (null ⇔ keep).
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int = 16, threshold: Double = 0.95,
+      maxClusterSize: Int = 10000): DataFrame = {
+    require(numClusters >= 1, "need at least one cluster")
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .orderBy(col(idCol)).limit(numClusters)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
+    // argmax of cosine with smallest-cid tie-break: greatest() over
+    // (sim, -cid) structs picks max sim then max(-cid) = min cid
+    def nearestCentroid(vec: Column): Column =
+      if (centroids.length <= 1) lit(0)
+      else {
+        val scored = centroids.map { case (i, c) =>
+          struct(cosine(vec, typedLit(c)).as("sim"), lit(-i).as("negcid"))
+        }
+        (-greatest(scored.toIndexedSeq: _*).getField("negcid")).cast("int")
+      }
+    val assigned = corpus.select(
+      col(idCol), nearestCentroid(col(vecCol)).as("cluster"))
+    val capped = Dedup.capBuckets(assigned, Seq("cluster"),
+      maxClusterSize, "semdedup_skew_guard")
+    val a = capped.select(col("cluster"), col(idCol).as("idA"))
+    val b = capped.select(col("cluster"), col(idCol).as("idB"))
+    val candidates = a.join(b, Seq("cluster"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val dups = candidates
+      .join(vecs.select(col(idCol).as("idA"), col(vecCol).as("__va")), "idA")
+      .join(vecs.select(col(idCol).as("idB"), col(vecCol).as("__vb")), "idB")
+      .select(col("idA"), col("idB"), cosine(col("__va"), col("__vb")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("idB").as(idCol))
+      .agg(min(col("idA")).as("dup_of"))
+    assigned.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** k-nearest-neighbor majority-vote classification of `queries` against
     * a labeled corpus: top-k by cosine (bounded-heap ranked, same engine
     * as [[bruteForceTopK]]), then one vote per neighbor, winner = most

@@ -239,4 +239,39 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect().head
     assert(tied === ((200L, 5, 1L)))
   }
+
+  test("semanticDedup: scaled copies collapse onto the smallest id; distinct vectors survive") {
+    // two well-separated directions: e0-ish ids {1,2,3}, e1-ish ids {4,5}.
+    // 2 and 3 are exact scalings of 1 (cosine exactly 1.0); 5 is a scaling
+    // of 4. Centroids (2 smallest ids: 1, 2) both point e0-ward, but the
+    // e1 vectors still pair with each other wherever they land together.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.5f, 0.0f)),
+      (4L, Array(0.0f, 1.0f)),
+      (5L, Array(0.0f, 4.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+        numClusters = 2, threshold = 0.999)
+      .select("vec_id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((None, true)))
+    assert(got(2L) === ((Some(1L), false)))
+    assert(got(3L) === ((Some(1L), false)))
+    assert(got(4L) === ((None, true)))
+    assert(got(5L) === ((Some(4L), false)))
+  }
+
+  test("semanticDedup: over-cap clusters are exempted from pairing, members kept") {
+    // all five vectors are mutual duplicates in one cluster; with the skew
+    // guard capping clusters at 3 the pairing is skipped and every row is
+    // conservatively kept (never silently dropped)
+    val df = (1L to 5L).map(i => (i, Array(i.toFloat, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+        numClusters = 1, threshold = 0.999, maxClusterSize = 3)
+    assert(got.count() === 5L)
+    assert(got.filter($"keep").count() === 5L)
+  }
 }
