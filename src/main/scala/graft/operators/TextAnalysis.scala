@@ -576,6 +576,111 @@ object TextAnalysis {
         sum(when(col("__rank").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Bigram language-model quality score — the classic perplexity-proxy
+    * pre-training filter (KenLM-style scoring, here an add-one-smoothed
+    * bigram model fit on the corpus itself): each document's score is the
+    * mean log-probability of its word bigrams,
+    * `avg over (w1,w2) of ln((c(w1,w2)+1) / (c(w1·)+V))`,
+    * where `c(w1,w2)` is the corpus bigram count, `c(w1·)` the count of
+    * `w1` as a context, and `V` the corpus vocabulary size. Fluent,
+    * corpus-typical text scores high; gibberish and wrong-language text
+    * score low. Output: (idCol, n_bigrams, avg_logp); documents with
+    * fewer than two tokens have no bigrams and are absent.
+    *
+    * Determinism contract: each bigram's log-prob is rounded to 4 places
+    * and summed in DECIMAL — a raw double sum would make the score depend
+    * on partition order, and libm `ln` ulp drift across engines dies in
+    * the rounding (the t07 tfidf precedent). The final mean divides the
+    * exact decimal sum in double (exact: the sum fits 2^53 at this
+    * scale) and rounds to 6.
+    *
+    * Scale shape: the model IS two hash aggregates (bigram counts keyed
+    * on the gram, context counts keyed on the first word — both map-side
+    * combined into vocabulary-bounded key spaces, the tfIdf shuffle
+    * shape); scoring re-joins each doc's grams to the model on those
+    * same keys, and only the per-doc (id, logp) rows shuffle into the
+    * final aggregate. No driver-side model, no broadcast of anything
+    * corpus-sized (V rides along as a one-row broadcast).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def words(c: Column): Column =
+      filter(split(Dedup.normalized(c), " "), w => length(w) > 0)
+    val ws = words(col(textCol))
+    val n = size(ws)
+    val bigrams = when(n >= 2,
+      zip_with(slice(ws, lit(1), greatest(n - 1, lit(1))),
+        slice(ws, lit(2), greatest(n - 1, lit(1))),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg"))))
+      .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+    val docBigrams = df.select(col(idCol), explode(bigrams).as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.bg").as("__bg"))
+    val bigramCounts = docBigrams.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val contextCounts = docBigrams.groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val vocab = df.select(explode(words(col(textCol))).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    docBigrams
+      .join(bigramCounts, "__bg")
+      .join(contextCounts, "__w1")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round(log((col("__cb") + 1).cast("double") /
+          (col("__cu") + col("__v")).cast("double")), 4).cast(dec).as("__logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__logp")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
+  /** Bottom-k-by-hash sample per stratum — the KMV (k-minimum-values)
+    * sketch: the k smallest content hashes of each stratum are BOTH a
+    * deterministic uniform-without-replacement sample (hash order is
+    * content-keyed, so the sample replays across runs, retries, and
+    * engines — same property as [[deterministicSample]]) AND a distinct
+    * estimator: `est = (k-1)·R / h_k` for a hash range R (Bar-Yossef et
+    * al. 2002). Strata with fewer than k rows report their exact count.
+    *
+    * Hashes live in [0, 2^40): exactly representable in the top-k
+    * aggregate's double scores, so heap ordering is bit-identical to
+    * exact integer ordering (a full 63-bit hash would alias above 2^53
+    * and could disagree with an exact-arithmetic oracle at the boundary).
+    *
+    * Scale shape: ONE hash aggregate — the bounded heap carries k entries
+    * per stratum per map partition, never a per-stratum sort; the output
+    * is strata × k rows. Ties break by id, so the sample is total-ordered
+    * and reproducible.
+    *
+    * Output: one row per kept doc: (stratumCol, rank, idCol, h, n_rows,
+    * est_distinct).
+    */
+  def bottomKSample(df: DataFrame, stratumCol: String, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    import graft.functions.GraftFunctions
+    val R = 1L << 40
+    val hashed = df.select(col(stratumCol), col(idCol),
+      pmod(fingerprint(col(textCol)), lit(R)).as("__h"))
+    hashed.groupBy(col(stratumCol))
+      .agg(
+        GraftFunctions.top_k_by((-col("__h")).cast("double"), col(idCol), k)
+          .as("__bot"),
+        count(lit(1)).as("n_rows"))
+      // entries are (score DESC, id ASC) = ascending h; the last is h_k
+      .withColumn("__hk",
+        (-element_at(col("__bot"), size(col("__bot"))).getField("score"))
+          .cast("long"))
+      .withColumn("est_distinct",
+        when(col("n_rows") >= k,
+          round(lit((k - 1).toDouble) * lit(R.toDouble) /
+            col("__hk").cast("double"), 3))
+          .otherwise(col("n_rows").cast("double")))
+      .select(col(stratumCol), col("n_rows"), col("est_distinct"),
+        posexplode(col("__bot")).as(Seq("__p", "__e")))
+      .select(col(stratumCol), (col("__p") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol), (-col("__e.score")).cast("long").as("h"),
+        col("n_rows"), col("est_distinct"))
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))

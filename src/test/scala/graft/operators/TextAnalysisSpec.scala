@@ -364,4 +364,57 @@ class TextAnalysisSpec extends SparkTestBase {
     // the point of the score: target-like docs outrank pool-like docs
     assert(got(1L) > got(3L) && got(2L) > got(3L))
   }
+
+  test("bigramLmScore: hand-computed add-one bigram log-probs") {
+    // corpus: "a b a b", "a b", "solo" → c(a b)=3, c(b a)=1, contexts
+    // c(a·)=3, c(b·)=1, V=3 (a, b, solo — the bigram-less doc still feeds
+    // the vocabulary). logp(a b)=round(ln(4/6),4)=-0.4055,
+    // logp(b a)=round(ln(2/4),4)=-0.6931
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "solo")) // one token → no bigrams → absent from output
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - (-0.501367)) < 1e-9) // (2·-0.4055 + -0.6931)/3
+    assert(got(2L) === ((1L, -0.4055)))
+  }
+
+  test("bottomKSample: KMV keeps the k smallest hashes; small strata report exact counts") {
+    val docs = ((1L to 20L).map(i => (i, s"text body $i", "en")) ++
+      (26L to 30L).map(i => (i, s"text body $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bottomKSample(docs, "lang", "doc_id", "text", k = 8)
+      .as[(String, Int, Long, Long, Long, Double)].collect()
+    val en = got.filter(_._1 == "en").sortBy(_._2)
+    assert(en.length === 8)
+    assert(en.map(_._2).toSeq === (1 to 8)) // dense ranks
+    assert(en.map(_._4).toSeq === en.map(_._4).sorted.toSeq) // h ascending
+    // the kept set IS the bottom-8 of the exact per-doc hashes
+    val brute = docs.filter($"lang" === "en")
+      .select($"doc_id", pmod(TextAnalysis.fingerprint($"text"), lit(1L << 40)))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1)).take(8)
+    assert(en.map(r => (r._3, r._4)).toSeq === brute.map(r => (r._1, r._2)).toSeq)
+    // estimator: full stratum uses (k-1)·R/h_k …
+    val hk = en.last._4
+    assert(math.abs(en.head._6 -
+      math.rint(7.0 * (1L << 40).toDouble / hk * 1000) / 1000) < 1e-9)
+    // … under-full stratum reports its exact count
+    val de = got.filter(_._1 == "de")
+    assert(de.length === 5)
+    assert(de.forall(r => r._5 === 5L && r._6 === 5.0))
+  }
+
+  test("bigramLmScore: corpus-typical text outscores shuffled gibberish") {
+    val fluent = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val odd = Seq((100L, "mat the on sat cat the"))
+    val got = TextAnalysis.bigramLmScore(
+        (fluent ++ odd).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) > got(100L))
+  }
 }
