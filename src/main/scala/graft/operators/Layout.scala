@@ -67,4 +67,38 @@ object Layout {
       else keyed.repartitionByRange(col("zkey"))
     parted.sortWithinPartitions("zkey")
   }
+
+  /** Deterministic training-shard layout — the "global shuffle + shard"
+    * step that turns a curated corpus into training files: every row gets
+    * a `shard` in [0, numShards) and a dense `pos_in_shard` rank, both
+    * pure functions of the row's `shardKey` (pass a content hash, e.g.
+    * [[TextAnalysis.fingerprint]]). A hash order is statistically
+    * indistinguishable from a uniform random permutation but reproducible
+    * across runs, retries, and cluster layouts — the property a training
+    * run needs to resume mid-epoch or re-derive any shard independently
+    * (`rand()`-based shuffles lose it on every retry). Hash sharding
+    * balances shards to O(√(n/shards)) deviation without the global
+    * total-order pass an exactly-equal split would force.
+    *
+    * Scale shape: ONE shuffle keyed on `shard`, then a per-shard sort for
+    * the rank — shards sort in parallel, there is no global window. Each
+    * shard must fit a task's sort budget (spillable), so size `numShards`
+    * to the corpus: at 100 TB pick thousands of shards, which is what
+    * training-data layouts do anyway. Writing follows the same key:
+    * `.write.partitionBy("shard")` emits one directory per shard already
+    * in `pos_in_shard` order.
+    *
+    * Ties on `shardKey` (duplicate texts) break by `idCol`, so the
+    * layout is total and deterministic.
+    */
+  def shardBy(df: DataFrame, idCol: String, shardKey: org.apache.spark.sql.Column,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, "need at least one shard")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__skey", shardKey)
+      .withColumn("shard", pmod(col("__skey"), lit(numShards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__skey"), col(idCol))
+    keyed.withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+      .drop("__skey")
+  }
 }

@@ -51,4 +51,30 @@ class LayoutSpec extends SparkTestBase {
     // bits land on odd positions: 7 -> 2+8+32, 15 -> 2+8+32+128
     assert(got === Map(0L -> 0L, 1L -> 42L, 2L -> 170L))
   }
+
+  test("shardBy: balanced deterministic shards with dense in-shard ranks") {
+    val df = (0L until 100L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    def run() = Layout.shardBy(df, "doc_id",
+        TextAnalysis.fingerprint(col("text")), numShards = 4)
+      .select("doc_id", "shard", "pos_in_shard")
+      .as[(Long, Int, Long)].collect()
+    val rows = run()
+    assert(rows.length === 100)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 4))
+    // ranks are dense 0..n-1 within every shard
+    rows.groupBy(_._2).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length).toSeq)
+    }
+    // hash sharding balances: no shard is empty at 100 rows / 4 shards
+    assert(rows.groupBy(_._2).size === 4)
+    // reproducible: a rerun yields the identical layout
+    assert(run().toSet === rows.toSet)
+    // duplicate texts tie-break by id: same shard, adjacent deterministic order
+    val dup = Seq((1L, "same"), (2L, "same"), (3L, "same")).toDF("doc_id", "text")
+    val d = Layout.shardBy(dup, "doc_id",
+        TextAnalysis.fingerprint(col("text")), numShards = 2)
+      .select("doc_id", "pos_in_shard").as[(Long, Long)].collect().sortBy(_._1)
+    assert(d.map(_._2).toSeq === d.map(_._2).sorted.toSeq)
+  }
 }
