@@ -129,4 +129,42 @@ object Cdc {
       .filter(col("__rank") =!= lit(0))
       .drop(opCol, "__rank")
   }
+
+  /** Snapshot diff — generate the change log between two keyed snapshots
+    * (the inverse of [[applyCdc]]): a key present only in `after` emits
+    * an insert `I` with the after-image, present only in `before` a
+    * delete `D` with the before-image, present in both with ANY payload
+    * column differing an update `U` with the after-image; identical rows
+    * emit nothing. Comparison is null-safe (`<=>` — null equals null is
+    * "unchanged"). Invariant: `applyCdc(before, diff)` reproduces
+    * `after` (modulo the delete rows' payload, which applyCdc discards).
+    *
+    * Shape: ONE full-outer join on the key columns, classification and
+    * image selection are map-side expressions over the joined row — the
+    * minimum work a keyed diff can do; both snapshots shuffle exactly
+    * once on the PK (co-partitioned/bucketed snapshots shuffle zero
+    * times).
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(before.columns.sorted.toSeq == after.columns.sorted.toSeq,
+      "snapshot schemas must match")
+    val payload = before.columns.filterNot(keyCols.contains)
+    val b = before.select(keyCols.map(col) ++
+      payload.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__in_b"): _*)
+    val a = after.select(keyCols.map(col) ++
+      payload.map(c => col(c).as(s"__a_$c")) :+ lit(true).as("__in_a"): _*)
+    val changed = payload.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, keyCols, "full_outer")
+      .withColumn(opCol,
+        when(col("__in_b").isNull, "I")
+          .when(col("__in_a").isNull, "D")
+          .when(changed, "U"))
+      .filter(col(opCol).isNotNull)
+      .select(keyCols.map(col) ++ payload.map(c =>
+        when(col(opCol) === "D", col(s"__b_$c"))
+          .otherwise(col(s"__a_$c")).as(c)) :+ col(opCol): _*)
+  }
 }

@@ -123,4 +123,39 @@ class CdcSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("bal"))
   }
+
+  test("snapshotDiff classifies I/U/D, null-safely, and skips identical rows") {
+    val before = Seq(
+      (1L, "a", Some(1.0)), // unchanged → absent
+      (2L, "b", Some(2.0)), // payload update
+      (3L, "c", None),      // null → value update
+      (4L, "d", Some(4.0))) // deleted
+      .toDF("k", "name", "bal")
+    val after = Seq(
+      (1L, "a", Some(1.0)),
+      (2L, "b", Some(2.5)),
+      (3L, "c", Some(3.0)),
+      (5L, "e", None))      // inserted, null payload
+      .toDF("k", "name", "bal")
+    val got = Cdc.snapshotDiff(before, after, Seq("k"))
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    assert(got === Set(
+      (2L, "b", Some(2.5), "U"),
+      (3L, "c", Some(3.0), "U"),
+      (4L, "d", Some(4.0), "D"),
+      (5L, "e", None, "I")))
+  }
+
+  test("snapshotDiff round-trips: applyCdc(before, diff) reproduces after") {
+    val before = (1L to 50L).map(k => (k, s"n$k", k * 1.0)).toDF("k", "name", "bal")
+    val after = (1L to 50L).filter(_ % 7 != 0)
+      .map(k => (k, s"n$k", if (k % 5 == 0) k * 1.0 + 9 else k * 1.0))
+      .toDF("k", "name", "bal")
+      .unionByName(Seq((999L, "new", 0.5)).toDF("k", "name", "bal"))
+    val diff = Cdc.snapshotDiff(before, after, Seq("k"))
+      .withColumn("ver", lit(1L))
+    val rebuilt = Cdc.applyCdc(before, diff, Seq("k"), "ver", "op")
+      .as[(Long, String, Double)].collect().toSet
+    assert(rebuilt === after.as[(Long, String, Double)].collect().toSet)
+  }
 }
