@@ -147,4 +147,42 @@ object Multimodal {
       posexplode(graft.functions.GraftFunctions.byte_window_energies(
         col("content"), windowBytes)).as(Seq("window_no", "energy")))
   }
+
+  /** Frame-digest near-duplicate pairs — the media analogue of n-gram
+    * containment dedup: two payloads are near-dups when they share at
+    * least `minShared` of their `n` frame digests (re-encodes, trailing
+    * edits, and container changes leave most frames bit-identical; a real
+    * pipeline swaps the byte digest for a perceptual frame hash, keeping
+    * the same pair-join shape). Empty frames (payload shorter than the
+    * frame grid) are discarded — they carry no signal and their shared
+    * digest would otherwise pair every short payload with every other.
+    *
+    * Scale shape: payload bytes never shuffle — each frame collapses to
+    * its 16-byte digest map-side, the self-join is skinny
+    * (digest, media_id), and the pair count is a hash aggregate. Digest
+    * groups above `maxDigestGroup` are dropped by the standard skew
+    * guard (boilerplate frames shared by millions of payloads would
+    * otherwise quadratically explode the join; observe-reported like the
+    * LSH guards).
+    *
+    * Output: (idA, idB, n_shared) with idA < idB.
+    */
+  def frameNearDupPairs(media: DataFrame, n: Int = 4, minShared: Int = 3,
+      maxDigestGroup: Int = 10000): DataFrame = {
+    require(n >= 1 && minShared >= 1, "need at least one frame and one match")
+    val frames = frameSample(media, n)
+      .filter(length(col("frame_bytes")) > 0)
+      // digest of the hex encoding (not the raw bytes) so the exact same
+      // digest is computable by engines whose md5 is string-only
+      .select(col("media_id"), md5(hex(col("frame_bytes"))).as("__d"))
+      .distinct()
+    val capped = Dedup.capBuckets(frames, Seq("__d"),
+      maxDigestGroup, "frame_digest_skew_guard")
+    val a = capped.select(col("__d"), col("media_id").as("idA"))
+    val b = capped.select(col("__d"), col("media_id").as("idB"))
+    a.join(b, Seq("__d"))
+      .filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -59,4 +59,31 @@ class MultimodalSpec extends SparkTestBase {
     // exact partition of the total
     assert(got(1L).sum === s("abcd") * 5)
   }
+
+  test("frameNearDupPairs: trailing edit keeps 3 of 4 frames shared; disjoint payloads never pair") {
+    // 40-byte payloads → four DISTINCT 10-byte frames; doc 2 differs from
+    // doc 1 only in the last byte, doc 3 is unrelated
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789!@#$"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(1) + "X"),
+      (3L, "ABCDEFGHIJKLMNOPQRSTUVWXYZ9876543210%^&*")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+    val got = Multimodal.frameNearDupPairs(media, n = 4, minShared = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 3L)))
+  }
+
+  test("frameNearDupPairs: skew guard exempts over-cap digest groups instead of exploding") {
+    // 20 identical payloads share every frame digest: group size 20 over
+    // the cap → pairing skipped, zero pairs (conservative, observe-reported)
+    val docs = (1L to 20L).map(i => (i, "same payload text here")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+    val capped = Multimodal.frameNearDupPairs(media, n = 4, minShared = 1,
+      maxDigestGroup = 10)
+    assert(capped.count() === 0L)
+    val uncapped = Multimodal.frameNearDupPairs(media, n = 4, minShared = 1,
+      maxDigestGroup = 100)
+    assert(uncapped.count() === 190L) // all 20·19/2 pairs
+  }
 }
