@@ -220,6 +220,28 @@ class MemDbSpec extends SparkTestBase {
       Set("alpha beta", "gamma"))
   }
 
+  test("cross-format migration: JSONL corpus round trip with filters and derived columns") {
+    // line-delimited JSON is the lingua franca of LLM-corpus interchange;
+    // Spark's `json` format IS JSONL, so reads/writes flow through the
+    // same planner path as any table
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Seq((1L, "keep one", "en"), (2L, "drop", "de"), (3L, "keep two", "en"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.json(s"$dir/src/docs.json")
+    val cfg = MigrationConfig(
+      TableRef(format = "json", path = s"$dir/src"),
+      TableRef(format = "json", path = s"$dir/tgt"), Nil)
+    val r = graft.pipeline.MigrationPlanner.execute(spark, cfg,
+      TableMigrationDef("docs",
+        filters = Seq(FieldValueFilter("row.lang == 'en'")),
+        calculatedColumns = Seq(CalculatedColumn("n_chars", "row.text.length()")),
+        simulateOnly = false))
+    assert(r.rowsMigrated === 2L)
+    val got = spark.read.json(s"$dir/tgt/docs.json")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 8L, 3L -> 8L))
+  }
+
   test("strict LWT sink: intra-DataFrame duplicate PKs race to one winner") {
     InMemoryLwtStore.drop("lwt_dup")
     // every PK appears twice across partitions — exactly one application each
