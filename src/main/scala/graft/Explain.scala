@@ -17,7 +17,10 @@ object Explain {
         "j05_asof_join", "j06_range_join", "b01_bloom_decontaminate",
         "s07_label_centroids", "s08_knn_classify", "t18_apply_mixture",
         "d07_span_dedup", "z01_zorder_layout", "t19_importance",
-        "c02_scd2_history", "c03_apply_cdc", "g04_grouping_sets")
+        "c02_scd2_history", "c03_apply_cdc", "g04_grouping_sets",
+        "s09_semantic_dedup", "t21_bigram_lm", "z02_shard_layout",
+        "m05_frame_neardup", "c04_snapshot_diff", "a05_bottomk_sample",
+        "w05_range_window")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")

@@ -406,6 +406,44 @@ object SparkEntry {
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"))
     }),
 
+    // full cube: all 2^k grouping combinations in one pass (completes the
+    // rollup / grouping-sets / cube family)
+    "g05_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"))),
+
+    // RANGE frames: the frame is a VALUE interval (peers included), not a
+    // row count — integer ordering keys keep the boundary exact in both
+    // engines; the long sum needs no decimal routing
+    "w05_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .withColumn("price_int", floor(col("o_totalprice")).cast("long"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("price_int"))
+        .rangeBetween(-500L, 0L)
+      o.select(col("o_orderkey"), col("o_custkey"), col("price_int"),
+        count(lit(1)).over(w).as("n_within"),
+        sum(col("price_int")).over(w).as("sum_within"))
+    }),
+
+    // value-window family: first/last/nth over explicit row frames — the
+    // running-frame last_value is each partition's "latest so far"
+    "w04_value_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRun = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        first("o_orderdate").over(wAll).cast("date").as("first_date"),
+        last("o_orderdate").over(wAll).cast("date").as("last_date"),
+        nth_value(col("o_totalprice"), 2).over(wAll).as("second_price"),
+        last("o_totalprice").over(wRun).as("price_so_far"))
+    }),
+
     // ranking window family: ntile buckets, percent_rank, cume_dist —
     // integer-ratio doubles of identical ints are bit-stable cross-engine
     "w03_rank_family" -> ((s, dir) => {
@@ -425,6 +463,14 @@ object SparkEntry {
       Layout.zorderKey(t(s, dir, "orders"), "o_custkey", "o_orderkey",
         bits = 10).select("o_orderkey", "zkey")
     }),
+
+    // deterministic global shuffle + balanced training shards: shard and
+    // in-shard rank are pure functions of the content fingerprint, so the
+    // layout replays bit-identically across runs and engines
+    "z02_shard_layout" -> ((s, dir) =>
+      Layout.shardBy(t(s, dir, "documents"), "doc_id",
+          TextAnalysis.fingerprint(col("text")), numShards = 8)
+        .select("doc_id", "shard", "pos_in_shard")),
 
     // lag/lead + running total (DECIMAL-routed so window accumulation
     // strategy differences can't perturb the double)
@@ -553,6 +599,13 @@ object SparkEntry {
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")) /
             col("exact_parts") <= 0.05).as("within_5pct"))),
+
+    // KMV bottom-k sketch: per-language deterministic sample + distinct
+    // estimator, exactly replayable (40-bit hashes are double-exact in
+    // the heap, so engine ordering == the oracle's integer ordering)
+    "a05_bottomk_sample" -> ((s, dir) =>
+      TextAnalysis.bottomKSample(t(s, dir, "documents"), "lang", "doc_id",
+        "text", k = 8)),
 
     // count-min sketch: frequency estimates for every corpus token,
     // gated by the sketch's structural guarantees (never underestimates;
@@ -752,6 +805,19 @@ object SparkEntry {
         "query_id", "embedding", "label", k = 10)
     }),
 
+    // SemDeDup-style semantic dedup: planted ×2-scaled copies (exact
+    // power-of-2 scaling — cosine with the source is EXACTLY 1.0 and every
+    // centroid comparison is bit-identical, so the copy provably lands in
+    // the source's cluster and collapses onto it)
+    "s09_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.semanticDedup(emb.unionByName(planted), "vec_id", "embedding",
+        numClusters = 16, threshold = 0.999)
+    }),
+
     // ------------------------------------------ LLM pipeline: text analysis
     "t01_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -885,6 +951,12 @@ object SparkEntry {
       TextAnalysis.encodeTokens(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 20)),
 
+    // bigram-LM quality: add-one-smoothed corpus bigram model, per-doc
+    // mean log-prob (per-gram logs rounded to 4 then DECIMAL-summed, so
+    // the score is partition-order- and engine-exact)
+    "t21_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")),
+
     // corpus heavy hitters: top-20 tokens by frequency — hash agg for the
     // counts, bounded-heap top-k for the ranking (never a global sort of
     // the vocabulary)
@@ -991,6 +1063,38 @@ object SparkEntry {
       Multimodal.frameSample(media, n = 4)
         .select(col("media_id"), col("frame_no"),
           length(col("frame_bytes")).as("frame_len"))
+    }),
+
+    // media near-dup by shared frame digests: planted copies differ only
+    // in their final character, so (for 1-byte tails) frames 0..2 stay
+    // bit-identical and the pair surfaces with n_shared >= 3; multi-byte
+    // tails shift the frame grid and the pair drops out — in BOTH engines,
+    // since the oracle replays the byte-exact pipeline
+    "m05_frame_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+      val planted = Multimodal.fromText(
+        docs.filter(col("doc_id") % 25 === 0 && length(col("text")) >= 1)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(expr("substr(text, 1, length(text) - 1)"), lit("X")).as("text")),
+        "doc_id", "text", "video")
+      Multimodal.frameNearDupPairs(media.unionByName(planted),
+        n = 4, minShared = 3)
+    }),
+
+    // snapshot diff: regenerate the change log between two keyed
+    // snapshots — deletes for %7 keys, acctbal updates for %5 keys,
+    // inserts for offset copies of %100 keys; identical rows emit nothing
+    "c04_snapshot_diff" -> ((s, dir) => {
+      val before = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val after = before.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(before.filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      Cdc.snapshotDiff(before, after, Seq("c_custkey"))
     })
   )
 
@@ -1387,6 +1491,26 @@ object SparkEntry {
                   (((sa >> j) & 1) << (2 * j)) + (((sb >> j) & 1) << (2 * j + 1))))
                   AS BIGINT) AS zkey
          FROM s""",
+    // shard layout: the t04 fingerprint replay (base-31 mod-2^64 rolling
+    // hash in HUGEINT), pmod into 8 shards, dense rank within the shard
+    // ordered (hash, doc_id)
+    "z02_shard_layout" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, length(norm)+1),
+                            i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+                        (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
+                       + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+                       - 9223372036854775808::HUGEINT AS BIGINT) AS h
+           FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                 FROM documents))
+         SELECT doc_id,
+                CAST(((h % 8) + 8) % 8 AS INT) AS shard,
+                CAST(row_number() OVER (PARTITION BY ((h % 8) + 8) % 8
+                                        ORDER BY h, doc_id) - 1 AS BIGINT)
+                  AS pos_in_shard
+         FROM fp""",
     "c02_scd2_history" ->
       """SELECT user_id, event_id, event_type,
                 epoch_us(ts) AS valid_from,
@@ -1456,6 +1580,32 @@ object SparkEntry {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    "g05_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "w05_range_window" ->
+      """SELECT o_orderkey, o_custkey, price_int,
+                count(*) OVER w AS n_within,
+                CAST(sum(price_int) OVER w AS BIGINT) AS sum_within
+         FROM (SELECT o_orderkey, o_custkey,
+                      CAST(floor(o_totalprice) AS BIGINT) AS price_int
+               FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY price_int
+                      RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)""",
+    "w04_value_windows" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(first_value(o_orderdate) OVER wall AS DATE) AS first_date,
+                CAST(last_value(o_orderdate) OVER wall AS DATE) AS last_date,
+                nth_value(o_totalprice, 2) OVER wall AS second_price,
+                last_value(o_totalprice) OVER wrun AS price_so_far
+         FROM orders
+         WINDOW wall AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                wrun AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "w03_rank_family" ->
       """SELECT o_orderkey, o_custkey,
                 ntile(4) OVER w AS quartile,
@@ -1570,6 +1720,45 @@ object SparkEntry {
          SELECT query_id, label, votes FROM votes
          QUALIFY row_number() OVER (PARTITION BY query_id
                                     ORDER BY votes DESC, label ASC) = 1""",
+    // semantic dedup: centroids = 16 smallest-id vectors, assignment =
+    // argmax cosine (tie-break smallest centroid), drop = exists smaller-id
+    // cluster-mate with cosine >= 0.999. The ×2-scaled copies keep every
+    // double exact, so cluster routing and the 1.0 cosines replay bit-equal
+    "s09_semantic_dedup" ->
+      """WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+           FROM embeddings WHERE vec_id % 50 = 0),
+         cent AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS ce
+           FROM (SELECT vec_id, e FROM corpus ORDER BY vec_id LIMIT 16)),
+         sims AS (
+           SELECT a.vec_id, c.cid,
+                  list_dot_product(a.e, c.ce) /
+                  (sqrt(list_dot_product(a.e, a.e)) *
+                   sqrt(list_dot_product(c.ce, c.ce))) AS s
+           FROM corpus a CROSS JOIN cent c),
+         assign AS (
+           SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, cid ASC) AS rn
+             FROM sims) WHERE rn = 1),
+         pairs AS (
+           SELECT aa.vec_id AS ida, bb.vec_id AS idb,
+                  list_dot_product(va.e, vb.e) /
+                  (sqrt(list_dot_product(va.e, va.e)) *
+                   sqrt(list_dot_product(vb.e, vb.e))) AS s
+           FROM assign aa
+           JOIN assign bb ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+           JOIN corpus va ON va.vec_id = aa.vec_id
+           JOIN corpus vb ON vb.vec_id = bb.vec_id),
+         drops AS (
+           SELECT idb, MIN(ida) AS dup_of FROM pairs WHERE s >= 0.999 GROUP BY idb)
+         SELECT a.vec_id, a.cluster, d.dup_of, d.dup_of IS NULL AS keep
+         FROM assign a LEFT JOIN drops d ON a.vec_id = d.idb""",
     "t02_quality_score" -> t02QualitySql,
     // composed pre-training keep/drop chain: t01 + t02 + t12 signals
     // joined and thresholded — each fragment is the SAME SQL that gates
@@ -1618,6 +1807,35 @@ object SparkEntry {
                 string_agg(CAST(id AS VARCHAR), ' ' ORDER BY p) AS ids,
                 CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
          FROM enc GROUP BY doc_id""",
+    // bigram LM: same normalization as the engine; per-gram ln rounded to
+    // 4 places, DECIMAL(28,6) sum, double mean rounded to 6 — the rounding
+    // contract makes libm ulp drift irrelevant on both sides
+    "t21_bigram_lm" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  list_filter(string_split(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                    w -> length(w) > 0) AS ws
+           FROM documents),
+         docb AS (
+           SELECT doc_id, u.w1 AS w1, u.g AS g FROM (
+             SELECT doc_id, UNNEST(list_transform(range(1, len(ws)),
+                      i -> struct_pack(w1 := ws[CAST(i AS INT)],
+                                       g := ws[CAST(i AS INT)] || ' ' ||
+                                            ws[CAST(i + 1 AS INT)]))) AS u
+             FROM norm WHERE len(ws) >= 2)),
+         cb AS (SELECT g, count(*) AS cb FROM docb GROUP BY g),
+         cu AS (SELECT w1, count(*) AS cu FROM docb GROUP BY w1),
+         v AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT UNNEST(ws) AS w FROM norm)),
+         scored AS (
+           SELECT doc_id,
+                  CAST(round(ln(CAST(cb.cb + 1 AS DOUBLE) / (cu.cu + v.v)), 4)
+                       AS DECIMAL(28,6)) AS logp
+           FROM docb JOIN cb USING (g) JOIN cu USING (w1) CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+         FROM scored GROUP BY doc_id""",
     // MinHash pairs: the oracle computes TRUE all-pairs 5-gram Jaccard via
     // explode + equi-join + group-by (set-similarity in relational form —
     // pairs sharing no gram never materialize) and keeps >= 0.7. Spark's
@@ -1994,6 +2212,35 @@ object SparkEntry {
                 TRUE AS p50_in_bracket,
                 TRUE AS p95_in_bracket
          FROM orders GROUP BY o_orderpriority""",
+    // KMV bottom-k: the t04 fingerprint chain folded into [0, 2^40),
+    // rank by (h, doc_id), estimator (k-1)·R/h_k for full strata
+    "a05_bottomk_sample" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, length(norm)+1),
+                            i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+                        (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
+                       + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+                       - 9223372036854775808::HUGEINT AS BIGINT) AS f
+           FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                 FROM documents)),
+         h AS (
+           SELECT d.lang, f.doc_id,
+                  ((f.f % 1099511627776) + 1099511627776) % 1099511627776 AS h
+           FROM fp f JOIN documents d USING (doc_id)),
+         r AS (
+           SELECT lang, doc_id, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank,
+                  count(*) OVER (PARTITION BY lang) AS n_rows
+           FROM h),
+         kept AS (SELECT * FROM r WHERE rank <= 8),
+         hk AS (SELECT lang, max(h) AS hk FROM kept GROUP BY lang)
+         SELECT kept.lang, CAST(rank AS INT) AS rank, doc_id, h, n_rows,
+                CASE WHEN n_rows >= 8
+                     THEN round(7.0 * 1099511627776 / hk, 3)
+                     ELSE CAST(n_rows AS DOUBLE) END AS est_distinct
+         FROM kept JOIN hk ON kept.lang = hk.lang""",
     // the ANN planted-probe contract: every query finds its source vector
     // at rank 1 with cosine exactly 1.0 (see plantedQueries scaladoc)
     "s02_ann_lsh" ->
@@ -2116,6 +2363,58 @@ object SparkEntry {
                 CAST(LEAST(chunk, GREATEST(L - i * chunk, 0)) AS INT) AS frame_len
          FROM (SELECT doc_id AS media_id, octet_length(encode(text)) AS L,
                       greatest(CAST(ceil(octet_length(encode(text)) / 4.0) AS INT), 1) AS chunk
-               FROM documents), range(0, 4) t(i)"""
+               FROM documents), range(0, 4) t(i)""",
+    // frame near-dup: byte-exact replay of the frame grid; digests are
+    // md5 over the frames' hex encoding (DuckDB md5 is string-only, hex
+    // is uppercase in both engines)
+    "m05_frame_neardup" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  hex(encode(substr(text, 1, length(text) - 1) || 'X'))
+           FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 1),
+         sized AS (
+           -- byte-exact framing on the hex encoding: 2 hex chars per byte
+           SELECT media_id, hx,
+                  greatest(CAST(ceil((length(hx) / 2) / 4.0) AS INT), 1) AS chunk
+           FROM media),
+         fr AS (
+           SELECT media_id,
+                  substr(hx, CAST(i * chunk * 2 + 1 AS INT),
+                         CAST(chunk * 2 AS INT)) AS fhx
+           FROM sized, range(0, 4) t(i)),
+         fd AS (
+           SELECT DISTINCT media_id, md5(fhx) AS d
+           FROM fr WHERE length(fhx) > 0)
+         SELECT a.media_id AS idA, b2.media_id AS idB, count(*) AS n_shared
+         FROM fd a JOIN fd b2 ON a.d = b2.d AND a.media_id < b2.media_id
+         GROUP BY 1, 2
+         HAVING count(*) >= 3""",
+    // snapshot diff: one full-outer join, null-safe payload comparison;
+    // after-image for I/U, before-image for D
+    "c04_snapshot_diff" ->
+      """WITH before_s AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         after_s AS (
+           SELECT c_custkey, c_name,
+                  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                       ELSE c_acctbal END AS c_acctbal
+           FROM customer WHERE c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_name, c_acctbal
+           FROM customer WHERE c_custkey % 100 = 0),
+         j AS (
+           SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+                  CASE WHEN b.c_custkey IS NULL THEN 'I'
+                       WHEN a.c_custkey IS NULL THEN 'D'
+                       WHEN (b.c_name IS DISTINCT FROM a.c_name)
+                         OR (b.c_acctbal IS DISTINCT FROM a.c_acctbal) THEN 'U'
+                  END AS op,
+                  CASE WHEN a.c_custkey IS NULL THEN b.c_name
+                       ELSE a.c_name END AS c_name,
+                  CASE WHEN a.c_custkey IS NULL THEN b.c_acctbal
+                       ELSE a.c_acctbal END AS c_acctbal
+           FROM before_s b FULL OUTER JOIN after_s a ON b.c_custkey = a.c_custkey)
+         SELECT c_custkey, c_name, c_acctbal, op FROM j WHERE op IS NOT NULL"""
   )
 }

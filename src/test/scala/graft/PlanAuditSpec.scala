@@ -243,4 +243,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"join in the scoring plan:\n$p")
     assert(p.contains("shingle_hashes"), s"token-hash kernel missing:\n$p")
   }
+
+  test("s09 semantic dedup: map-only assignment, skinny guarded pair join, no cartesian") {
+    val p = plan("s09_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in semantic dedup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    assert(p.contains("CollectMetrics"), s"skew guard missing:\n$p")
+  }
+
+  test("z02 shard layout: per-shard windows, never one global sort") {
+    val p = plan("z02_shard_layout")
+    assert(p.contains("hashpartitioning(shard"),
+      s"window not partitioned by shard:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked into the shard layout:\n$p")
+  }
+
+  test("m05 frame near-dup: digests join skinny and guarded, payloads never join") {
+    val p = plan("m05_frame_neardup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in frame near-dup:\n$p")
+    assert(p.contains("CollectMetrics"), s"digest skew guard missing:\n$p")
+    // the self-join must carry digests, not frame payloads
+    assert(p.contains("__d"), s"digest key missing from the plan:\n$p")
+  }
+
+  test("c04 snapshot diff is ONE full-outer join, no window, no cartesian") {
+    val p = plan("c04_snapshot_diff")
+    assert(p.contains("FullOuter"), s"full-outer join missing:\n$p")
+    assert(!p.contains("Window"), s"window crept into the diff:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the diff:\n$p")
+  }
 }
