@@ -233,6 +233,55 @@ object Similarity {
     df.withColumn(outCol,
       transform(col(qCol), q => (q.cast("float") * col(scaleCol)).cast("float")))
 
+  /** Per-dimension standardization (z-score) of an embedding column —
+    * the feature-normalization step clustering/ANN pipelines run before
+    * distance computations so no dimension dominates by scale. Adds
+    * `<vec>_z` with `z_i = (v_i − mean_i) / std_i` (0 where a dimension
+    * is constant).
+    *
+    * Determinism contract: moments accumulate in DECIMAL(28,10) (the
+    * [[labelCentroids]] routing — float addition is partition-order
+    * dependent, decimal truncation is mirrored by the oracle), and the
+    * mean/std/z formulas are fixed double expressions both engines
+    * evaluate identically.
+    *
+    * Scale shape: ONE positional-explode hash aggregate (shuffle unit =
+    * `dim` rows of partial sums); the dim-bounded stats collect to
+    * literal arrays (the IVF-centroid sanction) so the apply pass is a
+    * MAP-ONLY indexed transform — no join, no second shuffle.
+    */
+  def standardizeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val stats = df
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("__pos")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("double").cast(dec)).cast("double").as("__sm"),
+        sum((col("__v").cast("double") * col("__v").cast("double")).cast(dec))
+          .cast("double").as("__sq"))
+      .collect()
+    require(stats.nonEmpty, "empty corpus has no dimension statistics")
+    val dim = stats.map(_.getInt(0)).max + 1
+    val means = new Array[Double](dim)
+    val stds = new Array[Double](dim)
+    stats.foreach { r =>
+      val (n, sm, sq) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      means(r.getInt(0)) = sm / n
+      stds(r.getInt(0)) = math.sqrt((sq - sm * sm / n) / n)
+    }
+    val mArr = typedLit(means.toSeq)
+    val sArr = typedLit(stds.toSeq)
+    df.withColumn(s"${vecCol}_z",
+      zip_with(col(vecCol),
+        sequence(lit(0), lit(dim - 1)),
+        (x, i) => {
+          val sd = element_at(sArr, i + 1)
+          when(sd > 0d,
+            (x.cast("double") - element_at(mArr, i + 1)) / sd)
+            .otherwise(lit(0.0d))
+        }))
+  }
+
   /** Tiny deterministic Lloyd's k-means over a driver-side sample (cosine
     * assignment, mean update). Input order fixes initialization, so the
     * model is reproducible run to run.

@@ -263,6 +263,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(5L) === ((Some(4L), false)))
   }
 
+  test("standardizeDims: exact per-dimension z-scores; constant dims map to 0") {
+    val df = Seq((1L, Array(0f, 2f)), (2L, Array(2f, 2f)), (3L, Array(4f, 2f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.standardizeDims(df, "vec_id", "embedding")
+      .select($"vec_id", $"embedding_z").as[(Long, Seq[Double])].collect().toMap
+    // dim 0: mean 2, var ((−2)²+0+2²)/3 = 8/3
+    val std = math.sqrt(8.0 / 3.0)
+    assert(math.abs(got(1L)(0) - (-2.0 / std)) < 1e-12)
+    assert(got(2L)(0) === 0.0)
+    assert(math.abs(got(3L)(0) - (2.0 / std)) < 1e-12)
+    // dim 1 is constant → z = 0 everywhere, never NaN
+    assert(got.values.forall(_(1) === 0.0))
+  }
+
   test("semanticDedup: over-cap clusters are exempted from pairing, members kept") {
     // all five vectors are mutual duplicates in one cluster; with the skew
     // guard capping clusters at 3 the pairing is skipped and every row is
