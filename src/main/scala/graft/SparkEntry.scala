@@ -472,6 +472,28 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")), numShards = 8)
         .select("doc_id", "shard", "pos_in_shard")),
 
+    // compaction plan: documents stand in for file stats (lang = table
+    // partition, n_chars = bytes); largest-first running-total binning,
+    // all-integer arithmetic
+    "z03_compaction_plan" -> ((s, dir) =>
+      Layout.compactionGroups(
+        t(s, dir, "documents").select(col("lang"),
+          col("doc_id").cast("string").as("path"), col("n_chars").as("bytes")),
+        Seq("lang"), "path", "bytes", targetBytes = 20000L)),
+
+    // URL structure extraction (host/path/query) with RE2-safe patterns
+    // shared verbatim with the oracle — the URL-level filtering step of
+    // web-corpus curation; synthetic URLs derive from row attributes
+    "f06_url_extract" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.org/"),
+        col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+        lit("?ref=r"), (col("doc_id") % 7).cast("string"))
+      t(s, dir, "documents").select(col("doc_id"),
+        regexp_extract(url, "^https?://([^/]+)", 1).as("host"),
+        regexp_extract(url, "^https?://[^/]+(/[^?]*)", 1).as("url_path"),
+        regexp_extract(url, "\\?(.*)$", 1).as("query"))
+    }),
+
     // lag/lead + running total (DECIMAL-routed so window accumulation
     // strategy differences can't perturb the double)
     "w02_lag_lead" -> ((s, dir) => {
@@ -505,6 +527,26 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))),
+
+    // time-series resample + gap fill: per-user daily grid between first
+    // and last activity, empty days zero-filled — the densify step before
+    // windowed feature extraction. Integer day indices (ts div ns/day)
+    // keep the bucketing engine-exact; grids explode per user, bounded by
+    // each user's own activity span
+    "e03_resample_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("value"))
+      val perDay = ev.groupBy("user_id", "day").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("day").as("__d0"), max("day").as("__d1"))
+        .select(col("user_id"), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      grid.join(perDay, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0d)).as("sum_value"))
+    }),
 
     "e02_sessionization" -> ((s, dir) =>
       t(s, dir, "events")
@@ -804,6 +846,13 @@ object SparkEntry {
       Similarity.knnClassify(corpus, queries, "vec_id", "embedding",
         "query_id", "embedding", "label", k = 10)
     }),
+
+    // per-dimension z-score normalization: DECIMAL-routed moments, fixed
+    // double formulas, constant dims map to 0
+    "s10_standardize" -> ((s, dir) =>
+      Similarity.standardizeDims(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("embedding_z")).as(Seq("pos", "z")))
+        .select(col("vec_id"), col("pos"), round(col("z"), 4).as("z"))),
 
     // SemDeDup-style semantic dedup: planted ×2-scaled copies (exact
     // power-of-2 scaling — cosine with the source is EXACTLY 1.0 and every
@@ -1491,6 +1540,26 @@ object SparkEntry {
                   (((sa >> j) & 1) << (2 * j)) + (((sb >> j) & 1) << (2 * j + 1))))
                   AS BIGINT) AS zkey
          FROM s""",
+    // compaction binning: same largest-first window + integer division
+    "z03_compaction_plan" ->
+      """SELECT lang, CAST(doc_id AS VARCHAR) AS path, n_chars AS bytes,
+                CAST((SUM(n_chars) OVER w - n_chars) // 20000 AS BIGINT) AS bin
+         FROM documents
+         WINDOW w AS (PARTITION BY lang
+                      ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR) ASC)""",
+    // URL extraction: identical RE2-safe patterns in both engines
+    "f06_url_extract" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://' || source || '.example.org/' || lang || '/doc/'
+                    || CAST(doc_id AS VARCHAR) || '?ref=r'
+                    || CAST(doc_id % 7 AS VARCHAR) AS url
+           FROM documents)
+         SELECT doc_id,
+                regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS url_path,
+                regexp_extract(url, '\?(.*)$', 1) AS query
+         FROM u""",
     // shard layout: the t04 fingerprint replay (base-31 mod-2^64 rolling
     // hash in HUGEINT), pmod into 8 shards, dense rank within the shard
     // ordered (hash, doc_id)
@@ -1541,6 +1610,20 @@ object SparkEntry {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // resample: integer day buckets (floor division of positive nanos
+    // matches Spark's div), per-user range() grid, zero-filled left join
+    "e03_resample_fill" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, value
+                    FROM events),
+         pd AS (SELECT user_id, day, count(*) AS n_events,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+                FROM e GROUP BY 1, 2),
+         b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+         g AS (SELECT user_id, UNNEST(range(d0, d1 + 1)) AS day FROM b)
+         SELECT g.user_id, g.day,
+                COALESCE(pd.n_events, 0) AS n_events,
+                COALESCE(pd.sum_value, 0.0) AS sum_value
+         FROM g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1720,6 +1803,21 @@ object SparkEntry {
          SELECT query_id, label, votes FROM votes
          QUALIFY row_number() OVER (PARTITION BY query_id
                                     ORDER BY votes DESC, label ASC) = 1""",
+    // z-score: same DECIMAL(28,10) moment routing and double formula
+    // chain as the engine (the s07 exact-mean precedent)
+    "s10_standardize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         x AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos, emb[CAST(i AS INT)] AS v
+               FROM e, range(1, 65) t(i)),
+         s AS (SELECT pos, count(*) AS n,
+                      CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS sm,
+                      CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) AS sq
+               FROM x GROUP BY pos),
+         st AS (SELECT pos, sm / n AS mean, sqrt((sq - sm * sm / n) / n) AS sd
+                FROM s)
+         SELECT x.vec_id, x.pos,
+                round(CASE WHEN sd > 0 THEN (v - mean) / sd ELSE 0.0 END, 4) AS z
+         FROM x JOIN st ON x.pos = st.pos""",
     // semantic dedup: centroids = 16 smallest-id vectors, assignment =
     // argmax cosine (tie-break smallest centroid), drop = exists smaller-id
     // cluster-mate with cosine >= 0.999. The ×2-scaled copies keep every

@@ -101,4 +101,36 @@ object Layout {
     keyed.withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
       .drop("__skey")
   }
+
+  /** Compaction planning for small-file tables — the grouping step of a
+    * lakehouse OPTIMIZE: given per-file statistics, assign every file a
+    * `bin` so each bin's bytes land near `targetBytes` and a rewrite job
+    * can compact bin-by-bin. Files are taken LARGEST-FIRST within their
+    * table partition and binned by running total (`(cum − bytes) div
+    * target`) — the deterministic one-pass cousin of first-fit-decreasing:
+    * bins fill to at least the target minus one file, a file larger than
+    * the target isolates into its own bin, and the assignment replays
+    * bit-identically (ties break on the path).
+    *
+    * Scale shape: one window per table partition — partitions plan in
+    * parallel, there is no global sort; file-stat rows are tiny (path,
+    * bytes), so even a million-file table is a few tens of MB through the
+    * shuffle. With `partitionCols` empty the whole table is one planning
+    * group (correct, but serial — partitioned tables should pass their
+    * partition columns).
+    *
+    * Output: input columns + `bin` (0-based within the partition group).
+    */
+  def compactionGroups(files: DataFrame, partitionCols: Seq[String],
+      pathCol: String, bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = (if (partitionCols.isEmpty) Window.partitionBy(lit(0))
+      else Window.partitionBy(partitionCols.map(col): _*))
+      .orderBy(col(bytesCol).desc, col(pathCol).asc)
+    files
+      .withColumn("__cum", sum(col(bytesCol)).over(w))
+      .withColumn("bin", expr(s"(__cum - `$bytesCol`) div ${targetBytes}L"))
+      .drop("__cum")
+  }
 }

@@ -77,4 +77,21 @@ class LayoutSpec extends SparkTestBase {
       .select("doc_id", "pos_in_shard").as[(Long, Long)].collect().sortBy(_._1)
     assert(d.map(_._2).toSeq === d.map(_._2).sorted.toSeq)
   }
+
+  test("compactionGroups: largest-first bins per partition; oversize files isolate") {
+    val files = Seq(
+      ("p1", "a", 900L), ("p1", "b", 800L), ("p1", "c", 300L), ("p1", "d", 200L),
+      ("p1", "e", 1500L),
+      ("p2", "f", 100L), ("p2", "g", 100L)).toDF("part", "path", "bytes")
+    val got = Layout.compactionGroups(files, Seq("part"), "path", "bytes", 1000L)
+      .select("part", "path", "bin").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // p1 largest-first: e(1500) starts at 0 → bin 0 (isolated oversize),
+    // a starts 1500 → bin 1, b starts 2400 → bin 2, c starts 3200 and
+    // d starts 3500 → both bin 3 (the residual tail shares a bin)
+    assert(got === Map(
+      ("p1", "e") -> 0L, ("p1", "a") -> 1L, ("p1", "b") -> 2L,
+      ("p1", "c") -> 3L, ("p1", "d") -> 3L,
+      ("p2", "f") -> 0L, ("p2", "g") -> 0L))
+  }
 }
