@@ -273,4 +273,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"window crept into the diff:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in the diff:\n$p")
   }
+
+  test("a05 bottom-k sample ranks via the bounded heap — no per-stratum window") {
+    val p = plan("a05_bottomk_sample")
+    assert(!p.contains("Window"), s"bottom-k ranks via a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"bounded heap aggregate missing:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"heap not aggregated map-side:\n$p")
+  }
+
+  test("e03 resample grid joins on (user, day) — no cartesian, no nested loop") {
+    val p = plan("e03_resample_fill")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the resample:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+  }
 }

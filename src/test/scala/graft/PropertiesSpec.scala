@@ -260,4 +260,118 @@ class PropertiesSpec extends SparkTestBase {
       if (a.nonEmpty && a.sameElements(b)) assert(js(0) === 1.0)
     }
   }
+
+  test("property: semanticDedup is idempotent — the kept set never shrinks again") {
+    // a kept vector has NO smaller-id mate at >= threshold, so re-running
+    // on the survivors can introduce no new pairs; dedup∘dedup == dedup
+    val vecGen: Gen[Seq[(Long, Array[Float])]] = for {
+      n <- Gen.choose(2, 24)
+      rows <- Gen.listOfN(n, for {
+        base <- Gen.choose(0, 3) // few directions → real duplicate pressure
+        scale <- Gen.choose(1, 4)
+        jitter <- Gen.choose(0, 1)
+      } yield (base, scale, jitter))
+    } yield rows.zipWithIndex.map { case ((b, s, j), i) =>
+      val v = new Array[Float](4)
+      v(b) = s.toFloat
+      v((b + 1) % 4) = j * 0.01f
+      (i.toLong, v)
+    }
+    forAllSeeded(vecGen, n = 6) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val first = graft.operators.Similarity.semanticDedup(
+        df, "vec_id", "embedding", numClusters = 2, threshold = 0.999)
+      val keptIds = first.filter($"keep").select("vec_id")
+        .as[Long].collect().toSet
+      val kept = df.filter($"vec_id".isin(keptIds.toSeq: _*))
+      val second = graft.operators.Similarity.semanticDedup(
+        kept, "vec_id", "embedding", numClusters = 2, threshold = 0.999)
+      assert(second.filter(!$"keep").count() === 0L,
+        s"re-dedup dropped rows out of kept set $keptIds")
+    }
+  }
+
+  test("property: snapshotDiff round-trips through applyCdc on random snapshots") {
+    val snapGen: Gen[(Seq[(Long, Int)], Seq[(Long, Int)])] = for {
+      nb <- Gen.choose(0, 30)
+      na <- Gen.choose(0, 30)
+      before <- Gen.listOfN(nb, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 5)))
+      after <- Gen.listOfN(na, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 5)))
+    } yield (before.distinctBy(_._1), after.distinctBy(_._1))
+    forAllSeeded(snapGen, n = 8) { case (before, after) =>
+      val b = before.toDF("k", "p")
+      val a = after.toDF("k", "p")
+      val diff = graft.operators.Cdc.snapshotDiff(b, a, Seq("k"))
+        .withColumn("ver", lit(1L))
+      val rebuilt = graft.operators.Cdc.applyCdc(b, diff, Seq("k"), "ver", "op")
+        .as[(Long, Int)].collect().toSet
+      assert(rebuilt === after.toSet)
+      // identical rows emit nothing: diff of a snapshot with itself is empty
+      assert(graft.operators.Cdc.snapshotDiff(b, b, Seq("k")).count() === 0L)
+    }
+  }
+
+  test("property: shardBy partitions the input — every row lands in exactly one shard") {
+    val docsGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(1, 40)
+      texts <- Gen.listOfN(n, Gen.alphaStr)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllSeeded(docsGen, n = 6) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val laid = graft.operators.Layout.shardBy(df, "doc_id",
+        graft.operators.TextAnalysis.fingerprint(col("text")), numShards = 3)
+      assert(laid.count() === docs.length.toLong)
+      assert(laid.select("doc_id").as[Long].collect().toSet ===
+        docs.map(_._1).toSet)
+      // dense ranks within every shard
+      laid.select("shard", "pos_in_shard").as[(Int, Long)].collect()
+        .groupBy(_._1).values.foreach { rs =>
+          assert(rs.map(_._2).sorted.toSeq === (0L until rs.length).toSeq)
+        }
+    }
+  }
+
+  test("property: compaction bins are contiguous and never exceed target + largest file") {
+    val filesGen: Gen[Seq[(String, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 2000L))
+    } yield sizes.zipWithIndex.map { case (s, i) => (f"f$i%03d", s) }
+    forAllSeeded(filesGen, n = 8) { files =>
+      val target = 1000L
+      val df = files.toDF("path", "bytes").withColumn("part", lit("p"))
+      val got = graft.operators.Layout.compactionGroups(
+          df, Seq("part"), "path", "bytes", target)
+        .select("path", "bytes", "bin").as[(String, Long, Long)].collect()
+      val byBin = got.groupBy(_._3)
+      val maxFile = files.map(_._2).max
+      // the first bin is 0 (an oversize file spanning several target
+      // windows may legitimately skip later bin indices)
+      assert(byBin.keySet.min === 0L)
+      // no bin exceeds a target window plus one overflowing file
+      byBin.foreach { case (_, fs) =>
+        assert(fs.map(_._2).sum <= target + maxFile)
+      }
+      // all input bytes are binned exactly once
+      assert(got.map(_._2).sum === files.map(_._2).sum)
+    }
+  }
+
+  test("property: bigramLmScore is invariant to document id permutation") {
+    val docsGen: Gen[Seq[String]] = for {
+      n <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(n,
+        Gen.listOf(Gen.oneOf("a", "b", "c", "dog", "cat")).map(_.mkString(" ")))
+    } yield docs
+    forAllSeeded(docsGen, n = 5) { docs =>
+      def scores(ids: Seq[Long]): Map[String, (Long, Double)] = {
+        val df = ids.zip(docs).toDF("doc_id", "text")
+        graft.operators.TextAnalysis.bigramLmScore(df, "doc_id", "text")
+          .as[(Long, Long, Double)].collect()
+          .map(r => docs(ids.indexOf(r._1)) -> ((r._2, r._3))).toMap
+      }
+      val base = scores(docs.indices.map(_.toLong))
+      val permuted = scores(docs.indices.map(i => (1000L - i)))
+      assert(base === permuted)
+    }
+  }
 }
