@@ -487,4 +487,42 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect().toSet
     assert(got === oneShot)
   }
+
+  test("map-only enrichment ops run unchanged under readStream (batch parity)") {
+    // the whole text-analysis family is map-only column expressions, so
+    // the SAME operator calls compose under Structured Streaming with no
+    // adaptation — the unified-semantics payoff the architecture claims.
+    // deterministicSample is content-keyed, so the streaming sample equals
+    // the batch sample row-for-row regardless of micro-batching.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_enrich").toString
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"the quick document number $i with some words"))
+    docs.toDF("doc_id", "text").repartition(3)
+      .write.parquet(s"$dir/src")
+
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.deterministicSample(
+        graft.operators.TextAnalysis.analyze(df, "text"), "text", keepPct = 50)
+        .select("doc_id", "pred_lang", "n_tokens", "quality", "sample_bucket")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/src")
+    val q = enrich(stream).writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .as[(Long, String, Int, Double, Long)].collect().toSet
+    val batch = enrich(spark.read.parquet(s"$dir/src"))
+      .as[(Long, String, Int, Double, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
