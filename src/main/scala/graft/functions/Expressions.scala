@@ -161,6 +161,62 @@ case class ByteWindowEnergies(child: Expression, w: Int) extends UnaryExpression
   override def prettyName: String = "byte_window_energies"
 }
 
+/** One-pass repetition fractions kernel (see
+  * [[HashKernels.dupFractions]]) — replaces the higher-order
+  * filter/zip_with/array_distinct chain that broke whole-stage codegen
+  * on the t12 hot path. Output: [dup_bigram_frac, dup_line_frac].
+  */
+case class DupFractions(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.dupFractions(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.dupFractions($c)")
+  override protected def withNewChildInternal(newChild: Expression): DupFractions =
+    copy(child = newChild)
+  override def prettyName: String = "dup_fractions"
+}
+
+/** `[a-zA-Z ]` character count (see [[HashKernels.alphaSpaceCount]]) —
+  * replaces a regexp_replace that materialized the filtered string only
+  * to take its length on the quality-score hot path.
+  */
+case class AlphaSpaceCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.alphaSpaceCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.alphaSpaceCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): AlphaSpaceCount =
+    copy(child = newChild)
+  override def prettyName: String = "alpha_space_count"
+}
+
+/** Token-membership counts against a fixed family of word sets (see
+  * [[HashKernels.tokenSetHits]]) — one normalization pass instead of one
+  * higher-order filter per set. The set family is a plan-time constant
+  * embedded via a codegen reference object.
+  */
+case class TokenSetHits(child: Expression, table: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    table.map { ws =>
+      val h = new java.util.HashSet[String](ws.length * 2)
+      ws.foreach(h.add)
+      h
+    }.toArray
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.tokenSetHits(v.asInstanceOf[UTF8String], sets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokenSetHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenSetHits =
+    copy(child = newChild)
+  override def prettyName: String = "token_set_hits"
+}
+
 /** Morton/Z-order bit interleave of two long coordinates (low `bits` bits
   * each) — the layout key for multi-dimensional write clustering. Codegen'd
   * static call, no UDF boxing on the write path.
@@ -246,6 +302,12 @@ object GraftFunctions {
       Bridge.expression(b.cast("long")), bits))
   def byte_window_energies(c: Column, w: Int): Column = Bridge.column(
     ByteWindowEnergies(Bridge.expression(c), w))
+  def dup_fractions(c: Column): Column = Bridge.column(
+    DupFractions(Bridge.expression(c)))
+  def token_set_hits(c: Column, table: Seq[Seq[String]]): Column = Bridge.column(
+    TokenSetHits(Bridge.expression(c), table))
+  def alpha_space_count(c: Column): Column = Bridge.column(
+    AlphaSpaceCount(Bridge.expression(c)))
   def cms_estimate(sketch: Column, key: Column): Column = Bridge.column(
     CmsEstimate(Bridge.expression(sketch), Bridge.expression(key)))
   def shingle_hashes(c: Column, k: Int, word: Boolean = false,

@@ -189,6 +189,104 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Leading/trailing ASCII-space strip ONLY — the semantics of Spark's
+    * `trim` function (tabs/CRs stay), used for the line filter below.
+    */
+  private def stripSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
+  /** Count of `[a-zA-Z ]` characters — the alpha-ratio numerator of the
+    * quality score. Exactly `length(regexp_replace(text, "[^a-zA-Z ]",
+    * ""))` (the targets are ASCII, so counting standalone ASCII bytes in
+    * the UTF-8 encoding needs no string materialization at all).
+    */
+  def alphaSpaceCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var count = 0
+    var i = 0L
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || b == ' ') count += 1
+      i += 1
+    }
+    count
+  }
+
+  /** Per-set token-membership counts in ONE normalization pass — powers
+    * the language-ID argmax. Tokens are the same trim → lower →
+    * `\s+`-collapse → single-space split (empties kept) as the
+    * column-expression formulation; `counts(i)` = how many tokens are
+    * members of `sets(i)`. One kernel call replaces one higher-order
+    * `filter` per language (each re-tokenizing the document).
+    */
+  def tokenSetHits(s: UTF8String,
+      sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val norm = wsRun.matcher(s.trim().toLowerCase().toString).replaceAll(" ")
+    val toks = norm.split(" ", -1)
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < sets.length) {
+        if (sets(l).contains(toks(i))) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  /** Gopher-style repetition fractions in ONE kernel pass — the exact
+    * semantics of the original column-expression formulation
+    * (`TextAnalysis.repetitionScores`), which fell out of whole-stage
+    * codegen through its higher-order filter/zip_with/array_distinct
+    * chain (measured 1.6 s → ~0.3 s for t12 at sf0.1):
+    *  - bigram side: trim(spaces) → lower → collapse `\s+` → split on
+    *    single spaces KEEPING empties (regex-split limit −1, as Spark's
+    *    `split`), duplicated fraction of adjacent word pairs;
+    *  - line side: RAW text split on `\n`, lines kept when non-empty
+    *    after space-trim, duplicated fraction of the ORIGINAL lines.
+    * Both fractions rounded HALF_UP to 6 places (Spark `round`); 0.0 for
+    * degenerate inputs. Trim/lower ride the same UTF8String methods the
+    * built-in expressions call, so outputs are bit-identical.
+    * Returns [dup_bigram_frac, dup_line_frac].
+    */
+  def dupFractions(s: UTF8String): ArrayData = {
+    val norm = wsRun.matcher(s.trim().toLowerCase().toString).replaceAll(" ")
+    val toks = norm.split(" ", -1)
+    var dupB = 0.0
+    if (toks.length >= 2) {
+      val nb = toks.length - 1
+      val seen = new java.util.HashSet[String](nb * 2)
+      var i = 0
+      while (i < nb) { seen.add(toks(i) + " " + toks(i + 1)); i += 1 }
+      dupB = round6((nb - seen.size).toDouble / nb)
+    }
+    val rawLines = s.toString.split("\n", -1)
+    var nl = 0
+    val lineSet = new java.util.HashSet[String](rawLines.length * 2)
+    var j = 0
+    while (j < rawLines.length) {
+      if (stripSpaces(rawLines(j)).nonEmpty) { nl += 1; lineSet.add(rawLines(j)) }
+      j += 1
+    }
+    val dupL = if (nl > 0) round6((nl - lineSet.size).toDouble / nl) else 0.0
+    UnsafeArrayData.fromPrimitiveArray(Array(dupB, dupL))
+  }
+
   /** Morton (Z-order) interleave of the low `bits` bits of two
     * non-negative scaled coordinates: bit j of `a` lands at output bit
     * 2j, bit j of `b` at 2j+1. With bits <= 31 the result stays well

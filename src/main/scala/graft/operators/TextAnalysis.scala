@@ -29,17 +29,21 @@ object TextAnalysis {
   private def tokens(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
-  /** Count of tokens that appear in `words` (array-overlap score). */
-  private def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
-
   /** Heuristic language ID: argmax over languages of stopword hit counts;
     * 'und' (undetermined) when nothing matched. Deterministic tie-break by
-    * language code.
+    * language code. All per-language hit counts come from ONE codegen'd
+    * kernel pass over the document
+    * ([[graft.functions.HashKernels.tokenSetHits]]) — the higher-order
+    * filter-per-language formulation re-tokenized the text five times
+    * outside whole-stage codegen; semantics are identical (same
+    * trim/lower/split chain, same membership counting).
     */
   def langId(text: Column): Column = {
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    val langs = stopwords.toSeq.sortBy(_._1)
+    val hits = graft.functions.GraftFunctions.token_set_hits(
+      coalesce(text, lit("")), langs.map(_._2))
+    val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(hits, i + 1).as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
@@ -61,7 +65,9 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column = {
     val n = length(text)
-    val alpha = length(regexp_replace(text, "[^a-zA-Z ]", ""))
+    // kernel count of [a-zA-Z ] chars == length(regexp_replace(text,
+    // "[^a-zA-Z ]", "")) without materializing the filtered string
+    val alpha = graft.functions.GraftFunctions.alpha_space_count(text)
     val alphaRatio = when(n > 0, alpha.cast("double") / n).otherwise(lit(0.0))
     val nTok = tokenCount(text)
     val meanWordLen = when(nTok > 0, n.cast("double") / nTok).otherwise(lit(0.0))
@@ -159,29 +165,20 @@ object TextAnalysis {
 
   /** Gopher-style repetition scores: the fraction of duplicated word
     * bigrams and duplicated lines inside a document — the standard cheap
-    * signal for boilerplate/spam (high repetition => low quality). Pure
-    * array expressions, map-only.
+    * signal for boilerplate/spam (high repetition => low quality).
+    * Map-only; one codegen'd kernel call per row
+    * ([[graft.functions.HashKernels.dupFractions]]) — the original
+    * higher-order zip_with/array_distinct formulation fell out of
+    * whole-stage codegen and cost 5× on the sf0.1 hot path; the kernel
+    * reproduces its semantics bit-for-bit (same trim/lower/split/round
+    * chain, null text scores (0, 0) via the empty-string coalesce).
     * Output: (dup_bigram_frac, dup_line_frac), both in [0,1], 0 for
     * degenerate inputs.
     */
   def repetitionScores(text: Column): (Column, Column) = {
-    val toks = tokens(text)
-    val n = size(toks)
-    val bigrams = when(n >= 2,
-      zip_with(slice(toks, lit(1), greatest(n - 1, lit(1))),
-        slice(toks, lit(2), greatest(n - 1, lit(1))),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array())
-    val nb = size(bigrams)
-    val dupB = when(nb > 0,
-      round((nb - size(array_distinct(bigrams))).cast("double") / nb, 6))
-      .otherwise(lit(0.0))
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
-    val nl = size(lines)
-    val dupL = when(nl > 0,
-      round((nl - size(array_distinct(lines))).cast("double") / nl, 6))
-      .otherwise(lit(0.0))
-    (dupB, dupL)
+    val fr = graft.functions.GraftFunctions.dup_fractions(
+      coalesce(text, lit("")))
+    (element_at(fr, 1), element_at(fr, 2))
   }
 
   /** C4-style boilerplate cleaning for web text: strip HTML tags, unescape

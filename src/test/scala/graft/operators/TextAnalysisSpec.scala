@@ -384,6 +384,53 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2L) === ((1L, -0.4055)))
   }
 
+  test("hot-path kernels reproduce the original column formulations bit-for-bit") {
+    // the pre-kernel higher-order/regex formulations, inlined verbatim;
+    // adversarial corpus: tabs, newlines, multi-byte, empties, dup lines
+    val texts = Seq(
+      "the cat the cat the cat",
+      "  Tabs\tand\nnewlines  mixed\t\tend ",
+      "a b a b\nline1\nline1\n  \nLINE1",
+      "héllo wörld HÉLLO der die das",
+      "", " ", "\n\n", "x",
+      "的 是 的 是 不")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val toks = split(regexp_replace(lower(trim($"text")), "\\s+", " "), " ")
+    val n = size(toks)
+    val bigrams = when(n >= 2,
+      zip_with(slice(toks, lit(1), greatest(n - 1, lit(1))),
+        slice(toks, lit(2), greatest(n - 1, lit(1))),
+        (a, b) => concat(a, lit(" "), b))).otherwise(array())
+    val nb = size(bigrams)
+    val oldDupB = when(nb > 0,
+      round((nb - size(array_distinct(bigrams))).cast("double") / nb, 6))
+      .otherwise(lit(0.0))
+    val lines = filter(split($"text", "\n"), l => length(trim(l)) > 0)
+    val nl = size(lines)
+    val oldDupL = when(nl > 0,
+      round((nl - size(array_distinct(lines))).cast("double") / nl, 6))
+      .otherwise(lit(0.0))
+    val oldAlpha = length(regexp_replace($"text", "[^a-zA-Z ]", ""))
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    def oldHits(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    val (newB, newL) = TextAnalysis.repetitionScores($"text")
+    val newHits = graft.functions.GraftFunctions.token_set_hits(
+      coalesce($"text", lit("")), langs.map(_._2))
+    df.select(
+        oldDupB.as("ob"), newB.as("nb2"), oldDupL.as("ol"), newL.as("nl2"),
+        oldAlpha.as("oa"),
+        graft.functions.GraftFunctions.alpha_space_count($"text").as("na"),
+        array(langs.map(l => oldHits(l._2)): _*).as("oh"), newHits.as("nh"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) === r.getDouble(1), s"dup_bigram mismatch: $r")
+        assert(r.getDouble(2) === r.getDouble(3), s"dup_line mismatch: $r")
+        assert(r.getInt(4) === r.getInt(5), s"alpha count mismatch: $r")
+        assert(r.getSeq[Int](6) === r.getSeq[Int](7), s"lang hits mismatch: $r")
+      }
+  }
+
   test("bottomKSample: KMV keeps the k smallest hashes; small strata report exact counts") {
     val docs = ((1L to 20L).map(i => (i, s"text body $i", "en")) ++
       (26L to 30L).map(i => (i, s"text body $i", "de")))
