@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions.expr
  *   - arithmetic `+ - * / %`, parens, numeric/string/bool literals
  *   - `x.hashCode()` → `java_hash_code(x)` (JVM-exact, codegen'd —
  *     see [[graft.functions.JavaHashCode]])
+ *   - `x.length()` / `x.isEmpty()` → `java_str_len(x)` (JVM-exact UTF-16
+ *     units); `x.startsWith(y)` / `x.endsWith(y)` / `x.contains(y)` →
+ *     `startswith/endswith/contains` — these are the predicates that make
+ *     filter PUSHDOWN work (an interpreter-fallback UDF never reaches the
+ *     scan; `startswith` on a key column prunes parquet row groups)
  *   - `abs(...)`, ternary `c ? a : b` → `IF(c, a, b)`
  *   - `(short)/(int)/(long)/(byte)/(double)/(float)` casts → SQL CAST,
  *     binding to the next primary term only (Java precedence: `(short)x % 32`
@@ -41,6 +46,17 @@ object MvelTranslator {
   private val ColRef = """row\.([a-zA-Z0-9_]+)""".r
   private val HashCall = """([a-zA-Z0-9_]+)\.hashCode\(\)""".r
   private val CastRe = """\((short|int|long|byte|float|double)\)\s*""".r
+  // string-method fast paths with JVM-identical semantics (the args regex
+  // admits identifiers / masked literals only — nested calls fall back to
+  // the interpreter). startsWith/endsWith/contains are byte-equivalent
+  // between UTF-16 and UTF-8 (prefix-preserving, self-synchronizing);
+  // length() routes through the JVM-exact java_str_len kernel (UTF-16
+  // units, not code points).
+  private val LenCall = """([a-zA-Z0-9_]+)\.length\(\)""".r
+  private val EmptyCall = """([a-zA-Z0-9_]+)\.isEmpty\(\)""".r
+  private val StartsCall = """([a-zA-Z0-9_]+)\.startsWith\(([a-zA-Z0-9_]+)\)""".r
+  private val EndsCall = """([a-zA-Z0-9_]+)\.endsWith\(([a-zA-Z0-9_]+)\)""".r
+  private val ContainsCall = """([a-zA-Z0-9_]+)\.contains\(([a-zA-Z0-9_]+)\)""".r
 
   /** Column names referenced as `row.x` — mirrors
     * CassandraSchemaUtil.findRowColumnReferencesInString (:58-65).
@@ -191,6 +207,13 @@ object MvelTranslator {
     s = ColRef.replaceAllIn(s, m => m.group(1))
     // method-call mappings
     s = HashCall.replaceAllIn(s, m => s"java_hash_code(${m.group(1)})")
+    s = LenCall.replaceAllIn(s, m => s"java_str_len(${m.group(1)})")
+    s = EmptyCall.replaceAllIn(s, m => s"(java_str_len(${m.group(1)}) = 0)")
+    s = StartsCall.replaceAllIn(s,
+      m => s"startswith(${m.group(1)}, ${m.group(2)})")
+    s = EndsCall.replaceAllIn(s, m => s"endswith(${m.group(1)}, ${m.group(2)})")
+    s = ContainsCall.replaceAllIn(s,
+      m => s"contains(${m.group(1)}, ${m.group(2)})")
     // java casts → SQL cast over the next primary term (Java precedence)
     s = rewriteCasts(s)
     // ternary → IF: precedence-aware (top-level '?' with its matching ':',

@@ -177,6 +177,21 @@ case class DupFractions(child: Expression) extends UnaryExpression {
   override def prettyName: String = "dup_fractions"
 }
 
+/** JVM-exact `String.length()` (UTF-16 code units — see
+  * [[HashKernels.javaStrLen]]); powers the MVEL translator's `.length()`
+  * fast path with the same JVM semantics the interpreter guarantees.
+  */
+case class JavaStrLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.javaStrLen(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.javaStrLen($c)")
+  override protected def withNewChildInternal(newChild: Expression): JavaStrLen =
+    copy(child = newChild)
+  override def prettyName: String = "java_str_len"
+}
+
 /** `[a-zA-Z ]` character count (see [[HashKernels.alphaSpaceCount]]) —
   * replaces a regexp_replace that materialized the filtered string only
   * to take its length on the quality-score hot path.
@@ -352,6 +367,7 @@ object GraftFunctions {
     ifAbsent("java_hash_code")(es => JavaHashCode(es.head))
     ifAbsent("poly_hash64")(es => PolyHash64(es.head))
     ifAbsent("dot_product")(es => DotProduct(es.head, es(1)))
+    ifAbsent("java_str_len")(es => JavaStrLen(es.head))
   }
 }
 

@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - float-array dot product"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("java_str_len"),
+      info("java_str_len", "java_str_len(str) - exact JVM String.length (UTF-16 units)"),
+      (es: Seq[Expression]) => JavaStrLen(es.head)))
   }
 }

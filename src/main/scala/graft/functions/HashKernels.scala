@@ -206,6 +206,26 @@ object HashKernels {
     s.substring(from, to)
   }
 
+  /** Java `String.length()` — UTF-16 code units, not code points: the
+    * MVEL translator's `.length()` mapping must agree with the JVM (an
+    * astral char counts 2), so SQL `length` (code points) is not usable.
+    * UTF-16 units = code points + astral count; astral code points are
+    * exactly the 4-byte UTF-8 sequences (lead byte 0xF0-0xF4).
+    */
+  def javaStrLen(s: UTF8String): Int = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var astral = 0
+    var i = 0L
+    while (i < n) {
+      if ((org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xF8) == 0xF0)
+        astral += 1
+      i += 1
+    }
+    s.numChars() + astral
+  }
+
   /** Count of `[a-zA-Z ]` characters — the alpha-ratio numerator of the
     * quality score. Exactly `length(regexp_replace(text, "[^a-zA-Z ]",
     * ""))` (the targets are ASCII, so counting standalone ASCII bytes in

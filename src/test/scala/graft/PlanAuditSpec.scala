@@ -274,6 +274,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in the diff:\n$p")
   }
 
+  test("translated startsWith MVEL predicate reaches the scan as a pushed filter") {
+    // the point of the string-method fast path: an interpreter-fallback
+    // UDF never pushes; the translated predicate prunes at the source
+    val cfg = graft.model.MigrationConfig(
+      graft.model.TableRef(path = dir),
+      graft.model.TableRef(path = s"$dir/none"), Nil)
+    val planned = graft.pipeline.MigrationPlanner.plan(spark, cfg,
+      graft.model.TableMigrationDef(
+        tableName = "customer",
+        filters = Seq(graft.model.FieldValueFilter(
+          "row.c_name.startsWith('Customer#000000001')"))))
+    val p = planned.data.queryExecution.executedPlan.toString
+    assert(p.contains("StringStartsWith"), s"startsWith not pushed:\n$p")
+  }
+
   test("a05 bottom-k sample ranks via the bounded heap — no per-stratum window") {
     val p = plan("a05_bottomk_sample")
     assert(!p.contains("Window"), s"bottom-k ranks via a window:\n$p")

@@ -116,4 +116,20 @@ class MvelTranslatorSpec extends AnyFunSuite {
     // row.value must survive as the column ref `value`, locals substituted
     assert(sql === "((value * 2) + (value))")
   }
+
+  test("string-method fast paths translate instead of falling back") {
+    assert(MvelTranslator.toSql("row.text.length() > 0") ===
+      "java_str_len(text) > 0")
+    assert(MvelTranslator.toSql("row.text.isEmpty()") ===
+      "(java_str_len(text) = 0)")
+    assert(MvelTranslator.toSql("row.path.startsWith('s3://bucket/')") ===
+      "startswith(path, 's3://bucket/')")
+    assert(MvelTranslator.toSql("!row.line.startsWith('skip')") ===
+      "!startswith(line, 'skip')")
+    assert(MvelTranslator.toSql("row.name.endsWith('.txt') && row.body.contains('x')") ===
+      "endswith(name, '.txt') AND contains(body, 'x')")
+    // outside the arg subset (nested call) still falls back, never garbage
+    assertThrows[MvelTranslator.UnsupportedMvel](
+      MvelTranslator.toSql("row.a.startsWith(row.b.substring(1))"))
+  }
 }
