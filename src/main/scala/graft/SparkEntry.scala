@@ -720,6 +720,19 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // incremental dedup: the d03 mangled copies arrive as a NEW delta and
+    // dedup against the stored corpus index — only delta-involving pairs
+    // emerge, with the same verification semantics as the batch run
+    "d08_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val delta = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val index = Dedup.lshBuckets(docs, "doc_id", "text")
+      Dedup.minhashNearDupPairsIncremental(index, docs, delta,
+        "doc_id", "text", threshold = 0.7)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
     "d04_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
@@ -1964,6 +1977,32 @@ object SparkEntry {
                 ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
          FROM inter
          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7""",
+    // incremental = the d03 all-pairs truth restricted to pairs touching
+    // the delta (ids >= 1000000); same 100%-recall argument on this corpus
+    "d08_minhash_incremental" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents),
+         norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT idA, idB,
+                ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+         FROM inter
+         WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
+           AND idB >= 1000000""",
     // clusters = transitive closure of the d03 pair set (same recall
     // argument); the recursive CTE computes reachability, min reachable id
     // is the cluster label, singletons fall out of the base case

@@ -43,6 +43,33 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b) === Set(3L, 5L) })
   }
 
+  test("incremental minhash equals the batch run restricted to delta-involving pairs") {
+    // delta: near-dup copies of docs 1 and 4 plus a genuinely new pair of
+    // mutual near-dups — corpus↔delta AND delta↔delta pairs must surface
+    val delta = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again today!"),
+      (104L, "a quick brown fox jumps over the lazy dog again and again tonight"),
+      (201L, "fresh corpus increment material with novel sentences inside it"),
+      (202L, "fresh corpus increment material with novel sentences inside them"))
+      .toDF("doc_id", "text")
+    val threshold = 0.5
+    val incr = Dedup.minhashNearDupPairsIncremental(
+        Dedup.lshBuckets(docs, "doc_id", "text"), docs, delta,
+        "doc_id", "text", threshold = threshold)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val deltaIds = Set(101L, 104L, 201L, 202L)
+    val batch = Dedup.minhashNearDupPairs(docs.unionByName(delta),
+        "doc_id", "text", threshold = threshold)
+      .as[(Long, Long, Double)].collect()
+      .filter(r => deltaIds(r._1) || deltaIds(r._2))
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(incr === batch)
+    assert(incr.contains((1L, 101L)))   // corpus -> delta
+    assert(incr.contains((201L, 202L))) // delta-internal
+    // corpus-internal pairs never re-emerge from the incremental run
+    assert(!incr.keys.exists { case (a, b) => !deltaIds(a) && !deltaIds(b) })
+  }
+
   test("simhash: identical docs at hamming 0, near-dups within threshold") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 10)
       .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
