@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Streaming near-duplicate screening with PERSISTENT index state — the
+ * production composition of [[graft.operators.Dedup.minhashNearDupPairsIncremental]]:
+ * each micro-batch of new documents dedups against everything seen so far
+ * (the seeded corpus plus all prior batches), then appends its own skinny
+ * LSH index rows and doc rows so later batches see it.
+ *
+ * State lives in parquet, NOT executor memory — at corpus scale the index
+ * is billions of skinny `(id, band, key)` rows, far past any state store;
+ * the per-batch work is delta-index × stored-index candidate generation
+ * plus verification over semi-join-pruned candidate docs only (see the
+ * batch operator's scaladoc for the shuffle accounting).
+ *
+ * Pair-set contract (spec-pinned): after draining the stream, `pairsDir`
+ * holds exactly the batch run's pairs over (corpus ∪ all batches)
+ * restricted to pairs involving at least one streamed doc — each pair
+ * surfaces once, in the micro-batch of its later-arriving member.
+ *
+ * Delivery: pairs are at-least-once across RESTARTS (foreachBatch replays
+ * the in-flight batch; a replay re-appends its pairs — dedup downstream by
+ * (idA, idB) if exactly-once matters). Replayed index/doc appends are
+ * harmless for pair correctness: candidates are `distinct`ed before
+ * verification, so duplicate index rows can't duplicate or alter a pair.
+ */
+object StreamingNearDup {
+
+  /** Seed the persistent state from the initial corpus: the LSH index
+    * (the ONLY corpus state candidate generation ever reads) and the doc
+    * store (read only for verification candidates).
+    */
+  def seedIndex(corpus: DataFrame, idCol: String, textCol: String,
+      indexDir: String, docsDir: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    Dedup.lshBuckets(corpus, idCol, textCol, shingleK, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(indexDir)
+    corpus.select(idCol, textCol).write.mode("overwrite").parquet(docsDir)
+  }
+
+  /** Start the screen over a streaming frame of `(idCol, textCol)` docs.
+    * Ids must be unique across the corpus and the stream.
+    */
+  def start(spark: SparkSession, source: DataFrame,
+      idCol: String, textCol: String,
+      indexDir: String, docsDir: String, pairsDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.8, shingleK: Int = 5,
+      bands: Int = 16, rowsPerBand: Int = 4, maxBucketSize: Int = 1000,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val delta = batch.select(idCol, textCol)
+        val index = s.read.parquet(indexDir)
+        val docs = s.read.parquet(docsDir)
+        // pairs materialize BEFORE the state appends below, so a batch
+        // never pairs against its own appended rows twice
+        Dedup.minhashNearDupPairsIncremental(index, docs, delta,
+            idCol, textCol, threshold, shingleK, bands, rowsPerBand,
+            maxBucketSize)
+          .write.mode("append").parquet(pairsDir)
+        Dedup.lshBuckets(delta, idCol, textCol, shingleK, bands, rowsPerBand)
+          .write.mode("append").parquet(indexDir)
+        delta.write.mode("append").parquet(docsDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -488,6 +488,50 @@ class StreamingSpec extends SparkTestBase {
     assert(got === oneShot)
   }
 
+  test("streaming near-dup with persistent index: drained pairs equal the batch truth") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_neardup").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about distributed query engines and shuffles"),
+      (3L, "an unrelated short text about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    StreamingNearDup.seedIndex(corpus, "doc_id", "text",
+      s"$dir/index", s"$dir/docs")
+    // two micro-batches (one file each): batch 1 near-dups doc 1; batch 2
+    // near-dups doc 2 AND batch 1's doc 101 — the cross-batch pair only
+    // exists because batch 1's index rows persisted
+    val b1 = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val b2 = Seq(
+      (102L, "completely different content about distributed query engines and exchanges"),
+      (103L, "the quick brown fox jumps over the lazy dog again and again tonight!"))
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/src")
+    val q = StreamingNearDup.start(spark, stream, "doc_id", "text",
+      s"$dir/index", s"$dir/docs", s"$dir/pairs", s"$dir/cp",
+      threshold = 0.5)
+    q.awaitTermination(60000)
+
+    val streamed = spark.read.parquet(s"$dir/pairs")
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // batch truth over everything, restricted to pairs with a streamed doc
+    val streamedIds = (b1 ++ b2).map(_._1).toSet
+    val everything = corpus.unionByName((b1 ++ b2).toDF("doc_id", "text"))
+    val truth = graft.operators.Dedup.minhashNearDupPairs(
+        everything, "doc_id", "text", threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect()
+      .filter(p => streamedIds(p._1) || streamedIds(p._2)).toSet
+    assert(streamed === truth)
+    assert(streamed.contains((1L, 101L)))   // corpus <- batch 1
+    assert(streamed.contains((2L, 102L)))   // corpus <- batch 2
+    assert(streamed.contains((101L, 103L))) // batch 1 <- batch 2 (persisted state)
+  }
+
   test("map-only enrichment ops run unchanged under readStream (batch parity)") {
     // the whole text-analysis family is map-only column expressions, so
     // the SAME operator calls compose under Structured Streaming with no
