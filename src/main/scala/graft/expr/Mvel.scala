@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions.expr
  *     `startswith/endswith/contains` — these are the predicates that make
  *     filter PUSHDOWN work (an interpreter-fallback UDF never reaches the
  *     scan; `startswith` on a key column prunes parquet row groups)
+ *   - `x.substring(a[, b])` / `x.indexOf(y)` → `java_substring` /
+ *     `java_index_of` kernels — JVM UTF-16 index semantics exactly,
+ *     including the out-of-range exception and indexOf's −1 (SQL
+ *     `substring`'s 1-based clamping would silently disagree)
  *   - `abs(...)`, ternary `c ? a : b` → `IF(c, a, b)`
  *   - `(short)/(int)/(long)/(byte)/(double)/(float)` casts → SQL CAST,
  *     binding to the next primary term only (Java precedence: `(short)x % 32`
@@ -57,6 +61,10 @@ object MvelTranslator {
   private val StartsCall = """([a-zA-Z0-9_]+)\.startsWith\(([a-zA-Z0-9_]+)\)""".r
   private val EndsCall = """([a-zA-Z0-9_]+)\.endsWith\(([a-zA-Z0-9_]+)\)""".r
   private val ContainsCall = """([a-zA-Z0-9_]+)\.contains\(([a-zA-Z0-9_]+)\)""".r
+  private val SubRangeCall =
+    """([a-zA-Z0-9_]+)\.substring\(([a-zA-Z0-9_]+)\s*,\s*([a-zA-Z0-9_]+)\)""".r
+  private val SubFromCall = """([a-zA-Z0-9_]+)\.substring\(([a-zA-Z0-9_]+)\)""".r
+  private val IndexOfCall = """([a-zA-Z0-9_]+)\.indexOf\(([a-zA-Z0-9_]+)\)""".r
 
   /** Column names referenced as `row.x` — mirrors
     * CassandraSchemaUtil.findRowColumnReferencesInString (:58-65).
@@ -214,6 +222,12 @@ object MvelTranslator {
     s = EndsCall.replaceAllIn(s, m => s"endswith(${m.group(1)}, ${m.group(2)})")
     s = ContainsCall.replaceAllIn(s,
       m => s"contains(${m.group(1)}, ${m.group(2)})")
+    s = SubRangeCall.replaceAllIn(s,
+      m => s"java_substring(${m.group(1)}, ${m.group(2)}, ${m.group(3)})")
+    s = SubFromCall.replaceAllIn(s,
+      m => s"java_substring(${m.group(1)}, ${m.group(2)})")
+    s = IndexOfCall.replaceAllIn(s,
+      m => s"java_index_of(${m.group(1)}, ${m.group(2)})")
     // java casts → SQL cast over the next primary term (Java precedence)
     s = rewriteCasts(s)
     // ternary → IF: precedence-aware (top-level '?' with its matching ':',

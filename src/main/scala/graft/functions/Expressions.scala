@@ -192,6 +192,50 @@ case class JavaStrLen(child: Expression) extends UnaryExpression {
   override def prettyName: String = "java_str_len"
 }
 
+/** JVM-exact `String.substring(from)` (see [[HashKernels.javaSubstring]]). */
+case class JavaSubstringFrom(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(s: Any, f: Any): Any =
+    HashKernels.javaSubstring(s.asInstanceOf[UTF8String], f.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, f) => s"graft.functions.HashKernels.javaSubstring($s, $f)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JavaSubstringFrom =
+    copy(left = l, right = r)
+  override def prettyName: String = "java_substring"
+}
+
+/** JVM-exact `String.substring(from, to)`. */
+case class JavaSubstringRange(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(s: Any, f: Any, t: Any): Any =
+    HashKernels.javaSubstring(s.asInstanceOf[UTF8String],
+      f.asInstanceOf[Int], t.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, f, t) => s"graft.functions.HashKernels.javaSubstring($s, $f, $t)")
+  override protected def withNewChildrenInternal(
+      c1: Expression, c2: Expression, c3: Expression): JavaSubstringRange =
+    copy(first = c1, second = c2, third = c3)
+  override def prettyName: String = "java_substring"
+}
+
+/** JVM-exact `String.indexOf(String)` — UTF-16 index, −1 when absent. */
+case class JavaIndexOf(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(s: Any, sub: Any): Any =
+    HashKernels.javaIndexOf(s.asInstanceOf[UTF8String], sub.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, sub) => s"graft.functions.HashKernels.javaIndexOf($s, $sub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JavaIndexOf =
+    copy(left = l, right = r)
+  override def prettyName: String = "java_index_of"
+}
+
 /** `[a-zA-Z ]` character count (see [[HashKernels.alphaSpaceCount]]) —
   * replaces a regexp_replace that materialized the filtered string only
   * to take its length on the quality-score hot path.
@@ -368,6 +412,13 @@ object GraftFunctions {
     ifAbsent("poly_hash64")(es => PolyHash64(es.head))
     ifAbsent("dot_product")(es => DotProduct(es.head, es(1)))
     ifAbsent("java_str_len")(es => JavaStrLen(es.head))
+    ifAbsent("java_substring") {
+      case Seq(s, f) => JavaSubstringFrom(s, f)
+      case Seq(s, f, t) => JavaSubstringRange(s, f, t)
+      case es => throw new IllegalArgumentException(
+        s"java_substring takes 2 or 3 args, got ${es.length}")
+    }
+    ifAbsent("java_index_of")(es => JavaIndexOf(es.head, es(1)))
   }
 }
 

@@ -37,5 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("java_str_len"),
       info("java_str_len", "java_str_len(str) - exact JVM String.length (UTF-16 units)"),
       (es: Seq[Expression]) => JavaStrLen(es.head)))
+    ext.injectFunction((FunctionIdentifier("java_substring"),
+      info("java_substring", "java_substring(str, from[, to]) - exact JVM String.substring"),
+      (es: Seq[Expression]) => es match {
+        case Seq(s, f) => JavaSubstringFrom(s, f)
+        case Seq(s, f, t) => JavaSubstringRange(s, f, t)
+        case other => throw new IllegalArgumentException(
+          s"java_substring takes 2 or 3 args, got ${other.length}")
+      }))
+    ext.injectFunction((FunctionIdentifier("java_index_of"),
+      info("java_index_of", "java_index_of(str, sub) - exact JVM String.indexOf"),
+      (es: Seq[Expression]) => JavaIndexOf(es.head, es(1))))
   }
 }

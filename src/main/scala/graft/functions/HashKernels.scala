@@ -226,6 +226,21 @@ object HashKernels {
     s.numChars() + astral
   }
 
+  /** Java `String.substring` — UTF-16 indices, JVM exceptions on
+    * out-of-range (the task fails like an MVEL per-row throw would; the
+    * SQL `substring`'s 1-based code-point clamping would silently compute
+    * different slices than the user's JVM-tested expression).
+    */
+  def javaSubstring(s: UTF8String, from: Int): UTF8String =
+    UTF8String.fromString(s.toString.substring(from))
+
+  def javaSubstring(s: UTF8String, from: Int, to: Int): UTF8String =
+    UTF8String.fromString(s.toString.substring(from, to))
+
+  /** Java `String.indexOf(String)` — UTF-16 index, −1 when absent. */
+  def javaIndexOf(s: UTF8String, sub: UTF8String): Int =
+    s.toString.indexOf(sub.toString)
+
   /** Count of `[a-zA-Z ]` characters — the alpha-ratio numerator of the
     * quality score. Exactly `length(regexp_replace(text, "[^a-zA-Z ]",
     * ""))` (the targets are ASCII, so counting standalone ASCII bytes in

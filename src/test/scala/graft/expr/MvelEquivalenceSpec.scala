@@ -30,9 +30,20 @@ class MvelEquivalenceSpec extends SparkTestBase {
     "abs(row.b - 40)",
     "row.a > 9 ? 'hi' : row.a > 5 ? 'mid' : 'lo'",
     "row.s == 'str_7' || row.s != 'str_8'",
-    "row.a + (row.b > 20 ? 1 : 2)")
+    "row.a + (row.b > 20 ? 1 : 2)",
+    // string-method fast paths — the interpreter IS the JVM-semantics
+    // oracle these translations must match
+    "row.s.length() + 1",
+    "row.s.isEmpty()",
+    "row.s.startsWith('str_1')",
+    "row.s.endsWith('7')",
+    "row.s.contains('r_1')",
+    "row.s.substring(2)",
+    "row.s.substring(0, 3)",
+    "row.s.indexOf('_') >= 4")
 
   test("translator and interpreter agree on the shared expression subset") {
+    graft.functions.GraftFunctions.register(spark) // kernel SQL names
     overlap.foreach { mvel =>
       val fast = MvelTranslator.toColumn(mvel)
       val interp = MvelInterp.toColumn(mvel, df.schema)

@@ -130,6 +130,15 @@ class MvelTranslatorSpec extends AnyFunSuite {
       "endswith(name, '.txt') AND contains(body, 'x')")
     // outside the arg subset (nested call) still falls back, never garbage
     assertThrows[MvelTranslator.UnsupportedMvel](
-      MvelTranslator.toSql("row.a.startsWith(row.b.substring(1))"))
+      MvelTranslator.toSql("row.a.startsWith(row.b.substring(1, 2).trim())"))
+  }
+
+  test("substring/indexOf translate to the JVM-exact kernels") {
+    assert(MvelTranslator.toSql("row.text.substring(4)") ===
+      "java_substring(text, 4)")
+    assert(MvelTranslator.toSql("row.text.substring(0, 8)") ===
+      "java_substring(text, 0, 8)")
+    assert(MvelTranslator.toSql("row.text.indexOf('x') >= 0") ===
+      "java_index_of(text, 'x') >= 0")
   }
 }
