@@ -472,6 +472,15 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")), numShards = 8)
         .select("doc_id", "shard", "pos_in_shard")),
 
+    // n-dimensional Morton key: 3 columns x 8 bits, the general lakehouse
+    // OPTIMIZE ZORDER form — exact interleaved keys gated bit-for-bit
+    "z04_zorder_nd" -> ((s, dir) =>
+      Layout.zorderKeyN(
+        t(s, dir, "orders")
+          .withColumn("price_int", floor(col("o_totalprice")).cast("long")),
+        Seq("o_custkey", "o_orderkey", "price_int"), bits = 8)
+        .select("o_orderkey", "zkey")),
+
     // compaction plan: documents stand in for file stats (lang = table
     // partition, n_chars = bytes); largest-first running-total binning,
     // all-integer arithmetic
@@ -1552,6 +1561,27 @@ object SparkEntry {
                 CAST(list_sum(list_transform(range(0, 10), j ->
                   (((sa >> j) & 1) << (2 * j)) + (((sb >> j) & 1) << (2 * j + 1))))
                   AS BIGINT) AS zkey
+         FROM s""",
+    // 3-D Morton: same integer scaling, bit k of column c lands at 3k+c
+    "z04_zorder_nd" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(floor(o_totalprice) AS BIGINT) AS price_int
+           FROM orders),
+         mm AS (SELECT min(o_custkey) AS la, max(o_custkey) AS ha,
+                       min(o_orderkey) AS lb, max(o_orderkey) AS hb,
+                       min(price_int) AS lc, max(price_int) AS hc
+                FROM base),
+         s AS (SELECT o_orderkey,
+                      ((o_custkey - la) * 255) // (ha - la) AS sa,
+                      ((o_orderkey - lb) * 255) // (hb - lb) AS sb,
+                      ((price_int - lc) * 255) // (hc - lc) AS sc
+               FROM base, mm)
+         SELECT o_orderkey,
+                CAST(list_sum(list_transform(range(0, 8), j ->
+                  (((sa >> j) & 1) << (3 * j)) +
+                  (((sb >> j) & 1) << (3 * j + 1)) +
+                  (((sc >> j) & 1) << (3 * j + 2)))) AS BIGINT) AS zkey
          FROM s""",
     // compaction binning: same largest-first window + integer division
     "z03_compaction_plan" ->

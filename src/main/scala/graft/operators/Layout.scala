@@ -55,6 +55,33 @@ object Layout {
         scaledExpr(a, la, ha, bits), scaledExpr(b, lb, hb, bits), bits))
   }
 
+  /** N-dimensional Morton key — the general form of [[zorderKey]]
+    * (lakehouse OPTIMIZE ZORDER takes any column count): output bit
+    * `j·n + k` is bit `j` of scaled column `k`, so `zorderKeyN(a, b)`
+    * equals the 2-D kernel bit-for-bit (spec-pinned). The interleave is
+    * plain shift/mask arithmetic — `n·bits` codegen'd terms, no UDF —
+    * and the scaling bounds come from ONE plan-time aggregate (2n longs,
+    * the z-order sanction). Requires `n·bits <= 63`.
+    */
+  def zorderKeyN(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    require(cols.size >= 2, "need at least two layout columns")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits exceeds a signed long")
+    val n = cols.size
+    val aggCols = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val scaled = cols.zipWithIndex.map { case (c, k) =>
+      scaledExpr(c, bounds.getLong(2 * k), bounds.getLong(2 * k + 1), bits)
+    }
+    val key = (0 until bits).flatMap { j =>
+      scaled.zipWithIndex.map { case (s, k) =>
+        shiftleft(shiftrightunsigned(s, j).bitwiseAND(lit(1L)), j * n + k)
+      }
+    }.reduce(_ + _)
+    df.withColumn("zkey", key)
+  }
+
   /** Full layout: key, one range shuffle on it, in-partition sort — the
     * shape a clustered parquet write wants (each output file covers a
     * compact z-range, i.e. a compact 2-D box).

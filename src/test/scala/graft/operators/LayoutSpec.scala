@@ -78,6 +78,31 @@ class LayoutSpec extends SparkTestBase {
     assert(d.map(_._2).toSeq === d.map(_._2).sorted.toSeq)
   }
 
+  test("zorderKeyN on two columns equals the 2-D kernel bit-for-bit") {
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y)).toDF("x", "y")
+    val twoD = Layout.zorderKey(grid, "x", "y", bits = 5)
+      .select("x", "y", "zkey").as[(Int, Int, Long)].collect().toSet
+    val nD = Layout.zorderKeyN(grid, Seq("x", "y"), bits = 5)
+      .select("x", "y", "zkey").as[(Int, Int, Long)].collect().toSet
+    assert(nD === twoD)
+  }
+
+  test("zorderKeyN: three axes interleave round-robin") {
+    val df = Seq((1L, 0L, 1L, 1L)).toDF("id", "a", "b", "c")
+      .unionByName(Seq((2L, 1L, 0L, 1L)).toDF("id", "a", "b", "c"))
+      .unionByName(Seq((3L, 1L, 1L, 0L)).toDF("id", "a", "b", "c"))
+    // ranges are [0,1] so 1 scales to the full mask (all `bits` ones)
+    val got = Layout.zorderKeyN(df, Seq("a", "b", "c"), bits = 2)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    // bit layout per j: a -> 3j, b -> 3j+1, c -> 3j+2
+    def key(a: Long, b: Long, c: Long) =
+      (0 until 2).map(j => (((a >> j) & 1) << (3 * j)) +
+        (((b >> j) & 1) << (3 * j + 1)) + (((c >> j) & 1) << (3 * j + 2))).sum
+    assert(got(1L) === key(0, 3, 3)) // scaled: 0 -> 0, 1 -> mask=3
+    assert(got(2L) === key(3, 0, 3))
+    assert(got(3L) === key(3, 3, 0))
+  }
+
   test("compactionGroups: largest-first bins per partition; oversize files isolate") {
     val files = Seq(
       ("p1", "a", 900L), ("p1", "b", 800L), ("p1", "c", 300L), ("p1", "d", 200L),
