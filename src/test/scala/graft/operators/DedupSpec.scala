@@ -70,6 +70,21 @@ class DedupSpec extends SparkTestBase {
     assert(!incr.keys.exists { case (a, b) => !deltaIds(a) && !deltaIds(b) })
   }
 
+  test("filterNearDupFree keeps exactly the unmatched delta rows") {
+    val delta = Seq((101L, "a"), (102L, "b"), (103L, "c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 101L, 0.9), (102L, 103L, 0.8))
+      .toDF("idA", "idB", "jaccard")
+    val kept = Dedup.filterNearDupFree(delta, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // 101 matched the corpus, 102/103 matched each other → nothing survives
+    // but a doc matching no pair side
+    assert(kept === Set.empty[Long])
+    val kept2 = Dedup.filterNearDupFree(delta,
+        pairs.filter($"idA" === 1L), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(102L, 103L))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups within threshold") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 10)
       .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
