@@ -42,7 +42,12 @@ for name in sorted(os.listdir(outdir)):
         for c in got.columns:
             a, b = gs[c], ws[c]
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                ok = ((a.isna() & b.isna()) | (a == b)).all()
+                # strict: values equal AND same zero sign (driver hashes
+                # canonical bytes, so -0.0 vs +0.0 is a hash mismatch)
+                import numpy as np
+                af, bf = a.astype(float), b.astype(float)
+                same_sign = np.signbit(af.fillna(0.0)) == np.signbit(bf.fillna(0.0))
+                ok = ((a.isna() & b.isna()) | ((af == bf) & same_sign)).all()
             else:
                 ok = (a.astype(str) == b.astype(str)).all()
             if not ok:

@@ -870,11 +870,13 @@ object SparkEntry {
     }),
 
     // per-dimension z-score normalization: DECIMAL-routed moments, fixed
-    // double formulas, constant dims map to 0
+    // double formulas, constant dims map to 0. `+ 0.0` canonicalizes a
+    // rounded -0.0 to +0.0 (DuckDB's round preserves zero sign; Spark's
+    // BigDecimal round does not — the two hash differently otherwise)
     "s10_standardize" -> ((s, dir) =>
       Similarity.standardizeDims(t(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("vec_id"), posexplode(col("embedding_z")).as(Seq("pos", "z")))
-        .select(col("vec_id"), col("pos"), round(col("z"), 4).as("z"))),
+        .select(col("vec_id"), col("pos"), (round(col("z"), 4) + lit(0.0)).as("z"))),
 
     // SemDeDup-style semantic dedup: planted ×2-scaled copies (exact
     // power-of-2 scaling — cosine with the source is EXACTLY 1.0 and every
@@ -1296,7 +1298,8 @@ object SparkEntry {
   }
 
   private val t02QualitySql =
-    """SELECT doc_id, ROUND(
+    """SELECT doc_id, ROUND(raw_quality, 6) + 0.0 AS quality FROM (
+         SELECT doc_id,
            0.3 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
          + 0.4 * (CASE WHEN length(text) > 0
                        THEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
@@ -1306,8 +1309,8 @@ object SparkEntry {
                             CAST(length(text) AS DOUBLE) /
                             len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
                             BETWEEN 2.0 AND 12.0
-                       THEN 1.0 ELSE 0.0 END), 6) AS quality
-         FROM documents"""
+                       THEN 1.0 ELSE 0.0 END) AS raw_quality
+         FROM documents)"""
 
   private val t12RepetitionSql =
     """WITH b AS (
@@ -1324,10 +1327,10 @@ object SparkEntry {
            FROM b)
          SELECT doc_id,
                 CASE WHEN len(bg) > 0
-                     THEN ROUND(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+                     THEN ROUND(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) + 0.0
                      ELSE 0.0 END AS dup_bigram_frac,
                 CASE WHEN len(lines) > 0
-                     THEN ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+                     THEN ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) + 0.0
                      ELSE 0.0 END AS dup_line_frac
          FROM g"""
 
@@ -1365,7 +1368,7 @@ object SparkEntry {
          dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM toks2 GROUP BY 1),
          n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents)
          SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
-                ROUND(tf.tf * ln(CAST(nn + 1 AS DOUBLE) / (doc_freq + 1)), 4) AS tfidf
+                ROUND(tf.tf * ln(CAST(nn + 1 AS DOUBLE) / (doc_freq + 1)), 4) + 0.0 AS tfidf
          FROM tf JOIN dfq USING (token), n""",
     "t05_chunking" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_no,
@@ -1757,8 +1760,8 @@ object SparkEntry {
          FROM customer""",
     "f03_percentiles" ->
       """SELECT o_orderpriority,
-                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-                ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                ROUND(quantile_cont(o_totalprice, 0.5), 4) + 0.0 AS p50,
+                ROUND(quantile_cont(o_totalprice, 0.9), 4) + 0.0 AS p90,
                 COUNT(*) AS n
          FROM orders GROUP BY o_orderpriority""",
     "f04_array_funcs" ->
@@ -1801,7 +1804,7 @@ object SparkEntry {
            FROM norm)
          SELECT a.doc_id AS idA, b.doc_id AS idB,
                 ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-                      len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+                      len(list_distinct(list_concat(a.g, b.g))), 6) + 0.0 AS jaccard
          FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1""",
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
@@ -1817,12 +1820,12 @@ object SparkEntry {
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY cosine DESC, vec_id ASC) AS rank
                 FROM scored)
-         SELECT query_id, vec_id, rank, ROUND(cosine, 6) AS cosine
+         SELECT query_id, vec_id, rank, ROUND(cosine, 6) + 0.0 AS cosine
          FROM ranked WHERE rank <= 5""",
     "s07_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
                 ROUND(CAST(SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
-                                    AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6)
+                                    AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) + 0.0
                   AS centroid
          FROM embeddings, range(1, 65) AS t(i)
          GROUP BY 1, 2""",
@@ -1859,7 +1862,7 @@ object SparkEntry {
          st AS (SELECT pos, sm / n AS mean, sqrt((sq - sm * sm / n) / n) AS sd
                 FROM s)
          SELECT x.vec_id, x.pos,
-                round(CASE WHEN sd > 0 THEN (v - mean) / sd ELSE 0.0 END, 4) AS z
+                round(CASE WHEN sd > 0 THEN (v - mean) / sd ELSE 0.0 END, 4) + 0.0 AS z
          FROM x JOIN st ON x.pos = st.pos""",
     // semantic dedup: centroids = 16 smallest-id vectors, assignment =
     // argmax cosine (tie-break smallest centroid), drop = exists smaller-id
@@ -1975,7 +1978,7 @@ object SparkEntry {
                        AS DECIMAL(28,6)) AS logp
            FROM docb JOIN cb USING (g) JOIN cu USING (w1) CROSS JOIN v)
          SELECT doc_id, count(*) AS n_bigrams,
-                round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+                round(CAST(sum(logp) AS DOUBLE) / count(*), 6) + 0.0 AS avg_logp
          FROM scored GROUP BY doc_id""",
     // MinHash pairs: the oracle computes TRUE all-pairs 5-gram Jaccard via
     // explode + equi-join + group-by (set-similarity in relational form —
@@ -2004,7 +2007,7 @@ object SparkEntry {
            FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
            GROUP BY 1, 2, 3, 4)
          SELECT idA, idB,
-                ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+                ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) + 0.0 AS jaccard
          FROM inter
          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7""",
     // incremental = the d03 all-pairs truth restricted to pairs touching
@@ -2029,7 +2032,7 @@ object SparkEntry {
            FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
            GROUP BY 1, 2, 3, 4)
          SELECT idA, idB,
-                ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+                ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) + 0.0 AS jaccard
          FROM inter
          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
            AND idB >= 1000000""",
@@ -2154,12 +2157,12 @@ object SparkEntry {
                 -- zero-token strata carry NULL share/weight (never Inf/NaN),
                 -- mirroring the engine's guard
                 CASE WHEN COALESCE(n_tokens, 0) > 0
-                     THEN ROUND(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                     THEN ROUND(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0
                      END AS actual_frac,
                 CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 ELSE 0.1 END AS DOUBLE) AS target_frac,
                 CASE WHEN COALESCE(n_tokens, 0) > 0
                      THEN ROUND(CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 ELSE 0.1 END AS DOUBLE)
-                                / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                                / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6) + 0.0
                      END AS weight
          FROM ps, tot""",
     // integer reproduction of the keep rule: bucket·den < rem·buckets in
@@ -2250,7 +2253,7 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                 CAST(SUM(CASE WHEN cc.cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
                 ROUND(CAST(SUM(CASE WHEN cc.cnt < 5 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / COUNT(*), 6) AS rare_frac
+                      / COUNT(*), 6) + 0.0 AS rare_frac
          FROM ex JOIN cc ON ex.p = cc.p
          GROUP BY ex.doc_id""",
     // decontamination: shared-gram COUNTS are hash-agnostic (each engine
@@ -2353,7 +2356,7 @@ object SparkEntry {
                        AS FLOAT) AS scaleF
            FROM embeddings)
          SELECT vec_id,
-                ROUND(CAST(scaleF AS DOUBLE), 6) AS scale,
+                ROUND(CAST(scaleF AS DOUBLE), 6) + 0.0 AS scale,
                 CAST(CASE WHEN scaleF > 0
                           THEN ROUND(e[1] / CAST(scaleF AS DOUBLE), 0)
                           ELSE 0 END AS TINYINT) AS q0,
@@ -2374,8 +2377,8 @@ object SparkEntry {
          FROM tok WHERE length(token) > 0 GROUP BY token""",
     "a02_approx_quantiles" ->
       """SELECT o_orderpriority,
-                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
-                ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+                ROUND(quantile_cont(o_totalprice, 0.5), 4) + 0.0 AS p50_exact,
+                ROUND(quantile_cont(o_totalprice, 0.95), 4) + 0.0 AS p95_exact,
                 TRUE AS p50_in_bracket,
                 TRUE AS p95_in_bracket
          FROM orders GROUP BY o_orderpriority""",
@@ -2405,7 +2408,7 @@ object SparkEntry {
          hk AS (SELECT lang, max(h) AS hk FROM kept GROUP BY lang)
          SELECT kept.lang, CAST(rank AS INT) AS rank, doc_id, h, n_rows,
                 CASE WHEN n_rows >= 8
-                     THEN round(7.0 * 1099511627776 / hk, 3)
+                     THEN round(7.0 * 1099511627776 / hk, 3) + 0.0
                      ELSE CAST(n_rows AS DOUBLE) END AS est_distinct
          FROM kept JOIN hk ON kept.lang = hk.lang""",
     // the ANN planted-probe contract: every query finds its source vector
@@ -2438,7 +2441,7 @@ object SparkEntry {
                   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
                    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
            FROM u a JOIN u b ON a.vec_id < b.vec_id)
-         SELECT idA, idB, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.999""",
+         SELECT idA, idB, ROUND(cosine, 6) + 0.0 AS cosine FROM p WHERE cosine >= 0.999""",
     // the multimodal decode/feature stubs are deterministic byte hashes —
     // reproduced here over codepoints (the fixture text is pure ASCII, so
     // bytes == codepoints): a signed-64-bit base-31 rolling hash for
@@ -2484,7 +2487,7 @@ object SparkEntry {
          SELECT media_id, n_bytes,
                 CAST(16 + wu % 1024::HUGEINT AS INT) AS width,
                 CAST(16 + (wu // 1024::HUGEINT) % 1024::HUGEINT AS INT) AS height,
-                ROUND(CAST(CAST(CAST(fsigned AS DOUBLE) / 9223372036854775807 AS FLOAT) AS DOUBLE), 6) AS f0
+                ROUND(CAST(CAST(CAST(fsigned AS DOUBLE) / 9223372036854775807 AS FLOAT) AS DOUBLE), 6) + 0.0 AS f0
          FROM m5""",
     // width/height CTE = the m01 oracle's rolling hash; resize math mirrors
     // resizeStub exactly (stride = ceil(max/64), dims = ceil(dim/stride),

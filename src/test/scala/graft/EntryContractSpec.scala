@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract checks over [[SparkEntry]]'s query/oracle maps — pure map
+  * inspection, no SparkSession needed.
+  *
+  * Signed-zero convention: the driver's correctness gate hashes canonical
+  * bytes, and IEEE `-0.0` and `+0.0` hash differently. DuckDB's `round`
+  * preserves the sign of zero (`round(-1e-9, 4)` → `-0.0`) while Spark's
+  * BigDecimal-based `round` always returns `+0.0` — so any oracle that
+  * emits `round(x)` of a possibly-negative double can flake on a single
+  * cell (this bit `s10_standardize` in round 6). The convention: every
+  * final rounded-double emission in the oracle SQL appends `+ 0.0`
+  * (identity except `-0.0` → `+0.0`, NULL-preserving), matching the
+  * engine's `round` behavior by construction. Rounds that feed a cast to
+  * DECIMAL or an integer type are exempt (those types have no signed
+  * zero).
+  */
+class EntryContractSpec extends AnyFunSuite {
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    assert((q -- o).isEmpty, s"queries without an oracle (driver downgrades " +
+      s"these to rows-only checks — add the SQL or consciously exempt here): " +
+      s"${(q -- o).toSeq.sorted}")
+  }
+
+  test("oracle round() emissions are signed-zero canonicalized (+ 0.0)") {
+    val roundRe = "(?i)round\\(".r
+    val offenders = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      m <- roundRe.findAllMatchIn(sql)
+      // window past the match: long enough to reach the `+ 0.0` / cast
+      // that follows the round's closing paren, short enough not to leak
+      // into unrelated neighboring columns
+      window = sql.substring(m.start, math.min(sql.length, m.start + 220))
+      if !window.contains("+ 0.0") &&
+        !window.toUpperCase.contains("AS DECIMAL") &&
+        !window.toUpperCase.contains("AS TINYINT") &&
+        !window.toUpperCase.contains("AS SMALLINT") &&
+        !window.toUpperCase.contains("AS INT") &&
+        !window.toUpperCase.contains("AS BIGINT")
+    } yield s"$name @${m.start}: ...${window.takeWhile(_ != '\n')}"
+    assert(offenders.isEmpty,
+      "naked round() emission(s) — append `+ 0.0` (see scaladoc):\n" +
+        offenders.mkString("\n"))
+  }
+}
