@@ -12,10 +12,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * LSH index rows and doc rows so later batches see it.
  *
  * State lives in parquet, NOT executor memory — at corpus scale the index
- * is billions of skinny `(id, band, key)` rows, far past any state store;
- * the per-batch work is delta-index × stored-index candidate generation
- * plus verification over semi-join-pruned candidate docs only (see the
- * batch operator's scaladoc for the shuffle accounting).
+ * is billions of skinny `(id, band, key)` rows, far past any state store.
+ * Per-batch cost: the stored index is SCANNED (map-only — a broadcast
+ * semi join restricts it to the delta's bucket keys before anything
+ * shuffles, see [[Dedup.minhashNearDupPairsIncremental]]'s shuffle
+ * accounting) but never exchanged; shuffled bytes are proportional to the
+ * delta's touched buckets, not the corpus.
  *
  * Pair-set contract (spec-pinned): after draining the stream, `pairsDir`
  * holds exactly the batch run's pairs over (corpus ∪ all batches)
@@ -43,7 +45,10 @@ object StreamingNearDup {
   }
 
   /** Start the screen over a streaming frame of `(idCol, textCol)` docs.
-    * Ids must be unique across the corpus and the stream.
+    * Ids must be unique across the corpus and the stream. Rate limiting
+    * belongs on the caller's source (`maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger` on the readStream) — this method takes the
+    * frame as-is.
     */
   def start(spark: SparkSession, source: DataFrame,
       idCol: String, textCol: String,
@@ -51,8 +56,7 @@ object StreamingNearDup {
       checkpointDir: String,
       threshold: Double = 0.8, shingleK: Int = 5,
       bands: Int = 16, rowsPerBand: Int = 4, maxBucketSize: Int = 1000,
-      trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     source.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession

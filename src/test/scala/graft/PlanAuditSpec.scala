@@ -167,6 +167,63 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected 1 of 5 partition dirs read, got ${scan.metrics("numPartitions").value}")
   }
 
+  test("d08/streaming: incremental near-dup never shuffles the corpus index " +
+      "(broadcast semi-join restriction, VERDICT r6 #3)") {
+    // the persistent LSH index is corpus-sized (billions of rows at 100 TB);
+    // candidate generation must restrict it to the delta's bucket keys with
+    // a broadcast semi join BEFORE anything shuffles — a ShuffleExchange
+    // with the index scan in its subtree means every micro-batch re-shuffles
+    // the whole corpus index again
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ncidx").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Dedup.lshBuckets(docs, "doc_id", "text")
+      .write.parquet(s"$tmp/index")
+    docs.write.parquet(s"$tmp/docs")
+    val delta = docs.limit(20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = graft.operators.Dedup.minhashNearDupPairsIncremental(
+        spark.read.parquet(s"$tmp/index"), spark.read.parquet(s"$tmp/docs"),
+        delta, "doc_id", "text")
+      val plan = pairs.queryExecution.executedPlan
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("/index"))
+          case _ => false
+        }
+      // an UNRESTRICTED index scan: reachable without passing through the
+      // broadcast left-semi restriction (shuffles above the restriction
+      // move touched-bucket rows only — those are fine and expected)
+      def unrestricted(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => false
+          case f if isIndexScan(f) => true
+          case other => other.children.exists(unrestricted)
+        }
+      val offending = plan.collect {
+        case e: ShuffleExchangeExec if unrestricted(e) => e
+      }
+      assert(offending.isEmpty,
+        s"corpus index shuffled before the semi-join restriction " +
+          s"${offending.size} time(s):\n$plan")
+      val semi = plan.collect {
+        case j: BroadcastHashJoinExec
+          if j.joinType.sql == "LEFT SEMI" && j.exists(isIndexScan) => j
+      }
+      assert(semi.nonEmpty,
+        s"index not restricted via broadcast left-semi join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("j05: as-of join is one keyed window — no range join, no cartesian") {
     // union-merge as-of: the only wide operations allowed are the key
     // shuffle feeding one Window; a SortMergeJoin/BNLJ here would mean the
