@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.StreamingMigration
+import graft.streaming.{StreamingMigration, StreamingNearDup}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -739,6 +739,35 @@ object SparkEntry {
       val index = Dedup.lshBuckets(docs, "doc_id", "text")
       Dedup.minhashNearDupPairsIncremental(index, docs, delta,
         "doc_id", "text", threshold = 0.7)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // the STREAMING composition of d08: persistent parquet index state,
+    // two micro-batches folded through foreachBatch — batch 1 (even doc
+    // ids, +1e6) dedups against the seeded corpus, batch 2 (odd ids, +2e6)
+    // against corpus ∪ batch 1; the drained pair set equals the batch
+    // truth restricted to streamed-involving pairs, each pair exactly once
+    "d09_streaming_neardup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_d09").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      StreamingNearDup.seedIndex(docs, "doc_id", "text",
+        s"$tmp/index", s"$tmp/docs")
+      val stripped = regexp_replace(col("text"), "^\\S+\\s", "").as("text")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), stripped)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"), stripped)
+        .coalesce(1).write.parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingNearDup.start(s, src, "doc_id", "text",
+        s"$tmp/index", s"$tmp/docs", s"$tmp/pairs", s"$tmp/cp",
+        threshold = 0.7)
+      q.awaitTermination(300000)
+      s.read.parquet(s"$tmp/pairs")
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
@@ -2017,6 +2046,38 @@ object SparkEntry {
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents),
+         norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT idA, idB,
+                ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) + 0.0 AS jaccard
+         FROM inter
+         WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
+           AND idB >= 1000000""",
+    // streaming composition: the d08 truth over corpus ∪ batch1 ∪ batch2
+    // restricted to pairs with a streamed member — micro-batch boundaries
+    // don't change the SET of pairs (each surfaces once, in the batch of
+    // its later-arriving member), so the drained parquet equals this
+    "d09_streaming_neardup" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '')
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s', '')
+           FROM documents WHERE doc_id % 2 = 1),
          norm AS (
            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
          grams AS (
