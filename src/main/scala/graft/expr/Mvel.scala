@@ -80,11 +80,33 @@ object MvelTranslator {
     * Spark SQL expression string. String literals are masked before any
     * rewriting, so operator translation (`&&` → AND, `row.` stripping, …)
     * can never mutate quoted values like `'a&&b'` or `'see row.id'`.
+    *
+    * Without a schema every identifier receiver is assumed STRING — the
+    * schema-aware overload (used by [[toColumnFor]]) gates the
+    * string-method rewrites on the receiver's actual type, so
+    * `row.tags.contains('x')` over an `array` column routes to the
+    * interpreter (which has collection semantics) instead of translating
+    * to `contains(tags, 'x')` and failing at analysis (ADVICE r6).
     */
-  def toSql(mvel: String): String = {
+  def toSql(mvel: String): String = toSql(mvel, None)
+
+  def toSql(mvel: String, schema: Option[org.apache.spark.sql.types.StructType]): String = {
+    val isStringy: String => Boolean = schema match {
+      case None => _ => true
+      case Some(st) => ident =>
+        ident.startsWith("__GRAFT_STR_") ||
+          (st.fields.find(_.name == ident) match {
+            case Some(f) => f.dataType == org.apache.spark.sql.types.StringType
+            // not a column: a masked literal handled above, a numeric, or a
+            // genuinely unknown name — keep today's behavior (translate;
+            // analysis surfaces real errors instead of the interpreter
+            // hiding them behind a runtime NPE)
+            case None => true
+          })
+    }
     val (masked, literals) = maskStrings(mvel)
     val single = normalizeScript(masked)
-    unmask(translateExpression(single), literals)
+    unmask(translateExpression(single, isStringy), literals)
   }
 
   /** Replace quoted literals with identifier-shaped placeholders. */
@@ -207,27 +229,45 @@ object MvelTranslator {
     out.result()
   }
 
-  /** Single-expression translation (no statements). */
-  private def translateExpression(mvelExpr: String): String = {
+  /** Single-expression translation (no statements). `isStringy` gates the
+    * string-method rewrites on the receiver (and, for predicates, the
+    * argument): a non-string receiver keeps its method-call syntax, which
+    * the residual check below rejects — routing the expression to the
+    * interpreter, whose collection semantics are correct for it.
+    */
+  private def translateExpression(
+      mvelExpr: String, isStringy: String => Boolean): String = {
     var s = mvelExpr.trim.stripSuffix(";").trim
     if (s.startsWith("return ")) s = s.drop(7).trim
     // `row.x` → `x` (FieldValueFilter.java:60-62 strips the same prefix)
     s = ColRef.replaceAllIn(s, m => m.group(1))
-    // method-call mappings
+    // method-call mappings (keep = leave the match untranslated so the
+    // residual check throws and the interpreter takes over)
+    def keep(m: scala.util.matching.Regex.Match): String =
+      scala.util.matching.Regex.quoteReplacement(m.matched)
     s = HashCall.replaceAllIn(s, m => s"java_hash_code(${m.group(1)})")
-    s = LenCall.replaceAllIn(s, m => s"java_str_len(${m.group(1)})")
-    s = EmptyCall.replaceAllIn(s, m => s"(java_str_len(${m.group(1)}) = 0)")
-    s = StartsCall.replaceAllIn(s,
-      m => s"startswith(${m.group(1)}, ${m.group(2)})")
-    s = EndsCall.replaceAllIn(s, m => s"endswith(${m.group(1)}, ${m.group(2)})")
-    s = ContainsCall.replaceAllIn(s,
-      m => s"contains(${m.group(1)}, ${m.group(2)})")
-    s = SubRangeCall.replaceAllIn(s,
-      m => s"java_substring(${m.group(1)}, ${m.group(2)}, ${m.group(3)})")
-    s = SubFromCall.replaceAllIn(s,
-      m => s"java_substring(${m.group(1)}, ${m.group(2)})")
-    s = IndexOfCall.replaceAllIn(s,
-      m => s"java_index_of(${m.group(1)}, ${m.group(2)})")
+    s = LenCall.replaceAllIn(s, m =>
+      if (isStringy(m.group(1))) s"java_str_len(${m.group(1)})" else keep(m))
+    s = EmptyCall.replaceAllIn(s, m =>
+      if (isStringy(m.group(1))) s"(java_str_len(${m.group(1)}) = 0)" else keep(m))
+    s = StartsCall.replaceAllIn(s, m =>
+      if (isStringy(m.group(1)) && isStringy(m.group(2)))
+        s"startswith(${m.group(1)}, ${m.group(2)})" else keep(m))
+    s = EndsCall.replaceAllIn(s, m =>
+      if (isStringy(m.group(1)) && isStringy(m.group(2)))
+        s"endswith(${m.group(1)}, ${m.group(2)})" else keep(m))
+    s = ContainsCall.replaceAllIn(s, m =>
+      if (isStringy(m.group(1)) && isStringy(m.group(2)))
+        s"contains(${m.group(1)}, ${m.group(2)})" else keep(m))
+    s = SubRangeCall.replaceAllIn(s, m =>
+      if (isStringy(m.group(1)))
+        s"java_substring(${m.group(1)}, ${m.group(2)}, ${m.group(3)})" else keep(m))
+    s = SubFromCall.replaceAllIn(s, m =>
+      if (isStringy(m.group(1)))
+        s"java_substring(${m.group(1)}, ${m.group(2)})" else keep(m))
+    s = IndexOfCall.replaceAllIn(s, m =>
+      if (isStringy(m.group(1)) && isStringy(m.group(2)))
+        s"java_index_of(${m.group(1)}, ${m.group(2)})" else keep(m))
     // java casts → SQL cast over the next primary term (Java precedence)
     s = rewriteCasts(s)
     // ternary → IF: precedence-aware (top-level '?' with its matching ':',
@@ -396,14 +436,26 @@ object MvelTranslator {
 
   /** Translate with interpreter fallback: the Catalyst translation is the
     * fast path (codegen, pushdown); an expression outside the subset —
-    * loops, method calls, mutation-heavy scripts — falls back to
+    * loops, method calls, mutation-heavy scripts, string methods over
+    * NON-string columns (the schema gates the rewrites) — falls back to
     * [[MvelInterp]]'s row-interpreting UDF with JVM-exact semantics, and
     * the de-optimization is logged (the reference compiles arbitrary MVEL,
     * DefaultMigratorPlugin.java:367-387 — generality must not be a plan
     * error).
+    *
+    * NULL-receiver divergence (documented contract, ADVICE r6): translated
+    * predicates follow SQL three-valued logic — `row.name.startsWith('x')`
+    * with a null `name` is NULL, and a filter DROPS the row — while the
+    * interpreter (like MVEL itself, and like the reference executing the
+    * same expression) throws an NPE that surfaces through row-level error
+    * handling. Null-hostile datasets that need reference-exact error
+    * accounting should pre-filter nulls explicitly (`row.name != null &&
+    * …`, which both paths honor identically); the translated behavior is
+    * kept because wrapping every receiver in a null check would break
+    * predicate pushdown — the fast path's reason to exist.
     */
   def toColumnFor(mvel: String, schema: org.apache.spark.sql.types.StructType): Column =
-    try toColumn(mvel)
+    try expr(toSql(mvel, Some(schema)))
     catch {
       case reason @ (_: UnsupportedMvel | _: org.apache.spark.sql.catalyst.parser.ParseException) =>
         val c = MvelInterp.toColumn(mvel, schema)

@@ -81,6 +81,36 @@ class MvelEquivalenceSpec extends SparkTestBase {
       cdf.select(MvelInterp.toColumn("row.xs[9]", cdf.schema)).collect())
   }
 
+  test("string methods over COLLECTION columns route to the interpreter " +
+      "(type-gated rewrites, ADVICE r6)") {
+    // before the gate, row.tags.contains('x') translated to the STRING
+    // kernel contains(tags, 'x') — an AnalysisException past the fallback's
+    // reach — and row.tags.isEmpty() passed analysis as java_str_len(tags)
+    // then ClassCastException'd at runtime. With the schema gate these
+    // route to the interpreter's collection semantics and just work.
+    graft.functions.GraftFunctions.register(spark)
+    val cdf = (1 to 20).map { i =>
+      (i.toLong, if (i % 4 == 0) Seq.empty[String] else Seq(s"t$i", "common"))
+    }.toDF("a", "tags")
+    val kept = cdf.filter(MvelTranslator.toColumnFor(
+        "row.tags.contains('common')", cdf.schema))
+      .select("a").as[Long].collect().toSet
+    assert(kept === (1 to 20).filter(_ % 4 != 0).map(_.toLong).toSet)
+    val empty = cdf.filter(MvelTranslator.toColumnFor(
+        "row.tags.isEmpty()", cdf.schema))
+      .select("a").as[Long].collect().toSet
+    assert(empty === (1 to 20).filter(_ % 4 == 0).map(_.toLong).toSet)
+    val idx = cdf.filter(MvelTranslator.toColumnFor(
+        "row.tags.indexOf('common') == 1", cdf.schema))
+      .select("a").as[Long].collect().toSet
+    assert(idx === (1 to 20).filter(_ % 4 != 0).map(_.toLong).toSet)
+    // STRING receivers still take the translated fast path (pushdown
+    // depends on it) — the gate must not over-fire
+    val sdf = (1 to 9).map(i => (i.toLong, s"str_$i")).toDF("a", "s")
+    val fast = MvelTranslator.toSql("row.s.contains('r_1')", Some(sdf.schema))
+    assert(fast.contains("contains(s,"), s"string path no longer translates: $fast")
+  }
+
   test("property: random expressions in the shared grammar agree (seeded)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
