@@ -2466,7 +2466,9 @@ object SparkEntry {
                   count(*) OVER (PARTITION BY lang) AS n_rows
            FROM h),
          kept AS (SELECT * FROM r WHERE rank <= 8),
-         hk AS (SELECT lang, max(h) AS hk FROM kept GROUP BY lang)
+         -- h_k clamped to >= 1 like the engine: k docs hashing to 0 must
+         -- not divide by zero (ADVICE r6)
+         hk AS (SELECT lang, greatest(max(h), 1) AS hk FROM kept GROUP BY lang)
          SELECT kept.lang, CAST(rank AS INT) AS rank, doc_id, h, n_rows,
                 CASE WHEN n_rows >= 8
                      THEN round(7.0 * 1099511627776 / hk, 3) + 0.0

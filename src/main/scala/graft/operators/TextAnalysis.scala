@@ -662,10 +662,13 @@ object TextAnalysis {
         GraftFunctions.top_k_by((-col("__h")).cast("double"), col(idCol), k)
           .as("__bot"),
         count(lit(1)).as("n_rows"))
-      // entries are (score DESC, id ASC) = ascending h; the last is h_k
+      // entries are (score DESC, id ASC) = ascending h; the last is h_k,
+      // clamped to >= 1: k or more docs hashing to exactly 0 (e.g. many
+      // empty/identical normalized texts in one stratum) would otherwise
+      // divide by zero and emit Infinity (ADVICE r6)
       .withColumn("__hk",
-        (-element_at(col("__bot"), size(col("__bot"))).getField("score"))
-          .cast("long"))
+        greatest((-element_at(col("__bot"), size(col("__bot"))).getField("score"))
+          .cast("long"), lit(1L)))
       .withColumn("est_distinct",
         when(col("n_rows") >= k,
           round(lit((k - 1).toDouble) * lit(R.toDouble) /

@@ -456,6 +456,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(de.forall(r => r._5 === 5L && r._6 === 5.0))
   }
 
+  test("bottomKSample: a stratum of all-zero hashes clamps h_k to 1 — " +
+      "finite estimate, never Infinity (ADVICE r6)") {
+    // empty normalized text fingerprints to 0, so 8+ empty docs give
+    // h_1..h_k = 0; unclamped, (k-1)·R/h_k would divide by zero
+    val docs = (1L to 10L).map(i => (i, "", "en")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bottomKSample(docs, "lang", "doc_id", "text", k = 8)
+      .as[(String, Int, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => !r._6.isInfinity && !r._6.isNaN),
+      s"est_distinct not finite: ${got.take(3).toSeq}")
+    assert(got.forall(_._6 === 7.0 * (1L << 40).toDouble), // h_k clamped to 1
+      s"unexpected estimate: ${got.take(3).toSeq}")
+  }
+
   test("bigramLmScore: corpus-typical text outscores shuffled gibberish") {
     val fluent = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
     val odd = Seq((100L, "mat the on sat cat the"))
