@@ -28,6 +28,17 @@ class EntryContractSpec extends AnyFunSuite {
       s"${(q -- o).toSeq.sorted}")
   }
 
+  test("README query counts match SparkEntry (counts drifted twice before)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val counts = """(\d+)\s+(?:driver\s+)?queries""".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(counts.nonEmpty, "README no longer states the query count")
+    assert(counts.forall(_ == SparkEntry.queries.size),
+      s"README claims $counts queries but SparkEntry has " +
+        s"${SparkEntry.queries.size} — update README.md")
+  }
+
   test("oracle round() emissions are signed-zero canonicalized (+ 0.0)") {
     val roundRe = "(?i)round\\(".r
     val offenders = for {
