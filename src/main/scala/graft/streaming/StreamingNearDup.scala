@@ -44,6 +44,36 @@ object StreamingNearDup {
     corpus.select(idCol, textCol).write.mode("overwrite").parquet(docsDir)
   }
 
+  /** Compact a persistent state directory (index or docs) in place: every
+    * micro-batch appends one small parquet file per task, so a long-running
+    * screen accumulates thousands of tiny files — the classic small-files
+    * tax on every subsequent scan's listing and open cost. Rewrites the
+    * directory to `ceil(rows / rowsPerFile)` files and swaps it in.
+    *
+    * Call BETWEEN runs (stream stopped): the swap is a filesystem
+    * delete+rename, not atomic against a concurrent reader/writer. Safe
+    * w.r.t. the stream's own state because the state is plain parquet —
+    * no checkpoint metadata references these file names (the checkpoint
+    * tracks the SOURCE, not foreachBatch's outputs).
+    */
+  def compactState(spark: SparkSession, dir: String,
+      rowsPerFile: Long = 8L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(dir)
+    val n = math.max(1L, math.min(Int.MaxValue.toLong,
+      (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
+    val tmp = dir.stripSuffix("/") + ".compacting"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"could not remove $dir for compaction swap")
+    if (!fs.rename(t, p))
+      throw new java.io.IOException(
+        s"compaction swap failed: state left at $tmp, $dir is GONE — restore by renaming")
+  }
+
   /** Start the screen over a streaming frame of `(idCol, textCol)` docs.
     * Ids must be unique across the corpus and the stream. Rate limiting
     * belongs on the caller's source (`maxFilesPerTrigger` /

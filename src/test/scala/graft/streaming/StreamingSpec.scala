@@ -532,6 +532,45 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.contains((101L, 103L))) // batch 1 <- batch 2 (persisted state)
   }
 
+  test("compactState rewrites accumulated state appends to few files, " +
+      "row set identical, screen still correct afterwards") {
+    val dir = Files.createTempDirectory("graft_snd_compact").toString
+    val corpus = (1L to 10L).map(i =>
+      (i, s"corpus document number $i with some distinctive words here"))
+      .toDF("doc_id", "text")
+    StreamingNearDup.seedIndex(corpus, "doc_id", "text",
+      s"$dir/index", s"$dir/docs")
+    // simulate many tiny per-batch appends
+    (1 to 5).foreach { b =>
+      val delta = Seq((100L + b,
+        s"corpus document number $b with some distinctive words here too"))
+        .toDF("doc_id", "text")
+      graft.operators.Dedup.lshBuckets(delta, "doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/index")
+      delta.coalesce(1).write.mode("append").parquet(s"$dir/docs")
+    }
+    def files(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(s"$dir/index")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(files(s"$dir/index") >= 6, "test setup: expected many appends")
+    StreamingNearDup.compactState(spark, s"$dir/index")
+    StreamingNearDup.compactState(spark, s"$dir/docs")
+    assert(files(s"$dir/index") === 1, "index not compacted to one file")
+    val after = spark.read.parquet(s"$dir/index")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(after === before, "compaction changed the index row set")
+    // the compacted state still screens correctly
+    val probe = Seq((999L,
+      "corpus document number 3 with some distinctive words here too"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashNearDupPairsIncremental(
+        spark.read.parquet(s"$dir/index"), spark.read.parquet(s"$dir/docs"),
+        probe, "doc_id", "text", threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((103L, 999L)), s"probe missed its near-dup: $pairs")
+  }
+
   test("map-only enrichment ops run unchanged under readStream (batch parity)") {
     // the whole text-analysis family is map-only column expressions, so
     // the SAME operator calls compose under Structured Streaming with no
