@@ -1082,6 +1082,14 @@ object SparkEntry {
         .select("doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone")
     }),
 
+    // frequency capping: at most 12 docs per language, kept set chosen
+    // deterministically by content fingerprint (bounded-heap agg — never
+    // a per-key sort window)
+    "t22_frequency_cap" -> ((s, dir) =>
+      TextAnalysis.capPerKey(t(s, dir, "documents"), "lang", "doc_id",
+          "text", maxPerKey = 12)
+        .select("doc_id", "lang")),
+
     // benchmark decontamination: training docs sharing any word 5-gram
     // with the (synthetic) eval set — eval grams broadcast, corpus never
     // shuffles its grams. Eval set = first-word-dropped variants of every
@@ -2474,6 +2482,28 @@ object SparkEntry {
                      THEN round(7.0 * 1099511627776 / hk, 3) + 0.0
                      ELSE CAST(n_rows AS DOUBLE) END AS est_distinct
          FROM kept JOIN hk ON kept.lang = hk.lang""",
+    // frequency cap: same 40-bit rolling fingerprint as the a05 oracle,
+    // rank within key by (h, doc_id), keep rank <= 12
+    "t22_frequency_cap" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, length(norm)+1),
+                            i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+                        (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
+                       + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+                       - 9223372036854775808::HUGEINT AS BIGINT) AS f
+           FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                 FROM documents)),
+         h AS (
+           SELECT d.lang, f.doc_id,
+                  ((f.f % 1099511627776) + 1099511627776) % 1099511627776 AS h
+           FROM fp f JOIN documents d USING (doc_id)),
+         r AS (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+           FROM h)
+         SELECT doc_id, lang FROM r WHERE rank <= 12""",
     // the ANN planted-probe contract: every query finds its source vector
     // at rank 1 with cosine exactly 1.0 (see plantedQueries scaladoc)
     "s02_ann_lsh" ->

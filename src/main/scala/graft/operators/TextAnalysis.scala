@@ -681,6 +681,40 @@ object TextAnalysis {
         col("n_rows"), col("est_distinct"))
   }
 
+  /** Frequency capping: keep at most `maxPerKey` rows per key — the crawl
+    * pipeline's "at most N pages per domain / language / source" rule,
+    * guarding the training mix against a single hot key flooding it.
+    *
+    * Which rows survive is DETERMINISTIC and content-keyed: rows are
+    * ranked by their 40-bit text fingerprint (ties by id), so re-runs,
+    * input order and partitioning cannot change the kept set, and the cap
+    * samples uniformly over content rather than favoring crawl order.
+    * Hashes live in [0, 2^40) — exactly representable in the heap's
+    * double scores (the [[bottomKSample]] precedent).
+    *
+    * Scale shape: ONE hash aggregate — the bounded heap carries
+    * `maxPerKey` entries per key per map partition (never a per-key sort
+    * window; a row_number over a billion-row hot domain would ship the
+    * whole domain to one task) — then a semi join of the skinny kept-id
+    * set back to the input. Output: the input rows that survive, original
+    * schema.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      textCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    import graft.functions.GraftFunctions
+    val R = 1L << 40
+    val kept = df
+      .select(col(keyCol), col(idCol),
+        pmod(fingerprint(col(textCol)), lit(R)).as("__h"))
+      .groupBy(col(keyCol))
+      .agg(GraftFunctions.top_k_by((-col("__h")).cast("double"), col(idCol),
+        maxPerKey).as("__keep"))
+      .select(col(keyCol), explode(col("__keep")).as("__e"))
+      .select(col(keyCol), col("__e.id").as(idCol))
+    df.join(kept, Seq(keyCol, idCol), "left_semi")
+  }
+
   /** One-call enrichment: attach all text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("pred_lang", langId(col(textCol)))

@@ -470,6 +470,30 @@ class TextAnalysisSpec extends SparkTestBase {
       s"unexpected estimate: ${got.take(3).toSeq}")
   }
 
+  test("capPerKey: at most N rows per key, kept set is the content-hash " +
+      "bottom-N, deterministic under repartitioning") {
+    val docs = ((1L to 30L).map(i => (i, s"page body number $i", "big.com")) ++
+      (51L to 53L).map(i => (i, s"other text $i", "small.org")))
+      .toDF("doc_id", "text", "domain")
+    val got = TextAnalysis.capPerKey(docs, "domain", "doc_id", "text", 5)
+      .select("doc_id", "text", "domain")
+      .as[(Long, String, String)].collect()
+    val byKey = got.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    // under-full key keeps everything; hot key keeps exactly 5
+    assert(byKey("small.org") === Set(51L, 52L, 53L))
+    assert(byKey("big.com").size === 5)
+    // the 5 ARE the bottom-5 by (40-bit fingerprint, id)
+    val brute = docs.filter($"domain" === "big.com")
+      .select($"doc_id", pmod(TextAnalysis.fingerprint($"text"), lit(1L << 40)))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1)).take(5).map(_._1).toSet
+    assert(byKey("big.com") === brute)
+    // partitioning can't change the kept set
+    val re = TextAnalysis.capPerKey(docs.repartition(7), "domain", "doc_id",
+        "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re === got.map(_._1).toSet)
+  }
+
   test("bigramLmScore: corpus-typical text outscores shuffled gibberish") {
     val fluent = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
     val odd = Seq((100L, "mat the on sat cat the"))
