@@ -167,6 +167,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected 1 of 5 partition dirs read, got ${scan.metrics("numPartitions").value}")
   }
 
+  test("t22 frequency cap ranks via the bounded heap — no per-key window") {
+    // a row_number window would ship every row of a hot key to one task;
+    // the cap must stay a partial-aggregable heap + skinny semi join
+    val p = plan("t22_frequency_cap")
+    assert(!p.contains("Window"), s"frequency cap ranks via a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"missing the bounded top-k aggregate:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"cap not aggregated map-side:\n$p")
+  }
+
   test("d08/streaming: incremental near-dup never shuffles the corpus index " +
       "(broadcast semi-join restriction, VERDICT r6 #3)") {
     // the persistent LSH index is corpus-sized (billions of rows at 100 TB);
