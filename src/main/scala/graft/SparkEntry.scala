@@ -1008,6 +1008,30 @@ object SparkEntry {
           col("dup_bigram_frac") <= 0.05)
     }),
 
+    // one-pass corpus profile: per-language rows + a grand-total row from
+    // a SINGLE rollup scan — at 100 TB the corpus is not re-scanned once
+    // per statistic; counters, the DECIMAL-routed quality mean, the exact
+    // distinct-fingerprint count and the HLL sketch all ride one
+    // partial-aggregable aggregation
+    "c05_corpus_profile" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"),
+        TextAnalysis.qualityScore(col("text")).as("__q"),
+        TextAnalysis.fingerprint(col("text")).as("__fp"))
+      base.rollup("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          (round(sum(col("__q").cast(DecimalType(28, 10))).cast("double") /
+            count(lit(1)), 6) + lit(0.0)).as("avg_quality"),
+          countDistinct(col("__fp")).as("distinct_fp"),
+          GraftFunctions.hll_distinct(col("__fp")).as("__hll"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("avg_quality"), col("distinct_fp"),
+          (abs(col("__hll") - col("distinct_fp")) / col("distinct_fp") <= 0.05)
+            .as("hll_within_5pct"))
+    }),
+
     // SCD2 history: validity intervals from the event change log — one
     // key-partitioned lead window after the keep-last hash agg
     "c02_scd2_history" -> ((s, dir) =>
@@ -1953,6 +1977,34 @@ object SparkEntry {
          FROM lang l JOIN qual q ON l.doc_id = q.doc_id
                      JOIN rep r ON l.doc_id = r.doc_id
          WHERE pred_lang = 'en' AND quality >= 0.9 AND dup_bigram_frac <= 0.05""",
+    // one-pass profile: exact counters + DECIMAL-routed mean of the SAME
+    // rounded per-doc quality that gates t02; fingerprints are the a05/t22
+    // rolling hash; the HLL bound is structural (a01 precedent) so the
+    // oracle pins it TRUE next to the exact distinct count
+    "c05_corpus_profile" ->
+      s"""WITH qual AS ($t02QualitySql),
+         fp AS (
+           SELECT doc_id,
+                  CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                          list_transform(range(1, length(n)+1),
+                            i -> CAST(unicode(substr(n, CAST(i AS INT), 1)) AS HUGEINT))),
+                        (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
+                       + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+                       - 9223372036854775808::HUGEINT AS BIGINT) AS f,
+                  len(string_split(n, ' ')) AS nt
+           FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+                 FROM documents)),
+         base AS (
+           SELECT d.lang, f.nt, q.quality, f.f
+           FROM documents d JOIN fp f USING (doc_id) JOIN qual q USING (doc_id))
+         SELECT lang,
+                COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                ROUND(CAST(SUM(CAST(quality AS DECIMAL(28,10))) AS DOUBLE)
+                      / COUNT(*), 6) + 0.0 AS avg_quality,
+                COUNT(DISTINCT f) AS distinct_fp,
+                TRUE AS hll_within_5pct
+         FROM base GROUP BY ROLLUP(lang)""",
     "t03_token_count" ->
       """SELECT doc_id,
                 len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens,
