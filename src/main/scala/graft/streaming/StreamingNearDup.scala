@@ -93,15 +93,21 @@ object StreamingNearDup {
         val delta = batch.select(idCol, textCol)
         val index = s.read.parquet(indexDir)
         val docs = s.read.parquet(docsDir)
-        // pairs materialize BEFORE the state appends below, so a batch
-        // never pairs against its own appended rows twice
-        Dedup.minhashNearDupPairsIncremental(index, docs, delta,
-            idCol, textCol, threshold, shingleK, bands, rowsPerBand,
-            maxBucketSize)
-          .write.mode("append").parquet(pairsDir)
-        Dedup.lshBuckets(delta, idCol, textCol, shingleK, bands, rowsPerBand)
-          .write.mode("append").parquet(indexDir)
-        delta.write.mode("append").parquet(docsDir)
+        // the delta's LSH index is needed twice — candidate generation and
+        // the state append — so it is computed ONCE and cached for the
+        // batch (a second shingle+minhash kernel pass per micro-batch is
+        // pure waste)
+        val deltaIdx = Dedup.lshBuckets(delta, idCol, textCol, shingleK,
+          bands, rowsPerBand).persist()
+        try {
+          // pairs materialize BEFORE the state appends below, so a batch
+          // never pairs against its own appended rows twice
+          Dedup.minhashNearDupPairsIncremental(index, docs, delta, deltaIdx,
+              idCol, textCol, threshold, shingleK, maxBucketSize)
+            .write.mode("append").parquet(pairsDir)
+          deltaIdx.write.mode("append").parquet(indexDir)
+          delta.write.mode("append").parquet(docsDir)
+        } finally deltaIdx.unpersist(blocking = false)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
