@@ -197,7 +197,10 @@ object SparkEntry {
         simulateOnly = false)
       val q = StreamingMigration.start(s, scfg, t, s"$tmp/cp",
         org.apache.spark.sql.streaming.Trigger.AvailableNow(), maxFilesPerTrigger = 1)
-      q.awaitTermination(180000)
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException("q17 stream did not drain in 180s")
+      }
       Tables.load(s, TableRef(path = s"$tmp/tgt"), "events")
         .select("event_id", "event_type", "value", "vx2")
     }),
@@ -766,7 +769,12 @@ object SparkEntry {
       val q = StreamingNearDup.start(s, src, "doc_id", "text",
         s"$tmp/index", s"$tmp/docs", s"$tmp/pairs", s"$tmp/cp",
         threshold = 0.7)
-      q.awaitTermination(300000)
+      // a timed-out stream must FAIL here, not fall through to read a
+      // half-written pair set (and keep appending during later queries)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("d09 stream did not drain in 300s")
+      }
       s.read.parquet(s"$tmp/pairs")
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
     }),

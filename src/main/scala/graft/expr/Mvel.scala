@@ -95,7 +95,10 @@ object MvelTranslator {
       case None => _ => true
       case Some(st) => ident =>
         ident.startsWith("__GRAFT_STR_") ||
-          (st.fields.find(_.name == ident) match {
+          // case-insensitive like Spark's default resolver: a
+          // case-mismatched reference must hit the same gate the
+          // analyzer-resolved column would
+          (st.fields.find(_.name.equalsIgnoreCase(ident)) match {
             case Some(f) => f.dataType == org.apache.spark.sql.types.StringType
             // not a column: a masked literal handled above, a numeric, or a
             // genuinely unknown name — keep today's behavior (translate;
@@ -245,7 +248,11 @@ object MvelTranslator {
     // residual check throws and the interpreter takes over)
     def keep(m: scala.util.matching.Regex.Match): String =
       scala.util.matching.Regex.quoteReplacement(m.matched)
-    s = HashCall.replaceAllIn(s, m => s"java_hash_code(${m.group(1)})")
+    // java_hash_code is a STRING kernel (UTF8String.toString.hashCode) —
+    // an int/array receiver must route to the interpreter, whose
+    // `t.hashCode()` is JVM-exact for every type
+    s = HashCall.replaceAllIn(s, m =>
+      if (isStringy(m.group(1))) s"java_hash_code(${m.group(1)})" else keep(m))
     s = LenCall.replaceAllIn(s, m =>
       if (isStringy(m.group(1))) s"java_str_len(${m.group(1)})" else keep(m))
     s = EmptyCall.replaceAllIn(s, m =>

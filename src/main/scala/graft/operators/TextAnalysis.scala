@@ -710,9 +710,14 @@ object TextAnalysis {
       .groupBy(col(keyCol))
       .agg(GraftFunctions.top_k_by((-col("__h")).cast("double"), col(idCol),
         maxPerKey).as("__keep"))
-      .select(col(keyCol), explode(col("__keep")).as("__e"))
-      .select(col(keyCol), col("__e.id").as(idCol))
-    df.join(kept, Seq(keyCol, idCol), "left_semi")
+      .select(col(keyCol).as("__capk"), explode(col("__keep")).as("__e"))
+      .select(col("__capk"), col("__e.id").as("__capid"))
+    // null-safe key equality: NULL keys (missing domain/lang is ROUTINE in
+    // crawl data) form a capped group like any other — a plain EqualTo
+    // would silently drop every null-key row instead
+    df.join(kept,
+      col(keyCol) <=> col("__capk") && col(idCol) === col("__capid"),
+      "left_semi")
   }
 
   /** One-call enrichment: attach all text-analysis columns. */

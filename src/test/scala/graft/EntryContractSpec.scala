@@ -40,23 +40,38 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("oracle round() emissions are signed-zero canonicalized (+ 0.0)") {
+    // anchored to EACH round's matching closing paren (a flat window could
+    // be satisfied by a NEIGHBORING column's `+ 0.0`): immediately after
+    // `round(...)` must come `+ 0.0`, or the tail up to the emission
+    // boundary must cast to a type without signed zero
     val roundRe = "(?i)round\\(".r
+    def closingParen(s: String, open: Int): Int = {
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    val zeroSignFreeCast =
+      "(?i)AS\\s+(DECIMAL|TINYINT|SMALLINT|INT|INTEGER|BIGINT)\\b".r
     val offenders = for {
       (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
       m <- roundRe.findAllMatchIn(sql)
-      // window past the match: long enough to reach the `+ 0.0` / cast
-      // that follows the round's closing paren, short enough not to leak
-      // into unrelated neighboring columns
-      window = sql.substring(m.start, math.min(sql.length, m.start + 220))
-      if !window.contains("+ 0.0") &&
-        !window.toUpperCase.contains("AS DECIMAL") &&
-        !window.toUpperCase.contains("AS TINYINT") &&
-        !window.toUpperCase.contains("AS SMALLINT") &&
-        !window.toUpperCase.contains("AS INT") &&
-        !window.toUpperCase.contains("AS BIGINT")
-    } yield s"$name @${m.start}: ...${window.takeWhile(_ != '\n')}"
+      close = closingParen(sql, m.end - 1)
+      tail = sql.substring(close + 1).dropWhile(_.isWhitespace)
+      // emission boundary: the next comma / line break caps how far a cast
+      // may legitimately sit — a neighboring column cannot start before it
+      scope = tail.takeWhile(c => c != ',' && c != '\n')
+      if !tail.startsWith("+ 0.0") && zeroSignFreeCast.findFirstIn(scope).isEmpty
+    } yield s"$name @${m.start}: round(...) ${scope.take(60)}"
     assert(offenders.isEmpty,
-      "naked round() emission(s) — append `+ 0.0` (see scaladoc):\n" +
-        offenders.mkString("\n"))
+      "naked round() emission(s) — append `+ 0.0` right after the paren " +
+        "(see scaladoc):\n" + offenders.mkString("\n"))
   }
 }

@@ -212,13 +212,13 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 99L -> 99L))
-    // the rounds actually went through reliable checkpoint files
-    def anyFile(p: java.nio.file.Path): Boolean = {
-      val s = java.nio.file.Files.walk(p)
-      try s.anyMatch(f => java.nio.file.Files.isRegularFile(f))
-      finally s.close()
-    }
-    assert(anyFile(dir), s"no checkpoint files written under $dir")
+    // the rounds actually went through files in the dir, superseded rounds
+    // were deleted as the loop advanced, and ONLY the final labels frame's
+    // backing file remains (a leak here is O(rounds × |V|) at cluster scale)
+    val roundDirs = new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.startsWith("round_"))
+    assert(roundDirs.length === 1,
+      s"expected exactly the final round file, got: ${roundDirs.map(_.getName).toSeq}")
   }
 
   test("keepRepresentatives keeps exactly the min-id doc per cluster") {

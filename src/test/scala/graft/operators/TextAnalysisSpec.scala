@@ -492,6 +492,15 @@ class TextAnalysisSpec extends SparkTestBase {
         "text", 5)
       .select("doc_id").as[Long].collect().toSet
     assert(re === got.map(_._1).toSet)
+    // NULL keys form a capped group like any other (missing domains are
+    // routine in crawl data) — a plain EqualTo join would drop them all
+    val withNulls = docs.unionByName(
+      (81L to 90L).map(i => (i, s"keyless page $i", null: String))
+        .toDF("doc_id", "text", "domain"))
+    val nullKept = TextAnalysis.capPerKey(withNulls, "domain", "doc_id",
+        "text", 5)
+      .filter($"domain".isNull).select("doc_id").as[Long].collect()
+    assert(nullKept.length === 5, s"null-key group not capped: ${nullKept.toSeq}")
   }
 
   test("bigramLmScore: corpus-typical text outscores shuffled gibberish") {
