@@ -915,6 +915,17 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("embedding_z")).as(Seq("pos", "z")))
         .select(col("vec_id"), col("pos"), (round(col("z"), 4) + lit(0.0)).as("z"))),
 
+    // top-principal-component projection: one distributed moment pass
+    // (map-side outer products, (i,j)-keyed partial agg), dim²-bounded
+    // covariance collected as plan-time model state, driver power
+    // iteration with left-to-right fold order the oracle replays
+    // bit-for-bit, then a MAP-ONLY projection apply
+    "s11_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+          iters = 10)
+        .select(col("vec_id"),
+          (round(col("pc1_proj"), 4) + lit(0.0)).as("proj"))),
+
     // SemDeDup-style semantic dedup: planted ×2-scaled copies (exact
     // power-of-2 scaling — cosine with the source is EXACTLY 1.0 and every
     // centroid comparison is bit-identical, so the copy provably lands in
@@ -1336,6 +1347,59 @@ object SparkEntry {
     * the linearized importance divergence Σ (t_b·S − s_b·T) relationally
     * in HUGEINT — exact integer arithmetic end to end, no libm.
     */
+  /** s11 oracle: replays [[graft.operators.Similarity.pcaProject]] —
+    * DECIMAL(28,10)-routed moments (the s10 precedent: DuckDB and Spark
+    * agree on the double→DECIMAL cast at scale 10), then 10 power-iteration
+    * rounds over ordered lists whose folds run left-to-right from a 0.0
+    * accumulator, exactly the engine's driver-side loop order. All lambda
+    * arithmetic is explicitly DOUBLE-cast — bare 0.125/0.0 literals are
+    * DECIMAL in DuckDB and would silently round the whole chain.
+    */
+  private def s11OracleSql: String = {
+    // one mat-vec sweep: w_i = fold_j cov[i][j] * v[j] (ascending j)
+    def matvec(i: String, j: String, a: String, b: String) =
+      s"""list_transform(range(1, 65), $i ->
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, 65),
+         |      $j -> cm.m[CAST($i AS INT)][CAST($j AS INT)] * it.v[CAST($j AS INT)])),
+         |    ($a, $b) -> $a + $b))""".stripMargin
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |x AS (SELECT vec_id, CAST(i AS INT) AS i, emb[CAST(i AS INT)] AS v
+       |      FROM e, range(1, 65) t(i)),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+       |mean AS (SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+       |                   / (SELECT n FROM n) AS m
+       |         FROM x GROUP BY i),
+       |mom AS (SELECT a.i AS i, b.i AS j,
+       |               CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,10))) AS DOUBLE)
+       |               / (SELECT n FROM n) AS s
+       |        FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT mom.i, mom.j, mom.s - ma.m * mb.m AS c
+       |        FROM mom JOIN mean ma ON ma.i = mom.i
+       |                 JOIN mean mb ON mb.i = mom.j),
+       |covrows AS (SELECT i, list(c ORDER BY j) AS cr FROM cov GROUP BY i),
+       |covm AS (SELECT list(cr ORDER BY i) AS m FROM covrows),
+       |mvec AS (SELECT list(m ORDER BY i) AS ml FROM mean),
+       |it(k, v) AS (
+       |  SELECT 0, list_transform(range(1, 65), q0 -> CAST(0.125 AS DOUBLE))
+       |  UNION ALL
+       |  SELECT k + 1,
+       |    list_transform(${matvec("i", "j", "a1", "b1")},
+       |      x -> x / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(${matvec("i2", "j2", "a2", "b2")},
+       |          y -> y * y)), (a3, b3) -> a3 + b3)))
+       |  FROM it, covm cm WHERE k < 10),
+       |pcv AS (SELECT v AS p FROM it WHERE k = 10)
+       |SELECT e.vec_id,
+       |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, 65),
+       |      j -> (emb[CAST(j AS INT)] - mv.ml[CAST(j AS INT)])
+       |           * pcv.p[CAST(j AS INT)])),
+       |    (a, b) -> a + b), 4) + 0.0 AS proj
+       |FROM e, mvec mv, pcv""".stripMargin
+  }
+
   private def t19OracleSql: String = {
     import DuckHash._
     val C1 = BigInt("ff51afd7ed558ccd", 16)
@@ -1933,6 +1997,7 @@ object SparkEntry {
          SELECT x.vec_id, x.pos,
                 round(CASE WHEN sd > 0 THEN (v - mean) / sd ELSE 0.0 END, 4) + 0.0 AS z
          FROM x JOIN st ON x.pos = st.pos""",
+    "s11_pca_project" -> s11OracleSql,
     // semantic dedup: centroids = 16 smallest-id vectors, assignment =
     // argmax cosine (tie-break smallest centroid), drop = exists smaller-id
     // cluster-mate with cosine >= 0.999. The ×2-scaled copies keep every

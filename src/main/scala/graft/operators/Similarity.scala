@@ -282,6 +282,102 @@ object Similarity {
         }))
   }
 
+  /** Top principal component of a mean-centered embedding corpus — the
+    * classic quality/outlier axis for training-data curation (project
+    * every embedding onto the dominant variance direction, then prune or
+    * stratify on the score).
+    *
+    * Scale shape: ONE distributed pass computes the per-dimension first
+    * moments AND the dim×dim second-moment matrix — the outer products
+    * are generated map-side inside each row (no self-join) and partially
+    * aggregated on the (i, j) key, so the shuffle is
+    * O(partitions · dim²), never O(rows). The dim×dim covariance is
+    * plan-time model state (the IVF-centroid / z-order-bounds sanction:
+    * a few thousand cells collect to the driver), where `iters` rounds
+    * of power iteration run on it.
+    *
+    * Determinism contract: moment sums accumulate in DECIMAL(28,10) (the
+    * [[standardizeDims]] routing — double addition is partition-order
+    * dependent, decimal addition is exact and order-free); every
+    * driver-side sum (mat-vec rows, the norm) folds LEFT-TO-RIGHT over
+    * ascending indices from a 0.0 accumulator, which an oracle replays
+    * bit-for-bit with an ordered-list fold. The start vector is the
+    * constant 1/sqrt(dim); sqrt/division are single IEEE ops. No RNG
+    * anywhere, so the model is reproducible run to run.
+    *
+    * Returns (count, means, component) — component has unit L2 norm.
+    */
+  def topPrincipalComponent(
+      df: DataFrame, vecCol: String, iters: Int = 10)
+      : (Long, Array[Double], Array[Double]) = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val v = col(vecCol)
+    val idx = sequence(lit(0), size(v) - 1)
+    // j = -1 carries the first moment; (i, j >= 0) the raw second moment
+    val cells = df
+      .select(explode(concat(
+        zip_with(v, idx, (x, i) =>
+          struct(i.cast("int").as("i"), lit(-1).as("j"),
+            x.cast("double").as("xy"))),
+        flatten(zip_with(v, idx, (x, i) =>
+          zip_with(v, idx, (y, j) =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              (x.cast("double") * y.cast("double")).as("xy"))))))).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.xy"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xy").cast(dec)).cast("double").as("s"))
+      .collect()
+    require(cells.nonEmpty, "empty corpus has no principal component")
+    val dim = cells.iterator.map(_.getInt(0)).max + 1
+    val n = cells.iterator.collectFirst {
+      case r if r.getInt(0) == 0 && r.getInt(1) == -1 => r.getLong(2)
+    }.getOrElse(0L)
+    require(n > 0, "no complete first-moment cell — ragged or empty vectors")
+    val means = new Array[Double](dim)
+    val mom = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+      if (j == -1) means(i) = s / n else mom(i)(j) = s / n
+    }
+    val cov = Array.tabulate(dim, dim)((i, j) => mom(i)(j) - means(i) * means(j))
+    var pc = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    (0 until iters).foreach { _ =>
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += cov(i)(j) * pc(j); j += 1 }
+        acc
+      }
+      var nrm = 0.0
+      var i = 0
+      while (i < dim) { nrm += w(i) * w(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      require(nrm > 0, "power iteration collapsed — zero-variance corpus")
+      pc = w.map(_ / nrm)
+    }
+    (n, means, pc)
+  }
+
+  /** Projects every vector onto the corpus's top principal component
+    * (mean-centered): adds `pc1_proj = Σ_j (v_j − mean_j) · pc_j`. The
+    * apply pass is MAP-ONLY — the model (means + component, 2·dim
+    * doubles) rides along as literal arrays, and the per-row dot product
+    * folds left-to-right via `aggregate` (sequential array-order
+    * semantics), so the emitted doubles replay exactly.
+    */
+  def pcaProject(
+      df: DataFrame, idCol: String, vecCol: String, iters: Int = 10)
+      : DataFrame = {
+    val (_, means, pc) = topPrincipalComponent(df, vecCol, iters)
+    val dim = means.length
+    val mArr = typedLit(means.toSeq)
+    val pArr = typedLit(pc.toSeq)
+    df.withColumn("pc1_proj",
+      aggregate(
+        zip_with(col(vecCol), sequence(lit(0), lit(dim - 1)), (x, i) =>
+          (x.cast("double") - element_at(mArr, i + 1)) * element_at(pArr, i + 1)),
+        lit(0.0), (acc, z) => acc + z))
+  }
+
   /** Tiny deterministic Lloyd's k-means over a driver-side sample (cosine
     * assignment, mean update). Input order fixes initialization, so the
     * model is reproducible run to run.

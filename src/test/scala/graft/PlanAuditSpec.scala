@@ -312,6 +312,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("shingle_hashes"), s"token-hash kernel missing:\n$p")
   }
 
+  test("s11 pca projection apply is map-only (model is plan-time state)") {
+    // the moments pass already ran at plan-construction time; the frame the
+    // user consumes must be scan + project only — no join against a model
+    // table, no re-shuffle of the corpus
+    val p = plan("s11_pca_project")
+    assert(!p.contains("Exchange"), s"shuffle in the projection apply:\n$p")
+    assert(!p.contains("Join"), s"join in the projection apply:\n$p")
+  }
+
   test("s09 semantic dedup: map-only assignment, skinny guarded pair join, no cartesian") {
     val p = plan("s09_semantic_dedup")
     assert(!p.contains("CartesianProduct"), s"cartesian in semantic dedup:\n$p")

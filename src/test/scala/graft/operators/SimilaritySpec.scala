@@ -277,6 +277,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.values.forall(_(1) === 0.0))
   }
 
+  test("topPrincipalComponent: planted dominant axis is recovered exactly") {
+    // variance lives entirely on dim 0 (values −2, 0, 2 — binary-exact, so
+    // DECIMAL moment routing is lossless); dim 1 constant, dim 2 zero.
+    // cov = diag(8/3, 0, 0) → one power round lands exactly on (1, 0, 0)
+    val df = Seq((1L, Array(-2f, 5f, 0f)), (2L, Array(0f, 5f, 0f)),
+      (3L, Array(2f, 5f, 0f))).toDF("vec_id", "embedding")
+    val (n, means, pc) = Similarity.topPrincipalComponent(df, "embedding")
+    assert(n === 3L)
+    assert(means.toSeq === Seq(0.0, 5.0, 0.0))
+    assert(pc.toSeq === Seq(1.0, 0.0, 0.0))
+    // projection is then exactly the centered dim-0 coordinate
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding")
+      .select($"vec_id", $"pc1_proj").as[(Long, Double)].collect().toMap
+    assert(proj === Map(1L -> -2.0, 2L -> 0.0, 3L -> 2.0))
+  }
+
+  test("pcaProject: distributed projection replays the model bit-for-bit") {
+    val (_, means, pc) = Similarity.topPrincipalComponent(corpus, "embedding")
+    assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-12, "unit norm")
+    val got = Similarity.pcaProject(corpus, "vec_id", "embedding")
+      .select($"vec_id", $"pc1_proj").as[(Long, Double)].collect().toMap
+    // driver replay with the SAME left-to-right fold order the engine's
+    // `aggregate` uses — equality is exact, not approximate
+    val raw = corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    raw.foreach { case (id, v) =>
+      var acc = 0.0
+      v.indices.foreach(j => acc += (v(j).toDouble - means(j)) * pc(j))
+      assert(got(id) === acc, s"projection mismatch for $id")
+    }
+  }
+
   test("semanticDedup: over-cap clusters are exempted from pairing, members kept") {
     // all five vectors are mutual duplicates in one cluster; with the skew
     // guard capping clusters at 3 the pairing is skipped and every row is
