@@ -807,6 +807,23 @@ object SparkEntry {
         all.select("doc_id"), "doc_id")
     }),
 
+    // quality-aware cluster survivor: d06's clusters, but the kept copy is
+    // the HIGHEST-quality member (bounded-heap argmax, ties -> smallest
+    // id) — curation keeps the best duplicate, not an arbitrary one
+    "c06_cluster_reps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val all = docs.unionByName(mangled)
+      val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text", threshold = 0.7)
+      val clusters = Dedup.clusterAssignments(pairs.select("idA", "idB"),
+        all.select("doc_id"), "doc_id")
+      val scored = all.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Dedup.clusterRepresentatives(clusters, scored,
+        "doc_id", "cluster_id", "quality")
+    }),
+
     "d07_span_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       // near-dup corpus: each doc's copy drops the first word and gains a
@@ -1430,8 +1447,50 @@ object SparkEntry {
        |GROUP BY tokb.doc_id""".stripMargin
   }
 
-  private val t02QualitySql =
-    """SELECT doc_id, ROUND(raw_quality, 6) + 0.0 AS quality FROM (
+  /** Shared d06/c06 oracle prefix: independent all-pairs Jaccard pair
+    * generation over the doubled corpus, then recursive-CTE transitive
+    * closure — ends with `clusters(doc_id, cluster_id)`.
+    */
+  private val dupClusterClosureSql =
+    """WITH RECURSIVE docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents),
+         norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT idA, idB FROM inter
+           WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7),
+         edges AS (
+           SELECT idA AS u, idB AS v FROM pairs
+           UNION ALL
+           SELECT idB, idA FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM docs2
+           UNION
+           SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         clusters AS (
+           SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY id)"""
+
+  /** The t02 quality-score replay over any table exposing (doc_id, text) —
+    * parameterized so composed oracles (c06) score derived corpora with
+    * the byte-identical formula.
+    */
+  private def qualityOverSql(table: String): String =
+    s"""SELECT doc_id, ROUND(raw_quality, 6) + 0.0 AS quality FROM (
          SELECT doc_id,
            0.3 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
          + 0.4 * (CASE WHEN length(text) > 0
@@ -1440,10 +1499,12 @@ object SparkEntry {
                        ELSE 0.0 END)
          + 0.3 * (CASE WHEN length(text) > 0 AND
                             CAST(length(text) AS DOUBLE) /
-                            len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                            len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
                             BETWEEN 2.0 AND 12.0
                        THEN 1.0 ELSE 0.0 END) AS raw_quality
-         FROM documents)"""
+         FROM $table)"""
+
+  private val t02QualitySql = qualityOverSql("documents")
 
   private val t12RepetitionSql =
     """WITH b AS (
@@ -2234,37 +2295,23 @@ object SparkEntry {
     // argument); the recursive CTE computes reachability, min reachable id
     // is the cluster label, singletons fall out of the base case
     "d06_dedup_clusters" ->
-      """WITH RECURSIVE docs2 AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents),
-         norm AS (
-           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
-         grams AS (
-           SELECT doc_id,
-                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
-                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
-                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
-           FROM norm),
-         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
-         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
-         inter AS (
-           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
-           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4),
-         pairs AS (
-           SELECT idA, idB FROM inter
-           WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7),
-         edges AS (
-           SELECT idA AS u, idB AS v FROM pairs
-           UNION ALL
-           SELECT idB, idA FROM pairs),
-         reach(id, r) AS (
-           SELECT doc_id, doc_id FROM docs2
-           UNION
-           SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
-         SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
-         FROM reach GROUP BY id""",
+      s"""$dupClusterClosureSql
+         SELECT doc_id, cluster_id FROM clusters""",
+    // cluster representatives: the d06 closure, then keep the HIGHEST-
+    // quality member per cluster (ties -> smallest id), quality replayed
+    // with the t02 formula over the same doubled corpus
+    "c06_cluster_reps" ->
+      s"""$dupClusterClosureSql,
+         q AS (${qualityOverSql("docs2")}),
+         ranked AS (
+           SELECT c.cluster_id, q.doc_id, q.quality,
+                  row_number() OVER (PARTITION BY c.cluster_id
+                                     ORDER BY q.quality DESC, q.doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+           FROM clusters c JOIN q USING (doc_id))
+         SELECT cluster_id, cluster_size, doc_id AS rep_doc_id,
+                quality AS rep_score
+         FROM ranked WHERE rn = 1""",
     // span dedup oracle works on the gram STRINGS themselves — fully
     // independent of the engine's 64-bit gram hashing, so a hash-collision
     // recall/precision bug would surface here as a mismatch

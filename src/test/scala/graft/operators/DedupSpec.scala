@@ -231,6 +231,22 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Set(1L, 10L, 99L))
   }
 
+  test("clusterRepresentatives keeps the best-scored member, ties to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val clusters = Dedup.clusterAssignments(pairs, ids, "doc_id")
+    // cluster {1,2,3}: 2 wins on score; {10,11}: tie -> min id 10;
+    // singleton {99} represents itself
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7), (10L, 0.4), (11L, 0.4),
+      (99L, 0.1)).toDF("doc_id", "quality")
+    val got = Dedup.clusterRepresentatives(clusters, scored,
+        "doc_id", "cluster_id", "quality")
+      .select($"cluster_id", $"cluster_size", $"rep_doc_id", $"rep_score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 3L, 2L, 0.9), (10L, 2L, 10L, 0.4),
+      (99L, 1L, 99L, 0.1)))
+  }
+
   test("clusterAssignments converges in O(log n) rounds on a long path graph") {
     // a 64-node path is the adversarial case for plain neighbor-min
     // propagation (63 rounds); pointer jumping must finish well under the
