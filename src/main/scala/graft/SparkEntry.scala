@@ -1108,6 +1108,16 @@ object SparkEntry {
       TextAnalysis.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", buckets = 1024).select("doc_id", "score")),
 
+    // DSIR apply: importance scores -> min-max keep probability -> the
+    // content fingerprint is the coin; kept compares integers, so the
+    // sampling decision is exact and reproducible on both engines
+    "t24_importance_resample" -> ((s, dir) =>
+      TextAnalysis.importanceResample(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 1024)
+        .select(col("doc_id"), col("score"),
+          (round(col("keep_prob"), 6) + lit(0.0)).as("keep_prob"),
+          col("kept"))),
+
     // vocab small enough that real OOVs occur (corpus vocabulary is larger)
     "t20_token_ids" -> ((s, dir) =>
       TextAnalysis.encodeTokens(t(s, dir, "documents"), "doc_id", "text",
@@ -1417,7 +1427,21 @@ object SparkEntry {
        |FROM e, mvec mv, pcv""".stripMargin
   }
 
-  private def t19OracleSql: String = {
+  /** The t04 rolling-hash fingerprint replay (signed mod-2^64) as an
+    * expression over a column named `norm` — shared by t04 and t24.
+    */
+  private val fingerprintOverNormSql: String =
+    """CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         list_transform(range(1, length(norm)+1),
+           i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+         (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
+       + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+       - 9223372036854775808::HUGEINT AS BIGINT)"""
+
+  /** t19's scoring replay as a reusable CTE block ending in
+    * `scores(doc_id, score)` — t24 composes the resampling step on top.
+    */
+  private def t19ScoreCtes: String = {
     import DuckHash._
     val C1 = BigInt("ff51afd7ed558ccd", 16)
     val C2 = BigInt("c4ceb9fe1a85ec53", 16)
@@ -1441,11 +1465,38 @@ object SparkEntry {
        |stats AS (SELECT b, CAST(count(*) AS HUGEINT) AS s,
        |                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS t
        |          FROM tokb GROUP BY b),
-       |tot AS (SELECT CAST(sum(s) AS HUGEINT) AS stot, CAST(sum(t) AS HUGEINT) AS ttot FROM stats)
-       |SELECT tokb.doc_id, CAST(SUM(st.t * tot.stot - st.s * tot.ttot) AS BIGINT) AS score
-       |FROM tokb JOIN stats st USING (b) CROSS JOIN tot
-       |GROUP BY tokb.doc_id""".stripMargin
+       |tot AS (SELECT CAST(sum(s) AS HUGEINT) AS stot, CAST(sum(t) AS HUGEINT) AS ttot FROM stats),
+       |scores AS (
+       |  SELECT tokb.doc_id, CAST(SUM(st.t * tot.stot - st.s * tot.ttot) AS BIGINT) AS score
+       |  FROM tokb JOIN stats st USING (b) CROSS JOIN tot
+       |  GROUP BY tokb.doc_id)""".stripMargin
   }
+
+  private def t19OracleSql: String =
+    s"$t19ScoreCtes\nSELECT doc_id, score FROM scores"
+
+  /** t24 oracle: t19's scores min-max-scaled to a keep probability, coin =
+    * the t04 rolling-hash fingerprint mod 2^20 — the kept decision
+    * compares integers (floor(p·2^20) is exact below 2^53), so no
+    * float-boundary flakes.
+    */
+  private def t24OracleSql: String =
+    s"""$t19ScoreCtes,
+       |fp AS (
+       |  SELECT doc_id, $fingerprintOverNormSql AS fp
+       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |        FROM documents)),
+       |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scores),
+       |j AS (
+       |  SELECT s.doc_id, s.score,
+       |         CASE WHEN mm.hi = mm.lo THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(s.score - mm.lo AS DOUBLE)
+       |                   / CAST(mm.hi - mm.lo AS DOUBLE) END AS p,
+       |         ((fp.fp % 1048576) + 1048576) % 1048576 AS u
+       |  FROM scores s JOIN fp USING (doc_id) CROSS JOIN mm)
+       |SELECT doc_id, score, ROUND(p, 6) + 0.0 AS keep_prob,
+       |       u < CAST(floor(p * CAST(1048576 AS DOUBLE)) AS BIGINT) AS kept
+       |FROM j""".stripMargin
 
   /** Shared d06/c06 oracle prefix: independent all-pairs Jaccard pair
     * generation over the doubled corpus, then recursive-CTE transitive
@@ -1542,14 +1593,8 @@ object SparkEntry {
                      - 2147483648 AS INT) AS name_hash
          FROM customer""",
     "t04_fingerprint" ->
-      """SELECT doc_id,
-                CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
-                        list_transform(range(1, length(norm)+1),
-                          i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
-                      (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
-                     + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
-                     - 9223372036854775808::HUGEINT AS BIGINT) AS fingerprint
-         FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      s"""SELECT doc_id, $fingerprintOverNormSql AS fingerprint
+         FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
                FROM documents)""",
     "t01_lang_id" -> t01LangSql,
     "t07_tfidf" ->
@@ -2152,6 +2197,7 @@ object SparkEntry {
     // so its output IS that set (skew cap can't fire at fixture scale)
     "d04_simhash_pairs" -> d04OracleSql,
     "t19_importance" -> t19OracleSql,
+    "t24_importance_resample" -> t24OracleSql,
     "t20_token_ids" ->
       """WITH toks AS (
            SELECT doc_id,

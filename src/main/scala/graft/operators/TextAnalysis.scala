@@ -540,6 +540,39 @@ object TextAnalysis {
         .cast("long"))
   }
 
+  /** The DSIR apply step: importance-weighted Bernoulli resampling.
+    * Each doc keeps with probability proportional to its min-max-scaled
+    * [[importanceWeights]] score, and the coin is the doc's own content
+    * fingerprint — deterministic, reproducible, re-runnable (the t09
+    * philosophy: no RNG state, sampling decisions are pure functions of
+    * content). `kept = fingerprint mod resolution < floor(p · resolution)`
+    * compares INTEGERS, so the decision is exact on both engines — no
+    * float-boundary flakes.
+    *
+    * Scale shape: scoring is [[importanceWeights]]'s map-only literal
+    * fold; the min/max scale is one 2-long aggregate collected as
+    * plan-time state; the apply pass stays map-only (no join — the
+    * fingerprint derives from the same text column in the same pass).
+    * Degenerate corpora (all scores equal, including token-less) keep
+    * everything: p = 1.
+    */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, buckets: Int = 1024,
+      resolution: Int = 1 << 20): DataFrame = {
+    require(resolution >= 2, "resolution must give the coin some room")
+    val scored = importanceWeights(df, idCol, textCol, targetFilter, buckets)
+    val mm = scored.agg(min(col("score")), max(col("score"))).head()
+    val p =
+      if (mm.isNullAt(0) || mm.getLong(0) == mm.getLong(1)) lit(1.0)
+      else (col("score") - lit(mm.getLong(0))).cast("double") /
+        lit((mm.getLong(1) - mm.getLong(0)).toDouble)
+    scored
+      .withColumn("keep_prob", p)
+      .withColumn("kept",
+        pmod(fingerprint(col(textCol)), lit(resolution.toLong)) <
+          floor(col("keep_prob") * lit(resolution)))
+  }
+
   /** Vocabulary-id encoding: build a frequency-ranked vocabulary of the
     * top `vocabSize` tokens (count DESC, token ASC — same deterministic
     * order as [[topTokens]]) and encode every document as a space-joined

@@ -365,6 +365,40 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(1L) > got(3L) && got(2L) > got(3L))
   }
 
+  test("importanceResample: max-score docs always keep, min-score never, " +
+      "and the decision is a pure function of content") {
+    val docs = Seq(
+      (1L, true, "good clean target text"),
+      (2L, true, "good target words here"),
+      (3L, false, "noisy junk spam junk"),
+      (4L, false, "good mixed junk text")).toDF("doc_id", "is_t", "text")
+    val got = TextAnalysis.importanceResample(docs, "doc_id", "text",
+        col("is_t"), buckets = 64)
+      .select($"doc_id", $"score", $"keep_prob", $"kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    val hi = got.map(_._2).max
+    val lo = got.map(_._2).min
+    // p = 1 → floor(p·res) = res > any coin; p = 0 → u < 0 is impossible
+    got.filter(_._2 == hi).foreach(r => assert(r._4, s"max-score not kept: $r"))
+    got.filter(_._2 == lo).foreach(r => assert(!r._4, s"min-score kept: $r"))
+    assert(byId.values.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // deterministic: a second run produces the identical decision set
+    val again = TextAnalysis.importanceResample(docs, "doc_id", "text",
+        col("is_t"), buckets = 64)
+      .select($"doc_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(got.map(r => r._1 -> r._4).toMap === again)
+  }
+
+  test("importanceResample: degenerate corpus (all scores equal) keeps all") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "same text"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.importanceResample(docs, "doc_id", "text",
+        lit(true), buckets = 16)
+      .select($"kept", $"keep_prob").as[(Boolean, Double)].collect()
+    assert(got.forall(r => r._1 && r._2 === 1.0))
+  }
+
   test("bigramLmScore: hand-computed add-one bigram log-probs") {
     // corpus: "a b a b", "a b", "solo" → c(a b)=3, c(b a)=1, contexts
     // c(a·)=3, c(b·)=1, V=3 (a, b, solo — the bigram-less doc still feeds
