@@ -1172,6 +1172,20 @@ object SparkEntry {
       TextAnalysis.decontaminate(docs, evalDocs, "doc_id", "text", n = 5)
     }),
 
+    // graded decontamination: per-doc shared-gram FRACTION vs the eval
+    // set + the keep/drop verdict — t13's boolean, made a curation signal
+    "t23_overlap_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val evalDocs = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      TextAnalysis.contaminationOverlap(docs, evalDocs, "doc_id", "text",
+          n = 5, threshold = 0.5)
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          (round(col("overlap_frac"), 6) + lit(0.0)).as("overlap_frac"),
+          col("contaminated"))
+    }),
+
     // Bloom-screen decontamination: constant-size membership sketch over
     // the eval grams instead of t13's exact broadcast set. Gated like a01:
     // the exact counts plus two structurally-guaranteed booleans (no
@@ -2602,6 +2616,41 @@ object SparkEntry {
          SELECT tex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
          FROM tex JOIN evset ON tex.p = evset.p
          GROUP BY tex.doc_id""",
+    // graded variant: totals + shared in one pass, verdict on the
+    // UNROUNDED fraction (identical long division on both engines)
+    "t23_overlap_frac" ->
+      """WITH tnorm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+           FROM documents),
+         ttok AS (SELECT doc_id, n, string_split(n, ' ') AS w FROM tnorm),
+         tg AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, len(w) - 3),
+                              i -> hash(list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4], 'string_agg', ' ')))) END AS g
+           FROM ttok),
+         enorm AS (
+           SELECT regexp_replace(lower(trim(regexp_replace(text, '^\S+\s', ''))), '\s+', ' ', 'g') AS n
+           FROM documents WHERE doc_id % 10 = 3),
+         etok AS (SELECT n, string_split(n, ' ') AS w FROM enorm),
+         eg AS (
+           SELECT CASE WHEN len(w) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, len(w) - 3),
+                              i -> hash(list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4], 'string_agg', ' ')))) END AS g
+           FROM etok),
+         evset AS (SELECT DISTINCT unnest(g) AS p FROM eg),
+         gsz AS (SELECT doc_id, len(g) AS n_grams FROM tg WHERE len(g) > 0),
+         tex AS (SELECT doc_id, unnest(g) AS p FROM tg),
+         shared AS (
+           SELECT tex.doc_id, COUNT(*) AS n_shared
+           FROM tex JOIN evset ON tex.p = evset.p GROUP BY tex.doc_id)
+         SELECT g.doc_id, CAST(g.n_grams AS BIGINT) AS n_grams,
+                CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+                ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / g.n_grams, 6) + 0.0
+                  AS overlap_frac,
+                CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / g.n_grams >= 0.5
+                  AS contaminated
+         FROM gsz g LEFT JOIN shared s USING (doc_id)""",
     "t11_text_cleaning" ->
       """WITH c AS (
            SELECT doc_id,

@@ -250,6 +250,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Graded decontamination: per-doc FRACTION of distinct word n-grams
+    * shared with the evaluation set, plus the keep/drop verdict at
+    * `threshold`. [[decontaminate]]'s any-shared-gram boolean is the
+    * strict screen; curation at scale wants the graded score so
+    * near-total overlap (real contamination) is distinguishable from one
+    * incidental shared phrase. Docs whose normalized text produces no
+    * grams are absent (no denominator).
+    *
+    * Same scale shape as [[decontaminate]]: the eval gram set broadcasts,
+    * the corpus probes it map-side via a broadcast LEFT join that counts
+    * total AND shared grams in the SAME aggregate — one pass, one per-doc
+    * count shuffle, the corpus grams never shuffle. The verdict compares
+    * the unrounded double on both engines (identical division of
+    * identical longs), so the boolean is exact.
+    */
+  def contaminationOverlap(
+      training: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(graft.functions.GraftFunctions.shingle_hashes(
+        Dedup.normalized(col(textCol)), n, word = true)).as("__g"))
+    val evalGrams = grams(evalDocs).select("__g").distinct()
+      .withColumn("__hit", lit(1L))
+    grams(training)
+      .join(broadcast(evalGrams), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
   /** Corpus heavy hitters: the `k` most frequent normalized tokens with
     * deterministic ranking (count DESC, token ASC). The count is one hash
     * aggregate (map-side combined); the ranking rides the bounded-heap

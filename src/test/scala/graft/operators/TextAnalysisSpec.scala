@@ -365,6 +365,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(1L) > got(3L) && got(2L) > got(3L))
   }
 
+  test("contaminationOverlap: exact shared-gram fractions and verdicts") {
+    val train = Seq(
+      (1L, "a b c"),       // grams (a b)(b c); shares (b c) -> 1/2
+      (2L, "x y z"),       // no overlap -> 0
+      (3L, "b c d")        // grams (b c)(c d); both shared -> 1
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationOverlap(train, eval_, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .select($"doc_id", $"n_grams", $"n_shared", $"overlap_frac", $"contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 1L, 0.5, true)))
+    assert(got(2L) === ((2L, 2L, 0L, 0.0, false)))
+    assert(got(3L) === ((3L, 2L, 2L, 1.0, true)))
+  }
+
   test("importanceResample: max-score docs always keep, min-score never, " +
       "and the decision is a pure function of content") {
     val docs = Seq(
