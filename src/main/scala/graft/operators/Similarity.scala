@@ -311,34 +311,43 @@ object Similarity {
       df: DataFrame, vecCol: String, iters: Int = 10)
       : (Long, Array[Double], Array[Double]) = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 10)
-    val v = col(vecCol)
-    val idx = sequence(lit(0), size(v) - 1)
-    // j = -1 carries the first moment; (i, j >= 0) the raw second moment
-    val cells = df
-      .select(explode(concat(
-        zip_with(v, idx, (x, i) =>
-          struct(i.cast("int").as("i"), lit(-1).as("j"),
-            x.cast("double").as("xy"))),
-        flatten(zip_with(v, idx, (x, i) =>
-          zip_with(v, idx, (y, j) =>
-            struct(i.cast("int").as("i"), j.cast("int").as("j"),
-              (x.cast("double") * y.cast("double")).as("xy"))))))).as("c"))
-      .select(col("c.i"), col("c.j"), col("c.xy"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), sum(col("xy").cast(dec)).cast("double").as("s"))
+    // two chained Generate (posexplode) operators — codegen-friendly,
+    // unlike a nested zip_with lambda building dim² structs per row:
+    // row → (i, xi, vec) → (i, j, xi·xj)
+    val src0 = df.select(col(vecCol).as("__v"))
+    // the dim² explosion multiplies per-row work by ~4096, and the DECIMAL
+    // partial aggregation is the expensive part — a small input (one
+    // parquet row group) would run it in ONE task. Widen to the session's
+    // shuffle parallelism when the scan is narrower; at real scale the
+    // input already has more partitions than this and no shuffle is added
+    // (measured 15.9 s → 4.6 s at sf0.1, where embeddings is a single
+    // row group; the remainder is per-query codegen + the inherent
+    // decimal aggregation)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val src = if (src0.rdd.getNumPartitions < parts) src0.repartition(parts)
+      else src0
+    val v = col("__v")
+    val first = src.select(posexplode(v).as(Seq("__i", "__xi")), v.as("__v"))
+    val firstStats = first
+      .groupBy(col("__i").as("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__xi").cast("double").cast(dec)).cast("double").as("s"))
       .collect()
-    require(cells.nonEmpty, "empty corpus has no principal component")
-    val dim = cells.iterator.map(_.getInt(0)).max + 1
-    val n = cells.iterator.collectFirst {
-      case r if r.getInt(0) == 0 && r.getInt(1) == -1 => r.getLong(2)
-    }.getOrElse(0L)
+    require(firstStats.nonEmpty, "empty corpus has no principal component")
+    val dim = firstStats.iterator.map(_.getInt(0)).max + 1
+    val n = firstStats.iterator
+      .collectFirst { case r if r.getInt(0) == 0 => r.getLong(1) }.getOrElse(0L)
     require(n > 0, "no complete first-moment cell — ragged or empty vectors")
+    val cells = first
+      .select(col("__i"), col("__xi"), posexplode(col("__v")).as(Seq("__j", "__xj")))
+      .groupBy(col("__i").as("i"), col("__j").as("j"))
+      .agg(sum((col("__xi").cast("double") * col("__xj").cast("double")).cast(dec))
+        .cast("double").as("s"))
+      .collect()
     val means = new Array[Double](dim)
     val mom = Array.ofDim[Double](dim, dim)
-    cells.foreach { r =>
-      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getDouble(3))
-      if (j == -1) means(i) = s / n else mom(i)(j) = s / n
-    }
+    firstStats.foreach { r => means(r.getInt(0)) = r.getDouble(2) / n }
+    cells.foreach { r => mom(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / n }
     val cov = Array.tabulate(dim, dim)((i, j) => mom(i)(j) - means(i) * means(j))
     var pc = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     (0 until iters).foreach { _ =>
