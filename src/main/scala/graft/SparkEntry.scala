@@ -740,8 +740,11 @@ object SparkEntry {
       val delta = docs.select((col("doc_id") + 1000000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
       val index = Dedup.lshBuckets(docs, "doc_id", "text")
+      // this fixture's delta is CORPUS-scale (every doc re-arrives), so
+      // the broadcast touched-bucket restriction is pure overhead here —
+      // shuffle posture; the streaming d09 path keeps the broadcast one
       Dedup.minhashNearDupPairsIncremental(index, docs, delta,
-        "doc_id", "text", threshold = 0.7)
+        "doc_id", "text", threshold = 0.7, restrictToTouched = false)
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
@@ -766,9 +769,12 @@ object SparkEntry {
         .schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/stream/*")
+      // this fixture's micro-batches are corpus-scale (half the corpus
+      // each), so the small-delta broadcast restriction is opted out —
+      // the spec's small-batch stream keeps the broadcast-posture default
       val q = StreamingNearDup.start(s, src, "doc_id", "text",
         s"$tmp/index", s"$tmp/docs", s"$tmp/pairs", s"$tmp/cp",
-        threshold = 0.7)
+        threshold = 0.7, restrictToTouched = false)
       // a timed-out stream must FAIL here, not fall through to read a
       // half-written pair set (and keep appending during later queries)
       if (!q.awaitTermination(300000)) {

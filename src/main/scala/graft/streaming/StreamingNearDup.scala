@@ -86,7 +86,8 @@ object StreamingNearDup {
       checkpointDir: String,
       threshold: Double = 0.8, shingleK: Int = 5,
       bands: Int = 16, rowsPerBand: Int = 4, maxBucketSize: Int = 1000,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      restrictToTouched: Boolean = true): StreamingQuery = {
     source.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
@@ -102,8 +103,12 @@ object StreamingNearDup {
         try {
           // pairs materialize BEFORE the state appends below, so a batch
           // never pairs against its own appended rows twice
+          // micro-batch deltas are small in production (the broadcast
+          // touched-bucket restriction is the right default); callers
+          // replaying corpus-scale batches can opt out to shuffle posture
           Dedup.minhashNearDupPairsIncremental(index, docs, delta, deltaIdx,
-              idCol, textCol, threshold, shingleK, maxBucketSize)
+              idCol, textCol, threshold, shingleK, maxBucketSize,
+              restrictToTouched)
             .write.mode("append").parquet(pairsDir)
           deltaIdx.write.mode("append").parquet(indexDir)
           delta.write.mode("append").parquet(docsDir)
