@@ -749,32 +749,32 @@ object SparkEntry {
     }),
 
     // the STREAMING composition of d08: persistent parquet index state,
-    // two micro-batches folded through foreachBatch — batch 1 (even doc
-    // ids, +1e6) dedups against the seeded corpus, batch 2 (odd ids, +2e6)
-    // against corpus ∪ batch 1; the drained pair set equals the batch
-    // truth restricted to streamed-involving pairs, each pair exactly once
+    // two MICRO-batches folded through foreachBatch — batch 1 (doc ids
+    // ≡ 0 mod 10, +1e6) dedups against the seeded corpus, batch 2 (ids
+    // ≡ 5 mod 10, +2e6) against corpus ∪ batch 1; the drained pair set
+    // equals the batch truth restricted to streamed-involving pairs, each
+    // pair exactly once. Batches are delta-scale (10% of the corpus), so
+    // the query exercises the streaming posture for real: the broadcast
+    // touched-bucket restriction keeps the corpus index un-shuffled
     "d09_streaming_neardup" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_d09").toString
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       StreamingNearDup.seedIndex(docs, "doc_id", "text",
         s"$tmp/index", s"$tmp/docs")
       val stripped = regexp_replace(col("text"), "^\\S+\\s", "").as("text")
-      docs.filter(col("doc_id") % 2 === 0)
+      docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), stripped)
         .coalesce(1).write.parquet(s"$tmp/stream/b1")
-      docs.filter(col("doc_id") % 2 === 1)
+      docs.filter(col("doc_id") % 10 === 5)
         .select((col("doc_id") + 2000000).as("doc_id"), stripped)
         .coalesce(1).write.parquet(s"$tmp/stream/b2")
       val src = s.readStream
         .schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/stream/*")
-      // this fixture's micro-batches are corpus-scale (half the corpus
-      // each), so the small-delta broadcast restriction is opted out —
-      // the spec's small-batch stream keeps the broadcast-posture default
       val q = StreamingNearDup.start(s, src, "doc_id", "text",
         s"$tmp/index", s"$tmp/docs", s"$tmp/pairs", s"$tmp/cp",
-        threshold = 0.7, restrictToTouched = false)
+        threshold = 0.7)
       // a timed-out stream must FAIL here, not fall through to read a
       // half-written pair set (and keep appending during later queries)
       if (!q.awaitTermination(300000)) {
@@ -2334,10 +2334,10 @@ object SparkEntry {
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '')
-           FROM documents WHERE doc_id % 2 = 0
+           FROM documents WHERE doc_id % 10 = 0
            UNION ALL
            SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s', '')
-           FROM documents WHERE doc_id % 2 = 1),
+           FROM documents WHERE doc_id % 10 = 5),
          norm AS (
            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
          grams AS (

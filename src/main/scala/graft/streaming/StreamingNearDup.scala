@@ -108,7 +108,7 @@ object StreamingNearDup {
           // replaying corpus-scale batches can opt out to shuffle posture
           Dedup.minhashNearDupPairsIncremental(index, docs, delta, deltaIdx,
               idCol, textCol, threshold, shingleK, maxBucketSize,
-              restrictToTouched)
+              restrictToTouched, materializeIntermediates = true)
             .write.mode("append").parquet(pairsDir)
           deltaIdx.write.mode("append").parquet(indexDir)
           delta.write.mode("append").parquet(docsDir)

@@ -201,9 +201,12 @@ class PlanAuditSpec extends SparkTestBase {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // materialization off: the audit needs the WHOLE lazy plan — the
+      // production default localCheckpoints the capped/candidate frames,
+      // which would hide the restriction subtree behind LogicalRDD scans
       val pairs = graft.operators.Dedup.minhashNearDupPairsIncremental(
         spark.read.parquet(s"$tmp/index"), spark.read.parquet(s"$tmp/docs"),
-        delta, "doc_id", "text")
+        delta, "doc_id", "text", materializeIntermediates = false)
       val plan = pairs.queryExecution.executedPlan
       def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p match {

@@ -68,6 +68,15 @@ class DedupSpec extends SparkTestBase {
     assert(incr.contains((201L, 202L))) // delta-internal
     // corpus-internal pairs never re-emerge from the incremental run
     assert(!incr.keys.exists { case (a, b) => !deltaIds(a) && !deltaIds(b) })
+    // every posture/materialization combination yields the identical set
+    for (restrict <- Seq(true, false); matz <- Seq(true, false)) {
+      val alt = Dedup.minhashNearDupPairsIncremental(
+          Dedup.lshBuckets(docs, "doc_id", "text"), docs, delta,
+          "doc_id", "text", threshold = threshold,
+          restrictToTouched = restrict, materializeIntermediates = matz)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(alt === batch, s"restrict=$restrict materialize=$matz diverged")
+    }
   }
 
   test("filterNearDupFree keeps exactly the unmatched delta rows") {
