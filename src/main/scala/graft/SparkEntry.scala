@@ -1050,6 +1050,38 @@ object SparkEntry {
           col("dup_bigram_frac") <= 0.05)
     }),
 
+    // the end-to-end curation DAG — what the operator framework exists
+    // for: c01's quality gate -> t23's graded decontamination drop ->
+    // d02's exact dedup (keep min id per normalized-md5) -> t19/t24
+    // importance resampling RE-SCORED over the survivors (importance is
+    // corpus-relative). One composed lazy plan per stage family; every
+    // stage reuses the exact operator the standalone queries gate
+    "c07_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (dupB, _) = TextAnalysis.repetitionScores(col("text"))
+      val gated = docs.select(col("doc_id"), col("text"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          dupB.as("dup_bigram_frac"))
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.9 &&
+          col("dup_bigram_frac") <= 0.05)
+        .select("doc_id", "text", "lang", "quality")
+      val evalDocs = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val flagged = TextAnalysis.contaminationOverlap(
+          gated.select("doc_id", "text"), evalDocs, "doc_id", "text",
+          n = 5, threshold = 0.5)
+        .filter(col("contaminated")).select("doc_id")
+      val decon = gated.join(flagged, Seq("doc_id"), "left_anti")
+      val deduped = Dedup.normalizedDedup(decon, "doc_id", "text")
+      TextAnalysis.importanceResample(deduped, "doc_id", "text",
+          col("lang") === "en", buckets = 1024)
+        .filter(col("kept"))
+        .select(col("doc_id"), col("quality"), col("score"),
+          (round(col("keep_prob"), 6) + lit(0.0)).as("keep_prob"))
+    }),
+
     // one-pass corpus profile: per-language rows + a grand-total row from
     // a SINGLE rollup scan — at 100 TB the corpus is not re-scanned once
     // per statistic; counters, the DECIMAL-routed quality mean, the exact
@@ -1458,18 +1490,89 @@ object SparkEntry {
        + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
        - 9223372036854775808::HUGEINT AS BIGINT)"""
 
-  /** t19's scoring replay as a reusable CTE block ending in
-    * `scores(doc_id, score)` — t24 composes the resampling step on top.
+  /** c07 oracle: the full curation DAG replayed relationally — the c01
+    * quality gate, t23's graded decontamination drop at 0.5, d02's exact
+    * keep-min-id dedup on md5(normalized), then t19 importance scores
+    * RE-COMPUTED over the surviving corpus (importance statistics are
+    * corpus-relative) feeding the t24 fingerprint-coin resample.
     */
-  private def t19ScoreCtes: String = {
+  private def c07OracleSql: String =
+    s"""WITH lang AS ($t01LangSql),
+       |qual AS ($t02QualitySql),
+       |rep AS ($t12RepetitionSql),
+       |gated AS (
+       |  SELECT d.doc_id, d.text, d.lang, q.quality
+       |  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |       JOIN rep r USING (doc_id)
+       |  WHERE l.pred_lang = 'en' AND q.quality >= 0.9
+       |    AND r.dup_bigram_frac <= 0.05),
+       |gnorm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+       |          FROM gated),
+       |gtok AS (SELECT doc_id, n, string_split(n, ' ') AS w FROM gnorm),
+       |gtg AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+       |              ELSE list_distinct(list_transform(range(1, len(w) - 3),
+       |                     i -> hash(list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4], 'string_agg', ' ')))) END AS g
+       |  FROM gtok),
+       |enorm AS (
+       |  SELECT regexp_replace(lower(trim(regexp_replace(text, '^\\S+\\s', ''))), '\\s+', ' ', 'g') AS n
+       |  FROM documents WHERE doc_id % 10 = 3),
+       |etok AS (SELECT n, string_split(n, ' ') AS w FROM enorm),
+       |eg AS (
+       |  SELECT CASE WHEN len(w) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+       |              ELSE list_distinct(list_transform(range(1, len(w) - 3),
+       |                     i -> hash(list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4], 'string_agg', ' ')))) END AS g
+       |  FROM etok),
+       |evset AS (SELECT DISTINCT unnest(g) AS p FROM eg),
+       |ggsz AS (SELECT doc_id, len(g) AS n_grams FROM gtg WHERE len(g) > 0),
+       |gtex AS (SELECT doc_id, unnest(g) AS p FROM gtg),
+       |gshared AS (
+       |  SELECT gtex.doc_id, COUNT(*) AS n_shared
+       |  FROM gtex JOIN evset ON gtex.p = evset.p GROUP BY gtex.doc_id),
+       |contaminated AS (
+       |  SELECT g.doc_id FROM ggsz g LEFT JOIN gshared s USING (doc_id)
+       |  WHERE CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / g.n_grams >= 0.5),
+       |decon AS (
+       |  SELECT g.* FROM gated g ANTI JOIN contaminated c USING (doc_id)),
+       |dedup AS (
+       |  SELECT doc_id, text, lang, quality
+       |  FROM (SELECT doc_id, text, lang, quality,
+       |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+       |        FROM decon)
+       |  QUALIFY row_number() OVER (PARTITION BY md5(n) ORDER BY doc_id) = 1),
+       |${t19ScoreCtes("dedup")},
+       |fp AS (
+       |  SELECT doc_id, $fingerprintOverNormSql AS fp
+       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |        FROM dedup)),
+       |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scores),
+       |jj AS (
+       |  SELECT s.doc_id, s.score,
+       |         CASE WHEN mm.hi = mm.lo THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(s.score - mm.lo AS DOUBLE)
+       |                   / CAST(mm.hi - mm.lo AS DOUBLE) END AS p,
+       |         ((fp.fp % 1048576) + 1048576) % 1048576 AS u
+       |  FROM scores s JOIN fp USING (doc_id) CROSS JOIN mm)
+       |SELECT jj.doc_id, d.quality, jj.score, ROUND(jj.p, 6) + 0.0 AS keep_prob
+       |FROM jj JOIN dedup d USING (doc_id)
+       |WHERE u < CAST(floor(p * CAST(1048576 AS DOUBLE)) AS BIGINT)""".stripMargin
+
+  /** t19's scoring replay as a reusable CTE block (no leading WITH)
+    * ending in `scores(doc_id, score)`, over any table exposing
+    * (doc_id, lang, text) — t24 composes the resampling step on top of
+    * the full corpus; c07 re-scores the curation survivors (importance
+    * statistics are corpus-relative, so the filtered corpus re-weighs).
+    */
+  private def t19ScoreCtes(src: String = "documents"): String = {
     import DuckHash._
     val C1 = BigInt("ff51afd7ed558ccd", 16)
     val C2 = BigInt("c4ceb9fe1a85ec53", 16)
     val goldSigned = -7046029254386353131L // 0x9E3779B97F4A7C15 as signed
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, lang,
        |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ts
-       |  FROM documents),
+       |  FROM $src),
        |h0 AS (SELECT doc_id, lang, list_transform(ts, t ->
        |         list_reduce(list_prepend(0::HUGEINT, list_transform(range(1, length(t)+1),
        |           i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
@@ -1493,7 +1596,7 @@ object SparkEntry {
   }
 
   private def t19OracleSql: String =
-    s"$t19ScoreCtes\nSELECT doc_id, score FROM scores"
+    s"WITH ${t19ScoreCtes()}\nSELECT doc_id, score FROM scores"
 
   /** t24 oracle: t19's scores min-max-scaled to a keep probability, coin =
     * the t04 rolling-hash fingerprint mod 2^20 — the kept decision
@@ -1501,7 +1604,7 @@ object SparkEntry {
     * float-boundary flakes.
     */
   private def t24OracleSql: String =
-    s"""$t19ScoreCtes,
+    s"""WITH ${t19ScoreCtes()},
        |fp AS (
        |  SELECT doc_id, $fingerprintOverNormSql AS fp
        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
@@ -2218,6 +2321,7 @@ object SparkEntry {
     "d04_simhash_pairs" -> d04OracleSql,
     "t19_importance" -> t19OracleSql,
     "t24_importance_resample" -> t24OracleSql,
+    "c07_curation_pipeline" -> c07OracleSql,
     "t20_token_ids" ->
       """WITH toks AS (
            SELECT doc_id,
