@@ -363,6 +363,24 @@ object SparkEntry {
         prefix = "", tieBreak = Some("purchase_id"))
     }),
 
+    // as-of with a match window: j05's join, but matches farther than 10
+    // minutes null out (pandas merge_asof tolerance) — attribution joins
+    // in practice always carry a lookback bound
+    "j08_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us").as("click_ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"), col("value").as("purchase_value"))
+      graft.operators.TemporalJoin.asOfJoin(
+        clicks, purchases, Seq("user_id"), "click_ts_us", "purchase_ts_us",
+        payload = Seq("purchase_id", "purchase_ts_us", "purchase_value"),
+        prefix = "", tieBreak = Some("purchase_id"),
+        tolerance = Some(600000000L)) // 10 min in micros
+    }),
+
     // interval range join: clicks landing in each error's 10-minute window
     // (bucketized — intervals explode to covered buckets, points equi-join
     // on bucket + residual range filter; no cartesian, no broadcast of a
@@ -545,6 +563,22 @@ object SparkEntry {
     // windowed feature extraction. Integer day indices (ts div ns/day)
     // keep the bucketing engine-exact; grids explode per user, bounded by
     // each user's own activity span
+    // event debounce: suppress near-duplicate telemetry — an event within
+    // 60 s of the previous event of the same (user, type) is flagged as a
+    // duplicate. ONE per-key window (integer-exact lag compare); the
+    // batch analogue of streaming dropDuplicatesWithinWatermark
+    "e04_event_debounce" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("__prev", expr(
+          "lag(ts_us) OVER (PARTITION BY user_id, event_type " +
+            "ORDER BY ts_us, event_id)"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"),
+          (col("__prev").isNull || col("ts_us") - col("__prev") > 60000000L)
+            .as("kept"))),
+
     "e03_resample_fill" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"),
         expr("ts div 86400000000000").as("day"), col("value"))
@@ -1878,6 +1912,34 @@ object SparkEntry {
                 p.purchase_id, p.purchase_ts_us, p.purchase_value
          FROM clicks c ASOF LEFT JOIN purch p
            ON c.user_id = p.user_id AND c.click_ts_us >= p.purchase_ts_us""",
+    // j05 + the tolerance bound: DuckDB ASOF has no tolerance clause, so
+    // the backward pick replays as a windowed rank and the bound filters
+    // the winner (not the candidates — pandas semantics, same as engine)
+    "j08_asof_tolerance" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                            event_type, value FROM events),
+         clicks AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
+                    FROM ev WHERE event_type = 'click'),
+         purch AS (SELECT event_id AS purchase_id, user_id,
+                          ts_us AS purchase_ts_us, value AS purchase_value
+                   FROM ev WHERE event_type = 'purchase'),
+         cand AS (
+           SELECT c.click_id, p.purchase_id, p.purchase_ts_us, p.purchase_value,
+                  row_number() OVER (PARTITION BY c.click_id
+                                     ORDER BY p.purchase_ts_us DESC,
+                                              p.purchase_id DESC) AS rn
+           FROM clicks c JOIN purch p
+             ON c.user_id = p.user_id AND p.purchase_ts_us <= c.click_ts_us),
+         won AS (SELECT click_id, purchase_id, purchase_ts_us, purchase_value
+                 FROM cand WHERE rn = 1)
+         SELECT c.click_id, c.user_id, c.click_ts_us,
+                CASE WHEN c.click_ts_us - w.purchase_ts_us <= 600000000
+                     THEN w.purchase_id END AS purchase_id,
+                CASE WHEN c.click_ts_us - w.purchase_ts_us <= 600000000
+                     THEN w.purchase_ts_us END AS purchase_ts_us,
+                CASE WHEN c.click_ts_us - w.purchase_ts_us <= 600000000
+                     THEN w.purchase_value END AS purchase_value
+         FROM clicks c LEFT JOIN won w USING (click_id)""",
     "j06_range_join" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events),
          err AS (SELECT event_id AS err_id, ts_us AS win_start,
@@ -2020,6 +2082,15 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     // resample: integer day buckets (floor division of positive nanos
     // matches Spark's div), per-user range() grid, zero-filled left join
+    "e04_event_debounce" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+                     FROM events),
+         l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts_us, event_id) AS prev_ts
+               FROM ev)
+         SELECT event_id, user_id, event_type, ts_us,
+                prev_ts IS NULL OR ts_us - prev_ts > 60000000 AS kept
+         FROM l""",
     "e03_resample_fill" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, value
                     FROM events),

@@ -49,6 +49,12 @@ object TemporalJoin {
    * Left rows with no match keep null payload columns (left-outer
    * semantics); rows with a null timestamp on either side never match.
    *
+   * `tolerance` (pandas merge_asof semantics): when set, a match farther
+   * than `tolerance` time units from the left timestamp nulls out — the
+   * direction picks the candidate FIRST, then the bound applies, so
+   * "nearest" never falls back to its farther side. Same plan shape:
+   * the check is one map-side conditional on the matched struct.
+   *
    * When several right rows share the winning `(keys, ts)`, the one with
    * the greatest `tieBreak` value wins (whole-payload, atomically — the
    * payload travels as one struct, so the winner's columns are never
@@ -66,11 +72,13 @@ object TemporalJoin {
       prefix: String = "right_",
       allowExactMatch: Boolean = true,
       tieBreak: Option[String] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asOfJoin requires at least one equi-key")
     require(payload.nonEmpty, "asOfJoin requires at least one payload column")
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got '$direction'")
+    require(tolerance.forall(_ >= 0L), "tolerance must be non-negative")
     val outNames = payload.map(prefix + _)
     val clash = outNames.intersect(left.columns.toSeq)
     require(clash.isEmpty,
@@ -148,8 +156,18 @@ object TemporalJoin {
             col("__mb"))
           .otherwise(col("__mf"))
     }
+    // tolerance (pandas merge_asof semantics): the DIRECTION picks the
+    // match first, then an out-of-tolerance match nulls out — nearest
+    // does NOT fall back to its other side when the closer one is too
+    // far. One abs() covers all directions (backward distance is >= 0,
+    // forward <= 0).
+    val tolerated = tolerance match {
+      case None => matchedCol
+      case Some(tol) =>
+        when(abs(col("__ts") - matchedCol.getField("__rts")) <= tol, matchedCol)
+    }
     val matched = withDirs
-      .withColumn("__matched", when(col("__ts").isNotNull, matchedCol))
+      .withColumn("__matched", when(col("__ts").isNotNull, tolerated))
       .filter(col("__side") === 1)
 
     val leftCols = left.columns.toSeq.map(c => col("__lrow").getField(c).as(c))

@@ -154,6 +154,33 @@ class TemporalJoinSpec extends SparkTestBase {
     (5L, 35L, 45L)    // straddles a bucket boundary
   ).toDF("i_id", "lo", "hi")
 
+  test("asOfJoin: tolerance nulls far matches; nearest never falls back") {
+    // backward: trade 102 (ts 25) matches quote 2 (ts 20) at distance 5 —
+    // within tolerance 5, but outside tolerance 4; trade 100 matches
+    // nothing either way
+    def back(tol: Long) = TemporalJoin.asOfJoin(
+      trades, quotes, Seq("key"), "t_ts", "q_ts",
+      payload = Seq("q_id"), prefix = "q_", tolerance = Some(tol))
+      .select("t_id", "q_q_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(back(5L)(102L) === 2L, "distance-5 match survives tolerance 5")
+    assert(back(4L)(102L) === -1L, "distance-5 match nulls at tolerance 4")
+    assert(back(4L)(101L) === 2L, "exact match always within tolerance")
+    // nearest at trade 102: backward quote 2 (dist 5) beats forward quote
+    // 3 (dist 5 — tie goes backward); tolerance 4 kills the PICKED match
+    // even though the forward one is equally far — no re-selection
+    val near = TemporalJoin.asOfJoin(
+      trades, quotes, Seq("key"), "t_ts", "q_ts",
+      payload = Seq("q_id"), prefix = "q_", direction = "nearest",
+      tolerance = Some(4L))
+      .select("t_id", "q_q_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(near(102L) === -1L, "nearest does not fall back past tolerance")
+    assert(near(103L) === 4L, "b: quote at 15 is distance 1 from trade 14")
+  }
+
   test("rangeJoin: half-open containment, each pair exactly once") {
     val points = Seq((1L, 0L), (2L, 9L), (3L, 10L), (4L, 25L), (5L, 29L),
       (6L, 40L), (7L, 44L), (8L, 45L)).toDF("p_id", "ts")
