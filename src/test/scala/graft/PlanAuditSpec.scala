@@ -315,6 +315,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("shingle_hashes"), s"token-hash kernel missing:\n$p")
   }
 
+  test("t23 overlap probe broadcasts the eval grams — corpus grams never shuffle") {
+    val p = plan("t23_overlap_frac")
+    assert(p.contains("BroadcastHashJoin"), s"eval gram probe not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams shuffled for the probe:\n$p")
+  }
+
+  test("t24 importance resample applies map-only (scores + coin, no join)") {
+    // the min/max scale collected at plan time; the fingerprint coin
+    // derives from the same text column in the same pass — the frame the
+    // user consumes must be scan + project only
+    val p = plan("t24_importance_resample")
+    assert(!p.contains("Exchange"), s"shuffle in the resample apply:\n$p")
+    assert(!p.contains("Join"), s"join in the resample apply:\n$p")
+  }
+
+  test("c07 curation pipeline: no cartesian or nested-loop stage anywhere") {
+    val p = plan("c07_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the pipeline:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+  }
+
   test("s11 pca projection apply is map-only (model is plan-time state)") {
     // the moments pass already ran at plan-construction time; the frame the
     // user consumes must be scan + project only — no join against a model
