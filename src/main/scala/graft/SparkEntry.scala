@@ -1093,6 +1093,11 @@ object SparkEntry {
     "c07_curation_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val (dupB, _) = TextAnalysis.repetitionScores(col("text"))
+      // checkpointed: gated feeds the overlap probe AND the anti-join
+      // (its quality kernels would run twice), and the dedup survivors
+      // feed importanceResample's THREE passes (bucket stats, min/max
+      // scale, apply) — left lazy, the whole upstream pipeline would
+      // re-execute per pass (measured 9.9 s → 7.1 s at sf0.1)
       val gated = docs.select(col("doc_id"), col("text"), col("lang"),
           TextAnalysis.langId(col("text")).as("pred_lang"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
@@ -1100,6 +1105,7 @@ object SparkEntry {
         .filter(col("pred_lang") === "en" && col("quality") >= 0.9 &&
           col("dup_bigram_frac") <= 0.05)
         .select("doc_id", "text", "lang", "quality")
+        .localCheckpoint(eager = true)
       val evalDocs = docs.filter(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 2000000).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
@@ -1109,6 +1115,7 @@ object SparkEntry {
         .filter(col("contaminated")).select("doc_id")
       val decon = gated.join(flagged, Seq("doc_id"), "left_anti")
       val deduped = Dedup.normalizedDedup(decon, "doc_id", "text")
+        .localCheckpoint(eager = true)
       TextAnalysis.importanceResample(deduped, "doc_id", "text",
           col("lang") === "en", buckets = 1024)
         .filter(col("kept"))
