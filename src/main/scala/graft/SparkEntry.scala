@@ -782,6 +782,29 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // the keep step after incremental screening: delta docs that matched
+    // NOTHING — neither the corpus nor another delta doc — i.e. exactly
+    // what a crawl pipeline appends to the corpus. One left-anti join
+    // against the union of both pair sides. The delta mixes near-dup
+    // copies (even ids — dropped) with genuinely novel md5-hex docs (odd
+    // ids — kept), so BOTH verdicts are exercised and a
+    // trivially-empty-result bug cannot pass
+    "d10_neardup_free" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val nearDup = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val novel = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat_ws(" ", md5(col("text")), md5(concat(col("text"), lit("x"))),
+            md5(concat(col("text"), lit("y")))).as("text"))
+      val delta = nearDup.unionByName(novel)
+      val index = Dedup.lshBuckets(docs, "doc_id", "text")
+      val pairs = Dedup.minhashNearDupPairsIncremental(index, docs, delta,
+        "doc_id", "text", threshold = 0.7, restrictToTouched = false)
+      Dedup.filterNearDupFree(delta, pairs, "doc_id").select("doc_id")
+    }),
+
     // the STREAMING composition of d08: persistent parquet index state,
     // two MICRO-batches folded through foreachBatch — batch 1 (doc ids
     // ≡ 0 mod 10, +1e6) dedups against the seeded corpus, batch 2 (ids
@@ -982,6 +1005,19 @@ object SparkEntry {
           iters = 10)
         .select(col("vec_id"),
           (round(col("pc1_proj"), 4) + lit(0.0)).as("proj"))),
+
+    // how much of the corpus variance the top PC captures — the number
+    // that decides whether s11-style projection pruning is meaningful.
+    // Scalars computed driver-side in the same replayable fold order;
+    // emitted through Spark round() so both engines canonicalize alike
+    "s12_pca_variance" -> ((s, dir) => {
+      val (lambda, trace, ratio) = Similarity.pcaVarianceSummary(
+        t(s, dir, "embeddings"), "embedding", iters = 10)
+      s.range(1).select(
+        (round(lit(lambda), 4) + lit(0.0)).as("lambda"),
+        (round(lit(trace), 4) + lit(0.0)).as("total_var"),
+        (round(lit(ratio), 6) + lit(0.0)).as("var_ratio"))
+    }),
 
     // SemDeDup-style semantic dedup: planted ×2-scaled copies (exact
     // power-of-2 scaling — cosine with the source is EXACTLY 1.0 and every
@@ -1475,14 +1511,21 @@ object SparkEntry {
     * arithmetic is explicitly DOUBLE-cast — bare 0.125/0.0 literals are
     * DECIMAL in DuckDB and would silently round the whole chain.
     */
-  private def s11OracleSql: String = {
-    // one mat-vec sweep: w_i = fold_j cov[i][j] * v[j] (ascending j)
+  // one mat-vec sweep: w_i = fold_j cov[i][j] * vec[j] (ascending j)
+  private def s11Matvec(
+      i: String, j: String, a: String, b: String, vec: String) =
+    s"""list_transform(range(1, 65), $i ->
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, 65),
+       |      $j -> cm.m[CAST($i AS INT)][CAST($j AS INT)] * $vec[CAST($j AS INT)])),
+       |    ($a, $b) -> $a + $b))""".stripMargin
+
+  /** Shared s11/s12 CTE chain: moments → covariance lists → 10 power
+    * rounds → `pcv(p)`, the unit top component.
+    */
+  private def s11Ctes: String = {
     def matvec(i: String, j: String, a: String, b: String) =
-      s"""list_transform(range(1, 65), $i ->
-         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list_transform(range(1, 65),
-         |      $j -> cm.m[CAST($i AS INT)][CAST($j AS INT)] * it.v[CAST($j AS INT)])),
-         |    ($a, $b) -> $a + $b))""".stripMargin
+      s11Matvec(i, j, a, b, "it.v")
     s"""WITH RECURSIVE
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |x AS (SELECT vec_id, CAST(i AS INT) AS i, emb[CAST(i AS INT)] AS v
@@ -1510,7 +1553,11 @@ object SparkEntry {
        |        list_transform(${matvec("i2", "j2", "a2", "b2")},
        |          y -> y * y)), (a3, b3) -> a3 + b3)))
        |  FROM it, covm cm WHERE k < 10),
-       |pcv AS (SELECT v AS p FROM it WHERE k = 10)
+       |pcv AS (SELECT v AS p FROM it WHERE k = 10)""".stripMargin
+  }
+
+  private def s11OracleSql: String =
+    s"""$s11Ctes
        |SELECT e.vec_id,
        |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(range(1, 65),
@@ -1518,7 +1565,28 @@ object SparkEntry {
        |           * pcv.p[CAST(j AS INT)])),
        |    (a, b) -> a + b), 4) + 0.0 AS proj
        |FROM e, mvec mv, pcv""".stripMargin
-  }
+
+  /** s12 oracle: λ = p·(C·p), trace = Σ C[i][i], ratio — all in the same
+    * ordered folds as the engine's driver loops.
+    */
+  private def s12OracleSql: String =
+    s"""$s11Ctes,
+       |wv AS (SELECT ${s11Matvec("wi", "wj", "wa", "wb", "pcv.p")} AS w
+       |       FROM pcv, covm cm),
+       |lam AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(1, 65),
+       |            li -> pcv.p[CAST(li AS INT)] * wv.w[CAST(li AS INT)])),
+       |          (la, lb) -> la + lb) AS lambda
+       |        FROM pcv, wv),
+       |tr AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(range(1, 65),
+       |           ti -> cm.m[CAST(ti AS INT)][CAST(ti AS INT)])),
+       |         (ta, tb) -> ta + tb) AS trace
+       |       FROM covm cm)
+       |SELECT ROUND(lam.lambda, 4) + 0.0 AS lambda,
+       |       ROUND(tr.trace, 4) + 0.0 AS total_var,
+       |       ROUND(lam.lambda / tr.trace, 6) + 0.0 AS var_ratio
+       |FROM lam, tr""".stripMargin
 
   /** The t04 rolling-hash fingerprint replay (signed mod-2^64) as an
     * expression over a column named `norm` — shared by t04 and t24.
@@ -2305,6 +2373,7 @@ object SparkEntry {
                 round(CASE WHEN sd > 0 THEN (v - mean) / sd ELSE 0.0 END, 4) + 0.0 AS z
          FROM x JOIN st ON x.pos = st.pos""",
     "s11_pca_project" -> s11OracleSql,
+    "s12_pca_variance" -> s12OracleSql,
     // semantic dedup: centroids = 16 smallest-id vectors, assignment =
     // argmax cosine (tie-break smallest centroid), drop = exists smaller-id
     // cluster-mate with cosine >= 0.999. The ×2-scaled copies keep every
@@ -2507,6 +2576,41 @@ object SparkEntry {
          FROM inter
          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
            AND idB >= 1000000""",
+    // the keep step: delta ids on NEITHER side of any qualifying pair —
+    // even-id near-dup copies drop, odd-id md5-hex novels survive
+    "d10_neardup_free" ->
+      """WITH delta AS (
+           SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^\S+\s', '') AS text
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id + 3000000,
+                  md5(text) || ' ' || md5(text || 'x') || ' ' || md5(text || 'y')
+           FROM documents WHERE doc_id % 2 = 1),
+         docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id, text FROM delta),
+         norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT idA, idB FROM inter
+           WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7 AND idB >= 1000000),
+         matched AS (SELECT idA AS doc_id FROM pairs
+                     UNION SELECT idB FROM pairs)
+         SELECT d.doc_id FROM delta d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)""",
     // streaming composition: the d08 truth over corpus ∪ batch1 ∪ batch2
     // restricted to pairs with a streamed member — micro-batch boundaries
     // don't change the SET of pairs (each surfaces once, in the batch of

@@ -310,6 +310,16 @@ object Similarity {
   def topPrincipalComponent(
       df: DataFrame, vecCol: String, iters: Int = 10)
       : (Long, Array[Double], Array[Double]) = {
+    val (n, means, cov) = covarianceModel(df, vecCol)
+    (n, means, powerIterate(cov, iters))
+  }
+
+  /** The distributed moment pass behind [[topPrincipalComponent]]:
+    * (count, per-dim means, dim×dim covariance). See that method for the
+    * shuffle accounting and determinism contract.
+    */
+  private[operators] def covarianceModel(df: DataFrame, vecCol: String)
+      : (Long, Array[Double], Array[Array[Double]]) = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 10)
     // two chained Generate (posexplode) operators — codegen-friendly,
     // unlike a nested zip_with lambda building dim² structs per row:
@@ -348,14 +358,25 @@ object Similarity {
     val mom = Array.ofDim[Double](dim, dim)
     firstStats.foreach { r => means(r.getInt(0)) = r.getDouble(2) / n }
     cells.foreach { r => mom(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / n }
-    val cov = Array.tabulate(dim, dim)((i, j) => mom(i)(j) - means(i) * means(j))
+    (n, means,
+      Array.tabulate(dim, dim)((i, j) => mom(i)(j) - means(i) * means(j)))
+  }
+
+  /** Fixed-order mat-vec: w_i = fold_j cov(i)(j)·v(j), ascending j from
+    * 0.0 — the replayable summation order everything PCA-shaped shares.
+    */
+  private def matVec(cov: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    Array.tabulate(v.length) { i =>
+      var acc = 0.0; var j = 0
+      while (j < v.length) { acc += cov(i)(j) * v(j); j += 1 }
+      acc
+    }
+
+  private def powerIterate(cov: Array[Array[Double]], iters: Int): Array[Double] = {
+    val dim = cov.length
     var pc = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     (0 until iters).foreach { _ =>
-      val w = Array.tabulate(dim) { i =>
-        var acc = 0.0; var j = 0
-        while (j < dim) { acc += cov(i)(j) * pc(j); j += 1 }
-        acc
-      }
+      val w = matVec(cov, pc)
       var nrm = 0.0
       var i = 0
       while (i < dim) { nrm += w(i) * w(i); i += 1 }
@@ -363,7 +384,28 @@ object Similarity {
       require(nrm > 0, "power iteration collapsed — zero-variance corpus")
       pc = w.map(_ / nrm)
     }
-    (n, means, pc)
+    pc
+  }
+
+  /** Explained-variance summary of the top principal component:
+    * (eigenvalue λ = pc·(C·pc), total variance = trace(C), ratio λ/trace)
+    * — the number that decides whether top-PC projection pruning is
+    * meaningful for this corpus at all. Same model pass and fold-order
+    * determinism as [[topPrincipalComponent]]; all three values are plain
+    * driver doubles an oracle replays exactly.
+    */
+  def pcaVarianceSummary(df: DataFrame, vecCol: String, iters: Int = 10)
+      : (Double, Double, Double) = {
+    val (_, _, cov) = covarianceModel(df, vecCol)
+    val pc = powerIterate(cov, iters)
+    val w = matVec(cov, pc)
+    var lambda = 0.0
+    var i = 0
+    while (i < pc.length) { lambda += pc(i) * w(i); i += 1 }
+    var trace = 0.0
+    i = 0
+    while (i < cov.length) { trace += cov(i)(i); i += 1 }
+    (lambda, trace, lambda / trace)
   }
 
   /** Projects every vector onto the corpus's top principal component
