@@ -139,6 +139,72 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: clusterRepresentatives equals the brute-force argmax per cluster") {
+    val gen: Gen[(Int, List[(Long, Long)], Map[Long, Double])] = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(0, 30)
+      edges <- Gen.listOfN(m, Gen.zip(
+        Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      // coarse score grid forces plenty of exact ties
+      scores <- Gen.listOfN(n, Gen.choose(0, 3).map(_ / 4.0))
+    } yield (n, edges.filter { case (a, b) => a != b },
+      scores.zipWithIndex.map { case (s, i) => i.toLong -> s }.toMap)
+    forAllSeeded(gen, n = 8) { case (n, edges, scores) =>
+      val pairsDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("idA", "idB")
+        else edges.toDF("idA", "idB")
+      val clusters = Dedup.clusterAssignments(pairsDf,
+        (0L until n.toLong).toDF("doc_id"), "doc_id")
+      val assign = clusters.as[(Long, Long)].collect().toMap
+      // reference model: fold members per cluster, pick (max score, then
+      // min id), count members
+      val expected = assign.groupBy(_._2).map { case (cid, members) =>
+        val ids = members.keys.toSeq
+        val best = ids.map(id => (-scores(id), id)).min._2
+        cid -> ((ids.size.toLong, best, scores(best)))
+      }
+      val got = Dedup.clusterRepresentatives(clusters,
+          scores.toSeq.toDF("doc_id", "quality"),
+          "doc_id", "cluster_id", "quality")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === expected, s"n=$n edges=$edges scores=$scores")
+    }
+  }
+
+  test("property: asOf tolerance equals the untolerated join with far " +
+      "matches nulled") {
+    val gen: Gen[(List[(Long, Long)], List[(Long, Long, Long)], Long)] = for {
+      nl <- Gen.choose(1, 15)
+      nr <- Gen.choose(0, 15)
+      lefts <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 40L)))
+      rights <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 40L)))
+      tol <- Gen.choose(0L, 15L)
+    } yield (lefts, rights.zipWithIndex.map { case ((k, t), i) =>
+      (k, t, i.toLong) }, tol)
+    forAllSeeded(gen, n = 8) { case (lefts, rights, tol) =>
+      val l = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("l_id", "key", "l_ts")
+      val r =
+        if (rights.isEmpty) Seq.empty[(Long, Long, Long)].toDF("key", "r_ts", "r_id")
+        else rights.toDF("key", "r_ts", "r_id")
+      def run(t: Option[Long]) = graft.operators.TemporalJoin.asOfJoin(
+        l, r, Seq("key"), "l_ts", "r_ts", payload = Seq("r_id", "r_ts"),
+        tieBreak = Some("r_id"), direction = "nearest", tolerance = t)
+        .select($"l_id", $"right_r_id", $"right_r_ts")
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some((row.getLong(1), row.getLong(2)))))
+        .toMap
+      val free = run(None)
+      val bounded = run(Some(tol))
+      val lTs = l.as[(Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+      val expected = free.map { case (id, m) =>
+        id -> m.filter { case (_, rts) => math.abs(lTs(id) - rts) <= tol }
+      }
+      assert(bounded === expected, s"tol=$tol lefts=$lefts rights=$rights")
+    }
+  }
+
   test("property: span dedup equals the brute-force spec and conserves counts") {
     // tiny vocabulary forces heavy gram collisions across random docs
     val corpusGen: Gen[Seq[(Long, String)]] = for {
