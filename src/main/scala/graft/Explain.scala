@@ -20,7 +20,10 @@ object Explain {
         "c02_scd2_history", "c03_apply_cdc", "g04_grouping_sets",
         "s09_semantic_dedup", "t21_bigram_lm", "z02_shard_layout",
         "m05_frame_neardup", "c04_snapshot_diff", "a05_bottomk_sample",
-        "w05_range_window")
+        "w05_range_window",
+        "s11_pca_project", "c06_cluster_reps", "t23_overlap_frac",
+        "t24_importance_resample", "j08_asof_tolerance", "e04_event_debounce",
+        "d10_neardup_free")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
