@@ -911,6 +911,31 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // Matryoshka-style truncated-dim retrieval quality: overlap@20 of a
+    // 16-dim prefix search against the full 64-dim ranking — the number
+    // that decides whether cheap truncated search is good enough for a
+    // first-stage retriever. Two broadcast-query scans + one skinny join;
+    // overlap counts are integers, so the gate is exact
+    "s13_truncated_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      def trunc(df: DataFrame): DataFrame =
+        df.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val full = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "query_id", "embedding", k = 20)
+      val tr = Similarity.bruteForceTopK(trunc(corpus), trunc(queries),
+        "vec_id", "embedding", "query_id", "embedding", k = 20)
+      full.select("query_id", "vec_id")
+        .join(tr.select("query_id", "vec_id").withColumn("__hit", lit(1)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("overlap_at_20"))
+        .withColumn("recall_at_20",
+          round(col("overlap_at_20") / lit(20.0), 6) + lit(0.0))
+    }),
+
     // ANN correctness contract (see [[plantedQueries]]): the index must
     // return each planted query's source vector at rank 1, cosine 1.0 —
     // a missed bucket/probe/centroid drops the row and turns the gate red.
@@ -2330,6 +2355,42 @@ object SparkEntry {
                 FROM scored)
          SELECT query_id, vec_id, rank, ROUND(cosine, 6) + 0.0 AS cosine
          FROM ranked WHERE rank <= 5""",
+    // truncated-vs-full ranking overlap: the s01 scoring replayed twice
+    // (full vectors; 16-element prefixes via list slicing), integer count
+    "s13_truncated_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+              fsc AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                       (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+                FROM c CROSS JOIN q),
+              fr AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM fsc),
+              tsc AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(CAST(c.embedding[1:16] AS DOUBLE[]), CAST(q.embedding[1:16] AS DOUBLE[])) /
+                       (sqrt(list_dot_product(CAST(c.embedding[1:16] AS DOUBLE[]), CAST(c.embedding[1:16] AS DOUBLE[]))) *
+                        sqrt(list_dot_product(CAST(q.embedding[1:16] AS DOUBLE[]), CAST(q.embedding[1:16] AS DOUBLE[])))) AS cosine
+                FROM c CROSS JOIN q),
+              tr AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM tsc)
+         SELECT f.query_id,
+                CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS overlap_at_20,
+                ROUND(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 20.0, 6) + 0.0
+                  AS recall_at_20
+         FROM (SELECT * FROM fr WHERE rank <= 20) f
+         LEFT JOIN (SELECT * FROM tr WHERE rank <= 20) t
+           ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+         GROUP BY f.query_id""",
     "s07_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
                 ROUND(CAST(SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
