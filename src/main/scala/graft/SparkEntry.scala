@@ -705,11 +705,15 @@ object SparkEntry {
           explode(split(graft.operators.Dedup.normalized(col("text")), " "))
             .as("token"))
         .filter(length(col("token")) > 0)
-      val sketch = toks
-        .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
-        .collect()(0).getAs[Array[Byte]](0)
+      // sketch and token total ride ONE aggregate — two eager passes over
+      // the tokenized corpus was pure waste
+      val model = toks
+        .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"),
+          count(lit(1)))
+        .collect()(0)
+      val sketch = model.getAs[Array[Byte]](0)
+      val total = model.getLong(1)
       val est = GraftFunctions.cms_estimate(lit(sketch), col("token"))
-      val total = toks.count()
       val bound = math.max(1L, math.ceil(0.001 * total).toLong)
       toks.groupBy("token").agg(count(lit(1)).as("n"))
         .select(col("token"), col("n"),
