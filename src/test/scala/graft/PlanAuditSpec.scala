@@ -315,6 +315,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("shingle_hashes"), s"token-hash kernel missing:\n$p")
   }
 
+  test("c06 representatives rank via the bounded heap — no per-cluster window") {
+    // a row_number window would ship every member of a hot cluster to one
+    // task; the argmax must stay a partial-aggregable 1-element heap
+    val p = plan("c06_cluster_reps")
+    assert(!p.contains("Window"), s"representative pick via a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"missing the bounded top-k aggregate:\n$p")
+  }
+
   test("t23 overlap probe broadcasts the eval grams — corpus grams never shuffle") {
     val p = plan("t23_overlap_frac")
     assert(p.contains("BroadcastHashJoin"), s"eval gram probe not broadcast:\n$p")
