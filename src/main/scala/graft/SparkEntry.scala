@@ -34,6 +34,51 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, TableRef(path = dir), name)
 
+  /** The c07 end-to-end curation DAG — c01's quality gate -> t23's graded
+    * decontamination drop -> d02's exact dedup (keep min id per
+    * normalized-md5) -> t19/t24 importance resampling RE-SCORED over the
+    * survivors (importance is corpus-relative). Every stage reuses the
+    * exact operator the standalone queries gate.
+    *
+    * `materializeIntermediates` (default true, the Dedup.incremental
+    * convention): `gated` feeds the overlap probe AND the anti-join (its
+    * quality kernels would run twice), and the dedup survivors feed
+    * importanceResample's THREE passes (bucket stats, min/max scale,
+    * apply) — left lazy, the whole upstream pipeline re-executes per pass
+    * (measured 9.9 s → 7.1 s at sf0.1). `false` keeps the DAG one lazy
+    * plan so the plan audit can see EVERY stage's join shape — eager
+    * localCheckpoints execute their stages at construction time and hide
+    * them behind LogicalRDD scans, which would let a cartesian regression
+    * upstream pass a tail-only audit untouched.
+    */
+  private[graft] def c07Pipeline(docs: DataFrame,
+      materializeIntermediates: Boolean = true): DataFrame = {
+    def snap(df: DataFrame): DataFrame =
+      if (materializeIntermediates) df.localCheckpoint(eager = true) else df
+    val (dupB, _) = TextAnalysis.repetitionScores(col("text"))
+    val gated = snap(docs.select(col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        dupB.as("dup_bigram_frac"))
+      .filter(col("pred_lang") === "en" && col("quality") >= 0.9 &&
+        col("dup_bigram_frac") <= 0.05)
+      .select("doc_id", "text", "lang", "quality"))
+    val evalDocs = docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+    val flagged = TextAnalysis.contaminationOverlap(
+        gated.select("doc_id", "text"), evalDocs, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      .filter(col("contaminated")).select("doc_id")
+    val decon = gated.join(flagged, Seq("doc_id"), "left_anti")
+    val deduped = snap(Dedup.normalizedDedup(decon, "doc_id", "text"))
+    TextAnalysis.importanceResample(deduped, "doc_id", "text",
+        col("lang") === "en", buckets = 1024)
+      .filter(col("kept"))
+      .select(col("doc_id"), col("quality"), col("score"),
+        (round(col("keep_prob"), 6) + lit(0.0)).as("keep_prob"))
+  }
+
   /** Direction-planted ANN probe queries: each query is a corpus vector
     * scaled by 2 (an exact power-of-2 scaling, so every float product and
     * double accumulation scales exactly) — its true nearest neighbor is the
@@ -1155,38 +1200,7 @@ object SparkEntry {
     // importance resampling RE-SCORED over the survivors (importance is
     // corpus-relative). One composed lazy plan per stage family; every
     // stage reuses the exact operator the standalone queries gate
-    "c07_curation_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val (dupB, _) = TextAnalysis.repetitionScores(col("text"))
-      // checkpointed: gated feeds the overlap probe AND the anti-join
-      // (its quality kernels would run twice), and the dedup survivors
-      // feed importanceResample's THREE passes (bucket stats, min/max
-      // scale, apply) — left lazy, the whole upstream pipeline would
-      // re-execute per pass (measured 9.9 s → 7.1 s at sf0.1)
-      val gated = docs.select(col("doc_id"), col("text"), col("lang"),
-          TextAnalysis.langId(col("text")).as("pred_lang"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          dupB.as("dup_bigram_frac"))
-        .filter(col("pred_lang") === "en" && col("quality") >= 0.9 &&
-          col("dup_bigram_frac") <= 0.05)
-        .select("doc_id", "text", "lang", "quality")
-        .localCheckpoint(eager = true)
-      val evalDocs = docs.filter(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
-      val flagged = TextAnalysis.contaminationOverlap(
-          gated.select("doc_id", "text"), evalDocs, "doc_id", "text",
-          n = 5, threshold = 0.5)
-        .filter(col("contaminated")).select("doc_id")
-      val decon = gated.join(flagged, Seq("doc_id"), "left_anti")
-      val deduped = Dedup.normalizedDedup(decon, "doc_id", "text")
-        .localCheckpoint(eager = true)
-      TextAnalysis.importanceResample(deduped, "doc_id", "text",
-          col("lang") === "en", buckets = 1024)
-        .filter(col("kept"))
-        .select(col("doc_id"), col("quality"), col("score"),
-          (round(col("keep_prob"), 6) + lit(0.0)).as("keep_prob"))
-    }),
+    "c07_curation_pipeline" -> ((s, dir) => c07Pipeline(t(s, dir, "documents"))),
 
     // one-pass corpus profile: per-language rows + a grand-total row from
     // a SINGLE rollup scan — at 100 TB the corpus is not re-scanned once
@@ -1688,8 +1702,8 @@ object SparkEntry {
        |jj AS (
        |  SELECT s.doc_id, s.score,
        |         CASE WHEN mm.hi = mm.lo THEN CAST(1.0 AS DOUBLE)
-       |              ELSE CAST(s.score - mm.lo AS DOUBLE)
-       |                   / CAST(mm.hi - mm.lo AS DOUBLE) END AS p,
+       |              ELSE CAST(CAST(s.score AS HUGEINT) - mm.lo AS DOUBLE)
+       |                   / CAST(CAST(mm.hi AS HUGEINT) - mm.lo AS DOUBLE) END AS p,
        |         ((fp.fp % 1048576) + 1048576) % 1048576 AS u
        |  FROM scores s JOIN fp USING (doc_id) CROSS JOIN mm)
        |SELECT jj.doc_id, d.quality, jj.score, ROUND(jj.p, 6) + 0.0 AS keep_prob
@@ -1751,8 +1765,8 @@ object SparkEntry {
        |j AS (
        |  SELECT s.doc_id, s.score,
        |         CASE WHEN mm.hi = mm.lo THEN CAST(1.0 AS DOUBLE)
-       |              ELSE CAST(s.score - mm.lo AS DOUBLE)
-       |                   / CAST(mm.hi - mm.lo AS DOUBLE) END AS p,
+       |              ELSE CAST(CAST(s.score AS HUGEINT) - mm.lo AS DOUBLE)
+       |                   / CAST(CAST(mm.hi AS HUGEINT) - mm.lo AS DOUBLE) END AS p,
        |         ((fp.fp % 1048576) + 1048576) % 1048576 AS u
        |  FROM scores s JOIN fp USING (doc_id) CROSS JOIN mm)
        |SELECT doc_id, score, ROUND(p, 6) + 0.0 AS keep_prob,
@@ -3107,7 +3121,9 @@ object SparkEntry {
                      ELSE CAST(n_rows AS DOUBLE) END AS est_distinct
          FROM kept JOIN hk ON kept.lang = hk.lang""",
     // frequency cap: same 40-bit rolling fingerprint as the a05 oracle,
-    // rank within key by (h, doc_id), keep rank <= 12
+    // rank within key by (h, doc_id), keep rank <= 12; null text ranks as
+    // empty text (the engine coalesces before hashing — a null hash would
+    // drop the row instead of capping it)
     "t22_frequency_cap" ->
       """WITH fp AS (
            SELECT doc_id,
@@ -3117,7 +3133,7 @@ object SparkEntry {
                         (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)
                        + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
                        - 9223372036854775808::HUGEINT AS BIGINT) AS f
-           FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           FROM (SELECT doc_id, regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS norm
                  FROM documents)),
          h AS (
            SELECT d.lang, f.doc_id,

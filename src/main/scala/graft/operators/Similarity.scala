@@ -287,11 +287,11 @@ object Similarity {
     * every embedding onto the dominant variance direction, then prune or
     * stratify on the score).
     *
-    * Scale shape: ONE distributed pass computes the per-dimension first
-    * moments AND the dim×dim second-moment matrix — the outer products
-    * are generated map-side inside each row (no self-join) and partially
-    * aggregated on the (i, j) key, so the shuffle is
-    * O(partitions · dim²), never O(rows). The dim×dim covariance is
+    * Scale shape: ONE scan of the corpus (the vector column is cached
+    * after the scan, so the first-moment and second-moment aggregations
+    * read it once) — the outer products are generated map-side inside
+    * each row (no self-join) and partially aggregated on the (i, j)
+    * key, so the shuffle is O(partitions · dim²), never O(rows). The dim×dim covariance is
     * plan-time model state (the IVF-centroid / z-order-bounds sanction:
     * a few thousand cells collect to the driver), where `iters` rounds
     * of power iteration run on it.
@@ -334,32 +334,44 @@ object Similarity {
     // row group; the remainder is per-query codegen + the inherent
     // decimal aggregation)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val src = if (src0.rdd.getNumPartitions < parts) src0.repartition(parts)
-      else src0
-    val v = col("__v")
-    val first = src.select(posexplode(v).as(Seq("__i", "__xi")), v.as("__v"))
-    val firstStats = first
-      .groupBy(col("__i").as("i"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__xi").cast("double").cast(dec)).cast("double").as("s"))
-      .collect()
-    require(firstStats.nonEmpty, "empty corpus has no principal component")
-    val dim = firstStats.iterator.map(_.getInt(0)).max + 1
-    val n = firstStats.iterator
-      .collectFirst { case r if r.getInt(0) == 0 => r.getLong(1) }.getOrElse(0L)
-    require(n > 0, "no complete first-moment cell — ragged or empty vectors")
-    val cells = first
-      .select(col("__i"), col("__xi"), posexplode(col("__v")).as(Seq("__j", "__xj")))
-      .groupBy(col("__i").as("i"), col("__j").as("j"))
-      .agg(sum((col("__xi").cast("double") * col("__xj").cast("double")).cast(dec))
-        .cast("double").as("s"))
-      .collect()
-    val means = new Array[Double](dim)
-    val mom = Array.ofDim[Double](dim, dim)
-    firstStats.foreach { r => means(r.getInt(0)) = r.getDouble(2) / n }
-    cells.foreach { r => mom(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / n }
-    (n, means,
-      Array.tabulate(dim, dim)((i, j) => mom(i)(j) - means(i) * means(j)))
+    // cache the (skinny) vector column: both moment aggregations read it,
+    // and an uncached lineage would re-run the scan and the repartition
+    // exchange for the second-moment job
+    val src = {
+      val widened =
+        if (src0.rdd.getNumPartitions < parts) src0.repartition(parts) else src0
+      widened.localCheckpoint(eager = true)
+    }
+    try {
+      val v = col("__v")
+      val first = src.select(posexplode(v).as(Seq("__i", "__xi")), v.as("__v"))
+      val firstStats = first
+        .groupBy(col("__i").as("i"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__xi").cast("double").cast(dec)).cast("double").as("s"))
+        .collect()
+      require(firstStats.nonEmpty, "empty corpus has no principal component")
+      val dim = firstStats.iterator.map(_.getInt(0)).max + 1
+      val n = firstStats.iterator
+        .collectFirst { case r if r.getInt(0) == 0 => r.getLong(1) }.getOrElse(0L)
+      require(n > 0 && firstStats.forall(_.getLong(1) == n),
+        "ragged vectors — every row must carry the same dimension count " +
+          "for the moment divisions to be meaningful")
+      val cells = first
+        .select(col("__i"), col("__xi"), posexplode(col("__v")).as(Seq("__j", "__xj")))
+        .groupBy(col("__i").as("i"), col("__j").as("j"))
+        .agg(sum((col("__xi").cast("double") * col("__xj").cast("double")).cast(dec))
+          .cast("double").as("s"))
+        .collect()
+      val means = new Array[Double](dim)
+      val mom = Array.ofDim[Double](dim, dim)
+      firstStats.foreach { r => means(r.getInt(0)) = r.getDouble(2) / n }
+      cells.foreach { r => mom(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / n }
+      (n, means,
+        Array.tabulate(dim, dim)((i, j) => mom(i)(j) - means(i) * means(j)))
+    } finally {
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(src)
+    }
   }
 
   /** Fixed-order mat-vec: w_i = fold_j cov(i)(j)·v(j), ascending j from

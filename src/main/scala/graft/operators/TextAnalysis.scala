@@ -597,8 +597,18 @@ object TextAnalysis {
     val mm = scored.agg(min(col("score")), max(col("score"))).head()
     val p =
       if (mm.isNullAt(0) || mm.getLong(0) == mm.getLong(1)) lit(1.0)
-      else (col("score") - lit(mm.getLong(0))).cast("double") /
-        lit((mm.getLong(1) - mm.getLong(0)).toDouble)
+      else {
+        // the scores span both signs (bucket weights sum to zero over the
+        // corpus), so max - min can exceed Long range even when each score
+        // individually fits: the spread folds in BigInt on the driver and
+        // the per-row offset in DECIMAL(38,0), both overflow-free — the
+        // same widening the HUGEINT oracle applies
+        val lo = mm.getLong(0)
+        val span = (BigInt(mm.getLong(1)) - BigInt(lo)).toDouble
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        (col("score").cast(dec38) - lit(lo).cast(dec38)).cast("double") /
+          lit(span)
+      }
     scored
       .withColumn("keep_prob", p)
       .withColumn("kept",
@@ -764,6 +774,11 @@ object TextAnalysis {
     * whole domain to one task) — then a semi join of the skinny kept-id
     * set back to the input. Output: the input rows that survive, original
     * schema.
+    *
+    * NULL text ranks as empty text (fingerprint of ""): a null hash would
+    * never enter the bounded heap, silently DELETING every null-text row
+    * instead of capping it — missing text is as routine in crawl data as
+    * the missing keys the null-safe join below handles.
     */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
       textCol: String, maxPerKey: Int): DataFrame = {
@@ -772,7 +787,7 @@ object TextAnalysis {
     val R = 1L << 40
     val kept = df
       .select(col(keyCol), col(idCol),
-        pmod(fingerprint(col(textCol)), lit(R)).as("__h"))
+        pmod(fingerprint(coalesce(col(textCol), lit(""))), lit(R)).as("__h"))
       .groupBy(col(keyCol))
       .agg(GraftFunctions.top_k_by((-col("__h")).cast("double"), col(idCol),
         maxPerKey).as("__keep"))

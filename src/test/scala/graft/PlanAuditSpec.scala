@@ -340,9 +340,21 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("c07 curation pipeline: no cartesian or nested-loop stage anywhere") {
-    val p = plan("c07_curation_pipeline")
+    // the production query eagerly localCheckpoints its two reused stage
+    // outputs, which executes those stages at construction time and hides
+    // them behind LogicalRDD scans — the rendered plan would only ever
+    // show the map-only resample tail. Audit the unmaterialized DAG so
+    // the quality gate, contamination probe, decontamination anti-join
+    // and dedup aggregate are all visible to the assertions.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = SparkEntry.c07Pipeline(docs, materializeIntermediates = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in the pipeline:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    // the stages the tail-only audit could never see: the eval-gram probe
+    // must broadcast and the decon drop must stay a left-anti join
+    assert(p.contains("BroadcastHashJoin"), s"contamination probe not broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"decontamination drop not an anti join:\n$p")
   }
 
   test("s11 pca projection apply is map-only (model is plan-time state)") {

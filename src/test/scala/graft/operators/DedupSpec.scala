@@ -230,6 +230,23 @@ class DedupSpec extends SparkTestBase {
       s"expected exactly the final round file, got: ${roundDirs.map(_.getName).toSeq}")
   }
 
+  test("clusterAssignments empty-vertices exit frees the edge snapshot too") {
+    // the early return must honor the same contract as the converged exit:
+    // only the final labels frame's backing file survives — leaking the
+    // O(|E|) edge file per empty-delta call would accumulate on a
+    // long-running service's shared checkpoint prefix
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_empty")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val verts = Seq.empty[Long].toDF("doc_id")
+    val got = Dedup.clusterAssignments(pairs, verts, "doc_id",
+      checkpointDir = Some(dir.toString))
+    assert(got.count() === 0L)
+    val roundDirs = new java.io.File(dir.toString).listFiles()
+      .filter(_.getName.startsWith("round_"))
+    assert(roundDirs.length === 1,
+      s"expected only the labels round file, got: ${roundDirs.map(_.getName).toSeq}")
+  }
+
   test("keepRepresentatives keeps exactly the min-id doc per cluster") {
     val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (10L, "b"), (11L, "b'"),
       (99L, "solo")).toDF("doc_id", "text")

@@ -293,6 +293,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(proj === Map(1L -> -2.0, 2L -> 0.0, 3L -> 2.0))
   }
 
+  test("covarianceModel rejects ragged vectors instead of silently mis-dividing") {
+    // every dimension's sum divides by ONE row count — ragged input would
+    // make dim-1's mean wrong by the missing-cell fraction with no error
+    val ragged = Seq((1L, Array(1f, 2f)), (2L, Array(3f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topPrincipalComponent(ragged, "embedding")
+    }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+  }
+
   test("pcaProject: distributed projection replays the model bit-for-bit") {
     val (_, means, pc) = Similarity.topPrincipalComponent(corpus, "embedding")
     assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-12, "unit norm")

@@ -554,6 +554,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(nullKept.length === 5, s"null-key group not capped: ${nullKept.toSeq}")
   }
 
+  test("capPerKey: null-text rows rank as empty text instead of vanishing") {
+    // fingerprint(NULL) is NULL, and a null score never enters the bounded
+    // heap — without the coalesce, every null-text row would be silently
+    // DELETED (not capped) even in an under-cap group
+    val docs = Seq((1L, "some body", "x.com"), (2L, null: String, "x.com"),
+      (3L, "other body", "x.com")).toDF("doc_id", "text", "domain")
+    val kept = TextAnalysis.capPerKey(docs, "domain", "doc_id", "text", 12)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L), s"null-text row dropped: $kept")
+    // over cap, null text competes as the empty-string hash (0 — the
+    // minimum), so it survives the cut deterministically
+    val many = ((1L to 20L).map(i => (i, s"page body number $i", "y.com")) ++
+      Seq((100L, null: String, "y.com"))).toDF("doc_id", "text", "domain")
+    val capped = TextAnalysis.capPerKey(many, "domain", "doc_id", "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped.size === 5)
+    assert(capped.contains(100L), s"null-text row lost the hash-0 slot: $capped")
+  }
+
   test("bigramLmScore: corpus-typical text outscores shuffled gibberish") {
     val fluent = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
     val odd = Seq((100L, "mat the on sat cat the"))
