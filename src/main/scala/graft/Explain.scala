@@ -23,7 +23,7 @@ object Explain {
         "w05_range_window",
         "s11_pca_project", "c06_cluster_reps", "t23_overlap_frac",
         "t24_importance_resample", "j08_asof_tolerance", "e04_event_debounce",
-        "d10_neardup_free")
+        "d10_neardup_free", "s14_knn_graph")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")

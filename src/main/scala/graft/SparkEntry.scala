@@ -985,6 +985,19 @@ object SparkEntry {
           round(col("overlap_at_20") / lit(20.0), 6) + lit(0.0))
     }),
 
+    // bucketed kNN graph: every vector's top-3 cosine neighbors within its
+    // sign-LSH bucket. The planes are deterministic, so the oracle replays
+    // the EXACT bucketing (plane values inlined as literals) — the graph
+    // is gated end to end, not just spot-checked. maxBucketSize is set
+    // above any fixture bucket so the skew guard provably drops nothing
+    // here (the guard's own behavior is spec-tested via capBuckets)
+    "s14_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", dim = 64, k = 3, numPlanes = 5,
+          maxBucketSize = 1000000)
+        .select(col("vec_id"), col("neighbor_id"),
+          (round(col("cosine"), 6) + lit(0.0)).as("cosine"), col("rank"))),
+
     // ANN correctness contract (see [[plantedQueries]]): the index must
     // return each planted query's source vector at rank 1, cosine 1.0 —
     // a missed bucket/probe/centroid drops the row and turns the gate red.
@@ -1755,6 +1768,42 @@ object SparkEntry {
     * compares integers (floor(p·2^20) is exact below 2^53), so no
     * float-boundary flakes.
     */
+  /** s14 oracle: replay the engine's deterministic sign-LSH bucketing with
+    * the hyperplane values INLINED as double literals (float→double is
+    * exact, and `Double.toString` round-trips, so DuckDB parses back the
+    * identical doubles), then per-bucket exact cosine + (cosine DESC, id
+    * ASC) ranking — the row_number order [[graft.functions.TopKByScore]]
+    * reproduces. Both engines accumulate every dot product left-to-right
+    * in double (the s03 precedent), so the bucket bits and the ranking
+    * compare exactly.
+    */
+  private def s14OracleSql: String = {
+    val numPlanes = 5
+    val bucketExpr = (0 until numPlanes).map { i =>
+      val plane = graft.operators.Similarity.hyperplane(i, 64)
+        .map(f => f.toDouble.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $plane) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n           + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |         $bucketExpr AS bucket
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+       |         (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |          sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM p)
+       |SELECT vec_id, neighbor_id, ROUND(cosine, 6) + 0.0 AS cosine,
+       |       CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 3""".stripMargin
+  }
+
   private def t24OracleSql: String =
     s"""WITH ${t19ScoreCtes()},
        |fp AS (
@@ -2547,6 +2596,7 @@ object SparkEntry {
     "d04_simhash_pairs" -> d04OracleSql,
     "t19_importance" -> t19OracleSql,
     "t24_importance_resample" -> t24OracleSql,
+    "s14_knn_graph" -> s14OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
     "t20_token_ids" ->
       """WITH toks AS (

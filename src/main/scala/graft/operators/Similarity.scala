@@ -26,7 +26,7 @@ object Similarity {
     * i derives from Mix64 — reproducible across runs/executors, no RNG
     * state. Values in [-1, 1).
     */
-  private[operators] def hyperplane(i: Int, dim: Int): Array[Float] =
+  private[graft] def hyperplane(i: Int, dim: Int): Array[Float] =
     Array.tabulate(dim) { j =>
       val h = graft.functions.Mix64.mix((i.toLong << 32) ^ j.toLong ^ 0x9E3779B97F4A7C15L)
       (h.toDouble / Long.MaxValue.toDouble).toFloat
@@ -153,6 +153,49 @@ object Similarity {
       .join(vecs.select(col(idCol).as("idB"), col(vecCol).as("__vb")), "idB")
       .select(col("idA"), col("idB"), cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Bucketed kNN graph: every vector's `k` nearest neighbors by cosine
+    * among the vectors sharing its sign-LSH bucket — the corpus-wide
+    * neighbor structure behind diversity sampling, duplicate-cluster
+    * seeding and graph-based quality propagation. The bucket restriction
+    * IS the contract (a global exact kNN graph is inherently O(n²)):
+    * recall rises with fewer planes, identical vectors always co-bucket,
+    * and the planes are deterministic ([[hyperplane]]), so the graph is
+    * reproducible run to run — an oracle can replay the exact bucketing
+    * by inlining the plane values.
+    *
+    * Scale shape: the bucket self-join is SKINNY ((bucket, id) rows only;
+    * vectors re-join BY ID afterwards, so payloads cross the wire once
+    * per side, never once per candidate pair); over-cap buckets drop via
+    * [[graft.operators.Dedup.capBuckets]] (observe-reported skew guard);
+    * the per-source ranking is the bounded top-k heap aggregate
+    * ([[rankTopK]]), never a per-source row_number window — a hot bucket
+    * must not ship all its pairs to one task.
+    * Output: (idCol, neighbor_id, cosine, rank) with rank in 1..k;
+    * vectors whose bucket holds no other vector are absent.
+    */
+  def knnGraph(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, numPlanes: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sig = corpus.select(
+      col(idCol),
+      signSignature(col(vecCol), numPlanes, dim).as("__bucket"))
+    val capped = Dedup.capBuckets(sig, Seq("__bucket"),
+      maxBucketSize, "knn_skew_guard")
+    val a = capped.select(col("__bucket"), col(idCol).as("__src"))
+    val b = capped.select(col("__bucket"), col(idCol).as("__dst"))
+    val candidates = a.join(b, Seq("__bucket"))
+      .filter(col("__src") =!= col("__dst"))
+      .select("__src", "__dst")
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val scored = candidates
+      .join(vecs.select(col(idCol).as("__src"), col(vecCol).as("__va")), "__src")
+      .join(vecs.select(col(idCol).as("__dst"), col(vecCol).as("__vb")), "__dst")
+      .select(col("__src").as(idCol), col("__dst").as("neighbor_id"),
+        cosine(col("__va"), col("__vb")).as("cosine"))
+    rankTopK(scored, idCol, "neighbor_id", k)
   }
 
   /** IVF (inverted-file) approximate top-k. A tiny centroid model (C

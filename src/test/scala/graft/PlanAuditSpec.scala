@@ -357,6 +357,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), s"decontamination drop not an anti join:\n$p")
   }
 
+  test("s14 knn graph: skinny guarded bucket join, bounded heap, no window") {
+    val p = plan("s14_knn_graph")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the knn graph:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    // a hot bucket must not regress to a per-source row_number window
+    assert(!p.contains("Window"), s"ranking via a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"missing the bounded top-k aggregate:\n$p")
+    assert(p.contains("CollectMetrics"), s"bucket skew guard missing:\n$p")
+  }
+
   test("s11 pca projection apply is map-only (model is plan-time state)") {
     // the moments pass already ran at plan-construction time; the frame the
     // user consumes must be scan + project only — no join against a model

@@ -293,6 +293,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(proj === Map(1L -> -2.0, 2L -> 0.0, 3L -> 2.0))
   }
 
+  test("knnGraph: planted duplicate is its source's rank-1 neighbor at cosine 1") {
+    // identical vectors share every sign bit, so co-bucketing is
+    // guaranteed — the planted edge MUST appear regardless of plane count
+    val planted = corpus.filter($"vec_id" === 42)
+      .select(lit(5042L).as("vec_id"), $"embedding")
+    val g = Similarity.knnGraph(corpus.unionByName(planted),
+      "vec_id", "embedding", dim = dim, k = 3, numPlanes = 4)
+    val top = g.filter($"vec_id" === 42 && $"rank" === 1)
+      .select($"neighbor_id", $"cosine").as[(Long, Double)].head()
+    assert(top._1 === 5042L)
+    assert(math.abs(top._2 - 1.0) < 1e-12)
+    // degree bound holds and no self-edges leak
+    val byNode = g.groupBy("vec_id").count().agg(max("count")).as[Long].head()
+    assert(byNode <= 3L)
+    assert(g.filter($"vec_id" === $"neighbor_id").count() === 0L)
+    // reruns reproduce the graph exactly (deterministic planes, no RNG)
+    val again = Similarity.knnGraph(corpus.unionByName(planted),
+      "vec_id", "embedding", dim = dim, k = 3, numPlanes = 4)
+      .select("vec_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(again === g.select("vec_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet)
+  }
+
   test("covarianceModel rejects ragged vectors instead of silently mis-dividing") {
     // every dimension's sum divides by ONE row count — ragged input would
     // make dim-1's mean wrong by the missing-cell fraction with no error
