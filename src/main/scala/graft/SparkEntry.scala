@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingMigration, StreamingNearDup}
+import graft.streaming.{StreamingCuration, StreamingMigration, StreamingNearDup}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -891,6 +891,41 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // the STREAMING composition of c07: quality gate -> graded
+    // decontamination -> cross-batch exact dedup with parquet fingerprint
+    // state. Batch 0 (doc ids ≡ 0 mod 3) seeds the fingerprint index as
+    // the already-curated corpus; batches 1 and 2 stream in order, each
+    // deduping against the seed plus every earlier batch. Which duplicate
+    // survives is decided by batch order (earliest batch, then min id) —
+    // the oracle replays that order relationally
+    "e05_streaming_curation" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e05").toString
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"))
+      val evalDocs = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      StreamingCuration.seedFingerprints(
+        docs.filter(col("doc_id") % 3 === 0), "text", s"$tmp/fp")
+      docs.filter(col("doc_id") % 3 === 1)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      docs.filter(col("doc_id") % 3 === 2)
+        .coalesce(1).write.parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingCuration.start(s, src, evalDocs, "doc_id", "text",
+        "lang", s"$tmp/fp", s"$tmp/kept", s"$tmp/cp")
+      // a timed-out stream must FAIL here, not fall through to read a
+      // half-written survivor set (the d09 rule)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e05 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
+    }),
+
     "d04_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
@@ -1655,24 +1690,17 @@ object SparkEntry {
        + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
        - 9223372036854775808::HUGEINT AS BIGINT)"""
 
-  /** c07 oracle: the full curation DAG replayed relationally — the c01
-    * quality gate, t23's graded decontamination drop at 0.5, d02's exact
-    * keep-min-id dedup on md5(normalized), then t19 importance scores
-    * RE-COMPUTED over the surviving corpus (importance statistics are
-    * corpus-relative) feeding the t24 fingerprint-coin resample.
+  /** t23's graded-overlap contamination screen as reusable CTEs (no
+    * leading WITH): word-5-grams of `src`(doc_id, text) probed against
+    * the planted eval set (first-word-stripped variants of every
+    * doc_id % 10 == 3 doc), ending in `contaminated(doc_id)` at the 0.5
+    * overlap threshold. Hash-agnostic (each engine grams with its own
+    * hash — only overlap COUNTS cross the compare). Shared by c07 and
+    * e05.
     */
-  private def c07OracleSql: String =
-    s"""WITH lang AS ($t01LangSql),
-       |qual AS ($t02QualitySql),
-       |rep AS ($t12RepetitionSql),
-       |gated AS (
-       |  SELECT d.doc_id, d.text, d.lang, q.quality
-       |  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
-       |       JOIN rep r USING (doc_id)
-       |  WHERE l.pred_lang = 'en' AND q.quality >= 0.9
-       |    AND r.dup_bigram_frac <= 0.05),
-       |gnorm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
-       |          FROM gated),
+  private def contaminationCtes(src: String): String =
+    s"""gnorm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+       |          FROM $src),
        |gtok AS (SELECT doc_id, n, string_split(n, ' ') AS w FROM gnorm),
        |gtg AS (
        |  SELECT doc_id,
@@ -1697,7 +1725,58 @@ object SparkEntry {
        |  FROM gtex JOIN evset ON gtex.p = evset.p GROUP BY gtex.doc_id),
        |contaminated AS (
        |  SELECT g.doc_id FROM ggsz g LEFT JOIN gshared s USING (doc_id)
-       |  WHERE CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / g.n_grams >= 0.5),
+       |  WHERE CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / g.n_grams >= 0.5)""".stripMargin
+
+  /** e05 oracle: the streaming curation screen replayed relationally.
+    * Batch membership is doc_id % 3 (batch 0 seeds the fingerprint index
+    * un-gated; batches 1 and 2 stream in that order), so the cross-batch
+    * dedup rule is exactly "earliest batch, then min id, per fingerprint,
+    * excluding seeded fingerprints" — a (b, doc_id)-ordered row_number.
+    */
+  private def e05OracleSql: String =
+    s"""WITH lang AS ($t01LangSql),
+       |qual AS ($t02QualitySql),
+       |rep AS ($t12RepetitionSql),
+       |gated AS (
+       |  SELECT d.doc_id, d.text, d.lang, q.quality, d.doc_id % 3 AS b
+       |  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |       JOIN rep r USING (doc_id)
+       |  WHERE d.doc_id % 3 IN (1, 2)
+       |    AND l.pred_lang = 'en' AND q.quality >= 0.9
+       |    AND r.dup_bigram_frac <= 0.05),
+       |${contaminationCtes("gated")},
+       |decon AS (
+       |  SELECT g.* FROM gated g ANTI JOIN contaminated c USING (doc_id)),
+       |seedfp AS (
+       |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dn AS (
+       |  SELECT doc_id, lang, quality, b,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM decon),
+       |fresh AS (SELECT dn.* FROM dn ANTI JOIN seedfp USING (fp))
+       |SELECT doc_id, lang, quality FROM (
+       |  SELECT doc_id, lang, quality,
+       |         row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+       |  FROM fresh) WHERE rn = 1""".stripMargin
+
+  /** c07 oracle: the full curation DAG replayed relationally — the c01
+    * quality gate, t23's graded decontamination drop at 0.5, d02's exact
+    * keep-min-id dedup on md5(normalized), then t19 importance scores
+    * RE-COMPUTED over the surviving corpus (importance statistics are
+    * corpus-relative) feeding the t24 fingerprint-coin resample.
+    */
+  private def c07OracleSql: String =
+    s"""WITH lang AS ($t01LangSql),
+       |qual AS ($t02QualitySql),
+       |rep AS ($t12RepetitionSql),
+       |gated AS (
+       |  SELECT d.doc_id, d.text, d.lang, q.quality
+       |  FROM documents d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |       JOIN rep r USING (doc_id)
+       |  WHERE l.pred_lang = 'en' AND q.quality >= 0.9
+       |    AND r.dup_bigram_frac <= 0.05),
+       |${contaminationCtes("gated")},
        |decon AS (
        |  SELECT g.* FROM gated g ANTI JOIN contaminated c USING (doc_id)),
        |dedup AS (
@@ -2598,6 +2677,7 @@ object SparkEntry {
     "t24_importance_resample" -> t24OracleSql,
     "s14_knn_graph" -> s14OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
+    "e05_streaming_curation" -> e05OracleSql,
     "t20_token_ids" ->
       """WITH toks AS (
            SELECT doc_id,

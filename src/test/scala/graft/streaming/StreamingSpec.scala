@@ -532,6 +532,51 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.contains((101L, 103L))) // batch 1 <- batch 2 (persisted state)
   }
 
+  test("streaming curation: gate, decon and cross-batch dedup survivors " +
+      "match the contract (earliest batch, then min id, seed excluded)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_curate").toString
+    val seedText = "the seed corpus document that we already kept and curated"
+    val evalText = "the held out evaluation prompt that must never leak into training"
+    StreamingCuration.seedFingerprints(
+      Seq((0L, seedText)).toDF("doc_id", "text"), "text", s"$dir/fp")
+    val evalDocs = Seq((900L, evalText)).toDF("doc_id", "text")
+    // batch 1: A kept; B duplicates the SEED; E duplicates the EVAL text
+    // (contaminated); F1/F2 duplicate each other (min id wins); N is not
+    // English (gate drop)
+    val b1 = Seq(
+      (11L, "the first unique document about engines and the data we keep", "en"),
+      (12L, seedText, "en"),
+      (13L, evalText, "en"),
+      (15L, "the shared duplicate text that appears twice in this batch", "en"),
+      (14L, "the shared duplicate text that appears twice in this batch", "en"),
+      (16L, "der hund und die katze sind nicht ein tier mit dem anderen", "de"))
+    // batch 2: C duplicates batch 1's A (cross-batch state drop); D kept
+    val b2 = Seq(
+      (21L, "the first unique document about engines and the data we keep", "en"),
+      (22L, "the second unique document and the words it is made of", "en"))
+    b1.toDF("doc_id", "text", "lang").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/src")
+    // quality/repetition thresholds opened wide: this test pins the
+    // language gate, the decon drop and the dedup ORDER contract — the
+    // quality formula itself is oracle-gated by t02/c01/e05
+    val q = StreamingCuration.start(spark, stream, evalDocs,
+      "doc_id", "text", "lang", s"$dir/fp", s"$dir/kept", s"$dir/cp",
+      minQuality = 0.0, maxDupBigramFrac = 1.0)
+    q.awaitTermination(60000)
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 14L, 22L),
+      s"survivors off: $kept (expected A, min-id duplicate, D)")
+    // the fingerprint index grew by exactly the three survivors' prints
+    assert(spark.read.parquet(s"$dir/fp").distinct().count() === 4L)
+  }
+
   test("compactState rewrites accumulated state appends to few files, " +
       "row set identical, screen still correct afterwards") {
     val dir = Files.createTempDirectory("graft_snd_compact").toString
