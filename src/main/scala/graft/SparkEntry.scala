@@ -740,6 +740,26 @@ object SparkEntry {
       TextAnalysis.bottomKSample(t(s, dir, "documents"), "lang", "doc_id",
         "text", k = 8)),
 
+    // cross-crawl overlap planning from mergeable KMV sketches: crawl A =
+    // the corpus; crawl B re-crawls every even doc verbatim and
+    // "discovers" first-word-stripped variants of the odd docs, so the
+    // true content overlap is the even half. One sketch pass estimates
+    // |A|, |B|, |A∪B|, Jaccard and |A∩B| next to their exact values —
+    // the number that decides whether a cross-crawl dedup join is worth
+    // paying for, WITHOUT paying for it
+    "a06_kmv_setops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val crawlA = docs
+        .withColumn("__ca", lit(true)).withColumn("__cb", lit(false))
+      val crawlB = docs.filter(col("doc_id") % 2 === 0)
+        .unionByName(docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s", "").as("text")))
+        .withColumn("__ca", lit(false)).withColumn("__cb", lit(true))
+      TextAnalysis.kmvSetOps(crawlA.unionByName(crawlB), "text",
+        col("__ca"), col("__cb"), k = 64)
+    }),
+
     // count-min sketch: frequency estimates for every corpus token,
     // gated by the sketch's structural guarantees (never underestimates;
     // within the eps·N bound) against exact relational counts — the a01
@@ -3202,6 +3222,63 @@ object SparkEntry {
     "a01_hll_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
          FROM lineitem""",
+    // KMV set ops: the t22 fingerprint folded into [0, 2^40) per distinct
+    // text with crawl-membership flags; bottom-64 sketches by integer
+    // order; estimate formulas mirrored double-for-double (63.0·R/h_k
+    // with h_k clamped to 1; Jaccard = sketch-membership fraction of the
+    // union sketch; intersection = unrounded Ĵ·D̂(U))
+    "a06_kmv_setops" ->
+      """WITH u AS (
+           SELECT text, TRUE AS a, FALSE AS b FROM documents
+           UNION ALL
+           SELECT text, FALSE, TRUE FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT regexp_replace(text, '^\S+\s', ''), FALSE, TRUE
+           FROM documents WHERE doc_id % 2 = 1),
+         fp AS (
+           SELECT ((CAST((list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                      list_transform(range(1, length(norm)+1),
+                        i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+                    (x, c) -> (x * 31 + c) % 18446744073709551616::HUGEINT)
+                   + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+                   - 9223372036854775808::HUGEINT AS BIGINT)
+                   % 1099511627776) + 1099511627776) % 1099511627776 AS h,
+                  a, b
+           FROM (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm, a, b
+                 FROM u)),
+         ph AS (SELECT h, bool_or(a) AS a, bool_or(b) AS b FROM fp GROUP BY h),
+         counts AS (
+           SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_union,
+                  CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_intersection
+           FROM ph),
+         ska AS (SELECT h FROM ph WHERE a ORDER BY h LIMIT 64),
+         skb AS (SELECT h FROM ph WHERE b ORDER BY h LIMIT 64),
+         sku AS (SELECT h FROM ph ORDER BY h LIMIT 64),
+         sa AS (SELECT COUNT(*) AS sz, greatest(COALESCE(MAX(h), 0), 1) AS hk FROM ska),
+         sb AS (SELECT COUNT(*) AS sz, greatest(COALESCE(MAX(h), 0), 1) AS hk FROM skb),
+         su AS (SELECT COUNT(*) AS sz, greatest(COALESCE(MAX(h), 0), 1) AS hk FROM sku),
+         m AS (SELECT COUNT(*) AS matched FROM sku
+               WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+         e AS (
+           SELECT CASE WHEN sa.sz >= 64 THEN 63.0 * 1099511627776 / sa.hk
+                       ELSE CAST(sa.sz AS DOUBLE) END AS ea,
+                  CASE WHEN sb.sz >= 64 THEN 63.0 * 1099511627776 / sb.hk
+                       ELSE CAST(sb.sz AS DOUBLE) END AS eb,
+                  CASE WHEN su.sz >= 64 THEN 63.0 * 1099511627776 / su.hk
+                       ELSE CAST(su.sz AS DOUBLE) END AS eu,
+                  CASE WHEN su.sz = 0 THEN CAST(0.0 AS DOUBLE)
+                       ELSE CAST(m.matched AS DOUBLE) / su.sz END AS j
+           FROM sa, sb, su, m)
+         SELECT CAST(64 AS INT) AS k,
+                counts.n_a, counts.n_b, counts.n_union, counts.n_intersection,
+                ROUND(e.ea, 3) + 0.0 AS est_a,
+                ROUND(e.eb, 3) + 0.0 AS est_b,
+                ROUND(e.eu, 3) + 0.0 AS est_union,
+                ROUND(e.j, 6) + 0.0 AS est_jaccard,
+                ROUND(e.j * e.eu, 3) + 0.0 AS est_intersection
+         FROM counts, e""",
     "a03_hll_groups" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
                 TRUE AS within_5pct

@@ -757,6 +757,77 @@ object TextAnalysis {
         col("n_rows"), col("est_distinct"))
   }
 
+  /** KMV set-operation estimates between two corpus slices — the
+    * sketch-side answer to "how much does crawl B overlap crawl A?"
+    * asked BEFORE paying for a cross-crawl dedup join. Bottom-k content
+    * sketches are mergeable (Bar-Yossef et al. 2002 / Beyer et al. 2007):
+    * the union sketch is the bottom-k of the two sketches' union, Jaccard
+    * is estimated as the fraction of union-sketch members present in BOTH
+    * slice sketches, and the intersection size as `Ĵ · D̂(union)`. Exact
+    * per-slice distinct counts ride the same pass, so the output row
+    * carries estimate and truth side by side (at real scale the exact
+    * columns are the expensive part one would drop; here they double as
+    * the accuracy report).
+    *
+    * Determinism contract: hashes are the 40-bit content fingerprint (the
+    * [[bottomKSample]] range — exactly representable in the heap's double
+    * scores), estimates are fixed double formulas over the k-th smallest
+    * hash (clamped >= 1, the a05 lesson), and membership tests are
+    * integer — an oracle replays every emitted value exactly.
+    *
+    * Scale shape: one distinct-hash aggregate (map-side combined — the
+    * shuffle carries one row per distinct hash with two boolean flags),
+    * then ONE single-row aggregate holding three bounded k-heaps; the
+    * estimate arithmetic is driver-free column math over that row. Rows
+    * in neither slice are ignored.
+    */
+  def kmvSetOps(df: DataFrame, textCol: String, inA: Column, inB: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    import graft.functions.GraftFunctions
+    val R = 1L << 40
+    val perHash = df
+      .select(pmod(fingerprint(col(textCol)), lit(R)).as("__h"),
+        inA.as("__a"), inB.as("__b"))
+      .filter(col("__a") || col("__b"))
+      .groupBy(col("__h"))
+      .agg(max(col("__a")).as("__a"), max(col("__b")).as("__b"))
+    def sketch(flag: Column): Column =
+      GraftFunctions.top_k_by(
+        when(flag, (-col("__h")).cast("double")), col("__h"), k)
+    val agged = perHash.agg(
+      sketch(col("__a")).as("__ska"),
+      sketch(col("__b")).as("__skb"),
+      sketch(lit(true)).as("__sku"),
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+      count(lit(1)).as("n_union"),
+      sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n_intersection"))
+    def ids(sk: Column): Column = transform(sk, e => e.getField("id"))
+    def hk(sk: Column): Column =
+      greatest((-element_at(sk, size(sk)).getField("score")).cast("long"), lit(1L))
+    // sketches shorter than k saw EVERY distinct hash of their slice —
+    // the "estimate" is then the exact count (the bottomKSample rule)
+    def est(sk: Column): Column =
+      when(size(sk) >= k,
+        lit((k - 1).toDouble) * lit(R.toDouble) / hk(sk).cast("double"))
+        .otherwise(size(sk).cast("double"))
+    val ska = ids(col("__ska"))
+    val skb = ids(col("__skb"))
+    val matched = size(filter(ids(col("__sku")),
+      x => array_contains(ska, x) && array_contains(skb, x)))
+    val j = when(size(col("__sku")) === 0, lit(0.0d))
+      .otherwise(matched.cast("double") / size(col("__sku")).cast("double"))
+    agged.select(
+      lit(k).as("k"),
+      col("n_a"), col("n_b"), col("n_union"), col("n_intersection"),
+      (round(est(col("__ska")), 3) + lit(0.0)).as("est_a"),
+      (round(est(col("__skb")), 3) + lit(0.0)).as("est_b"),
+      (round(est(col("__sku")), 3) + lit(0.0)).as("est_union"),
+      (round(j, 6) + lit(0.0)).as("est_jaccard"),
+      (round(j * est(col("__sku")), 3) + lit(0.0)).as("est_intersection"))
+  }
+
   /** Frequency capping: keep at most `maxPerKey` rows per key — the crawl
     * pipeline's "at most N pages per domain / language / source" rule,
     * guarding the training mix against a single hot key flooding it.

@@ -357,6 +357,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), s"decontamination drop not an anti join:\n$p")
   }
 
+  test("a06 kmv set ops: bounded heaps, no window, no sort of the hash space") {
+    val p = plan("a06_kmv_setops")
+    assert(!p.contains("Window"), s"sketching via a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"missing the bounded top-k aggregate:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"global sort leaked into the sketch pass:\n$p")
+  }
+
   test("s14 knn graph: skinny guarded bucket join, bounded heap, no window") {
     val p = plan("s14_knn_graph")
     assert(!p.contains("CartesianProduct"), s"cartesian in the knn graph:\n$p")

@@ -554,6 +554,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(nullKept.length === 5, s"null-key group not capped: ${nullKept.toSeq}")
   }
 
+  test("kmvSetOps: under-k sketches report exact set-operation values") {
+    // 15 distinct texts, A = first 10, B = last 10, overlap = 5; k = 64
+    // exceeds every distinct count, so sketches see everything and the
+    // "estimates" must equal the exact counts bit-for-bit
+    val rows = (1 to 15).map(i =>
+      (i.toLong, s"document number $i with its own distinctive words",
+        i <= 10, i >= 6))
+    val df = rows.toDF("id", "text", "a", "b")
+    val got = TextAnalysis.kmvSetOps(df, "text", $"a", $"b", k = 64)
+      .as[(Int, Long, Long, Long, Long, Double, Double, Double, Double, Double)]
+      .head()
+    assert(got === ((64, 10L, 10L, 15L, 5L, 10.0, 10.0, 15.0,
+      0.333333, 5.0))) // jaccard emitted rounded to 6 places
+  }
+
+  test("kmvSetOps: an empty slice estimates zero overlap, never NaN") {
+    val df = (1 to 8).map(i => (i.toLong, s"text body number $i", true, false))
+      .toDF("id", "text", "a", "b")
+    val got = TextAnalysis.kmvSetOps(df, "text", $"a", $"b", k = 4)
+      .select("est_b", "est_jaccard", "est_intersection")
+      .as[(Double, Double, Double)].head()
+    assert(got === ((0.0, 0.0, 0.0)))
+  }
+
   test("capPerKey: null-text rows rank as empty text instead of vanishing") {
     // fingerprint(NULL) is NULL, and a null score never enters the bounded
     // heap — without the coalesce, every null-text row would be silently
