@@ -3,7 +3,7 @@ package graft
 import graft.expr.MvelTranslator
 import graft.functions.GraftFunctions
 import graft.model._
-import graft.operators.{Cdc, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Cdc, CorpusStats, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
 import graft.streaming.{StreamingCuration, StreamingMigration, StreamingNearDup}
 import graft.schema.Reconciler
@@ -1269,6 +1269,32 @@ object SparkEntry {
     // corpus-relative). One composed lazy plan per stage family; every
     // stage reuses the exact operator the standalone queries gate
     "c07_curation_pipeline" -> ((s, dir) => c07Pipeline(t(s, dir, "documents"))),
+
+    // length-curriculum bucketing: EXACT decile boundaries of document
+    // length (the short-to-long curriculum knob) — the value histogram is
+    // one domain-bounded hash aggregate, the boundaries are plan-time
+    // literals, the assignment is map-only. Integer ceiling-division rank
+    // targets, so both engines agree on every boundary exactly. (The
+    // quality signal would tie-collapse here — its mass sits on one
+    // rounded value, and deciles cannot split ties; the CorpusStatsSpec
+    // pins that behavior explicitly.)
+    "c08_length_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      CorpusStats.curriculumBuckets(docs, "n_chars", nBuckets = 10)
+        .select("doc_id", "n_chars", "bucket")
+    }),
+
+    // distribution drift between two corpus snapshots: PSI over fixed
+    // [0,1] quality deciles, snapshot B = the first-word-stripped
+    // re-crawl. Counts are exact; each bucket's term rounds to 6 before
+    // anything sums (the t21 libm-ulp contract)
+    "c09_quality_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qa = docs.select(TextAnalysis.qualityScore(col("text")).as("quality"))
+      val qb = docs.select(TextAnalysis.qualityScore(
+        regexp_replace(col("text"), "^\\S+\\s", "")).as("quality"))
+      CorpusStats.psiDrift(qa, qb, "quality", nBuckets = 10)
+    }),
 
     // one-pass corpus profile: per-language rows + a grand-total row from
     // a SINGLE rollup scan — at 100 TB the corpus is not re-scanned once
@@ -2698,6 +2724,48 @@ object SparkEntry {
     "s14_knn_graph" -> s14OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
     "e05_streaming_curation" -> e05OracleSql,
+    // exact decile bucketing: cumulative histogram of the length domain;
+    // boundary b = smallest value with cum >= ceil(b*n/10) in integer
+    // arithmetic; bucket = 1 + #(inner boundaries < value)
+    "c08_length_curriculum" ->
+      """WITH h AS (SELECT CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS c
+                    FROM documents GROUP BY 1),
+         n AS (SELECT SUM(c) AS n FROM h),
+         cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+         bounds AS (
+           SELECT b, MIN(v) AS bound
+           FROM cum CROSS JOIN range(1, 10) t(b)
+           WHERE cum >= (b * (SELECT n FROM n) + 9) // 10
+           GROUP BY b)
+         SELECT d.doc_id, d.n_chars,
+                CAST(1 + (SELECT COUNT(*) FROM bounds
+                          WHERE bound < d.n_chars) AS INT) AS bucket
+         FROM documents d""",
+    // PSI drift: exact decile counts on both sides, shares clamped to
+    // 1e-6, per-bucket term rounded to 6 (the t21 libm contract)
+    "c09_quality_drift" ->
+      s"""WITH qa AS ($t02QualitySql),
+         qb AS (${qualityOverSql(
+           "(SELECT doc_id, regexp_replace(text, '^\\S+\\s', '') AS text FROM documents) stripped")}),
+         ca AS (SELECT CAST(least(floor(quality * 10), 9) AS INT) AS bucket,
+                       COUNT(*) AS n_a FROM qa GROUP BY 1),
+         cb AS (SELECT CAST(least(floor(quality * 10), 9) AS INT) AS bucket,
+                       COUNT(*) AS n_b FROM qb GROUP BY 1),
+         nn AS (SELECT (SELECT COUNT(*) FROM qa) AS na,
+                       (SELECT COUNT(*) FROM qb) AS nb),
+         j AS (SELECT bucket,
+                      CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                      CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+               FROM ca FULL OUTER JOIN cb USING (bucket))
+         SELECT bucket, n_a, n_b,
+                ROUND(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 6) + 0.0 AS frac_a,
+                ROUND(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 6) + 0.0 AS frac_b,
+                ROUND((greatest(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 1e-6)
+                       - greatest(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 1e-6))
+                      * ln(greatest(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 1e-6)
+                           / greatest(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 1e-6)),
+                      6) + 0.0 AS psi_term
+         FROM j, nn""",
     "t20_token_ids" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -357,6 +357,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), s"decontamination drop not an anti join:\n$p")
   }
 
+  test("c08 curriculum apply is map-only (boundaries are plan-time state)") {
+    // the histogram aggregate ran at plan-construction time; the frame the
+    // user consumes must be scan + project only — no join against a
+    // boundary table, no window, no re-shuffle of the corpus
+    val p = plan("c08_length_curriculum")
+    assert(!p.contains("Exchange"), s"shuffle in the bucket apply:\n$p")
+    assert(!p.contains("Join"), s"join in the bucket apply:\n$p")
+    assert(!p.contains("Window"), s"window in the bucket apply:\n$p")
+  }
+
   test("a06 kmv set ops: bounded heaps, no window, no sort of the hash space") {
     val p = plan("a06_kmv_setops")
     assert(!p.contains("Window"), s"sketching via a window:\n$p")

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("valueQuantiles: exact decile boundaries of a uniform 1..100 domain") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val got = CorpusStats.valueQuantiles(df, "v", 10)
+    // boundary b = smallest v with cum >= ceil(b*100/10) = exactly 10b
+    assert(got.toSeq === (1 to 10).map(b => 10.0 * b))
+  }
+
+  test("curriculumBuckets: boundary values stay in their own bucket, " +
+      "assignment is exact and partitioning-independent") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val got = CorpusStats.curriculumBuckets(df.repartition(7), "v", 10)
+      .select("v", "bucket").as[(Double, Int)].collect().toMap
+    (1 to 100).foreach { i =>
+      val expected = (i + 9) / 10 // ceil(i/10): 1..10 -> 1, 11..20 -> 2, ...
+      assert(got(i.toDouble) === expected, s"value $i")
+    }
+  }
+
+  test("curriculumBuckets: tied mass cannot split — all rows land in one bucket") {
+    // deciles of a constant column are all that constant; nothing is
+    // strictly below any boundary, so every row gets bucket 1 (the reason
+    // c08 stratifies on length, not the tie-heavy rounded quality signal)
+    val df = Seq.fill(50)(0.95).toDF("v")
+    val buckets = CorpusStats.curriculumBuckets(df, "v", 10)
+      .select("bucket").distinct().as[Int].collect().toSeq
+    assert(buckets === Seq(1))
+  }
+
+  test("psiDrift: identical snapshots have zero drift in every bucket") {
+    val a = (1 to 200).map(i => (i % 100) / 100.0).toDF("v")
+    val got = CorpusStats.psiDrift(a, a, "v", nBuckets = 10)
+      .select("psi_term").as[Double].collect()
+    assert(got.nonEmpty && got.forall(_ === 0.0))
+  }
+
+  test("psiDrift: a shifted snapshot produces positive total PSI and " +
+      "full-outer buckets on both sides") {
+    val a = (1 to 100).map(_ => 0.15).toDF("v") // all in bucket 1
+    val b = (1 to 100).map(_ => 0.85).toDF("v") // all in bucket 8
+    val rows = CorpusStats.psiDrift(a, b, "v", nBuckets = 10)
+      .select("bucket", "n_a", "n_b", "psi_term")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 8))
+    assert(rows(0)._2 === 100L && rows(0)._3 === 0L)
+    assert(rows(1)._2 === 0L && rows(1)._3 === 100L)
+    // total drift is large and positive: (1 - eps)·ln(1/eps) per side
+    assert(rows.map(_._4).sum > 20.0)
+  }
+}
