@@ -1148,6 +1148,21 @@ object SparkEntry {
         .select(col("vec_id"),
           (round(col("pc1_proj"), 4) + lit(0.0)).as("proj"))),
 
+    // the pruning step s11's projection exists for: drop the corpus tails
+    // along the dominant variance axis (classic embedding-outlier
+    // removal) using EXACT ventile boundaries of the rounded projection —
+    // the s11 model pass composed with c08's domain-bounded quantile
+    // machinery; keep ventiles 2..19 (the middle 90%)
+    "c10_pca_outlier_prune" -> ((s, dir) => {
+      val rounded = Similarity.pcaProject(t(s, dir, "embeddings"),
+          "vec_id", "embedding", iters = 10)
+        .select(col("vec_id"),
+          (round(col("pc1_proj"), 4) + lit(0.0)).as("proj"))
+      CorpusStats.curriculumBuckets(rounded, "proj", nBuckets = 20)
+        .filter(col("bucket") > 1 && col("bucket") < 20)
+        .select("vec_id", "proj", "bucket")
+    }),
+
     // how much of the corpus variance the top PC captures — the number
     // that decides whether s11-style projection pruning is meaningful.
     // Scalars computed driver-side in the same replayable fold order;
@@ -1702,6 +1717,36 @@ object SparkEntry {
        |           * pcv.p[CAST(j AS INT)])),
        |    (a, b) -> a + b), 4) + 0.0 AS proj
        |FROM e, mvec mv, pcv""".stripMargin
+
+  /** c10 oracle: s11's projection replay feeding the c08 exact-quantile
+    * replay at 20 buckets — keep ventiles 2..19. The projection rounds to
+    * 4 with signed-zero canonicalization BEFORE the histogram, so the
+    * quantile domain is identical on both engines.
+    */
+  private def c10OracleSql: String =
+    s"""$s11Ctes,
+       |proj AS (
+       |  SELECT e.vec_id,
+       |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        j -> (emb[CAST(j AS INT)] - mv.ml[CAST(j AS INT)])
+       |             * pcv.p[CAST(j AS INT)])),
+       |      (a, b) -> a + b), 4) + 0.0 AS proj
+       |  FROM e, mvec mv, pcv),
+       |h AS (SELECT proj AS v, COUNT(*) AS c FROM proj GROUP BY 1),
+       |nn AS (SELECT SUM(c) AS n FROM h),
+       |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+       |bounds AS (
+       |  SELECT b, MIN(v) AS bound
+       |  FROM cum CROSS JOIN range(1, 20) t(b)
+       |  WHERE cum >= (b * (SELECT n FROM nn) + 19) // 20
+       |  GROUP BY b)
+       |SELECT vec_id, proj, bucket FROM (
+       |  SELECT p.vec_id, p.proj,
+       |         CAST(1 + (SELECT COUNT(*) FROM bounds
+       |                   WHERE bound < p.proj) AS INT) AS bucket
+       |  FROM proj p)
+       |WHERE bucket > 1 AND bucket < 20""".stripMargin
 
   /** s12 oracle: λ = p·(C·p), trace = Σ C[i][i], ratio — all in the same
     * ordered folds as the engine's driver loops.
@@ -2627,6 +2672,7 @@ object SparkEntry {
          FROM x JOIN st ON x.pos = st.pos""",
     "s11_pca_project" -> s11OracleSql,
     "s12_pca_variance" -> s12OracleSql,
+    "c10_pca_outlier_prune" -> c10OracleSql,
     // semantic dedup: centroids = 16 smallest-id vectors, assignment =
     // argmax cosine (tie-break smallest centroid), drop = exists smaller-id
     // cluster-mate with cosine >= 0.999. The ×2-scaled copies keep every
