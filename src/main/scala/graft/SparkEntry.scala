@@ -3,7 +3,7 @@ package graft
 import graft.expr.MvelTranslator
 import graft.functions.GraftFunctions
 import graft.model._
-import graft.operators.{Cdc, CorpusStats, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Cdc, CorpusStats, Dedup, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
 import graft.streaming.{StreamingCuration, StreamingMigration, StreamingNearDup}
 import graft.schema.Reconciler
@@ -1053,6 +1053,33 @@ object SparkEntry {
         .select(col("vec_id"), col("neighbor_id"),
           (round(col("cosine"), 6) + lit(0.0)).as("cosine"), col("rank"))),
 
+    // graph centrality over the s14 neighbor structure: 3 damped PageRank
+    // iterations — which vectors sit in the dense core of the similarity
+    // graph (a data-selection signal). In-flow sums route through
+    // DECIMAL(28,10); same graph parameters as s14, so the oracle replays
+    // the exact bucketing and every iteration bit-for-bit
+    "s15_graph_rank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          dim = 64, k = 3, numPlanes = 5, maxBucketSize = 1000000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      Graph.pageRank(emb.select("vec_id"), edges, "vec_id", "src", "dst",
+          iters = 3, damping = 0.85)
+        .select(col("vec_id"), (round(col("score"), 8) + lit(0.0)).as("score"))
+    }),
+
+    // hubness profile of the same graph: per-vector in-degree (how many
+    // others chose it as a neighbor) — high-dim kNN graphs skew toward a
+    // few hub vectors that drag retrieval quality. Integer-exact output
+    "s16_knn_hubness" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          dim = 64, k = 3, numPlanes = 5, maxBucketSize = 1000000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      Graph.knnHubness(emb.select("vec_id"), edges, "vec_id", "src", "dst",
+        hubThreshold = 6)
+    }),
+
     // ANN correctness contract (see [[plantedQueries]]): the index must
     // return each planted query's source vector at rank 1, cosine 1.0 —
     // a missed bucket/probe/centroid drops the row and turns the gate red.
@@ -1947,7 +1974,11 @@ object SparkEntry {
     * in double (the s03 precedent), so the bucket bits and the ranking
     * compare exactly.
     */
-  private def s14OracleSql: String = {
+  /** Shared s14/s15/s16 oracle prefix: exact replay of the bucketed kNN
+    * graph (hyperplanes inlined as literals), ending with CTEs `r`
+    * (ranked candidates) and `edges(src, dst)` (the top-3 graph).
+    */
+  private def knnEdgeCtes: String = {
     val numPlanes = 5
     val bucketExpr = (0 until numPlanes).map { i =>
       val plane = graft.operators.Similarity.hyperplane(i, 64)
@@ -1968,11 +1999,56 @@ object SparkEntry {
        |  SELECT vec_id, neighbor_id, cosine,
        |         row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
-       |  FROM p)
+       |  FROM p),
+       |edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM r WHERE rank <= 3)""".stripMargin
+  }
+
+  private def s14OracleSql: String =
+    s"""$knnEdgeCtes
        |SELECT vec_id, neighbor_id, ROUND(cosine, 6) + 0.0 AS cosine,
        |       CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 3""".stripMargin
+
+  /** s15 oracle: 3 PageRank iterations over `edges`, unrolled as CTEs.
+    * Every step mirrors [[graft.operators.Graph.pageRank]] exactly: the
+    * teleport term is `(1.0 - 0.85) / N` (the SUBTRACTION, not a 0.15
+    * literal — they are different doubles), per-edge contributions divide
+    * in IEEE double then sum through DECIMAL(28,10), and dangling-vertex
+    * mass is dropped on both sides.
+    */
+  private def s15OracleSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT t.vec_id,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |         + CAST(0.85 AS DOUBLE)
+         |           * COALESCE(CAST(s.m AS DOUBLE), CAST(0.0 AS DOUBLE)) AS score
+         |  FROM nodes t LEFT JOIN (
+         |    SELECT ed.dst AS vec_id,
+         |           SUM(CAST(rr.score / ed.d AS DECIMAL(28,10))) AS m
+         |    FROM dedges ed JOIN $prev rr ON ed.src = rr.vec_id
+         |    GROUP BY 1) s ON t.vec_id = s.vec_id)""".stripMargin
+    s"""$knnEdgeCtes,
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |dedges AS (SELECT e.src, e.dst, dg.d FROM edges e JOIN deg dg ON e.src = dg.src),
+       |r0 AS (SELECT vec_id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS score FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT vec_id, ROUND(score, 8) + 0.0 AS score FROM r3""".stripMargin
   }
+
+  private def s16OracleSql: String =
+    s"""$knnEdgeCtes,
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |ind AS (SELECT dst AS vec_id, COUNT(*) AS in_degree FROM edges GROUP BY 1)
+       |SELECT t.vec_id,
+       |       COALESCE(ind.in_degree, 0) AS in_degree,
+       |       COALESCE(ind.in_degree, 0) >= 6 AS is_hub,
+       |       COALESCE(ind.in_degree, 0) = 0 AS is_antihub
+       |FROM nodes t LEFT JOIN ind ON t.vec_id = ind.vec_id""".stripMargin
 
   private def t24OracleSql: String =
     s"""WITH ${t19ScoreCtes()},
@@ -2768,6 +2844,8 @@ object SparkEntry {
     "t19_importance" -> t19OracleSql,
     "t24_importance_resample" -> t24OracleSql,
     "s14_knn_graph" -> s14OracleSql,
+    "s15_graph_rank" -> s15OracleSql,
+    "s16_knn_hubness" -> s16OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
     "e05_streaming_curation" -> e05OracleSql,
     // exact decile bucketing: cumulative histogram of the length domain;

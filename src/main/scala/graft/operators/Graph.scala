@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Graph analytics over edge lists the engine itself produces (the
+ * [[Similarity.knnGraph]] neighbor structure, duplicate-cluster adjacency):
+ * centrality for corpus curation — "which documents/vectors sit in the
+ * dense core of the similarity graph" is a standard data-selection and
+ * embedding-QA signal (PageRank: Page et al. 1999; hubness: Radovanović
+ * et al. 2010, see PAPERS.md).
+ *
+ * Scale posture:
+ *  - Everything is edge-list relational — equi-joins and hash aggregates
+ *    keyed on vertex id, never adjacency matrices or per-vertex windows.
+ *  - One rank iteration = one join of the (skinny) rank frame with the
+ *    degree-annotated edge list + one hash aggregate on the destination —
+ *    the same shuffle shape GraphX's Pregel uses, expressed as DataFrames
+ *    so Catalyst/AQE handle skew and partial aggregation.
+ *  - The degree-annotated edge list is reused by every iteration, so it is
+ *    materialized ONCE (`localCheckpoint`) instead of recomputed per round
+ *    (the d06/d08 lesson: multiply-referenced lazy subtrees re-execute).
+ *    On a real cluster a reliable `checkpoint()`/parquet round-trip is the
+ *    drop-in swap, as in [[Dedup.clusterAssignments]].
+ */
+object Graph {
+
+  /** Damped PageRank over an explicit vertex + edge list, fixed iteration
+    * count, EXACT-replayable arithmetic.
+    *
+    * r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u)/outdeg(u)
+    *
+    * Summation over in-edges routes through DECIMAL(28,10) (order-free,
+    * exact) so an oracle replays bit-for-bit; every other step is a
+    * deterministic IEEE double op. Conventions an oracle must mirror:
+    * vertices with no in-edges hold only the teleport term; mass flowing
+    * out of dangling vertices (no out-edges) is NOT redistributed — scores
+    * are comparative weights, not a normalized distribution. N is the
+    * vertex count, collected once at plan time (a single bounded scalar,
+    * the sanctioned model-fitting collect).
+    *
+    * Output: (idCol, score) — one row per vertex in `nodes`.
+    */
+  def pageRank(
+      nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one vertex")
+    val teleport = (1.0 - damping) / n.toDouble
+
+    val deg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
+    // degree-annotated edges: referenced once per iteration — materialize
+    // (skinny: src, dst, deg) so iterations don't recompute the join
+    val contrib = edges.select(col(srcCol), col(dstCol))
+      .join(deg, srcCol)
+      .localCheckpoint(true)
+
+    var ranks = nodes.select(col(idCol), lit(1.0 / n.toDouble).as("score"))
+    for (_ <- 0 until iters) {
+      val inflow = contrib
+        .join(ranks.select(col(idCol).as(srcCol), col("score")), srcCol)
+        .select(col(dstCol).as(idCol),
+          (col("score") / col("__deg")).cast(DecimalType(28, 10)).as("__c"))
+        .groupBy(col(idCol)).agg(sum(col("__c")).as("__m"))
+      ranks = nodes.select(col(idCol))
+        .join(inflow, Seq(idCol), "left")
+        .select(col(idCol),
+          (lit(teleport) +
+            lit(damping) * coalesce(col("__m").cast("double"), lit(0.0)))
+            .as("score"))
+    }
+    ranks
+  }
+
+  /** In-degree / hubness profile of a directed kNN graph: per vertex, how
+    * many OTHER vertices chose it as a neighbor. In high dimensions the
+    * in-degree distribution skews — a few "hub" vectors appear in
+    * everyone's neighbor list (and drag retrieval quality), while
+    * "antihubs" appear in nobody's. Integer-exact, one hash aggregate +
+    * one left join; no floats cross the output boundary.
+    *
+    * Output: (idCol, in_degree, is_hub, is_antihub).
+    */
+  def knnHubness(
+      nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      hubThreshold: Int): DataFrame = {
+    val indeg = edges.groupBy(col(dstCol).as(idCol))
+      .agg(count(lit(1)).as("in_degree"))
+    nodes.select(col(idCol))
+      .join(indeg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .select(col(idCol), col("in_degree"),
+        (col("in_degree") >= hubThreshold).as("is_hub"),
+        (col("in_degree") === 0L).as("is_antihub"))
+  }
+}

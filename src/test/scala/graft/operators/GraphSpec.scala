@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranks(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int = 3): Map[Long, Double] =
+    Graph.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"),
+        "id", "src", "dst", iters = iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("pageRank: directed ring stays uniform at 1/N") {
+    val n = 6L
+    val r = ranks(0L until n, (0L until n).map(i => i -> ((i + 1) % n)))
+    assert(r.size == n)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-9, r))
+  }
+
+  test("pageRank: star center outranks leaves, isolated vertex holds teleport only") {
+    // leaves 1..4 all point at 0; 0 points back at 1; 9 is isolated
+    val edges = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 0L -> 1L)
+    val r = ranks(Seq(0L, 1L, 2L, 3L, 4L, 9L), edges)
+    assert(r(0L) > r(1L) && r(1L) > r(2L))
+    assert(r(2L) == r(3L) && r(3L) == r(4L)) // symmetric leaves tie exactly
+    assert(math.abs(r(9L) - 0.15 / 6) < 1e-9) // no in-edges: teleport term
+  }
+
+  test("pageRank: total mass stays <= 1 and decreases only via dangling leak") {
+    // 0->1, 1->2, 2 dangling: its mass is dropped by convention (a chain
+    // ending in a dangling vertex sheds most of its mass in 3 rounds)
+    val r = ranks(Seq(0L, 1L, 2L), Seq(0L -> 1L, 1L -> 2L))
+    val total = r.values.sum
+    assert(total <= 1.0 + 1e-12 && total > 0.0, total)
+    // no dangling vertices -> mass conserved at exactly ~1
+    val ring = ranks(0L until 4L, (0L until 4L).map(i => i -> ((i + 1) % 4)))
+    assert(math.abs(ring.values.sum - 1.0) < 1e-9)
+  }
+
+  test("knnHubness: in-degrees, hub and antihub flags") {
+    val edges = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 0L -> 1L)
+    val out = Graph.knnHubness(Seq(0L, 1L, 2L, 3L).toDF("id"),
+        edges.toDF("src", "dst"), "id", "src", "dst", hubThreshold = 3)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((3L, true, false)))
+    assert(out(1L) == ((1L, false, false)))
+    assert(out(2L) == ((0L, false, true)))
+    assert(out(3L) == ((0L, false, true)))
+  }
+}
