@@ -1190,6 +1190,23 @@ object SparkEntry {
         .select("vec_id", "proj", "bucket")
     }),
 
+    // leakage-safe train/val split: the coin is tossed on the NEAR-DUP
+    // CLUSTER label (d06's connected components over the doubled corpus),
+    // so no near-duplicate pair straddles the boundary — the reason naive
+    // per-doc splits leak training text into eval. Integer coin on the
+    // mix64 avalanche of the cluster id (never a float compare)
+    "c11_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val all = docs.unionByName(mangled)
+      val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text", threshold = 0.7)
+      val clusters = Dedup.clusterAssignments(pairs.select("idA", "idB"),
+        all.select("doc_id"), "doc_id")
+      CorpusStats.leakageSafeSplit(clusters, "cluster_id", trainFrac = 0.9)
+        .select("doc_id", "cluster_id", "split")
+    }),
+
     // how much of the corpus variance the top PC captures — the number
     // that decides whether s11-style projection pruning is meaningful.
     // Scalars computed driver-side in the same replayable fold order;
@@ -1774,6 +1791,29 @@ object SparkEntry {
        |                   WHERE bound < p.proj) AS INT) AS bucket
        |  FROM proj p)
        |WHERE bucket > 1 AND bucket < 20""".stripMargin
+
+  /** c11 oracle: the d06 recursive-CTE transitive closure gives each doc
+    * its cluster label; the split coin replays the engine's
+    * `mix64(cluster_id, seed=0)` avalanche in HUGEINT mod-2^64 SQL, then
+    * the same `((h % 2^20) + 2^20) % 2^20 < floor(0.9 · 2^20)` integer
+    * compare (943718 = floor(0.9 · 1048576)).
+    */
+  private def c11OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    s"""$dupClusterClosureSql,
+       |m1 AS (SELECT doc_id, cluster_id,
+       |              ${xorShift33("CAST(cluster_id AS HUGEINT)")} AS h FROM clusters),
+       |m2 AS (SELECT doc_id, cluster_id, ${mulMod("h", C1)} AS h FROM m1),
+       |m3 AS (SELECT doc_id, cluster_id, ${xorShift33("h")} AS h FROM m2),
+       |m4 AS (SELECT doc_id, cluster_id, ${mulMod("h", C2)} AS h FROM m3),
+       |m5 AS (SELECT doc_id, cluster_id, ${toI(xorShift33("h"))} AS h FROM m4)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN ((h % 1048576) + 1048576) % 1048576 < 943718
+       |            THEN 'train' ELSE 'val' END AS split
+       |FROM m5""".stripMargin
+  }
 
   /** s12 oracle: λ = p·(C·p), trace = Σ C[i][i], ratio — all in the same
     * ordered folds as the engine's driver loops.
@@ -2749,6 +2789,7 @@ object SparkEntry {
     "s11_pca_project" -> s11OracleSql,
     "s12_pca_variance" -> s12OracleSql,
     "c10_pca_outlier_prune" -> c10OracleSql,
+    "c11_leakage_safe_split" -> c11OracleSql,
     // semantic dedup: centroids = 16 smallest-id vectors, assignment =
     // argmax cosine (tie-break smallest centroid), drop = exists smaller-id
     // cluster-mate with cosine >= 0.999. The ×2-scaled copies keep every

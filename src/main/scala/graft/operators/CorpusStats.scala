@@ -107,4 +107,28 @@ object CorpusStats {
       (round(col("n_b").cast("double") / lit(nb.toDouble), 6) + lit(0.0)).as("frac_b"),
       (round((pa - pb) * log(pa / pb), 6) + lit(0.0)).as("psi_term"))
   }
+
+  /** Leakage-safe train/holdout assignment: the split coin is tossed on a
+    * GROUP key (a duplicate-cluster label, a normalized-content hash, a
+    * source domain), never the row id — so no near-duplicate pair, exact
+    * copy, or same-domain sibling ever straddles the boundary and leaks
+    * training text into evaluation. The coin is the integer-exact
+    * [[graft.functions.Mix64]] avalanche of the group key modulo 2^20
+    * against `floor(trainFrac · 2^20)` (the t09/t24 convention: never a
+    * float compare at the boundary), so assignment is deterministic,
+    * reproducible across runs, and stable under corpus growth — rows
+    * added to an existing group inherit its side. Map-only on an already
+    * grouped frame: no shuffle beyond what produced the grouping.
+    * Output: input columns + `split` ('train' | 'val').
+    */
+  def leakageSafeSplit(assignments: DataFrame, groupCol: String,
+      trainFrac: Double = 0.9, seed: Long = 0L): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0, "trainFrac must be in (0,1)")
+    val cut = math.floor(trainFrac * (1L << 20).toDouble).toLong
+    val u = pmod(
+      graft.functions.GraftFunctions.mix64(col(groupCol).cast("long"), seed)
+        % lit(1L << 20), lit(1L << 20))
+    assignments.withColumn("split",
+      when(u < lit(cut), lit("train")).otherwise(lit("val")))
+  }
 }

@@ -54,4 +54,25 @@ class CorpusStatsSpec extends SparkTestBase {
     // total drift is large and positive: (1 - eps)·ln(1/eps) per side
     assert(rows.map(_._4).sum > 20.0)
   }
+
+  test("leakageSafeSplit: same group always lands on the same side, " +
+      "fraction tracks trainFrac, and assignment is seed-deterministic") {
+    val rows = (1L to 2000L).map(i => (i, i % 500)).toDF("id", "grp")
+    val got = CorpusStats.leakageSafeSplit(rows, "grp", trainFrac = 0.8)
+      .select("id", "grp", "split").as[(Long, Long, String)].collect()
+    // no group straddles the boundary
+    val perGroup = got.groupBy(_._2).values
+    assert(perGroup.forall(_.map(_._3).distinct.length == 1))
+    // fraction is near 0.8 at 500 groups (binomial, generous bound)
+    val trainFrac = got.count(_._3 == "train").toDouble / got.length
+    assert(trainFrac > 0.7 && trainFrac < 0.9, trainFrac)
+    // deterministic: a second run is identical; a different seed is not
+    val again = CorpusStats.leakageSafeSplit(rows, "grp", trainFrac = 0.8)
+      .select("id", "grp", "split").as[(Long, Long, String)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val reseeded = CorpusStats.leakageSafeSplit(rows, "grp",
+        trainFrac = 0.8, seed = 7L)
+      .select("id", "grp", "split").as[(Long, Long, String)].collect()
+    assert(got.sortBy(_._1).toSeq != reseeded.sortBy(_._1).toSeq)
+  }
 }
