@@ -387,6 +387,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("CollectMetrics"), s"bucket skew guard missing:\n$p")
   }
 
+  test("s15 graph rank: equi-joins and hash aggregates only, no window, " +
+      "no cartesian, edge frame materialized once") {
+    val p = plan("s15_graph_rank")
+    assert(!p.contains("CartesianProduct"), s"cartesian in pagerank:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    assert(!p.contains("Window"), s"window in pagerank:\n$p")
+    // the degree-annotated edge list is localCheckpointed: iterations read
+    // a materialized RDD scan, not a re-derived knn-graph subtree
+    assert(p.contains("Scan ExistingRDD"), s"edge frame not materialized:\n$p")
+  }
+
+  test("s16 hubness: one hash aggregate + left join, integers end to end") {
+    val p = plan("s16_knn_hubness")
+    assert(!p.contains("CartesianProduct"), s"cartesian in hubness:\n$p")
+    assert(!p.contains("Window"), s"window in hubness:\n$p")
+    assert(p.contains("HashAggregate"), s"in-degree not a hash agg:\n$p")
+  }
+
   test("s11 pca projection apply is map-only (model is plan-time state)") {
     // the moments pass already ran at plan-construction time; the frame the
     // user consumes must be scan + project only — no join against a model
