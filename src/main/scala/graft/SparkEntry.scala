@@ -1261,6 +1261,15 @@ object SparkEntry {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("occurrences").desc, col("token").asc).limit(100)),
 
+    // one BPE merge-scan round: adjacent char-pair counts weighted by
+    // word frequency — the statistic round one of tokenizer training
+    // maximizes. Integer-exact; shuffle bounded by vocabulary then by
+    // pair domain, never per token occurrence
+    "t25_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text",
+          minCount = 5L)
+        .orderBy(col("pair_count").desc, col("pair").asc).limit(200)),
+
     "t04_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -2234,6 +2243,20 @@ object SparkEntry {
                FROM documents)
          WHERE length(token) > 0
          GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""",
+    // t25: word-frequency-weighted adjacent char-pair counts (BPE round 1)
+    "t25_bpe_pairs" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+           FROM documents),
+         w AS (SELECT word, COUNT(*) AS freq FROM toks
+               WHERE length(word) >= 2 GROUP BY 1),
+         p AS (SELECT freq,
+                      unnest(list_transform(range(1, length(word)),
+                        i -> substr(word, CAST(i AS INT), 2))) AS pair
+               FROM w)
+         SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+         FROM p GROUP BY 1 HAVING SUM(freq) >= 5
+         ORDER BY pair_count DESC, pair ASC LIMIT 200""",
     "q01_scan" -> "SELECT r_regionkey, r_name FROM region",
     "q02_projection" -> "SELECT c_custkey, c_name FROM customer",
     "q03_pushdown_filter" ->

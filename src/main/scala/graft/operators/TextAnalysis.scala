@@ -98,6 +98,31 @@ object TextAnalysis {
       .filter(length(col("chunk_text")) > 0)
   }
 
+  /** One BPE merge-scan round at corpus scale: counts of adjacent symbol
+    * pairs — the statistic a byte-pair-encoding tokenizer trainer
+    * maximizes per merge (Sennrich et al. 2016) — over the whitespace
+    * vocabulary, weighted by word frequency. Symbols are the initial
+    * single characters (round one of training; later rounds re-run over
+    * merged sequences). The shuffle is domain-bounded twice over: one row
+    * per DISTINCT word after the first aggregate (map-side combined),
+    * then one row per distinct pair — never per token occurrence.
+    * Output: (pair, pair_count), integer-exact.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("word"))
+      // single-char words yield no pairs; dropping them BEFORE the word
+      // aggregate also dodges sequence(1, 0) = [1, 0] (it descends)
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+  }
+
   /** Corpus vocabulary statistics: token -> document frequency + total
     * occurrences. One explode + one aggregation keyed on the token.
     */

@@ -597,6 +597,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(capped.contains(100L), s"null-text row lost the hash-0 slot: $capped")
   }
 
+  test("bpePairCounts: frequency-weighted adjacent pairs, single chars inert") {
+    // "abab" x2 docs + "ab" + single-char "a" (no pairs)
+    val docs = Seq((1L, "abab ab"), (2L, "abab a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    // "abab" freq 2 contributes ab:2, ba:2, ab:2 -> ab 4, ba 2; "ab" adds ab 1
+    assert(got == Map("ab" -> 5L, "ba" -> 2L), got)
+    // minCount prunes below-threshold pairs
+    val pruned = TextAnalysis.bpePairCounts(docs, "text", minCount = 3L)
+      .as[(String, Long)].collect().toMap
+    assert(pruned == Map("ab" -> 5L), pruned)
+  }
+
   test("bigramLmScore: corpus-typical text outscores shuffled gibberish") {
     val fluent = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
     val odd = Seq((100L, "mat the on sat cat the"))
