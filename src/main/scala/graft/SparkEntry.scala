@@ -1015,6 +1015,21 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // hard-negative mining: per query, the 5 most similar vectors with a
+    // DIFFERENT label — the contrastive-training negatives that move the
+    // loss. Label filter runs before the bounded heap
+    "s17_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      Similarity.hardNegatives(corpus, queries,
+          "vec_id", "embedding", "label", "query_id", "embedding", "label",
+          k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
+    }),
+
     // Matryoshka-style truncated-dim retrieval quality: overlap@20 of a
     // 16-dim prefix search against the full 64-dim ranking — the number
     // that decides whether cheap truncated search is good enough for a
@@ -2724,6 +2739,24 @@ object SparkEntry {
                        (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
                         sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
                 FROM c CROSS JOIN q),
+              ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored)
+         SELECT query_id, vec_id, rank, ROUND(cosine, 6) + 0.0 AS cosine
+         FROM ranked WHERE rank <= 5""",
+    // s17: the s01 scoring with the label-mismatch filter before ranking
+    "s17_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+              scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                       (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+                FROM c CROSS JOIN q
+                WHERE c.label <> q.label),
               ranked AS (
                 SELECT query_id, vec_id, cosine,
                        row_number() OVER (PARTITION BY query_id

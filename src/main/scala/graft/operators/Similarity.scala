@@ -56,6 +56,31 @@ object Similarity {
     rankTopK(scored, queryId, corpusId, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k MOST
+    * similar corpus vectors whose label differs from the query's — the
+    * negatives that actually move an InfoNCE-style loss. Same broadcast +
+    * bounded-heap shape as [[bruteForceTopK]], with the label-mismatch
+    * filter applied BEFORE ranking (so negatives never crowd out of the
+    * heap). At banked-corpus scale, swap the broadcast cross product for
+    * the [[lshTopK]]/[[ivfTopK]] candidate generation and keep the same
+    * filter + heap.
+    * Output: (queryId, corpusId, cosine, rank).
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, corpusLabel: String,
+      queryId: String, queryVec: String, queryLabel: String,
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries.select(
+      col(queryId), col(queryVec).as("__qv"), col(queryLabel).as("__ql"))))
+      .filter(col(corpusLabel) =!= col("__ql"))
+    val scored = joined.select(
+      col(queryId), col(corpusId),
+      cosine(col(corpusVec), col("__qv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    rankTopK(scored, queryId, corpusId, k)
+  }
+
   /** Rank candidate scores per query with the bounded top-k aggregate
     * ([[graft.functions.TopKByScore]]) — shuffles k entries per query per
     * map partition. A per-query `row_number` window here would ship EVERY
