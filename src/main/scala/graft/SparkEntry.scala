@@ -538,6 +538,14 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")), numShards = 8)
         .select("doc_id", "shard", "pos_in_shard")),
 
+    // per-epoch deterministic corpus permutation: epoch 3's order is the
+    // mix64(doc_id ^ 3) key laid out as balanced shards — a different
+    // reproducible shuffle per epoch, no RNG state, no global sort
+    "z05_epoch_shuffle" -> ((s, dir) =>
+      Layout.epochShuffle(t(s, dir, "documents").select("doc_id"),
+          "doc_id", epoch = 3, numShards = 8)
+        .select("doc_id", "shard", "pos_in_shard")),
+
     // n-dimensional Morton key: 3 columns x 8 bits, the general lakehouse
     // OPTIMIZE ZORDER form — exact interleaved keys gated bit-for-bit
     "z04_zorder_nd" -> ((s, dir) =>
@@ -1839,6 +1847,29 @@ object SparkEntry {
        |FROM m5""".stripMargin
   }
 
+  /** z05 oracle: the engine's `mix64(doc_id, seed=3)` avalanche replayed
+    * in HUGEINT mod-2^64 SQL, then the z02 shard/rank layout over the
+    * signed key.
+    */
+  private def z05OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    s"""WITH m0 AS (SELECT doc_id,
+       |              ${xorConst("CAST(doc_id AS HUGEINT)", 3L)} AS h FROM documents),
+       |m1 AS (SELECT doc_id, ${xorShift33("h")} AS h FROM m0),
+       |m2 AS (SELECT doc_id, ${mulMod("h", C1)} AS h FROM m1),
+       |m3 AS (SELECT doc_id, ${xorShift33("h")} AS h FROM m2),
+       |m4 AS (SELECT doc_id, ${mulMod("h", C2)} AS h FROM m3),
+       |m5 AS (SELECT doc_id, ${toI(xorShift33("h"))} AS h FROM m4)
+       |SELECT doc_id,
+       |       CAST(((h % 8) + 8) % 8 AS INT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY ((h % 8) + 8) % 8
+       |                               ORDER BY h, doc_id) - 1 AS BIGINT)
+       |         AS pos_in_shard
+       |FROM m5""".stripMargin
+  }
+
   /** s12 oracle: λ = p·(C·p), trace = Σ C[i][i], ratio — all in the same
     * ordered folds as the engine's driver loops.
     */
@@ -2541,6 +2572,9 @@ object SparkEntry {
                                         ORDER BY h, doc_id) - 1 AS BIGINT)
                   AS pos_in_shard
          FROM fp""",
+    // z05: mix64(doc_id ^ 3) replayed in HUGEINT mod-2^64 SQL, then the
+    // z02 shard/rank layout over the avalanche key
+    "z05_epoch_shuffle" -> z05OracleSql,
     "c02_scd2_history" ->
       """SELECT user_id, event_id, event_type,
                 epoch_us(ts) AS valid_from,

@@ -129,6 +129,21 @@ object Layout {
       .drop("__skey")
   }
 
+  /** Deterministic training-epoch shuffle: epoch `e`'s global order is
+    * the [[graft.functions.Mix64]] avalanche of `id ^ e` — a different,
+    * reproducible corpus permutation per epoch with no RNG state,
+    * realized as the [[shardBy]] layout (shard = key mod `numShards`,
+    * `pos_in_shard` = rank of the key within its shard). A reader streams
+    * shards in index order concatenating `pos_in_shard` runs — a full
+    * permutation with NO global sort; each shard sorts independently.
+    * Rows added between epochs land at their key's position without
+    * perturbing the rest of the order.
+    */
+  def epochShuffle(df: DataFrame, idCol: String,
+      epoch: Int, numShards: Int): DataFrame =
+    shardBy(df, idCol,
+      GraftFunctions.mix64(col(idCol).cast("long"), epoch.toLong), numShards)
+
   /** Compaction planning for small-file tables — the grouping step of a
     * lakehouse OPTIMIZE: given per-file statistics, assign every file a
     * `bin` so each bin's bytes land near `targetBytes` and a rewrite job

@@ -119,4 +119,19 @@ class LayoutSpec extends SparkTestBase {
       ("p1", "c") -> 3L, ("p1", "d") -> 3L,
       ("p2", "f") -> 0L, ("p2", "g") -> 0L))
   }
+
+  test("epochShuffle: total deterministic layout; epochs permute differently") {
+    val docs = (1L to 400L).toDF("id")
+    def order(epoch: Int): Seq[Long] = Layout.epochShuffle(docs, "id", epoch, 4)
+      .select("id", "shard", "pos_in_shard").as[(Long, Int, Long)].collect()
+      .sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    val e1 = order(1)
+    assert(e1.toSet == (1L to 400L).toSet) // a true permutation, no loss
+    assert(order(1) == e1)                 // reproducible
+    assert(order(2) != e1)                 // epochs differ
+    // shards stay balanced within a loose binomial bound
+    val sizes = Layout.epochShuffle(docs, "id", 1, 4)
+      .groupBy("shard").count().as[(Int, Long)].collect().map(_._2)
+    assert(sizes.length == 4 && sizes.forall(c => c > 50 && c < 150), sizes.toSeq)
+  }
 }
