@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCuration, StreamingMigration, StreamingNearDup}
+import graft.streaming.{StreamingCuration, StreamingDrift, StreamingMigration, StreamingNearDup}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -952,6 +952,38 @@ object SparkEntry {
         throw new IllegalStateException("e05 stream did not drain in 300s")
       }
       s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
+    }),
+
+    // streaming drift monitor: the reference third of the corpus vs the
+    // other two thirds streamed in (drifted by stripping the first word)
+    // across 2 micro-batches; the drained monitor's published PSI must
+    // equal the batch psiDrift of the full streamed set — same shared
+    // arithmetic, same oracle shape as c09
+    "e06_streaming_drift" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e06").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val ref = docs.filter(col("doc_id") % 3 === 0)
+        .select(TextAnalysis.qualityScore(col("text")).as("quality"))
+      val streamed = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      streamed.filter(col("doc_id") % 3 === 1)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      streamed.filter(col("doc_id") % 3 === 2)
+        .coalesce(1).write.parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+        .select(TextAnalysis.qualityScore(col("text")).as("quality"))
+      val q = StreamingDrift.start(s, src, ref, "quality",
+        s"$tmp/counts", s"$tmp/psi", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e06 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/psi")
+        .select("bucket", "n_a", "n_b", "frac_a", "frac_b", "psi_term")
     }),
 
     "d04_simhash_pairs" -> ((s, dir) => {
@@ -2205,6 +2237,34 @@ object SparkEntry {
     * parameterized so composed oracles (c06) score derived corpora with
     * the byte-identical formula.
     */
+  /** The c09/e06 PSI tail: 10 quality-deciles of both sides, full-outer
+    * join, eps-clamped shares, per-bucket term rounded before any sum —
+    * mirroring [[graft.operators.CorpusStats.psiFromCounts]] exactly.
+    * `qaSql`/`qbSql` are complete SELECTs emitting a `quality` column.
+    */
+  private def psiOracleSql(qaSql: String, qbSql: String): String =
+    s"""WITH qa AS ($qaSql),
+       qb AS ($qbSql),
+       ca AS (SELECT CAST(least(floor(quality * 10), 9) AS INT) AS bucket,
+                     COUNT(*) AS n_a FROM qa GROUP BY 1),
+       cb AS (SELECT CAST(least(floor(quality * 10), 9) AS INT) AS bucket,
+                     COUNT(*) AS n_b FROM qb GROUP BY 1),
+       nn AS (SELECT (SELECT COUNT(*) FROM qa) AS na,
+                     (SELECT COUNT(*) FROM qb) AS nb),
+       j AS (SELECT bucket,
+                    CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                    CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+             FROM ca FULL OUTER JOIN cb USING (bucket))
+       SELECT bucket, n_a, n_b,
+              ROUND(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 6) + 0.0 AS frac_a,
+              ROUND(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 6) + 0.0 AS frac_b,
+              ROUND((greatest(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 1e-6)
+                     - greatest(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 1e-6))
+                    * ln(greatest(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 1e-6)
+                         / greatest(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 1e-6)),
+                    6) + 0.0 AS psi_term
+       FROM j, nn"""
+
   private def qualityOverSql(table: String): String =
     s"""SELECT doc_id, ROUND(raw_quality, 6) + 0.0 AS quality FROM (
          SELECT doc_id,
@@ -2998,29 +3058,17 @@ object SparkEntry {
          FROM documents d""",
     // PSI drift: exact decile counts on both sides, shares clamped to
     // 1e-6, per-bucket term rounded to 6 (the t21 libm contract)
-    "c09_quality_drift" ->
-      s"""WITH qa AS ($t02QualitySql),
-         qb AS (${qualityOverSql(
-           "(SELECT doc_id, regexp_replace(text, '^\\S+\\s', '') AS text FROM documents) stripped")}),
-         ca AS (SELECT CAST(least(floor(quality * 10), 9) AS INT) AS bucket,
-                       COUNT(*) AS n_a FROM qa GROUP BY 1),
-         cb AS (SELECT CAST(least(floor(quality * 10), 9) AS INT) AS bucket,
-                       COUNT(*) AS n_b FROM qb GROUP BY 1),
-         nn AS (SELECT (SELECT COUNT(*) FROM qa) AS na,
-                       (SELECT COUNT(*) FROM qb) AS nb),
-         j AS (SELECT bucket,
-                      CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
-                      CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
-               FROM ca FULL OUTER JOIN cb USING (bucket))
-         SELECT bucket, n_a, n_b,
-                ROUND(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 6) + 0.0 AS frac_a,
-                ROUND(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 6) + 0.0 AS frac_b,
-                ROUND((greatest(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 1e-6)
-                       - greatest(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 1e-6))
-                      * ln(greatest(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 1e-6)
-                           / greatest(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 1e-6)),
-                      6) + 0.0 AS psi_term
-         FROM j, nn""",
+    "c09_quality_drift" -> psiOracleSql(t02QualitySql,
+      qualityOverSql(
+        "(SELECT doc_id, regexp_replace(text, '^\\S+\\s', '') AS text FROM documents) stripped")),
+    // e06: the c09 PSI replay over the streamed slices — reference is the
+    // doc_id % 3 = 0 third, the stream is the (drifted) other two thirds
+    "e06_streaming_drift" -> psiOracleSql(
+      qualityOverSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0) refdocs"),
+      qualityOverSql(
+        "(SELECT doc_id, regexp_replace(text, '^\\S+\\s', '') AS text " +
+          "FROM documents WHERE doc_id % 3 <> 0) streamdocs")),
     "t20_token_ids" ->
       """WITH toks AS (
            SELECT doc_id,

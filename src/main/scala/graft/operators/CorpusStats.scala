@@ -87,14 +87,30 @@ object CorpusStats {
   def psiDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
       nBuckets: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(nBuckets >= 2, "need at least 2 buckets")
-    def counts(df: DataFrame, out: String): DataFrame = df
-      .groupBy(least(floor(col(valueCol).cast("double") * nBuckets), lit(nBuckets - 1))
-        .cast("int").as("bucket"))
-      .agg(count(lit(1)).as(out))
-    val a = counts(dfA, "n_a")
-    val b = counts(dfB, "n_b")
+    val a = bucketCounts(dfA, valueCol, nBuckets, "n_a")
+    val b = bucketCounts(dfB, valueCol, nBuckets, "n_b")
     val na = dfA.count()
     val nb = dfB.count()
+    psiFromCounts(a, b, na, nb, eps)
+  }
+
+  /** The [[psiDrift]] bucket formula as a reusable aggregate: counts per
+    * `least(floor(v · nBuckets), nBuckets − 1)` bucket. The shuffle is
+    * bucket-bounded (map-side combined).
+    */
+  def bucketCounts(df: DataFrame, valueCol: String, nBuckets: Int,
+      out: String): DataFrame = df
+    .groupBy(least(floor(col(valueCol).cast("double") * nBuckets), lit(nBuckets - 1))
+      .cast("int").as("bucket"))
+    .agg(count(lit(1)).as(out))
+
+  /** The [[psiDrift]] arithmetic over PRE-AGGREGATED bucket counts —
+    * shared verbatim with the streaming monitor
+    * ([[graft.streaming.StreamingDrift]]) so the drained stream equals
+    * the batch computation by construction, not by parallel maintenance.
+    */
+  def psiFromCounts(a: DataFrame, b: DataFrame, na: Long, nb: Long,
+      eps: Double = 1e-6): DataFrame = {
     require(na > 0 && nb > 0, "both snapshots must be non-empty")
     val joined = a.join(b, Seq("bucket"), "full_outer")
       .select(col("bucket"),
