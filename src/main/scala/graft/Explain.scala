@@ -23,7 +23,9 @@ object Explain {
         "w05_range_window",
         "s11_pca_project", "c06_cluster_reps", "t23_overlap_frac",
         "t24_importance_resample", "j08_asof_tolerance", "e04_event_debounce",
-        "d10_neardup_free", "s14_knn_graph")
+        "d10_neardup_free", "s14_knn_graph",
+        "s15_graph_rank", "s16_knn_hubness", "s17_hard_negatives",
+        "c11_leakage_safe_split", "t25_bpe_pairs", "z05_epoch_shuffle")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
