@@ -647,6 +647,31 @@ object SparkEntry {
           coalesce(col("sum_value"), lit(0.0d)).as("sum_value"))
     }),
 
+    // per-user event-rate anomaly screen: hourly activity counts z-scored
+    // against the user's OWN active-hour history — exact integer sums
+    // (hours, Σn, Σn²) feed deterministic double moments, so the z and
+    // the flag replay bit-for-bit. Two bucket-bounded aggregates + one
+    // equi-join on user_id; constant or single-hour histories z to 0
+    "e07_rate_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 3600000000000").as("hour_idx"))
+      val perHour = ev.groupBy("user_id", "hour_idx")
+        .agg(count(lit(1)).as("n_events"))
+      val moments = perHour.groupBy("user_id").agg(
+        count(lit(1)).as("m"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+      val mean = col("s1").cast("double") / col("m").cast("double")
+      val variance = col("s2").cast("double") / col("m").cast("double") - mean * mean
+      val z = when(col("m") > 1 && variance > 0.0,
+        (col("n_events").cast("double") - mean) / sqrt(variance))
+        .otherwise(lit(0.0))
+      perHour.join(moments, "user_id")
+        .select(col("user_id"), col("hour_idx"), col("n_events"),
+          (round(z, 4) + lit(0.0)).as("z"),
+          (abs(z) > lit(2.0)).as("is_anomaly"))
+    }),
+
     "e02_sessionization" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -2688,6 +2713,33 @@ object SparkEntry {
                 COALESCE(pd.n_events, 0) AS n_events,
                 COALESCE(pd.sum_value, 0.0) AS sum_value
          FROM g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day""",
+    // e07: integer hour buckets + exact integer moment sums, then the
+    // identical double expression tree for mean/var/z on both engines
+    "e07_rate_anomaly" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_idx
+                    FROM events),
+         ph AS (SELECT user_id, hour_idx, COUNT(*) AS n_events
+                FROM e GROUP BY 1, 2),
+         mo AS (SELECT user_id, COUNT(*) AS m,
+                       CAST(SUM(n_events) AS BIGINT) AS s1,
+                       CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+                FROM ph GROUP BY 1),
+         j AS (SELECT ph.user_id, ph.hour_idx, ph.n_events,
+                      CAST(mo.m AS BIGINT) AS m,
+                      CAST(mo.s1 AS DOUBLE) / CAST(mo.m AS DOUBLE) AS mean,
+                      CAST(mo.s2 AS DOUBLE) / CAST(mo.m AS DOUBLE)
+                        - (CAST(mo.s1 AS DOUBLE) / CAST(mo.m AS DOUBLE))
+                          * (CAST(mo.s1 AS DOUBLE) / CAST(mo.m AS DOUBLE)) AS var
+               FROM ph JOIN mo ON ph.user_id = mo.user_id),
+         zz AS (SELECT user_id, hour_idx, n_events,
+                       CASE WHEN m > 1 AND var > 0.0
+                            THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(var)
+                            ELSE CAST(0.0 AS DOUBLE) END AS z
+                FROM j)
+         SELECT user_id, hour_idx, n_events,
+                ROUND(z, 4) + 0.0 AS z,
+                abs(z) > 2.0 AS is_anomaly
+         FROM zz""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
