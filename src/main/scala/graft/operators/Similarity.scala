@@ -46,13 +46,28 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
-      queryId: String, queryVec: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(
-      broadcast(queries.select(col(queryId), col(queryVec).as("__qv"))))
-    val scored = joined.select(
+      queryId: String, queryVec: String, k: Int): DataFrame =
+    broadcastCosineTopK(corpus,
+      queries.select(col(queryId), col(queryVec).as("__qv")),
+      corpusId, corpusVec, queryId, k, pairFilter = None)
+
+  /** Shared broadcast-scan shape of [[bruteForceTopK]] and
+    * [[hardNegatives]]: one corpus scan against a broadcast query set
+    * (`__qv` = query vector, plus any columns `pairFilter` needs), the
+    * optional pre-rank pair predicate, the null-cosine guard
+    * (mismatched-dim vectors excluded — a truncated dot product would be
+    * a silent-wrong cosine), then the bounded top-k heap.
+    */
+  private def broadcastCosineTopK(
+      corpus: DataFrame, preparedQueries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, k: Int,
+      pairFilter: Option[Column]): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(preparedQueries))
+    val filtered = pairFilter.map(joined.filter).getOrElse(joined)
+    val scored = filtered.select(
       col(queryId), col(corpusId),
       cosine(col(corpusVec), col("__qv")).as("cosine"))
-      .filter(col("cosine").isNotNull) // mismatched-dim vectors excluded
+      .filter(col("cosine").isNotNull)
     rankTopK(scored, queryId, corpusId, k)
   }
 
@@ -70,16 +85,12 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, corpusLabel: String,
       queryId: String, queryVec: String, queryLabel: String,
-      k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries.select(
-      col(queryId), col(queryVec).as("__qv"), col(queryLabel).as("__ql"))))
-      .filter(col(corpusLabel) =!= col("__ql"))
-    val scored = joined.select(
-      col(queryId), col(corpusId),
-      cosine(col(corpusVec), col("__qv")).as("cosine"))
-      .filter(col("cosine").isNotNull)
-    rankTopK(scored, queryId, corpusId, k)
-  }
+      k: Int): DataFrame =
+    broadcastCosineTopK(corpus,
+      queries.select(col(queryId), col(queryVec).as("__qv"),
+        col(queryLabel).as("__ql")),
+      corpusId, corpusVec, queryId, k,
+      pairFilter = Some(col(corpusLabel) =!= col("__ql")))
 
   /** Rank candidate scores per query with the bounded top-k aggregate
     * ([[graft.functions.TopKByScore]]) — shuffles k entries per query per

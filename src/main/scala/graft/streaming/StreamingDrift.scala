@@ -28,10 +28,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * counts — gated end to end as the e06 driver query against the c09
  * oracle SQL shape.
  *
- * Delivery: state and output are idempotent per batch id under
- * foreachBatch replay — counts merge is keyed by batch id (a replayed
- * batch OVERWRITES its own delta, never double-counts) via the
- * `_batch_id` column in `countsDir`.
+ * Delivery: state and output are idempotent under foreachBatch replay —
+ * each merge drops stored deltas with `_batch_id >=` the current batch,
+ * so a replayed batch OVERWRITES its own delta (never double-counts) and
+ * a restart on a FRESH checkpoint (batch ids restart at 0, possibly
+ * batching the source differently) resets the state and rebuilds it as
+ * the new run streams; resuming from the SAME checkpoint keeps ids and
+ * state aligned and continues incrementally.
  */
 object StreamingDrift {
 
@@ -45,10 +48,14 @@ object StreamingDrift {
       checkpointDir: String, nBuckets: Int = 10, eps: Double = 1e-6,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(!reference.isStreaming, "the reference must be a bounded batch frame")
-    // reference counts: one aggregate, nBuckets rows — bounded model state
-    val refCounts: Array[(Int, Long)] =
+    // reference counts: one aggregate, nBuckets rows — bounded model
+    // state. A null metric buckets to a null key, carried as None so the
+    // monitor matches batch psiDrift on the same input (null join keys
+    // never match, exactly as in the batch full-outer join)
+    val refCounts: Array[(Option[Int], Long)] =
       CorpusStats.bucketCounts(reference, valueCol, nBuckets, "n_a")
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getLong(1)))
     val refTotal = refCounts.map(_._2).sum
 
     source.writeStream
@@ -57,23 +64,28 @@ object StreamingDrift {
         import s.implicits._
         val delta = CorpusStats.bucketCounts(batch, valueCol, nBuckets, "n")
           .select(col("bucket"), col("n"), lit(batchId).as("_batch_id"))
-        // merge-by-rewrite of the bucket-bounded state: drop any previous
-        // write of THIS batch id (a foreachBatch replay), keep the rest
+        // merge-by-rewrite of the bucket-bounded state: drop every stored
+        // delta with id >= this batch. Within a run that is only a
+        // foreachBatch replay of THIS batch (overwrite, never
+        // double-count); after a restart on a FRESH checkpoint, batch 0
+        // resets the state outright — the new run may batch the source
+        // differently, so the old decomposition's rows cannot be trusted
+        // (resuming from the SAME checkpoint keeps ids and state aligned)
         val prior = try {
-          s.read.parquet(countsDir).filter(col("_batch_id") =!= batchId)
+          s.read.parquet(countsDir).filter(col("_batch_id") < batchId)
         } catch { case _: org.apache.spark.sql.AnalysisException =>
-          Seq.empty[(Int, Long, Long)].toDF("bucket", "n", "_batch_id")
+          Seq.empty[(Option[Int], Long, Long)].toDF("bucket", "n", "_batch_id")
         }
         // the union is bucket-bounded (nBuckets rows per batch id seen) —
         // collecting it IS the sanctioned bounded-state read, and writing
         // back from driver-local rows breaks the read-overwrite cycle
         val merged = prior.unionByName(delta).collect()
-          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+            r.getLong(1), r.getLong(2)))
         merged.toSeq.toDF("bucket", "n", "_batch_id")
           .coalesce(1).write.mode("overwrite").parquet(countsDir)
         // publish PSI of the accumulated stream vs the reference
         val cum = merged.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
-          .map { case (bkt, n) => (bkt, n) }
         val streamTotal = cum.map(_._2).sum
         if (streamTotal > 0) {
           CorpusStats.psiFromCounts(

@@ -37,6 +37,14 @@ class EntryContractSpec extends AnyFunSuite {
     assert(counts.forall(_ == SparkEntry.queries.size),
       s"README claims $counts queries but SparkEntry has " +
         s"${SparkEntry.queries.size} — update README.md")
+    // SURVEY.md states the count too and drifted in round 7 — pin it
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val surveyCounts = """ALL (\d+) driver queries""".r
+      .findAllMatchIn(survey).map(_.group(1).toInt).toSeq
+    assert(surveyCounts.forall(_ == SparkEntry.queries.size),
+      s"SURVEY claims $surveyCounts queries but SparkEntry has " +
+        s"${SparkEntry.queries.size} — update SURVEY.md")
   }
 
   test("oracle round() emissions are signed-zero canonicalized (+ 0.0)") {

@@ -668,7 +668,9 @@ class StreamingSpec extends SparkTestBase {
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
     val q = StreamingDrift.start(spark, stream, ref, "v",
       s"$dir/counts", s"$dir/psi", s"$dir/cp")
-    q.awaitTermination(60000)
+    // the d09 rule: a timed-out stream must FAIL, not fall through to
+    // read whatever the sink holds
+    assert(q.awaitTermination(120000), "drift stream did not drain")
 
     val drained = spark.read.parquet(s"$dir/psi")
       .select("bucket", "n_a", "n_b", "frac_a", "frac_b", "psi_term")
@@ -684,7 +686,7 @@ class StreamingSpec extends SparkTestBase {
       spark.readStream.schema("v DOUBLE")
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/src"),
       ref, "v", s"$dir/counts", s"$dir/psi", s"$dir/cp2")
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(120000), "drift replay stream did not drain")
     val replayed = spark.read.parquet(s"$dir/psi")
       .select("bucket", "n_a", "n_b", "frac_a", "frac_b", "psi_term")
       .as[(Int, Long, Long, Double, Double, Double)].collect().toSet
