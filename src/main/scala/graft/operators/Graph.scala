@@ -59,7 +59,7 @@ object Graph {
       .localCheckpoint(true)
 
     var ranks = nodes.select(col(idCol), lit(1.0 / n.toDouble).as("score"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val inflow = contrib
         .join(ranks.select(col(idCol).as(srcCol), col("score")), srcCol)
         .select(col(dstCol).as(idCol),
@@ -71,6 +71,12 @@ object Graph {
           (lit(teleport) +
             lit(damping) * coalesce(col("__m").cast("double"), lit(0.0)))
             .as("score"))
+      // deep runs: snap the (skinny) rank frame every few rounds so the
+      // lineage stays shallow — an unbroken chain of N join+agg layers
+      // overwhelms the planner the same way the d06 label frames did.
+      // Values are unchanged; materialization is not arithmetic.
+      if ((i + 1) % 5 == 0 && i != iters - 1)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -440,4 +440,45 @@ class PropertiesSpec extends SparkTestBase {
       assert(base === permuted)
     }
   }
+
+  test("property: bpePairCounts total mass equals sum of freq·(len−1) " +
+      "over multi-char words") {
+    val docsGen: Gen[Seq[String]] = for {
+      n <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(n,
+        Gen.listOf(Gen.oneOf("a", "ab", "abc", "dog", "x", "zz"))
+          .map(_.mkString(" ")))
+    } yield docs
+    forAllSeeded(docsGen, n = 8) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis.bpePairCounts(df, "text")
+        .as[(String, Long)].collect()
+      val words = docs.flatMap(_.split("\\s+")).filter(_.length >= 2)
+      val expectedMass = words.map(_.length - 1L).sum
+      assert(got.map(_._2).sum === expectedMass)
+      // every emitted pair is 2 chars and actually occurs in some word
+      got.foreach { case (p, _) =>
+        assert(p.length == 2 && words.exists(_.contains(p)), p)
+      }
+    }
+  }
+
+  test("property: leakageSafeSplit fraction converges and respects groups " +
+      "for arbitrary group keys") {
+    val gen: Gen[(Long, Int)] = for {
+      seed <- Gen.choose(0L, 1000L)
+      groups <- Gen.choose(50, 300)
+    } yield (seed, groups)
+    forAllSeeded(gen, n = 5) { case (seed, groups) =>
+      val rows = (1L to groups * 3L).map(i => (i, i % groups)).toDF("id", "grp")
+      val got = graft.operators.CorpusStats
+        .leakageSafeSplit(rows, "grp", trainFrac = 0.5, seed = seed)
+        .select("grp", "split").as[(Long, String)].collect()
+      got.groupBy(_._1).values.foreach(g =>
+        assert(g.map(_._2).distinct.length == 1))
+      val frac = got.count(_._2 == "train").toDouble / got.length
+      assert(frac > 0.3 && frac < 0.7, s"seed=$seed groups=$groups frac=$frac")
+    }
+  }
 }

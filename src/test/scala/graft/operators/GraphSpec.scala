@@ -39,6 +39,15 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(ring.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageRank: deep iteration counts (checkpointed lineage) still exact") {
+    // 12 iterations crosses two localCheckpoint snapshots; a ring's
+    // stationary distribution is uniform at every depth
+    val n = 5L
+    val r = ranks(0L until n, (0L until n).map(i => i -> ((i + 1) % n)),
+      iters = 12)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-9, r))
+  }
+
   test("knnHubness: in-degrees, hub and antihub flags") {
     val edges = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 0L -> 1L)
     val out = Graph.knnHubness(Seq(0L, 1L, 2L, 3L).toDF("id"),
