@@ -405,6 +405,45 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), s"in-degree not a hash agg:\n$p")
   }
 
+  test("t25 bpe pairs: domain-bounded hash aggregates, no window, no cartesian") {
+    val p = plan("t25_bpe_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bpe pairs:\n$p")
+    assert(!p.contains("Window"), s"window in bpe pairs:\n$p")
+    // word aggregate then pair aggregate, both partial+final (map-side
+    // combined — the shuffle carries the word/pair domain, not tokens)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"missing partial aggregation:\n$p")
+  }
+
+  test("e07 rate anomaly: two bucket-bounded aggregates + one equi-join, " +
+      "no window, no cartesian") {
+    val p = plan("e07_rate_anomaly")
+    assert(!p.contains("CartesianProduct"), s"cartesian in rate anomaly:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    assert(!p.contains("Window"), s"window in rate anomaly:\n$p")
+    assert(p.contains("HashAggregate"), s"counts not hash aggs:\n$p")
+  }
+
+  test("z05 epoch shuffle: per-shard windows only, no global range sort") {
+    val p = plan("z05_epoch_shuffle")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"global sort leaked into the epoch shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // in-shard rank is a window PARTITIONED BY shard — parallel across
+    // shards, never a single global ordering task
+    assert(p.contains("Window"), s"missing per-shard rank window:\n$p")
+  }
+
+  test("c11 leakage-safe split: equi-joins only, split decision map-only " +
+      "over the cluster frame") {
+    val p = plan("c11_leakage_safe_split")
+    assert(!p.contains("CartesianProduct"), s"cartesian in split:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    // the coin is an expression over cluster_id — no extra shuffle or
+    // window beyond what clustering itself needed
+    assert(!p.contains("Window"), s"window in split:\n$p")
+  }
+
   test("s11 pca projection apply is map-only (model is plan-time state)") {
     // the moments pass already ran at plan-construction time; the frame the
     // user consumes must be scan + project only — no join against a model
