@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCuration, StreamingDrift, StreamingMigration, StreamingNearDup}
+import graft.streaming.{StreamingCuration, StreamingDrift, StreamingHeavyHitters, StreamingMigration, StreamingNearDup}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -645,6 +645,30 @@ object SparkEntry {
         .select(col("user_id"), col("day"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           coalesce(col("sum_value"), lit(0.0d)).as("sum_value"))
+    }),
+
+    // streaming heavy hitters: the corpus streamed in 2 micro-batches;
+    // each batch appends its vocab-bounded token-count delta and
+    // publishes the accumulated top-20 — drained, the monitor must equal
+    // the batch t16 report over everything streamed (shared ranking code)
+    "e08_streaming_heavy_hitters" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e08").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingHeavyHitters.start(s, src, "text",
+        s"$tmp/counts", s"$tmp/top", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e08 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/top").select("rank", "token", "n")
     }),
 
     // per-user event-rate anomaly screen: hourly activity counts z-scored
@@ -2713,6 +2737,18 @@ object SparkEntry {
                 COALESCE(pd.n_events, 0) AS n_events,
                 COALESCE(pd.sum_value, 0.0) AS sum_value
          FROM g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day""",
+    // e08: the t16 heavy-hitters replay — everything streamed, so the
+    // drained monitor must match the whole-corpus report
+    "e08_streaming_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         counts AS (SELECT token, count(*) AS n FROM toks
+                    WHERE length(token) > 0 GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+                token, n
+         FROM counts ORDER BY n DESC, token ASC LIMIT 20""",
     // e07: integer hour buckets + exact integer moment sums, then the
     // identical double expression tree for mean/var/z on both engines
     "e07_rate_anomaly" ->

@@ -316,12 +316,25 @@ object TextAnalysis {
     * whole vocabulary, which at web-corpus scale is billions of distinct
     * tokens for a result of twenty.
     */
-  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    topTokensFromCounts(tokenCounts(df, textCol), k)
+
+  /** Corpus token counts: (token, n), one vocab-bounded hash aggregate
+    * (map-side combined — the shuffle carries distinct tokens, not
+    * occurrences). The delta unit of the streaming heavy-hitters monitor
+    * ([[graft.streaming.StreamingHeavyHitters]]).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(split(Dedup.normalized(col(textCol)), " ")).as("token"))
+    .filter(length(col("token")) > 0)
+    .groupBy("token").agg(count(lit(1)).as("n"))
+
+  /** The [[topTokens]] ranking over pre-aggregated (token, n) counts —
+    * bounded top-k heap, never a global sort; ordering matches
+    * `row_number() OVER (ORDER BY n DESC, token ASC)`.
+    */
+  def topTokensFromCounts(counts: DataFrame, k: Int): DataFrame = {
     import graft.functions.GraftFunctions
-    val counts = df
-      .select(explode(split(Dedup.normalized(col(textCol)), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("n"))
     counts
       .agg(GraftFunctions.top_k_by(
         col("n").cast("double"), col("token"), k).as("__top"))

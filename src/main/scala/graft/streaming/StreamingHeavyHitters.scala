@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Streaming heavy-hitters monitor — the streaming sibling of the batch
+ * t16 top-tokens report: each micro-batch appends its vocab-bounded
+ * token-count delta to parquet state, then publishes the CURRENT top-k of
+ * the accumulated stream. A crawl pipeline watches this for vocabulary
+ * takeover (one boilerplate string flooding the corpus) as it happens.
+ *
+ * State posture (the [[StreamingNearDup]] rules): per-token counts live
+ * in parquet, append-only — a batch writes ONE delta partition
+ * (`batch=<id>` directory, overwritten on foreachBatch replay, so a
+ * replayed batch can never double-count) and batch 0 resets the state
+ * outright (fresh-checkpoint restarts re-stream from scratch; resuming
+ * from the same checkpoint never re-runs batch 0). Per-batch distributed
+ * cost: the delta aggregate (shuffle = the BATCH's distinct tokens) plus
+ * one vocab-bounded re-aggregate of the state for the publish — map-side
+ * combined, bounded by vocabulary size, never by corpus occurrences.
+ * Between runs, compact the accumulated delta files with
+ * [[StreamingNearDup.compactState]] to pay down small-file appends.
+ *
+ * The drained monitor equals the batch computation by construction:
+ * ranking is [[TextAnalysis.topTokensFromCounts]] — shared code — over
+ * counts that sum to exactly [[TextAnalysis.tokenCounts]] of everything
+ * streamed. Gated end to end as the e08 driver query against the t16
+ * oracle SQL shape.
+ */
+object StreamingHeavyHitters {
+
+  /** Start the monitor over a streaming frame bearing `textCol`. Top-k
+    * rows land in `outDir` (overwritten each batch: rank, token, n).
+    */
+  def start(spark: SparkSession, source: DataFrame, textCol: String,
+      countsDir: String, outDir: String, checkpointDir: String,
+      k: Int = 20,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (batchId == 0L) {
+          // fresh run (a resume from checkpoint never re-enters batch 0
+          // unless it crashed inside it — where a reset is the replay):
+          // the new run re-streams everything, so older runs' deltas
+          // would double-count
+          val p = new org.apache.hadoop.fs.Path(countsDir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        TextAnalysis.tokenCounts(batch, textCol)
+          .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
+        val accumulated = s.read.parquet(s"$countsDir/batch=*")
+          .groupBy("token").agg(sum(col("n")).as("n"))
+        TextAnalysis.topTokensFromCounts(accumulated, k)
+          .coalesce(1).write.mode("overwrite").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

@@ -692,4 +692,36 @@ class StreamingSpec extends SparkTestBase {
       .as[(Int, Long, Long, Double, Double, Double)].collect().toSet
     assert(replayed === batchTruth)
   }
+
+  test("streaming heavy hitters: drained top-k equals batch topTokens; " +
+      "a fresh-checkpoint restart resets rather than double-counts") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_hh").toString
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+    val b2 = Seq((3L, "alpha delta delta beta"))
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/src")
+    def run(cp: String): Unit = {
+      val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+      val q = StreamingHeavyHitters.start(spark, stream, "text",
+        s"$dir/counts", s"$dir/top", s"$dir/$cp", k = 3)
+      assert(q.awaitTermination(120000), "heavy-hitter stream did not drain")
+    }
+    run("cp1")
+    val truth = graft.operators.TextAnalysis.topTokens(
+        (b1 ++ b2).toDF("doc_id", "text"), "text", 3)
+      .as[(Int, String, Long)].collect().toSet
+    val drained = spark.read.parquet(s"$dir/top")
+      .as[(Int, String, Long)].collect().toSet
+    assert(drained === truth)
+    assert(drained.map(t => t._2 -> t._3).toMap ==
+      Map("alpha" -> 3L, "beta" -> 3L, "delta" -> 2L))
+    // second run, fresh checkpoint, SAME state dir: batch 0 must reset
+    // the old deltas or every count doubles
+    run("cp2")
+    val rerun = spark.read.parquet(s"$dir/top")
+      .as[(Int, String, Long)].collect().toSet
+    assert(rerun === truth)
+  }
 }
