@@ -1119,6 +1119,32 @@ object SparkEntry {
           (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
     }),
 
+    // ANN index-quality evaluation: recall@20 of the multi-probe LSH
+    // index against exact brute force, per query — the number that
+    // decides whether the cheap index is good enough to replace the
+    // exact scan at corpus scale. Both rankings replay exactly (planes
+    // inlined in the oracle), so recall is gated as integers
+    "s18_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+          "vec_id", "embedding", "query_id", "embedding", k = 20)
+        .select("query_id", "vec_id")
+      val approx = Similarity.lshTopK(corpus, queries,
+          "vec_id", "embedding", "query_id", "embedding",
+          k = 20, dim = 64, numPlanes = 8)
+        .select("query_id", "vec_id")
+      val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.select("query_id").join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (round(coalesce(col("hits"), lit(0L)).cast("double") / lit(20.0), 6)
+            + lit(0.0)).as("recall_at_20"))
+    }),
+
     // Matryoshka-style truncated-dim retrieval quality: overlap@20 of a
     // 16-dim prefix search against the full 64-dim ranking — the number
     // that decides whether cheap truncated search is good enough for a
@@ -2154,13 +2180,23 @@ object SparkEntry {
     * graph (hyperplanes inlined as literals), ending with CTEs `r`
     * (ranked candidates) and `edges(src, dst)` (the top-3 graph).
     */
-  private def knnEdgeCtes: String = {
-    val numPlanes = 5
-    val bucketExpr = (0 until numPlanes).map { i =>
+  /** CASE-sum replay of [[graft.operators.Similarity.signSignature]] over
+    * a column named `embedding` (plane values inlined as literals).
+    */
+  private def bucketExprSql(numPlanes: Int): String =
+    (0 until numPlanes).map { i =>
       val plane = graft.operators.Similarity.hyperplane(i, 64)
         .map(f => f.toDouble.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $plane) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("\n           + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
+       |         (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
+       |          sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+
+  private def knnEdgeCtes: String = {
+    val bucketExpr = bucketExprSql(5)
     s"""WITH sig AS (
        |  SELECT vec_id, embedding,
        |         $bucketExpr AS bucket
@@ -2215,6 +2251,46 @@ object SparkEntry {
        |${iter("r2", "r3")}
        |SELECT vec_id, ROUND(score, 8) + 0.0 AS score FROM r3""".stripMargin
   }
+
+  /** s18 oracle: exact top-20 (s01 shape) and the multi-probe LSH top-20
+    * (8-plane signature + bucket-XOR probes, mirroring `lshTopK`) both
+    * replayed, then the per-query intersection count.
+    */
+  private def s18OracleSql: String =
+    s"""WITH c AS (SELECT vec_id, embedding,
+       |             CAST(${bucketExprSql(8)} AS BIGINT) AS bucket
+       |           FROM embeddings WHERE vec_id >= 10),
+       |q AS (SELECT vec_id AS query_id, embedding,
+       |        CAST(${bucketExprSql(8)} AS BIGINT) AS bucket
+       |      FROM embeddings WHERE vec_id < 10),
+       |exs AS (SELECT q.query_id, c.vec_id,
+       |          ${cosSql("c.embedding", "q.embedding")} AS cosine
+       |        FROM c CROSS JOIN q),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |        SELECT query_id, vec_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY cosine DESC, vec_id ASC) AS rnk
+       |        FROM exs) WHERE rnk <= 20),
+       |pr AS (SELECT query_id, embedding,
+       |         unnest(list_prepend(bucket,
+       |           list_transform(range(0, 8),
+       |             i -> xor(bucket, CAST(1 << i AS BIGINT))))) AS pb
+       |       FROM q),
+       |cand AS (SELECT pr.query_id, c.vec_id,
+       |           ${cosSql("c.embedding", "pr.embedding")} AS cosine
+       |         FROM pr JOIN c ON c.bucket = pr.pb),
+       |ar AS (SELECT query_id, vec_id FROM (
+       |        SELECT query_id, vec_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY cosine DESC, vec_id ASC) AS rnk
+       |        FROM cand) WHERE rnk <= 20),
+       |h AS (SELECT ex.query_id, COUNT(*) AS hits
+       |      FROM ex JOIN ar ON ex.query_id = ar.query_id AND ex.vec_id = ar.vec_id
+       |      GROUP BY 1)
+       |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE)
+       |             / CAST(20.0 AS DOUBLE), 6) + 0.0 AS recall_at_20
+       |FROM q LEFT JOIN h ON q.query_id = h.query_id""".stripMargin
 
   private def s16OracleSql: String =
     s"""$knnEdgeCtes,
@@ -3125,6 +3201,7 @@ object SparkEntry {
     "s14_knn_graph" -> s14OracleSql,
     "s15_graph_rank" -> s15OracleSql,
     "s16_knn_hubness" -> s16OracleSql,
+    "s18_ann_recall" -> s18OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
     "e05_streaming_curation" -> e05OracleSql,
     // exact decile bucketing: cumulative histogram of the length domain;
