@@ -2180,6 +2180,22 @@ object SparkEntry {
     * graph (hyperplanes inlined as literals), ending with CTEs `r`
     * (ranked candidates) and `edges(src, dst)` (the top-3 graph).
     */
+  /** The t16/e08 truth, shared by both map entries on purpose: e08's
+    * contract is "drained streaming monitor == the batch t16 report", and
+    * the Scala side enforces it with shared code — a second oracle copy
+    * could drift and silently decouple the gates.
+    */
+  private val heavyHittersOracleSql: String =
+    """WITH toks AS (
+         SELECT unnest(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+         FROM documents),
+       counts AS (SELECT token, count(*) AS n FROM toks
+                  WHERE length(token) > 0 GROUP BY 1)
+       SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+              token, n
+       FROM counts ORDER BY n DESC, token ASC LIMIT 20"""
+
   /** CASE-sum replay of [[graft.operators.Similarity.signSignature]] over
     * a column named `embedding` (plane values inlined as literals).
     */
@@ -2813,18 +2829,10 @@ object SparkEntry {
                 COALESCE(pd.n_events, 0) AS n_events,
                 COALESCE(pd.sum_value, 0.0) AS sum_value
          FROM g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day""",
-    // e08: the t16 heavy-hitters replay — everything streamed, so the
-    // drained monitor must match the whole-corpus report
-    "e08_streaming_heavy_hitters" ->
-      """WITH toks AS (
-           SELECT unnest(string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
-           FROM documents),
-         counts AS (SELECT token, count(*) AS n FROM toks
-                    WHERE length(token) > 0 GROUP BY 1)
-         SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
-                token, n
-         FROM counts ORDER BY n DESC, token ASC LIMIT 20""",
+    // e08: the t16 heavy-hitters truth, ONE shared string — everything
+    // streamed, so the drained monitor must match the whole-corpus report
+    // (a copy here could silently decouple the two gates)
+    "e08_streaming_heavy_hitters" -> heavyHittersOracleSql,
     // e07: integer hour buckets + exact integer moment sums, then the
     // identical double expression tree for mean/var/z on both engines
     "e07_rate_anomaly" ->
@@ -3559,16 +3567,7 @@ object SparkEntry {
                               THEN 1 ELSE 0 END AS BIGINT) AS n_copies
            FROM j)
          SELECT doc_id, lang, n_copies FROM k WHERE n_copies >= 1""",
-    "t16_heavy_hitters" ->
-      """WITH toks AS (
-           SELECT unnest(string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
-           FROM documents),
-         counts AS (SELECT token, count(*) AS n FROM toks
-                    WHERE length(token) > 0 GROUP BY 1)
-         SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
-                token, n
-         FROM counts ORDER BY n DESC, token ASC LIMIT 20""",
+    "t16_heavy_hitters" -> heavyHittersOracleSql,
     // same RE2-safe patterns and replacement order as
     // TextAnalysis.piiPatterns; counts come from the pre-redaction text
     "t17_pii_redaction" ->

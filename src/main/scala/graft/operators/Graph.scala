@@ -59,6 +59,7 @@ object Graph {
       .localCheckpoint(true)
 
     var ranks = nodes.select(col(idCol), lit(1.0 / n.toDouble).as("score"))
+    var prevSnap: Option[DataFrame] = None
     for (i <- 0 until iters) {
       val inflow = contrib
         .join(ranks.select(col(idCol).as(srcCol), col("score")), srcCol)
@@ -74,9 +75,16 @@ object Graph {
       // deep runs: snap the (skinny) rank frame every few rounds so the
       // lineage stays shallow — an unbroken chain of N join+agg layers
       // overwhelms the planner the same way the d06 label frames did.
-      // Values are unchanged; materialization is not arithmetic.
-      if ((i + 1) % 5 == 0 && i != iters - 1)
+      // Values are unchanged; materialization is not arithmetic. Once the
+      // next snapshot is eagerly materialized the previous one is dead —
+      // free it (the covarianceModel rule: superseded snapshots must not
+      // sit in BlockManager storage for the driver's lifetime)
+      if ((i + 1) % 5 == 0 && i != iters - 1) {
         ranks = ranks.localCheckpoint(true)
+        prevSnap.foreach(
+          org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+        prevSnap = Some(ranks)
+      }
     }
     ranks
   }

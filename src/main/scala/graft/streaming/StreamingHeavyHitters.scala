@@ -21,8 +21,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * cost: the delta aggregate (shuffle = the BATCH's distinct tokens) plus
  * one vocab-bounded re-aggregate of the state for the publish — map-side
  * combined, bounded by vocabulary size, never by corpus occurrences.
- * Between runs, compact the accumulated delta files with
- * [[StreamingNearDup.compactState]] to pay down small-file appends.
+ * Between CLEANLY-DRAINED runs, pay down the per-batch delta directories
+ * with [[compactState]] — NOT [[StreamingNearDup.compactState]], which
+ * rewrites to flat files the `batch=*` glob would no longer see.
  *
  * The drained monitor equals the batch computation by construction:
  * ranking is [[TextAnalysis.topTokensFromCounts]] — shared code — over
@@ -60,4 +61,27 @@ object StreamingHeavyHitters {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** Fold all accumulated per-batch delta directories into one `batch=-1`
+    * base directory (ids are non-negative, so the base never collides
+    * with a live delta and batch 0's reset still clears everything).
+    * Run this ONLY between cleanly-drained runs: compacting a run that
+    * stopped mid-batch would fold a batch whose replay then re-appends
+    * its delta on top of the folded copy and double-counts it.
+    */
+  def compactState(spark: SparkSession, countsDir: String): Unit = {
+    // fully distributed: fold to a sibling temp dir (never read and
+    // overwrite the same path), then swap directories with renames
+    val tmp = s"$countsDir.compact"
+    spark.read.parquet(s"$countsDir/batch=*")
+      .groupBy("token").agg(sum(col("n")).as("n"))
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(countsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(countsDir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(countsDir))
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$countsDir/batch=-1")),
+      s"rename $tmp -> $countsDir/batch=-1 failed")
+  }
 }

@@ -723,5 +723,18 @@ class StreamingSpec extends SparkTestBase {
     val rerun = spark.read.parquet(s"$dir/top")
       .as[(Int, String, Long)].collect().toSet
     assert(rerun === truth)
+    // compaction folds the per-batch dirs into batch=-1 WITHOUT changing
+    // the accumulated counts the glob read sees
+    StreamingHeavyHitters.compactState(spark, s"$dir/counts")
+    val compacted = spark.read.parquet(s"$dir/counts/batch=*")
+      .as[(String, Long)].collect().toMap
+    assert(compacted == Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 1L,
+      "delta" -> 2L), compacted)
+    // a post-compaction continuation run (fresh checkpoint → batch-0
+    // reset) still lands on the truth
+    run("cp3")
+    val after = spark.read.parquet(s"$dir/top")
+      .as[(Int, String, Long)].collect().toSet
+    assert(after === truth)
   }
 }
