@@ -31,8 +31,27 @@ object SparkEntry {
   private def cfg(dir: String): MigrationConfig =
     MigrationConfig(TableRef(path = dir), TableRef(path = s"$dir/__no_target__"), Nil)
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, TableRef(path = dir), name)
+  /** Load a fixture table. The `events.ts` column's on-disk physical type
+    * has varied across fixture generations — parquet timestamp(NANOS)
+    * (which `spark.sql.legacy.parquet.nanosAsLong` surfaces as epoch-nanos
+    * LONG) vs timestamp(MICROS) (surfaced as TIMESTAMP_NTZ). Every query
+    * and every DuckDB oracle replay here is written against the epoch-nanos
+    * LONG convention (`ts div 1000` = micros), so a timestamp-typed `ts` is
+    * normalized back to epoch nanos at load. Session timezone is pinned to
+    * UTC by Verify/Bench/tests, so the NTZ wall-clock -> instant cast is
+    * exact. DuckDB reads the same parquet natively and its oracles use
+    * `epoch_us(ts)` / CAST, which are representation-independent.
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = Tables.load(s, TableRef(path = dir), name)
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
 
   /** The c07 end-to-end curation DAG — c01's quality gate -> t23's graded
     * decontamination drop -> d02's exact dedup (keep min id per
