@@ -1246,6 +1246,19 @@ object SparkEntry {
         k = 5, numCentroids = 16, nprobe = 4))
     }),
 
+    // IVF-PQ with ADC + exact re-rank (the Faiss IVF16,PQ8 shape): corpus
+    // vectors collapse to 8 one-byte codes, candidates score by codebook
+    // lookup, the final ranking is true cosine over the re-rank set — so
+    // the planted identical-direction vector must surface at rank 1 with
+    // cosine exactly 1.0, same contract as s04/s06
+    "s19_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      plantedHit(Similarity.ivfPqTopK(emb, plantedQueries(emb),
+        "vec_id", "embedding", "query_id", "embedding",
+        k = 5, dim = 64, numCentroids = 16, nprobe = 4,
+        m = 8, codesPerSub = 16, rerank = 32))
+    }),
+
     "s03_cosine_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") % 50 === 0)
@@ -3912,6 +3925,13 @@ object SparkEntry {
                 CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 10""",
     "s04_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS INT) AS rank,
+                CAST(1.0 AS DOUBLE) AS cosine
+         FROM embeddings WHERE vec_id < 10""",
+    // IVF-PQ keeps the planted contract: the exact re-rank stage scores
+    // true cosine, so as long as ADC ranks the planted vector into the
+    // re-rank candidate set (spec-asserted recall), rank 1 is exact 1.0
+    "s19_ann_ivfpq" ->
       """SELECT vec_id AS query_id, CAST(1 AS INT) AS rank,
                 CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 10""",

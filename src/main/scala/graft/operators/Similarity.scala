@@ -286,6 +286,113 @@ object Similarity {
     rankTopK(scored, queryId, corpusId, k)
   }
 
+  /** IVF-PQ approximate top-k with asymmetric distance computation (ADC)
+    * and exact re-rank — the standard billion-vector ANN layout (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011;
+    * the Faiss `IVFxx,PQyy` index family).
+    *
+    * Model (driver-side, the one sanctioned bounded collect — same
+    * convention as [[ivfTopK]]): a deterministic sample trains
+    *  - the coarse quantizer: `numCentroids` cosine-kmeans centroids
+    *    (inverted lists), and
+    *  - `m` per-subspace PQ codebooks of `codesPerSub` L2-kmeans codes
+    *    over `dim/m`-wide sub-vectors.
+    *
+    * Corpus pass (map-only): each vector is assigned to its inverted list
+    * and ENCODED once into `m` codes — at dim=64 float32 that is 256
+    * bytes → 8 bytes (32×), which is the point at 100 TB: the candidate
+    * join and ADC scan move codes, never raw floats.
+    *
+    * Query pass: queries probe their `nprobe` nearest lists; candidate
+    * scoring is ADC — approx inner product = Σ_j q_subj · codebook_j[code_j]
+    * — pure builtin `zip_with`/`aggregate` arithmetic (codegen) over the
+    * codebooks shipped as literals. The top `rerank` candidates per query
+    * (bounded heap, same no-window shape as every ranking here) are then
+    * re-ranked EXACTLY: candidate ids join back to the corpus vectors
+    * (skinny id-keyed equi-join — |Q|·rerank rows, never the corpus) and
+    * the final top-k is true cosine, so PQ distortion costs recall only,
+    * never returns a wrong-distance result.
+    *
+    * Output: (queryId, corpusId, cosine, rank), rank in 1..k by exact
+    * cosine among the surviving candidates.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, dim: Int, numCentroids: Int = 16, nprobe: Int = 4,
+      m: Int = 8, codesPerSub: Int = 16, rerank: Int = 32,
+      kmeansIters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val sd = dim / m
+    val sampleSize = math.max(numCentroids * 32, 512)
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(col(corpusId)).limit(sampleSize)
+      .select(col(corpusVec)).collect()
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.length == dim)
+    val centroids: Array[(Int, Array[Float])] =
+      kmeans(sample, numCentroids, kmeansIters).zipWithIndex.map(_.swap)
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      kmeansL2(sample.map(_.slice(j * sd, (j + 1) * sd)), codesPerSub, kmeansIters)
+    }
+
+    def nearestCentroid(vec: Column): Column = {
+      val scored = centroids.map { case (i, c) =>
+        struct(cosine(vec, typedLit(c)).as("sim"), lit(i).as("cid"))
+      }
+      greatest(scored.toIndexedSeq: _*).getField("cid")
+    }
+    def probeLists(vec: Column): Column = {
+      val scored = centroids.map { case (i, c) =>
+        struct((-cosine(vec, typedLit(c))).as("negsim"), lit(i).as("cid"))
+      }
+      slice(transform(array_sort(array(scored.toIndexedSeq: _*)),
+        s => s.getField("cid")), 1, nprobe)
+    }
+    // PQ encode: per subspace, the L2-nearest code — ties break to the
+    // smaller code via lexicographic struct comparison
+    def encode(vec: Column): Column = array((0 until m).map { j =>
+      val sub = slice(vec, j * sd + 1, sd)
+      val scored = codebooks(j).zipWithIndex.map { case (c, ci) =>
+        struct(
+          aggregate(
+            zip_with(sub, typedLit(c.toSeq), (a, b) => (a - b).cast("double") * (a - b)),
+            lit(0.0d), (acc, x) => acc + x).as("d"),
+          lit(ci).as("code"))
+      }
+      least(scored.toIndexedSeq: _*).getField("code")
+    }: _*)
+    // ADC: approx inner product from the codes + the query's sub-vectors
+    def adc(codes: Column, qv: Column): Column = (0 until m).map { j =>
+      val cbLit = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      val cvec = element_at(cbLit, codes.getItem(j) + 1)
+      aggregate(
+        zip_with(slice(qv, j * sd + 1, sd), cvec, (a, b) => a.cast("double") * b),
+        lit(0.0d), (acc, x) => acc + x)
+    }.reduce(_ + _)
+
+    val sized = corpus.filter(size(col(corpusVec)) === dim)
+    val encoded = sized.select(
+      col(corpusId), nearestCentroid(col(corpusVec)).as("__list"),
+      encode(col(corpusVec)).as("__codes"))
+    val probed = queries.filter(size(col(queryVec)) === dim).select(
+      col(queryId), col(queryVec).as("__qv"),
+      explode(probeLists(col(queryVec))).as("__list"))
+    val adcScored = encoded.join(probed, "__list")
+      .select(col(queryId), col(corpusId),
+        adc(col("__codes"), col("__qv")).as("cosine"))
+    val cands = rankTopK(adcScored, queryId, corpusId, rerank)
+      .select(col(queryId), col(corpusId))
+    val rer = cands
+      .join(sized.select(col(corpusId), col(corpusVec)), corpusId)
+      .join(broadcast(queries.select(col(queryId), col(queryVec).as("__qv"))), queryId)
+      .select(col(queryId), col(corpusId),
+        cosine(col(corpusVec), col("__qv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    rankTopK(rer, queryId, corpusId, k)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4× storage/shuffle compression for embedding tables at corpus scale.
     * Per-vector scale = max|x|/127; q_i = round(x_i / scale) in [-127,127].
@@ -551,6 +658,44 @@ object Similarity {
         counts(best) += 1
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** Lloyd iterations under squared-L2 — the PQ codebook objective (code
+    * assignment minimizes reconstruction error, not angle; sub-vector
+    * norms carry signal that cosine would discard). Same deterministic
+    * first-k init and empty-cluster handling as [[kmeans]].
+    */
+  private[operators] def kmeansL2(
+      sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        if (v.length == dim) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val s = d2(v, cents(c)); if (s < bestD) { bestD = s; best = c }; c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
         }
       }
       cents = cents.zipWithIndex.map { case (old, c) =>

@@ -376,6 +376,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"global sort leaked into the sketch pass:\n$p")
   }
 
+  test("s19 ivf-pq: list-keyed equi-join for ADC, bounded heaps, no window, " +
+      "no cartesian") {
+    val p = plan("s19_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ivf-pq:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    // both the ADC candidate ranking and the final exact ranking must be
+    // the bounded heap, never a per-query row_number window
+    assert(!p.contains("Window"), s"ranking via a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"missing the bounded top-k aggregate:\n$p")
+    // candidate generation joins on the inverted-list id
+    assert(p.contains("__list"), s"IVF list equi-key missing:\n$p")
+  }
+
   test("s14 knn graph: skinny guarded bucket join, bounded heap, no window") {
     val p = plan("s14_knn_graph")
     assert(!p.contains("CartesianProduct"), s"cartesian in the knn graph:\n$p")

@@ -72,6 +72,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("ivfPqTopK: planted identical vector survives ADC into exact rank 1") {
+    val q = corpus.filter($"vec_id" === 21)
+      .select(lit(1000L).as("query_id"), $"embedding")
+    val top = Similarity.ivfPqTopK(corpus, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 3, dim = dim, numCentroids = 8,
+      nprobe = 3, m = 4, codesPerSub = 8, rerank = 16)
+    val first = top.filter($"rank" === 1).select("vec_id", "cosine")
+      .as[(Long, Double)].head()
+    assert(first._1 === 21L)
+    // the final ranking is exact cosine (re-rank), not the ADC estimate
+    assert(math.abs(first._2 - 1.0) < 1e-9)
+  }
+
+  test("ivfPqTopK recall vs brute force") {
+    val q = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val c = corpus.filter($"vec_id" >= 5)
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(c, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5, dim = dim, numCentroids = 8,
+      nprobe = 4, m = 4, codesPerSub = 8, rerank = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall too low")
+  }
+
+  test("ivfPqTopK reported cosines equal the exact cosine for returned pairs") {
+    val q = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val c = corpus.filter($"vec_id" >= 5)
+    val approx = Similarity.ivfPqTopK(c, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5, dim = dim, numCentroids = 8,
+      nprobe = 4, m = 4, codesPerSub = 8, rerank = 16)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect()
+    val exactAll = Similarity.bruteForceTopK(c, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 95)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().map { case (qi, vi, s) => (qi, vi) -> s }.toMap
+    approx.foreach { case (qi, vi, s) =>
+      assert(math.abs(s - exactAll((qi, vi))) < 1e-12,
+        s"pair ($qi,$vi): reported $s is not the exact cosine — " +
+          "re-rank must score true distances, never the ADC estimate")
+    }
+  }
+
   test("cosineNearDupPairs finds planted duplicates within buckets") {
     val planted = corpus.unionByName(
       corpus.filter($"vec_id" % 10 === 0)
