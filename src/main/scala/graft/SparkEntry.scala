@@ -1404,6 +1404,15 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // linear quality-classifier inference: literal-weight sigmoid scoring,
+    // keep decided on the exact linear margin (no transcendental at the
+    // decision boundary)
+    "t26_quality_classify" -> ((s, dir) =>
+      TextAnalysis.linearQualityClassify(t(s, dir, "documents"), "text",
+          Seq(-1.6, 1.5, 0.5, 1.0, 3.0))
+        .select(col("doc_id"), (round(col("score"), 6) + lit(0.0)).as("score"),
+          col("keep"))),
+
     "t03_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3184,6 +3193,32 @@ object SparkEntry {
          SELECT a.vec_id, a.cluster, d.dup_of, d.dup_of IS NULL AS keep
          FROM assign a LEFT JOIN drops d ON a.vec_id = d.idb""",
     "t02_quality_score" -> t02QualitySql,
+    // replays the linear model with the same literal weights in the same
+    // left-to-right double fold; keep = z >= 0 exactly as the engine
+    "t26_quality_classify" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  LEAST(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) AS f_len,
+                  CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                            / length(text)
+                       ELSE 0.0 END AS f_alpha,
+                  LEAST((CAST(length(text) AS DOUBLE) /
+                         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+                        / 12.0, 1.0) AS f_mwl,
+                  CAST(len(list_filter(
+                         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                         t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+                       AS DOUBLE)
+                    / len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS f_stop
+           FROM documents),
+         zt AS (
+           SELECT doc_id,
+                  -1.6 + 1.5 * f_len + 0.5 * f_alpha + 1.0 * f_mwl + 3.0 * f_stop AS z
+           FROM f)
+         SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) + 0.0 AS score,
+                z >= 0.0 AS keep
+         FROM zt""",
     // composed pre-training keep/drop chain: t01 + t02 + t12 signals
     // joined and thresholded — each fragment is the SAME SQL that gates
     // the standalone query, so the composition can only disagree if the

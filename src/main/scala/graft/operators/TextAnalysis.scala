@@ -76,6 +76,45 @@ object TextAnalysis {
     round((lit(0.3) * lengthOk + lit(0.4) * alphaRatio + lit(0.3) * wordLenOk), 6)
   }
 
+  /** Linear quality-classifier INFERENCE — the corpus-scale half of the
+    * fastText-style quality filter used on web-scale corpora (train a tiny
+    * linear model offline on labeled docs; score 100 TB with it). The
+    * model ships as literal weights; scoring is one map-only pass:
+    *
+    *   features (each in [0,1], all from existing kernel arithmetic):
+    *     f_len   = min(length/1000, 1)         — enough-content signal
+    *     f_alpha = [a-zA-Z ] char ratio        — markup/binary screen
+    *     f_mwl   = min(meanWordLen/12, 1)      — tokenizability band
+    *     f_stop  = en-stopword hits / tokens   — natural-language prior
+    *   z     = w0 + w·f          (fixed left-to-right double fold)
+    *   score = sigmoid(z)
+    *
+    * `keep` decides on the LINEAR margin (z >= 0 ⇔ sigmoid >= 0.5): the
+    * decision is exact double arithmetic with no transcendental at the
+    * boundary, so engines can't disagree on membership, only on trailing
+    * sigmoid digits (handled by rounding at emission like every double
+    * here). Adds (`score` double, `keep` boolean).
+    */
+  def linearQualityClassify(df: DataFrame, textCol: String,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.length == 5, "weights = (bias, w_len, w_alpha, w_mwl, w_stop)")
+    val text = col(textCol)
+    val n = length(text)
+    val alpha = graft.functions.GraftFunctions.alpha_space_count(text)
+    val nTok = tokenCount(text)
+    val fLen = least(n.cast("double") / lit(1000.0), lit(1.0))
+    val fAlpha = when(n > 0, alpha.cast("double") / n).otherwise(lit(0.0))
+    val meanWordLen = when(nTok > 0, n.cast("double") / nTok).otherwise(lit(0.0))
+    val fMwl = least(meanWordLen / lit(12.0), lit(1.0))
+    val stopHits = element_at(graft.functions.GraftFunctions.token_set_hits(
+      coalesce(text, lit("")), Seq(stopwords("en"))), 1)
+    val fStop = when(nTok > 0, stopHits.cast("double") / nTok).otherwise(lit(0.0))
+    val z = lit(weights(0)) + lit(weights(1)) * fLen + lit(weights(2)) * fAlpha +
+      lit(weights(3)) * fMwl + lit(weights(4)) * fStop
+    df.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+      .withColumn("keep", z >= 0.0)
+  }
+
   /** Rolling-hash document fingerprint (base-31 polynomial over the
     * normalized text) via the codegen'd [[graft.functions.PolyHash64]].
     */

@@ -42,6 +42,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("linearQualityClassify: sigmoid of the literal-weight margin; keep == (z >= 0)") {
+    val w = Seq(-2.0, 1.5, 2.0, 1.0, 2.5)
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a good day for that to happen"),
+      (2L, "@@@@#### !!!! 00" * 3),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.linearQualityClassify(df, "text", w)
+      .select($"doc_id", $"score", $"keep").as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // stopword-rich prose clears the margin; symbol soup and empty don't
+    assert(out(1L)._2, s"prose dropped: ${out(1L)}")
+    assert(!out(2L)._2 && !out(3L)._2)
+    // score is the sigmoid: in (0,1), monotone with the margin, and
+    // keep is score >= 0.5 exactly
+    out.values.foreach { case (s, k) =>
+      assert(s > 0.0 && s < 1.0)
+      assert(k === (s >= 0.5))
+    }
+    // empty text: every feature 0, score = sigmoid(bias) exactly
+    assert(math.abs(out(3L)._1 - 1.0 / (1.0 + math.exp(2.0))) < 1e-12)
+  }
+
   test("fingerprint is the poly hash of normalized text") {
     def poly(s: String): Long = s.foldLeft(0L)((h, c) => h * 31L + c.toLong)
     val df = Seq((1L, "  Hello   WORLD  ")).toDF("id", "text")
