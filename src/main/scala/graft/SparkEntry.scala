@@ -467,6 +467,28 @@ object SparkEntry {
         .select(col("err_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
     }),
 
+    // interval × interval overlap join: per-user click attention windows
+    // [ts, ts+2h) against purchase windows [ts, ts+4h); the pair
+    // surfaces exactly once (first-overlap-bucket emission) with its
+    // integer overlap length
+    "j09_interval_overlap" -> ((s, dir) => {
+      val twoHoursUs = 7200000000L
+      val fourHoursUs = 14400000000L
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("c_start"), (col("ts_us") + lit(twoHoursUs)).as("c_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_start"), (col("ts_us") + lit(fourHoursUs)).as("p_end"))
+      graft.operators.TemporalJoin.intervalOverlapJoin(
+          clicks, purchases, "c_start", "c_end", "p_start", "p_end",
+          bucketWidth = fourHoursUs, extraKeys = Seq("user_id"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (least(col("c_end"), col("p_end")) -
+            greatest(col("c_start"), col("p_start"))).as("overlap_us"))
+    }),
+
     // pivot (conditional aggregation surface); absent combos coalesce to 0
     // so both engines agree on empty cells
     "g03_pivot" -> ((s, dir) => {
@@ -2715,6 +2737,19 @@ object SparkEntry {
          FROM err e LEFT JOIN clk c
            ON c.click_ts >= e.win_start AND c.click_ts < e.win_end
          GROUP BY 1""",
+    // exact inequality-join truth for the bucketized overlap join
+    "j09_interval_overlap" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         c AS (SELECT user_id, event_id AS click_id, ts_us AS c_start,
+                      ts_us + 7200000000 AS c_end
+               FROM ev WHERE event_type = 'click'),
+         p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts_us AS p_start,
+                      ts_us + 14400000000 AS p_end
+               FROM ev WHERE event_type = 'purchase')
+         SELECT c.user_id, c.click_id, p.purchase_id,
+                LEAST(c_end, p_end) - GREATEST(c_start, p_start) AS overlap_us
+         FROM c JOIN p ON c.user_id = p.p_user
+                      AND c.c_start < p.p_end AND p.p_start < c.c_end""",
     "g03_pivot" ->
       """SELECT year(o_orderdate) AS y,
                 COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",

@@ -237,4 +237,61 @@ object TemporalJoin {
       .where(col(pointTs) >= col(start) && col(pointTs) < col(end))
       .drop("__bucket")
   }
+
+  /** Interval × interval overlap join — pairs whose half-open spans
+    * `[lStart, lEnd)` and `[rStart, rEnd)` intersect (optionally within
+    * `extraKeys` groups): span conflict detection, meeting/booking overlap,
+    * validity-interval reconciliation. Same scale shape as [[rangeJoin]]:
+    * BOTH sides explode into fixed-width buckets and meet in ONE
+    * `(bucket, keys)` equi-join — never a nested-loop inequality scan —
+    * with the residual overlap predicate after. A pair overlapping k
+    * buckets would surface k times, so only the bucket containing the
+    * overlap's START (`bucket(greatest(lStart, rStart))`) emits the pair:
+    * exactly-once with plain column arithmetic, no distinct/dedup shuffle.
+    * Both explodes carry the [[rangeJoin]] span cap with observe-reported
+    * drop counts (`<metricName>_left` / `_right`).
+    *
+    * The frames must not share column names (callers pre-select/rename,
+    * as with every join here); both time axes must be integral.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Int = 1024,
+      metricName: String = "interval_overlap_guard"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- extraKeys
+    require(shared.isEmpty,
+      s"left/right share non-key columns ${shared.mkString(", ")} — rename before joining")
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+    Seq(left.schema(lStart), left.schema(lEnd), right.schema(rStart), right.schema(rEnd))
+      .foreach(f => require(integral(f.dataType),
+        s"intervalOverlapJoin needs an integral time axis, got ${f.name}: ${f.dataType.sql}"))
+    def bucketOf(sqlVal: String): Column =
+      expr(s"($sqlVal - pmod($sqlVal, ${bucketWidth}L)) div ${bucketWidth}L")
+    def bucketOfCol(name: String): Column =
+      bucketOf(s"CAST(`$name` AS BIGINT)")
+    def bucketize(df: DataFrame, start: String, end: String,
+        side: String): DataFrame = {
+      val span = bucketOf(s"(CAST(`$end` AS BIGINT) - 1)") - bucketOfCol(start)
+      df.filter(col(end) > col(start))
+        .withColumn("__span", span)
+        .observe(s"${metricName}_$side",
+          sum(when(col("__span") >= maxBucketsPerInterval, 1L).otherwise(0L))
+            .as("dropped_intervals"))
+        .filter(col("__span") < maxBucketsPerInterval)
+        .withColumn("__bucket",
+          explode(sequence(bucketOfCol(start), bucketOf(s"(CAST(`$end` AS BIGINT) - 1)"))))
+        .drop("__span")
+    }
+    bucketize(left, lStart, lEnd, "left")
+      .join(bucketize(right, rStart, rEnd, "right"), Seq("__bucket") ++ extraKeys)
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        bucketOf(s"greatest(CAST(`$lStart` AS BIGINT), CAST(`$rStart` AS BIGINT))")
+          === col("__bucket"))
+      .drop("__bucket")
+  }
 }

@@ -390,6 +390,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("__list"), s"IVF list equi-key missing:\n$p")
   }
 
+  test("j09: interval overlap meets in one bucket equi-join — no nested loop") {
+    val p = plan("j09_interval_overlap")
+    assert(!p.contains("CartesianProduct"), s"cartesian in overlap join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join fell back to nested-loop:\n$p")
+    assert(p.contains("__bucket"), s"bucketized equi-key missing:\n$p")
+    // both sides carry their own span guard
+    assert(p.contains("interval_overlap_guard_left") &&
+      p.contains("interval_overlap_guard_right"),
+      s"span guards missing:\n$p")
+  }
+
   test("s14 knn graph: skinny guarded bucket join, bounded heap, no window") {
     val p = plan("s14_knn_graph")
     assert(!p.contains("CartesianProduct"), s"cartesian in the knn graph:\n$p")

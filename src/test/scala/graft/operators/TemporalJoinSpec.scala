@@ -248,6 +248,44 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(got === Seq((1L, 10L), (2L, 11L), (3L, 11L)))
   }
 
+  test("intervalOverlapJoin: equals the naive inequality join, each pair exactly once") {
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 120).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, rnd.nextInt(4).toLong, s, s + 1 + rnd.nextInt(80))
+    }.toDF("l_id", "k", "l_lo", "l_hi")
+    val right = (0 until 120).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, rnd.nextInt(4).toLong, s, s + 1 + rnd.nextInt(80))
+    }.toDF("r_id", "k", "r_lo", "r_hi")
+    val got = TemporalJoin.intervalOverlapJoin(left, right,
+        "l_lo", "l_hi", "r_lo", "r_hi", bucketWidth = 32L, extraKeys = Seq("k"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+    val want = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+          col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+    // exactly once: multiset equality, not just set equality
+    assert(got.sorted === want.sorted)
+    assert(got.size === got.distinct.size, "a pair surfaced more than once")
+  }
+
+  test("intervalOverlapJoin: touching endpoints (half-open) do not match") {
+    val l = Seq((1L, 0L, 10L)).toDF("l_id", "l_lo", "l_hi")
+    val r = Seq((2L, 10L, 20L), (3L, 9L, 20L)).toDF("r_id", "r_lo", "r_hi")
+    val got = TemporalJoin.intervalOverlapJoin(l, r, "l_lo", "l_hi",
+        "r_lo", "r_hi", bucketWidth = 8L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L)))
+  }
+
+  test("intervalOverlapJoin: rejects shared non-key columns") {
+    val l = Seq((1L, 0L, 10L)).toDF("id", "lo", "hi")
+    val r = Seq((2L, 5L, 20L)).toDF("id", "r_lo", "r_hi")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.intervalOverlapJoin(l, r, "lo", "hi", "r_lo", "r_hi", 8L)
+    }
+    assert(e.getMessage.contains("share"))
+  }
+
   test("rangeJoin: rejects a non-integral axis; metricName allows composition") {
     val p = Seq((1L, 5.0)).toDF("p_id", "ts")
     val iv = Seq((1L, 0L, 10L)).toDF("i_id", "lo", "hi")
