@@ -25,7 +25,8 @@ object Explain {
         "t24_importance_resample", "j08_asof_tolerance", "e04_event_debounce",
         "d10_neardup_free", "s14_knn_graph",
         "s15_graph_rank", "s16_knn_hubness", "s17_hard_negatives",
-        "c11_leakage_safe_split", "t25_bpe_pairs", "z05_epoch_shuffle")
+        "c11_leakage_safe_split", "t25_bpe_pairs", "z05_epoch_shuffle",
+        "s19_ann_ivfpq", "t26_quality_classify", "j09_interval_overlap")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
