@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCuration, StreamingDrift, StreamingHeavyHitters, StreamingMigration, StreamingNearDup}
+import graft.streaming.{StreamingCuration, StreamingDrift, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingTokenBudget}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -710,6 +710,33 @@ object SparkEntry {
         throw new IllegalStateException("e08 stream did not drain in 300s")
       }
       s.read.parquet(s"$tmp/top").select("rank", "token", "n")
+    }),
+
+    // streaming token-budget admission: three ordered batches (doc_id mod
+    // 3) stream through the budget gate; batch 0 admits fully, batch 1
+    // partially (the budget crossing), batch 2 not at all. Cross-batch
+    // spend is per-batch parquet state; the in-batch position is the
+    // range-partitioned parallel prefix sum, never a single-task window
+    "e09_streaming_token_budget" -> ((s, dir) => {
+      val budget = 15000L
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e09").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      (0 until 3).foreach { b =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$b")
+      }
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingTokenBudget.start(s, src, "doc_id", "text", budget,
+        s"$tmp/state", s"$tmp/out", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e09 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/out/batch=*")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
     }),
 
     // per-user event-rate anomaly screen: hourly activity counts z-scored
@@ -2909,6 +2936,21 @@ object SparkEntry {
     // streamed, so the drained monitor must match the whole-corpus report
     // (a copy here could silently decouple the two gates)
     "e08_streaming_heavy_hitters" -> heavyHittersOracleSql,
+    // the drained admission gate telescopes to ONE running total over
+    // (batch, id) order — replayed here as a window + threshold
+    "e09_streaming_token_budget" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 3 AS b,
+                  CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+                  CAST(sum(n_tokens) OVER (ORDER BY b, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+           FROM d)
+         SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 15000""",
     // e07: integer hour buckets + exact integer moment sums, then the
     // identical double expression tree for mean/var/z on both engines
     "e07_rate_anomaly" ->

@@ -137,6 +137,44 @@ object CorpusStats {
     * grouped frame: no shuffle beyond what produced the grouping.
     * Output: input columns + `split` ('train' | 'val').
     */
+  /** Global running total of `valueCol` in `orderCol` order — the
+    * distributed prefix sum. A single `ORDER BY` window computes this on
+    * ONE task (the whole frame ships to it); instead: range-repartition
+    * on the order key (partition p holds keys below partition p+1), run
+    * the running total per partition IN PARALLEL (windows partitioned by
+    * the partition id), and add each partition's exclusive offset — a
+    * `numPartitions`-row driver-side collect, the same plan-time-state
+    * convention as every model here. The range snapshot is pinned
+    * (localCheckpoint) so the offsets and the final pass see the same
+    * partition assignment.
+    *
+    * Output: input columns + `cumCol` (long). `valueCol` must be integral
+    * (exact — no float summation-order hazards); `orderCol` must be
+    * duplicate-free for a well-defined total order.
+    */
+  def globalRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
+      cumCol: String = "cum"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partSums = snap.groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("long")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val exclusive: Map[Int, Long] = {
+      var acc = 0L
+      partSums.map { case (pid, s) => val off = acc; acc += s; pid -> off }.toMap
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offset =
+      if (exclusive.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(exclusive), col("__pid")), lit(0L))
+    snap.withColumn(cumCol,
+        sum(col(valueCol).cast("long")).over(w) + offset)
+      .drop("__pid")
+  }
+
   def leakageSafeSplit(assignments: DataFrame, groupCol: String,
       trainFrac: Double = 0.9, seed: Long = 0L): DataFrame = {
     require(trainFrac > 0.0 && trainFrac < 1.0, "trainFrac must be in (0,1)")

@@ -55,6 +55,25 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(rows.map(_._4).sum > 20.0)
   }
 
+  test("globalRunningTotal equals the single-task ORDER BY window on random data") {
+    val rnd = new scala.util.Random(11)
+    val df = rnd.shuffle((0 until 500).toList)
+      .map(i => (i.toLong, rnd.nextInt(100).toLong))
+      .toDF("id", "n").repartition(7)
+    val got = CorpusStats.globalRunningTotal(df, "id", "n", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum($"n").over(w))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("globalRunningTotal on an empty frame yields an empty frame") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "n")
+    assert(CorpusStats.globalRunningTotal(df, "id", "n").count() === 0L)
+  }
+
   test("leakageSafeSplit: same group always lands on the same side, " +
       "fraction tracks trainFrac, and assignment is seed-deterministic") {
     val rows = (1L to 2000L).map(i => (i, i % 500)).toDF("id", "grp")
