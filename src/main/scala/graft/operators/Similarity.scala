@@ -242,43 +242,66 @@ object Similarity {
     * keyed on the list id; scoring touches only probed lists.
     * Output: (queryId, vecId, cosine, rank).
     */
+  /** Deterministic coarse-quantizer model shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: a bounded id-ordered sample (model fitting is the one
+    * sanctioned driver-side collect) refined with a few cosine-Lloyd
+    * iterations — init = first C sample vectors by id. `dimFilter` drops
+    * sample vectors of the wrong width (PQ slices sub-vectors by offset,
+    * so a short vector in the INIT set would seed a malformed codebook;
+    * plain IVF tolerates them — kmeans skips mismatches in updates).
+    * Returns (sample, indexed centroids).
+    */
+  private def trainedCoarse(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      numCentroids: Int, kmeansIters: Int,
+      dimFilter: Option[Int]): (Array[Array[Float]], Array[(Int, Array[Float])]) = {
+    val sampleSize = math.max(numCentroids * 32, 512)
+    val raw: Array[Array[Float]] = corpus
+      .orderBy(col(corpusId)).limit(sampleSize)
+      .select(col(corpusVec)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val sample = dimFilter.map(d => raw.filter(_.length == d)).getOrElse(raw)
+    (sample, kmeans(sample, numCentroids, kmeansIters).zipWithIndex.map(_.swap))
+  }
+
+  /** Map-only inverted-list assignment: argmax centroid cosine, ties to
+    * the larger struct (same lexicographic contract as every ranking
+    * here).
+    */
+  private def nearestCentroidCol(
+      centroids: Array[(Int, Array[Float])])(vec: Column): Column = {
+    val scored = centroids.map { case (i, c) =>
+      struct(cosine(vec, typedLit(c)).as("sim"), lit(i).as("cid"))
+    }
+    greatest(scored.toIndexedSeq: _*).getField("cid")
+  }
+
+  /** The query's `nprobe` nearest inverted lists, best first. */
+  private def probeListsCol(centroids: Array[(Int, Array[Float])],
+      nprobe: Int)(vec: Column): Column = {
+    val scored = centroids.map { case (i, c) =>
+      // negate sim so ascending sort ranks best first
+      struct((-cosine(vec, typedLit(c))).as("negsim"), lit(i).as("cid"))
+    }
+    slice(transform(array_sort(array(scored.toIndexedSeq: _*)),
+      s => s.getField("cid")), 1, nprobe)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
       k: Int, numCentroids: Int = 16, nprobe: Int = 4,
       kmeansIters: Int = 3): DataFrame = {
-    // deterministic centroid model: a bounded sample (model fitting is the
-    // one sanctioned driver-side collect) refined with a few Lloyd
-    // iterations — init = first C sample vectors by id
-    val sampleSize = math.max(numCentroids * 32, 512)
-    val sample: Array[Array[Float]] = corpus
-      .orderBy(col(corpusId)).limit(sampleSize)
-      .select(col(corpusVec)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val centroids: Array[(Int, Array[Float])] =
-      kmeans(sample, numCentroids, kmeansIters).zipWithIndex.map(_.swap)
-
-    def nearestCentroid(vec: Column): Column = {
-      val scored = centroids.map { case (i, c) =>
-        struct(cosine(vec, typedLit(c)).as("sim"), lit(i).as("cid"))
-      }
-      greatest(scored.toIndexedSeq: _*).getField("cid")
-    }
-    def probeLists(vec: Column): Column = {
-      val scored = centroids.map { case (i, c) =>
-        // negate sim so ascending sort ranks best first
-        struct((-cosine(vec, typedLit(c))).as("negsim"), lit(i).as("cid"))
-      }
-      slice(transform(array_sort(array(scored.toIndexedSeq: _*)),
-        s => s.getField("cid")), 1, nprobe)
-    }
+    val (_, centroids) = trainedCoarse(corpus, corpusId, corpusVec,
+      numCentroids, kmeansIters, dimFilter = None)
 
     val assigned = corpus.select(
-      col(corpusId), col(corpusVec), nearestCentroid(col(corpusVec)).as("__list"))
+      col(corpusId), col(corpusVec),
+      nearestCentroidCol(centroids)(col(corpusVec)).as("__list"))
     val probed = queries.select(
       col(queryId), col(queryVec).as("__qv"),
-      explode(probeLists(col(queryVec))).as("__list"))
+      explode(probeListsCol(centroids, nprobe)(col(queryVec))).as("__list"))
     val scored = assigned.join(probed, "__list")
       .select(col(queryId), col(corpusId),
         cosine(col(corpusVec), col("__qv")).as("cosine"))
@@ -324,31 +347,13 @@ object Similarity {
       m: Int = 8, codesPerSub: Int = 16, rerank: Int = 32,
       kmeansIters: Int = 3): DataFrame = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    require(k <= rerank,
+      s"k=$k > rerank=$rerank — the exact stage can only rank the re-rank pool")
     val sd = dim / m
-    val sampleSize = math.max(numCentroids * 32, 512)
-    val sample: Array[Array[Float]] = corpus
-      .orderBy(col(corpusId)).limit(sampleSize)
-      .select(col(corpusVec)).collect()
-      .map(_.getSeq[Float](0).toArray)
-      .filter(_.length == dim)
-    val centroids: Array[(Int, Array[Float])] =
-      kmeans(sample, numCentroids, kmeansIters).zipWithIndex.map(_.swap)
+    val (sample, centroids) = trainedCoarse(corpus, corpusId, corpusVec,
+      numCentroids, kmeansIters, dimFilter = Some(dim))
     val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
       kmeansL2(sample.map(_.slice(j * sd, (j + 1) * sd)), codesPerSub, kmeansIters)
-    }
-
-    def nearestCentroid(vec: Column): Column = {
-      val scored = centroids.map { case (i, c) =>
-        struct(cosine(vec, typedLit(c)).as("sim"), lit(i).as("cid"))
-      }
-      greatest(scored.toIndexedSeq: _*).getField("cid")
-    }
-    def probeLists(vec: Column): Column = {
-      val scored = centroids.map { case (i, c) =>
-        struct((-cosine(vec, typedLit(c))).as("negsim"), lit(i).as("cid"))
-      }
-      slice(transform(array_sort(array(scored.toIndexedSeq: _*)),
-        s => s.getField("cid")), 1, nprobe)
     }
     // PQ encode: per subspace, the L2-nearest code — ties break to the
     // smaller code via lexicographic struct comparison
@@ -374,11 +379,11 @@ object Similarity {
 
     val sized = corpus.filter(size(col(corpusVec)) === dim)
     val encoded = sized.select(
-      col(corpusId), nearestCentroid(col(corpusVec)).as("__list"),
+      col(corpusId), nearestCentroidCol(centroids)(col(corpusVec)).as("__list"),
       encode(col(corpusVec)).as("__codes"))
     val probed = queries.filter(size(col(queryVec)) === dim).select(
       col(queryId), col(queryVec).as("__qv"),
-      explode(probeLists(col(queryVec))).as("__list"))
+      explode(probeListsCol(centroids, nprobe)(col(queryVec))).as("__list"))
     val adcScored = encoded.join(probed, "__list")
       .select(col(queryId), col(corpusId),
         adc(col("__codes"), col("__qv")).as("cosine"))
@@ -631,68 +636,23 @@ object Similarity {
     * assignment, mean update). Input order fixes initialization, so the
     * model is reproducible run to run.
     */
-  private[operators] def kmeans(
-      sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
-    if (sample.isEmpty) return Array.empty
-    val dim = sample.head.length
-    // vectors whose dimension differs from the model are excluded from
-    // the update step too (they would corrupt the mean)
-    var cents = sample.take(k).map(_.clone)
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      if (a.length != dim || b.length != dim) return -1.0 // mismatched dims never win
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
-    }
-    (0 until iters).foreach { _ =>
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
-      val counts = new Array[Int](cents.length)
-      sample.foreach { v =>
-        if (v.length == dim) {
-        var best = 0; var bestSim = -2.0
-        var c = 0
-        while (c < cents.length) {
-          val s = cos(v, cents(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
-        }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
-        }
-      }
-      cents = cents.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old
-        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
-      }
-    }
-    cents
-  }
-
-  /** Lloyd iterations under squared-L2 — the PQ codebook objective (code
-    * assignment minimizes reconstruction error, not angle; sub-vector
-    * norms carry signal that cosine would discard). Same deterministic
-    * first-k init and empty-cluster handling as [[kmeans]].
+  /** Lloyd scaffolding shared by the cosine and L2 variants: deterministic
+    * first-k init, dimension-mismatched vectors excluded from updates
+    * (they would corrupt the mean), empty clusters keep their old
+    * centroid. `bestOf(v, cents)` picks the winning cluster index — the
+    * ONLY thing the two metrics differ on.
     */
-  private[operators] def kmeansL2(
-      sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+  private def lloyd(sample: Array[Array[Float]], k: Int, iters: Int)(
+      bestOf: (Array[Float], Array[Array[Float]]) => Int): Array[Array[Float]] = {
     if (sample.isEmpty) return Array.empty
     val dim = sample.head.length
     var cents = sample.take(k).map(_.clone)
-    def d2(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
-      s
-    }
     (0 until iters).foreach { _ =>
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Int](cents.length)
       sample.foreach { v =>
         if (v.length == dim) {
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            val s = d2(v, cents(c)); if (s < bestD) { bestD = s; best = c }; c += 1
-          }
+          val best = bestOf(v, cents)
           counts(best) += 1
           var i = 0
           while (i < dim) { sums(best)(i) += v(i); i += 1 }
@@ -705,6 +665,47 @@ object Similarity {
     }
     cents
   }
+
+  private[operators] def kmeans(
+      sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] =
+    lloyd(sample, k, iters) { (v, cents) =>
+      val dim = v.length
+      def cos(b: Array[Float]): Double = {
+        if (b.length != dim) return -1.0 // mismatched dims never win
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < dim) { dot += v(i) * b(i); na += v(i) * v(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
+      }
+      var best = 0; var bestSim = -2.0
+      var c = 0
+      while (c < cents.length) {
+        val s = cos(cents(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+      }
+      best
+    }
+
+  /** Lloyd iterations under squared-L2 — the PQ codebook objective (code
+    * assignment minimizes reconstruction error, not angle; sub-vector
+    * norms carry signal that cosine would discard). Shares [[lloyd]]'s
+    * init and empty-cluster handling with [[kmeans]] by construction.
+    */
+  private[operators] def kmeansL2(
+      sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] =
+    lloyd(sample, k, iters) { (v, cents) =>
+      val dim = v.length
+      def d2(b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = v(i).toDouble - b(i); s += d * d; i += 1 }
+        s
+      }
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val s = d2(cents(c)); if (s < bestD) { bestD = s; best = c }; c += 1
+      }
+      best
+    }
 
   /** Per-label mean embedding (class prototypes — the distributed step of
     * prototype classifiers and of IVF coarse-quantizer refresh). Shape:

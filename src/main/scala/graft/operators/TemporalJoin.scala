@@ -200,6 +200,48 @@ object TemporalJoin {
    * intervals (`end <= start`) contain no points and are likewise
    * dropped (uncounted).
    */
+  private val integralTypes: Set[org.apache.spark.sql.types.DataType] =
+    Set(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+
+  private def requireIntegral(op: String,
+      fields: Seq[org.apache.spark.sql.types.StructField]): Unit =
+    fields.foreach(f => require(integralTypes(f.dataType),
+      s"$op needs an integral time axis, got ${f.name}: ${f.dataType.sql}"))
+
+  /** Exact floor division to a bucket id: subtract the (non-negative)
+    * pmod remainder, then `div` (integral divide) — no doubles anywhere
+    * on the bucket path; `/` would round through double and misassign
+    * past 2^53.
+    */
+  private def bucketOf(bucketWidth: Long)(sqlVal: String): Column =
+    expr(s"($sqlVal - pmod($sqlVal, ${bucketWidth}L)) div ${bucketWidth}L")
+
+  private def bucketOfCol(bucketWidth: Long)(name: String): Column =
+    bucketOf(bucketWidth)(s"CAST(`$name` AS BIGINT)")
+
+  /** Shared interval-side preparation for [[rangeJoin]] and
+    * [[intervalOverlapJoin]]: drop empty intervals, cap the per-interval
+    * bucket span (an adversarial interval would otherwise explode into
+    * millions of rows) with the drop count published under `metricName`,
+    * then explode one row per covered bucket into `__bucket`.
+    */
+  private def bucketizeIntervals(df: DataFrame, start: String, end: String,
+      bucketWidth: Long, maxBucketsPerInterval: Int,
+      metricName: String): DataFrame = {
+    val bucketEndM1 = bucketOf(bucketWidth)(s"(CAST(`$end` AS BIGINT) - 1)")
+    val span = bucketEndM1 - bucketOfCol(bucketWidth)(start)
+    df.filter(col(end) > col(start))
+      .withColumn("__span", span)
+      .observe(metricName,
+        sum(when(col("__span") >= maxBucketsPerInterval, 1L).otherwise(0L))
+          .as("dropped_intervals"))
+      .filter(col("__span") < maxBucketsPerInterval)
+      .withColumn("__bucket",
+        explode(sequence(bucketOfCol(bucketWidth)(start), bucketEndM1)))
+      .drop("__span")
+  }
+
   def rangeJoin(
       points: DataFrame, intervals: DataFrame,
       pointTs: String, start: String, end: String,
@@ -207,32 +249,11 @@ object TemporalJoin {
       maxBucketsPerInterval: Int = 1024,
       metricName: String = "range_join_guard"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val integral: Set[org.apache.spark.sql.types.DataType] =
-      Set(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
-    Seq(points.schema(pointTs), intervals.schema(start), intervals.schema(end))
-      .foreach(f => require(integral(f.dataType),
-        s"rangeJoin needs an integral time axis, got ${f.name}: ${f.dataType.sql}"))
-    // exact floor division: subtract the (non-negative) pmod remainder,
-    // then `div` (integral divide) — no doubles anywhere on the bucket
-    // path; `/` would round through double and misassign past 2^53
-    def bucketOf(sqlVal: String): Column =
-      expr(s"($sqlVal - pmod($sqlVal, ${bucketWidth}L)) div ${bucketWidth}L")
-    def bucketOfCol(name: String): Column =
-      bucketOf(s"CAST(`$name` AS BIGINT)")
-    val bucketEndM1 = bucketOf(s"(CAST(`$end` AS BIGINT) - 1)")
-    val span = bucketEndM1 - bucketOfCol(start)
-    val guarded = intervals
-      .filter(col(end) > col(start))
-      .withColumn("__span", span)
-      .observe(metricName,
-        sum(when(col("__span") >= maxBucketsPerInterval, 1L).otherwise(0L))
-          .as("dropped_intervals"))
-      .filter(col("__span") < maxBucketsPerInterval)
-      .withColumn("__bucket",
-        explode(sequence(bucketOfCol(start), bucketEndM1)))
-      .drop("__span")
-    val bucketed = points.withColumn("__bucket", bucketOfCol(pointTs))
+    requireIntegral("rangeJoin",
+      Seq(points.schema(pointTs), intervals.schema(start), intervals.schema(end)))
+    val guarded = bucketizeIntervals(intervals, start, end, bucketWidth,
+      maxBucketsPerInterval, metricName)
+    val bucketed = points.withColumn("__bucket", bucketOfCol(bucketWidth)(pointTs))
     bucketed.join(guarded, Seq("__bucket") ++ extraKeys)
       .where(col(pointTs) >= col(start) && col(pointTs) < col(end))
       .drop("__bucket")
@@ -264,33 +285,16 @@ object TemporalJoin {
     val shared = left.columns.toSet.intersect(right.columns.toSet) -- extraKeys
     require(shared.isEmpty,
       s"left/right share non-key columns ${shared.mkString(", ")} — rename before joining")
-    val integral: Set[org.apache.spark.sql.types.DataType] =
-      Set(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
-    Seq(left.schema(lStart), left.schema(lEnd), right.schema(rStart), right.schema(rEnd))
-      .foreach(f => require(integral(f.dataType),
-        s"intervalOverlapJoin needs an integral time axis, got ${f.name}: ${f.dataType.sql}"))
-    def bucketOf(sqlVal: String): Column =
-      expr(s"($sqlVal - pmod($sqlVal, ${bucketWidth}L)) div ${bucketWidth}L")
-    def bucketOfCol(name: String): Column =
-      bucketOf(s"CAST(`$name` AS BIGINT)")
-    def bucketize(df: DataFrame, start: String, end: String,
-        side: String): DataFrame = {
-      val span = bucketOf(s"(CAST(`$end` AS BIGINT) - 1)") - bucketOfCol(start)
-      df.filter(col(end) > col(start))
-        .withColumn("__span", span)
-        .observe(s"${metricName}_$side",
-          sum(when(col("__span") >= maxBucketsPerInterval, 1L).otherwise(0L))
-            .as("dropped_intervals"))
-        .filter(col("__span") < maxBucketsPerInterval)
-        .withColumn("__bucket",
-          explode(sequence(bucketOfCol(start), bucketOf(s"(CAST(`$end` AS BIGINT) - 1)"))))
-        .drop("__span")
-    }
-    bucketize(left, lStart, lEnd, "left")
-      .join(bucketize(right, rStart, rEnd, "right"), Seq("__bucket") ++ extraKeys)
+    requireIntegral("intervalOverlapJoin",
+      Seq(left.schema(lStart), left.schema(lEnd),
+        right.schema(rStart), right.schema(rEnd)))
+    bucketizeIntervals(left, lStart, lEnd, bucketWidth,
+        maxBucketsPerInterval, s"${metricName}_left")
+      .join(bucketizeIntervals(right, rStart, rEnd, bucketWidth,
+        maxBucketsPerInterval, s"${metricName}_right"), Seq("__bucket") ++ extraKeys)
       .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
-        bucketOf(s"greatest(CAST(`$lStart` AS BIGINT), CAST(`$rStart` AS BIGINT))")
+        bucketOf(bucketWidth)(
+          s"greatest(CAST(`$lStart` AS BIGINT), CAST(`$rStart` AS BIGINT))")
           === col("__bucket"))
       .drop("__bucket")
   }

@@ -15,7 +15,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * admitted partially; everything after it is rejected.
  *
  * State posture (the [[StreamingHeavyHitters]] rules): ONE tiny parquet
- * row per batch (`batch=<id>` partition: the tokens that batch admitted),
+ * row per batch (`batch=<id>` partition: the tokens that batch STREAMED,
+ * admitted or not — the budget covers the stream's head, so rejected
+ * tokens still count against it),
  * overwritten on foreachBatch replay so a replayed batch can never
  * double-spend, batch 0 resets state and output outright. The prior
  * spend for batch b = sum of the `batch < b` state rows — a
@@ -60,19 +62,28 @@ object StreamingTokenBudget {
           if (!fs.exists(statePath)) 0L
           else s.read.option("basePath", stateDir).parquet(s"$stateDir/batch=*")
             .filter(col("batch") < batchId)
-            .agg(coalesce(sum(col("admitted_tokens")), lit(0L)))
+            .agg(coalesce(sum(col("spent_tokens")), lit(0L)))
             .head().getLong(0)
         val counted = batch.select(col(idCol),
           TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-        val admitted = CorpusStats
+        // ranked is backed by globalRunningTotal's snapshot: the token
+        // count runs ONCE per batch even though two actions follow
+        val ranked = CorpusStats
           .globalRunningTotal(counted, idCol, "n_tokens", cumCol = "cum_tokens")
+        val admitted = ranked
           .withColumn("cum_tokens", col("cum_tokens") + lit(prior))
           .filter(col("cum_tokens") <= budget)
         admitted.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val spent = admitted.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        // spend = the batch's TOTAL tokens, admitted or not: the contract
+        // (and the oracle) is "the stream's head up to the budget" — one
+        // running total over EVERYTHING in arrival order. Recording only
+        // admitted tokens would let a small doc AFTER the budget-crossing
+        // batch slip into the leftover slack (greedy knapsack, a
+        // different operator)
+        val spent = ranked.agg(coalesce(sum(col("n_tokens")), lit(0L)))
           .head().getLong(0)
         import s.implicits._
-        Seq(spent).toDF("admitted_tokens")
+        Seq(spent).toDF("spent_tokens")
           .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)

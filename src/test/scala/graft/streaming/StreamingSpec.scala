@@ -697,11 +697,14 @@ class StreamingSpec extends SparkTestBase {
       "a fresh-checkpoint restart resets the spend") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_stream_tb").toString
-    // 4 tokens per doc; budget 12 → batch 1 admits fully (8), batch 2
-    // PARTIALLY (doc 3 lands on 12, doc 4 would cross), batch 3 nothing
+    // 4 tokens per doc; budget 13 → batch 1 admits fully (8), batch 2
+    // PARTIALLY (doc 3 lands on 12, doc 4 would cross). Batch 3 is ONE
+    // token — it would fit the leftover slack (12 + 1 <= 13) if spend
+    // tracked only ADMITTED tokens, but the budget covers the stream's
+    // head: doc 4's rejected tokens count against it, so doc 5 rejects
     val b1 = Seq((1L, "a b c d"), (2L, "e f g h"))
     val b2 = Seq((3L, "i j k l"), (4L, "m n o p"))
-    val b3 = Seq((5L, "q r s t"))
+    val b3 = Seq((5L, "q"))
     b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/src")
     b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/src")
     b3.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/src")
@@ -709,7 +712,7 @@ class StreamingSpec extends SparkTestBase {
       val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
       val q = StreamingTokenBudget.start(spark, stream, "doc_id", "text",
-        budget = 12L, s"$dir/state", s"$dir/out", s"$dir/$cp")
+        budget = 13L, s"$dir/state", s"$dir/out", s"$dir/$cp")
       assert(q.awaitTermination(120000), "token-budget stream did not drain")
     }
     run("cp1")
@@ -719,7 +722,8 @@ class StreamingSpec extends SparkTestBase {
         .as[(Long, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3)).toMap
     val got = drained()
-    // doc 4 would cross the budget (cum 16 > 12); doc 5 never admits
+    // doc 4 crosses (cum 16 > 13); doc 5's global cum is 17, NOT
+    // admitted-so-far 12 + 1 — the head-of-stream contract
     assert(got === Map(1L -> (4L, 4L), 2L -> (4L, 8L), 3L -> (4L, 12L)),
       s"unexpected admission set: $got")
     // restart with a fresh checkpoint: batch 0 resets spend and output —
