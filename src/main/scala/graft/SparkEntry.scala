@@ -1453,6 +1453,14 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // weighted sample without replacement: 50 docs drawn
+    // proportional-to-length by the deterministic exponential race
+    "t28_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(t(s, dir, "documents"),
+          "doc_id", "n_chars", k = 50, seed = 7L)
+        .select(col("doc_id"), col("rank"),
+          (col("key") + lit(0.0)).as("key"))),
+
     // linear quality-classifier inference: literal-weight sigmoid scoring,
     // keep decided on the exact linear margin (no transcendental at the
     // decision boundary)
@@ -2065,6 +2073,34 @@ object SparkEntry {
        |                               ORDER BY h, doc_id) - 1 AS BIGINT)
        |         AS pos_in_shard
        |FROM m5""".stripMargin
+  }
+
+  /** t28 oracle: the exponential-race weighted sample replayed exactly —
+    * `mix64(doc_id ^ 7)` in HUGEINT mod-2^64 SQL, top 53 bits to a
+    * uniform, `round(ln(u)/w, 9)` keys (the t21 rounding convention for
+    * transcendental outputs), rank by (key DESC, id ASC).
+    */
+  private def t28OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    s"""WITH m0 AS (SELECT doc_id, n_chars,
+       |              ${xorConst("CAST(doc_id AS HUGEINT)", 7L)} AS h
+       |            FROM documents WHERE n_chars > 0),
+       |m1 AS (SELECT doc_id, n_chars, ${xorShift33("h")} AS h FROM m0),
+       |m2 AS (SELECT doc_id, n_chars, ${mulMod("h", C1)} AS h FROM m1),
+       |m3 AS (SELECT doc_id, n_chars, ${xorShift33("h")} AS h FROM m2),
+       |m4 AS (SELECT doc_id, n_chars, ${mulMod("h", C2)} AS h FROM m3),
+       |m5 AS (SELECT doc_id, n_chars, ${xorShift33("h")} AS hu FROM m4),
+       |keyed AS (SELECT doc_id,
+       |            ROUND(ln((CAST(hu // 2048::HUGEINT AS DOUBLE) + 0.5)
+       |                     / 9007199254740992.0) / n_chars, 9) + 0.0 AS key
+       |          FROM m5),
+       |r AS (SELECT doc_id, key,
+       |        row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+       |      FROM keyed)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, key
+       |FROM r WHERE rank <= 50""".stripMargin
   }
 
   /** s12 oracle: λ = p·(C·p), trace = Σ C[i][i], ratio — all in the same
@@ -3270,6 +3306,7 @@ object SparkEntry {
          SELECT a.vec_id, a.cluster, d.dup_of, d.dup_of IS NULL AS keep
          FROM assign a LEFT JOIN drops d ON a.vec_id = d.idb""",
     "t02_quality_score" -> t02QualitySql,
+    "t28_weighted_sample" -> t28OracleSql,
     // replays the linear model with the same literal weights in the same
     // left-to-right double fold; keep = z >= 0 exactly as the engine
     "t26_quality_classify" ->

@@ -115,6 +115,39 @@ object TextAnalysis {
       .withColumn("keep", z >= 0.0)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement — the
+    * exponential-race / A-ES scheme (Efraimidis & Spirakis 2006): row i
+    * draws key_i = ln(u_i) / w_i with u_i a pseudo-uniform in (0,1), and
+    * the k LARGEST keys are the sample; inclusion probability is then
+    * proportional-to-weight without replacement, with NO sequential scan
+    * or RNG state. u_i comes from the [[graft.functions.Mix64]] avalanche
+    * of the id (top 53 bits → mantissa), so the sample is reproducible
+    * across runs/engines and stable per id; keys are rounded before
+    * ranking (the t21 convention for transcendental outputs — libm ULP
+    * noise can't flip an order the oracle disagrees with) with ties to
+    * the smaller id. One map-only pass + the bounded top-k heap: shuffle
+    * is k rows per partition, never the corpus. Zero/negative weights
+    * are excluded (they cannot be drawn).
+    * Output: (idCol, rank 1..k, key).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    val h = graft.functions.GraftFunctions.mix64(col(idCol).cast("long"), seed)
+    // logical shift keeps the top 53 bits: u in (0, 1) with a half-ulp
+    // offset so ln never sees 0
+    val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) /
+      lit(9007199254740992.0d) // 2^53
+    val key = round(log(u) / col(weightCol).cast("double"), 9)
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), key.as("__key"))
+      .agg(graft.functions.GraftFunctions.top_k_by(col("__key"), col(idCol), k)
+        .as("__topk"))
+      .select(posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col("__e.id").as(idCol),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.score").as("key"))
+  }
+
   /** Rolling-hash document fingerprint (base-31 polynomial over the
     * normalized text) via the codegen'd [[graft.functions.PolyHash64]].
     */

@@ -64,6 +64,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(out(3L)._1 - 1.0 / (1.0 + math.exp(2.0))) < 1e-12)
   }
 
+  test("weightedSample: deterministic, without replacement, weight-monotone") {
+    val df = (1L to 200L).map(i => (i, if (i <= 100) 1L else 20L))
+      .toDF("id", "w")
+    val s1 = TextAnalysis.weightedSample(df, "id", "w", k = 40, seed = 1L)
+      .select("id").as[Long].collect().toSeq
+    // deterministic across runs
+    val s2 = TextAnalysis.weightedSample(df, "id", "w", k = 40, seed = 1L)
+      .select("id").as[Long].collect().toSeq
+    assert(s1 === s2)
+    // without replacement, exactly k
+    assert(s1.size === 40 && s1.distinct.size === 40)
+    // heavy ids (20× weight) must dominate the sample across seeds
+    val heavyShare = (1L to 5L).map { seed =>
+      TextAnalysis.weightedSample(df, "id", "w", k = 40, seed)
+        .select("id").as[Long].collect().count(_ > 100)
+    }.sum / 5.0
+    assert(heavyShare > 30.0, s"heavy ids averaged $heavyShare of 40 — " +
+      "weighting broken (expected ≈37 at 20:1 odds)")
+    // zero/negative weights can never be drawn
+    val withZero = df.withColumn("w", when($"id" === 1L, 0L).otherwise($"w"))
+    val s3 = TextAnalysis.weightedSample(withZero, "id", "w", k = 200, seed = 1L)
+      .select("id").as[Long].collect().toSeq
+    assert(!s3.contains(1L) && s3.size === 199)
+  }
+
   test("fingerprint is the poly hash of normalized text") {
     def poly(s: String): Long = s.foldLeft(0L)((h, c) => h * 31L + c.toLong)
     val df = Seq((1L, "  Hello   WORLD  ")).toDF("id", "text")
