@@ -571,6 +571,13 @@ object SparkEntry {
         bits = 10).select("o_orderkey", "zkey")
     }),
 
+    // Hilbert-curve clustering key over the same axes as z01: consecutive
+    // keys are grid-adjacent (Morton jumps diagonally), so sorted files
+    // cover tighter boxes; the gate checks the exact curve indices
+    "z06_hilbert_layout" -> ((s, dir) =>
+      Layout.hilbertKey(t(s, dir, "orders"), "o_custkey", "o_orderkey",
+        bits = 10).select("o_orderkey", "hkey")),
+
     // deterministic global shuffle + balanced training shards: shard and
     // in-shard rank are pure functions of the content fingerprint, so the
     // layout replays bit-identically across runs and engines
@@ -2851,6 +2858,34 @@ object SparkEntry {
                   (((sa >> j) & 1) << (2 * j)) + (((sb >> j) & 1) << (2 * j + 1))))
                   AS BIGINT) AS zkey
          FROM s""",
+    // the Hilbert walk replayed as a recursive CTE: one iteration per
+    // level carries (x, y, d, s) through the quadrant-rotation recurrence
+    // — every CASE reads the PREVIOUS level's columns, exactly the
+    // imperative loop's semantics
+    "z06_hilbert_layout" ->
+      """WITH RECURSIVE mm AS (
+           SELECT min(o_custkey) AS la, max(o_custkey) AS ha,
+                  min(o_orderkey) AS lb, max(o_orderkey) AS hb
+           FROM orders),
+         sc AS (SELECT o_orderkey,
+                       ((o_custkey - la) * 1023) // (ha - la) AS sa,
+                       ((o_orderkey - lb) * 1023) // (hb - lb) AS sb
+                FROM orders, mm),
+         hil AS (
+           SELECT o_orderkey, CAST(sa AS BIGINT) AS x, CAST(sb AS BIGINT) AS y,
+                  CAST(0 AS BIGINT) AS d, CAST(512 AS BIGINT) AS s
+           FROM sc
+           UNION ALL
+           SELECT o_orderkey,
+                  CASE WHEN (y & s) <> 0 THEN x
+                       ELSE CASE WHEN (x & s) <> 0 THEN s - 1 - y ELSE y END END,
+                  CASE WHEN (y & s) <> 0 THEN y
+                       ELSE CASE WHEN (x & s) <> 0 THEN s - 1 - x ELSE x END END,
+                  d + s * s * xor(3 * (CASE WHEN (x & s) <> 0 THEN 1 ELSE 0 END),
+                                  CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END),
+                  s // 2
+           FROM hil WHERE s > 0)
+         SELECT o_orderkey, d AS hkey FROM hil WHERE s = 0""",
     // 3-D Morton: same integer scaling, bit k of column c lands at 3k+c
     "z04_zorder_nd" ->
       """WITH base AS (

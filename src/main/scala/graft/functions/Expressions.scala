@@ -294,6 +294,20 @@ case class InterleaveBits(left: Expression, right: Expression, bits: Int)
   override def prettyName: String = "interleave_bits"
 }
 
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    HashKernels.hilbertIndex(l.asInstanceOf[Long], r.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.hilbertIndex($a, $b, $bits)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hilbert_index"
+}
+
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -358,6 +372,9 @@ object GraftFunctions {
     DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def interleave_bits(a: Column, b: Column, bits: Int): Column = Bridge.column(
     InterleaveBits(Bridge.expression(a.cast("long")),
+      Bridge.expression(b.cast("long")), bits))
+  def hilbert_index(a: Column, b: Column, bits: Int): Column = Bridge.column(
+    HilbertIndex(Bridge.expression(a.cast("long")),
       Bridge.expression(b.cast("long")), bits))
   def byte_window_energies(c: Column, w: Int): Column = Bridge.column(
     ByteWindowEnergies(Bridge.expression(c), w))

@@ -338,4 +338,30 @@ object HashKernels {
     }
     z
   }
+
+  /** 2-D Hilbert curve index (xy→d) over a `bits`-bit grid — the classic
+    * top-down quadrant walk (Hamilton's formulation as popularized on the
+    * Hilbert-curve Wikipedia page): per level, the quadrant number
+    * `(3·rx) ^ ry` contributes `s²` steps, then the lower quadrant is
+    * rotated/reflected into canonical orientation. Unlike Morton order,
+    * consecutive indices are always grid-adjacent (no diagonal jumps), so
+    * range scans over the key touch tighter 2-D boxes.
+    */
+  def hilbertIndex(xIn: Long, yIn: Long, bits: Int): Long = {
+    var x = xIn
+    var y = yIn
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

@@ -55,6 +55,27 @@ object Layout {
         scaledExpr(a, la, ha, bits), scaledExpr(b, lb, hb, bits), bits))
   }
 
+  /** Adds column `hkey`: the 2-D Hilbert index of `a` and `b` min-max
+    * scaled to `bits` bits each — same plan-time bounds collect and
+    * map-only codegen shape as [[zorderKey]], but consecutive keys are
+    * always grid-ADJACENT cells (Morton jumps diagonally at every power
+    * of two), so files sorted by `hkey` cover strictly tighter boxes and
+    * min/max stats prune better on box queries. The standard layout
+    * upgrade when both query dimensions matter equally.
+    */
+  def hilbertKey(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val Array(la, ha, lb, hb) = df
+      .agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
+        min(col(b)).cast("long"), max(col(b)).cast("long"))
+      .collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    df.withColumn("hkey",
+      GraftFunctions.hilbert_index(
+        scaledExpr(a, la, ha, bits), scaledExpr(b, lb, hb, bits), bits))
+  }
+
   /** N-dimensional Morton key — the general form of [[zorderKey]]
     * (lakehouse OPTIMIZE ZORDER takes any column count): output bit
     * `j·n + k` is bit `j` of scaled column `k`, so `zorderKeyN(a, b)`

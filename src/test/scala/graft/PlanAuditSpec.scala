@@ -390,6 +390,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("__list"), s"IVF list equi-key missing:\n$p")
   }
 
+  test("z06 hilbert key is map-only over the scan (bounds come from plan time)") {
+    val p = plan("z06_hilbert_layout")
+    assert(!p.contains("Exchange"), s"hilbert keying shuffles:\n$p")
+    assert(p.contains("hilbert_index"), s"missing the codegen kernel:\n$p")
+  }
+
   test("j09: interval overlap meets in one bucket equi-join — no nested loop") {
     val p = plan("j09_interval_overlap")
     assert(!p.contains("CartesianProduct"), s"cartesian in overlap join:\n$p")

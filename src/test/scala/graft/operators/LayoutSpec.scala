@@ -103,6 +103,42 @@ class LayoutSpec extends SparkTestBase {
     assert(got(3L) === key(3, 3, 0))
   }
 
+  test("hilbertIndex: bijective on the grid and consecutive keys are " +
+      "grid-adjacent (the locality Morton lacks)") {
+    val bits = 4
+    val n = 1 << bits
+    val keyed = (for (x <- 0 until n; y <- 0 until n)
+      yield (x, y, graft.functions.HashKernels.hilbertIndex(x, y, bits)))
+    // bijection: every cell gets a distinct key covering [0, n²)
+    val keys = keyed.map(_._3)
+    assert(keys.toSet === (0L until (n.toLong * n)).toSet)
+    // THE Hilbert property: walking the curve in key order moves exactly
+    // one grid step at a time — Morton violates this at every power-of-two
+    // boundary (diagonal jumps), which is why Hilbert boxes are tighter
+    val byKey = keyed.sortBy(_._3)
+    byKey.sliding(2).foreach { case Seq((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jumped from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbertKey: map-only keyed frame; box query touches few key ranges") {
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val keyed = Layout.hilbertKey(pts, "x", "y", bits = 5)
+    // identity scaling on [0, 2^bits): key equals the raw kernel value
+    val sample = keyed.filter($"x" === 3L && $"y" === 7L)
+      .select("hkey").as[Long].head()
+    assert(sample === graft.functions.HashKernels.hilbertIndex(3L, 7L, 5))
+    // locality vs Morton on the same 8x8 box: the Hilbert span of a box
+    // is never worse here (tighter key ranges => better min/max pruning)
+    val box = keyed.filter($"x" < 8L && $"y" < 8L).select("hkey").as[Long].collect()
+    val mort = Layout.zorderKey(pts, "x", "y", bits = 5)
+      .filter($"x" < 8L && $"y" < 8L).select("zkey").as[Long].collect()
+    assert(box.max - box.min <= mort.max - mort.min)
+    assert(box.max - box.min === 63L, "an aligned 8x8 box is one contiguous Hilbert range")
+  }
+
   test("compactionGroups: largest-first bins per partition; oversize files isolate") {
     val files = Seq(
       ("p1", "a", 900L), ("p1", "b", 800L), ("p1", "c", 300L), ("p1", "d", 200L),
