@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Compare two `graft.Bench` outputs per query and flag regressions.
+Accepts raw Bench output (the JSON line, possibly amid sbt noise) or a
+driver BENCH_r{N}.json whose "tail" still contains the full line — the
+driver truncates tails, so old round files may only keep a fragment and
+fail to parse; capture local baselines with
+`SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Bench" | grep -o '{"metric".*' > bench.json`.
+
+Usage: bench_diff.py <old.json> <new.json> [threshold_ratio=2.0]
+
+Bench numbers swing 2-3x with machine load (see .claude/skills/verify):
+treat flags as "profile this isolated", not as proof.
+"""
+import json, re, sys
+
+
+def load(path):
+    raw = open(path).read()
+    try:
+        d = json.loads(raw)
+        if isinstance(d, dict) and "queries" in d:
+            return d
+        raw = d.get("tail", "") if isinstance(d, dict) else ""
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric".*\}', raw)
+    if not m:
+        raise SystemExit(f"{path}: no bench JSON line found")
+    return json.loads(m.group(0))
+
+
+old, new = load(sys.argv[1]), load(sys.argv[2])
+thr = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+oq, nq = old.get("queries", {}), new.get("queries", {})
+flags = []
+added, gone = sorted(nq.keys() - oq.keys()), sorted(oq.keys() - nq.keys())
+for name in sorted(oq.keys() & nq.keys()):
+    a, b = oq[name], nq[name]
+    if a > 0 and b / a >= thr and b > 0.5:  # ignore sub-500ms noise
+        flags.append((b / a, name, a, b))
+for r, name, a, b in sorted(flags, reverse=True):
+    print(f"  {r:5.1f}x  {name}: {a:.2f}s -> {b:.2f}s")
+print(f"total: {old.get('value', '?')} -> {new.get('value', '?')} sec; "
+      f"{len(flags)} flagged >= {thr}x; new: {', '.join(added) or '-'}; "
+      f"removed: {', '.join(gone) or '-'}")
