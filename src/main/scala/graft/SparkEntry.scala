@@ -1382,6 +1382,12 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("embedding_z")).as(Seq("pos", "z")))
         .select(col("vec_id"), col("pos"), (round(col("z"), 4) + lit(0.0)).as("z"))),
 
+    // robust median/IQR scaling — outlier-insensitive sibling of s10
+    "s20_robust_scale" -> ((s, dir) =>
+      Similarity.robustScaleDims(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("embedding_r")).as(Seq("pos", "r")))
+        .select(col("vec_id"), col("pos"), (round(col("r"), 4) + lit(0.0)).as("r"))),
+
     // top-principal-component projection: one distributed moment pass
     // (map-side outer products, (i,j)-keyed partial agg), dim²-bounded
     // covariance collected as plan-time model state, driver power
@@ -1513,6 +1519,12 @@ object SparkEntry {
     // per deterministic group (parallel across groups, no global sort)
     "t08_seq_pack" -> ((s, dir) =>
       TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        tokenBudget = 512, numGroups = 8)),
+
+    // packing-efficiency report: per-bin doc count, token total and fill
+    // fraction — the accelerator-utilization number for the t08 layout
+    "t29_pack_efficiency" -> ((s, dir) =>
+      TextAnalysis.packingEfficiency(t(s, dir, "documents"), "doc_id", "text",
         tokenBudget = 512, numGroups = 8)),
 
     // deterministic content-keyed sampling: reproducible across runs
@@ -3297,6 +3309,18 @@ object SparkEntry {
          SELECT x.vec_id, x.pos,
                 round(CASE WHEN sd > 0 THEN (v - mean) / sd ELSE 0.0 END, 4) + 0.0 AS z
          FROM x JOIN st ON x.pos = st.pos""",
+    // same explode CTE as s10; quantile_cont matches Spark's exact
+    // `percentile` interpolation (the f03 precedent)
+    "s20_robust_scale" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         x AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos, emb[CAST(i AS INT)] AS v
+               FROM e, range(1, 65) t(i)),
+         st AS (SELECT pos, quantile_cont(v, [0.25, 0.5, 0.75]) AS q
+                FROM x GROUP BY pos)
+         SELECT x.vec_id, x.pos,
+                round(CASE WHEN (q[3] - q[1]) > 0
+                           THEN (v - q[2]) / (q[3] - q[1]) ELSE 0.0 END, 4) + 0.0 AS r
+         FROM x JOIN st ON x.pos = st.pos""",
     "s11_pca_project" -> s11OracleSql,
     "s12_pca_variance" -> s12OracleSql,
     "c10_pca_outlier_prune" -> c10OracleSql,
@@ -3711,6 +3735,24 @@ object SparkEntry {
                 CAST(cum AS BIGINT) AS cum_tokens,
                 CAST(FLOOR((cum - n_tokens) / 512.0) AS INT) AS seq_no
          FROM c""",
+    // the t08 layout aggregated per bin
+    "t29_pack_efficiency" ->
+      """WITH base AS (
+           SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS pack_group,
+                  CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS INT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, pack_group, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id) AS cum
+           FROM base),
+         p AS (
+           SELECT pack_group, CAST(FLOOR((cum - n_tokens) / 512.0) AS INT) AS seq_no,
+                  n_tokens
+           FROM c)
+         SELECT pack_group, seq_no, COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+                ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 512.0, 6) + 0.0 AS fill_frac
+         FROM p GROUP BY pack_group, seq_no""",
     // the fingerprint CTE is the t04 oracle verbatim; buckets are pmod 100
     "t09_deterministic_sample" ->
       """WITH f AS (

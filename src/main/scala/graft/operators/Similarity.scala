@@ -473,6 +473,44 @@ object Similarity {
         }))
   }
 
+  /** Robust per-dimension scaling — the median/IQR sibling of
+    * [[standardizeDims]] (sklearn's RobustScaler): r = (x − median) / IQR
+    * per dimension, so heavy-tailed or outlier-contaminated embedding
+    * dims (exactly the rows an outlier PRUNE wants to keep visible) don't
+    * blow up the scale the way a variance-based z-score does. Same shape
+    * as s10: ONE positional explode + exact-`percentile` aggregate
+    * (dim-bounded state — 64 rows — the sanctioned plan-time collect),
+    * then a map-only literal-array apply. Constant dims (IQR 0) map to 0
+    * by the s10 convention.
+    */
+  def robustScaleDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = df
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("__pos")
+      .agg(expr("percentile(CAST(__v AS DOUBLE), array(0.25D, 0.5D, 0.75D))").as("__q"))
+      .collect()
+    require(stats.nonEmpty, "empty corpus has no dimension statistics")
+    val dim = stats.map(_.getInt(0)).max + 1
+    val meds = new Array[Double](dim)
+    val iqrs = new Array[Double](dim)
+    stats.foreach { r =>
+      val q = r.getSeq[Double](1)
+      meds(r.getInt(0)) = q(1)
+      iqrs(r.getInt(0)) = q(2) - q(0)
+    }
+    val mArr = typedLit(meds.toSeq)
+    val iArr = typedLit(iqrs.toSeq)
+    df.withColumn(s"${vecCol}_r",
+      zip_with(col(vecCol),
+        sequence(lit(0), lit(dim - 1)),
+        (x, i) => {
+          val iqr = element_at(iArr, i + 1)
+          when(iqr > 0d,
+            (x.cast("double") - element_at(mArr, i + 1)) / iqr)
+            .otherwise(lit(0.0d))
+        }))
+  }
+
   /** Top principal component of a mean-centered embedding corpus — the
     * classic quality/outlier axis for training-data curation (project
     * every embedding onto the dominant variance direction, then prune or

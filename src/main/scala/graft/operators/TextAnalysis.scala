@@ -246,6 +246,28 @@ object TextAnalysis {
         floor((col("cum_tokens") - col("n_tokens")) / lit(tokenBudget)).cast("int"))
   }
 
+  /** Packing-efficiency report over [[packSequences]]' layout: one row
+    * per (pack_group, seq_no) bin with its document count, token total
+    * and fill fraction against the budget — the number a training
+    * pipeline watches to decide whether its packing (and therefore its
+    * compute utilization) is acceptable, since every unfilled token slot
+    * is wasted accelerator time. Straddling documents make a bin's fill
+    * exceed 1.0 by design (the packer splits at sequence boundaries
+    * downstream); chronically low fill means the budget or grouping is
+    * wrong. One hash aggregate over the packed frame — bin-domain-
+    * bounded, map-side combined.
+    */
+  def packingEfficiency(df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Int, numGroups: Int = 64): DataFrame =
+    packSequences(df, idCol, textCol, tokenBudget, numGroups)
+      .groupBy("pack_group", "seq_no")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("bin_tokens"))
+      .select(col("pack_group"), col("seq_no"), col("n_docs"),
+        col("bin_tokens"),
+        (round(col("bin_tokens") / lit(tokenBudget.toDouble), 6) + lit(0.0))
+          .as("fill_frac"))
+
   /** Deterministic (reproducible) sampling: keep documents whose content
     * fingerprint lands in the first `keepPct` of 100 hash buckets. Unlike
     * `rand()`-based sampling this is stable across runs, retries and

@@ -311,6 +311,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(5L) === ((Some(4L), false)))
   }
 
+  test("robustScaleDims: median maps to 0, IQR to unit scale; constant dims to 0") {
+    // dim 0: values 0..4 per row (median 2, IQR 2); dim 1: constant
+    val df = (0 until 5).map(i => (i.toLong, Array(i.toFloat, 7f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.robustScaleDims(df, "vec_id", "embedding")
+      .select($"vec_id", $"embedding_r").as[(Long, Seq[Double])]
+      .collect().toMap
+    // (x - 2) / 2 exactly; constant dim -> 0 (not NaN/Inf)
+    (0 until 5).foreach { i =>
+      assert(math.abs(out(i.toLong)(0) - (i - 2.0) / 2.0) < 1e-12)
+      assert(out(i.toLong)(1) === 0.0)
+    }
+    // robustness: one wild outlier must NOT move the scale of the others
+    // the way it moves a z-score (median/IQR of 0..4,1000 ~ unchanged)
+    val heavy = ((0 until 5).map(i => (i.toLong, Array(i.toFloat))) :+
+      (99L, Array(1000f))).toDF("vec_id", "embedding")
+    val r = Similarity.robustScaleDims(heavy, "vec_id", "embedding")
+      .select($"vec_id", $"embedding_r").as[(Long, Seq[Double])].collect().toMap
+    val z = Similarity.standardizeDims(heavy, "vec_id", "embedding")
+      .select($"vec_id", $"embedding_z").as[(Long, Seq[Double])].collect().toMap
+    // spread of the five inliers under each scaling
+    def spread(m: Map[Long, Seq[Double]]) =
+      (0 until 5).map(i => m(i.toLong).head).max - (0 until 5).map(i => m(i.toLong).head).min
+    assert(spread(r) > 5 * spread(z),
+      s"robust spread ${spread(r)} should dwarf z-score spread ${spread(z)} under an outlier")
+  }
+
   test("standardizeDims: exact per-dimension z-scores; constant dims map to 0") {
     val df = Seq((1L, Array(0f, 2f)), (2L, Array(2f, 2f)), (3L, Array(4f, 2f)))
       .toDF("vec_id", "embedding")

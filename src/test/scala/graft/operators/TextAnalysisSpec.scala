@@ -171,6 +171,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again === out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("packingEfficiency: bin totals partition the corpus; fill = tokens/budget") {
+    val df = (1L to 20L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")
+    val bins = TextAnalysis.packingEfficiency(df, "doc_id", "text",
+        tokenBudget = 10, numGroups = 2)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    // conservation: bin tokens sum to the corpus token count
+    assert(bins.map(_._4).sum === (1L to 20L).sum)
+    // every row accounted for exactly once
+    assert(bins.map(_._3).sum === 20L)
+    bins.foreach { case (_, _, _, tokens, fill) =>
+      assert(math.abs(fill - tokens / 10.0) < 1e-9)
+    }
+  }
+
   test("deterministicSample is stable and content-keyed") {
     val docs = (1L to 200L).map(i => (i, s"document number $i with some text"))
       .toDF("doc_id", "text")
