@@ -26,7 +26,9 @@ object Explain {
         "d10_neardup_free", "s14_knn_graph",
         "s15_graph_rank", "s16_knn_hubness", "s17_hard_negatives",
         "c11_leakage_safe_split", "t25_bpe_pairs", "z05_epoch_shuffle",
-        "s19_ann_ivfpq", "t26_quality_classify", "j09_interval_overlap")
+        "s19_ann_ivfpq", "t26_quality_classify", "j09_interval_overlap",
+        "t28_weighted_sample", "z06_hilbert_layout", "s20_robust_scale",
+        "t29_pack_efficiency")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")

@@ -730,6 +730,14 @@ class StreamingSpec extends SparkTestBase {
     // without the reset the old spend would reject everything
     run("cp2")
     assert(drained() === got)
+    // resume the SAME checkpoint after new data lands: only the new batch
+    // runs, and it spends against the accumulated total (16 > 13), so a
+    // tiny late doc stays rejected — continuation must not re-admit
+    Seq((6L, "u v")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/src")
+    run("cp2")
+    assert(drained() === got,
+      "a resumed stream re-admitted or double-counted after new data")
   }
 
   test("streaming heavy hitters: drained top-k equals batch topTokens; " +
