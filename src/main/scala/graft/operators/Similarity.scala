@@ -302,7 +302,12 @@ object Similarity {
     val probed = queries.select(
       col(queryId), col(queryVec).as("__qv"),
       explode(probeListsCol(centroids, nprobe)(col(queryVec))).as("__list"))
-    val scored = assigned.join(probed, "__list")
+    // broadcast the probed queries: a shuffle join here would hash on
+    // __list — numCentroids distinct keys, so at cluster scale at most
+    // that many tasks would do ALL the candidate scoring. Broadcasting
+    // keeps the corpus un-shuffled and the scan fully parallel (queries
+    // are small by contract, same as bruteForceTopK).
+    val scored = assigned.join(broadcast(probed), "__list")
       .select(col(queryId), col(corpusId),
         cosine(col(corpusVec), col("__qv")).as("cosine"))
       .filter(col("cosine").isNotNull)
@@ -384,12 +389,17 @@ object Similarity {
     val probed = queries.filter(size(col(queryVec)) === dim).select(
       col(queryId), col(queryVec).as("__qv"),
       explode(probeListsCol(centroids, nprobe)(col(queryVec))).as("__list"))
-    val adcScored = encoded.join(probed, "__list")
+    // broadcast, not shuffle: __list has only numCentroids distinct
+    // values — a hash join on it would funnel the whole ADC scan through
+    // that many tasks. Broadcasting the (small) probed queries keeps the
+    // code scan map-side and fully parallel.
+    val adcScored = encoded.join(broadcast(probed), "__list")
       .select(col(queryId), col(corpusId),
         adc(col("__codes"), col("__qv")).as("cosine"))
     val cands = rankTopK(adcScored, queryId, corpusId, rerank)
       .select(col(queryId), col(corpusId))
-    val rer = cands
+    // candidates are |Q|·rerank rows — broadcast them at the corpus too
+    val rer = broadcast(cands)
       .join(sized.select(col(corpusId), col(corpusVec)), corpusId)
       .join(broadcast(queries.select(col(queryId), col(queryVec).as("__qv"))), queryId)
       .select(col(queryId), col(corpusId),

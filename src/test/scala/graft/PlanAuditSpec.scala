@@ -386,8 +386,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"ranking via a window:\n$p")
     assert(p.contains("top_k_by") || p.contains("TopKByScore"),
       s"missing the bounded top-k aggregate:\n$p")
-    // candidate generation joins on the inverted-list id
+    // candidate generation joins on the inverted-list id — and must
+    // BROADCAST the probed queries: numCentroids distinct keys would cap
+    // a shuffle join's parallelism at that many tasks
     assert(p.contains("__list"), s"IVF list equi-key missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC candidate join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join crept into the ANN path:\n$p")
   }
 
   test("z06 hilbert key is map-only over the scan (bounds come from plan time)") {
