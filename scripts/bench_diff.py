@@ -23,10 +23,16 @@ def load(path):
         raw = d.get("tail", "") if isinstance(d, dict) else ""
     except json.JSONDecodeError:
         pass
-    m = re.search(r'\{"metric".*\}', raw)
-    if not m:
-        raise SystemExit(f"{path}: no bench JSON line found")
-    return json.loads(m.group(0))
+    # the bench line nests braces, so parse line-wise instead of trusting
+    # a greedy regex across trailing log noise
+    for line in raw.splitlines():
+        m = re.search(r'\{"metric".*\}', line)
+        if m:
+            try:
+                return json.loads(m.group(0))
+            except json.JSONDecodeError:
+                continue
+    raise SystemExit(f"{path}: no bench JSON line found")
 
 
 old, new = load(sys.argv[1]), load(sys.argv[2])

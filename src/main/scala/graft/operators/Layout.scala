@@ -42,14 +42,19 @@ object Layout {
   /** Adds column `zkey`: the Morton interleave of `a` and `b` min-max
     * scaled to `bits` bits each. Inputs must be integral and non-null.
     */
+  /** ONE plan-time bounds aggregate for a 2-axis curve key (the z-order
+    * sanction: 4 longs of driver state). Shared by [[zorderKey]] and
+    * [[hilbertKey]].
+    */
+  private def bounds2(df: DataFrame, a: String, b: String): (Long, Long, Long, Long) = {
+    val r = df.agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
+      min(col(b)).cast("long"), max(col(b)).cast("long")).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
   def zorderKey(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val Array(la, ha, lb, hb) = df
-      .agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
-        min(col(b)).cast("long"), max(col(b)).cast("long"))
-      .collect()(0) match {
-      case r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    }
+    val (la, ha, lb, hb) = bounds2(df, a, b)
     df.withColumn("zkey",
       GraftFunctions.interleave_bits(
         scaledExpr(a, la, ha, bits), scaledExpr(b, lb, hb, bits), bits))
@@ -65,12 +70,7 @@ object Layout {
     */
   def hilbertKey(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val Array(la, ha, lb, hb) = df
-      .agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
-        min(col(b)).cast("long"), max(col(b)).cast("long"))
-      .collect()(0) match {
-      case r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    }
+    val (la, ha, lb, hb) = bounds2(df, a, b)
     df.withColumn("hkey",
       GraftFunctions.hilbert_index(
         scaledExpr(a, la, ha, bits), scaledExpr(b, lb, hb, bits), bits))

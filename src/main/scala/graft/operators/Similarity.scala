@@ -470,15 +470,26 @@ object Similarity {
       means(r.getInt(0)) = sm / n
       stds(r.getInt(0)) = math.sqrt((sq - sm * sm / n) / n)
     }
-    val mArr = typedLit(means.toSeq)
-    val sArr = typedLit(stds.toSeq)
-    df.withColumn(s"${vecCol}_z",
+    applyDimScaling(df, vecCol, s"${vecCol}_z", means, stds)
+  }
+
+  /** Map-only `(x − center[pos]) / scale[pos]` apply with the model as
+    * literal arrays; `scale <= 0` dims map to 0 (the s10 convention).
+    * Shared by the z-score and robust scalers — the ONLY thing they
+    * differ on is how center/scale are estimated.
+    */
+  private def applyDimScaling(df: DataFrame, vecCol: String, outCol: String,
+      centers: Array[Double], scales: Array[Double]): DataFrame = {
+    val dim = centers.length
+    val cArr = typedLit(centers.toSeq)
+    val sArr = typedLit(scales.toSeq)
+    df.withColumn(outCol,
       zip_with(col(vecCol),
         sequence(lit(0), lit(dim - 1)),
         (x, i) => {
-          val sd = element_at(sArr, i + 1)
-          when(sd > 0d,
-            (x.cast("double") - element_at(mArr, i + 1)) / sd)
+          val sc = element_at(sArr, i + 1)
+          when(sc > 0d,
+            (x.cast("double") - element_at(cArr, i + 1)) / sc)
             .otherwise(lit(0.0d))
         }))
   }
@@ -488,10 +499,15 @@ object Similarity {
     * per dimension, so heavy-tailed or outlier-contaminated embedding
     * dims (exactly the rows an outlier PRUNE wants to keep visible) don't
     * blow up the scale the way a variance-based z-score does. Same shape
-    * as s10: ONE positional explode + exact-`percentile` aggregate
-    * (dim-bounded state — 64 rows — the sanctioned plan-time collect),
-    * then a map-only literal-array apply. Constant dims (IQR 0) map to 0
-    * by the s10 convention.
+    * as s10 — one positional explode, one per-dim aggregate, a 64-row
+    * plan-time collect, map-only literal apply — with one honest cost
+    * difference: Spark's exact `percentile` buffers the VALUES per dim
+    * (each post-shuffle dim task holds O(rows/dim-distinct) entries),
+    * unlike s10's constant-size moment sums. That is the price of an
+    * oracle-replayable exact quantile; for a corpus whose per-dim value
+    * sets outgrow executor memory, swap the aggregate for
+    * `approx_percentile` (constant-memory sketch, same downstream apply)
+    * and accept rank error instead. Constant dims (IQR 0) map to 0.
     */
   def robustScaleDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val stats = df
@@ -508,17 +524,7 @@ object Similarity {
       meds(r.getInt(0)) = q(1)
       iqrs(r.getInt(0)) = q(2) - q(0)
     }
-    val mArr = typedLit(meds.toSeq)
-    val iArr = typedLit(iqrs.toSeq)
-    df.withColumn(s"${vecCol}_r",
-      zip_with(col(vecCol),
-        sequence(lit(0), lit(dim - 1)),
-        (x, i) => {
-          val iqr = element_at(iArr, i + 1)
-          when(iqr > 0d,
-            (x.cast("double") - element_at(mArr, i + 1)) / iqr)
-            .otherwise(lit(0.0d))
-        }))
+    applyDimScaling(df, vecCol, s"${vecCol}_r", meds, iqrs)
   }
 
   /** Top principal component of a mean-centered embedding corpus — the

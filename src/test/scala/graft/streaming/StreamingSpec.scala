@@ -731,8 +731,8 @@ class StreamingSpec extends SparkTestBase {
     run("cp2")
     assert(drained() === got)
     // resume the SAME checkpoint after new data lands: only the new batch
-    // runs, and it spends against the accumulated total (16 > 13), so a
-    // tiny late doc stays rejected — continuation must not re-admit
+    // runs, and it spends against the accumulated total (8 + 8 + 1 = 17
+    // > 13), so a tiny late doc stays rejected — no re-admission
     Seq((6L, "u v")).toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(s"$dir/src")
     run("cp2")
