@@ -1527,6 +1527,19 @@ object SparkEntry {
       TextAnalysis.packingEfficiency(t(s, dir, "documents"), "doc_id", "text",
         tokenBudget = 512, numGroups = 8)),
 
+    // corpus-wide boilerplate-line removal: every 4th doc gains a planted
+    // newsletter footer (125 docs >> minDocs=50), which must vanish from
+    // every document while unique prose lines survive untouched
+    "t30_boilerplate_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\nSubscribe to our newsletter today")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 50)
+        .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+          col("boiler_frac"), md5(col("text_clean")).as("clean_md5"))
+    }),
+
     // deterministic content-keyed sampling: reproducible across runs
     "t09_deterministic_sample" -> ((s, dir) =>
       TextAnalysis.deterministicSample(t(s, dir, "documents"), "text", keepPct = 20)
@@ -3735,6 +3748,34 @@ object SparkEntry {
                 CAST(cum AS BIGINT) AS cum_tokens,
                 CAST(FLOOR((cum - n_tokens) / 512.0) AS INT) AS seq_no
          FROM c""",
+    // line document-frequency + ordered reassembly, all relational (no
+    // hashing to replay — lines join on their own text)
+    "t30_boilerplate_lines" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0
+                       THEN text || chr(10) || 'Subscribe to our newsletter today'
+                       ELSE text END AS text
+           FROM documents),
+         ls AS (SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                         l -> length(trim(l)) > 0) AS l
+                FROM d),
+         flat AS (SELECT doc_id,
+                         UNNEST(list_transform(range(1, len(l) + 1),
+                           i -> struct_pack(no := i, line := l[CAST(i AS INT)]))) AS s
+                  FROM ls),
+         f AS (SELECT doc_id, s.no AS line_no, s.line AS line FROM flat),
+         freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM f GROUP BY line),
+         j AS (SELECT f.doc_id, f.line_no, f.line, (freq.df >= 50) AS b
+               FROM f JOIN freq USING (line))
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                ROUND(CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                  + 0.0 AS boiler_frac,
+                md5(COALESCE(string_agg(CASE WHEN NOT b THEN line END,
+                                        chr(10) ORDER BY line_no), '')) AS clean_md5
+         FROM j GROUP BY doc_id""",
     // the t08 layout aggregated per bin
     "t29_pack_efficiency" ->
       """WITH base AS (

@@ -268,6 +268,49 @@ object TextAnalysis {
         (round(col("bin_tokens") / lit(tokenBudget.toDouble), 6) + lit(0.0))
           .as("fill_frac"))
 
+  /** Corpus-wide boilerplate-line removal — the CCNet/RefinedWeb cleaning
+    * step that intra-document signals (t12) and span dedup (d07) don't
+    * cover: a LINE is boilerplate when it appears in at least `minDocs`
+    * DISTINCT documents (cookie banners, newsletter footers, nav chrome),
+    * and every occurrence is dropped. Empty/whitespace lines are
+    * discarded up front; documents with no surviving non-empty lines drop
+    * out entirely (nothing to clean).
+    *
+    * Scale shape: documents explode to skinny (id, line_no, line) rows;
+    * document frequency is ONE line-keyed hash aggregate over per-doc
+    * -distinct lines (map-side combined, bounded by distinct lines); the
+    * verdict joins back line-keyed; reassembly is a per-document
+    * `sort_array(collect_list(struct))` — bounded by DOCUMENT size, never
+    * a window over the corpus.
+    *
+    * Output: (idCol, n_lines, n_boiler, boiler_frac, text_clean).
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would flag every line as boilerplate")
+    val flat = df.select(col(idCol),
+      posexplode(filter(split(col(textCol), "\n"),
+        l => length(trim(l)) > 0)).as(Seq("__no", "__line")))
+    val docFreq = flat.select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+    val flagged = flat.join(docFreq, Seq("__line"))
+      .select(col(idCol), col("__no"), col("__line"),
+        (col("__df") >= minDocs).as("__b"))
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_boiler"),
+        sort_array(collect_list(struct(col("__no"), col("__line"), col("__b"))))
+          .as("__ordered"))
+      .select(col(idCol), col("n_lines"), col("n_boiler"),
+        (round(col("n_boiler").cast("double") / col("n_lines"), 6) + lit(0.0))
+          .as("boiler_frac"),
+        array_join(
+          transform(
+            filter(col("__ordered"), s => !s.getField("__b")),
+            s => s.getField("__line")),
+          "\n").as("text_clean"))
+  }
+
   /** Deterministic (reproducible) sampling: keep documents whose content
     * fingerprint lands in the first `keepPct` of 100 hash buckets. Unlike
     * `rand()`-based sampling this is stable across runs, retries and

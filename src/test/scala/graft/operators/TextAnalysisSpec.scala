@@ -171,6 +171,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again === out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("removeBoilerplateLines: shared lines vanish everywhere, unique prose survives in order") {
+    val footer = "subscribe now"
+    val df = Seq(
+      (1L, s"alpha one\n$footer\nbeta two"),
+      (2L, s"$footer\ngamma three"),
+      (3L, s"delta four\n \nepsilon five"), // blank line is discarded, not boiler
+      (4L, footer)).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .select($"doc_id", $"n_lines", $"n_boiler", $"text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((3L, 1L, "alpha one\nbeta two")))
+    assert(out(2L) === ((2L, 1L, "gamma three")))
+    assert(out(3L) === ((2L, 0L, "delta four\nepsilon five")))
+    // a document that was ALL boilerplate keeps an empty clean text
+    assert(out(4L) === ((1L, 1L, "")))
+    // below the doc-frequency threshold nothing is flagged
+    val none = TextAnalysis.removeBoilerplateLines(df, "doc_id", "text", minDocs = 4)
+      .agg(sum($"n_boiler")).as[Long].head()
+    assert(none === 0L)
+  }
+
   test("packingEfficiency: bin totals partition the corpus; fill = tokens/budget") {
     val df = (1L to 20L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")
     val bins = TextAnalysis.packingEfficiency(df, "doc_id", "text",
