@@ -578,6 +578,33 @@ object SparkEntry {
       Layout.hilbertKey(t(s, dir, "orders"), "o_custkey", "o_orderkey",
         bits = 10).select("o_orderkey", "hkey")),
 
+    // file-pruning report: both curve layouts partitioned into 16
+    // key-range files, a box query counted per file — `touched` is the
+    // files min/max stats could NOT prune, the decision input for
+    // choosing a layout on a real workload's box mix. (No single box
+    // proves one curve superior — Hilbert wins on aligned boxes and on
+    // average, Morton can win on diagonal-crossing boxes; the provable
+    // aligned-box case is pinned in LayoutSpec instead.)
+    "z07_pruning_report" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val box = col("o_custkey") <= 375 && col("o_orderkey") <= 3750
+      def report(keyed: DataFrame, keyCol: String, name: String): DataFrame = {
+        val mx = keyed.agg(max(col(keyCol))).head().getLong(0)
+        keyed
+          .withColumn("file_id",
+            least(expr(s"CAST((`$keyCol` * 16) div ${mx + 1}L AS INT)"), lit(15)))
+          .groupBy(lit(name).as("layout"), col("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(box, 1L).otherwise(0L)).as("n_box_rows"))
+          .withColumn("touched", col("n_box_rows") > 0)
+      }
+      report(Layout.hilbertKey(orders, "o_custkey", "o_orderkey", bits = 10),
+          "hkey", "hilbert")
+        .unionByName(report(
+          Layout.zorderKey(orders, "o_custkey", "o_orderkey", bits = 10),
+          "zkey", "morton"))
+    }),
+
     // deterministic global shuffle + balanced training shards: shard and
     // in-shard rank are pure functions of the content fingerprint, so the
     // layout replays bit-identically across runs and engines
@@ -2883,6 +2910,53 @@ object SparkEntry {
                   (((sa >> j) & 1) << (2 * j)) + (((sb >> j) & 1) << (2 * j + 1))))
                   AS BIGINT) AS zkey
          FROM s""",
+    // both curve replays (z01's list_sum interleave, z06's recursive
+    // walk) + the same 16-file range assignment + box counts
+    "z07_pruning_report" ->
+      """WITH RECURSIVE mm AS (
+           SELECT min(o_custkey) AS la, max(o_custkey) AS ha,
+                  min(o_orderkey) AS lb, max(o_orderkey) AS hb
+           FROM orders),
+         sc AS (SELECT o_orderkey, o_custkey,
+                       ((o_custkey - la) * 1023) // (ha - la) AS sa,
+                       ((o_orderkey - lb) * 1023) // (hb - lb) AS sb
+                FROM orders, mm),
+         hil AS (
+           SELECT o_orderkey, CAST(sa AS BIGINT) AS x, CAST(sb AS BIGINT) AS y,
+                  CAST(0 AS BIGINT) AS d, CAST(512 AS BIGINT) AS s
+           FROM sc
+           UNION ALL
+           SELECT o_orderkey,
+                  CASE WHEN (y & s) <> 0 THEN x
+                       ELSE CASE WHEN (x & s) <> 0 THEN s - 1 - y ELSE y END END,
+                  CASE WHEN (y & s) <> 0 THEN y
+                       ELSE CASE WHEN (x & s) <> 0 THEN s - 1 - x ELSE x END END,
+                  d + s * s * xor(3 * (CASE WHEN (x & s) <> 0 THEN 1 ELSE 0 END),
+                                  CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END),
+                  s // 2
+           FROM hil WHERE s > 0),
+         hk AS (SELECT sc.o_orderkey, sc.o_custkey, hil.d AS key
+                FROM hil JOIN sc ON hil.o_orderkey = sc.o_orderkey
+                WHERE hil.s = 0),
+         zk AS (SELECT o_orderkey, o_custkey,
+                       CAST(list_sum(list_transform(range(0, 10), j ->
+                         (((sa >> j) & 1) << (2 * j)) + (((sb >> j) & 1) << (2 * j + 1))))
+                         AS BIGINT) AS key
+                FROM sc),
+         u AS (SELECT 'hilbert' AS layout, o_orderkey, o_custkey, key,
+                      (SELECT max(key) FROM hk) AS mx FROM hk
+               UNION ALL
+               SELECT 'morton', o_orderkey, o_custkey, key,
+                      (SELECT max(key) FROM zk) FROM zk),
+         f AS (SELECT layout, o_orderkey, o_custkey,
+                      LEAST((key * 16) // (mx + 1), 15) AS file_id FROM u)
+         SELECT layout, CAST(file_id AS INT) AS file_id,
+                COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN o_custkey <= 375 AND o_orderkey <= 3750
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_box_rows,
+                SUM(CASE WHEN o_custkey <= 375 AND o_orderkey <= 3750
+                         THEN 1 ELSE 0 END) > 0 AS touched
+         FROM f GROUP BY layout, file_id""",
     // the Hilbert walk replayed as a recursive CTE: one iteration per
     // level carries (x, y, d, s) through the quadrant-rotation recurrence
     // — every CASE reads the PREVIOUS level's columns, exactly the
