@@ -11,7 +11,7 @@ Usage: bench_diff.py <old.json> <new.json> [threshold_ratio=2.0]
 Bench numbers swing 2-3x with machine load (see .claude/skills/verify):
 treat flags as "profile this isolated", not as proof.
 """
-import json, re, sys
+import json, sys
 
 
 def load(path):
@@ -23,16 +23,21 @@ def load(path):
         raw = d.get("tail", "") if isinstance(d, dict) else ""
     except json.JSONDecodeError:
         pass
-    # the bench line nests braces, so parse line-wise instead of trusting
-    # a greedy regex across trailing log noise
+    # raw_decode stops at the object's real end, so same-line trailing
+    # noise can't break the parse; remember the last failure (e.g. a
+    # driver-truncated tail) so the error message stays diagnostic
+    last_err = None
     for line in raw.splitlines():
-        m = re.search(r'\{"metric".*\}', line)
-        if m:
-            try:
-                return json.loads(m.group(0))
-            except json.JSONDecodeError:
-                continue
-    raise SystemExit(f"{path}: no bench JSON line found")
+        i = line.find('{"metric"')
+        if i < 0:
+            continue
+        try:
+            obj, _ = json.JSONDecoder().raw_decode(line[i:])
+            return obj
+        except json.JSONDecodeError as e:
+            last_err = e
+    detail = f" (last candidate failed: {last_err})" if last_err else ""
+    raise SystemExit(f"{path}: no parseable bench JSON line found{detail}")
 
 
 old, new = load(sys.argv[1]), load(sys.argv[2])

@@ -589,10 +589,13 @@ object SparkEntry {
       val orders = t(s, dir, "orders")
       val box = col("o_custkey") <= 375 && col("o_orderkey") <= 3750
       def report(keyed: DataFrame, keyCol: String, name: String): DataFrame = {
-        val mx = keyed.agg(max(col(keyCol))).head().getLong(0)
+        // max key folds into the plan as a 1-row broadcast (the oracle's
+        // scalar-subquery shape) — no extra driver-blocking pass that
+        // would recompute every curve key before the query even runs
         keyed
+          .crossJoin(broadcast(keyed.agg(max(col(keyCol)).as("__mx"))))
           .withColumn("file_id",
-            least(expr(s"CAST((`$keyCol` * 16) div ${mx + 1}L AS INT)"), lit(15)))
+            least(expr(s"CAST((`$keyCol` * 16) div (`__mx` + 1) AS INT)"), lit(15)))
           .groupBy(lit(name).as("layout"), col("file_id"))
           .agg(count(lit(1)).as("n_rows"),
             sum(when(box, 1L).otherwise(0L)).as("n_box_rows"))

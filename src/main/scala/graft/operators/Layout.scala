@@ -39,9 +39,6 @@ object Layout {
     else expr(s"((CAST(`$name` AS BIGINT) - ${lo}L) * ${mask}L) div ${span.toLong}L")
   }
 
-  /** Adds column `zkey`: the Morton interleave of `a` and `b` min-max
-    * scaled to `bits` bits each. Inputs must be integral and non-null.
-    */
   /** ONE plan-time bounds aggregate for a 2-axis curve key (the z-order
     * sanction: 4 longs of driver state). Shared by [[zorderKey]] and
     * [[hilbertKey]].
@@ -52,6 +49,9 @@ object Layout {
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
+  /** Adds column `zkey`: the Morton interleave of `a` and `b` min-max
+    * scaled to `bits` bits each. Inputs must be integral and non-null.
+    */
   def zorderKey(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     val (la, ha, lb, hb) = bounds2(df, a, b)
