@@ -1412,6 +1412,16 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("embedding_z")).as(Seq("pos", "z")))
         .select(col("vec_id"), col("pos"), (round(col("z"), 4) + lit(0.0)).as("z"))),
 
+    // diversity selection: greedy max-min (farthest-point) coreset of 5
+    // from the first 100 pool vectors; rank order, ids and max-min
+    // scores all hash-pinned
+    "s21_diverse_select" -> ((s, dir) =>
+      Similarity.farthestPointSample(
+          t(s, dir, "embeddings").filter(col("vec_id") < 100),
+          "vec_id", "embedding", k = 5)
+        .select(col("sel_rank"), col("vec_id"),
+          (round(col("score"), 6) + lit(0.0)).as("score"))),
+
     // robust median/IQR scaling — outlier-insensitive sibling of s10
     "s20_robust_scale" -> ((s, dir) =>
       Similarity.robustScaleDims(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -2163,6 +2173,44 @@ object SparkEntry {
        |      FROM keyed)
        |SELECT doc_id, CAST(rank AS INT) AS rank, key
        |FROM r WHERE rank <= 50""".stripMargin
+  }
+
+  /** s21 oracle: the greedy farthest-point walk UNROLLED — stage i joins
+    * the pool against the union of stages 0..i−1, takes the per-candidate
+    * MIN dissimilarity, and arg-maxes by (score, −id); double arithmetic
+    * is list_dot_product over DOUBLE[] (the s03-proven cosine replay).
+    */
+  private def s21OracleSql: String = {
+    val k = 5
+    def dis = "1 - list_dot_product(p.emb, s.emb) / " +
+      "(sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(s.emb, s.emb)))"
+    val stages = (1 until k).map { i =>
+      val priorSel = (0 until i).map(j => s"SELECT vec_id, emb FROM s$j")
+        .mkString(" UNION ALL ")
+      val priorIds = (0 until i).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""c$i AS (SELECT p.vec_id, any_value(p.emb) AS emb, MIN($dis) AS score
+         |        FROM pool p JOIN ($priorSel) s ON true
+         |        WHERE p.vec_id NOT IN ($priorIds)
+         |        GROUP BY p.vec_id),
+         |w$i AS (SELECT max(struct_pack(a := score, b := -vec_id,
+         |                               vec_id := vec_id, emb := emb, sc := score)) AS w
+         |        FROM c$i),
+         |s$i AS (SELECT w.vec_id AS vec_id, w.emb AS emb, w.sc AS sc FROM w$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (0 until k).map { i =>
+      if (i == 0)
+        s"SELECT CAST(0 AS INT) AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS score FROM s0"
+      else
+        s"SELECT CAST($i AS INT), vec_id, ROUND(sc, 6) + 0.0 FROM s$i"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH pool AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |              FROM embeddings WHERE vec_id < 100),
+       |s0 AS (SELECT vec_id, emb, CAST(NULL AS DOUBLE) AS sc
+       |       FROM pool ORDER BY vec_id LIMIT 1),
+       |$stages
+       |$out""".stripMargin
   }
 
   /** s12 oracle: λ = p·(C·p), trace = Σ C[i][i], ratio — all in the same
@@ -3412,6 +3460,7 @@ object SparkEntry {
                            THEN (v - q[2]) / (q[3] - q[1]) ELSE 0.0 END, 4) + 0.0 AS r
          FROM x JOIN st ON x.pos = st.pos""",
     "s11_pca_project" -> s11OracleSql,
+    "s21_diverse_select" -> s21OracleSql,
     "s12_pca_variance" -> s12OracleSql,
     "c10_pca_outlier_prune" -> c10OracleSql,
     "c11_leakage_safe_split" -> c11OracleSql,

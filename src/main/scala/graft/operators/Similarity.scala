@@ -494,6 +494,70 @@ object Similarity {
         }))
   }
 
+  /** Farthest-point sampling (greedy k-center / max-min coreset
+    * selection): seed with the smallest id, then repeatedly take the
+    * pool vector whose MINIMUM cosine-dissimilarity to everything
+    * selected so far is LARGEST — the classic 2-approximation of the
+    * k-center objective and the standard diversity-selection step when a
+    * small, spread-out subset must represent an embedding pool (eval-set
+    * seeding, prototype picking, dedup-cluster exemplars).
+    *
+    * Scale shape: the selected set is MODEL STATE (k vectors, collected
+    * one per round — the IVF-centroid sanction), so each round is ONE
+    * map-only pool scan scoring `least(1 − cos(v, litᵢ))` against the
+    * selected literals plus a `max_by` argmax aggregate: no joins, no
+    * window, nothing shuffles but one row per partition per round. Pools
+    * are bounded by construction (feed an ANN/cluster pre-selection for
+    * corpus-scale inputs — k rounds over 100 TB would be k full scans).
+    * Ties break to the smaller id. Output: (sel_rank 0..k−1, idCol,
+    * score — the max-min dissimilarity at selection time, null for the
+    * seed).
+    */
+  def farthestPointSample(pool: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "need at least one selection")
+    val spark = pool.sparkSession
+    val seedRow = pool.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col(vecCol)).head()
+    var selected = Vector[(Long, Array[Float], Option[Double])](
+      (seedRow.getLong(0), seedRow.getSeq[Float](1).toArray, None))
+    while (selected.size < k) {
+      val minDis = selected.map { case (_, v, _) =>
+        lit(1.0d) - cosine(col(vecCol), typedLit(v))
+      }.reduce(least(_, _))
+      val chosen = pool
+        .filter(!col(idCol).isin(selected.map(_._1): _*))
+        .select(max_by(
+          struct(col(idCol), col(vecCol)),
+          struct(minDis, -col(idCol))).as("__w"),
+          lit(1).as("__one"))
+        .head()
+      val w = chosen.getStruct(0)
+      val id = w.getLong(0)
+      val vec = w.getSeq[Float](1).toArray
+      // the winning score replays from the literals (exact — same
+      // arithmetic the scan used)
+      val sc = selected.map { case (_, sv, _) =>
+        1.0d - { // cosine on doubles, same fold order as the kernel
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < vec.length) {
+            dot += vec(i).toDouble * sv(i).toDouble
+            na += vec(i).toDouble * vec(i).toDouble
+            nb += sv(i).toDouble * sv(i).toDouble
+            i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+      }.min
+      selected = selected :+ ((id, vec, Some(sc)))
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, sc), r) =>
+      (r, id, sc)
+    }.toDF("sel_rank", idCol, "score")
+  }
+
   /** Robust per-dimension scaling — the median/IQR sibling of
     * [[standardizeDims]] (sklearn's RobustScaler): r = (x − median) / IQR
     * per dimension, so heavy-tailed or outlier-contaminated embedding

@@ -311,6 +311,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(5L) === ((Some(4L), false)))
   }
 
+  test("farthestPointSample equals the brute-force greedy walk; seed is min id") {
+    val pool = corpus.filter($"vec_id" < 40)
+    val got = Similarity.farthestPointSample(pool, "vec_id", "embedding", k = 6)
+      .select("sel_rank", "vec_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.head === ((0, 0L)), "seed must be the smallest id")
+    // brute-force greedy reimplementation
+    val vecs = pool.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => i -> v.toArray }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var sel = Vector(vecs.keys.min)
+    while (sel.size < 6) {
+      val next = vecs.keys.filterNot(sel.contains).toSeq
+        .map(c => (sel.map(s => 1.0 - cos(vecs(c), vecs(s))).min, c))
+        .maxBy { case (sc, id) => (sc, -id) }._2
+      sel = sel :+ next
+    }
+    assert(got.map(_._2).toSeq === sel,
+      s"greedy walks diverge: got ${got.map(_._2).toSeq} want $sel")
+    // diversity property: the FPS set's min pairwise dissimilarity beats
+    // the first-k prefix's
+    def minPairDis(ids: Seq[Long]) =
+      (for (a <- ids; b <- ids if a < b) yield 1.0 - cos(vecs(a), vecs(b))).min
+    assert(minPairDis(got.map(_._2).toSeq) >= minPairDis((0L until 6L).toSeq))
+  }
+
   test("robustScaleDims: median maps to 0, IQR to unit scale; constant dims to 0") {
     // dim 0: values 0..4 per row (median 2, IQR 2); dim 1: constant
     val df = (0 until 5).map(i => (i.toLong, Array(i.toFloat, 7f)))
