@@ -28,7 +28,8 @@ object Explain {
         "c11_leakage_safe_split", "t25_bpe_pairs", "z05_epoch_shuffle",
         "s19_ann_ivfpq", "t26_quality_classify", "j09_interval_overlap",
         "t28_weighted_sample", "z06_hilbert_layout", "s20_robust_scale",
-        "t29_pack_efficiency", "t30_boilerplate_lines")
+        "t29_pack_efficiency", "t30_boilerplate_lines",
+        "s21_diverse_select", "t31_lang_confusion")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")

@@ -1514,6 +1514,15 @@ object SparkEntry {
         .select(col("doc_id"), col("rank"),
           (col("key") + lit(0.0)).as("key"))),
 
+    // language-ID confusion matrix: predicted vs labeled language counts
+    // — the quality report a pipeline runs before trusting the cheap
+    // classifier as a filter; one hash aggregate over map-only inference
+    "t31_lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .withColumn("hit", col("lang") === col("pred_lang"))),
+
     // linear quality-classifier inference: literal-weight sigmoid scoring,
     // keep decided on the exact linear margin (no transcendental at the
     // decision boundary)
@@ -2699,6 +2708,13 @@ object SparkEntry {
          FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
                FROM documents)""",
     "t01_lang_id" -> t01LangSql,
+    // t01's replay joined back to the labels and aggregated
+    "t31_lang_confusion" ->
+      s"""WITH pred AS ($t01LangSql)
+         SELECT d.lang, p.pred_lang, COUNT(*) AS n,
+                d.lang = p.pred_lang AS hit
+         FROM documents d JOIN pred p USING (doc_id)
+         GROUP BY d.lang, p.pred_lang""",
     "t07_tfidf" ->
       """WITH toks AS (
            SELECT doc_id,
