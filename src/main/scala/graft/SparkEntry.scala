@@ -71,7 +71,15 @@ object SparkEntry {
     * upstream pass a tail-only audit untouched.
     */
   private[graft] def c07Pipeline(docs: DataFrame,
-      materializeIntermediates: Boolean = true): DataFrame = {
+      materializeIntermediates: Boolean = true): DataFrame =
+    c07Stages(docs, materializeIntermediates).last._2
+
+  /** The same pipeline with every stage exposed — the c12 funnel report
+    * counts each one, and sharing the construction here means the funnel
+    * and the c07 gate can never disagree on stage membership.
+    */
+  private[graft] def c07Stages(docs: DataFrame,
+      materializeIntermediates: Boolean = true): Seq[(String, DataFrame)] = {
     def snap(df: DataFrame): DataFrame =
       if (materializeIntermediates) df.localCheckpoint(eager = true) else df
     val (dupB, _) = TextAnalysis.repetitionScores(col("text"))
@@ -91,11 +99,13 @@ object SparkEntry {
       .filter(col("contaminated")).select("doc_id")
     val decon = gated.join(flagged, Seq("doc_id"), "left_anti")
     val deduped = snap(Dedup.normalizedDedup(decon, "doc_id", "text"))
-    TextAnalysis.importanceResample(deduped, "doc_id", "text",
+    val kept = TextAnalysis.importanceResample(deduped, "doc_id", "text",
         col("lang") === "en", buckets = 1024)
       .filter(col("kept"))
       .select(col("doc_id"), col("quality"), col("score"),
         (round(col("keep_prob"), 6) + lit(0.0)).as("keep_prob"))
+    Seq("a0_input" -> docs, "a1_gated" -> gated, "a2_decon" -> decon,
+      "a3_dedup" -> deduped, "a4_resampled" -> kept)
   }
 
   /** Direction-planted ANN probe queries: each query is a corpus vector
@@ -1647,6 +1657,17 @@ object SparkEntry {
     // stage reuses the exact operator the standalone queries gate
     "c07_curation_pipeline" -> ((s, dir) => c07Pipeline(t(s, dir, "documents"))),
 
+    // curation funnel: documents surviving each c07 stage — the yield
+    // report a pipeline owner reads before anything ships; stages share
+    // the EXACT c07 construction so the funnel can't drift from the gate
+    "c12_curation_funnel" -> ((s, dir) =>
+      c07Stages(t(s, dir, "documents"))
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(name).as("stage"), col("n_docs"))
+        }
+        .reduce(_ unionByName _)),
+
     // length-curriculum bucketing: EXACT decile boundaries of document
     // length (the short-to-long curriculum knob) — the value histogram is
     // one domain-bounded hash aggregate, the boundaries are plan-time
@@ -2332,7 +2353,16 @@ object SparkEntry {
     * corpus-relative) feeding the t24 fingerprint-coin resample.
     */
   private def c07OracleSql: String =
-    s"""WITH lang AS ($t01LangSql),
+    s"""WITH $c07Ctes
+       |SELECT * FROM kept""".stripMargin
+
+  /** The c07 pipeline's CTE chain ending in
+    * `kept(doc_id, quality, score, keep_prob)` — shared verbatim by the
+    * c07 gate and the c12 funnel counts so the two can never disagree on
+    * a stage's membership.
+    */
+  private def c07Ctes: String =
+    s"""lang AS ($t01LangSql),
        |qual AS ($t02QualitySql),
        |rep AS ($t12RepetitionSql),
        |gated AS (
@@ -2362,10 +2392,11 @@ object SparkEntry {
        |              ELSE CAST(CAST(s.score AS HUGEINT) - mm.lo AS DOUBLE)
        |                   / CAST(CAST(mm.hi AS HUGEINT) - mm.lo AS DOUBLE) END AS p,
        |         ((fp.fp % 1048576) + 1048576) % 1048576 AS u
-       |  FROM scores s JOIN fp USING (doc_id) CROSS JOIN mm)
-       |SELECT jj.doc_id, d.quality, jj.score, ROUND(jj.p, 6) + 0.0 AS keep_prob
-       |FROM jj JOIN dedup d USING (doc_id)
-       |WHERE u < CAST(floor(p * CAST(1048576 AS DOUBLE)) AS BIGINT)""".stripMargin
+       |  FROM scores s JOIN fp USING (doc_id) CROSS JOIN mm),
+       |kept AS (
+       |  SELECT jj.doc_id, d.quality, jj.score, ROUND(jj.p, 6) + 0.0 AS keep_prob
+       |  FROM jj JOIN dedup d USING (doc_id)
+       |  WHERE u < CAST(floor(p * CAST(1048576 AS DOUBLE)) AS BIGINT))""".stripMargin
 
   /** t19's scoring replay as a reusable CTE block (no leading WITH)
     * ending in `scores(doc_id, score)`, over any table exposing
@@ -3606,6 +3637,14 @@ object SparkEntry {
     "s16_knn_hubness" -> s16OracleSql,
     "s18_ann_recall" -> s18OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
+    // the same CTE chain, counted per stage
+    "c12_curation_funnel" ->
+      s"""WITH $c07Ctes
+         |SELECT 'a0_input' AS stage, COUNT(*) AS n_docs FROM documents
+         |UNION ALL SELECT 'a1_gated', COUNT(*) FROM gated
+         |UNION ALL SELECT 'a2_decon', COUNT(*) FROM decon
+         |UNION ALL SELECT 'a3_dedup', COUNT(*) FROM dedup
+         |UNION ALL SELECT 'a4_resampled', COUNT(*) FROM kept""".stripMargin,
     "e05_streaming_curation" -> e05OracleSql,
     // exact decile bucketing: cumulative histogram of the length domain;
     // boundary b = smallest value with cum >= ceil(b*n/10) in integer
