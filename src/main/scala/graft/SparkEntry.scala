@@ -1926,6 +1926,22 @@ object SparkEntry {
         n = 4, minShared = 3)
     }),
 
+    // whole-asset resemblance: the m05 planted corpus judged by frame-set
+    // Jaccard — tail-edited copies share 3 of their 4+ distinct frames
+    "m06_frame_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+      val planted = Multimodal.fromText(
+        docs.filter(col("doc_id") % 25 === 0 && length(col("text")) >= 1)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(expr("substr(text, 1, length(text) - 1)"), lit("X")).as("text")),
+        "doc_id", "text", "video")
+      Multimodal.frameJaccardPairs(media.unionByName(planted),
+          n = 4, threshold = 0.5)
+        .select(col("idA"), col("idB"), col("n_shared"),
+          (round(col("jaccard"), 6) + lit(0.0)).as("jaccard"))
+    }),
+
     // snapshot diff: regenerate the change log between two keyed
     // snapshots — deletes for %7 keys, acctbal updates for %5 keys,
     // inserts for offset copies of %100 keys; identical rows emit nothing
@@ -4523,6 +4539,37 @@ object SparkEntry {
          FROM fd a JOIN fd b2 ON a.d = b2.d AND a.media_id < b2.media_id
          GROUP BY 1, 2
          HAVING count(*) >= 3""",
+    // the m05 digest CTEs + per-asset distinct-digest counts + Jaccard
+    "m06_frame_jaccard" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  hex(encode(substr(text, 1, length(text) - 1) || 'X'))
+           FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 1),
+         sized AS (
+           SELECT media_id, hx,
+                  greatest(CAST(ceil((length(hx) / 2) / 4.0) AS INT), 1) AS chunk
+           FROM media),
+         fr AS (
+           SELECT media_id,
+                  substr(hx, CAST(i * chunk * 2 + 1 AS INT),
+                         CAST(chunk * 2 AS INT)) AS fhx
+           FROM sized, range(0, 4) t(i)),
+         fd AS (
+           SELECT DISTINCT media_id, md5(fhx) AS d
+           FROM fr WHERE length(fhx) > 0),
+         cnt AS (SELECT media_id, count(*) AS nf FROM fd GROUP BY 1),
+         sh AS (
+           SELECT a.media_id AS idA, b2.media_id AS idB, count(*) AS n_shared
+           FROM fd a JOIN fd b2 ON a.d = b2.d AND a.media_id < b2.media_id
+           GROUP BY 1, 2)
+         SELECT sh.idA, sh.idB, sh.n_shared,
+                ROUND(CAST(sh.n_shared AS DOUBLE) / (ca.nf + cb.nf - sh.n_shared), 6)
+                  + 0.0 AS jaccard
+         FROM sh JOIN cnt ca ON sh.idA = ca.media_id
+                 JOIN cnt cb ON sh.idB = cb.media_id
+         WHERE CAST(sh.n_shared AS DOUBLE) / (ca.nf + cb.nf - sh.n_shared) >= 0.5""",
     // snapshot diff: one full-outer join, null-safe payload comparison;
     // after-image for I/U, before-image for D
     "c04_snapshot_diff" ->

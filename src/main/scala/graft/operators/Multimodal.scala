@@ -168,21 +168,53 @@ object Multimodal {
     * Output: (idA, idB, n_shared) with idA < idB.
     */
   def frameNearDupPairs(media: DataFrame, n: Int = 4, minShared: Int = 3,
-      maxDigestGroup: Int = 10000): DataFrame = {
-    require(n >= 1 && minShared >= 1, "need at least one frame and one match")
-    val frames = frameSample(media, n)
+      maxDigestGroup: Int = 10000): DataFrame =
+    sharedFramePairs(media, n, maxDigestGroup)
+      .filter(col("n_shared") >= minShared)
+
+  /** Whole-asset frame-set resemblance: per media pair, the Jaccard of
+    * their DISTINCT frame-digest sets — the m05 containment count turned
+    * into the normalized verdict a video-dedup pass thresholds on
+    * (re-encodes/container changes share most frames → high resemblance;
+    * a short clip inside a long asset shares few of the union → low).
+    * Adds one media-keyed digest-count aggregate (broadcastable — one
+    * row per asset) on top of the m05 skinny digest join; payload bytes
+    * still never shuffle.
+    * Output: (idA, idB, n_shared, jaccard) with idA < idB.
+    */
+  def frameJaccardPairs(media: DataFrame, n: Int = 4,
+      threshold: Double = 0.5, maxDigestGroup: Int = 10000): DataFrame = {
+    val frames = frameDigests(media, n)
+    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("__nf"))
+    sharedFramePairs(media, n, maxDigestGroup)
+      .join(broadcast(counts.select(col("media_id").as("idA"), col("__nf").as("__na"))), "idA")
+      .join(broadcast(counts.select(col("media_id").as("idB"), col("__nf").as("__nb"))), "idB")
+      .select(col("idA"), col("idB"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** One distinct 16-byte digest row per (media, frame) — the shared
+    * front half of [[frameNearDupPairs]] and [[frameJaccardPairs]].
+    * Digest of the hex encoding (not the raw bytes) so the exact same
+    * digest is computable by engines whose md5 is string-only.
+    */
+  private def frameDigests(media: DataFrame, n: Int): DataFrame =
+    frameSample(media, n)
       .filter(length(col("frame_bytes")) > 0)
-      // digest of the hex encoding (not the raw bytes) so the exact same
-      // digest is computable by engines whose md5 is string-only
       .select(col("media_id"), md5(hex(col("frame_bytes"))).as("__d"))
       .distinct()
-    val capped = Dedup.capBuckets(frames, Seq("__d"),
+
+  private def sharedFramePairs(media: DataFrame, n: Int,
+      maxDigestGroup: Int): DataFrame = {
+    require(n >= 1, "need at least one frame")
+    val capped = Dedup.capBuckets(frameDigests(media, n), Seq("__d"),
       maxDigestGroup, "frame_digest_skew_guard")
     val a = capped.select(col("__d"), col("media_id").as("idA"))
     val b = capped.select(col("__d"), col("media_id").as("idB"))
     a.join(b, Seq("__d"))
       .filter(col("idA") < col("idB"))
       .groupBy("idA", "idB").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
   }
 }

@@ -74,6 +74,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(got === Set((1L, 2L, 3L)))
   }
 
+  test("frameJaccardPairs: 3-of-5-union edit scores 0.6; the threshold cuts clips") {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789!@#$"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(1) + "X"),
+      (3L, "ABCDEFGHIJKLMNOPQRSTUVWXYZ9876543210%^&*")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+    val got = Multimodal.frameJaccardPairs(media, n = 4, threshold = 0.5)
+      .select($"idA", $"idB", $"n_shared", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    // docs 1/2: 3 shared of union 5 (4 + 4 − 3) → 0.6; doc 3 never pairs
+    assert(got.toSeq === Seq((1L, 2L, 3L, 0.6)))
+    // a higher threshold drops the pair
+    assert(Multimodal.frameJaccardPairs(media, n = 4, threshold = 0.7).count() === 0L)
+  }
+
   test("frameNearDupPairs: skew guard exempts over-cap digest groups instead of exploding") {
     // 20 identical payloads share every frame digest: group size 20 over
     // the cap → pairing skipped, zero pairs (conservative, observe-reported)
