@@ -29,7 +29,8 @@ object Explain {
         "s19_ann_ivfpq", "t26_quality_classify", "j09_interval_overlap",
         "t28_weighted_sample", "z06_hilbert_layout", "s20_robust_scale",
         "t29_pack_efficiency", "t30_boilerplate_lines",
-        "s21_diverse_select", "t31_lang_confusion")
+        "s21_diverse_select", "t31_lang_confusion", "c12_curation_funnel",
+        "m06_frame_jaccard")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
