@@ -177,18 +177,27 @@ object Multimodal {
     * into the normalized verdict a video-dedup pass thresholds on
     * (re-encodes/container changes share most frames → high resemblance;
     * a short clip inside a long asset shares few of the union → low).
-    * Adds one media-keyed digest-count aggregate (broadcastable — one
-    * row per asset) on top of the m05 skinny digest join; payload bytes
-    * still never shuffle.
+    * Adds one media-keyed digest-count aggregate on top of the m05 skinny
+    * digest join; payload bytes still never shuffle.
+    *
+    * Both the pair numerators AND the per-asset denominators come from the
+    * SAME skew-guard-capped digest set, so a tripped
+    * `frame_digest_skew_guard` cannot deflate jaccard (shared counts
+    * excluding capped digests while set sizes include them) — and the
+    * shared subtree lets the physical planner reuse one digest exchange
+    * instead of decoding the payloads twice. The count joins carry no
+    * broadcast hint: per-asset counts are corpus-cardinality (one row PER
+    * ASSET — billions at corpus scale), so the choice between broadcast
+    * and shuffle-hash belongs to AQE's runtime statistics, never a hint.
     * Output: (idA, idB, n_shared, jaccard) with idA < idB.
     */
   def frameJaccardPairs(media: DataFrame, n: Int = 4,
       threshold: Double = 0.5, maxDigestGroup: Int = 10000): DataFrame = {
-    val frames = frameDigests(media, n)
-    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("__nf"))
-    sharedFramePairs(media, n, maxDigestGroup)
-      .join(broadcast(counts.select(col("media_id").as("idA"), col("__nf").as("__na"))), "idA")
-      .join(broadcast(counts.select(col("media_id").as("idB"), col("__nf").as("__nb"))), "idB")
+    val capped = cappedFrameDigests(media, n, maxDigestGroup)
+    val counts = capped.groupBy("media_id").agg(count(lit(1)).as("__nf"))
+    pairsFromDigests(capped)
+      .join(counts.select(col("media_id").as("idA"), col("__nf").as("__na")), "idA")
+      .join(counts.select(col("media_id").as("idB"), col("__nf").as("__nb")), "idB")
       .select(col("idA"), col("idB"), col("n_shared"),
         (col("n_shared").cast("double") /
           (col("__na") + col("__nb") - col("n_shared"))).as("jaccard"))
@@ -206,15 +215,22 @@ object Multimodal {
       .select(col("media_id"), md5(hex(col("frame_bytes"))).as("__d"))
       .distinct()
 
-  private def sharedFramePairs(media: DataFrame, n: Int,
+  private def cappedFrameDigests(media: DataFrame, n: Int,
       maxDigestGroup: Int): DataFrame = {
     require(n >= 1, "need at least one frame")
-    val capped = Dedup.capBuckets(frameDigests(media, n), Seq("__d"),
+    Dedup.capBuckets(frameDigests(media, n), Seq("__d"),
       maxDigestGroup, "frame_digest_skew_guard")
+  }
+
+  private def pairsFromDigests(capped: DataFrame): DataFrame = {
     val a = capped.select(col("__d"), col("media_id").as("idA"))
     val b = capped.select(col("__d"), col("media_id").as("idB"))
     a.join(b, Seq("__d"))
       .filter(col("idA") < col("idB"))
       .groupBy("idA", "idB").agg(count(lit(1)).as("n_shared"))
   }
+
+  private def sharedFramePairs(media: DataFrame, n: Int,
+      maxDigestGroup: Int): DataFrame =
+    pairsFromDigests(cappedFrameDigests(media, n, maxDigestGroup))
 }

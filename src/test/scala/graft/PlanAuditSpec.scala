@@ -514,6 +514,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("__d"), s"digest key missing from the plan:\n$p")
   }
 
+  test("m06 frame jaccard: per-asset count joins carry NO broadcast hint " +
+      "(counts are corpus-cardinality — the choice belongs to AQE)") {
+    val df = SparkEntry.queries("m06_frame_jaccard")(spark, dir)
+    // a functions.broadcast() hint survives analysis as ResolvedHint; the
+    // per-asset digest-count frame is one row PER ASSET (billions at
+    // corpus scale), so a forced broadcast is a driver/executor OOM at
+    // 100x — the plan must leave the join strategy to runtime statistics
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"hinted broadcast on a corpus-cardinality frame:\n$analyzed")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in frame jaccard:\n$p")
+    assert(p.contains("CollectMetrics"), s"digest skew guard missing:\n$p")
+  }
+
   test("c04 snapshot diff is ONE full-outer join, no window, no cartesian") {
     val p = plan("c04_snapshot_diff")
     assert(p.contains("FullOuter"), s"full-outer join missing:\n$p")

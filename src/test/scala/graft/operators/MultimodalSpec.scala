@@ -90,6 +90,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.frameJaccardPairs(media, n = 4, threshold = 0.7).count() === 0L)
   }
 
+  test("frameJaccardPairs: a tripped skew guard caps numerator AND denominator together") {
+    // docs 1/2 share three private 10-char frames (P1 P2 P3); doc 1's
+    // fourth frame Q is also every hot doc's only distinct frame, so
+    // digest(Q)'s group (20 hot + doc 1 = 21) blows a cap of 10 and is
+    // dropped. Consistent accounting must then also drop Q from doc 1's
+    // set size: jaccard = 3 / (3 + 4 - 3) = 0.75. The pre-fix bug kept
+    // uncapped counts (doc 1 size 4) and deflated it to 3/5 = 0.6.
+    val p1 = "aaaaaaaaa1"; val p2 = "bbbbbbbbb2"; val p3 = "ccccccccc3"
+    val q = "ddddddddd4"; val qAlt = "eeeeeeeee5"
+    val docs = (Seq(
+      (1L, p1 + p2 + p3 + q),
+      (2L, p1 + p2 + p3 + qAlt)) ++
+      (10L to 29L).map(i => (i, q * 4))).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+    val got = Multimodal.frameJaccardPairs(media, n = 4, threshold = 0.5,
+      maxDigestGroup = 10)
+      .select($"idA", $"idB", $"n_shared", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 3L, 0.75)))
+  }
+
   test("frameNearDupPairs: skew guard exempts over-cap digest groups instead of exploding") {
     // 20 identical payloads share every frame digest: group size 20 over
     // the cap → pairing skipped, zero pairs (conservative, observe-reported)
