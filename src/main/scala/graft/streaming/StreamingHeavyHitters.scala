@@ -70,18 +70,47 @@ object StreamingHeavyHitters {
     * its delta on top of the folded copy and double-counts it.
     */
   def compactState(spark: SparkSession, countsDir: String): Unit = {
+    recoverState(spark, countsDir)
     // fully distributed: fold to a sibling temp dir (never read and
-    // overwrite the same path), then swap directories with renames
+    // overwrite the same path), then swap directories with renames —
+    // current goes to `.bak` first so a crash at ANY instant leaves a
+    // complete copy on disk ([[recoverState]] heals the half-states)
     val tmp = s"$countsDir.compact"
     spark.read.parquet(s"$countsDir/batch=*")
       .groupBy("token").agg(sum(col("n")).as("n"))
       .write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(countsDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(countsDir), true)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(countsDir))
+    val p = new org.apache.hadoop.fs.Path(countsDir)
+    val bak = new org.apache.hadoop.fs.Path(s"$countsDir.bak")
+    require(fs.rename(p, bak), s"could not stage $countsDir to $bak")
+    fs.mkdirs(p)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(s"$countsDir/batch=-1")),
-      s"rename $tmp -> $countsDir/batch=-1 failed")
+      s"rename $tmp -> $countsDir/batch=-1 failed; " +
+        s"live state preserved at $bak — recoverState($countsDir) restores it")
+    fs.delete(bak, true)
+  }
+
+  /** Heal a counts directory after a crash mid-[[compactState]] swap.
+    * Idempotent; [[compactState]] self-heals through it. A dangling
+    * `.bak` with a missing or still-EMPTY counts dir means the crash hit
+    * between the renames — restore the backup; a non-empty counts dir
+    * means the swap finished and only the cleanup was lost — drop the
+    * backup. A dangling `.compact` tmp is deleted either way.
+    */
+  def recoverState(spark: SparkSession, countsDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(countsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(s"$countsDir.bak")
+    val tmp = new org.apache.hadoop.fs.Path(s"$countsDir.compact")
+    if (fs.exists(bak)) {
+      val live = fs.exists(p) && fs.listStatus(p).nonEmpty
+      if (!live) {
+        if (fs.exists(p)) fs.delete(p, true)
+        require(fs.rename(bak, p), s"could not restore $bak to $countsDir")
+      } else fs.delete(bak, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /**
@@ -13,11 +14,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *
  * State lives in parquet, NOT executor memory — at corpus scale the index
  * is billions of skinny `(id, band, key)` rows, far past any state store.
- * Per-batch cost: the stored index is SCANNED (map-only — a broadcast
- * semi join restricts it to the delta's bucket keys before anything
- * shuffles, see [[Dedup.minhashNearDupPairsIncremental]]'s shuffle
- * accounting) but never exchanged; shuffled bytes are proportional to the
- * delta's touched buckets, not the corpus.
+ * Per-batch cost: the stored index is read map-only and never exchanged
+ * (a broadcast semi join restricts it to the delta's bucket keys before
+ * anything shuffles, see [[Dedup.minhashNearDupPairsIncremental]]'s
+ * shuffle accounting); shuffled bytes are proportional to the delta's
+ * touched buckets, not the corpus.
+ *
+ * Index layout — STATIC file pruning: the persistent index is
+ * partitioned by `(__band, __bkp)` where `__bkp` is a
+ * [[bandkeyPrefixes]]-way prefix of the bucket key. A micro-batch first
+ * collects its (bounded, ≤ bands × prefixes) touched-partition set from
+ * the delta's index, then reads the stored index through a PARTITION
+ * filter on exactly those pairs — so candidate generation opens only the
+ * files of touched sub-partitions instead of scanning the whole
+ * directory. The touched-bucket semi join above restricted shuffled
+ * BYTES to O(delta); this restricts per-batch scan I/O the same way
+ * (small deltas touch a few prefixes per band; a corpus-scale replay
+ * touches them all and degrades gracefully to the full scan it needs
+ * anyway). Plan-pinned in the streaming spec: the pruned read carries the
+ * touched-pair predicate as a PartitionFilter, never a row filter.
  *
  * Pair-set contract (spec-pinned): after draining the stream, `pairsDir`
  * holds exactly the batch run's pairs over (corpus ∪ all batches)
@@ -32,46 +47,136 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object StreamingNearDup {
 
+  /** Sub-partitions per band in the persistent index layout: `__bkp =
+    * pmod(__bandkey, bandkeyPrefixes)`. bands × prefixes directories
+    * total — coarse enough that each holds GBs at corpus scale, fine
+    * enough that a small micro-batch prunes most files statically.
+    */
+  val bandkeyPrefixes: Int = 16
+
+  private val indexPartitionCols = Seq("__band", "__bkp")
+
+  private def bkp: Column =
+    pmod(col("__bandkey"), lit(bandkeyPrefixes.toLong)).cast("int")
+
   /** Seed the persistent state from the initial corpus: the LSH index
-    * (the ONLY corpus state candidate generation ever reads) and the doc
-    * store (read only for verification candidates).
+    * (the ONLY corpus state candidate generation ever reads, written in
+    * the `(__band, __bkp)`-partitioned layout) and the doc store (read
+    * only for verification candidates — id-keyed lookups can't prune
+    * statically, so it stays flat).
     */
   def seedIndex(corpus: DataFrame, idCol: String, textCol: String,
       indexDir: String, docsDir: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
-    Dedup.lshBuckets(corpus, idCol, textCol, shingleK, bands, rowsPerBand)
-      .write.mode("overwrite").parquet(indexDir)
+    appendIndex(
+      Dedup.lshBuckets(corpus, idCol, textCol, shingleK, bands, rowsPerBand),
+      indexDir, mode = "overwrite")
     corpus.select(idCol, textCol).write.mode("overwrite").parquet(docsDir)
   }
 
+  /** Write [[Dedup.lshBuckets]] rows into the partitioned index layout.
+    * One repartition by the partition columns first, so each live
+    * sub-partition receives exactly ONE file per call (shuffles only the
+    * skinny delta index, O(delta)) — without it every writing task would
+    * emit a file into every partition it holds rows for.
+    */
+  private[streaming] def appendIndex(idx: DataFrame, indexDir: String,
+      mode: String = "append"): Unit =
+    idx.withColumn("__bkp", bkp)
+      .repartition(indexPartitionCols.map(col): _*)
+      .write.mode(mode).partitionBy(indexPartitionCols: _*).parquet(indexDir)
+
+  /** Read the persistent index restricted to the given touched
+    * `(__band, __bkp)` partition pairs. The predicate references only
+    * partition columns, so Catalyst resolves it at PLANNING time against
+    * the partition directory values — unmatched sub-directories' files
+    * are never opened (static pruning, not a row filter). Falls back to
+    * the full scan on a legacy flat layout (no `__bkp` partition column).
+    */
+  private[streaming] def prunedIndexScan(spark: SparkSession, indexDir: String,
+      touched: Array[(Int, Int)]): DataFrame = {
+    val full = spark.read.parquet(indexDir)
+    if (!full.columns.contains("__bkp")) full
+    else if (touched.isEmpty) full.filter(lit(false))
+    else {
+      val pred = touched.groupBy(_._1).map { case (band, pairs) =>
+        col("__band") === band && col("__bkp").isin(pairs.map(_._2).toSeq: _*)
+      }.reduce(_ || _)
+      full.filter(pred)
+    }
+  }
+
+  /** Heal a state directory after a crash mid-[[compactState]] swap.
+    * Idempotent; call at startup (or rely on [[compactState]], which
+    * self-heals before compacting). The swap sequence is
+    * `current → .bak`, `tmp → current`, `delete .bak` — so at every
+    * instant at least one complete copy exists:
+    *   - `.bak` present, `current` missing → crash between the renames:
+    *     restore `.bak` → `current`.
+    *   - `.bak` AND `current` present → crash after the swap, before
+    *     cleanup: `current` is already the compacted state; drop `.bak`.
+    *   - a dangling `.compacting` tmp dir is deleted either way (the
+    *     compaction re-runs from the live state).
+    */
+  def recoverState(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
+    val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compacting")
+    if (fs.exists(bak)) {
+      if (!fs.exists(p)) {
+        if (!fs.rename(bak, p))
+          throw new java.io.IOException(s"could not restore $bak to $dir")
+      } else fs.delete(bak, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
   /** Compact a persistent state directory (index or docs) in place: every
-    * micro-batch appends one small parquet file per task, so a long-running
-    * screen accumulates thousands of tiny files — the classic small-files
-    * tax on every subsequent scan's listing and open cost. Rewrites the
-    * directory to `ceil(rows / rowsPerFile)` files and swaps it in.
+    * micro-batch appends one small parquet file per touched sub-partition,
+    * so a long-running screen accumulates thousands of tiny files — the
+    * classic small-files tax on every subsequent scan's listing and open
+    * cost. Rewrites to `ceil(rows / rowsPerFile)` files (one per live
+    * sub-partition on the partitioned index layout, which is preserved)
+    * and swaps the directory in.
     *
-    * Call BETWEEN runs (stream stopped): the swap is a filesystem
-    * delete+rename, not atomic against a concurrent reader/writer. Safe
-    * w.r.t. the stream's own state because the state is plain parquet —
-    * no checkpoint metadata references these file names (the checkpoint
-    * tracks the SOURCE, not foreachBatch's outputs).
+    * Call BETWEEN runs (stream stopped): the swap is not atomic against a
+    * concurrent reader/writer. It IS crash-safe: the sequence
+    * `current → .bak`, `tmp → current`, `delete .bak` keeps a complete
+    * copy on disk at every instant, and both this method and
+    * [[recoverState]] heal a half-finished swap. Safe w.r.t. the stream's
+    * own state because the state is plain parquet — no checkpoint
+    * metadata references these file names (the checkpoint tracks the
+    * SOURCE, not foreachBatch's outputs).
     */
   def compactState(spark: SparkSession, dir: String,
       rowsPerFile: Long = 8L * 1024 * 1024): Unit = {
+    recoverState(spark, dir)
     val df = spark.read.parquet(dir)
-    val n = math.max(1L, math.min(Int.MaxValue.toLong,
-      (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
     val tmp = dir.stripSuffix("/") + ".compacting"
-    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    if (df.columns.contains("__bkp"))
+      // partitioned index layout: one file per live sub-partition (the
+      // derived __bkp is dropped first — appendIndex recomputes it, and
+      // keeping both would double it in the schema)
+      appendIndex(df.drop("__bkp"), tmp, mode = "overwrite")
+    else {
+      val n = math.max(1L, math.min(Int.MaxValue.toLong,
+        (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
+      df.repartition(n).write.mode("overwrite").parquet(tmp)
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
     val t = new org.apache.hadoop.fs.Path(tmp)
-    if (!fs.delete(p, true))
-      throw new java.io.IOException(s"could not remove $dir for compaction swap")
+    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(s"could not stage $dir to $bak for swap")
     if (!fs.rename(t, p))
       throw new java.io.IOException(
-        s"compaction swap failed: state left at $tmp, $dir is GONE — restore by renaming")
+        s"compaction swap failed: live state preserved at $bak — " +
+          s"recoverState($dir) restores it")
+    fs.delete(bak, true)
   }
 
   /** Start the screen over a streaming frame of `(idCol, textCol)` docs.
@@ -92,15 +197,21 @@ object StreamingNearDup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val delta = batch.select(idCol, textCol)
-        val index = s.read.parquet(indexDir)
         val docs = s.read.parquet(docsDir)
-        // the delta's LSH index is needed twice — candidate generation and
-        // the state append — so it is computed ONCE and cached for the
-        // batch (a second shingle+minhash kernel pass per micro-batch is
-        // pure waste)
+        // the delta's LSH index is needed three times — the touched-
+        // partition set, candidate generation and the state append — so
+        // it is computed ONCE and cached for the batch (repeated
+        // shingle+minhash kernel passes per micro-batch are pure waste)
         val deltaIdx = Dedup.lshBuckets(delta, idCol, textCol, shingleK,
           bands, rowsPerBand).persist()
         try {
+          // bounded driver collect: at most bands × bandkeyPrefixes rows
+          // regardless of delta size — the key set that statically prunes
+          // the index read below
+          val touched = deltaIdx
+            .select(col("__band"), bkp.as("__bkp")).distinct()
+            .collect().map(r => (r.getInt(0), r.getInt(1)))
+          val index = prunedIndexScan(s, indexDir, touched)
           // pairs materialize BEFORE the state appends below, so a batch
           // never pairs against its own appended rows twice
           // micro-batch deltas are small in production (the broadcast
@@ -110,7 +221,7 @@ object StreamingNearDup {
               idCol, textCol, threshold, shingleK, maxBucketSize,
               restrictToTouched, materializeIntermediates = true)
             .write.mode("append").parquet(pairsDir)
-          deltaIdx.write.mode("append").parquet(indexDir)
+          appendIndex(deltaIdx, indexDir)
           delta.write.mode("append").parquet(docsDir)
         } finally deltaIdx.unpersist(blocking = false)
       }

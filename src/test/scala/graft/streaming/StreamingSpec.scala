@@ -577,32 +577,49 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/fp").distinct().count() === 4L)
   }
 
+  private def parquetFiles(p: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(p))
+  }
+
   test("compactState rewrites accumulated state appends to few files, " +
-      "row set identical, screen still correct afterwards") {
+      "row set identical, layout preserved, screen still correct afterwards") {
     val dir = Files.createTempDirectory("graft_snd_compact").toString
     val corpus = (1L to 10L).map(i =>
       (i, s"corpus document number $i with some distinctive words here"))
       .toDF("doc_id", "text")
     StreamingNearDup.seedIndex(corpus, "doc_id", "text",
       s"$dir/index", s"$dir/docs")
-    // simulate many tiny per-batch appends
+    // simulate many tiny per-batch appends (the same layout start() writes)
     (1 to 5).foreach { b =>
       val delta = Seq((100L + b,
         s"corpus document number $b with some distinctive words here too"))
         .toDF("doc_id", "text")
-      graft.operators.Dedup.lshBuckets(delta, "doc_id", "text")
-        .coalesce(1).write.mode("append").parquet(s"$dir/index")
+      StreamingNearDup.appendIndex(
+        graft.operators.Dedup.lshBuckets(delta, "doc_id", "text"), s"$dir/index")
       delta.coalesce(1).write.mode("append").parquet(s"$dir/docs")
     }
-    def files(p: String): Int =
-      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     val before = spark.read.parquet(s"$dir/index")
+      .select("doc_id", "__band", "__bandkey")
       .as[(Long, Int, Long)].collect().sorted.toSeq
-    assert(files(s"$dir/index") >= 6, "test setup: expected many appends")
+    val filesBefore = parquetFiles(s"$dir/index").size
+    val liveParts = spark.read.parquet(s"$dir/index")
+      .select("__band", "__bkp").distinct().count()
+    assert(filesBefore > liveParts, "test setup: expected append file buildup")
     StreamingNearDup.compactState(spark, s"$dir/index")
     StreamingNearDup.compactState(spark, s"$dir/docs")
-    assert(files(s"$dir/index") === 1, "index not compacted to one file")
+    // one file per live (__band, __bkp) sub-partition, none dangling
+    assert(parquetFiles(s"$dir/index").size === liveParts,
+      "index not compacted to one file per sub-partition")
+    assert(parquetFiles(s"$dir/index").forall(f =>
+      f.getParentFile.getName.startsWith("__bkp=")),
+      "compaction lost the partitioned index layout")
+    assert(!new java.io.File(s"$dir/index.bak").exists())
+    assert(!new java.io.File(s"$dir/index.compacting").exists())
     val after = spark.read.parquet(s"$dir/index")
+      .select("doc_id", "__band", "__bandkey")
       .as[(Long, Int, Long)].collect().sorted.toSeq
     assert(after === before, "compaction changed the index row set")
     // the compacted state still screens correctly
@@ -614,6 +631,93 @@ class StreamingSpec extends SparkTestBase {
         probe, "doc_id", "text", threshold = 0.5)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(pairs.contains((103L, 999L)), s"probe missed its near-dup: $pairs")
+  }
+
+  test("prunedIndexScan: touched pairs land as PartitionFilters and untouched " +
+      "sub-partition files are never opened") {
+    val dir = Files.createTempDirectory("graft_snd_prune").toString
+    val corpus = (1L to 50L).map(i =>
+      (i, s"corpus document number $i with some quite distinctive words $i here"))
+      .toDF("doc_id", "text")
+    StreamingNearDup.seedIndex(corpus, "doc_id", "text",
+      s"$dir/index", s"$dir/docs")
+    // a one-doc delta touches exactly one (band, prefix) pair per band
+    val delta = Seq((999L, "a probe document that shares nothing in particular"))
+      .toDF("doc_id", "text")
+    val touched = graft.operators.Dedup.lshBuckets(delta, "doc_id", "text")
+      .select($"__band",
+        org.apache.spark.sql.functions.pmod($"__bandkey",
+          org.apache.spark.sql.functions.lit(
+            StreamingNearDup.bandkeyPrefixes.toLong)).cast("int").as("__bkp"))
+      .distinct().as[(Int, Int)].collect()
+    assert(touched.length === 16, "one (band, prefix) per band expected")
+    val pruned = StreamingNearDup.prunedIndexScan(spark, s"$dir/index", touched)
+    // the predicate must classify as a PARTITION filter (static pruning at
+    // planning time), not a pushed row filter over every file
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.substring(plan.indexOf("PartitionFilters: ["))
+    assert(pf.substring(0, pf.indexOf("]")).contains("__bkp"),
+      s"touched-pair predicate is not a partition filter:\n$plan")
+    // rows: exactly the stored rows of touched sub-partitions
+    val expect = spark.read.parquet(s"$dir/index")
+      .filter(touched.map { case (b, p) =>
+        $"__band" === b && $"__bkp" === p }.reduce(_ || _))
+      .select("doc_id", "__band", "__bandkey")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val got = pruned.select("doc_id", "__band", "__bandkey")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(got === expect)
+    assert(got.nonEmpty && got.size < 50 * 16,
+      "pruned read returned the whole index — nothing was pruned")
+    // an empty delta reads nothing; a legacy flat layout still reads fully
+    assert(StreamingNearDup.prunedIndexScan(spark, s"$dir/index",
+      Array.empty).count() === 0L)
+    corpus.limit(3).write.parquet(s"$dir/flat")
+    assert(StreamingNearDup.prunedIndexScan(spark, s"$dir/flat",
+      touched).count() === 3L)
+  }
+
+  test("compactState swap is crash-safe: a kill between the renames leaves " +
+      "a recoverable copy, recoverState heals every half-state") {
+    val dir = Files.createTempDirectory("graft_snd_crash").toString
+    val corpus = (1L to 10L).map(i =>
+      (i, s"corpus document number $i with some distinctive words here"))
+      .toDF("doc_id", "text")
+    StreamingNearDup.seedIndex(corpus, "doc_id", "text",
+      s"$dir/index", s"$dir/docs")
+    val rows = spark.read.parquet(s"$dir/index")
+      .select("doc_id", "__band", "__bandkey")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    def reread() = spark.read.parquet(s"$dir/index")
+      .select("doc_id", "__band", "__bandkey")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+
+    // crash BETWEEN the renames: current gone, .bak holds the only copy
+    // (plus a half-written tmp) — the exact window the old delete+rename
+    // swap lost state in
+    assert(fs.rename(path(s"$dir/index"), path(s"$dir/index.bak")))
+    corpus.limit(1).write.parquet(s"$dir/index.compacting")
+    StreamingNearDup.recoverState(spark, s"$dir/index")
+    assert(reread() === rows, "state lost in the between-renames window")
+    assert(!fs.exists(path(s"$dir/index.bak")))
+    assert(!fs.exists(path(s"$dir/index.compacting")))
+
+    // crash AFTER the swap, before cleanup: current is the new state,
+    // .bak is the stale copy — recovery keeps current, drops .bak
+    corpus.limit(2).select("doc_id").write.parquet(s"$dir/other")
+    assert(fs.rename(path(s"$dir/other"), path(s"$dir/index.bak")))
+    StreamingNearDup.recoverState(spark, s"$dir/index")
+    assert(reread() === rows, "recovery clobbered the live state with .bak")
+    assert(!fs.exists(path(s"$dir/index.bak")))
+
+    // compactState self-heals first: a dangling .bak from a prior crash
+    // does not break a re-run, and the result is the same row set
+    assert(fs.rename(path(s"$dir/index"), path(s"$dir/index.bak")))
+    StreamingNearDup.compactState(spark, s"$dir/index")
+    assert(reread() === rows, "compaction after crash changed the row set")
   }
 
   test("map-only enrichment ops run unchanged under readStream (batch parity)") {
@@ -783,5 +887,36 @@ class StreamingSpec extends SparkTestBase {
     val after = spark.read.parquet(s"$dir/top")
       .as[(Int, String, Long)].collect().toSet
     assert(after === truth)
+  }
+
+  test("heavy-hitter compactState swap is crash-safe: between-renames and " +
+      "post-swap half-states both recover the full counts") {
+    val dir = Files.createTempDirectory("graft_hh_crash").toString
+    Seq(("alpha", 3L), ("beta", 2L)).toDF("token", "n")
+      .write.parquet(s"$dir/counts/batch=0")
+    Seq(("alpha", 1L)).toDF("token", "n")
+      .write.parquet(s"$dir/counts/batch=1")
+    def folded() = spark.read.parquet(s"$dir/counts/batch=*")
+      .groupBy("token").agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val truth = folded()
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/counts")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash between the renames: counts staged at .bak, live dir EMPTY
+    // (the mkdirs ran, the batch=-1 rename did not), tmp dangling
+    assert(fs.rename(path(s"$dir/counts"), path(s"$dir/counts.bak")))
+    fs.mkdirs(path(s"$dir/counts"))
+    Seq(("junk", 9L)).toDF("token", "n").write.parquet(s"$dir/counts.compact")
+    StreamingHeavyHitters.recoverState(spark, s"$dir/counts")
+    assert(folded() == truth, "counts lost in the between-renames window")
+    assert(!fs.exists(path(s"$dir/counts.bak")))
+    assert(!fs.exists(path(s"$dir/counts.compact")))
+    // crash after the swap, before cleanup: live dir non-empty, stale .bak
+    StreamingHeavyHitters.compactState(spark, s"$dir/counts")
+    Seq(("stale", 1L)).toDF("token", "n").write.parquet(s"$dir/counts.bak/batch=0")
+    StreamingHeavyHitters.recoverState(spark, s"$dir/counts")
+    assert(folded() == truth, "recovery clobbered live counts with stale .bak")
+    assert(!fs.exists(path(s"$dir/counts.bak")))
   }
 }
