@@ -505,58 +505,93 @@ object Similarity {
     * Scale shape: the selected set is MODEL STATE (k vectors, collected
     * one per round — the IVF-centroid sanction), so each round is ONE
     * map-only pool scan scoring `least(1 − cos(v, litᵢ))` against the
-    * selected literals plus a `max_by` argmax aggregate: no joins, no
-    * window, nothing shuffles but one row per partition per round. Pools
-    * are bounded by construction (feed an ANN/cluster pre-selection for
-    * corpus-scale inputs — k rounds over 100 TB would be k full scans).
-    * Ties break to the smaller id. Output: (sel_rank 0..k−1, idCol,
-    * score — the max-min dissimilarity at selection time, null for the
-    * seed).
+    * selected literals plus a `max_by` argmax aggregate: no joins below
+    * the cutover, no window, nothing shuffles but one row per partition
+    * per round. Expression growth is bounded: the per-round `least` is a
+    * BALANCED 32-ary tree (depth log₃₂ k, not a k-deep left fold that
+    * overflows codegen/analysis stacks), and past `antiJoinFrom` selected
+    * ids the `NOT isin` predicate switches to a broadcast left-anti join
+    * against the (k-row, driver-local) selected-ids frame — the pool
+    * still never shuffles. The selected VECTORS still ride the scan as
+    * literals, O(k·dim) per round — right for coreset-sized k (≲ a few
+    * thousand); past that, pre-cluster and sample per cluster instead of
+    * raising k. Pools are bounded by construction (feed an ANN/cluster
+    * pre-selection for corpus-scale inputs — k rounds over 100 TB would
+    * be k full scans).
+    * Ties break to the smaller id. The pool must be non-empty; if it
+    * holds fewer than k rows the walk stops there and returns one row
+    * per pool vector. Output: (sel_rank 0..k−1, idCol, score — the
+    * max-min dissimilarity at selection time, null for the seed).
     */
   def farthestPointSample(pool: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, antiJoinFrom: Int = 100): DataFrame = {
     require(k >= 1, "need at least one selection")
     val spark = pool.sparkSession
-    val seedRow = pool.orderBy(col(idCol)).limit(1)
-      .select(col(idCol), col(vecCol)).head()
+    import spark.implicits._
+    val seedRows = pool.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col(vecCol)).collect()
+    require(seedRows.nonEmpty, "farthestPointSample: empty pool")
+    val seedRow = seedRows(0)
     var selected = Vector[(Long, Array[Float], Option[Double])](
       (seedRow.getLong(0), seedRow.getSeq[Float](1).toArray, None))
-    while (selected.size < k) {
-      val minDis = selected.map { case (_, v, _) =>
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
+      val minDis = leastTree(selected.map { case (_, v, _) =>
         lit(1.0d) - cosine(col(vecCol), typedLit(v))
-      }.reduce(least(_, _))
-      val chosen = pool
-        .filter(!col(idCol).isin(selected.map(_._1): _*))
+      })
+      val rest =
+        if (selected.size < antiJoinFrom)
+          pool.filter(!col(idCol).isin(selected.map(_._1): _*))
+        else pool.join(broadcast(selected.map(_._1).toDF(idCol)),
+          Seq(idCol), "left_anti")
+      val chosen = rest
         .select(max_by(
           struct(col(idCol), col(vecCol)),
           struct(minDis, -col(idCol))).as("__w"),
           lit(1).as("__one"))
         .head()
-      val w = chosen.getStruct(0)
-      val id = w.getLong(0)
-      val vec = w.getSeq[Float](1).toArray
-      // the winning score replays from the literals (exact — same
-      // arithmetic the scan used)
-      val sc = selected.map { case (_, sv, _) =>
-        1.0d - { // cosine on doubles, same fold order as the kernel
-          var dot = 0.0; var na = 0.0; var nb = 0.0
-          var i = 0
-          while (i < vec.length) {
-            dot += vec(i).toDouble * sv(i).toDouble
-            na += vec(i).toDouble * vec(i).toDouble
-            nb += sv(i).toDouble * sv(i).toDouble
-            i += 1
+      if (chosen.isNullAt(0)) {
+        // aggregate over an empty remainder: k exceeds the pool size —
+        // stop at the full pool instead of NPEing on the null struct
+        exhausted = true
+      } else {
+        val w = chosen.getStruct(0)
+        val id = w.getLong(0)
+        val vec = w.getSeq[Float](1).toArray
+        // the winning score replays from the literals (exact — same
+        // arithmetic the scan used)
+        val sc = selected.map { case (_, sv, _) =>
+          1.0d - { // cosine on doubles, same fold order as the kernel
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < vec.length) {
+              dot += vec(i).toDouble * sv(i).toDouble
+              na += vec(i).toDouble * vec(i).toDouble
+              nb += sv(i).toDouble * sv(i).toDouble
+              i += 1
+            }
+            dot / (math.sqrt(na) * math.sqrt(nb))
           }
-          dot / (math.sqrt(na) * math.sqrt(nb))
-        }
-      }.min
-      selected = selected :+ ((id, vec, Some(sc)))
+        }.min
+        selected = selected :+ ((id, vec, Some(sc)))
+      }
     }
-    import spark.implicits._
     selected.zipWithIndex.map { case ((id, _, sc), r) =>
       (r, id, sc)
     }.toDF("sel_rank", idCol, "score")
   }
+
+  /** Balanced 32-ary `least` reduction: a plain `reduce(least(_, _))`
+    * nests k-deep and blows analysis/codegen stacks at large k; grouping
+    * 32-wide keeps the expression tree at depth log₃₂ k with identical
+    * semantics (least is associative and commutative, null-skipping
+    * either way).
+    */
+  private def leastTree(cols: Seq[Column]): Column =
+    if (cols.size == 1) cols.head
+    else leastTree(cols.grouped(32).map { g =>
+      if (g.size == 1) g.head else least(g: _*)
+    }.toSeq)
 
   /** Robust per-dimension scaling — the median/IQR sibling of
     * [[standardizeDims]] (sklearn's RobustScaler): r = (x − median) / IQR

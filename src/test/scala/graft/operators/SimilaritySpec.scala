@@ -340,6 +340,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(minPairDis(got.map(_._2).toSeq) >= minPairDis((0L until 6L).toSeq))
   }
 
+  test("farthestPointSample at k >= 64: balanced reduction and anti-join " +
+      "cutover match the brute-force walk; pool-exhaustion and empty-pool guards") {
+    val pool = corpus.filter($"vec_id" < 80)
+    // antiJoinFrom = 4 forces the broadcast left-anti posture for nearly
+    // the whole walk; k = 66 exercises the 32-ary least tree past two
+    // levels. Order must equal the default-posture walk exactly.
+    val got = Similarity.farthestPointSample(pool, "vec_id", "embedding",
+        k = 66, antiJoinFrom = 4)
+      .select("sel_rank", "vec_id").as[(Int, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    val vecs = pool.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (i, v) => i -> v.toArray }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var sel = Vector(vecs.keys.min)
+    while (sel.size < 66) {
+      val next = vecs.keys.filterNot(sel.contains).toSeq
+        .map(c => (sel.map(s => 1.0 - cos(vecs(c), vecs(s))).min, c))
+        .maxBy { case (sc, id) => (sc, -id) }._2
+      sel = sel :+ next
+    }
+    assert(got === sel, s"greedy walks diverge at k=66")
+    // k past the pool size stops at the pool, one row per vector
+    val tiny = corpus.filter($"vec_id" < 5)
+    val all = Similarity.farthestPointSample(tiny, "vec_id", "embedding", k = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all === (0L until 5L).toSet)
+    // an empty pool fails with a diagnosis, not a NoSuchElementException
+    val err = intercept[IllegalArgumentException] {
+      Similarity.farthestPointSample(corpus.filter($"vec_id" < 0),
+        "vec_id", "embedding", k = 3)
+    }
+    assert(err.getMessage.contains("empty pool"))
+  }
+
   test("robustScaleDims: median maps to 0, IQR to unit scale; constant dims to 0") {
     // dim 0: values 0..4 per row (median 2, IQR 2); dim 1: constant
     val df = (0 until 5).map(i => (i.toLong, Array(i.toFloat, 7f)))
