@@ -45,6 +45,28 @@ class FixtureContractSpec extends SparkTestBase {
       s"documents columns drifted: ${d.columns.mkString(", ")}")
   }
 
+  test("documents.text has no null / empty / whitespace-only rows " +
+      "(zero-token edge conventions differ between the engines)") {
+    // several text queries (t26's mean-word-length and stopword ratios,
+    // t02's quality blend, the per-token explodes) guard zero-token text
+    // differently than their DuckDB oracles can express — the gates only
+    // agree because the corpus never exercises that edge. Pin it at BOTH
+    // fixture scales the driver uses, so a regeneration that introduces
+    // degenerate docs fails here with a diagnosis instead of as scattered
+    // hash mismatches.
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val docs = graft.sources.Tables.load(spark,
+        graft.model.TableRef(path = d), "documents")
+      val bad = docs.filter(
+        org.apache.spark.sql.functions.col("text").isNull ||
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("text")) === "").count()
+      assert(bad === 0L,
+        s"$d/documents has $bad null/blank text rows — align the zero-token " +
+          "conventions (engine vs oracle) before trusting the text gates")
+    }
+  }
+
   test("lineitem/orders date columns stay timestamp-typed (string-literal comparisons)") {
     // q1/q03/w-queries compare these against 'yyyy-MM-dd HH:mm:ss' strings
     // and call year()/date_trunc — a move to long epoch would break both
