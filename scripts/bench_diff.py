@@ -8,8 +8,11 @@ fail to parse; capture local baselines with
 
 Usage: bench_diff.py <old.json> <new.json> [threshold_ratio=2.0]
 
-Bench numbers swing 2-3x with machine load (see .claude/skills/verify):
-treat flags as "profile this isolated", not as proof.
+Exits non-zero when any overlapping query regressed past the threshold,
+so it works as a gate after a bench run (see README "Bench-regression
+tripwire"). Bench numbers swing 2-3x with machine load (see
+.claude/skills/verify): treat flags as "profile this isolated on the
+same machine", not as proof — the gate is a tripwire, not a verdict.
 """
 import json, sys
 
@@ -54,3 +57,4 @@ for r, name, a, b in sorted(flags, reverse=True):
 print(f"total: {old.get('value', '?')} -> {new.get('value', '?')} sec; "
       f"{len(flags)} flagged >= {thr}x; new: {', '.join(added) or '-'}; "
       f"removed: {', '.join(gone) or '-'}")
+sys.exit(1 if flags else 0)
