@@ -643,6 +643,16 @@ object SparkEntry {
         Seq("o_custkey", "o_orderkey", "price_int"), bits = 8)
         .select("o_orderkey", "zkey")),
 
+    // N-D Hilbert over z04's three axes (Skilling transform): the z06
+    // locality upgrade generalized past two columns; exact curve indices
+    // gated against a full SQL replay of the transform
+    "z08_hilbert_nd" -> ((s, dir) =>
+      Layout.hilbertKeyN(
+        t(s, dir, "orders")
+          .withColumn("price_int", floor(col("o_totalprice")).cast("long")),
+        Seq("o_custkey", "o_orderkey", "price_int"), bits = 8)
+        .select("o_orderkey", "hkey")),
+
     // compaction plan: documents stand in for file stats (lang = table
     // partition, n_chars = bytes); largest-first running-total binning,
     // all-integer arithmetic
@@ -3099,6 +3109,65 @@ object SparkEntry {
                   s // 2
            FROM hil WHERE s > 0)
          SELECT o_orderkey, d AS hkey FROM hil WHERE s = 0""",
+    // 3-D Hilbert: replays the Skilling transform step by step — the
+    // recursive CTE walks (level q, axis i) doing the inverse-undo
+    // exchange/invert, then Gray encode, the t-fold and the MSB-first
+    // interleave (axis 0 most significant), exactly the kernel's phases
+    "z08_hilbert_nd" ->
+      """WITH RECURSIVE base AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(floor(o_totalprice) AS BIGINT) AS price_int
+           FROM orders),
+         mm AS (SELECT min(o_custkey) AS la, max(o_custkey) AS ha,
+                       min(o_orderkey) AS lb, max(o_orderkey) AS hb,
+                       min(price_int) AS lc, max(price_int) AS hc
+                FROM base),
+         sc AS (SELECT o_orderkey,
+                       CAST(((o_custkey - la) * 255) // (ha - la) AS BIGINT) AS x0,
+                       CAST(((o_orderkey - lb) * 255) // (hb - lb) AS BIGINT) AS x1,
+                       CAST(((price_int - lc) * 255) // (hc - lc) AS BIGINT) AS x2
+                FROM base, mm),
+         undo AS (
+           SELECT o_orderkey, x0, x1, x2, CAST(128 AS BIGINT) AS q, 0 AS i
+           FROM sc
+           UNION ALL
+           SELECT o_orderkey,
+                  CASE WHEN i = 0 THEN
+                         CASE WHEN (x0 & q) <> 0 THEN xor(x0, q - 1) ELSE x0 END
+                       WHEN i = 1 THEN
+                         CASE WHEN (x1 & q) <> 0 THEN xor(x0, q - 1)
+                              ELSE xor(x0, xor(x0, x1) & (q - 1)) END
+                       ELSE
+                         CASE WHEN (x2 & q) <> 0 THEN xor(x0, q - 1)
+                              ELSE xor(x0, xor(x0, x2) & (q - 1)) END END,
+                  CASE WHEN i = 1 AND (x1 & q) = 0
+                       THEN xor(x1, xor(x0, x1) & (q - 1)) ELSE x1 END,
+                  CASE WHEN i = 2 AND (x2 & q) = 0
+                       THEN xor(x2, xor(x0, x2) & (q - 1)) ELSE x2 END,
+                  CASE WHEN i = 2 THEN q // 2 ELSE q END,
+                  CASE WHEN i = 2 THEN 0 ELSE i + 1 END
+           FROM undo WHERE q > 1),
+         fin AS (SELECT o_orderkey, x0, x1, x2 FROM undo WHERE q = 1 AND i = 0),
+         gray AS (SELECT o_orderkey, x0 AS g0, xor(x1, x0) AS g1,
+                         xor(x2, xor(x1, x0)) AS g2
+                  FROM fin),
+         tf AS (SELECT o_orderkey, g0, g1, g2,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, 8), e ->
+                           CASE WHEN (g2 & (CAST(1 AS BIGINT) << e)) <> 0
+                                THEN (CAST(1 AS BIGINT) << e) - 1
+                                ELSE CAST(0 AS BIGINT) END)),
+                         (a, b) -> xor(a, b)) AS t
+                FROM gray),
+         fx AS (SELECT o_orderkey, xor(g0, t) AS f0, xor(g1, t) AS f1,
+                       xor(g2, t) AS f2
+                FROM tf)
+         SELECT o_orderkey,
+                CAST(list_sum(list_transform(range(0, 8), j ->
+                  (((f0 >> j) & 1) << (3 * j + 2)) +
+                  (((f1 >> j) & 1) << (3 * j + 1)) +
+                  (((f2 >> j) & 1) << (3 * j)))) AS BIGINT) AS hkey
+         FROM fx""",
     // 3-D Morton: same integer scaling, bit k of column c lands at 3k+c
     "z04_zorder_nd" ->
       """WITH base AS (

@@ -308,6 +308,25 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
   override def prettyName: String = "hilbert_index"
 }
 
+/** N-dimensional Hilbert index over an `array<bigint>` of scaled
+  * coordinates — the Skilling-transform kernel
+  * ([[HashKernels.hilbertIndexN]]) as one codegen'd call, the n-axis
+  * sibling of [[HilbertIndex]].
+  */
+case class HilbertIndexN(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    HashKernels.hilbertIndexN(arr.toLongArray(), bits)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.HashKernels.hilbertIndexN($a.toLongArray(), $bits)")
+  override protected def withNewChildInternal(newChild: Expression): HilbertIndexN =
+    copy(child = newChild)
+  override def prettyName: String = "hilbert_index_n"
+}
+
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -376,6 +395,8 @@ object GraftFunctions {
   def hilbert_index(a: Column, b: Column, bits: Int): Column = Bridge.column(
     HilbertIndex(Bridge.expression(a.cast("long")),
       Bridge.expression(b.cast("long")), bits))
+  def hilbert_index_n(coords: Column, bits: Int): Column = Bridge.column(
+    HilbertIndexN(Bridge.expression(coords), bits))
   def byte_window_energies(c: Column, w: Int): Column = Bridge.column(
     ByteWindowEnergies(Bridge.expression(c), w))
   def dup_fractions(c: Column): Column = Bridge.column(

@@ -364,4 +364,53 @@ object HashKernels {
     }
     d
   }
+
+  /** N-dimensional Hilbert curve index over a `bits`-bit grid per axis —
+    * the Skilling transform (J. Skilling, "Programming the Hilbert
+    * curve", AIP Conf. Proc. 707, 2004, the standard public n-D
+    * formulation): axes → transpose form (inverse-undo + Gray encode),
+    * then an MSB-first bit interleave with axis 0 most significant.
+    * Requires `n · bits <= 63`. For n = 2 this walks the same curve as
+    * [[hilbertIndex]] (pinned exhaustively in the layout spec).
+    */
+  def hilbertIndexN(coords: Array[Long], bits: Int): Long = {
+    val n = coords.length
+    val x = java.util.Arrays.copyOf(coords, n)
+    val m = 1L << (bits - 1)
+    // inverse undo
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = m
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0L) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // transpose → index: bit j of axis k lands at j·n + (n−1−k)
+    var d = 0L
+    var j = bits - 1
+    while (j >= 0) {
+      var k = 0
+      while (k < n) {
+        d = (d << 1) | ((x(k) >>> j) & 1L)
+        k += 1
+      }
+      j -= 1
+    }
+    d
+  }
 }

@@ -85,22 +85,42 @@ object Layout {
     * the z-order sanction). Requires `n·bits <= 63`.
     */
   def zorderKeyN(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
-    require(cols.size >= 2, "need at least two layout columns")
-    require(bits >= 1 && cols.size * bits <= 63,
-      s"${cols.size} cols x $bits bits exceeds a signed long")
     val n = cols.size
-    val aggCols = cols.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
-    val bounds = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
-    val scaled = cols.zipWithIndex.map { case (c, k) =>
-      scaledExpr(c, bounds.getLong(2 * k), bounds.getLong(2 * k + 1), bits)
-    }
+    val scaled = scaledN(df, cols, bits)
     val key = (0 until bits).flatMap { j =>
       scaled.zipWithIndex.map { case (s, k) =>
         shiftleft(shiftrightunsigned(s, j).bitwiseAND(lit(1L)), j * n + k)
       }
     }.reduce(_ + _)
     df.withColumn("zkey", key)
+  }
+
+  /** N-dimensional Hilbert key — the general form of [[hilbertKey]]
+    * (Skilling's transform, the standard public n-axis formulation; for
+    * two columns it walks the exact same curve as the 2-D kernel,
+    * spec-pinned exhaustively). Same ONE plan-time bounds aggregate (2n
+    * longs) and exact-integer scaling as [[zorderKeyN]]; the key is a
+    * single codegen'd kernel call over the scaled coordinate array —
+    * map-only, no UDF, no shuffle. Requires `n·bits <= 63`.
+    */
+  def hilbertKeyN(df: DataFrame, cols: Seq[String], bits: Int): DataFrame =
+    df.withColumn("hkey",
+      GraftFunctions.hilbert_index_n(array(scaledN(df, cols, bits): _*), bits))
+
+  /** Shared front half of the N-D curve keys: ONE bounds aggregate over
+    * all axes (2n longs of plan-time driver state), then the exact
+    * integer scaling of each axis onto `[0, 2^bits)`.
+    */
+  private def scaledN(df: DataFrame, cols: Seq[String], bits: Int) = {
+    require(cols.size >= 2, "need at least two layout columns")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits exceeds a signed long")
+    val aggCols = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    cols.zipWithIndex.map { case (c, k) =>
+      scaledExpr(c, bounds.getLong(2 * k), bounds.getLong(2 * k + 1), bits)
+    }
   }
 
   /** Full layout: key, one range shuffle on it, in-partition sort — the

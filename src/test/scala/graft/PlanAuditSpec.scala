@@ -402,6 +402,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("hilbert_index"), s"missing the codegen kernel:\n$p")
   }
 
+  test("z08 n-d hilbert key is map-only over the scan, one codegen kernel call") {
+    val p = plan("z08_hilbert_nd")
+    assert(!p.contains("Exchange"), s"n-d hilbert keying shuffles:\n$p")
+    assert(p.contains("hilbert_index_n"), s"missing the n-d codegen kernel:\n$p")
+  }
+
   test("j09: interval overlap meets in one bucket equi-join — no nested loop") {
     val p = plan("j09_interval_overlap")
     assert(!p.contains("CartesianProduct"), s"cartesian in overlap join:\n$p")

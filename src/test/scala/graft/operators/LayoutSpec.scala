@@ -139,6 +139,42 @@ class LayoutSpec extends SparkTestBase {
     assert(box.max - box.min === 63L, "an aligned 8x8 box is one contiguous Hilbert range")
   }
 
+  test("hilbertIndexN: equals the 2-D kernel exhaustively on two axes; " +
+      "3-D walk is a true Hilbert curve (bijection + unit steps)") {
+    // n = 2 parity with the classic quadrant-walk kernel, every cell of
+    // every grid up to 5 bits (the z06 <-> z08 consistency contract)
+    for (b <- 1 to 5; x <- 0L until (1L << b); y <- 0L until (1L << b))
+      assert(graft.functions.HashKernels.hilbertIndexN(Array(x, y), b) ===
+        graft.functions.HashKernels.hilbertIndex(x, y, b),
+        s"Skilling diverges from the 2-D kernel at bits=$b ($x,$y)")
+    // n = 3: distinct keys covering [0, 8^3) and unit Manhattan steps
+    val keyed = for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield (x, y, z, graft.functions.HashKernels.hilbertIndexN(Array(x, y, z), 3))
+    assert(keyed.map(_._4).toSet === (0L until 512L).toSet)
+    keyed.sortBy(_._4).sliding(2).foreach {
+      case Seq((x1, y1, z1, _), (x2, y2, z2, _)) =>
+        assert((x1 - x2).abs + (y1 - y2).abs + (z1 - z2).abs === 1,
+          s"3-D curve jumped from ($x1,$y1,$z1) to ($x2,$y2,$z2)")
+    }
+  }
+
+  test("hilbertKeyN: two-axis frame equals hilbertKey row-for-row; " +
+      "3-axis key matches the kernel on scaled coords") {
+    val pts = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+      .toDF("x", "y")
+    val viaN = Layout.hilbertKeyN(pts, Seq("x", "y"), bits = 4)
+      .select("x", "y", "hkey").as[(Long, Long, Long)].collect().toSet
+    val via2 = Layout.hilbertKey(pts, "x", "y", bits = 4)
+      .select("x", "y", "hkey").as[(Long, Long, Long)].collect().toSet
+    assert(viaN === via2)
+    val pts3 = Seq((0L, 0L, 0L), (7L, 3L, 5L), (7L, 7L, 7L)).toDF("x", "y", "z")
+    val got3 = Layout.hilbertKeyN(pts3, Seq("x", "y", "z"), bits = 3)
+      .select("x", "y", "z", "hkey").as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (x, y, z, k) =>
+      assert(k === graft.functions.HashKernels.hilbertIndexN(Array(x, y, z), 3))
+    }
+  }
+
   test("compactionGroups: largest-first bins per partition; oversize files isolate") {
     val files = Seq(
       ("p1", "a", 900L), ("p1", "b", 800L), ("p1", "c", 300L), ("p1", "d", 200L),
