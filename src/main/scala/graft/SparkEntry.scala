@@ -1365,6 +1365,26 @@ object SparkEntry {
         m = 8, codesPerSub = 16, rerank = 32))
     }),
 
+    // the s19 pipeline split across runs: train + persist the IVF-PQ
+    // index (model parquet + code table) on the first 400 vectors, grow
+    // it incrementally with the remaining 100 (encoded under the
+    // PERSISTED codebooks — no retrain), then search from disk. The
+    // planted-probe contract is structural, so it must survive the
+    // persist/load/append round trip exactly; in-query-vs-loaded result
+    // equality is additionally spec-pinned
+    "s22_ann_index_persist" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s22").toString
+      val emb = t(s, dir, "embeddings")
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 400),
+        "vec_id", "embedding", tmp, dim = 64,
+        numCentroids = 16, m = 8, codesPerSub = 16)
+      Similarity.encodeIntoIvfPqIndex(emb.filter(col("vec_id") >= 400),
+        "vec_id", "embedding", tmp)
+      plantedHit(Similarity.ivfPqTopKFromIndex(tmp, emb, plantedQueries(emb),
+        "vec_id", "embedding", "query_id", "embedding",
+        k = 5, nprobe = 4, rerank = 32))
+    }),
+
     "s03_cosine_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") % 50 === 0)
@@ -4465,6 +4485,12 @@ object SparkEntry {
     // true cosine, so as long as ADC ranks the planted vector into the
     // re-rank candidate set (spec-asserted recall), rank 1 is exact 1.0
     "s19_ann_ivfpq" ->
+      """SELECT vec_id AS query_id, CAST(1 AS INT) AS rank,
+                CAST(1.0 AS DOUBLE) AS cosine
+         FROM embeddings WHERE vec_id < 10""",
+    // same structural contract: a persisted-then-grown index must still
+    // route every planted probe to its source at rank 1, exact 1.0
+    "s22_ann_index_persist" ->
       """SELECT vec_id AS query_id, CAST(1 AS INT) AS rank,
                 CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 10""",

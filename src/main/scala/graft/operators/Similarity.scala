@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -351,20 +351,47 @@ object Similarity {
       k: Int, dim: Int, numCentroids: Int = 16, nprobe: Int = 4,
       m: Int = 8, codesPerSub: Int = 16, rerank: Int = 32,
       kmeansIters: Int = 3): DataFrame = {
-    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     require(k <= rerank,
       s"k=$k > rerank=$rerank — the exact stage can only rank the re-rank pool")
+    val model = trainIvfPqModel(corpus, corpusId, corpusVec, dim,
+      numCentroids, m, codesPerSub, kmeansIters)
+    val encoded = pqEncodeRows(corpus, corpusId, corpusVec, model)
+    searchIvfPqEncoded(model, encoded, corpus, queries,
+      corpusId, corpusVec, queryId, queryVec, k, nprobe, rerank)
+  }
+
+  /** Trained IVF-PQ model: bounded plan-time state — `numCentroids · dim`
+    * + `m · codesPerSub · (dim/m)` floats (the IVF-centroid sanction),
+    * never corpus-proportional.
+    */
+  private[operators] case class IvfPqModel(
+      centroids: Array[(Int, Array[Float])],
+      codebooks: Array[Array[Array[Float]]]) {
+    def dim: Int = centroids.head._2.length
+    def m: Int = codebooks.length
+    def sd: Int = dim / m
+  }
+
+  private def trainIvfPqModel(corpus: DataFrame, corpusId: String,
+      corpusVec: String, dim: Int, numCentroids: Int, m: Int,
+      codesPerSub: Int, kmeansIters: Int): IvfPqModel = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     val sd = dim / m
     val (sample, centroids) = trainedCoarse(corpus, corpusId, corpusVec,
       numCentroids, kmeansIters, dimFilter = Some(dim))
     val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
       kmeansL2(sample.map(_.slice(j * sd, (j + 1) * sd)), codesPerSub, kmeansIters)
     }
-    // PQ encode: per subspace, the L2-nearest code — ties break to the
-    // smaller code via lexicographic struct comparison
-    def encode(vec: Column): Column = array((0 until m).map { j =>
-      val sub = slice(vec, j * sd + 1, sd)
-      val scored = codebooks(j).zipWithIndex.map { case (c, ci) =>
+    IvfPqModel(centroids, codebooks)
+  }
+
+  /** PQ encode: per subspace, the L2-nearest code — ties break to the
+    * smaller code via lexicographic struct comparison.
+    */
+  private def pqEncodeCol(model: IvfPqModel)(vec: Column): Column =
+    array((0 until model.m).map { j =>
+      val sub = slice(vec, j * model.sd + 1, model.sd)
+      val scored = model.codebooks(j).zipWithIndex.map { case (c, ci) =>
         struct(
           aggregate(
             zip_with(sub, typedLit(c.toSeq), (a, b) => (a - b).cast("double") * (a - b)),
@@ -373,29 +400,47 @@ object Similarity {
       }
       least(scored.toIndexedSeq: _*).getField("code")
     }: _*)
-    // ADC: approx inner product from the codes + the query's sub-vectors
-    def adc(codes: Column, qv: Column): Column = (0 until m).map { j =>
-      val cbLit = typedLit(codebooks(j).map(_.toSeq).toSeq)
+
+  /** ADC: approx inner product from the codes + the query's sub-vectors. */
+  private def adcCol(model: IvfPqModel)(codes: Column, qv: Column): Column =
+    (0 until model.m).map { j =>
+      val cbLit = typedLit(model.codebooks(j).map(_.toSeq).toSeq)
       val cvec = element_at(cbLit, codes.getItem(j) + 1)
       aggregate(
-        zip_with(slice(qv, j * sd + 1, sd), cvec, (a, b) => a.cast("double") * b),
+        zip_with(slice(qv, j * model.sd + 1, model.sd), cvec,
+          (a, b) => a.cast("double") * b),
         lit(0.0d), (acc, x) => acc + x)
     }.reduce(_ + _)
 
-    val sized = corpus.filter(size(col(corpusVec)) === dim)
-    val encoded = sized.select(
-      col(corpusId), nearestCentroidCol(centroids)(col(corpusVec)).as("__list"),
-      encode(col(corpusVec)).as("__codes"))
-    val probed = queries.filter(size(col(queryVec)) === dim).select(
+  /** The skinny code table: one `(id, __list, __codes)` row per
+    * right-dimensioned corpus vector — map-only; this is everything the
+    * ADC candidate stage ever reads (codes move, floats don't).
+    */
+  private def pqEncodeRows(df: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel): DataFrame =
+    df.filter(size(col(vecCol)) === model.dim).select(
+      col(idCol), nearestCentroidCol(model.centroids)(col(vecCol)).as("__list"),
+      pqEncodeCol(model)(col(vecCol)).as("__codes"))
+
+  /** The shared search back half of [[ivfPqTopK]] and
+    * [[ivfPqTopKFromIndex]]: ADC candidate generation over the encoded
+    * table, exact cosine re-rank against the original vectors.
+    */
+  private def searchIvfPqEncoded(model: IvfPqModel, encoded: DataFrame,
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val sized = corpus.filter(size(col(corpusVec)) === model.dim)
+    val probed = queries.filter(size(col(queryVec)) === model.dim).select(
       col(queryId), col(queryVec).as("__qv"),
-      explode(probeListsCol(centroids, nprobe)(col(queryVec))).as("__list"))
+      explode(probeListsCol(model.centroids, nprobe)(col(queryVec))).as("__list"))
     // broadcast, not shuffle: __list has only numCentroids distinct
     // values — a hash join on it would funnel the whole ADC scan through
     // that many tasks. Broadcasting the (small) probed queries keeps the
     // code scan map-side and fully parallel.
     val adcScored = encoded.join(broadcast(probed), "__list")
       .select(col(queryId), col(corpusId),
-        adc(col("__codes"), col("__qv")).as("cosine"))
+        adcCol(model)(col("__codes"), col("__qv")).as("cosine"))
     val cands = rankTopK(adcScored, queryId, corpusId, rerank)
       .select(col(queryId), col(corpusId))
     // candidates are |Q|·rerank rows — broadcast them at the corpus too
@@ -406,6 +451,79 @@ object Similarity {
         cosine(col(corpusVec), col("__qv")).as("cosine"))
       .filter(col("cosine").isNotNull)
     rankTopK(rer, queryId, corpusId, k)
+  }
+
+  /** Train an IVF-PQ index and PERSIST it: `<dir>/model` holds the
+    * centroids and codebooks (a few KB — one row per centroid/code
+    * vector), `<dir>/codes` the skinny per-vector code table. The d08
+    * separation applied to ANN: train once, reuse across query runs, and
+    * grow the corpus incrementally with [[encodeIntoIvfPqIndex]] —
+    * nothing downstream ever re-reads the training vectors.
+    * `trainOn` optionally restricts TRAINING to a sub-frame (e.g. a
+    * curated sample) while the code table still covers all of `corpus`.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      indexDir: String, dim: Int, numCentroids: Int = 16,
+      m: Int = 8, codesPerSub: Int = 16, kmeansIters: Int = 3,
+      trainOn: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = trainIvfPqModel(trainOn.getOrElse(corpus), corpusId, corpusVec,
+      dim, numCentroids, m, codesPerSub, kmeansIters)
+    val rows =
+      model.centroids.toSeq.map { case (i, c) =>
+        ("centroid", -1, i, c.toSeq) } ++
+      (for (j <- 0 until model.m; ci <- model.codebooks(j).indices)
+        yield ("code", j, ci, model.codebooks(j)(ci).toSeq))
+    rows.toDF("kind", "sub", "idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
+    pqEncodeRows(corpus, corpusId, corpusVec, model)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** Bounded model load: `numCentroids + m · codesPerSub` skinny rows. */
+  private def loadIvfPqModel(spark: SparkSession, indexDir: String): IvfPqModel = {
+    val rows = spark.read.parquet(s"$indexDir/model")
+      .select(col("kind"), col("sub"), col("idx"), col("vec")).collect()
+    val centroids = rows.filter(_.getString(0) == "centroid")
+      .map(r => (r.getInt(2), r.getSeq[Float](3).toArray)).sortBy(_._1)
+    require(centroids.nonEmpty, s"$indexDir/model holds no centroids")
+    val bySub = rows.filter(_.getString(0) == "code").groupBy(_.getInt(1))
+    require(bySub.nonEmpty, s"$indexDir/model holds no codebooks")
+    val m = bySub.keys.max + 1
+    val codebooks = Array.tabulate(m)(j =>
+      bySub(j).sortBy(_.getInt(2)).map(_.getSeq[Float](3).toArray))
+    IvfPqModel(centroids, codebooks)
+  }
+
+  /** Incremental growth: encode NEW vectors under the persisted model
+    * (same centroids/codebooks — results are identical to having built
+    * the whole index at once with this model, spec-pinned) and append
+    * their code rows. One map-only pass over the delta.
+    */
+  def encodeIntoIvfPqIndex(delta: DataFrame, corpusId: String,
+      corpusVec: String, indexDir: String): Unit = {
+    val model = loadIvfPqModel(delta.sparkSession, indexDir)
+    pqEncodeRows(delta, corpusId, corpusVec, model)
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
+  /** Query a PERSISTED IVF-PQ index: loads the (bounded) model, reads the
+    * code table, and runs the exact same ADC + exact-re-rank plan as the
+    * in-query [[ivfPqTopK]]. `corpus` supplies the original vectors for
+    * the exact re-rank only — candidate generation never touches floats.
+    */
+  def ivfPqTopKFromIndex(indexDir: String, corpus: DataFrame,
+      queries: DataFrame, corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 4, rerank: Int = 32): DataFrame = {
+    require(k <= rerank,
+      s"k=$k > rerank=$rerank — the exact stage can only rank the re-rank pool")
+    val spark = corpus.sparkSession
+    val model = loadIvfPqModel(spark, indexDir)
+    val encoded = spark.read.parquet(s"$indexDir/codes")
+    searchIvfPqEncoded(model, encoded, corpus, queries,
+      corpusId, corpusVec, queryId, queryVec, k, nprobe, rerank)
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

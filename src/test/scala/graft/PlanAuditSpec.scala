@@ -396,6 +396,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"a sort-merge join crept into the ANN path:\n$p")
   }
 
+  test("s22 persisted-index ANN search keeps the s19 plan shape: " +
+      "broadcast probed queries, bounded heaps, no window, no cartesian") {
+    val p = plan("s22_ann_index_persist")
+    assert(!p.contains("CartesianProduct"), s"cartesian in index search:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    assert(!p.contains("Window"), s"ranking via a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"missing the bounded top-k aggregate:\n$p")
+    assert(p.contains("__list"), s"IVF list equi-key missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC candidate join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join crept into the ANN path:\n$p")
+  }
+
   test("z06 hilbert key is map-only over the scan (bounds come from plan time)") {
     val p = plan("z06_hilbert_layout")
     assert(!p.contains("Exchange"), s"hilbert keying shuffles:\n$p")

@@ -85,6 +85,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(first._2 - 1.0) < 1e-9)
   }
 
+  test("persisted IVF-PQ index: loaded search equals the in-query build " +
+      "row-for-row; incremental encode matches the one-shot code table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    val q = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // same corpus, same params: the persisted model is the in-query model
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", s"$dir/a",
+      dim = dim, numCentroids = 8, m = 4, codesPerSub = 8)
+    val inQuery = Similarity.ivfPqTopK(corpus, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5, dim = dim, numCentroids = 8,
+      nprobe = 3, m = 4, codesPerSub = 8, rerank = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val loaded = Similarity.ivfPqTopKFromIndex(s"$dir/a", corpus, q,
+      "vec_id", "embedding", "query_id", "embedding",
+      k = 5, nprobe = 3, rerank = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(loaded === inQuery, "persist/load changed the search results")
+    // incremental growth contract: build on base + encode the rest under
+    // the persisted model == one-shot encode of everything under a model
+    // trained on the same base (trainOn)
+    val base = corpus.filter($"vec_id" < 60)
+    val rest = corpus.filter($"vec_id" >= 60)
+    Similarity.buildIvfPqIndex(base, "vec_id", "embedding", s"$dir/b",
+      dim = dim, numCentroids = 8, m = 4, codesPerSub = 8)
+    Similarity.encodeIntoIvfPqIndex(rest, "vec_id", "embedding", s"$dir/b")
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", s"$dir/c",
+      dim = dim, numCentroids = 8, m = 4, codesPerSub = 8,
+      trainOn = Some(base))
+    def codes(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"__list", $"__codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(codes(s"$dir/b/codes") === codes(s"$dir/c/codes"),
+      "incremental encode diverged from the one-shot code table")
+  }
+
   test("ivfPqTopK recall vs brute force") {
     val q = corpus.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding")
