@@ -541,7 +541,7 @@ object TextAnalysis {
     // shrink the corpus): group/join on a sentinel-coalesced string key
     // so null-stratum docs flow through with the default target instead
     // of being dropped by the null-key join
-    val skey = coalesce(col(stratumCol).cast("string"), lit(" __null__"))
+    val skey = coalesce(col(stratumCol).cast("string"), lit("\u0000__null__"))
     val perStratum = df.groupBy(skey.as("__stratum")).agg(
       sum(tokenCount(col(textCol)).cast("long")).as("__n_tokens"))
     val total = perStratum.agg(sum("__n_tokens").as("__total_tokens"))

@@ -20,18 +20,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * shuffle accounting); shuffled bytes are proportional to the delta's
  * touched buckets, not the corpus.
  *
- * Index layout — STATIC file pruning: the persistent index is
- * partitioned by `(__band, __bkp)` where `__bkp` is a
- * [[bandkeyPrefixes]]-way prefix of the bucket key. A micro-batch first
- * collects its (bounded, ≤ bands × prefixes) touched-partition set from
- * the delta's index, then reads the stored index through a PARTITION
- * filter on exactly those pairs — so candidate generation opens only the
- * files of touched sub-partitions instead of scanning the whole
- * directory. The touched-bucket semi join above restricted shuffled
- * BYTES to O(delta); this restricts per-batch scan I/O the same way
- * (small deltas touch a few prefixes per band; a corpus-scale replay
- * touches them all and degrades gracefully to the full scan it needs
- * anyway). Plan-pinned in the streaming spec: the pruned read carries the
+ * Index layout — an LSM shape for STATIC file pruning without per-batch
+ * write fan-out:
+ *   - `<dir>/base`: the corpus-scale part, partitioned by
+ *     `(__band, __bkp)` where `__bkp` is a [[bandkeyPrefixes]]-way prefix
+ *     of the bucket key. Written ONCE at seed (and at each compaction),
+ *     so the one wide fan-out write is amortized over the run.
+ *   - `<dir>/tail`: a flat append log of the recent deltas' index rows.
+ *     Micro-batches append a handful of plain files here — never a
+ *     per-partition fan-out.
+ * A micro-batch collects its (bounded, ≤ bands × prefixes)
+ * touched-partition set from the delta's index and reads `base` through a
+ * PARTITION filter on exactly those pairs — unmatched sub-directories'
+ * files are never opened — then unions the (small) tail. The semi join
+ * above restricted shuffled BYTES to O(delta); this restricts per-batch
+ * scan I/O to O(touched base partitions + tail), and [[compactState]]
+ * periodically folds the tail into the partitioned base to keep the tail
+ * small. Plan-pinned in the streaming spec: the base read carries the
  * touched-pair predicate as a PartitionFilter, never a row filter.
  *
  * Pair-set contract (spec-pinned): after draining the stream, `pairsDir`
@@ -47,10 +52,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object StreamingNearDup {
 
-  /** Sub-partitions per band in the persistent index layout: `__bkp =
+  /** Sub-partitions per band in the base index layout: `__bkp =
     * pmod(__bandkey, bandkeyPrefixes)`. bands × prefixes directories
     * total — coarse enough that each holds GBs at corpus scale, fine
-    * enough that a small micro-batch prunes most files statically.
+    * enough that a small micro-batch prunes most base files statically
+    * (a 1-doc delta touches 1 of [[bandkeyPrefixes]] prefixes per band).
     */
   val bandkeyPrefixes: Int = 16
 
@@ -59,51 +65,85 @@ object StreamingNearDup {
   private def bkp: Column =
     pmod(col("__bandkey"), lit(bandkeyPrefixes.toLong)).cast("int")
 
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.exists(p)
+  }
+
   /** Seed the persistent state from the initial corpus: the LSH index
-    * (the ONLY corpus state candidate generation ever reads, written in
-    * the `(__band, __bkp)`-partitioned layout) and the doc store (read
+    * (the ONLY corpus state candidate generation ever reads, written as
+    * the `(__band, __bkp)`-partitioned base) and the doc store (read
     * only for verification candidates — id-keyed lookups can't prune
     * statically, so it stays flat).
     */
   def seedIndex(corpus: DataFrame, idCol: String, textCol: String,
       indexDir: String, docsDir: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
-    appendIndex(
+    val spark = corpus.sparkSession
+    val (fs, p) = fsOf(spark, indexDir)
+    if (fs.exists(p)) fs.delete(p, true)
+    writeBase(
       Dedup.lshBuckets(corpus, idCol, textCol, shingleK, bands, rowsPerBand),
-      indexDir, mode = "overwrite")
+      indexDir)
     corpus.select(idCol, textCol).write.mode("overwrite").parquet(docsDir)
   }
 
-  /** Write [[Dedup.lshBuckets]] rows into the partitioned index layout.
-    * One repartition by the partition columns first, so each live
-    * sub-partition receives exactly ONE file per call (shuffles only the
-    * skinny delta index, O(delta)) — without it every writing task would
-    * emit a file into every partition it holds rows for.
+  /** Write [[Dedup.lshBuckets]] rows as the partitioned base. One
+    * repartition by the partition columns first, so each live
+    * sub-partition receives exactly ONE file (shuffles only the skinny
+    * index rows) — without it every writing task would emit a file into
+    * every partition it holds rows for. Runs once per seed/compaction,
+    * never per micro-batch.
     */
-  private[streaming] def appendIndex(idx: DataFrame, indexDir: String,
-      mode: String = "append"): Unit =
+  private def writeBase(idx: DataFrame, indexDir: String): Unit =
     idx.withColumn("__bkp", bkp)
       .repartition(indexPartitionCols.map(col): _*)
-      .write.mode(mode).partitionBy(indexPartitionCols: _*).parquet(indexDir)
+      .write.mode("overwrite").partitionBy(indexPartitionCols: _*)
+      .parquet(s"$indexDir/base")
+
+  /** Per-batch append: plain flat files into the tail log — O(writing
+    * tasks) files, no partition fan-out. [[compactState]] folds the tail
+    * into the base.
+    */
+  private[streaming] def appendIndex(idx: DataFrame, indexDir: String): Unit =
+    idx.write.mode("append").parquet(s"$indexDir/tail")
 
   /** Read the persistent index restricted to the given touched
-    * `(__band, __bkp)` partition pairs. The predicate references only
-    * partition columns, so Catalyst resolves it at PLANNING time against
-    * the partition directory values — unmatched sub-directories' files
-    * are never opened (static pruning, not a row filter). Falls back to
-    * the full scan on a legacy flat layout (no `__bkp` partition column).
+    * `(__band, __bkp)` partition pairs: the base through a partition
+    * filter (resolved at PLANNING time against the directory values, so
+    * unmatched sub-partitions' files are never opened — static pruning,
+    * not a row filter), unioned with the full (small) tail. Falls back
+    * to a plain scan on a legacy flat layout (no `base` subdirectory).
     */
   private[streaming] def prunedIndexScan(spark: SparkSession, indexDir: String,
       touched: Array[(Int, Int)]): DataFrame = {
-    val full = spark.read.parquet(indexDir)
-    if (!full.columns.contains("__bkp")) full
-    else if (touched.isEmpty) full.filter(lit(false))
-    else {
-      val pred = touched.groupBy(_._1).map { case (band, pairs) =>
+    if (!exists(spark, s"$indexDir/base"))
+      return spark.read.parquet(indexDir) // legacy flat layout
+    val base0 = spark.read.parquet(s"$indexDir/base")
+    val base =
+      (if (touched.isEmpty) base0.filter(lit(false))
+      else base0.filter(touched.groupBy(_._1).map { case (band, pairs) =>
         col("__band") === band && col("__bkp").isin(pairs.map(_._2).toSeq: _*)
-      }.reduce(_ || _)
-      full.filter(pred)
-    }
+      }.reduce(_ || _))).drop("__bkp")
+    if (!exists(spark, s"$indexDir/tail")) base
+    else base.unionByName(spark.read.parquet(s"$indexDir/tail")
+      .select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Every index row, base ∪ tail — the compaction/inspection read. */
+  private[streaming] def indexSnapshot(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    if (!exists(spark, s"$indexDir/base"))
+      return spark.read.parquet(indexDir)
+    val base = spark.read.parquet(s"$indexDir/base").drop("__bkp")
+    if (!exists(spark, s"$indexDir/tail")) base
+    else base.unionByName(spark.read.parquet(s"$indexDir/tail")
+      .select(base.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Heal a state directory after a crash mid-[[compactState]] swap.
@@ -119,9 +159,7 @@ object StreamingNearDup {
     *     compaction re-runs from the live state).
     */
   def recoverState(spark: SparkSession, dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
+    val (fs, p) = fsOf(spark, dir)
     val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
     val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compacting")
     if (fs.exists(bak)) {
@@ -133,13 +171,12 @@ object StreamingNearDup {
     if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
-  /** Compact a persistent state directory (index or docs) in place: every
-    * micro-batch appends one small parquet file per touched sub-partition,
-    * so a long-running screen accumulates thousands of tiny files — the
-    * classic small-files tax on every subsequent scan's listing and open
-    * cost. Rewrites to `ceil(rows / rowsPerFile)` files (one per live
-    * sub-partition on the partitioned index layout, which is preserved)
-    * and swaps the directory in.
+  /** Compact a persistent state directory in place. For the LSM index
+    * layout this folds the tail log into a fresh partitioned base (one
+    * file per live sub-partition, tail emptied); for a flat directory
+    * (the docs store, legacy indexes) it rewrites to
+    * `ceil(rows / rowsPerFile)` files. Either way the result is staged
+    * to a `.compacting` sibling and swapped in.
     *
     * Call BETWEEN runs (stream stopped): the swap is not atomic against a
     * concurrent reader/writer. It IS crash-safe: the sequence
@@ -153,21 +190,16 @@ object StreamingNearDup {
   def compactState(spark: SparkSession, dir: String,
       rowsPerFile: Long = 8L * 1024 * 1024): Unit = {
     recoverState(spark, dir)
-    val df = spark.read.parquet(dir)
     val tmp = dir.stripSuffix("/") + ".compacting"
-    if (df.columns.contains("__bkp"))
-      // partitioned index layout: one file per live sub-partition (the
-      // derived __bkp is dropped first — appendIndex recomputes it, and
-      // keeping both would double it in the schema)
-      appendIndex(df.drop("__bkp"), tmp, mode = "overwrite")
+    if (exists(spark, s"$dir/base"))
+      writeBase(indexSnapshot(spark, dir), tmp)
     else {
+      val df = spark.read.parquet(dir)
       val n = math.max(1L, math.min(Int.MaxValue.toLong,
         (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
       df.repartition(n).write.mode("overwrite").parquet(tmp)
     }
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
+    val (fs, p) = fsOf(spark, dir)
     val t = new org.apache.hadoop.fs.Path(tmp)
     val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
     if (!fs.rename(p, bak))
@@ -207,7 +239,7 @@ object StreamingNearDup {
         try {
           // bounded driver collect: at most bands × bandkeyPrefixes rows
           // regardless of delta size — the key set that statically prunes
-          // the index read below
+          // the base read below
           val touched = deltaIdx
             .select(col("__band"), bkp.as("__bkp")).distinct()
             .collect().map(r => (r.getInt(0), r.getInt(1)))

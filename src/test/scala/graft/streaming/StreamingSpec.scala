@@ -584,57 +584,62 @@ class StreamingSpec extends SparkTestBase {
     walk(new java.io.File(p))
   }
 
-  test("compactState rewrites accumulated state appends to few files, " +
-      "row set identical, layout preserved, screen still correct afterwards") {
+  test("compactState folds the tail log into the partitioned base, " +
+      "row set identical, screen still correct afterwards") {
     val dir = Files.createTempDirectory("graft_snd_compact").toString
     val corpus = (1L to 10L).map(i =>
       (i, s"corpus document number $i with some distinctive words here"))
       .toDF("doc_id", "text")
     StreamingNearDup.seedIndex(corpus, "doc_id", "text",
       s"$dir/index", s"$dir/docs")
-    // simulate many tiny per-batch appends (the same layout start() writes)
+    // simulate many tiny per-batch appends (the same tail log start() writes)
     (1 to 5).foreach { b =>
       val delta = Seq((100L + b,
         s"corpus document number $b with some distinctive words here too"))
         .toDF("doc_id", "text")
       StreamingNearDup.appendIndex(
-        graft.operators.Dedup.lshBuckets(delta, "doc_id", "text"), s"$dir/index")
+        graft.operators.Dedup.lshBuckets(delta, "doc_id", "text")
+          .coalesce(1), s"$dir/index")
       delta.coalesce(1).write.mode("append").parquet(s"$dir/docs")
     }
-    val before = spark.read.parquet(s"$dir/index")
+    def snapshot() = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
       .select("doc_id", "__band", "__bandkey")
       .as[(Long, Int, Long)].collect().sorted.toSeq
-    val filesBefore = parquetFiles(s"$dir/index").size
-    val liveParts = spark.read.parquet(s"$dir/index")
-      .select("__band", "__bkp").distinct().count()
-    assert(filesBefore > liveParts, "test setup: expected append file buildup")
+    val before = snapshot()
+    assert(parquetFiles(s"$dir/index/tail").size >= 5,
+      "test setup: expected tail file buildup")
+    val liveParts = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
+      .select($"__band",
+        org.apache.spark.sql.functions.pmod($"__bandkey",
+          org.apache.spark.sql.functions.lit(
+            StreamingNearDup.bandkeyPrefixes.toLong)).cast("int"))
+      .distinct().count()
     StreamingNearDup.compactState(spark, s"$dir/index")
     StreamingNearDup.compactState(spark, s"$dir/docs")
-    // one file per live (__band, __bkp) sub-partition, none dangling
+    // tail folded: one file per live (__band, __bkp) sub-partition, no tail
     assert(parquetFiles(s"$dir/index").size === liveParts,
-      "index not compacted to one file per sub-partition")
+      "base not compacted to one file per sub-partition")
     assert(parquetFiles(s"$dir/index").forall(f =>
       f.getParentFile.getName.startsWith("__bkp=")),
-      "compaction lost the partitioned index layout")
+      "compaction lost the partitioned base layout")
+    assert(!new java.io.File(s"$dir/index/tail").exists(), "tail not folded")
     assert(!new java.io.File(s"$dir/index.bak").exists())
     assert(!new java.io.File(s"$dir/index.compacting").exists())
-    val after = spark.read.parquet(s"$dir/index")
-      .select("doc_id", "__band", "__bandkey")
-      .as[(Long, Int, Long)].collect().sorted.toSeq
-    assert(after === before, "compaction changed the index row set")
+    assert(snapshot() === before, "compaction changed the index row set")
     // the compacted state still screens correctly
     val probe = Seq((999L,
       "corpus document number 3 with some distinctive words here too"))
       .toDF("doc_id", "text")
     val pairs = graft.operators.Dedup.minhashNearDupPairsIncremental(
-        spark.read.parquet(s"$dir/index"), spark.read.parquet(s"$dir/docs"),
+        StreamingNearDup.indexSnapshot(spark, s"$dir/index"),
+        spark.read.parquet(s"$dir/docs"),
         probe, "doc_id", "text", threshold = 0.5)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(pairs.contains((103L, 999L)), s"probe missed its near-dup: $pairs")
   }
 
-  test("prunedIndexScan: touched pairs land as PartitionFilters and untouched " +
-      "sub-partition files are never opened") {
+  test("prunedIndexScan: touched pairs land as PartitionFilters on the base, " +
+      "untouched sub-partition files are never opened, tail always visible") {
     val dir = Files.createTempDirectory("graft_snd_prune").toString
     val corpus = (1L to 50L).map(i =>
       (i, s"corpus document number $i with some quite distinctive words $i here"))
@@ -644,11 +649,11 @@ class StreamingSpec extends SparkTestBase {
     // a one-doc delta touches exactly one (band, prefix) pair per band
     val delta = Seq((999L, "a probe document that shares nothing in particular"))
       .toDF("doc_id", "text")
+    val pmodBkp = org.apache.spark.sql.functions.pmod($"__bandkey",
+      org.apache.spark.sql.functions.lit(
+        StreamingNearDup.bandkeyPrefixes.toLong)).cast("int")
     val touched = graft.operators.Dedup.lshBuckets(delta, "doc_id", "text")
-      .select($"__band",
-        org.apache.spark.sql.functions.pmod($"__bandkey",
-          org.apache.spark.sql.functions.lit(
-            StreamingNearDup.bandkeyPrefixes.toLong)).cast("int").as("__bkp"))
+      .select($"__band", pmodBkp.as("__bkp"))
       .distinct().as[(Int, Int)].collect()
     assert(touched.length === 16, "one (band, prefix) per band expected")
     val pruned = StreamingNearDup.prunedIndexScan(spark, s"$dir/index", touched)
@@ -659,19 +664,28 @@ class StreamingSpec extends SparkTestBase {
     assert(pf.substring(0, pf.indexOf("]")).contains("__bkp"),
       s"touched-pair predicate is not a partition filter:\n$plan")
     // rows: exactly the stored rows of touched sub-partitions
-    val expect = spark.read.parquet(s"$dir/index")
+    val expect = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
       .filter(touched.map { case (b, p) =>
-        $"__band" === b && $"__bkp" === p }.reduce(_ || _))
+        $"__band" === b && pmodBkp === p }.reduce(_ || _))
       .select("doc_id", "__band", "__bandkey")
       .as[(Long, Int, Long)].collect().sorted.toSeq
     val got = pruned.select("doc_id", "__band", "__bandkey")
       .as[(Long, Int, Long)].collect().sorted.toSeq
     assert(got === expect)
     assert(got.nonEmpty && got.size < 50 * 16,
-      "pruned read returned the whole index — nothing was pruned")
-    // an empty delta reads nothing; a legacy flat layout still reads fully
+      "pruned read returned the whole base — nothing was pruned")
+    // an empty touched set reads no base rows
     assert(StreamingNearDup.prunedIndexScan(spark, s"$dir/index",
       Array.empty).count() === 0L)
+    // tail rows are ALWAYS visible, whatever the touched set (the pruning
+    // only applies to the compacted base)
+    StreamingNearDup.appendIndex(
+      graft.operators.Dedup.lshBuckets(delta, "doc_id", "text"), s"$dir/index")
+    val tailOnly = StreamingNearDup.prunedIndexScan(spark, s"$dir/index",
+      Array.empty)
+    assert(tailOnly.select("doc_id").distinct().as[Long].collect().toSeq ===
+      Seq(999L), "tail rows not visible through the pruned scan")
+    // a legacy flat layout still reads fully
     corpus.limit(3).write.parquet(s"$dir/flat")
     assert(StreamingNearDup.prunedIndexScan(spark, s"$dir/flat",
       touched).count() === 3L)
@@ -685,15 +699,13 @@ class StreamingSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     StreamingNearDup.seedIndex(corpus, "doc_id", "text",
       s"$dir/index", s"$dir/docs")
-    val rows = spark.read.parquet(s"$dir/index")
+    def reread() = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
       .select("doc_id", "__band", "__bandkey")
       .as[(Long, Int, Long)].collect().sorted.toSeq
+    val rows = reread()
     val fs = new org.apache.hadoop.fs.Path(s"$dir/index")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
-    def reread() = spark.read.parquet(s"$dir/index")
-      .select("doc_id", "__band", "__bandkey")
-      .as[(Long, Int, Long)].collect().sorted.toSeq
 
     // crash BETWEEN the renames: current gone, .bak holds the only copy
     // (plus a half-written tmp) — the exact window the old delete+rename
