@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Shared base+tail parquet state store for streaming operators whose
+ * cross-batch state is corpus-scale — the LSM shape behind
+ * [[StreamingNearDup]]'s LSH index and [[StreamingCuration]]'s
+ * fingerprint index:
+ *
+ *   - `<dir>/base`: the corpus-scale part, partitioned by the layout's
+ *     derived prefix column(s). Written once per seed/compaction, so the
+ *     wide partition fan-out write is amortized over the run.
+ *   - `<dir>/tail`: a flat append log of recent per-batch state rows —
+ *     a handful of plain files per batch, never a per-partition fan-out.
+ *
+ * A micro-batch reads the base through a caller-built PARTITION filter
+ * on its (bounded) touched-prefix set — resolved at planning time
+ * against the directory values, so untouched sub-partitions' files are
+ * never opened — then unions the full (small) tail. [[compact]] folds
+ * the tail into a fresh base; the swap is crash-safe (`current → .bak`,
+ * `tmp → current`, `delete .bak` — a complete copy exists at every
+ * instant, and [[recover]] heals every half-state).
+ *
+ * Layout contract: `derive` adds the derived partition column(s) to a
+ * logical frame; `partitionCols` lists ALL partition columns (logical
+ * ones included); `derivedCols` the subset that [[snapshot]] must drop
+ * to recover the logical schema.
+ */
+private[streaming] final case class LsmLayout(
+    partitionCols: Seq[String],
+    derivedCols: Seq[String],
+    derive: DataFrame => DataFrame)
+
+private[streaming] object LsmParquetState {
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = fsOf(spark, dir)
+    fs.exists(p)
+  }
+
+  def hasBase(spark: SparkSession, dir: String): Boolean =
+    exists(spark, s"$dir/base")
+
+  /** Overwrite the partitioned base. One repartition by the partition
+    * columns first, so each live sub-partition receives exactly ONE file
+    * (only the skinny state rows shuffle) — without it every writing
+    * task would emit a file into every partition it holds rows for.
+    * Runs at seed/compaction, never per micro-batch.
+    *
+    * An EMPTY frame writes a flat zero-row parquet file instead: a
+    * partitioned write of nothing lays down no files at all, and a later
+    * read of the base could not even infer a schema. [[scan]] detects
+    * the flat-empty base by its missing partition columns.
+    */
+  def writeBase(df: DataFrame, dir: String, layout: LsmLayout): Unit = {
+    layout.derive(df)
+      .repartition(layout.partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(layout.partitionCols: _*)
+      .parquet(s"$dir/base")
+    // empty frame: the partitioned write lays down no data files (and so
+    // no schema for later reads to infer) — rewrite flat-empty instead;
+    // scan() detects it by the missing partition columns
+    val (fs, p) = fsOf(df.sparkSession, s"$dir/base")
+    if (!fs.listStatus(p).exists(_.isDirectory))
+      df.write.mode("overwrite").parquet(s"$dir/base")
+  }
+
+  /** Reset the whole store to exactly `df` (seed). */
+  def seed(df: DataFrame, dir: String, layout: LsmLayout): Unit = {
+    val (fs, p) = fsOf(df.sparkSession, dir)
+    if (fs.exists(p)) fs.delete(p, true)
+    writeBase(df, dir, layout)
+  }
+
+  /** Per-batch append: plain flat files into the tail log. */
+  def appendTail(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(s"$dir/tail")
+
+  /** The pruned read: base restricted by `basePredicate` (built by the
+    * caller over the layout's partition columns — it classifies as a
+    * PartitionFilter, static pruning) unioned with the full tail.
+    * `basePredicate = lit(false)` reads only the tail. Falls back to a
+    * plain scan of `dir` on a legacy flat layout (no `base` subdir).
+    */
+  def scan(spark: SparkSession, dir: String, layout: LsmLayout,
+      basePredicate: Column): DataFrame = {
+    if (!hasBase(spark, dir)) return spark.read.parquet(dir)
+    val raw = spark.read.parquet(s"$dir/base")
+    // a flat-empty base (empty seed) carries no partition columns — the
+    // predicate would not resolve, and there is nothing to prune anyway
+    val base = (if (layout.partitionCols.forall(raw.columns.contains))
+      raw.filter(basePredicate) else raw).drop(layout.derivedCols: _*)
+    if (!exists(spark, s"$dir/tail")) base
+    else base.unionByName(spark.read.parquet(s"$dir/tail")
+      .select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Every state row, base ∪ tail — the compaction/inspection read. */
+  def snapshot(spark: SparkSession, dir: String, layout: LsmLayout): DataFrame =
+    scan(spark, dir, layout, lit(true))
+
+  /** Heal a state directory after a crash mid-[[compact]] swap.
+    * Idempotent; [[compact]] self-heals through it.
+    *   - `.bak` present, `current` missing → crash between the renames:
+    *     restore `.bak` → `current`.
+    *   - `.bak` AND `current` present → crash after the swap, before
+    *     cleanup: `current` is already the compacted state; drop `.bak`.
+    *   - a dangling `.compacting` tmp dir is deleted either way.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = fsOf(spark, dir)
+    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
+    val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compacting")
+    if (fs.exists(bak)) {
+      if (!fs.exists(p)) {
+        if (!fs.rename(bak, p))
+          throw new java.io.IOException(s"could not restore $bak to $dir")
+      } else fs.delete(bak, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Fold the tail into a fresh partitioned base (one file per live
+    * sub-partition, tail emptied) and swap it in crash-safely. For a
+    * legacy FLAT directory (no `base` subdir) compacts to
+    * `ceil(rows / rowsPerFile)` flat files instead.
+    * Call BETWEEN runs — the swap is crash-safe but not atomic against
+    * a concurrent reader/writer.
+    */
+  def compact(spark: SparkSession, dir: String, layout: LsmLayout,
+      rowsPerFile: Long = 8L * 1024 * 1024): Unit = {
+    recover(spark, dir)
+    val tmp = dir.stripSuffix("/") + ".compacting"
+    if (hasBase(spark, dir))
+      writeBase(snapshot(spark, dir, layout), tmp, layout)
+    else {
+      val df = spark.read.parquet(dir)
+      val n = math.max(1L, math.min(Int.MaxValue.toLong,
+        (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
+      df.repartition(n).write.mode("overwrite").parquet(tmp)
+    }
+    val (fs, p) = fsOf(spark, dir)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(s"could not stage $dir to $bak for swap")
+    if (!fs.rename(t, p))
+      throw new java.io.IOException(
+        s"compaction swap failed: live state preserved at $bak — " +
+          s"recover($dir) restores it")
+    fs.delete(bak, true)
+  }
+}

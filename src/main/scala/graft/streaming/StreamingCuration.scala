@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{Dedup, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -15,12 +15,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *
  * State lives in parquet (the [[StreamingNearDup]] posture): one 32-char
  * md5 fingerprint row per seen document — at corpus scale that is
- * billions of rows, past any state store. Per-batch cost: the fingerprint
- * index is SCANNED map-only — a broadcast semi join restricts it to the
- * batch's own fingerprints BEFORE the anti join, so the index never
- * shuffles and never broadcasts whole; shuffled bytes are proportional to
- * the BATCH, not the corpus. Use [[StreamingNearDup.compactState]] on the
- * index between runs to pay down the per-batch small-file appends.
+ * billions of rows, past any state store. The store is the shared
+ * [[LsmParquetState]] layout: a base partitioned by `__fpp` (the
+ * fingerprint's first hex byte, 256 sub-partitions) plus a flat tail log
+ * the batches append to. Per-batch cost: the base is read through a
+ * PARTITION filter on the batch's (bounded, ≤ 256) touched-prefix set —
+ * untouched sub-partitions' files never open — then a broadcast semi
+ * join restricts the surviving rows to the batch's exact fingerprints
+ * BEFORE the anti join, so the index never shuffles and never broadcasts
+ * whole; shuffled bytes are proportional to the BATCH, not the corpus.
+ * Use [[compactFingerprints]] between runs to fold the tail into the
+ * base and pay down the per-batch small-file appends.
  *
  * Decontamination screens against eval grams broadcast exactly (the t13
  * shape — eval sets are benchmark-sized). For eval sets too large to
@@ -44,14 +49,54 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object StreamingCuration {
 
+  /** First hex nibble of the fingerprint as an int — 16 sub-partitions. */
+  private def fpp(fp: Column): Column =
+    conv(substring(fp, 1, 1), 16, 10).cast("int")
+
+  private val layout = LsmLayout(
+    partitionCols = Seq("__fpp"),
+    derivedCols = Seq("__fpp"),
+    derive = _.withColumn("__fpp", conv(substring(col("fp"), 1, 1), 16, 10)
+      .cast("int")))
+
   /** Seed the fingerprint index from an already-curated corpus (empty
     * corpus frames are fine — the write still lays down the schema the
     * per-batch reads need).
+    *
+    * `partitionedBase = false` (default) keeps the store FLAT: the
+    * per-batch probe is already restricted to O(batch) rows by a
+    * broadcast semi join, so at moderate store sizes the flat scan is
+    * the cheapest posture (measured ~2× faster end-to-end at sf0.1,
+    * where each batch's fingerprints touch every prefix anyway). Seed
+    * with `true` when the store is truly corpus-scale AND batches are
+    * small relative to it — then the [[LsmParquetState]] base/tail
+    * layout statically prunes each batch's base read to its (bounded)
+    * touched-prefix set, and [[compactFingerprints]] folds the tail.
+    * [[start]] detects the layout per batch; both postures produce
+    * identical survivors (spec-pinned).
     */
   def seedFingerprints(corpus: DataFrame, textCol: String,
-      fpDir: String): Unit =
-    corpus.select(md5(Dedup.normalized(col(textCol))).as("fp")).distinct()
-      .write.mode("overwrite").parquet(fpDir)
+      fpDir: String, partitionedBase: Boolean = false): Unit = {
+    val fps = corpus.select(md5(Dedup.normalized(col(textCol))).as("fp"))
+      .distinct()
+    if (partitionedBase) LsmParquetState.seed(fps, fpDir, layout)
+    else fps.write.mode("overwrite").parquet(fpDir)
+  }
+
+  /** Every stored fingerprint, base ∪ tail. */
+  private[streaming] def fingerprintSnapshot(spark: SparkSession,
+      fpDir: String): DataFrame =
+    LsmParquetState.snapshot(spark, fpDir, layout)
+
+  /** Fold the fingerprint tail log into a fresh partitioned base —
+    * crash-safe swap, see [[LsmParquetState.compact]]. Call BETWEEN runs.
+    */
+  def compactFingerprints(spark: SparkSession, fpDir: String): Unit =
+    LsmParquetState.compact(spark, fpDir, layout)
+
+  /** Heal a fingerprint directory after a crash mid-compaction swap. */
+  def recoverFingerprints(spark: SparkSession, fpDir: String): Unit =
+    LsmParquetState.recover(spark, fpDir)
 
   /** Start the screen over a streaming frame of `(idCol, textCol,
     * langCol)` docs. Ids must be unique across the stream. Rate limiting
@@ -85,12 +130,25 @@ object StreamingCuration {
         val decon = gated.join(flagged, Seq(idCol), "left_anti")
         val deduped = Dedup.normalizedDedup(decon, idCol, textCol)
           .withColumn("__fp", md5(Dedup.normalized(col(textCol))))
-        // restrict the stored index to the batch's fingerprints before the
-        // anti join: `seen` is bounded by the batch, so both joins stay
-        // broadcast-side-small and the index itself never exchanges
+        // restriction of the stored index before the anti join: on the
+        // partitioned-base layout, the bounded touched-prefix set —
+        // computed from the RAW batch, a superset of the gated docs'
+        // prefixes, so the gate chain never re-executes — statically
+        // prunes the base read's file set first; either way a broadcast
+        // semi join then restricts surviving rows to the batch's exact
+        // fingerprints. Both joins stay broadcast-side-small and the
+        // index itself never exchanges.
         val batchFps = deduped.select(col("__fp").as("fp")).distinct()
-        val seen = s.read.parquet(fpDir)
-          .join(broadcast(batchFps), Seq("fp"), "left_semi")
+        val stored =
+          if (LsmParquetState.hasBase(s, fpDir)) {
+            val touched = batch
+              .select(fpp(md5(Dedup.normalized(col(textCol)))).as("__fpp"))
+              .distinct().collect().map(_.getInt(0))
+            LsmParquetState.scan(s, fpDir, layout,
+              if (touched.isEmpty) lit(false)
+              else col("__fpp").isin(touched.toIndexedSeq: _*))
+          } else s.read.parquet(fpDir)
+        val seen = stored.join(broadcast(batchFps), Seq("fp"), "left_semi")
         // `fresh` feeds both appends — left lazy, the whole gate + decon +
         // dedup chain would execute twice per batch
         val fresh = deduped
@@ -99,8 +157,10 @@ object StreamingCuration {
         try {
           fresh.select(col(idCol), col(langCol), col("quality"))
             .write.mode("append").parquet(keptDir)
-          fresh.select(col("__fp").as("fp")).distinct()
-            .write.mode("append").parquet(fpDir)
+          val newFps = fresh.select(col("__fp").as("fp")).distinct()
+          if (LsmParquetState.hasBase(s, fpDir))
+            LsmParquetState.appendTail(newFps, fpDir)
+          else newFps.write.mode("append").parquet(fpDir)
         } finally fresh.unpersist(blocking = false)
       }
       .option("checkpointLocation", checkpointDir)

@@ -60,20 +60,13 @@ object StreamingNearDup {
     */
   val bandkeyPrefixes: Int = 16
 
-  private val indexPartitionCols = Seq("__band", "__bkp")
-
   private def bkp: Column =
     pmod(col("__bandkey"), lit(bandkeyPrefixes.toLong)).cast("int")
 
-  private def fsOf(spark: SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def exists(spark: SparkSession, dir: String): Boolean = {
-    val (fs, p) = fsOf(spark, dir)
-    fs.exists(p)
-  }
+  private val layout = LsmLayout(
+    partitionCols = Seq("__band", "__bkp"),
+    derivedCols = Seq("__bkp"),
+    derive = _.withColumn("__bkp", bkp))
 
   /** Seed the persistent state from the initial corpus: the LSH index
     * (the ONLY corpus state candidate generation ever reads, written as
@@ -84,34 +77,18 @@ object StreamingNearDup {
   def seedIndex(corpus: DataFrame, idCol: String, textCol: String,
       indexDir: String, docsDir: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
-    val spark = corpus.sparkSession
-    val (fs, p) = fsOf(spark, indexDir)
-    if (fs.exists(p)) fs.delete(p, true)
-    writeBase(
+    LsmParquetState.seed(
       Dedup.lshBuckets(corpus, idCol, textCol, shingleK, bands, rowsPerBand),
-      indexDir)
+      indexDir, layout)
     corpus.select(idCol, textCol).write.mode("overwrite").parquet(docsDir)
   }
-
-  /** Write [[Dedup.lshBuckets]] rows as the partitioned base. One
-    * repartition by the partition columns first, so each live
-    * sub-partition receives exactly ONE file (shuffles only the skinny
-    * index rows) — without it every writing task would emit a file into
-    * every partition it holds rows for. Runs once per seed/compaction,
-    * never per micro-batch.
-    */
-  private def writeBase(idx: DataFrame, indexDir: String): Unit =
-    idx.withColumn("__bkp", bkp)
-      .repartition(indexPartitionCols.map(col): _*)
-      .write.mode("overwrite").partitionBy(indexPartitionCols: _*)
-      .parquet(s"$indexDir/base")
 
   /** Per-batch append: plain flat files into the tail log — O(writing
     * tasks) files, no partition fan-out. [[compactState]] folds the tail
     * into the base.
     */
   private[streaming] def appendIndex(idx: DataFrame, indexDir: String): Unit =
-    idx.write.mode("append").parquet(s"$indexDir/tail")
+    LsmParquetState.appendTail(idx, indexDir)
 
   /** Read the persistent index restricted to the given touched
     * `(__band, __bkp)` partition pairs: the base through a partition
@@ -122,94 +99,35 @@ object StreamingNearDup {
     */
   private[streaming] def prunedIndexScan(spark: SparkSession, indexDir: String,
       touched: Array[(Int, Int)]): DataFrame = {
-    if (!exists(spark, s"$indexDir/base"))
-      return spark.read.parquet(indexDir) // legacy flat layout
-    val base0 = spark.read.parquet(s"$indexDir/base")
-    val base =
-      (if (touched.isEmpty) base0.filter(lit(false))
-      else base0.filter(touched.groupBy(_._1).map { case (band, pairs) =>
+    val pred =
+      if (touched.isEmpty) lit(false)
+      else touched.groupBy(_._1).map { case (band, pairs) =>
         col("__band") === band && col("__bkp").isin(pairs.map(_._2).toSeq: _*)
-      }.reduce(_ || _))).drop("__bkp")
-    if (!exists(spark, s"$indexDir/tail")) base
-    else base.unionByName(spark.read.parquet(s"$indexDir/tail")
-      .select(base.columns.map(col).toIndexedSeq: _*))
+      }.reduce(_ || _)
+    LsmParquetState.scan(spark, indexDir, layout, pred)
   }
 
   /** Every index row, base ∪ tail — the compaction/inspection read. */
   private[streaming] def indexSnapshot(spark: SparkSession,
-      indexDir: String): DataFrame = {
-    if (!exists(spark, s"$indexDir/base"))
-      return spark.read.parquet(indexDir)
-    val base = spark.read.parquet(s"$indexDir/base").drop("__bkp")
-    if (!exists(spark, s"$indexDir/tail")) base
-    else base.unionByName(spark.read.parquet(s"$indexDir/tail")
-      .select(base.columns.map(col).toIndexedSeq: _*))
-  }
+      indexDir: String): DataFrame =
+    LsmParquetState.snapshot(spark, indexDir, layout)
 
-  /** Heal a state directory after a crash mid-[[compactState]] swap.
-    * Idempotent; call at startup (or rely on [[compactState]], which
-    * self-heals before compacting). The swap sequence is
-    * `current → .bak`, `tmp → current`, `delete .bak` — so at every
-    * instant at least one complete copy exists:
-    *   - `.bak` present, `current` missing → crash between the renames:
-    *     restore `.bak` → `current`.
-    *   - `.bak` AND `current` present → crash after the swap, before
-    *     cleanup: `current` is already the compacted state; drop `.bak`.
-    *   - a dangling `.compacting` tmp dir is deleted either way (the
-    *     compaction re-runs from the live state).
+  /** Heal a state directory after a crash mid-[[compactState]] swap —
+    * see [[LsmParquetState.recover]]. Idempotent; call at startup (or
+    * rely on [[compactState]], which self-heals first).
     */
-  def recoverState(spark: SparkSession, dir: String): Unit = {
-    val (fs, p) = fsOf(spark, dir)
-    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
-    val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compacting")
-    if (fs.exists(bak)) {
-      if (!fs.exists(p)) {
-        if (!fs.rename(bak, p))
-          throw new java.io.IOException(s"could not restore $bak to $dir")
-      } else fs.delete(bak, true)
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-  }
+  def recoverState(spark: SparkSession, dir: String): Unit =
+    LsmParquetState.recover(spark, dir)
 
-  /** Compact a persistent state directory in place. For the LSM index
-    * layout this folds the tail log into a fresh partitioned base (one
-    * file per live sub-partition, tail emptied); for a flat directory
-    * (the docs store, legacy indexes) it rewrites to
-    * `ceil(rows / rowsPerFile)` files. Either way the result is staged
-    * to a `.compacting` sibling and swapped in.
-    *
-    * Call BETWEEN runs (stream stopped): the swap is not atomic against a
-    * concurrent reader/writer. It IS crash-safe: the sequence
-    * `current → .bak`, `tmp → current`, `delete .bak` keeps a complete
-    * copy on disk at every instant, and both this method and
-    * [[recoverState]] heal a half-finished swap. Safe w.r.t. the stream's
-    * own state because the state is plain parquet — no checkpoint
-    * metadata references these file names (the checkpoint tracks the
-    * SOURCE, not foreachBatch's outputs).
+  /** Compact a persistent state directory in place: folds the index tail
+    * into a fresh partitioned base (one file per live sub-partition),
+    * or rewrites a flat directory (the docs store) to few files — see
+    * [[LsmParquetState.compact]] for the crash-safe swap contract.
+    * Call BETWEEN runs (stream stopped).
     */
   def compactState(spark: SparkSession, dir: String,
-      rowsPerFile: Long = 8L * 1024 * 1024): Unit = {
-    recoverState(spark, dir)
-    val tmp = dir.stripSuffix("/") + ".compacting"
-    if (exists(spark, s"$dir/base"))
-      writeBase(indexSnapshot(spark, dir), tmp)
-    else {
-      val df = spark.read.parquet(dir)
-      val n = math.max(1L, math.min(Int.MaxValue.toLong,
-        (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
-      df.repartition(n).write.mode("overwrite").parquet(tmp)
-    }
-    val (fs, p) = fsOf(spark, dir)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
-    if (!fs.rename(p, bak))
-      throw new java.io.IOException(s"could not stage $dir to $bak for swap")
-    if (!fs.rename(t, p))
-      throw new java.io.IOException(
-        s"compaction swap failed: live state preserved at $bak — " +
-          s"recoverState($dir) restores it")
-    fs.delete(bak, true)
-  }
+      rowsPerFile: Long = 8L * 1024 * 1024): Unit =
+    LsmParquetState.compact(spark, dir, layout, rowsPerFile)
 
   /** Start the screen over a streaming frame of `(idCol, textCol)` docs.
     * Ids must be unique across the corpus and the stream. Rate limiting

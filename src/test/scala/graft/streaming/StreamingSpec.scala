@@ -539,7 +539,8 @@ class StreamingSpec extends SparkTestBase {
     val seedText = "the seed corpus document that we already kept and curated"
     val evalText = "the held out evaluation prompt that must never leak into training"
     StreamingCuration.seedFingerprints(
-      Seq((0L, seedText)).toDF("doc_id", "text"), "text", s"$dir/fp")
+      Seq((0L, seedText)).toDF("doc_id", "text"), "text", s"$dir/fp",
+      partitionedBase = true)
     val evalDocs = Seq((900L, evalText)).toDF("doc_id", "text")
     // batch 1: A kept; B duplicates the SEED; E duplicates the EVAL text
     // (contaminated); F1/F2 duplicate each other (min id wins); N is not
@@ -574,7 +575,22 @@ class StreamingSpec extends SparkTestBase {
     assert(kept === Set(11L, 14L, 22L),
       s"survivors off: $kept (expected A, min-id duplicate, D)")
     // the fingerprint index grew by exactly the three survivors' prints
-    assert(spark.read.parquet(s"$dir/fp").distinct().count() === 4L)
+    assert(StreamingCuration.fingerprintSnapshot(spark, s"$dir/fp")
+      .distinct().count() === 4L)
+    // the batch appends landed in the tail log, not as base fan-out;
+    // compaction folds them into the 256-way partitioned base and the
+    // screen state survives byte-identical
+    assert(new java.io.File(s"$dir/fp/tail").exists(), "appends not in tail")
+    val beforeCompact = StreamingCuration.fingerprintSnapshot(spark, s"$dir/fp")
+      .as[String].collect().sorted.toSeq
+    StreamingCuration.compactFingerprints(spark, s"$dir/fp")
+    assert(!new java.io.File(s"$dir/fp/tail").exists(), "tail not folded")
+    assert(parquetFiles(s"$dir/fp").forall(f =>
+      f.getParentFile.getName.startsWith("__fpp=")),
+      "compaction lost the partitioned fingerprint base")
+    assert(StreamingCuration.fingerprintSnapshot(spark, s"$dir/fp")
+      .as[String].collect().sorted.toSeq === beforeCompact,
+      "compaction changed the fingerprint set")
   }
 
   private def parquetFiles(p: String): Seq[java.io.File] = {
