@@ -315,13 +315,30 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
   */
 case class HilbertIndexN(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  // a null COORDINATE yields a null key, matching the 2-D kernel and the
+  // N-D Morton key (unchecked, toLongArray would NPE interpreted or read
+  // the null slot as 0 under codegen — a silently wrong cluster key)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    HashKernels.hilbertIndexN(arr.toLongArray(), bits)
+    val n = arr.numElements()
+    var i = 0
+    var anyNull = false
+    while (i < n && !anyNull) { anyNull = arr.isNullAt(i); i += 1 }
+    if (anyNull) null else HashKernels.hilbertIndexN(arr.toLongArray(), bits)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      a => s"graft.functions.HashKernels.hilbertIndexN($a.toLongArray(), $bits)")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      s"""
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.HashKernels.hilbertIndexN($a.toLongArray(), $bits);
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): HilbertIndexN =
     copy(child = newChild)
   override def prettyName: String = "hilbert_index_n"

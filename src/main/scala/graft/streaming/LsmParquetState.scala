@@ -54,16 +54,49 @@ private[streaming] object LsmParquetState {
     * task would emit a file into every partition it holds rows for.
     * Runs at seed/compaction, never per micro-batch.
     *
+    * `rowsPerFile > 0` additionally bounds file sizes: the frame is
+    * counted and each sub-partition salted into enough files that none
+    * expects more than `rowsPerFile` rows (two cheap sizing jobs — the
+    * COMPACTION path pays them; seeding passes 0 and accepts one file
+    * per sub-partition rather than re-executing a possibly-expensive
+    * seed plan for a count).
+    *
     * An EMPTY frame writes a flat zero-row parquet file instead: a
     * partitioned write of nothing lays down no files at all, and a later
     * read of the base could not even infer a schema. [[scan]] detects
     * the flat-empty base by its missing partition columns.
     */
-  def writeBase(df: DataFrame, dir: String, layout: LsmLayout): Unit = {
-    layout.derive(df)
-      .repartition(layout.partitionCols.map(col): _*)
-      .write.mode("overwrite").partitionBy(layout.partitionCols: _*)
-      .parquet(s"$dir/base")
+  def writeBase(df: DataFrame, dir: String, layout: LsmLayout,
+      rowsPerFile: Long = 0L): Unit = {
+    val derived = layout.derive(df)
+    val filesPerPart =
+      if (rowsPerFile <= 0) 1L
+      else {
+        val total = derived.count()
+        val liveParts = math.max(1L,
+          derived.select(layout.partitionCols.map(col): _*).distinct().count())
+        math.max(1L, (total + rowsPerFile - 1) / rowsPerFile / liveParts)
+      }
+    val shaped =
+      if (filesPerPart <= 1L)
+        derived.repartition(layout.partitionCols.map(col): _*)
+      else {
+        // spread each sub-partition's rows over ~filesPerPart write tasks
+        // (the salt), with an EXPLICIT partition count — an
+        // expression-only repartition lets AQE coalesce the tiny groups
+        // back into one task, which would both serialize the write and
+        // collapse the split
+        val n = math.min(20000L,
+          math.max(32L, filesPerPart * 4 * layout.partitionCols.size)).toInt
+        derived.repartition(n, layout.partitionCols.map(col) :+
+          pmod(hash(df.columns.map(col).toIndexedSeq: _*),
+            lit(filesPerPart.toInt)): _*)
+      }
+    val writer = shaped.write.mode("overwrite")
+      .partitionBy(layout.partitionCols: _*)
+    // the hard per-file bound, task placement aside
+    (if (rowsPerFile > 0) writer.option("maxRecordsPerFile", rowsPerFile)
+     else writer).parquet(s"$dir/base")
     // empty frame: the partitioned write lays down no data files (and so
     // no schema for later reads to infer) — rewrite flat-empty instead;
     // scan() detects it by the missing partition columns
@@ -91,7 +124,15 @@ private[streaming] object LsmParquetState {
     */
   def scan(spark: SparkSession, dir: String, layout: LsmLayout,
       basePredicate: Column): DataFrame = {
-    if (!hasBase(spark, dir)) return spark.read.parquet(dir)
+    if (!hasBase(spark, dir)) {
+      // legacy flat layout. A flat read silently IGNORES any tail/
+      // subdirectory, so if one exists (a writer mixed layouts), union
+      // it explicitly rather than silently dropping its rows.
+      val flat = spark.read.parquet(dir)
+      return if (!exists(spark, s"$dir/tail")) flat
+      else flat.unionByName(spark.read.parquet(s"$dir/tail")
+        .select(flat.columns.map(col).toIndexedSeq: _*))
+    }
     val raw = spark.read.parquet(s"$dir/base")
     // a flat-empty base (empty seed) carries no partition columns — the
     // predicate would not resolve, and there is nothing to prune anyway
@@ -139,7 +180,7 @@ private[streaming] object LsmParquetState {
     recover(spark, dir)
     val tmp = dir.stripSuffix("/") + ".compacting"
     if (hasBase(spark, dir))
-      writeBase(snapshot(spark, dir, layout), tmp, layout)
+      writeBase(snapshot(spark, dir, layout), tmp, layout, rowsPerFile)
     else {
       val df = spark.read.parquet(dir)
       val n = math.max(1L, math.min(Int.MaxValue.toLong,

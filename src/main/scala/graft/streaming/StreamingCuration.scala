@@ -17,9 +17,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * md5 fingerprint row per seen document — at corpus scale that is
  * billions of rows, past any state store. The store is the shared
  * [[LsmParquetState]] layout: a base partitioned by `__fpp` (the
- * fingerprint's first hex byte, 256 sub-partitions) plus a flat tail log
+ * fingerprint's first hex nibble, 16 sub-partitions) plus a flat tail log
  * the batches append to. Per-batch cost: the base is read through a
- * PARTITION filter on the batch's (bounded, ≤ 256) touched-prefix set —
+ * PARTITION filter on the batch's (bounded, ≤ 16) touched-prefix set —
  * untouched sub-partitions' files never open — then a broadcast semi
  * join restricts the surviving rows to the batch's exact fingerprints
  * BEFORE the anti join, so the index never shuffles and never broadcasts
@@ -56,8 +56,7 @@ object StreamingCuration {
   private val layout = LsmLayout(
     partitionCols = Seq("__fpp"),
     derivedCols = Seq("__fpp"),
-    derive = _.withColumn("__fpp", conv(substring(col("fp"), 1, 1), 16, 10)
-      .cast("int")))
+    derive = _.withColumn("__fpp", fpp(col("fp"))))
 
   /** Seed the fingerprint index from an already-curated corpus (empty
     * corpus frames are fine — the write still lays down the schema the
@@ -141,8 +140,11 @@ object StreamingCuration {
         val batchFps = deduped.select(col("__fp").as("fp")).distinct()
         val stored =
           if (LsmParquetState.hasBase(s, fpDir)) {
+            // null text yields a null fingerprint (the doc dies at the
+            // gate anyway) — drop it here or getInt NPEs on the driver
             val touched = batch
               .select(fpp(md5(Dedup.normalized(col(textCol)))).as("__fpp"))
+              .filter(col("__fpp").isNotNull)
               .distinct().collect().map(_.getInt(0))
             LsmParquetState.scan(s, fpDir, layout,
               if (touched.isEmpty) lit(false)

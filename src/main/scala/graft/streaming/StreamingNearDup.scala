@@ -85,10 +85,14 @@ object StreamingNearDup {
 
   /** Per-batch append: plain flat files into the tail log — O(writing
     * tasks) files, no partition fan-out. [[compactState]] folds the tail
-    * into the base.
+    * into the base. A LEGACY flat store (seeded before the LSM layout)
+    * keeps appending flat at the root — a tail under a flat store would
+    * be invisible to its plain reads.
     */
   private[streaming] def appendIndex(idx: DataFrame, indexDir: String): Unit =
-    LsmParquetState.appendTail(idx, indexDir)
+    if (LsmParquetState.hasBase(idx.sparkSession, indexDir))
+      LsmParquetState.appendTail(idx, indexDir)
+    else idx.write.mode("append").parquet(indexDir)
 
   /** Read the persistent index restricted to the given touched
     * `(__band, __bkp)` partition pairs: the base through a partition

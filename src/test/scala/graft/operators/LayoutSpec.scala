@@ -175,6 +175,21 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("hilbertKeyN: a null coordinate yields a NULL key (parity with " +
+      "zorderKeyN), never an NPE or a silently-zeroed cell") {
+    val pts = Seq((java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L)),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long]),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(3L)))
+      .toDF("x", "y")
+    val h = Layout.hilbertKeyN(pts, Seq("x", "y"), bits = 2)
+      .select($"x", $"hkey").as[(Long, Option[Long])].collect().toMap
+    val z = Layout.zorderKeyN(pts, Seq("x", "y"), bits = 2)
+      .select($"x", $"zkey").as[(Long, Option[Long])].collect().toMap
+    assert(h(1L).isEmpty, "null coordinate must give a null hilbert key")
+    assert(z(1L).isEmpty, "null coordinate must give a null morton key")
+    assert(h(0L).nonEmpty && h(3L).nonEmpty)
+  }
+
   test("compactionGroups: largest-first bins per partition; oversize files isolate") {
     val files = Seq(
       ("p1", "a", 900L), ("p1", "b", 800L), ("p1", "c", 300L), ("p1", "d", 200L),

@@ -551,7 +551,10 @@ class StreamingSpec extends SparkTestBase {
       (13L, evalText, "en"),
       (15L, "the shared duplicate text that appears twice in this batch", "en"),
       (14L, "the shared duplicate text that appears twice in this batch", "en"),
-      (16L, "der hund und die katze sind nicht ein tier mit dem anderen", "de"))
+      (16L, "der hund und die katze sind nicht ein tier mit dem anderen", "de"),
+      // null text: must not crash the touched-prefix collect on the
+      // partitioned-base posture (it dies at the gate like any junk doc)
+      (17L, null.asInstanceOf[String], "en"))
     // batch 2: C duplicates batch 1's A (cross-batch state drop); D kept
     val b2 = Seq(
       (21L, "the first unique document about engines and the data we keep", "en"),
@@ -578,7 +581,7 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamingCuration.fingerprintSnapshot(spark, s"$dir/fp")
       .distinct().count() === 4L)
     // the batch appends landed in the tail log, not as base fan-out;
-    // compaction folds them into the 256-way partitioned base and the
+    // compaction folds them into the 16-way partitioned base and the
     // screen state survives byte-identical
     assert(new java.io.File(s"$dir/fp/tail").exists(), "appends not in tail")
     val beforeCompact = StreamingCuration.fingerprintSnapshot(spark, s"$dir/fp")
@@ -705,6 +708,65 @@ class StreamingSpec extends SparkTestBase {
     corpus.limit(3).write.parquet(s"$dir/flat")
     assert(StreamingNearDup.prunedIndexScan(spark, s"$dir/flat",
       touched).count() === 3L)
+  }
+
+  test("legacy FLAT near-dup index: the screen still sees prior batches " +
+      "(appends stay flat, no invisible tail) and compaction keeps all rows") {
+    val dir = Files.createTempDirectory("graft_snd_legacy").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about distributed query engines and shuffles"))
+      .toDF("doc_id", "text")
+    // a pre-LSM store: flat lshBuckets parquet at the dir root, no base/
+    graft.operators.Dedup.lshBuckets(corpus, "doc_id", "text")
+      .write.parquet(s"$dir/index")
+    corpus.select("doc_id", "text").write.parquet(s"$dir/docs")
+    val b1 = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val b2 = Seq(
+      (103L, "the quick brown fox jumps over the lazy dog again and again tonight!"))
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingNearDup.start(spark, stream, "doc_id", "text",
+      s"$dir/index", s"$dir/docs", s"$dir/pairs", s"$dir/cp", threshold = 0.5)
+    assert(q.awaitTermination(120000), "legacy-layout stream did not drain")
+    val streamed = spark.read.parquet(s"$dir/pairs")
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // the CROSS-BATCH pair only exists if batch 2 can see batch 1's
+    // appended rows — a tail dir under a flat store would hide them
+    assert(streamed.contains((101L, 103L)),
+      s"batch-2 screen missed batch-1's appended index rows: $streamed")
+    assert(!new java.io.File(s"$dir/index/tail").exists(),
+      "a legacy flat store must keep appending flat, not grow a tail")
+    // flat compaction preserves every appended row
+    val before = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    StreamingNearDup.compactState(spark, s"$dir/index")
+    val after = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(after === before, "flat compaction dropped appended index rows")
+  }
+
+  test("compactState honors rowsPerFile on the LSM base via per-partition salting") {
+    val dir = Files.createTempDirectory("graft_snd_sizing").toString
+    val corpus = (1L to 40L).map(i =>
+      (i, s"corpus document number $i with some quite distinctive words $i here"))
+      .toDF("doc_id", "text")
+    StreamingNearDup.seedIndex(corpus, "doc_id", "text",
+      s"$dir/index", s"$dir/docs")
+    val liveParts = spark.read.parquet(s"$dir/index/base")
+      .select("__band", "__bkp").distinct().count()
+    // tiny rowsPerFile forces multiple files per sub-partition (the
+    // per-partition average here is ~3 rows, so 1 row/file demands a split)
+    StreamingNearDup.compactState(spark, s"$dir/index", rowsPerFile = 1)
+    val files = parquetFiles(s"$dir/index")
+    assert(files.size > liveParts,
+      s"rowsPerFile ignored: ${files.size} files for $liveParts sub-partitions")
+    // row set untouched by the salted rewrite
+    assert(StreamingNearDup.indexSnapshot(spark, s"$dir/index").count() ===
+      40L * 16)
   }
 
   test("compactState swap is crash-safe: a kill between the renames leaves " +
