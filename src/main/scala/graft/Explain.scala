@@ -30,7 +30,8 @@ object Explain {
         "t28_weighted_sample", "z06_hilbert_layout", "s20_robust_scale",
         "t29_pack_efficiency", "t30_boilerplate_lines",
         "s21_diverse_select", "t31_lang_confusion", "c12_curation_funnel",
-        "m06_frame_jaccard", "z08_hilbert_nd", "s22_ann_index_persist")
+        "m06_frame_jaccard", "z08_hilbert_nd", "s22_ann_index_persist",
+        "c13_incremental_clusters")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")

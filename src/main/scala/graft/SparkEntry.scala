@@ -1188,6 +1188,27 @@ object SparkEntry {
         all.select("doc_id"), "doc_id")
     }),
 
+    // incremental cluster maintenance: the d06 closure REBUILT without a
+    // corpus-scale recompute — base clusters over the original docs
+    // persist conceptually as the nightly artifact, then the mangled
+    // near-dups arrive as a crawl increment whose pairs fold in through
+    // a contracted super-node graph; the result must be row-identical to
+    // the batch closure over the union (the d06 oracle gates it)
+    "c13_incremental_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val basePairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.7)
+      val baseClusters = Dedup.clusterAssignments(basePairs.select("idA", "idB"),
+        docs.select("doc_id"), "doc_id")
+      val deltaPairs = Dedup.minhashNearDupPairsIncremental(
+        Dedup.lshBuckets(docs, "doc_id", "text"), docs, mangled,
+        "doc_id", "text", threshold = 0.7)
+      Dedup.clusterAssignmentsIncremental(baseClusters,
+        mangled.select("doc_id"), deltaPairs.select("idA", "idB"), "doc_id")
+    }),
+
     // quality-aware cluster survivor: d06's clusters, but the kept copy is
     // the HIGHEST-quality member (bounded-heap argmax, ties -> smallest
     // id) — curation keeps the best duplicate, not an arbitrary one
@@ -3959,6 +3980,11 @@ object SparkEntry {
     // argument); the recursive CTE computes reachability, min reachable id
     // is the cluster label, singletons fall out of the base case
     "d06_dedup_clusters" ->
+      s"""$dupClusterClosureSql
+         SELECT doc_id, cluster_id FROM clusters""",
+    // the incremental fold must land on the exact batch closure — same
+    // oracle as d06 over the same doubled corpus
+    "c13_incremental_clusters" ->
       s"""$dupClusterClosureSql
          SELECT doc_id, cluster_id FROM clusters""",
     // cluster representatives: the d06 closure, then keep the HIGHEST-

@@ -396,6 +396,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"a sort-merge join crept into the ANN path:\n$p")
   }
 
+  test("c13 incremental clusters: equi-joins only, no cartesian, no window " +
+      "(the propagation runs on the contracted graph, not the corpus)") {
+    val p = plan("c13_incremental_clusters")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the fold:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    assert(!p.contains("Window"), s"window crept into the relabel:\n$p")
+  }
+
   test("s22 persisted-index ANN search keeps the s19 plan shape: " +
       "broadcast probed queries, bounded heaps, no window, no cartesian") {
     val p = plan("s22_ann_index_persist")

@@ -345,6 +345,59 @@ class DedupSpec extends SparkTestBase {
       s"subband guard reports drops without refinement: $dropped")
   }
 
+  test("clusterAssignmentsIncremental: delta bridges two base clusters to the " +
+      "component minimum; untouched clusters keep labels; singleton delta") {
+    // base: {1,2} -> 1, {5,6} -> 5, untouched {3,4} -> 3, singleton 99
+    val base = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L),
+      (3L, 3L), (4L, 3L), (99L, 99L)).toDF("doc_id", "cluster_id")
+    // delta doc 10 pairs with 2 AND 5 — bridging clusters 1 and 5;
+    // delta 11 pairs only with itself-through-nothing (singleton);
+    // delta 12-13 form a brand-new cluster
+    val deltaV = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    val deltaP = Seq((2L, 10L), (10L, 5L), (12L, 13L)).toDF("idA", "idB")
+    val got = Dedup.clusterAssignmentsIncremental(base, deltaV, deltaP, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 10L -> 1L, // merged via bridge
+      3L -> 3L, 4L -> 3L, 99L -> 99L,                     // untouched
+      11L -> 11L,                                          // singleton delta
+      12L -> 12L, 13L -> 12L))                             // new delta cluster
+  }
+
+  test("clusterAssignmentsIncremental equals the full batch recompute on a " +
+      "text corpus (pairs from the real LSH path)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about distributed query engines and shuffles"),
+      (3L, "an unrelated short text about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (102L, "completely different content about distributed query engines and exchanges"),
+      (103L, "the quick brown fox jumps over the lazy dog again and again tonight!"),
+      (104L, "a genuinely novel document sharing nothing with anything else here"))
+      .toDF("doc_id", "text")
+    val basePairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    val baseClusters = Dedup.clusterAssignments(basePairs.select("idA", "idB"),
+      docs.select("doc_id"), "doc_id")
+    val deltaPairs = Dedup.minhashNearDupPairsIncremental(
+      Dedup.lshBuckets(docs, "doc_id", "text"), docs, delta,
+      "doc_id", "text", threshold = 0.5)
+    val incremental = Dedup.clusterAssignmentsIncremental(baseClusters,
+      delta.select("doc_id"), deltaPairs.select("idA", "idB"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val all = docs.unionByName(delta)
+    val batch = Dedup.clusterAssignments(
+      Dedup.minhashNearDupPairs(all, "doc_id", "text", threshold = 0.5)
+        .select("idA", "idB"),
+      all.select("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(incremental === batch,
+      "incremental fold diverged from the batch closure")
+    // and the merge actually happened across base and delta
+    assert(incremental.contains((103L, 1L)), s"cross-set cluster missing: $incremental")
+  }
+
   test("removeDuplicatedSpans: shared span trimmed everywhere but its first occurrence") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta unique one tail"),
