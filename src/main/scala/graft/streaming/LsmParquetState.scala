@@ -54,12 +54,13 @@ private[streaming] object LsmParquetState {
     * task would emit a file into every partition it holds rows for.
     * Runs at seed/compaction, never per micro-batch.
     *
-    * `rowsPerFile > 0` additionally bounds file sizes: the frame is
-    * counted and each sub-partition salted into enough files that none
-    * expects more than `rowsPerFile` rows (two cheap sizing jobs — the
-    * COMPACTION path pays them; seeding passes 0 and accepts one file
-    * per sub-partition rather than re-executing a possibly-expensive
-    * seed plan for a count).
+    * `rowsPerFile > 0` additionally bounds file sizes: ONE grouped
+    * sizing aggregate finds the LARGEST sub-partition and every
+    * sub-partition is salted into enough write tasks that the hot one
+    * splits too (an average-based split would leave a skewed partition
+    * serialized through one task). The COMPACTION path pays the sizing
+    * job; seeding passes 0 and accepts one file per sub-partition
+    * rather than re-executing a possibly-expensive seed plan.
     *
     * An EMPTY frame writes a flat zero-row parquet file instead: a
     * partitioned write of nothing lays down no files at all, and a later
@@ -72,10 +73,10 @@ private[streaming] object LsmParquetState {
     val filesPerPart =
       if (rowsPerFile <= 0) 1L
       else {
-        val total = derived.count()
-        val liveParts = math.max(1L,
-          derived.select(layout.partitionCols.map(col): _*).distinct().count())
-        math.max(1L, (total + rowsPerFile - 1) / rowsPerFile / liveParts)
+        val r = derived.groupBy(layout.partitionCols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
+        if (r.isNullAt(0)) 1L
+        else math.max(1L, (r.getLong(0) + rowsPerFile - 1) / rowsPerFile)
       }
     val shaped =
       if (filesPerPart <= 1L)
@@ -115,6 +116,15 @@ private[streaming] object LsmParquetState {
   /** Per-batch append: plain flat files into the tail log. */
   def appendTail(df: DataFrame, dir: String): Unit =
     df.write.mode("append").parquet(s"$dir/tail")
+
+  /** Layout-aware per-batch append: tail log on the LSM layout, plain
+    * flat append at the root on a legacy flat store — a tail under a
+    * flat store would be invisible to its plain reads. The single place
+    * the posture rule lives; operators should call this, not choose.
+    */
+  def append(df: DataFrame, dir: String): Unit =
+    if (hasBase(df.sparkSession, dir)) appendTail(df, dir)
+    else df.write.mode("append").parquet(dir)
 
   /** The pruned read: base restricted by `basePredicate` (built by the
     * caller over the layout's partition columns — it classifies as a
@@ -182,7 +192,10 @@ private[streaming] object LsmParquetState {
     if (hasBase(spark, dir))
       writeBase(snapshot(spark, dir, layout), tmp, layout, rowsPerFile)
     else {
-      val df = spark.read.parquet(dir)
+      // snapshot, NOT a plain read: a flat read silently ignores a stray
+      // tail/ under a legacy store — compacting through it would delete
+      // those rows permanently in the swap below
+      val df = snapshot(spark, dir, layout)
       val n = math.max(1L, math.min(Int.MaxValue.toLong,
         (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
       df.repartition(n).write.mode("overwrite").parquet(tmp)

@@ -149,7 +149,7 @@ object StreamingCuration {
             LsmParquetState.scan(s, fpDir, layout,
               if (touched.isEmpty) lit(false)
               else col("__fpp").isin(touched.toIndexedSeq: _*))
-          } else s.read.parquet(fpDir)
+          } else LsmParquetState.scan(s, fpDir, layout, lit(true))
         val seen = stored.join(broadcast(batchFps), Seq("fp"), "left_semi")
         // `fresh` feeds both appends — left lazy, the whole gate + decon +
         // dedup chain would execute twice per batch
@@ -159,10 +159,8 @@ object StreamingCuration {
         try {
           fresh.select(col(idCol), col(langCol), col("quality"))
             .write.mode("append").parquet(keptDir)
-          val newFps = fresh.select(col("__fp").as("fp")).distinct()
-          if (LsmParquetState.hasBase(s, fpDir))
-            LsmParquetState.appendTail(newFps, fpDir)
-          else newFps.write.mode("append").parquet(fpDir)
+          LsmParquetState.append(
+            fresh.select(col("__fp").as("fp")).distinct(), fpDir)
         } finally fresh.unpersist(blocking = false)
       }
       .option("checkpointLocation", checkpointDir)

@@ -90,9 +90,7 @@ object StreamingNearDup {
     * be invisible to its plain reads.
     */
   private[streaming] def appendIndex(idx: DataFrame, indexDir: String): Unit =
-    if (LsmParquetState.hasBase(idx.sparkSession, indexDir))
-      LsmParquetState.appendTail(idx, indexDir)
-    else idx.write.mode("append").parquet(indexDir)
+    LsmParquetState.append(idx, indexDir)
 
   /** Read the persistent index restricted to the given touched
     * `(__band, __bkp)` partition pairs: the base through a partition

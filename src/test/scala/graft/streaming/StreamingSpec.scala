@@ -747,6 +747,21 @@ class StreamingSpec extends SparkTestBase {
     val after = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(after === before, "flat compaction dropped appended index rows")
+    // a MIXED store (flat root + stray tail/, the pre-fix writer's
+    // leftover) must survive compaction with the tail rows folded in,
+    // not silently deleted by a tail-blind flat read
+    graft.operators.Dedup.lshBuckets(
+        Seq((500L, "a stray tail row document about nothing in particular"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/index/tail")
+    assert(StreamingNearDup.indexSnapshot(spark, s"$dir/index")
+      .filter($"doc_id" === 500L).count() > 0, "snapshot blind to stray tail")
+    StreamingNearDup.compactState(spark, s"$dir/index")
+    assert(StreamingNearDup.indexSnapshot(spark, s"$dir/index")
+      .filter($"doc_id" === 500L).count() > 0,
+      "compaction deleted the stray tail's rows")
+    assert(!new java.io.File(s"$dir/index/tail").exists(),
+      "compaction left the stray tail behind")
   }
 
   test("compactState honors rowsPerFile on the LSM base via per-partition salting") {
