@@ -314,6 +314,12 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
   * sibling of [[HilbertIndex]].
   */
 case class HilbertIndexN(child: Expression, bits: Int) extends UnaryExpression {
+  // plan-time guard for the plan-time-constant half of the kernel's
+  // contract (the n·bits <= 63 half needs the runtime array length and is
+  // enforced in the kernel); bits = 0 would shift by -1 and emit silently
+  // wrong keys
+  require(bits >= 1 && bits <= 63,
+    s"hilbert_index_n needs 1 <= bits <= 63, got $bits")
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   // a null COORDINATE yields a null key, matching the 2-D kernel and the

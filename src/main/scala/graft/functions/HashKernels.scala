@@ -375,6 +375,10 @@ object HashKernels {
     */
   def hilbertIndexN(coords: Array[Long], bits: Int): Long = {
     val n = coords.length
+    // direct `hilbert_index_n` callers bypass Layout.scaledN's checks;
+    // bits = 0 would silently compute m = 1L << -1 and return wrong keys
+    require(bits >= 1 && n * bits <= 63,
+      s"hilbert_index_n needs 1 <= bits and n*bits <= 63 (n=$n, bits=$bits)")
     val x = java.util.Arrays.copyOf(coords, n)
     val m = 1L << (bits - 1)
     // inverse undo

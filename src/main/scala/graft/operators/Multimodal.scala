@@ -185,7 +185,21 @@ object Multimodal {
     * `frame_digest_skew_guard` cannot deflate jaccard (shared counts
     * excluding capped digests while set sizes include them) — and the
     * shared subtree lets the physical planner reuse one digest exchange
-    * instead of decoding the payloads twice. The count joins carry no
+    * instead of decoding the payloads twice. NOTE the error DIRECTION
+    * under a tripped guard: cap-consistency removes capped digests from
+    * both numerator and denominator, so two assets that differ ONLY in
+    * capped (boilerplate-hot) frames can score jaccard up to 1.0 —
+    * resemblance is OVERSTATED relative to the true uncapped jaccard,
+    * never understated. For a dedup threshold that is the
+    * false-positive-MERGE direction: when `frame_digest_skew_guard`
+    * reports drops, audit merges near the threshold (raise
+    * `maxDigestGroup` or re-verify flagged pairs on the full digest
+    * sets) rather than trusting borderline scores. This is the opposite
+    * of the LSH guards, which only lose candidates (conservative); here
+    * the capped digests are by construction near-universal frames whose
+    * removal INFLATES the similarity of whatever remains. Untripped
+    * guard ⇒ exact jaccard of the full frame-digest sets. The count
+    * joins carry no
     * broadcast hint: per-asset counts are corpus-cardinality (one row PER
     * ASSET — billions at corpus scale), so the choice between broadcast
     * and shuffle-hash belongs to AQE's runtime statistics, never a hint.

@@ -404,6 +404,76 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"window crept into the relabel:\n$p")
   }
 
+  test("c13 fold never exchanges the corpus-scale base map: the endpoint " +
+      "lookup restricts it map-side (broadcast left-semi), and the only " +
+      "base exchange in the whole fold feeds the single relabel pass") {
+    // the persisted assignment table is corpus-sized; an incremental fold
+    // that shuffles it (e.g. a LeftOuter with the base on the broadcastable
+    // RIGHT side reversed) costs O(corpus) per daily increment. Two pins:
+    //   (a) the endpoint->super lookup reaches the base scan only through a
+    //       broadcast LEFT SEMI restriction — no shuffle of the base;
+    //   (b) the end-to-end fold's base-touching exchanges partition on
+    //       __old only (the relabel join's key — the documented single pass,
+    //       which AQE turns into a broadcast at runtime when relabel fits).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c13base").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), (col("doc_id") % 7).as("cluster_id"))
+      .write.parquet(s"$tmp/base")
+    val base = spark.read.parquet(s"$tmp/base")
+    val deltaPairs = docs.limit(10)
+      .select(col("doc_id").as("idA"), (col("doc_id") + 1000000).as("idB"))
+    val deltaVertices = deltaPairs.select(col("idB").as("doc_id"))
+    def isBaseScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("/base"))
+        case _ => false
+      }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // (a) the lookup seam in isolation (the production fold feeds it to
+      // the checkpointed propagation, which hides its subtree)
+      val endpoints = deltaPairs.select(col("idA").as("__id"))
+        .unionByName(deltaPairs.select(col("idB").as("__id"))).distinct()
+      val baseMap = base.select(col("doc_id").as("__id"), col("cluster_id"))
+      val lookup = graft.operators.Dedup.endpointSupers(baseMap, endpoints)
+      val lp = lookup.queryExecution.executedPlan
+      def unrestricted(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => false
+          case f if isBaseScan(f) => true
+          case other => other.children.exists(unrestricted)
+        }
+      val offending = lp.collect {
+        case e: ShuffleExchangeExec if unrestricted(e) => e
+      }
+      assert(offending.isEmpty,
+        s"base map shuffled before the semi-join restriction:\n$lp")
+      assert(lp.collect {
+        case j: BroadcastHashJoinExec
+          if j.joinType.sql == "LEFT SEMI" && j.exists(isBaseScan) => j
+      }.nonEmpty, s"base not restricted via broadcast left-semi:\n$lp")
+      // (b) end-to-end: every exchange with the base scan in its subtree
+      // partitions on __old — i.e. it is the relabel pass, nothing else
+      val folded = graft.operators.Dedup.clusterAssignmentsIncremental(
+        base, deltaVertices, deltaPairs, "doc_id")
+      val fp = folded.queryExecution.executedPlan
+      val baseExchanges = fp.collect {
+        case e: ShuffleExchangeExec if e.exists(isBaseScan) => e
+      }
+      baseExchanges.foreach { e =>
+        assert(e.outputPartitioning.toString.contains("__old"),
+          s"base exchanged outside the relabel pass:\n$fp")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("s22 persisted-index ANN search keeps the s19 plan shape: " +
       "broadcast probed queries, bounded heaps, no window, no cartesian") {
     val p = plan("s22_ann_index_persist")

@@ -158,6 +158,20 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("hilbertIndexN: rejects bits outside the contract instead of " +
+      "shifting by -1 into silently wrong keys (direct-caller guard)") {
+    intercept[IllegalArgumentException] {
+      graft.functions.HashKernels.hilbertIndexN(Array(1L, 2L), 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.HashKernels.hilbertIndexN(Array(1L, 2L, 3L), 22) // 66 > 63
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.HilbertIndexN(
+        org.apache.spark.sql.catalyst.expressions.Literal(null), 0)
+    }
+  }
+
   test("hilbertKeyN: two-axis frame equals hilbertKey row-for-row; " +
       "3-axis key matches the kernel on scaled coords") {
     val pts = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
