@@ -39,6 +39,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * small. Plan-pinned in the streaming spec: the base read carries the
  * touched-pair predicate as a PartitionFilter, never a row filter.
  *
+ * The DOC store shares the same LSM shape, partitioned by
+ * `__idp = pmod(hash(id), docIdPrefixes)`: verification reads only the
+ * candidate pairs' member docs, so each batch collects the candidates'
+ * bounded prefix set and reads the corpus-text base through a partition
+ * filter on it — the per-batch verification scan is O(touched prefix
+ * partitions + tail), not O(corpus text). [[compactDocsState]] folds its
+ * tail. Both stores fall back to plain scans on legacy flat directories.
+ *
  * Pair-set contract (spec-pinned): after draining the stream, `pairsDir`
  * holds exactly the batch run's pairs over (corpus ∪ all batches)
  * restricted to pairs involving at least one streamed doc — each pair
@@ -68,11 +76,27 @@ object StreamingNearDup {
     derivedCols = Seq("__bkp"),
     derive = _.withColumn("__bkp", bkp))
 
+  /** Sub-partitions of the DOCS store base: `__idp = pmod(hash(id),
+    * docIdPrefixes)`. Verification reads only the candidate pairs' member
+    * docs, and candidates are micro-batch-bounded — collecting their
+    * (≤ [[docIdPrefixes]]) distinct prefixes statically prunes the
+    * corpus-text base the same way the index's touched pairs do.
+    */
+  val docIdPrefixes: Int = 64
+
+  private def docsLayout(idCol: String) = LsmLayout(
+    partitionCols = Seq("__idp"),
+    derivedCols = Seq("__idp"),
+    derive = _.withColumn("__idp",
+      pmod(hash(col(idCol)), lit(docIdPrefixes)).cast("int")))
+
   /** Seed the persistent state from the initial corpus: the LSH index
     * (the ONLY corpus state candidate generation ever reads, written as
     * the `(__band, __bkp)`-partitioned base) and the doc store (read
-    * only for verification candidates — id-keyed lookups can't prune
-    * statically, so it stays flat).
+    * only for verification candidates, written as the
+    * `__idp = pmod(hash(id), docIdPrefixes)`-partitioned base so each
+    * batch's verification read prunes to the candidate ids' prefix
+    * directories instead of scanning the corpus text).
     */
   def seedIndex(corpus: DataFrame, idCol: String, textCol: String,
       indexDir: String, docsDir: String,
@@ -80,7 +104,8 @@ object StreamingNearDup {
     LsmParquetState.seed(
       Dedup.lshBuckets(corpus, idCol, textCol, shingleK, bands, rowsPerBand),
       indexDir, layout)
-    corpus.select(idCol, textCol).write.mode("overwrite").parquet(docsDir)
+    LsmParquetState.seed(corpus.select(idCol, textCol), docsDir,
+      docsLayout(idCol))
   }
 
   /** Per-batch append: plain flat files into the tail log — O(writing
@@ -91,6 +116,17 @@ object StreamingNearDup {
     */
   private[streaming] def appendIndex(idx: DataFrame, indexDir: String): Unit =
     LsmParquetState.append(idx, indexDir)
+
+  /** Per-batch doc append — tail log on an LSM docs store, flat at the
+    * root on a legacy flat store (same posture rule as [[appendIndex]]).
+    */
+  private[streaming] def appendDocs(delta: DataFrame, docsDir: String): Unit =
+    LsmParquetState.append(delta, docsDir)
+
+  /** Every doc row, base ∪ tail — the compaction/inspection read. */
+  private[streaming] def docsSnapshot(spark: SparkSession, docsDir: String,
+      idCol: String): DataFrame =
+    LsmParquetState.snapshot(spark, docsDir, docsLayout(idCol))
 
   /** Read the persistent index restricted to the given touched
     * `(__band, __bkp)` partition pairs: the base through a partition
@@ -114,6 +150,29 @@ object StreamingNearDup {
       indexDir: String): DataFrame =
     LsmParquetState.snapshot(spark, indexDir, layout)
 
+  /** Read the doc store restricted to the given candidate ids' prefix
+    * partitions: collects the candidates' distinct `__idp` values — a
+    * bounded driver collect, at most [[docIdPrefixes]] ints however many
+    * candidates the batch has — and reads the base through a PARTITION
+    * filter on them (static pruning; unmatched prefix directories' files
+    * are never opened), unioned with the (small) tail of recent batch
+    * appends. Verification's row-level candidate semi join still runs
+    * downstream; this only bounds scan I/O. Falls back to a plain scan
+    * on a legacy flat docs store (no `base` subdirectory).
+    */
+  private[streaming] def prunedDocsScan(spark: SparkSession, docsDir: String,
+      idCol: String, candIds: DataFrame): DataFrame = {
+    if (!LsmParquetState.hasBase(spark, docsDir))
+      return LsmParquetState.scan(spark, docsDir, docsLayout(idCol), lit(true))
+    val prefixes = candIds
+      .select(pmod(hash(col(idCol)), lit(docIdPrefixes)).cast("int").as("__idp"))
+      .distinct().collect().map(_.getInt(0))
+    val pred =
+      if (prefixes.isEmpty) lit(false)
+      else col("__idp").isin(prefixes.toSeq: _*)
+    LsmParquetState.scan(spark, docsDir, docsLayout(idCol), pred)
+  }
+
   /** Heal a state directory after a crash mid-[[compactState]] swap —
     * see [[LsmParquetState.recover]]. Idempotent; call at startup (or
     * rely on [[compactState]], which self-heals first).
@@ -121,15 +180,25 @@ object StreamingNearDup {
   def recoverState(spark: SparkSession, dir: String): Unit =
     LsmParquetState.recover(spark, dir)
 
-  /** Compact a persistent state directory in place: folds the index tail
-    * into a fresh partitioned base (one file per live sub-partition),
-    * or rewrites a flat directory (the docs store) to few files — see
-    * [[LsmParquetState.compact]] for the crash-safe swap contract.
-    * Call BETWEEN runs (stream stopped).
+  /** Compact the persistent INDEX directory in place: folds the tail
+    * into a fresh `(__band, __bkp)`-partitioned base (one file per live
+    * sub-partition) — see [[LsmParquetState.compact]] for the crash-safe
+    * swap contract. Call BETWEEN runs (stream stopped). For the DOCS
+    * directory use [[compactDocsState]] (different partition layout —
+    * this one fails loudly on a docs store rather than corrupt it).
     */
   def compactState(spark: SparkSession, dir: String,
       rowsPerFile: Long = 8L * 1024 * 1024): Unit =
     LsmParquetState.compact(spark, dir, layout, rowsPerFile)
+
+  /** Compact the persistent DOCS directory in place: folds the tail of
+    * per-batch doc appends into a fresh `__idp`-partitioned base, or
+    * rewrites a legacy flat docs store to few flat files. Same
+    * crash-safe swap and between-runs contract as [[compactState]].
+    */
+  def compactDocsState(spark: SparkSession, docsDir: String, idCol: String,
+      rowsPerFile: Long = 8L * 1024 * 1024): Unit =
+    LsmParquetState.compact(spark, docsDir, docsLayout(idCol), rowsPerFile)
 
   /** Start the screen over a streaming frame of `(idCol, textCol)` docs.
     * Ids must be unique across the corpus and the stream. Rate limiting
@@ -149,7 +218,12 @@ object StreamingNearDup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val delta = batch.select(idCol, textCol)
-        val docs = s.read.parquet(docsDir)
+        // verification reads the doc store AFTER candidates exist, so the
+        // read can statically prune to the candidates' id-prefix
+        // partitions (bounded collect inside prunedDocsScan) instead of
+        // scanning the corpus text per batch
+        val docsFor: DataFrame => DataFrame =
+          candIds => prunedDocsScan(s, docsDir, idCol, candIds)
         // the delta's LSH index is needed three times — the touched-
         // partition set, candidate generation and the state append — so
         // it is computed ONCE and cached for the batch (repeated
@@ -169,12 +243,12 @@ object StreamingNearDup {
           // micro-batch deltas are small in production (the broadcast
           // touched-bucket restriction is the right default); callers
           // replaying corpus-scale batches can opt out to shuffle posture
-          Dedup.minhashNearDupPairsIncremental(index, docs, delta, deltaIdx,
+          Dedup.minhashNearDupPairsIncremental(index, docsFor, delta, deltaIdx,
               idCol, textCol, threshold, shingleK, maxBucketSize,
               restrictToTouched, materializeIntermediates = true)
             .write.mode("append").parquet(pairsDir)
           appendIndex(deltaIdx, indexDir)
-          delta.write.mode("append").parquet(docsDir)
+          appendDocs(delta, docsDir)
         } finally deltaIdx.unpersist(blocking = false)
       }
       .option("checkpointLocation", checkpointDir)

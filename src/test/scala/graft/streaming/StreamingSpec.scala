@@ -619,7 +619,7 @@ class StreamingSpec extends SparkTestBase {
       StreamingNearDup.appendIndex(
         graft.operators.Dedup.lshBuckets(delta, "doc_id", "text")
           .coalesce(1), s"$dir/index")
-      delta.coalesce(1).write.mode("append").parquet(s"$dir/docs")
+      StreamingNearDup.appendDocs(delta.coalesce(1), s"$dir/docs")
     }
     def snapshot() = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
       .select("doc_id", "__band", "__bandkey")
@@ -634,7 +634,16 @@ class StreamingSpec extends SparkTestBase {
             StreamingNearDup.bandkeyPrefixes.toLong)).cast("int"))
       .distinct().count()
     StreamingNearDup.compactState(spark, s"$dir/index")
-    StreamingNearDup.compactState(spark, s"$dir/docs")
+    StreamingNearDup.compactDocsState(spark, s"$dir/docs", "doc_id")
+    // docs tail folded into the __idp-partitioned base, rows intact
+    assert(!new java.io.File(s"$dir/docs/tail").exists(), "docs tail not folded")
+    assert(parquetFiles(s"$dir/docs").forall(f =>
+      f.getParentFile.getName.startsWith("__idp=")),
+      "docs compaction lost the __idp-partitioned layout")
+    assert(StreamingNearDup.docsSnapshot(spark, s"$dir/docs", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq ===
+      ((1L to 10L) ++ (101L to 105L)).sorted.toSeq,
+      "docs compaction changed the doc row set")
     // tail folded: one file per live (__band, __bkp) sub-partition, no tail
     assert(parquetFiles(s"$dir/index").size === liveParts,
       "base not compacted to one file per sub-partition")
@@ -651,7 +660,7 @@ class StreamingSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     val pairs = graft.operators.Dedup.minhashNearDupPairsIncremental(
         StreamingNearDup.indexSnapshot(spark, s"$dir/index"),
-        spark.read.parquet(s"$dir/docs"),
+        StreamingNearDup.docsSnapshot(spark, s"$dir/docs", "doc_id"),
         probe, "doc_id", "text", threshold = 0.5)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
     assert(pairs.contains((103L, 999L)), s"probe missed its near-dup: $pairs")
@@ -708,6 +717,53 @@ class StreamingSpec extends SparkTestBase {
     corpus.limit(3).write.parquet(s"$dir/flat")
     assert(StreamingNearDup.prunedIndexScan(spark, s"$dir/flat",
       touched).count() === 3L)
+  }
+
+  test("prunedDocsScan: candidate id prefixes land as PartitionFilters on " +
+      "the docs base, untouched prefix files never opened, tail visible") {
+    val dir = Files.createTempDirectory("graft_snd_docprune").toString
+    val corpus = (1L to 50L).map(i =>
+      (i, s"corpus document number $i with some quite distinctive words $i here"))
+      .toDF("doc_id", "text")
+    StreamingNearDup.seedIndex(corpus, "doc_id", "text",
+      s"$dir/index", s"$dir/docs")
+    val candIds = Seq(3L, 17L, 999L).toDF("doc_id") // 999: a delta-side id
+    val pruned = StreamingNearDup.prunedDocsScan(
+      spark, s"$dir/docs", "doc_id", candIds)
+    // the candidate-prefix predicate must classify as a PARTITION filter
+    // (static pruning at planning time), not a pushed row filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.substring(plan.indexOf("PartitionFilters: ["))
+    assert(pf.substring(0, pf.indexOf("]")).contains("__idp"),
+      s"candidate-prefix predicate is not a partition filter:\n$plan")
+    // rows: exactly the stored docs of the candidates' prefix partitions
+    val idp = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash($"doc_id"),
+      org.apache.spark.sql.functions.lit(
+        StreamingNearDup.docIdPrefixes)).cast("int")
+    val prefixes = candIds.select(idp.as("p")).distinct()
+      .as[Int].collect().toSet
+    val expect = corpus.filter(idp.isin(prefixes.toSeq: _*))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val got = pruned.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === expect)
+    assert(got.nonEmpty && got.size < 50,
+      "pruned docs read returned the whole base — nothing was pruned")
+    assert(pruned.columns.sorted.toSeq === Seq("doc_id", "text"),
+      "the derived __idp column leaked into the verification frame")
+    // an empty candidate set reads no base rows; tail rows stay visible
+    assert(StreamingNearDup.prunedDocsScan(spark, s"$dir/docs", "doc_id",
+      candIds.limit(0)).count() === 0L)
+    StreamingNearDup.appendDocs(
+      Seq((999L, "a new batch document")).toDF("doc_id", "text"),
+      s"$dir/docs")
+    assert(StreamingNearDup.prunedDocsScan(spark, s"$dir/docs", "doc_id",
+        candIds.limit(0)).select("doc_id").as[Long].collect().toSeq ===
+      Seq(999L), "tail docs not visible through the pruned scan")
+    // a legacy flat docs store still reads fully
+    corpus.limit(3).write.parquet(s"$dir/flatdocs")
+    assert(StreamingNearDup.prunedDocsScan(spark, s"$dir/flatdocs", "doc_id",
+      candIds).count() === 3L)
   }
 
   test("legacy FLAT near-dup index: the screen still sees prior batches " +
