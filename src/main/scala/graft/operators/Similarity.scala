@@ -477,8 +477,16 @@ object Similarity {
         yield ("code", j, ci, model.codebooks(j)(ci).toSeq))
     rows.toDF("kind", "sub", "idx", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
+    // codes PARTITIONED by inverted list: a search probes nprobe of
+    // numCentroids lists, so the probed-list predicate becomes a
+    // PartitionFilter and candidate scan I/O is proportional to probed
+    // lists, not the whole code table. No repartition first — each write
+    // task fans out into at most numCentroids (small) directories, and a
+    // pre-shuffle keyed on numCentroids values would cap write
+    // parallelism at that many tasks
     pqEncodeRows(corpus, corpusId, corpusVec, model)
-      .write.mode("overwrite").parquet(s"$indexDir/codes")
+      .write.mode("overwrite").partitionBy("__list")
+      .parquet(s"$indexDir/codes")
   }
 
   /** Bounded model load: `numCentroids + m · codesPerSub` skinny rows. */
@@ -504,8 +512,25 @@ object Similarity {
   def encodeIntoIvfPqIndex(delta: DataFrame, corpusId: String,
       corpusVec: String, indexDir: String): Unit = {
     val model = loadIvfPqModel(delta.sparkSession, indexDir)
-    pqEncodeRows(delta, corpusId, corpusVec, model)
-      .write.mode("append").parquet(s"$indexDir/codes")
+    val rows = pqEncodeRows(delta, corpusId, corpusVec, model)
+    // match the stored layout: partitioned append on a __list-partitioned
+    // code table, flat append on a LEGACY flat one — mixing layouts in
+    // one directory breaks partition discovery for every later read
+    if (codesArePartitioned(delta.sparkSession, indexDir))
+      rows.write.mode("append").partitionBy("__list")
+        .parquet(s"$indexDir/codes")
+    else rows.write.mode("append").parquet(s"$indexDir/codes")
+  }
+
+  /** Whether `<dir>/codes` uses the `__list`-partitioned layout (any
+    * `__list=` subdirectory) — pre-partitioning indexes were flat.
+    */
+  private def codesArePartitioned(spark: SparkSession,
+      indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("__list="))
   }
 
   /** Query a PERSISTED IVF-PQ index: loads the (bounded) model, reads the
@@ -521,7 +546,17 @@ object Similarity {
       s"k=$k > rerank=$rerank — the exact stage can only rank the re-rank pool")
     val spark = corpus.sparkSession
     val model = loadIvfPqModel(spark, indexDir)
+    // bounded driver collect (<= numCentroids ints, whatever |Q| is):
+    // the union of every query's probed lists. On the __list-partitioned
+    // layout the isin classifies as a PartitionFilter — unprobed lists'
+    // files are never opened (plan-pinned); on a legacy flat code table
+    // it degrades to a pushed row filter over all files, still correct
+    val probedLists = queries.filter(size(col(queryVec)) === model.dim)
+      .select(explode(probeListsCol(model.centroids, nprobe)(col(queryVec)))
+        .as("__list"))
+      .distinct().collect().map(_.getInt(0))
     val encoded = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("__list").isin(probedLists.toSeq: _*))
     searchIvfPqEncoded(model, encoded, corpus, queries,
       corpusId, corpusVec, queryId, queryVec, k, nprobe, rerank)
   }

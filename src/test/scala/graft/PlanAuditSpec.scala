@@ -477,6 +477,14 @@ class PlanAuditSpec extends SparkTestBase {
   test("s22 persisted-index ANN search keeps the s19 plan shape: " +
       "broadcast probed queries, bounded heaps, no window, no cartesian") {
     val p = plan("s22_ann_index_persist")
+    // the persisted code table is __list-partitioned and the probed-list
+    // predicate must classify as a PARTITION filter — static pruning of
+    // unprobed lists' files, not a row filter over the whole code table
+    val pfIdx = p.indexOf("PartitionFilters: [")
+    assert(pfIdx >= 0, s"no partitioned scan in the index search:\n$p")
+    val pf = p.substring(pfIdx)
+    assert(pf.substring(0, pf.indexOf("]")).contains("__list"),
+      s"probed-list predicate is not a partition filter on the codes read:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in index search:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
     assert(!p.contains("Window"), s"ranking via a window:\n$p")

@@ -120,6 +120,44 @@ class SimilaritySpec extends SparkTestBase {
       "incremental encode diverged from the one-shot code table")
   }
 
+  test("legacy FLAT code table: search still answers identically and " +
+      "incremental encode appends flat (never mixes layouts)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_flat").toString
+    val base = corpus.filter($"vec_id" < 60)
+    val rest = corpus.filter($"vec_id" >= 60)
+    val q = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    Similarity.buildIvfPqIndex(base, "vec_id", "embedding", s"$dir/idx",
+      dim = dim, numCentroids = 8, m = 4, codesPerSub = 8)
+    // rewrite the codes flat, simulating a pre-partitioning index
+    val flat = spark.read.parquet(s"$dir/idx/codes")
+      .select($"vec_id", $"__list".cast("int").as("__list"), $"__codes")
+      .localCheckpoint(true)
+    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/idx/codes")
+    codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(codesPath, true)
+    flat.write.parquet(s"$dir/idx/codes")
+    // growth must match the stored layout — a partitioned append into a
+    // flat directory would break partition discovery for every later read
+    Similarity.encodeIntoIvfPqIndex(rest, "vec_id", "embedding", s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/codes").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("__list=")),
+      "incremental encode mixed a partitioned append into a flat code table")
+    val legacy = Similarity.ivfPqTopKFromIndex(s"$dir/idx", corpus, q,
+      "vec_id", "embedding", "query_id", "embedding",
+      k = 5, nprobe = 3, rerank = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // the partitioned twin of the same index answers identically
+    Similarity.buildIvfPqIndex(base, "vec_id", "embedding", s"$dir/part",
+      dim = dim, numCentroids = 8, m = 4, codesPerSub = 8)
+    Similarity.encodeIntoIvfPqIndex(rest, "vec_id", "embedding", s"$dir/part")
+    val part = Similarity.ivfPqTopKFromIndex(s"$dir/part", corpus, q,
+      "vec_id", "embedding", "query_id", "embedding",
+      k = 5, nprobe = 3, rerank = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(legacy === part, "flat and partitioned code tables diverged")
+  }
+
   test("ivfPqTopK recall vs brute force") {
     val q = corpus.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding")
