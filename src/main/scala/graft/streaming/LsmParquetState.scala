@@ -113,17 +113,42 @@ private[streaming] object LsmParquetState {
     writeBase(df, dir, layout)
   }
 
-  /** Per-batch append: plain flat files into the tail log. */
-  def appendTail(df: DataFrame, dir: String): Unit =
-    df.write.mode("append").parquet(s"$dir/tail")
+  /** Per-batch append into the tail log. With a `batchId` the batch's
+    * rows land in their own `tail/batch=<id>` partition, OVERWRITTEN on
+    * a foreachBatch replay — restart-idempotent state, no duplicate rows
+    * however often the batch replays. Without one (or on a legacy tail
+    * that already holds flat files — mixing files and `batch=` dirs in
+    * one directory breaks partition discovery) the rows append as plain
+    * flat files, at-least-once across replays. Readers are agnostic:
+    * [[scan]] selects the state columns by name, dropping the `batch`
+    * partition column either way.
+    */
+  def appendTail(df: DataFrame, dir: String,
+      batchId: Option[Long] = None): Unit = batchId match {
+    case Some(id) if !tailIsFlat(df.sparkSession, dir) =>
+      df.write.mode("overwrite").parquet(s"$dir/tail/batch=$id")
+    case _ => df.write.mode("append").parquet(s"$dir/tail")
+  }
+
+  /** Whether `<dir>/tail` already holds plain flat files (a pre-batch-id
+    * writer's log) — once flat, appends must stay flat.
+    */
+  private def tailIsFlat(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = fsOf(spark, s"$dir/tail")
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+  }
 
   /** Layout-aware per-batch append: tail log on the LSM layout, plain
     * flat append at the root on a legacy flat store — a tail under a
     * flat store would be invisible to its plain reads. The single place
     * the posture rule lives; operators should call this, not choose.
+    * `batchId` makes the LSM-tail append replay-idempotent (see
+    * [[appendTail]]); a legacy flat store stays at-least-once.
     */
-  def append(df: DataFrame, dir: String): Unit =
-    if (hasBase(df.sparkSession, dir)) appendTail(df, dir)
+  def append(df: DataFrame, dir: String, batchId: Option[Long] = None): Unit =
+    if (hasBase(df.sparkSession, dir)) appendTail(df, dir, batchId)
     else df.write.mode("append").parquet(dir)
 
   /** The pruned read: base restricted by `basePredicate` (built by the
@@ -131,17 +156,35 @@ private[streaming] object LsmParquetState {
     * PartitionFilter, static pruning) unioned with the full tail.
     * `basePredicate = lit(false)` reads only the tail. Falls back to a
     * plain scan of `dir` on a legacy flat layout (no `base` subdir).
+    *
+    * `excludeTailBatch`: drop the given batch's own `tail/batch=<id>`
+    * rows from the read — a foreachBatch REPLAY must see the state
+    * exactly as it was before its first attempt, or it would compute
+    * against its own half-appended rows (duplicated verification docs;
+    * an anti join killing its own batch's output). A partition filter on
+    * the tail's `batch` column, so the excluded directory's files never
+    * open; no-op when the tail has no batch partitions (legacy flat
+    * tails — those replays are documented at-least-once).
     */
   def scan(spark: SparkSession, dir: String, layout: LsmLayout,
-      basePredicate: Column): DataFrame = {
+      basePredicate: Column,
+      excludeTailBatch: Option[Long] = None): DataFrame = {
+    def tail(cols: Seq[String]): DataFrame = {
+      val raw = spark.read.parquet(s"$dir/tail")
+      val t = excludeTailBatch match {
+        case Some(id) if raw.columns.contains("batch") =>
+          raw.filter(col("batch") =!= id)
+        case _ => raw
+      }
+      t.select(cols.map(col): _*)
+    }
     if (!hasBase(spark, dir)) {
       // legacy flat layout. A flat read silently IGNORES any tail/
       // subdirectory, so if one exists (a writer mixed layouts), union
       // it explicitly rather than silently dropping its rows.
       val flat = spark.read.parquet(dir)
       return if (!exists(spark, s"$dir/tail")) flat
-      else flat.unionByName(spark.read.parquet(s"$dir/tail")
-        .select(flat.columns.map(col).toIndexedSeq: _*))
+      else flat.unionByName(tail(flat.columns.toIndexedSeq))
     }
     val raw = spark.read.parquet(s"$dir/base")
     // a flat-empty base (empty seed) carries no partition columns — the
@@ -149,8 +192,7 @@ private[streaming] object LsmParquetState {
     val base = (if (layout.partitionCols.forall(raw.columns.contains))
       raw.filter(basePredicate) else raw).drop(layout.derivedCols: _*)
     if (!exists(spark, s"$dir/tail")) base
-    else base.unionByName(spark.read.parquet(s"$dir/tail")
-      .select(base.columns.map(col).toIndexedSeq: _*))
+    else base.unionByName(tail(base.columns.toIndexedSeq))
   }
 
   /** Every state row, base ∪ tail — the compaction/inspection read. */

@@ -39,13 +39,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * duplicate survives (the earliest batch's min-id doc), never WHETHER
  * one does.
  *
- * Delivery: survivors are at-least-once across restarts (foreachBatch
- * replays the in-flight batch). The survivor append lands BEFORE the
- * fingerprint append on purpose: a replay after a crash between the two
- * re-emits sink rows (dedup downstream by id if exactly-once matters) —
- * the reverse order would let the replayed batch anti-join against its
- * own fingerprints and silently LOSE its survivors. Duplicate fingerprint
- * rows from replays are harmless: the anti join keys on the value.
+ * Delivery: EXACTLY-ONCE across restarts on the LSM layout
+ * (`partitionedBase = true`). Survivors land in `keptDir/batch=<id>`
+ * with overwrite, the fingerprint append lands in its own
+ * `tail/batch=<id>` partition, and the per-batch state scan EXCLUDES the
+ * batch's own tail partition — so a replayed in-flight batch recomputes
+ * against exactly its first attempt's pre-state and overwrites its own
+ * output (replay-spec-pinned; read `keptDir` whole and select the
+ * survivor columns — the `batch` partition column comes along
+ * otherwise). On a FLAT fingerprint store the old posture stays:
+ * survivors append, fingerprints append flat, delivery is at-least-once
+ * (dedup downstream by id if exactly-once matters) — flat appends can't
+ * hide a replay's own fingerprints, so an overwrite would delete its
+ * survivors. Either way the survivor write lands BEFORE the fingerprint
+ * append: the reverse order would let a crash between them lose the
+ * batch's survivors on a flat store.
  */
 object StreamingCuration {
 
@@ -112,59 +120,92 @@ object StreamingCuration {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(!evalDocs.isStreaming, "the eval set must be a bounded batch frame")
     source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val (dupB, _) = TextAnalysis.repetitionScores(col(textCol))
-        val gated = batch.select(col(idCol), col(textCol), col(langCol),
-            TextAnalysis.langId(col(textCol)).as("__pred"),
-            TextAnalysis.qualityScore(col(textCol)).as("quality"),
-            dupB.as("__dupb"))
-          .filter(col("__pred") === lang && col("quality") >= minQuality &&
-            col("__dupb") <= maxDupBigramFrac)
-          .select(col(idCol), col(textCol), col(langCol), col("quality"))
-        val flagged = TextAnalysis.contaminationOverlap(
-            gated.select(col(idCol), col(textCol)), evalDocs, idCol, textCol,
-            n = overlapN, threshold = overlapThreshold)
-          .filter(col("contaminated")).select(idCol)
-        val decon = gated.join(flagged, Seq(idCol), "left_anti")
-        val deduped = Dedup.normalizedDedup(decon, idCol, textCol)
-          .withColumn("__fp", md5(Dedup.normalized(col(textCol))))
-        // restriction of the stored index before the anti join: on the
-        // partitioned-base layout, the bounded touched-prefix set —
-        // computed from the RAW batch, a superset of the gated docs'
-        // prefixes, so the gate chain never re-executes — statically
-        // prunes the base read's file set first; either way a broadcast
-        // semi join then restricts surviving rows to the batch's exact
-        // fingerprints. Both joins stay broadcast-side-small and the
-        // index itself never exchanges.
-        val batchFps = deduped.select(col("__fp").as("fp")).distinct()
-        val stored =
-          if (LsmParquetState.hasBase(s, fpDir)) {
-            // null text yields a null fingerprint (the doc dies at the
-            // gate anyway) — drop it here or getInt NPEs on the driver
-            val touched = batch
-              .select(fpp(md5(Dedup.normalized(col(textCol)))).as("__fpp"))
-              .filter(col("__fpp").isNotNull)
-              .distinct().collect().map(_.getInt(0))
-            LsmParquetState.scan(s, fpDir, layout,
-              if (touched.isEmpty) lit(false)
-              else col("__fpp").isin(touched.toIndexedSeq: _*))
-          } else LsmParquetState.scan(s, fpDir, layout, lit(true))
-        val seen = stored.join(broadcast(batchFps), Seq("fp"), "left_semi")
-        // `fresh` feeds both appends — left lazy, the whole gate + decon +
-        // dedup chain would execute twice per batch
-        val fresh = deduped
-          .join(broadcast(seen), col("__fp") === col("fp"), "left_anti")
-          .persist()
-        try {
-          fresh.select(col(idCol), col(langCol), col("quality"))
-            .write.mode("append").parquet(keptDir)
-          LsmParquetState.append(
-            fresh.select(col("__fp").as("fp")).distinct(), fpDir)
-        } finally fresh.unpersist(blocking = false)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, evalDocs, idCol, textCol, langCol,
+          fpDir, keptDir, lang, minQuality, maxDupBigramFrac, overlapN,
+          overlapThreshold)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
+
+  /** One micro-batch of the screen — the foreachBatch body, split out so
+    * the replay spec can drive it with a pinned `batchId` through the
+    * exact production path (see the delivery contract above).
+    */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      evalDocs: DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      fpDir: String, keptDir: String,
+      lang: String, minQuality: Double, maxDupBigramFrac: Double,
+      overlapN: Int, overlapThreshold: Double): Unit = {
+    val s = batch.sparkSession
+    val (dupB, _) = TextAnalysis.repetitionScores(col(textCol))
+    val gated = batch.select(col(idCol), col(textCol), col(langCol),
+        TextAnalysis.langId(col(textCol)).as("__pred"),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"),
+        dupB.as("__dupb"))
+      .filter(col("__pred") === lang && col("quality") >= minQuality &&
+        col("__dupb") <= maxDupBigramFrac)
+      .select(col(idCol), col(textCol), col(langCol), col("quality"))
+    val flagged = TextAnalysis.contaminationOverlap(
+        gated.select(col(idCol), col(textCol)), evalDocs, idCol, textCol,
+        n = overlapN, threshold = overlapThreshold)
+      .filter(col("contaminated")).select(idCol)
+    val decon = gated.join(flagged, Seq(idCol), "left_anti")
+    val deduped = Dedup.normalizedDedup(decon, idCol, textCol)
+      .withColumn("__fp", md5(Dedup.normalized(col(textCol))))
+    // restriction of the stored index before the anti join: on the
+    // partitioned-base layout, the bounded touched-prefix set —
+    // computed from the RAW batch, a superset of the gated docs'
+    // prefixes, so the gate chain never re-executes — statically
+    // prunes the base read's file set first; either way a broadcast
+    // semi join then restricts surviving rows to the batch's exact
+    // fingerprints. Both joins stay broadcast-side-small and the
+    // index itself never exchanges.
+    val batchFps = deduped.select(col("__fp").as("fp")).distinct()
+    // the scans exclude this batch's own tail/batch=<id> rows: a REPLAY
+    // must anti-join against the state as of before its first attempt,
+    // or it would see its own half-appended fingerprints and silently
+    // drop (with the overwrite below: DELETE) its own survivors
+    val lsm = LsmParquetState.hasBase(s, fpDir)
+    val stored =
+      if (lsm) {
+        // null text yields a null fingerprint (the doc dies at the
+        // gate anyway) — drop it here or getInt NPEs on the driver
+        val touched = batch
+          .select(fpp(md5(Dedup.normalized(col(textCol)))).as("__fpp"))
+          .filter(col("__fpp").isNotNull)
+          .distinct().collect().map(_.getInt(0))
+        LsmParquetState.scan(s, fpDir, layout,
+          if (touched.isEmpty) lit(false)
+          else col("__fpp").isin(touched.toIndexedSeq: _*),
+          Some(batchId))
+      } else LsmParquetState.scan(s, fpDir, layout, lit(true), Some(batchId))
+    val seen = stored.join(broadcast(batchFps), Seq("fp"), "left_semi")
+    // `fresh` feeds both appends — left lazy, the whole gate + decon +
+    // dedup chain would execute twice per batch
+    val fresh = deduped
+      .join(broadcast(seen), col("__fp") === col("fp"), "left_anti")
+      .persist()
+    try {
+      val survivors = fresh.select(col(idCol), col(langCol), col("quality"))
+      // exactly-once needs BOTH batch-keyed writes and a state scan that
+      // can hide the batch's own fingerprints from its replay — only the
+      // LSM layout gives the latter, so a legacy FLAT store keeps the
+      // old append posture (at-least-once; an overwrite there would let
+      // a replay anti-join against its own flat-appended fingerprints
+      // and delete its survivors)
+      if (lsm) {
+        survivors.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+        LsmParquetState.append(
+          fresh.select(col("__fp").as("fp")).distinct(), fpDir, Some(batchId))
+      } else {
+        survivors.write.mode("append").parquet(keptDir)
+        LsmParquetState.append(
+          fresh.select(col("__fp").as("fp")).distinct(), fpDir)
+      }
+    } finally fresh.unpersist(blocking = false)
   }
 }

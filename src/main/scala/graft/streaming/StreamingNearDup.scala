@@ -52,11 +52,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * restricted to pairs involving at least one streamed doc — each pair
  * surfaces once, in the micro-batch of its later-arriving member.
  *
- * Delivery: pairs are at-least-once across RESTARTS (foreachBatch replays
- * the in-flight batch; a replay re-appends its pairs — dedup downstream by
- * (idA, idB) if exactly-once matters). Replayed index/doc appends are
- * harmless for pair correctness: candidates are `distinct`ed before
- * verification, so duplicate index rows can't duplicate or alter a pair.
+ * Delivery: EXACTLY-ONCE across restarts on the LSM layout. Every
+ * per-batch write keys on the foreachBatch batch id — pairs land in
+ * `pairsDir/batch=<id>` with overwrite, and the index/doc tail appends
+ * land in their own `tail/batch=<id>` partitions — so a replayed
+ * in-flight batch overwrites exactly its own output and state instead of
+ * appending duplicates (replay-spec-pinned). Read pairs with
+ * `spark.read.parquet(pairsDir)` and select the pair columns (the
+ * `batch` partition column comes along otherwise). Pairs are batch-keyed
+ * regardless of store layout; only a LEGACY flat store's STATE appends
+ * degrade to at-least-once (plain root files) — duplicate state rows
+ * remain harmless for pair existence either way, since candidates are
+ * `distinct`ed before verification.
  */
 object StreamingNearDup {
 
@@ -114,14 +121,16 @@ object StreamingNearDup {
     * keeps appending flat at the root — a tail under a flat store would
     * be invisible to its plain reads.
     */
-  private[streaming] def appendIndex(idx: DataFrame, indexDir: String): Unit =
-    LsmParquetState.append(idx, indexDir)
+  private[streaming] def appendIndex(idx: DataFrame, indexDir: String,
+      batchId: Option[Long] = None): Unit =
+    LsmParquetState.append(idx, indexDir, batchId)
 
   /** Per-batch doc append — tail log on an LSM docs store, flat at the
     * root on a legacy flat store (same posture rule as [[appendIndex]]).
     */
-  private[streaming] def appendDocs(delta: DataFrame, docsDir: String): Unit =
-    LsmParquetState.append(delta, docsDir)
+  private[streaming] def appendDocs(delta: DataFrame, docsDir: String,
+      batchId: Option[Long] = None): Unit =
+    LsmParquetState.append(delta, docsDir, batchId)
 
   /** Every doc row, base ∪ tail — the compaction/inspection read. */
   private[streaming] def docsSnapshot(spark: SparkSession, docsDir: String,
@@ -136,13 +145,14 @@ object StreamingNearDup {
     * to a plain scan on a legacy flat layout (no `base` subdirectory).
     */
   private[streaming] def prunedIndexScan(spark: SparkSession, indexDir: String,
-      touched: Array[(Int, Int)]): DataFrame = {
+      touched: Array[(Int, Int)],
+      excludeTailBatch: Option[Long] = None): DataFrame = {
     val pred =
       if (touched.isEmpty) lit(false)
       else touched.groupBy(_._1).map { case (band, pairs) =>
         col("__band") === band && col("__bkp").isin(pairs.map(_._2).toSeq: _*)
       }.reduce(_ || _)
-    LsmParquetState.scan(spark, indexDir, layout, pred)
+    LsmParquetState.scan(spark, indexDir, layout, pred, excludeTailBatch)
   }
 
   /** Every index row, base ∪ tail — the compaction/inspection read. */
@@ -161,16 +171,19 @@ object StreamingNearDup {
     * on a legacy flat docs store (no `base` subdirectory).
     */
   private[streaming] def prunedDocsScan(spark: SparkSession, docsDir: String,
-      idCol: String, candIds: DataFrame): DataFrame = {
+      idCol: String, candIds: DataFrame,
+      excludeTailBatch: Option[Long] = None): DataFrame = {
     if (!LsmParquetState.hasBase(spark, docsDir))
-      return LsmParquetState.scan(spark, docsDir, docsLayout(idCol), lit(true))
+      return LsmParquetState.scan(spark, docsDir, docsLayout(idCol), lit(true),
+        excludeTailBatch)
     val prefixes = candIds
       .select(pmod(hash(col(idCol)), lit(docIdPrefixes)).cast("int").as("__idp"))
       .distinct().collect().map(_.getInt(0))
     val pred =
       if (prefixes.isEmpty) lit(false)
       else col("__idp").isin(prefixes.toSeq: _*)
-    LsmParquetState.scan(spark, docsDir, docsLayout(idCol), pred)
+    LsmParquetState.scan(spark, docsDir, docsLayout(idCol), pred,
+      excludeTailBatch)
   }
 
   /** Heal a state directory after a crash mid-[[compactState]] swap —
@@ -215,44 +228,65 @@ object StreamingNearDup {
       trigger: Trigger = Trigger.AvailableNow(),
       restrictToTouched: Boolean = true): StreamingQuery = {
     source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val delta = batch.select(idCol, textCol)
-        // verification reads the doc store AFTER candidates exist, so the
-        // read can statically prune to the candidates' id-prefix
-        // partitions (bounded collect inside prunedDocsScan) instead of
-        // scanning the corpus text per batch
-        val docsFor: DataFrame => DataFrame =
-          candIds => prunedDocsScan(s, docsDir, idCol, candIds)
-        // the delta's LSH index is needed three times — the touched-
-        // partition set, candidate generation and the state append — so
-        // it is computed ONCE and cached for the batch (repeated
-        // shingle+minhash kernel passes per micro-batch are pure waste)
-        val deltaIdx = Dedup.lshBuckets(delta, idCol, textCol, shingleK,
-          bands, rowsPerBand).persist()
-        try {
-          // bounded driver collect: at most bands × bandkeyPrefixes rows
-          // regardless of delta size — the key set that statically prunes
-          // the base read below
-          val touched = deltaIdx
-            .select(col("__band"), bkp.as("__bkp")).distinct()
-            .collect().map(r => (r.getInt(0), r.getInt(1)))
-          val index = prunedIndexScan(s, indexDir, touched)
-          // pairs materialize BEFORE the state appends below, so a batch
-          // never pairs against its own appended rows twice
-          // micro-batch deltas are small in production (the broadcast
-          // touched-bucket restriction is the right default); callers
-          // replaying corpus-scale batches can opt out to shuffle posture
-          Dedup.minhashNearDupPairsIncremental(index, docsFor, delta, deltaIdx,
-              idCol, textCol, threshold, shingleK, maxBucketSize,
-              restrictToTouched, materializeIntermediates = true)
-            .write.mode("append").parquet(pairsDir)
-          appendIndex(deltaIdx, indexDir)
-          appendDocs(delta, docsDir)
-        } finally deltaIdx.unpersist(blocking = false)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, indexDir, docsDir,
+          pairsDir, threshold, shingleK, bands, rowsPerBand, maxBucketSize,
+          restrictToTouched)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
+
+  /** One micro-batch of the screen — the foreachBatch body, split out so
+    * the replay spec can drive it with a pinned `batchId` through the
+    * exact production path. All three writes key on the batch id, so a
+    * foreachBatch replay after a crash lands the batch exactly once:
+    * pairs overwrite their own `batch=<id>` partition, the index/doc
+    * tail appends overwrite theirs ([[LsmParquetState.appendTail]]), and
+    * both state scans EXCLUDE this batch's own tail partitions — the
+    * replay computes against exactly its first attempt's pre-state
+    * (half-appended own rows would duplicate verification docs and
+    * drift the skew-guard's bucket counts).
+    */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      indexDir: String, docsDir: String, pairsDir: String,
+      threshold: Double, shingleK: Int, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int, restrictToTouched: Boolean): Unit = {
+    val s = batch.sparkSession
+    val delta = batch.select(idCol, textCol)
+    // verification reads the doc store AFTER candidates exist, so the
+    // read can statically prune to the candidates' id-prefix
+    // partitions (bounded collect inside prunedDocsScan) instead of
+    // scanning the corpus text per batch
+    val docsFor: DataFrame => DataFrame =
+      candIds => prunedDocsScan(s, docsDir, idCol, candIds, Some(batchId))
+    // the delta's LSH index is needed three times — the touched-
+    // partition set, candidate generation and the state append — so
+    // it is computed ONCE and cached for the batch (repeated
+    // shingle+minhash kernel passes per micro-batch are pure waste)
+    val deltaIdx = Dedup.lshBuckets(delta, idCol, textCol, shingleK,
+      bands, rowsPerBand).persist()
+    try {
+      // bounded driver collect: at most bands × bandkeyPrefixes rows
+      // regardless of delta size — the key set that statically prunes
+      // the base read below
+      val touched = deltaIdx
+        .select(col("__band"), bkp.as("__bkp")).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      val index = prunedIndexScan(s, indexDir, touched, Some(batchId))
+      // pairs materialize BEFORE the state appends below, so a batch
+      // never pairs against its own appended rows twice
+      // micro-batch deltas are small in production (the broadcast
+      // touched-bucket restriction is the right default); callers
+      // replaying corpus-scale batches can opt out to shuffle posture
+      Dedup.minhashNearDupPairsIncremental(index, docsFor, delta, deltaIdx,
+          idCol, textCol, threshold, shingleK, maxBucketSize,
+          restrictToTouched, materializeIntermediates = true)
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      appendIndex(deltaIdx, indexDir, Some(batchId))
+      appendDocs(delta, docsDir, Some(batchId))
+    } finally deltaIdx.unpersist(blocking = false)
   }
 }

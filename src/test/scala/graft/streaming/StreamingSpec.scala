@@ -719,6 +719,134 @@ class StreamingSpec extends SparkTestBase {
       touched).count() === 3L)
   }
 
+  test("near-dup replay idempotence: a replayed in-flight batch lands " +
+      "exactly once — pairs, index and docs unchanged, including after a " +
+      "crash that lost the state appends") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_snd_replay").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about distributed query engines and shuffles"),
+      (3L, "an unrelated short text about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    StreamingNearDup.seedIndex(corpus, "doc_id", "text",
+      s"$dir/index", s"$dir/docs")
+    val b1 = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val b2 = Seq(
+      (102L, "completely different content about distributed query engines and exchanges"),
+      (103L, "the quick brown fox jumps over the lazy dog again and again tonight!"))
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingNearDup.start(spark, stream, "doc_id", "text",
+      s"$dir/index", s"$dir/docs", s"$dir/pairs", s"$dir/cp",
+      threshold = 0.5)
+    assert(q.awaitTermination(120000), "stream did not drain")
+    // outputs are batch-keyed: each micro-batch owns its partition
+    assert(new java.io.File(s"$dir/pairs/batch=0").exists() &&
+      new java.io.File(s"$dir/pairs/batch=1").exists(),
+      "pairs are not batch-keyed")
+    def pairsRows() = spark.read.parquet(s"$dir/pairs")
+      .select("idA", "idB").as[(Long, Long)].collect().sorted.toSeq
+    def idxRows() = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
+      .select("doc_id", "__band", "__bandkey")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    def docRows() = StreamingNearDup
+      .docsSnapshot(spark, s"$dir/docs", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val (p0, i0, d0) = (pairsRows(), idxRows(), docRows())
+    assert(p0.distinct === p0, "duplicate pair rows in the drained output")
+    assert(d0.distinct === d0, "duplicate doc rows in the drained state")
+    // replay the in-flight batch (b2 ran as batch id 1) through the exact
+    // production path — everything must come out row-identical
+    def replay(): Unit = StreamingNearDup.processBatch(
+      b2.toDF("doc_id", "text"), 1L, "doc_id", "text",
+      s"$dir/index", s"$dir/docs", s"$dir/pairs",
+      threshold = 0.5, shingleK = 5, bands = 16, rowsPerBand = 4,
+      maxBucketSize = 1000, restrictToTouched = true)
+    replay()
+    assert(pairsRows() === p0, "replay changed the pair set")
+    assert(idxRows() === i0, "replay changed the index state")
+    assert(docRows() === d0, "replay changed the docs state")
+    // crash shape: pairs landed but the state appends were lost — the
+    // replay must rebuild exactly the same state and output
+    def rm(p: String): Unit = {
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        f.delete()
+      }
+      walk(new java.io.File(p))
+    }
+    rm(s"$dir/index/tail/batch=1")
+    rm(s"$dir/docs/tail/batch=1")
+    replay()
+    assert(pairsRows() === p0, "post-crash replay changed the pair set")
+    assert(idxRows() === i0, "post-crash replay changed the index state")
+    assert(docRows() === d0, "post-crash replay changed the docs state")
+  }
+
+  test("curation replay idempotence (partitioned base): a replayed " +
+      "in-flight batch keeps its own survivors and appends no duplicate " +
+      "fingerprints") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sc_replay").toString
+    val seedText = "the seed corpus document that we already kept and curated"
+    StreamingCuration.seedFingerprints(
+      Seq((0L, seedText)).toDF("doc_id", "text"), "text", s"$dir/fp",
+      partitionedBase = true)
+    val evalDocs = Seq((900L,
+      "the held out evaluation prompt that must never leak into training"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the first unique document about engines and the data we keep", "en"),
+      (12L, seedText, "en"))
+    val b2 = Seq(
+      (21L, "the first unique document about engines and the data we keep", "en"),
+      (22L, "the second unique document about layouts and the state we fold", "en"))
+    b1.toDF("doc_id", "text", "lang").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingCuration.start(spark, stream, evalDocs,
+      "doc_id", "text", "lang", s"$dir/fp", s"$dir/kept", s"$dir/cp",
+      minQuality = 0.0, maxDupBigramFrac = 1.0)
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def keptRows() = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def fpRows() = StreamingCuration.fingerprintSnapshot(spark, s"$dir/fp")
+      .select("fp").as[String].collect().sorted.toSeq
+    val (k0, f0) = (keptRows(), fpRows())
+    assert(k0 === Seq(11L, 22L), s"drained survivors off: $k0")
+    assert(f0.distinct === f0, "duplicate fingerprints in the drained state")
+    // replay the in-flight batch (b2 ran as batch id 1): with its own
+    // fingerprints already stored, the scan must EXCLUDE them or the
+    // anti join deletes the batch's own survivors
+    def replay(): Unit = StreamingCuration.processBatch(
+      b2.toDF("doc_id", "text", "lang"), 1L, evalDocs,
+      "doc_id", "text", "lang", s"$dir/fp", s"$dir/kept",
+      lang = "en", minQuality = 0.0, maxDupBigramFrac = 1.0,
+      overlapN = 5, overlapThreshold = 0.5)
+    replay()
+    assert(keptRows() === k0, "replay changed the survivor set")
+    assert(fpRows() === f0, "replay changed the fingerprint state")
+    // crash shape: survivors landed but the fingerprint append was lost
+    def rm(p: String): Unit = {
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        f.delete()
+      }
+      walk(new java.io.File(p))
+    }
+    rm(s"$dir/fp/tail/batch=1")
+    replay()
+    assert(keptRows() === k0, "post-crash replay changed the survivor set")
+    assert(fpRows() === f0, "post-crash replay changed the fingerprint state")
+  }
+
   test("prunedDocsScan: candidate id prefixes land as PartitionFilters on " +
       "the docs base, untouched prefix files never opened, tail visible") {
     val dir = Files.createTempDirectory("graft_snd_docprune").toString
