@@ -499,6 +499,24 @@ object SparkEntry {
             greatest(col("c_start"), col("p_start"))).as("overlap_us"))
     }),
 
+    // Bloom-pruned equi-join (the runtime-filter pattern, explicit):
+    // a selective part subset joins the lineitem fact side, whose scan is
+    // pre-filtered map-side by a Bloom sketch of the probe keys before
+    // the exchange. Result-identical to the plain inner join (no false
+    // negatives; false positives die in the exact join) — the oracle IS
+    // the plain join
+    "j10_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      val parts = t(s, dir, "part").filter(col("p_size") <= 2)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.BloomJoin.bloomPrunedInnerJoin(li, parts, "l_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
     // pivot (conditional aggregation surface); absent combos coalesce to 0
     // so both engines agree on empty cells
     "g03_pivot" -> ((s, dir) => {
@@ -1054,6 +1072,20 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDupPairsIncremental(index, docs, delta,
         "doc_id", "text", threshold = 0.7, restrictToTouched = false)
       Dedup.filterNearDupFree(delta, pairs, "doc_id").select("doc_id")
+    }),
+
+    // asymmetric (overlap-coefficient) near-dup: each doc's first HALF
+    // (char-level) is planted as a separate doc — its grams are a subset
+    // of the source's, so overlap ≈ 1.0 while Jaccard ≈ 0.5 (d03's
+    // threshold would miss every planted pair). Candidates via AllPairs
+    // prefix filtering on the global rarest-first gram order
+    "d11_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val truncated = docs.select((col("doc_id") + 2000000).as("doc_id"),
+        expr("substring(text, 1, cast(floor(length(text) / 2) as int))")
+          .as("text"))
+      Dedup.containmentPairs(docs.unionByName(truncated), "doc_id", "text",
+        threshold = 0.9)
     }),
 
     // the STREAMING composition of d08: persistent parquet index state,
@@ -3037,6 +3069,15 @@ object SparkEntry {
                 LEAST(c_end, p_end) - GREATEST(c_start, p_start) AS overlap_us
          FROM c JOIN p ON c.user_id = p.p_user
                       AND c.c_start < p.p_end AND p.p_start < c.c_end""",
+    // the Bloom pre-filter is semantics-free (no false negatives; false
+    // positives die in the exact join) — the oracle is the plain join
+    "j10_bloom_join" ->
+      """SELECT p_brand,
+                COUNT(*) AS n_rows,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 2
+         GROUP BY p_brand""",
     "g03_pivot" ->
       """SELECT year(o_orderdate) AS y,
                 COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
@@ -3944,6 +3985,34 @@ object SparkEntry {
                      UNION SELECT idB FROM pairs)
          SELECT d.doc_id FROM delta d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)""",
+    // overlap coefficient |∩| / min over distinct char-5-gram sets,
+    // all pairs relationally; prefix filtering is recall-lossless by the
+    // pigeonhole bound, so the engine must reproduce this exactly
+    "d11_containment" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+           FROM documents),
+         norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT idA, idB, CAST(i AS INT) AS n_shared,
+                ROUND(CAST(i AS DOUBLE) / least(na, nb), 4) + 0.0 AS overlap
+         FROM inter
+         WHERE CAST(i AS DOUBLE) >= 0.9 * least(na, nb)""",
     // streaming composition: the d08 truth over corpus ∪ batch1 ∪ batch2
     // restricted to pairs with a streamed member — micro-batch boundaries
     // don't change the SET of pairs (each surfaces once, in the batch of

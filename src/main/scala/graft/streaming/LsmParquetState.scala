@@ -35,6 +35,28 @@ private[streaming] final case class LsmLayout(
 
 private[streaming] object LsmParquetState {
 
+  /** Crossover for the DEFAULT layout choice at seed time, in corpus
+    * rows: below it the store seeds FLAT (the fully-supported legacy
+    * posture), at or above it the partitioned base+tail layout. The
+    * partitioned base buys O(touched partitions) per-batch scan I/O but
+    * costs a partition fan-out at seed/compaction and per-batch planning
+    * overhead over hundreds of directories — measured ~1.5× end-to-end
+    * overhead at a 10^4..10^5-row fixture store where every batch
+    * touches most partitions anyway (isolated A/B, BENCH_AB_r09.md).
+    * The pruning pays once partitions hold enough data that NOT opening
+    * them beats the bookkeeping — O(10^6) rows is conservatively past
+    * that. Callers with better knowledge pass the posture explicitly;
+    * both layouts produce identical results (spec-pinned).
+    */
+  val partitionedBaseThreshold: Long = 1000000L
+
+  /** The default layout decision: one `count()` over the seed corpus
+    * (columnar-cheap on parquet sources) against
+    * [[partitionedBaseThreshold]].
+    */
+  def autoPartitioned(corpus: DataFrame): Boolean =
+    corpus.count() >= partitionedBaseThreshold
+
   private def fsOf(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)

@@ -68,22 +68,29 @@ object StreamingCuration {
 
   /** Seed the fingerprint index from an already-curated corpus (empty
     * corpus frames are fine — the write still lays down the schema the
-    * per-batch reads need).
-    *
-    * `partitionedBase = false` (default) keeps the store FLAT: the
-    * per-batch probe is already restricted to O(batch) rows by a
-    * broadcast semi join, so at moderate store sizes the flat scan is
+    * per-batch reads need), deciding the layout by corpus size against
+    * [[LsmParquetState.partitionedBaseThreshold]] — the single policy
+    * shared with [[StreamingNearDup.seedIndex]].
+    */
+  def seedFingerprints(corpus: DataFrame, textCol: String,
+      fpDir: String): Unit =
+    seedFingerprints(corpus, textCol, fpDir,
+      LsmParquetState.autoPartitioned(corpus))
+
+  /** Explicit-layout seed. `partitionedBase = false` keeps the store
+    * FLAT: the per-batch probe is already restricted to O(batch) rows by
+    * a broadcast semi join, so at moderate store sizes the flat scan is
     * the cheapest posture (measured ~2× faster end-to-end at sf0.1,
-    * where each batch's fingerprints touch every prefix anyway). Seed
-    * with `true` when the store is truly corpus-scale AND batches are
-    * small relative to it — then the [[LsmParquetState]] base/tail
-    * layout statically prunes each batch's base read to its (bounded)
+    * where each batch's fingerprints touch every prefix anyway). Pass
+    * `true` when the store is truly corpus-scale AND batches are small
+    * relative to it — then the [[LsmParquetState]] base/tail layout
+    * statically prunes each batch's base read to its (bounded)
     * touched-prefix set, and [[compactFingerprints]] folds the tail.
     * [[start]] detects the layout per batch; both postures produce
     * identical survivors (spec-pinned).
     */
   def seedFingerprints(corpus: DataFrame, textCol: String,
-      fpDir: String, partitionedBase: Boolean = false): Unit = {
+      fpDir: String, partitionedBase: Boolean): Unit = {
     val fps = corpus.select(md5(Dedup.normalized(col(textCol))).as("fp"))
       .distinct()
     if (partitionedBase) LsmParquetState.seed(fps, fpDir, layout)

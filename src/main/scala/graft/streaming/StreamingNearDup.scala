@@ -98,21 +98,37 @@ object StreamingNearDup {
       pmod(hash(col(idCol)), lit(docIdPrefixes)).cast("int")))
 
   /** Seed the persistent state from the initial corpus: the LSH index
-    * (the ONLY corpus state candidate generation ever reads, written as
-    * the `(__band, __bkp)`-partitioned base) and the doc store (read
-    * only for verification candidates, written as the
-    * `__idp = pmod(hash(id), docIdPrefixes)`-partitioned base so each
-    * batch's verification read prunes to the candidate ids' prefix
-    * directories instead of scanning the corpus text).
+    * (the ONLY corpus state candidate generation ever reads) and the doc
+    * store (read only for verification candidates).
+    *
+    * `partitionedBase` picks the layout; `None` (default) decides by
+    * corpus size against [[LsmParquetState.partitionedBaseThreshold]] —
+    * the single policy shared with [[StreamingCuration]]. Partitioned:
+    * the index base is `(__band, __bkp)`-partitioned and the docs base
+    * `__idp = pmod(hash(id), docIdPrefixes)`-partitioned, so each batch
+    * statically prunes both reads to its touched partitions — the
+    * corpus-scale posture. Flat: both stores are plain parquet (the
+    * fully-supported legacy posture) — cheaper end-to-end below the
+    * crossover, where every batch touches most partitions anyway
+    * (isolated A/B in BENCH_AB_r09.md). Results are identical either
+    * way (spec-pinned); [[start]] detects the layout per batch.
     */
   def seedIndex(corpus: DataFrame, idCol: String, textCol: String,
       indexDir: String, docsDir: String,
-      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
-    LsmParquetState.seed(
-      Dedup.lshBuckets(corpus, idCol, textCol, shingleK, bands, rowsPerBand),
-      indexDir, layout)
-    LsmParquetState.seed(corpus.select(idCol, textCol), docsDir,
-      docsLayout(idCol))
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      partitionedBase: Option[Boolean] = None): Unit = {
+    val partitioned = partitionedBase
+      .getOrElse(LsmParquetState.autoPartitioned(corpus))
+    val idx = Dedup.lshBuckets(corpus, idCol, textCol, shingleK, bands,
+      rowsPerBand)
+    val docs = corpus.select(idCol, textCol)
+    if (partitioned) {
+      LsmParquetState.seed(idx, indexDir, layout)
+      LsmParquetState.seed(docs, docsDir, docsLayout(idCol))
+    } else {
+      idx.write.mode("overwrite").parquet(indexDir)
+      docs.write.mode("overwrite").parquet(docsDir)
+    }
   }
 
   /** Per-batch append: plain flat files into the tail log — O(writing

@@ -48,11 +48,21 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("LSH operators never produce a cartesian or nested-loop join") {
-    Seq("d03_minhash_pairs", "d04_simhash_pairs", "s03_cosine_neardup").foreach { q =>
+    Seq("d03_minhash_pairs", "d04_simhash_pairs", "s03_cosine_neardup",
+        "d11_containment").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
     }
+  }
+
+  test("d11 containment: prefix-filtered candidate join, no window, " +
+      "skew guard on by default") {
+    val p = plan("d11_containment")
+    assert(!p.contains("Window"), s"window crept into containment:\n$p")
+    assert(p.contains("CollectMetrics") &&
+      p.contains("containment_skew_guard"),
+      s"containment skew guard missing:\n$p")
   }
 
   test("LSH-family skew guards are on by default (CollectMetrics in plan)") {

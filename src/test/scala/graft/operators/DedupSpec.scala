@@ -449,4 +449,59 @@ class DedupSpec extends SparkTestBase {
     assert(out(2L) === "", "second copy fully covered")
     assert(out(3L) === "other text")
   }
+
+  test("containmentPairs: a truncated half-doc pairs with its source at " +
+      "overlap 1.0 even though its Jaccard is far below the d03 bar") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again " +
+        "today while the weather stays unreasonably warm for the season"),
+      (2L, "completely different content about distributed query engines " +
+        "and the shuffles they schedule across executor fleets at scale"),
+      (3L, "an unrelated short text about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    val half = base.select((col("doc_id") + 100).as("doc_id"),
+      expr("substring(text, 1, cast(floor(length(text) / 2) as int))")
+        .as("text"))
+    val all = base.unionByName(half)
+    val pairs = Dedup.containmentPairs(all, "doc_id", "text", threshold = 0.9)
+      .select("idA", "idB", "overlap").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    // every source gains exactly its own half-doc pair (a prefix's grams
+    // are a subset of the full string's grams -> overlap exactly 1.0)
+    assert(pairs.keySet === Set((1L, 101L), (2L, 102L), (3L, 103L)),
+      s"pair set off: ${pairs.keySet}")
+    assert(pairs.values.forall(_ === 1.0), s"overlap not 1.0: $pairs")
+    // the same planted pairs sit far below the Jaccard bar — d03-style
+    // symmetric dedup structurally misses them
+    val jac = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+        threshold = 0.9)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 101L)),
+      "fixture broken: the half-doc should NOT be a 0.9-Jaccard near-dup")
+    // threshold respected: unrelated docs never pair
+    assert(!pairs.keySet.exists { case (a, b) => (b - a) % 100 != 0 })
+  }
+
+  test("containmentPairs prefix filter loses no qualifying pair vs the " +
+      "brute-force overlap truth on a mixed corpus") {
+    val docs = (1L to 12L).map { i =>
+      (i, s"document number $i talks about topic ${i % 4} with shared " +
+        s"boilerplate text that every doc repeats verbatim here " +
+        s"plus unique tail content ${i * 31} and ${i * 57} and ${i * 93}")
+    }.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.6)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // brute force: exact distinct-gram sets per doc, all pairs
+    val sets = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_hashes(
+          Dedup.normalized(col("text")), 5).as("g"))
+      .as[(Long, Seq[Long])].collect().map { case (i, g) => i -> g.toSet }
+    val truth = (for {
+      (a, ga) <- sets; (b, gb) <- sets if a < b
+      i = (ga intersect gb).size
+      if i >= 0.6 * math.min(ga.size, gb.size)
+    } yield (a, b)).toSet
+    assert(got === truth, s"prefix filtering diverged from brute force")
+  }
 }

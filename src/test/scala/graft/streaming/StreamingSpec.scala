@@ -610,7 +610,7 @@ class StreamingSpec extends SparkTestBase {
       (i, s"corpus document number $i with some distinctive words here"))
       .toDF("doc_id", "text")
     StreamingNearDup.seedIndex(corpus, "doc_id", "text",
-      s"$dir/index", s"$dir/docs")
+      s"$dir/index", s"$dir/docs", partitionedBase = Some(true))
     // simulate many tiny per-batch appends (the same tail log start() writes)
     (1 to 5).foreach { b =>
       val delta = Seq((100L + b,
@@ -673,7 +673,7 @@ class StreamingSpec extends SparkTestBase {
       (i, s"corpus document number $i with some quite distinctive words $i here"))
       .toDF("doc_id", "text")
     StreamingNearDup.seedIndex(corpus, "doc_id", "text",
-      s"$dir/index", s"$dir/docs")
+      s"$dir/index", s"$dir/docs", partitionedBase = Some(true))
     // a one-doc delta touches exactly one (band, prefix) pair per band
     val delta = Seq((999L, "a probe document that shares nothing in particular"))
       .toDF("doc_id", "text")
@@ -730,7 +730,7 @@ class StreamingSpec extends SparkTestBase {
       (3L, "an unrelated short text about nothing in particular at all"))
       .toDF("doc_id", "text")
     StreamingNearDup.seedIndex(corpus, "doc_id", "text",
-      s"$dir/index", s"$dir/docs")
+      s"$dir/index", s"$dir/docs", partitionedBase = Some(true))
     val b1 = Seq(
       (101L, "the quick brown fox jumps over the lazy dog again and again tonight"))
     val b2 = Seq(
@@ -854,7 +854,7 @@ class StreamingSpec extends SparkTestBase {
       (i, s"corpus document number $i with some quite distinctive words $i here"))
       .toDF("doc_id", "text")
     StreamingNearDup.seedIndex(corpus, "doc_id", "text",
-      s"$dir/index", s"$dir/docs")
+      s"$dir/index", s"$dir/docs", partitionedBase = Some(true))
     val candIds = Seq(3L, 17L, 999L).toDF("doc_id") // 999: a delta-side id
     val pruned = StreamingNearDup.prunedDocsScan(
       spark, s"$dir/docs", "doc_id", candIds)
@@ -954,7 +954,7 @@ class StreamingSpec extends SparkTestBase {
       (i, s"corpus document number $i with some quite distinctive words $i here"))
       .toDF("doc_id", "text")
     StreamingNearDup.seedIndex(corpus, "doc_id", "text",
-      s"$dir/index", s"$dir/docs")
+      s"$dir/index", s"$dir/docs", partitionedBase = Some(true))
     val liveParts = spark.read.parquet(s"$dir/index/base")
       .select("__band", "__bkp").distinct().count()
     // tiny rowsPerFile forces multiple files per sub-partition (the
@@ -975,7 +975,7 @@ class StreamingSpec extends SparkTestBase {
       (i, s"corpus document number $i with some distinctive words here"))
       .toDF("doc_id", "text")
     StreamingNearDup.seedIndex(corpus, "doc_id", "text",
-      s"$dir/index", s"$dir/docs")
+      s"$dir/index", s"$dir/docs", partitionedBase = Some(true))
     def reread() = StreamingNearDup.indexSnapshot(spark, s"$dir/index")
       .select("doc_id", "__band", "__bandkey")
       .as[(Long, Int, Long)].collect().sorted.toSeq
