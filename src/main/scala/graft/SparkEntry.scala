@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCuration, StreamingDrift, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingTokenBudget}
+import graft.streaming.{StreamingCuration, StreamingDrift, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -812,6 +812,50 @@ object SparkEntry {
       }
       s.read.parquet(s"$tmp/out/batch=*")
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    }),
+
+    // streaming SEMANTIC screen against the persisted IVF-PQ index: two
+    // micro-batches of embeddings dedup against the seeded corpus and
+    // each other's appended state. Streamed dups are EXACT vector copies
+    // (the planted-contract shape: a copy shares its twin's inverted
+    // list and re-ranks at cosine 1.0, so ANN recall is structural, not
+    // probabilistic); novel vectors sit far below the 0.999 bar
+    "e10_streaming_semantic_screen" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e10").toString
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.filter(col("vec_id") >= 100)
+      StreamingSemanticScreen.seed(corpus, "vec_id", "embedding",
+        s"$tmp/index", s"$tmp/vecs", dim = 64,
+        numCentroids = 16, m = 8, codesPerSub = 16)
+      // batch 1: copies of corpus vecs (ids ≡ 0 mod 40, +1e6) + novel
+      // vecs the corpus has never seen (ids < 50, +3e6)
+      emb.filter(col("vec_id") >= 100 && col("vec_id") % 40 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 3000000).as("vec_id"), col("embedding")))
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      // batch 2: copies of BATCH 1's novel vecs (+4e6 — the cross-batch
+      // pair that only exists because batch 1's state persisted) + more
+      // corpus copies (ids ≡ 20 mod 40, +2e6)
+      emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 4000000).as("vec_id"), col("embedding"))
+        .unionByName(
+          emb.filter(col("vec_id") >= 100 && col("vec_id") % 40 === 20)
+            .select((col("vec_id") + 2000000).as("vec_id"), col("embedding")))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingSemanticScreen.start(s, src, "vec_id", "embedding",
+        s"$tmp/index", s"$tmp/vecs", s"$tmp/pairs", s"$tmp/cp",
+        threshold = 0.999)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e10 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/pairs")
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
     }),
 
     // per-user event-rate anomaly screen: hourly activity counts z-scored
@@ -3386,6 +3430,38 @@ object SparkEntry {
                        AS BIGINT) AS cum_tokens
            FROM d)
          SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 15000""",
+    // e10: pairs = (stored-before, streamed) exact cosine >= 0.999,
+    // replayed relationally batch by batch; the planted fixture (exact
+    // vector copies, no borderline pairs) makes ANN recall structural
+    "e10_streaming_semantic_screen" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 100),
+         b1 AS (
+           SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id >= 100 AND vec_id % 40 = 0
+           UNION ALL
+           SELECT vec_id + 3000000, embedding FROM embeddings WHERE vec_id < 50),
+         b2 AS (
+           SELECT vec_id + 4000000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id < 50
+           UNION ALL
+           SELECT vec_id + 2000000, embedding FROM embeddings
+           WHERE vec_id >= 100 AND vec_id % 40 = 20),
+         stored2 AS (SELECT * FROM corpus UNION ALL SELECT * FROM b1),
+         p AS (
+           SELECT s.vec_id AS idA, q.vec_id AS idB,
+                  list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                  (sqrt(list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[]))) *
+                   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+           FROM corpus s, b1 q
+           UNION ALL
+           SELECT s.vec_id, q.vec_id,
+                  list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                  (sqrt(list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[]))) *
+                   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+           FROM stored2 s, b2 q)
+         SELECT idA, idB, ROUND(cosine, 6) + 0.0 AS cosine
+         FROM p WHERE cosine >= 0.999""",
     // e07: integer hour buckets + exact integer moment sums, then the
     // identical double expression tree for mean/var/z on both engines
     "e07_rate_anomaly" ->

@@ -429,8 +429,30 @@ object Similarity {
   private def searchIvfPqEncoded(model: IvfPqModel, encoded: DataFrame,
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
-      k: Int, nprobe: Int, rerank: Int): DataFrame = {
-    val sized = corpus.filter(size(col(corpusVec)) === model.dim)
+      k: Int, nprobe: Int, rerank: Int): DataFrame =
+    searchIvfPqEncoded(model, encoded, (_: DataFrame) => corpus, queries,
+      corpusId, corpusVec, queryId, queryVec, k, nprobe, rerank,
+      materializeCandidates = false)
+
+  /** Variant taking the re-rank corpus as a FUNCTION of the ADC
+    * candidate set: `corpusFor(cands)` receives the `(queryId,
+    * corpusId)` candidate pairs — the only corpus rows the exact re-rank
+    * will ever read — and returns the `(corpusId, corpusVec)` frame,
+    * restricted however the caller's storage can (a persisted vector
+    * store partitioned by an id prefix collects the candidates' bounded
+    * prefix set and prunes statically — the
+    * [[graft.streaming.StreamingSemanticScreen]] posture). A plain
+    * frame caller passes a constant callback. `materializeCandidates`
+    * localCheckpoints the candidate frame first so a callback that runs
+    * jobs over it (prefix collects) does not re-execute the ADC scan —
+    * the in-query paths keep it false and stay fully lazy (the plan
+    * audits depend on that).
+    */
+  private def searchIvfPqEncoded(model: IvfPqModel, encoded: DataFrame,
+      corpusFor: DataFrame => DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, nprobe: Int, rerank: Int,
+      materializeCandidates: Boolean): DataFrame = {
     val probed = queries.filter(size(col(queryVec)) === model.dim).select(
       col(queryId), col(queryVec).as("__qv"),
       explode(probeListsCol(model.centroids, nprobe)(col(queryVec))).as("__list"))
@@ -441,8 +463,12 @@ object Similarity {
     val adcScored = encoded.join(broadcast(probed), "__list")
       .select(col(queryId), col(corpusId),
         adcCol(model)(col("__codes"), col("__qv")).as("cosine"))
-    val cands = rankTopK(adcScored, queryId, corpusId, rerank)
+    val ranked = rankTopK(adcScored, queryId, corpusId, rerank)
       .select(col(queryId), col(corpusId))
+    val cands =
+      if (materializeCandidates) ranked.localCheckpoint(eager = true)
+      else ranked
+    val sized = corpusFor(cands).filter(size(col(corpusVec)) === model.dim)
     // candidates are |Q|·rerank rows — broadcast them at the corpus too
     val rer = broadcast(cands)
       .join(sized.select(col(corpusId), col(corpusVec)), corpusId)
@@ -541,10 +567,27 @@ object Similarity {
   def ivfPqTopKFromIndex(indexDir: String, corpus: DataFrame,
       queries: DataFrame, corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
-      k: Int, nprobe: Int = 4, rerank: Int = 32): DataFrame = {
+      k: Int, nprobe: Int = 4, rerank: Int = 32): DataFrame =
+    ivfPqTopKFromIndex(indexDir, (_: DataFrame) => corpus, queries,
+      corpusId, corpusVec, queryId, queryVec, k, nprobe, rerank,
+      materializeCandidates = false)
+
+  /** Variant taking the re-rank corpus as a function of the candidate
+    * set (see the [[searchIvfPqEncoded]] callback contract) — for
+    * callers whose original-vector store can prune its read to the
+    * candidates, e.g. an id-prefix-partitioned persisted vector store.
+    * `materializeCandidates = true` when the callback runs jobs over
+    * the candidate frame (prefix collects).
+    */
+  def ivfPqTopKFromIndex(indexDir: String,
+      corpusFor: DataFrame => DataFrame,
+      queries: DataFrame, corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, nprobe: Int, rerank: Int,
+      materializeCandidates: Boolean): DataFrame = {
     require(k <= rerank,
       s"k=$k > rerank=$rerank — the exact stage can only rank the re-rank pool")
-    val spark = corpus.sparkSession
+    val spark = queries.sparkSession
     val model = loadIvfPqModel(spark, indexDir)
     // bounded driver collect (<= numCentroids ints, whatever |Q| is):
     // the union of every query's probed lists. On the __list-partitioned
@@ -557,8 +600,9 @@ object Similarity {
       .distinct().collect().map(_.getInt(0))
     val encoded = spark.read.parquet(s"$indexDir/codes")
       .filter(col("__list").isin(probedLists.toSeq: _*))
-    searchIvfPqEncoded(model, encoded, corpus, queries,
-      corpusId, corpusVec, queryId, queryVec, k, nprobe, rerank)
+    searchIvfPqEncoded(model, encoded, corpusFor, queries,
+      corpusId, corpusVec, queryId, queryVec, k, nprobe, rerank,
+      materializeCandidates)
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

@@ -787,6 +787,57 @@ class StreamingSpec extends SparkTestBase {
     assert(docRows() === d0, "post-crash replay changed the docs state")
   }
 
+  test("streaming semantic screen: drained pairs equal the stored-before " +
+      "cosine truth; a replayed in-flight batch lands exactly once") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sem_screen").toString
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextFloat() * 2f - 1f)
+    }
+    val corpus = (1L to 40L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    StreamingSemanticScreen.seed(corpus, "vec_id", "embedding",
+      s"$dir/index", s"$dir/vecs", dim = 8,
+      numCentroids = 4, m = 4, codesPerSub = 8,
+      partitionedBase = Some(true))
+    // batch 1: exact copies of corpus 3 and 7, one novel vector
+    val b1 = Seq((103L, vec(3)), (107L, vec(7)), (900L, vec(900)))
+    // batch 2: a copy of batch 1's novel vector (cross-batch pair) and
+    // a copy of corpus 11
+    val b2 = Seq((1900L, vec(900)), (111L, vec(11)))
+    b1.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingSemanticScreen.start(spark, stream,
+      "vec_id", "embedding", s"$dir/index", s"$dir/vecs", s"$dir/pairs",
+      s"$dir/cp", threshold = 0.999)
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def pairsRows() = spark.read.parquet(s"$dir/pairs")
+      .select("idA", "idB").as[(Long, Long)].collect().sorted.toSeq
+    val p0 = pairsRows()
+    assert(p0 === Seq((3L, 103L), (7L, 107L), (11L, 111L), (900L, 1900L)),
+      s"drained pair set off: $p0")
+    assert(new java.io.File(s"$dir/pairs/batch=0").exists() &&
+      new java.io.File(s"$dir/pairs/batch=1").exists())
+    def vecRows() = StreamingSemanticScreen
+      .vecsSnapshot(spark, s"$dir/vecs", "vec_id")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val v0 = vecRows()
+    assert(v0.distinct === v0, "duplicate vectors in the drained state")
+    // replay the in-flight batch (b2, id 1): with its own vectors already
+    // stored, the scan must exclude them (and self-match is id-guarded)
+    StreamingSemanticScreen.processBatch(
+      b2.toDF("vec_id", "embedding"), 1L, "vec_id", "embedding",
+      s"$dir/index", s"$dir/vecs", s"$dir/pairs",
+      threshold = 0.999, k = 5, nprobe = 4, rerank = 32)
+    assert(pairsRows() === p0, "replay changed the pair set")
+    assert(vecRows() === v0, "replay changed the vector state")
+  }
+
   test("curation replay idempotence (partitioned base): a replayed " +
       "in-flight batch keeps its own survivors and appends no duplicate " +
       "fingerprints") {
