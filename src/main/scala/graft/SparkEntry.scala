@@ -1119,14 +1119,16 @@ object SparkEntry {
     }),
 
     // asymmetric (overlap-coefficient) near-dup: each doc's first HALF
-    // (char-level) is planted as a separate doc — its grams are a subset
-    // of the source's, so overlap ≈ 1.0 while Jaccard ≈ 0.5 (d03's
-    // threshold would miss every planted pair). Candidates via AllPairs
-    // prefix filtering on the global rarest-first gram order
+    // (word-boundary truncation) is planted as a separate doc — its word
+    // grams are an exact subset of the source's, so overlap = 1.0 while
+    // Jaccard ≈ 0.5 (d03's threshold would miss every planted pair).
+    // Candidates via AllPairs prefix filtering on the global
+    // rarest-first gram order
     "d11_containment" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val truncated = docs.select((col("doc_id") + 2000000).as("doc_id"),
-        expr("substring(text, 1, cast(floor(length(text) / 2) as int))")
+        expr("array_join(slice(split(text, ' '), 1, " +
+          "cast(ceil(size(split(text, ' ')) / 2.0) as int)), ' ')")
           .as("text"))
       Dedup.containmentPairs(docs.unionByName(truncated), "doc_id", "text",
         threshold = 0.9)
@@ -4061,7 +4063,7 @@ object SparkEntry {
                      UNION SELECT idB FROM pairs)
          SELECT d.doc_id FROM delta d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)""",
-    // overlap coefficient |∩| / min over distinct char-5-gram sets,
+    // overlap coefficient |∩| / min over distinct word-5-gram sets,
     // all pairs relationally; prefix filtering is recall-lossless by the
     // pigeonhole bound, so the engine must reproduce this exactly
     "d11_containment" ->
@@ -4069,16 +4071,19 @@ object SparkEntry {
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 2000000,
-                  substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+                  list_aggregate(
+                    (string_split(text, ' '))[1:CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT)],
+                    'string_agg', ' ')
            FROM documents),
          norm AS (
            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
+         tok AS (SELECT doc_id, n, string_split(n, ' ') AS w FROM norm),
          grams AS (
            SELECT doc_id,
-                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
-                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
-                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
-           FROM norm),
+                  CASE WHEN len(w) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, len(w) - 3),
+                              i -> hash(list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4], 'string_agg', ' ')))) END AS g
+           FROM tok),
          gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
          ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
          inter AS (

@@ -460,7 +460,8 @@ class DedupSpec extends SparkTestBase {
       (3L, "an unrelated short text about nothing in particular at all"))
       .toDF("doc_id", "text")
     val half = base.select((col("doc_id") + 100).as("doc_id"),
-      expr("substring(text, 1, cast(floor(length(text) / 2) as int))")
+      expr("array_join(slice(split(text, ' '), 1, " +
+        "cast(ceil(size(split(text, ' ')) / 2.0) as int)), ' ')")
         .as("text"))
     val all = base.unionByName(half)
     val pairs = Dedup.containmentPairs(all, "doc_id", "text", threshold = 0.9)
@@ -495,7 +496,7 @@ class DedupSpec extends SparkTestBase {
     // brute force: exact distinct-gram sets per doc, all pairs
     val sets = docs.select(col("doc_id"),
         graft.functions.GraftFunctions.shingle_hashes(
-          Dedup.normalized(col("text")), 5).as("g"))
+          Dedup.normalized(col("text")), 5, word = true).as("g"))
       .as[(Long, Seq[Long])].collect().map { case (i, g) => i -> g.toSet }
     val truth = (for {
       (a, ga) <- sets; (b, gb) <- sets if a < b
