@@ -2827,6 +2827,15 @@ object SparkEntry {
                     6) + 0.0 AS psi_term
        FROM j, nn"""
 
+  /** DuckDB mirror of [[graft.operators.TextAnalysis.qualityScore]].
+    * Zero-token convention: DuckDB's `string_split('')` yields `['']`
+    * (count 1) where the engine's `tokenCount` yields 0, so the
+    * mean-word-length band carries an explicit `trim(text) <> ''` guard —
+    * both engines agree a whitespace-only doc has 0 tokens (and so a 0
+    * band term) even if a future fixture regeneration plants one. The
+    * `FixtureContractSpec` canary pinning no-degenerate-docs stays as the
+    * second line of defense.
+    */
   private def qualityOverSql(table: String): String =
     s"""SELECT doc_id, ROUND(raw_quality, 6) + 0.0 AS quality FROM (
          SELECT doc_id,
@@ -2835,7 +2844,7 @@ object SparkEntry {
                        THEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
                             / length(text)
                        ELSE 0.0 END)
-         + 0.3 * (CASE WHEN length(text) > 0 AND
+         + 0.3 * (CASE WHEN length(text) > 0 AND trim(text) <> '' AND
                             CAST(length(text) AS DOUBLE) /
                             len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
                             BETWEEN 2.0 AND 12.0
@@ -3807,14 +3816,16 @@ object SparkEntry {
                        THEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
                             / length(text)
                        ELSE 0.0 END AS f_alpha,
+                  CASE WHEN trim(text) = '' THEN 0.0 ELSE
                   LEAST((CAST(length(text) AS DOUBLE) /
                          len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
-                        / 12.0, 1.0) AS f_mwl,
+                        / 12.0, 1.0) END AS f_mwl,
+                  CASE WHEN trim(text) = '' THEN 0.0 ELSE
                   CAST(len(list_filter(
                          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
                          t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
                        AS DOUBLE)
-                    / len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS f_stop
+                    / len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) END AS f_stop
            FROM documents),
          zt AS (
            SELECT doc_id,

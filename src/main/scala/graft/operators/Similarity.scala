@@ -711,7 +711,8 @@ object Similarity {
     * against the (k-row, driver-local) selected-ids frame — the pool
     * still never shuffles. The selected VECTORS still ride the scan as
     * literals, O(k·dim) per round — right for coreset-sized k (≲ a few
-    * thousand); past that, pre-cluster and sample per cluster instead of
+    * thousand), and enforced by the hard `maxK` bound below; past it,
+    * pre-cluster and sample per cluster instead of
     * raising k. Pools are bounded by construction (feed an ANN/cluster
     * pre-selection for corpus-scale inputs — k rounds over 100 TB would
     * be k full scans).
@@ -719,10 +720,25 @@ object Similarity {
     * holds fewer than k rows the walk stops there and returns one row
     * per pool vector. Output: (sel_rank 0..k−1, idCol, score — the
     * max-min dissimilarity at selection time, null for the seed).
+    *
+    * `maxK` is the HARD bound on the walk (default 2048): each round
+    * ships the selected vectors as O(k·dim) expression literals, so past
+    * coreset-scale k the per-round plan itself becomes the payload —
+    * thousands of cosine kernels per row, megabytes of literal floats
+    * re-shipped every round, k full pool scans. Rather than degrade
+    * silently, the walk refuses and the caller pre-clusters (IVF/k-means
+    * assignment, [[ivfTopK]] machinery) and FPS-samples per cluster —
+    * the composition every published corpus-scale coreset pipeline uses
+    * at that size anyway.
     */
   def farthestPointSample(pool: DataFrame, idCol: String, vecCol: String,
-      k: Int, antiJoinFrom: Int = 100): DataFrame = {
+      k: Int, antiJoinFrom: Int = 100, maxK: Int = 2048): DataFrame = {
     require(k >= 1, "need at least one selection")
+    require(k <= maxK,
+      s"farthestPointSample: k=$k exceeds maxK=$maxK — the per-round plan " +
+        "carries the selected vectors as O(k*dim) literals, so past " +
+        "coreset-scale k pre-cluster the pool and sample per cluster " +
+        "instead of raising k (raise maxK explicitly to override)")
     val spark = pool.sparkSession
     import spark.implicits._
     val seedRows = pool.orderBy(col(idCol)).limit(1)
@@ -733,19 +749,8 @@ object Similarity {
       (seedRow.getLong(0), seedRow.getSeq[Float](1).toArray, None))
     var exhausted = false
     while (selected.size < k && !exhausted) {
-      val minDis = leastTree(selected.map { case (_, v, _) =>
-        lit(1.0d) - cosine(col(vecCol), typedLit(v))
-      })
-      val rest =
-        if (selected.size < antiJoinFrom)
-          pool.filter(!col(idCol).isin(selected.map(_._1): _*))
-        else pool.join(broadcast(selected.map(_._1).toDF(idCol)),
-          Seq(idCol), "left_anti")
-      val chosen = rest
-        .select(max_by(
-          struct(col(idCol), col(vecCol)),
-          struct(minDis, -col(idCol))).as("__w"),
-          lit(1).as("__one"))
+      val chosen = fpsRound(pool, idCol, vecCol,
+        selected.map { case (i, v, _) => (i, v) }, antiJoinFrom)
         .head()
       if (chosen.isNullAt(0)) {
         // aggregate over an empty remainder: k exceeds the pool size —
@@ -776,6 +781,30 @@ object Similarity {
     selected.zipWithIndex.map { case ((id, _, sc), r) =>
       (r, id, sc)
     }.toDF("sel_rank", idCol, "score")
+  }
+
+  /** One FPS round's argmax frame over the remainder — the exact frame
+    * the walk executes, split out so the plan spec can pin the two
+    * postures (join-free `isin` filter below `antiJoinFrom`, broadcast
+    * left-anti at/above it) on production code.
+    */
+  private[graft] def fpsRound(pool: DataFrame, idCol: String,
+      vecCol: String, selected: Seq[(Long, Array[Float])],
+      antiJoinFrom: Int): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val minDis = leastTree(selected.map { case (_, v) =>
+      lit(1.0d) - cosine(col(vecCol), typedLit(v))
+    })
+    val rest =
+      if (selected.size < antiJoinFrom)
+        pool.filter(!col(idCol).isin(selected.map(_._1): _*))
+      else pool.join(broadcast(selected.map(_._1).toDF(idCol)),
+        Seq(idCol), "left_anti")
+    rest.select(max_by(
+      struct(col(idCol), col(vecCol)),
+      struct(minDis, -col(idCol))).as("__w"),
+      lit(1).as("__one"))
   }
 
   /** Balanced 32-ary `least` reduction: a plain `reduce(least(_, _))`

@@ -35,6 +35,54 @@ private[streaming] final case class LsmLayout(
 
 private[streaming] object LsmParquetState {
 
+  /** An in-JVM registry of state directories owned by LIVE streaming
+    * queries, so [[compact]] can refuse to run under an active stream
+    * instead of silently racing its swap against a micro-batch's
+    * reads/appends (the "call BETWEEN runs" contract, now enforced).
+    * Operators register their state dirs when `start` returns; the guard
+    * prunes entries whose query has since stopped. The registry is
+    * driver-JVM-local by design: every foreachBatch writer of these
+    * stores runs in the driver that started it, so the footgun this
+    * guards against — compacting a store THIS process is streaming
+    * into — is exactly the in-JVM case. A stream in a different driver
+    * is out of scope (same as Spark's own state-store locking) and
+    * stays covered by the documented between-runs contract.
+    */
+  private final case class Owner(label: String, isActive: () => Boolean)
+  private val owners =
+    new java.util.concurrent.ConcurrentHashMap[String, Owner]()
+
+  private def ownerKey(dir: String): String = dir.stripSuffix("/")
+
+  /** Record that `q` is streaming into `dir`; called by operator
+    * `start` methods. Latest registration wins (a restart re-registers).
+    */
+  def registerOwner(dir: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    owners.put(ownerKey(dir), Owner(s"streaming query ${q.id}", () => q.isActive))
+
+  /** Test seam / non-query owners: register by label + liveness thunk. */
+  private[streaming] def registerOwner(dir: String, label: String,
+      isActive: () => Boolean): Unit =
+    owners.put(ownerKey(dir), Owner(label, isActive))
+
+  /** Throw if a registered owner of `dir` is still active; prune the
+    * entry once its query has stopped. Cheap (one map probe + one
+    * `isActive` flag read), so every compaction path calls it.
+    */
+  def guardNotStreaming(dir: String, what: String = "compact"): Unit = {
+    val k = ownerKey(dir)
+    val o = owners.get(k)
+    if (o != null) {
+      if (o.isActive())
+        throw new IllegalStateException(
+          s"refusing to $what $dir: ${o.label} is active over this state " +
+            "directory — stop the stream first (compaction swaps the " +
+            "directory out from under live reads and appends)")
+      owners.remove(k, o)
+    }
+  }
+
   /** Crossover for the DEFAULT layout choice at seed time, in corpus
     * rows: below it the store seeds FLAT (the fully-supported legacy
     * posture), at or above it the partitioned base+tail layout. The
@@ -247,10 +295,13 @@ private[streaming] object LsmParquetState {
     * legacy FLAT directory (no `base` subdir) compacts to
     * `ceil(rows / rowsPerFile)` flat files instead.
     * Call BETWEEN runs — the swap is crash-safe but not atomic against
-    * a concurrent reader/writer.
+    * a concurrent reader/writer. Refuses (via [[guardNotStreaming]]) if
+    * a streaming query registered through an operator's `start` is still
+    * active over `dir`.
     */
   def compact(spark: SparkSession, dir: String, layout: LsmLayout,
       rowsPerFile: Long = 8L * 1024 * 1024): Unit = {
+    guardNotStreaming(dir)
     recover(spark, dir)
     val tmp = dir.stripSuffix("/") + ".compacting"
     if (hasBase(spark, dir))

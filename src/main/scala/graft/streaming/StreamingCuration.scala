@@ -126,7 +126,7 @@ object StreamingCuration {
       overlapN: Int = 5, overlapThreshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(!evalDocs.isStreaming, "the eval set must be a bounded batch frame")
-    source.writeStream
+    val q = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, evalDocs, idCol, textCol, langCol,
           fpDir, keptDir, lang, minQuality, maxDupBigramFrac, overlapN,
@@ -135,6 +135,9 @@ object StreamingCuration {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+    // fingerprint compaction refuses while this query is live
+    LsmParquetState.registerOwner(fpDir, q)
+    q
   }
 
   /** One micro-batch of the screen — the foreachBatch body, split out so

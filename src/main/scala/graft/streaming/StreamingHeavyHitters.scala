@@ -39,8 +39,8 @@ object StreamingHeavyHitters {
   def start(spark: SparkSession, source: DataFrame, textCol: String,
       countsDir: String, outDir: String, checkpointDir: String,
       k: Int = 20,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    source.writeStream
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val q = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         if (batchId == 0L) {
@@ -61,6 +61,10 @@ object StreamingHeavyHitters {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+    // counts compaction refuses while this query is live
+    LsmParquetState.registerOwner(countsDir, q)
+    q
+  }
 
   /** Fold all accumulated per-batch delta directories into one `batch=-1`
     * base directory (ids are non-negative, so the base never collides
@@ -70,6 +74,7 @@ object StreamingHeavyHitters {
     * its delta on top of the folded copy and double-counts it.
     */
   def compactState(spark: SparkSession, countsDir: String): Unit = {
+    LsmParquetState.guardNotStreaming(countsDir)
     recoverState(spark, countsDir)
     // fully distributed: fold to a sibling temp dir (never read and
     // overwrite the same path), then swap directories with renames —

@@ -243,7 +243,7 @@ object StreamingNearDup {
       bands: Int = 16, rowsPerBand: Int = 4, maxBucketSize: Int = 1000,
       trigger: Trigger = Trigger.AvailableNow(),
       restrictToTouched: Boolean = true): StreamingQuery = {
-    source.writeStream
+    val q = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, indexDir, docsDir,
           pairsDir, threshold, shingleK, bands, rowsPerBand, maxBucketSize,
@@ -252,6 +252,10 @@ object StreamingNearDup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+    // compaction of either state dir refuses while this query is live
+    LsmParquetState.registerOwner(indexDir, q)
+    LsmParquetState.registerOwner(docsDir, q)
+    q
   }
 
   /** One micro-batch of the screen — the foreachBatch body, split out so

@@ -123,7 +123,7 @@ object StreamingSemanticScreen {
       threshold: Double = 0.999, k: Int = 5, nprobe: Int = 4,
       rerank: Int = 32,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    source.writeStream
+    val q = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, vecCol, indexDir, vecsDir,
           pairsDir, threshold, k, nprobe, rerank)
@@ -131,6 +131,9 @@ object StreamingSemanticScreen {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+    // stored-vector compaction refuses while this query is live
+    LsmParquetState.registerOwner(vecsDir, q)
+    q
   }
 
   /** One micro-batch — split out so the replay spec can drive it with a

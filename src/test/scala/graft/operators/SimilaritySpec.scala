@@ -451,6 +451,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(err.getMessage.contains("empty pool"))
   }
 
+  test("farthestPointSample at k = 256: full walk matches brute force " +
+      "through both postures; plan is join-free below the anti-join " +
+      "cutover; maxK is a hard bound") {
+    // deterministic in-memory pool (280 x dim-8) — the walk runs 256
+    // driver-paced rounds, so keep each round a LocalRelation scan
+    val rnd = new scala.util.Random(42)
+    val data = (0L until 280L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq))
+    val pool = data.toDF("vec_id", "embedding")
+    val got = Similarity.farthestPointSample(pool, "vec_id", "embedding",
+        k = 256)
+      .select("sel_rank", "vec_id").as[(Int, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got.size === 256 && got.distinct.size === 256)
+    val vecs = data.map { case (i, v) => i -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var sel = Vector(0L)
+    while (sel.size < 256) {
+      val next = vecs.keys.filterNot(sel.contains).toSeq
+        .map(c => (sel.map(s => 1.0 - cos(vecs(c), vecs(s))).min, c))
+        .maxBy { case (sc, id) => (sc, -id) }._2
+      sel = sel :+ next
+    }
+    assert(got === sel, "greedy walks diverge at k=256")
+    // plan pins on the production round frame: below the cutover the
+    // remainder is an isin FILTER (no join anywhere in the plan); at the
+    // cutover it is a broadcast left-anti against the selected-ids frame
+    val few = data.take(3).map { case (i, v) =>
+      (i, v.map(_.toFloat).toArray)
+    }
+    val below = Similarity.fpsRound(pool, "vec_id", "embedding", few,
+      antiJoinFrom = 100).queryExecution.optimizedPlan.toString
+    assert(!below.contains("Join"),
+      s"sub-cutover FPS round must be join-free:\n$below")
+    val many = (0L until 120L).map(i => (i, vecs(i).map(_.toFloat)))
+    val above = Similarity.fpsRound(pool, "vec_id", "embedding", many,
+      antiJoinFrom = 100).queryExecution.optimizedPlan.toString
+    assert(above.contains("LeftAnti"),
+      s"past-cutover FPS round must anti-join:\n$above")
+    // the hard bound refuses instead of shipping megabytes of literals
+    val err = intercept[IllegalArgumentException] {
+      Similarity.farthestPointSample(pool, "vec_id", "embedding", k = 2049)
+    }
+    assert(err.getMessage.contains("exceeds maxK"))
+    // and is caller-raisable when they mean it
+    val ok = Similarity.farthestPointSample(pool, "vec_id", "embedding",
+      k = 2, maxK = 3000)
+    assert(ok.count() === 2L)
+  }
+
   test("robustScaleDims: median maps to 0, IQR to unit scale; constant dims to 0") {
     // dim 0: values 0..4 per row (median 2, IQR 2); dim 1: constant
     val df = (0 until 5).map(i => (i.toLong, Array(i.toFloat, 7f)))

@@ -1259,4 +1259,46 @@ class StreamingSpec extends SparkTestBase {
     assert(folded() == truth, "recovery clobbered live counts with stale .bak")
     assert(!fs.exists(path(s"$dir/counts.bak")))
   }
+
+  test("compaction refuses while a registered stream is active over the " +
+      "state dir, runs again once it stops, and prunes the registration") {
+    val dir = Files.createTempDirectory("graft_lsm_guard").toString
+    val layout = LsmLayout(Seq("__p"), Seq("__p"),
+      df => df.withColumn("__p",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash($"id"),
+          org.apache.spark.sql.functions.lit(4))))
+    LsmParquetState.seed(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$dir/state", layout)
+    // simulate a live owner through the same seam start() uses
+    var live = true
+    LsmParquetState.registerOwner(s"$dir/state", "test stream", () => live)
+    val ex = intercept[IllegalStateException] {
+      LsmParquetState.compact(spark, s"$dir/state", layout)
+    }
+    assert(ex.getMessage.contains("stop the stream"), ex.getMessage)
+    // state untouched by the refused compaction — no half-swap artifacts
+    assert(!new java.io.File(s"$dir/state.compacting").exists())
+    assert(!new java.io.File(s"$dir/state.bak").exists())
+    // the stream stops → compaction proceeds and prunes the registration,
+    // so a SECOND compaction needs no re-registration bookkeeping
+    live = false
+    LsmParquetState.compact(spark, s"$dir/state", layout)
+    LsmParquetState.compact(spark, s"$dir/state", layout)
+    val rows = LsmParquetState.snapshot(spark, s"$dir/state", layout)
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b")))
+    // the heavy-hitters compactor honors the same guard
+    Seq(("alpha", 3L)).toDF("token", "n")
+      .write.parquet(s"$dir/counts/batch=0")
+    var hhLive = true
+    LsmParquetState.registerOwner(s"$dir/counts", "hh stream", () => hhLive)
+    intercept[IllegalStateException] {
+      StreamingHeavyHitters.compactState(spark, s"$dir/counts")
+    }
+    hhLive = false
+    StreamingHeavyHitters.compactState(spark, s"$dir/counts")
+    assert(spark.read.parquet(s"$dir/counts/batch=*")
+      .as[(String, Long)].collect().toSet == Set(("alpha", 3L)))
+  }
 }
