@@ -517,6 +517,16 @@ object SparkEntry {
             .as("sum_qty"))
     }),
 
+    // edit-distance similarity self-join (Ed-Join): every customer-name
+    // pair within one edit — record linkage over noisy key fields. The
+    // oracle is the brute-force Levenshtein join; the engine must reach
+    // the same pair set through q-gram prefix filtering + the short-string
+    // length-band branch
+    "j11_fuzzy_join" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        "c_custkey", "c_name", maxDist = 1)),
+
     // pivot (conditional aggregation surface); absent combos coalesce to 0
     // so both engines agree on empty cells
     "g03_pivot" -> ((s, dir) => {
@@ -1285,6 +1295,30 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.7)
       Dedup.clusterAssignmentsIncremental(baseClusters,
         mangled.select("doc_id"), deltaPairs.select("idA", "idB"), "doc_id")
+    }),
+
+    // entity resolution end-to-end: fuzzy-match part names (Ed-Join d=1),
+    // transitively close the match graph, pick each entity's canonical
+    // row. Scale shape: the string graph is resolved over DISTINCT names
+    // (vocabulary-scale — |names| << |rows|), rows map back through the
+    // tiny name->cluster frame (AQE broadcasts it), reps via the bounded
+    // 1-heap argmax — the d06/c06 machinery composed with j11's matcher
+    "c14_entity_resolution" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      val names = parts.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      val pairs = graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        names.select(col("name_id"), col("p_name")), "name_id", "p_name",
+        maxDist = 1)
+      val clusters = Dedup.clusterAssignments(
+        pairs.select(col("id_a").as("idA"), col("id_b").as("idB")),
+        names.select(col("name_id")), "name_id")
+      val assigned = parts.join(names, "p_name").join(clusters, "name_id")
+        .select(col("p_partkey"), col("cluster_id"))
+      Dedup.clusterRepresentatives(assigned,
+        parts.select(col("p_partkey"), col("p_retailprice").as("score")),
+        "p_partkey", "cluster_id", "score")
     }),
 
     // quality-aware cluster survivor: d06's clusters, but the kept copy is
@@ -3133,6 +3167,15 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size <= 2
          GROUP BY p_brand""",
+    // brute-force Levenshtein join — fully independent of the engine's
+    // q-gram prefix filtering and short-string band, so a recall hole in
+    // either branch surfaces as missing rows
+    "j11_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+           AND levenshtein(a.c_name, b.c_name) <= 1""",
     "g03_pivot" ->
       """SELECT year(o_orderdate) AS y,
                 COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
@@ -4148,6 +4191,41 @@ object SparkEntry {
     "c13_incremental_clusters" ->
       s"""$dupClusterClosureSql
          SELECT doc_id, cluster_id FROM clusters""",
+    // entity resolution: brute-force fuzzy pairs over DISTINCT part
+    // names, recursive-CTE transitive closure (the d06 precedent), rows
+    // mapped back through the name ids, reps by (price DESC, id ASC)
+    "c14_entity_resolution" ->
+      """WITH RECURSIVE names AS (
+           SELECT p_name, MIN(p_partkey) AS name_id FROM part GROUP BY p_name),
+         pairs AS (
+           SELECT a.name_id AS ida, b.name_id AS idb
+           FROM names a JOIN names b ON a.name_id < b.name_id
+           WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+             AND levenshtein(a.p_name, b.p_name) <= 1),
+         edges AS (
+           SELECT ida AS u, idb AS v FROM pairs
+           UNION ALL
+           SELECT idb, ida FROM pairs),
+         reach(id, r) AS (
+           SELECT name_id, name_id FROM names
+           UNION
+           SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         clusters AS (
+           SELECT id AS name_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY id),
+         assigned AS (
+           SELECT c.cluster_id, p.p_partkey, p.p_retailprice
+           FROM part p JOIN names n ON p.p_name = n.p_name
+                       JOIN clusters c ON n.name_id = c.name_id),
+         ranked AS (
+           SELECT cluster_id, p_partkey, p_retailprice,
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY p_retailprice DESC, p_partkey ASC) AS rn,
+                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           FROM assigned)
+         SELECT cluster_id, cluster_size, p_partkey AS rep_p_partkey,
+                p_retailprice AS rep_score
+         FROM ranked WHERE rn = 1""",
     // cluster representatives: the d06 closure, then keep the HIGHEST-
     // quality member per cluster (ties -> smallest id), quality replayed
     // with the t02 formula over the same doubled corpus
