@@ -46,6 +46,27 @@ class FuzzyJoinSpec extends SparkTestBase {
       d1.contains((9L, 11L, 0)) && d1.contains((12L, 13L, 1)))
   }
 
+  test("deletionNeighborhoodSelfJoin equals the brute-force join (and the " +
+      "q-gram path) at d = 1 and d = 2; guard caps variant buckets; " +
+      "d outside 1..2 refuses") {
+    val df = names.toDF("id", "name")
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.deletionNeighborhoodSelfJoin(df, "id", "name", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === bruteForce(names, d), s"symdelete diverged at d=$d")
+    }
+    // identical-string hot bucket: capped -> observable zero, uncapped -> all
+    val hot = (1L to 20L).map((_, "aaaaaa")).toDF("id", "name")
+    assert(FuzzyJoin.deletionNeighborhoodSelfJoin(hot, "id", "name", 1,
+      maxBucketSize = 2).count() === 0L)
+    assert(FuzzyJoin.deletionNeighborhoodSelfJoin(hot, "id", "name", 1,
+      maxBucketSize = 0).count() === 190L)
+    val err = intercept[IllegalArgumentException] {
+      FuzzyJoin.deletionNeighborhoodSelfJoin(df, "id", "name", 3)
+    }
+    assert(err.getMessage.contains("1..2"))
+  }
+
   test("editDistanceJoin (two-table) equals brute force and only emits " +
       "cross-side pairs") {
     val left = names.take(8).toDF("lid", "lname")
@@ -78,11 +99,11 @@ class FuzzyJoinSpec extends SparkTestBase {
     // and the run is observable rather than quadratic
     val hot = (1L to 20L).map((_, "aaaaaa")).toDF("id", "name")
     val guarded = FuzzyJoin.editDistanceSelfJoin(hot, "id", "name",
-      maxDist = 1, maxGramGroup = 2)
+      maxDist = 1, maxBucketSize = 2)
     assert(guarded.count() === 0L)
     // disabled guard pairs them all: C(20,2) dist-0 pairs
     val free = FuzzyJoin.editDistanceSelfJoin(hot, "id", "name",
-      maxDist = 1, maxGramGroup = 0)
+      maxDist = 1, maxBucketSize = 0)
     assert(free.count() === 190L)
   }
 
