@@ -1519,6 +1519,14 @@ object SparkEntry {
         k = 5, nprobe = 4, rerank = 32))
     }),
 
+    // distributed Lloyd k-means: 3 full refinement rounds over the corpus
+    // (map-only assignment against centroid literals, DECIMAL-exact
+    // per-(cluster,dim) mean updates), final membership + squared-L2
+    // distance. The oracle replays every round's arithmetic verbatim
+    "s23_kmeans_refine" -> ((s, dir) =>
+      Similarity.kmeansRefine(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3)),
+
     "s03_cosine_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") % 50 === 0)
@@ -1696,6 +1704,12 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).as("pred_lang"))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
         .withColumn("hit", col("lang") === col("pred_lang"))),
+
+    // PMI collocation mining: corpus-count pointwise mutual information
+    // per adjacent bigram — vocabulary-bounded aggregates, full replay
+    "t32_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        minPairCount = 5)),
 
     // linear quality-classifier inference: literal-weight sigmoid scoring,
     // keep decided on the exact linear margin (no transcendental at the
@@ -2385,6 +2399,58 @@ object SparkEntry {
        |FROM r WHERE rank <= 50""".stripMargin
   }
 
+  /** s23 oracle: the distributed Lloyd refinement UNROLLED — each round
+    * is (a) assignment: per-dim squared differences rounded onto the 1e-9
+    * integer grid and summed as BIGINTs (order-independent, so the argmin
+    * compares exact values; ties to the lower cluster index), (b) update:
+    * the s07 DECIMAL-mean arithmetic per (cluster, dim), empty clusters
+    * keeping their previous centroid via the per-dim COALESCE. Init = the
+    * k smallest-id vectors.
+    */
+  private def s23OracleSql: String = {
+    val k = 8; val iters = 3; val dimP1 = 65
+    def assign(n: Int, cents: String): String =
+      s"""d$n AS (
+           SELECT v.vec_id, c.cl,
+                  SUM(CAST(ROUND(
+                    (v.e[CAST(t.i AS INT)] - c.ce[CAST(t.i AS INT)]) *
+                    (v.e[CAST(t.i AS INT)] - c.ce[CAST(t.i AS INT)]) * 1e9)
+                           AS BIGINT)) AS dist
+           FROM v CROSS JOIN $cents c CROSS JOIN range(1, $dimP1) t(i)
+           GROUP BY 1, 2),
+         a$n AS (
+           SELECT vec_id, cl, dist FROM d$n
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cl ASC) = 1)"""
+    def update(n: Int, prev: String): String =
+      s"""u$n AS (
+           SELECT a.cl, t.i,
+                  CAST(SUM(CAST(v.e[CAST(t.i AS INT)] AS DECIMAL(28,10)))
+                       AS DOUBLE) / COUNT(*) AS m
+           FROM a$n a JOIN v USING (vec_id) CROSS JOIN range(1, $dimP1) t(i)
+           GROUP BY 1, 2),
+         c$n AS (
+           SELECT p.cl,
+                  list(COALESCE(u.m, p.ce[CAST(t.i AS INT)]) ORDER BY t.i)
+                    AS ce
+           FROM $prev p CROSS JOIN range(1, $dimP1) t(i)
+           LEFT JOIN u$n u ON u.cl = p.cl AND u.i = t.i
+           GROUP BY 1)"""
+    val rounds = (1 to iters).map(n =>
+      assign(n, s"c${n - 1}") + ",\n" + update(n, s"c${n - 1}")).mkString(",\n")
+    s"""WITH v AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+                e AS ce
+         FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $k)),
+       $rounds,
+       ${assign(iters + 1, s"c$iters")}
+       SELECT vec_id, CAST(cl AS INT) AS cluster,
+              ROUND(CAST(dist AS DOUBLE) / 1e9, 6) + 0.0 AS dist
+       FROM a${iters + 1}"""
+  }
+
   /** s21 oracle: the greedy farthest-point walk UNROLLED — stage i joins
     * the pool against the union of stages 0..i−1, takes the per-candidate
     * MIN dissimilarity, and arg-maxes by (score, −id); double arithmetic
@@ -2935,6 +3001,35 @@ object SparkEntry {
                 d.lang = p.pred_lang AS hit
          FROM documents d JOIN pred p USING (doc_id)
          GROUP BY d.lang, p.pred_lang""",
+    // PMI from the same corpus counts, same multiplication order, ln at
+    // the end, rounded at emission
+    "t32_pmi_collocations" ->
+      """WITH toks AS (
+           SELECT list_filter(
+                    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                    t -> length(t) > 0) AS ts
+           FROM documents),
+         bg AS (
+           SELECT unnest(CASE WHEN len(ts) >= 2
+                         THEN list_transform(range(1, len(ts)),
+                                i -> [ts[CAST(i AS INT)], ts[CAST(i AS INT) + 1]])
+                         ELSE [] END) AS p
+           FROM toks),
+         pairall AS (
+           SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2),
+         unic AS (
+           SELECT w, COUNT(*) AS nw
+           FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+         tot AS (
+           SELECT (SELECT SUM(n_pair) FROM pairall) AS nb,
+                  (SELECT SUM(nw) FROM unic) AS nu)
+         SELECT p.w1, p.w2, p.n_pair,
+                ROUND(LN((CAST(p.n_pair AS DOUBLE) * t.nu * t.nu) /
+                         (CAST(t.nb AS DOUBLE) * a.nw * b.nw)), 6) + 0.0 AS pmi
+         FROM pairall p JOIN unic a ON p.w1 = a.w
+                        JOIN unic b ON p.w2 = b.w
+                        CROSS JOIN tot t
+         WHERE p.n_pair >= 5""",
     "t07_tfidf" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -4760,6 +4855,7 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS INT) AS rank,
                 CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 10""",
+    "s23_kmeans_refine" -> s23OracleSql,
     // quantized retrieval keeps the planted contract exactly (see the
     // query's power-of-two-scaling note)
     "s06_ann_quantized" ->

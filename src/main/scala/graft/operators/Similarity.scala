@@ -1106,6 +1106,72 @@ object Similarity {
           .cast(org.apache.spark.sql.types.DecimalType(28, 10))).cast("double") /
           count(lit(1))).as("centroid"))
 
+  /** DISTRIBUTED Lloyd k-means refinement (squared-L2) — the corpus-scale
+    * counterpart of the driver-side [[kmeans]] sample fit: every
+    * iteration is ONE map-only assignment pass against the centroid
+    * LITERALS plus ONE `(cluster, pos)` hash aggregate whose shuffle
+    * carries `k·dim` partial sums (map-side combined) — vectors never
+    * shuffle, and the model state collected per round is `k·dim` doubles
+    * (the IVF-centroid sanction). The exact shape MLlib's KMeans runs,
+    * re-expressed relationally so every arithmetic step replays outside
+    * the engine:
+    *   - init: the `k` smallest-id vectors (deterministic, no RNG);
+    *   - assignment: per-dim squared differences rounded onto a 1e-9
+    *     integer grid and summed as LONGS — integer addition is
+    *     order-independent, so the argmin compares EXACT values and
+    *     engines cannot disagree on membership (ties break to the lower
+    *     cluster index); the 1e-9 quantization is documented semantics,
+    *     far below any clustering-relevant distance scale;
+    *   - update: per-(cluster, pos) DECIMAL-routed mean, the
+    *     [[labelCentroids]] arithmetic verbatim; a cluster that loses all
+    *     members keeps its previous centroid.
+    * Output: one row per input vector under the FINAL centroids:
+    * `(idCol, cluster, dist)` — dist the squared-L2 to the winning
+    * centroid, rounded at emission.
+    */
+  def kmeansRefine(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0: k=$k $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def distTo(c: Array[Double]): Column =
+      aggregate(
+        zip_with(col(vecCol), typedLit(c),
+          (a, b) => {
+            val d = a.cast("double") - b
+            round(d * d * lit(1e9)).cast("long")
+          }),
+        lit(0L), (acc, x) => acc + x)
+    def assigned(cents: Seq[Array[Double]]): DataFrame =
+      df.select(col(idCol), col(vecCol),
+        array_min(array(cents.zipWithIndex.map { case (c, i) =>
+          struct(distTo(c).as("d"), lit(i).as("c"))
+        }: _*)).as("__w"))
+    var centroids: Seq[Array[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble)).toSeq
+    for (_ <- 0 until iters) {
+      val upd = assigned(centroids)
+        .select(col("__w.c").as("__c"),
+          posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy(col("__c"), col("__pos"))
+        .agg((sum(col("__v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10))).cast("double") /
+          count(lit(1))).as("__m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1)
+            .map(_._2)
+        }
+      centroids = centroids.zipWithIndex.map { case (prev, i) =>
+        upd.getOrElse(i, prev) // empty cluster keeps its previous centroid
+      }
+    }
+    assigned(centroids)
+      .select(col(idCol), col("__w.c").as("cluster"),
+        round(col("__w.d").cast("double") / lit(1e9), 6).as("dist"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * cluster the embedding space, compare vectors only WITHIN a cluster,

@@ -195,6 +195,51 @@ object TextAnalysis {
       .filter(col("pair_count") >= minCount)
   }
 
+  /** PMI collocation mining (Church & Hanks 1990, "Word Association
+    * Norms, Mutual Information, and Lexicography"; see PAPERS.md) — the
+    * classic corpus-linguistics signal for multiword expressions and the
+    * standard phrase detector of the word2vec era: for each adjacent
+    * token bigram, `pmi = ln( P(w1,w2) / (P(w1)·P(w2)) )` with
+    * probabilities from corpus counts (`P(w1,w2) = n_pair / N_bigrams`,
+    * `P(w) = n_w / N_tokens`). Positive PMI = the pair co-occurs more
+    * than its parts predict (a collocation); `minPairCount` drops the
+    * unstable rare tail, the standard practice.
+    *
+    * Scale shape: TWO vocabulary-bounded aggregates (bigram counts ≤
+    * vocab², unigram counts ≤ vocab, both map-side combined — documents
+    * never shuffle), two joins against the vocabulary-bounded count
+    * frames, and 1-row scalar attaches for the corpus totals. The double
+    * arithmetic is one fixed-shape expression both engines evaluate
+    * identically; rounded at emission.
+    *
+    * Output: one row per surviving bigram:
+    * `(w1, w2, n_pair, pmi)`.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minPairCount: Long = 5L): DataFrame = {
+    val toks = df
+      .select(filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
+    val bigrams = toks.filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1"), col("__b.w2"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__nw"))
+    val pairAll = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val totals = pairAll.agg(sum(col("n_pair")).as("__NB"))
+      .crossJoin(broadcast(uni.agg(sum(col("__nw")).as("__NU"))))
+    pairAll.filter(col("n_pair") >= minPairCount)
+      .join(uni.select(col("w").as("w1"), col("__nw").as("__n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("__nw").as("__n2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") * col("__NU") * col("__NU")) /
+            (col("__NB").cast("double") * col("__n1") * col("__n2"))), 6)
+          .as("pmi"))
+  }
+
   /** Corpus vocabulary statistics: token -> document frequency + total
     * occurrences. One explode + one aggregation keyed on the token.
     */

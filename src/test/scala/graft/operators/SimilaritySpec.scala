@@ -505,6 +505,55 @@ class SimilaritySpec extends SparkTestBase {
     assert(ok.count() === 2L)
   }
 
+  test("kmeansRefine: converges to the planted partition, matches a " +
+      "driver-side replay of the quantized arithmetic, and empty " +
+      "clusters keep their previous centroid") {
+    // three well-separated planted groups in 4-D
+    def jig(i: Long): Float = (i % 7).toFloat / 100f
+    val pts = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array(0f, 0f, 0f, 0f); base(c) = 10f
+      (i, base.zipWithIndex.map { case (v, d) => v + jig(i * 4 + d) }.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansRefine(df, "vec_id", "embedding", k = 3, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    // planted structure: ids 0,1,2 seed the three groups; every member of
+    // group g must land with its seed
+    assert((0L until 30L).forall(i => got(i) === got(i % 3)),
+      s"planted groups split: $got")
+    assert(got.values.toSet.size === 3)
+    // driver-side replay: same init, same 1e-9-grid distances, same
+    // decimal means — assignments must agree exactly
+    def decMean(vs: Seq[Double]): Double =
+      vs.map(v => BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vs.size
+    def qdist(v: Seq[Float], c: Seq[Double]): Long =
+      v.zip(c).map { case (a, b) =>
+        val d = a.toDouble - b; math.round(d * d * 1e9)
+      }.sum
+    var cents: Seq[Seq[Double]] =
+      pts.sortBy(_._1).take(3).map(_._2.map(_.toDouble))
+    def assignAll(): Map[Long, Int] = pts.map { case (i, v) =>
+      i -> cents.zipWithIndex.map { case (c, ci) => (qdist(v, c), ci) }.min._2
+    }.toMap
+    for (_ <- 0 until 3) {
+      val a = assignAll()
+      cents = cents.indices.map { ci =>
+        val members = pts.filter { case (i, _) => a(i) == ci }
+        if (members.isEmpty) cents(ci)
+        else (0 until 4).map(d => decMean(members.map(_._2(d).toDouble)))
+      }
+    }
+    assert(assignAll() === got, "engine diverged from the replay")
+    // degenerate pool: every vector identical -> all mass in cluster 0
+    // (tie to the lower index), empty clusters keep previous centroids
+    val flat = (0L until 9L).map((_, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val deg = Similarity.kmeansRefine(flat, "vec_id", "embedding", k = 3, iters = 2)
+      .select("vec_id", "cluster", "dist").as[(Long, Int, Double)].collect()
+    assert(deg.forall(r => r._2 === 0 && r._3 === 0.0), deg.mkString(","))
+  }
+
   test("robustScaleDims: median maps to 0, IQR to unit scale; constant dims to 0") {
     // dim 0: values 0..4 per row (median 2, IQR 2); dim 1: constant
     val df = (0 until 5).map(i => (i.toLong, Array(i.toFloat, 7f)))

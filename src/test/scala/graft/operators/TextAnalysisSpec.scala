@@ -701,4 +701,26 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(got(1L) > got(100L))
   }
+
+  test("pmiCollocations: a planted collocation scores above independent " +
+      "co-occurrence; counts are exact; rare tail pruned") {
+    // 'hong kong' always adjacent (collocation); 'the' pairs freely
+    val docs = ((1 to 10).map(i => (i.toLong, "hong kong is the place")) ++
+      (11 to 20).map(i => (i.toLong, "the cat saw the dog"))).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minPairCount = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // exact counts: 'hong kong' 10 times; 'the cat' 10; 'the place' 10
+    assert(got(("hong", "kong"))._1 === 10L)
+    // PMI replay: N_uni = 10*5 + 10*5 = 100, N_big = 10*4 + 10*4 = 80
+    // hong:10 kong:10 pair:10 -> ln(10*100*100 / (80*10*10))
+    val want = math.log(10.0 * 100 * 100 / (80.0 * 10 * 10))
+    assert(math.abs(got(("hong", "kong"))._2 -
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // 'hong kong' (always together) outranks 'the dog' (the is everywhere)
+    assert(got(("hong", "kong"))._2 > got(("the", "dog"))._2)
+    // a pair seen fewer than minPairCount times is pruned
+    val one = TextAnalysis.pmiCollocations(docs, "text", minPairCount = 11)
+    assert(one.count() === 0L)
+  }
 }
