@@ -738,6 +738,55 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))),
 
+    // ordered conversion funnel view -> click -> purchase: earliest
+    // completion chain per user (greedy is completeness-optimal: if any
+    // ordered triple exists the earliest-first walk finds one). Three
+    // skinny min-aggregates + two equi-joins on user — map-side combined,
+    // events never shuffle whole
+    "g06_funnel" -> ((s, dir) => {
+      // micros on both sides (the e04 precedent) — robust to either
+      // physical timestamp type of the fixture
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id", "t_view").agg(min(col("ts")).as("t_click"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(min(col("ts")).as("t_purchase"))
+      s1.join(s2.select("user_id", "t_click"), Seq("user_id"), "left")
+        .join(s3.select("user_id", "t_purchase"), Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
+    // signup-week cohort retention: users bucketed by their first signup
+    // week, counted once per (cohort, week offset) they were active in.
+    // Integer week indices (nanos div ns/week), two aggregates + one join
+    "g07_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("__ts0"))
+        .select(col("user_id"),
+          expr("__ts0 div 604800000000").as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (expr("ts div 604800000000") - col("cohort_week"))
+            .as("week_offset"))
+        .filter(col("week_offset") >= 0)
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // time-series resample + gap fill: per-user daily grid between first
     // and last activity, empty days zero-filled — the densify step before
     // windowed feature extraction. Integer day indices (ts div ns/day)
@@ -3538,6 +3587,40 @@ object SparkEntry {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // funnel: the same greedy min-chain, nanos replayed as micros*1000
+    // (both engines integer-exact)
+    "g06_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsn
+                     FROM events),
+         s1 AS (SELECT user_id, MIN(tsn) AS t_view FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, s1.t_view, MIN(e.tsn) AS t_click
+                FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.tsn > s1.t_view
+                GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, MIN(e.tsn) AS t_purchase
+                FROM ev e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.tsn > s2.t_click
+                GROUP BY 1)
+         SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+                CAST(1 + (CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END)
+                       + (CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                     AS INT) AS stage
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+    // cohort retention: integer week buckets of positive nanos — floor
+    // and truncating division agree
+    "g07_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsn
+                     FROM events),
+         cohort AS (SELECT user_id, MIN(tsn) // 604800000000 AS cohort_week
+                    FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         act AS (SELECT DISTINCT e.user_id, c.cohort_week,
+                        e.tsn // 604800000000 - c.cohort_week AS week_offset
+                 FROM ev e JOIN cohort c ON e.user_id = c.user_id
+                 WHERE e.tsn // 604800000000 - c.cohort_week >= 0)
+         SELECT cohort_week, week_offset, COUNT(*) AS n_users
+         FROM act GROUP BY 1, 2""",
     // resample: integer day buckets (floor division of positive nanos
     // matches Spark's div), per-user range() grid, zero-filled left join
     "e04_event_debounce" ->
