@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCuration, StreamingDrift, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget}
+import graft.streaming.{StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -916,6 +916,35 @@ object SparkEntry {
       }
       s.read.parquet(s"$tmp/pairs")
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // streaming incremental entity resolution: part rows arrive in two
+    // id-range batches (the monotone-ids contract); each batch fuzzy-
+    // matches its NEW names against the accumulated vocabulary (SymSpell)
+    // and folds the edges into the persisted cluster map with the c13
+    // contracted-graph machinery. Drained map == the batch ER closure
+    "e11_streaming_entity_resolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e11").toString
+      val parts = t(s, dir, "part").select("p_partkey", "p_name")
+      val mid = 1000L
+      parts.filter(col("p_partkey") < mid)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      parts.filter(col("p_partkey") >= mid)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("p_partkey BIGINT, p_name STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingEntityResolution.start(s, src, "p_partkey", "p_name",
+        s"$tmp/names", s"$tmp/map", s"$tmp/cp", maxDist = 1)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e11 stream did not drain in 300s")
+      }
+      parts
+        .join(StreamingEntityResolution.resolvedMap(s, s"$tmp/names",
+          s"$tmp/map").withColumnRenamed("name", "p_name"), "p_name")
+        .select(col("p_partkey"), col("cluster_id"))
     }),
 
     // per-user event-rate anomaly screen: hourly activity counts z-scored
@@ -2448,6 +2477,31 @@ object SparkEntry {
        |FROM r WHERE rank <= 50""".stripMargin
   }
 
+  /** Shared c14/e11 entity-resolution closure: brute-force Levenshtein
+    * pairs over DISTINCT part names (name_id = MIN partkey — the
+    * monotone-ids convention the streaming fold relies on), recursive-CTE
+    * transitive closure to `clusters(name_id, cluster_id)`.
+    */
+  private val erClosureSql =
+    """WITH RECURSIVE names AS (
+           SELECT p_name, MIN(p_partkey) AS name_id FROM part GROUP BY p_name),
+         pairs AS (
+           SELECT a.name_id AS ida, b.name_id AS idb
+           FROM names a JOIN names b ON a.name_id < b.name_id
+           WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+             AND levenshtein(a.p_name, b.p_name) <= 1),
+         edges AS (
+           SELECT ida AS u, idb AS v FROM pairs
+           UNION ALL
+           SELECT idb, ida FROM pairs),
+         reach(id, r) AS (
+           SELECT name_id, name_id FROM names
+           UNION
+           SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         clusters AS (
+           SELECT id AS name_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY id)"""
+
   /** s23 oracle: the distributed Lloyd refinement UNROLLED — each round
     * is (a) assignment: per-dim squared differences rounded onto the 1e-9
     * integer grid and summed as BIGINTs (order-independent, so the argmin
@@ -3666,6 +3720,13 @@ object SparkEntry {
     // e10: pairs = (stored-before, streamed) exact cosine >= 0.999,
     // replayed relationally batch by batch; the planted fixture (exact
     // vector copies, no borderline pairs) makes ANN recall structural
+    // the drained incremental map must equal the one-shot batch closure
+    // over everything streamed — same oracle family as c14, no reps
+    "e11_streaming_entity_resolution" ->
+      s"""$erClosureSql
+         SELECT p.p_partkey, c.cluster_id
+         FROM part p JOIN names n ON p.p_name = n.p_name
+                     JOIN clusters c ON n.name_id = c.name_id""",
     "e10_streaming_semantic_screen" ->
       """WITH corpus AS (
            SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 100),
@@ -4374,24 +4435,7 @@ object SparkEntry {
     // names, recursive-CTE transitive closure (the d06 precedent), rows
     // mapped back through the name ids, reps by (price DESC, id ASC)
     "c14_entity_resolution" ->
-      """WITH RECURSIVE names AS (
-           SELECT p_name, MIN(p_partkey) AS name_id FROM part GROUP BY p_name),
-         pairs AS (
-           SELECT a.name_id AS ida, b.name_id AS idb
-           FROM names a JOIN names b ON a.name_id < b.name_id
-           WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
-             AND levenshtein(a.p_name, b.p_name) <= 1),
-         edges AS (
-           SELECT ida AS u, idb AS v FROM pairs
-           UNION ALL
-           SELECT idb, ida FROM pairs),
-         reach(id, r) AS (
-           SELECT name_id, name_id FROM names
-           UNION
-           SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
-         clusters AS (
-           SELECT id AS name_id, CAST(MIN(r) AS BIGINT) AS cluster_id
-           FROM reach GROUP BY id),
+      s"""$erClosureSql,
          assigned AS (
            SELECT c.cluster_id, p.p_partkey, p.p_retailprice
            FROM part p JOIN names n ON p.p_name = n.p_name

@@ -170,6 +170,33 @@ object FuzzyJoin {
     verify(cands, base, base, maxDist)
   }
 
+  /** Two-table deletion-neighborhood join: all `(left, right)` pairs
+    * within `maxDist`, emitted as `(id_a = left id, id_b = right id,
+    * dist)`. Same contract and guard as
+    * [[deletionNeighborhoodSelfJoin]]; the asymmetric form is what
+    * incremental pipelines need (delta names vs the stored vocabulary).
+    */
+  def deletionNeighborhoodJoin(left: DataFrame, leftId: String,
+      leftStr: String, right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int, maxBucketSize: Int = 10000): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletion neighborhoods are practical for maxDist 1..2, got $maxDist" +
+        " — use editDistanceJoin (q-gram prefix filtering) for larger d")
+    val l = left.select(col(leftId).as("__id"), col(leftStr).as("__s"))
+    val r = right.select(col(rightId).as("__id"), col(rightStr).as("__s"))
+    // observe metric names must be query-unique, hence the per-side suffix
+    def vx(base: DataFrame, idAs: String, side: String): DataFrame =
+      Dedup.capBuckets(
+        base.select(col("__id").as(idAs),
+          explode(variantsOf(col("__s"), maxDist)).as("__v0"))
+          .select(col(idAs), xxhash64(col("__v0")).as("__v")),
+        Seq("__v"), maxBucketSize, s"symdel_skew_guard_$side")
+    val cands = vx(l, "id_a", "left").join(vx(r, "id_b", "right"), "__v")
+      .select("id_a", "id_b")
+      .distinct()
+    verify(cands, l, r, maxDist)
+  }
+
   /** The `<= d`-deletion neighborhood of `s` (s itself included),
     * distinct. All expression-level: one `transform` per deletion depth,
     * no UDF.

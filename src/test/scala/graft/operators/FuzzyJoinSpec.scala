@@ -67,6 +67,22 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(err.getMessage.contains("1..2"))
   }
 
+  test("deletionNeighborhoodJoin (two-table) equals brute force") {
+    val left = names.take(8).toDF("lid", "lname")
+    val right = names.drop(4).map { case (i, s) => (i + 100L, s) }
+      .toDF("rid", "rname")
+    val got = FuzzyJoin.deletionNeighborhoodJoin(left, "lid", "lname",
+        right, "rid", "rname", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (ia, sa) <- names.take(8)
+      (ib0, sb) <- names.drop(4)
+      ib = ib0 + 100L
+      if math.abs(sa.length - sb.length) <= 1 && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb))).toSet
+    assert(got === want)
+  }
+
   test("editDistanceJoin (two-table) equals brute force and only emits " +
       "cross-side pairs") {
     val left = names.take(8).toDF("lid", "lname")

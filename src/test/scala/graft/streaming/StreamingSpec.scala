@@ -1260,6 +1260,45 @@ class StreamingSpec extends SparkTestBase {
     assert(!fs.exists(path(s"$dir/counts.bak")))
   }
 
+  test("streaming entity resolution: cross-batch merges land on the batch " +
+      "closure, a replayed batch is a no-op, compaction keeps the latest " +
+      "snapshot") {
+    val dir = Files.createTempDirectory("graft_ser").toString
+    // batch 0: two separate proto-entities; batch 1: a bridge name within
+    // one edit of BOTH 'cold ring' and 'gold ring' -> merges the clusters
+    val b0 = Seq((1L, "cold ring"), (2L, "gold ring"), (3L, "hot gear"))
+      .toDF("id", "name")
+    val b1 = Seq((10L, "old ring"), (11L, "cold ring"), (12L, "hot bear"))
+      .toDF("id", "name")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingEntityResolution.processBatch(batch, id, "id", "name",
+        s"$dir/names", s"$dir/map", maxDist = 1)
+    run(b0, 0L)
+    run(b1, 1L)
+    def resolved() = StreamingEntityResolution
+      .resolvedMap(spark, s"$dir/names", s"$dir/map")
+      .select("name", "cluster_id").as[(String, Long)].collect().toMap
+    val truth = Map(
+      // 'old ring' (ed 1 to both) bridges cold+gold; min name_id = 1
+      "cold ring" -> 1L, "gold ring" -> 1L, "old ring" -> 1L,
+      // 'hot bear' joins 'hot gear' (ed 1); min id = 3
+      "hot gear" -> 3L, "hot bear" -> 3L)
+    assert(resolved() == truth, resolved())
+    // a crash-replay of batch 1 reads batch-0 state (its own snapshots are
+    // excluded) and overwrites its own partitions: state unchanged
+    run(b1, 1L)
+    assert(resolved() == truth, "replay drifted the resolved map")
+    // name ids are the stable first-seen minima
+    val names = StreamingEntityResolution
+      .resolvedMap(spark, s"$dir/names", s"$dir/map")
+      .select("name", "name_id").as[(String, Long)].collect().toMap
+    assert(names("cold ring") === 1L && names("old ring") === 10L)
+    // compaction drops the superseded batch-0 snapshots only
+    StreamingEntityResolution.compactState(spark, s"$dir/names", s"$dir/map")
+    assert(!new java.io.File(s"$dir/map/batch=0").exists())
+    assert(resolved() == truth, "compaction changed the resolved map")
+  }
+
   test("compaction refuses while a registered stream is active over the " +
       "state dir, runs again once it stops, and prunes the registration") {
     val dir = Files.createTempDirectory("graft_lsm_guard").toString
