@@ -681,4 +681,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in the resample:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
   }
+
+  test("g06 funnel is min-aggregates + equi-joins — no window, no sequence " +
+      "sort, no cartesian") {
+    val p = plan("g06_funnel")
+    assert(!p.contains("Window"), s"funnel ranks via a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in funnel:\n$p")
+    // partial+final min aggregation (map-side combine on the event scan)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("g07 cohort retention: no window, equi-join only") {
+    val p = plan("g07_cohort_retention")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan regressed:\n$p")
+  }
+
+  test("s23 k-means assignment pass is map-only over centroid literals — " +
+      "no join, no window; the update is one hash aggregate") {
+    // the final assignment frame IS the query result — its plan must be
+    // scan -> project (argmin over literals), nothing else
+    val p = plan("s23_kmeans_refine")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"),
+      s"k-means assignment shuffles or joins:\n$p")
+  }
+
+  test("t32 PMI: vocabulary joins only, the scalar totals attach as " +
+      "1-row broadcasts, no window") {
+    val p = plan("t32_pmi_collocations")
+    assert(!p.contains("Window"), s"PMI uses a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PMI:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar totals should broadcast:\n$p")
+  }
 }
