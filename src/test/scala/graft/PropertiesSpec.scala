@@ -481,4 +481,45 @@ class PropertiesSpec extends SparkTestBase {
       assert(frac > 0.3 && frac < 0.7, s"seed=$seed groups=$groups frac=$frac")
     }
   }
+
+  test("property: both fuzzy-join strategies equal brute force on random " +
+      "small-alphabet strings (collision-heavy: the hard regime)") {
+    // tiny alphabet + short strings maximizes near-miss pairs, sub-q
+    // strings, duplicates, and shared grams — the adversarial regime for
+    // both the positional-q-gram and the deletion-neighborhood path
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen: Gen[String] = for {
+      n <- Gen.choose(0, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val poolGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(2, 25)
+      ss <- Gen.listOfN(n, strGen)
+    } yield ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    forAllSeeded(poolGen, n = 8) { pool =>
+      val df = pool.toDF("id", "s")
+      for (d <- Seq(1, 2)) {
+        val want = (for {
+          (ia, sa) <- pool; (ib, sb) <- pool
+          if ia < ib && math.abs(sa.length - sb.length) <= d && lev(sa, sb) <= d
+        } yield (ia, ib, lev(sa, sb))).toSet
+        val qgram = graft.operators.FuzzyJoin
+          .editDistanceSelfJoin(df, "id", "s", maxDist = d)
+          .as[(Long, Long, Int)].collect().toSet
+        assert(qgram === want, s"q-gram path diverged at d=$d pool=$pool")
+        val symdel = graft.operators.FuzzyJoin
+          .deletionNeighborhoodSelfJoin(df, "id", "s", maxDist = d)
+          .as[(Long, Long, Int)].collect().toSet
+        assert(symdel === want, s"symdelete path diverged at d=$d pool=$pool")
+      }
+    }
+  }
 }
