@@ -766,6 +766,28 @@ object SparkEntry {
             when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
+    // per-user event-type transition matrix (first-order Markov counts +
+    // row-normalized probabilities) — the sequence-level corpus statistic
+    // behind session modeling. One lead window per user (the e04
+    // precedent: per-user sequences are the sanctioned window use), two
+    // type-bounded aggregates
+    "g08_event_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = tr.groupBy("from_type").agg(sum(col("n")).as("__tot"))
+      tr.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("__tot"), 6).as("p"))
+    }),
+
     // signup-week cohort retention: users bucketed by their first signup
     // week, counted once per (cohort, week offset) they were active in.
     // Integer week indices (nanos div ns/week), two aggregates + one join
@@ -1353,6 +1375,21 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text", threshold = 0.7)
       Dedup.clusterAssignments(pairs.select("idA", "idB"),
         all.select("doc_id"), "doc_id")
+    }),
+
+    // cluster-cohesion audit over the d06 graph: edge/triangle density
+    // per duplicate cluster — the chained-merge detector. Same pairs,
+    // same closure, one wedge join over skinny (long, long) edges
+    "d12_cluster_cohesion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val all = docs.unionByName(mangled)
+      val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text", threshold = 0.7)
+        .localCheckpoint(true)
+      val clusters = Dedup.clusterAssignments(pairs.select("idA", "idB"),
+        all.select("doc_id"), "doc_id")
+      Dedup.clusterCohesion(pairs, clusters, "doc_id")
     }),
 
     // incremental cluster maintenance: the d06 closure REBUILT without a
@@ -3662,6 +3699,23 @@ object SparkEntry {
                      AS INT) AS stage
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                  LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+    // transitions: same per-user lead ordering (micros, event_id
+    // tie-break), same normalization order
+    "g08_event_transitions" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsn
+                     FROM events),
+         tr0 AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY tsn, event_id) AS to_type
+           FROM ev),
+         tr AS (
+           SELECT from_type, to_type, COUNT(*) AS n FROM tr0
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, SUM(n) AS tt FROM tr GROUP BY 1)
+         SELECT tr.from_type, tr.to_type, tr.n,
+                ROUND(CAST(tr.n AS DOUBLE) / tot.tt, 6) + 0.0 AS p
+         FROM tr JOIN tot USING (from_type)""",
     // cohort retention: integer week buckets of positive nanos — floor
     // and truncating division agree
     "g07_cohort_retention" ->
@@ -4426,6 +4480,32 @@ object SparkEntry {
     "d06_dedup_clusters" ->
       s"""$dupClusterClosureSql
          SELECT doc_id, cluster_id FROM clusters""",
+    // cohesion audit: members/edges from the same closure; triangles via
+    // the sorted-edge wedge join (a<b<c is automatic — pairs carry
+    // idA < idB); density arithmetic mirrored term for term
+    "d12_cluster_cohesion" ->
+      s"""$dupClusterClosureSql,
+         e AS (
+           SELECT p.idA, p.idB, c.cluster_id
+           FROM pairs p JOIN clusters c ON p.idA = c.doc_id),
+         mem AS (SELECT cluster_id, COUNT(*) AS n_members
+                 FROM clusters GROUP BY 1),
+         ec AS (SELECT cluster_id, COUNT(*) AS n_edges FROM e GROUP BY 1),
+         tri AS (
+           SELECT c.cluster_id, COUNT(*) AS n_triangles
+           FROM pairs p1 JOIN pairs p2 ON p1.idB = p2.idA
+                         JOIN pairs p3 ON p3.idA = p1.idA AND p3.idB = p2.idB
+                         JOIN clusters c ON c.doc_id = p1.idA
+           GROUP BY 1)
+         SELECT m.cluster_id, m.n_members,
+                COALESCE(ec.n_edges, 0) AS n_edges,
+                COALESCE(tri.n_triangles, 0) AS n_triangles,
+                CASE WHEN m.n_members >= 2
+                     THEN ROUND(CAST(COALESCE(ec.n_edges, 0) AS DOUBLE) /
+                                (m.n_members * (m.n_members - 1) / 2), 6) + 0.0
+                     ELSE 0.0 END AS edge_density
+         FROM mem m LEFT JOIN ec USING (cluster_id)
+                    LEFT JOIN tri USING (cluster_id)""",
     // the incremental fold must land on the exact batch closure — same
     // oracle as d06 over the same doubled corpus
     "c13_incremental_clusters" ->

@@ -505,4 +505,24 @@ class DedupSpec extends SparkTestBase {
     } yield (a, b)).toSet
     assert(got === truth, s"prefix filtering diverged from brute force")
   }
+
+  test("clusterCohesion: a clique is dense with triangles, a chain is " +
+      "sparse with none, singletons are zeroed") {
+    // cluster A: 4-clique (ids 1-4); cluster B: 4-chain (ids 10-13);
+    // id 20: singleton
+    val clique = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val pairs = (clique ++ chain).toDF("idA", "idB")
+    val clusters = ((1L to 4L).map((_, 1L)) ++ (10L to 13L).map((_, 10L)) ++
+      Seq((20L, 20L))).toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterCohesion(pairs, clusters, "doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // clique: 6 edges over C(4,2)=6 -> density 1.0, C(4,3)=4 triangles
+    assert(got(1L) === ((4L, 6L, 4L, 1.0)))
+    // chain: 3 edges over 6 -> 0.5, no triangles
+    assert(got(10L) === ((4L, 3L, 0L, 0.5)))
+    // singleton: all zeros, no NaN from the 0/0 guard
+    assert(got(20L) === ((1L, 0L, 0L, 0.0)))
+  }
 }
