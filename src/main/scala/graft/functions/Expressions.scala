@@ -433,6 +433,8 @@ object GraftFunctions {
   def shingle_hashes(c: Column, k: Int, word: Boolean = false,
       distinct: Boolean = true): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))
+  def deletion_variant_hashes(c: Column, d: Int): Column =
+    Bridge.column(DeletionVariantHashes(Bridge.expression(c), d))
   def minhash_sig(c: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
@@ -501,6 +503,25 @@ case class ShingleHashes(child: Expression, k: Int, word: Boolean,
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** Distinct sorted content hashes of every ≤ d-code-point-deletion
+  * variant of a string (itself included) — the SymSpell blocking keys,
+  * assembled from positional polynomial prefix hashes in O(len·d) per
+  * row instead of materializing O(len^(d+1)) characters of variant
+  * strings (see [[HashKernels.deletionVariantHashes]]).
+  */
+case class DeletionVariantHashes(child: Expression, d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.deletionVariantHashes(v.asInstanceOf[UTF8String], d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.deletionVariantHashes($c, $d)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DeletionVariantHashes = copy(child = newChild)
+  override def prettyName: String = "deletion_variant_hashes"
 }
 
 /** MinHash signature (numHashes mins of seeded avalanche hashes) of an

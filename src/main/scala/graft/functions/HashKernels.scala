@@ -22,6 +22,76 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object HashKernels {
 
+  /** Content hashes of every string obtainable from `s` by deleting at
+    * most `d` CODE POINTS (`s` itself included), distinct-sorted —
+    * WITHOUT materializing any variant string. The SymSpell blocking
+    * step ([[graft.operators.FuzzyJoin]]) needs only that equal variant
+    * strings hash equally, so each variant's hash is assembled from
+    * precomputed positional polynomial prefix hashes in O(1):
+    *
+    *   pre(i) = H(s[0,i)) under H(t) = Σ tⱼ·B^(len−1−j) (wrapping);
+    *   segment [a,b) hash = pre(b) − pre(a)·B^(b−a);
+    *   delete i       →  pre(i)·B^(n−1−i) + seg(i+1, n)
+    *   delete i<j     → (pre(i)·B^(j−i−1) + seg(i+1, j))·B^(n−1−j)
+    *                     + seg(j+1, n)
+    *
+    * Total O(n·d) work per row instead of the O(n^(d+1)) characters the
+    * string-materializing formulation copies and re-hashes — at d=2 on a
+    * 50-char key that is ~60 KB of string traffic per row collapsed to
+    * ~1.3k multiply-adds. Each raw polynomial value is finalized with a
+    * length-salted fmix64 so near-identical variants spread across join
+    * buckets. Hash equality is content-only (equal variants always
+    * collide, the recall direction); a cross-content collision can only
+    * ADD a candidate, which the exact Levenshtein verify removes.
+    * Code-point deletions match Spark's code-point `levenshtein`/
+    * `substr` semantics on supplementary characters.
+    */
+  def deletionVariantHashes(s: UTF8String, d: Int): ArrayData = {
+    val str = s.toString
+    val cp = str.codePoints().toArray
+    val n = cp.length
+    val B = 0x100000001B3L
+    val pow = new Array[Long](n + 1)
+    val pre = new Array[Long](n + 1)
+    pow(0) = 1L
+    var i = 0
+    while (i < n) {
+      pow(i + 1) = pow(i) * B
+      pre(i + 1) = pre(i) * B + cp(i).toLong
+      i += 1
+    }
+    def seg(a: Int, b: Int): Long = pre(b) - pre(a) * pow(b - a)
+    def fin(h: Long, len: Int): Long =
+      Mix64.mix(h ^ (len.toLong * 0x9E3779B97F4A7C15L))
+    val count = 1 + (if (d >= 1) n else 0) +
+      (if (d >= 2) n * (n - 1) / 2 else 0)
+    val out = new Array[Long](count)
+    out(0) = fin(pre(n), n)
+    var k = 1
+    if (d >= 1) {
+      i = 0
+      while (i < n) {
+        out(k) = fin(pre(i) * pow(n - 1 - i) + seg(i + 1, n), n - 1)
+        k += 1
+        i += 1
+      }
+    }
+    if (d >= 2) {
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          out(k) = fin((pre(i) * pow(j - i - 1) + seg(i + 1, j)) *
+            pow(n - 1 - j) + seg(j + 1, n), n - 2)
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(distinctSorted(out))
+  }
+
   /** Base-31 polynomial hash of chars [from, to) finalized with fmix64. */
   private def windowHash(s: String, from: Int, to: Int): Long = {
     var h = 0L

@@ -146,10 +146,13 @@ object FuzzyJoin {
     * thousands of rows, but a full-string variant pins every OTHER
     * character, so a bucket holds only strings genuinely one edit apart
     * modulo the deleted position — measured 36× fewer candidates on the
-    * customer-name fixture. Variants travel as 8-byte `xxhash64` keys,
-    * never strings; a hash collision can only add a false CANDIDATE
-    * (removed by the verify), never lose a pair. Buckets carry the
-    * standard observed cap (`symdel_skew_guard`).
+    * customer-name fixture. Variants travel as 8-byte content hashes
+    * emitted DIRECTLY by the
+    * [[graft.functions.HashKernels.deletionVariantHashes]] codegen
+    * kernel — O(len·d) positional-polynomial combines per row, no
+    * variant string ever materializes; a hash collision can only add a
+    * false CANDIDATE (removed by the verify), never lose a pair. Buckets
+    * carry the standard observed cap (`symdel_skew_guard`).
     */
   def deletionNeighborhoodSelfJoin(df: DataFrame, idCol: String,
       strCol: String, maxDist: Int, maxBucketSize: Int = 10000): DataFrame = {
@@ -159,8 +162,8 @@ object FuzzyJoin {
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
     val vx = Dedup.capBuckets(
       base.select(col("__id"),
-        explode(variantsOf(col("__s"), maxDist)).as("__v0"))
-        .select(col("__id"), xxhash64(col("__v0")).as("__v")),
+        explode(graft.functions.GraftFunctions.deletion_variant_hashes(
+          col("__s"), maxDist)).as("__v")),
       Seq("__v"), maxBucketSize, "symdel_skew_guard")
     val cands = vx.select(col("__v"), col("__id").as("id_a"))
       .join(vx.select(col("__v"), col("__id").as("id_b")), "__v")
@@ -188,8 +191,8 @@ object FuzzyJoin {
     def vx(base: DataFrame, idAs: String, side: String): DataFrame =
       Dedup.capBuckets(
         base.select(col("__id").as(idAs),
-          explode(variantsOf(col("__s"), maxDist)).as("__v0"))
-          .select(col(idAs), xxhash64(col("__v0")).as("__v")),
+          explode(graft.functions.GraftFunctions.deletion_variant_hashes(
+            col("__s"), maxDist)).as("__v")),
         Seq("__v"), maxBucketSize, s"symdel_skew_guard_$side")
     val cands = vx(l, "id_a", "left").join(vx(r, "id_b", "right"), "__v")
       .select("id_a", "id_b")
@@ -198,10 +201,12 @@ object FuzzyJoin {
   }
 
   /** The `<= d`-deletion neighborhood of `s` (s itself included),
-    * distinct. All expression-level: one `transform` per deletion depth,
-    * no UDF.
+    * distinct, as STRINGS. Superseded on the hot path by the
+    * [[graft.functions.HashKernels.deletionVariantHashes]] kernel (which
+    * never materializes these); retained as the spec's independent
+    * cross-check of the kernel's variant enumeration.
     */
-  private def variantsOf(s: Column, d: Int): Column = {
+  private[graft] def variantsOf(s: Column, d: Int): Column = {
     def dels(v: Column): Column =
       when(length(v) >= 1,
         transform(sequence(lit(1), length(v)),

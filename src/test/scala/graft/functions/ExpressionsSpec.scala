@@ -134,4 +134,49 @@ class ExpressionsSpec extends SparkTestBase {
       assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"group estimate $est")
     }
   }
+
+  test("deletion_variant_hashes: the O(len*d) assembled hashes equal the " +
+      "hashes of the actually-deleted strings, for d = 0, 1, 2") {
+    // self-consistency closes the loop without a second hash function:
+    // kernel(s, d) must equal { kernel(v, 0).head : v in variants(s, d) } —
+    // the d=0 case hashes the whole (variant) string directly, so every
+    // assembled prefix/suffix combine is checked against a direct hash
+    // of the same content
+    def direct(v: String): Long =
+      graft.functions.HashKernels.deletionVariantHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v), 0)
+        .toLongArray()(0)
+    def kernel(s: String, d: Int): Set[Long] =
+      graft.functions.HashKernels.deletionVariantHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), d)
+        .toLongArray().toSet
+    def variants(s: String, d: Int): Set[String] = {
+      // CODE-POINT deletions, matching the kernel's (and Spark
+      // levenshtein's) unit — a UTF-16 substring deletion would cut
+      // surrogate pairs in half
+      def del1(v: String): Set[String] = {
+        val cps = v.codePoints().toArray
+        cps.indices.map { i =>
+          val kept = cps.take(i) ++ cps.drop(i + 1)
+          new String(kept, 0, kept.length)
+        }.toSet
+      }
+      val one = del1(s)
+      d match {
+        case 0 => Set(s)
+        case 1 => Set(s) ++ one
+        case 2 => Set(s) ++ one ++ one.flatMap(del1)
+      }
+    }
+    for (s <- Seq("", "a", "ab", "abc", "abcdef", "aabbaa",
+        "Customer#000000042", "😀x😀"); // 😀x😀
+        d <- Seq(0, 1, 2)) {
+      val want = variants(s, d).map(direct)
+      assert(kernel(s, d) === want, s"diverged on '$s' d=$d")
+    }
+    // non-BMP sanity: 😀x😀 is THREE code points, so its d=1 neighborhood
+    // is {itself, x😀, 😀😀, 😀x} — four distinct hashes, not the seven a
+    // UTF-16-unit deletion would produce
+    assert(kernel("😀x😀", 1).size === 4)
+  }
 }
