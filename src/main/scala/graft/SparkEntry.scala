@@ -1377,6 +1377,12 @@ object SparkEntry {
         all.select("doc_id"), "doc_id")
     }),
 
+    // cross-source duplication matrix: exact word-5-gram Jaccard per
+    // source pair — the which-feed-mirrors-which governance report
+    "d13_source_overlap" -> ((s, dir) =>
+      graft.operators.CorpusStats.sourceOverlap(
+        t(s, dir, "documents"), "source", "text")),
+
     // cluster-cohesion audit over the d06 graph: edge/triangle density
     // per duplicate cluster — the chained-merge detector. Same pairs,
     // same closure, one wedge join over skinny (long, long) edges
@@ -4480,6 +4486,32 @@ object SparkEntry {
     "d06_dedup_clusters" ->
       s"""$dupClusterClosureSql
          SELECT doc_id, cluster_id FROM clusters""",
+    // source overlap: the d11 word-gram CTE grouped by source — hash
+    // values never compared, only equality structure (the d06 precedent)
+    "d13_source_overlap" ->
+      """WITH norm AS (
+           SELECT source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+           FROM documents),
+         tok AS (SELECT source, n, string_split(n, ' ') AS w FROM norm),
+         grams AS (
+           SELECT source,
+                  CASE WHEN len(w) < 5
+                       THEN (CASE WHEN length(n) = 0 THEN [] ELSE [n] END)
+                       ELSE list_transform(range(1, len(w) - 3),
+                              i -> list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4],
+                                                  'string_agg', ' ')) END AS g
+           FROM tok),
+         gr AS (SELECT DISTINCT source, unnest(g) AS gm FROM grams),
+         sz AS (SELECT source, COUNT(*) AS n FROM gr GROUP BY 1),
+         ix AS (
+           SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+           FROM gr a JOIN gr b ON a.gm = b.gm AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT ix.source_a, ix.source_b, ix.i AS n_shared,
+                ROUND(CAST(ix.i AS DOUBLE) / (x.n + y.n - ix.i), 6) + 0.0
+                  AS jaccard
+         FROM ix JOIN sz x ON ix.source_a = x.source
+                 JOIN sz y ON ix.source_b = y.source""",
     // cohesion audit: members/edges from the same closure; triangles via
     // the sorted-edge wedge join (a<b<c is automatic — pairs carry
     // idA < idB); density arithmetic mirrored term for term

@@ -185,4 +185,44 @@ object CorpusStats {
     assignments.withColumn("split",
       when(u < lit(cut), lit("train")).otherwise(lit("val")))
   }
+
+  /** Cross-source duplication matrix — the corpus-governance report that
+    * answers "which crawls/feeds are templated copies of each other":
+    * per source pair, the EXACT Jaccard of the sources' distinct word
+    * `shingleK`-gram sets (only intersecting pairs are emitted —
+    * disjoint sources carry no signal and would quadratic-pad the
+    * output). High overlap between two "independent" feeds means one is
+    * a mirror and its weight should collapse before training.
+    *
+    * Plan shape: one kernel shingling pass → distinct `(source, gram)`
+    * (rows bounded by Σ per-source distinct grams) → a gram self-join
+    * whose per-gram bucket is bounded by the SOURCE COUNT (a gram can
+    * appear once per source after the distinct) → one pair aggregate.
+    * For catalogs with thousands of sources, pre-restrict to candidate
+    * pairs or use the [[TextAnalysis.kmvSetOps]] sketch estimator — this
+    * operator is the exact auditor for the shortlist.
+    *
+    * Output: (source_a, source_b, n_shared, jaccard), source_a <
+    * source_b.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+      shingleK: Int = 5): DataFrame = {
+    val grams = df.select(col(groupCol),
+        explode(graft.functions.GraftFunctions.shingle_hashes(
+          Dedup.normalized(col(textCol)), shingleK, word = true)).as("__g"))
+      .distinct()
+    val sizes = grams.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val inter = grams.select(col(groupCol).as("source_a"), col("__g"))
+      .join(grams.select(col(groupCol).as("source_b"), col("__g")), "__g")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col(groupCol).as("source_a"),
+        col("__n").as("__na")), "source_a")
+      .join(sizes.select(col(groupCol).as("source_b"),
+        col("__n").as("__nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+  }
 }

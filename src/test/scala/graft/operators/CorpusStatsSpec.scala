@@ -94,4 +94,26 @@ class CorpusStatsSpec extends SparkTestBase {
       .select("id", "grp", "split").as[(Long, Long, String)].collect()
     assert(got.sortBy(_._1).toSeq != reseeded.sortBy(_._1).toSeq)
   }
+
+  test("sourceOverlap: a mirrored source scores jaccard 1.0 with its " +
+      "original, disjoint sources are not emitted") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      ("mirror1", base), ("mirror2", base),
+      ("partial", "alpha beta gamma delta epsilon different tail words here now"),
+      ("disjoint", "one two three four five six seven eight nine ten"))
+      .toDF("source", "text")
+    val got = CorpusStats.sourceOverlap(docs, "source", "text")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // identical docs: full gram sets shared
+    assert(got(("mirror1", "mirror2"))._2 === 1.0)
+    // partial shares exactly the 5-grams inside 'alpha..epsilon': one
+    // 5-gram window fits -> 1 shared of (6 + 6 - 1) = 11
+    assert(got(("mirror1", "partial")) ===
+      ((1L, BigDecimal(1.0 / 11).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // the disjoint source intersects nobody -> absent, not zero-padded
+    assert(!got.keys.exists(k => k._1 == "disjoint" || k._2 == "disjoint"))
+  }
 }
