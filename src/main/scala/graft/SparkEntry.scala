@@ -1648,6 +1648,13 @@ object SparkEntry {
       Similarity.kmeansRefine(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8, iters = 3)),
 
+    // JL sign random projection 64 -> 16: data-independent shrink, one
+    // map-only pass, fmix64-derived plan-time sign matrix, 1e-9-grid
+    // integer accumulation (order-proof); full mix64 + sum replay oracle
+    "s25_random_projection" -> ((s, dir) =>
+      Similarity.signRandomProjection(t(s, dir, "embeddings"),
+        "vec_id", "embedding", outDim = 16)),
+
     "s03_cosine_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") % 50 === 0)
@@ -2595,6 +2602,38 @@ object SparkEntry {
        SELECT vec_id, CAST(cl AS INT) AS cluster,
               ROUND(CAST(dist AS DOUBLE) / 1e9, 6) + 0.0 AS dist
        FROM a${iters + 1}"""
+  }
+
+  /** s25 oracle: the sign matrix replayed through the DuckHash fmix64
+    * chain (bit 0 of mix64(k·64 + j), seed 0), terms rounded onto the
+    * 1e-9 integer grid exactly as the engine does, BIGINT sums (order
+    * free), the same `/1e9 · 1/√16` emission arithmetic.
+    */
+  private def s25OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    s"""WITH km AS (
+       |  SELECT CAST(t1.k AS INT) AS k, CAST(t2.j AS INT) AS j,
+       |         CAST(t1.k * 64 + t2.j AS HUGEINT) AS h
+       |  FROM range(0, 16) t1(k) CROSS JOIN range(0, 64) t2(j)),
+       |m1 AS (SELECT k, j, ${xorShift33("h")} AS h FROM km),
+       |m2 AS (SELECT k, j, ${mulMod("h", C1)} AS h FROM m1),
+       |m3 AS (SELECT k, j, ${xorShift33("h")} AS h FROM m2),
+       |m4 AS (SELECT k, j, ${mulMod("h", C2)} AS h FROM m3),
+       |sg AS (SELECT k, j,
+       |              CASE WHEN (${toI(xorShift33("h"))} & 1) = 0
+       |                   THEN 1.0 ELSE -1.0 END AS s
+       |       FROM m4),
+       |terms AS (
+       |  SELECT e.vec_id, sg.k,
+       |         CAST(ROUND(CAST(e.embedding[sg.j + 1] AS DOUBLE) * sg.s * 1e9)
+       |              AS BIGINT) AS t
+       |  FROM embeddings e CROSS JOIN sg)
+       |SELECT vec_id, k,
+       |       ROUND(CAST(SUM(t) AS DOUBLE) / 1e9 * ${1.0 / 4.0}, 6) + 0.0
+       |         AS proj
+       |FROM terms GROUP BY 1, 2""".stripMargin
   }
 
   /** s21 oracle: the greedy farthest-point walk UNROLLED — stage i joins
@@ -5095,6 +5134,7 @@ object SparkEntry {
                 CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 10""",
     "s23_kmeans_refine" -> s23OracleSql,
+    "s25_random_projection" -> s25OracleSql,
     // quantized retrieval keeps the planted contract exactly (see the
     // query's power-of-two-scaling note)
     "s06_ann_quantized" ->

@@ -1172,6 +1172,46 @@ object Similarity {
         round(col("__w.d").cast("double") / lit(1e9), 6).as("dist"))
   }
 
+  /** Johnson–Lindenstrauss SIGN random projection (Achlioptas 2003,
+    * "Database-friendly random projections"; see PAPERS.md):
+    * `y_k = (1/√outDim) · Σⱼ sⱼₖ·vⱼ` with `s ∈ {±1}` — the cheap,
+    * data-independent dimension reduction that preserves pairwise
+    * distances within (1±ε) and needs no training pass (the contrast to
+    * [[topPrincipalComponent]]: no moment shuffle, no model fit — right
+    * for a first-pass shrink before ANN indexing).
+    *
+    * Scale shape: the sign matrix is `outDim·dim` ±1s derived from
+    * fmix64 of `(seed ^ (k·dim + j))` — RNG-free plan-time literals
+    * (KBs), so the whole operator is ONE map-only pass: no shuffle, no
+    * join, nothing collected but the input dim probe. Per-component sums
+    * accumulate on the 1e-9 integer grid (the s23 convention): term
+    * rounding makes the fold order-independent, so both engines agree
+    * bit-for-bit and the oracle can replay the mix64 sign derivation in
+    * HUGEINT SQL.
+    *
+    * Output: one row per (vector, output dim): (idCol, k, proj).
+    */
+  def signRandomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 0L): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1: $outDim")
+    val inDim = df.select(size(col(vecCol))).head().getInt(0)
+    val invScale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { k =>
+      val signs = Array.tabulate(inDim) { j =>
+        if ((graft.functions.Mix64.mix(seed ^ (k.toLong * inDim + j)) & 1L) == 0L)
+          1.0 else -1.0
+      }
+      aggregate(
+        zip_with(col(vecCol), typedLit(signs),
+          (a, b) => round(a.cast("double") * b * lit(1e9)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    }
+    df.select(col(idCol), posexplode(array(comps: _*)).as(Seq("k", "__s")))
+      .select(col(idCol), col("k"),
+        round(col("__s").cast("double") / lit(1e9) * lit(invScale), 6)
+          .as("proj"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * cluster the embedding space, compare vectors only WITHIN a cluster,

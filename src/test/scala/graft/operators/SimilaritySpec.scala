@@ -554,6 +554,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(deg.forall(r => r._2 === 0 && r._3 === 0.0), deg.mkString(","))
   }
 
+  test("signRandomProjection: deterministic, seed-sensitive, and " +
+      "distance-preserving in the JL sense on the fixture") {
+    val emb = corpus.limit(60)
+    val p1 = Similarity.signRandomProjection(emb, "vec_id", "embedding", 16)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val p2 = Similarity.signRandomProjection(emb, "vec_id", "embedding", 16)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(p1.toSeq == p2.toSeq, "projection not deterministic")
+    val p3 = Similarity.signRandomProjection(emb, "vec_id", "embedding", 16,
+        seed = 7L)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(p1.toSeq != p3.toSeq, "seed has no effect")
+    // JL property: projected pairwise distances concentrate around the
+    // originals — mean ratio near 1, no catastrophic collapse
+    val orig = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val proj = p1.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.sortBy(_._2).map(_._3)
+    }
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids.indices; jj <- (i + 1) until ids.size
+      a = ids(i); b = ids(jj)
+      od = d2(orig(a).map(_.toDouble), orig(b).map(_.toDouble))
+      if od > 1e-9
+    } yield d2(proj(a), proj(b)) / od
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distance ratio off: $mean")
+    assert(ratios.count(r => r > 0.2 && r < 5.0).toDouble / ratios.size > 0.95,
+      "too many pairs badly distorted")
+  }
+
   test("robustScaleDims: median maps to 0, IQR to unit scale; constant dims to 0") {
     // dim 0: values 0..4 per row (median 2, IQR 2); dim 1: constant
     val df = (0 until 5).map(i => (i.toLong, Array(i.toFloat, 7f)))
