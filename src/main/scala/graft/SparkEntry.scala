@@ -1648,6 +1648,15 @@ object SparkEntry {
       Similarity.kmeansRefine(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8, iters = 3)),
 
+    // k-means++ seeding as a deterministic D2-weighted exponential race
+    // (t28's uniform, s23's integer-grid distances) — replayable center
+    // selection for kmeansRefine; pool < 100 keeps the unrolled oracle
+    // bounded (the s21 convention)
+    "s24_kmeanspp_seed" -> ((s, dir) =>
+      Similarity.kmeansPlusPlusSeed(
+        t(s, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", k = 6)),
+
     // JL sign random projection 64 -> 16: data-independent shrink, one
     // map-only pass, fmix64-derived plan-time sign matrix, 1e-9-grid
     // integer accumulation (order-proof); full mix64 + sum replay oracle
@@ -2602,6 +2611,67 @@ object SparkEntry {
        SELECT vec_id, CAST(cl AS INT) AS cluster,
               ROUND(CAST(dist AS DOUBLE) / 1e9, 6) + 0.0 AS dist
        FROM a${iters + 1}"""
+  }
+
+  /** s24 oracle: the k-means++ race UNROLLED — per-id uniforms from the
+    * t28 mix64 replay (seed 9), per-stage quantized min-d² on the s23
+    * 1e-9 BIGINT grid against the union of prior stages, winner by
+    * `(round(ln(u)/w, 9) DESC, id ASC)` among w > 0 rows.
+    */
+  private def s24OracleSql: String = {
+    import DuckHash._
+    val k = 6
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    val dq = "SUM(CAST(ROUND((pe - se) * (pe - se) * 1e9) AS BIGINT))"
+    val stages = (1 until k).map { i =>
+      val priorSel = (0 until i).map(j => s"SELECT vec_id, emb FROM s$j")
+        .mkString(" UNION ALL ")
+      val priorIds = (0 until i).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""d$i AS (
+         |  SELECT p.vec_id, s.vec_id AS sid, $dq AS dl
+         |  FROM (SELECT p0.vec_id, u.u,
+         |               unnest(p0.emb) AS pe,
+         |               generate_subscripts(p0.emb, 1) AS ix
+         |        FROM pool p0 JOIN uni u USING (vec_id)
+         |        WHERE p0.vec_id NOT IN ($priorIds)) p
+         |  JOIN (SELECT vec_id, unnest(emb) AS se,
+         |               generate_subscripts(emb, 1) AS ix
+         |        FROM ($priorSel)) s USING (ix)
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT vec_id, MIN(dl) AS dl FROM d$i GROUP BY 1),
+         |k$i AS (SELECT c.vec_id,
+         |               ROUND(ln(u.u) / (CAST(c.dl AS DOUBLE) / 1e9), 9) + 0.0
+         |                 AS key
+         |        FROM c$i c JOIN uni u USING (vec_id) WHERE c.dl > 0),
+         |s$i AS (SELECT k.vec_id, p.emb, k.key FROM k$i k
+         |        JOIN pool p USING (vec_id)
+         |        ORDER BY k.key DESC, k.vec_id ASC LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (0 until k).map { i =>
+      if (i == 0)
+        "SELECT CAST(0 AS INT) AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS key FROM s0"
+      else s"SELECT CAST($i AS INT), vec_id, key + 0.0 FROM s$i"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH pool AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |              FROM embeddings WHERE vec_id < 100),
+       |m0 AS (SELECT vec_id, ${xorConst("CAST(vec_id AS HUGEINT)", 9L)} AS h
+       |       FROM pool),
+       |m1 AS (SELECT vec_id, ${xorShift33("h")} AS h FROM m0),
+       |m2 AS (SELECT vec_id, ${mulMod("h", C1)} AS h FROM m1),
+       |m3 AS (SELECT vec_id, ${xorShift33("h")} AS h FROM m2),
+       |m4 AS (SELECT vec_id, ${mulMod("h", C2)} AS h FROM m3),
+       |m5 AS (SELECT vec_id, ${xorShift33("h")} AS hu FROM m4),
+       |uni AS (SELECT vec_id,
+       |               (CAST(hu // 2048::HUGEINT AS DOUBLE) + 0.5)
+       |                 / 9007199254740992.0 AS u
+       |        FROM m5),
+       |s0 AS (SELECT vec_id, emb, CAST(NULL AS DOUBLE) AS key
+       |       FROM pool ORDER BY vec_id LIMIT 1),
+       |$stages
+       |$out""".stripMargin
   }
 
   /** s25 oracle: the sign matrix replayed through the DuckHash fmix64
@@ -5134,6 +5204,7 @@ object SparkEntry {
                 CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 10""",
     "s23_kmeans_refine" -> s23OracleSql,
+    "s24_kmeanspp_seed" -> s24OracleSql,
     "s25_random_projection" -> s25OracleSql,
     // quantized retrieval keeps the planted contract exactly (see the
     // query's power-of-two-scaling note)

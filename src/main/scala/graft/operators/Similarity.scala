@@ -1172,6 +1172,76 @@ object Similarity {
         round(col("__w.d").cast("double") / lit(1e9), 6).as("dist"))
   }
 
+  /** k-means++ seeding (Arthur & Vassilvitskii 2007, "k-means++: The
+    * Advantages of Careful Seeding"; see PAPERS.md) as a DETERMINISTIC,
+    * fully replayable D²-weighted walk: center 0 is the smallest-id
+    * vector; each later round samples the next center with probability
+    * ∝ min-squared-distance to the selected set — realized as the t28
+    * exponential race (`key = ln(u)/w`, u a mix64-derived per-id
+    * uniform, argmax key) instead of engine RNG, so the whole seeding
+    * replays bit-for-bit outside Spark. Feeding these centers to
+    * [[kmeansRefine]] keeps its O(log k)-competitive guarantee without
+    * giving up gate-exactness (the reason [[semanticDedup]] documents
+    * smallest-id centroids as its replayable compromise).
+    *
+    * Scale shape per round (the FPS sanction): ONE map-only pool scan
+    * scoring quantized min-d² against the selected literals (the s23
+    * 1e-9 integer grid — order-proof and engine-exact) + one `max_by`
+    * argmax aggregate; model state is k vectors. `maxK` bounds the
+    * literal payload exactly as [[farthestPointSample]]'s does.
+    * Duplicates of already-selected centers carry weight 0 and are
+    * never picked (the ++ semantics).
+    *
+    * Output: (sel_rank 0..k−1, idCol, key — the winning race key, null
+    * for the seed).
+    */
+  def kmeansPlusPlusSeed(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 9L, maxK: Int = 256): DataFrame = {
+    require(k >= 1, "need at least one center")
+    require(k <= maxK,
+      s"kmeansPlusPlusSeed: k=$k exceeds maxK=$maxK — per-round literals " +
+        "are O(k*dim); past coreset-scale k sample a pool first")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = graft.functions.GraftFunctions.mix64(col(idCol).cast("long"), seed)
+    val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) /
+      lit(9007199254740992.0d) // 2^53, the t28 uniform
+    val seedRows = df.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col(vecCol)).collect()
+    require(seedRows.nonEmpty, "kmeansPlusPlusSeed: empty pool")
+    var selected = Vector[(Long, Array[Float], Option[Double])](
+      (seedRows(0).getLong(0), seedRows(0).getSeq[Float](1).toArray, None))
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
+      val dists = selected.map { case (_, c, _) =>
+        aggregate(
+          zip_with(col(vecCol), typedLit(c.map(_.toDouble)),
+            (a, b) => {
+              val d = a.cast("double") - b
+              round(d * d * lit(1e9)).cast("long")
+            }),
+          lit(0L), (acc, x) => acc + x)
+      }
+      val minD = leastTree(dists)
+      val key = round(log(u) / (minD.cast("double") / lit(1e9)), 9)
+      val chosen = df
+        .filter(!col(idCol).isin(selected.map(_._1): _*))
+        .filter(minD > 0)
+        .select(max_by(
+          struct(col(idCol), col(vecCol), key.as("__key")),
+          struct(key, -col(idCol))).as("__w"), lit(1).as("__one"))
+        .head()
+      if (chosen.isNullAt(0)) exhausted = true
+      else {
+        val w = chosen.getStruct(0)
+        selected = selected :+ ((w.getLong(0), w.getSeq[Float](1).toArray,
+          Some(w.getDouble(2))))
+      }
+    }
+    selected.zipWithIndex.map { case ((id, _, sc), r) => (r, id, sc) }
+      .toDF("sel_rank", idCol, "key")
+  }
+
   /** Johnson–Lindenstrauss SIGN random projection (Achlioptas 2003,
     * "Database-friendly random projections"; see PAPERS.md):
     * `y_k = (1/√outDim) · Σⱼ sⱼₖ·vⱼ` with `s ∈ {±1}` — the cheap,

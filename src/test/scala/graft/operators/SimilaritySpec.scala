@@ -554,6 +554,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(deg.forall(r => r._2 === 0 && r._3 === 0.0), deg.mkString(","))
   }
 
+  test("kmeansPlusPlusSeed: deterministic, never re-picks a center or a " +
+      "duplicate of one, prefers far-out mass, and bounds k") {
+    val pool = corpus.limit(50)
+    val s1 = Similarity.kmeansPlusPlusSeed(pool, "vec_id", "embedding", 5)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+    val s2 = Similarity.kmeansPlusPlusSeed(pool, "vec_id", "embedding", 5)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+    assert(s1.toSeq == s2.toSeq, "seeding not deterministic")
+    assert(s1.map(_._2).distinct.length === 5)
+    assert(s1.head._2 === 0L && s1.head._3.isEmpty, "seed must be min id")
+    // a pool that is 20 copies of one vector + ONE distant outlier: the
+    // second center MUST be the outlier (every duplicate has weight 0)
+    val flat = (0L until 20L).map((_, Seq(1f, 0f, 0f, 0f))) :+
+      ((99L, Seq(0f, 50f, 0f, 0f)))
+    val got = Similarity.kmeansPlusPlusSeed(flat.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got.map(_._2).take(2).toSeq === Seq(0L, 99L))
+    // third round: every remaining vector duplicates a center -> the walk
+    // stops at 2 instead of inventing a zero-weight pick
+    assert(got.length === 2)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.kmeansPlusPlusSeed(pool, "vec_id", "embedding", k = 257)
+    }
+    assert(err.getMessage.contains("maxK"))
+  }
+
   test("signRandomProjection: deterministic, seed-sensitive, and " +
       "distance-preserving in the JL sense on the fixture") {
     val emb = corpus.limit(60)
