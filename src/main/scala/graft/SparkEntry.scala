@@ -1377,6 +1377,34 @@ object SparkEntry {
         all.select("doc_id"), "doc_id")
     }),
 
+    // relational data-quality audit: null / unique-key / referential /
+    // range rules over the warehouse tables, exact violation counts —
+    // the set-level pre-flight before O19's per-row dead-letter split.
+    // Per-table scalar rules fuse into ONE conditional aggregation
+    "v01_dq_audit" -> ((s, dir) => {
+      import graft.operators.DqAudit
+      import graft.operators.DqAudit._
+      DqAudit.run(
+        Map("customer" -> t(s, dir, "customer"),
+          "orders" -> t(s, dir, "orders"),
+          "lineitem" -> t(s, dir, "lineitem"),
+          "part" -> t(s, dir, "part")),
+        Seq(
+          NotNull("cust_name_nn", "customer", "c_name"),
+          NotNull("order_date_nn", "orders", "o_orderdate"),
+          RangeRule("qty_positive", "lineitem", col("l_quantity") <= 0),
+          RangeRule("qty_under_30", "lineitem", col("l_quantity") >= 30),
+          RangeRule("price_nonneg", "orders", col("o_totalprice") < 0),
+          UniqueKey("cust_pk", "customer", Seq("c_custkey")),
+          UniqueKey("li_pk", "lineitem", Seq("l_orderkey", "l_linenumber")),
+          ForeignKey("order_cust_fk", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          ForeignKey("li_part_fk", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          ForeignKey("li_order_fk", "lineitem", "l_orderkey",
+            "orders", "o_orderkey")))
+    }),
+
     // cross-source duplication matrix: exact word-5-gram Jaccard per
     // source pair — the which-feed-mirrors-which governance report
     "d13_source_overlap" -> ((s, dir) =>
@@ -4595,6 +4623,58 @@ object SparkEntry {
     "d06_dedup_clusters" ->
       s"""$dupClusterClosureSql
          SELECT doc_id, cluster_id FROM clusters""",
+    // dq audit: each rule recomputed as plain SQL counts
+    "v01_dq_audit" ->
+      """SELECT 'cust_name_nn' AS check, 'not_null' AS type,
+                'customer' AS "table",
+                COUNT(CASE WHEN c_name IS NULL THEN 1 END) AS violations,
+                COUNT(*) AS total
+         FROM customer
+         UNION ALL
+         SELECT 'order_date_nn', 'not_null', 'orders',
+                COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END), COUNT(*)
+         FROM orders
+         UNION ALL
+         SELECT 'qty_positive', 'range', 'lineitem',
+                COUNT(CASE WHEN l_quantity <= 0 THEN 1 END), COUNT(*)
+         FROM lineitem
+         UNION ALL
+         SELECT 'qty_under_30', 'range', 'lineitem',
+                COUNT(CASE WHEN l_quantity >= 30 THEN 1 END), COUNT(*)
+         FROM lineitem
+         UNION ALL
+         SELECT 'price_nonneg', 'range', 'orders',
+                COUNT(CASE WHEN o_totalprice < 0 THEN 1 END), COUNT(*)
+         FROM orders
+         UNION ALL
+         SELECT 'cust_pk', 'unique_key', 'customer',
+                COUNT(*) - COUNT(DISTINCT c_custkey), COUNT(*)
+         FROM customer
+         UNION ALL
+         SELECT 'li_pk', 'unique_key', 'lineitem',
+                COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)), COUNT(*)
+         FROM lineitem
+         UNION ALL
+         SELECT 'order_cust_fk', 'foreign_key', 'orders',
+                (SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)),
+                COUNT(*)
+         FROM orders
+         UNION ALL
+         SELECT 'li_part_fk', 'foreign_key', 'lineitem',
+                (SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_partkey IS NOT NULL
+                   AND l.l_partkey NOT IN (SELECT p_partkey FROM part)),
+                COUNT(*)
+         FROM lineitem
+         UNION ALL
+         SELECT 'li_order_fk', 'foreign_key', 'lineitem',
+                (SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+                COUNT(*)
+         FROM lineitem""",
     // source overlap: the d11 word-gram CTE grouped by source — hash
     // values never compared, only equality structure (the d06 precedent)
     "d13_source_overlap" ->

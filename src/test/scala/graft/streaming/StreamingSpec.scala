@@ -1299,6 +1299,30 @@ class StreamingSpec extends SparkTestBase {
     assert(resolved() == truth, "compaction changed the resolved map")
   }
 
+  test("streaming entity resolution heals a crash mid-snapshot-write: the " +
+      "replay rebuilds its batch partitions from pre-batch state") {
+    val dir = Files.createTempDirectory("graft_ser_crash").toString
+    val b0 = Seq((1L, "cold ring"), (2L, "hot gear")).toDF("id", "name")
+    val b1 = Seq((10L, "old ring")).toDF("id", "name")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingEntityResolution.processBatch(batch, id, "id", "name",
+        s"$dir/names", s"$dir/map", maxDist = 1)
+    run(b0, 0L)
+    // simulate a crash that left batch 1's map snapshot half-written
+    // (garbage rows) and its names snapshot missing entirely
+    Seq((999L, 999L)).toDF("name_id", "cluster_id")
+      .write.parquet(s"$dir/map/batch=1")
+    // the foreachBatch replay of batch 1 must read batch-0 state (its own
+    // partial snapshots are excluded by the id < batchId rule) and
+    // OVERWRITE the garbage
+    run(b1, 1L)
+    val got = StreamingEntityResolution
+      .resolvedMap(spark, s"$dir/names", s"$dir/map")
+      .select("name", "cluster_id").as[(String, Long)].collect().toMap
+    assert(got == Map("cold ring" -> 1L, "old ring" -> 1L, "hot gear" -> 2L),
+      got)
+  }
+
   test("compaction refuses while a registered stream is active over the " +
       "state dir, runs again once it stops, and prunes the registration") {
     val dir = Files.createTempDirectory("graft_lsm_guard").toString
