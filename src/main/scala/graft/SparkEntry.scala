@@ -1876,6 +1876,12 @@ object SparkEntry {
       TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
         minPairCount = 5)),
 
+    // Heaps vocabulary-growth curve: cumulative tokens + distinct vocab
+    // per ingested doc — first-occurrence agg + the e09 parallel prefix
+    // sum, never a one-task global window
+    "t33_heaps_growth" -> ((s, dir) =>
+      TextAnalysis.heapsGrowth(t(s, dir, "documents"), "doc_id", "text")),
+
     // linear quality-classifier inference: literal-weight sigmoid scoring,
     // keep decided on the exact linear margin (no transcendental at the
     // decision boundary)
@@ -3842,6 +3848,27 @@ object SparkEntry {
                      AS INT) AS stage
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                  LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+    // Heaps curve: window sums ordered by doc_id over the same two
+    // per-doc counts (first-occurrence convention identical)
+    "t33_heaps_growth" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         pd AS (SELECT doc_id, COUNT(*) AS n_tokens FROM t2 GROUP BY 1),
+         fs AS (SELECT MIN(doc_id) AS doc_id FROM t2 GROUP BY token),
+         nw AS (SELECT doc_id, COUNT(*) AS new_tokens FROM fs GROUP BY 1),
+         base AS (
+           SELECT d.doc_id,
+                  COALESCE(pd.n_tokens, 0) AS n_tokens,
+                  COALESCE(nw.new_tokens, 0) AS new_tokens
+           FROM documents d LEFT JOIN pd USING (doc_id)
+                            LEFT JOIN nw USING (doc_id))
+         SELECT doc_id, n_tokens, new_tokens,
+                SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens,
+                SUM(new_tokens) OVER (ORDER BY doc_id) AS cum_vocab
+         FROM base""",
     // transitions: same per-user lead ordering (micros, event_id
     // tie-break), same normalization order
     "g08_event_transitions" ->

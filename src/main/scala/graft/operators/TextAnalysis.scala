@@ -240,6 +240,43 @@ object TextAnalysis {
           .as("pmi"))
   }
 
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978; see PAPERS.md): for
+    * each document in id order, the cumulative token count and the
+    * cumulative DISTINCT-vocabulary size after ingesting it — the curve
+    * whose flattening tells a corpus build when additional crawl stops
+    * buying new vocabulary (and whose deviation from the V = K·nᵝ
+    * power law flags templated/duplicated content).
+    *
+    * Scale shape: a token's contribution to vocabulary growth is its
+    * FIRST-occurrence document — one vocabulary-bounded `min` aggregate —
+    * so the curve reduces to two per-doc counts ("tokens in this doc",
+    * "tokens first seen in this doc") run through the range-partitioned
+    * parallel prefix sum ([[CorpusStats.globalRunningTotal]], the c-
+    * family machinery: per-partition window + collected partition
+    * offsets, never a one-task global window).
+    *
+    * Output: one row per doc — (idCol, n_tokens, new_tokens, cum_tokens,
+    * cum_vocab).
+    */
+  def heapsGrowth(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val perDoc = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy("token").agg(min(col(idCol)).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("new_tokens"))
+    val joined = df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(firstSeen, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+    val cumTok = CorpusStats.globalRunningTotal(joined, idCol, "n_tokens",
+      "cum_tokens")
+    CorpusStats.globalRunningTotal(cumTok, idCol, "new_tokens", "cum_vocab")
+      .select(col(idCol), col("n_tokens"), col("new_tokens"),
+        col("cum_tokens"), col("cum_vocab"))
+  }
+
   /** Corpus vocabulary statistics: token -> document frequency + total
     * occurrences. One explode + one aggregation keyed on the token.
     */
