@@ -940,6 +940,39 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // streaming data-quality monitor: per-micro-batch violation counts in
+    // batch-keyed partitions (replay overwrites its own); drained report
+    // == the batch audit because every rule is batch-local
+    "e12_streaming_dq" -> ((s, dir) => {
+      import graft.operators.DqAudit.{ForeignKey, NotNull, RangeRule}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e12").toString
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("l_orderkey BIGINT, l_linenumber BIGINT, " +
+          "l_partkey BIGINT, l_quantity DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingDqMonitor.start(s, src, "lineitem",
+        Map("part" -> t(s, dir, "part")),
+        Seq(
+          NotNull("qty_nn", "lineitem", "l_quantity"),
+          RangeRule("qty_positive", "lineitem", col("l_quantity") <= 0),
+          RangeRule("qty_under_30", "lineitem", col("l_quantity") >= 30),
+          ForeignKey("li_part_fk", "lineitem", "l_partkey",
+            "part", "p_partkey")),
+        s"$tmp/counts", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e12 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingDqMonitor.report(s, s"$tmp/counts")
+    }),
+
     // streaming incremental entity resolution: part rows arrive in two
     // id-range batches (the monotone-ids contract); each batch fuzzy-
     // matches its NEW names against the accumulated vocabulary (SymSpell)
@@ -3944,6 +3977,28 @@ object SparkEntry {
     // e10: pairs = (stored-before, streamed) exact cosine >= 0.999,
     // replayed relationally batch by batch; the planted fixture (exact
     // vector copies, no borderline pairs) makes ANN recall structural
+    // the drained monitor equals the whole-corpus audit (batch-local
+    // rules distribute over micro-batches)
+    "e12_streaming_dq" ->
+      """SELECT 'qty_nn' AS check, 'not_null' AS type, 'lineitem' AS "table",
+                COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS violations,
+                COUNT(*) AS total
+         FROM lineitem
+         UNION ALL
+         SELECT 'qty_positive', 'range', 'lineitem',
+                COUNT(CASE WHEN l_quantity <= 0 THEN 1 END), COUNT(*)
+         FROM lineitem
+         UNION ALL
+         SELECT 'qty_under_30', 'range', 'lineitem',
+                COUNT(CASE WHEN l_quantity >= 30 THEN 1 END), COUNT(*)
+         FROM lineitem
+         UNION ALL
+         SELECT 'li_part_fk', 'foreign_key', 'lineitem',
+                (SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_partkey IS NOT NULL
+                   AND l.l_partkey NOT IN (SELECT p_partkey FROM part)),
+                COUNT(*)
+         FROM lineitem""",
     // the drained incremental map must equal the one-shot batch closure
     // over everything streamed — same oracle family as c14, no reps
     "e11_streaming_entity_resolution" ->

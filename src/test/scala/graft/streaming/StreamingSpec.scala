@@ -1299,6 +1299,43 @@ class StreamingSpec extends SparkTestBase {
     assert(resolved() == truth, "compaction changed the resolved map")
   }
 
+  test("streaming DQ monitor: per-batch counts sum to the corpus audit, " +
+      "a replayed batch overwrites its own partition, UniqueKey refuses") {
+    import graft.operators.DqAudit.{NotNull, RangeRule, UniqueKey}
+    val dir = Files.createTempDirectory("graft_sdq").toString
+    val rules = Seq(
+      NotNull("v_nn", "t", "v"),
+      RangeRule("v_neg", "t", org.apache.spark.sql.functions.col("v") < 0))
+    val b0 = Seq[(Long, java.lang.Double)]((1L, 5.0), (2L, null), (3L, -1.0))
+      .toDF("id", "v")
+    val b1 = Seq[(Long, java.lang.Double)]((4L, -2.0), (5L, 7.0))
+      .toDF("id", "v")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingDqMonitor.processBatch(b, id, "t", Map.empty, rules,
+        s"$dir/counts")
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep() = StreamingDqMonitor.report(spark, s"$dir/counts")
+      .select("check", "violations", "total")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, v, t) => k -> ((v, t)) }.toMap
+    val truth = Map("v_nn" -> ((1L, 5L)), "v_neg" -> ((2L, 5L)))
+    assert(rep() == truth, rep())
+    // replay of batch 1 overwrites its own counts — no double counting
+    run(b1, 1L)
+    assert(rep() == truth, "replay double-counted")
+    // uniqueness is not batch-local: refused with a diagnosis
+    b0.write.parquet(s"$dir/src")
+    val err = intercept[IllegalArgumentException] {
+      StreamingDqMonitor.start(spark,
+        spark.readStream.schema("id BIGINT, v DOUBLE")
+          .parquet(s"$dir/src"),
+        "t", Map.empty, Seq(UniqueKey("pk", "t", Seq("id"))),
+        s"$dir/c2", s"$dir/cp2")
+    }
+    assert(err.getMessage.contains("batch-local"))
+  }
+
   test("streaming entity resolution heals a crash mid-snapshot-write: the " +
       "replay rebuilds its batch partitions from pre-batch state") {
     val dir = Files.createTempDirectory("graft_ser_crash").toString
