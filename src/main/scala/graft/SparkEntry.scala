@@ -940,6 +940,33 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // streaming vocabulary-novelty monitor: the ingest-time Heaps signal.
+    // Seen-token set = a prefix-partitioned LSM store (the d09 recipe);
+    // each batch counts its never-seen tokens against the pre-batch
+    // state and appends them batch-keyed (exactly-once)
+    "e13_streaming_vocab_novelty" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e13").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.streaming.StreamingVocabNovelty.seedTokens(
+        docs.filter(col("doc_id") % 3 === 0), "text", s"$tmp/tokens",
+        partitionedBase = true)
+      docs.filter(col("doc_id") % 3 === 1)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      docs.filter(col("doc_id") % 3 === 2)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingVocabNovelty.start(s, src, "text",
+        s"$tmp/tokens", s"$tmp/report", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e13 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingVocabNovelty.report(s, s"$tmp/report")
+    }),
+
     // streaming data-quality monitor: per-micro-batch violation counts in
     // batch-keyed partitions (replay overwrites its own); drained report
     // == the batch audit because every rule is batch-local
@@ -3977,6 +4004,27 @@ object SparkEntry {
     // e10: pairs = (stored-before, streamed) exact cosine >= 0.999,
     // replayed relationally batch by batch; the planted fixture (exact
     // vector copies, no borderline pairs) makes ANN recall structural
+    // novelty replay: batch 0 = docs ≡1 (mod 3), batch 1 = docs ≡2; the
+    // seed is ≡0; counts compare token-set equality structure only
+    "e13_streaming_vocab_novelty" ->
+      """WITH norm AS (
+           SELECT doc_id % 3 AS grp,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+           FROM documents WHERE length(trim(text)) > 0),
+         tok AS (SELECT DISTINCT grp, unnest(string_split(n, ' ')) AS w
+                 FROM norm),
+         g0 AS (SELECT w FROM tok WHERE grp = 0),
+         g1 AS (SELECT w FROM tok WHERE grp = 1),
+         g2 AS (SELECT w FROM tok WHERE grp = 2)
+         SELECT CAST(0 AS BIGINT) AS batch,
+                (SELECT COUNT(*) FROM g1) AS n_tokens,
+                (SELECT COUNT(*) FROM g1
+                 WHERE w NOT IN (SELECT w FROM g0)) AS n_new
+         UNION ALL
+         SELECT CAST(1 AS BIGINT),
+                (SELECT COUNT(*) FROM g2),
+                (SELECT COUNT(*) FROM g2
+                 WHERE w NOT IN (SELECT w FROM g0 UNION SELECT w FROM g1))""",
     // the drained monitor equals the whole-corpus audit (batch-local
     // rules distribute over micro-batches)
     "e12_streaming_dq" ->

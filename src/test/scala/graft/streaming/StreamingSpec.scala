@@ -1299,6 +1299,49 @@ class StreamingSpec extends SparkTestBase {
     assert(resolved() == truth, "compaction changed the resolved map")
   }
 
+  test("streaming vocab novelty: replay-exact counts against pre-batch " +
+      "state; the seen-set base read carries a __tp PartitionFilter") {
+    val dir = Files.createTempDirectory("graft_svn").toString
+    val seedDocs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    StreamingVocabNovelty.seedTokens(seedDocs, "text", s"$dir/tokens",
+      partitionedBase = true)
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingVocabNovelty.processBatch(b, id, "text",
+        s"$dir/tokens", s"$dir/report")
+    // batch 0: 2 known + 2 new tokens; batch 1: re-sees batch 0's new
+    // tokens (cross-batch state) + 1 new
+    run(Seq((10L, "alpha beta delta epsilon")).toDF("doc_id", "text"), 0L)
+    run(Seq((11L, "delta epsilon zeta")).toDF("doc_id", "text"), 1L)
+    def rep() = StreamingVocabNovelty.report(spark, s"$dir/report")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rep() === Seq((0L, 4L, 2L), (1L, 3L, 1L)), rep())
+    // a crash-replay of batch 1 excludes its own tail partition: counts
+    // unchanged, no token double-appended
+    run(Seq((11L, "delta epsilon zeta")).toDF("doc_id", "text"), 1L)
+    assert(rep() === Seq((0L, 4L, 2L), (1L, 3L, 1L)), "replay drifted")
+    // total stored tokens = 6 distinct (no duplicates from the replay)
+    val base = spark.read.parquet(s"$dir/tokens/base").select("tok")
+    val tail = spark.read.parquet(s"$dir/tokens/tail").select("tok")
+    assert(base.unionByName(tail).distinct().count() === 6L)
+    assert(base.unionByName(tail).count() === 6L,
+      "replay appended duplicate tokens")
+    // the pruned base read classifies __tp as a PARTITION filter (static
+    // pruning, the d09 pin) — same layout/predicate shape processBatch uses
+    val pruned = LsmParquetState.scan(spark, s"$dir/tokens",
+      StreamingVocabNovelty.layout,
+      org.apache.spark.sql.functions.col("__tp").isin(3))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"partitioned token base lost its partition filters:\n$plan")
+    val pf = plan.substring(plan.indexOf("PartitionFilters: ["))
+    assert(pf.substring(0, pf.indexOf("]")).contains("__tp"),
+      s"__tp predicate is not a partition filter:\n$plan")
+    // and one more live batch for good measure: a 1-token batch of a
+    // known token reports zero novelty
+    run(Seq((20L, "alpha")).toDF("doc_id", "text"), 2L)
+    assert(rep().size === 3 && rep()(2) === ((2L, 1L, 0L)), rep())
+  }
+
   test("streaming DQ monitor: per-batch counts sum to the corpus audit, " +
       "a replayed batch overwrites its own partition, UniqueKey refuses") {
     import graft.operators.DqAudit.{NotNull, RangeRule, UniqueKey}
