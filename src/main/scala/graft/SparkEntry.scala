@@ -1745,6 +1745,23 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 100),
         "vec_id", "embedding", k = 6)),
 
+    // embedding-space drift: both snapshots quantized under ONE fixed
+    // deterministic codebook (snapshot A's 8 smallest-id vectors), then
+    // PSI over the cluster histograms — the c09 drift machinery lifted
+    // from scalar quality to embedding space. Map-only assignments,
+    // cluster-bounded counts
+    "s27_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val a = emb.filter(col("vec_id") < 250)
+      val b = emb.filter(col("vec_id") >= 250)
+      val cents = Similarity.seedCentroids(a, "vec_id", "embedding", 8)
+      val ha = Similarity.assignToCentroids(a, "vec_id", "embedding", cents)
+        .groupBy(col("cluster").as("bucket")).agg(count(lit(1)).as("n_a"))
+      val hb = Similarity.assignToCentroids(b, "vec_id", "embedding", cents)
+        .groupBy(col("cluster").as("bucket")).agg(count(lit(1)).as("n_b"))
+      CorpusStats.psiFromCounts(ha, hb, a.count(), b.count())
+    }),
+
     // JL sign random projection 64 -> 16: data-independent shrink, one
     // map-only pass, fmix64-derived plan-time sign matrix, 1e-9-grid
     // integer accumulation (order-proof); full mix64 + sum replay oracle
@@ -2766,6 +2783,52 @@ object SparkEntry {
        |       FROM pool ORDER BY vec_id LIMIT 1),
        |$stages
        |$out""".stripMargin
+  }
+
+  /** s27 oracle: both halves assigned under snapshot A's 8 smallest-id
+    * centroids (the s23 BIGINT-grid argmin, one stage each), cluster
+    * histograms, then the c09 PSI tail verbatim.
+    */
+  private def s27OracleSql: String = {
+    val dq = "SUM(CAST(ROUND((v.e[CAST(t.i AS INT)] - c.ce[CAST(t.i AS INT)]) * " +
+      "(v.e[CAST(t.i AS INT)] - c.ce[CAST(t.i AS INT)]) * 1e9) AS BIGINT))"
+    def assignCte(pool: String, tag: String): String =
+      s"""d$tag AS (
+         SELECT v.vec_id, c.cl, $dq AS dist
+         FROM $pool v CROSS JOIN c0 c CROSS JOIN range(1, 65) t(i)
+         GROUP BY 1, 2),
+       a$tag AS (
+         SELECT vec_id, cl FROM d$tag
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist ASC, cl ASC) = 1)"""
+    s"""WITH pa AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id < 250),
+       pb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id >= 250),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cl, e AS ce
+              FROM (SELECT vec_id, e FROM pa ORDER BY vec_id LIMIT 8)),
+       ${assignCte("pa", "a")},
+       ${assignCte("pb", "b")},
+       ca AS (SELECT CAST(cl AS INT) AS bucket, COUNT(*) AS n_a
+              FROM aa GROUP BY 1),
+       cb AS (SELECT CAST(cl AS INT) AS bucket, COUNT(*) AS n_b
+              FROM ab GROUP BY 1),
+       nn AS (SELECT (SELECT COUNT(*) FROM pa) AS na,
+                     (SELECT COUNT(*) FROM pb) AS nb),
+       j AS (SELECT bucket,
+                    CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                    CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+             FROM ca FULL OUTER JOIN cb USING (bucket))
+       SELECT bucket, n_a, n_b,
+              ROUND(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 6) + 0.0 AS frac_a,
+              ROUND(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 6) + 0.0 AS frac_b,
+              ROUND((greatest(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 1e-6)
+                     - greatest(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 1e-6))
+                    * ln(greatest(CAST(n_a AS DOUBLE) / CAST(nn.na AS DOUBLE), 1e-6)
+                         / greatest(CAST(n_b AS DOUBLE) / CAST(nn.nb AS DOUBLE), 1e-6)),
+                    6) + 0.0 AS psi_term
+       FROM j, nn"""
   }
 
   /** s25 oracle: the sign matrix replayed through the DuckHash fmix64
@@ -5416,6 +5479,7 @@ object SparkEntry {
     "s23_kmeans_refine" -> s23OracleSql,
     "s24_kmeanspp_seed" -> s24OracleSql,
     "s25_random_projection" -> s25OracleSql,
+    "s27_embedding_drift" -> s27OracleSql,
     // quantized retrieval keeps the planted contract exactly (see the
     // query's power-of-two-scaling note)
     "s06_ann_quantized" ->

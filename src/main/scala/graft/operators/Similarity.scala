@@ -1134,22 +1134,9 @@ object Similarity {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0: k=$k $iters")
     val spark = df.sparkSession
     import spark.implicits._
-    def distTo(c: Array[Double]): Column =
-      aggregate(
-        zip_with(col(vecCol), typedLit(c),
-          (a, b) => {
-            val d = a.cast("double") - b
-            round(d * d * lit(1e9)).cast("long")
-          }),
-        lit(0L), (acc, x) => acc + x)
     def assigned(cents: Seq[Array[Double]]): DataFrame =
-      df.select(col(idCol), col(vecCol),
-        array_min(array(cents.zipWithIndex.map { case (c, i) =>
-          struct(distTo(c).as("d"), lit(i).as("c"))
-        }: _*)).as("__w"))
-    var centroids: Seq[Array[Double]] = df.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble)).toSeq
+      assignedFrame(df, idCol, vecCol, cents)
+    var centroids: Seq[Array[Double]] = seedCentroids(df, idCol, vecCol, k)
     for (_ <- 0 until iters) {
       val upd = assigned(centroids)
         .select(col("__w.c").as("__c"),
@@ -1170,6 +1157,47 @@ object Similarity {
     assigned(centroids)
       .select(col(idCol), col("__w.c").as("cluster"),
         round(col("__w.d").cast("double") / lit(1e9), 6).as("dist"))
+  }
+
+  /** The `k` smallest-id vectors as double centroids — the deterministic
+    * model both engines can replay (the [[kmeansRefine]] init and the
+    * fixed shared quantizer of the drift report). Bounded k-row collect.
+    */
+  def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[Array[Double]] = {
+    require(k >= 1, s"need k >= 1: $k")
+    val rows = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+    require(rows.nonEmpty, "seedCentroids: empty pool")
+    rows.map(_.getSeq[Float](0).toArray.map(_.toDouble)).toSeq
+  }
+
+  /** Map-only assignment of every vector to its nearest FIXED centroid
+    * (the s23 1e-9-integer-grid squared-L2, ties to the lower index) —
+    * `(idCol, cluster, dist)`. The quantization step of the drift
+    * report and of any shared-codebook comparison: centroids ride as
+    * literals, nothing shuffles.
+    */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame =
+    assignedFrame(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("__w.c").as("cluster"),
+        round(col("__w.d").cast("double") / lit(1e9), 6).as("dist"))
+
+  /** The shared argmin frame: `(idCol, vecCol, __w = (d, c))`. */
+  private def assignedFrame(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Array[Double]]): DataFrame = {
+    def distTo(c: Array[Double]): Column =
+      aggregate(
+        zip_with(col(vecCol), typedLit(c),
+          (a, b) => {
+            val d = a.cast("double") - b
+            round(d * d * lit(1e9)).cast("long")
+          }),
+        lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol), col(vecCol),
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(distTo(c).as("d"), lit(i).as("c"))
+      }: _*)).as("__w"))
   }
 
   /** k-means++ seeding (Arthur & Vassilvitskii 2007, "k-means++: The

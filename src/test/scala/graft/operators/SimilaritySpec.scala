@@ -581,6 +581,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(err.getMessage.contains("maxK"))
   }
 
+  test("assignToCentroids under the seed codebook equals kmeansRefine at " +
+      "iters = 0 row-for-row (the refactor-consistency pin)") {
+    val pool = corpus.limit(40)
+    val cents = Similarity.seedCentroids(pool, "vec_id", "embedding", 4)
+    assert(cents.length === 4 && cents.head.nonEmpty)
+    val viaAssign = Similarity.assignToCentroids(pool, "vec_id", "embedding",
+        cents)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val viaRefine = Similarity.kmeansRefine(pool, "vec_id", "embedding",
+        k = 4, iters = 0)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(viaAssign === viaRefine)
+  }
+
   test("signRandomProjection: deterministic, seed-sensitive, and " +
       "distance-preserving in the JL sense on the fixture") {
     val emb = corpus.limit(60)
