@@ -482,6 +482,95 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: kmeansRefine matches the driver-side replay of its " +
+      "quantized arithmetic on random pools") {
+    def decMean(vs: Seq[Double]): Double =
+      vs.map(v => BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vs.size
+    def qdist(v: Seq[Float], c: Seq[Double]): Long =
+      v.zip(c).map { case (a, b) =>
+        val d = a.toDouble - b; math.round(d * d * 1e9)
+      }.sum
+    val poolGen: Gen[(Int, Int, Seq[(Long, Seq[Float])])] = for {
+      n <- Gen.choose(5, 24)
+      k <- Gen.choose(1, 4)
+      iters <- Gen.choose(0, 3)
+      dim <- Gen.choose(2, 5)
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.choose(-1000, 1000).map(_ / 100f)))
+    } yield (k, iters, vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+    forAllSeeded(poolGen, n = 6) { case (k, iters, pts) =>
+      val dim = pts.head._2.size
+      val got = graft.operators.Similarity.kmeansRefine(
+          pts.toDF("vec_id", "embedding"), "vec_id", "embedding", k, iters)
+        .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+      var cents: Seq[Seq[Double]] =
+        pts.sortBy(_._1).take(k).map(_._2.map(_.toDouble))
+      def assignAll(): Map[Long, Int] = pts.map { case (i, v) =>
+        i -> cents.zipWithIndex.map { case (c, ci) => (qdist(v, c), ci) }
+          .min._2
+      }.toMap
+      for (_ <- 0 until iters) {
+        val a = assignAll()
+        cents = cents.indices.map { ci =>
+          val members = pts.filter { case (i, _) => a(i) == ci }
+          if (members.isEmpty) cents(ci)
+          else (0 until dim).map(d => decMean(members.map(_._2(d).toDouble)))
+        }
+      }
+      assert(assignAll() === got, s"k=$k iters=$iters pool=$pts")
+    }
+  }
+
+  test("property: clusterCohesion equals brute-force edge/triangle counts " +
+      "on random graphs") {
+    val graphGen: Gen[(Seq[(Long, Long)], Map[Long, Long])] = for {
+      n <- Gen.choose(3, 16)
+      density <- Gen.choose(1, 4)
+      edges <- Gen.listOfN(n * density, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield {
+      val es = edges.filter(e => e._1 < e._2).distinct
+      // components via union-find -> the cluster map clusterCohesion takes
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val label = (0L until n.toLong).map(i => i ->
+        (0L until n.toLong).filter(j => find(j) == find(i)).min).toMap
+      (es, label)
+    }
+    forAllSeeded(graphGen, n = 8) { case (edges, clusters) =>
+      if (edges.nonEmpty) {
+        val got = graft.operators.Dedup.clusterCohesion(
+            edges.toDF("idA", "idB"),
+            clusters.toSeq.toDF("doc_id", "cluster_id"), "doc_id")
+          .as[(Long, Long, Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        val es = edges.toSet
+        clusters.values.toSet.foreach { cl: Long =>
+          val members = clusters.filter(_._2 == cl).keys.toSeq.sorted
+          val ce = edges.count { case (a, b) =>
+            clusters(a) == cl && clusters(b) == cl }
+          val tri = (for {
+            i <- members.indices; j <- (i + 1) until members.size
+            l <- (j + 1) until members.size
+            a = members(i); b = members(j); c = members(l)
+            if es((a, b)) && es((b, c)) && es((a, c))
+          } yield 1).size
+          assert(got(cl) === ((members.size.toLong, ce.toLong, tri.toLong)),
+            s"cluster $cl of $clusters with $edges")
+        }
+      }
+    }
+  }
+
   test("property: both fuzzy-join strategies equal brute force on random " +
       "small-alphabet strings (collision-heavy: the hard regime)") {
     // tiny alphabet + short strings maximizes near-miss pairs, sub-q
