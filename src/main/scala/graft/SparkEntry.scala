@@ -1437,6 +1437,15 @@ object SparkEntry {
         all.select("doc_id"), "doc_id")
     }),
 
+    // deterministic mixture-recipe sampler: exactly-n-per-source via the
+    // mix64 race (quota > population returns the whole stratum; strata
+    // off the recipe are excluded)
+    "c16_mixture_sample" -> ((s, dir) =>
+      graft.operators.CorpusStats.mixtureSample(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id",
+        Map("src0" -> 12, "src1" -> 7, "src5" -> 1000))),
+
     // relational data-quality audit: null / unique-key / referential /
     // range rules over the warehouse tables, exact violation counts —
     // the set-level pre-flight before O19's per-row dead-letter split.
@@ -2783,6 +2792,35 @@ object SparkEntry {
        |       FROM pool ORDER BY vec_id LIMIT 1),
        |$stages
        |$out""".stripMargin
+  }
+
+  /** c16 oracle: the mix64(doc_id ^ 11) race replayed in HUGEINT SQL
+    * (the t28 chain), rank per source by the shifted key ascending, the
+    * recipe's quotas applied verbatim.
+    */
+  private def c16OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    s"""WITH m0 AS (SELECT doc_id, source,
+       |              ${xorConst("CAST(doc_id AS HUGEINT)", 11L)} AS h
+       |            FROM documents
+       |            WHERE source IN ('src0', 'src1', 'src5')),
+       |m1 AS (SELECT doc_id, source, ${xorShift33("h")} AS h FROM m0),
+       |m2 AS (SELECT doc_id, source, ${mulMod("h", C1)} AS h FROM m1),
+       |m3 AS (SELECT doc_id, source, ${mulMod("h", C2)} AS h
+       |       FROM (SELECT doc_id, source, ${xorShift33("h")} AS h FROM m2)),
+       |m5 AS (SELECT doc_id, source, ${xorShift33("h")} AS hu FROM m3),
+       |r AS (SELECT source, doc_id,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY hu // 2048::HUGEINT ASC,
+       |                                    doc_id ASC) AS rank
+       |      FROM m5)
+       |SELECT source, doc_id, CAST(rank AS INT) AS rank
+       |FROM r
+       |WHERE (source = 'src0' AND rank <= 12)
+       |   OR (source = 'src1' AND rank <= 7)
+       |   OR (source = 'src5' AND rank <= 1000)""".stripMargin
   }
 
   /** s27 oracle: both halves assigned under snapshot A's 8 smallest-id
@@ -5480,6 +5518,7 @@ object SparkEntry {
     "s24_kmeanspp_seed" -> s24OracleSql,
     "s25_random_projection" -> s25OracleSql,
     "s27_embedding_drift" -> s27OracleSql,
+    "c16_mixture_sample" -> c16OracleSql,
     // quantized retrieval keeps the planted contract exactly (see the
     // query's power-of-two-scaling note)
     "s06_ann_quantized" ->

@@ -186,6 +186,43 @@ object CorpusStats {
       when(u < lit(cut), lit("train")).otherwise(lit("val")))
   }
 
+  /** Deterministic mixture-recipe executor — the data-mixing step every
+    * training run specifies as "exactly n_i documents from source i":
+    * per stratum, the `quota(stratum)` rows with the smallest mix64
+    * avalanche keys win (RNG-free — reproducible across runs and
+    * engines, the t09/t28 convention), strata absent from the recipe are
+    * excluded. Complements [[graft.operators.TextAnalysis]]'s
+    * rate-based stratified sampler (t10): recipes fix COUNTS, rates
+    * drift with corpus growth.
+    *
+    * Plan shape: ONE hash aggregate per stratum carrying a bounded
+    * max-quota heap (k rows per stratum per partition on the shuffle —
+    * the a05 posture), then a map-only rank-vs-quota filter against the
+    * recipe literal. Quotas above a stratum's population return the
+    * whole stratum.
+    *
+    * Output: (stratumCol, idCol, rank 1..quota) — rank is the selection
+    * order, usable for curriculum truncation downstream.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      quotas: Map[String, Int], seed: Long = 11L): DataFrame = {
+    require(quotas.nonEmpty && quotas.values.forall(_ >= 1),
+      "quotas must be positive")
+    val kMax = quotas.values.max
+    val key = shiftrightunsigned(
+      graft.functions.GraftFunctions.mix64(col(idCol).cast("long"), seed), 11)
+    val quota = element_at(typedLit(quotas), col(stratumCol))
+    df.filter(quota.isNotNull)
+      .select(col(stratumCol), col(idCol), (-key).as("__score"))
+      .groupBy(stratumCol)
+      .agg(graft.functions.GraftFunctions.top_k_by(col("__score"),
+        col(idCol), kMax).as("__top"))
+      .select(col(stratumCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(stratumCol), col("__e.id").as(idCol),
+        (col("__pos") + 1).cast("int").as("rank"))
+      .filter(col("rank") <= element_at(typedLit(quotas), col(stratumCol)))
+  }
+
   /** Cross-source duplication matrix — the corpus-governance report that
     * answers "which crawls/feeds are templated copies of each other":
     * per source pair, the EXACT Jaccard of the sources' distinct word

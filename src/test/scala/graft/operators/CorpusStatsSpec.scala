@@ -95,6 +95,32 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(got.sortBy(_._1).toSeq != reseeded.sortBy(_._1).toSeq)
   }
 
+  test("mixtureSample: exact quotas, whole-stratum on over-quota, " +
+      "off-recipe strata excluded, deterministic") {
+    val docs = ((1L to 20L).map((_, "a")) ++ (21L to 25L).map((_, "b")) ++
+      (26L to 30L).map((_, "c"))).toDF("id", "src")
+    val got = CorpusStats.mixtureSample(docs, "src", "id",
+        Map("a" -> 6, "b" -> 100))
+      .as[(String, Long, Int)].collect()
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc("a").length === 6, "quota not exact")
+    assert(bySrc("b").length === 5, "over-quota must return the stratum")
+    assert(!bySrc.contains("c"), "off-recipe stratum leaked")
+    // ranks are 1..n and selection is reproducible
+    assert(bySrc("a").map(_._3).sorted.toSeq === (1 to 6))
+    val again = CorpusStats.mixtureSample(docs, "src", "id",
+        Map("a" -> 6, "b" -> 100))
+      .as[(String, Long, Int)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq ===
+      again.sortBy(r => (r._1, r._3)).toSeq)
+    // a different seed picks a different subset of 'a'
+    val reseeded = CorpusStats.mixtureSample(docs, "src", "id",
+        Map("a" -> 6, "b" -> 100), seed = 99L)
+      .as[(String, Long, Int)].collect()
+    assert(reseeded.filter(_._1 == "a").map(_._2).toSet !=
+      got.filter(_._1 == "a").map(_._2).toSet)
+  }
+
   test("sourceOverlap: a mirrored source scores jaccard 1.0 with its " +
       "original, disjoint sources are not emitted") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
