@@ -716,4 +716,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"scalar totals should broadcast:\n$p")
   }
+
+  test("d13 source overlap: equi-joins only, no window, no cartesian") {
+    val p = plan("d13_source_overlap")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"d13 plan regressed:\n$p")
+  }
+
+  test("c16 mixture sampler ranks via the bounded heap — no window, " +
+      "recipe filter is map-only") {
+    val p = plan("c16_mixture_sample")
+    assert(!p.contains("Window"), s"quota ranking uses a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"bounded heap aggregate missing:\n$p")
+    assert(!p.contains("Join"), s"recipe filter should be map-only:\n$p")
+  }
+
+  test("v01 DQ audit: FK checks are left-anti joins, no cartesian beyond " +
+      "the 1-row total attaches") {
+    val p = plan("v01_dq_audit")
+    assert(p.contains("LeftAnti"), s"FK check lost its anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the audit:\n$p")
+  }
 }
