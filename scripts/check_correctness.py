@@ -28,10 +28,35 @@ for name in sorted(os.listdir(outdir)):
     except Exception as e:
         fails.append((name, [f"oracle error: {e}"]))
         continue
+    # dtype gate (round-9 lesson, t33): the driver hashes canonical value
+    # BYTES, so a DuckDB HUGEINT (int128) column hash-mismatches an
+    # engine BIGINT even when every value is equal — and pandas string
+    # coercion below cannot see it. Compare the DuckDB oracle types
+    # against the engine parquet types BEFORE value comparison.
+    # int32<->int64 pairings are driver-proven compatible (13 such
+    # columns were green in r9's driver gate); int128 is not.
+    def type_family(t):
+        t = str(t).upper()
+        if 'HUGEINT' in t:
+            return 'int128'          # never compatible with anything
+        if t in ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT'):
+            return 'int'
+        # unsigned stays its own family: Spark never emits unsigned, so
+        # an unsigned oracle column is always a typing bug to fix there
+        return t
+    got_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+    want_rel = con.sql(oracles[name])
+    got_types = dict(zip(got_rel.columns, got_rel.types))
+    want_types = dict(zip(want_rel.columns, want_rel.types))
+    type_problems = [
+        f"col {c} dtype: engine {got_types[c]} vs oracle {want_types[c]}"
+        for c in want_types
+        if c in got_types
+        and type_family(got_types[c]) != type_family(want_types[c])]
     # driver semantics: sort columns by name, then compare value hashes
     got = got.reindex(sorted(got.columns), axis=1)
     want = want.reindex(sorted(want.columns), axis=1)
-    problems = []
+    problems = list(type_problems)
     if list(got.columns) != list(want.columns):
         problems.append(f"columns {list(got.columns)} != {list(want.columns)}")
     elif len(got) != len(want):

@@ -4027,8 +4027,8 @@ object SparkEntry {
            FROM documents d LEFT JOIN pd USING (doc_id)
                             LEFT JOIN nw USING (doc_id))
          SELECT doc_id, n_tokens, new_tokens,
-                SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens,
-                SUM(new_tokens) OVER (ORDER BY doc_id) AS cum_vocab
+                CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+                CAST(SUM(new_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab
          FROM base""",
     // transitions: same per-user lead ordering (micros, event_id
     // tie-break), same normalization order

@@ -46,10 +46,23 @@ object HashKernels {
     * Code-point deletions match Spark's code-point `levenshtein`/
     * `substr` semantics on supplementary characters.
     */
+  /** Hard bound on input code-point length: at d=2 the variant count is
+    * n·(n−1)/2 longs per ROW, so an accidental document-sized input would
+    * OOM an executor (and past ~65k code points the Int count math would
+    * overflow). The kernel is scoped to short key fields; fail loudly.
+    */
+  val MaxCodePoints = 4096
+
   def deletionVariantHashes(s: UTF8String, d: Int): ArrayData = {
     val str = s.toString
     val cp = str.codePoints().toArray
     val n = cp.length
+    if (n > MaxCodePoints)
+      throw new IllegalArgumentException(
+        s"deletionVariantHashes: input of $n code points exceeds the " +
+          s"$MaxCodePoints bound — this kernel targets short key fields " +
+          "(at d=2 output is n(n-1)/2 longs per row); pre-truncate or " +
+          "use a banding join for long text")
     val B = 0x100000001B3L
     val pow = new Array[Long](n + 1)
     val pre = new Array[Long](n + 1)

@@ -44,6 +44,11 @@ object DqAudit {
 
   def run(tables: Map[String, DataFrame], rules: Seq[DqRule]): DataFrame = {
     require(rules.nonEmpty, "no rules to audit")
+    rules.groupBy(r => (r.table, r.name)).foreach { case ((t, n), rs) =>
+      require(rs.sizeIs == 1,
+        s"duplicate rule name '$n' on table '$t' (${rs.size} rules); " +
+          "fused rules become __v_<name> columns, so names must be unique per table")
+    }
     rules.foreach { r =>
       require(tables.contains(r.table), s"unknown table ${r.table}")
       r match {
@@ -65,9 +70,12 @@ object DqAudit {
         } :+ count(lit(1)).as("__total")
         val row = df.agg(aggs.head, aggs.tail: _*)
         val out = tagged.map { case (_, (name, typ, _)) =>
+          // coalesce: sum(...) over an EMPTY table is null, but the
+          // UniqueKey/ForeignKey paths emit 0 — keep output consistent
           struct(lit(name).as("check"), lit(typ).as("type"),
             lit(table).as("table"),
-            col(s"__v_$name").as("violations"), col("__total").as("total"))
+            coalesce(col(s"__v_$name"), lit(0L)).as("violations"),
+            col("__total").as("total"))
         }
         row.select(explode(array(out: _*)).as("__r")).select("__r.*")
       } ++

@@ -61,6 +61,65 @@ private[streaming] object LsmParquetState {
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     owners.put(ownerKey(dir), Owner(s"streaming query ${q.id}", () => q.isActive))
 
+  /** A registration taken out BEFORE `start()` returns, closing the
+    * window where the first micro-batch is already live but no owner is
+    * registered yet (a concurrent [[compact]] would pass the guard and
+    * swap the directory under it). The handle counts as ACTIVE from
+    * creation until [[PendingOwner.bind]] hands it the started query
+    * (after which liveness delegates to `query.isActive`) or
+    * [[PendingOwner.cancel]] releases it (the `start()`-threw path).
+    */
+  final class PendingOwner private[LsmParquetState] (val label: String) {
+    @volatile private var query:
+        Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    @volatile private var cancelled = false
+    private[LsmParquetState] def active: Boolean =
+      !cancelled && query.forall(_.isActive)
+    /** Delegate liveness to the now-started query. */
+    def bind(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      query = Some(q)
+    /** Release without ever binding (start failed / work finished). */
+    def cancel(): Unit = cancelled = true
+  }
+
+  /** Register a pending owner for `dir`, refusing if another owner is
+    * still active (the reverse race: starting a stream over a directory
+    * a compaction is mid-swap on now fails fast instead of reading a
+    * half-swapped store). Callers: take the handle BEFORE `start()`,
+    * `bind` the query once it returns, `cancel` on failure.
+    */
+  def registerPending(dir: String,
+      label: String = "starting streaming query"): PendingOwner = {
+    val k = ownerKey(dir)
+    val existing = owners.get(k)
+    if (existing != null && existing.isActive())
+      throw new IllegalStateException(
+        s"refusing to claim $dir: ${existing.label} is active over this " +
+          "state directory — stop the stream first (a concurrent claim " +
+          "would race its reads and appends)")
+    val h = new PendingOwner(label)
+    owners.put(k, Owner(label, () => h.active))
+    h
+  }
+
+  /** Take pending ownership of every dir in order, run `start`, bind the
+    * query to all handles; on failure release the handles and rethrow.
+    * The one helper every streaming operator's `start` should use.
+    */
+  def withPendingOwners(dirs: Seq[String])(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val handles = new scala.collection.mutable.ArrayBuffer[PendingOwner]
+    try {
+      dirs.foreach(d => handles += registerPending(d))
+      val q = start
+      handles.foreach(_.bind(q))
+      q
+    } catch {
+      case e: Throwable => handles.foreach(_.cancel()); throw e
+    }
+  }
+
   /** Test seam / non-query owners: register by label + liveness thunk. */
   private[streaming] def registerOwner(dir: String, label: String,
       isActive: () => Boolean): Unit =
@@ -301,29 +360,36 @@ private[streaming] object LsmParquetState {
     */
   def compact(spark: SparkSession, dir: String, layout: LsmLayout,
       rowsPerFile: Long = 8L * 1024 * 1024): Unit = {
-    guardNotStreaming(dir)
-    recover(spark, dir)
-    val tmp = dir.stripSuffix("/") + ".compacting"
-    if (hasBase(spark, dir))
-      writeBase(snapshot(spark, dir, layout), tmp, layout, rowsPerFile)
-    else {
-      // snapshot, NOT a plain read: a flat read silently ignores a stray
-      // tail/ under a legacy store — compacting through it would delete
-      // those rows permanently in the swap below
-      val df = snapshot(spark, dir, layout)
-      val n = math.max(1L, math.min(Int.MaxValue.toLong,
-        (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
-      df.repartition(n).write.mode("overwrite").parquet(tmp)
-    }
-    val (fs, p) = fsOf(spark, dir)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
-    if (!fs.rename(p, bak))
-      throw new java.io.IOException(s"could not stage $dir to $bak for swap")
-    if (!fs.rename(t, p))
-      throw new java.io.IOException(
-        s"compaction swap failed: live state preserved at $bak — " +
-          s"recover($dir) restores it")
-    fs.delete(bak, true)
+    // claim the dir for the duration: refuses if a stream (pending or
+    // live) owns it, AND makes a stream started mid-compaction fail fast
+    // in registerPending instead of reading a half-swapped store. Still
+    // best-effort against registry-bypassing writers (driver-JVM scope,
+    // see the registry doc) — the between-runs contract remains the rule.
+    val claim = registerPending(dir, "compaction in progress")
+    try {
+      recover(spark, dir)
+      val tmp = dir.stripSuffix("/") + ".compacting"
+      if (hasBase(spark, dir))
+        writeBase(snapshot(spark, dir, layout), tmp, layout, rowsPerFile)
+      else {
+        // snapshot, NOT a plain read: a flat read silently ignores a stray
+        // tail/ under a legacy store — compacting through it would delete
+        // those rows permanently in the swap below
+        val df = snapshot(spark, dir, layout)
+        val n = math.max(1L, math.min(Int.MaxValue.toLong,
+          (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
+        df.repartition(n).write.mode("overwrite").parquet(tmp)
+      }
+      val (fs, p) = fsOf(spark, dir)
+      val t = new org.apache.hadoop.fs.Path(tmp)
+      val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".bak")
+      if (!fs.rename(p, bak))
+        throw new java.io.IOException(s"could not stage $dir to $bak for swap")
+      if (!fs.rename(t, p))
+        throw new java.io.IOException(
+          s"compaction swap failed: live state preserved at $bak — " +
+            s"recover($dir) restores it")
+      fs.delete(bak, true)
+    } finally claim.cancel()
   }
 }

@@ -126,18 +126,18 @@ object StreamingCuration {
       overlapN: Int = 5, overlapThreshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(!evalDocs.isStreaming, "the eval set must be a bounded batch frame")
-    val q = source.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, evalDocs, idCol, textCol, langCol,
-          fpDir, keptDir, lang, minQuality, maxDupBigramFrac, overlapN,
-          overlapThreshold)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
-    // fingerprint compaction refuses while this query is live
-    LsmParquetState.registerOwner(fpDir, q)
-    q
+    // fingerprint compaction refuses while this query is pending/live
+    LsmParquetState.withPendingOwners(Seq(fpDir)) {
+      source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, evalDocs, idCol, textCol, langCol,
+            fpDir, keptDir, lang, minQuality, maxDupBigramFrac, overlapN,
+            overlapThreshold)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
   }
 
   /** One micro-batch of the screen — the foreachBatch body, split out so

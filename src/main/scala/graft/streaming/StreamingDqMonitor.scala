@@ -48,15 +48,15 @@ object StreamingDqMonitor {
       s"every rule must target the streaming table '$tableName'")
     refTables.values.foreach(r => require(!r.isStreaming,
       "reference tables must be bounded batch frames"))
-    val q = source.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, tableName, refTables, rules, countsDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
-    LsmParquetState.registerOwner(countsDir, q)
-    q
+    LsmParquetState.withPendingOwners(Seq(countsDir)) {
+      source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, tableName, refTables, rules, countsDir)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
   }
 
   /** One micro-batch — split out so the replay spec can drive it with a

@@ -95,17 +95,16 @@ object StreamingEntityResolution {
       namesDir: String, mapDir: String, checkpointDir: String,
       maxDist: Int = 1,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val q = source.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, idCol, strCol, namesDir, mapDir,
-          maxDist)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
-    LsmParquetState.registerOwner(namesDir, q)
-    LsmParquetState.registerOwner(mapDir, q)
-    q
+    LsmParquetState.withPendingOwners(Seq(namesDir, mapDir)) {
+      source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, idCol, strCol, namesDir, mapDir,
+            maxDist)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
   }
 
   /** One micro-batch — split out so the replay spec can drive it with a

@@ -40,7 +40,8 @@ object StreamingHeavyHitters {
       countsDir: String, outDir: String, checkpointDir: String,
       k: Int = 20,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val q = source.writeStream
+    LsmParquetState.withPendingOwners(Seq(countsDir)) {
+      source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         if (batchId == 0L) {
@@ -61,9 +62,7 @@ object StreamingHeavyHitters {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    // counts compaction refuses while this query is live
-    LsmParquetState.registerOwner(countsDir, q)
-    q
+    }
   }
 
   /** Fold all accumulated per-batch delta directories into one `batch=-1`

@@ -243,19 +243,19 @@ object StreamingNearDup {
       bands: Int = 16, rowsPerBand: Int = 4, maxBucketSize: Int = 1000,
       trigger: Trigger = Trigger.AvailableNow(),
       restrictToTouched: Boolean = true): StreamingQuery = {
-    val q = source.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, idCol, textCol, indexDir, docsDir,
-          pairsDir, threshold, shingleK, bands, rowsPerBand, maxBucketSize,
-          restrictToTouched)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
-    // compaction of either state dir refuses while this query is live
-    LsmParquetState.registerOwner(indexDir, q)
-    LsmParquetState.registerOwner(docsDir, q)
-    q
+    // compaction of either state dir refuses while this query is
+    // pending/live
+    LsmParquetState.withPendingOwners(Seq(indexDir, docsDir)) {
+      source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, idCol, textCol, indexDir, docsDir,
+            pairsDir, threshold, shingleK, bands, rowsPerBand, maxBucketSize,
+            restrictToTouched)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
   }
 
   /** One micro-batch of the screen — the foreachBatch body, split out so

@@ -123,17 +123,17 @@ object StreamingSemanticScreen {
       threshold: Double = 0.999, k: Int = 5, nprobe: Int = 4,
       rerank: Int = 32,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val q = source.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, idCol, vecCol, indexDir, vecsDir,
-          pairsDir, threshold, k, nprobe, rerank)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
-    // stored-vector compaction refuses while this query is live
-    LsmParquetState.registerOwner(vecsDir, q)
-    q
+    // stored-vector compaction refuses while this query is pending/live
+    LsmParquetState.withPendingOwners(Seq(vecsDir)) {
+      source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, idCol, vecCol, indexDir, vecsDir,
+            pairsDir, threshold, k, nprobe, rerank)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
   }
 
   /** One micro-batch — split out so the replay spec can drive it with a

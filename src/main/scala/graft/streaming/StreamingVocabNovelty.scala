@@ -77,15 +77,15 @@ object StreamingVocabNovelty {
   def start(spark: SparkSession, source: DataFrame, textCol: String,
       tokensDir: String, reportDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val q = source.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, textCol, tokensDir, reportDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
-    LsmParquetState.registerOwner(tokensDir, q)
-    q
+    LsmParquetState.withPendingOwners(Seq(tokensDir)) {
+      source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, textCol, tokensDir, reportDir)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
   }
 
   /** One micro-batch — split out so the replay spec can drive it with a

@@ -82,4 +82,62 @@ class EntryContractSpec extends AnyFunSuite {
       "naked round() emission(s) — append `+ 0.0` right after the paren " +
         "(see scaladoc):\n" + offenders.mkString("\n"))
   }
+
+  test("oracle window/aggregate SUMs over integers are cast (no HUGEINT)") {
+    // DuckDB types SUM over a BIGINT input as HUGEINT (int128). The
+    // driver's gate hashes canonical value BYTES, so int128(42) !=
+    // int64(42) even when every value matches — this failed
+    // t33_heaps_growth in round 9 as the ONLY uncast window sum of 174
+    // oracles. Convention (e09): wrap every `SUM(...) OVER` in
+    // `CAST(... AS BIGINT)`. Plain GROUP BY sums are equally affected
+    // unless their input is already DOUBLE/DECIMAL or they feed a cast,
+    // but those are covered by the runtime dtype gate in
+    // scripts/check_correctness.py (which executes every oracle in
+    // DuckDB and fails on any HUGEINT output column); this static lint
+    // pins the window-sum class that slipped through.
+    def closingParen(s: String, open: Int): Int = {
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+    val sumRe = "(?i)\\bsum\\s*\\(".r
+    def depthAt(s: String, pos: Int): Int = {
+      var depth = 0
+      var i = 0
+      while (i < pos) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      depth
+    }
+    val offenders = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      m <- sumRe.findAllMatchIn(sql)
+      close = closingParen(sql, m.end - 1)
+      if close > 0
+      tail = sql.substring(close + 1).dropWhile(_.isWhitespace)
+      if tail.toLowerCase.startsWith("over")
+      // only FINAL-select emissions are the failure class: a window sum
+      // at paren depth 0 lands in the output schema uncoerced (t33's
+      // bug); one inside a CTE or a wrapping CAST/expression (depth > 0)
+      // is consumed downstream and the runtime dtype gate covers it
+      if depthAt(sql, m.start) == 0
+    } yield s"$name @${m.start}: final-select SUM(...) OVER without a CAST"
+    assert(offenders.isEmpty,
+      "uncast window sum(s) — DuckDB types these HUGEINT and the driver " +
+        "hash gate fails on the byte width; wrap in CAST(... AS BIGINT) " +
+        "(the e09/t33 convention):\n" + offenders.mkString("\n"))
+  }
 }

@@ -50,4 +50,34 @@ class DqAuditSpec extends SparkTestBase {
     assert(scans <= 2, s"scalar rules re-scan the table:\n$p")
     assert(audit.count() === 3L)
   }
+
+  test("duplicate rule names on one table are refused up front " +
+      "(fused __v_<name> columns would collide at run time)") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val ex = intercept[IllegalArgumentException] {
+      DqAudit.run(Map("t" -> df), Seq(
+        NotNull("r", "t", "s"),
+        RangeRule("r", "t", col("id") < 0)))
+    }
+    assert(ex.getMessage.contains("duplicate rule name"), ex.getMessage)
+    // same name on DIFFERENT tables is fine
+    DqAudit.run(Map("t" -> df, "u" -> df), Seq(
+      NotNull("r", "t", "s"), NotNull("r", "u", "s"))).count()
+  }
+
+  test("an empty table reports 0 violations from every rule type " +
+      "(fused sums coalesce instead of emitting null)") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val ref = Seq((1L, "x")).toDF("k", "v")
+    val audit = DqAudit.run(Map("t" -> empty, "r" -> ref), Seq(
+      NotNull("nn", "t", "s"),
+      RangeRule("rg", "t", col("id") < 0),
+      UniqueKey("uk", "t", Seq("id")),
+      ForeignKey("fk", "t", "id", "r", "k")))
+      .select("check", "violations", "total")
+      .as[(String, Long, Long)].collect()
+      .map { case (c, v, t) => c -> ((v, t)) }.toMap
+    assert(audit == Map("nn" -> (0L, 0L), "rg" -> (0L, 0L),
+      "uk" -> (0L, 0L), "fk" -> (0L, 0L)), audit)
+  }
 }

@@ -1444,4 +1444,39 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/counts/batch=*")
       .as[(String, Long)].collect().toSet == Set(("alpha", 3L)))
   }
+
+  test("pending ownership covers the start() window: a claim taken " +
+      "before the query exists already blocks compaction, and is " +
+      "released on cancel or delegated on bind") {
+    val dir = Files.createTempDirectory("graft_lsm_pending").toString
+    val layout = LsmLayout(Seq("__p"), Seq("__p"),
+      df => df.withColumn("__p",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash($"id"),
+          org.apache.spark.sql.functions.lit(4))))
+    LsmParquetState.seed(Seq((1L, "a")).toDF("id", "v"), s"$dir/s", layout)
+    // the pre-start claim counts as ACTIVE before any query is bound —
+    // exactly the first-micro-batch-already-live window the old
+    // register-after-start pattern left open
+    val h = LsmParquetState.registerPending(s"$dir/s")
+    intercept[IllegalStateException] {
+      LsmParquetState.compact(spark, s"$dir/s", layout)
+    }
+    // a second claimant (e.g. another stream start) is refused too
+    intercept[IllegalStateException] {
+      LsmParquetState.registerPending(s"$dir/s")
+    }
+    // start() threw → cancel releases the claim; compaction proceeds
+    h.cancel()
+    LsmParquetState.compact(spark, s"$dir/s", layout)
+    assert(LsmParquetState.snapshot(spark, s"$dir/s", layout)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // withPendingOwners releases its claims when start fails
+    intercept[RuntimeException] {
+      LsmParquetState.withPendingOwners(Seq(s"$dir/s")) {
+        throw new RuntimeException("start failed")
+      }
+    }
+    LsmParquetState.compact(spark, s"$dir/s", layout)
+  }
 }
