@@ -328,6 +328,69 @@ private[streaming] object LsmParquetState {
   def snapshot(spark: SparkSession, dir: String, layout: LsmLayout): DataFrame =
     scan(spark, dir, layout, lit(true))
 
+  /** The BASE only (no tail), pruned by `basePredicate` — for stores
+    * whose tail rows OVERRIDE base rows (latest-wins state like the
+    * entity-resolution cluster map), where the caller must resolve the
+    * two sides itself instead of taking [[scan]]'s plain union. Requires
+    * the LSM layout (a legacy flat store has no base/tail distinction to
+    * separate).
+    */
+  def scanBaseOnly(spark: SparkSession, dir: String, layout: LsmLayout,
+      basePredicate: Column): DataFrame = {
+    require(hasBase(spark, dir), s"$dir has no base subdirectory — " +
+      "scanBaseOnly needs the LSM layout")
+    val raw = spark.read.parquet(s"$dir/base")
+    (if (layout.partitionCols.forall(raw.columns.contains))
+      raw.filter(basePredicate) else raw).drop(layout.derivedCols: _*)
+  }
+
+  /** The TAIL only, each row tagged `__tail_batch` (its `batch=` id, or
+    * −1 for legacy flat tail files) — the provenance a latest-wins
+    * resolution orders by. Empty-schema-correct when no tail exists.
+    */
+  def scanTailTagged(spark: SparkSession, dir: String, layout: LsmLayout,
+      excludeTailBatch: Option[Long] = None): DataFrame = {
+    val stateCols =
+      scanBaseOnly(spark, dir, layout, lit(false)).columns.toIndexedSeq
+    if (!exists(spark, s"$dir/tail"))
+      return scanBaseOnly(spark, dir, layout, lit(false))
+        .withColumn("__tail_batch", lit(-1L)).limit(0)
+    val raw = spark.read.parquet(s"$dir/tail")
+    val t = excludeTailBatch match {
+      case Some(id) if raw.columns.contains("batch") =>
+        raw.filter(col("batch") =!= id)
+      case _ => raw
+    }
+    val tagged =
+      if (raw.columns.contains("batch"))
+        t.withColumn("__tail_batch", col("batch").cast("long"))
+      else t.withColumn("__tail_batch", lit(-1L))
+    tagged.select((stateCols :+ "__tail_batch").map(col): _*)
+  }
+
+  /** Every state row tagged with its provenance: base rows (and legacy
+    * flat rows) as `__tail_batch = −1`, tail rows as their batch id —
+    * what a latest-wins [[compact]] `resolve` hook consumes.
+    */
+  def snapshotTagged(spark: SparkSession, dir: String,
+      layout: LsmLayout): DataFrame =
+    if (!hasBase(spark, dir)) {
+      val flat = spark.read.parquet(dir).withColumn("__tail_batch", lit(-1L))
+      if (!exists(spark, s"$dir/tail")) flat
+      else {
+        val t = spark.read.parquet(s"$dir/tail")
+        val tagged =
+          if (t.columns.contains("batch"))
+            t.withColumn("__tail_batch", col("batch").cast("long"))
+          else t.withColumn("__tail_batch", lit(-1L))
+        flat.unionByName(
+          tagged.select(flat.columns.toIndexedSeq.map(col): _*))
+      }
+    } else
+      scanBaseOnly(spark, dir, layout, lit(true))
+        .withColumn("__tail_batch", lit(-1L))
+        .unionByName(scanTailTagged(spark, dir, layout))
+
   /** Heal a state directory after a crash mid-[[compact]] swap.
     * Idempotent; [[compact]] self-heals through it.
     *   - `.bak` present, `current` missing → crash between the renames:
@@ -359,7 +422,8 @@ private[streaming] object LsmParquetState {
     * active over `dir`.
     */
   def compact(spark: SparkSession, dir: String, layout: LsmLayout,
-      rowsPerFile: Long = 8L * 1024 * 1024): Unit = {
+      rowsPerFile: Long = 8L * 1024 * 1024,
+      resolve: Option[DataFrame => DataFrame] = None): Unit = {
     // claim the dir for the duration: refuses if a stream (pending or
     // live) owns it, AND makes a stream started mid-compaction fail fast
     // in registerPending instead of reading a half-swapped store. Still
@@ -369,13 +433,25 @@ private[streaming] object LsmParquetState {
     try {
       recover(spark, dir)
       val tmp = dir.stripSuffix("/") + ".compacting"
+      // `resolve`: a latest-wins (or other conflict-resolution) hook —
+      // receives the TAGGED snapshot (state cols + __tail_batch, base
+      // rows −1) and must return the resolved state without the tag.
+      // Without it the snapshot is the plain base ∪ tail union.
+      def folded(): DataFrame = resolve match {
+        case Some(f) =>
+          val out = f(snapshotTagged(spark, dir, layout))
+          require(!out.columns.contains("__tail_batch"),
+            "compact resolve hook must drop the __tail_batch tag")
+          out
+        case None => snapshot(spark, dir, layout)
+      }
       if (hasBase(spark, dir))
-        writeBase(snapshot(spark, dir, layout), tmp, layout, rowsPerFile)
+        writeBase(folded(), tmp, layout, rowsPerFile)
       else {
         // snapshot, NOT a plain read: a flat read silently ignores a stray
         // tail/ under a legacy store — compacting through it would delete
         // those rows permanently in the swap below
-        val df = snapshot(spark, dir, layout)
+        val df = folded()
         val n = math.max(1L, math.min(Int.MaxValue.toLong,
           (df.count() + rowsPerFile - 1) / rowsPerFile)).toInt
         df.repartition(n).write.mode("overwrite").parquet(tmp)

@@ -1,60 +1,146 @@
 package graft.streaming
 
-import graft.operators.{Dedup, FuzzyJoin}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /**
  * Streaming incremental entity resolution — the ingest-time form of the
- * c14 batch composition: as records arrive, fuzzy-match their string
- * keys against the accumulated vocabulary (SymSpell deletion
- * neighborhoods, [[FuzzyJoin.deletionNeighborhoodJoin]]) and fold the
- * new match edges into a persisted cluster map with the contracted-graph
- * incremental closure ([[Dedup.clusterAssignmentsIncremental]] — the
- * c13 machinery), so each micro-batch costs O(delta names + touched
- * clusters), never a corpus re-closure.
+ * c14 batch composition: as records arrive, fuzzy-match their NEW
+ * string keys against the accumulated vocabulary (SymSpell deletion
+ * neighborhoods probed through a PERSISTED variant-hash index) and fold
+ * the match edges into a persisted cluster map with the
+ * contracted-graph incremental closure
+ * ([[Dedup.clusterAssignmentsIncrementalDelta]] — the c13 machinery),
+ * so each micro-batch costs O(delta names + touched clusters), never a
+ * corpus re-closure — and WRITES O(delta + relabeled rows), never a
+ * vocabulary-scale snapshot (the LSM base+tail recipe shared with the
+ * d09 near-dup stores).
  *
- * State (both VOCABULARY-scale — one row per distinct string, the ER
- * working set, not per record):
- *   - `namesDir/batch=<id>`: (name, name_id) — every distinct name seen
- *     through batch `id`, with its stable id;
- *   - `mapDir/batch=<id>`:   (name_id, cluster_id) — the closure after
- *     batch `id`.
- * Every batch WRITES a complete new snapshot keyed by its batch id and
- * READS the latest snapshot with batch id < its own — a foreachBatch
- * replay therefore sees exactly the pre-batch state and overwrites only
- * its own partitions: exactly-once state evolution with no swap dance.
- * [[compactState]] drops superseded snapshots between runs.
+ * State — three [[LsmParquetState]] stores, all vocabulary-scale (one
+ * row per distinct string / variant, the ER working set, not per
+ * record):
+ *   - `namesDir`:  (name, name_id) — append-only; base partitioned by
+ *     `__np = pmod(hash(name), 64)` so the per-batch newness anti-join
+ *     reads only the batch's name-prefix partitions (a bounded ≤ 64-int
+ *     collect builds the PartitionFilter, static pruning);
+ *   - `<namesDir>.variants`: (__v, name_id, name) — every `<= maxDist`
+ *     deletion-variant hash of every stored name, base partitioned by
+ *     `__vp = pmod(__v, 64)`; candidate generation probes ONLY the
+ *     delta's touched prefixes. Carrying the (short key) string in the
+ *     index removes the second fetch the d09 docs store needs for big
+ *     payloads — candidates verify with `levenshtein` directly;
+ *   - `mapDir`:    (name_id, cluster_id) — base partitioned by
+ *     `pmod(hash(name_id), 64)`; the tail holds per-batch DELTAS (new
+ *     names' assignments + relabeled members of merged clusters) and a
+ *     tail row OVERRIDES the base latest-batch-wins. [[compactState]]
+ *     resolves tails into a fresh base between runs.
+ * Every batch appends its deltas under `tail/batch=<id>` (overwritten
+ * on a foreachBatch replay) and reads state with its own batch's tail
+ * excluded — a replay therefore sees exactly the pre-batch state:
+ * exactly-once state evolution, now at delta write cost.
  *
  * Contracts:
  *   - record ids are monotonically non-decreasing across batches (the
  *     ingest norm); a name's stable `name_id` is the smallest record id
  *     that carried it, which under monotone ids equals the global
  *     minimum — so drained cluster labels are row-identical to the
- *     batch closure over everything streamed (the c13 guarantee).
+ *     batch closure over everything streamed (the c13 guarantee). The
+ *     contract is load-bearing and now CHECKED: each batch's min id
+ *     must be >= the stored max id of prior batches (one scalar agg per
+ *     batch; violation fails the batch fast instead of silently
+ *     diverging cluster labels).
  *   - cluster labels are RETROACTIVE (a later edge can merge two old
  *     clusters); the queryable result is the latest persisted map, not
  *     any per-batch emission — read it with [[resolvedMap]].
+ *   - batch ids must be monotone too: keep the checkpoint across runs,
+ *     or [[compactState]] between runs (an empty tail makes restarting
+ *     ids safe).
  */
 object StreamingEntityResolution {
 
-  /** Latest persisted snapshot with batch id strictly below `before`
-    * (None on a fresh store) — the pre-batch read every replay sees.
+  /** Sub-partitions of each store's base — see the class doc. */
+  val prefixes: Int = 64
+
+  /** The variant-hash index lives NEXT TO the names store (sibling, not
+    * nested — a subdirectory would corrupt the names store's own
+    * base/tail discovery).
     */
-  private def latest(spark: SparkSession, dir: String,
-      before: Long): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val ids = fs.listStatus(p).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch=") =>
-        s.stripPrefix("batch=").toLong }
-      .filter(_ < before)
-    if (ids.isEmpty) None
-    else Some(spark.read.parquet(s"$dir/batch=${ids.max}"))
+  def variantsDirFor(namesDir: String): String =
+    namesDir.stripSuffix("/") + ".variants"
+
+  private def maxIdDirFor(namesDir: String): String =
+    namesDir.stripSuffix("/") + ".maxid"
+
+  private val namesLayout = LsmLayout(Seq("__np"), Seq("__np"),
+    _.withColumn("__np", pmod(hash(col("name")), lit(prefixes)).cast("int")))
+  private val idxLayout = LsmLayout(Seq("__vp"), Seq("__vp"),
+    _.withColumn("__vp", pmod(col("__v"), lit(prefixes.toLong)).cast("int")))
+  private val mapLayout = LsmLayout(Seq("__mp"), Seq("__mp"),
+    _.withColumn("__mp", pmod(hash(col("name_id")), lit(prefixes)).cast("int")))
+
+  /** (__v, name_id, name) variant-index rows of a names frame. */
+  private def variantRows(names: DataFrame, maxDist: Int): DataFrame =
+    names.select(
+      explode(graft.functions.GraftFunctions.deletion_variant_hashes(
+        col("name"), maxDist)).as("__v"),
+      col("name_id"), col("name"))
+
+  /** Seed the three stores from an existing batch-resolved map
+    * (`(name, name_id, cluster_id)`, e.g. a c14 result) — the handoff
+    * from a batch build to the streaming screen. `maxRecordId` primes
+    * the monotone-ids contract: the first streamed batch's ids must
+    * exceed every record id the batch build consumed (defaults to the
+    * max `name_id`, a LOWER bound — pass the true max record id).
+    */
+  def seedState(resolved: DataFrame, namesDir: String, mapDir: String,
+      maxDist: Int = 1, maxRecordId: Option[Long] = None): Unit = {
+    val names = resolved.select("name", "name_id")
+    LsmParquetState.seed(names, namesDir, namesLayout)
+    LsmParquetState.seed(variantRows(names, maxDist),
+      variantsDirFor(namesDir), idxLayout)
+    LsmParquetState.seed(resolved.select("name_id", "cluster_id"),
+      mapDir, mapLayout)
+    val s = resolved.sparkSession
+    val seedMax = maxRecordId.orElse(
+      Option(names.agg(max(col("name_id"))).head().get(0))
+        .map(_.asInstanceOf[Long]))
+    seedMax.foreach(m => writeMaxId(s, namesDir, -1L, m))
+  }
+
+  /** First-contact bootstrap: empty bases so every later read/append
+    * takes the LSM path. Idempotent, cheap (schema-only writes).
+    */
+  private def ensureStores(s: SparkSession, like: DataFrame,
+      namesDir: String, mapDir: String): Unit = {
+    val emptyNames = like.select(col("name"), col("name_id")).limit(0)
+    if (!LsmParquetState.hasBase(s, namesDir))
+      LsmParquetState.seed(emptyNames, namesDir, namesLayout)
+    if (!LsmParquetState.hasBase(s, variantsDirFor(namesDir)))
+      LsmParquetState.seed(variantRows(emptyNames, 1),
+        variantsDirFor(namesDir), idxLayout)
+    if (!LsmParquetState.hasBase(s, mapDir))
+      LsmParquetState.seed(
+        like.select(col("name_id"), col("name_id").as("cluster_id")).limit(0),
+        mapDir, mapLayout)
+  }
+
+  /** The current cluster map (name_id, cluster_id): base with the tail's
+    * latest-batch-wins overrides applied. The override set is the
+    * (small) un-compacted tail, so the base never shuffles: resolve the
+    * tail per key (`max_by` over batch provenance), anti-join the base
+    * against the override keys (AQE broadcasts them), union.
+    */
+  private def currentMap(s: SparkSession, mapDir: String,
+      excludeTailBatch: Option[Long]): DataFrame = {
+    val base = LsmParquetState.scanBaseOnly(s, mapDir, mapLayout, lit(true))
+    val tail = LsmParquetState.scanTailTagged(s, mapDir, mapLayout,
+      excludeTailBatch)
+    val latest = tail.groupBy("name_id")
+      .agg(max_by(col("cluster_id"), col("__tail_batch")).as("cluster_id"))
+    base.join(latest.select("name_id"), Seq("name_id"), "left_anti")
+      .unionByName(latest)
   }
 
   /** The resolved entity map after the last drained batch:
@@ -62,44 +148,78 @@ object StreamingEntityResolution {
     */
   def resolvedMap(spark: SparkSession, namesDir: String,
       mapDir: String): DataFrame = {
-    val names = latest(spark, namesDir, Long.MaxValue)
-      .getOrElse(throw new IllegalStateException(
-        s"no entity state under $namesDir — nothing drained yet"))
-    val m = latest(spark, mapDir, Long.MaxValue)
-      .getOrElse(throw new IllegalStateException(
-        s"no cluster state under $mapDir"))
-    names.join(m, "name_id").select("name", "name_id", "cluster_id")
+    if (!LsmParquetState.hasBase(spark, namesDir))
+      throw new IllegalStateException(
+        s"no entity state under $namesDir — nothing drained yet")
+    LsmParquetState.snapshot(spark, namesDir, namesLayout)
+      .join(currentMap(spark, mapDir, None), "name_id")
+      .select("name", "name_id", "cluster_id")
   }
 
-  /** Drop all but the latest snapshot in each state dir. Call BETWEEN
-    * runs (guarded like the LSM stores).
+  /** Fold each store's tail into a fresh partitioned base (the map with
+    * latest-batch-wins conflict resolution) and keep only the newest
+    * max-id marker. Call BETWEEN runs (claimed/guarded like every LSM
+    * store); afterwards a run restarting at batch id 0 is safe.
     */
   def compactState(spark: SparkSession, namesDir: String,
-      mapDir: String): Unit = Seq(namesDir, mapDir).foreach { dir =>
-    LsmParquetState.guardNotStreaming(dir)
+      mapDir: String): Unit = {
+    LsmParquetState.compact(spark, namesDir, namesLayout)
+    LsmParquetState.compact(spark, variantsDirFor(namesDir), idxLayout)
+    LsmParquetState.compact(spark, mapDir, mapLayout,
+      resolve = Some(tagged => tagged.groupBy("name_id")
+        .agg(max_by(col("cluster_id"), col("__tail_batch")).as("cluster_id"))))
+    // max-id markers: keep the newest only, rebased to the reserved
+    // pre-run id −1 so a restarted run's batch 0 still sees it
+    val dir = maxIdDirFor(namesDir)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val parts = fs.listStatus(p).toSeq.filter(_.isDirectory)
-        .map(_.getPath)
-        .filter(_.getName.startsWith("batch="))
-      if (parts.size > 1) {
-        val keep = parts.maxBy(_.getName.stripPrefix("batch=").toLong)
-        parts.filterNot(_ == keep).foreach(fs.delete(_, true))
+      latestMaxId(spark, namesDir, Long.MaxValue).foreach { m =>
+        fs.delete(p, true)
+        writeMaxId(spark, namesDir, -1L, m)
       }
     }
+  }
+
+  private def writeMaxId(s: SparkSession, namesDir: String, batchId: Long,
+      maxId: Long): Unit = {
+    import s.implicits._
+    Seq(maxId).toDF("max_rid").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${maxIdDirFor(namesDir)}/batch=$batchId")
+  }
+
+  /** Largest record id recorded by batches with id < `before` (the
+    * pre-batch view a replay must see); None before any data.
+    */
+  private def latestMaxId(s: SparkSession, namesDir: String,
+      before: Long): Option[Long] = {
+    val dir = maxIdDirFor(namesDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val ids = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLong }
+      .filter(_ < before)
+    if (ids.isEmpty) None
+    else Option(s.read.parquet(s"$dir/batch=${ids.max}")
+      .agg(max(col("max_rid"))).head().get(0)).map(_.asInstanceOf[Long])
   }
 
   def start(spark: SparkSession, source: DataFrame,
       idCol: String, strCol: String,
       namesDir: String, mapDir: String, checkpointDir: String,
       maxDist: Int = 1,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    LsmParquetState.withPendingOwners(Seq(namesDir, mapDir)) {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxBucketSize: Int = 10000): StreamingQuery = {
+    LsmParquetState.withPendingOwners(
+        Seq(namesDir, variantsDirFor(namesDir), mapDir)) {
       source.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           processBatch(batch, batchId, idCol, strCol, namesDir, mapDir,
-            maxDist)
+            maxDist, maxBucketSize)
         }
         .option("checkpointLocation", checkpointDir)
         .trigger(trigger)
@@ -112,40 +232,82 @@ object StreamingEntityResolution {
     */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       idCol: String, strCol: String,
-      namesDir: String, mapDir: String, maxDist: Int): Unit = {
+      namesDir: String, mapDir: String, maxDist: Int,
+      maxBucketSize: Int = 10000): Unit = {
     val s = batch.sparkSession
+    val indexDir = variantsDirFor(namesDir)
     val rows = batch.select(col(idCol).cast("long").as("__rid"),
       col(strCol).as("name"))
-    val prevNames = latest(s, namesDir, batchId)
-    val prevMap = latest(s, mapDir, batchId)
+    ensureStores(s, rows.select(col("name"), col("__rid").as("name_id")),
+      namesDir, mapDir)
+    // monotone-record-id contract check: ONE scalar agg per batch. The
+    // stored name_id must be the GLOBAL minimum record id of its name
+    // for drained labels to equal the batch closure; that only holds
+    // when ids never decrease across batches — fail fast, don't drift.
+    val mm = rows.agg(min(col("__rid")), max(col("__rid"))).head()
+    val exclude = Some(batchId)
+    if (!mm.isNullAt(0)) {
+      val (bmin, bmax) = (mm.getLong(0), mm.getLong(1))
+      val prevMax = latestMaxId(s, namesDir, batchId)
+      prevMax.foreach { pm =>
+        if (bmin < pm) throw new IllegalStateException(
+          s"monotone-record-id contract violated: batch $batchId carries " +
+            s"id $bmin below the stored max $pm of earlier batches — " +
+            "stored name_ids would no longer be global minima and cluster " +
+            "labels would silently diverge from the batch closure")
+      }
+      writeMaxId(s, namesDir, batchId, math.max(bmax, prevMax.getOrElse(bmax)))
+    }
     val batchNames = rows.groupBy("name").agg(min(col("__rid")).as("name_id"))
-    // a name already in the vocabulary keeps its stored id (monotone-ids
-    // contract makes the stored id the global minimum)
-    val newNames = prevNames match {
-      case Some(p) =>
-        batchNames.join(p.select("name"), Seq("name"), "left_anti")
-      case None => batchNames
-    }
-    val allNames = prevNames match {
-      case Some(p) => p.unionByName(newNames)
-      case None => newNames
-    }
-    // match edges touching the delta only — stored-stored pairs are
-    // already folded into the map
-    val pairs = FuzzyJoin.deletionNeighborhoodJoin(
-        newNames, "name_id", "name", allNames, "name_id", "name", maxDist)
-      .filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("idA"),
-        greatest(col("id_a"), col("id_b")).as("idB"))
-      .distinct()
-    val newMap = prevMap match {
-      case Some(base) => Dedup.clusterAssignmentsIncremental(
-        base.select("name_id", "cluster_id"),
-        newNames.select("name_id"), pairs, "name_id")
-      case None => Dedup.clusterAssignments(pairs,
-        allNames.select("name_id"), "name_id")
-    }
-    allNames.write.mode("overwrite").parquet(s"$namesDir/batch=$batchId")
-    newMap.write.mode("overwrite").parquet(s"$mapDir/batch=$batchId")
+    // newness anti-join reads ONLY the batch's name-prefix partitions of
+    // the names base (bounded ≤ `prefixes` collect → PartitionFilter)
+    val touchedNp = batchNames
+      .select(pmod(hash(col("name")), lit(prefixes)).cast("int").as("__np"))
+      .distinct().collect().map(_.getInt(0))
+    val storedNames = LsmParquetState.scan(s, namesDir, namesLayout,
+      prefixPred("__np", touchedNp), exclude).select("name")
+    val newNames = batchNames
+      .join(storedNames, Seq("name"), "left_anti")
+      .persist()
+    try {
+      // candidate pairs: delta variant hashes probe the persisted index
+      // restricted to their touched prefixes, plus the delta itself
+      // (delta-delta pairs); the short strings ride WITH the hashes so
+      // the exact verify needs no second store fetch
+      val deltaVx = variantRows(newNames, maxDist)
+      val touchedVp = deltaVx
+        .select(pmod(col("__v"), lit(prefixes.toLong)).cast("int").as("__vp"))
+        .distinct().collect().map(_.getInt(0))
+      val storedVx = LsmParquetState.scan(s, indexDir, idxLayout,
+        prefixPred("__vp", touchedVp), exclude)
+      val probe = Dedup.capBuckets(
+        storedVx.unionByName(deltaVx), Seq("__v"), maxBucketSize,
+        "er_stream_skew_guard")
+      val pairs = deltaVx
+        .select(col("__v"), col("name_id").as("id_a"), col("name").as("name_a"))
+        .join(probe.select(col("__v"), col("name_id").as("id_b"),
+          col("name").as("name_b")), "__v")
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "name_a", "id_b", "name_b").distinct()
+        .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+        .select(least(col("id_a"), col("id_b")).as("idA"),
+          greatest(col("id_a"), col("id_b")).as("idB"))
+        .distinct()
+      // fold: contracted-graph closure emitting ONLY the changed rows
+      // (empty base degenerates to the full closure of the first batch)
+      val mapDelta = Dedup.clusterAssignmentsIncrementalDelta(
+        currentMap(s, mapDir, exclude), newNames.select("name_id"), pairs,
+        "name_id")
+      // batch-keyed tail appends — O(delta + relabeled), replay-overwritten
+      LsmParquetState.appendTail(newNames.select("name", "name_id"),
+        namesDir, Some(batchId))
+      LsmParquetState.appendTail(deltaVx.select("__v", "name_id", "name"),
+        indexDir, Some(batchId))
+      LsmParquetState.appendTail(mapDelta, mapDir, Some(batchId))
+    } finally newNames.unpersist()
   }
+
+  private def prefixPred(colName: String, values: Array[Int]): Column =
+    if (values.isEmpty) lit(false)
+    else col(colName).isin(values.toSeq: _*)
 }

@@ -1293,10 +1293,61 @@ class StreamingSpec extends SparkTestBase {
       .resolvedMap(spark, s"$dir/names", s"$dir/map")
       .select("name", "name_id").as[(String, Long)].collect().toMap
     assert(names("cold ring") === 1L && names("old ring") === 10L)
-    // compaction drops the superseded batch-0 snapshots only
+    // WRITE-AMPLIFICATION PIN (the r9 hardening ask): a batch's map tail
+    // holds ONLY its delta — new names' assignments plus relabeled
+    // members of merged clusters — never a vocabulary-scale snapshot.
+    // Batch 1 added 2 new names and merged nothing already-labeled
+    // differently, so its tail is exactly their 2 assignment rows (the
+    // 5-name vocabulary would be 5).
+    val tail1 = spark.read.parquet(s"$dir/map/tail/batch=1")
+      .select("name_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(tail1 == Set((10L, 1L), (12L, 3L)),
+      s"batch-1 map tail is not the O(delta) set: $tail1")
+    // names tail likewise: only the batch's NEW names (cold ring
+    // re-arrived as id 11 and must not be rewritten)
+    val ntail1 = spark.read.parquet(s"$dir/names/tail/batch=1")
+      .select("name").as[String].collect().toSet
+    assert(ntail1 == Set("old ring", "hot bear"), ntail1)
+    // compaction folds the tails into fresh bases (latest-wins map)
     StreamingEntityResolution.compactState(spark, s"$dir/names", s"$dir/map")
-    assert(!new java.io.File(s"$dir/map/batch=0").exists())
+    assert(!new java.io.File(s"$dir/map/tail").exists())
+    assert(!new java.io.File(s"$dir/names/tail").exists())
     assert(resolved() == truth, "compaction changed the resolved map")
+  }
+
+  test("streaming entity resolution: a merge relabels only the touched " +
+      "cluster's rows in the tail, and the monotone-id contract is " +
+      "enforced per batch") {
+    val dir = Files.createTempDirectory("graft_ser_delta").toString
+    // batch 0: two separate clusters at maxDist 1 ('abcd' vs 'abef' is
+    // distance 2); batch 1: 'abed' is within 1 of BOTH -> merge
+    val b0 = Seq((5L, "abcd"), (7L, "abef")).toDF("id", "name")
+    val b1 = Seq((10L, "abed")).toDF("id", "name")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingEntityResolution.processBatch(batch, id, "id", "name",
+        s"$dir/names", s"$dir/map", maxDist = 1)
+    run(b0, 0L)
+    run(b1, 1L)
+    val got = StreamingEntityResolution
+      .resolvedMap(spark, s"$dir/names", s"$dir/map")
+      .select("name", "cluster_id").as[(String, Long)].collect().toMap
+    assert(got == Map("abcd" -> 5L, "abef" -> 5L, "abed" -> 5L), got)
+    // the merge relabeled cluster 7 -> 5: the tail carries the delta
+    // vertex AND the relabeled member, but NOT the untouched row 5
+    val tail1 = spark.read.parquet(s"$dir/map/tail/batch=1")
+      .select("name_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(tail1 == Set((10L, 5L), (7L, 5L)), tail1)
+    // latest-wins: the base still holds (7, 7); the tail override rules
+    val base = spark.read.parquet(s"$dir/map/base")
+      .select("name_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(base.isEmpty || base.contains((7L, 7L)),
+      s"expected the stale base row to survive un-rewritten: $base")
+    // monotone-record-id contract: a batch dipping below the stored max
+    // id fails fast instead of silently drifting cluster labels
+    val ex = intercept[IllegalStateException] {
+      run(Seq((3L, "zzzz")).toDF("id", "name"), 2L)
+    }
+    assert(ex.getMessage.contains("monotone-record-id"), ex.getMessage)
   }
 
   test("streaming vocab novelty: replay-exact counts against pre-batch " +
@@ -1388,13 +1439,12 @@ class StreamingSpec extends SparkTestBase {
       StreamingEntityResolution.processBatch(batch, id, "id", "name",
         s"$dir/names", s"$dir/map", maxDist = 1)
     run(b0, 0L)
-    // simulate a crash that left batch 1's map snapshot half-written
-    // (garbage rows) and its names snapshot missing entirely
+    // simulate a crash that left batch 1's map tail delta half-written
+    // (garbage rows) and its names tail missing entirely
     Seq((999L, 999L)).toDF("name_id", "cluster_id")
-      .write.parquet(s"$dir/map/batch=1")
+      .write.parquet(s"$dir/map/tail/batch=1")
     // the foreachBatch replay of batch 1 must read batch-0 state (its own
-    // partial snapshots are excluded by the id < batchId rule) and
-    // OVERWRITE the garbage
+    // tail partitions are excluded) and OVERWRITE the garbage
     run(b1, 1L)
     val got = StreamingEntityResolution
       .resolvedMap(spark, s"$dir/names", s"$dir/map")
