@@ -969,9 +969,12 @@ object SparkEntry {
 
     // streaming data-quality monitor: per-micro-batch violation counts in
     // batch-keyed partitions (replay overwrites its own); drained report
-    // == the batch audit because every rule is batch-local
+    // == the batch audit — batch-local rules distribute directly, and
+    // UniqueKey counts cross-batch duplicates through its persisted
+    // key store (rows − newly-seen keys per batch sums to
+    // count(*) − count(distinct key))
     "e12_streaming_dq" -> ((s, dir) => {
-      import graft.operators.DqAudit.{ForeignKey, NotNull, RangeRule}
+      import graft.operators.DqAudit.{ForeignKey, NotNull, RangeRule, UniqueKey}
       val tmp = java.nio.file.Files.createTempDirectory("graft_e12").toString
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
@@ -991,7 +994,8 @@ object SparkEntry {
           RangeRule("qty_positive", "lineitem", col("l_quantity") <= 0),
           RangeRule("qty_under_30", "lineitem", col("l_quantity") >= 30),
           ForeignKey("li_part_fk", "lineitem", "l_partkey",
-            "part", "p_partkey")),
+            "part", "p_partkey"),
+          UniqueKey("partkey_unique", "lineitem", Seq("l_partkey"))),
         s"$tmp/counts", s"$tmp/cp")
       if (!q.awaitTermination(300000)) {
         q.stop()
@@ -4147,6 +4151,10 @@ object SparkEntry {
                  WHERE l.l_partkey IS NOT NULL
                    AND l.l_partkey NOT IN (SELECT p_partkey FROM part)),
                 COUNT(*)
+         FROM lineitem
+         UNION ALL
+         SELECT 'partkey_unique', 'unique_key', 'lineitem',
+                COUNT(*) - COUNT(DISTINCT l_partkey), COUNT(*)
          FROM lineitem""",
     // the drained incremental map must equal the one-shot batch closure
     // over everything streamed — same oracle family as c14, no reps

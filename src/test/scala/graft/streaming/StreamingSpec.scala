@@ -1394,8 +1394,9 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("streaming DQ monitor: per-batch counts sum to the corpus audit, " +
-      "a replayed batch overwrites its own partition, UniqueKey refuses") {
-    import graft.operators.DqAudit.{NotNull, RangeRule, UniqueKey}
+      "a replayed batch overwrites its own partition, self-referential " +
+      "ForeignKey refuses") {
+    import graft.operators.DqAudit.{ForeignKey, NotNull, RangeRule}
     val dir = Files.createTempDirectory("graft_sdq").toString
     val rules = Seq(
       NotNull("v_nn", "t", "v"),
@@ -1418,16 +1419,53 @@ class StreamingSpec extends SparkTestBase {
     // replay of batch 1 overwrites its own counts — no double counting
     run(b1, 1L)
     assert(rep() == truth, "replay double-counted")
-    // uniqueness is not batch-local: refused with a diagnosis
+    // a ForeignKey against the streaming table itself would resolve per
+    // batch and mis-count cross-batch references: refused up front
     b0.write.parquet(s"$dir/src")
     val err = intercept[IllegalArgumentException] {
       StreamingDqMonitor.start(spark,
         spark.readStream.schema("id BIGINT, v DOUBLE")
           .parquet(s"$dir/src"),
-        "t", Map.empty, Seq(UniqueKey("pk", "t", Seq("id"))),
+        "t", Map.empty, Seq(ForeignKey("self_fk", "t", "id", "t", "id")),
         s"$dir/c2", s"$dir/cp2")
     }
-    assert(err.getMessage.contains("batch-local"))
+    assert(err.getMessage.contains("static"), err.getMessage)
+  }
+
+  test("streaming DQ monitor UniqueKey: cross-batch duplicates count " +
+      "through the persisted key store, the drained report equals the " +
+      "batch audit, and a replayed batch is exact") {
+    import graft.operators.DqAudit.UniqueKey
+    val dir = Files.createTempDirectory("graft_sdq_uk").toString
+    val rules = Seq(UniqueKey("pk", "t", Seq("k")))
+    // batch 0: in-batch dup (7) + a null key; batch 1: cross-batch dups
+    // (7 again, null again) + one new key
+    val b0 = Seq[java.lang.Long](7L, 7L, 9L, null).toDF("k")
+    val b1 = Seq[java.lang.Long](7L, null, 11L).toDF("k")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingDqMonitor.processBatch(b, id, "t", Map.empty, rules,
+        s"$dir/counts")
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep() = StreamingDqMonitor.report(spark, s"$dir/counts")
+      .select("violations", "total").as[(Long, Long)].collect().head
+    // batch audit truth over the 7-row corpus: distinct keys {7, 9,
+    // null, 11} -> violations = 7 - 4 = 3 (null IS a key value, the
+    // count_distinct(struct) convention)
+    assert(rep() == ((3L, 7L)), rep())
+    // whole-corpus equality with the batch DqAudit
+    val batchTruth = graft.operators.DqAudit
+      .run(Map("t" -> b0.unionByName(b1)), rules)
+      .select("violations", "total").as[(Long, Long)].collect().head
+    assert(rep() == batchTruth, s"streaming ${rep()} != batch $batchTruth")
+    // a crash-replay of batch 1 reads pre-batch key state (its own tail
+    // excluded) and overwrites its own partitions: nothing drifts
+    run(b1, 1L)
+    assert(rep() == ((3L, 7L)), "replay drifted the UniqueKey count")
+    // key-store compaction between runs preserves the seen set
+    StreamingDqMonitor.compactKeys(spark, s"$dir/counts", rules)
+    run(Seq[java.lang.Long](9L, 13L).toDF("k"), 2L)
+    assert(rep() == ((4L, 9L)), rep())
   }
 
   test("streaming entity resolution heals a crash mid-snapshot-write: the " +
