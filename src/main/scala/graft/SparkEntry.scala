@@ -749,21 +749,8 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           expr("ts div 1000").as("ts"))
-      val s1 = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-      val s2 = ev.filter(col("event_type") === "click")
-        .join(s1, "user_id").filter(col("ts") > col("t_view"))
-        .groupBy("user_id", "t_view").agg(min(col("ts")).as("t_click"))
-      val s3 = ev.filter(col("event_type") === "purchase")
-        .join(s2, "user_id").filter(col("ts") > col("t_click"))
-        .groupBy("user_id", "t_view", "t_click")
-        .agg(min(col("ts")).as("t_purchase"))
-      s1.join(s2.select("user_id", "t_click"), Seq("user_id"), "left")
-        .join(s3.select("user_id", "t_purchase"), Seq("user_id"), "left")
-        .select(col("user_id"), col("t_view"), col("t_click"),
-          col("t_purchase"),
-          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
-            when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+      graft.operators.Events.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
     }),
 
     // per-user event-type transition matrix (first-order Markov counts +
@@ -1483,6 +1470,23 @@ object SparkEntry {
     "d13_source_overlap" -> ((s, dir) =>
       graft.operators.CorpusStats.sourceOverlap(
         t(s, dir, "documents"), "source", "text")),
+
+    // catalog-scale variant: a KMV-sketch pass shortlists candidate
+    // source pairs above a Jaccard floor, the exact gram join runs only
+    // over shortlisted sources. Fixture plants a mirror (first-word-
+    // stripped crawl) and a disjoint catalog feed — the mirror pair
+    // survives, every catalog pair is screened out before the exact join
+    "d14_source_overlap_shortlist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val src = docs.select(lit("crawl_a").as("source"), col("text"))
+        .unionByName(docs.select(lit("crawl_b").as("source"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text")))
+        .unionByName(t(s, dir, "part")
+          .select(lit("catalog").as("source"), col("p_name").as("text")))
+      graft.operators.CorpusStats.sourceOverlapShortlisted(
+        src, "source", "text", shingleK = 5, sketchK = 128,
+        minJaccard = 0.2)
+    }),
 
     // cluster-cohesion audit over the d06 graph: edge/triangle density
     // per duplicate cluster — the chained-merge detector. Same pairs,
@@ -2469,6 +2473,83 @@ object SparkEntry {
        |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+  }
+
+  /** The d14 oracle: replays the KMV shortlist bit-for-bit — per-source
+    * word-5-gram strings (the d13 CTE), each gram hashed with the
+    * windowHash chain (base-31 poly ^ golden, fmix64 — the d04 replay,
+    * scalar per gram), folded to the 40-bit KMV domain, per-source
+    * bottom-128, shared-member candidate pairs, union-sketch Jaccard
+    * estimate >= 0.2, then the exact d13 matrix restricted to the
+    * shortlist (gram-string equality structure, the d13 precedent).
+    */
+  private def d14OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    val goldSigned = -7046029254386353131L
+    s"""WITH src AS (
+       |  SELECT 'crawl_a' AS source, text FROM documents
+       |  UNION ALL
+       |  SELECT 'crawl_b', regexp_replace(text, '^\\S+\\s', '') FROM documents
+       |  UNION ALL
+       |  SELECT 'catalog', p_name FROM part),
+       |norm AS (SELECT source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+       |         FROM src),
+       |tok AS (SELECT source, n, string_split(n, ' ') AS w FROM norm),
+       |gramsl AS (
+       |  SELECT source,
+       |         CASE WHEN len(w) < 5
+       |              THEN (CASE WHEN length(n) = 0 THEN [] ELSE [n] END)
+       |              ELSE list_transform(range(1, len(w) - 3),
+       |                     i -> list_aggregate(w[CAST(i AS INT):CAST(i AS INT)+4],
+       |                                         'string_agg', ' ')) END AS g
+       |  FROM tok),
+       |gr AS (SELECT DISTINCT source, unnest(g) AS gm FROM gramsl),
+       |h0 AS (SELECT source, list_reduce(list_prepend(0::HUGEINT,
+       |         list_transform(range(1, length(gm)+1),
+       |           i -> CAST(unicode(substr(gm, CAST(i AS INT), 1)) AS HUGEINT))),
+       |         (a, c) -> (a * 31 + c) % $U) AS h FROM gr),
+       |h1 AS (SELECT source, ${xorConst("h", goldSigned)} AS h FROM h0),
+       |h2 AS (SELECT source, ${xorShift33("h")} AS h FROM h1),
+       |h3 AS (SELECT source, ${mulMod("h", C1)} AS h FROM h2),
+       |h4 AS (SELECT source, ${xorShift33("h")} AS h FROM h3),
+       |h5 AS (SELECT source, ${mulMod("h", C2)} AS h FROM h4),
+       |h6 AS (SELECT source, ${xorShift33("h")} AS h FROM h5),
+       |v AS (SELECT DISTINCT source,
+       |             CAST(h % 1099511627776::HUGEINT AS BIGINT) AS v FROM h6),
+       |sk AS (SELECT source, v FROM (
+       |         SELECT source, v,
+       |                row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+       |         FROM v) WHERE rn <= 128),
+       |cand AS (SELECT DISTINCT a.source AS sa, b.source AS sb
+       |         FROM sk a JOIN sk b ON a.v = b.v AND a.source < b.source),
+       |pm AS (SELECT c.sa, c.sb, s.v,
+       |              MAX(CASE WHEN s.source = c.sa THEN 1 ELSE 0 END) AS ina,
+       |              MAX(CASE WHEN s.source = c.sb THEN 1 ELSE 0 END) AS inb
+       |       FROM cand c JOIN sk s ON s.source = c.sa OR s.source = c.sb
+       |       GROUP BY 1, 2, 3),
+       |sku AS (SELECT sa, sb, ina, inb,
+       |               row_number() OVER (PARTITION BY sa, sb ORDER BY v) AS rn
+       |        FROM pm),
+       |est AS (SELECT sa, sb,
+       |               CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+       |                    AS DOUBLE) / COUNT(*) AS j
+       |        FROM sku WHERE rn <= 128 GROUP BY 1, 2),
+       |short AS (SELECT sa, sb FROM est WHERE j >= 0.2),
+       |ssrc AS (SELECT DISTINCT s FROM
+       |           (SELECT sa AS s FROM short UNION ALL SELECT sb FROM short)),
+       |gre AS (SELECT gr.source, gr.gm FROM gr JOIN ssrc ON gr.source = ssrc.s),
+       |sz AS (SELECT source, COUNT(*) AS n FROM gre GROUP BY 1),
+       |ix AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+       |       FROM gre a JOIN gre b ON a.gm = b.gm AND a.source < b.source
+       |       GROUP BY 1, 2)
+       |SELECT ix.source_a, ix.source_b, ix.i AS n_shared,
+       |       ROUND(CAST(ix.i AS DOUBLE) / (x.n + y.n - ix.i), 6) + 0.0
+       |         AS jaccard
+       |FROM ix JOIN sz x ON ix.source_a = x.source
+       |        JOIN sz y ON ix.source_b = y.source
+       |        JOIN short ON short.sa = ix.source_a AND short.sb = ix.source_b""".stripMargin
   }
 
   // shared oracle fragments: t01/t02/t12 are gated standalone AND stitched
@@ -4940,6 +5021,8 @@ object SparkEntry {
                   AS jaccard
          FROM ix JOIN sz x ON ix.source_a = x.source
                  JOIN sz y ON ix.source_b = y.source""",
+    // the KMV shortlist + exact matrix replay — see d14OracleSql
+    "d14_source_overlap_shortlist" -> d14OracleSql,
     // cohesion audit: members/edges from the same closure; triangles via
     // the sorted-edge wedge join (a<b<c is automatic — pairs carry
     // idA < idB); density arithmetic mirrored term for term

@@ -242,6 +242,90 @@ object CorpusStats {
     * Output: (source_a, source_b, n_shared, jaccard), source_a <
     * source_b.
     */
+  /** [[sourceOverlap]] behind a KMV-sketch candidate prefilter — the
+    * catalog-scale form (thousands of sources, where the exact gram
+    * join's per-gram buckets grow with the source count): a cheap
+    * sketch pass shortlists the source pairs that could clear
+    * `minJaccard`, and the exact matrix runs restricted to them.
+    *
+    *   1. Per source: the bottom-`sketchK` DISTINCT 40-bit gram
+    *      fingerprints (`pmod(gramHash, 2^40)` — exactly representable
+    *      in the bounded heap's double scores, the kmvSetOps/a05
+    *      posture). One hash aggregate, `sketchK` rows per source.
+    *   2. Candidate pairs = pairs sharing >= 1 sketch member (a skinny
+    *      equi-join on the 40-bit value over `sketchK · sources` rows —
+    *      never all-pairs). A pair with true Jaccard J shares a member
+    *      with probability ~1 − (1−J)^sketchK, so recall at the floor
+    *      is probabilistic-but-overwhelming for sketchK >> 1/minJaccard
+    *      (and a missed pair is below-floor noise by construction).
+    *   3. Per candidate pair: the standard mergeable-KMV estimate — the
+    *      union sketch is the bottom-`sketchK` of the two sketches'
+    *      union, Ĵ = |members in BOTH| / |union sketch| (Bar-Yossef et
+    *      al. 2002; Beyer et al. 2007, see PAPERS.md) — a bounded
+    *      per-pair heap over the pairs' own sketch rows. Floor filter.
+    *   4. EXACT [[sourceOverlap]] over the rows of shortlisted sources
+    *      only (left-semi restriction before the gram pass, so
+    *      non-candidate sources never reach the quadratic-risk join),
+    *      final left-semi on the shortlisted pairs.
+    *
+    * Output: the [[sourceOverlap]] schema, shortlisted pairs only.
+    * Determinism: fingerprints, heap orders and the estimate arithmetic
+    * are integer-exact, so an oracle replays the shortlist decision
+    * bit-for-bit.
+    */
+  def sourceOverlapShortlisted(df: DataFrame, groupCol: String,
+      textCol: String, shingleK: Int = 5, sketchK: Int = 128,
+      minJaccard: Double = 0.2): DataFrame = {
+    require(sketchK >= 2, "KMV needs sketchK >= 2")
+    val R = 1L << 40
+    val members = df.select(col(groupCol),
+        explode(graft.functions.GraftFunctions.shingle_hashes(
+          Dedup.normalized(col(textCol)), shingleK, word = true)).as("__g"))
+      .select(col(groupCol), pmod(col("__g"), lit(R)).as("__v"))
+      .distinct()
+      .groupBy(groupCol)
+      .agg(graft.functions.GraftFunctions.top_k_by(
+        (-col("__v")).cast("double"), col("__v"), sketchK).as("__sk"))
+      .select(col(groupCol), explode(col("__sk")).as("__e"))
+      .select(col(groupCol), col("__e.id").as("__v"))
+    val candPairs = members
+      .select(col(groupCol).as("source_a"), col("__v"))
+      .join(members.select(col(groupCol).as("source_b"), col("__v")), "__v")
+      .filter(col("source_a") < col("source_b"))
+      .select("source_a", "source_b").distinct()
+    // the pairs' own sketch rows with membership flags — O(sketchK) per
+    // candidate pair, flags folded into the heap id (v·4 + inA·2 + inB)
+    val pm = candPairs
+      .join(members.withColumnRenamed(groupCol, "source_a"), "source_a")
+      .select(col("source_a"), col("source_b"), col("__v"),
+        lit(true).as("__ina"), lit(false).as("__inb"))
+      .unionByName(candPairs
+        .join(members.withColumnRenamed(groupCol, "source_b"), "source_b")
+        .select(col("source_a"), col("source_b"), col("__v"),
+          lit(false).as("__ina"), lit(true).as("__inb")))
+      .groupBy("source_a", "source_b", "__v")
+      .agg(max(col("__ina")).as("__ina"), max(col("__inb")).as("__inb"))
+    val shortlist = pm
+      .groupBy("source_a", "source_b")
+      .agg(graft.functions.GraftFunctions.top_k_by(
+        (-col("__v")).cast("double"),
+        col("__v") * 4 + col("__ina").cast("long") * 2 +
+          col("__inb").cast("long"), sketchK).as("__sku"))
+      .select(col("source_a"), col("source_b"),
+        (size(filter(transform(col("__sku"), e => e.getField("id")),
+          x => x % 4 === 3)).cast("double") /
+          size(col("__sku")).cast("double")).as("__j"))
+      .filter(col("__j") >= minJaccard)
+      .select("source_a", "source_b")
+    // exact pass over shortlisted sources only
+    val sources = shortlist
+      .select(explode(array(col("source_a"), col("source_b"))).as(groupCol))
+      .distinct()
+    sourceOverlap(df.join(sources, Seq(groupCol), "left_semi"),
+        groupCol, textCol, shingleK)
+      .join(shortlist, Seq("source_a", "source_b"), "left_semi")
+  }
+
   def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
       shingleK: Int = 5): DataFrame = {
     val grams = df.select(col(groupCol),

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence operators over (user, event_type, timestamp) streams —
+ * the session/conversion analytics a training-data pipeline runs on its
+ * interaction logs. The reference engine processes rows independently
+ * (`MigrateTableTask.java:311` — no sequence operators at all); these
+ * are the set-level sequence statistics, built shuffle-lean.
+ */
+object Events {
+
+  /** Ordered k-stage conversion funnel: per user, the EARLIEST-completion
+    * chain through `stages` — `t_<stage1>` is the user's first stage-1
+    * event, `t_<stageN>` the first stage-N event strictly after the
+    * chain's stage-(N−1) time, and `stage` the number of stages reached.
+    * Users without a stage-1 event are absent (they are not in the
+    * funnel). Greedy earliest-first is completeness-optimal: if ANY
+    * strictly-increasing stage chain exists for a user, the
+    * earliest-first walk finds one of equal length (exchanging any chain
+    * prefix for the earlier greedy prefix only loosens the constraint on
+    * the suffix).
+    *
+    * Plan shape (100 TB posture): k skinny min-aggregates (one per
+    * stage, map-side combined — the event table never shuffles whole,
+    * only (user, chain-times) rows move) chained by k−1 equi-joins on
+    * the user key, then k−1 left joins assembling the report. No window,
+    * no per-user sequence sort, no cartesian. Timestamps are compared
+    * with `>` on whatever orderable type `tsCol` holds.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
+    val tCols = stages.map(st => s"t_$st")
+    var acc = events.filter(col(typeCol) === stages.head)
+      .groupBy(userCol).agg(min(col(tsCol)).as(tCols.head))
+    val chain = Seq.newBuilder[DataFrame]
+    chain += acc
+    for (i <- 1 until stages.size) {
+      acc = events.filter(col(typeCol) === stages(i))
+        .join(acc, Seq(userCol))
+        .filter(col(tsCol) > col(tCols(i - 1)))
+        .groupBy((userCol +: tCols.take(i)).map(col): _*)
+        .agg(min(col(tsCol)).as(tCols(i)))
+      chain += acc
+    }
+    val stagesReached: Column = tCols.tail.foldLeft(lit(1)) {
+      (n, c) => n + when(col(c).isNotNull, 1).otherwise(0)
+    }
+    chain.result().zipWithIndex.tail
+      .foldLeft(chain.result().head) { case (out, (st, i)) =>
+        out.join(st.select(col(userCol), col(tCols(i))), Seq(userCol), "left")
+      }
+      .select((col(userCol) +: tCols.map(col)) :+
+        stagesReached.as("stage"): _*)
+  }
+}

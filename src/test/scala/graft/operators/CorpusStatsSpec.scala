@@ -142,4 +142,29 @@ class CorpusStatsSpec extends SparkTestBase {
     // the disjoint source intersects nobody -> absent, not zero-padded
     assert(!got.keys.exists(k => k._1 == "disjoint" || k._2 == "disjoint"))
   }
+
+  test("sourceOverlapShortlisted: the sketch floor screens out low-overlap " +
+      "pairs, survivors carry the EXACT matrix values, and the exact join " +
+      "runs behind a left-semi source restriction") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      ("mirror1", base), ("mirror2", base),
+      // shares ONE gram window of 11 -> true J ~ 0.09, below the floor
+      ("partial", "alpha beta gamma delta epsilon different tail words here now"),
+      ("disjoint", "one two three four five six seven eight nine ten"))
+      .toDF("source", "text")
+    val got = CorpusStats.sourceOverlapShortlisted(docs, "source", "text",
+      sketchK = 16, minJaccard = 0.5)
+    val rows = got.as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // only the mirror pair clears the 0.5 floor; its values are the
+    // exact sourceOverlap values, not estimates
+    assert(rows.keySet == Set(("mirror1", "mirror2")), rows)
+    assert(rows(("mirror1", "mirror2")) === ((6L, 1.0)))
+    // plan pins: equi-joins only, and the exact gram pass sits behind
+    // the shortlist's LeftSemi source restriction
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
 }
