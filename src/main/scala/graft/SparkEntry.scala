@@ -991,6 +991,38 @@ object SparkEntry {
       graft.streaming.StreamingDqMonitor.report(s, s"$tmp/counts")
     }),
 
+    // streaming conversion funnel: events arrive in two TIME-ORDERED
+    // batches (the watermark contract); each batch extends incomplete
+    // per-user chains in the LSM state store (delta-only writes).
+    // Drained report == the batch funnel over everything streamed
+    "e14_streaming_funnel" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e14").toString
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts"))
+      val mid = {
+        val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+        (r.getLong(0) + r.getLong(1)) / 2
+      }
+      ev.filter(col("ts") < mid)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("ts") >= mid)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("user_id BIGINT, event_type STRING, ts BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingFunnel.start(s, src, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e14 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingFunnel.report(s, s"$tmp/state", "user_id",
+        Seq("view", "click", "purchase"))
+    }),
+
     // streaming incremental entity resolution: part rows arrive in two
     // id-range batches (the monotone-ids contract); each batch fuzzy-
     // matches its NEW names against the accumulated vocabulary (SymSpell)
@@ -4076,6 +4108,27 @@ object SparkEntry {
     // funnel: the same greedy min-chain, nanos replayed as micros*1000
     // (both engines integer-exact)
     "g06_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsn
+                     FROM events),
+         s1 AS (SELECT user_id, MIN(tsn) AS t_view FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, s1.t_view, MIN(e.tsn) AS t_click
+                FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.tsn > s1.t_view
+                GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, MIN(e.tsn) AS t_purchase
+                FROM ev e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.tsn > s2.t_click
+                GROUP BY 1)
+         SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+                CAST(1 + (CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END)
+                       + (CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                     AS INT) AS stage
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+    // the drained streaming funnel equals the batch funnel over all
+    // events — the g06 oracle verbatim
+    "e14_streaming_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsn
                      FROM events),
          s1 AS (SELECT user_id, MIN(tsn) AS t_view FROM ev

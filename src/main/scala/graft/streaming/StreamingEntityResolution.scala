@@ -170,43 +170,19 @@ object StreamingEntityResolution {
         .agg(max_by(col("cluster_id"), col("__tail_batch")).as("cluster_id"))))
     // max-id markers: keep the newest only, rebased to the reserved
     // pre-run id −1 so a restarted run's batch 0 still sees it
-    val dir = maxIdDirFor(namesDir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      latestMaxId(spark, namesDir, Long.MaxValue).foreach { m =>
-        fs.delete(p, true)
-        writeMaxId(spark, namesDir, -1L, m)
-      }
-    }
+    BatchMarker.compact(spark, maxIdDirFor(namesDir))
   }
 
   private def writeMaxId(s: SparkSession, namesDir: String, batchId: Long,
-      maxId: Long): Unit = {
-    import s.implicits._
-    Seq(maxId).toDF("max_rid").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"${maxIdDirFor(namesDir)}/batch=$batchId")
-  }
+      maxId: Long): Unit =
+    BatchMarker.write(s, maxIdDirFor(namesDir), batchId, maxId)
 
   /** Largest record id recorded by batches with id < `before` (the
     * pre-batch view a replay must see); None before any data.
     */
   private def latestMaxId(s: SparkSession, namesDir: String,
-      before: Long): Option[Long] = {
-    val dir = maxIdDirFor(namesDir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val ids = fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("batch=") =>
-        n.stripPrefix("batch=").toLong }
-      .filter(_ < before)
-    if (ids.isEmpty) None
-    else Option(s.read.parquet(s"$dir/batch=${ids.max}")
-      .agg(max(col("max_rid"))).head().get(0)).map(_.asInstanceOf[Long])
-  }
+      before: Long): Option[Long] =
+    BatchMarker.readLatest(s, maxIdDirFor(namesDir), before)
 
   def start(spark: SparkSession, source: DataFrame,
       idCol: String, strCol: String,
