@@ -1621,6 +1621,27 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // filtered vector search: per query, top-5 among corpus vectors of
+    // the QUERY'S OWN category (planted vec_id % 4 metadata) — the
+    // predicate applies inside the probed lists, before the heap.
+    // Full probe (nprobe = numCentroids) makes the IVF plan exact, so
+    // the oracle is the filtered brute-force truth; partial-probe
+    // recall is spec'd against the brute-force baseline
+    "s28_filtered_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("category", col("vec_id") % 4)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          col("category").as("q_category"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      Similarity.filteredIvfTopK(corpus, queries,
+          "vec_id", "embedding", "query_id", "embedding", k = 5,
+          pairFilter = col("category") === col("q_category"),
+          numCentroids = 8, nprobe = 8)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
     // hard-negative mining: per query, the 5 most similar vectors with a
     // DIFFERENT label — the contrastive-training negatives that move the
     // loss. Label filter runs before the bounded heap
@@ -4489,6 +4510,27 @@ object SparkEntry {
                 ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
                       len(list_distinct(list_concat(a.g, b.g))), 6) + 0.0 AS jaccard
          FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1""",
+    // exact filtered top-k truth (full-probe IVF == brute force): the
+    // s01 cosine replay restricted to category-matched pairs
+    "s28_filtered_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding,
+                           vec_id % 4 AS q_category
+                    FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, embedding, vec_id % 4 AS category
+                    FROM embeddings WHERE vec_id >= 10),
+              scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                       (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+                FROM c JOIN q ON c.category = q.q_category),
+              ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored)
+         SELECT query_id, vec_id, rank, ROUND(cosine, 6) + 0.0 AS cosine
+         FROM ranked WHERE rank <= 5""",
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),

@@ -92,6 +92,61 @@ object Similarity {
       corpusId, corpusVec, queryId, k,
       pairFilter = Some(col(corpusLabel) =!= col("__ql")))
 
+  /** Filtered vector search (metadata-predicate ANN), brute-force form:
+    * per query, the top-k corpus vectors among those satisfying
+    * `pairFilter` — the "top matches in MY language / category / date
+    * range" retrieval every curation pipeline runs. This is PRE-filter
+    * semantics (the predicate restricts candidates BEFORE ranking, the
+    * [[hardNegatives]] posture): the result is exactly the top-k of the
+    * filtered corpus, never a post-filtered shortlist that can starve
+    * below k. `queries` may carry any extra columns the predicate needs
+    * (they ride the broadcast); `pairFilter` sees corpus columns and
+    * those carried columns — give sides distinct names.
+    */
+  def filteredBruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int,
+      pairFilter: Column): DataFrame =
+    broadcastCosineTopK(corpus,
+      queries.withColumnRenamed(queryVec, "__qv"),
+      corpusId, corpusVec, queryId, k, Some(pairFilter))
+
+  /** Filtered vector search, IVF form — the corpus-scale path: the
+    * predicate is applied INSIDE the probed inverted lists, before the
+    * bounded heap (candidates failing the filter never crowd true
+    * matches out). Recall caveat (standard for filtered IVF — the
+    * Faiss/vector-DB pre-filter trade): a highly selective predicate
+    * thins each probed list, so at fixed `nprobe` recall degrades as
+    * selectivity drops; widen `nprobe` with selectivity, or fall back
+    * to [[filteredBruteForceTopK]] over the filtered corpus when the
+    * predicate is selective enough to make it cheap (at that point the
+    * filtered corpus IS small). `nprobe = numCentroids` degenerates to
+    * exact filtered search with IVF's plan shape.
+    */
+  def filteredIvfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int,
+      pairFilter: Column,
+      numCentroids: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
+    val (_, centroids) = trainedCoarse(corpus, corpusId, corpusVec,
+      numCentroids, kmeansIters, dimFilter = None)
+    // corpus keeps its metadata columns (the predicate's left side)
+    val assigned = corpus.withColumn("__list",
+      nearestCentroidCol(centroids)(col(corpusVec)))
+    val probed = queries.withColumnRenamed(queryVec, "__qv")
+      .withColumn("__list",
+        explode(probeListsCol(centroids, nprobe)(col("__qv"))))
+    val scored = assigned.join(broadcast(probed), "__list")
+      .filter(pairFilter)
+      .select(col(queryId), col(corpusId),
+        cosine(col(corpusVec), col("__qv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    rankTopK(scored, queryId, corpusId, k)
+  }
+
   /** Rank candidate scores per query with the bounded top-k aggregate
     * ([[graft.functions.TopKByScore]]) — shuffles k entries per query per
     * map partition. A per-query `row_number` window here would ship EVERY

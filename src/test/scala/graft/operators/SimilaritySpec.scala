@@ -72,6 +72,61 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("filteredBruteForceTopK: pre-filter semantics — top-k of the " +
+      "FILTERED corpus, never a post-filtered starved shortlist") {
+    val c = corpus.withColumn("category", $"vec_id" % 4)
+    val q = c.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding",
+        $"category".as("q_category"))
+    val got = Similarity.filteredBruteForceTopK(
+      c.filter($"vec_id" >= 4), q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5,
+      pairFilter = col("category") === col("q_category"))
+    val rows = got.select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    // every returned neighbor matches the query's category, and every
+    // query still gets its FULL k (24 eligible per category >> 5) —
+    // post-filtering an unfiltered top-5 would return ~1.25 per query
+    assert(rows.forall { case (qid, vid, _) => vid % 4 == qid % 4 }, rows.toSeq)
+    assert(rows.groupBy(_._1).forall(_._2.length == 5), rows.toSeq)
+    // equals the brute-force truth over the pre-filtered corpus
+    for (cat <- 0L until 4L) {
+      val truth = Similarity.bruteForceTopK(
+        c.filter($"vec_id" >= 4 && $"category" === cat),
+        q.filter($"q_category" === cat), "vec_id", "embedding",
+        "query_id", "embedding", k = 5)
+        .select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+      assert(rows.filter(_._1 % 4 == cat).toSet == truth)
+    }
+  }
+
+  test("filteredIvfTopK: full probe equals the filtered exact truth; " +
+      "partial probe keeps usable recall; filter applies before the heap") {
+    val c = corpus.withColumn("category", $"vec_id" % 2)
+    val q = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding",
+        $"category".as("q_category"))
+    val cc = c.filter($"vec_id" >= 5)
+    val flt = col("category") === col("q_category")
+    val exact = Similarity.filteredBruteForceTopK(cc, q, "vec_id",
+      "embedding", "query_id", "embedding", k = 5, flt)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val full = Similarity.filteredIvfTopK(cc, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5, flt, numCentroids = 8, nprobe = 8)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(full == exact, "full-probe filtered IVF must be exact")
+    val partial = Similarity.filteredIvfTopK(cc, q, "vec_id", "embedding",
+      "query_id", "embedding", k = 5, flt, numCentroids = 8, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(partial.forall { case (qid, vid) => vid % 2 == qid % 2 })
+    val recall = (exact.map(r => (r._1, r._2)) intersect partial).size
+      .toDouble / exact.size
+    assert(recall >= 0.3, s"filtered IVF recall $recall too low")
+  }
+
   test("ivfPqTopK: planted identical vector survives ADC into exact rank 1") {
     val q = corpus.filter($"vec_id" === 21)
       .select(lit(1000L).as("query_id"), $"embedding")
