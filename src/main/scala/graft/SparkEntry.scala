@@ -1642,6 +1642,21 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // MMR diversified top-5: greedy relevance-minus-redundancy selection
+    // over a top-20 relevance pool — k tiny argmax rounds, replayed
+    // round-for-round by the oracle
+    "s29_mmr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      Similarity.mmrTopK(corpus, queries,
+          "vec_id", "embedding", "query_id", "embedding",
+          k = 5, lambda = 0.7, poolSize = 20)
+        .select(col("query_id"), col("vec_id"), col("round"),
+          (round(col("mmr"), 6) + lit(0.0)).as("mmr"))
+    }),
+
     // hard-negative mining: per query, the 5 most similar vectors with a
     // DIFFERENT label — the contrastive-training negatives that move the
     // loss. Label filter runs before the bounded heap
@@ -2028,6 +2043,19 @@ object SparkEntry {
     // sum, never a one-task global window
     "t33_heaps_growth" -> ((s, dir) =>
       TextAnalysis.heapsGrowth(t(s, dir, "documents"), "doc_id", "text")),
+
+    // trigram-index substring search: posting-list intersection proposes,
+    // exact contains verifies — output equals the full-scan truth. One
+    // planted in-corpus pattern (a substring of doc 1), one miss, one
+    // sub-q pattern taking the documented full-scan fallback
+    "t34_trigram_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val p1 = docs.filter(col("doc_id") === 1)
+        .select(expr("substring(text, 6, 10)")).head().getString(0)
+      val pats = Seq(p1, "zzqqxxneverthere", "ab").toDF("pattern")
+      TextAnalysis.substringSearch(docs, "doc_id", "text", pats, "pattern")
+    }),
 
     // linear quality-classifier inference: literal-weight sigmoid scoring,
     // keep decided on the exact linear margin (no transcendental at the
@@ -2526,6 +2554,58 @@ object SparkEntry {
        |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+  }
+
+  /** The s29 oracle: MMR replayed round-for-round — the exact top-20
+    * relevance pool (the s01 cosine), then `k` UNROLLED greedy rounds,
+    * each a row_number argmax over `0.7·rel − 0.3·ms` (ties by id) and a
+    * GREATEST running-max update of survivors' similarity-to-selected
+    * (`ms` seeded at cosine's −1 floor) — identical IEEE arithmetic to
+    * the engine's rounds, so every score matches bit-for-bit.
+    */
+  private def s29OracleSql(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
+         |  (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
+         |   sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+    val rounds = (1 to k).map { r =>
+      val cand = if (r == 1) "cand1" else s"cand$r"
+      val next =
+        if (r == k) ""
+        else s""",
+           |cand${r + 1} AS (
+           |  SELECT c.query_id, c.vec_id, c.rel, c.embedding,
+           |         GREATEST(c.ms, ${cos("c.embedding", "p.embedding")}) AS ms
+           |  FROM $cand c JOIN pk$r p ON c.query_id = p.query_id
+           |  WHERE c.vec_id <> p.vec_id)""".stripMargin
+      // (1.0 - 0.7), NOT a 0.3 literal: the engine computes the
+      // redundancy weight as 1.0 − λ in doubles, and IEEE 1.0 − 0.7 is
+      // 0.30000000000000004 ≠ the 0.3 literal — replay the expression
+      s"""sc$r AS (SELECT *, 0.7 * rel - (1.0 - 0.7) * ms AS mmr FROM $cand),
+         |pk$r AS (
+         |  SELECT query_id, vec_id, embedding, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |               ORDER BY mmr DESC, vec_id ASC) AS rn FROM sc$r)
+         |  WHERE rn = 1)$next""".stripMargin
+    }.mkString(",\n")
+    val emit = (1 to k).map(r =>
+      s"SELECT query_id, vec_id, CAST($r AS INT) AS round, " +
+        s"ROUND(mmr, 6) + 0.0 AS mmr FROM pk$r").mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       |           WHERE vec_id < 5),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id, c.embedding,
+       |         ${cos("c.embedding", "q.embedding")} AS rel
+       |  FROM c CROSS JOIN q),
+       |pool AS (SELECT query_id, vec_id, embedding, rel FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY rel DESC, vec_id ASC) AS rn
+       |           FROM scored) WHERE rn <= 20),
+       |cand1 AS (SELECT query_id, vec_id, rel, embedding,
+       |                 CAST(-1.0 AS DOUBLE) AS ms FROM pool),
+       |$rounds
+       |$emit""".stripMargin
   }
 
   /** The d14 oracle: replays the KMV shortlist bit-for-bit — per-source
@@ -4168,6 +4248,16 @@ object SparkEntry {
                      AS INT) AS stage
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                  LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+    // substring search truth: the plain full-scan contains — the engine's
+    // index+verify must equal it exactly (losslessness is the contract)
+    "t34_trigram_search" ->
+      """WITH pats AS (
+           SELECT substr((SELECT text FROM documents WHERE doc_id = 1),
+                         6, 10) AS pattern
+           UNION ALL SELECT 'zzqqxxneverthere'
+           UNION ALL SELECT 'ab')
+         SELECT p.pattern, d.doc_id
+         FROM documents d JOIN pats p ON contains(d.text, p.pattern)""",
     // Heaps curve: window sums ordered by doc_id over the same two
     // per-doc counts (first-occurrence convention identical)
     "t33_heaps_growth" ->
@@ -4531,6 +4621,8 @@ object SparkEntry {
                 FROM scored)
          SELECT query_id, vec_id, rank, ROUND(cosine, 6) + 0.0 AS cosine
          FROM ranked WHERE rank <= 5""",
+    // MMR replayed round-for-round — see s29OracleSql
+    "s29_mmr_topk" -> s29OracleSql(5),
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),

@@ -147,6 +147,70 @@ object Similarity {
     rankTopK(scored, queryId, corpusId, k)
   }
 
+  /** Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR 1998; see PAPERS.md) — the retrieval-time
+    * near-dup guard: instead of the k most similar vectors (often k
+    * copies of the same document), greedily pick
+    * `argmax λ·cos(q,c) − (1−λ)·max_{s∈S} cos(c,s)` — each round's
+    * winner must be relevant AND far from everything already selected.
+    * The selection every few-shot/example-retrieval pipeline wants once
+    * its corpus contains near-duplicates.
+    *
+    * Plan shape: stage 1 pools the top-`poolSize` candidates per query
+    * by relevance (the [[bruteForceTopK]] broadcast-scan + bounded heap
+    * — at corpus scale swap in [[ivfTopK]] candidates, same contract)
+    * and re-attaches their vectors by a skinny id equi-join; stage 2
+    * runs k greedy rounds over that BOUNDED |Q|·poolSize frame — each
+    * round ONE per-query `max_by` argmax (ties by id, the rankTopK
+    * order) and ONE map-only running-max update of each survivor's
+    * similarity-to-selected (`ms`, seeded at cosine's −1 floor). No
+    * window over the corpus, no driver-side loops over rows — the k
+    * rounds are k tiny aggregates, checkpointed to keep plans shallow.
+    *
+    * Output: (queryId, corpusId, round 1..k, mmr) — `round` is the
+    * selection order, `mmr` the winning score. Queries whose filtered
+    * pool runs dry stop early with fewer than k rows.
+    */
+  def mmrTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int,
+      lambda: Double = 0.7, poolSize: Int = 50): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val pool = bruteForceTopK(corpus, queries, corpusId, corpusVec,
+        queryId, queryVec, poolSize)
+      .select(col(queryId), col(corpusId), col("cosine").as("__rel"))
+      .join(corpus.select(col(corpusId), col(corpusVec).as("__vec")),
+        corpusId)
+    var remaining = pool.withColumn("__ms", lit(-1.0d)).localCheckpoint(true)
+    val picks = Seq.newBuilder[DataFrame]
+    for (r <- 1 to k) {
+      val scored = remaining.withColumn("__mmr",
+        lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms"))
+      val pick = scored.groupBy(col(queryId))
+        .agg(max_by(
+          struct(col(corpusId).as("__pid"), col("__vec").as("__pvec"),
+            col("__mmr")),
+          struct(col("__mmr"), (-col(corpusId)).as("__tie"))).as("__p"))
+        .select(col(queryId), col("__p.__pid").as("__pid"),
+          col("__p.__pvec").as("__pvec"), col("__p.__mmr").as("__mmr"))
+        .localCheckpoint(true)
+      picks += pick.select(col(queryId), col("__pid").as(corpusId),
+        lit(r).cast("int").as("round"), col("__mmr").as("mmr"))
+      if (r < k)
+        remaining = remaining
+          .join(pick.select(col(queryId), col("__pid"), col("__pvec")),
+            Seq(queryId))
+          .filter(col(corpusId) =!= col("__pid"))
+          .withColumn("__ms",
+            greatest(col("__ms"), cosine(col("__vec"), col("__pvec"))))
+          .drop("__pid", "__pvec")
+          .localCheckpoint(true)
+    }
+    picks.result().reduce(_.unionByName(_))
+  }
+
   /** Rank candidate scores per query with the bounded top-k aggregate
     * ([[graft.functions.TopKByScore]]) — shuffles k entries per query per
     * map partition. A per-query `row_number` window here would ship EVERY

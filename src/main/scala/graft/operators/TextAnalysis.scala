@@ -154,6 +154,59 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.GraftFunctions.poly_hash64(Dedup.normalized(text))
 
+  /** Substring (grep-style `contains`) search accelerated by a
+    * character-`q`-gram inverted index — the Google-Code-Search trigram
+    * recipe (Cox, "Regular Expression Matching with a Trigram Index",
+    * 2012; see PAPERS.md): a document can contain a pattern of length
+    * >= `q` only if it contains EVERY `q`-gram of the pattern, so
+    * candidates are the posting-list intersection and only they pay the
+    * exact `contains` verify. LOSSLESS by construction: gram-hash
+    * collisions and the pigeonhole direction can only ADD candidates,
+    * and verification removes them — output is exactly the full-scan
+    * truth.
+    *
+    * Plan shape (100 TB posture): the posting build is ONE map pass
+    * (codegen shingle kernel) + a skinny distinct `(gram_hash, id)`
+    * shuffle — at corpus scale you persist it once as a table and
+    * amortize across queries (it IS an index build); the per-pattern
+    * probe is an equi-join on the hash restricted to the pattern's own
+    * grams, the AND is one count aggregate against the pattern's gram
+    * count, and the verify joins text back for CANDIDATES only — the
+    * selective-search point: a rare pattern touches a vanishing
+    * fraction of the corpus text. Patterns SHORTER than `q` get no
+    * pigeonhole guarantee and take the documented broadcast full-scan
+    * fallback. Output: (pattern, id) for every document whose raw text
+    * contains the pattern.
+    */
+  def substringSearch(docs: DataFrame, idCol: String, textCol: String,
+      patterns: DataFrame, patternCol: String, q: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions
+    val pats = patterns.select(col(patternCol).as("__pat"))
+      .filter(length(col("__pat")) > 0).distinct()
+    val longPats = pats.filter(length(col("__pat")) >= q)
+    val shortPats = pats.filter(length(col("__pat")) < q)
+    val posting = docs.select(col(idCol),
+      explode(GraftFunctions.shingle_hashes(col(textCol), q)).as("__g"))
+    val pgrams = longPats.select(col("__pat"),
+      explode(GraftFunctions.shingle_hashes(col("__pat"), q)).as("__g"))
+    val pcounts = pgrams.groupBy("__pat").agg(count(lit(1)).as("__m"))
+    val cand = posting.join(broadcast(pgrams), "__g")
+      .groupBy(col("__pat"), col(idCol))
+      .agg(count(lit(1)).as("__hit"))
+      .join(broadcast(pcounts), "__pat")
+      .filter(col("__hit") === col("__m"))
+      .select(col("__pat"), col(idCol))
+    val verified = cand
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .filter(instr(col(textCol), col("__pat")) > 0)
+      .select(col("__pat").as("pattern"), col(idCol))
+    val shortHits = docs.select(col(idCol), col(textCol))
+      .crossJoin(broadcast(shortPats))
+      .filter(instr(col(textCol), col("__pat")) > 0)
+      .select(col("__pat").as("pattern"), col(idCol))
+    verified.unionByName(shortHits)
+  }
+
   /** Split documents into fixed-size character chunks with overlap — the
     * standard context-window preparation step for training pipelines.
     * Map-only (one posexplode); output (id, chunk_no, chunk_text).

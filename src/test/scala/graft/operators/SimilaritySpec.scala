@@ -127,6 +127,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"filtered IVF recall $recall too low")
   }
 
+  test("mmrTopK: near-duplicate candidates are deferred in favor of " +
+      "diverse ones, rounds are the selection order, dry pools stop early") {
+    // corpus: 3 exact copies of vector A (ids 10,11,12), one copy of a
+    // different vector B (20), one of C (30); query = A itself
+    val vA = Array.tabulate(dim)(j => (j + 1).toFloat)
+    val vB = Array.tabulate(dim)(j => if (j % 2 == 0) 1f else -1f)
+    val vC = Array.tabulate(dim)(j => if (j < dim / 2) 1f else 0f)
+    val c = Seq((10L, vA), (11L, vA), (12L, vA), (20L, vB), (30L, vC))
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, vA)).toDF("query_id", "embedding")
+    // λ < 0.5: when the query has exact copies in the corpus, every
+    // candidate's redundancy-to-the-selected-copy equals its relevance,
+    // so mmr = (2λ−1)·rel — only λ < 0.5 penalizes duplicates harder
+    // than it rewards their relevance (λ > 0.5 deliberately keeps them)
+    val got = Similarity.mmrTopK(c, q, "vec_id", "embedding",
+        "query_id", "embedding", k = 3, lambda = 0.3, poolSize = 5)
+      .orderBy("round").select("vec_id").as[Long].collect().toSeq
+    // round 1: most relevant (a copy of A, smallest id = 10). Rounds 2-3:
+    // plain top-k would take the other A copies (cosine 1); MMR penalizes
+    // them (similarity 1 to the selected copy) and takes B and C first
+    assert(got.head === 10L, got)
+    assert(got.tail.toSet == Set(20L, 30L),
+      s"MMR kept near-duplicates over diverse candidates: $got")
+    // a pool smaller than k stops early instead of padding
+    val small = Similarity.mmrTopK(c.filter($"vec_id" <= 11), q, "vec_id",
+      "embedding", "query_id", "embedding", k = 5, lambda = 0.5,
+      poolSize = 5)
+    assert(small.count() === 2L)
+  }
+
   test("ivfPqTopK: planted identical vector survives ADC into exact rank 1") {
     val q = corpus.filter($"vec_id" === 21)
       .select(lit(1000L).as("query_id"), $"embedding")

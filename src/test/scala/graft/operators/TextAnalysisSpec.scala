@@ -723,4 +723,31 @@ class TextAnalysisSpec extends SparkTestBase {
     val one = TextAnalysis.pmiCollocations(docs, "text", minPairCount = 11)
     assert(one.count() === 0L)
   }
+
+  test("substringSearch equals the full-scan contains truth: long patterns " +
+      "via the trigram index + verify, short ones via the fallback, " +
+      "misses absent") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "pack my box with five dozen jugs"),
+      (3L, "quick boxes everywhere"),
+      (4L, "")).toDF("doc_id", "text")
+    val pats = Seq("quick b", "box", "zz", "never-there-pattern", "ox")
+      .toDF("pattern")
+    val got = TextAnalysis.substringSearch(docs, "doc_id", "text",
+      pats, "pattern").as[(String, Long)].collect().toSet
+    // independent truth: plain contains over the cross product
+    val truth = (for {
+      (id, text) <- Seq((1L, "the quick brown fox jumps"),
+        (2L, "pack my box with five dozen jugs"),
+        (3L, "quick boxes everywhere"), (4L, ""))
+      p <- Seq("quick b", "box", "zz", "never-there-pattern", "ox")
+      if text.contains(p)
+    } yield (p, id)).toSet
+    assert(got == truth, s"got $got\nwant $truth")
+    // sanity on the planted expectations: 'quick b' hits 1 and 3 via the
+    // index path, 'ox' (< q) hits 1, 2, 3 via the fallback, 'zz' misses
+    assert(truth.contains(("quick b", 1L)) && truth.contains(("quick b", 3L)))
+    assert(!truth.exists(_._1 == "zz"))
+  }
 }
