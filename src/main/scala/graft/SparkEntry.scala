@@ -1023,6 +1023,35 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
     }),
 
+    // streaming substring index: documents arrive in two batches, the
+    // trigram posting lists and texts accumulate as LSM state; a search
+    // after draining answers from the index (pattern-gram-pruned probe +
+    // candidate-pruned verify) and equals the full-scan contains truth
+    "e15_streaming_substring_index" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e15").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingSubstringIndex.start(s, src,
+        "doc_id", "text", s"$tmp/index", s"$tmp/docs", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e15 stream did not drain in 300s")
+      }
+      val p1 = docs.filter(col("doc_id") === 1)
+        .select(expr("substring(text, 6, 10)")).head().getString(0)
+      val pats = Seq(p1, "zzqqxxneverthere", "ab").toDF("pattern")
+      graft.streaming.StreamingSubstringIndex.search(s, s"$tmp/index",
+        s"$tmp/docs", "doc_id", pats, "pattern")
+    }),
+
     // streaming incremental entity resolution: part rows arrive in two
     // id-range batches (the monotone-ids contract); each batch fuzzy-
     // matches its NEW names against the accumulated vocabulary (SymSpell)
@@ -4248,6 +4277,16 @@ object SparkEntry {
                      AS INT) AS stage
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                  LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+    // streamed index answers == the full-scan truth (same contract and
+    // fixture as t34; the index accumulated across batches)
+    "e15_streaming_substring_index" ->
+      """WITH pats AS (
+           SELECT substr((SELECT text FROM documents WHERE doc_id = 1),
+                         6, 10) AS pattern
+           UNION ALL SELECT 'zzqqxxneverthere'
+           UNION ALL SELECT 'ab')
+         SELECT p.pattern, d.doc_id
+         FROM documents d JOIN pats p ON contains(d.text, p.pattern)""",
     // substring search truth: the plain full-scan contains — the engine's
     // index+verify must equal it exactly (losslessness is the contract)
     "t34_trigram_search" ->

@@ -1596,6 +1596,38 @@ class StreamingSpec extends SparkTestBase {
     assert(rep() == truth, "compaction changed the funnel")
   }
 
+  test("streaming substring index: search over the accumulated postings " +
+      "equals the full-scan truth, replays are idempotent, compaction " +
+      "preserves answers") {
+    val dir = Files.createTempDirectory("graft_ssi").toString
+    val b0 = Seq((1L, "the quick brown fox jumps"),
+      (2L, "pack my box with five dozen jugs")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "quick boxes everywhere"), (4L, ""))
+      .toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingSubstringIndex.processBatch(b, id, "doc_id", "text",
+        s"$dir/index", s"$dir/docs")
+    run(b0, 0L)
+    run(b1, 1L)
+    run(b1, 1L) // crash-replay overwrites its own tail partitions
+    val pats = Seq("quick b", "box", "zz", "ox").toDF("pattern")
+    def got() = StreamingSubstringIndex.search(spark, s"$dir/index",
+        s"$dir/docs", "doc_id", pats, "pattern")
+      .as[(String, Long)].collect().toSet
+    val truth = (for {
+      (id, text) <- Seq((1L, "the quick brown fox jumps"),
+        (2L, "pack my box with five dozen jugs"),
+        (3L, "quick boxes everywhere"), (4L, ""))
+      p <- Seq("quick b", "box", "zz", "ox")
+      if text.contains(p)
+    } yield (p, id)).toSet
+    assert(got() == truth, s"got ${got()}\nwant $truth")
+    StreamingSubstringIndex.compactState(spark, s"$dir/index",
+      s"$dir/docs", "doc_id")
+    assert(!new java.io.File(s"$dir/index/tail").exists())
+    assert(got() == truth, "compaction changed search answers")
+  }
+
   test("pending ownership covers the start() window: a claim taken " +
       "before the query exists already blocks compaction, and is " +
       "released on cancel or delegated on bind") {
