@@ -1498,6 +1498,13 @@ object SparkEntry {
         "source", "doc_id",
         Map("src0" -> 12, "src1" -> 7, "src5" -> 1000))),
 
+    // XLM/mT5 alpha-temperature mixture: targets computed FROM the
+    // observed token shares (q ∝ p^0.3), no hand-picked map — the
+    // low-resource languages get upsampled automatically
+    "c17_temperature_mixture" -> ((s, dir) =>
+      TextAnalysis.temperatureMixture(t(s, dir, "documents"), "lang", "text",
+        alpha = 0.3)),
+
     // relational data-quality audit: null / unique-key / referential /
     // range rules over the warehouse tables, exact violation counts —
     // the set-level pre-flight before O19's per-row dead-letter split.
@@ -1547,6 +1554,19 @@ object SparkEntry {
       graft.operators.CorpusStats.sourceOverlapShortlisted(
         src, "source", "text", shingleK = 5, sketchK = 128,
         minJaccard = 0.2)
+    }),
+
+    // winnowing (MOSS) overlap detection: planted near-dups as in d03;
+    // k=8 char grams, window 16 → any shared run >= 23 chars is
+    // guaranteed to share a fingerprint at ~12% of the gram-index size.
+    // minShared=14 sits in the measured gap between the common-phrase
+    // noise floor (dies by 13 on this corpus) and the planted copies
+    "d15_winnowing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      Dedup.winnowingPairs(docs.unionByName(mangled), "doc_id", "text",
+        k = 8, window = 16, minShared = 14)
     }),
 
     // cluster-cohesion audit over the d06 graph: edge/triangle density
@@ -2086,6 +2106,18 @@ object SparkEntry {
       TextAnalysis.substringSearch(docs, "doc_id", "text", pats, "pattern")
     }),
 
+    // CCNet perplexity tertiles: bigram LM trained on the lang='en'
+    // reference slice ONLY, every doc scored with zero-backoff left
+    // joins, tertile buckets on the 3-rounded score (head = best
+    // in-domain fit, tail = highest perplexity)
+    "t35_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", nBuckets = 3)
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("avg_logp") + lit(0.0)).as("avg_logp"), col("bucket"),
+          element_at(typedLit(Seq("tail", "middle", "head")), col("bucket"))
+            .as("label"))),
+
     // linear quality-classifier inference: literal-weight sigmoid scoring,
     // keep decided on the exact linear margin (no transcendental at the
     // decision boundary)
@@ -2583,6 +2615,56 @@ object SparkEntry {
        |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+  }
+
+  /** The d15 oracle: reproduces HashKernels.windowHash per 8-char
+    * window (base-31 roll ^ golden constant, fmix64 — the d04 stage
+    * chain, here over character windows instead of tokens), then the
+    * winnowing selection as `list_min` over every 16-long hash slice
+    * (the VALUE set is tie-rule-independent, which is what makes a
+    * relational replay exact), then true shared-fingerprint pair
+    * counts via explode + equi-join.
+    */
+  private def d15OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    val goldSigned = -7046029254386353131L // 0x9E3779B97F4A7C15 as signed
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s', '') FROM documents),
+       |norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+       |  FROM docs2),
+       |h0 AS (SELECT doc_id,
+       |         CASE WHEN length(n) = 0 THEN []
+       |              WHEN length(n) < 8 THEN [list_reduce(list_prepend(0::HUGEINT,
+       |                  list_transform(range(1, length(n) + 1),
+       |                    j -> CAST(unicode(substr(n, CAST(j AS INT), 1)) AS HUGEINT))),
+       |                  (a, c) -> (a * 31 + c) % $U)]
+       |              ELSE list_transform(range(1, length(n) - 6),
+       |                i -> list_reduce(list_prepend(0::HUGEINT,
+       |                  list_transform(range(CAST(i AS INT), CAST(i + 8 AS INT)),
+       |                    j -> CAST(unicode(substr(n, CAST(j AS INT), 1)) AS HUGEINT))),
+       |                  (a, c) -> (a * 31 + c) % $U)) END AS hs
+       |       FROM norm),
+       |h1 AS (SELECT doc_id, list_transform(hs, h -> ${xorConst("h", goldSigned)}) AS hs FROM h0),
+       |h2 AS (SELECT doc_id, list_transform(hs, h -> ${xorShift33("h")}) AS hs FROM h1),
+       |h3 AS (SELECT doc_id, list_transform(hs, h -> ${mulMod("h", C1)}) AS hs FROM h2),
+       |h4 AS (SELECT doc_id, list_transform(hs, h -> ${xorShift33("h")}) AS hs FROM h3),
+       |h5 AS (SELECT doc_id, list_transform(hs, h -> ${mulMod("h", C2)}) AS hs FROM h4),
+       |h6 AS (SELECT doc_id, list_transform(hs, h -> ${toI(xorShift33("h"))}) AS hs FROM h5),
+       |wn AS (SELECT doc_id,
+       |         CASE WHEN len(hs) = 0 THEN []
+       |              WHEN len(hs) <= 16 THEN [list_min(hs)]
+       |              ELSE list_distinct(list_transform(range(1, len(hs) - 14),
+       |                i -> list_min(hs[CAST(i AS INT):CAST(i + 15 AS INT)]))) END AS fps
+       |       FROM h6),
+       |ex AS (SELECT doc_id, unnest(fps) AS fp FROM wn)
+       |SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS n_shared
+       |FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 14""".stripMargin
   }
 
   /** The s29 oracle: MMR replayed round-for-round — the exact top-20
@@ -4318,6 +4400,52 @@ object SparkEntry {
                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
                 CAST(SUM(new_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab
          FROM base""",
+    // CCNet perplexity buckets: the t21 LM arithmetic with counts/vocab
+    // restricted to the lang='en' reference (LEFT joins + COALESCE 0 for
+    // unseen grams), then the c08 exact-rank tertile bounds on the
+    // 3-rounded score
+    "t35_perplexity_buckets" ->
+      """WITH norm AS (
+           SELECT doc_id, lang,
+                  list_filter(string_split(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                    w -> length(w) > 0) AS ws
+           FROM documents),
+         docb AS (
+           SELECT doc_id, lang, u.w1 AS w1, u.g AS g FROM (
+             SELECT doc_id, lang, UNNEST(list_transform(range(1, len(ws)),
+                      i -> struct_pack(w1 := ws[CAST(i AS INT)],
+                                       g := ws[CAST(i AS INT)] || ' ' ||
+                                            ws[CAST(i + 1 AS INT)]))) AS u
+             FROM norm WHERE len(ws) >= 2)),
+         cb AS (SELECT g, count(*) AS cb FROM docb WHERE lang = 'en' GROUP BY g),
+         cu AS (SELECT w1, count(*) AS cu FROM docb WHERE lang = 'en' GROUP BY w1),
+         v AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT UNNEST(ws) AS w FROM norm WHERE lang = 'en')),
+         scored AS (
+           SELECT doc_id,
+                  CAST(round(ln(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE) /
+                                (COALESCE(cu.cu, 0) + v.v)), 4)
+                       AS DECIMAL(28,6)) AS logp
+           FROM docb LEFT JOIN cb USING (g) LEFT JOIN cu USING (w1) CROSS JOIN v),
+         base AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) + 0.0 AS avg_logp
+           FROM scored GROUP BY doc_id),
+         m AS (SELECT doc_id, n_bigrams, avg_logp, round(avg_logp, 3) + 0.0 AS mv FROM base),
+         h AS (SELECT mv AS v, COUNT(*) AS c FROM m GROUP BY 1),
+         n AS (SELECT SUM(c) AS n FROM h),
+         cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+         bounds AS (
+           SELECT b, MIN(v) AS bound
+           FROM cum CROSS JOIN range(1, 3) t(b)
+           WHERE cum >= (b * (SELECT n FROM n) + 2) // 3
+           GROUP BY b)
+         SELECT doc_id, n_bigrams, avg_logp,
+                CAST(1 + (SELECT COUNT(*) FROM bounds WHERE bound < m.mv) AS INT) AS bucket,
+                CASE 1 + (SELECT COUNT(*) FROM bounds WHERE bound < m.mv)
+                     WHEN 1 THEN 'tail' WHEN 2 THEN 'middle' ELSE 'head' END AS label
+         FROM m""",
     // transitions: same per-user lead ordering (micros, event_id
     // tie-break), same normalization order
     "g08_event_transitions" ->
@@ -5249,6 +5377,7 @@ object SparkEntry {
                  JOIN sz y ON ix.source_b = y.source""",
     // the KMV shortlist + exact matrix replay — see d14OracleSql
     "d14_source_overlap_shortlist" -> d14OracleSql,
+    "d15_winnowing" -> d15OracleSql,
     // cohesion audit: members/edges from the same closure; triangles via
     // the sorted-edge wedge join (a<b<c is automatic — pairs carry
     // idA < idB); density arithmetic mirrored term for term
@@ -5453,6 +5582,31 @@ object SparkEntry {
                                 / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6) + 0.0
                      END AS weight
          FROM ps, tot""",
+    // alpha-temperature mixture: the t14 token-share arithmetic with
+    // q ∝ p^0.3 — pow rounded to 12 then DECIMAL(38,18)-summed so libm
+    // pow ulp drift dies before the normalizer (the t21 contract)
+    "c17_temperature_mixture" ->
+      """WITH tc AS (
+           SELECT lang,
+                  len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS nt
+           FROM documents),
+         ps AS (SELECT lang, COUNT(*) AS n_docs, SUM(nt) AS n_tokens FROM tc GROUP BY lang),
+         tot AS (SELECT SUM(n_tokens) AS total FROM ps),
+         wp AS (SELECT lang, n_docs, n_tokens,
+                       CASE WHEN COALESCE(n_tokens, 0) > 0
+                            THEN CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) END AS p
+                FROM ps, tot),
+         pa AS (SELECT lang, n_docs, n_tokens, p,
+                       CAST(round(pow(p, 0.3), 12) AS DECIMAL(38,18)) AS pav
+                FROM wp),
+         z AS (SELECT SUM(pav) AS z FROM pa)
+         SELECT lang,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                ROUND(p, 6) + 0.0 AS p,
+                ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE), 6) + 0.0 AS q,
+                ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE) / p, 6) + 0.0 AS weight
+         FROM pa, z""",
     // integer reproduction of the keep rule: bucket·den < rem·buckets in
     // HUGEINT, with the rolling-x31 fingerprint from the t09 oracle
     "t18_apply_mixture" ->

@@ -433,6 +433,8 @@ object GraftFunctions {
   def shingle_hashes(c: Column, k: Int, word: Boolean = false,
       distinct: Boolean = true): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))
+  def winnow_hashes(c: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowHashes(Bridge.expression(c), k, w))
   def deletion_variant_hashes(c: Column, d: Int): Column =
     Bridge.column(DeletionVariantHashes(Bridge.expression(c), d))
   def minhash_sig(c: Column, numHashes: Int): Column =
@@ -503,6 +505,23 @@ case class ShingleHashes(child: Expression, k: Int, word: Boolean,
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** Winnowing fingerprint set of a string: distinct sorted sliding-window
+  * minima of the positional k-char-gram hashes (window `w`) — the MOSS
+  * selection rule with its ≥ w+k−1-char match-detection guarantee; see
+  * [[HashKernels.winnowHashes]] for the O(n) deque.
+  */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.winnowHashes(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.winnowHashes($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_hashes"
 }
 
 /** Distinct sorted content hashes of every ≤ d-code-point-deletion

@@ -141,6 +141,61 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(if (distinct) distinctSorted(out) else out)
   }
 
+  /** Winnowing fingerprint SET (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS document-fingerprinting scheme): the distinct sorted
+    * minima of every `w`-long sliding window over the positional k-gram
+    * hash sequence of `s`. The winnowing guarantee: any match of length
+    * ≥ w + k − 1 characters between two documents shares at least one
+    * selected fingerprint, while expected fingerprint density is only
+    * 2/(w+1) of the gram count — the detection floor of an every-gram
+    * index at a fraction of its size.
+    *
+    * Selection is by window MINIMUM, so the fingerprint VALUE set is
+    * independent of any tie rule (tie rules in the paper only change
+    * which POSITION is recorded — positions are not emitted here); this
+    * is what lets a relational oracle reproduce the set exactly.
+    *
+    * O(n) per row: the sliding minima come from an ascending-minima
+    * deque (each hash enters and leaves the ring at most once), not the
+    * O(n·w) per-window rescan a `transform`+`slice`+`array_min` column
+    * formulation would run. Inputs shorter than one full window (fewer
+    * than w gram hashes) contribute their single global minimum — the
+    * whole short doc is still guaranteed-detectable.
+    */
+  def winnowHashes(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    if (str.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val nh = if (str.length < k) 1 else str.length - k + 1
+    val hs = new Array[Long](nh)
+    if (str.length < k) hs(0) = windowHash(str, 0, str.length)
+    else {
+      var i = 0
+      while (i + k <= str.length) { hs(i) = windowHash(str, i, i + k); i += 1 }
+    }
+    if (nh <= w) {
+      var m = hs(0)
+      var i = 1
+      while (i < nh) { if (hs(i) < m) m = hs(i); i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(Array(m))
+    }
+    // ascending-minima deque over windows [i-w+1, i]: ring holds indices
+    // of candidate minima in increasing hash order
+    val ring = new Array[Int](nh)
+    var head = 0
+    var tail = 0 // ring occupancy is [head, tail)
+    val out = new Array[Long](nh - w + 1)
+    var i = 0
+    while (i < nh) {
+      while (tail > head && hs(ring(tail - 1)) >= hs(i)) tail -= 1
+      ring(tail) = i
+      tail += 1
+      if (ring(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = hs(ring(head))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(distinctSorted(out))
+  }
+
   /** Distinct sorted 64-bit hashes of all k-word-grams of `s` (single-space
     * separated; callers normalize whitespace first). k=1 = token hashes.
     */

@@ -810,6 +810,52 @@ object TextAnalysis {
     * per-doc aggregate is keyed by the id the caller needs anyway. Two
     * passes over the text, both narrow until their aggregates.
     */
+  /** Temperature-based mixture reweighting — the multilingual-LM alpha
+    * sampling rule (XLM: Lample & Conneau 2019 §3.1; mT5: Xue et al.
+    * 2021 §3.2): sample stratum i with probability q_i ∝ p_i^alpha,
+    * where p_i is its observed token share — alpha < 1 flattens the
+    * distribution so low-resource strata are upsampled without
+    * hand-picking targets (the automatic counterpart of
+    * [[mixtureWeights]]' explicit target map). Emits per stratum the
+    * observed share `p`, the temperature target `q = p^alpha / Σ p^alpha`,
+    * and the sampling `weight = q/p` to hand to [[applyMixture]] /
+    * [[weightedSample]].
+    *
+    * Determinism contract: p is an exact integer ratio evaluated in
+    * double (identical IEEE on both engines); p^alpha is rounded to 12
+    * before the DECIMAL(38,18) normalization sum, so libm `pow` ulp
+    * drift never reaches the comparison (the t21 ln-rounding pattern);
+    * emitted fractions round to 6 with signed-zero canonicalization.
+    * Zero-token strata emit NULL shares/weights (the [[mixtureWeights]]
+    * guard — never Inf/NaN).
+    *
+    * Scale shape: ONE stratum-keyed aggregate (map-side combined into a
+    * stratum-bounded key space) + two 1-row broadcast scalars (total
+    * tokens, normalizer); everything downstream is arithmetic over K
+    * stratum rows.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, textCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val perStratum = df.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val total = perStratum.agg(sum("n_tokens").as("__total"))
+    val withP = perStratum.crossJoin(broadcast(total))
+      .withColumn("__p", when(coalesce(col("n_tokens"), lit(0L)) > 0,
+        col("n_tokens").cast("double") / col("__total")))
+      .withColumn("__pa", round(pow(col("__p"), lit(alpha)), 12).cast(dec))
+    val z = withP.agg(sum("__pa").as("__z"))
+    withP.crossJoin(broadcast(z))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        (round(col("__p"), 6) + lit(0.0)).as("p"),
+        (round(col("__pa").cast("double") / col("__z").cast("double"), 6)
+          + lit(0.0)).as("q"),
+        (round(col("__pa").cast("double") / col("__z").cast("double")
+          / col("__p"), 6) + lit(0.0)).as("weight"))
+  }
+
   def rareBigramFraction(
       df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L): DataFrame = {
@@ -985,21 +1031,31 @@ object TextAnalysis {
     * final aggregate. No driver-side model, no broadcast of anything
     * corpus-sized (V rides along as a one-row broadcast).
     */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def words(c: Column): Column =
-      filter(split(Dedup.normalized(c), " "), w => length(w) > 0)
-    val ws = words(col(textCol))
+  private def lmWords(c: Column): Column =
+    filter(split(Dedup.normalized(c), " "), w => length(w) > 0)
+
+  /** Per-doc exploded (id, first-word, bigram) rows of the bigram-LM
+    * pipeline — shared between [[bigramLmScore]] (model == scored corpus)
+    * and [[perplexityBuckets]] (model trained on a reference slice only).
+    */
+  private def lmDocBigrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ws = lmWords(col(textCol))
     val n = size(ws)
     val bigrams = when(n >= 2,
       zip_with(slice(ws, lit(1), greatest(n - 1, lit(1))),
         slice(ws, lit(2), greatest(n - 1, lit(1))),
         (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg"))))
       .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
-    val docBigrams = df.select(col(idCol), explode(bigrams).as("__b"))
+    df.select(col(idCol), explode(bigrams).as("__b"))
       .select(col(idCol), col("__b.w1").as("__w1"), col("__b.bg").as("__bg"))
+  }
+
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBigrams = lmDocBigrams(df, idCol, textCol)
     val bigramCounts = docBigrams.groupBy("__bg").agg(count(lit(1)).as("__cb"))
     val contextCounts = docBigrams.groupBy("__w1").agg(count(lit(1)).as("__cu"))
-    val vocab = df.select(explode(words(col(textCol))).as("__w"))
+    val vocab = df.select(explode(lmWords(col(textCol))).as("__w"))
       .agg(countDistinct(col("__w")).as("__v"))
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     docBigrams
@@ -1013,6 +1069,62 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__logp")).as("__sum"))
       .select(col(idCol), col("n_bigrams"),
         round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020: score web text
+    * under an LM trained on a CLEAN reference corpus, then split into
+    * perplexity tertiles — head/middle/tail — so downstream sampling can
+    * prefer in-domain text). Here the LM is the add-one-smoothed bigram
+    * model of [[bigramLmScore]] trained ONLY on `df.filter(refFilter)`;
+    * EVERY doc is then scored against it, and the corpus is cut into
+    * `nBuckets` quantile buckets of the score. Bucket 1 = lowest mean
+    * log-prob (highest perplexity — CCNet's "tail"); bucket `nBuckets` =
+    * best in-domain fit ("head").
+    *
+    * Scoring differs from [[bigramLmScore]] exactly where the reference
+    * model needs it to: bigrams/contexts unseen in the reference back off
+    * to count 0 (left joins + coalesce) so out-of-domain text scores low
+    * instead of being dropped; the smoothing vocabulary V is the
+    * REFERENCE vocabulary. Docs with no bigram (< 2 tokens) are absent —
+    * no score exists for them.
+    *
+    * Determinism contract: per-gram `ln` rounded to 4, DECIMAL(28,6) sum,
+    * mean rounded to 6 (the t21 contract). The BUCKET metric is the mean
+    * additionally rounded to 3: a plan-time-bounded domain (thousandths
+    * of a log-prob in roughly [-20, 0] — tens of thousands of distinct
+    * values at ANY corpus size), which keeps
+    * [[CorpusStats.valueQuantiles]]' driver-side histogram collect
+    * sanctioned at 100 TB where the 6-digit domain would not be.
+    *
+    * Scale shape: model counts are reference-vocabulary-bounded hash
+    * aggregates; scoring is two LEFT equi-joins on gram keys plus the
+    * 1-row broadcast V scalar; bucketing is map-only against plan-time
+    * boundary literals. No window, no sort, nothing corpus-sized ever
+    * sits on the driver.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      refFilter: Column, nBuckets: Int = 3): DataFrame = {
+    val ref = df.filter(refFilter)
+    val refBigrams = lmDocBigrams(ref, idCol, textCol)
+    val bigramCounts = refBigrams.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val contextCounts = refBigrams.groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val vocab = ref.select(explode(lmWords(col(textCol))).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val scored = lmDocBigrams(df, idCol, textCol)
+      .join(bigramCounts, Seq("__bg"), "left")
+      .join(contextCounts, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round(log((coalesce(col("__cb"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__cu"), lit(0L)) + col("__v")).cast("double")), 4)
+          .cast(dec).as("__logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__logp")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
+      .withColumn("__m", round(col("avg_logp"), 3) + lit(0.0))
+    CorpusStats.curriculumBuckets(scored, "__m", nBuckets).drop("__m")
   }
 
   /** Bottom-k-by-hash sample per stratum — the KMV (k-minimum-values)

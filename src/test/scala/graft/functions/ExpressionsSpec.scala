@@ -97,6 +97,38 @@ class ExpressionsSpec extends SparkTestBase {
     assert(multi.head === multi(2)) // same word, same hash
   }
 
+  test("WinnowHashes: deque minima equal brute-force per-window minima; short/empty edges") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog and runs on",
+      "abcdefgh", "abc", "", "aaaaaaaaaaaaaaaaaaaaaaaa")
+    val k = 4
+    val w = 5
+    val got = texts.toDF("s")
+      .select(GraftFunctions.winnow_hashes(col("s"), k, w))
+      .as[Seq[Long]].collect()
+    // brute force from the positional shingle hashes (same hash kernel)
+    val pos = texts.toDF("s")
+      .select(GraftFunctions.shingle_hashes(col("s"), k, distinct = false))
+      .as[Seq[Long]].collect()
+    texts.indices.foreach { i =>
+      val hs = pos(i)
+      val expect =
+        if (hs.isEmpty) Seq.empty[Long]
+        else if (hs.length <= w) Seq(hs.min)
+        else hs.sliding(w).map(_.min).toSeq.distinct.sorted
+      assert(got(i) === expect, s"text ${texts(i)}")
+    }
+  }
+
+  test("WinnowHashes: any shared run of >= w+k-1 chars shares a fingerprint (the guarantee)") {
+    val shared = "zqxjkvwpyg mbtfdlcrhs nzqxjkvwpy" // 32 rare chars
+    val a = s"left context here $shared and a tail"
+    val b = s"completely different opening $shared other ending"
+    val Seq(fa, fb) = Seq(a, b).toDF("s")
+      .select(GraftFunctions.winnow_hashes(col("s"), 8, 16))
+      .as[Seq[Long]].collect().toSeq
+    assert(fa.toSet.intersect(fb.toSet).nonEmpty)
+  }
+
   test("CmsEstimate probes the built-in count_min_sketch; never underestimates") {
     import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
     val words = (1 to 400).map(i => s"w${i % 25}") // 25 keys, 16 each

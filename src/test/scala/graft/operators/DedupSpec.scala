@@ -525,4 +525,31 @@ class DedupSpec extends SparkTestBase {
     // singleton: all zeros, no NaN from the 0/0 guard
     assert(got(20L) === ((1L, 0L, 0L, 0.0)))
   }
+
+  test("winnowingPairs: copies share most fingerprints, unrelated docs none; " +
+      "the bucket cap drops a boilerplate fingerprint") {
+    val base = "the zebra quilt jumps over seventeen lazy xylophones while " +
+      "quietly plotting a grand escape from the dusty barn"
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX " + base), // near-copy: shares every interior run
+      (3L, "totally disjoint content qqq www eee rrr ttt yyy uuu iii ooo ppp"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowingPairs(docs, "doc_id", "text",
+        k = 8, window = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    assert(got.head._3 >= 5) // the long shared run yields many shared minima
+
+    // cap: with maxBucketSize=1 every fingerprint shared by both copies
+    // sits in a size-2 bucket and is dropped -> no pairs survive
+    val capped = Dedup.winnowingPairs(docs, "doc_id", "text",
+      k = 8, window = 4, minShared = 1, maxBucketSize = 1)
+    assert(capped.count() === 0L)
+
+    // plan shape: no cartesian product anywhere
+    val plan = Dedup.winnowingPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
 }

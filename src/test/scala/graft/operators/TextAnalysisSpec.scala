@@ -518,6 +518,56 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2L) === ((1L, -0.4055)))
   }
 
+  test("perplexityBuckets: reference-trained LM, zero backoff for unseen grams, tertile cut") {
+    // reference slice (ref=true): "a b a b", "a b" → c(a b)=3, c(b a)=1,
+    // contexts c(a·)=3, c(b·)=1, V={a,b}=2.
+    //   logp(a b) = round(ln(4/5),4)  = -0.2231
+    //   logp(b a) = round(ln(2/3),4)  = -0.4055
+    // out-of-domain doc "x y" has an unseen bigram AND unseen context:
+    //   logp(x y) = round(ln(1/2),4)  = -0.6931  (cb=0, cu=0 backoff)
+    // doc 5 "solo" (no bigram) is absent; every present doc is scored
+    // against the REFERENCE model even though docs 4/5 are not in it.
+    val docs = Seq(
+      (1L, "a b a b", true),
+      (2L, "a b", true),
+      (4L, "x y", false),
+      (5L, "solo", false)).toDF("doc_id", "text", "ref")
+    val got = TextAnalysis.perplexityBuckets(docs, "doc_id", "text",
+        col("ref"), nBuckets = 3)
+      .select($"doc_id", $"n_bigrams", $"avg_logp", $"bucket")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === Set(1L, 2L, 4L))
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - (-0.283900)) < 1e-9) // (2·-0.2231 + -0.4055)/3
+    assert(got(2L)._2 === -0.2231)
+    assert(got(4L)._2 === -0.6931)
+    // tertile cut on 3 scored docs: one per bucket, ordered by score —
+    // the out-of-domain doc lands in the tail, the best fit in the head
+    assert(got(4L)._3 === 1)
+    assert(got(1L)._3 === 2)
+    assert(got(2L)._3 === 3)
+  }
+
+  test("temperatureMixture: alpha flattens shares toward uniform; alpha=1 is identity") {
+    // strata: en 9 tokens, de 1 → p = 0.9/0.1. alpha=0.5: q ∝ √p →
+    // exactly 0.75/0.25 (common factor cancels), weight = q/p
+    val docs = Seq(
+      ("en", "a b c d e f g h i"),
+      ("de", "x")).toDF("lang", "text")
+    val half = TextAnalysis.temperatureMixture(docs, "lang", "text", alpha = 0.5)
+      .select($"lang", $"p", $"q", $"weight")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(half("en") === ((0.9, 0.75, 0.833333)))
+    assert(half("de") === ((0.1, 0.25, 2.5)))
+    val id = TextAnalysis.temperatureMixture(docs, "lang", "text", alpha = 1.0)
+      .select($"lang", $"q", $"weight")
+      .as[(String, Double, Double)].collect()
+    assert(id.forall(r => r._3 === 1.0))
+    assert(id.map(r => r._1 -> r._2).toMap === Map("en" -> 0.9, "de" -> 0.1))
+  }
+
   test("hot-path kernels reproduce the original column formulations bit-for-bit") {
     // the pre-kernel higher-order/regex formulations, inlined verbatim;
     // adversarial corpus: tabs, newlines, multi-byte, empties, dup lines
