@@ -3,7 +3,7 @@ package graft
 import graft.expr.MvelTranslator
 import graft.functions.GraftFunctions
 import graft.model._
-import graft.operators.{Cdc, CorpusStats, Dedup, Graph, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Cdc, CorpusStats, Dedup, Events, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
 import graft.streaming.{StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget}
 import graft.schema.Reconciler
@@ -2117,6 +2117,52 @@ object SparkEntry {
           (col("avg_logp") + lit(0.0)).as("avg_logp"), col("bucket"),
           element_at(typedLit(Seq("tail", "middle", "head")), col("bucket"))
             .as("label"))),
+
+    // Zipf rank–frequency OLS fit over the top-1000 vocabulary ranks —
+    // integer-scaled log coordinates make the sums exact on both engines
+    "t36_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 1000)),
+
+    // fuzzy decontamination: bench = mangled copies (first word dropped)
+    // of the EVEN-id docs — even train docs near-dup a bench doc and are
+    // dropped, odd docs survive, so both verdicts are exercised
+    "d16_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val bench = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      Dedup.fuzzyDecontaminate(docs, bench, "doc_id", "text",
+          threshold = 0.7)
+        .select("doc_id", "lang")
+    }),
+
+    // 2-D Pareto frontier: highest quality at every token budget — the
+    // sorted-prefix skyline (one skinny agg + parallel prefix-min + one
+    // equi-join), never the quadratic dominance check the oracle runs
+    "c18_pareto_frontier" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      CorpusStats.paretoFrontier(scored, "quality", "n_tokens")
+        .select("doc_id", "quality", "n_tokens")
+    }),
+
+    // quantile normalization of n_chars across sources: exact
+    // integer-rank mapping onto the global distribution — no float
+    // interpolation, so engines agree bit-for-bit
+    "c19_quantile_normalize" -> ((s, dir) =>
+      CorpusStats.quantileNormalize(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id")
+        .select("doc_id", "source", "n_chars", "n_chars_norm")),
+
+    // top session event paths: 30-min gap sessions, event-type sequences
+    // ranked by frequency (ties by path string)
+    "g09_path_analysis" -> ((s, dir) =>
+      Events.topPaths(
+        t(s, dir, "events")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "ts", "event_type", "event_id", "30 minutes", k = 20)),
 
     // linear quality-classifier inference: literal-weight sigmoid scoring,
     // keep decided on the exact linear margin (no transcendental at the
@@ -4400,6 +4446,144 @@ object SparkEntry {
                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
                 CAST(SUM(new_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab
          FROM base""",
+    // Zipf OLS fit: identical integer-scaled log coordinates
+    // (round(ln·10^6) as BIGINT) summed exactly (HUGEINT intermediates,
+    // only the two fitted doubles reach the output), identical
+    // closed-form slope/intercept division order
+    "t36_zipf_fit" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         counts AS (
+           SELECT tok, count(*) AS c FROM tok
+           WHERE length(tok) > 0 GROUP BY tok),
+         ranked AS (
+           SELECT row_number() OVER (ORDER BY c DESC, tok ASC) AS rank, c
+           FROM counts),
+         top AS (SELECT rank, c FROM ranked WHERE rank <= 1000),
+         xy AS (
+           SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                  CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+           FROM top),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+                  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                  CAST(sum(x * y) AS HUGEINT) AS sxy,
+                  CAST(sum(x * x) AS HUGEINT) AS sxx
+           FROM xy)
+         SELECT n_ranks,
+                round(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_ranks * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS slope,
+                round((CAST(sy AS DOUBLE)
+                       - (CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+                          / CAST(n_ranks * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / (CAST(n_ranks AS DOUBLE) * 1000000), 6) + 0.0 AS intercept
+         FROM s""",
+    // fuzzy decontamination: the d03 true-Jaccard oracle restricted to
+    // TRAIN×BENCH pairs, then an anti-membership filter — the same
+    // 100%-LSH-recall argument (fixed hashes, this fixture's planted
+    // mangles) makes the engine's candidate set complete
+    "d16_fuzzy_decontaminate" ->
+      """WITH train AS (SELECT doc_id, text, lang FROM documents),
+         bench AS (
+           SELECT doc_id + 2000000 AS doc_id,
+                  regexp_replace(text, '^\S+\s', '') AS text
+           FROM documents WHERE doc_id % 2 = 0),
+         both_sides AS (
+           SELECT 'T' AS side, doc_id, text FROM train
+           UNION ALL
+           SELECT 'B' AS side, doc_id, text FROM bench),
+         norm AS (
+           SELECT side, doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+           FROM both_sides),
+         grams AS (
+           SELECT side, doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT side, doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT side, doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+                  a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p
+           WHERE a.side = 'T' AND b.side = 'B'
+           GROUP BY 1, 2, 3, 4),
+         hits AS (
+           SELECT DISTINCT idA FROM inter
+           WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7)
+         SELECT doc_id, lang FROM train
+         WHERE doc_id NOT IN (SELECT idA FROM hits)""",
+    // Pareto frontier: quadratic NOT-EXISTS dominance truth over the
+    // same (quality, token-count) coordinates
+    "c18_pareto_frontier" ->
+      s"""WITH q AS ($t02QualitySql),
+         tk AS (
+           SELECT doc_id,
+                  CAST(len(string_split(
+                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+                    AS BIGINT) AS n_tokens
+           FROM documents),
+         sel AS (
+           SELECT q.doc_id, q.quality, tk.n_tokens
+           FROM q JOIN tk USING (doc_id))
+         SELECT doc_id, quality, n_tokens FROM sel a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM sel b
+           WHERE b.quality >= a.quality AND b.n_tokens <= a.n_tokens
+             AND (b.quality > a.quality OR b.n_tokens < a.n_tokens))""",
+    // quantile normalization: identical integer-rank position formula
+    // (the split form the engine uses is an exact algebraic identity of
+    // this plain one)
+    "c19_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+         r AS (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM d),
+         g AS (
+           SELECT n_chars AS vnorm,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS p
+           FROM d),
+         tot AS (SELECT count(*) AS n_total FROM d),
+         tgt AS (
+           SELECT doc_id, source, n_chars,
+                  CASE WHEN n > 1
+                       THEN (r - 1) * (n_total - 1) // (n - 1) + 1
+                       ELSE (n_total + 1) // 2 END AS p
+           FROM r CROSS JOIN tot)
+         SELECT t.doc_id, t.source, t.n_chars, g.vnorm AS n_chars_norm
+         FROM tgt t JOIN g USING (p)""",
+    // top session paths: the e02 gap-session construction plus an
+    // ordered string_agg, ranked by (count DESC, path ASC)
+    "g09_path_analysis" ->
+      """WITH base AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+           FROM events),
+         flagged AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS new_s
+           FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, event_id, event_type,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+           FROM flagged),
+         paths AS (
+           SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM sess GROUP BY user_id, sid),
+         counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY path)
+         SELECT CAST(rank AS INT) AS rank, path, n_sessions FROM (
+           SELECT row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rank,
+                  path, n_sessions
+           FROM counts)
+         WHERE rank <= 20""",
     // CCNet perplexity buckets: the t21 LM arithmetic with counts/vocab
     // restricted to the lang='en' reference (LEFT joins + COALESCE 0 for
     // unseen grams), then the c08 exact-rank tertile bounds on the

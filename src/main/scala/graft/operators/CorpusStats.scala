@@ -326,6 +326,146 @@ object CorpusStats {
       .join(shortlist, Seq("source_a", "source_b"), "left_semi")
   }
 
+  /** Global row number over `orderCols` without a one-task global window —
+    * the parallel-prefix recipe shared with [[globalRunningTotal]]: range
+    * partition on the order, count rows per partition (ONE bounded collect,
+    * one long per partition), turn the counts into exclusive offsets, and
+    * number within each partition under a partition-local window. Output
+    * adds `outCol` = 1-based global position.
+    */
+  private[operators] def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partCounts = snap.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val exclusive: Map[Int, Long] = {
+      var acc = 0L
+      partCounts.map { case (pid, c) => val off = acc; acc += c; pid -> off }.toMap
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val offset =
+      if (exclusive.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(exclusive), col("__pid")), lit(0L))
+    snap.withColumn(outCol, row_number().over(w).cast("long") + offset)
+      .drop("__pid")
+  }
+
+  /** EXCLUSIVE prefix-min of `valueCol` over the global DESCENDING
+    * `orderCol` order: each row gets the minimum value among rows with a
+    * STRICTLY GREATER `orderCol` (null when no such row exists — rows of
+    * `df` must be unique in `orderCol`, which the [[paretoFrontier]]
+    * caller guarantees by aggregating first). Same parallel-prefix shape
+    * as [[globalRowNumber]]: per-partition mins collect (one long per
+    * partition), exclusive cross-partition min offsets, and a
+    * partition-local `rowsBetween(-inf, -1)` running min — never a
+    * one-task global window.
+    */
+  private[operators] def exclusivePrefixMinDesc(df: DataFrame,
+      orderCol: String, valueCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = col(orderCol).desc
+    val snap = df.repartitionByRange(ord)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partMins = snap.groupBy(col("__pid"))
+      .agg(min(col(valueCol).cast("long")).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive min of all PRECEDING partitions (higher orderCol ranges)
+    val exclusive: Map[Int, Long] = {
+      var acc = Option.empty[Long]
+      partMins.flatMap { case (pid, m) =>
+        val out = acc.map(pid -> _)
+        acc = Some(acc.fold(m)(math.min(_, m)))
+        out
+      }.toMap
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = min(col(valueCol).cast("long")).over(w)
+    val offset =
+      if (exclusive.isEmpty) lit(null).cast("long")
+      else element_at(typedLit(exclusive), col("__pid"))
+    // least() skips nulls (returns null only when BOTH are null) — exactly
+    // the semantics an exclusive min with absent predecessors needs
+    snap.withColumn(outCol, least(within, offset)).drop("__pid")
+  }
+
+  /** 2-D Pareto frontier (skyline): rows not dominated under (maximize
+    * `maxCol`, minimize `minCol`) — `a` dominates `b` iff `a.max >= b.max
+    * AND a.min <= b.min` with at least one strict. The multi-criteria
+    * document-selection step (e.g. highest quality at every length
+    * budget) a curation pipeline runs before fixing a token budget.
+    *
+    * Plan shape (100 TB posture): the classic quadratic skyline check is
+    * replaced by the sorted-prefix formulation — a row survives iff its
+    * `minCol` equals the minimum within its own `maxCol` value AND beats
+    * the minimum over all STRICTLY higher `maxCol` values. That is ONE
+    * skinny hash aggregate (distinct `maxCol` values), one parallel
+    * exclusive prefix-min over those values ([[exclusivePrefixMinDesc]]),
+    * and one equi-join back to the corpus — no window over the corpus, no
+    * pair join, no cartesian. Ties on both axes all survive (none
+    * dominates another).
+    */
+  def paretoFrontier(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    val perQ = df.groupBy(col(maxCol))
+      .agg(min(col(minCol).cast("long")).as("__mEq"))
+    val bounds = exclusivePrefixMinDesc(perQ, maxCol, "__mEq", "__mGt")
+    df.join(bounds, Seq(maxCol))
+      .filter(col(minCol).cast("long") === col("__mEq") &&
+        (col("__mGt").isNull || col(minCol).cast("long") < col("__mGt")))
+      .drop("__mEq", "__mGt")
+  }
+
+  /** Quantile normalization of `valueCol` across `sourceCol` groups: each
+    * row's value is replaced by the GLOBAL distribution's value at the
+    * row's within-source rank position — after it, every source has the
+    * same marginal distribution (up to rank granularity), the standard
+    * cross-source score-calibration step before mixing corpora. The
+    * mapping is the exact integer-rank form (no interpolation — engines
+    * cannot disagree on a float): within-source rank `r` of `n` maps to
+    * global sorted position `p = (r-1)·(N-1) div (n-1) + 1` (the single
+    * row of a 1-row source maps to the lower median, `p = (N+1) div 2`);
+    * ties order by `idCol` on both sides, making every rank unique.
+    *
+    * Plan shape: ONE source-partitioned window for within-source ranks
+    * (`sourceCol` is the natural partitioning; no global window), ONE
+    * parallel-prefix [[globalRowNumber]] pass for the global order, and
+    * ONE equi-join on the computed position. Adds `valueCol_norm`.
+    */
+  def quantileNormalize(df: DataFrame, sourceCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Seq(col(valueCol), col(idCol))
+    val wRank = Window.partitionBy(col(sourceCol)).orderBy(byVal: _*)
+    val wN = Window.partitionBy(col(sourceCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(wRank).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wN))
+    val pos = globalRowNumber(df.select(col(valueCol), col(idCol)), byVal, "__p")
+      .select(col("__p"), col(valueCol).as(s"${valueCol}_norm"))
+    // "__total" not "__N": Spark resolution is case-insensitive, so a
+    // name differing from "__n" only by case would be ambiguous
+    val total = pos.groupBy().agg(max(col("__p")).as("__total"))
+    // p = (r-1)·(N-1) div (n-1) + 1, computed in the overflow-safe split
+    // form (r-1)·q + (r-1)·rem div (n-1) + 1 with q = (N-1) div (n-1),
+    // rem = (N-1) mod (n-1): exact in long arithmetic whenever each
+    // SOURCE holds <= ~3·10^9 rows (vs. the naive product overflowing
+    // once the whole CORPUS does). `div` is integral division.
+    // 1-row scalar-model attach (the documented crossJoin pattern)
+    val target = ranked.crossJoin(broadcast(total))
+      .withColumn("__p",
+        when(col("__n") > 1L, expr(
+          """(__r - 1) * ((__total - 1) div (__n - 1))
+             + ((__r - 1) * ((__total - 1) % (__n - 1))) div (__n - 1) + 1"""))
+        .otherwise(expr("(__total + 1) div 2")))
+      .drop("__total")
+    target.join(pos, Seq("__p")).drop("__p", "__r", "__n")
+  }
+
   def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
       shingleK: Int = 5): DataFrame = {
     val grams = df.select(col(groupCol),

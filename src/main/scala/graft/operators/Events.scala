@@ -58,4 +58,36 @@ object Events {
       .select((col(userCol) +: tCols.map(col)) :+
         stagesReached.as("stage"): _*)
   }
+
+  /** Top user paths: per (user, gap-based session) the ordered
+    * event-type sequence joined with `">"`, counted corpus-wide, top `k`
+    * paths by frequency — the navigation-pattern mining behind "what do
+    * users actually do" dashboards. Ordering inside a session is
+    * `(tsCol, idCol)` so concurrent events resolve deterministically;
+    * ranking ties resolve by path string (the
+    * [[TextAnalysis.topTokensFromCounts]] contract).
+    *
+    * Plan shape (100 TB posture): ONE session aggregation (gap sessions
+    * via `session_window`, per-session `collect_list` bounded by session
+    * length — sessions are human-scale no matter the corpus), ONE
+    * path-bounded hash aggregate for counts, and ONE bounded top-`k` heap
+    * — no global sort, no corpus-wide window. `tsCol` must be a
+    * timestamp column.
+    *
+    * Output: (rank, path, n_sessions), rank 1-based.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, gap: String = "30 minutes",
+      k: Int = 20): DataFrame = {
+    val sessions = events
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col(tsCol), col(idCol), col(typeCol).as("__t")))),
+        x => x.getField("__t")), ">").as("path"))
+    val counts = sessions.groupBy("path").agg(count(lit(1)).as("n"))
+    TextAnalysis.topTokensFromCounts(
+        counts.select(col("path").as("token"), col("n")), k)
+      .select(col("rank"), col("token").as("path"),
+        col("n").as("n_sessions"))
+  }
 }

@@ -615,6 +615,46 @@ object TextAnalysis {
         col("col.score").cast("long").as("n"))
   }
 
+  /** Zipf rank–frequency fit: ordinary-least-squares slope/intercept of
+    * `ln(count)` on `ln(rank)` over the corpus's top `topN` vocabulary
+    * ranks — the standard corpus-health diagnostic (natural language sits
+    * near slope −1; generated/templated text and boilerplate-heavy crawls
+    * bend away from it). Rank ordering is the [[topTokensFromCounts]]
+    * contract (`count DESC, token ASC`).
+    *
+    * Determinism contract: the log coordinates are scaled to integers
+    * (`round(ln(v)·10^6)` as long) so every sum and cross-product is
+    * EXACT integer arithmetic — libm ulp drift cannot move the fit; the
+    * closed-form slope is assembled from the exact sums in DECIMAL(38,0)
+    * and only the final division happens in IEEE doubles (both engines
+    * cast the same exact integers, so they divide the same doubles).
+    *
+    * Plan shape: one vocab-bounded hash aggregate (token counts), one
+    * bounded top-`topN` heap, ONE 5-sum aggregate over `topN` rows, one
+    * map-only arithmetic row. Output: a single row `(n_ranks, slope,
+    * intercept)`, both doubles rounded to 6.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, "need at least 2 ranks to fit a line")
+    val ranked = topTokensFromCounts(tokenCounts(df, textCol), topN)
+    val xi = round(log(col("rank").cast("double")) * 1e6, 0).cast("long")
+    val yi = round(log(col("n").cast("double")) * 1e6, 0).cast("long")
+    val sums = ranked.select(xi.as("__x"), yi.as("__y"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    def d(c: String): Column = col(c).cast("decimal(38,0)")
+    val num = (d("n_ranks") * d("__sxy") - d("__sx") * d("__sy")).cast("double")
+    val den = (d("n_ranks") * d("__sxx") - d("__sx") * d("__sx")).cast("double")
+    val slope = num / den
+    val intercept = (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+      (col("n_ranks").cast("double") * lit(1e6))
+    sums.select(col("n_ranks"),
+      (round(slope, 6) + lit(0.0)).as("slope"),
+      (round(intercept, 6) + lit(0.0)).as("intercept"))
+  }
+
   /** PII patterns shared by [[redactPii]] and its oracle: RE2-compatible
     * (no backtracking constructs), so the same pattern runs identically on
     * Spark's Java regex and RE2-based engines. Redaction order is part of

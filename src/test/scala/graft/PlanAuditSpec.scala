@@ -738,4 +738,60 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), s"FK check lost its anti join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in the audit:\n$p")
   }
+
+  test("c18 pareto frontier: never a pair join or corpus window — " +
+      "equi-joins plus the partition-local prefix-min window only") {
+    val df = SparkEntry.queries("c18_pareto_frontier")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in the skyline:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"pair join crept in:\n$p")
+    // the only Window is partition-local (partitionBy __pid) — a global
+    // ORDER BY window would read "Window [...], [orderCol ASC...]" with
+    // no partition spec
+    val windows = p.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.forall(_.contains("__pid")),
+      s"non-partition-local window in the skyline:\n$p")
+  }
+
+  test("d16 fuzzy decontamination: LSH cross pairs with the combined skew " +
+      "guard, anti-join drop, no cartesian") {
+    val p = plan("d16_fuzzy_decontaminate")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cross near-dup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    assert(p.contains("CollectMetrics") && p.contains("cross_neardup_skew_guard"),
+      s"combined-bucket skew guard missing:\n$p")
+    assert(p.contains("LeftAnti"), s"decontamination drop lost its anti join:\n$p")
+  }
+
+  test("c19 quantile normalization: windows are source-partitioned or " +
+      "partition-local, the position lookup is an equi-join") {
+    val df = SparkEntry.queries("c19_quantile_normalize")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"),
+      s"non-broadcast cartesian in quantile normalize:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") || {
+      // the 1-row total attach is the only sanctioned nested-loop
+      p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1
+    }, s"unexpected nested-loop joins:\n$p")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.forall(w => w.contains("__pid") || w.contains("src") ||
+      w.contains("source")), s"corpus-global window crept in:\n$p")
+  }
+
+  test("t36 zipf fit: the rank stage is the bounded heap, not a global " +
+      "sort-window over the vocabulary") {
+    val df = SparkEntry.queries("t36_zipf_fit")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"vocabulary window crept into zipf:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore") ||
+      p.contains("topkbyscore"), s"bounded heap missing from zipf plan:\n$p")
+  }
+
+  test("g09 path mining: session aggregation plus bounded heap — no " +
+      "corpus-wide window, no cartesian") {
+    val df = SparkEntry.queries("g09_path_analysis")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"window crept into path mining:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in path mining:\n$p")
+  }
 }

@@ -167,4 +167,79 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(!plan.contains("Cartesian"), plan)
     assert(plan.contains("LeftSemi"), plan)
   }
+
+  test("exclusivePrefixMinDesc equals the brute-force strict-greater min " +
+      "on random distinct keys across partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((0 until 200).toList)
+      .map(k => (k.toDouble / 4.0, rnd.nextInt(50).toLong))
+    val df = rows.toDF("q", "v").repartition(7)
+    val got = CorpusStats.exclusivePrefixMinDesc(df, "q", "v", "m")
+      .select("q", "m").as[(Double, Option[Long])].collect().toMap
+    rows.foreach { case (q, _) =>
+      val above = rows.filter(_._1 > q).map(_._2)
+      val want = if (above.isEmpty) None else Some(above.min)
+      assert(got(q) === want, s"q=$q")
+    }
+  }
+
+  test("paretoFrontier equals the quadratic dominance check on random " +
+      "points, ties on both axes all survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(15).toDouble / 2.0, rnd.nextInt(40).toLong))
+    val df = pts.toDF("id", "quality", "n").repartition(5)
+    val got = CorpusStats.paretoFrontier(df, "quality", "n")
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (_, q, n) =>
+      !pts.exists { case (_, q2, n2) =>
+        q2 >= q && n2 <= n && (q2 > q || n2 < n)
+      }
+    }.map(_._1).toSet
+    assert(got === want)
+    // ties: duplicated frontier points must BOTH survive
+    val sample = want.head
+    val (_, q0, n0) = pts.find(_._1 == sample).get
+    val df2 = (pts :+ ((999L, q0, n0))).toDF("id", "quality", "n")
+    val got2 = CorpusStats.paretoFrontier(df2, "quality", "n")
+      .select("id").as[Long].collect().toSet
+    assert(got2.contains(sample) && got2.contains(999L))
+  }
+
+  test("quantileNormalize maps within-source ranks onto the exact global " +
+      "positions of the integer formula, including 1-row sources and ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // three sources of very different sizes, plenty of value ties
+    val rows = ((0 until 60).map(i => (i.toLong, "a", rnd.nextInt(10).toLong)) ++
+      (60 until 80).map(i => (i.toLong, "b", rnd.nextInt(10).toLong)) ++
+      Seq((80L, "c", 5L))).toList
+    val df = rows.toDF("id", "src", "v").repartition(6)
+    val got = CorpusStats.quantileNormalize(df, "src", "v", "id")
+      .select("id", "v_norm").as[(Long, Long)].collect().toMap
+    val globalSorted = rows.sortBy(r => (r._3, r._1)).map(_._3)
+    val bigN = globalSorted.size.toLong
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val inOrder = g.sortBy(r => (r._3, r._1))
+      val n = g.size.toLong
+      inOrder.zipWithIndex.foreach { case ((id, _, _), i) =>
+        val r = i + 1L
+        val p = if (n > 1) (r - 1) * (bigN - 1) / (n - 1) + 1 else (bigN + 1) / 2
+        assert(got(id) === globalSorted((p - 1).toInt), s"id=$id")
+      }
+    }
+  }
+
+  test("quantileNormalize: after normalization every source's marginal " +
+      "is drawn from the global value multiset") {
+    import spark.implicits._
+    val rows = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "x" else "y",
+      (i * 7 % 23).toLong))
+    val df = rows.toDF("id", "src", "v")
+    val norm = CorpusStats.quantileNormalize(df, "src", "v", "id")
+      .select("v_norm").as[Long].collect().toSet
+    assert(norm.subsetOf(rows.map(_._3).toSet))
+  }
 }

@@ -552,4 +552,43 @@ class DedupSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), plan)
   }
+
+  test("crossNearDupPairs: pairs form only ACROSS sides, ids may collide " +
+      "between sides, and jaccard verification is exact") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val left = Seq(
+      (1L, base),
+      (2L, "completely unrelated text about parquet row groups and shuffles"),
+      (3L, base + " extended")).toDF("doc_id", "text")
+    // right reuses id 1 for a DIFFERENT doc — sides must never mix ids
+    val right = Seq(
+      (1L, base + " today"),
+      (9L, "nothing like anything on the left at all whatsoever")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossNearDupPairs(left, right, "doc_id", "text",
+        threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // near-identical cross pairs only; (1,9)/(2,*) dissimilar; the two
+    // left-side near-dups 1 and 3 must NOT pair with each other
+    assert(got.contains((1L, 1L)))
+    assert(got.forall { case (a, b) => Set(1L, 3L).contains(a) && b == 1L })
+  }
+
+  test("fuzzyDecontaminate drops exactly the train docs near a bench doc " +
+      "and passes schema through") {
+    import spark.implicits._
+    val mk = (s: String) => s"$s shared core sentence with many common words here"
+    val train = Seq(
+      (1L, mk("alpha"), "en"), (2L, mk("beta"), "en"),
+      (3L, "totally different content nothing shared at all", "de")
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, mk("alpha"))).toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDecontaminate(train, bench, "doc_id", "text",
+        threshold = 0.6)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(!kept.contains(1L), "near-dup of bench must drop")
+    assert(kept.contains(3L), "unrelated doc must survive")
+    assert(kept.get(3L) === Some("de"))
+  }
 }

@@ -51,4 +51,44 @@ class EventsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("topPaths: gap sessions split correctly, in-session order is " +
+      "(ts, id), counting and tie-ranking follow (n DESC, path ASC)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1, session 1: ordered view>click>purchase
+      (1L, ts(0), 1L, "view"), (1L, ts(5), 2L, "click"),
+      (1L, ts(10), 3L, "purchase"),
+      // user 1, session 2 (40-min gap > 30): lone view
+      (1L, ts(50), 4L, "view"),
+      // user 2: same-ts tie resolves by event_id: view(5) then click(6)
+      (2L, ts(0), 5L, "view"), (2L, ts(0), 6L, "click"),
+      // user 3: a gap of EXACTLY the session gap merges (session_window
+      // semantics: a new session needs diff > gap, not >=)
+      (3L, ts(0), 7L, "view"), (3L, ts(30), 8L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type").repartition(3)
+    val got = Events.topPaths(ev, "user_id", "ts", "event_type", "event_id",
+        "30 minutes", k = 10)
+      .as[(Int, String, Long)].collect().toList
+    assert(got === List(           // all ties at n=1: rank by path ASC
+      (1, "view", 1L),             // u1 s2 (40-min gap split)
+      (2, "view>click", 1L),
+      (3, "view>click>purchase", 1L),
+      (4, "view>view", 1L)))       // u3's boundary-gap merged session
+  }
+
+  test("topPaths: k bounds the output and the plan has no corpus-wide window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = (0 until 100).map(i =>
+      (i.toLong, new Timestamp(i * 3600000L), i.toLong, s"t$i"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.topPaths(ev, "user_id", "ts", "event_type", "event_id",
+      "30 minutes", k = 7)
+    assert(out.count() === 7)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }

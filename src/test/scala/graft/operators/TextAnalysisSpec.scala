@@ -800,4 +800,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(truth.contains(("quick b", 1L)) && truth.contains(("quick b", 3L)))
     assert(!truth.exists(_._1 == "zz"))
   }
+
+  test("zipfFit equals the exact integer-scaled OLS replayed in Scala, " +
+      "and a perfect power law fits with slope -1") {
+    import spark.implicits._
+    // corpus with known counts: token w_i appears ceil(64 / i) times
+    val counts = (1 to 30).map(i => f"w$i%02d" -> (64 + i - 1) / i)
+    val docs = counts.flatMap { case (w, c) => Seq.fill(c)(w) }
+      .grouped(17).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = TextAnalysis.zipfFit(docs, "text", topN = 30)
+      .as[(Long, Double, Double)].head()
+    // replay: ranks follow (count DESC, token ASC)
+    val ranked = counts.sortBy { case (w, c) => (-c, w) }.map(_._2)
+    val xs = ranked.indices.map(i => math.round(math.log(i + 1.0) * 1e6))
+    val ys = ranked.map(c => math.round(math.log(c.toDouble) * 1e6))
+    val n = ranked.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val num = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+    val den = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+    val slope = num / den
+    val intercept = (sy.toDouble - slope * sx.toDouble) / (n.toDouble * 1e6)
+    assert(got._1 === n)
+    assert(got._2 === BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._3 === BigDecimal(intercept).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // ceil(64/i) is close to a perfect 1/i law: slope must sit near -1
+    assert(got._2 < -0.8 && got._2 > -1.2)
+  }
+
+  test("zipfFit: topN truncates the rank range and the tiny-vocab edge " +
+      "still fits") {
+    import spark.implicits._
+    val docs = Seq("aa aa aa bb bb cc").toDF("text")
+    val got = TextAnalysis.zipfFit(docs, "text", topN = 2)
+      .as[(Long, Double, Double)].head()
+    assert(got._1 === 2L)
+    // two points: slope = (y2-y1)/(x2-x1) exactly
+    val x = Seq(1.0, 2.0).map(v => math.round(math.log(v) * 1e6))
+    val y = Seq(3.0, 2.0).map(v => math.round(math.log(v) * 1e6))
+    val s = (y(1) - y(0)).toDouble / (x(1) - x(0)).toDouble
+    assert(math.abs(got._2 - s) < 1e-6)
+  }
 }
