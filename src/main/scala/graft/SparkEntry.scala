@@ -2164,6 +2164,59 @@ object SparkEntry {
           .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
         "user_id", "ts", "event_type", "event_id", "30 minutes", k = 20)),
 
+    // RFM user segmentation: per-user recency/frequency/monetary rolled
+    // into exact quartile scores via the c08 histogram-quantile machinery
+    // (metric domains are bounded: ns timestamps, counts, 6-decimal sums)
+    "g10_rfm_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val per = t(s, dir, "events").groupBy("user_id").agg(
+        max(col("ts")).as("recency_ns"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("monetary"))
+      val r = CorpusStats.curriculumBuckets(per, "recency_ns", 4)
+        .withColumnRenamed("bucket", "r_score")
+      val f = CorpusStats.curriculumBuckets(r, "frequency", 4)
+        .withColumnRenamed("bucket", "f_score")
+      val m = CorpusStats.curriculumBuckets(f, "monetary", 4)
+        .withColumnRenamed("bucket", "m_score")
+      m.select(col("user_id"), col("recency_ns"), col("frequency"),
+        (round(col("monetary"), 6) + lit(0.0)).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+    }),
+
+    // ingest-time d16: every micro-batch screens against the static
+    // benchmark's persisted LSH index; kept docs land batch-keyed
+    // (replay overwrites its own partition). Drained union == the batch
+    // fuzzy decontamination over the whole stream
+    "e16_streaming_fuzzy_decontaminate" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e16").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val bench = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+      docs.filter(col("doc_id") <= half)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      docs.filter(col("doc_id") > half)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingFuzzyDecontaminate.start(
+        s, src, bench, "doc_id", "text", s"$tmp/kept", s"$tmp/cp",
+        threshold = 0.7)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e16 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingFuzzyDecontaminate.kept(s, s"$tmp/kept")
+        .select("doc_id", "lang")
+    }),
+
     // linear quality-classifier inference: literal-weight sigmoid scoring,
     // keep decided on the exact linear margin (no transcendental at the
     // decision boundary)
@@ -3779,6 +3832,51 @@ object SparkEntry {
 
   private val t02QualitySql = qualityOverSql("documents")
 
+  /** The g10 oracle: per-user RFM aggregates, then the c08
+    * histogram-quantile boundary construction replicated per metric at
+    * nBuckets = 4 (targets `(b·n + 3) // 4`, inner boundaries only,
+    * bucket = 1 + |{bound < value}| — the [[graft.operators.CorpusStats
+    * .curriculumBuckets]] formula verbatim).
+    */
+  private def g10OracleSql: String = {
+    def bucketCtes(metric: String): String =
+      s"""h_$metric AS (
+         |  SELECT CAST($metric AS DOUBLE) AS v, COUNT(*) AS c
+         |  FROM per GROUP BY 1),
+         |n_$metric AS (SELECT SUM(c) AS n FROM h_$metric),
+         |cum_$metric AS (
+         |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h_$metric),
+         |b_$metric AS (
+         |  SELECT b, MIN(v) AS bound
+         |  FROM cum_$metric CROSS JOIN range(1, 4) t(b)
+         |  WHERE cum >= (b * (SELECT n FROM n_$metric) + 3) // 4
+         |  GROUP BY b)""".stripMargin
+    def score(metric: String): String =
+      s"CAST(1 + (SELECT COUNT(*) FROM b_$metric " +
+        s"WHERE bound < CAST(p.$metric AS DOUBLE)) AS INT)"
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |         MAX(epoch_us(ts) * 1000) AS recency_ns,
+       |         COUNT(*) AS frequency,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+       |  FROM events GROUP BY 1),
+       |${bucketCtes("recency_ns")},
+       |${bucketCtes("frequency")},
+       |${bucketCtes("monetary")},
+       |scored AS (
+       |  SELECT user_id, recency_ns, frequency,
+       |         round(monetary, 6) + 0.0 AS monetary,
+       |         ${score("recency_ns")} AS r_score,
+       |         ${score("frequency")} AS f_score,
+       |         ${score("monetary")} AS m_score
+       |  FROM per p)
+       |SELECT user_id, recency_ns, frequency, monetary,
+       |       r_score, f_score, m_score,
+       |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+       |         CAST(m_score AS VARCHAR) AS segment
+       |FROM scored""".stripMargin
+  }
+
   private val t12RepetitionSql =
     """WITH b AS (
            SELECT doc_id,
@@ -4559,6 +4657,45 @@ object SparkEntry {
            FROM r CROSS JOIN tot)
          SELECT t.doc_id, t.source, t.n_chars, g.vnorm AS n_chars_norm
          FROM tgt t JOIN g USING (p)""",
+    // RFM segmentation: per-user aggregates + the c08 histogram-quantile
+    // bound construction replicated per metric at nBuckets = 4
+    "g10_rfm_segments" -> g10OracleSql,
+    // ingest-time fuzzy decontamination: batches are independent (static
+    // bench reference), so the drained union IS the batch d16 result —
+    // the same side-restricted true-Jaccard truth
+    "e16_streaming_fuzzy_decontaminate" ->
+      """WITH train AS (SELECT doc_id, text, lang FROM documents),
+         bench AS (
+           SELECT doc_id + 2000000 AS doc_id,
+                  regexp_replace(text, '^\S+\s', '') AS text
+           FROM documents WHERE doc_id % 2 = 0),
+         both_sides AS (
+           SELECT 'T' AS side, doc_id, text FROM train
+           UNION ALL
+           SELECT 'B' AS side, doc_id, text FROM bench),
+         norm AS (
+           SELECT side, doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+           FROM both_sides),
+         grams AS (
+           SELECT side, doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT side, doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT side, doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+                  a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p
+           WHERE a.side = 'T' AND b.side = 'B'
+           GROUP BY 1, 2, 3, 4),
+         hits AS (
+           SELECT DISTINCT idA FROM inter
+           WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7)
+         SELECT doc_id, lang FROM train
+         WHERE doc_id NOT IN (SELECT idA FROM hits)""",
     // top session paths: the e02 gap-session construction plus an
     // ordered string_agg, ranked by (count DESC, path ASC)
     "g09_path_analysis" ->

@@ -1662,4 +1662,48 @@ class StreamingSpec extends SparkTestBase {
     }
     LsmParquetState.compact(spark, s"$dir/s", layout)
   }
+
+  test("streaming fuzzy decontamination: drained kept set equals the batch " +
+      "operator, replay overwrites its own partition, bench stays static") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_fuzzy").toString
+    val mk = (s: String) => s"$s shared core sentence with many common words here"
+    val docs = Seq(
+      (1L, mk("alpha"), "en"), (2L, mk("beta"), "en"),
+      (3L, "totally different content nothing shared at all", "de"),
+      (4L, mk("gamma"), "fr"),
+      (5L, "another fully unrelated line of words over here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, mk("alpha"))).toDF("doc_id", "text")
+    // two micro-batches
+    docs.filter($"doc_id" <= 2).coalesce(1).write.parquet(s"$dir/in/b1")
+    docs.filter($"doc_id" > 2).coalesce(1).write.mode("append")
+      .parquet(s"$dir/in/b2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingFuzzyDecontaminate.start(spark, stream, bench,
+      "doc_id", "text", s"$dir/kept", s"$dir/cp", threshold = 0.6)
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val got = StreamingFuzzyDecontaminate.kept(spark, s"$dir/kept")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val want = graft.operators.Dedup
+      .fuzzyDecontaminate(docs, bench, "doc_id", "text", threshold = 0.6)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(got === want, "drained kept set must equal the batch operator")
+    assert(got.exists(_._1 == 3L) && !got.exists(_._1 == 1L),
+      "both verdicts must be exercised")
+    // replay: re-driving batch 0 through the production path only
+    // replaces batch 0's partition — the drained set is unchanged
+    val benchBuckets = graft.operators.Dedup
+      .lshBuckets(bench, "doc_id", "text", 5, 16, 4)
+      .select(col("__band"), col("__bandkey"), col("doc_id").as("__id"))
+    val benchSets = graft.operators.Dedup
+      .shingleSetsOf(bench, "doc_id", "text", 5, "idB", "__shB")
+    StreamingFuzzyDecontaminate.processBatch(docs.filter($"doc_id" <= 2), 0L,
+      benchBuckets, benchSets, "doc_id", "text", s"$dir/kept",
+      0.6, 5, 16, 4, 1000)
+    val replayed = StreamingFuzzyDecontaminate.kept(spark, s"$dir/kept")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(replayed === want, "replay must be idempotent")
+  }
 }
