@@ -2187,6 +2187,36 @@ object SparkEntry {
           col("m_score").cast("string")).as("segment"))
     }),
 
+    // budget-constrained best-first selection: walk quality-descending,
+    // keep while the running token total fits — the c18 coordinates with
+    // the e09 parallel-prefix machinery under a composite order
+    "c20_budget_select" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      CorpusStats.budgetSelect(scored,
+          Seq(col("quality").desc, col("doc_id").asc), "n_tokens",
+          budget = 20000L, cumCol = "cum_tokens")
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    }),
+
+    // deterministic label-propagation communities over the near-dup pair
+    // graph (symmetrized): 3 synchronous rounds, most-frequent neighbor
+    // label, ties by smallest — unlike d06's closure, dense groups stay
+    // apart across thin bridges
+    "s30_label_propagation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val all = docs.unionByName(mangled)
+      val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+        threshold = 0.7)
+      val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+        .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      Graph.labelPropagation(all.select("doc_id"), edges, "doc_id",
+        "src", "dst", iters = 3)
+    }),
+
     // ingest-time d16: every micro-batch screens against the static
     // benchmark's persisted LSH index; kept docs land batch-keyed
     // (replay overwrites its own partition). Drained union == the batch
@@ -3832,6 +3862,51 @@ object SparkEntry {
 
   private val t02QualitySql = qualityOverSql("documents")
 
+  /** The s30 oracle: the d03 true-Jaccard pair set as the edge list
+    * (symmetrized), then `iters` label-propagation rounds unrolled —
+    * each round a per-vertex `row_number() OVER (count DESC, label ASC)`
+    * argmax with isolated vertices carried by a LEFT join, the engine's
+    * deterministic rule exactly. Integer arithmetic end to end.
+    */
+  private def s30OracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""nb$i AS (SELECT e.d AS v, l.lab FROM edges e
+         |         JOIN l${i - 1} l ON e.s = l.v),
+         |c$i AS (SELECT v, lab, count(*) AS c FROM nb$i GROUP BY 1, 2),
+         |b$i AS (SELECT v, lab FROM (
+         |          SELECT v, lab, row_number() OVER (
+         |            PARTITION BY v ORDER BY c DESC, lab ASC) AS rn
+         |          FROM c$i) WHERE rn = 1),
+         |l$i AS (SELECT l.v, COALESCE(b.lab, l.lab) AS lab
+         |        FROM l${i - 1} l LEFT JOIN b$i b ON l.v = b.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s', '') FROM documents),
+       |norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n FROM docs2),
+       |grams AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+       |              ELSE list_distinct(list_transform(range(1, length(n) - 3),
+       |                     i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+       |  FROM norm),
+       |gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+       |ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
+       |inter AS (
+       |  SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
+       |  FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |e0 AS (
+       |  SELECT idA AS s, idB AS d FROM inter
+       |  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7),
+       |edges AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+       |l0 AS (SELECT doc_id AS v, doc_id AS lab FROM docs2),
+       |$rounds
+       |SELECT v AS doc_id, lab AS label FROM l$iters""".stripMargin
+  }
+
   /** The g10 oracle: per-user RFM aggregates, then the c08
     * histogram-quantile boundary construction replicated per metric at
     * nBuckets = 4 (targets `(b·n + 3) // 4`, inner boundaries only,
@@ -4660,6 +4735,29 @@ object SparkEntry {
     // RFM segmentation: per-user aggregates + the c08 histogram-quantile
     // bound construction replicated per metric at nBuckets = 4
     "g10_rfm_segments" -> g10OracleSql,
+    // budget selection: same coordinates as c18, one window sum over the
+    // composite order, prefix-cut at the literal budget
+    "c20_budget_select" ->
+      s"""WITH q AS ($t02QualitySql),
+         tk AS (
+           SELECT doc_id,
+                  CAST(len(string_split(
+                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+                    AS BIGINT) AS n_tokens
+           FROM documents),
+         sel AS (
+           SELECT q.doc_id, q.quality, tk.n_tokens
+           FROM q JOIN tk USING (doc_id)),
+         c AS (
+           SELECT doc_id, quality, n_tokens,
+                  CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+                    AS BIGINT) AS cum_tokens
+           FROM sel)
+         SELECT doc_id, quality, n_tokens, cum_tokens
+         FROM c WHERE cum_tokens <= 20000""",
+    // label propagation: d03 true-Jaccard edges + 3 unrolled rounds with
+    // the deterministic (count DESC, label ASC) rule
+    "s30_label_propagation" -> s30OracleSql(3),
     // ingest-time fuzzy decontamination: batches are independent (static
     // bench reference), so the drained union IS the batch d16 result —
     // the same side-restricted true-Jaccard truth

@@ -153,9 +153,19 @@ object CorpusStats {
     * duplicate-free for a well-defined total order.
     */
   def globalRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-      cumCol: String = "cum"): DataFrame = {
+      cumCol: String = "cum"): DataFrame =
+    globalRunningTotalOrdered(df, Seq(col(orderCol)), valueCol, cumCol)
+
+  /** [[globalRunningTotal]] over a COMPOSITE global order (e.g. quality
+    * DESC then id for deterministic ties) — same range-partitioned
+    * parallel-prefix shape: per-partition sums collected once (one long
+    * per partition), exclusive offsets, partition-local running-sum
+    * window.
+    */
+  def globalRunningTotalOrdered(df: DataFrame, orderCols: Seq[Column],
+      valueCol: String, cumCol: String = "cum"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val snap = df.repartitionByRange(col(orderCol))
+    val snap = df.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val partSums = snap.groupBy(col("__pid"))
@@ -165,7 +175,7 @@ object CorpusStats {
       var acc = 0L
       partSums.map { case (pid, s) => val off = acc; acc += s; pid -> off }.toMap
     }
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offset =
       if (exclusive.isEmpty) lit(0L)
@@ -173,6 +183,26 @@ object CorpusStats {
     snap.withColumn(cumCol,
         sum(col(valueCol).cast("long")).over(w) + offset)
       .drop("__pid")
+  }
+
+  /** Budget-constrained best-first selection: walk the corpus in
+    * `orderCols` order (highest-value first — the caller encodes "best"
+    * as the sort) accumulating `costCol`, keep every row whose RUNNING
+    * total stays within `budget` — "the best N tokens the budget buys",
+    * the final curation step before a training run. Costs are
+    * non-negative, so the running total is monotone and the kept set is
+    * an exact prefix of the order: the first row that would cross the
+    * budget is excluded along with everything after it.
+    *
+    * One [[globalRunningTotalOrdered]] pass (range partition + parallel
+    * prefix, never a one-task window) + a map-only filter. Output: the
+    * kept rows with `cumCol` attached.
+    */
+  def budgetSelect(df: DataFrame, orderCols: Seq[Column], costCol: String,
+      budget: Long, cumCol: String = "cum_cost"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    globalRunningTotalOrdered(df, orderCols, costCol, cumCol)
+      .filter(col(cumCol) <= budget)
   }
 
   def leakageSafeSplit(assignments: DataFrame, groupCol: String,

@@ -112,4 +112,50 @@ object Graph {
         (col("in_degree") >= hubThreshold).as("is_hub"),
         (col("in_degree") === 0L).as("is_antihub"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, see PAPERS.md) with a DETERMINISTIC update rule — the classic
+    * randomized tie-break would never replay: every vertex starts
+    * labeled with its own id; each round, simultaneously, a vertex
+    * adopts the most frequent label among its in-neighbors (`src → dst`
+    * messages — pass a symmetrized edge list for undirected semantics),
+    * ties broken by SMALLEST label; isolated vertices keep their label.
+    * Fixed `iters` rounds (no convergence test — replayable and
+    * bounded); unlike the connected-components closure
+    * ([[Dedup.clusterAssignments]]) LPA keeps densely-linked groups
+    * apart even when thin bridges join them.
+    *
+    * Scale posture: one round = ONE equi-join of the skinny label frame
+    * with the edge list + ONE (vertex, label) count aggregate + ONE
+    * per-vertex argmax (`max(struct(count, -label))` — a hash aggregate,
+    * never a per-vertex window), all map-side combined. Labels are
+    * checkpointed per round so lineage stays flat (the d06 lesson).
+    * Integer-exact throughout — engines cannot disagree.
+    *
+    * Output: (idCol, label).
+    */
+  def labelPropagation(
+      nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    val e = edges.select(col(srcCol), col(dstCol)).localCheckpoint(true)
+    var labels = nodes
+      .select(col(idCol), col(idCol).cast("long").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val msgs = e.join(
+          labels.select(col(idCol).as(srcCol), col("label")), srcCol)
+        .select(col(dstCol), col("label"))
+      val counts = msgs.groupBy(col(dstCol), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val best = counts.groupBy(col(dstCol))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__b"))
+        .select(col(dstCol).as(idCol), (-col("__b.__nl")).as("__new"))
+      labels = labels.join(best, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

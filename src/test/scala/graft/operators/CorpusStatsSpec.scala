@@ -232,6 +232,33 @@ class CorpusStatsSpec extends SparkTestBase {
     }
   }
 
+  test("budgetSelect keeps the exact best-first prefix under a composite " +
+      "order with ties, and a roomy budget keeps everything") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(10).toDouble, 1L + rnd.nextInt(30)))
+    val df = rows.toDF("id", "q", "cost").repartition(6)
+    val budget = 700L
+    val got = CorpusStats.budgetSelect(df,
+        Seq(col("q").desc, col("id").asc), "cost", budget)
+      .select("id", "cum_cost").as[(Long, Long)].collect().toMap
+    var cum = 0L
+    val want = rows.sortBy { case (id, q, _) => (-q, id) }.takeWhile { r =>
+      cum += r._3; cum <= budget
+    }
+    assert(got.keySet === want.map(_._1).toSet)
+    // cum values replay exactly
+    var c2 = 0L
+    want.foreach { case (id, _, cost) =>
+      c2 += cost
+      assert(got(id) === c2, s"cum at id=$id")
+    }
+    val all = CorpusStats.budgetSelect(df,
+      Seq(col("q").desc, col("id").asc), "cost", 1000000L)
+    assert(all.count() === 200L)
+  }
+
   test("quantileNormalize: after normalization every source's marginal " +
       "is drawn from the global value multiset") {
     import spark.implicits._

@@ -59,4 +59,48 @@ class GraphSpec extends SparkTestBase {
     assert(out(2L) == ((0L, false, true)))
     assert(out(3L) == ((0L, false, true)))
   }
+
+  test("labelPropagation: two cliques over a thin bridge stay separate " +
+      "communities, isolated vertices keep their own label") {
+    import spark.implicits._
+    // cliques {0,1,2} and {10,11,12}, bridge 2-10, isolated 99
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L, 99L).toDF("id")
+    val got = Graph.labelPropagation(nodes, edges, "id", "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(99L) === 99L, "isolated keeps its own label")
+    val a = Set(0L, 1L, 2L).map(got)
+    val b = Set(10L, 11L, 12L).map(got)
+    assert(a.size === 1 && b.size === 1, s"cliques must be uniform: $got")
+    assert(a != b, s"the bridge must not merge the cliques: $got")
+  }
+
+  test("labelPropagation equals a synchronous driver-side replay with the " +
+      "(count DESC, label ASC) rule on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val n = 40
+    val und = (0 until 70).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+    val dir = und ++ und.map(_.swap)
+    val nodes = (0 until n).map(_.toLong)
+    val got = Graph.labelPropagation(nodes.toDF("id"), dir.toDF("src", "dst"),
+        "id", "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    var labels = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      val next = nodes.map { v =>
+        val nb = dir.filter(_._2 == v).map(e => labels(e._1))
+        if (nb.isEmpty) v -> labels(v)
+        else {
+          val counts = nb.groupBy(identity).map { case (l, o) => (l, o.size) }
+          v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }.toMap
+      labels = next
+    }
+    assert(got === labels)
+  }
 }
