@@ -2200,6 +2200,28 @@ object SparkEntry {
         .select("doc_id", "quality", "n_tokens", "cum_tokens")
     }),
 
+    // personalized PageRank: teleport mass pinned to a seed set — the
+    // random-walk-with-restart diffusion for seed-based corpus expansion
+    "s31_personalized_pagerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          dim = 64, k = 3, numPlanes = 5, maxBucketSize = 1000000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      Graph.personalizedPageRank(emb.select("vec_id"), edges, "vec_id",
+          "src", "dst", seeds = Seq(0L, 1L, 2L, 3L, 4L), iters = 3,
+          damping = 0.85)
+        .select(col("vec_id"), (round(col("score"), 8) + lit(0.0)).as("score"))
+    }),
+
+    // winsorized clipping: n_chars clamped into its exact [p05, p95]
+    // histogram-quantile bounds — map-only apply under plan-time literals
+    "c21_winsorize" -> ((s, dir) =>
+      CorpusStats.winsorize(
+          t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars",
+          nBuckets = 20, loBucket = 1, hiBucket = 19)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars_wins") + lit(0.0)).as("n_chars_wins"))),
+
     // deterministic label-propagation communities over the near-dup pair
     // graph (symmetrized): 3 synchronous rounds, most-frequent neighbor
     // label, ties by smallest — unlike d06's closure, dense groups stay
@@ -3862,6 +3884,43 @@ object SparkEntry {
 
   private val t02QualitySql = qualityOverSql("documents")
 
+  /** The s31 oracle: the s15 PageRank replay with the teleport (and the
+    * initial distribution) pinned to the seed set — identical IEEE
+    * conventions: DECIMAL(28,10) in-edge summation, dangling mass not
+    * redistributed, doubles elsewhere.
+    */
+  private def s31OracleSql(seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString(", ")
+    val k = seeds.size
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT t.vec_id,
+         |         (CASE WHEN t.vec_id IN ($seedList)
+         |               THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |                    / CAST($k AS DOUBLE)
+         |               ELSE CAST(0.0 AS DOUBLE) END)
+         |         + CAST(0.85 AS DOUBLE)
+         |           * COALESCE(CAST(s.m AS DOUBLE), CAST(0.0 AS DOUBLE)) AS score
+         |  FROM nodes t LEFT JOIN (
+         |    SELECT ed.dst AS vec_id,
+         |           SUM(CAST(rr.score / ed.d AS DECIMAL(28,10))) AS m
+         |    FROM dedges ed JOIN $prev rr ON ed.src = rr.vec_id
+         |    GROUP BY 1) s ON t.vec_id = s.vec_id)""".stripMargin
+    s"""$knnEdgeCtes,
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |dedges AS (SELECT e.src, e.dst, dg.d FROM edges e JOIN deg dg ON e.src = dg.src),
+       |r0 AS (SELECT vec_id,
+       |         CASE WHEN vec_id IN ($seedList)
+       |              THEN CAST(1.0 AS DOUBLE) / CAST($k AS DOUBLE)
+       |              ELSE CAST(0.0 AS DOUBLE) END AS score
+       |       FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT vec_id, ROUND(score, 8) + 0.0 AS score FROM r3""".stripMargin
+  }
+
   /** The s30 oracle: the d03 true-Jaccard pair set as the edge list
     * (symmetrized), then `iters` label-propagation rounds unrolled —
     * each round a per-vertex `row_number() OVER (count DESC, label ASC)`
@@ -4758,6 +4817,27 @@ object SparkEntry {
     // label propagation: d03 true-Jaccard edges + 3 unrolled rounds with
     // the deterministic (count DESC, label ASC) rule
     "s30_label_propagation" -> s30OracleSql(3),
+    // personalized PageRank: the s15 replay with seed-pinned teleport
+    "s31_personalized_pagerank" -> s31OracleSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    // winsorize: the c08 bound construction at 20 buckets, clip at the
+    // b=1 and b=19 boundaries (exact p05/p95 under the histogram rule)
+    "c21_winsorize" ->
+      """WITH h AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS c
+           FROM documents GROUP BY 1),
+         nt AS (SELECT SUM(c) AS n FROM h),
+         cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+         bounds AS (
+           SELECT b, MIN(v) AS bound
+           FROM cum CROSS JOIN range(1, 21) t(b)
+           WHERE cum >= (b * (SELECT n FROM nt) + 19) // 20
+           GROUP BY b)
+         SELECT doc_id, n_chars,
+                GREATEST((SELECT bound FROM bounds WHERE b = 1),
+                         LEAST(CAST(n_chars AS DOUBLE),
+                               (SELECT bound FROM bounds WHERE b = 19))) + 0.0
+                  AS n_chars_wins
+         FROM documents""",
     // ingest-time fuzzy decontamination: batches are independent (static
     // bench reference), so the drained union IS the batch d16 result —
     // the same side-restricted true-Jaccard truth

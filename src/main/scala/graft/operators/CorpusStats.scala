@@ -69,6 +69,26 @@ object CorpusStats {
         b => col(valueCol).cast("double") > b))).cast("int"))
   }
 
+  /** Winsorized clipping: clamp `valueCol` into its own exact
+    * `[loBucket/nBuckets, hiBucket/nBuckets]` quantile bounds — the
+    * robust-statistics step before means/variances feed a scaler (a
+    * handful of 100 MB outlier documents otherwise dominate a corpus
+    * length average). Bounds come from the same exact histogram-quantile
+    * machinery as [[curriculumBuckets]] (bounded-cardinality contract)
+    * and ship as plan-time literals; the apply is one map-only
+    * greatest/least expression. Adds `<valueCol>_wins` (double).
+    */
+  def winsorize(df: DataFrame, valueCol: String, nBuckets: Int = 20,
+      loBucket: Int = 1, hiBucket: Int = 19): DataFrame = {
+    require(1 <= loBucket && loBucket < hiBucket && hiBucket <= nBuckets,
+      s"need 1 <= loBucket < hiBucket <= nBuckets, got ($loBucket, $hiBucket, $nBuckets)")
+    val bounds = valueQuantiles(df, valueCol, nBuckets)
+    val lo = bounds(loBucket - 1)
+    val hi = bounds(hiBucket - 1)
+    df.withColumn(s"${valueCol}_wins",
+      greatest(lit(lo), least(col(valueCol).cast("double"), lit(hi))))
+  }
+
   /** Population-stability-index drift between two corpus snapshots over
     * fixed equal-width buckets of a [0,1] metric: per bucket,
     * `term = (p_a − p_b) · ln(p_a / p_b)` with both shares clamped to

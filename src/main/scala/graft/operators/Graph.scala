@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -49,8 +49,38 @@ object Graph {
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one vertex")
-    val teleport = (1.0 - damping) / n.toDouble
+    rankLoop(nodes, edges, idCol, srcCol, dstCol, iters, damping,
+      initScore = lit(1.0 / n.toDouble),
+      teleportScore = lit((1.0 - damping) / n.toDouble))
+  }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on the `seeds`
+    * (uniformly) instead of uniformly on all vertices — "similar to
+    * THESE documents via the graph", the random-walk-with-restart
+    * relevance diffusion used for seed-based corpus expansion. Same
+    * arithmetic conventions as [[pageRank]] (DECIMAL in-edge summation,
+    * dangling mass not redistributed); `seeds` is plan-time literal
+    * state, bounded by contract (it becomes an `isin` predicate).
+    * Output: (idCol, score).
+    */
+  def personalizedPageRank(
+      nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String, seeds: Seq[Long],
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    require(seeds.distinct.size == seeds.size, "seeds must be distinct")
+    val isSeed = col(idCol).isin(seeds: _*)
+    rankLoop(nodes, edges, idCol, srcCol, dstCol, iters, damping,
+      initScore = when(isSeed, lit(1.0 / seeds.size)).otherwise(lit(0.0)),
+      teleportScore =
+        when(isSeed, lit((1.0 - damping) / seeds.size)).otherwise(lit(0.0)))
+  }
+
+  private def rankLoop(
+      nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      iters: Int, damping: Double,
+      initScore: Column, teleportScore: Column): DataFrame = {
     val deg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
     // degree-annotated edges: referenced once per iteration — materialize
     // (skinny: src, dst, deg) so iterations don't recompute the join
@@ -58,7 +88,7 @@ object Graph {
       .join(deg, srcCol)
       .localCheckpoint(true)
 
-    var ranks = nodes.select(col(idCol), lit(1.0 / n.toDouble).as("score"))
+    var ranks = nodes.select(col(idCol), initScore.as("score"))
     var prevSnap: Option[DataFrame] = None
     for (i <- 0 until iters) {
       val inflow = contrib
@@ -69,7 +99,7 @@ object Graph {
       ranks = nodes.select(col(idCol))
         .join(inflow, Seq(idCol), "left")
         .select(col(idCol),
-          (lit(teleport) +
+          (teleportScore +
             lit(damping) * coalesce(col("__m").cast("double"), lit(0.0)))
             .as("score"))
       // deep runs: snap the (skinny) rank frame every few rounds so the

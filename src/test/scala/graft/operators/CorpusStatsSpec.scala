@@ -232,6 +232,23 @@ class CorpusStatsSpec extends SparkTestBase {
     }
   }
 
+  test("winsorize clips exactly at the histogram p05/p95 bounds and " +
+      "leaves interior values untouched") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val got = CorpusStats.winsorize(df, "v", nBuckets = 20,
+        loBucket = 1, hiBucket = 19)
+      .select("v", "v_wins").as[(Long, Double)].collect().toMap
+    // uniform 1..100 at 20 buckets: bound b = smallest v with cum >= 5b,
+    // so p05 = 5, p95 = 95
+    assert(got(1L) === 5.0 && got(4L) === 5.0, "low tail clips to p05")
+    assert(got(100L) === 95.0 && got(96L) === 95.0, "high tail clips to p95")
+    (5 to 95).foreach(i => assert(got(i.toLong) === i.toDouble, s"v=$i"))
+    intercept[IllegalArgumentException] {
+      CorpusStats.winsorize(df, "v", nBuckets = 20, loBucket = 19, hiBucket = 1)
+    }
+  }
+
   test("budgetSelect keeps the exact best-first prefix under a composite " +
       "order with ties, and a roomy budget keeps everything") {
     import spark.implicits._

@@ -60,6 +60,30 @@ class GraphSpec extends SparkTestBase {
     assert(out(3L) == ((0L, false, true)))
   }
 
+  test("personalizedPageRank: teleport mass lands only on seeds, a " +
+      "component unreachable from the seeds scores zero, and uniform " +
+      "seeds over ALL vertices reduce to plain pageRank") {
+    import spark.implicits._
+    // chain 0 -> 1 -> 2, plus an isolated pair 10 -> 11 (seed-free)
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L).toDF("id")
+    val got = Graph.personalizedPageRank(nodes, edges, "id", "src", "dst",
+        seeds = Seq(0L), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got(10L) === 0.0 && got(11L) === 0.0,
+      "seed-unreachable vertices must hold zero mass")
+    assert(got(0L) > 0.0 && got(1L) > 0.0 && got(2L) > 0.0)
+    assert(got(0L) > got(2L), "mass decays along the chain from the seed")
+    val all = Seq(0L, 1L, 2L, 10L, 11L)
+    val ppr = Graph.personalizedPageRank(nodes, edges, "id", "src", "dst",
+        seeds = all, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val pr = Graph.pageRank(nodes, edges, "id", "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    all.foreach(v => assert(math.abs(ppr(v) - pr(v)) < 1e-12,
+      s"uniform seeds must equal plain pageRank at v=$v"))
+  }
+
   test("labelPropagation: two cliques over a thin bridge stay separate " +
       "communities, isolated vertices keep their own label") {
     import spark.implicits._
