@@ -2123,6 +2123,12 @@ object SparkEntry {
     "t36_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 1000)),
 
+    // BPE tokenizer TRAINING: 5 merge rounds learned on the vocabulary
+    // frame — each round one pair-count aggregate, a 1-row argmax
+    // collect, and a map-only stack-fold rewrite
+    "t37_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", numMerges = 5)),
+
     // fuzzy decontamination: bench = mangled copies (first word dropped)
     // of the EVEN-id docs — even train docs near-dup a bench doc and are
     // dropped, odd docs survive, so both verdicts are exercised
@@ -3884,6 +3890,52 @@ object SparkEntry {
 
   private val t02QualitySql = qualityOverSql("documents")
 
+  /** The t37 oracle: BPE training unrolled — per round a frequency-
+    * weighted adjacent-pair census over the vocabulary frame, a
+    * (count DESC, left, right) LIMIT 1 argmax, and the identical
+    * left-to-right non-overlapping stack-fold rewrite (`list_reduce`
+    * over singleton lists with a collapse-top-two lambda). The merge
+    * rows union into the final table.
+    */
+  private def t37OracleSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT u.a AS a, u.b AS b, SUM(n) AS c FROM (
+         |    SELECT n, UNNEST(list_transform(range(1, len(syms)),
+         |             j -> struct_pack(a := syms[CAST(j AS INT)],
+         |                              b := syms[CAST(j AS INT) + 1]))) AS u
+         |    FROM w${i - 1} WHERE len(syms) >= 2) GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$i
+         |        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |w$i AS (
+         |  SELECT token, n,
+         |         CASE WHEN len(syms) < 2 THEN syms ELSE
+         |           list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+         |             CASE WHEN len(acc) > 0 AND acc[-1] = bb.a AND x[1] = bb.b
+         |                  THEN acc[:len(acc)-1] || [bb.a || bb.b]
+         |                  ELSE acc || x END)
+         |         END AS syms
+         |  FROM w${i - 1} CROSS JOIN b$i bb)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to numMerges).map(i =>
+      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, c AS pair_count FROM b$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+       |  FROM documents),
+       |counts AS (
+       |  SELECT token, count(*) AS n FROM tok
+       |  WHERE length(token) > 0 GROUP BY token),
+       |w0 AS (
+       |  SELECT token, n,
+       |         list_transform(range(1, length(token) + 1),
+       |           i -> substr(token, CAST(i AS INT), 1)) AS syms
+       |  FROM counts),
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   /** The s31 oracle: the s15 PageRank replay with the teleport (and the
     * initial distribution) pinned to the seed set — identical IEEE
     * conventions: DECIMAL(28,10) in-edge summation, dangling mass not
@@ -4819,6 +4871,8 @@ object SparkEntry {
     "s30_label_propagation" -> s30OracleSql(3),
     // personalized PageRank: the s15 replay with seed-pinned teleport
     "s31_personalized_pagerank" -> s31OracleSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    // BPE training: 5 unrolled census→argmax→stack-fold rounds
+    "t37_bpe_train" -> t37OracleSql(5),
     // winsorize: the c08 bound construction at 20 buckets, clip at the
     // b=1 and b=19 boundaries (exact p05/p95 under the histogram rule)
     "c21_winsorize" ->

@@ -615,6 +615,69 @@ object TextAnalysis {
         col("col.score").cast("long").as("n"))
   }
 
+  /** Distributed BPE (byte-pair-encoding) tokenizer TRAINING (Sennrich et
+    * al. 2016, see PAPERS.md) — the merge-learning loop itself, not the
+    * t25 single-round pair census: starting from the word-count
+    * vocabulary with words as character sequences, each round (a) counts
+    * adjacent symbol pairs weighted by word frequency, (b) picks the most
+    * frequent pair (ties by (left, right) string order — deterministic,
+    * engine-replayable), (c) rewrites every word's symbol sequence with
+    * the merge applied LEFT-TO-RIGHT NON-OVERLAPPING (a stack fold:
+    * push a symbol, collapse when the top two equal the pair — "aaaa"
+    * under (a,a) becomes [aa, aa]).
+    *
+    * Scale posture — why this trains on 100 TB: every round operates on
+    * the VOCABULARY frame (distinct words × counts — the t20 contract:
+    * vocab-bounded no matter the corpus size), never re-touching the
+    * corpus; pair counting is one hash aggregate; the argmax is a 1-row
+    * bounded collect (the sanctioned model-fit collect — the merge table
+    * IS the model); the rewrite is one map-only higher-order fold over
+    * symbol arrays bounded by word length. The vocabulary frame is
+    * checkpointed per round (flat lineage, the d06 lesson).
+    *
+    * Output: the learned merge table, `(merge_rank, left_sym, right_sym,
+    * pair_count)` — rounds after pair exhaustion (no adjacent pairs
+    * left) are absent.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "need at least one merge")
+    val spark = df.sparkSession
+    var words = tokenCounts(df, textCol)
+      .select(col("n"),
+        expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))")
+          .as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to numMerges if !exhausted) {
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("n"), posexplode(expr(
+          "transform(sequence(1, size(syms) - 1), j -> struct(syms[j - 1] AS a, syms[j] AS b))")))
+        .groupBy(col("col.a").as("a"), col("col.b").as("b"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, a, b, c))
+        val prev = words
+        words = words.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prev)
+      }
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
   /** Zipf rank–frequency fit: ordinary-least-squares slope/intercept of
     * `ln(count)` on `ln(rank)` over the corpus's top `topN` vocabulary
     * ranks — the standard corpus-health diagnostic (natural language sits

@@ -801,6 +801,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!truth.exists(_._1 == "zz"))
   }
 
+  test("bpeTrain learns the hand-computed merge sequence with " +
+      "deterministic ties, non-overlapping rewrites, and exhaustion stop") {
+    import spark.implicits._
+    // vocabulary: "aaaa" ×3, "ab" ×2 → pairs r1: (a,a) weight 3·3=9,
+    // (a,b) 2 → merge 1 = (a,a,9). Rewrite: "aaaa"→[aa,aa], "ab"→[a,b].
+    // r2: (aa,aa) 3, (a,b) 2 → merge 2 = (aa,aa,3). r3: only (a,b) 2 →
+    // merge 3 = (a,b,2). r4: no pairs anywhere → training stops early.
+    val docs = Seq(Seq.fill(3)("aaaa") ++ Seq.fill(2)("ab"))
+      .map(_.mkString(" ")).toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, "text", numMerges = 10)
+      .as[(Int, String, String, Long)].collect().toList.sortBy(_._1)
+    assert(got === List((1, "a", "a", 9L), (2, "aa", "aa", 3L),
+      (3, "a", "b", 2L)))
+    // tie-break: (x,y) and (y,x)? equal counts resolve by (left, right)
+    val tie = Seq("xy yx xy yx").toDF("text")
+    val first = TextAnalysis.bpeTrain(tie, "text", numMerges = 1)
+      .as[(Int, String, String, Long)].head()
+    assert(first === ((1, "x", "y", 2L)))
+  }
+
   test("zipfFit equals the exact integer-scaled OLS replayed in Scala, " +
       "and a perfect power law fits with slope -1") {
     import spark.implicits._
