@@ -2129,6 +2129,16 @@ object SparkEntry {
     "t37_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", numMerges = 5)),
 
+    // BPE ENCODING under the trained merges (rank order, same stack
+    // fold): one map-only corpus pass, merges as plan-time literals
+    "t38_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 5)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+    }),
+
     // fuzzy decontamination: bench = mangled copies (first word dropped)
     // of the EVEN-id docs — even train docs near-dup a bench doc and are
     // dropped, odd docs survive, so both verdicts are exercised
@@ -2217,6 +2227,16 @@ object SparkEntry {
           "src", "dst", seeds = Seq(0L, 1L, 2L, 3L, 4L), iters = 3,
           damping = 0.85)
         .select(col("vec_id"), (round(col("score"), 8) + lit(0.0)).as("score"))
+    }),
+
+    // exact two-sample KS drift between the en slice and the rest —
+    // shape-sensitive where PSI's fixed buckets smear
+    "c22_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusStats.ksStatistic(
+        docs.filter(col("lang") === "en").select("n_chars"),
+        docs.filter(col("lang") =!= "en").select("n_chars"),
+        "n_chars")
     }),
 
     // winsorized clipping: n_chars clamped into its exact [p05, p95]
@@ -3897,7 +3917,7 @@ object SparkEntry {
     * over singleton lists with a collapse-top-two lambda). The merge
     * rows union into the final table.
     */
-  private def t37OracleSql(numMerges: Int): String = {
+  private def bpeTrainCtes(numMerges: Int): String = {
     val rounds = (1 to numMerges).map { i =>
       s"""p$i AS (
          |  SELECT u.a AS a, u.b AS b, SUM(n) AS c FROM (
@@ -3917,10 +3937,7 @@ object SparkEntry {
          |         END AS syms
          |  FROM w${i - 1} CROSS JOIN b$i bb)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to numMerges).map(i =>
-      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, c AS pair_count FROM b$i")
-      .mkString("\n UNION ALL ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT unnest(string_split(
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
        |  FROM documents),
@@ -3932,8 +3949,52 @@ object SparkEntry {
        |         list_transform(range(1, length(token) + 1),
        |           i -> substr(token, CAST(i AS INT), 1)) AS syms
        |  FROM counts),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def t37OracleSql(numMerges: Int): String = {
+    val sel = (1 to numMerges).map(i =>
+      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, c AS pair_count FROM b$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH ${bpeTrainCtes(numMerges)}
        |$sel""".stripMargin
+  }
+
+  /** The t38 oracle: the t37 training CTEs, then every document encoded
+    * under the learned merges in rank order — per word the same
+    * collapse-top-two `list_reduce` chain, nested with per-level lambda
+    * names so scopes cannot shadow. Output per doc: post-merge symbol
+    * count + the first-8-symbols inspection prefix.
+    */
+  private def t38OracleSql(numMerges: Int): String = {
+    def fold(level: Int, inner: String): String =
+      if (level > numMerges) inner
+      else fold(level + 1,
+        s"""(CASE WHEN len($inner) < 2 THEN $inner ELSE
+           |  list_reduce(list_transform($inner, s$level -> [s$level]),
+           |    (acc$level, x$level) ->
+           |      CASE WHEN len(acc$level) > 0 AND acc$level[-1] = bb$level.a
+           |                AND x$level[1] = bb$level.b
+           |           THEN acc$level[:len(acc$level)-1] || [bb$level.a || bb$level.b]
+           |           ELSE acc$level || x$level END) END)""".stripMargin)
+    val crossJoins = (1 to numMerges)
+      .map(i => s"CROSS JOIN b$i bb$i").mkString(" ")
+    val wordExpr = fold(1,
+      "list_transform(range(1, length(w) + 1), ci -> substr(w, CAST(ci AS INT), 1))")
+    s"""WITH ${bpeTrainCtes(numMerges)},
+       |dt AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(
+       |           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |           t0 -> length(t0) > 0) AS ws
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id,
+       |         flatten(list_transform(ws, w -> $wordExpr)) AS syms
+       |  FROM dt $crossJoins)
+       |SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_syms,
+       |       array_to_string(syms[1:8], ' ') AS head_syms
+       |FROM enc""".stripMargin
   }
 
   /** The s31 oracle: the s15 PageRank replay with the teleport (and the
@@ -4873,6 +4934,34 @@ object SparkEntry {
     "s31_personalized_pagerank" -> s31OracleSql(Seq(0L, 1L, 2L, 3L, 4L)),
     // BPE training: 5 unrolled census→argmax→stack-fold rounds
     "t37_bpe_train" -> t37OracleSql(5),
+    // BPE encoding: the trained merges applied per word in rank order
+    "t38_bpe_encode" -> t38OracleSql(5),
+    // KS drift: exact empirical CDFs over the merged value domain,
+    // per-value |ΔCDF| rounded to 6, max with smallest-value ties
+    "c22_ks_drift" ->
+      """WITH a AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
+         b AS (SELECT n_chars AS v FROM documents WHERE lang <> 'en'),
+         ha AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
+         hb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
+         u AS (
+           SELECT COALESCE(ha.v, hb.v) AS v,
+                  COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+           FROM ha FULL JOIN hb ON ha.v = hb.v),
+         c AS (
+           SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+                  SUM(cb) OVER (ORDER BY v) AS cumb
+           FROM u),
+         nn AS (SELECT (SELECT count(*) FROM a) AS na,
+                       (SELECT count(*) FROM b) AS nb),
+         t AS (
+           SELECT v,
+                  round(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                            - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+                    AS term
+           FROM c CROSS JOIN nn)
+         SELECT (SELECT max(term) FROM t) + 0.0 AS ks,
+                (SELECT min(v) FROM t
+                 WHERE term = (SELECT max(term) FROM t)) AS at_value""",
     // winsorize: the c08 bound construction at 20 buckets, clip at the
     // b=1 and b=19 boundaries (exact p05/p95 under the histogram rule)
     "c21_winsorize" ->

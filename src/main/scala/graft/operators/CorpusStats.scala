@@ -69,6 +69,46 @@ object CorpusStats {
         b => col(valueCol).cast("double") > b))).cast("int"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between two corpus
+    * snapshots over a bounded-cardinality metric: `max_v |CDF_A(v) −
+    * CDF_B(v)|`, with the value attaining it (ties → smallest value).
+    * The distribution-shift test that sees SHAPE differences PSI's fixed
+    * buckets smear out — the complementary drift probe to [[psiDrift]].
+    *
+    * Plan shape: one value histogram per side (domain-bounded hash
+    * aggregates), a full-outer merge on the value, TWO range-partitioned
+    * parallel prefix sums ([[globalRunningTotalOrdered]] — never a
+    * one-task window even when the domain is large), and one
+    * max-by-struct argmax aggregate. Each side's total is a bounded
+    * scalar collect. Per-value terms round to 6 before the max (the t21
+    * convention) so engines agree exactly.
+    *
+    * Output: one row `(ks, at_value)`.
+    */
+  def ksStatistic(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
+    val ha = dfA.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__ca"))
+    val hb = dfB.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__cb"))
+    val na = dfA.count()
+    val nb = dfB.count()
+    require(na > 0 && nb > 0, "both sides must be non-empty")
+    val u = ha.join(hb, Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val cum = globalRunningTotalOrdered(
+      globalRunningTotalOrdered(u, Seq(col("__v")), "__ca", "__cuma"),
+      Seq(col("__v")), "__cb", "__cumb")
+    val term = round(abs(
+      col("__cuma").cast("double") / lit(na.toDouble) -
+        col("__cumb").cast("double") / lit(nb.toDouble)), 6)
+    cum.select(term.as("__t"), col("__v"))
+      .agg(max(struct(col("__t"), (-col("__v")).as("__nv"))).as("__b"))
+      .select((col("__b.__t") + lit(0.0)).as("ks"),
+        (-col("__b.__nv")).as("at_value"))
+  }
+
   /** Winsorized clipping: clamp `valueCol` into its own exact
     * `[loBucket/nBuckets, hiBucket/nBuckets]` quantile bounds — the
     * robust-statistics step before means/variances feed a scaler (a

@@ -678,6 +678,39 @@ object TextAnalysis {
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** BPE ENCODING under a trained merge list ([[bpeTrain]]'s output
+    * collected as plan-time literals — the merge table is the bounded
+    * model): every document's tokens are split to characters and the
+    * merges apply IN RANK ORDER, each as the same left-to-right
+    * non-overlapping stack fold the trainer used — so encode(train
+    * corpus) reflects exactly the state the trainer saw. One map-only
+    * pass over the corpus: the fold chain is a fixed-depth nested
+    * higher-order expression, no joins, no shuffle, no state.
+    *
+    * Output: (idCol, n_syms, head_syms) — the post-merge symbol count
+    * and the first 8 symbols space-joined (the inspection prefix).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    def charsOf(w: Column): Column =
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    def applyMerge(arr: Column, a: String, b: String): Column =
+      when(size(arr) < 2, arr).otherwise(
+        aggregate(arr, array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))))
+    val encodeWord = (w: Column) =>
+      merges.foldLeft(charsOf(w)) { case (arr, (a, b)) => applyMerge(arr, a, b) }
+    val words = filter(tokens(col(textCol)), w => length(w) > 0)
+    df.select(col(idCol),
+        flatten(transform(words, encodeWord)).as("__syms"))
+      .select(col(idCol),
+        size(col("__syms")).cast("long").as("n_syms"),
+        array_join(slice(col("__syms"), 1, 8), " ").as("head_syms"))
+  }
+
   /** Zipf rank–frequency fit: ordinary-least-squares slope/intercept of
     * `ln(count)` on `ln(rank)` over the corpus's top `topN` vocabulary
     * ranks — the standard corpus-health diagnostic (natural language sits

@@ -232,6 +232,34 @@ class CorpusStatsSpec extends SparkTestBase {
     }
   }
 
+  test("ksStatistic: identical samples give 0, disjoint supports give 1, " +
+      "random samples match the brute-force CDF walk with min-value ties") {
+    import spark.implicits._
+    val a = (1 to 100).map(_.toLong % 10).toDF("v")
+    val same = CorpusStats.ksStatistic(a, a, "v")
+      .as[(Double, Long)].head()
+    assert(same._1 === 0.0)
+    val lo = Seq(1L, 2L, 3L).toDF("v")
+    val hi = Seq(10L, 11L).toDF("v")
+    val dis = CorpusStats.ksStatistic(lo, hi, "v").as[(Double, Long)].head()
+    assert(dis._1 === 1.0 && dis._2 === 3L,
+      "full separation at the last value of the lower support")
+    val rnd = new scala.util.Random(23)
+    val xs = (0 until 80).map(_ => rnd.nextInt(15).toLong)
+    val ys = (0 until 50).map(_ => (rnd.nextInt(15) + 3).toLong)
+    val got = CorpusStats.ksStatistic(xs.toDF("v"), ys.toDF("v"), "v")
+      .as[(Double, Long)].head()
+    val dom = (xs ++ ys).distinct.sorted
+    val terms = dom.map { v =>
+      val t = math.abs(xs.count(_ <= v).toDouble / xs.size -
+        ys.count(_ <= v).toDouble / ys.size)
+      v -> BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val mx = terms.map(_._2).max
+    assert(got._1 === mx)
+    assert(got._2 === terms.filter(_._2 == mx).map(_._1).min)
+  }
+
   test("winsorize clips exactly at the histogram p05/p95 bounds and " +
       "leaves interior values untouched") {
     import spark.implicits._

@@ -821,6 +821,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(first === ((1, "x", "y", 2L)))
   }
 
+  test("bpeEncode applies trained merges in rank order: the training " +
+      "corpus re-encodes to the trainer's final symbol state") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaaa aaaa ab ab"), (2L, "aaab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs.select("text"), "text", 10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // learned merges: (a,a,11), then the (a,b)/(aa,aa) count tie at 3
+    // resolves to (a,b) by left-symbol order, then (aa,aa,3), (aa,ab,1)
+    // — every word in the training corpus re-encodes to ONE symbol
+    assert(merges.map(m => m._1 + "+" + m._2) ===
+      Seq("a+a", "a+b", "aa+aa", "aa+ab"))
+    assert(got(1L) === ((5L, "aaaa aaaa aaaa ab ab")))
+    assert(got(2L) === ((1L, "aaab")))
+    assert(got(3L) === ((0L, "")), "empty doc encodes to zero symbols")
+  }
+
   test("zipfFit equals the exact integer-scaled OLS replayed in Scala, " +
       "and a perfect power law fits with slope -1") {
     import spark.implicits._
