@@ -4957,7 +4957,7 @@ object SparkEntry {
            SELECT v,
                   round(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
                             - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
-                    AS term
+                    + 0.0 AS term
            FROM c CROSS JOIN nn)
          SELECT (SELECT max(term) FROM t) + 0.0 AS ks,
                 (SELECT min(v) FROM t
