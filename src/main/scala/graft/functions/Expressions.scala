@@ -276,6 +276,30 @@ case class TokenSetHits(child: Expression, table: Seq[Seq[String]])
   override def prettyName: String = "token_set_hits"
 }
 
+/** BPE encode under a rank-ordered merge list (see
+  * [[HashKernels.bpeEncodeSyms]]) — the trained merge table is a plan-time
+  * constant embedded via codegen reference objects; one static call per
+  * document replaces a fixed-depth chain of interpreted higher-order
+  * folds.
+  */
+case class BpeEncodeSyms(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val mergesA: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val mergesB: Array[String] = merges.map(_._2).toArray
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.bpeEncodeSyms(v.asInstanceOf[UTF8String], mergesA, mergesB)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refA = ctx.addReferenceObj("bpeMergesA", mergesA, "java.lang.String[]")
+    val refB = ctx.addReferenceObj("bpeMergesB", mergesB, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.bpeEncodeSyms($c, $refA, $refB)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeSyms =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_encode_syms"
+}
+
 /** Morton/Z-order bit interleave of two long coordinates (low `bits` bits
   * each) — the layout key for multi-dimensional write clustering. Codegen'd
   * static call, no UDF boxing on the write path.
@@ -426,6 +450,9 @@ object GraftFunctions {
     DupFractions(Bridge.expression(c)))
   def token_set_hits(c: Column, table: Seq[Seq[String]]): Column = Bridge.column(
     TokenSetHits(Bridge.expression(c), table))
+
+  def bpe_encode_syms(c: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeSyms(Bridge.expression(c), merges))
   def alpha_space_count(c: Column): Column = Bridge.column(
     AlphaSpaceCount(Bridge.expression(c)))
   def cms_estimate(sketch: Column, key: Column): Column = Bridge.column(

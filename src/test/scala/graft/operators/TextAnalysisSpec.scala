@@ -841,6 +841,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3L) === ((0L, "")), "empty doc encodes to zero symbols")
   }
 
+  test("bpeEncode kernel reproduces the higher-order fold formulation " +
+      "bit-for-bit, including unicode, ties and whitespace edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa aaab ab ba"),
+      (2L, "  Mixed   CASE\twith \n whitespace  "),
+      (3L, "中文 文本 中中文"),
+      (4L, ""),
+      (5L, "single")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("aa", "aa"), ("a", "b"), ("中", "文"))
+    val fast = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().toSet
+    val slow = TextAnalysis.bpeEncodeReference(docs, "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().toSet
+    assert(fast === slow)
+  }
+
   test("zipfFit equals the exact integer-scaled OLS replayed in Scala, " +
       "and a perfect power law fits with slope -1") {
     import spark.implicits._
