@@ -2180,6 +2180,24 @@ object SparkEntry {
           .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
         "user_id", "ts", "event_type", "event_id", "30 minutes", k = 20)),
 
+    // last-touch attribution: each purchase credits the latest
+    // click/view of the same user strictly before it, within a 7-day
+    // window — the j05 as-of machinery with strict order + tolerance
+    "g11_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"), col("value").as("purchase_value"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          col("ts_us").as("touch_ts_us"), col("event_type").as("touch_type"))
+      graft.operators.TemporalJoin.asOfJoin(
+        purchases, touches, Seq("user_id"), "purchase_ts_us", "touch_ts_us",
+        payload = Seq("touch_id", "touch_type", "touch_ts_us"), prefix = "",
+        allowExactMatch = false, tieBreak = Some("touch_id"),
+        tolerance = Some(7L * 24 * 3600 * 1000000L))
+    }),
+
     // RFM user segmentation: per-user recency/frequency/monetary rolled
     // into exact quartile scores via the c08 histogram-quantile machinery
     // (metric domains are bounded: ns timestamps, counts, 6-decimal sums)
@@ -4907,6 +4925,34 @@ object SparkEntry {
     // RFM segmentation: per-user aggregates + the c08 histogram-quantile
     // bound construction replicated per metric at nBuckets = 4
     "g10_rfm_segments" -> g10OracleSql,
+    // last-touch attribution: strict-before + 7-day-window best touch
+    // per purchase, ties by greatest touch id, left-outer keeps
+    // unattributed purchases
+    "g11_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+           FROM events),
+         p AS (
+           SELECT event_id AS purchase_id, user_id,
+                  ts_us AS purchase_ts_us, value AS purchase_value
+           FROM ev WHERE event_type = 'purchase'),
+         tch AS (
+           SELECT event_id AS touch_id, user_id,
+                  ts_us AS touch_ts_us, event_type AS touch_type
+           FROM ev WHERE event_type IN ('click', 'view')),
+         best AS (
+           SELECT purchase_id, touch_id, touch_type, touch_ts_us FROM (
+             SELECT p.purchase_id, t.touch_id, t.touch_type, t.touch_ts_us,
+                    row_number() OVER (PARTITION BY p.purchase_id
+                      ORDER BY t.touch_ts_us DESC, t.touch_id DESC) AS rn
+             FROM p JOIN tch t
+               ON p.user_id = t.user_id
+              AND t.touch_ts_us < p.purchase_ts_us
+              AND p.purchase_ts_us - t.touch_ts_us <= 604800000000)
+           WHERE rn = 1)
+         SELECT p.purchase_id, p.user_id, p.purchase_ts_us, p.purchase_value,
+                b.touch_id, b.touch_type, b.touch_ts_us
+         FROM p LEFT JOIN best b USING (purchase_id)""",
     // budget selection: same coordinates as c18, one window sum over the
     // composite order, prefix-cut at the literal budget
     "c20_budget_select" ->
