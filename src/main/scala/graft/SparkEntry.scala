@@ -2266,6 +2266,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"),
           (col("n_chars_wins") + lit(0.0)).as("n_chars_wins"))),
 
+    // bipartite ANN join, both sides corpus-scale: odd-id vectors find
+    // their top-5 even-id neighbors through the salted (list, salt)
+    // shuffle join; nprobe = numCentroids makes the gate exact
+    "s32_ann_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val leftV = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val rightV = emb.filter(col("vec_id") % 2 === 0)
+      Similarity.annJoin(leftV, rightV, "query_id", "embedding",
+          "vec_id", "embedding", k = 5, numCentroids = 8, nprobe = 8,
+          salts = 4)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
     // deterministic label-propagation communities over the near-dup pair
     // graph (symmetrized): 3 synchronous rounds, most-frequent neighbor
     // label, ties by smallest — unlike d06's closure, dense groups stay
@@ -4978,6 +4993,25 @@ object SparkEntry {
     "s30_label_propagation" -> s30OracleSql(3),
     // personalized PageRank: the s15 replay with seed-pinned teleport
     "s31_personalized_pagerank" -> s31OracleSql(Seq(0L, 1L, 2L, 3L, 4L)),
+    // bipartite ANN join at full probe == the exact per-left top-5
+    "s32_ann_join" ->
+      """WITH l AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                    WHERE vec_id % 2 = 1),
+         r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         scored AS (
+           SELECT l.query_id, r.vec_id,
+                  list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) /
+                  (sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))) *
+                   sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))) AS cosine
+           FROM r CROSS JOIN l),
+         ranked AS (
+           SELECT query_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+                round(cosine, 6) + 0.0 AS cosine
+         FROM ranked WHERE rank <= 5""",
     // BPE training: 5 unrolled census→argmax→stack-fold rounds
     "t37_bpe_train" -> t37OracleSql(5),
     // BPE encoding: the trained merges applied per word in rank order

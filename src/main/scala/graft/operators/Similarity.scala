@@ -433,6 +433,53 @@ object Similarity {
     rankTopK(scored, queryId, corpusId, k)
   }
 
+  /** Bipartite ANN JOIN — both sides CORPUS-scale (unlike [[ivfTopK]],
+    * whose probed queries broadcast by contract): every `left` vector
+    * finds its approximate top-`k` `right` neighbors, the
+    * new-crawl-against-reference-set join. Coarse centroids train on the
+    * right (bounded driver model); the right assigns map-only to its
+    * nearest list, the left probes its `nprobe` nearest lists, and the
+    * candidate join is a SHUFFLE equi-join on `(list, salt)`:
+    *
+    *  - `numCentroids` must scale with the corpus (Faiss's ~√N rule) —
+    *    list cardinality IS the join parallelism, and
+    *  - `salts` sub-splits every list (right rows hash onto a salt, left
+    *    probes replicate across all salts — the classic replicated join
+    *    for bounded-cardinality keys), so even a modest centroid count
+    *    or a hot list cannot collapse onto one task.
+    *
+    * Vectors cross the exchange once each (left side ×nprobe·salts
+    * replication, the tunable cost of approximate recall); ranking is
+    * the bounded per-left heap — no window, no cartesian. `nprobe =
+    * numCentroids` degenerates to the exact join (the gate
+    * configuration).
+    * Output: (leftId, rightId, cosine, rank), rank 1..k.
+    */
+  def annJoin(
+      left: DataFrame, right: DataFrame,
+      leftId: String, leftVec: String,
+      rightId: String, rightVec: String,
+      k: Int, numCentroids: Int = 16, nprobe: Int = 4, salts: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val (_, centroids) = trainedCoarse(right, rightId, rightVec,
+      numCentroids, kmeansIters, dimFilter = None)
+    val assigned = right.select(
+      col(rightId), col(rightVec),
+      nearestCentroidCol(centroids)(col(rightVec)).as("__list"),
+      pmod(hash(col(rightId)), lit(salts)).cast("int").as("__salt"))
+    val probes = left.select(
+        col(leftId), col(leftVec).as("__qv"),
+        explode(probeListsCol(centroids, nprobe)(col(leftVec))).as("__list"))
+      .withColumn("__salt",
+        explode(typedLit((0 until salts).toArray)))
+    val scored = probes.join(assigned, Seq("__list", "__salt"))
+      .select(col(leftId), col(rightId),
+        cosine(col(rightVec), col("__qv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    rankTopK(scored, leftId, rightId, k)
+  }
+
   /** IVF-PQ approximate top-k with asymmetric distance computation (ADC)
     * and exact re-rank — the standard billion-vector ANN layout (Jégou et
     * al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011;

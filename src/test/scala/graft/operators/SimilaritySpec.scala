@@ -832,4 +832,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.count() === 5L)
     assert(got.filter($"keep").count() === 5L)
   }
+
+  test("annJoin: full probe equals the exact per-left top-k for EVERY " +
+      "salt count, partial probe is a subset, plan has no cartesian") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+    val leftV = (0 until 20).map(i => (i.toLong, vec()))
+      .toDF("query_id", "embedding")
+    val rightV = (100 until 160).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(rightV, leftV,
+        "vec_id", "embedding", "query_id", "embedding", k = 3)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    Seq(1, 3).foreach { s =>
+      val full = Similarity.annJoin(leftV, rightV, "query_id", "embedding",
+          "vec_id", "embedding", k = 3, numCentroids = 4, nprobe = 4,
+          salts = s)
+        .select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(full === exact, s"salts=$s")
+    }
+    // partial probe: an approximation can lose neighbors but can never
+    // FIND a better one than the exact top-1
+    val exactBest = Similarity.bruteForceTopK(rightV, leftV,
+        "vec_id", "embedding", "query_id", "embedding", k = 1)
+      .select("query_id", "cosine").as[(Long, Double)].collect().toMap
+    val partialBest = Similarity.annJoin(leftV, rightV, "query_id", "embedding",
+        "vec_id", "embedding", k = 1, numCentroids = 4, nprobe = 1, salts = 2)
+      .select("query_id", "cosine").as[(Long, Double)].collect().toMap
+    partialBest.foreach { case (q, c) =>
+      assert(c <= exactBest(q) + 1e-12, s"query $q beat the exact best")
+    }
+    val plan = Similarity.annJoin(leftV, rightV, "query_id", "embedding",
+        "vec_id", "embedding", k = 3, numCentroids = 4, nprobe = 4, salts = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
