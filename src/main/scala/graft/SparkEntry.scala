@@ -2123,6 +2123,13 @@ object SparkEntry {
     "t36_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 1000)),
 
+    // interpolated Kneser–Ney bigram scoring: absolute discounting +
+    // continuation-probability backoff (the t21 add-one upgrade)
+    "t39_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.knBigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("avg_logp_kn") + lit(0.0)).as("avg_logp_kn"))),
+
     // BPE tokenizer TRAINING: 5 merge rounds learned on the vocabulary
     // frame — each round one pair-count aggregate, a 1-row argmax
     // collect, and a map-only stack-fold rewrite
@@ -5014,6 +5021,46 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5""",
     // BPE training: 5 unrolled census→argmax→stack-fold rounds
     "t37_bpe_train" -> t37OracleSql(5),
+    // Kneser–Ney: the t21 count CTEs plus continuation/history type
+    // tables; identical parenthesization so the IEEE doubles agree,
+    // per-gram ln rounded 4, DECIMAL sum, mean rounded 6
+    "t39_kneser_ney" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  list_filter(string_split(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                    w -> length(w) > 0) AS ws
+           FROM documents),
+         docb AS (
+           SELECT doc_id, u.w1 AS w1, u.g AS g FROM (
+             SELECT doc_id, UNNEST(list_transform(range(1, len(ws)),
+                      i -> struct_pack(w1 := ws[CAST(i AS INT)],
+                                       g := ws[CAST(i AS INT)] || ' ' ||
+                                            ws[CAST(i + 1 AS INT)]))) AS u
+             FROM norm WHERE len(ws) >= 2)),
+         cb AS (SELECT g, count(*) AS cb FROM docb GROUP BY g),
+         cu AS (SELECT w1, count(*) AS cu FROM docb GROUP BY w1),
+         n1f AS (SELECT w1x AS w1, count(*) AS n1f FROM (
+                   SELECT string_split(g, ' ')[1] AS w1x FROM cb) GROUP BY 1),
+         n1b AS (SELECT w2x AS w2, count(*) AS n1b FROM (
+                   SELECT string_split(g, ' ')[2] AS w2x FROM cb) GROUP BY 1),
+         bt AS (SELECT count(*) AS bt FROM cb),
+         scored AS (
+           SELECT doc_id,
+                  CAST(round(ln(
+                    (CAST(cb.cb AS DOUBLE) - 0.75) / CAST(cu.cu AS DOUBLE)
+                    + (0.75 * CAST(f.n1f AS DOUBLE) / CAST(cu.cu AS DOUBLE))
+                      * (CAST(b2.n1b AS DOUBLE) / CAST(bt.bt AS DOUBLE))), 4)
+                    AS DECIMAL(28,6)) AS logp
+           FROM docb
+           JOIN cb USING (g) JOIN cu USING (w1)
+           JOIN n1f f ON f.w1 = docb.w1
+           JOIN n1b b2 ON b2.w2 = string_split(docb.g, ' ')[2]
+           CROSS JOIN bt)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(logp) AS DOUBLE) / count(*), 6) + 0.0
+                  AS avg_logp_kn
+         FROM scored GROUP BY doc_id""",
     // BPE encoding: the trained merges applied per word in rank order
     "t38_bpe_encode" -> t38OracleSql(5),
     // KS drift: exact empirical CDFs over the merged value domain,

@@ -1223,6 +1223,62 @@ object TextAnalysis {
         round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 with the standard fixed
+    * absolute discount D = 0.75) — the quality upgrade over
+    * [[bigramLmScore]]'s add-one smoothing:
+    *
+    *   p(w2|w1) = (c(w1w2) − D)/c(w1·)
+    *            + (D · N1+(w1·)/c(w1·)) · (N1+(·w2)/B)
+    *
+    * where `N1+(w1·)` counts w1's distinct continuations, `N1+(·w2)`
+    * counts w2's distinct histories (the KN insight: "francisco" is
+    * frequent but follows only "san", so its continuation probability is
+    * tiny), and `B` is the distinct-bigram-type total. Scoring the
+    * training corpus itself every scored bigram has c >= 1, so the
+    * discount never clips below zero and the max(·,0) of the general
+    * form is vacuous (omitted).
+    *
+    * Same determinism contract and shuffle shape as [[bigramLmScore]]:
+    * the model is FOUR vocabulary-bounded hash aggregates (bigram,
+    * context, continuation-type, history-type) plus a one-row type
+    * total; per-gram ln rounds to 4 and sums in DECIMAL, the mean rounds
+    * to 6. Output: (idCol, n_bigrams, avg_logp_kn); docs with < 2 tokens
+    * are absent.
+    */
+  def knBigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
+    val docBigrams = lmDocBigrams(df, idCol, textCol)
+      .withColumn("__w2", element_at(split(col("__bg"), " "), 2))
+    val bigramCounts = docBigrams.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val contextCounts = docBigrams.groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val fwdTypes = bigramCounts
+      .select(element_at(split(col("__bg"), " "), 1).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__n1f"))
+    val histTypes = bigramCounts
+      .select(element_at(split(col("__bg"), " "), 2).as("__w2"))
+      .groupBy("__w2").agg(count(lit(1)).as("__n1b"))
+    val totalTypes = bigramCounts.agg(count(lit(1)).as("__bt"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val p =
+      (col("__cb").cast("double") - lit(discount)) / col("__cu").cast("double") +
+        (lit(discount) * col("__n1f").cast("double") / col("__cu").cast("double")) *
+          (col("__n1b").cast("double") / col("__bt").cast("double"))
+    docBigrams
+      .join(bigramCounts, "__bg")
+      .join(contextCounts, "__w1")
+      .join(fwdTypes, "__w1")
+      .join(histTypes, "__w2")
+      .crossJoin(broadcast(totalTypes))
+      .select(col(idCol), round(log(p), 4).cast(dec).as("__logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__logp")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum").cast("double") / col("n_bigrams"), 6)
+          .as("avg_logp_kn"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020: score web text
     * under an LM trained on a CLEAN reference corpus, then split into
     * perplexity tertiles — head/middle/tail — so downstream sampling can

@@ -841,6 +841,57 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3L) === ((0L, "")), "empty doc encodes to zero symbols")
   }
 
+  test("knBigramLmScore equals the driver-side Kneser-Ney replay; the " +
+      "model is a proper distribution; versatile words beat " +
+      "frequent-but-rigid ones as continuations") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "san francisco is big"),
+      (2L, "san francisco is old"),
+      (3L, "the city is big"),
+      (4L, "the city is old"),
+      (5L, "big is not old")).toDF("doc_id", "text")
+    // driver replay with identical arithmetic
+    val words = Seq("san francisco is big", "san francisco is old",
+      "the city is big", "the city is old", "big is not old")
+      .map(_.split(" ").toSeq)
+    val bigrams = words.flatMap(ws => ws.zip(ws.tail))
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cu = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n1f = cb.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n1b = cb.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val bt = cb.size.toDouble
+    // the GENERAL interpolated form (max clips unseen pairs to backoff
+    // only); the operator scores the training corpus, where c >= 1 and
+    // the max is vacuous — exactly its documented contract
+    def p(w1: String, w2: String): Double =
+      math.max(cb.getOrElse((w1, w2), 0).toDouble - 0.75, 0.0) / cu(w1).toDouble +
+        (0.75 * n1f(w1).toDouble / cu(w1).toDouble) *
+          (n1b.getOrElse(w2, 0).toDouble / bt)
+    val want = words.zipWithIndex.map { case (ws, i) =>
+      val lps = ws.zip(ws.tail).map { case (a, b) =>
+        BigDecimal(math.log(p(a, b)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP) }
+      (i + 1L, ws.size.toLong - 1,
+        BigDecimal(lps.sum.toDouble / lps.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = TextAnalysis.knBigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // proper distribution: over the FULL vocabulary, each context's
+    // probabilities sum to exactly 1 (the interpolated-KN identity)
+    val vocab = words.flatten.distinct
+    cu.keys.foreach { w1 =>
+      val total = vocab.map(p(w1, _)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context $w1 sums to $total")
+    }
+    // the KN insight: "francisco" is as frequent as "city" (2 each) but
+    // follows ONLY "san" — as a continuation of an unrelated context it
+    // must score below the versatile "old" (3 distinct histories)
+    assert(p("is", "francisco") < p("is", "old"))
+  }
+
   test("bpeEncode kernel reproduces the higher-order fold formulation " +
       "bit-for-bit, including unicode, ties and whitespace edges") {
     import spark.implicits._
