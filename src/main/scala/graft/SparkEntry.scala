@@ -5066,8 +5066,10 @@ object SparkEntry {
     // KS drift: exact empirical CDFs over the merged value domain,
     // per-value |ΔCDF| rounded to 6, max with smallest-value ties
     "c22_ks_drift" ->
-      """WITH a AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
-         b AS (SELECT n_chars AS v FROM documents WHERE lang <> 'en'),
+      """WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+                    WHERE lang = 'en'),
+         b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+               WHERE lang <> 'en'),
          ha AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
          hb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
          u AS (

@@ -86,9 +86,11 @@ object CorpusStats {
     * Output: one row `(ks, at_value)`.
     */
   def ksStatistic(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
-    val ha = dfA.groupBy(col(valueCol).cast("long").as("__v"))
+    // double domain (the histogram() contract) — a long cast would
+    // silently truncate the rounded-double quality metrics this runs on
+    val ha = dfA.groupBy(col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__ca"))
-    val hb = dfB.groupBy(col(valueCol).cast("long").as("__v"))
+    val hb = dfB.groupBy(col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__cb"))
     val na = dfA.count()
     val nb = dfB.count()

@@ -237,18 +237,24 @@ class CorpusStatsSpec extends SparkTestBase {
     import spark.implicits._
     val a = (1 to 100).map(_.toLong % 10).toDF("v")
     val same = CorpusStats.ksStatistic(a, a, "v")
-      .as[(Double, Long)].head()
+      .as[(Double, Double)].head()
     assert(same._1 === 0.0)
     val lo = Seq(1L, 2L, 3L).toDF("v")
     val hi = Seq(10L, 11L).toDF("v")
-    val dis = CorpusStats.ksStatistic(lo, hi, "v").as[(Double, Long)].head()
-    assert(dis._1 === 1.0 && dis._2 === 3L,
+    val dis = CorpusStats.ksStatistic(lo, hi, "v").as[(Double, Double)].head()
+    assert(dis._1 === 1.0 && dis._2 === 3.0,
       "full separation at the last value of the lower support")
+    // fractional metric (the rounded-double quality contract): values
+    // must NOT truncate to a shared integer
+    val fa = Seq(0.1, 0.2, 0.3).toDF("v")
+    val fb = Seq(0.7, 0.8).toDF("v")
+    val fd = CorpusStats.ksStatistic(fa, fb, "v").as[(Double, Double)].head()
+    assert(fd._1 === 1.0 && fd._2 === 0.3)
     val rnd = new scala.util.Random(23)
     val xs = (0 until 80).map(_ => rnd.nextInt(15).toLong)
     val ys = (0 until 50).map(_ => (rnd.nextInt(15) + 3).toLong)
     val got = CorpusStats.ksStatistic(xs.toDF("v"), ys.toDF("v"), "v")
-      .as[(Double, Long)].head()
+      .as[(Double, Double)].head()
     val dom = (xs ++ ys).distinct.sorted
     val terms = dom.map { v =>
       val t = math.abs(xs.count(_ <= v).toDouble / xs.size -
@@ -257,7 +263,7 @@ class CorpusStatsSpec extends SparkTestBase {
     }
     val mx = terms.map(_._2).max
     assert(got._1 === mx)
-    assert(got._2 === terms.filter(_._2 == mx).map(_._1).min)
+    assert(got._2 === terms.filter(_._2 == mx).map(_._1).min.toDouble)
   }
 
   test("winsorize clips exactly at the histogram p05/p95 bounds and " +
