@@ -31,7 +31,12 @@ object Explain {
         "t29_pack_efficiency", "t30_boilerplate_lines",
         "s21_diverse_select", "t31_lang_confusion", "c12_curation_funnel",
         "m06_frame_jaccard", "z08_hilbert_nd", "s22_ann_index_persist",
-        "c13_incremental_clusters")
+        "c13_incremental_clusters",
+        "c18_pareto_frontier", "c19_quantile_normalize", "c20_budget_select",
+        "c22_ks_drift", "d16_fuzzy_decontaminate", "g09_path_analysis",
+        "g10_rfm_segments", "g11_attribution", "s30_label_propagation",
+        "s31_personalized_pagerank", "s32_ann_join", "t36_zipf_fit",
+        "t38_bpe_encode", "t39_kneser_ney")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")

@@ -2215,17 +2215,7 @@ object SparkEntry {
         count(lit(1)).as("frequency"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double")
           .as("monetary"))
-      val r = CorpusStats.curriculumBuckets(per, "recency_ns", 4)
-        .withColumnRenamed("bucket", "r_score")
-      val f = CorpusStats.curriculumBuckets(r, "frequency", 4)
-        .withColumnRenamed("bucket", "f_score")
-      val m = CorpusStats.curriculumBuckets(f, "monetary", 4)
-        .withColumnRenamed("bucket", "m_score")
-      m.select(col("user_id"), col("recency_ns"), col("frequency"),
-        (round(col("monetary"), 6) + lit(0.0)).as("monetary"),
-        col("r_score"), col("f_score"), col("m_score"),
-        concat(col("r_score").cast("string"), col("f_score").cast("string"),
-          col("m_score").cast("string")).as("segment"))
+      Events.scoreRfm(per, "user_id")
     }),
 
     // budget-constrained best-first selection: walk quality-descending,
@@ -2303,6 +2293,30 @@ object SparkEntry {
         .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       Graph.labelPropagation(all.select("doc_id"), edges, "doc_id",
         "src", "dst", iters = 3)
+    }),
+
+    // ingest-time g10: per-user RFM totals fold forward in LSM state
+    // (max/sum/sum merge — associative, so the EVENT-ID-PARITY batch
+    // split deliberately violates time order and must not matter);
+    // quartile scoring at drain == the batch g10 row-for-row
+    "e17_streaming_rfm" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e17").toString
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      ev.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, ts BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingRfm.start(s, src, "user_id", "ts",
+        "value", s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e17 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingRfm.report(s, s"$tmp/state", "user_id")
     }),
 
     // ingest-time d16: every micro-batch screens against the static
@@ -4947,6 +4961,9 @@ object SparkEntry {
     // RFM segmentation: per-user aggregates + the c08 histogram-quantile
     // bound construction replicated per metric at nBuckets = 4
     "g10_rfm_segments" -> g10OracleSql,
+    // streaming RFM: the merge is exact (max/sum/sum), so the drained
+    // report IS the batch g10 truth — same oracle
+    "e17_streaming_rfm" -> g10OracleSql,
     // last-touch attribution: strict-before + 7-day-window best touch
     // per purchase, ties by greatest touch id, left-outer keeps
     // unattributed purchases

@@ -59,6 +59,29 @@ object Events {
         stagesReached.as("stage"): _*)
   }
 
+  /** RFM quartile scoring over per-user totals `(userCol, recency_ns,
+    * frequency, monetary)` — each metric cut into exact quartiles via
+    * the [[CorpusStats.curriculumBuckets]] histogram machinery (bounded
+    * metric domains: ns timestamps, counts, 6-decimal sums; never an
+    * ntile window over the user corpus), plus the concatenated segment
+    * label. Shared by the batch g10 query and the streaming
+    * [[graft.streaming.StreamingRfm]] report, so the two stay
+    * definitionally identical.
+    */
+  def scoreRfm(per: DataFrame, userCol: String): DataFrame = {
+    val r = CorpusStats.curriculumBuckets(per, "recency_ns", 4)
+      .withColumnRenamed("bucket", "r_score")
+    val f = CorpusStats.curriculumBuckets(r, "frequency", 4)
+      .withColumnRenamed("bucket", "f_score")
+    val m = CorpusStats.curriculumBuckets(f, "monetary", 4)
+      .withColumnRenamed("bucket", "m_score")
+    m.select(col(userCol), col("recency_ns"), col("frequency"),
+      (round(col("monetary"), 6) + lit(0.0)).as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")).as("segment"))
+  }
+
   /** Top user paths: per (user, gap-based session) the ordered
     * event-type sequence joined with `">"`, counted corpus-wide, top `k`
     * paths by frequency — the navigation-pattern mining behind "what do

@@ -1663,6 +1663,46 @@ class StreamingSpec extends SparkTestBase {
     LsmParquetState.compact(spark, s"$dir/s", layout)
   }
 
+  test("streaming RFM: out-of-order batches fold to the exact batch " +
+      "totals (max/sum/sum associativity), replay overwrites its own tail") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_rfm").toString
+    val ev = Seq(
+      // user 1 split across batches, deliberately time-disordered
+      (1L, 100L, 5.0), (1L, 50L, 2.5), (1L, 200L, 1.0),
+      (2L, 80L, 10.0), (3L, 10L, 0.5))
+      .toDF("user_id", "ts", "value")
+    // batch 0: the LATER events; batch 1: the earlier ones
+    ev.filter($"ts" >= 100L).coalesce(1).write.parquet(s"$dir/in/b1")
+    ev.filter($"ts" < 100L).coalesce(1).write.mode("append")
+      .parquet(s"$dir/in/b2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingRfm.start(spark, stream, "user_id", "ts", "value",
+      s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val got = StreamingRfm.report(spark, s"$dir/state", "user_id")
+      .select("user_id", "recency_ns", "frequency", "monetary")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((200L, 3L, 8.5)))
+    assert(got(2L) === ((80L, 1L, 10.0)))
+    assert(got(3L) === ((10L, 1L, 0.5)))
+    // replay batch 0 through the production path: totals unchanged
+    StreamingRfm.processBatch(ev.filter($"ts" >= 100L), 0L,
+      "user_id", "ts", "value", s"$dir/state")
+    val replayed = StreamingRfm.report(spark, s"$dir/state", "user_id")
+      .select("user_id", "frequency").as[(Long, Long)].collect().toMap
+    assert(replayed(1L) === 3L, "replay must not double-count")
+    // compaction folds the tail and preserves the totals
+    StreamingRfm.compactState(spark, s"$dir/state", "user_id")
+    val compacted = StreamingRfm.report(spark, s"$dir/state", "user_id")
+      .select("user_id", "recency_ns", "frequency", "monetary")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(compacted === got)
+  }
+
   test("streaming fuzzy decontamination: drained kept set equals the batch " +
       "operator, replay overwrites its own partition, bench stays static") {
     import org.apache.spark.sql.functions._
