@@ -2295,6 +2295,31 @@ object SparkEntry {
         "src", "dst", iters = 3)
     }),
 
+    // ingest-time c22: the non-en slice streams in two batches, its
+    // exact value histogram accumulates additively, and the drained KS
+    // against the static en reference equals the batch statistic
+    "e18_streaming_ks_drift" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e18").toString
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars", "lang")
+      val ref = docs.filter(col("lang") === "en").select("n_chars")
+      val streamed = docs.filter(col("lang") =!= "en")
+      streamed.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      streamed.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, n_chars BIGINT, lang STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingKsDrift.start(s, src, "n_chars",
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e18 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingKsDrift.report(s, s"$tmp/state", ref, "n_chars")
+    }),
+
     // ingest-time g10: per-user RFM totals fold forward in LSM state
     // (max/sum/sum merge — associative, so the EVENT-ID-PARITY batch
     // split deliberately violates time order and must not matter);
@@ -4051,6 +4076,39 @@ object SparkEntry {
        |FROM enc""".stripMargin
   }
 
+  /** The c22/e18 oracle: exact empirical CDFs over the merged value
+    * domain (en vs non-en `n_chars`), per-value |ΔCDF| rounded to 6, max
+    * with smallest-value ties — shared verbatim because the streaming
+    * monitor's additive histogram state makes its drained statistic THE
+    * batch statistic over the same slices.
+    */
+  private val c22OracleSql: String =
+    """WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+                  WHERE lang = 'en'),
+       b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+             WHERE lang <> 'en'),
+       ha AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
+       hb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
+       u AS (
+         SELECT COALESCE(ha.v, hb.v) AS v,
+                COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         FROM ha FULL JOIN hb ON ha.v = hb.v),
+       c AS (
+         SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+                SUM(cb) OVER (ORDER BY v) AS cumb
+         FROM u),
+       nn AS (SELECT (SELECT count(*) FROM a) AS na,
+                     (SELECT count(*) FROM b) AS nb),
+       t AS (
+         SELECT v,
+                round(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                          - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+                  + 0.0 AS term
+         FROM c CROSS JOIN nn)
+       SELECT (SELECT max(term) FROM t) + 0.0 AS ks,
+              (SELECT min(v) FROM t
+               WHERE term = (SELECT max(term) FROM t)) AS at_value"""
+
   /** The s31 oracle: the s15 PageRank replay with the teleport (and the
     * initial distribution) pinned to the seed set — identical IEEE
     * conventions: DECIMAL(28,10) in-edge summation, dangling mass not
@@ -5082,32 +5140,10 @@ object SparkEntry {
     "t38_bpe_encode" -> t38OracleSql(5),
     // KS drift: exact empirical CDFs over the merged value domain,
     // per-value |ΔCDF| rounded to 6, max with smallest-value ties
-    "c22_ks_drift" ->
-      """WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
-                    WHERE lang = 'en'),
-         b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
-               WHERE lang <> 'en'),
-         ha AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
-         hb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
-         u AS (
-           SELECT COALESCE(ha.v, hb.v) AS v,
-                  COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-           FROM ha FULL JOIN hb ON ha.v = hb.v),
-         c AS (
-           SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
-                  SUM(cb) OVER (ORDER BY v) AS cumb
-           FROM u),
-         nn AS (SELECT (SELECT count(*) FROM a) AS na,
-                       (SELECT count(*) FROM b) AS nb),
-         t AS (
-           SELECT v,
-                  round(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
-                            - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
-                    + 0.0 AS term
-           FROM c CROSS JOIN nn)
-         SELECT (SELECT max(term) FROM t) + 0.0 AS ks,
-                (SELECT min(v) FROM t
-                 WHERE term = (SELECT max(term) FROM t)) AS at_value""",
+    "c22_ks_drift" -> c22OracleSql,
+    // streaming KS: additive histogram state makes the drained statistic
+    // the batch c22 truth over the same slices — same oracle
+    "e18_streaming_ks_drift" -> c22OracleSql,
     // winsorize: the c08 bound construction at 20 buckets, clip at the
     // b=1 and b=19 boundaries (exact p05/p95 under the histogram rule)
     "c21_winsorize" ->

@@ -92,8 +92,15 @@ object CorpusStats {
       .agg(count(lit(1)).as("__ca"))
     val hb = dfB.groupBy(col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__cb"))
-    val na = dfA.count()
-    val nb = dfB.count()
+    ksFromHistograms(ha, hb, dfA.count(), dfB.count())
+  }
+
+  /** The [[ksStatistic]] tail over pre-aggregated value histograms
+    * (`(__v double, __ca)` / `(__v double, __cb)`) — the reusable unit
+    * the streaming drift monitor feeds with its accumulated counts.
+    */
+  private[graft] def ksFromHistograms(ha: DataFrame, hb: DataFrame,
+      na: Long, nb: Long): DataFrame = {
     require(na > 0 && nb > 0, "both sides must be non-empty")
     val u = ha.join(hb, Seq("__v"), "full_outer")
       .select(col("__v"),

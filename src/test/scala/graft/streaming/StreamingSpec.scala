@@ -1663,6 +1663,38 @@ class StreamingSpec extends SparkTestBase {
     LsmParquetState.compact(spark, s"$dir/s", layout)
   }
 
+  test("streaming KS drift: additive histogram state reproduces the " +
+      "batch statistic across arbitrary batch splits; replay is exact") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_ks").toString
+    val ref = (1 to 60).map(i => (i % 10).toLong).toDF("v")
+    val streamed = (1 to 40).map(i => (i % 10 + 3).toLong).toDF("v")
+    streamed.filter($"v" % 2 === 0).coalesce(1).write.parquet(s"$dir/in/b1")
+    streamed.filter($"v" % 2 === 1).coalesce(1).write.mode("append")
+      .parquet(s"$dir/in/b2")
+    val stream = spark.readStream.schema(streamed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingKsDrift.start(spark, stream, "v",
+      s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val got = StreamingKsDrift.report(spark, s"$dir/state", ref, "v")
+      .as[(Double, Double)].head()
+    val want = graft.operators.CorpusStats.ksStatistic(ref, streamed, "v")
+      .as[(Double, Double)].head()
+    assert(got === want, "drained KS must equal the batch statistic")
+    assert(got._1 > 0.0, "the shifted stream must register drift")
+    // replay batch 0: counts must not double
+    StreamingKsDrift.processBatch(streamed.filter($"v" % 2 === 0), 0L,
+      "v", s"$dir/state")
+    val replayed = StreamingKsDrift.report(spark, s"$dir/state", ref, "v")
+      .as[(Double, Double)].head()
+    assert(replayed === want, "replay must be idempotent")
+    StreamingKsDrift.compactState(spark, s"$dir/state")
+    val compacted = StreamingKsDrift.report(spark, s"$dir/state", ref, "v")
+      .as[(Double, Double)].head()
+    assert(compacted === want)
+  }
+
   test("streaming RFM: out-of-order batches fold to the exact batch " +
       "totals (max/sum/sum associativity), replay overwrites its own tail") {
     import org.apache.spark.sql.functions._
