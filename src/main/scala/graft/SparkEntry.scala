@@ -2244,6 +2244,11 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("score"), 8) + lit(0.0)).as("score"))
     }),
 
+    // one-row dataset card: the quantitative release headline (counts,
+    // language entropy, mean quality, exact normalized-dup fraction)
+    "c23_dataset_card" -> ((s, dir) =>
+      CorpusStats.datasetCard(t(s, dir, "documents"), "text", "lang")),
+
     // exact two-sample KS drift between the en slice and the rest —
     // shape-sensitive where PSI's fixed buckets smear
     "c22_ks_drift" -> ((s, dir) => {
@@ -5141,6 +5146,42 @@ object SparkEntry {
     // KS drift: exact empirical CDFs over the merged value domain,
     // per-value |ΔCDF| rounded to 6, max with smallest-value ties
     "c22_ks_drift" -> c22OracleSql,
+    // dataset card: every stat replayed with the engine's exact
+    // arithmetic (DECIMAL quality sum, rounded-then-DECIMAL entropy
+    // terms, md5-of-normalized dup definition)
+    "c23_dataset_card" ->
+      s"""WITH qual AS ($t02QualitySql),
+         toks AS (
+           SELECT string_split(
+                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                    ' ') AS ts,
+                  text
+           FROM documents),
+         stats AS (
+           SELECT count(*) AS n_docs,
+                  CAST(SUM(len(ts)) AS BIGINT) AS n_tokens,
+                  count(DISTINCT md5(
+                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS nd
+           FROM toks),
+         qs AS (SELECT CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE)
+                  AS sq FROM qual),
+         vocab AS (
+           SELECT count(DISTINCT t) AS vocab_size
+           FROM (SELECT unnest(ts) AS t FROM toks) WHERE length(t) > 0),
+         lang AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         ent AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_langs,
+                  CAST(SUM(CAST(round(
+                    (CAST(c AS DOUBLE) / (SELECT n_docs FROM stats))
+                    * ln(CAST(c AS DOUBLE) / (SELECT n_docs FROM stats)), 8)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS se
+           FROM lang)
+         SELECT s.n_docs, s.n_tokens, v.vocab_size, e.n_langs,
+                round(-e.se, 6) + 0.0 AS lang_entropy,
+                round(q.sq / CAST(s.n_docs AS DOUBLE), 6) + 0.0 AS mean_quality,
+                round(1.0 - CAST(s.nd AS DOUBLE) / CAST(s.n_docs AS DOUBLE), 6)
+                  + 0.0 AS dup_frac
+         FROM stats s CROSS JOIN qs q CROSS JOIN vocab v CROSS JOIN ent e""",
     // streaming KS: additive histogram state makes the drained statistic
     // the batch c22 truth over the same slices — same oracle
     "e18_streaming_ks_drift" -> c22OracleSql,

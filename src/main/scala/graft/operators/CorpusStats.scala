@@ -118,6 +118,49 @@ object CorpusStats {
         (-col("__b.__nv")).as("at_value"))
   }
 
+  /** One-row dataset-card summary ("Datasheets for Datasets", Gebru et
+    * al. 2021 — the quantitative block): document/token/vocabulary
+    * counts, language diversity (count + Shannon entropy of the language
+    * marginal), mean quality, and the exact normalized-duplicate
+    * fraction (`1 − distinct(md5(normalized))/n`, the d02 definition) —
+    * the corpus headline a release ships with.
+    *
+    * Plan shape: three aggregates (one corpus pass for the scalar
+    * stats, one vocab-bounded token count, one language-bounded
+    * marginal), composed by 1-row broadcast attaches. Determinism: the
+    * quality mean routes through DECIMAL (order-free sum); entropy terms
+    * `p·ln(p)` round to 8 and sum as DECIMAL before the final negate +
+    * round 6 (the t21 libm contract).
+    */
+  def datasetCard(df: DataFrame, textCol: String,
+      langCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stats = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      countDistinct(md5(Dedup.normalized(col(textCol)))).as("__nd"),
+      sum(TextAnalysis.qualityScore(col(textCol)).cast(dec)).as("__qs"))
+    val vocab = TextAnalysis.tokenCounts(df, textCol)
+      .agg(count(lit(1)).as("vocab_size"))
+    val langs = df.groupBy(col(langCol)).agg(count(lit(1)).as("__c"))
+    val entropy = langs
+      .crossJoin(broadcast(stats.select(col("n_docs").as("__n"))))
+      .select(round(
+          (col("__c").cast("double") / col("__n").cast("double")) *
+            log(col("__c").cast("double") / col("__n").cast("double")), 8)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 10)).as("__t"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("__t")).as("__e"))
+    stats.crossJoin(broadcast(vocab)).crossJoin(broadcast(entropy))
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+        col("n_langs"),
+        (round(-col("__e").cast("double"), 6) + lit(0.0)).as("lang_entropy"),
+        (round(col("__qs").cast("double") / col("n_docs").cast("double"), 6)
+          + lit(0.0)).as("mean_quality"),
+        (round(lit(1.0) -
+          col("__nd").cast("double") / col("n_docs").cast("double"), 6)
+          + lit(0.0)).as("dup_frac"))
+  }
+
   /** Winsorized clipping: clamp `valueCol` into its own exact
     * `[loBucket/nBuckets, hiBucket/nBuckets]` quantile bounds — the
     * robust-statistics step before means/variances feed a scaler (a

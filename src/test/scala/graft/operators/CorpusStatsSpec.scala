@@ -232,6 +232,32 @@ class CorpusStatsSpec extends SparkTestBase {
     }
   }
 
+  test("datasetCard: hand-computed counts, entropy, mean quality and " +
+      "dup fraction on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta gamma", "en"),    // exact normalized dup of doc 1
+      (3L, "delta epsilon", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusStats.datasetCard(docs, "text", "lang")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(got._1 === 3L)                      // n_docs
+    assert(got._2 === 8L)                      // 3 + 3 + 2 tokens
+    assert(got._3 === 5L)                      // distinct tokens
+    assert(got._4 === 2L)                      // languages
+    // entropy of (2/3, 1/3) via the rounded-term contract
+    val terms = Seq(2.0 / 3, 1.0 / 3).map(p =>
+      BigDecimal(p * math.log(p)).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+    val wantEnt = BigDecimal(-terms.sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._5 === wantEnt)
+    // dup fraction: 2 distinct normalized texts of 3 docs
+    assert(got._7 === BigDecimal(1.0 - 2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._6 > 0.0 && got._6 < 1.0)       // mean quality is a share
+  }
+
   test("ksStatistic: identical samples give 0, disjoint supports give 1, " +
       "random samples match the brute-force CDF walk with min-value ties") {
     import spark.implicits._
