@@ -2249,6 +2249,11 @@ object SparkEntry {
     "c23_dataset_card" -> ((s, dir) =>
       CorpusStats.datasetCard(t(s, dir, "documents"), "text", "lang")),
 
+    // shuffle-key skew pre-flight on the events user key: per-key counts
+    // summarized with an exact p99 via the bounded count-histogram
+    "v02_skew_report" -> ((s, dir) =>
+      CorpusStats.skewReport(t(s, dir, "events"), Seq("user_id"))),
+
     // exact two-sample KS drift between the en slice and the rest —
     // shape-sensitive where PSI's fixed buckets smear
     "c22_ks_drift" -> ((s, dir) => {
@@ -5146,6 +5151,28 @@ object SparkEntry {
     // KS drift: exact empirical CDFs over the merged value domain,
     // per-value |ΔCDF| rounded to 6, max with smallest-value ties
     "c22_ks_drift" -> c22OracleSql,
+    // skew report: per-key counts + the c08 bound rule at b=99/100 for
+    // the exact p99; mean/ratio as rounded doubles
+    "v02_skew_report" ->
+      """WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         h AS (SELECT CAST(n AS DOUBLE) AS v, count(*) AS c FROM k GROUP BY 1),
+         nt AS (SELECT SUM(c) AS n FROM h),
+         cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+         p99 AS (
+           SELECT MIN(v) AS bound FROM cum
+           WHERE cum >= (99 * (SELECT n FROM nt) + 99) // 100),
+         s AS (
+           SELECT count(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total_rows,
+                  MAX(n) AS max_rows
+           FROM k)
+         SELECT n_keys, total_rows, max_rows,
+                CAST((SELECT bound FROM p99) AS BIGINT) AS p99_rows,
+                round(CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+                  + 0.0 AS mean_rows,
+                round(CAST(max_rows AS DOUBLE)
+                      / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+                  + 0.0 AS skew_ratio
+         FROM s""",
     // dataset card: every stat replayed with the engine's exact
     // arithmetic (DECIMAL quality sum, rounded-then-DECIMAL entropy
     // terms, md5-of-normalized dup definition)

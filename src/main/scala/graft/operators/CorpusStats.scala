@@ -118,6 +118,37 @@ object CorpusStats {
         (-col("__b.__nv")).as("at_value"))
   }
 
+  /** One-row key-skew report for a prospective shuffle key: per-key row
+    * counts summarized as `(n_keys, total_rows, max_rows, p99_rows,
+    * mean_rows, skew_ratio = max/mean)` — the pre-flight diagnostic
+    * behind every skew decision in this engine (salt or not, cap or
+    * not, AQE skew-join thresholds). A ratio near 1 is uniform; hundreds
+    * means one hot key owns the stage.
+    *
+    * Plan shape: ONE key-bounded hash aggregate (the counts), one
+    * scalar aggregate over it, and the exact p99 via the
+    * [[valueQuantiles]] histogram (domain = distinct COUNT values, tiny
+    * — the histogram collect is bounded by it, not by keys). No sort,
+    * no window.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val p99 = valueQuantiles(counts, "__n", 100)(98)
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__n")).as("total_rows"),
+        max(col("__n")).as("max_rows"))
+      .select(col("n_keys"), col("total_rows"), col("max_rows"),
+        lit(p99).cast("long").as("p99_rows"),
+        (round(col("total_rows").cast("double") /
+          col("n_keys").cast("double"), 6) + lit(0.0)).as("mean_rows"),
+        (round(col("max_rows").cast("double") /
+          (col("total_rows").cast("double") / col("n_keys").cast("double")), 6)
+          + lit(0.0)).as("skew_ratio"))
+  }
+
   /** One-row dataset-card summary ("Datasheets for Datasets", Gebru et
     * al. 2021 — the quantitative block): document/token/vocabulary
     * counts, language diversity (count + Shannon entropy of the language

@@ -232,6 +232,24 @@ class CorpusStatsSpec extends SparkTestBase {
     }
   }
 
+  test("skewReport: uniform keys score ratio 1, a planted hot key " +
+      "dominates max and the exact p99 follows the histogram rule") {
+    import spark.implicits._
+    val uniform = (0 until 100).map(i => (i % 10).toLong).toDF("k")
+    val u = CorpusStats.skewReport(uniform, Seq("k"))
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(u === ((10L, 100L, 10L, 10L, 10.0, 1.0)))
+    // 99 singleton keys + one hot key with 901 rows
+    val hot = ((0 until 99).map(i => (i.toLong, 0)) ++
+      (0 until 901).map(_ => (999L, 0))).toDF("k", "x")
+    val h = CorpusStats.skewReport(hot, Seq("k"))
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(h._1 === 100L && h._2 === 1000L && h._3 === 901L)
+    // p99: cum >= ceil(99·100/100) = 99 is reached at count value 1
+    assert(h._4 === 1L)
+    assert(h._6 === 90.1)
+  }
+
   test("datasetCard: hand-computed counts, entropy, mean quality and " +
       "dup fraction on a tiny corpus") {
     import spark.implicits._
