@@ -166,11 +166,14 @@ object CorpusStats {
   def datasetCard(df: DataFrame, textCol: String,
       langCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    // 1-row eager checkpoint: `stats` feeds both the entropy attach and
+    // the final row — without it the corpus-pass aggregate runs twice
     val stats = df.agg(
       count(lit(1)).as("n_docs"),
       sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
       countDistinct(md5(Dedup.normalized(col(textCol)))).as("__nd"),
       sum(TextAnalysis.qualityScore(col(textCol)).cast(dec)).as("__qs"))
+      .localCheckpoint(true)
     val vocab = TextAnalysis.tokenCounts(df, textCol)
       .agg(count(lit(1)).as("vocab_size"))
     val langs = df.groupBy(col(langCol)).agg(count(lit(1)).as("__c"))
