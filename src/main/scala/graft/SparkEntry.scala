@@ -2123,6 +2123,11 @@ object SparkEntry {
     "t36_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 1000)),
 
+    // Gopher rule battery: every ratio threshold as a cross-multiplied
+    // INTEGER comparison — no float anywhere, flags cannot disagree
+    "t40_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+
     // interpolated Kneser–Ney bigram scoring: absolute discounting +
     // continuation-probability backoff (the t21 add-one upgrade)
     "t39_kneser_ney" -> ((s, dir) =>
@@ -5106,6 +5111,55 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5""",
     // BPE training: 5 unrolled census→argmax→stack-fold rounds
     "t37_bpe_train" -> t37OracleSql(5),
+    // Gopher rules: identical integer cross-multiplications per flag
+    "t40_gopher_rules" ->
+      """WITH base AS (
+           SELECT doc_id, COALESCE(text, '') AS text,
+                  list_filter(string_split(
+                    regexp_replace(lower(trim(COALESCE(text, ''))), '\s+', ' ', 'g'),
+                    ' '), w -> length(w) > 0) AS ws
+           FROM documents),
+         m AS (
+           SELECT doc_id, ws,
+                  CAST(len(ws) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_prepend(0,
+                    list_transform(ws, w -> length(w)))) AS BIGINT) AS sum_len,
+                  CAST(length(text) - length(replace(text, '#', ''))
+                    AS BIGINT) AS hashes,
+                  CAST((length(text) - length(replace(text, '...', ''))) // 3
+                    AS BIGINT) AS ellipses,
+                  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                    AS BIGINT) AS alpha_words,
+                  CAST(len(list_filter(
+                    ['the','be','to','of','and','that','have','with'],
+                    sw -> list_contains(ws, sw))) AS BIGINT) AS stop_hits,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                    l -> trim(l)), l -> length(l) > 0) AS lines
+           FROM base),
+         m2 AS (
+           SELECT *, CAST(len(lines) AS BIGINT) AS n_lines,
+                  CAST(len(list_filter(lines,
+                    l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS bullets,
+                  CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+                    AS BIGINT) AS ell_end
+           FROM m)
+         SELECT doc_id, n_words,
+                n_words BETWEEN 50 AND 100000 AS f_words,
+                (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+                  AS f_mean_word_len,
+                (10 * (hashes + ellipses) <= n_words) AS f_symbol_ratio,
+                (10 * alpha_words >= 8 * n_words) AS f_alpha_words,
+                (stop_hits >= 2) AS f_stopwords,
+                (10 * bullets <= 9 * n_lines) AS f_bullets,
+                (10 * ell_end <= 3 * n_lines) AS f_ellipsis,
+                (n_words BETWEEN 50 AND 100000
+                 AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+                 AND 10 * (hashes + ellipses) <= n_words
+                 AND 10 * alpha_words >= 8 * n_words
+                 AND stop_hits >= 2
+                 AND 10 * bullets <= 9 * n_lines
+                 AND 10 * ell_end <= 3 * n_lines) AS keep
+         FROM m2""",
     // Kneser–Ney: the t21 count CTEs plus continuation/history type
     // tables; identical parenthesization so the IEEE doubles agree,
     // per-gram ln rounded 4, DECIMAL sum, mean rounded 6

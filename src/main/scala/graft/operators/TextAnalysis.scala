@@ -1223,6 +1223,60 @@ object TextAnalysis {
         round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
   }
 
+  /** The Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", Appendix A — the published web-text filter
+    * most later corpora derive from), as per-rule flags plus the
+    * conjunctive keep:
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' or '…'/'...') <= 0.1
+    *   - >= 80% of words contain an alphabetic character
+    *   - >= 2 distinct members of the stop-word probe set
+    *     {the, be, to, of, and, that, have, with}
+    *   - <= 90% of lines start with a bullet, <= 30% end with an
+    *     ellipsis
+    *
+    * Determinism: every ratio threshold evaluates as a CROSS-MULTIPLIED
+    * INTEGER comparison (e.g. mean-word-length ∈ [3,10] is
+    * `3·words <= Σlen(w) <= 10·words`) — no floating point anywhere, so
+    * engines cannot disagree on a flag. One map-only pass; words come
+    * from the engine-wide normalization, lines from the RAW text.
+    * Output: (idCol, n_words, f_words, f_mean_word_len, f_symbol_ratio,
+    * f_alpha_words, f_stopwords, f_bullets, f_ellipsis, keep).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    val ws = filter(tokens(raw), w => length(w) > 0)
+    val nWords = size(ws).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val hashes = (length(raw) - length(regexp_replace(raw, "#", ""))).cast("long")
+    val ellipses = ((length(raw) -
+      length(regexp_replace(raw, "\\.\\.\\.", ""))) / 3).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    val probe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(typedLit(probe),
+      sw => array_contains(ws, sw))).cast("long")
+    val lines = filter(transform(split(raw, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l => l.rlike("^[-*•]"))).cast("long")
+    val ellEnd = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    df.select(col(idCol), nWords.as("n_words"),
+        nWords.between(50L, 100000L).as("f_words"),
+        (lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords)
+          .as("f_mean_word_len"),
+        (lit(10L) * (hashes + ellipses) <= nWords).as("f_symbol_ratio"),
+        (lit(10L) * alphaWords >= lit(8L) * nWords).as("f_alpha_words"),
+        (stopHits >= 2L).as("f_stopwords"),
+        (lit(10L) * bullets <= lit(9L) * nLines).as("f_bullets"),
+        (lit(10L) * ellEnd <= lit(3L) * nLines).as("f_ellipsis"))
+      .withColumn("keep",
+        col("f_words") && col("f_mean_word_len") && col("f_symbol_ratio") &&
+          col("f_alpha_words") && col("f_stopwords") && col("f_bullets") &&
+          col("f_ellipsis"))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
     * interpolated form of Chen & Goodman 1999 with the standard fixed
     * absolute discount D = 0.75) — the quality upgrade over

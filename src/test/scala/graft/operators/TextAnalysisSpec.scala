@@ -841,6 +841,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3L) === ((0L, "")), "empty doc encodes to zero symbols")
   }
 
+  test("gopherRules: each rule trips on its planted violation, clean " +
+      "prose passes all, and boundary ratios sit on the integer fence") {
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over the lazy dog and then " +
+      "rests with some other animals that have gathered to watch it " +
+      "leap again and again through the long afternoon be that as it may " +
+      "nobody minded of course") // 40 words... pad to >= 50
+    val cleanDoc = clean + " " + clean.split(" ").take(15).mkString(" ")
+    val docs = Seq(
+      (1L, cleanDoc),
+      (2L, "short text"),                                  // word count
+      (3L, Seq.fill(60)("a").mkString(" ")),               // mean word len < 3
+      (4L, Seq.fill(60)("####word").mkString(" ")),        // symbols + alpha
+      (5L, (1 to 60).map(_ => "12345").mkString(" ")),     // no alpha, no stop
+      (6L, (1 to 60).map(i => s"- bullet line $i\n").mkString + "the be to of")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    assert(got(1L)._8, s"clean doc must pass everything: ${got(1L)}")
+    assert(!got(2L)._1, "short doc fails word count")
+    assert(!got(3L)._2, "single-char words fail mean word length")
+    assert(!got(4L)._3, "hash-heavy doc fails symbol ratio")
+    assert(!got(5L)._4 && !got(5L)._5, "digit words fail alpha + stopwords")
+    assert(!got(6L)._6, "bullet-dominated doc fails the bullet-line rule")
+  }
+
   test("knBigramLmScore equals the driver-side Kneser-Ney replay; the " +
       "model is a proper distribution; versatile words beat " +
       "frequent-but-rigid ones as continuations") {
