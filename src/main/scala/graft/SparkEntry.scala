@@ -2128,6 +2128,24 @@ object SparkEntry {
     "t40_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
 
+    // media integrity audit with PLANTED violations: every 7th payload
+    // truncated (its meta still declares the full length — the
+    // truncated-upload case), every 11th mislabeled 'png'
+    "m07_media_integrity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.select(
+        col("doc_id").as("media_id"),
+        encode(when(col("doc_id") % 7 === 0, substring(col("text"), 1, 10))
+          .otherwise(col("text")), "UTF-8").as("content"),
+        struct(
+          when(col("doc_id") % 11 === 0, lit("png")).otherwise(lit("txt"))
+            .as("format"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height")).as("meta"))
+      Multimodal.integrityAudit(planted, "txt", 50L, 100000L)
+    }),
+
     // interpolated Kneser–Ney bigram scoring: absolute discounting +
     // continuation-probability backoff (the t21 add-one upgrade)
     "t39_kneser_ney" -> ((s, dir) =>
@@ -5111,6 +5129,25 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5""",
     // BPE training: 5 unrolled census→argmax→stack-fold rounds
     "t37_bpe_train" -> t37OracleSql(5),
+    // media integrity: byte lengths via octet_length over encode()d
+    // blobs (no blob substring — the truncation happens on the VARCHAR)
+    "m07_media_integrity" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+                  CASE WHEN doc_id % 11 = 0 THEN 'png' ELSE 'txt' END AS fmt,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_meta,
+                  CAST(octet_length(encode(
+                    CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 10)
+                         ELSE text END)) AS BIGINT) AS n_content
+           FROM documents)
+         SELECT media_id,
+                fmt = 'txt' AS f_format,
+                n_meta BETWEEN 50 AND 100000 AS f_size,
+                n_content > 0 AS f_nonempty,
+                n_content = n_meta AS f_len_match,
+                (fmt = 'txt' AND n_meta BETWEEN 50 AND 100000
+                 AND n_content > 0 AND n_content = n_meta) AS ok
+         FROM m""",
     // Gopher rules: identical integer cross-multiplications per flag
     "t40_gopher_rules" ->
       """WITH base AS (

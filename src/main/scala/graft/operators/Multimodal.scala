@@ -46,6 +46,31 @@ object Multimodal {
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height")).as("meta"))
 
+  /** Ingest-time payload integrity audit — the QC gate a media pipeline
+    * runs BEFORE any decode is attempted: per payload,
+    *   - `f_format`: declared format equals the expected one,
+    *   - `f_size`: declared size inside the accepted band,
+    *   - `f_nonempty`: the payload actually carries bytes,
+    *   - `f_len_match`: ACTUAL byte length equals the declared
+    *     `meta.n_bytes` — the truncated-upload / metadata-lies detector
+    *     (the one check that needs no codec at all),
+    * plus the conjunctive `ok`. One map-only pass; payload bytes never
+    * shuffle (only their lengths are read). All-integer comparisons.
+    */
+  def integrityAudit(media: DataFrame, expectedFormat: String,
+      minBytes: Long, maxBytes: Long): DataFrame = {
+    require(minBytes >= 0 && minBytes <= maxBytes, "invalid size band")
+    media.select(col("media_id"),
+        (col("meta.format") === expectedFormat).as("f_format"),
+        col("meta.n_bytes").between(minBytes, maxBytes).as("f_size"),
+        (length(col("content")) > 0).as("f_nonempty"),
+        (length(col("content")).cast("long") === col("meta.n_bytes"))
+          .as("f_len_match"))
+      .withColumn("ok",
+        col("f_format") && col("f_size") && col("f_nonempty") &&
+          col("f_len_match"))
+  }
+
   /** STUB decode: deterministically derive (width, height) from content
     * bytes — stands in for an image decoder. Runs per-partition over an
     * iterator of rows, the exact execution shape a real codec needs

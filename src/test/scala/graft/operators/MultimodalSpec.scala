@@ -123,4 +123,32 @@ class MultimodalSpec extends SparkTestBase {
       maxDigestGroup = 100)
     assert(uncapped.count() === 190L) // all 20·19/2 pairs
   }
+
+  test("integrityAudit: truncation, mislabel, undersize and empty " +
+      "payloads each trip exactly their own flag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "x".repeat(100)
+    val rows = Seq(
+      (1L, base, base, "txt"),              // clean
+      (2L, base, base.take(10), "txt"),     // truncated content
+      (3L, base, base, "png"),              // mislabeled
+      (4L, "tiny", "tiny", "txt"),          // under the size band
+      (5L, "", "", "txt"))                  // empty
+      .toDF("media_id", "declared", "actual", "fmt")
+    val media = rows.select(col("media_id"),
+      encode(col("actual"), "UTF-8").as("content"),
+      struct(col("fmt").as("format"),
+        length(encode(col("declared"), "UTF-8")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")).as("meta"))
+    val got = Multimodal.integrityAudit(media, "txt", 50L, 1000L)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, true, true, true, true, true)))
+    assert(got(2L) === ((2L, true, true, true, false, false)))
+    assert(got(3L) === ((3L, false, true, true, true, false)))
+    assert(got(4L) === ((4L, true, false, true, true, false)))
+    assert(got(5L) === ((5L, true, false, false, true, false)))
+  }
 }
