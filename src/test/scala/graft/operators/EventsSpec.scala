@@ -79,6 +79,43 @@ class EventsSpec extends SparkTestBase {
       (4, "view>view", 1L)))       // u3's boundary-gap merged session
   }
 
+  test("topPaths equals a driver-side sessionization replay on random " +
+      "event streams (gap rule: a new session needs diff STRICTLY > gap)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(59)
+    val types = Array("view", "click", "purchase")
+    val evs = (0 until 300).map { i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong, i.toLong,
+        types(rnd.nextInt(3)))
+    }
+    val df = evs.map { case (u, min, id, t) =>
+      (u, new Timestamp(min * 60000L), id, t)
+    }.toDF("user_id", "ts", "event_id", "event_type").repartition(5)
+    val got = Events.topPaths(df, "user_id", "ts", "event_type", "event_id",
+        "30 minutes", k = 10000)
+      .select("path", "n_sessions").as[(String, Long)].collect().toMap
+    // replay: per user order by (ts, id), split when gap > 30 minutes
+    val paths = scala.collection.mutable.Map.empty[String, Long]
+    evs.groupBy(_._1).foreach { case (_, g) =>
+      val ordered = g.sortBy(e => (e._2, e._3))
+      var cur = List.empty[String]
+      var prev = Long.MinValue
+      def flush(): Unit = if (cur.nonEmpty) {
+        val p = cur.reverse.mkString(">")
+        paths(p) = paths.getOrElse(p, 0L) + 1L
+        cur = Nil
+      }
+      ordered.foreach { case (_, min, _, t) =>
+        if (prev != Long.MinValue && min - prev > 30L) flush()
+        cur = t :: cur
+        prev = min
+      }
+      flush()
+    }
+    assert(got === paths.toMap)
+  }
+
   test("topPaths: k bounds the output and the plan has no corpus-wide window") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -921,6 +921,48 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(p("is", "francisco") < p("is", "old"))
   }
 
+  test("property: bpeTrain equals the driver-side census/argmax/fold " +
+      "replay on random small-alphabet corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val words = (0 until 120).map(_ =>
+      (0 until (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString)
+    val docs = words.grouped(12).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, "text", numMerges = 4)
+      .as[(Int, String, String, Long)].collect().toList.sortBy(_._1)
+    // replay with identical rules
+    var vocab: Map[List[String], Long] = words.groupBy(identity)
+      .map { case (w, o) => w.toList.map(_.toString) -> o.size.toLong }
+    val merges = List.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= 4 && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.drop(1)).foreach(p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + n)
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), c) = pairs.toSeq
+          .sortBy { case ((x, y), n) => (-n, x, y) }.head
+        merges += ((r, a, b, c))
+        vocab = vocab.map { case (syms, n) =>
+          val acc = scala.collection.mutable.ListBuffer.empty[String]
+          syms.foreach { s =>
+            if (acc.nonEmpty && acc.last == a && s == b) {
+              acc.remove(acc.size - 1); acc += (a + b)
+            } else acc += s
+          }
+          acc.toList -> n
+        }
+        r += 1
+      }
+    }
+    assert(got === merges.result())
+  }
+
   test("bpeEncode kernel reproduces the higher-order fold formulation " +
       "bit-for-bit, including unicode, ties and whitespace edges") {
     import spark.implicits._
