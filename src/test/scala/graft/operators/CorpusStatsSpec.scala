@@ -250,6 +250,36 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(h._6 === 90.1)
   }
 
+  test("property: skewReport matches the brute-force count summary on " +
+      "random key distributions (p99 via the histogram bound rule)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val keys = (0 until 800).map(_ => (rnd.nextInt(40) match {
+      case k if k < 3 => k      // a few hot keys
+      case k => k
+    }).toLong)
+    val got = CorpusStats.skewReport(keys.toDF("k"), Seq("k"))
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    val counts = keys.groupBy(identity).map(_._2.size.toLong).toSeq
+    val nKeys = counts.size.toLong
+    // histogram p99: smallest count value whose cumulative key count
+    // reaches ceil(99·nKeys/100)
+    val hist = counts.groupBy(identity).map { case (v, o) => (v, o.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val target = (99L * nKeys + 99L) / 100L
+    var cum = 0L
+    val p99 = hist.collectFirst {
+      case (v, c) if { cum += c; cum >= target } => v
+    }.get
+    assert(got._1 === nKeys && got._2 === 800L && got._3 === counts.max)
+    assert(got._4 === p99)
+    val mean = 800.0 / nKeys
+    assert(got._5 === BigDecimal(mean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._6 === BigDecimal(counts.max / mean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("datasetCard: hand-computed counts, entropy, mean quality and " +
       "dup fraction on a tiny corpus") {
     import spark.implicits._

@@ -921,6 +921,51 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(p("is", "francisco") < p("is", "old"))
   }
 
+  test("property: gopherRules flags equal the integer-arithmetic replay " +
+      "on random noisy documents") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val pool = Array("the", "be", "to", "of", "and", "fox", "dog", "12345",
+      "####", "run", "...", "a", "supercalifragilistic")
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(120)
+      val words = (0 until n).map(_ => pool(rnd.nextInt(pool.length)))
+      val body = words.mkString(" ")
+      val lines = if (rnd.nextBoolean()) body.split(" ").grouped(5)
+        .map(g => (if (rnd.nextInt(3) == 0) "- " else "") + g.mkString(" "))
+        .mkString("\n") else body
+      (i.toLong, lines)
+    }
+    val got = TextAnalysis.gopherRules(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (2 to 9).map(r.getBoolean)).toMap
+    val probe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.foreach { case (id, text) =>
+      val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      val ws = norm.split(" ").filter(_.nonEmpty)
+      val nW = ws.length.toLong
+      val sumLen = ws.map(_.length.toLong).sum
+      val hashes = text.count(_ == '#').toLong
+      val ell = (text.length - text.replace("...", "").length) / 3L
+      val alpha = ws.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val stops = probe.count(ws.contains).toLong
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+      val nL = lines.length.toLong
+      val bullets = lines.count(l => "-*•".contains(l.head)).toLong
+      val ellEnd = lines.count(_.endsWith("...")).toLong
+      val want = Seq(
+        nW >= 50 && nW <= 100000,
+        3 * nW <= sumLen && sumLen <= 10 * nW,
+        10 * (hashes + ell) <= nW,
+        10 * alpha >= 8 * nW,
+        stops >= 2,
+        10 * bullets <= 9 * nL,
+        10 * ellEnd <= 3 * nL)
+      assert(got(id).take(7) === want, s"doc $id: '$text'")
+      assert(got(id)(7) === want.forall(identity), s"keep of doc $id")
+    }
+  }
+
   test("property: bpeTrain equals the driver-side census/argmax/fold " +
       "replay on random small-alphabet corpora") {
     import spark.implicits._
