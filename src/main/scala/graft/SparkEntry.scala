@@ -2210,6 +2210,13 @@ object SparkEntry {
           .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
         "user_id", "ts", "event_type", "event_id", "30 minutes", k = 20)),
 
+    // rolling 7-day distinct actives per day: day-deduplicated pairs
+    // replicate onto their 7 report days (equi-joins only — distinct
+    // counts don't sum, but replication beats an inequality join)
+    "g12_rolling_actives" -> ((s, dir) =>
+      Events.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts",
+        windowDays = 7)),
+
     // last-touch attribution: each purchase credits the latest
     // click/view of the same user strictly before it, within a 7-day
     // window — the j05 as-of machinery with strict order + tolerance
@@ -5055,6 +5062,19 @@ object SparkEntry {
     // streaming RFM: the merge is exact (max/sum/sum), so the drained
     // report IS the batch g10 truth — same oracle
     "e17_streaming_rfm" -> g10OracleSql,
+    // rolling actives: the same replicate-onto-report-days construction
+    "g12_rolling_actives" ->
+      """WITH du AS (
+           SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+         days AS (SELECT DISTINCT day FROM du),
+         x AS (
+           SELECT du.day + o.o AS day, du.user_id
+           FROM du CROSS JOIN range(0, 7) o(o)),
+         c AS (SELECT day, count(DISTINCT user_id) AS n_active
+               FROM x GROUP BY 1)
+         SELECT d.day, c.n_active
+         FROM days d JOIN c ON c.day = d.day""",
     // last-touch attribution: strict-before + 7-day-window best touch
     // per purchase, ties by greatest touch id, left-outer keeps
     // unattributed purchases

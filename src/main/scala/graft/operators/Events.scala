@@ -82,6 +82,36 @@ object Events {
         col("m_score").cast("string")).as("segment"))
   }
 
+  /** Rolling 7-day distinct active users per day — the engagement
+    * headline metric. Distinct counts do not sum across days, so the
+    * classic formulation is a per-day window over user sets; here it
+    * stays EQUI-JOIN-ONLY: the distinct (day, user) pairs each replicate
+    * onto the 7 report days they support (`explode(sequence(0,6))` —
+    * a 7× blow-up of an already day-deduplicated skinny frame), one
+    * `count(DISTINCT user)` hash aggregate per report day, and a
+    * left-semi join restricts the report to days that actually have
+    * events. `tsCol` holds epoch NANOSECONDS (the engine-wide `t()`
+    * convention); `windowDays` generalizes the 7.
+    * Output: (day, n_active) — `day` = epoch days.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must span at least one day")
+    val dayNs = 86400L * 1000000000L
+    val du = events.select(
+        expr(s"$tsCol div ${dayNs}L").as("__day"), col(userCol))
+      .distinct()
+    val days = du.select(col("__day")).distinct()
+    val contrib = du.select(
+      explode(sequence(lit(0), lit(windowDays - 1))).as("__o"),
+      col("__day"), col(userCol))
+      .select((col("__day") + col("__o")).as("__day"), col(userCol))
+    contrib.join(days, Seq("__day"), "left_semi")
+      .groupBy(col("__day").as("day"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+      .select(col("day"), col("n_active"))
+  }
+
   /** Top user paths: per (user, gap-based session) the ordered
     * event-type sequence joined with `">"`, counted corpus-wide, top `k`
     * paths by frequency — the navigation-pattern mining behind "what do

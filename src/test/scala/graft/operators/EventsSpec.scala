@@ -79,6 +79,27 @@ class EventsSpec extends SparkTestBase {
       (4, "view>view", 1L)))       // u3's boundary-gap merged session
   }
 
+  test("rollingActiveUsers equals the brute-force distinct-user window " +
+      "on random activity, only event-bearing days report") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    val dayNs = 86400L * 1000000000L
+    val evs = (0 until 400).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(20).toLong * dayNs +
+        rnd.nextInt(1000).toLong))
+    val got = Events.rollingActiveUsers(evs.toDF("user_id", "ts"),
+        "user_id", "ts", windowDays = 7)
+      .as[(Long, Long)].collect().toMap
+    val byDay = evs.map { case (u, ts) => (ts / dayNs, u) }.distinct
+    val days = byDay.map(_._1).distinct
+    days.foreach { d =>
+      val want = byDay.filter { case (dd, _) => dd >= d - 6 && dd <= d }
+        .map(_._2).distinct.size.toLong
+      assert(got(d) === want, s"day $d")
+    }
+    assert(got.keySet === days.toSet, "only event-bearing days report")
+  }
+
   test("topPaths equals a driver-side sessionization replay on random " +
       "event streams (gap rule: a new session needs diff STRICTLY > gap)") {
     import spark.implicits._
