@@ -3,7 +3,7 @@ package graft
 import graft.expr.MvelTranslator
 import graft.functions.GraftFunctions
 import graft.model._
-import graft.operators.{Cdc, CorpusStats, Dedup, Events, Graph, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
 import graft.streaming.{StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget}
 import graft.schema.Reconciler
@@ -2128,6 +2128,26 @@ object SparkEntry {
     "t40_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
 
+    // exact ROC-AUC of the quality score as an English-detector: rank-sum
+    // identity with midrank ties; rows fold to per-distinct-score counts,
+    // rank structure from the parallel prefix sum — integers until the
+    // one final division
+    "t41_quality_auc" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        (col("lang") === "en").cast("int").as("y"))
+      CorpusStats.rocAuc(scored, "quality", "y")
+    }),
+
+    // calibration table for the same detector: 10 equal-width bins,
+    // DECIMAL-routed prediction sums (summation order cannot move a bit)
+    "t42_quality_calibration" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        (col("lang") === "en").cast("int").as("y"))
+      CorpusStats.calibrationBins(scored, "quality", "y", bins = 10)
+    }),
+
     // media integrity audit with PLANTED violations: every 7th payload
     // truncated (its meta still declares the full length — the
     // truncated-upload case), every 11th mislabeled 'png'
@@ -2180,6 +2200,17 @@ object SparkEntry {
       Dedup.fuzzyDecontaminate(docs, bench, "doc_id", "text",
           threshold = 0.7)
         .select("doc_id", "lang")
+    }),
+
+    // line-level exact dedup + document reconstruction (boilerplate
+    // removal): corpus gets a line break every 8 words plus a shared
+    // newsletter footer on every doc — the footer must survive in
+    // exactly ONE document; line text never shuffles (64-bit hashes do)
+    "d17_line_dedup_rebuild" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(regexp_replace(col("text"), "((\\S+\\s+){8})", "$1\n"),
+          lit("\nsubscribe to our newsletter today")).as("text"))
+      Dedup.dedupLinesRebuild(docs, "doc_id", "text")
     }),
 
     // 2-D Pareto frontier: highest quality at every token budget — the
@@ -2283,6 +2314,22 @@ object SparkEntry {
     // summarized with an exact p99 via the bounded count-histogram
     "v02_skew_report" -> ((s, dir) =>
       CorpusStats.skewReport(t(s, dir, "events"), Seq("user_id"))),
+
+    // right-to-be-forgotten pre-flight: every 97th customer requests
+    // erasure; the purge cascades customer -> orders -> lineitem through
+    // skinny key-only semi-joins, counts per table prove the blast radius
+    "c24_erasure_cascade" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val subjects = cust.filter(col("c_custkey") % 97 === 0)
+        .select("c_custkey")
+      Governance.erasureCascade(subjects, "c_custkey",
+        "customer", cust, "c_custkey",
+        Seq(
+          Governance.CascadeTable("orders", t(s, dir, "orders"),
+            "o_orderkey", "customer", "o_custkey"),
+          Governance.CascadeTable("lineitem", t(s, dir, "lineitem"),
+            "l_orderkey", "orders", "l_orderkey")))
+    }),
 
     // exact two-sample KS drift between the en slice and the rest —
     // shape-sensitive where PSI's fixed buckets smear
@@ -5015,6 +5062,36 @@ object SparkEntry {
            WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7)
          SELECT doc_id, lang FROM train
          WHERE doc_id NOT IN (SELECT idA FROM hits)""",
+    // line dedup + rebuild: same corpus construction (8-word line breaks
+    // + shared footer), first-occurrence truth via a row_number window,
+    // documents rebuilt by ordered string_agg over surviving lines
+    "d17_line_dedup_rebuild" ->
+      """WITH docs2 AS (
+           SELECT doc_id,
+                  regexp_replace(text, '((\S+\s+){8})', '\1' || chr(10), 'g')
+                    || chr(10) || 'subscribe to our newsletter today' AS text
+           FROM documents),
+         lines AS (
+           SELECT doc_id,
+                  generate_subscripts(ls, 1) AS pos,
+                  UNNEST(ls) AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2)),
+         kept AS (
+           SELECT doc_id, pos, line FROM (
+             SELECT doc_id, pos, line,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY regexp_replace(lower(trim(line)), '\s+', ' ', 'g')
+                      ORDER BY doc_id, pos) AS rn
+             FROM lines) WHERE rn = 1),
+         counts AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+           FROM lines GROUP BY doc_id)
+         SELECT kept.doc_id,
+                MAX(counts.n_lines) AS n_lines,
+                CAST(COUNT(*) AS BIGINT) AS n_kept,
+                string_agg(kept.line, chr(10) ORDER BY kept.pos) AS text_kept
+         FROM kept JOIN counts USING (doc_id)
+         GROUP BY kept.doc_id""",
     // Pareto frontier: quadratic NOT-EXISTS dominance truth over the
     // same (quality, token-count) coordinates
     "c18_pareto_frontier" ->
@@ -5217,6 +5294,44 @@ object SparkEntry {
                  AND 10 * bullets <= 9 * n_lines
                  AND 10 * ell_end <= 3 * n_lines) AS keep
          FROM m2""",
+    // exact AUC truth via window ranks: doubled midranks 2·RANK + c − 1
+    // keep it integer (RANK = cumBefore + 1), same one-division finish
+    "t41_quality_auc" ->
+      s"""WITH q AS ($t02QualitySql),
+         j AS (
+           SELECT q.quality AS s,
+                  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM q JOIN documents d USING (doc_id)),
+         r AS (
+           SELECT y,
+                  2 * RANK() OVER (ORDER BY s)
+                    + COUNT(*) OVER (PARTITION BY s) - 1 AS m2
+           FROM j),
+         agg AS (
+           SELECT CAST(SUM(CASE WHEN y = 1 THEN m2 ELSE 0 END) AS BIGINT) AS s2,
+                  CAST(SUM(y) AS BIGINT) AS np,
+                  CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+           FROM r)
+         SELECT CASE WHEN np > 0 AND nn > 0
+                  THEN ROUND(CAST(s2 - np * (np + 1) AS DOUBLE)
+                             / (2.0 * np * nn), 6) + 0.0
+                END AS auc,
+                np AS n_pos, nn AS n_neg
+         FROM agg""",
+    // calibration truth: identical double bin arithmetic, DECIMAL sums
+    "t42_quality_calibration" ->
+      s"""WITH q AS ($t02QualitySql),
+         j AS (
+           SELECT q.quality,
+                  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM q JOIN documents d USING (doc_id))
+         SELECT CAST(LEAST(CAST(FLOOR(quality * 10) AS INT), 9) AS INT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(quality AS DECIMAL(18, 6))) AS DOUBLE)
+                  AS sum_pred,
+                CAST(SUM(y) AS BIGINT) AS n_pos,
+                ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) + 0.0 AS frac_pos
+         FROM j GROUP BY 1""",
     // Kneser–Ney: the t21 count CTEs plus continuation/history type
     // tables; identical parenthesization so the IEEE doubles agree,
     // per-gram ln rounded 4, DECIMAL sum, mean rounded 6
@@ -5323,6 +5438,27 @@ object SparkEntry {
     // streaming KS: additive histogram state makes the drained statistic
     // the batch c22 truth over the same slices — same oracle
     "e18_streaming_ks_drift" -> c22OracleSql,
+    // erasure cascade truth: IN-subquery purge sets level by level
+    "c24_erasure_cascade" ->
+      """WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+         po AS (SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM subj)),
+         pl AS (SELECT l_orderkey FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+         SELECT 'customer' AS table_name,
+                CAST((SELECT COUNT(*) FROM subj) AS BIGINT) AS n_purged,
+                CAST((SELECT COUNT(*) FROM customer)
+                   - (SELECT COUNT(*) FROM subj) AS BIGINT) AS n_retained
+         UNION ALL
+         SELECT 'orders',
+                CAST((SELECT COUNT(*) FROM po) AS BIGINT),
+                CAST((SELECT COUNT(*) FROM orders)
+                   - (SELECT COUNT(*) FROM po) AS BIGINT)
+         UNION ALL
+         SELECT 'lineitem',
+                CAST((SELECT COUNT(*) FROM pl) AS BIGINT),
+                CAST((SELECT COUNT(*) FROM lineitem)
+                   - (SELECT COUNT(*) FROM pl) AS BIGINT)""",
     // winsorize: the c08 bound construction at 20 buckets, clip at the
     // b=1 and b=19 boundaries (exact p05/p95 under the histogram rule)
     "c21_winsorize" ->

@@ -662,4 +662,67 @@ object CorpusStats {
         round(col("n_shared").cast("double") /
           (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
   }
+
+  /** Exact ROC-AUC of a scored binary classifier (quality-filter eval):
+    * the Mann–Whitney rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    * (n⁺·n⁻) with ties at MIDRANKS — the textbook trapezoidal-ROC value.
+    * Ranks run in ascending `scoreCol` order; `labelCol` is 0/1 (castable
+    * to long). Output one row: (auc, n_pos, n_neg); `auc` is NULL when a
+    * class is empty (undefined).
+    *
+    * Plan shape (100 TB posture): NEVER ranks rows — rows fold to ONE
+    * hash aggregate per DISTINCT score (vocabulary-scale: (score, count,
+    * positives)); the rank structure comes from a [[globalRunningTotal]]
+    * parallel prefix sum over that skinny frame (range-partitioned, one
+    * offsets collect — never a one-task global window); doubled midranks
+    * (2·cumBefore + count + 1) keep the arithmetic INTEGER until the
+    * final division, so engines agree bit-for-bit.
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df
+      .select(col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val ranked = globalRunningTotal(byScore, "__s", "__c", "__cum")
+      .select(col("__c"), col("__p"),
+        (lit(2L) * (col("__cum") - col("__c")) + col("__c") + lit(1L))
+          .as("__m2"))
+    ranked
+      .agg(sum(col("__p") * col("__m2")).as("__s2"),
+        sum(col("__p")).as("__np"), sum(col("__c")).as("__n"))
+      .select(
+        when(col("__np") > 0 && col("__n") > col("__np"),
+          round((col("__s2") - col("__np") * (col("__np") + lit(1L)))
+              .cast("double") /
+            (lit(2.0) * col("__np") * (col("__n") - col("__np"))), 6)
+            + lit(0.0))
+          .as("auc"),
+        col("__np").as("n_pos"), (col("__n") - col("__np")).as("n_neg"))
+  }
+
+  /** Classifier calibration table (reliability diagram): predictions in
+    * [0, 1] fall into `bins` equal-width buckets; per bucket the row
+    * count, the EXACT prediction sum (DECIMAL-routed so summation order
+    * can't wiggle the last bit), positives, and the empirical positive
+    * rate. A well-calibrated filter has frac_pos ≈ sum_pred/n per bin.
+    *
+    * Plan shape: map-only bin assignment + ONE hash aggregate over ≤
+    * `bins` groups. Nothing else moves.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 calibration bins, got $bins")
+    df.select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+          .as("bin"),
+        col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double")
+          .as("sum_pred"),
+        sum(col("__y")).as("n_pos"))
+      .withColumn("frac_pos",
+        round(col("n_pos").cast("double") / col("n"), 6) + lit(0.0))
+  }
 }

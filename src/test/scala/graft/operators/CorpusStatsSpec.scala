@@ -394,4 +394,49 @@ class CorpusStatsSpec extends SparkTestBase {
       .select("v_norm").as[Long].collect().toSet
     assert(norm.subsetOf(rows.map(_._3).toSet))
   }
+
+  test("rocAuc: hand-computed midrank case, perfect / inverted / " +
+      "uninformative classifiers, degenerate one-class input") {
+    def auc(rows: Seq[(Double, Int)]): Option[Double] = {
+      val r = CorpusStats.rocAuc(rows.toDF("s", "y"), "s", "y").head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // ranks 1,2,{3,4 midrank 3.5},5 -> R+ = 3.5+5 -> (8.5-3)/6
+    assert(auc(Seq((0.1, 0), (0.2, 0), (0.3, 1), (0.3, 0), (0.4, 1)))
+      === Some(0.916667))
+    assert(auc(Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1))) === Some(1.0))
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.1, 1), (0.2, 1))) === Some(0.0))
+    assert(auc(Seq((0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1))) === Some(0.5))
+    assert(auc(Seq((0.1, 1), (0.9, 1))) === None, "one-class AUC undefined")
+  }
+
+  test("rocAuc counts and AUC match a brute-force pair comparison on " +
+      "random scores") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(60)((math.floor(rnd.nextDouble() * 20) / 20.0,
+      if (rnd.nextBoolean()) 1 else 0))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val want = BigDecimal(wins / (pos.size * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = CorpusStats.rocAuc(rows.toDF("s", "y"), "s", "y").head()
+    assert(r.getDouble(0) === want)
+    assert(r.getLong(1) === pos.size.toLong)
+    assert(r.getLong(2) === neg.size.toLong)
+  }
+
+  test("calibrationBins: clamped top bin, exact decimal-routed sums, " +
+      "positive rates") {
+    val rows = Seq((0.05, 0), (0.15, 1), (0.95, 1), (1.0, 1))
+    val got = CorpusStats.calibrationBins(rows.toDF("s", "y"), "s", "y")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(0) === ((1L, 0.05, 0L, 0.0)))
+    assert(got(1) === ((1L, 0.15, 1L, 1.0)))
+    assert(got(9) === ((2L, 1.95, 2L, 1.0)), "score 1.0 clamps into bin 9")
+    assert(got.size === 3)
+  }
 }

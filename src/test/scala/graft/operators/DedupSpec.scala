@@ -591,4 +591,37 @@ class DedupSpec extends SparkTestBase {
     assert(kept.contains(3L), "unrelated doc must survive")
     assert(kept.get(3L) === Some("de"))
   }
+
+  test("dedupLinesRebuild: shared boilerplate survives only at its first " +
+      "occurrence; within-doc repeats keep one; all-dup docs vanish") {
+    val corpus = Seq(
+      (1L, "alpha beta\nfooter line\nalpha beta"), // within-doc repeat
+      (2L, "gamma delta\nfooter line"),            // footer already seen in 1
+      (3L, "footer line\nalpha beta"),             // every line seen before
+      (4L, "  Footer   LINE \nepsilon")            // case/ws variant of footer
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesRebuild(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 2L, "alpha beta\nfooter line")),
+      "first doc keeps one copy of its repeated line plus the footer")
+    assert(out(2L) === ((2L, 1L, "gamma delta")),
+      "footer drops where it is a repeat")
+    assert(!out.contains(3L), "doc with zero surviving lines is absent")
+    assert(out(4L) === ((2L, 1L, "epsilon")),
+      "dedup key is the NORMALIZED line, output keeps original text")
+  }
+
+  test("dedupLinesRebuild plan: no window, no cartesian; the only join is " +
+      "the doc-keyed reconstruction") {
+    val corpus = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val df = Dedup.dedupLinesRebuild(corpus, "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+    // one join total: kept-positions back onto the docs frame
+    assert("Join".r.findAllIn(
+      df.queryExecution.optimizedPlan.toString).size === 1,
+      df.queryExecution.optimizedPlan.toString)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GovernanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val cust = Seq(1L, 2L, 3L, 4L).toDF("ck")
+  private lazy val ord = Seq( // (orderkey, custkey)
+    (10L, 1L), (11L, 2L), (12L, 2L), (13L, 3L)).toDF("ok", "ck")
+  private lazy val li = Seq( // (orderkey, line)
+    (10L, 1), (11L, 1), (11L, 2), (12L, 1), (13L, 1), (99L, 1)).toDF("ok", "ln")
+
+  private def cascade(subjects: Seq[Long]) =
+    Governance.erasureCascade(subjects.toDF("ck"), "ck",
+      "customer", cust, "ck",
+      Seq(Governance.CascadeTable("orders", ord, "ok", "customer", "ck"),
+        Governance.CascadeTable("lineitem", li, "ok", "orders", "ok")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("erasureCascade: purge counts cascade through both levels") {
+    val out = cascade(Seq(2L))
+    assert(out("customer") === ((1L, 3L)))
+    assert(out("orders") === ((2L, 2L)), "both of customer 2's orders purge")
+    assert(out("lineitem") === ((3L, 3L)), "their three line items purge")
+  }
+
+  test("erasureCascade: unknown subjects and duplicate subject rows are " +
+      "harmless; empty subject list purges nothing") {
+    val out = cascade(Seq(1L, 1L, 777L))
+    assert(out("customer") === ((1L, 3L)))
+    assert(out("orders") === ((1L, 3L)))
+    assert(out("lineitem") === ((1L, 5L)))
+    val none = cascade(Seq.empty[Long])
+    assert(none("customer") === ((0L, 4L)))
+    assert(none("lineitem") === ((0L, 6L)))
+  }
+
+  test("erasureCascade rejects a child declared before its parent") {
+    val err = intercept[IllegalArgumentException] {
+      Governance.erasureCascade(Seq(1L).toDF("ck"), "ck",
+        "customer", cust, "ck",
+        Seq(Governance.CascadeTable("lineitem", li, "ok", "orders", "ok"),
+          Governance.CascadeTable("orders", ord, "ok", "customer", "ck")))
+    }
+    assert(err.getMessage.contains("orders"))
+  }
+
+  test("erasureCascade plan: subjects broadcast into the root semi-join") {
+    val df = Governance.erasureCascade(Seq(2L).toDF("ck"), "ck",
+      "customer", cust, "ck", Nil)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+  }
+}
