@@ -2248,6 +2248,16 @@ object SparkEntry {
       Events.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts",
         windowDays = 7)),
 
+    // linear multi-touch attribution: every click/view in the 7 days
+    // before a purchase splits its value equally; per-pair credit is
+    // rounded then DECIMAL-summed so totals are order-independent
+    "g13_linear_attribution" -> ((s, dir) =>
+      Events.linearAttribution(
+        t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "event_type", "ts_us", "value", "event_id",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        windowSize = 7L * 24 * 3600 * 1000000L)),
+
     // last-touch attribution: each purchase credits the latest
     // click/view of the same user strictly before it, within a 7-day
     // window — the j05 as-of machinery with strict order + tolerance
@@ -2363,6 +2373,18 @@ object SparkEntry {
           salts = 4)
         .select(col("query_id"), col("vec_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // local clustering coefficient over the s14 kNN graph: per-vertex
+    // triangle counts via the degree-ordered orientation (each triangle
+    // materializes once; wedge join bounded by oriented out-degree)
+    "s33_local_clustering" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          dim = 64, k = 3, numPlanes = 5, maxBucketSize = 1000000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      Graph.localClustering(emb.select("vec_id"), edges,
+        "vec_id", "src", "dst")
     }),
 
     // deterministic label-propagation communities over the near-dup pair
@@ -3881,6 +3903,41 @@ object SparkEntry {
        |       CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 3""".stripMargin
 
+  /** s33 oracle: the s14 edge CTEs symmetrized to an a<b simple graph,
+    * triangles enumerated once as a<b<c by two ordered joins, per-vertex
+    * counts by a 3-way UNION ALL — the quadratic-ish truth the engine's
+    * degree-oriented plan must equal exactly.
+    */
+  private def s33OracleSql: String =
+    s"""$knnEdgeCtes,
+       |und AS (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+       |  GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |tc AS (
+       |  SELECT v, COUNT(*) AS t FROM (
+       |    SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+       |    UNION ALL SELECT c AS v FROM tri)
+       |  GROUP BY 1)
+       |SELECT n.vec_id,
+       |       CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+       |       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+       |       CASE WHEN COALESCE(deg.d, 0) >= 2
+       |            THEN ROUND(2.0 * COALESCE(tc.t, 0)
+       |                       / (deg.d * (deg.d - 1)), 6) + 0.0
+       |            ELSE 0.0 END AS clustering_coef
+       |FROM embeddings n
+       |LEFT JOIN deg ON deg.v = n.vec_id
+       |LEFT JOIN tc ON tc.v = n.vec_id""".stripMargin
+
   /** s15 oracle: 3 PageRank iterations over `edges`, unrolled as CTEs.
     * Every step mirrors [[graft.operators.Graph.pageRank]] exactly: the
     * teleport term is `(1.0 - 0.85) / N` (the SUBTRACTION, not a 0.15
@@ -5152,6 +5209,36 @@ object SparkEntry {
                FROM x GROUP BY 1)
          SELECT d.day, c.n_active
          FROM days d JOIN c ON c.day = d.day""",
+    // linear attribution truth: identical pairing predicate, identical
+    // (value * cnt) / n parenthesization, round-then-DECIMAL sums
+    "g13_linear_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+           FROM events),
+         p AS (
+           SELECT event_id AS pid, user_id, ts_us AS pts, value
+           FROM ev WHERE event_type = 'purchase'),
+         tch AS (
+           SELECT user_id, ts_us AS tts, event_type AS tt
+           FROM ev WHERE event_type IN ('click', 'view')),
+         pairs AS (
+           SELECT p.pid, p.value, tch.tt
+           FROM tch JOIN p ON tch.user_id = p.user_id
+             AND tch.tts < p.pts AND tch.tts >= p.pts - 604800000000),
+         census AS (
+           SELECT pid, value, COUNT(*) AS n,
+                  SUM(CASE WHEN tt = 'click' THEN 1 ELSE 0 END) AS c_click,
+                  SUM(CASE WHEN tt = 'view' THEN 1 ELSE 0 END) AS c_view
+           FROM pairs GROUP BY pid, value),
+         terms AS (
+           SELECT 'click' AS touch_type, c_click AS cnt, value, n FROM census
+           UNION ALL
+           SELECT 'view', c_view, value, n FROM census)
+         SELECT touch_type,
+                CAST(SUM(cnt) AS BIGINT) AS n_credited,
+                CAST(SUM(CAST(ROUND((value * cnt) / n, 6) AS DECIMAL(18, 6)))
+                  AS DOUBLE) AS total_credit
+         FROM terms WHERE cnt > 0 GROUP BY touch_type""",
     // last-touch attribution: strict-before + 7-day-window best touch
     // per purchase, ties by greatest touch id, left-outer keeps
     // unattributed purchases
@@ -6182,6 +6269,7 @@ object SparkEntry {
     "t19_importance" -> t19OracleSql,
     "t24_importance_resample" -> t24OracleSql,
     "s14_knn_graph" -> s14OracleSql,
+    "s33_local_clustering" -> s33OracleSql,
     "s15_graph_rank" -> s15OracleSql,
     "s16_knn_hubness" -> s16OracleSql,
     "s18_ann_recall" -> s18OracleSql,

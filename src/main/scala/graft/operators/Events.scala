@@ -112,6 +112,60 @@ object Events {
       .select(col("day"), col("n_active"))
   }
 
+  /** Linear multi-touch attribution: every touch event in the
+    * `windowSize` span strictly BEFORE a conversion shares that
+    * conversion's value equally (credit = value / n_touches each), the
+    * marketing-analytics counterpart of g11's last-touch rule. Per touch
+    * type the report sums credited touches and total credit. Per-pair
+    * credit is rounded to 6 decimals THEN summed as DECIMAL, so the
+    * total is summation-order-independent and engines agree bit-for-bit.
+    * `tsCol` must be integral (the epoch-micros convention); conversions
+    * with zero in-window touches earn no rows.
+    *
+    * Plan shape (100 TB posture): ONE user-keyed equi-join pairs touches
+    * with conversions (the residual time-range predicate rides the join;
+    * pair degree is bounded by per-user activity × conversion rate — a
+    * hot user is the v02 skew report's job to surface), ONE
+    * conversion-keyed hash aggregate computes the touch census, a
+    * map-only unpivot emits (type, count) terms, and ONE type-bounded
+    * aggregate finishes. No window, no cartesian.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, valueCol: String, idCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      windowSize: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(touchTypes.distinct.size == touchTypes.size,
+      s"touch types must be distinct, got $touchTypes")
+    require(!touchTypes.contains(conversionType),
+      "the conversion type cannot also be a touch type")
+    require(windowSize > 0, "attribution window must be positive")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(idCol).as("__pid"), col(userCol).as("__u"),
+        col(tsCol).as("__pts"), col(valueCol).as("__v"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__tts"),
+        col(typeCol).as("__tt"))
+    val pairs = touches.join(conv, Seq("__u"))
+      .filter(col("__tts") < col("__pts") &&
+        col("__tts") >= col("__pts") - windowSize)
+    val census = pairs.groupBy(col("__pid"), col("__v"))
+      .agg(count(lit(1)).as("__n"),
+        touchTypes.map(tt =>
+          sum(when(col("__tt") === tt, 1L).otherwise(0L)).as(s"__c_$tt")): _*)
+    val terms = census.select(col("__v"), col("__n"),
+        explode(map(touchTypes.flatMap(tt =>
+          Seq(lit(tt), col(s"__c_$tt"))): _*)).as(Seq("touch_type", "__cnt")))
+      .filter(col("__cnt") > 0)
+    terms
+      .select(col("touch_type"), col("__cnt"),
+        round(col("__v") * col("__cnt") / col("__n"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__credit"))
+      .groupBy("touch_type")
+      .agg(sum(col("__cnt")).as("n_credited"),
+        sum(col("__credit")).cast("double").as("total_credit"))
+  }
+
   /** Top user paths: per (user, gap-based session) the ordered
     * event-type sequence joined with `">"`, counted corpus-wide, top `k`
     * paths by frequency — the navigation-pattern mining behind "what do

@@ -188,4 +188,70 @@ object Graph {
     }
     labels
   }
+
+  /** Per-vertex triangle count and local clustering coefficient
+    * C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the UNDIRECTED simple
+    * graph induced by `edges` (direction and duplicate edges collapse;
+    * self-loops drop). The embedding-QA reading on a kNN graph: high
+    * coefficient = tight cluster neighborhoods, low = hub-like or noisy
+    * regions. Every vertex of `vertices` reports (degree 0 ⇒ 0
+    * triangles, coefficient 0.0 — also when degree is 1, where the
+    * coefficient is undefined and conventionally 0).
+    *
+    * Plan shape (100 TB posture): the degree-ORDERED orientation
+    * (Schank–Wagner forward algorithm, see PAPERS.md) — each undirected
+    * edge points from its (degree, id)-smaller endpoint to the larger —
+    * bounds every vertex's out-degree by O(√m) on arbitrary graphs, so
+    * the wedge self-join (the only super-linear step) is
+    * Σ outdeg(v)² = O(m^1.5) worst-case instead of the Σ deg(v)² a hot
+    * hub would cost unoriented; each triangle materializes exactly once
+    * (its orientation-minimal wedge), closed by ONE left-semi equi-join,
+    * and per-vertex counts are one explode + hash aggregate. No window,
+    * no cartesian.
+    */
+  def localClustering(vertices: DataFrame, edges: DataFrame, idCol: String,
+      srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .distinct()
+    val deg = und.select(col("__a").as("__v"))
+      .unionAll(und.select(col("__b").as("__v")))
+      .groupBy("__v").agg(count(lit(1)).as("__d"))
+    val keyed = und
+      .join(deg.select(col("__v").as("__a"), col("__d").as("__da")), "__a")
+      .join(deg.select(col("__v").as("__b"), col("__d").as("__db")), "__b")
+    val aFirst = struct(col("__da"), col("__a")) <
+      struct(col("__db"), col("__b"))
+    // oriented edge u -> v with v's orientation key carried for wedge dedup
+    val o = keyed.select(
+        when(aFirst, col("__a")).otherwise(col("__b")).as("__u"),
+        when(aFirst, col("__b")).otherwise(col("__a")).as("__v"),
+        when(aFirst,
+            struct(col("__db").as("d"), col("__b").as("v")))
+          .otherwise(struct(col("__da").as("d"), col("__a").as("v")))
+          .as("__kv"))
+      .localCheckpoint(true) // reused 3x below (the d06/d08 lesson)
+    val wedges = o.select(col("__u"), col("__v").as("__x"), col("__kv").as("__kx"))
+      .join(o.select(col("__u"), col("__v").as("__y"), col("__kv").as("__ky")),
+        Seq("__u"))
+      .filter(col("__kx") < col("__ky"))
+      .select("__u", "__x", "__y")
+    val tri = wedges.join(
+      o.select(col("__v").as("__y"), col("__u").as("__x")),
+      Seq("__x", "__y"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("__u"), col("__x"), col("__y"))).as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__t"))
+    vertices.select(col(idCol))
+      .join(deg.select(col("__v").as(idCol), col("__d")), Seq(idCol), "left")
+      .join(perNode.select(col("__v").as(idCol), col("__t")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__d"), lit(0L)).as("degree"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"),
+        when(coalesce(col("__d"), lit(0L)) >= 2,
+          round(lit(2.0) * coalesce(col("__t"), lit(0L)) /
+            (col("__d") * (col("__d") - lit(1L))), 6) + lit(0.0))
+          .otherwise(lit(0.0)).as("clustering_coef"))
+  }
 }

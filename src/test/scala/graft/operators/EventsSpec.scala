@@ -149,4 +149,35 @@ class EventsSpec extends SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("linearAttribution: equal split, strict-before touches, window cut, " +
+      "zero-touch conversions earn nothing") {
+    import spark.implicits._
+    val ev = Seq( // (id, user, type, ts, value)
+      (1L, 1L, "view", 10L, 0.0),
+      (6L, 1L, "click", 15L, 0.0), // simultaneous with purchase 4: excluded there
+      (4L, 1L, "purchase", 15L, 5.0), // only view@10 credits -> view 5.0
+      (2L, 1L, "click", 20L, 0.0),
+      (3L, 1L, "purchase", 30L, 12.0), // 3 touches -> 4.0 each
+      (5L, 2L, "purchase", 50L, 9.0) // no touches -> no credit rows
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.linearAttribution(ev, "user_id", "event_type", "ts",
+        "value", "event_id", "purchase", Seq("click", "view"), windowSize = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("click") === ((2L, 8.0)), "click@15 + click@20 credit 4.0 each")
+    assert(got("view") === ((2L, 9.0)), "view@10 credits both purchases")
+
+    val tight = Events.linearAttribution(ev, "user_id", "event_type", "ts",
+        "value", "event_id", "purchase", Seq("click", "view"), windowSize = 12L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(tight("click") === ((1L, 12.0)), "only click@20 is within 12 of 30")
+    assert(tight("view") === ((1L, 5.0)), "view@10 within 12 of purchase@15")
+
+    val plan = Events.linearAttribution(ev, "user_id", "event_type", "ts",
+      "value", "event_id", "purchase", Seq("click", "view"), 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Cartesian"), plan)
+  }
 }

@@ -127,4 +127,54 @@ class GraphSpec extends SparkTestBase {
     }
     assert(got === labels)
   }
+
+  test("localClustering: clique vertices score 1.0, path vertices 0, " +
+      "direction/duplicates/self-loops collapse, isolated vertices report") {
+    import spark.implicits._
+    val vertices = (1L to 8L).toDF("id")
+    // 4-clique {1,2,3,4}, path 5-6-7, isolated 8; noise: dup, reverse, loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (1L, 2L), (3L, 3L), // reverse dup, dup, self-loop
+      (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val got = Graph.localClustering(vertices, edges, "id", "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    (1L to 4L).foreach { v =>
+      assert(got(v) === ((3L, 3L, 1.0)), s"clique vertex $v")
+    }
+    assert(got(5L) === ((1L, 0L, 0.0)))
+    assert(got(6L) === ((2L, 0L, 0.0)), "degree-2 path center has no triangle")
+    assert(got(8L) === ((0L, 0L, 0.0)), "isolated vertex still reports")
+  }
+
+  test("localClustering equals brute force on a random graph; plan has no " +
+      "window and no cartesian") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 14
+    val und = (for {
+      a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.35
+    } yield (a.toLong, b.toLong)).toSet
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def wantTri(v: Long): Long = {
+      val nb = adj.getOrElse(v, Set.empty).toSeq
+      (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if und.contains((math.min(nb(i), nb(j)), math.max(nb(i), nb(j))))
+      } yield 1).size.toLong
+    }
+    val df = Graph.localClustering((1L to n.toLong).toDF("id"),
+      und.toSeq.toDF("src", "dst"), "id", "src", "dst")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (1L to n.toLong).foreach { v =>
+      val d = adj.getOrElse(v, Set.empty).size.toLong
+      assert(got(v) === ((d, wantTri(v))), s"vertex $v")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Cartesian"), plan)
+  }
 }
