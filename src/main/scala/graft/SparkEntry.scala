@@ -2375,6 +2375,17 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // linear-kernel MMD between the label-0 and label-1 embedding
+    // corpora: ||mean_A - mean_B||^2 with DECIMAL-routed per-dim sums —
+    // vectors never shuffle, only (pos, partial) rows
+    "s34_corpus_mmd" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.linearMmd(
+        emb.filter(col("label") === 0).select("embedding"),
+        emb.filter(col("label") === 1).select("embedding"),
+        "embedding")
+    }),
+
     // local clustering coefficient over the s14 kNN graph: per-vertex
     // triangle counts via the degree-ordered orientation (each triangle
     // materializes once; wedge join bounded by oriented out-degree)
@@ -6270,6 +6281,30 @@ object SparkEntry {
     "t24_importance_resample" -> t24OracleSql,
     "s14_knn_graph" -> s14OracleSql,
     "s33_local_clustering" -> s33OracleSql,
+    // MMD truth: identical float->double->DECIMAL routing per dim, one
+    // IEEE division per mean, squared diffs re-DECIMALed before the sum
+    "s34_corpus_mmd" ->
+      """WITH ex AS (
+           SELECT label, generate_subscripts(emb, 1) - 1 AS pos,
+                  UNNEST(emb) AS v
+           FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings WHERE label IN (0, 1))),
+         m AS (
+           SELECT label, pos,
+                  CAST(SUM(CAST(v AS DECIMAL(28, 10))) AS DOUBLE) / COUNT(*)
+                    AS mean,
+                  COUNT(*) AS n
+           FROM ex GROUP BY label, pos),
+         j AS (
+           SELECT a.pos, a.mean AS ma, b.mean AS mb, a.n AS na, b.n AS nb
+           FROM m a JOIN m b ON a.pos = b.pos
+           WHERE a.label = 0 AND b.label = 1)
+         SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+                CAST(MAX(nb) AS BIGINT) AS n_b,
+                CAST(COUNT(*) AS BIGINT) AS n_dims,
+                ROUND(CAST(SUM(CAST((ma - mb) * (ma - mb) AS DECIMAL(28, 10)))
+                  AS DOUBLE), 8) + 0.0 AS mmd2
+         FROM j""",
     "s15_graph_rank" -> s15OracleSql,
     "s16_knn_hubness" -> s16OracleSql,
     "s18_ann_recall" -> s18OracleSql,

@@ -1569,4 +1569,50 @@ object Similarity {
           struct((-col("votes")).as("__nv"), col(labelCol))).as(labelCol),
         max(col("votes")).as("votes"))
   }
+
+  /** Linear-kernel maximum mean discrepancy between two embedding
+    * corpora: MMD² = ‖μ_A − μ_B‖² (Gretton et al. 2012, the linear
+    * kernel's closed form — kernel mean embeddings reduce to the
+    * per-dimension mean vectors). The two-sample drift headline between
+    * e.g. last month's corpus and this month's, complementing the
+    * binned PSI view ([[embeddingDrift]]) with a single
+    * metric-space-faithful number. Both sides must share `vecCol`'s
+    * dimensionality (enforced: dimension sets must match).
+    *
+    * Exactness: per-dim sums route float→double→DECIMAL(28,10) (order-
+    * free), means divide once in IEEE double, per-dim squared diffs cast
+    * back to DECIMAL before the cross-dim sum — engines agree
+    * bit-for-bit. Output one row: (n_a, n_b, n_dims, mmd2).
+    *
+    * Plan shape (100 TB posture): one posexplode per side into SKINNY
+    * (pos, value) rows, one dim-bounded hash aggregate each (map-side
+    * combined — the shuffle carries dim·partitions partials, vectors
+    * never move), a dim-sized equi-join, and a 1-row finish. Map-only +
+    * bounded everywhere.
+    */
+  def linearMmd(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    def dimMeans(df: DataFrame, side: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("__pos")
+      .agg((sum(col("__v").cast("double").cast(dec)).cast("double") /
+          count(lit(1))).as(s"__m_$side"),
+        count(lit(1)).as(s"__n_$side"))
+    val joined = dimMeans(a, "a").join(dimMeans(b, "b"), Seq("__pos"), "full")
+    joined
+      .select(
+        ((col("__m_a") - col("__m_b")) * (col("__m_a") - col("__m_b")))
+          .cast(dec).as("__t"),
+        col("__n_a"), col("__n_b"), col("__m_a"), col("__m_b"))
+      .agg(sum(col("__t")).cast("double").as("__mmd2"),
+        max(col("__n_a")).as("n_a"), max(col("__n_b")).as("n_b"),
+        count(lit(1)).as("n_dims"),
+        sum(when(col("__m_a").isNull || col("__m_b").isNull, 1L)
+          .otherwise(0L)).as("__mismatched"))
+      .select(col("n_a"), col("n_b"), col("n_dims"),
+        when(col("__mismatched") === 0, round(col("__mmd2"), 8) + lit(0.0))
+          .otherwise(raise_error(concat(lit("linearMmd: sides disagree on "),
+            col("__mismatched").cast("string"), lit(" dimension(s)"))))
+          .as("mmd2"))
+  }
 }

@@ -871,4 +871,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("linearMmd: identical corpora score 0, hand-computed mean gap, " +
+      "mismatched dimensionality fails fast") {
+    import spark.implicits._
+    val a = Seq(Array(0f, 0f), Array(2f, 2f)).toDF("embedding")
+    val b = Seq(Array(3f, 5f)).toDF("embedding")
+    val same = Similarity.linearMmd(a, a, "embedding").head()
+    assert(same.getDouble(3) === 0.0)
+    val r = Similarity.linearMmd(a, b, "embedding").head()
+    // means [1,1] vs [3,5] -> 4 + 16
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      === ((2L, 1L, 2L, 20.0)))
+    val bad = Seq(Array(1f, 2f, 3f)).toDF("embedding")
+    val err = intercept[Exception] {
+      Similarity.linearMmd(a, bad, "embedding").collect()
+    }
+    assert(err.getMessage.contains("dimension"), err.getMessage)
+  }
 }
