@@ -2418,6 +2418,30 @@ object SparkEntry {
     // ingest-time c22: the non-en slice streams in two batches, its
     // exact value histogram accumulates additively, and the drained KS
     // against the static en reference equals the batch statistic
+    // streaming rolling actives: distinct (day, user) pairs as prefix-
+    // partitioned LSM state, per batch only affected days re-emit; the
+    // drained latest-batch-wins report equals the batch g12 operator
+    "e19_streaming_rolling_actives" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e19").toString
+      val ev = t(s, dir, "events").select(col("ts").as("ts_ns"),
+        col("user_id"))
+      ev.filter(col("user_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("user_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("ts_ns BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingRollingActives.start(s, src,
+        "user_id", "ts_ns", s"$tmp/pairs", s"$tmp/report", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e19 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingRollingActives.report(s, s"$tmp/report")
+    }),
+
     "e18_streaming_ks_drift" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e18").toString
       val docs = t(s, dir, "documents").select("doc_id", "n_chars", "lang")
@@ -3908,6 +3932,23 @@ object SparkEntry {
        |edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM r WHERE rank <= 3)""".stripMargin
   }
 
+  /** g12/e19 oracle: rolling 7-day distinct actives per event-bearing
+    * day — shared verbatim because the streaming drain must equal the
+    * batch operator over the full history.
+    */
+  private def g12OracleSql: String =
+    """WITH du AS (
+         SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+         FROM events),
+       days AS (SELECT DISTINCT day FROM du),
+       x AS (
+         SELECT du.day + o.o AS day, du.user_id
+         FROM du CROSS JOIN range(0, 7) o(o)),
+       c AS (SELECT day, count(DISTINCT user_id) AS n_active
+             FROM x GROUP BY 1)
+       SELECT d.day, c.n_active
+       FROM days d JOIN c ON c.day = d.day"""
+
   private def s14OracleSql: String =
     s"""$knnEdgeCtes
        |SELECT vec_id, neighbor_id, ROUND(cosine, 6) + 0.0 AS cosine,
@@ -5208,18 +5249,10 @@ object SparkEntry {
     // report IS the batch g10 truth — same oracle
     "e17_streaming_rfm" -> g10OracleSql,
     // rolling actives: the same replicate-onto-report-days construction
-    "g12_rolling_actives" ->
-      """WITH du AS (
-           SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
-           FROM events),
-         days AS (SELECT DISTINCT day FROM du),
-         x AS (
-           SELECT du.day + o.o AS day, du.user_id
-           FROM du CROSS JOIN range(0, 7) o(o)),
-         c AS (SELECT day, count(DISTINCT user_id) AS n_active
-               FROM x GROUP BY 1)
-         SELECT d.day, c.n_active
-         FROM days d JOIN c ON c.day = d.day""",
+    "g12_rolling_actives" -> g12OracleSql,
+    // streaming rolling actives: additive pair state makes the drained
+    // latest-batch-wins report the batch g12 truth — same oracle
+    "e19_streaming_rolling_actives" -> g12OracleSql,
     // linear attribution truth: identical pairing predicate, identical
     // (value * cnt) / n parenthesization, round-then-DECIMAL sums
     "g13_linear_attribution" ->

@@ -1778,4 +1778,39 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id", "lang").as[(Long, String)].collect().toSet
     assert(replayed === want, "replay must be idempotent")
   }
+
+  test("streaming rolling actives: drained report equals the batch " +
+      "operator, replays are exact, only affected days re-emit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sra").toString
+    def ns(day: Long) = day * 86400L * 1000000000L + 5L
+    val b0 = Seq((ns(0), 1L), (ns(0), 2L), (ns(1), 1L))
+      .toDF("ts_ns", "user_id")
+    val b1 = Seq((ns(1), 3L), (ns(9), 1L), (ns(0), 1L)) // (0,1) is a repeat
+      .toDF("ts_ns", "user_id")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingRollingActives.processBatch(b, id, "user_id", "ts_ns",
+        s"$dir/pairs", s"$dir/report", 7)
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep() = StreamingRollingActives.report(spark, s"$dir/report")
+      .as[(Long, Long)].collect().toMap
+    val want = graft.operators.Events.rollingActiveUsers(
+        b0.unionByName(b1), "user_id", "ts_ns", 7)
+      .as[(Long, Long)].collect().toMap
+    assert(want === Map(0L -> 2L, 1L -> 3L, 9L -> 1L), "batch truth sanity")
+    assert(rep() === want)
+    // batch 1 re-emitted only days its NEW pairs affect: day 0's repeat
+    // pair is not new, so day 0 must NOT be in batch 1's partition
+    val b1days = spark.read.parquet(s"$dir/report/batch=1")
+      .select("day").as[Long].collect().toSet
+    assert(b1days === Set(1L, 9L), b1days)
+    // crash-replay of batch 1: report and state unchanged
+    run(b1, 1L)
+    assert(rep() === want, "replay drifted")
+    val pairs = LsmParquetState.snapshot(spark, s"$dir/pairs",
+      StreamingRollingActives.layout)
+    assert(pairs.count() === 5L, "replay appended duplicate pairs")
+    assert(pairs.distinct().count() === 5L)
+  }
 }
