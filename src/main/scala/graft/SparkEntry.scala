@@ -2325,6 +2325,13 @@ object SparkEntry {
     "v02_skew_report" -> ((s, dir) =>
       CorpusStats.skewReport(t(s, dir, "events"), Seq("user_id"))),
 
+    // Neyman-optimal stratified allocation of a 200-doc sample across
+    // sources by n_chars variance: one integer aggregate moves, the
+    // allocation math is bounded model state with a pinned fold order
+    "c25_neyman_allocation" -> ((s, dir) =>
+      CorpusStats.neymanAllocation(t(s, dir, "documents"),
+        "source", "n_chars", sampleN = 200L)),
+
     // right-to-be-forgotten pre-flight: every 97th customer requests
     // erasure; the purge cascades customer -> orders -> lineitem through
     // skinny key-only semi-joins, counts per table prove the blast radius
@@ -5569,6 +5576,48 @@ object SparkEntry {
     // streaming KS: additive histogram state makes the drained statistic
     // the batch c22 truth over the same slices — same oracle
     "e18_streaming_ks_drift" -> c22OracleSql,
+    // Neyman truth: integer moment sums, the same variance formula, the
+    // weight total as a stratum-ordered running sum (the engine's pinned
+    // fold), largest-remainder ranks via a window, population cap
+    "c25_neyman_allocation" ->
+      """WITH s AS (
+           SELECT source AS stratum, COUNT(*) AS nh,
+                  CAST(SUM(n_chars) AS BIGINT) AS sm,
+                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sq
+           FROM documents GROUP BY 1),
+         v AS (
+           SELECT stratum, nh,
+                  CASE WHEN nh >= 2
+                       THEN sqrt(CAST(nh * sq - sm * sm AS DOUBLE)
+                                 / CAST(nh * (nh - 1) AS DOUBLE))
+                       ELSE 0.0 END AS sd
+           FROM s),
+         w AS (SELECT stratum, nh, sd, nh * sd AS wt FROM v),
+         tt AS (
+           SELECT stratum, nh, sd, wt,
+                  SUM(wt) OVER (ORDER BY stratum
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+           FROM w),
+         r AS (
+           SELECT stratum, nh, sd,
+                  (CAST(200 AS DOUBLE) * wt)
+                    / (SELECT rt FROM tt ORDER BY stratum DESC LIMIT 1) AS raw
+           FROM tt),
+         b AS (
+           SELECT stratum, nh, sd, FLOOR(raw) AS fl, raw - FLOOR(raw) AS rem
+           FROM r),
+         lo AS (SELECT 200 - CAST(SUM(fl) AS BIGINT) AS leftover FROM b),
+         rk AS (
+           SELECT stratum, nh, sd, fl,
+                  ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rnk
+           FROM b)
+         SELECT stratum AS source,
+                CAST(nh AS BIGINT) AS n_rows,
+                ROUND(sd, 6) + 0.0 AS stddev,
+                LEAST(CAST(fl AS BIGINT)
+                  + CASE WHEN rnk <= (SELECT leftover FROM lo)
+                         THEN 1 ELSE 0 END, nh) AS alloc
+         FROM rk""",
     // erasure cascade truth: IN-subquery purge sets level by level
     "c24_erasure_cascade" ->
       """WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),

@@ -663,6 +663,73 @@ object CorpusStats {
           (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Neyman-optimal stratified sample allocation (Neyman 1934; Cochran,
+    * Sampling Techniques §5.5): given a target sample size `sampleN`,
+    * allocate n_h ∝ N_h·S_h — more samples to big AND high-variance
+    * strata, the variance-minimizing design for estimating the metric's
+    * mean. Integerization is largest-remainder (Hamilton): floor every
+    * raw share, hand the leftovers out by remainder descending (ties by
+    * stratum ascending), then cap each stratum at its population (a
+    * capped allocation may sum below `sampleN` — documented, not
+    * redistributed). Zero-variance strata get weight 0 (one would
+    * suffice in theory; the textbook formula sends them 0 and this
+    * implementation follows it). Output per stratum:
+    * (stratum, n_rows, stddev, alloc), stddev the SAMPLE standard
+    * deviation rounded at emission.
+    *
+    * Exactness: per-stratum count/sum/sum-of-squares are integer
+    * aggregates (`metricCol` must be integral and small enough that
+    * N·Σx² fits a long — true for any character/token-count metric);
+    * S_h = √((N·Σx² − (Σx)²)/(N·(N−1))) and every later step is a
+    * deterministic IEEE double op; the weight total folds in ASCENDING
+    * stratum order (a pinned sequential sum an oracle replays with a
+    * running-total window).
+    *
+    * Plan shape (100 TB posture): ONE map-side-combined hash aggregate
+    * over the corpus (3 longs per stratum move); everything after runs
+    * on the collected stratum table — bounded model state, the
+    * curriculumBuckets sanction (strata are vocabulary-scale: sources,
+    * languages, shards).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, metricCol: String,
+      sampleN: Long): DataFrame = {
+    require(sampleN >= 0, s"sample size must be non-negative, got $sampleN")
+    val spark = df.sparkSession
+    val m = col(metricCol).cast("long")
+    val stats = df
+      .groupBy(col(stratumCol).cast("string").as("__st"))
+      .agg(count(lit(1)).as("__n"), sum(m).as("__sm"),
+        sum(m * m).as("__sq"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val weighted = stats.map { case (st, n, sm, sq) =>
+      val sd = if (n >= 2)
+        math.sqrt((n * sq - sm * sm).toDouble / (n * (n - 1)).toDouble)
+      else 0.0
+      (st, n, sd, n.toDouble * sd)
+    }
+    val total = weighted.foldLeft(0.0)(_ + _._4)
+    require(total > 0.0,
+      "Neyman allocation undefined: every stratum has zero variance")
+    val based = weighted.map { case (st, n, sd, w) =>
+      val raw = (sampleN.toDouble * w) / total
+      (st, n, sd, math.floor(raw).toLong, raw - math.floor(raw))
+    }
+    val leftover = math.max(0L, sampleN - based.map(_._4).sum)
+    val bumped = based.sortBy { case (st, _, _, _, rem) => (-rem, st) }
+      .zipWithIndex.map { case ((st, n, sd, fl, _), i) =>
+        (st, n, sd, fl + (if (i < leftover) 1L else 0L))
+      }
+    import spark.implicits._
+    bumped.sortBy(_._1).map { case (st, n, sd, al) =>
+      (st, n,
+        BigDecimal(sd).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0,
+        math.min(al, n))
+    }.toSeq.toDF(stratumCol, "n_rows", "stddev", "alloc")
+  }
+
   /** Exact ROC-AUC of a scored binary classifier (quality-filter eval):
     * the Mann–Whitney rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) /
     * (n⁺·n⁻) with ties at MIDRANKS — the textbook trapezoidal-ROC value.

@@ -427,6 +427,28 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(r.getLong(2) === neg.size.toLong)
   }
 
+  test("neymanAllocation: variance-weighted shares, largest-remainder " +
+      "integerization, population cap, zero-variance strata get zero") {
+    val rows = Seq(
+      ("a", 0L), ("a", 10L),
+      ("b", 5L), ("b", 5L), ("b", 5L),
+      ("c", 0L), ("c", 20L)).toDF("src", "m")
+    val got = CorpusStats.neymanAllocation(rows, "src", "m", sampleN = 5L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // sd_a = sqrt(50), sd_c = sqrt(200); raws 1.67/0/3.33; floors 1/0/3;
+    // the one leftover goes to a (remainder .67 > .33); c caps at its 2 rows
+    assert(got("a") === ((2L, 7.071068, 2L)))
+    assert(got("b") === ((3L, 0.0, 0L)))
+    assert(got("c") === ((2L, 14.142136, 2L)))
+    val err = intercept[Exception] {
+      CorpusStats.neymanAllocation(
+        Seq(("a", 5L), ("a", 5L)).toDF("src", "m"), "src", "m", 10L)
+    }
+    assert(err.getMessage.contains("zero variance"))
+  }
+
   test("calibrationBins: clamped top bin, exact decimal-routed sums, " +
       "positive rates") {
     val rows = Seq((0.05, 0), (0.15, 1), (0.95, 1), (1.0, 1))
