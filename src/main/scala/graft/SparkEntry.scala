@@ -2128,6 +2128,14 @@ object SparkEntry {
     "t40_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
 
+    // blocklist phrase scan: exact overlapping occurrence counts at word
+    // boundaries via the codegen word-shingle kernel + broadcast phrase
+    // hashes — "batch batch" hits twice inside "batch batch batch"
+    "t43_phrase_hits" -> ((s, dir) =>
+      TextAnalysis.phraseHits(t(s, dir, "documents"), "doc_id", "text",
+        Seq("table scan", "batch batch", "batch batch batch",
+          "quantum flux capacitor"))),
+
     // exact ROC-AUC of the quality score as an English-detector: rank-sum
     // identity with midrank ties; rows fold to per-distinct-score counts,
     // rank structure from the parallel prefix sum — integers until the
@@ -5432,6 +5440,31 @@ object SparkEntry {
                  AND 10 * bullets <= 9 * n_lines
                  AND 10 * ell_end <= 3 * n_lines) AS keep
          FROM m2""",
+    // phrase-hit truth: token-slice equality over every window position
+    // (overlaps counted), word boundaries by construction of the token
+    // list, same normalization chain
+    "t43_phrase_hits" ->
+      """WITH p AS (
+           SELECT * FROM (VALUES ('table scan'), ('batch batch'),
+             ('batch batch batch'), ('quantum flux capacitor')) t(phrase)),
+         pp AS (
+           SELECT phrase, string_split(phrase, ' ') AS pt,
+                  len(string_split(phrase, ' ')) AS L
+           FROM p),
+         toks AS (
+           SELECT doc_id,
+                  list_filter(string_split(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                    w -> length(w) > 0) AS ts
+           FROM documents),
+         c AS (
+           SELECT t.doc_id, pp.phrase,
+                  len(list_filter(range(1, len(t.ts) - pp.L + 2),
+                    i -> list_slice(t.ts, CAST(i AS INT),
+                           CAST(i AS INT) + pp.L - 1) = pp.pt)) AS n_hits
+           FROM toks t CROSS JOIN pp)
+         SELECT doc_id, phrase, CAST(n_hits AS BIGINT) AS n_hits
+         FROM c WHERE n_hits > 0""",
     // exact AUC truth via window ranks: doubled midranks 2·RANK + c − 1
     // keep it integer (RANK = cumBefore + 1), same one-division finish
     "t41_quality_auc" ->

@@ -1563,4 +1563,46 @@ object TextAnalysis {
       .withColumn("n_tokens_bpe", bpeTokenEstimate(col(textCol)))
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Blocklist phrase scan: exact OCCURRENCE counts of every multi-word
+    * phrase in every document — the flagged-phrase filter of a web
+    * pipeline (policy terms, spam slogans, boilerplate markers), at
+    * word-boundary granularity ("able scan" never matches "table scan").
+    * Phrases and text normalize identically (trim → lower → whitespace
+    * collapse); occurrences may overlap ("x x x" holds "x x" twice).
+    * Output: (idCol, phrase, n_hits) for hits only.
+    *
+    * Plan shape (100 TB posture): phrases group by word count L; per L
+    * ONE codegen word-shingle pass explodes the corpus to SKINNY
+    * (id, gram-hash) rows — text never shuffles — joined against the
+    * BROADCAST phrase-hash table (a phrase of L words is its own single
+    * L-gram through the same kernel), then one (id, phrase) hash
+    * aggregate counts occurrences. Gram identity is 64-bit hash identity
+    * (the d06 collision sanction). No window, no cartesian, no UDF.
+    */
+  def phraseHits(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    import graft.functions.GraftFunctions
+    val norm = phrases.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
+      .filter(_.nonEmpty)
+    require(norm.nonEmpty, "need at least one non-empty phrase")
+    require(norm.distinct.size == norm.size,
+      "phrases must be distinct after normalization")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docsNorm = df.select(col(idCol),
+      Dedup.normalized(col(textCol)).as("__nt"))
+    norm.groupBy(_.count(_ == ' ') + 1).toSeq.sortBy(_._1).map {
+      case (l, ps) =>
+        val pdf = broadcast(ps.toDF("phrase").select(col("phrase"),
+          element_at(GraftFunctions.shingle_hashes(col("phrase"), l,
+            word = true), 1).as("__h")))
+        docsNorm.select(col(idCol),
+            explode(GraftFunctions.shingle_hashes(col("__nt"), l,
+              word = true, distinct = false)).as("__h"))
+          .join(pdf, "__h")
+          .groupBy(col(idCol), col("phrase"))
+          .agg(count(lit(1)).as("n_hits"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1066,4 +1066,28 @@ class TextAnalysisSpec extends SparkTestBase {
     val s = (y(1) - y(0)).toDouble / (x(1) - x(0)).toDouble
     assert(math.abs(got._2 - s) < 1e-6)
   }
+
+  test("phraseHits: word boundaries, overlapping occurrences, mixed phrase " +
+      "lengths, short/degenerate docs, zero-hit phrases absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Table  SCAN now and table scan later"),
+      (2L, "x batch batch batch y"),
+      (3L, "portable scanner is not a table scanner"),
+      (4L, "tiny"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseHits(docs, "doc_id", "text",
+        Seq("table scan", "batch batch", "batch batch batch", "no such phrase"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      (1L, "table scan") -> 2L,
+      (2L, "batch batch") -> 2L, // overlapping windows both count
+      (2L, "batch batch batch") -> 1L))
+    val plan = TextAnalysis.phraseHits(docs, "doc_id", "text",
+        Seq("table scan", "batch batch batch"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Cartesian"), plan)
+  }
 }
