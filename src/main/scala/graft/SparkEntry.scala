@@ -1557,16 +1557,20 @@ object SparkEntry {
     }),
 
     // winnowing (MOSS) overlap detection: planted near-dups as in d03;
-    // k=8 char grams, window 16 → any shared run >= 23 chars is
+    // k=16 char grams, window 16 → any shared run >= 31 chars is
     // guaranteed to share a fingerprint at ~12% of the gram-index size.
+    // k=16 (not 8): 16-char grams are high-entropy, so genuine copies
+    // share fingerprints in TINY buckets (size ~2) and the family-default
+    // 1000-cap skew guard never touches them — measured at sf0.1, the
+    // same recall as k=8 at 30x less pair-join work (r10 verdict #1).
     // minShared=14 sits in the measured gap between the common-phrase
-    // noise floor (dies by 13 on this corpus) and the planted copies
+    // noise floor and the planted copies
     "d15_winnowing" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
       Dedup.winnowingPairs(docs.unionByName(mangled), "doc_id", "text",
-        k = 8, window = 16, minShared = 14)
+        k = 16, window = 16, minShared = 14)
     }),
 
     // cluster-cohesion audit over the d06 graph: edge/triangle density
@@ -3038,9 +3042,10 @@ object SparkEntry {
     * winnowing selection as `list_min` over every 16-long hash slice
     * (the VALUE set is tie-rule-independent, which is what makes a
     * relational replay exact), then true shared-fingerprint pair
-    * counts via explode + equi-join.
+    * counts via explode + equi-join, with the engine's capBuckets skew
+    * guard replayed as a QUALIFY bucket-count filter.
     */
-  private def d15OracleSql: String = {
+  private def d15OracleSql(k: Int): String = {
     import DuckHash._
     val C1 = BigInt("ff51afd7ed558ccd", 16)
     val C2 = BigInt("c4ceb9fe1a85ec53", 16)
@@ -3054,13 +3059,13 @@ object SparkEntry {
        |  FROM docs2),
        |h0 AS (SELECT doc_id,
        |         CASE WHEN length(n) = 0 THEN []
-       |              WHEN length(n) < 8 THEN [list_reduce(list_prepend(0::HUGEINT,
+       |              WHEN length(n) < $k THEN [list_reduce(list_prepend(0::HUGEINT,
        |                  list_transform(range(1, length(n) + 1),
        |                    j -> CAST(unicode(substr(n, CAST(j AS INT), 1)) AS HUGEINT))),
        |                  (a, c) -> (a * 31 + c) % $U)]
-       |              ELSE list_transform(range(1, length(n) - 6),
+       |              ELSE list_transform(range(1, length(n) - ${k - 2}),
        |                i -> list_reduce(list_prepend(0::HUGEINT,
-       |                  list_transform(range(CAST(i AS INT), CAST(i + 8 AS INT)),
+       |                  list_transform(range(CAST(i AS INT), CAST(i + $k AS INT)),
        |                    j -> CAST(unicode(substr(n, CAST(j AS INT), 1)) AS HUGEINT))),
        |                  (a, c) -> (a * 31 + c) % $U)) END AS hs
        |       FROM norm),
@@ -3076,9 +3081,14 @@ object SparkEntry {
        |              ELSE list_distinct(list_transform(range(1, len(hs) - 14),
        |                i -> list_min(hs[CAST(i AS INT):CAST(i + 15 AS INT)]))) END AS fps
        |       FROM h6),
-       |ex AS (SELECT doc_id, unnest(fps) AS fp FROM wn)
+       |ex AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+       |-- replay the engine's capBuckets skew guard: a fingerprint bucket
+       |-- larger than maxBucketSize (=1000, the LSH-family default) is
+       |-- boilerplate and dropped before the pair join
+       |exk AS (SELECT doc_id, fp FROM ex
+       |        QUALIFY count(*) OVER (PARTITION BY fp) <= 1000)
        |SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS n_shared
-       |FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |FROM exk a JOIN exk b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 14""".stripMargin
   }
 
@@ -6754,7 +6764,7 @@ object SparkEntry {
                  JOIN sz y ON ix.source_b = y.source""",
     // the KMV shortlist + exact matrix replay — see d14OracleSql
     "d14_source_overlap_shortlist" -> d14OracleSql,
-    "d15_winnowing" -> d15OracleSql,
+    "d15_winnowing" -> d15OracleSql(16),
     // cohesion audit: members/edges from the same closure; triangles via
     // the sorted-edge wedge join (a<b<c is automatic — pairs carry
     // idA < idB); density arithmetic mirrored term for term

@@ -553,6 +553,45 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  test("winnowingPairs skew guard: over-cap boilerplate fingerprints are " +
+      "dropped with the observe metric fired, genuine copies survive " +
+      "(VERDICT r10 #1 — the default cap must actually guard)") {
+    // 30 documents sharing ONE boilerplate sentence: every fingerprint
+    // they produce sits in a size-30 bucket, over the cap of 10, so all
+    // C(30,2)=435 boilerplate pairs are dropped. The genuine near-copy
+    // pair has document-specific grams in size-2 buckets and survives.
+    val boiler = "all rights reserved contact us terms of service " +
+      "privacy policy cookie notice"
+    val clones = (100L to 129L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val uniq = Seq(
+      (1L, "the zebra quilt jumps over seventeen lazy xylophones while " +
+        "quietly plotting a grand escape from the dusty barn"),
+      (2L, "PREFIX the zebra quilt jumps over seventeen lazy xylophones " +
+        "while quietly plotting a grand escape from the dusty barn"))
+      .toDF("doc_id", "text")
+    @volatile var dropped: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("winnow_buckets").foreach(r =>
+          dropped = Some(r.getAs[Long]("dropped_buckets")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got = try {
+      val rows = Dedup.winnowingPairs(clones.unionByName(uniq), "doc_id", "text",
+          k = 8, window = 4, minShared = 2, maxBucketSize = 10)
+        .as[(Long, Long, Long)].collect()
+      var waited = 0
+      while (dropped.isEmpty && waited < 10000) { Thread.sleep(50); waited += 50 }
+      rows
+    } finally spark.listenerManager.unregister(listener)
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)),
+      s"only the genuine pair must survive the cap: ${got.toSeq}")
+    assert(dropped.exists(_ >= 1L), s"expected dropped_buckets >= 1, got $dropped")
+  }
+
   test("crossNearDupPairs: pairs form only ACROSS sides, ids may collide " +
       "between sides, and jaccard verification is exact") {
     import spark.implicits._
