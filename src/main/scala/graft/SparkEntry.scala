@@ -1573,6 +1573,24 @@ object SparkEntry {
         k = 16, window = 16, minShared = 14)
     }),
 
+    // the two-stage MOSS pipeline the d15 operator was built to feed
+    // (r10 verdict #3): winnowing shortlists doc pairs cheaply, span
+    // dedup's expensive per-gram explode runs ONLY over shortlisted docs
+    // (left-semi on id). Only every 10th doc gets a copy (d07's
+    // drop-first-word + unique-tail shape) — the realistic mostly-clean
+    // corpus where the shortlist restriction actually pays: ~80% of docs
+    // never reach the gram stage. Oracle = the full d07 construction
+    // restricted to the shortlist
+    "d18_winnowed_span_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(regexp_replace(col("text"), "^\\S+\\s", ""),
+            lit(" u"), col("doc_id").cast("string")).as("text"))
+      Dedup.winnowedSpanDedup(docs.unionByName(mangled), "doc_id", "text",
+        k = 16, window = 16, minShared = 14, n = 8)
+    }),
+
     // cluster-cohesion audit over the d06 graph: edge/triangle density
     // per duplicate cluster — the chained-merge detector. Same pairs,
     // same closure, one wedge join over skinny (long, long) edges
@@ -3045,16 +3063,17 @@ object SparkEntry {
     * counts via explode + equi-join, with the engine's capBuckets skew
     * guard replayed as a QUALIFY bucket-count filter.
     */
-  private def d15OracleSql(k: Int): String = {
+  /** The winnow-fingerprint pair CTE chain shared by d15/d18: expects a
+    * `docs2(doc_id, text)` CTE upstream, yields `wpairs(idA, idB,
+    * n_shared)` — pairs sharing ≥ `minShared` fingerprints after the
+    * 1000-cap skew-guard replay.
+    */
+  private def winnowPairCtes(k: Int, minShared: Int): String = {
     import DuckHash._
     val C1 = BigInt("ff51afd7ed558ccd", 16)
     val C2 = BigInt("c4ceb9fe1a85ec53", 16)
     val goldSigned = -7046029254386353131L // 0x9E3779B97F4A7C15 as signed
-    s"""WITH docs2 AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s', '') FROM documents),
-       |norm AS (
+    s"""norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
        |  FROM docs2),
        |h0 AS (SELECT doc_id,
@@ -3086,11 +3105,73 @@ object SparkEntry {
        |-- larger than maxBucketSize (=1000, the LSH-family default) is
        |-- boilerplate and dropped before the pair join
        |exk AS (SELECT doc_id, fp FROM ex
-       |        QUALIFY count(*) OVER (PARTITION BY fp) <= 1000)
-       |SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS n_shared
-       |FROM exk a JOIN exk b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= 14""".stripMargin
+       |        QUALIFY count(*) OVER (PARTITION BY fp) <= 1000),
+       |wpairs AS (
+       |  SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS n_shared
+       |  FROM exk a JOIN exk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)""".stripMargin
   }
+
+  private def d15OracleSql(k: Int): String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s', '') FROM documents),
+       |${winnowPairCtes(k, 14)}
+       |SELECT idA, idB, n_shared FROM wpairs""".stripMargin
+
+  /** The d18 oracle: the winnow shortlist (the d15 chain over the
+    * d07-style corpus), then the FULL d07 span-dedup construction
+    * restricted to shortlisted documents — proving the engine's two-stage
+    * composition equals "span dedup over exactly the flagged docs".
+    */
+  private def d18OracleSql(k: Int): String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |         regexp_replace(text, '^\\S+\\s', '') || ' u' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |${winnowPairCtes(k, 14)},
+       |ids AS (SELECT DISTINCT doc_id FROM (
+       |          SELECT idA AS doc_id FROM wpairs
+       |          UNION ALL SELECT idB FROM wpairs)),
+       |rdocs AS (SELECT d.doc_id, d.text FROM docs2 d JOIN ids USING (doc_id)),
+       |toks AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ts
+       |  FROM rdocs),
+       |grams0 AS (
+       |  SELECT doc_id, UNNEST(
+       |    CASE WHEN len(ts) >= 8
+       |         THEN list_transform(range(1, len(ts) - 6),
+       |                i -> struct_pack(pos := i - 1,
+       |                       g := array_to_string(list_slice(ts, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')))
+       |         ELSE [struct_pack(pos := 0, g := array_to_string(ts, ' '))]
+       |    END) AS u
+       |  FROM toks),
+       |grams AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM grams0),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+       |         count(*) OVER (PARTITION BY g) AS cnt
+       |  FROM grams),
+       |cov0 AS (
+       |  SELECT doc_id, UNNEST(range(pos, pos + 8)) AS cov
+       |  FROM occ WHERE cnt >= 2 AND rn > 1),
+       |covered AS (SELECT DISTINCT doc_id, cov FROM cov0),
+       |tokpos0 AS (
+       |  SELECT doc_id, len(ts) AS n_tokens,
+       |         UNNEST(list_transform(range(1, len(ts) + 1),
+       |           i -> struct_pack(p := i - 1, tok := ts[CAST(i AS INT)]))) AS u
+       |  FROM toks),
+       |tokpos AS (SELECT doc_id, n_tokens, u.p AS p, u.tok AS tok FROM tokpos0)
+       |SELECT tp.doc_id,
+       |       coalesce(string_agg(CASE WHEN c.cov IS NULL THEN tp.tok END, ' ' ORDER BY tp.p), '') AS text_kept,
+       |       CAST(any_value(tp.n_tokens) AS INT) AS n_tokens,
+       |       CAST(count(c.cov) AS INT) AS n_removed
+       |FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.cov
+       |GROUP BY tp.doc_id""".stripMargin
 
   /** The s29 oracle: MMR replayed round-for-round — the exact top-20
     * relevance pool (the s01 cosine), then `k` UNROLLED greedy rounds,
@@ -6765,6 +6846,8 @@ object SparkEntry {
     // the KMV shortlist + exact matrix replay — see d14OracleSql
     "d14_source_overlap_shortlist" -> d14OracleSql,
     "d15_winnowing" -> d15OracleSql(16),
+    // winnow shortlist + the d07 span construction restricted to it
+    "d18_winnowed_span_dedup" -> d18OracleSql(16),
     // cohesion audit: members/edges from the same closure; triangles via
     // the sorted-edge wedge join (a<b<c is automatic — pairs carry
     // idA < idB); density arithmetic mirrored term for term

@@ -592,6 +592,33 @@ class DedupSpec extends SparkTestBase {
     assert(dropped.exists(_ >= 1L), s"expected dropped_buckets >= 1, got $dropped")
   }
 
+  test("winnowedSpanDedup: restricted pass equals the full span-dedup pass " +
+      "on shortlisted docs, unshortlisted docs never enter the gram stage") {
+    // docs 1/2 are genuine near-copies (doc 2 drops the first word, gains
+    // a unique tail — the d07/d18 fixture shape); doc 3 is unrelated and
+    // shares no dup grams, so restricting span dedup to the shortlist
+    // {1, 2} must reproduce the full corpus pass row-for-row on {1, 2}
+    val base = "the zebra quilt jumps over seventeen lazy xylophones while " +
+      "quietly plotting a grand escape from the dusty barn tonight"
+    val all = Seq(
+      (1L, base),
+      (2L, base.dropWhile(_ != ' ').trim + " uniquetail"),
+      (3L, "totally disjoint content qqq www eee rrr ttt yyy uuu iii ooo ppp"))
+      .toDF("doc_id", "text")
+    val composed = Dedup.winnowedSpanDedup(all, "doc_id", "text",
+        k = 8, window = 4, minShared = 2, n = 4)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(composed.map(_._1).toSeq === Seq(1L, 2L),
+      s"only the shortlisted pair may appear: ${composed.toSeq}")
+    val full = Dedup.removeDuplicatedSpans(all, "doc_id", "text", n = 4)
+      .filter(col("doc_id") < 3L)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(composed.toSeq === full.toSeq,
+      "restricted span dedup must equal the full pass on shortlisted docs")
+    // the copy's duplicated leading span was actually cut
+    assert(composed.exists(r => r._4 > 0), s"no span removed: ${composed.toSeq}")
+  }
+
   test("crossNearDupPairs: pairs form only ACROSS sides, ids may collide " +
       "between sides, and jaccard verification is exact") {
     import spark.implicits._
