@@ -110,19 +110,29 @@ object StreamingEntityResolution {
   }
 
   /** First-contact bootstrap: empty bases so every later read/append
-    * takes the LSM path. Idempotent, cheap (schema-only writes).
+    * takes the LSM path. Idempotent. The empty frames are built from a
+    * LITERAL schema, not `batch.limit(0)` — a limit-0 of the live batch
+    * frame still plans (and pays for) the whole batch source read in
+    * each of the three seed writes, measured ~3 s of the first batch at
+    * fixture scale. The schema is the operator's own contract: `name`
+    * is the probe string, ids are the longs [[processBatch]] casts to.
     */
-  private def ensureStores(s: SparkSession, like: DataFrame,
+  private def ensureStores(s: SparkSession,
       namesDir: String, mapDir: String): Unit = {
-    val emptyNames = like.select(col("name"), col("name_id")).limit(0)
+    import org.apache.spark.sql.types._
+    def empty(fields: (String, DataType)*): DataFrame =
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(fields.map { case (n, t) => StructField(n, t) }))
     if (!LsmParquetState.hasBase(s, namesDir))
-      LsmParquetState.seed(emptyNames, namesDir, namesLayout)
+      LsmParquetState.seed(empty("name" -> StringType, "name_id" -> LongType),
+        namesDir, namesLayout)
     if (!LsmParquetState.hasBase(s, variantsDirFor(namesDir)))
-      LsmParquetState.seed(variantRows(emptyNames, 1),
+      LsmParquetState.seed(
+        empty("__v" -> LongType, "name_id" -> LongType, "name" -> StringType),
         variantsDirFor(namesDir), idxLayout)
     if (!LsmParquetState.hasBase(s, mapDir))
       LsmParquetState.seed(
-        like.select(col("name_id"), col("name_id").as("cluster_id")).limit(0),
+        empty("name_id" -> LongType, "cluster_id" -> LongType),
         mapDir, mapLayout)
   }
 
@@ -214,14 +224,29 @@ object StreamingEntityResolution {
     val indexDir = variantsDirFor(namesDir)
     val rows = batch.select(col(idCol).cast("long").as("__rid"),
       col(strCol).as("name"))
-    ensureStores(s, rows.select(col("name"), col("__rid").as("name_id")),
-      namesDir, mapDir)
-    // monotone-record-id contract check: ONE scalar agg per batch. The
-    // stored name_id must be the GLOBAL minimum record id of its name
-    // for drained labels to equal the batch closure; that only holds
-    // when ids never decrease across batches — fail fast, don't drift.
-    val mm = rows.agg(min(col("__rid")), max(col("__rid"))).head()
+    ensureStores(s, namesDir, mapDir)
+    // ONE job covers every bounded per-batch lookup (was three): the
+    // record-id min/max for the monotone contract, the batch's touched
+    // name prefixes, and the touched variant prefixes. Variant prefixes
+    // come from ALL batch names — a superset of the new names' variants,
+    // so the PartitionFilter stays correct and at worst opens a few
+    // already-written sub-partitions; tightening it cost a second job
+    // over the materialized anti-join (the r10 fixture-overhead finding).
+    val pre = rows.select(col("__rid"),
+      pmod(hash(col("name")), lit(prefixes)).cast("int").as("__np"),
+      explode_outer(array_distinct(transform(
+        graft.functions.GraftFunctions.deletion_variant_hashes(
+          col("name"), maxDist),
+        v => pmod(v, lit(prefixes.toLong)).cast("int")))).as("__vp"))
+    val mm = pre.agg(min(col("__rid")), max(col("__rid")),
+      collect_set(col("__np")), collect_set(col("__vp"))).head()
+    val touchedNp = mm.getSeq[Int](2).toArray
+    val touchedVp = mm.getSeq[Int](3).toArray
     val exclude = Some(batchId)
+    // monotone-record-id contract check: the stored name_id must be the
+    // GLOBAL minimum record id of its name for drained labels to equal
+    // the batch closure; that only holds when ids never decrease across
+    // batches — fail fast, don't drift.
     if (!mm.isNullAt(0)) {
       val (bmin, bmax) = (mm.getLong(0), mm.getLong(1))
       val prevMax = latestMaxId(s, namesDir, batchId)
@@ -236,10 +261,7 @@ object StreamingEntityResolution {
     }
     val batchNames = rows.groupBy("name").agg(min(col("__rid")).as("name_id"))
     // newness anti-join reads ONLY the batch's name-prefix partitions of
-    // the names base (bounded ≤ `prefixes` collect → PartitionFilter)
-    val touchedNp = batchNames
-      .select(pmod(hash(col("name")), lit(prefixes)).cast("int").as("__np"))
-      .distinct().collect().map(_.getInt(0))
+    // the names base (bounded ≤ `prefixes` set → PartitionFilter)
     val storedNames = LsmParquetState.scan(s, namesDir, namesLayout,
       prefixPred("__np", touchedNp), exclude).select("name")
     val newNames = batchNames
@@ -251,9 +273,6 @@ object StreamingEntityResolution {
       // (delta-delta pairs); the short strings ride WITH the hashes so
       // the exact verify needs no second store fetch
       val deltaVx = variantRows(newNames, maxDist)
-      val touchedVp = deltaVx
-        .select(pmod(col("__v"), lit(prefixes.toLong)).cast("int").as("__vp"))
-        .distinct().collect().map(_.getInt(0))
       val storedVx = LsmParquetState.scan(s, indexDir, idxLayout,
         prefixPred("__vp", touchedVp), exclude)
       val probe = Dedup.capBuckets(
@@ -269,6 +288,12 @@ object StreamingEntityResolution {
         .select(least(col("id_a"), col("id_b")).as("idA"),
           greatest(col("id_a"), col("id_b")).as("idB"))
         .distinct()
+        // materialize the (bounded, O(delta)) edge list: the closure
+        // references it three times (edge snapshot, endpoints, contracted
+        // edges) and each unmaterialized reference would re-execute the
+        // whole probe/verify pipeline — measured ~40% of the first
+        // batch's wall clock at fixture scale
+        .localCheckpoint(true)
       // fold: contracted-graph closure emitting ONLY the changed rows
       // (empty base degenerates to the full closure of the first batch)
       val mapDelta = Dedup.clusterAssignmentsIncrementalDelta(
