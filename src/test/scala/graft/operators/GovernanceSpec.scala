@@ -56,4 +56,45 @@ class GovernanceSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Cartesian"), plan)
   }
+
+  test("erasureCascade bulk path (broadcastSubjects = false): result " +
+      "identical to the broadcast path, root semi-join shuffles on the key " +
+      "(VERDICT r10 #5 — the GDPR-backlog posture, previously ungated)") {
+    val bulk = Governance.erasureCascade(Seq(2L).toDF("ck"), "ck",
+      "customer", cust, "ck",
+      Seq(Governance.CascadeTable("orders", ord, "ok", "customer", "ck"),
+        Governance.CascadeTable("lineitem", li, "ok", "orders", "ok")),
+      broadcastSubjects = false)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(bulk === cascade(Seq(2L)),
+      "bulk path must reproduce the broadcast path row-for-row")
+    // plan assertion: with broadcast conversion disabled (the corpus-scale
+    // situation a bulk purge is in — the subject list is too big to
+    // broadcast), the root semi-join must come out as a SHUFFLED join,
+    // proving no stray broadcast() hint pins the small-batch posture
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Governance.erasureCascade(Seq(2L).toDF("ck"), "ck",
+        "customer", cust, "ck", Nil, broadcastSubjects = false)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), plan)
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
