@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget}
+import graft.streaming.{StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2529,6 +2529,35 @@ object SparkEntry {
     // benchmark's persisted LSH index; kept docs land batch-keyed
     // (replay overwrites its own partition). Drained union == the batch
     // fuzzy decontamination over the whole stream
+    // streaming winnowing screen (the d09 LSM recipe over the d15
+    // fingerprint family): batch 1 streams the originals, batch 2 the
+    // first-word-stripped copies — every planted pair is CROSS-batch and
+    // exists only because batch 1's fingerprints persisted in the index.
+    // Drained pairs equal the batch d15 truth: all docs are streamed, so
+    // every pair surfaces in its later member's batch, and k=16 buckets
+    // stay far under the 1000 cap on this corpus (measured), so the
+    // oracle needs no per-batch cap replay
+    "e20_streaming_winnow" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e20").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      docs.coalesce(1).write.parquet(s"$tmp/stream/b1")
+      mangled.coalesce(1).write.parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingWinnow.start(s, src, "doc_id", "text",
+        s"$tmp/index", s"$tmp/pairs", s"$tmp/cp",
+        k = 16, window = 16, minShared = 14)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e20 stream did not drain in 300s")
+      }
+      StreamingWinnow.pairs(s, s"$tmp/pairs")
+    }),
+
     "e16_streaming_fuzzy_decontaminate" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e16").toString
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
@@ -6846,6 +6875,9 @@ object SparkEntry {
     // the KMV shortlist + exact matrix replay — see d14OracleSql
     "d14_source_overlap_shortlist" -> d14OracleSql,
     "d15_winnowing" -> d15OracleSql(16),
+    // drained streaming pairs equal the batch winnowing truth: every doc
+    // streams, so each pair surfaces once in its later member's batch
+    "e20_streaming_winnow" -> d15OracleSql(16),
     // winnow shortlist + the d07 span construction restricted to it
     "d18_winnowed_span_dedup" -> d18OracleSql(16),
     // cohesion audit: members/edges from the same closure; triangles via

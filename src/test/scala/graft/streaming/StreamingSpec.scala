@@ -532,6 +532,66 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.contains((101L, 103L))) // batch 1 <- batch 2 (persisted state)
   }
 
+  test("streaming winnow screen: cross-batch pairs through the persisted " +
+      "fingerprint index, drained pairs equal batch winnowingPairs, a " +
+      "replayed batch is a no-op") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_winnow").toString
+    val base = "the zebra quilt jumps over seventeen lazy xylophones while " +
+      "quietly plotting a grand escape from the dusty barn tonight"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about distributed query engines " +
+        "and shuffle exchanges running somewhere else entirely"))
+      .toDF("doc_id", "text")
+    StreamingWinnow.seedIndex(corpus, "doc_id", "text", s"$dir/index",
+      k = 8, window = 4)
+    // batch 1 copies the seeded doc 1; batch 2 copies BATCH 1's doc 101 —
+    // that pair only exists because batch 1's fingerprints persisted
+    val b1 = Seq((101L, "PREFIX " + base))
+    val b2 = Seq((102L, "PREFIX " + base + " SUFFIX"))
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/src")
+    val q = StreamingWinnow.start(spark, stream, "doc_id", "text",
+      s"$dir/index", s"$dir/pairs", s"$dir/cp",
+      k = 8, window = 4, minShared = 2)
+    q.awaitTermination(60000)
+
+    def drained() = StreamingWinnow.pairs(spark, s"$dir/pairs")
+      .as[(Long, Long, Long)].collect().toSet
+    val streamed = drained()
+    // batch truth over everything, restricted to pairs with a streamed doc
+    val streamedIds = (b1 ++ b2).map(_._1).toSet
+    val everything = corpus.unionByName((b1 ++ b2).toDF("doc_id", "text"))
+    val truth = graft.operators.Dedup.winnowingPairs(
+        everything, "doc_id", "text", k = 8, window = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+      .filter(p => streamedIds(p._1) || streamedIds(p._2)).toSet
+    assert(streamed === truth)
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 101L),
+      "corpus <- batch 1 pair missing")
+    assert(streamed.exists(p => p._1 == 101L && p._2 == 102L),
+      "batch 1 <- batch 2 pair missing (persisted state)")
+    // replay the last in-flight batch through the exact production path:
+    // output and state must be byte-identical (own-tail exclusion)
+    val idxRows = LsmParquetState
+      .snapshot(spark, s"$dir/index", LsmLayout(Seq("__fpp"), Seq("__fpp"),
+        _.withColumn("__fpp", pmod(col("__fp"), lit(64L)).cast("int"))))
+      .count()
+    StreamingWinnow.processBatch(b2.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", s"$dir/index", s"$dir/pairs",
+      k = 8, window = 4, minShared = 2, maxBucketSize = 1000)
+    assert(drained() === streamed, "replay changed the drained pair set")
+    assert(LsmParquetState
+      .snapshot(spark, s"$dir/index", LsmLayout(Seq("__fpp"), Seq("__fpp"),
+        _.withColumn("__fpp", pmod(col("__fp"), lit(64L)).cast("int"))))
+      .count() === idxRows, "replay changed the index state")
+  }
+
   test("streaming curation: gate, decon and cross-batch dedup survivors " +
       "match the contract (earliest batch, then min id, seed excluded)") {
     import org.apache.spark.sql.functions._
