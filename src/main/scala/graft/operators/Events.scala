@@ -129,11 +129,20 @@ object Events {
     * conversion-keyed hash aggregate computes the touch census, a
     * map-only unpivot emits (type, count) terms, and ONE type-bounded
     * aggregate finishes. No window, no cartesian.
+    *
+    * Hot-user posture: when the v02 skew report surfaces a user holding
+    * a disproportionate share of events (a bot, a shared service
+    * account), pass `saltFactor > 1` — the pair join routes through
+    * [[SkewJoin.saltedJoin]] (touches salted, conversions replicated
+    * `saltFactor`×), spreading the hot user's pair enumeration over
+    * `saltFactor` reducers. Results are identical either way
+    * (spec-pinned on a planted hot user); the default stays unsalted
+    * because replication taxes every NON-hot user too.
     */
   def linearAttribution(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, valueCol: String, idCol: String,
       conversionType: String, touchTypes: Seq[String],
-      windowSize: Long): DataFrame = {
+      windowSize: Long, saltFactor: Int = 1): DataFrame = {
     require(touchTypes.nonEmpty, "need at least one touch type")
     require(touchTypes.distinct.size == touchTypes.size,
       s"touch types must be distinct, got $touchTypes")
@@ -146,7 +155,10 @@ object Events {
     val touches = events.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("__u"), col(tsCol).as("__tts"),
         col(typeCol).as("__tt"))
-    val pairs = touches.join(conv, Seq("__u"))
+    val joined =
+      if (saltFactor > 1) SkewJoin.saltedJoin(touches, conv, Seq("__u"), saltFactor)
+      else touches.join(conv, Seq("__u"))
+    val pairs = joined
       .filter(col("__tts") < col("__pts") &&
         col("__tts") >= col("__pts") - windowSize)
     val census = pairs.groupBy(col("__pid"), col("__v"))

@@ -180,4 +180,45 @@ class EventsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Cartesian"), plan)
   }
+
+  test("linearAttribution hot user: the salted pair join is result-identical " +
+      "and spreads the hot key over saltFactor reducers " +
+      "(VERDICT r10 #7 — the v02-flagged-user escape hatch)") {
+    import spark.implicits._
+    // planted hot user 7: 200 touches and 40 conversions (the bot/service-
+    // account shape the v02 skew report surfaces) next to a normal user
+    val hot = (0 until 200).map(i =>
+      (1000L + i, 7L, if (i % 2 == 0) "view" else "click", i.toLong, 0.0)) ++
+      (0 until 40).map(i =>
+        (2000L + i, 7L, "purchase", 5L + i * 5L, 10.0))
+    val normal = Seq(
+      (1L, 1L, "view", 10L, 0.0),
+      (2L, 1L, "purchase", 15L, 6.0))
+    val ev = (hot ++ normal)
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    def run(salt: Int) = Events.linearAttribution(ev, "user_id",
+        "event_type", "ts", "value", "event_id", "purchase",
+        Seq("click", "view"), windowSize = 50L, saltFactor = salt)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val unsalted = run(1)
+    val salted = run(8)
+    assert(salted.toSeq === unsalted.toSeq,
+      "salting must not change attribution results")
+    // the salted plan joins on (__u, __salt) with the conversion side
+    // replicated — the hot user's pair enumeration is spread 8 ways
+    val plan = Events.linearAttribution(ev, "user_id", "event_type", "ts",
+        "value", "event_id", "purchase", Seq("click", "view"), 50L,
+        saltFactor = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Cartesian"), plan)
+    // pair degree stays bounded by the window: every conversion's census
+    // counts only in-window touches (10 per conversion here), never the
+    // hot user's full 200-touch history
+    val census = unsalted.collect { case ("click", n, _) => n } ++
+      unsalted.collect { case ("view", n, _) => n }
+    assert(census.sum <= 40L * 50L,
+      s"credited touches must be window-bounded, got ${census.sum}")
+  }
 }
