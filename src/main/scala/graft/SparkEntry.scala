@@ -4335,8 +4335,17 @@ object SparkEntry {
          |             j -> struct_pack(a := syms[CAST(j AS INT)],
          |                              b := syms[CAST(j AS INT) + 1]))) AS u
          |    FROM w${i - 1} WHERE len(syms) >= 2) GROUP BY 1, 2),
-         |b$i AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$i
-         |        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |-- exhaustion guard: when no pair is left to learn (p$i empty),
+         |-- emit a sentinel ('','') no-op pair instead of an EMPTY b$i —
+         |-- an empty b$i would empty every downstream CROSS JOIN and
+         |-- return zero rows while the engine (which just stops merging
+         |-- early) still encodes every document. Symbols are never the
+         |-- empty string, so the sentinel can never match and merge.
+         |b$i AS (SELECT a, b, c FROM (
+         |          (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$i
+         |           ORDER BY c DESC, a ASC, b ASC LIMIT 1)
+         |          UNION ALL SELECT '', '', 0)
+         |        ORDER BY c DESC LIMIT 1),
          |w$i AS (
          |  SELECT token, n,
          |         CASE WHEN len(syms) < 2 THEN syms ELSE
@@ -4364,7 +4373,8 @@ object SparkEntry {
 
   private def t37OracleSql(numMerges: Int): String = {
     val sel = (1 to numMerges).map(i =>
-      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, c AS pair_count FROM b$i")
+      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, c AS pair_count " +
+        s"FROM b$i WHERE a <> ''")
       .mkString("\n UNION ALL ")
     s"""WITH ${bpeTrainCtes(numMerges)}
        |$sel""".stripMargin
@@ -5856,7 +5866,7 @@ object SparkEntry {
          flagged AS (
            SELECT user_id, ts, event_id, event_type,
                   CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                        THEN 1 ELSE 0 END AS new_s
            FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (
@@ -6118,7 +6128,7 @@ object SparkEntry {
          flagged AS (
            SELECT user_id, ts, value,
                   CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                        THEN 1 ELSE 0 END AS new_s
            FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (
