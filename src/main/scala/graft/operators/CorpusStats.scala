@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
  */
 object CorpusStats {
 
+  /** The exact-arithmetic operators here sum/compare their metric as
+    * LONG; a fractional column would silently truncate before the
+    * comparison (mis-classifying frontier membership, under-counting a
+    * budget) — reject it loudly instead and let the caller scale to an
+    * integer grid (the c21/c19 convention).
+    */
+  private def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"$op requires an integral '$c' column, got $t — fractional values " +
+          "would truncate silently; scale to an integer grid first")
+    }
+  }
+
   /** Exact value-histogram: (value, count) for the metric — the shuffle
     * carries one row per DISTINCT value (map-side combined), never per
     * input row.
@@ -311,6 +327,7 @@ object CorpusStats {
   def globalRunningTotalOrdered(df: DataFrame, orderCols: Seq[Column],
       valueCol: String, cumCol: String = "cum"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireIntegral(df, valueCol, "globalRunningTotal")
     val snap = df.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
@@ -587,6 +604,7 @@ object CorpusStats {
     * dominates another).
     */
   def paretoFrontier(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    requireIntegral(df, minCol, "paretoFrontier")
     val perQ = df.groupBy(col(maxCol))
       .agg(min(col(minCol).cast("long")).as("__mEq"))
     val bounds = exclusivePrefixMinDesc(perQ, maxCol, "__mEq", "__mGt")
@@ -704,8 +722,20 @@ object CorpusStats {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     val weighted = stats.map { case (st, n, sm, sq) =>
+      // fail loudly where the documented "N·Σx² fits a long" precondition
+      // is violated: a silent Long wrap would diverge exactly where the
+      // oracle's BIGINT arithmetic raises. The difference itself cannot
+      // overflow once both products fit (n·Σx² ≥ (Σx)² by Cauchy–Schwarz,
+      // both non-negative).
+      def exact(a: Long, b: Long, what: String): Long =
+        try math.multiplyExact(a, b) catch {
+          case _: ArithmeticException => throw new ArithmeticException(
+            s"neymanAllocation: $what overflows a long for stratum '$st' " +
+              s"(n=$n, sum=$sm, sum_sq=$sq) — rescale the metric")
+        }
       val sd = if (n >= 2)
-        math.sqrt((n * sq - sm * sm).toDouble / (n * (n - 1)).toDouble)
+        math.sqrt((exact(n, sq, "N*sum_sq") - exact(sm, sm, "sum^2")).toDouble /
+          exact(n, n - 1, "N*(N-1)").toDouble)
       else 0.0
       (st, n, sd, n.toDouble * sd)
     }

@@ -1583,19 +1583,25 @@ object TextAnalysis {
   def phraseHits(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     import graft.functions.GraftFunctions
-    val norm = phrases.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
-      .filter(_.nonEmpty)
+    // normalization matches the engine-side SQL lower() exactly
+    // (Locale.ROOT — JVM default-locale toLowerCase would diverge on
+    // e.g. Turkish dotted I), and the CALLER'S original string is
+    // carried through to the output so join-back against the input
+    // phrase list works even for unnormalized inputs
+    val norm = phrases.map(p =>
+        (p, p.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")))
+      .filter(_._2.nonEmpty)
     require(norm.nonEmpty, "need at least one non-empty phrase")
-    require(norm.distinct.size == norm.size,
+    require(norm.map(_._2).distinct.size == norm.size,
       "phrases must be distinct after normalization")
     val spark = df.sparkSession
     import spark.implicits._
     val docsNorm = df.select(col(idCol),
       Dedup.normalized(col(textCol)).as("__nt"))
-    norm.groupBy(_.count(_ == ' ') + 1).toSeq.sortBy(_._1).map {
+    norm.groupBy(_._2.count(_ == ' ') + 1).toSeq.sortBy(_._1).map {
       case (l, ps) =>
-        val pdf = broadcast(ps.toDF("phrase").select(col("phrase"),
-          element_at(GraftFunctions.shingle_hashes(col("phrase"), l,
+        val pdf = broadcast(ps.toDF("phrase", "__np").select(col("phrase"),
+          element_at(GraftFunctions.shingle_hashes(col("__np"), l,
             word = true), 1).as("__h")))
         docsNorm.select(col(idCol),
             explode(GraftFunctions.shingle_hashes(col("__nt"), l,

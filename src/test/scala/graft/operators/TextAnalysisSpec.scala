@@ -1090,4 +1090,15 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Window") && !plan.contains("Cartesian"), plan)
   }
+
+  test("phraseHits returns the CALLER'S phrase string, not the normalized " +
+      "form, so join-back against the input list works (ADVICE r10)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a table scan runs here")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseHits(docs, "doc_id", "text",
+        Seq("Table  Scan"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "Table  Scan", 1L)),
+      s"the original unnormalized phrase must come back verbatim: ${got.toSeq}")
+  }
 }
