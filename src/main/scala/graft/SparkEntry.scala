@@ -2158,6 +2158,17 @@ object SparkEntry {
         Seq("table scan", "batch batch", "batch batch batch",
           "quantum flux capacitor"))),
 
+    // Cohen's kappa between the declared lang metadata and the t01
+    // language-ID prediction — the annotation-QA scalar over the t31
+    // confusion matrix: observed agreement corrected for the chance
+    // agreement of independent raters with these marginals. Integer
+    // contingency terms, ONE final division
+    "t44_agreement_kappa" -> ((s, dir) => {
+      val labeled = t(s, dir, "documents").select(col("lang"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))
+      CorpusStats.cohensKappa(labeled, "lang", "pred_lang")
+    }),
+
     // exact ROC-AUC of the quality score as an English-detector: rank-sum
     // identity with midrank ties; rows fold to per-distinct-score counts,
     // rank structure from the parallel prefix sum — integers until the
@@ -4617,6 +4628,33 @@ object SparkEntry {
          FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
                FROM documents)""",
     "t01_lang_id" -> t01LangSql,
+    // the t31 contingency folded to Cohen's kappa: integer-exact
+    // chance/diagonal terms in DECIMAL, one final division, round at 6
+    "t44_agreement_kappa" ->
+      s"""WITH pred AS ($t01LangSql),
+         j AS (SELECT d.lang AS a, p.pred_lang AS b
+               FROM documents d JOIN pred p USING (doc_id)
+               WHERE d.lang IS NOT NULL AND p.pred_lang IS NOT NULL),
+         cont AS (SELECT a, b, COUNT(*) AS cn FROM j GROUP BY 1, 2),
+         rmar AS (SELECT a, SUM(cn) AS ra FROM cont GROUP BY 1),
+         cmar AS (SELECT b, SUM(cn) AS cb FROM cont GROUP BY 1),
+         ch AS (SELECT COALESCE(SUM(CAST(ra AS DECIMAL(19,0)) *
+                                    CAST(cb AS DECIMAL(19,0))),
+                                CAST(0 AS DECIMAL(38,0))) AS e
+                FROM rmar JOIN cmar ON rmar.a = cmar.b),
+         tt AS (SELECT COALESCE(SUM(cn), 0) AS t,
+                       COALESCE(SUM(CASE WHEN a = b THEN cn ELSE 0 END), 0) AS d
+                FROM cont)
+         SELECT CAST(t AS BIGINT) AS n, CAST(d AS BIGINT) AS n_agree,
+                ROUND(CAST(d AS DOUBLE) / CAST(t AS DOUBLE), 6) AS po,
+                ROUND(CAST(e AS DOUBLE) /
+                      (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS pe,
+                CASE WHEN CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) = e
+                     THEN NULL
+                     ELSE ROUND(CAST(CAST(t AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)) - e AS DOUBLE) /
+                                CAST(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) - e AS DOUBLE), 6)
+                END AS kappa
+         FROM tt, ch""",
     // t01's replay joined back to the labels and aggregated
     "t31_lang_confusion" ->
       s"""WITH pred AS ($t01LangSql)

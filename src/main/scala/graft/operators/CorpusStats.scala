@@ -775,6 +775,57 @@ object CorpusStats {
     * (2·cumBefore + count + 1) keep the arithmetic INTEGER until the
     * final division, so engines agree bit-for-bit.
     */
+  /** Cohen's kappa inter-annotator agreement between two categorical
+    * label columns (Cohen 1960) — the labeling-QA staple: observed
+    * agreement corrected for the agreement two independent raters with
+    * these marginals would reach by chance. κ = (p_o − p_e)/(1 − p_e);
+    * rows where either label is NULL are excluded (un-rated items).
+    * Output one row: (n, n_agree, po, pe, kappa); `kappa` is NULL when
+    * p_e = 1 (both raters constant and equal — agreement is undefined,
+    * the textbook convention).
+    *
+    * Exactness: the kappa is computed from INTEGER-EXACT terms — ONE
+    * division at the end: κ = (N·Σdiag − Σ_k r_k·c_k)/(N² − Σ_k r_k·c_k)
+    * with every product in DECIMAL(38,0) (N up to ~10¹⁹ cannot overflow),
+    * so engines agree bit-for-bit after the shared round-at-6 emission.
+    *
+    * Plan shape (100 TB posture): ONE map-side-combined hash aggregate
+    * folds the corpus to the label-vocabulary-bounded contingency table;
+    * marginals, the chance term and the totals are aggregates over that
+    * skinny frame. No window, no corpus-scale join; the only crossJoin
+    * is the 1-row scalar attach.
+    */
+  def cohensKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cont = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rows = cont.groupBy("__a").agg(sum("__n").as("__ra"))
+    val cols = cont.groupBy("__b").agg(sum("__n").as("__cb"))
+    val chance = rows.join(cols, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra").cast("decimal(19,0)") *
+        col("__cb").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+        .as("__e"))
+    val tD = col("__t").cast("decimal(19,0)")
+    val dD = col("__d").cast("decimal(19,0)")
+    cont
+      .agg(coalesce(sum("__n"), lit(0L)).as("__t"),
+        coalesce(sum(when(col("__a") === col("__b"), col("__n"))
+          .otherwise(0L)), lit(0L)).as("__d"))
+      .crossJoin(chance)
+      .select(col("__t").as("n"), col("__d").as("n_agree"),
+        round(col("__d").cast("double") / col("__t").cast("double"), 6)
+          .as("po"),
+        round(col("__e").cast("double") /
+          (col("__t").cast("double") * col("__t").cast("double")), 6)
+          .as("pe"),
+        when(tD * tD =!= col("__e"),
+          round((tD * dD - col("__e")).cast("double") /
+            (tD * tD - col("__e")).cast("double"), 6))
+          .as("kappa"))
+  }
+
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val byScore = df
       .select(col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))

@@ -395,6 +395,30 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(norm.subsetOf(rows.map(_._3).toSet))
   }
 
+  test("cohensKappa: the textbook 2x2 case, null-label exclusion, " +
+      "constant-agreeing raters yield NULL kappa") {
+    import spark.implicits._
+    // Cohen's worked shape: contingency [[20,5],[10,15]] over 50 items:
+    // po = 35/50 = 0.7, pe = (30*25 + 20*25)/50^2 = 0.5, kappa = 0.4
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq((null, "y"), ("y", null)) // un-rated rows are excluded
+    val got = CorpusStats.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got === ((50L, 35L, 0.7, 0.5, 0.4)))
+    // both raters constant and equal: pe = 1, kappa undefined -> NULL
+    val const = CorpusStats.cohensKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b")
+      .select("kappa").collect().head
+    assert(const.isNullAt(0), s"pe=1 must yield NULL kappa, got $const")
+    // disagreement beyond chance goes negative: [[0,25],[25,0]]
+    val anti = Seq.fill(25)(("y", "n")) ++ Seq.fill(25)(("n", "y"))
+    val k = CorpusStats.cohensKappa(anti.toDF("a", "b"), "a", "b")
+      .select("kappa").as[Double].head()
+    assert(k === -1.0, s"perfect disagreement with equal marginals: $k")
+  }
+
   test("rocAuc: hand-computed midrank case, perfect / inverted / " +
       "uninformative classifiers, degenerate one-class input") {
     def auc(rows: Seq[(Double, Int)]): Option[Double] = {
