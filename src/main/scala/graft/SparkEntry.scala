@@ -4646,13 +4646,13 @@ object SparkEntry {
                        COALESCE(SUM(CASE WHEN a = b THEN cn ELSE 0 END), 0) AS d
                 FROM cont)
          SELECT CAST(t AS BIGINT) AS n, CAST(d AS BIGINT) AS n_agree,
-                ROUND(CAST(d AS DOUBLE) / CAST(t AS DOUBLE), 6) AS po,
+                ROUND(CAST(d AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0.0 AS po,
                 ROUND(CAST(e AS DOUBLE) /
-                      (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS pe,
+                      (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) + 0.0 AS pe,
                 CASE WHEN CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) = e
                      THEN NULL
                      ELSE ROUND(CAST(CAST(t AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0)) - e AS DOUBLE) /
-                                CAST(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) - e AS DOUBLE), 6)
+                                CAST(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) - e AS DOUBLE), 6) + 0.0
                 END AS kappa
          FROM tt, ch""",
     // t01's replay joined back to the labels and aggregated

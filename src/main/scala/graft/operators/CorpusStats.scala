@@ -815,14 +815,14 @@ object CorpusStats {
           .otherwise(0L)), lit(0L)).as("__d"))
       .crossJoin(chance)
       .select(col("__t").as("n"), col("__d").as("n_agree"),
-        round(col("__d").cast("double") / col("__t").cast("double"), 6)
-          .as("po"),
-        round(col("__e").cast("double") /
+        (round(col("__d").cast("double") / col("__t").cast("double"), 6)
+          + lit(0.0)).as("po"),
+        (round(col("__e").cast("double") /
           (col("__t").cast("double") * col("__t").cast("double")), 6)
-          .as("pe"),
-        when(tD * tD =!= col("__e"),
+          + lit(0.0)).as("pe"),
+        (when(tD * tD =!= col("__e"),
           round((tD * dD - col("__e")).cast("double") /
-            (tD * tD - col("__e")).cast("double"), 6))
+            (tD * tD - col("__e")).cast("double"), 6)) + lit(0.0))
           .as("kappa"))
   }
 
