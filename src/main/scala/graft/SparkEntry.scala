@@ -1302,6 +1302,19 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // threshold-sensitivity curve over the d03 corpus: ONE pair pass at
+    // the loosest threshold, per-threshold pair/doc counts — the tuning
+    // report before fixing a production dedup threshold. Swept inside
+    // d03's banding regime, so its 100%-recall-on-this-corpus argument
+    // carries to every swept point
+    "d19_dedup_sensitivity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      Dedup.dedupSensitivity(docs.unionByName(mangled), "doc_id", "text",
+        thresholds = Seq(0.7, 0.8, 0.9))
+    }),
+
     // incremental dedup: the d03 mangled copies arrive as a NEW delta and
     // dedup against the stored corpus index — only delta-involving pairs
     // emerge, with the same verification semantics as the batch run
@@ -6712,6 +6725,40 @@ object SparkEntry {
                 ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) + 0.0 AS jaccard
          FROM inter
          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7""",
+    // the d03 all-pairs truth swept over the literal threshold array:
+    // per-threshold pair count + distinct involved docs, zero rows kept
+    "d19_dedup_sensitivity" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents),
+         norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
+                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+           FROM norm),
+         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
+         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         jac AS (SELECT idA, idB, CAST(i AS DOUBLE) / (na + nb - i) AS j FROM inter),
+         th AS (SELECT unnest(CAST([0.7, 0.8, 0.9] AS DOUBLE[])) AS threshold),
+         hit AS (SELECT t.threshold, j.idA, j.idB
+                 FROM th t JOIN jac j ON j.j >= t.threshold),
+         pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                FROM hit GROUP BY 1),
+         dc AS (SELECT threshold, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_dup_docs
+                FROM (SELECT threshold, unnest([idA, idB]) AS id FROM hit)
+                GROUP BY 1)
+         SELECT t.threshold,
+                COALESCE(pc.n_pairs, 0) AS n_pairs,
+                COALESCE(dc.n_dup_docs, 0) AS n_dup_docs
+         FROM th t LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)""",
     // incremental = the d03 all-pairs truth restricted to pairs touching
     // the delta (ids >= 1000000); same 100%-recall argument on this corpus
     "d08_minhash_incremental" ->

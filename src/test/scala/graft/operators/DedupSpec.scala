@@ -592,6 +592,37 @@ class DedupSpec extends SparkTestBase {
     assert(dropped.exists(_ >= 1L), s"expected dropped_buckets >= 1, got $dropped")
   }
 
+  test("dedupSensitivity: per-threshold counts equal single-threshold runs, " +
+      "zero-pair thresholds emit zero rows, ascending output") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "today while nothing else happens anywhere nearby at all"
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX " + base),                       // high-jaccard copy
+      (3L, base.replace("quick", "quack").replace("lazy", "dozy")
+        .replace("fox", "ox")),                     // mid-jaccard variant
+      (4L, "totally disjoint content qqq www eee rrr ttt yyy uuu iii ooo ppp"))
+      .toDF("doc_id", "text")
+    val ts = Seq(0.5, 0.8, 0.999)
+    val got = Dedup.dedupSensitivity(docs, "doc_id", "text", ts)
+      .orderBy("threshold")
+      .as[(Double, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === ts, "every threshold must emit a row")
+    // each curve point equals the corresponding single-threshold run
+    ts.zip(got).foreach { case (t, (_, nPairs, nDocs)) =>
+      val single = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          threshold = t).select("idA", "idB")
+        .as[(Long, Long)].collect()
+      assert(nPairs === single.length.toLong,
+        s"pairs at $t: curve=$nPairs single=${single.length}")
+      assert(nDocs === single.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"docs at $t: curve=$nDocs")
+    }
+    // the curve is monotone non-increasing
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    assert(got.last._2 === 0L, "0.999 must have no pairs on this fixture")
+  }
+
   test("winnowedSpanDedup: restricted pass equals the full span-dedup pass " +
       "on shortlisted docs, unshortlisted docs never enter the gram stage") {
     // docs 1/2 are genuine near-copies (doc 2 drops the first word, gains
