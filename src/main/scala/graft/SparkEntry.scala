@@ -1518,6 +1518,14 @@ object SparkEntry {
       TextAnalysis.temperatureMixture(t(s, dir, "documents"), "lang", "text",
         alpha = 0.3)),
 
+    // token-budget plan: a 10M-token target under the c17 alpha=0.3
+    // mixture — per language, the tokens the mixture demands and the
+    // EPOCHS of that language it implies (epochs > 1 = repetition, the
+    // data-constrained-scaling diagnostic)
+    "c27_token_budget_plan" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetPlan(t(s, dir, "documents"), "lang", "text",
+        targetTokens = 10000000L, alpha = 0.3)),
+
     // relational data-quality audit: null / unique-key / referential /
     // range rules over the warehouse tables, exact violation counts —
     // the set-level pre-flight before O19's per-row dead-letter split.
@@ -7203,6 +7211,31 @@ object SparkEntry {
                 ROUND(p, 6) + 0.0 AS p,
                 ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE), 6) + 0.0 AS q,
                 ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE) / p, 6) + 0.0 AS weight
+         FROM pa, z""",
+    // the c17 decimal-pinned q route, then tokens_needed/epochs as the
+    // same IEEE expressions, rounded at emission
+    "c27_token_budget_plan" ->
+      """WITH tc AS (
+           SELECT doc_id, lang,
+                  len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS nt
+           FROM documents),
+         ps AS (SELECT lang, COUNT(*) AS n_docs, SUM(nt) AS n_tokens FROM tc GROUP BY lang),
+         tot AS (SELECT SUM(n_tokens) AS total FROM ps),
+         wp AS (SELECT lang, n_docs, n_tokens,
+                       CASE WHEN COALESCE(n_tokens, 0) > 0
+                            THEN CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) END AS p
+                FROM ps, tot),
+         pa AS (SELECT lang, n_docs, n_tokens,
+                       CAST(round(pow(p, 0.3), 12) AS DECIMAL(38,18)) AS pav
+                FROM wp),
+         z AS (SELECT SUM(pav) AS z FROM pa)
+         SELECT lang,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE), 6) + 0.0 AS q,
+                ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE) * 10000000.0, 2) + 0.0 AS tokens_needed,
+                ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE) * 10000000.0
+                      / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS epochs
          FROM pa, z""",
     // integer reproduction of the keep rule: bucket·den < rem·buckets in
     // HUGEINT, with the rolling-x31 fingerprint from the t09 oracle

@@ -986,8 +986,13 @@ object TextAnalysis {
     * tokens, normalizer); everything downstream is arithmetic over K
     * stratum rows.
     */
-  def temperatureMixture(df: DataFrame, stratumCol: String, textCol: String,
-      alpha: Double): DataFrame = {
+  /** Shared c17/c27 core: per-stratum token stats with the observed
+    * share `__p`, the DECIMAL-pinned flattened share `__pa = p^alpha`
+    * (rounded at 12 before the cast so both engines sum identical
+    * decimals) and the normalizer `__z`.
+    */
+  private def temperatureCore(df: DataFrame, stratumCol: String,
+      textCol: String, alpha: Double): DataFrame = {
     require(alpha > 0, "alpha must be positive")
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
     val perStratum = df.groupBy(col(stratumCol)).agg(
@@ -1000,12 +1005,45 @@ object TextAnalysis {
       .withColumn("__pa", round(pow(col("__p"), lit(alpha)), 12).cast(dec))
     val z = withP.agg(sum("__pa").as("__z"))
     withP.crossJoin(broadcast(z))
+  }
+
+  def temperatureMixture(df: DataFrame, stratumCol: String, textCol: String,
+      alpha: Double): DataFrame =
+    temperatureCore(df, stratumCol, textCol, alpha)
       .select(col(stratumCol), col("n_docs"), col("n_tokens"),
         (round(col("__p"), 6) + lit(0.0)).as("p"),
         (round(col("__pa").cast("double") / col("__z").cast("double"), 6)
           + lit(0.0)).as("q"),
         (round(col("__pa").cast("double") / col("__z").cast("double")
           / col("__p"), 6) + lit(0.0)).as("weight"))
+
+  /** Token-budget plan (the data-scaling planner): given a target
+    * training token count and a temperature-`alpha` mixture over
+    * strata (the c17 flattening; `alpha = 1` keeps natural proportions),
+    * report per stratum how many tokens the mixture demands and how many
+    * EPOCHS of the stratum that is — `epochs > 1` flags the sources the
+    * run would repeat (the data-constrained-scaling diagnostic: small
+    * high-weight sources are the first to multi-epoch).
+    *
+    * `tokens_needed = q·T` and `epochs = q·T / n_tokens` are IEEE-double
+    * expressions over the DECIMAL-pinned `q` route shared with
+    * [[temperatureMixture]], rounded at emission — engines replay them
+    * bit-for-bit.
+    *
+    * Plan shape: identical to c17 — ONE map-side-combined aggregate over
+    * the corpus, everything downstream on the stratum-bounded frame.
+    */
+  def tokenBudgetPlan(df: DataFrame, stratumCol: String, textCol: String,
+      targetTokens: Long, alpha: Double = 1.0): DataFrame = {
+    require(targetTokens > 0, "target token budget must be positive")
+    val q = col("__pa").cast("double") / col("__z").cast("double")
+    temperatureCore(df, stratumCol, textCol, alpha)
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        (round(q, 6) + lit(0.0)).as("q"),
+        (round(q * lit(targetTokens.toDouble), 2) + lit(0.0))
+          .as("tokens_needed"),
+        (round(q * lit(targetTokens.toDouble) /
+          col("n_tokens").cast("double"), 6) + lit(0.0)).as("epochs"))
   }
 
   def rareBigramFraction(

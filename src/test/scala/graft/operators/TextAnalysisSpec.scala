@@ -568,6 +568,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(id.map(r => r._1 -> r._2).toMap === Map("en" -> 0.9, "de" -> 0.1))
   }
 
+  test("tokenBudgetPlan: epochs flag the repeated sources under a " +
+      "flattened mixture; alpha=1 implies uniform epochs") {
+    // en 9 tokens, de 1 → alpha=0.5 q = 0.75/0.25 (the c17 case). A
+    // 100-token target: en needs 75 (epochs 8.333333 of its 9), de needs
+    // 25 (epochs 25.0) — the small upweighted stratum multi-epochs first
+    val docs = Seq(
+      ("en", "a b c d e f g h i"),
+      ("de", "x")).toDF("lang", "text")
+    val got = TextAnalysis.tokenBudgetPlan(docs, "lang", "text",
+        targetTokens = 100L, alpha = 0.5)
+      .select($"lang", $"q", $"tokens_needed", $"epochs")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("en") === ((0.75, 75.0, 8.333333)))
+    assert(got("de") === ((0.25, 25.0, 25.0)))
+    // natural proportions: every stratum runs the same epoch count T/N
+    val nat = TextAnalysis.tokenBudgetPlan(docs, "lang", "text",
+        targetTokens = 20L, alpha = 1.0)
+      .select($"epochs").as[Double].collect()
+    assert(nat.toSet === Set(2.0))
+  }
+
   test("hot-path kernels reproduce the original column formulations bit-for-bit") {
     // the pre-kernel higher-order/regex formulations, inlined verbatim;
     // adversarial corpus: tabs, newlines, multi-byte, empties, dup lines
