@@ -2644,6 +2644,12 @@ object SparkEntry {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("occurrences").desc, col("token").asc).limit(100)),
 
+    // Good–Turing unseen-token mass: n_hapax/N — how much of the
+    // domain's vocabulary this corpus has NOT seen yet (the crawl-more
+    // diagnostic); integers until the one final division
+    "c28_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuringMass(t(s, dir, "documents"), "text")),
+
     // one BPE merge-scan round: adjacent char-pair counts weighted by
     // word frequency — the statistic round one of tokenizer training
     // maximizes. Integer-exact; shuffle bounded by vocabulary then by
@@ -4739,6 +4745,19 @@ object SparkEntry {
                FROM documents)
          WHERE length(token) > 0
          GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""",
+    // the t06 token-count frame folded to the Good–Turing scalars
+    "c28_good_turing" ->
+      """WITH tk AS (
+           SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+           FROM documents),
+         c AS (SELECT t, COUNT(*) AS c FROM tk WHERE length(t) > 0 GROUP BY t)
+         SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS vocab,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+                ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                      CAST(SUM(c) AS DOUBLE), 6) + 0.0 AS unseen_mass
+         FROM c""",
     // t25: word-frequency-weighted adjacent char-pair counts (BPE round 1)
     "t25_bpe_pairs" ->
       """WITH toks AS (

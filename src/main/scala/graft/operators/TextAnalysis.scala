@@ -1046,6 +1046,33 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6) + lit(0.0)).as("epochs"))
   }
 
+  /** Good–Turing unseen-mass estimate (Good 1953) — the corpus-coverage
+    * diagnostic: the probability that the NEXT token drawn is a type
+    * never seen in this corpus is estimated by n₁/N (hapax count over
+    * token occurrences), the leave-one-out argument behind Good–Turing
+    * smoothing. High unseen mass = the corpus under-covers its domain's
+    * vocabulary (crawl more / widen sources before scaling training);
+    * n₂ rides along for the Simple-GT singleton discount (n₁ → 2n₂/n₁).
+    * Output one row: (n_tokens, vocab, n_hapax, n_dis, unseen_mass).
+    *
+    * Plan shape (100 TB posture): ONE map-side-combined hash aggregate
+    * to vocabulary-bounded (token, count) rows, ONE scalar aggregate
+    * over that frame — integers until the final division.
+    */
+  def goodTuringMass(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    counts.agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("n_tokens"), col("vocab"), col("n_hapax"), col("n_dis"),
+        (round(col("n_hapax").cast("double") /
+          col("n_tokens").cast("double"), 6) + lit(0.0)).as("unseen_mass"))
+  }
+
   def rareBigramFraction(
       df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L): DataFrame = {

@@ -590,6 +590,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(nat.toSet === Set(2.0))
   }
 
+  test("goodTuringMass: hand-counted hapax/dis legomena, empty docs " +
+      "contribute nothing") {
+    // tokens: a a a b b c d -> N=7, V=4, hapax {c,d}=2, dis {b}=1,
+    // unseen = 2/7 = 0.285714
+    val docs = Seq(("a a a b"), ("b c d"), (""), ("   "))
+      .toDF("text")
+    val got = TextAnalysis.goodTuringMass(docs, "text")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got === ((7L, 4L, 2L, 1L, 0.285714)))
+  }
+
   test("hot-path kernels reproduce the original column formulations bit-for-bit") {
     // the pre-kernel higher-order/regex formulations, inlined verbatim;
     // adversarial corpus: tabs, newlines, multi-byte, empties, dup lines
