@@ -753,6 +753,20 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
     }),
 
+    // per-user TOTAL ACTIVE TIME: each event opens an activity interval
+    // of `value` seconds; overlaps must not double-count, so the union
+    // length comes from the sweep-line identity — one per-user window +
+    // one aggregate, micros on both sides (the e04 precedent)
+    "g14_interval_coverage" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("start_us"),
+          (expr("ts div 1000") +
+            floor(greatest(col("value"), lit(0.0)) * lit(1000000.0)))
+            .as("end_us"))
+      graft.operators.Events.intervalCoverage(iv, "user_id",
+        "start_us", "end_us")
+    }),
+
     // per-user event-type transition matrix (first-order Markov counts +
     // row-normalized probabilities) — the sequence-level corpus statistic
     // behind session modeling. One lead window per user (the e04
@@ -6038,6 +6052,23 @@ object SparkEntry {
          FROM act GROUP BY 1, 2""",
     // resample: integer day buckets (floor division of positive nanos
     // matches Spark's div), per-user range() grid, zero-filled left join
+    // the sweep-line union replayed with the same window frame: running
+    // max of previous ends, clamped per-interval contribution
+    "g14_interval_coverage" ->
+      """WITH iv AS (
+           SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + CAST(FLOOR(GREATEST(value, 0.0) * 1000000.0) AS BIGINT) AS e
+           FROM events),
+         pm AS (SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS p
+                FROM iv)
+         SELECT user_id,
+                CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(p, s)), 0)) AS BIGINT) AS covered,
+                CAST(SUM(CASE WHEN p IS NULL OR s > p THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks
+         FROM pm GROUP BY user_id""",
     "e04_event_debounce" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
                      FROM events),

@@ -178,6 +178,48 @@ object Events {
         sum(col("__credit")).cast("double").as("total_credit"))
   }
 
+  /** Per-key union length of possibly-overlapping intervals — the
+    * "total active time" measure (billable session seconds, device
+    * uptime, ad-exposure time) that naive `sum(end − start)` double
+    * counts: intervals sorted within each key, each contributing
+    * `max(0, end − max(start, running-max of previous ends))` — the
+    * classic sweep-line identity. Touching intervals merge; an interval
+    * with `end < start` contributes nothing. Also reports the merged
+    * disjoint-block count. Bounds must be integral (the epoch-nanos
+    * convention — fractional bounds would truncate silently).
+    *
+    * Output: (keyCol, n_intervals, covered, n_blocks).
+    *
+    * Plan shape (100 TB posture): ONE key-partitioned window (the
+    * natural per-user partitioning — never a corpus-global window) and
+    * ONE hash aggregate; integer arithmetic end to end. A hot key is
+    * the v02 skew report's job to surface.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    Seq(startCol, endCol).foreach { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case t => throw new IllegalArgumentException(
+          s"intervalCoverage requires integral bounds, '$c' is $t")
+      }
+    }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol), col(startCol).as("__s"), col(endCol).as("__e"))
+      .withColumn("__pm", max(col("__e")).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(greatest(
+          col("__e") - greatest(col("__s"), coalesce(col("__pm"), col("__s"))),
+          lit(0L))).as("covered"),
+        sum(when(col("__pm").isNull || col("__s") > col("__pm"), 1L)
+          .otherwise(0L)).as("n_blocks"))
+  }
+
   /** Top user paths: per (user, gap-based session) the ordered
     * event-type sequence joined with `">"`, counted corpus-wide, top `k`
     * paths by frequency — the navigation-pattern mining behind "what do

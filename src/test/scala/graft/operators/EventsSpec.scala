@@ -181,6 +181,33 @@ class EventsSpec extends SparkTestBase {
     assert(!plan.contains("Window") && !plan.contains("Cartesian"), plan)
   }
 
+  test("intervalCoverage: overlapping/touching/degenerate intervals merge " +
+      "into the exact union length and block count") {
+    import spark.implicits._
+    val iv = Seq( // (key, start, end)
+      (1L, 0L, 10L), (1L, 5L, 15L),    // overlap -> [0,15]
+      (1L, 20L, 30L), (1L, 30L, 40L),  // touching -> [20,40]
+      (1L, 50L, 50L),                  // zero-length block
+      (1L, 22L, 25L),                  // fully contained, adds nothing
+      (2L, 7L, 3L),                    // end < start -> contributes 0
+      (3L, 1L, 4L))
+      .toDF("k", "s", "e")
+    val got = Events.intervalCoverage(iv, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((6L, 35L, 3L)), s"union [0,15]+[20,40]+[50,50]: $got")
+    assert(got(2L) === ((1L, 0L, 1L)))
+    assert(got(3L) === ((1L, 3L, 1L)))
+    // naive sum(end-start) for key 1 is 43 — the union must be smaller
+    val naive = 10L + 10L + 10L + 10L + 0L + 3L
+    assert(got(1L)._2 < naive)
+    // the window is per-key, never corpus-global
+    val plan = Events.intervalCoverage(iv, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") || plan.contains("partitionBy") ||
+      plan.contains("windowspecdefinition(k#"), plan)
+  }
+
   test("linearAttribution hot user: the salted pair join is result-identical " +
       "and spreads the hot key over saltFactor reducers " +
       "(VERDICT r10 #7 — the v02-flagged-user escape hatch)") {
