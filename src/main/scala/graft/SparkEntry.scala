@@ -2401,6 +2401,21 @@ object SparkEntry {
     "v02_skew_report" -> ((s, dir) =>
       CorpusStats.skewReport(t(s, dir, "events"), Seq("user_id"))),
 
+    // k-anonymity / l-diversity pre-release audit: could an adversary
+    // pin a user from (event_type, hour-of-day, value-bucket)? One hash
+    // agg over the quasi-id tuple flags classes under k=5 rows or l=3
+    // distinct users
+    "v03_k_anonymity" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        expr("((ts div 1000) div 3600000000) % 24").as("hour_of_day"),
+        floor(col("value") / lit(10.0)).cast("long").as("value_bucket"),
+        col("user_id"))
+      Governance.kAnonymityAudit(ev,
+        Seq("event_type", "hour_of_day", "value_bucket"), "user_id",
+        k = 5L, l = 3L)
+    }),
+
     // Neyman-optimal stratified allocation of a 200-doc sample across
     // sources by n_chars variance: one integer aggregate moves, the
     // allocation math is bounded model state with a pinned fold order
@@ -5792,6 +5807,22 @@ object SparkEntry {
                       / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
                   + 0.0 AS skew_ratio
          FROM s""",
+    // k-anonymity: GROUP BY the quasi-id tuple, flags replayed with the
+    // same k=5 / l=3 literals; hour/bucket arithmetic mirrors the engine
+    // (integer micros floor-div; IEEE FLOOR on value/10)
+    "v03_k_anonymity" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                  CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket,
+                  user_id
+           FROM events)
+         SELECT event_type, hour_of_day, value_bucket,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+                COUNT(*) >= 5 AS k_anonymous,
+                COUNT(DISTINCT user_id) >= 3 AS l_diverse
+         FROM ev GROUP BY 1, 2, 3""",
     // dataset card: every stat replayed with the engine's exact
     // arithmetic (DECIMAL quality sum, rounded-then-DECIMAL entropy
     // terms, md5-of-normalized dup definition)

@@ -65,6 +65,37 @@ object Governance {
     out
   }
 
+  /** k-anonymity / l-diversity privacy audit (Sweeney; Machanavajjhala
+    * et al.): group the table by its quasi-identifier columns — the
+    * attribute combination an adversary could link to external data —
+    * and flag every equivalence class that is smaller than `k`
+    * (re-identifiable) or carries fewer than `l` distinct values of the
+    * `sensitiveCol` (attribute-disclosing even when k-anonymous). The
+    * pre-release gate a privacy review runs before shipping a dataset,
+    * and the measurement that tells you WHICH generalization to apply.
+    *
+    * Output: one row per equivalence class —
+    * (quasiIdCols..., n_rows, n_sensitive, k_anonymous, l_diverse).
+    * NULL quasi-id values form their own class (GROUP BY semantics) —
+    * suppressed values still need auditing.
+    *
+    * Plan shape (100 TB posture): ONE hash aggregate keyed on the
+    * quasi-identifier tuple (count + exact count-distinct, partial-agg
+    * combined map-side); the flags are map-only literal comparisons on
+    * the agg output. No window, no join — payload columns beyond the
+    * quasi-ids and the sensitive column are pruned at the scan.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiIdCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"k and l must be positive, got k=$k l=$l")
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_anonymous", col("n_rows") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
   /** (table_name, n_purged, n_retained) as two count-only aggregates
     * attached by 1-row joins (the scalar-model convention).
     */

@@ -57,6 +57,41 @@ class GovernanceSpec extends SparkTestBase {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  test("kAnonymityAudit: class sizes, sensitive diversity, and both flags; " +
+      "NULL quasi-ids form their own class") {
+    val rows = Seq( // (zip, age_band, disease)
+      ("02139", "20s", "flu"), ("02139", "20s", "flu"),
+      ("02139", "20s", "cold"),                       // 3 rows, 2 diseases
+      ("94110", "30s", "flu"),                        // singleton -> at risk
+      (null, "30s", "flu"), (null, "30s", "flu"))     // null zip class
+      .toDF("zip", "age_band", "disease")
+    val got = Governance.kAnonymityAudit(rows, Seq("zip", "age_band"),
+        "disease", k = 2L, l = 2L)
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse("∅"), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(got(("02139", "20s")) === ((3L, 2L, true, true)))
+    assert(got(("94110", "30s")) === ((1L, 1L, false, false)),
+      "a singleton class is neither k-anonymous nor l-diverse")
+    assert(got(("∅", "30s")) === ((2L, 1L, true, false)),
+      "2 rows but a single disease: k-anonymous yet not l-diverse")
+    assert(got.size === 3)
+  }
+
+  test("kAnonymityAudit plan: ONE hash aggregate keyed on the quasi-ids, " +
+      "no window, no join") {
+    val rows = Seq(("a", 1L, "x"), ("a", 1L, "y")).toDF("q1", "q2", "s")
+    val df = Governance.kAnonymityAudit(rows, Seq("q1", "q2"), "s", 2L, 2L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    val err = intercept[IllegalArgumentException] {
+      Governance.kAnonymityAudit(rows, Seq.empty, "s", 2L, 2L)
+    }
+    assert(err.getMessage.contains("quasi-identifier"))
+  }
+
   test("erasureCascade bulk path (broadcastSubjects = false): result " +
       "identical to the broadcast path, root semi-join shuffles on the key " +
       "(VERDICT r10 #5 — the GDPR-backlog posture, previously ungated)") {
