@@ -2679,6 +2679,12 @@ object SparkEntry {
     "c28_good_turing" -> ((s, dir) =>
       TextAnalysis.goodTuringMass(t(s, dir, "documents"), "text")),
 
+    // Chao1 richness: how many token TYPES the corpus has NOT seen yet
+    // (the c28 dual) — S_obs + n1(n1-1)/(2(n2+1)) and the coverage
+    // fraction that says whether crawling more is worth it
+    "c29_chao1_richness" -> ((s, dir) =>
+      TextAnalysis.chao1Richness(t(s, dir, "documents"), "text")),
+
     // one BPE merge-scan round: adjacent char-pair counts weighted by
     // word frequency — the statistic round one of tokenizer training
     // maximizes. Integer-exact; shuffle bounded by vocabulary then by
@@ -4787,6 +4793,26 @@ object SparkEntry {
                 ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
                       CAST(SUM(c) AS DOUBLE), 6) + 0.0 AS unseen_mass
          FROM c""",
+    // the same token-count frame folded to the Chao1 estimator; the
+    // unrounded chao1 feeds coverage (only the emissions round)
+    "c29_chao1_richness" ->
+      """WITH tk AS (
+           SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+           FROM documents),
+         c AS (SELECT t, COUNT(*) AS c FROM tk WHERE length(t) > 0 GROUP BY t),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+                      CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                      CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+               FROM c)
+         SELECT vocab, n_hapax, n_dis,
+                ROUND(CAST(vocab AS DOUBLE) +
+                      CAST(n_hapax * (n_hapax - 1) AS DOUBLE) /
+                      CAST(2 * (n_dis + 1) AS DOUBLE), 2) + 0.0 AS chao1,
+                ROUND(CAST(vocab AS DOUBLE) /
+                      (CAST(vocab AS DOUBLE) +
+                       CAST(n_hapax * (n_hapax - 1) AS DOUBLE) /
+                       CAST(2 * (n_dis + 1) AS DOUBLE)), 6) + 0.0 AS coverage
+         FROM s""",
     // t25: word-frequency-weighted adjacent char-pair counts (BPE round 1)
     "t25_bpe_pairs" ->
       """WITH toks AS (

@@ -1073,6 +1073,40 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6) + lit(0.0)).as("unseen_mass"))
   }
 
+  /** Chao1 species-richness estimate (Chao 1984) — the Good–Turing
+    * companion asking the dual question: not "how likely is the next
+    * token unseen" but "how many token TYPES exist that this corpus has
+    * not yet seen". The bias-corrected estimator
+    * `S = S_obs + n₁(n₁−1) / (2(n₂+1))` extrapolates total vocabulary
+    * from the hapax/dis-legomena ratio (rare types are evidence for
+    * unseen types); `coverage = S_obs / S` is the fraction of the
+    * domain's vocabulary already captured — the "is crawling more worth
+    * it" scalar a data-acquisition plan starts from. The +1 correction
+    * keeps the estimate finite when no type occurs exactly twice.
+    * Output one row: (vocab, n_hapax, n_dis, chao1, coverage).
+    *
+    * Plan shape (100 TB posture): identical to [[goodTuringMass]] — ONE
+    * map-side-combined hash aggregate to vocabulary-bounded
+    * (token, count) rows, ONE scalar aggregate; integers until the two
+    * final divisions.
+    */
+  def chao1Richness(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val chao1 = col("vocab").cast("double") +
+      (col("n_hapax") * (col("n_hapax") - lit(1L))).cast("double") /
+        ((col("n_dis") + lit(1L)) * lit(2L)).cast("double")
+    counts.agg(
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("vocab"), col("n_hapax"), col("n_dis"),
+        (round(chao1, 2) + lit(0.0)).as("chao1"),
+        (round(col("vocab").cast("double") / chao1, 6) + lit(0.0))
+          .as("coverage"))
+  }
+
   def rareBigramFraction(
       df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L): DataFrame = {

@@ -601,6 +601,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got === ((7L, 4L, 2L, 1L, 0.285714)))
   }
 
+  test("chao1Richness: bias-corrected estimate and coverage on hand counts; " +
+      "no-dis-legomena corpus stays finite") {
+    // tokens: a a a b b d e -> V=4, hapax {d,e}=2, dis {b}=1,
+    // chao1 = 4 + 2*1/(2*2) = 4.5, coverage = 4/4.5 = 0.888889
+    val docs = Seq(("a a a b"), ("b d e"), (""), ("   ")).toDF("text")
+    val got = TextAnalysis.chao1Richness(docs, "text")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got === ((4L, 2L, 1L, 4.5, 0.888889)))
+    // all-hapax, n2 = 0: the +1 correction keeps it finite
+    // chao1 = 2 + 2*1/2 = 3.0, coverage = 2/3
+    val hapaxOnly = Seq(("a b")).toDF("text")
+    val got2 = TextAnalysis.chao1Richness(hapaxOnly, "text")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got2 === ((2L, 2L, 0L, 3.0, 0.666667)))
+  }
+
   test("hot-path kernels reproduce the original column formulations bit-for-bit") {
     // the pre-kernel higher-order/regex formulations, inlined verbatim;
     // adversarial corpus: tabs, newlines, multi-byte, empties, dup lines
