@@ -767,6 +767,15 @@ object SparkEntry {
         "start_us", "end_us")
     }),
 
+    // inter-event burstiness per user: metronome (-1) vs Poisson (0) vs
+    // bursty (+1) — exact DECIMAL moments over micro gaps, IEEE only in
+    // the final sqrt/divisions
+    "g15_burstiness" -> ((s, dir) =>
+      graft.operators.Events.burstiness(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_id")),
+        "user_id", "ts_us", "event_id")),
+
     // per-user event-type transition matrix (first-order Markov counts +
     // row-normalized probabilities) — the sequence-level corpus statistic
     // behind session modeling. One lead window per user (the e04
@@ -6126,6 +6135,32 @@ object SparkEntry {
                 CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(p, s)), 0)) AS BIGINT) AS covered,
                 CAST(SUM(CASE WHEN p IS NULL OR s > p THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks
          FROM pm GROUP BY user_id""",
+    // burstiness: the same lag window + exact HUGEINT moments; D =
+    // n·Σg² − S² exactly, then the identical IEEE sqrt/divisions
+    "g15_burstiness" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+         g AS (SELECT user_id,
+                      t - lag(t) OVER (PARTITION BY user_id
+                                       ORDER BY t, event_id) AS g
+               FROM ev),
+         a AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS s,
+                      SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sq
+               FROM g WHERE g IS NOT NULL GROUP BY 1),
+         d AS (SELECT user_id, n, s,
+                      CAST(CAST(n AS HUGEINT) * sq -
+                           CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                           AS DOUBLE) AS dd
+               FROM a)
+         SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+                CAST(s // n AS BIGINT) AS mean_gap,
+                CASE WHEN s = 0 THEN 0.0
+                     ELSE ROUND(SQRT(dd) / CAST(s AS DOUBLE), 6) + 0.0
+                END AS cv,
+                CASE WHEN s = 0 THEN 0.0
+                     ELSE ROUND((SQRT(dd) - CAST(s AS DOUBLE)) /
+                                (SQRT(dd) + CAST(s AS DOUBLE)), 6) + 0.0
+                END AS burstiness
+         FROM d""",
     "e04_event_debounce" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
                      FROM events),

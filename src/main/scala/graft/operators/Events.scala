@@ -220,6 +220,55 @@ object Events {
           .otherwise(0L)).as("n_blocks"))
   }
 
+  /** Per-key inter-event burstiness (Goh & Barabási 2008): over the
+    * gaps between a key's consecutive events, the coefficient of
+    * variation `CV = σ/μ` and the burstiness parameter
+    * `B = (σ−μ)/(σ+μ) ∈ [−1, 1)` — B ≈ −1 is a metronome (bots, cron),
+    * B ≈ 0 is Poisson (organic arrivals), B → 1 is bursty (attack
+    * traffic, flash crowds). The behavioral-signature statistic behind
+    * bot filtering and traffic modeling. Keys need at least 2 events;
+    * with population variance, `σ² = (n·Σg² − (Σg)²)/n²`, so both
+    * emissions reduce to `√D` vs `S = Σg` with `D = n·Σg² − (Σg)²`
+    * computed EXACTLY in DECIMAL(38,0) — only the final √/divisions are
+    * IEEE. An all-zero-gap key (S = 0, simultaneous events) is pinned to
+    * CV = 0, B = 0 rather than 0/0.
+    *
+    * Output: (keyCol, n_gaps, mean_gap, cv, burstiness) — gap units
+    * follow `tsCol`; mean_gap is the floor-divided integral mean so the
+    * only IEEE emissions are the two dimensionless ratios.
+    *
+    * Plan shape (100 TB posture): ONE key-partitioned lag window (the
+    * natural per-user partitioning, never corpus-global) feeding ONE
+    * hash aggregate of three exact moments; a hot key is the v02 skew
+    * report's job to surface. Σg² overflow fails loudly (DECIMAL
+    * arithmetic), never wraps.
+    */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__i"))
+    val g = df.select(col(keyCol), col(tsCol).as("__t"), col(tieCol).as("__i"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(keyCol), (col("__t") - col("__prev")).as("__g"))
+    val agg = g.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__g")).as("__s"),
+      sum(col("__g").cast("decimal(38,0)") * col("__g").cast("decimal(38,0)"))
+        .as("__sq"))
+    val dD = (col("__n").cast("decimal(38,0)") * col("__sq") -
+      col("__s").cast("decimal(38,0)") * col("__s").cast("decimal(38,0)"))
+      .cast("double")
+    val sd = col("__s").cast("double")
+    agg.select(col(keyCol), col("__n").as("n_gaps"),
+      expr("__s div __n").as("mean_gap"),
+      when(col("__s") === 0, lit(0.0))
+        .otherwise(round(sqrt(dD) / sd, 6) + lit(0.0)).as("cv"),
+      when(col("__s") === 0, lit(0.0))
+        .otherwise(round((sqrt(dD) - sd) / (sqrt(dD) + sd), 6) + lit(0.0))
+        .as("burstiness"))
+  }
+
   /** Top user paths: per (user, gap-based session) the ordered
     * event-type sequence joined with `">"`, counted corpus-wide, top `k`
     * paths by frequency — the navigation-pattern mining behind "what do

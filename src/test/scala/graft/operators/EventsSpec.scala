@@ -208,6 +208,35 @@ class EventsSpec extends SparkTestBase {
       plan.contains("windowspecdefinition(k#"), plan)
   }
 
+  test("burstiness: metronome pins B = -1, hand-computed bursty key, " +
+      "all-zero gaps pin 0, single-event keys are excluded") {
+    import spark.implicits._
+    val ev = Seq( // (key, ts, tie)
+      (10L, 0L, 1L), (10L, 5L, 2L), (10L, 10L, 3L), (10L, 15L, 4L), // metronome
+      (20L, 0L, 5L), (20L, 1L, 6L), (20L, 1L, 7L), (20L, 11L, 8L),  // bursty
+      (30L, 7L, 9L), (30L, 7L, 10L),                                // same ts
+      (40L, 3L, 11L))                                               // singleton
+      .toDF("k", "ts", "id")
+    val got = Events.burstiness(ev, "k", "ts", "id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(10L) === ((3L, 5L, 0.0, -1.0)),
+      "equal gaps: sigma = 0 -> CV 0, B exactly -1")
+    // gaps [1, 0, 10]: S=11, sumsq=101, D = 3*101 - 121 = 182
+    val d = math.sqrt(182.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(20L) === ((3L, 3L, r6(d / 11.0),
+      r6((d - 11.0) / (d + 11.0)))), "mean_gap floors 11/3")
+    assert(got(30L) === ((1L, 0L, 0.0, 0.0)),
+      "simultaneous events: S = 0 pins CV and B to 0, not 0/0")
+    assert(!got.contains(40L), "one event has no gaps")
+    // the lag window is per-key, never corpus-global
+    val plan = Events.burstiness(ev, "k", "ts", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(k#"), plan)
+  }
+
   test("linearAttribution hot user: the salted pair join is result-identical " +
       "and spreads the hot key over saltFactor reducers " +
       "(VERDICT r10 #7 — the v02-flagged-user escape hatch)") {
