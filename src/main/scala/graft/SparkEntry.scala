@@ -2682,6 +2682,13 @@ object SparkEntry {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("occurrences").desc, col("token").asc).limit(100)),
 
+    // distinct-1/2/3 lexical diversity: templated text scores low on
+    // distinct-2/3 while passing every length filter — map-only, string
+    // n-grams built inside each row, ratios are the only IEEE step
+    "t45_distinct_ngrams" -> ((s, dir) =>
+      TextAnalysis.distinctNgramDiversity(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // Good–Turing unseen-token mass: n_hapax/N — how much of the
     // domain's vocabulary this corpus has NOT seen yet (the crawl-more
     // diagnostic); integers until the one final division
@@ -4789,6 +4796,37 @@ object SparkEntry {
                FROM documents)
          WHERE length(token) > 0
          GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""",
+    // distinct-n diversity: per-row list n-grams on STRINGS (list slice
+    // is 1-based inclusive; range() excludes its stop, so short docs
+    // yield empty gram lists), same 0-pin on degenerate totals
+    "t45_distinct_ngrams" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(
+                    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                    x -> length(x) > 0) AS ts
+           FROM documents),
+         g AS (SELECT doc_id, ts,
+                      list_distinct(ts) AS u1,
+                      list_distinct(list_transform(range(1, len(ts)),
+                        i -> array_to_string(ts[i:i+1], ' '))) AS u2,
+                      list_distinct(list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(ts[i:i+2], ' '))) AS u3
+               FROM d)
+         SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(len(u1) AS BIGINT) AS uni_distinct,
+                CASE WHEN len(ts) = 0 THEN 0.0
+                     ELSE ROUND(CAST(len(u1) AS DOUBLE) / CAST(len(ts) AS DOUBLE), 6) + 0.0
+                END AS uni_ratio,
+                CAST(len(u2) AS BIGINT) AS bi_distinct,
+                CASE WHEN len(ts) <= 1 THEN 0.0
+                     ELSE ROUND(CAST(len(u2) AS DOUBLE) / CAST(len(ts) - 1 AS DOUBLE), 6) + 0.0
+                END AS bi_ratio,
+                CAST(len(u3) AS BIGINT) AS tri_distinct,
+                CASE WHEN len(ts) <= 2 THEN 0.0
+                     ELSE ROUND(CAST(len(u3) AS DOUBLE) / CAST(len(ts) - 2 AS DOUBLE), 6) + 0.0
+                END AS tri_ratio
+         FROM g""",
     // the t06 token-count frame folded to the Good–Turing scalars
     "c28_good_turing" ->
       """WITH tk AS (

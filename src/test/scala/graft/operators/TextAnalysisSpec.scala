@@ -617,6 +617,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got2 === ((2L, 2L, 0L, 3.0, 0.666667)))
   }
 
+  test("distinctNgramDiversity: hand-counted distinct-1/2/3, degenerate " +
+      "docs pin 0, and the plan is map-only (no exchange)") {
+    val docs = Seq((1L, "the cat the cat"), (2L, "a b"), (3L, ""), (4L, "x"))
+      .toDF("id", "text")
+    val df = TextAnalysis.distinctNgramDiversity(docs, "id", "text")
+    val got = df.as[(Long, Long, Long, Double, Long, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // "the cat the cat": bi grams [the cat, cat the, the cat] -> 2/3;
+    // tri grams [the cat the, cat the cat] -> 2/2
+    assert(got(1L) === ((1L, 4L, 2L, 0.5, 2L, 0.666667, 2L, 1.0)))
+    assert(got(2L) === ((2L, 2L, 2L, 1.0, 1L, 1.0, 0L, 0.0)))
+    assert(got(3L) === ((3L, 0L, 0L, 0.0, 0L, 0.0, 0L, 0.0)))
+    assert(got(4L) === ((4L, 1L, 1L, 1.0, 0L, 0.0, 0L, 0.0)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("hot-path kernels reproduce the original column formulations bit-for-bit") {
     // the pre-kernel higher-order/regex formulations, inlined verbatim;
     // adversarial corpus: tabs, newlines, multi-byte, empties, dup lines
