@@ -2682,6 +2682,12 @@ object SparkEntry {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("occurrences").desc, col("token").asc).limit(100)),
 
+    // Flesch / FK readability under the deterministic vowel-group
+    // syllable heuristic: three codegen regex counts per row, map-only;
+    // punctuation-free docs clamp to one sentence
+    "t46_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")),
+
     // distinct-1/2/3 lexical diversity: templated text scores low on
     // distinct-2/3 while passing every length filter — map-only, string
     // n-grams built inside each row, ratios are the only IEEE step
@@ -4796,6 +4802,30 @@ object SparkEntry {
                FROM documents)
          WHERE length(token) > 0
          GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""",
+    // readability: the same regex run counts (vowel groups, [.!?]+
+    // runs, whitespace words), formulas evaluated left-to-right with
+    // the same literal order so every IEEE intermediate matches
+    "t46_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(
+                    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                    x -> length(x) > 0)) AS BIGINT) AS w,
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sr,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+           FROM documents)
+         SELECT doc_id, w AS n_words, sr AS n_sentences, syl AS n_syllables,
+                CASE WHEN w = 0 THEN 0.0
+                     ELSE ROUND(206.835
+                                - 1.015 * (CAST(w AS DOUBLE) / CAST(GREATEST(sr, 1) AS DOUBLE))
+                                - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 4) + 0.0
+                END AS flesch,
+                CASE WHEN w = 0 THEN 0.0
+                     ELSE ROUND(0.39 * (CAST(w AS DOUBLE) / CAST(GREATEST(sr, 1) AS DOUBLE))
+                                + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+                                - 15.59, 4) + 0.0
+                END AS fk_grade
+         FROM c""",
     // distinct-n diversity: per-row list n-grams on STRINGS (list slice
     // is 1-based inclusive; range() excludes its stop, so short docs
     // yield empty gram lists), same 0-pin on degenerate totals

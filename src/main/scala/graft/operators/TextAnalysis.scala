@@ -1145,6 +1145,43 @@ object TextAnalysis {
         (stats(1, "uni") ++ stats(2, "bi") ++ stats(3, "tri")): _*)
   }
 
+  /** Flesch reading ease + Flesch–Kincaid grade (Flesch 1948; Kincaid
+    * et al. 1975) under a DETERMINISTIC syllable heuristic — syllables
+    * ≈ maximal `[aeiouy]+` vowel-group runs, the standard cheap stand-in
+    * (exact hyphenation needs a dictionary; a corpus filter needs a
+    * reproducible rank, not linguistic truth). Sentences = maximal
+    * `[.!?]+` runs, clamped to ≥ 1 so punctuation-free text (common in
+    * scraped corpora) degrades to one-sentence scoring instead of
+    * dividing by zero; empty documents pin both scores to 0.
+    *
+    * Output: (idCol, n_words, n_sentences, n_syllables, flesch,
+    * fk_grade) — n_sentences is the RAW run count (the clamp is only
+    * inside the formulas).
+    *
+    * Plan shape (100 TB posture): MAP-ONLY — three codegen'd regex
+    * counts per row, no shuffle; the scan reads (id, text) only. The
+    * two scores are the sole IEEE arithmetic, evaluated left-to-right
+    * identically in the oracle.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = size(filter(tokens(col(textCol)), t => length(t) > 0))
+      .cast("long")
+    val syl = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    val sRaw = regexp_count(col(textCol), lit("[.!?]+")).cast("long")
+    val sClamped = greatest(sRaw, lit(1L)).cast("double")
+    val wd = w.cast("double")
+    val flesch = lit(206.835) - lit(1.015) * (wd / sClamped) -
+      lit(84.6) * (syl.cast("double") / wd)
+    val fk = lit(0.39) * (wd / sClamped) +
+      lit(11.8) * (syl.cast("double") / wd) - lit(15.59)
+    df.select(col(idCol), w.as("n_words"), sRaw.as("n_sentences"),
+        syl.as("n_syllables"),
+        when(w === 0, lit(0.0))
+          .otherwise(round(flesch, 4) + lit(0.0)).as("flesch"),
+        when(w === 0, lit(0.0))
+          .otherwise(round(fk, 4) + lit(0.0)).as("fk_grade"))
+  }
+
   def rareBigramFraction(
       df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L): DataFrame = {

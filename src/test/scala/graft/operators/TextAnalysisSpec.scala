@@ -634,6 +634,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("readability: hand-computed Flesch/FK, punctuation-free text clamps " +
+      "to one sentence, empty docs pin 0") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 2 sentences, 5 vowel runs
+      (2L, "hello world"),          // no sentence enders -> clamp to 1
+      (3L, ""))
+      .toDF("id", "text")
+    val got = TextAnalysis.readability(docs, "id", "text")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // flesch = 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975
+    // fk = 0.39*2.5 + 11.8*1 - 15.59 = -2.815
+    assert(got(1L) === ((5L, 2L, 5L, 119.6975, -2.815)))
+    // 2 words, 3 vowel runs (he-llo: e,o; world: o):
+    // flesch = 206.835 - 1.015*2 - 84.6*1.5 = 77.905
+    // fk = 0.39*2 + 11.8*1.5 - 15.59 = 2.89
+    assert(got(2L) === ((2L, 0L, 3L, 77.905, 2.89)))
+    assert(got(3L) === ((0L, 0L, 0L, 0.0, 0.0)))
+    val plan = TextAnalysis.readability(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("hot-path kernels reproduce the original column formulations bit-for-bit") {
     // the pre-kernel higher-order/regex formulations, inlined verbatim;
     // adversarial corpus: tabs, newlines, multi-byte, empties, dup lines
