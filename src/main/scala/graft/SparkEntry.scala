@@ -6194,7 +6194,8 @@ object SparkEntry {
                   epoch_us(ts) + CAST(FLOOR(GREATEST(value, 0.0) * 1000000.0) AS BIGINT) AS e
            FROM events),
          pm AS (SELECT user_id, s, e,
-                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       MAX(GREATEST(e, s)) OVER (PARTITION BY user_id
+                                    ORDER BY s, e
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                              AND 1 PRECEDING) AS p
                 FROM iv)

@@ -182,10 +182,12 @@ object Events {
     * "total active time" measure (billable session seconds, device
     * uptime, ad-exposure time) that naive `sum(end − start)` double
     * counts: intervals sorted within each key, each contributing
-    * `max(0, end − max(start, running-max of previous ends))` — the
-    * classic sweep-line identity. Touching intervals merge; an interval
-    * with `end < start` contributes nothing. Also reports the merged
-    * disjoint-block count. Bounds must be integral (the epoch-nanos
+    * `max(0, end − max(start, running-max of previous CLAMPED ends
+    * greatest(s, e)))` — the classic sweep-line identity. Touching
+    * intervals merge; an interval with `end < start` contributes no
+    * length but still marks its position. Also reports the merged
+    * disjoint-block count (maximal connected components of the clamped
+    * intervals — the representation the streaming form persists). Bounds must be integral (the epoch-nanos
     * convention — fractional bounds would truncate silently).
     *
     * Output: (keyCol, n_intervals, covered, n_blocks).
@@ -209,8 +211,14 @@ object Events {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__s"), col("__e"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the running max clamps ends to >= their own start (a degenerate
+    // interval still MARKS its position), so n_blocks counts maximal
+    // connected components of the clamped intervals — the property the
+    // streaming state (merged disjoint blocks, e21) preserves exactly;
+    // `covered` is unaffected: the extra clamp terms are starts <= the
+    // current start, so max(s_i, pm) never changes
     df.select(col(keyCol), col(startCol).as("__s"), col(endCol).as("__e"))
-      .withColumn("__pm", max(col("__e")).over(w))
+      .withColumn("__pm", max(greatest(col("__e"), col("__s"))).over(w))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_intervals"),
         sum(greatest(

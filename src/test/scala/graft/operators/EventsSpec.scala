@@ -190,7 +190,9 @@ class EventsSpec extends SparkTestBase {
       (1L, 50L, 50L),                  // zero-length block
       (1L, 22L, 25L),                  // fully contained, adds nothing
       (2L, 7L, 3L),                    // end < start -> contributes 0
-      (3L, 1L, 4L))
+      (3L, 1L, 4L),
+      (4L, 5L, 2L), (4L, 5L, 7L))      // degenerate shares a start: the
+                                       // clamped running max merges it
       .toDF("k", "s", "e")
     val got = Events.intervalCoverage(iv, "k", "s", "e")
       .as[(Long, Long, Long, Long)].collect()
@@ -198,6 +200,8 @@ class EventsSpec extends SparkTestBase {
     assert(got(1L) === ((6L, 35L, 3L)), s"union [0,15]+[20,40]+[50,50]: $got")
     assert(got(2L) === ((1L, 0L, 1L)))
     assert(got(3L) === ((1L, 3L, 1L)))
+    assert(got(4L) === ((2L, 2L, 1L)),
+      "[5,5]+[5,7] is ONE connected component, not two blocks")
     // naive sum(end-start) for key 1 is 43 — the union must be smaller
     val naive = 10L + 10L + 10L + 10L + 0L + 3L
     assert(got(1L)._2 < naive)
