@@ -2528,6 +2528,35 @@ object SparkEntry {
     // streaming rolling actives: distinct (day, user) pairs as prefix-
     // partitioned LSM state, per batch only affected days re-emit; the
     // drained latest-batch-wins report equals the batch g12 operator
+    // streaming interval coverage: merged per-user block state with
+    // latest-batch-wins tail overrides; the drained report equals the
+    // batch g14 sweep over the full interval history
+    "e21_streaming_interval_coverage" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e21").toString
+      val iv = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("start_us"),
+        (expr("ts div 1000") +
+          floor(greatest(col("value"), lit(0.0)) * lit(1000000.0)))
+          .as("end_us"))
+      iv.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      iv.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("user_id BIGINT, event_id BIGINT, start_us BIGINT, end_us BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingIntervalCoverage.start(s, src,
+        "user_id", "start_us", "end_us", s"$tmp/blocks", s"$tmp/report",
+        s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e21 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingIntervalCoverage.report(s, s"$tmp/report")
+        .withColumnRenamed("user", "user_id")
+    }),
+
     "e19_streaming_rolling_actives" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e19").toString
       val ev = t(s, dir, "events").select(col("ts").as("ts_ns"),
@@ -4166,6 +4195,23 @@ object SparkEntry {
     * day — shared verbatim because the streaming drain must equal the
     * batch operator over the full history.
     */
+  private def g14OracleSql: String =
+    """WITH iv AS (
+         SELECT user_id, epoch_us(ts) AS s,
+                epoch_us(ts) + CAST(FLOOR(GREATEST(value, 0.0) * 1000000.0) AS BIGINT) AS e
+         FROM events),
+       pm AS (SELECT user_id, s, e,
+                     MAX(GREATEST(e, s)) OVER (PARTITION BY user_id
+                                  ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS p
+              FROM iv)
+       SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_intervals,
+              CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(p, s)), 0)) AS BIGINT) AS covered,
+              CAST(SUM(CASE WHEN p IS NULL OR s > p THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks
+       FROM pm GROUP BY user_id"""
+
   private def g12OracleSql: String =
     """WITH du AS (
          SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
@@ -6187,23 +6233,11 @@ object SparkEntry {
     // resample: integer day buckets (floor division of positive nanos
     // matches Spark's div), per-user range() grid, zero-filled left join
     // the sweep-line union replayed with the same window frame: running
-    // max of previous ends, clamped per-interval contribution
-    "g14_interval_coverage" ->
-      """WITH iv AS (
-           SELECT user_id, epoch_us(ts) AS s,
-                  epoch_us(ts) + CAST(FLOOR(GREATEST(value, 0.0) * 1000000.0) AS BIGINT) AS e
-           FROM events),
-         pm AS (SELECT user_id, s, e,
-                       MAX(GREATEST(e, s)) OVER (PARTITION BY user_id
-                                    ORDER BY s, e
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                             AND 1 PRECEDING) AS p
-                FROM iv)
-         SELECT user_id,
-                CAST(COUNT(*) AS BIGINT) AS n_intervals,
-                CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(p, s)), 0)) AS BIGINT) AS covered,
-                CAST(SUM(CASE WHEN p IS NULL OR s > p THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks
-         FROM pm GROUP BY user_id""",
+    // max of previous clamped ends, clamped per-interval contribution
+    "g14_interval_coverage" -> g14OracleSql,
+    // the e-series contract: the drained latest-batch-wins report
+    // equals the batch g14 operator over the full interval history
+    "e21_streaming_interval_coverage" -> g14OracleSql,
     // burstiness: the same lag window + exact HUGEINT moments; D =
     // n·Σg² − S² exactly, then the identical IEEE sqrt/divisions
     "g15_burstiness" ->

@@ -1873,4 +1873,49 @@ class StreamingSpec extends SparkTestBase {
     assert(pairs.count() === 5L, "replay appended duplicate pairs")
     assert(pairs.distinct().count() === 5L)
   }
+
+  test("streaming interval coverage: cross-batch merges through persisted " +
+      "block state, drained report equals the batch g14 sweep, replays and " +
+      "compaction are exact, untouched keys do not re-emit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sic").toString
+    // user 1: batch 0 plants [0,10] and [20,30]; batch 1's [5,25] BRIDGES
+    // them (the cross-batch merge only state can see); user 2 exists only
+    // in batch 0; user 3 only in batch 1 (with a degenerate interval)
+    val b0 = Seq((1L, 0L, 10L), (1L, 20L, 30L), (2L, 100L, 104L))
+      .toDF("user_id", "s_us", "e_us")
+    val b1 = Seq((1L, 5L, 25L), (3L, 50L, 40L))
+      .toDF("user_id", "s_us", "e_us")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingIntervalCoverage.processBatch(b, id, "user_id", "s_us",
+        "e_us", s"$dir/blocks", s"$dir/report")
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep() = StreamingIntervalCoverage.report(spark, s"$dir/report")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = graft.operators.Events.intervalCoverage(
+        b0.unionByName(b1), "user_id", "s_us", "e_us")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(want === Map(1L -> ((3L, 30L, 1L)), 2L -> ((1L, 4L, 1L)),
+      3L -> ((1L, 0L, 1L))), "batch truth sanity: [5,25] bridges to [0,30]")
+    assert(rep() === want)
+    // untouched user 2 must not re-emit in batch 1's partition
+    val b1users = spark.read.parquet(s"$dir/report/batch=1")
+      .select("user").as[Long].collect().toSet
+    assert(b1users === Set(1L, 3L), b1users)
+    // crash-replay of batch 1: report and state unchanged (the tail
+    // override is batch-keyed, n_intervals must not double-count)
+    run(b1, 1L)
+    assert(rep() === want, "replay drifted")
+    // state holds ONE latest row per key with merged blocks
+    val state = StreamingIntervalCoverage.report(spark, s"$dir/report")
+    assert(state.select("user").distinct().count() === 3L)
+    // compaction folds the overrides and changes nothing observable
+    StreamingIntervalCoverage.compactState(spark, s"$dir/blocks")
+    run(Seq((3L, 45L, 47L)).toDF("user_id", "s_us", "e_us"), 2L)
+    assert(rep() === (want + (3L -> ((2L, 2L, 2L)))),
+      "post-compaction batch must see the folded state")
+  }
 }
