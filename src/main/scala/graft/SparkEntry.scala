@@ -2711,6 +2711,12 @@ object SparkEntry {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("occurrences").desc, col("token").asc).limit(100)),
 
+    // encoding-corruption audit: U+FFFD, stray C0/C1 controls, and
+    // UTF-8-as-Latin-1 mojibake lead sequences — three regex counts per
+    // row, map-only, integer end to end
+    "t47_encoding_audit" -> ((s, dir) =>
+      TextAnalysis.encodingAudit(t(s, dir, "documents"), "doc_id", "text")),
+
     // Flesch / FK readability under the deterministic vowel-group
     // syllable heuristic: three codegen regex counts per row, map-only;
     // punctuation-free docs clamp to one sentence
@@ -4848,6 +4854,18 @@ object SparkEntry {
                FROM documents)
          WHERE length(token) > 0
          GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 100""",
+    // encoding audit: the same three RE2 counts (both engines receive
+    // identical \x{...} patterns — SQL strings pass backslashes through)
+    "t47_encoding_audit" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+                  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]')) AS BIGINT) AS n_control,
+                  CAST(len(regexp_extract_all(text, '\x{00C3}|\x{00C2}|\x{00E2}\x{20AC}')) AS BIGINT) AS n_mojibake
+           FROM documents)
+         SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+                (n_replacement = 0 AND n_control = 0 AND n_mojibake = 0) AS clean
+         FROM c""",
     // readability: the same regex run counts (vowel groups, [.!?]+
     // runs, whitespace words), formulas evaluated left-to-right with
     // the same literal order so every IEEE intermediate matches

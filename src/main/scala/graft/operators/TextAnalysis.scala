@@ -1182,6 +1182,38 @@ object TextAnalysis {
           .otherwise(round(fk, 4) + lit(0.0)).as("fk_grade"))
   }
 
+  /** Encoding-corruption audit — the crawl-hygiene check that catches
+    * what language-ID and quality scores miss: replacement characters
+    * (U+FFFD, a decoder already gave up), stray C0/C1 control characters
+    * (binary mixed into text; tab/newline/CR excused), and the classic
+    * UTF-8-read-as-Latin-1 mojibake artifacts (`Ã`, `Â`, `â€` — the
+    * lead bytes of multi-byte sequences decoded singly). Feeding a
+    * tokenizer mojibake silently fragments its vocabulary; this is the
+    * filter that keeps it out.
+    *
+    * Output: (idCol, n_chars, n_replacement, n_control, n_mojibake,
+    * clean).
+    *
+    * Plan shape (100 TB posture): MAP-ONLY — three codegen regex counts
+    * per row, no shuffle, scan reads (id, text) only. Integer end to
+    * end.
+    */
+  def encodingAudit(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val repl = regexp_count(col(textCol),
+      lit("\\x{FFFD}")).cast("long")
+    val ctrl = regexp_count(col(textCol),
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]")).cast("long")
+    val moji = regexp_count(col(textCol),
+      lit("\\x{00C3}|\\x{00C2}|\\x{00E2}\\x{20AC}")).cast("long")
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        repl.as("n_replacement"), ctrl.as("n_control"),
+        moji.as("n_mojibake"))
+      .withColumn("clean",
+        col("n_replacement") === 0 && col("n_control") === 0 &&
+          col("n_mojibake") === 0)
+  }
+
   def rareBigramFraction(
       df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L): DataFrame = {

@@ -657,6 +657,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("encodingAudit: replacement chars, C0/C1 controls (tab/newline " +
+      "excused), and mojibake lead sequences; clean rows flagged") {
+    val docs = Seq(
+      (1L, "clean text.\nwith a line"),
+      (2L, "bad \uFFFD here"),
+      (3L, "caf\u00C3\u00A9 and \u00C2 nbsp"), // Latin-1-decoded e-acute, nbsp
+      (4L, "a\u0000b\u0007\tok"),              // NUL + BEL, tab excused
+      (5L, "don\u00E2\u20AC\u2122t"))          // cp1252-decoded right quote
+      .toDF("id", "text")
+    val got = TextAnalysis.encodingAudit(docs, "id", "text")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) === ((0L, 0L, 0L, true)))
+    assert(got(2L) === ((1L, 0L, 0L, false)))
+    assert(got(3L) === ((0L, 0L, 2L, false)), "both lead bytes counted")
+    assert(got(4L) === ((0L, 2L, 0L, false)), "tab is not a violation")
+    assert(got(5L) === ((0L, 0L, 1L, false)))
+    val plan = TextAnalysis.encodingAudit(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("hot-path kernels reproduce the original column formulations bit-for-bit") {
     // the pre-kernel higher-order/regex formulations, inlined verbatim;
     // adversarial corpus: tabs, newlines, multi-byte, empties, dup lines
