@@ -2736,6 +2736,12 @@ object SparkEntry {
     "c28_good_turing" -> ((s, dir) =>
       TextAnalysis.goodTuringMass(t(s, dir, "documents"), "text")),
 
+    // source concentration per language: HHI, effective source count,
+    // top share — the "10 sources but really one crawl" red flag
+    "c30_source_concentration" -> ((s, dir) =>
+      CorpusStats.concentrationReport(
+        t(s, dir, "documents"), "lang", "source")),
+
     // Chao1 richness: how many token TYPES the corpus has NOT seen yet
     // (the c28 dual) — S_obs + n1(n1-1)/(2(n2+1)) and the coverage
     // fraction that says whether crawling more is worth it
@@ -4934,6 +4940,25 @@ object SparkEntry {
                 ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
                       CAST(SUM(c) AS DOUBLE), 6) + 0.0 AS unseen_mass
          FROM c""",
+    // concentration: exact HUGEINT Σn² and N², the same three single
+    // divisions
+    "c30_source_concentration" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n
+                    FROM documents GROUP BY 1, 2),
+         f AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_rows,
+                      CAST(COUNT(*) AS BIGINT) AS n_strata,
+                      SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sq,
+                      MAX(n) AS maxn
+               FROM c GROUP BY 1)
+         SELECT lang, n_rows, n_strata,
+                ROUND(CAST(sq AS DOUBLE) /
+                      CAST(CAST(n_rows AS HUGEINT) * CAST(n_rows AS HUGEINT) AS DOUBLE), 6)
+                  + 0.0 AS hhi,
+                ROUND(CAST(CAST(n_rows AS HUGEINT) * CAST(n_rows AS HUGEINT) AS DOUBLE) /
+                      CAST(sq AS DOUBLE), 4) + 0.0 AS effective_strata,
+                ROUND(CAST(maxn AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) + 0.0
+                  AS top_share
+         FROM f""",
     // the same token-count frame folded to the Chao1 estimator; the
     // unrounded chao1 feeds coverage (only the emissions round)
     "c29_chao1_richness" ->

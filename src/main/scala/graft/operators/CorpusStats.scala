@@ -165,6 +165,44 @@ object CorpusStats {
           + lit(0.0)).as("skew_ratio"))
   }
 
+  /** Source-concentration report — Herfindahl–Hirschman concentration
+    * of each group's rows over its strata (per language over sources
+    * here): `HHI = Σᵢ shareᵢ²`, its inverse the EFFECTIVE source count
+    * (1/HHI — "this slice really comes from ~2.3 sources no matter how
+    * many are nominally present"), and the single largest share. The
+    * diversity red-flag a mixture plan checks before trusting per-group
+    * coverage: a language nominally fed by 10 sources but 95% one crawl
+    * is a deduplication and bias hazard.
+    *
+    * Output: (groupCol, n_rows, n_strata, hhi, effective_strata,
+    * top_share).
+    *
+    * Plan shape (100 TB posture): TWO hash aggregates — (group,
+    * stratum) counts, then a per-group fold of Σn², max n, Σn — both
+    * map-side combined; Σn² runs in DECIMAL(38,0) so it cannot wrap at
+    * corpus scale, and the three emissions are single IEEE divisions of
+    * exactly-computed integers.
+    */
+  def concentrationReport(df: DataFrame, groupCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+    val folded = counts.groupBy(col(groupCol)).agg(
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_strata"),
+      sum(col("__n").cast("decimal(38,0)") * col("__n").cast("decimal(38,0)"))
+        .as("__sq"),
+      max(col("__n")).as("__maxn"))
+    val n2 = (col("n_rows").cast("decimal(38,0)") *
+      col("n_rows").cast("decimal(38,0)")).cast("double")
+    folded.select(col(groupCol), col("n_rows"), col("n_strata"),
+      (round(col("__sq").cast("double") / n2, 6) + lit(0.0)).as("hhi"),
+      (round(n2 / col("__sq").cast("double"), 4) + lit(0.0))
+        .as("effective_strata"),
+      (round(col("__maxn").cast("double") / col("n_rows").cast("double"), 6)
+        + lit(0.0)).as("top_share"))
+  }
+
   /** One-row dataset-card summary ("Datasheets for Datasets", Gebru et
     * al. 2021 — the quantitative block): document/token/vocabulary
     * counts, language diversity (count + Shannon entropy of the language

@@ -485,4 +485,22 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(got(9) === ((2L, 1.95, 2L, 1.0)), "score 1.0 clamps into bin 9")
     assert(got.size === 3)
   }
+
+  test("concentrationReport: hand-computed HHI / effective strata / top " +
+      "share; a single-stratum group pins all three to 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"), // shares 3/4, 1/4
+      ("fr", "c"), ("fr", "c"))
+      .toDF("lang", "source")
+    val got = CorpusStats.concentrationReport(docs, "lang", "source")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // en: sq = 9 + 1 = 10, N^2 = 16 -> HHI 0.625, effective 1.6
+    assert(got("en") === ((4L, 2L, 0.625, 1.6, 0.75)))
+    assert(got("fr") === ((2L, 1L, 1.0, 1.0, 1.0)))
+    val plan = CorpusStats.concentrationReport(docs, "lang", "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
 }
