@@ -2528,6 +2528,31 @@ object SparkEntry {
     // streaming rolling actives: distinct (day, user) pairs as prefix-
     // partitioned LSM state, per batch only affected days re-emit; the
     // drained latest-batch-wins report equals the batch g12 operator
+    // streaming burstiness: exact per-user gap moments + last_t as
+    // latest-wins LSM state; drained report equals the batch g15
+    "e22_streaming_burstiness" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e22").toString
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      ev.filter(col("user_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("user_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingBurstiness.start(s, src,
+        "user_id", "ts_us", "event_id", s"$tmp/state", s"$tmp/report",
+        s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e22 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingBurstiness.report(s, s"$tmp/report")
+        .withColumnRenamed("user", "user_id")
+    }),
+
     // streaming interval coverage: merged per-user block state with
     // latest-batch-wins tail overrides; the drained report equals the
     // batch g14 sweep over the full interval history
@@ -4207,6 +4232,31 @@ object SparkEntry {
     * day — shared verbatim because the streaming drain must equal the
     * batch operator over the full history.
     */
+  private def g15OracleSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+       g AS (SELECT user_id,
+                    t - lag(t) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) AS g
+             FROM ev),
+       a AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS s,
+                    SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sq
+             FROM g WHERE g IS NOT NULL GROUP BY 1),
+       d AS (SELECT user_id, n, s,
+                    CAST(CAST(n AS HUGEINT) * sq -
+                         CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                         AS DOUBLE) AS dd
+             FROM a)
+       SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+              CAST(s // n AS BIGINT) AS mean_gap,
+              CASE WHEN s = 0 THEN 0.0
+                   ELSE ROUND(SQRT(dd) / CAST(s AS DOUBLE), 6) + 0.0
+              END AS cv,
+              CASE WHEN s = 0 THEN 0.0
+                   ELSE ROUND((SQRT(dd) - CAST(s AS DOUBLE)) /
+                              (SQRT(dd) + CAST(s AS DOUBLE)), 6) + 0.0
+              END AS burstiness
+       FROM d"""
+
   private def g14OracleSql: String =
     """WITH iv AS (
          SELECT user_id, epoch_us(ts) AS s,
@@ -6283,30 +6333,10 @@ object SparkEntry {
     "e21_streaming_interval_coverage" -> g14OracleSql,
     // burstiness: the same lag window + exact HUGEINT moments; D =
     // n·Σg² − S² exactly, then the identical IEEE sqrt/divisions
-    "g15_burstiness" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
-         g AS (SELECT user_id,
-                      t - lag(t) OVER (PARTITION BY user_id
-                                       ORDER BY t, event_id) AS g
-               FROM ev),
-         a AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS s,
-                      SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sq
-               FROM g WHERE g IS NOT NULL GROUP BY 1),
-         d AS (SELECT user_id, n, s,
-                      CAST(CAST(n AS HUGEINT) * sq -
-                           CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
-                           AS DOUBLE) AS dd
-               FROM a)
-         SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
-                CAST(s // n AS BIGINT) AS mean_gap,
-                CASE WHEN s = 0 THEN 0.0
-                     ELSE ROUND(SQRT(dd) / CAST(s AS DOUBLE), 6) + 0.0
-                END AS cv,
-                CASE WHEN s = 0 THEN 0.0
-                     ELSE ROUND((SQRT(dd) - CAST(s AS DOUBLE)) /
-                                (SQRT(dd) + CAST(s AS DOUBLE)), 6) + 0.0
-                END AS burstiness
-         FROM d""",
+    "g15_burstiness" -> g15OracleSql,
+    // the e-series contract: the drained latest-batch-wins report
+    // equals the batch g15 operator over the full event history
+    "e22_streaming_burstiness" -> g15OracleSql,
     "e04_event_debounce" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
                      FROM events),

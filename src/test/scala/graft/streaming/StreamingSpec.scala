@@ -1918,4 +1918,51 @@ class StreamingSpec extends SparkTestBase {
     assert(rep() === (want + (3L -> ((2L, 2L, 2L)))),
       "post-compaction batch must see the folded state")
   }
+
+  test("streaming burstiness: boundary gaps bridge batches through " +
+      "persisted last_t, drained report equals the batch g15, replays are " +
+      "exact, and out-of-order ingest throws the monotone contract") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sbu").toString
+    // user 1: in-batch gap 5 then a cross-batch boundary gap 10;
+    // user 2: single event in b0, its FIRST gap only exists via state
+    val b0 = Seq((1L, 0L, 1L), (1L, 5L, 2L), (2L, 100L, 3L))
+      .toDF("user_id", "ts_us", "event_id")
+    val b1 = Seq((1L, 15L, 4L), (2L, 103L, 5L))
+      .toDF("user_id", "ts_us", "event_id")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingBurstiness.processBatch(b, id, "user_id", "ts_us",
+        "event_id", s"$dir/state", s"$dir/report")
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep() = StreamingBurstiness.report(spark, s"$dir/report")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val want = graft.operators.Events.burstiness(
+        b0.unionByName(b1), "user_id", "ts_us", "event_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // user 1: gaps [5, 10] -> D = 2*125 - 225 = 25, cv = 5/15, B = -0.5
+    assert(want === Map(
+      1L -> ((2L, 7L, 0.333333, -0.5)),
+      2L -> ((1L, 3L, 0.0, -1.0))), "batch truth sanity")
+    assert(rep() === want)
+    // crash-replay of batch 1: report and state unchanged
+    run(b1, 1L)
+    assert(rep() === want, "replay drifted (moments double-counted)")
+    // out-of-order ingest: an event BEFORE user 2's persisted last_t
+    val err = intercept[IllegalStateException] {
+      run(Seq((2L, 50L, 6L)).toDF("user_id", "ts_us", "event_id"), 2L)
+    }
+    assert(err.getMessage.contains("monotone"))
+    // compaction folds overrides; the next batch sees folded state
+    StreamingBurstiness.compactState(spark, s"$dir/state")
+    run(Seq((1L, 25L, 7L)).toDF("user_id", "ts_us", "event_id"), 3L)
+    // user 1 gaps [5, 10, 10]: S = 25, sumsq = 225, D = 3*225 - 625 = 50
+    val d = math.sqrt(50.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rep() === (want + (1L -> ((3L, 8L, r6(d / 25.0),
+      r6((d - 25.0) / (d + 25.0)))))))
+  }
 }
