@@ -1792,6 +1792,22 @@ object SparkEntry {
     // decides whether the cheap index is good enough to replace the
     // exact scan at corpus scale. Both rankings replay exactly (planes
     // inlined in the oracle), so recall is gated as integers
+    // IVF probe-curve: true recall@10 vs candidate cost for nprobe in
+    // {1,2,4,16} against explicit centroids (the first 16 corpus
+    // vectors — a deterministic, oracle-replayable model); nprobe=16
+    // probes every list, so the top row must read recall 1.0
+    "s35_ivf_probe_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      // bounded plan-time model: 16 centroid vectors
+      val cents = corpus.filter(col("vec_id") <= 25).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      Similarity.ivfProbeCurve(corpus, queries, "vec_id", "embedding",
+        "query_id", "embedding", k = 10, cents, Seq(1, 2, 4, 16))
+    }),
+
     "s18_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
@@ -4399,6 +4415,67 @@ object SparkEntry {
        |             / CAST(20.0 AS DOUBLE), 6) + 0.0 AS recall_at_20
        |FROM q LEFT JOIN h ON q.query_id = h.query_id""".stripMargin
 
+  /** s35: the probe sweep replayed relationally — assignment ties break
+    * to the LARGER centroid id (the engine's lexicographic struct max),
+    * probe-order ties to the SMALLER (array_sort on (−sim, cid)); each
+    * level's ranking re-derives from the one `cand` frame exactly like
+    * the engine's probe-rank filter.
+    */
+  private def s35OracleSql: String = {
+    val probes = Seq(1, 2, 4, 16)
+    val perProbe = probes.map { p =>
+      s"""ar$p AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |  FROM cand WHERE prk <= $p) WHERE rnk <= 10),
+         |h$p AS (SELECT CAST($p AS INT) AS nprobe,
+         |          CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+         |          CAST((SELECT COUNT(*) FROM ex
+         |                JOIN ar$p a ON ex.query_id = a.query_id
+         |                           AND ex.vec_id = a.vec_id) AS BIGINT) AS hits,
+         |          CAST((SELECT COUNT(*) FROM cand WHERE prk <= $p) AS BIGINT)
+         |            AS n_candidates)""".stripMargin
+    }.mkString(",\n")
+    val unioned = probes.map(p => s"SELECT * FROM h$p").mkString(" UNION ALL ")
+    s"""WITH cent AS (SELECT vec_id - 10 AS cid, embedding
+       |              FROM embeddings WHERE vec_id BETWEEN 10 AND 25),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       |      WHERE vec_id < 10),
+       |asgs AS (SELECT c.vec_id, c.embedding, cent.cid,
+       |           ${cosSql("c.embedding", "cent.embedding")} AS sim
+       |         FROM c CROSS JOIN cent),
+       |asg AS (SELECT vec_id, embedding, cid FROM (
+       |          SELECT vec_id, embedding, cid,
+       |                 row_number() OVER (PARTITION BY vec_id
+       |                                    ORDER BY sim DESC, cid DESC) AS rn
+       |          FROM asgs) WHERE rn = 1),
+       |prs AS (SELECT q.query_id, q.embedding, cent.cid,
+       |          ${cosSql("q.embedding", "cent.embedding")} AS sim
+       |        FROM q CROSS JOIN cent),
+       |pr AS (SELECT query_id, embedding, cid,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, cid ASC) AS prk
+       |       FROM prs),
+       |cand AS (SELECT pr.query_id, asg.vec_id, pr.prk,
+       |           ${cosSql("asg.embedding", "pr.embedding")} AS cosine
+       |         FROM pr JOIN asg ON asg.cid = pr.cid),
+       |exs AS (SELECT q.query_id, c.vec_id,
+       |          ${cosSql("c.embedding", "q.embedding")} AS cosine
+       |        FROM c CROSS JOIN q),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |        SELECT query_id, vec_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY cosine DESC, vec_id ASC) AS rnk
+       |        FROM exs) WHERE rnk <= 10),
+       |$perProbe
+       |SELECT nprobe, n_queries, hits,
+       |       ROUND(CAST(hits AS DOUBLE) / 100.0, 6) + 0.0 AS recall,
+       |       n_candidates
+       |FROM ($unioned)""".stripMargin
+  }
+
   private def s16OracleSql: String =
     s"""$knnEdgeCtes,
        |nodes AS (SELECT vec_id FROM embeddings),
@@ -6930,6 +7007,7 @@ object SparkEntry {
     "s15_graph_rank" -> s15OracleSql,
     "s16_knn_hubness" -> s16OracleSql,
     "s18_ann_recall" -> s18OracleSql,
+    "s35_ivf_probe_curve" -> s35OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
     // the same CTE chain, counted per stage
     "c12_curation_funnel" ->

@@ -433,6 +433,78 @@ object Similarity {
     rankTopK(scored, queryId, corpusId, k)
   }
 
+  /** IVF probe-count tuning curve — the d19-style sensitivity sweep for
+    * vector search: for each candidate `nprobe`, the TRUE recall@k of
+    * the IVF index against the exact brute-force top-k, next to the
+    * candidate-scan cost that probe level pays. The report that answers
+    * "is nprobe=4 enough, and what does nprobe=8 actually buy" BEFORE a
+    * retrieval deployment fixes the knob. Centroids are caller-supplied
+    * (sweep against YOUR index's model, not a fresh training run);
+    * centroid id = array position.
+    *
+    * Output: one row per probe level —
+    * (nprobe, n_queries, hits, recall, n_candidates), where recall =
+    * hits / (n_queries · k) and n_candidates is the total scored
+    * candidate count at that probe level (the cost axis of the curve).
+    *
+    * Plan shape (100 TB posture): the corpus is scanned TWICE total —
+    * once for the exact baseline, once for list assignment — regardless
+    * of how many probe levels are swept: candidates are scored ONCE at
+    * the LARGEST probe with each candidate tagged by the probe rank of
+    * its list, and every smaller level's ranking re-derives from that
+    * skinny (query, id, rank, cosine) frame by a rank filter + bounded
+    * heap — vectors never touch the per-level work. Queries broadcast
+    * (the ivfTopK contract); the checkpointed candidate frame is
+    * bounded by |queries| · maxprobe · mean-list-size.
+    */
+  def ivfProbeCurve(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int, centroids: Array[Array[Float]],
+      probes: Seq[Int]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(probes.nonEmpty && probes.distinct.size == probes.size,
+      "probe levels must be non-empty and distinct")
+    require(probes.forall(p => p >= 1 && p <= centroids.length),
+      s"probe levels must lie in [1, ${centroids.length}]")
+    val cent = centroids.zipWithIndex.map(_.swap)
+    val maxP = probes.max
+    val exact = bruteForceTopK(corpus, queries, corpusId, corpusVec,
+        queryId, queryVec, k)
+      .select(col(queryId), col(corpusId))
+      .localCheckpoint(eager = true)
+    val nQueries = queries.select(col(queryId)).distinct().count()
+    val assigned = corpus.select(col(corpusId), col(corpusVec),
+      nearestCentroidCol(cent)(col(corpusVec)).as("__list"))
+    val probed = queries.select(col(queryId), col(queryVec).as("__qv"),
+        posexplode(probeListsCol(cent, maxP)(col(queryVec)))
+          .as(Seq("__pos", "__list")))
+      .select(col(queryId), col("__qv"), col("__list"),
+        (col("__pos") + 1).cast("int").as("__pr"))
+    val scoredOnce = assigned.join(broadcast(probed), "__list")
+      .select(col(queryId), col(corpusId), col("__pr"),
+        cosine(col(corpusVec), col("__qv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .localCheckpoint(eager = true)
+    val rows = probes.sorted.map { p =>
+      val cand = scoredOnce.filter(col("__pr") <= p)
+      val approx = rankTopK(cand, queryId, corpusId, k)
+        .select(col(queryId), col(corpusId))
+      val hits = exact.join(approx, Seq(queryId, corpusId), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val cost = cand.agg(count(lit(1)).as("n_candidates"))
+      hits.crossJoin(cost).select(
+        lit(p).cast("int").as("nprobe"),
+        lit(nQueries).cast("long").as("n_queries"),
+        col("hits").cast("long").as("hits"),
+        (round(col("hits").cast("double") /
+          lit((nQueries * k).toDouble), 6) + lit(0.0)).as("recall"),
+        col("n_candidates").cast("long").as("n_candidates"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
   /** Bipartite ANN JOIN — both sides CORPUS-scale (unlike [[ivfTopK]],
     * whose probed queries broadcast by contract): every `left` vector
     * finds its approximate top-`k` `right` neighbors, the

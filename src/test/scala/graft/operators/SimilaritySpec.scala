@@ -889,4 +889,33 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("dimension"), err.getMessage)
   }
+
+  test("ivfProbeCurve: recall and cost are monotone in nprobe, the full " +
+      "probe level is exact (recall 1.0), and probe levels validate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+    val corpus = (0L until 60L).map(i => (i + 100L, vec())).toDF(
+      "vec_id", "embedding")
+    val queries = (0L until 5L).map(i => (i, vec())).toDF(
+      "query_id", "embedding")
+    val cents = Array.fill(4)(vec())
+    val curve = Similarity.ivfProbeCurve(corpus, queries, "vec_id",
+        "embedding", "query_id", "embedding", k = 5, cents, Seq(1, 2, 4))
+      .as[(Int, Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq === Seq(1, 2, 4))
+    assert(curve.forall(_._2 === 5L))
+    // monotone: more probes never lose recall or scan fewer candidates
+    assert(curve.map(_._3).toSeq === curve.map(_._3).toSeq.sorted, curve.toSeq)
+    assert(curve.map(_._5).toSeq === curve.map(_._5).toSeq.sorted, curve.toSeq)
+    // probing EVERY list degenerates to exact: 25 hits out of 25
+    assert(curve.last._3 === 25L && curve.last._4 === 1.0, curve.toSeq)
+    // at full probe every corpus vector is a candidate for every query
+    assert(curve.last._5 === 300L)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfProbeCurve(corpus, queries, "vec_id", "embedding",
+        "query_id", "embedding", 5, cents, Seq(0, 2))
+    }
+    assert(err.getMessage.contains("probe levels"), err.getMessage)
+  }
 }
