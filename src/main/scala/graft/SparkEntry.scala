@@ -2240,6 +2240,17 @@ object SparkEntry {
       CorpusStats.rocAuc(scored, "quality", "y")
     }),
 
+    // PR-AUC for the same detector — the imbalance-honest eval: exact
+    // integer TP/count frame from ONE parallel prefix-sum pass,
+    // self-contained trapezoids (no lag window), rounded-then-DECIMAL
+    // summed; baseline = prevalence
+    "t48_quality_pr_auc" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        (col("lang") === "en").cast("int").as("y"))
+      CorpusStats.prAuc(scored, "quality", "y")
+    }),
+
     // calibration table for the same detector: 10 equal-width bins,
     // DECIMAL-routed prediction sums (summation order cannot move a bit)
     "t42_quality_calibration" -> ((s, dir) => {
@@ -6045,6 +6056,43 @@ object SparkEntry {
                 END AS auc,
                 np AS n_pos, nn AS n_neg
          FROM agg""",
+    // PR-AUC truth: the same per-distinct-score trapezoids — cumulative
+    // integer counts via window sums (CTE-internal, cast), formulas in
+    // the engine's exact evaluation order, round-10 DECIMAL summation
+    "t48_quality_pr_auc" ->
+      s"""WITH q AS ($t02QualitySql),
+         j AS (
+           SELECT q.quality AS s,
+                  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM q JOIN documents d USING (doc_id)),
+         g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+                      CAST(SUM(y) AS BIGINT) AS p
+               FROM j GROUP BY s),
+         cum AS (SELECT s, c, p,
+                        CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) AS cumc,
+                        CAST(SUM(p) OVER (ORDER BY s) AS BIGINT) AS cump
+                 FROM g),
+         tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+                        CAST(COALESCE(SUM(p), 0) AS BIGINT) AS np
+                 FROM g),
+         terms AS (
+           SELECT n, np,
+                  ROUND((CAST(p AS DOUBLE) / CAST(np AS DOUBLE)) *
+                        ((CAST(np - cump + p AS DOUBLE)
+                            / CAST(n - cumc + c AS DOUBLE)
+                          + CASE WHEN n - cumc = 0 THEN 1.0
+                                 ELSE CAST(np - cump AS DOUBLE)
+                                      / CAST(n - cumc AS DOUBLE) END)
+                         / 2.0), 10) AS t
+           FROM cum CROSS JOIN tot)
+         SELECT CASE WHEN np > 0
+                  THEN ROUND(CAST(SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE), 6)
+                       + 0.0 END AS pr_auc,
+                CASE WHEN n > 0
+                  THEN ROUND(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+                END AS baseline,
+                np AS n_pos, n - np AS n_neg
+         FROM terms GROUP BY n, np""",
     // calibration truth: identical double bin arithmetic, DECIMAL sums
     "t42_quality_calibration" ->
       s"""WITH q AS ($t02QualitySql),

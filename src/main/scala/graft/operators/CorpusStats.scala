@@ -386,6 +386,44 @@ object CorpusStats {
       .drop("__pid")
   }
 
+  /** [[globalRunningTotalOrdered]] for SEVERAL value columns in one
+    * pass: same range-partition + per-partition-sums-collect + exclusive
+    * offsets + local running-sum shape, but the bounded collect carries
+    * one long per (partition, column) so N cumulative columns cost ONE
+    * repartition instead of N. Appends `<valueCol><cumSuffix>` per
+    * column.
+    */
+  def globalRunningTotals(df: DataFrame, orderCols: Seq[Column],
+      valueCols: Seq[String], cumSuffix: String = "_cum"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(valueCols.nonEmpty, "need at least one value column")
+    valueCols.foreach(requireIntegral(df, _, "globalRunningTotals"))
+    val snap = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partSums = snap.groupBy(col("__pid"))
+      .agg(valueCols.map(c => sum(col(c).cast("long")).as(s"__s_$c")).head,
+        valueCols.tail.map(c => sum(col(c).cast("long")).as(s"__s_$c")): _*)
+      .collect()
+      .map(r => r.getInt(0) -> valueCols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.zipWithIndex.foldLeft(snap) { case (acc, (c, i)) =>
+      val exclusive: Map[Int, Long] = {
+        var run = 0L
+        partSums.map { case (pid, sums) =>
+          val off = run; run += sums(i); pid -> off
+        }.toMap
+      }
+      val offset =
+        if (exclusive.isEmpty) lit(0L)
+        else coalesce(element_at(typedLit(exclusive), col("__pid")), lit(0L))
+      acc.withColumn(s"$c$cumSuffix",
+        sum(col(c).cast("long")).over(w) + offset)
+    }.drop("__pid")
+  }
+
   /** Budget-constrained best-first selection: walk the corpus in
     * `orderCols` order (highest-value first — the caller encodes "best"
     * as the sort) accumulating `costCol`, keep every row whose RUNNING
@@ -883,6 +921,61 @@ object CorpusStats {
             (lit(2.0) * col("__np") * (col("__n") - col("__np"))), 6)
             + lit(0.0))
           .as("auc"),
+        col("__np").as("n_pos"), (col("__n") - col("__np")).as("n_neg"))
+  }
+
+  /** Precision–recall AUC by trapezoidal interpolation over the distinct
+    * score thresholds — the [[rocAuc]] companion for IMBALANCED gates
+    * (a contamination or toxicity filter at 0.1% prevalence can post
+    * ROC-AUC 0.99 while its PR-AUC — the number that tracks alert
+    * precision — sits near zero; `baseline` = prevalence is what a
+    * random classifier scores). Thresholds descend through the distinct
+    * scores; each threshold's trapezoid is SELF-CONTAINED (the previous
+    * point's TP/count differ from this one's by exactly this score
+    * group's own counts), so no lag window exists anywhere:
+    * `term = ΔR · (P_i + P_{i−1})/2` with `ΔR = p_i/n_pos`. The curve
+    * anchors at (R=0, P=1). Ties share a threshold (one curve point per
+    * distinct score).
+    *
+    * Determinism: TP/FP/counts are exact integers from ONE
+    * [[globalRunningTotals]] pass (range-partitioned parallel prefix
+    * sums over the score-bounded frame — never a one-task global
+    * window); each trapezoid is IEEE from exact integers, rounded to 10
+    * then DECIMAL-summed so summation order cannot move a bit, final
+    * round 6. Output one row: (pr_auc, baseline, n_pos, n_neg);
+    * pr_auc/baseline NULL on an all-negative or empty input.
+    */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df
+      .select(col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val cum = globalRunningTotals(byScore, Seq(col("__s")),
+      Seq("__c", "__p"))
+    val totals = byScore.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      coalesce(sum(col("__p")), lit(0L)).as("__np"))
+    val tp = col("__np") - col("__p_cum") + col("__p")
+    val cnt = col("__n") - col("__c_cum") + col("__c")
+    val tpPrev = col("__np") - col("__p_cum")
+    val cntPrev = col("__n") - col("__c_cum")
+    val pi = tp.cast("double") / cnt.cast("double")
+    val pPrev = when(cntPrev === 0, lit(1.0))
+      .otherwise(tpPrev.cast("double") / cntPrev.cast("double"))
+    val term = when(col("__np") === 0, lit(0.0))
+      .otherwise((col("__p").cast("double") / col("__np").cast("double")) *
+        ((pi + pPrev) / lit(2.0)))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__n"), col("__np"),
+        round(term, 10).cast("decimal(28,12)").as("__t"))
+      .groupBy("__n", "__np")
+      .agg(sum(col("__t")).as("__area"))
+      .select(
+        (when(col("__np") > 0,
+          round(col("__area").cast("double"), 6)) + lit(0.0)).as("pr_auc"),
+        (when(col("__n") > 0,
+          round(col("__np").cast("double") / col("__n").cast("double"), 6))
+          + lit(0.0)).as("baseline"),
         col("__np").as("n_pos"), (col("__n") - col("__np")).as("n_neg"))
   }
 

@@ -486,6 +486,26 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(got.size === 3)
   }
 
+  test("prAuc: hand-computed trapezoids with a score tie, perfect " +
+      "classifier pins 1.0, all-negative input pins NULL") {
+    import spark.implicits._
+    // thresholds desc: 0.9 -> (TP 1, cnt 1), 0.8 (tie group) -> (2, 3)
+    // terms: 0.5*1 + 0.5*((2/3 + 1)/2) = 0.5 + 5/12
+    val mixed = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.5, 0)).toDF("s", "y")
+    val got = CorpusStats.prAuc(mixed, "s", "y")
+      .as[(Option[Double], Option[Double], Long, Long)].head()
+    assert(got === ((Some(0.916667), Some(0.5), 2L, 2L)))
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    assert(CorpusStats.prAuc(perfect, "s", "y")
+      .as[(Option[Double], Option[Double], Long, Long)].head()
+      === ((Some(1.0), Some(0.5), 2L, 2L)))
+    val allNeg = Seq((0.9, 0), (0.1, 0)).toDF("s", "y")
+    val neg = CorpusStats.prAuc(allNeg, "s", "y")
+      .as[(Option[Double], Option[Double], Long, Long)].head()
+    assert(neg === ((None, Some(0.0), 0L, 2L)),
+      "no positives: PR-AUC undefined, baseline 0")
+  }
+
   test("concentrationReport: hand-computed HHI / effective strata / top " +
       "share; a single-stratum group pins all three to 1.0") {
     import spark.implicits._
