@@ -6083,7 +6083,7 @@ object SparkEntry {
                           + CASE WHEN n - cumc = 0 THEN 1.0
                                  ELSE CAST(np - cump AS DOUBLE)
                                       / CAST(n - cumc AS DOUBLE) END)
-                         / 2.0), 10) AS t
+                         / 2.0), 10) + 0.0 AS t
            FROM cum CROSS JOIN tot)
          SELECT CASE WHEN np > 0
                   THEN ROUND(CAST(SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE), 6)
