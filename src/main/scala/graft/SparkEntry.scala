@@ -753,6 +753,17 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
     }),
 
+    // funnel latency histogram: per consecutive stage pair, conversion
+    // durations in power-of-two buckets (integer log2 via binary-form
+    // length — no IEEE log at boundaries); funnel frame computes once
+    "g16_time_to_convert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts"))
+      graft.operators.Events.timeToConvert(ev, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+    }),
+
     // per-user TOTAL ACTIVE TIME: each event opens an activity interval
     // of `value` seconds; overlaps must not double-count, so the union
     // length comes from the sweep-line identity — one per-user window +
@@ -5619,6 +5630,34 @@ object SparkEntry {
                      AS INT) AS stage
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                  LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+    // time-to-convert: the g06 chain CTEs + per-pair durations bucketed
+    // by binary-form length (both engines' bin() of a positive BIGINT)
+    "g16_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsn
+                     FROM events),
+         s1 AS (SELECT user_id, MIN(tsn) AS t_view FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, s1.t_view, MIN(e.tsn) AS t_click
+                FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.tsn > s1.t_view
+                GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, MIN(e.tsn) AS t_purchase
+                FROM ev e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.tsn > s2.t_click
+                GROUP BY 1),
+         un AS (
+           SELECT 'view' AS from_stage, 'click' AS to_stage,
+                  s2.t_click - s2.t_view AS d
+           FROM s2
+           UNION ALL
+           SELECT 'click', 'purchase', s3.t_purchase - s2.t_click
+           FROM s3 JOIN s2 USING (user_id))
+         SELECT from_stage, to_stage,
+                CAST(length(bin(d)) AS INT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n_users,
+                CAST(MIN(d) AS BIGINT) AS min_dur,
+                CAST(MAX(d) AS BIGINT) AS max_dur
+         FROM un GROUP BY 1, 2, 3""",
     // the drained streaming funnel equals the batch funnel over all
     // events — the g06 oracle verbatim
     "e14_streaming_funnel" ->

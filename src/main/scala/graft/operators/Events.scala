@@ -59,6 +59,39 @@ object Events {
         stagesReached.as("stage"): _*)
   }
 
+  /** Funnel latency histogram — per CONSECUTIVE stage pair, the
+    * distribution of how long conversion took, as power-of-two latency
+    * buckets (`bucket = length of the duration's binary form`, the
+    * HdrHistogram-style integer log2 — no IEEE log at bucket
+    * boundaries): the "users click within minutes but purchase within
+    * days" report behind funnel-latency SLOs and attribution-window
+    * choices. Durations come from the [[funnel]]'s earliest-completion
+    * chain, so they are the canonical (greedy) chain's latencies;
+    * funnel's strict `>` makes every duration ≥ 1 unit.
+    *
+    * Output: (from_stage, to_stage, bucket, n_users, min_dur, max_dur)
+    * — durations in `tsCol` units.
+    *
+    * Plan shape (100 TB posture): the funnel frame (k skinny
+    * min-aggregates, user-keyed) computes ONCE; each stage pair is a
+    * map-only filter + ONE small hash aggregate over ≤ 64 buckets.
+    * Integer end to end.
+    */
+  def timeToConvert(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    val f = funnel(events, userCol, typeCol, tsCol, stages)
+      .localCheckpoint(eager = true)
+    stages.sliding(2).toSeq.map { case Seq(a, b) =>
+      f.filter(col(s"t_$b").isNotNull)
+        .select((col(s"t_$b") - col(s"t_$a")).as("__d"))
+        .groupBy(length(bin(col("__d"))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("__d")).as("min_dur"), max(col("__d")).as("max_dur"))
+        .select(lit(a).as("from_stage"), lit(b).as("to_stage"),
+          col("bucket"), col("n_users"), col("min_dur"), col("max_dur"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** RFM quartile scoring over per-user totals `(userCol, recency_ns,
     * frequency, monetary)` — each metric cut into exact quartiles via
     * the [[CorpusStats.curriculumBuckets]] histogram machinery (bounded

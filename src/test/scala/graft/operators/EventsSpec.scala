@@ -212,6 +212,28 @@ class EventsSpec extends SparkTestBase {
       plan.contains("windowspecdefinition(k#"), plan)
   }
 
+  test("timeToConvert: power-of-two buckets from the greedy chain, " +
+      "per consecutive pair only, non-funnel users absent") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 3L), (1L, "purchase", 10L),
+      (2L, "view", 0L), (2L, "click", 1L),
+      (3L, "click", 5L),                    // no view: not in the funnel
+      (4L, "view", 0L), (4L, "click", 4L))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.timeToConvert(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .as[(String, String, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+    // durations: u1 view->click 3 (bin '11' -> bucket 2), u2 1 (bucket
+    // 1), u4 4 (bucket 3); u1 click->purchase 7 (bucket 3)
+    assert(got(("view", "click", 1)) === ((1L, 1L, 1L)))
+    assert(got(("view", "click", 2)) === ((1L, 3L, 3L)))
+    assert(got(("view", "click", 3)) === ((1L, 4L, 4L)))
+    assert(got(("click", "purchase", 3)) === ((1L, 7L, 7L)))
+    assert(got.size === 4)
+  }
+
   test("burstiness: metronome pins B = -1, hand-computed bursty key, " +
       "all-zero gaps pin 0, single-event keys are excluded") {
     import spark.implicits._
