@@ -1893,6 +1893,18 @@ object SparkEntry {
         .select(col("vec_id"), (round(col("score"), 8) + lit(0.0)).as("score"))
     }),
 
+    // k-core of the same graph: peel to the dense interior where every
+    // member keeps >= 3 mutual-neighborhood edges — the data-selection
+    // core vs the outlier shell; converged fixpoint, loud on overrun
+    "s36_kcore" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          dim = 64, k = 3, numPlanes = 5, maxBucketSize = 1000000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      Graph.kCore(emb.select("vec_id"), edges, "vec_id", "src", "dst",
+        k = 3, maxRounds = 30)
+    }),
+
     // hubness profile of the same graph: per-vector in-degree (how many
     // others chose it as a neighbor) — high-dim kNN graphs skew toward a
     // few hub vectors that drag retrieval quality. Integer-exact output
@@ -4498,6 +4510,32 @@ object SparkEntry {
        |FROM ($unioned)""".stripMargin
   }
 
+  /** s36: the peel unrolled to the engine's `maxRounds` — peeling is
+    * IDEMPOTENT once converged, and the engine fails loudly if the
+    * fixpoint needs more rounds, so a fixed unroll depth equal to the
+    * engine's bound replays the converged core exactly.
+    */
+  private def s36OracleSql: String = {
+    val rounds = 30
+    // MATERIALIZED per round: each round references its predecessor
+    // twice, so default CTE inlining would expand 2^rounds times
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT e.a, COUNT(*) AS d FROM sym e
+         |        JOIN r${i - 1} va ON e.a = va.v
+         |        JOIN r${i - 1} vb ON e.b = vb.v
+         |        GROUP BY e.a),
+         |r$i AS MATERIALIZED (SELECT a AS v FROM d$i WHERE d >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnEdgeCtes,
+       |und AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst),
+       |sym AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |          (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)),
+       |r0 AS MATERIALIZED (SELECT DISTINCT vec_id AS v FROM embeddings),
+       |$peels
+       |SELECT r$rounds.v AS vec_id, CAST(d$rounds.d AS BIGINT) AS core_degree
+       |FROM r$rounds JOIN d$rounds ON r$rounds.v = d$rounds.a""".stripMargin
+  }
+
   private def s16OracleSql: String =
     s"""$knnEdgeCtes,
        |nodes AS (SELECT vec_id FROM embeddings),
@@ -7095,6 +7133,7 @@ object SparkEntry {
     "s16_knn_hubness" -> s16OracleSql,
     "s18_ann_recall" -> s18OracleSql,
     "s35_ivf_probe_curve" -> s35OracleSql,
+    "s36_kcore" -> s36OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
     // the same CTE chain, counted per stage
     "c12_curation_funnel" ->

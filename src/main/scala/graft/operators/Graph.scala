@@ -189,6 +189,71 @@ object Graph {
     labels
   }
 
+  /** k-core decomposition membership (Seidman 1983): the maximal
+    * subgraph in which every vertex keeps degree ≥ `k` of the
+    * UNDIRECTED simple graph induced by `edges` (direction, duplicate
+    * edges and self-loops collapse). On a kNN similarity graph the
+    * k-core is the "dense interior" — the data-selection region where
+    * every member is mutually embedded in a tight neighborhood, and its
+    * complement is the noise/outlier shell the curriculum samples last.
+    * Computed by the standard peeling fixpoint: repeatedly delete
+    * vertices whose remaining degree is < k until a round deletes
+    * nothing. Output: (idCol, core_degree) — the members with their
+    * within-core degree; non-members are absent.
+    *
+    * Plan shape (100 TB posture): per round TWO left-semi joins
+    * (restrict the edge list to live endpoints — skinny vertex ids
+    * move, never payloads) + ONE hash aggregate (degrees, map-side
+    * combined) + one count action; the live set checkpoints per round
+    * so lineage stays flat (the Pregel shape every iterative operator
+    * here uses). Peeling converges in at most the graph's degeneracy
+    * ordering depth; `maxRounds` bounds the walk and the operator FAILS
+    * LOUDLY if the fixpoint has not landed by then (an oracle replaying
+    * a fixed unroll depth would silently diverge otherwise — and at
+    * corpus scale an unconverged peel means the graph is pathological,
+    * which the caller must hear about, not average over).
+    */
+  def kCore(nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, "need at least one peeling round")
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+    val sym = und
+      .unionByName(und.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct().localCheckpoint(true)
+    var alive = nodes.select(col(idCol).cast("long").as("__v"))
+      .distinct().localCheckpoint(true)
+    var aliveCount = alive.count()
+    var rounds = 0
+    var degrees: DataFrame = null
+    var converged = false
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"k-core peeling did not converge within $maxRounds rounds " +
+            s"($aliveCount vertices still live) — raise maxRounds")
+      val liveEdges = sym
+        .join(alive.select(col("__v").as("__a")), Seq("__a"), "left_semi")
+        .join(alive.select(col("__v").as("__b")), Seq("__b"), "left_semi")
+      degrees = liveEdges.groupBy(col("__a"))
+        .agg(count(lit(1)).as("__d"))
+      val next = degrees.filter(col("__d") >= k)
+        .select(col("__a").as("__v")).localCheckpoint(true)
+      val n = next.count()
+      converged = n == aliveCount
+      alive = next
+      aliveCount = n
+      rounds += 1
+    }
+    alive.join(degrees.select(col("__a").as("__v"), col("__d")),
+        Seq("__v"), "left")
+      .select(col("__v").as(idCol),
+        coalesce(col("__d"), lit(0L)).as("core_degree"))
+  }
+
   /** Per-vertex triangle count and local clustering coefficient
     * C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the UNDIRECTED simple
     * graph induced by `edges` (direction and duplicate edges collapse;

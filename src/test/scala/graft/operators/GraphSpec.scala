@@ -177,4 +177,29 @@ class GraphSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Cartesian"), plan)
   }
+
+  test("kCore: tail peels off a triangle, a chain cascades to empty, " +
+      "direction/duplicates collapse, overrun fails loudly") {
+    import spark.implicits._
+    // triangle {1,2,3} + tail 4-1; duplicate and reversed edges planted
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id") // 5 is isolated
+    val core = Graph.kCore(nodes, tri, "id", "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      "tail vertex 4 and isolate 5 peel; triangle keeps degree 2")
+    // chain a-b-c at k=2: ends peel, then the middle cascades
+    val chain = Seq((10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val chainNodes = Seq(10L, 11L, 12L).toDF("id")
+    assert(Graph.kCore(chainNodes, chain, "id", "src", "dst", k = 2)
+      .count() === 0L)
+    // an 8-path needs 4 peeling rounds at k=2 — a 2-round bound throws
+    val path = (0L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val pathNodes = (0L until 8L).toDF("id")
+    val err = intercept[IllegalStateException] {
+      Graph.kCore(pathNodes, path, "id", "src", "dst", k = 2, maxRounds = 2)
+    }
+    assert(err.getMessage.contains("did not converge"), err.getMessage)
+  }
 }
