@@ -3138,6 +3138,17 @@ object SparkEntry {
         .select("doc_id", "lang", "sample_bucket")),
 
     // ------------------------------------------- LLM pipeline: multimodal
+    // storage-level chunk dedup over the binary payloads: the FastCDC
+    // boundary walk (ONE codegen kernel pass, bytes never shuffle),
+    // chunk identity = (content hash, len), report = total vs distinct
+    // chunk bytes
+    "m08_payload_chunk_dedup" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"),
+        "doc_id", "text", "txt")
+      Multimodal.payloadChunkDedup(media, "media_id", "content",
+        minSize = 32, maskBits = 6, maxSize = 256)
+    }),
+
     "m01_media_pipeline" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
       val decoded = Multimodal.featureStub(Multimodal.decodeStub(media), dim = 8)
@@ -3251,6 +3262,82 @@ object SparkEntry {
     /** x ^ signedConstant on the unsigned domain. */
     def xorConst(x: String, signedC: Long): String =
       toU(s"CAST(xor(${toI(x)}, CAST($signedC AS BIGINT)) AS HUGEINT)")
+  }
+
+  /** m08: the CDC boundary rule replayed exactly — per position the
+    * 16-byte sliding-window poly (prefix poly before position 16),
+    * fmix64-mixed through the d04 stage chain, low-6-bit cut flags;
+    * then the min/max walk as a string-state fold (DuckDB's
+    * list_reduce does not propagate nested-list struct accumulators,
+    * VARCHAR state does); then per-chunk content polynomials from the
+    * cut positions. Raw chunk polynomials stand in for the engine's
+    * fmix64-finalized hashes — fmix64 is a bijection, so the
+    * distinct-(hash, len) cardinality and byte sums are identical.
+    * Fixture text is pure ASCII, so codepoints == bytes (m01 note).
+    */
+  private def m08OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    val goldSigned = -7046029254386353131L // 0x9E3779B97F4A7C15 as signed
+    s"""WITH bts AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) + 1),
+       |           i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT)) AS bs
+       |  FROM documents),
+       |w0 AS (SELECT doc_id, bs, list_transform(range(1, len(bs) + 1),
+       |         p -> list_reduce(list_prepend(0::HUGEINT, bs[GREATEST(1, p - 15):p]),
+       |                (a, c) -> (a * 31 + c) % $U)) AS hw FROM bts),
+       |w1 AS (SELECT doc_id, bs, list_transform(hw, h -> ${xorConst("h", goldSigned)}) AS hw FROM w0),
+       |w2 AS (SELECT doc_id, bs, list_transform(hw, h -> ${xorShift33("h")}) AS hw FROM w1),
+       |w3 AS (SELECT doc_id, bs, list_transform(hw, h -> ${mulMod("h", C1)}) AS hw FROM w2),
+       |w4 AS (SELECT doc_id, bs, list_transform(hw, h -> ${xorShift33("h")}) AS hw FROM w3),
+       |w5 AS (SELECT doc_id, bs, list_transform(hw, h -> ${mulMod("h", C2)}) AS hw FROM w4),
+       |w6 AS (SELECT doc_id, bs, list_transform(hw, h -> ${xorShift33("h")}) AS hw FROM w5),
+       |fl AS (SELECT doc_id, bs, list_transform(range(1, len(hw) + 1),
+       |         p -> CAST(p AS VARCHAR) || ':' ||
+       |              CASE WHEN hw[p] % 64 = 0::HUGEINT THEN '1' ELSE '0' END) AS es
+       |       FROM w6),
+       |wk AS (SELECT doc_id, bs, list_reduce(list_prepend('0|', es),
+       |         (a, e) -> CASE
+       |           WHEN (CAST(string_split(a, '|')[1] AS BIGINT) + 1 >= 32
+       |                 AND string_split(e, ':')[2] = '1')
+       |                OR CAST(string_split(a, '|')[1] AS BIGINT) + 1 = 256
+       |           THEN '0|' || string_split(a, '|')[2] || string_split(e, ':')[1] || ';'
+       |           ELSE CAST(CAST(string_split(a, '|')[1] AS BIGINT) + 1 AS VARCHAR)
+       |                || '|' || string_split(a, '|')[2]
+       |         END) AS st
+       |       FROM fl WHERE len(bs) > 0),
+       |cuts AS (SELECT doc_id, bs,
+       |           CASE WHEN CAST(string_split(st, '|')[1] AS BIGINT) > 0
+       |                THEN list_append(
+       |                  list_filter(string_split(string_split(st, '|')[2], ';'),
+       |                    x -> length(x) > 0), CAST(len(bs) AS VARCHAR))
+       |                ELSE list_filter(string_split(string_split(st, '|')[2], ';'),
+       |                  x -> length(x) > 0) END AS cl
+       |         FROM wk),
+       |ck AS (SELECT doc_id, bs, unnest(list_transform(range(1, len(cl) + 1),
+       |         i -> {'cs': CASE WHEN i = 1 THEN 1
+       |                         ELSE CAST(cl[i - 1] AS BIGINT) + 1 END,
+       |               'ce': CAST(cl[i] AS BIGINT)})) AS c
+       |       FROM cuts),
+       |p AS (SELECT (c.ce - c.cs + 1) AS len,
+       |        list_reduce(list_prepend(0::HUGEINT, bs[c.cs:c.ce]),
+       |          (a, x) -> (a * 31 + x) % $U) AS h
+       |      FROM ck),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |               CAST(COALESCE(SUM(len), 0) AS BIGINT) AS total_bytes
+       |        FROM p),
+       |u AS (SELECT len, h FROM p GROUP BY len, h),
+       |uq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+       |              CAST(COALESCE(SUM(len), 0) AS BIGINT) AS unique_bytes
+       |       FROM u),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT n_docs, total_bytes, n_chunks, n_unique_chunks, unique_bytes,
+       |       CASE WHEN total_bytes = 0 THEN 1.0
+       |            ELSE ROUND(CAST(unique_bytes AS DOUBLE)
+       |                       / CAST(total_bytes AS DOUBLE), 6) + 0.0
+       |       END AS dedup_ratio
+       |FROM nd CROSS JOIN tot CROSS JOIN uq""".stripMargin
   }
 
   /** The d04 oracle: reproduces HashKernels.windowHash (base-31 roll ^
@@ -8169,6 +8256,7 @@ object SparkEntry {
     // (width, height), and h*31 over stride-8 bytes + the MurmurHash3
     // fmix64 finalizer for feature[0], in HUGEINT mod-2^64 arithmetic
     // (64x64-bit multiply split into 32-bit halves to stay inside HUGEINT)
+    "m08_payload_chunk_dedup" -> m08OracleSql,
     "m01_media_pipeline" ->
       """WITH b AS (
            SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,

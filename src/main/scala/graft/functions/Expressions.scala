@@ -462,6 +462,9 @@ object GraftFunctions {
     Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))
   def winnow_hashes(c: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowHashes(Bridge.expression(c), k, w))
+  def cdc_chunks(c: Column, minSize: Int, maskBits: Int,
+      maxSize: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(c), minSize, maskBits, maxSize))
   def deletion_variant_hashes(c: Column, d: Int): Column =
     Bridge.column(DeletionVariantHashes(Bridge.expression(c), d))
   def minhash_sig(c: Column, numHashes: Int): Column =
@@ -532,6 +535,24 @@ case class ShingleHashes(child: Expression, k: Int, word: Boolean,
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** Content-defined chunk (len, hash) pairs of a binary payload,
+  * interleaved — the FastCDC-style boundary walk; see
+  * [[HashKernels.cdcChunks]].
+  */
+case class CdcChunks(child: Expression, minSize: Int, maskBits: Int,
+    maxSize: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.cdcChunks(v.asInstanceOf[Array[Byte]], minSize, maskBits,
+      maxSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.cdcChunks($c, $minSize, $maskBits, $maxSize)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_chunks"
 }
 
 /** Winnowing fingerprint set of a string: distinct sorted sliding-window

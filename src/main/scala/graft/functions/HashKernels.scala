@@ -327,6 +327,59 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Rabin-style content-defined chunking of a binary payload. The cut
+    * decision at each position comes from a 16-byte SLIDING-window
+    * base-31 hash (prefix poly for the first 15 positions), fmix64-mixed
+    * — position-LOCAL, so it depends only on the surrounding content,
+    * never on where the current chunk started: inserting bytes upstream
+    * shifts the data but the boundary decisions re-synchronize on the
+    * same content, which is the whole point of CDC (fixed-size blocks
+    * lose all alignment after one inserted byte; a chunk-state-reset
+    * hash would too — the spec pins this property). Cut after a byte
+    * when the chunk has reached `minSize` and the mixed window hash's
+    * low `maskBits` bits are zero (expected chunk ≈ min + 2^maskBits),
+    * or unconditionally at `maxSize`; the trailing remainder is its own
+    * chunk. Returns interleaved `[len0, hash0, len1, hash1, ...]` where
+    * each hash is the CHUNK-content polynomial (reset per chunk)
+    * finalized with fmix64 — identical bytes, identical hash.
+    */
+  def cdcChunks(bytes: Array[Byte], minSize: Int, maskBits: Int,
+      maxSize: Int): ArrayData = {
+    val mask = (1L << maskBits) - 1L
+    val gold = 0x9E3779B97F4A7C15L
+    var pow = 1L // 31^16 mod 2^64
+    var t = 0
+    while (t < 16) { pow *= 31L; t += 1 }
+    val out = new Array[Long](2 * (bytes.length / math.max(minSize, 1) + 2))
+    var hw = 0L
+    var hc = 0L
+    var cur = 0
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xffL
+      hw = hw * 31L + b -
+        (if (i >= 16) (bytes(i - 16) & 0xffL) * pow else 0L)
+      hc = hc * 31L + b
+      cur += 1
+      if ((cur >= minSize && (Mix64.mix(hw ^ gold) & mask) == 0L) ||
+          cur == maxSize) {
+        out(n) = cur.toLong
+        out(n + 1) = Mix64.mix(hc ^ gold)
+        n += 2
+        hc = 0L
+        cur = 0
+      }
+      i += 1
+    }
+    if (cur > 0) {
+      out(n) = cur.toLong
+      out(n + 1) = Mix64.mix(hc ^ gold)
+      n += 2
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+  }
+
   private val wsRun = java.util.regex.Pattern.compile("\\s+")
 
   private def round6(x: Double): Double =

@@ -76,6 +76,58 @@ object Multimodal {
     * iterator of rows, the exact execution shape a real codec needs
     * (open-once-per-partition, stream rows through).
     */
+  /** Storage-level chunk-dedup report over binary payloads — the
+    * content-defined-chunking measurement (Rabin/LBFS lineage, the
+    * FastCDC boundary rule) behind media-corpus storage planning: how
+    * many bytes would chunk-level dedup actually save? Payloads are cut
+    * into content-defined chunks (boundaries re-synchronize after
+    * insertions, so shifted copies of the same content still share
+    * chunks — the property fixed-size blocks lack), chunk identity is
+    * the (content-hash, length) pair, and the report compares total vs
+    * distinct chunk bytes.
+    *
+    * Output one row: (n_docs, total_bytes, n_chunks, n_unique_chunks,
+    * unique_bytes, dedup_ratio) — ratio 1.0 means nothing dedups; an
+    * empty corpus pins ratio 1.0.
+    *
+    * Plan shape (100 TB posture): ONE codegen kernel pass per payload
+    * (the [[graft.functions.HashKernels.cdcChunks]] walk) emitting
+    * skinny (len, hash) pairs — payload bytes NEVER shuffle; the only
+    * exchanges are a 16-byte-row hash aggregate on the chunk key and
+    * three 1-row attaches.
+    */
+  def payloadChunkDedup(media: DataFrame, idCol: String,
+      payloadCol: String, minSize: Int = 32, maskBits: Int = 6,
+      maxSize: Int = 256): DataFrame = {
+    require(minSize >= 1, s"minSize must be >= 1, got $minSize")
+    require(maxSize >= minSize, s"maxSize $maxSize < minSize $minSize")
+    require(maskBits >= 1 && maskBits <= 62, s"maskBits out of range: $maskBits")
+    val pairs = media
+      .select(graft.functions.GraftFunctions
+        .cdc_chunks(col(payloadCol), minSize, maskBits, maxSize).as("__c"))
+      .filter(size(col("__c")) >= 2) // empty payloads yield no chunks
+      .select(explode(expr(
+        """transform(sequence(1, size(__c) div 2),
+          |  i -> struct(element_at(__c, CAST(2*i-1 AS INT)) AS len,
+          |              element_at(__c, CAST(2*i AS INT)) AS hash))""".stripMargin))
+        .as("__p"))
+      .select(col("__p.len").as("__len"), col("__p.hash").as("__h"))
+    val nDocs = media.agg(count(lit(1)).as("n_docs"))
+    val tot = pairs.agg(count(lit(1)).as("n_chunks"),
+      coalesce(sum(col("__len")), lit(0L)).as("total_bytes"))
+    val uniq = pairs.groupBy(col("__h"), col("__len"))
+      .agg(count(lit(1)).as("__dup"))
+      .agg(count(lit(1)).as("n_unique_chunks"),
+        coalesce(sum(col("__len")), lit(0L)).as("unique_bytes"))
+    nDocs.crossJoin(tot).crossJoin(uniq)
+      .select(col("n_docs"), col("total_bytes"), col("n_chunks"),
+        col("n_unique_chunks"), col("unique_bytes"),
+        when(col("total_bytes") === 0, lit(1.0))
+          .otherwise(round(col("unique_bytes").cast("double") /
+            col("total_bytes").cast("double"), 6) + lit(0.0))
+          .as("dedup_ratio"))
+  }
+
   def decodeStub(df: DataFrame): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("width", IntegerType, nullable = true),

@@ -151,4 +151,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(4L) === ((4L, true, false, true, true, false)))
     assert(got(5L) === ((5L, true, false, false, true, false)))
   }
+
+  test("cdcChunks kernel: lengths partition the payload, bounds hold, " +
+      "and boundaries re-synchronize after a prepended byte") {
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill[Byte](4096)((rnd.nextInt(256) - 128).toByte)
+    def chunks(b: Array[Byte]): Seq[(Long, Long)] = {
+      val a = graft.functions.HashKernels.cdcChunks(b, 32, 6, 256)
+        .toLongArray()
+      a.grouped(2).map(p => (p(0), p(1))).toSeq
+    }
+    val cs = chunks(base)
+    assert(cs.map(_._1).sum === 4096L, "chunk lengths must partition")
+    assert(cs.forall(_._1 <= 256L), "maxSize bound")
+    assert(cs.dropRight(1).forall(_._1 >= 32L),
+      "every non-trailing chunk respects minSize")
+    assert(cs.size > 4, s"expected several chunks, got ${cs.size}")
+    // shift-resistance: prepend one byte — after the first boundary the
+    // walk re-synchronizes, so most chunk hashes are SHARED
+    val shifted = chunks(0x7.toByte +: base)
+    val shared = cs.map(_._2).toSet.intersect(shifted.map(_._2).toSet)
+    assert(shared.size >= cs.size - 2,
+      s"shifted copy must re-share almost all chunks: ${shared.size}/${cs.size}")
+    assert(chunks(Array.emptyByteArray).isEmpty)
+  }
+
+  test("payloadChunkDedup: identical payloads dedup fully, disjoint ones " +
+      "not at all, empty corpus pins ratio 1.0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill[Byte](2048)((rnd.nextInt(256) - 128).toByte)
+    val b = Array.fill[Byte](2048)((rnd.nextInt(256) - 128).toByte)
+    val media = Seq((1L, a), (2L, a), (3L, b)).toDF("media_id", "content")
+    val got = Multimodal.payloadChunkDedup(media, "media_id", "content")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(got._1 === 3L && got._2 === 6144L)
+    // doc 2 repeats doc 1 exactly: its chunks all dedup away
+    assert(got._5 === got._2 - 2048L,
+      s"unique bytes must drop by exactly one copy of a: $got")
+    assert(got._6 === BigDecimal(got._5.toDouble / got._2.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val empty = Multimodal.payloadChunkDedup(
+      media.filter($"media_id" > 99), "media_id", "content")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(empty === ((0L, 0L, 0L, 0L, 0L, 1.0)))
+  }
 }
