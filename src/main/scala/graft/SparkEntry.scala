@@ -2578,6 +2578,30 @@ object SparkEntry {
     // streaming rolling actives: distinct (day, user) pairs as prefix-
     // partitioned LSM state, per batch only affected days re-emit; the
     // drained latest-batch-wins report equals the batch g12 operator
+    // streaming chunk dedup: the m08 storage report kept current at
+    // ingest — chunk-key state is append-only facts, emissions are
+    // per-batch deltas (pure sums, replay-proof)
+    "e23_streaming_chunk_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e23").toString
+      val media = Multimodal.fromText(t(s, dir, "documents"),
+        "doc_id", "text", "txt").select("media_id", "content")
+      media.filter(col("media_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      media.filter(col("media_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("media_id BIGINT, content BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingChunkDedup.start(s, src,
+        "media_id", "content", s"$tmp/chunks", s"$tmp/report", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e23 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingChunkDedup.report(s, s"$tmp/report")
+    }),
+
     // streaming burstiness: exact per-user gap moments + last_t as
     // latest-wins LSM state; drained report equals the batch g15
     "e22_streaming_burstiness" -> ((s, dir) => {
@@ -8257,6 +8281,9 @@ object SparkEntry {
     // fmix64 finalizer for feature[0], in HUGEINT mod-2^64 arithmetic
     // (64x64-bit multiply split into 32-bit halves to stay inside HUGEINT)
     "m08_payload_chunk_dedup" -> m08OracleSql,
+    // the e-series contract: the drained delta-folded report equals the
+    // batch m08 operator over the full payload history
+    "e23_streaming_chunk_dedup" -> m08OracleSql,
     "m01_media_pipeline" ->
       """WITH b AS (
            SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -1965,4 +1965,43 @@ class StreamingSpec extends SparkTestBase {
     assert(rep() === (want + (1L -> ((3L, 8L, r6(d / 25.0),
       r6((d - 25.0) / (d + 25.0)))))))
   }
+
+  test("streaming chunk dedup: cross-batch duplicates dedup through the " +
+      "persisted chunk-key store, drained report equals the batch m08, " +
+      "replays and compaction are exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_scd").toString
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill[Byte](2048)((rnd.nextInt(256) - 128).toByte)
+    val b = Array.fill[Byte](2048)((rnd.nextInt(256) - 128).toByte)
+    val b0 = Seq((1L, a)).toDF("media_id", "content")
+    val b1 = Seq((2L, a), (3L, b)).toDF("media_id", "content") // 2 repeats a
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingChunkDedup.processBatch(df, id, "media_id", "content",
+        s"$dir/chunks", s"$dir/report", 32, 6, 256)
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep() = StreamingChunkDedup.report(spark, s"$dir/report")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    val want = graft.operators.Multimodal.payloadChunkDedup(
+        b0.unionByName(b1), "media_id", "content")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(rep() === want)
+    assert(want._5 === want._2 - 2048L,
+      s"the repeated payload must dedup away exactly once: $want")
+    // batch 1's delta must show zero new uniques for the repeated doc's
+    // chunks (they hit the persisted store)
+    val d1 = spark.read.parquet(s"$dir/report/batch=1")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(d1._4 < d1._3, s"some of batch 1's chunks were already seen: $d1")
+    // crash-replay of batch 1: totals unchanged (deltas are overwritten,
+    // the anti-join excludes this batch's own tail)
+    run(b1, 1L)
+    assert(rep() === want, "replay double-counted")
+    StreamingChunkDedup.compactState(spark, s"$dir/chunks")
+    run(Seq((4L, a)).toDF("media_id", "content"), 2L)
+    val after = rep()
+    assert(after._1 === want._1 + 1 && after._5 === want._5,
+      "a post-compaction repeat adds bytes but zero unique bytes")
+  }
 }
