@@ -2578,6 +2578,37 @@ object SparkEntry {
     // streaming rolling actives: distinct (day, user) pairs as prefix-
     // partitioned LSM state, per batch only affected days re-emit; the
     // drained latest-batch-wins report equals the batch g12 operator
+    // streaming k-anonymity: per-class audit rows kept current at
+    // ingest — cumulative counts latest-wins + append-only membership
+    // facts; a new re-identifiable class surfaces the batch it appears
+    "e24_streaming_k_anonymity" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e24").toString
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        expr("((ts div 1000) div 3600000000) % 24").as("hour_of_day"),
+        floor(col("value") / lit(10.0)).cast("long").as("value_bucket"),
+        col("user_id"))
+      ev.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("event_id BIGINT, event_type STRING, hour_of_day BIGINT, " +
+          "value_bucket BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingKAnonymity.start(s, src,
+        Seq("event_type", "hour_of_day", "value_bucket"), "user_id",
+        k = 5L, l = 3L, s"$tmp/pairs", s"$tmp/counts", s"$tmp/report",
+        s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e24 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingKAnonymity.report(s, s"$tmp/report",
+        Seq("event_type", "hour_of_day", "value_bucket"))
+    }),
+
     // streaming chunk dedup: the m08 storage report kept current at
     // ingest — chunk-key state is append-only facts, emissions are
     // per-batch deltas (pure sums, replay-proof)
@@ -4393,6 +4424,20 @@ object SparkEntry {
     * day — shared verbatim because the streaming drain must equal the
     * batch operator over the full history.
     */
+  private def v03OracleSql: String =
+    """WITH ev AS (
+         SELECT event_type,
+                (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket,
+                user_id
+         FROM events)
+       SELECT event_type, hour_of_day, value_bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+              COUNT(*) >= 5 AS k_anonymous,
+              COUNT(DISTINCT user_id) >= 3 AS l_diverse
+       FROM ev GROUP BY 1, 2, 3"""
+
   private def g15OracleSql: String =
     """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
        g AS (SELECT user_id,
@@ -6365,19 +6410,10 @@ object SparkEntry {
     // k-anonymity: GROUP BY the quasi-id tuple, flags replayed with the
     // same k=5 / l=3 literals; hour/bucket arithmetic mirrors the engine
     // (integer micros floor-div; IEEE FLOOR on value/10)
-    "v03_k_anonymity" ->
-      """WITH ev AS (
-           SELECT event_type,
-                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
-                  CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket,
-                  user_id
-           FROM events)
-         SELECT event_type, hour_of_day, value_bucket,
-                CAST(COUNT(*) AS BIGINT) AS n_rows,
-                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive,
-                COUNT(*) >= 5 AS k_anonymous,
-                COUNT(DISTINCT user_id) >= 3 AS l_diverse
-         FROM ev GROUP BY 1, 2, 3""",
+    "v03_k_anonymity" -> v03OracleSql,
+    // the e-series contract: the drained latest-batch-wins audit equals
+    // the batch v03 over the full event history
+    "e24_streaming_k_anonymity" -> v03OracleSql,
     // dataset card: every stat replayed with the engine's exact
     // arithmetic (DECIMAL quality sum, rounded-then-DECIMAL entropy
     // terms, md5-of-normalized dup definition)

@@ -1,0 +1,192 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Streaming k-anonymity / l-diversity monitor — the live counterpart of
+ * the batch [[graft.operators.Governance.kAnonymityAudit]] (v03): as
+ * rows arrive, keep every quasi-identifier equivalence class's audit
+ * row current. The privacy gate at INGEST time: a class that is
+ * k-anonymous today can silently drop below `k` relative relevance or
+ * — the dangerous direction — a brand-new small class can appear and
+ * sit re-identifiable for months before a batch audit runs; this
+ * monitor re-emits a class the moment a batch touches it. The drained
+ * report equals the batch audit over the full history (the e-series
+ * contract).
+ *
+ * State (the e11 + e19 hybrid):
+ *  - `countsDir` — ONE row per class `(quasi..., n_rows)` with
+ *    LATEST-BATCH-WINS tail overrides (cumulative row counts);
+ *  - `pairsDir` — distinct `(quasi..., sensitive)` membership FACTS,
+ *    append-only (the e19 pair recipe) — l-diversity needs the distinct
+ *    set, and facts never change.
+ * Both partition on `__qp = pmod(hash(quasi...), 32)`; a batch reads
+ * only its touched class prefixes (PartitionFilter) + touched classes
+ * (left-semi), appends batch-keyed (replay-overwritten — exactly-once),
+ * and re-emits exactly its touched classes' audit rows.
+ *
+ * 100 TB posture: per batch the work is O(batch + touched class rows);
+ * only skinny (quasi, sensitive) and (quasi, count) rows move or
+ * persist — never payloads.
+ */
+object StreamingKAnonymity {
+
+  private def layoutFor(quasiCols: Seq[String]): LsmLayout = LsmLayout(
+    partitionCols = Seq("__qp"),
+    derivedCols = Seq("__qp"),
+    derive = df => df.withColumn("__qp",
+      pmod(hash(quasiCols.map(col): _*), lit(32)).cast("int")))
+
+  private def ensureStores(spark: SparkSession, batchSchema: StructType,
+      quasiCols: Seq[String], sensitiveCol: String, pairsDir: String,
+      countsDir: String): Unit = {
+    val layout = layoutFor(quasiCols)
+    if (!LsmParquetState.exists(spark, pairsDir)) {
+      val schema = StructType(quasiCols.map(c =>
+        batchSchema(c)) :+ batchSchema(sensitiveCol))
+      LsmParquetState.seed(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema), pairsDir, layout)
+    }
+    if (!LsmParquetState.exists(spark, countsDir)) {
+      val schema = StructType(quasiCols.map(c => batchSchema(c)) :+
+        StructField("n_rows", LongType, nullable = false))
+      LsmParquetState.seed(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema), countsDir, layout)
+    }
+  }
+
+  /** Latest cumulative count per class (base overridden by the newest
+    * tail row — the e11 resolution shape).
+    */
+  private def currentCounts(s: SparkSession, countsDir: String,
+      quasiCols: Seq[String], prefixes: Seq[Int],
+      excludeTailBatch: Option[Long]): DataFrame = {
+    val layout = layoutFor(quasiCols)
+    val pred =
+      if (prefixes.isEmpty) lit(true) else col("__qp").isin(prefixes: _*)
+    val base = LsmParquetState.scanBaseOnly(s, countsDir, layout, pred)
+    val tail = LsmParquetState.scanTailTagged(s, countsDir, layout,
+      excludeTailBatch)
+    val latest = tail.groupBy(quasiCols.map(col): _*)
+      .agg(max_by(col("n_rows"), col("__tail_batch")).as("n_rows"))
+    base.join(latest.select(quasiCols.map(col): _*), quasiCols, "left_anti")
+      .unionByName(latest)
+  }
+
+  /** The drained report: the v03 emission schema, latest emitting batch
+    * wins per class.
+    */
+  def report(spark: SparkSession, reportDir: String,
+      quasiCols: Seq[String]): DataFrame =
+    spark.read.parquet(reportDir)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max_by(struct(col("n_rows"), col("n_sensitive"),
+          col("k_anonymous"), col("l_diverse")), col("batch").cast("long"))
+        .as("__v"))
+      .select(quasiCols.map(col) ++ Seq(col("__v.n_rows").as("n_rows"),
+        col("__v.n_sensitive").as("n_sensitive"),
+        col("__v.k_anonymous").as("k_anonymous"),
+        col("__v.l_diverse").as("l_diverse")): _*)
+
+  def start(spark: SparkSession, source: DataFrame,
+      quasiCols: Seq[String], sensitiveCol: String, k: Long, l: Long,
+      pairsDir: String, countsDir: String, reportDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    ensureStores(spark, source.schema, quasiCols, sensitiveCol, pairsDir,
+      countsDir)
+    LsmParquetState.withPendingOwners(Seq(pairsDir, countsDir)) {
+      source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, batchId, quasiCols, sensitiveCol, k, l,
+            pairsDir, countsDir, reportDir)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
+  }
+
+  /** One micro-batch — split out so the replay spec drives the exact
+    * production path with a pinned `batchId`.
+    */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      quasiCols: Seq[String], sensitiveCol: String, k: Long, l: Long,
+      pairsDir: String, countsDir: String, reportDir: String): Unit = {
+    val s = batch.sparkSession
+    val layout = layoutFor(quasiCols)
+    val rows = batch.select((quasiCols :+ sensitiveCol).map(col): _*)
+      .localCheckpoint(eager = true)
+    ensureStores(s, rows.schema, quasiCols, sensitiveCol, pairsDir,
+      countsDir)
+    val prefixes = rows
+      .select(pmod(hash(quasiCols.map(col): _*), lit(32)).cast("int")
+        .as("p"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    def q(cols: Seq[String]): Seq[Column] = cols.map(col)
+    if (prefixes.isEmpty) {
+      // empty batch: an empty report partition keeps replay idempotent
+      rows.limit(0).groupBy(q(quasiCols): _*)
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("n_sensitive", lit(0L))
+        .withColumn("k_anonymous", lit(false))
+        .withColumn("l_diverse", lit(false))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rows)
+      return
+    }
+    val touched = rows.select(q(quasiCols): _*).distinct()
+      .localCheckpoint(eager = true)
+    // cumulative row counts: batch delta + latest persisted
+    val delta = rows.groupBy(q(quasiCols): _*)
+      .agg(count(lit(1)).as("__d"))
+    val prior = currentCounts(s, countsDir, quasiCols, prefixes,
+      Some(batchId))
+      .join(touched, quasiCols, "left_semi")
+    val nextCounts = delta.join(prior, quasiCols, "left_outer")
+      .select(q(quasiCols) :+
+        (col("__d") + coalesce(col("n_rows"), lit(0L))).as("n_rows"): _*)
+      .localCheckpoint(eager = true)
+    LsmParquetState.append(nextCounts, countsDir, Some(batchId))
+    // distinct membership facts: only NEW (class, sensitive) pairs land
+    val batchPairs = rows.distinct()
+    val seenPairs = LsmParquetState.scan(s, pairsDir, layout,
+      col("__qp").isin(prefixes: _*), excludeTailBatch = Some(batchId))
+    val freshPairs = batchPairs
+      .join(seenPairs, quasiCols :+ sensitiveCol, "left_anti")
+      .localCheckpoint(eager = true)
+    LsmParquetState.append(freshPairs, pairsDir, Some(batchId))
+    // post-append scan: distinct-sensitive counts for the touched classes
+    val nSens = LsmParquetState.scan(s, pairsDir, layout,
+        col("__qp").isin(prefixes: _*))
+      .join(touched, quasiCols, "left_semi")
+      .groupBy(q(quasiCols): _*)
+      .agg(count(lit(1)).as("n_sensitive")) // pairs are distinct facts
+    nextCounts.join(nSens, quasiCols)
+      .select(q(quasiCols) ++ Seq(col("n_rows"), col("n_sensitive"),
+        (col("n_rows") >= k).as("k_anonymous"),
+        (col("n_sensitive") >= l).as("l_diverse")): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(freshPairs)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(nextCounts)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(touched)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rows)
+  }
+
+  /** Fold both stores' tails into their bases — pairs are plain facts,
+    * counts resolve latest-wins. Call BETWEEN runs (guarded).
+    */
+  def compactState(spark: SparkSession, pairsDir: String,
+      countsDir: String, quasiCols: Seq[String]): Unit = {
+    val layout = layoutFor(quasiCols)
+    LsmParquetState.compact(spark, pairsDir, layout)
+    LsmParquetState.compact(spark, countsDir, layout,
+      resolve = Some(df => df.groupBy(quasiCols.map(col): _*)
+        .agg(max_by(col("n_rows"), col("__tail_batch")).as("n_rows"))))
+  }
+}

@@ -1966,6 +1966,45 @@ class StreamingSpec extends SparkTestBase {
       r6((d - 25.0) / (d + 25.0)))))))
   }
 
+  test("streaming k-anonymity: counts accumulate latest-wins, distinct " +
+      "sensitive values through membership facts, a class crosses the k " +
+      "threshold mid-stream, replays and compaction are exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ska").toString
+    val b0 = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "x"))
+      .toDF("zip", "disease")
+    val b1 = Seq(("A", "z"), ("B", "x")).toDF("zip", "disease")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingKAnonymity.processBatch(df, id, Seq("zip"), "disease",
+        k = 4L, l = 3L, s"$dir/pairs", s"$dir/counts", s"$dir/report")
+    run(b0, 0L)
+    // after batch 0, A is NOT yet k-anonymous (3 rows < 4)
+    val mid = StreamingKAnonymity.report(spark, s"$dir/report", Seq("zip"))
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(mid("A") === ((3L, 2L, false, false)))
+    run(b1, 1L)
+    def rep() = StreamingKAnonymity
+      .report(spark, s"$dir/report", Seq("zip"))
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val want = graft.operators.Governance.kAnonymityAudit(
+        b0.unionByName(b1), Seq("zip"), "disease", 4L, 3L)
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(want === Map("A" -> ((4L, 3L, true, true)),
+      "B" -> ((2L, 1L, false, false))), "batch truth sanity")
+    assert(rep() === want, "A crossed the threshold in batch 1")
+    // crash-replay of batch 1: counts must not double, facts must not dup
+    run(b1, 1L)
+    assert(rep() === want, "replay drifted")
+    StreamingKAnonymity.compactState(spark, s"$dir/pairs", s"$dir/counts",
+      Seq("zip"))
+    run(Seq(("A", "x")).toDF("zip", "disease"), 2L)
+    assert(rep() === (want + ("A" -> ((5L, 3L, true, true)))),
+      "post-compaction batch must see folded counts and facts")
+  }
+
   test("streaming chunk dedup: cross-batch duplicates dedup through the " +
       "persisted chunk-key store, drained report equals the batch m08, " +
       "replays and compaction are exact") {
