@@ -18,18 +18,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  * contract).
  *
  * State (the e11 + e19 hybrid):
- *  - `countsDir` — ONE row per class `(quasi..., n_rows)` with
- *    LATEST-BATCH-WINS tail overrides (cumulative row counts);
+ *  - `countsDir` — ONE row per class `(quasi..., n_rows, n_sensitive)`
+ *    with LATEST-BATCH-WINS tail overrides: BOTH cumulative counters
+ *    live here, updated incrementally (`n_sensitive` grows by the
+ *    batch's count of NEW membership facts — so the pairs store is
+ *    never re-read after its append);
  *  - `pairsDir` — distinct `(quasi..., sensitive)` membership FACTS,
- *    append-only (the e19 pair recipe) — l-diversity needs the distinct
- *    set, and facts never change.
+ *    append-only (the e19 pair recipe) — read ONLY by the per-batch
+ *    anti-join that decides which facts are new.
  * Both partition on `__qp = pmod(hash(quasi...), 32)`; a batch reads
  * only its touched class prefixes (PartitionFilter) + touched classes
  * (left-semi), appends batch-keyed (replay-overwritten — exactly-once),
  * and re-emits exactly its touched classes' audit rows.
  *
  * 100 TB posture: per batch the work is O(batch + touched class rows);
- * only skinny (quasi, sensitive) and (quasi, count) rows move or
+ * only skinny (quasi, sensitive) and (quasi, counters) rows move or
  * persist — never payloads.
  */
 object StreamingKAnonymity {
@@ -52,14 +55,15 @@ object StreamingKAnonymity {
     }
     if (!LsmParquetState.exists(spark, countsDir)) {
       val schema = StructType(quasiCols.map(c => batchSchema(c)) :+
-        StructField("n_rows", LongType, nullable = false))
+        StructField("n_rows", LongType, nullable = false) :+
+        StructField("n_sensitive", LongType, nullable = false))
       LsmParquetState.seed(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema), countsDir, layout)
     }
   }
 
-  /** Latest cumulative count per class (base overridden by the newest
-    * tail row — the e11 resolution shape).
+  /** Latest cumulative counters per class (base overridden by the
+    * newest tail row — the e11 resolution shape).
     */
   private def currentCounts(s: SparkSession, countsDir: String,
       quasiCols: Seq[String], prefixes: Seq[Int],
@@ -71,7 +75,10 @@ object StreamingKAnonymity {
     val tail = LsmParquetState.scanTailTagged(s, countsDir, layout,
       excludeTailBatch)
     val latest = tail.groupBy(quasiCols.map(col): _*)
-      .agg(max_by(col("n_rows"), col("__tail_batch")).as("n_rows"))
+      .agg(max_by(struct(col("n_rows"), col("n_sensitive")),
+        col("__tail_batch")).as("__v"))
+      .select(quasiCols.map(col) :+ col("__v.n_rows").as("n_rows") :+
+        col("__v.n_sensitive").as("n_sensitive"): _*)
     base.join(latest.select(quasiCols.map(col): _*), quasiCols, "left_anti")
       .unionByName(latest)
   }
@@ -140,18 +147,6 @@ object StreamingKAnonymity {
       return
     }
     val touched = rows.select(q(quasiCols): _*).distinct()
-      .localCheckpoint(eager = true)
-    // cumulative row counts: batch delta + latest persisted
-    val delta = rows.groupBy(q(quasiCols): _*)
-      .agg(count(lit(1)).as("__d"))
-    val prior = currentCounts(s, countsDir, quasiCols, prefixes,
-      Some(batchId))
-      .join(touched, quasiCols, "left_semi")
-    val nextCounts = delta.join(prior, quasiCols, "left_outer")
-      .select(q(quasiCols) :+
-        (col("__d") + coalesce(col("n_rows"), lit(0L))).as("n_rows"): _*)
-      .localCheckpoint(eager = true)
-    LsmParquetState.append(nextCounts, countsDir, Some(batchId))
     // distinct membership facts: only NEW (class, sensitive) pairs land
     val batchPairs = rows.distinct()
     val seenPairs = LsmParquetState.scan(s, pairsDir, layout,
@@ -160,21 +155,32 @@ object StreamingKAnonymity {
       .join(seenPairs, quasiCols :+ sensitiveCol, "left_anti")
       .localCheckpoint(eager = true)
     LsmParquetState.append(freshPairs, pairsDir, Some(batchId))
-    // post-append scan: distinct-sensitive counts for the touched classes
-    val nSens = LsmParquetState.scan(s, pairsDir, layout,
-        col("__qp").isin(prefixes: _*))
+    // cumulative counters: batch deltas + latest persisted — the pairs
+    // store is NOT re-read; its delta is the fresh-pair count per class
+    val delta = rows.groupBy(q(quasiCols): _*)
+      .agg(count(lit(1)).as("__d"))
+    val sensDelta = freshPairs.groupBy(q(quasiCols): _*)
+      .agg(count(lit(1)).as("__ds"))
+    val prior = currentCounts(s, countsDir, quasiCols, prefixes,
+      Some(batchId))
       .join(touched, quasiCols, "left_semi")
-      .groupBy(q(quasiCols): _*)
-      .agg(count(lit(1)).as("n_sensitive")) // pairs are distinct facts
-    nextCounts.join(nSens, quasiCols)
+    val nextCounts = delta
+      .join(sensDelta, quasiCols, "left_outer")
+      .join(prior, quasiCols, "left_outer")
+      .select(q(quasiCols) :+
+        (col("__d") + coalesce(col("n_rows"), lit(0L))).as("n_rows") :+
+        (coalesce(col("__ds"), lit(0L)) +
+          coalesce(col("n_sensitive"), lit(0L))).as("n_sensitive"): _*)
+      .localCheckpoint(eager = true)
+    LsmParquetState.append(nextCounts, countsDir, Some(batchId))
+    nextCounts
       .select(q(quasiCols) ++ Seq(col("n_rows"), col("n_sensitive"),
         (col("n_rows") >= k).as("k_anonymous"),
         (col("n_sensitive") >= l).as("l_diverse")): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
-    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(freshPairs)
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(nextCounts)
-    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(touched)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(freshPairs)
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(rows)
   }
 
@@ -187,6 +193,9 @@ object StreamingKAnonymity {
     LsmParquetState.compact(spark, pairsDir, layout)
     LsmParquetState.compact(spark, countsDir, layout,
       resolve = Some(df => df.groupBy(quasiCols.map(col): _*)
-        .agg(max_by(col("n_rows"), col("__tail_batch")).as("n_rows"))))
+        .agg(max_by(struct(col("n_rows"), col("n_sensitive")),
+          col("__tail_batch")).as("__v"))
+        .select(quasiCols.map(col) :+ col("__v.n_rows").as("n_rows") :+
+          col("__v.n_sensitive").as("n_sensitive"): _*)))
   }
 }
