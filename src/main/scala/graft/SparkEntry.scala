@@ -4661,7 +4661,8 @@ object SparkEntry {
        |        FROM exs) WHERE rnk <= 10),
        |$perProbe
        |SELECT nprobe, n_queries, hits,
-       |       ROUND(CAST(hits AS DOUBLE) / 100.0, 6) + 0.0 AS recall,
+       |       ROUND(CAST(hits AS DOUBLE) /
+       |             CAST((SELECT COUNT(*) FROM ex) AS DOUBLE), 6) + 0.0 AS recall,
        |       n_candidates
        |FROM ($unioned)""".stripMargin
   }

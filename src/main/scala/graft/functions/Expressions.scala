@@ -543,6 +543,16 @@ case class ShingleHashes(child: Expression, k: Int, word: Boolean,
   */
 case class CdcChunks(child: Expression, minSize: Int, maskBits: Int,
     maxSize: Int) extends UnaryExpression {
+  // validate here so EVERY entry point (raw GraftFunctions.cdc_chunks,
+  // StreamingChunkDedup, Multimodal) fails loudly at PLAN time: the
+  // kernel sizes its output buffer as 2*(len/minSize + 2), so e.g.
+  // maxSize < minSize would overrun it with an uninformative
+  // executor-side ArrayIndexOutOfBoundsException
+  require(minSize >= 1, s"cdc_chunks: minSize must be >= 1 (got $minSize)")
+  require(maxSize >= minSize,
+    s"cdc_chunks: maxSize ($maxSize) must be >= minSize ($minSize)")
+  require(maskBits >= 1 && maskBits <= 62,
+    s"cdc_chunks: maskBits must lie in [1, 62] (got $maskBits)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     HashKernels.cdcChunks(v.asInstanceOf[Array[Byte]], minSize, maskBits,

@@ -444,8 +444,12 @@ object Similarity {
     *
     * Output: one row per probe level —
     * (nprobe, n_queries, hits, recall, n_candidates), where recall =
-    * hits / (n_queries · k) and n_candidates is the total scored
-    * candidate count at that probe level (the cost axis of the curve).
+    * hits / |exact top-k| — the baseline's ACTUAL row count, which is
+    * n_queries · k only when every query has k scoreable corpus
+    * neighbors (a small corpus or null-cosine rows shrink it; dividing
+    * by the ideal count would deflate recall and break the
+    * "full probe reads 1.0" property) — and n_candidates is the total
+    * scored candidate count at that probe level (the cost axis).
     *
     * Plan shape (100 TB posture): the corpus is scanned TWICE total —
     * once for the exact baseline, once for list assignment — regardless
@@ -475,6 +479,9 @@ object Similarity {
       .select(col(queryId), col(corpusId))
       .localCheckpoint(eager = true)
     val nQueries = queries.select(col(queryId)).distinct().count()
+    val nExact = exact.count()
+    require(nExact > 0, "ivfProbeCurve: exact baseline is empty " +
+      "(no query has a scoreable corpus neighbor)")
     val assigned = corpus.select(col(corpusId), col(corpusVec),
       nearestCentroidCol(cent)(col(corpusVec)).as("__list"))
     val probed = queries.select(col(queryId), col(queryVec).as("__qv"),
@@ -499,7 +506,7 @@ object Similarity {
         lit(nQueries).cast("long").as("n_queries"),
         col("hits").cast("long").as("hits"),
         (round(col("hits").cast("double") /
-          lit((nQueries * k).toDouble), 6) + lit(0.0)).as("recall"),
+          lit(nExact.toDouble), 6) + lit(0.0)).as("recall"),
         col("n_candidates").cast("long").as("n_candidates"))
     }
     rows.reduce(_.unionByName(_))

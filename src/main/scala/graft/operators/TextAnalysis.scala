@@ -1094,8 +1094,13 @@ object TextAnalysis {
     val counts = df.select(explode(tokens(col(textCol))).as("__t"))
       .filter(length(col("__t")) > 0)
       .groupBy("__t").agg(count(lit(1)).as("__c"))
+    // hapax product in DECIMAL(38,0): a LongType multiply would silently
+    // wrap past ~3e9 hapaxes under non-ANSI Spark while the BIGINT oracle
+    // raises — the same divergence class neymanAllocation was hardened
+    // against (the concentrationReport sum-of-squares route)
     val chao1 = col("vocab").cast("double") +
-      (col("n_hapax") * (col("n_hapax") - lit(1L))).cast("double") /
+      (col("n_hapax").cast("decimal(38,0)") *
+        (col("n_hapax") - lit(1L)).cast("decimal(38,0)")).cast("double") /
         ((col("n_dis") + lit(1L)) * lit(2L)).cast("double")
     counts.agg(
         count(lit(1)).as("vocab"),

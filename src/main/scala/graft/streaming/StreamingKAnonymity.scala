@@ -25,7 +25,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  *    never re-read after its append);
  *  - `pairsDir` — distinct `(quasi..., sensitive)` membership FACTS,
  *    append-only (the e19 pair recipe) — read ONLY by the per-batch
- *    anti-join that decides which facts are new.
+ *    anti-join that decides which facts are new. Null-sensitive rows
+ *    never land here (the batch audit's countDistinct ignores nulls),
+ *    and all state joins are NULL-SAFE: a NULL quasi-id tuple is its
+ *    own auditable class per the v03 contract.
  * Both partition on `__qp = pmod(hash(quasi...), 32)`; a batch reads
  * only its touched class prefixes (PartitionFilter) + touched classes
  * (left-semi), appends batch-keyed (replay-overwritten — exactly-once),
@@ -36,6 +39,17 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  * persist — never payloads.
  */
 object StreamingKAnonymity {
+
+  /** Null-safe equi-join condition between two aliased frames — quasi
+    * ids (and the class keys derived from them) are NULLABLE audit
+    * classes by the batch contract (v03 audits a NULL quasi-id tuple as
+    * its own equivalence class), so every state join here must match
+    * null keys: plain `===` would treat each null-keyed row as
+    * matchless, re-appending its facts and resetting its counters every
+    * batch.
+    */
+  private def nullSafeOn(l: String, r: String, cols: Seq[String]): Column =
+    cols.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
 
   private def layoutFor(quasiCols: Seq[String]): LsmLayout = LsmLayout(
     partitionCols = Seq("__qp"),
@@ -79,7 +93,9 @@ object StreamingKAnonymity {
         col("__tail_batch")).as("__v"))
       .select(quasiCols.map(col) :+ col("__v.n_rows").as("n_rows") :+
         col("__v.n_sensitive").as("n_sensitive"): _*)
-    base.join(latest.select(quasiCols.map(col): _*), quasiCols, "left_anti")
+    base.as("b")
+      .join(latest.select(quasiCols.map(col): _*).as("l"),
+        nullSafeOn("b", "l", quasiCols), "left_anti")
       .unionByName(latest)
   }
 
@@ -147,12 +163,17 @@ object StreamingKAnonymity {
       return
     }
     val touched = rows.select(q(quasiCols): _*).distinct()
-    // distinct membership facts: only NEW (class, sensitive) pairs land
-    val batchPairs = rows.distinct()
+    // distinct membership facts: only NEW (class, sensitive) pairs land.
+    // Null-sensitive rows carry NO membership fact — the batch audit's
+    // countDistinct ignores nulls, so appending them would inflate
+    // n_sensitive relative to v03 (they still count toward n_rows via
+    // `delta` below)
+    val batchPairs = rows.filter(col(sensitiveCol).isNotNull).distinct()
     val seenPairs = LsmParquetState.scan(s, pairsDir, layout,
       col("__qp").isin(prefixes: _*), excludeTailBatch = Some(batchId))
-    val freshPairs = batchPairs
-      .join(seenPairs, quasiCols :+ sensitiveCol, "left_anti")
+    val freshPairs = batchPairs.as("n")
+      .join(seenPairs.as("o"),
+        nullSafeOn("n", "o", quasiCols :+ sensitiveCol), "left_anti")
       .localCheckpoint(eager = true)
     LsmParquetState.append(freshPairs, pairsDir, Some(batchId))
     // cumulative counters: batch deltas + latest persisted — the pairs
@@ -162,12 +183,13 @@ object StreamingKAnonymity {
     val sensDelta = freshPairs.groupBy(q(quasiCols): _*)
       .agg(count(lit(1)).as("__ds"))
     val prior = currentCounts(s, countsDir, quasiCols, prefixes,
-      Some(batchId))
-      .join(touched, quasiCols, "left_semi")
-    val nextCounts = delta
-      .join(sensDelta, quasiCols, "left_outer")
-      .join(prior, quasiCols, "left_outer")
-      .select(q(quasiCols) :+
+      Some(batchId)).as("c")
+      .join(touched.as("t"), nullSafeOn("c", "t", quasiCols), "left_semi")
+    val nextCounts = delta.as("d")
+      .join(sensDelta.as("sd"), nullSafeOn("d", "sd", quasiCols),
+        "left_outer")
+      .join(prior.as("p"), nullSafeOn("d", "p", quasiCols), "left_outer")
+      .select(quasiCols.map(c => col(s"d.$c").as(c)) :+
         (col("__d") + coalesce(col("n_rows"), lit(0L))).as("n_rows") :+
         (coalesce(col("__ds"), lit(0L)) +
           coalesce(col("n_sensitive"), lit(0L))).as("n_sensitive"): _*)

@@ -176,6 +176,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(chunks(Array.emptyByteArray).isEmpty)
   }
 
+  test("cdc_chunks fails loudly at plan time on invalid parameters from " +
+      "ANY entry point — the kernel's output buffer assumes " +
+      "minSize >= 1 and maxSize >= minSize") {
+    import org.apache.spark.sql.functions.col
+    def expr(min: Int, bits: Int, max: Int) =
+      graft.functions.GraftFunctions.cdc_chunks(col("c"), min, bits, max)
+    val e1 = intercept[IllegalArgumentException](expr(0, 6, 256))
+    assert(e1.getMessage.contains("minSize"))
+    val e2 = intercept[IllegalArgumentException](expr(32, 6, 16))
+    assert(e2.getMessage.contains("maxSize"))
+    val e3 = intercept[IllegalArgumentException](expr(32, 0, 256))
+    assert(e3.getMessage.contains("maskBits"))
+    val e4 = intercept[IllegalArgumentException](expr(32, 63, 256))
+    assert(e4.getMessage.contains("maskBits"))
+  }
+
   test("payloadChunkDedup: identical payloads dedup fully, disjoint ones " +
       "not at all, empty corpus pins ratio 1.0") {
     import spark.implicits._

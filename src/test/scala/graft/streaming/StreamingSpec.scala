@@ -2005,6 +2005,42 @@ class StreamingSpec extends SparkTestBase {
       "post-compaction batch must see folded counts and facts")
   }
 
+  test("streaming k-anonymity null contract: a NULL quasi-id class keeps " +
+      "its own cumulative counters across batches and null-sensitive rows " +
+      "never count as membership facts — drained == batch audit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ska_null").toString
+    // null zip = its own auditable class (the v03 contract); null
+    // disease = a row with NO membership fact (countDistinct semantics)
+    val b0 = Seq((null, "x"), (null, null), ("A", null), ("A", "x"))
+      .toDF("zip", "disease")
+    val b1 = Seq((null, "x"), (null, "y"), ("A", null))
+      .toDF("zip", "disease")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingKAnonymity.processBatch(df, id, Seq("zip"), "disease",
+        k = 3L, l = 2L, s"$dir/pairs", s"$dir/counts", s"$dir/report")
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep() = StreamingKAnonymity
+      .report(spark, s"$dir/report", Seq("zip"))
+      .as[(Option[String], Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val want = graft.operators.Governance.kAnonymityAudit(
+        b0.unionByName(b1), Seq("zip"), "disease", 3L, 2L)
+      .as[(Option[String], Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // null class: 4 rows, sensitive {x, y}; A: 3 rows, sensitive {x} —
+    // a null-unsafe prior join would reset the null class to batch-local
+    // counts, and appending null-sensitive facts would inflate A
+    assert(want === Map(
+      None -> ((4L, 2L, true, true)),
+      Some("A") -> ((3L, 1L, true, false))), "batch truth sanity")
+    assert(rep() === want, "drained must equal the batch audit with nulls")
+    // replay: the (null, "x") fact must not re-append (null-safe anti-join)
+    run(b1, 1L)
+    assert(rep() === want, "replay drifted on null-keyed facts")
+  }
+
   test("streaming chunk dedup: cross-batch duplicates dedup through the " +
       "persisted chunk-key store, drained report equals the batch m08, " +
       "replays and compaction are exact") {
