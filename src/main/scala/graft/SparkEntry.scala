@@ -1735,6 +1735,21 @@ object SparkEntry {
         n = 8)
     }),
 
+    // suffix-array exact-substring dedup (the real Lee et al. ExactSubstr):
+    // same planted near-dup corpus as d07 but a NON-power-of-two threshold
+    // (6 tokens — exercises the sparse-table overlap key) and exact
+    // equivalence classes instead of 64-bit gram hashes; natural 6-token
+    // repeats inside the fixture corpus are in scope too, the oracle
+    // replays them on gram STRINGS
+    "d20_exact_substr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(regexp_replace(col("text"), "^\\S+\\s", ""),
+          lit(" u"), col("doc_id").cast("string")).as("text"))
+      Dedup.exactSubstrDedup(docs.unionByName(mangled), "doc_id", "text",
+        minLen = 6)
+    }),
+
     // -------------------------------------------- LLM pipeline: similarity
     "s01_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -7761,6 +7776,57 @@ object SparkEntry {
                 CAST(any_value(tp.n_tokens) AS INT) AS n_tokens,
                 CAST(count(c.cov) AS INT) AS n_removed
          FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.cov
+         GROUP BY tp.doc_id""",
+    // d20: the exact-substring semantics replayed on length-6 gram STRINGS
+    // (no hashing anywhere — the engine's equivalence classes are exact, so
+    // string grouping reproduces them bit-for-bit); islands of the covered
+    // set give the maximal-span count
+    "d20_exact_substr" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  regexp_replace(text, '^\S+\s', '') || ' u' || CAST(doc_id AS VARCHAR)
+           FROM documents),
+         toks AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+           FROM docs2),
+         grams0 AS (
+           SELECT doc_id, UNNEST(
+             list_transform(range(1, len(ts) - 4),
+               i -> struct_pack(pos := i - 1,
+                      g := array_to_string(list_slice(ts, CAST(i AS INT), CAST(i + 5 AS INT)), ' ')))) AS u
+           FROM toks WHERE len(ts) >= 6),
+         grams AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM grams0),
+         occ AS (
+           SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY g) AS cnt
+           FROM grams),
+         cov0 AS (
+           SELECT doc_id, UNNEST(range(pos, pos + 6)) AS cov
+           FROM occ WHERE cnt >= 2 AND rn > 1),
+         covered AS (SELECT DISTINCT doc_id, cov FROM cov0),
+         spans AS (
+           SELECT c.doc_id, count(*) AS n_spans FROM covered c
+           WHERE NOT EXISTS (SELECT 1 FROM covered p
+                             WHERE p.doc_id = c.doc_id AND p.cov = c.cov - 1)
+           GROUP BY c.doc_id),
+         tokpos0 AS (
+           SELECT doc_id, len(ts) AS n_tokens,
+                  UNNEST(list_transform(range(1, len(ts) + 1),
+                    i -> struct_pack(p := i - 1, tok := ts[CAST(i AS INT)]))) AS u
+           FROM toks),
+         tokpos AS (SELECT doc_id, n_tokens, u.p AS p, u.tok AS tok FROM tokpos0)
+         SELECT tp.doc_id,
+                coalesce(string_agg(CASE WHEN c.cov IS NULL THEN tp.tok END, ' ' ORDER BY tp.p), '') AS text_kept,
+                CAST(any_value(tp.n_tokens) AS INT) AS n_tokens,
+                CAST(count(c.cov) AS INT) AS n_removed,
+                CAST(coalesce(any_value(s.n_spans), 0) AS BIGINT) AS n_spans
+         FROM tokpos tp
+         LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.cov
+         LEFT JOIN spans s ON tp.doc_id = s.doc_id
          GROUP BY tp.doc_id""",
     "t08_seq_pack" ->
       """WITH base AS (

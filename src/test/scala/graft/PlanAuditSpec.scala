@@ -311,6 +311,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("shingle_hashes"), s"gram kernel missing from plan:\n$p")
   }
 
+  test("d20 exact-substr: a prefix-doubling round is equi-joins + hash/sort " +
+      "aggregates over skinny rows only — no window, no cartesian, no " +
+      "nested loop; the rebuild tail is equally clean") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "a b c a b c d"), (2L, "x a b c y"))
+      .toDF("doc_id", "text")
+    // round 0 classes, built exactly as the operator builds them
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(graft.operators.Dedup.normalized(col("text")), " "))
+        .as(Seq("__pos", "__tok")))
+    val occ = struct(col("doc_id").cast("long").as("d"),
+      col("__pos").cast("long").as("p"))
+    val r0 = toks
+      .join(toks.groupBy("__tok").agg(min(occ).as("__rep")), "__tok")
+      .select(col("doc_id"), col("__pos"), col("__rep"))
+    val round = graft.operators.Dedup.doublingRound(r0, "doc_id", gap = 1)
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"doubling round degenerated to a pair scan:\n$p")
+    assert(!p.contains("Window"), s"window crept into the round:\n$p")
+    // the full operator's final frame (post-checkpoint rebuild tail)
+    val full = graft.operators.Dedup.exactSubstrDedup(
+      docs, "doc_id", "text", minLen = 4)
+    val fp = full.queryExecution.executedPlan.toString
+    assert(!fp.contains("CartesianProduct") &&
+      !fp.contains("BroadcastNestedLoopJoin") && !fp.contains("Window"),
+      s"rebuild tail regressed:\n$fp")
+  }
+
   test("z01 z-order key is map-only over the scan (bounds come from plan time)") {
     val p = plan("z01_zorder_layout")
     assert(!p.contains("Exchange"), s"shuffle in the key computation:\n$p")

@@ -721,4 +721,79 @@ class DedupSpec extends SparkTestBase {
       df.queryExecution.optimizedPlan.toString).size === 1,
       df.queryExecution.optimizedPlan.toString)
   }
+
+  test("exactSubstrDedup: a 7-token cross-doc repeat below d07's default " +
+      "gram width is caught exactly; the canonical first occurrence " +
+      "survives") {
+    import spark.implicits._
+    val repeat = "alpha bravo charlie delta echo foxtrot golf" // 7 tokens
+    val df = Seq(
+      (1L, s"zero $repeat one two"),
+      (2L, s"nine eight $repeat seven")).toDF("doc_id", "text")
+    // d07 at its default width 8 cannot see a 7-token repeat at all
+    val d07 = Dedup.removeDuplicatedSpans(df, "doc_id", "text", n = 8)
+    assert(d07.filter($"n_removed" > 0).count() === 0,
+      "fixture sanity: the gram-width operator must miss this repeat")
+    val got = Dedup.exactSubstrDedup(df, "doc_id", "text", minLen = 7)
+      .as[(Long, String, Int, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L,
+      "zero alpha bravo charlie delta echo foxtrot golf one two", 10, 0, 0L)),
+      "canonical (first) occurrence must survive untouched")
+    assert(got(2L) === ((2L, "nine eight seven", 10, 7, 1L)),
+      "non-canonical occurrence trims exactly the 7-token span")
+  }
+
+  test("exactSubstrDedup: maximal spans — two separated non-canonical " +
+      "repeats in one doc are two islands; a length-(minLen-1) repeat " +
+      "is untouched; short docs pass through") {
+    import spark.implicits._
+    val r1 = "a1 a2 a3 a4 a5 a6"
+    val r2 = "b1 b2 b3 b4 b5 b6"
+    val five = "c1 c2 c3 c4 c5"
+    val df = Seq(
+      (1L, s"$r1 mid1 mid2 $r2"), // canonical for both runs
+      (2L, s"x $r1 y"),
+      (3L, s"z $r2 w"),
+      (9L, s"$r1 kk $r2"), // both runs again -> two separate islands
+      (4L, s"$five p q"),
+      (5L, s"r s $five"), // 5-token repeat < minLen: out of scope
+      (6L, "tiny doc")) // shorter than minLen: pass-through
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(df, "doc_id", "text", minLen = 6)
+      .as[(Long, String, Int, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._4 === 0 && got(1L)._5 === 0L,
+      "doc 1 holds the canonical occurrence of both runs")
+    assert(got(2L) === ((2L, "x y", 8, 6, 1L)))
+    assert(got(3L) === ((3L, "z w", 8, 6, 1L)))
+    assert(got(9L) === ((9L, "kk", 13, 12, 2L)),
+      "two disjoint removed runs must count as two maximal spans")
+    assert(got(4L)._4 === 0 && got(5L)._4 === 0,
+      "a repeat shorter than minLen is not a duplicated span")
+    assert(got(6L) === ((6L, "tiny doc", 2, 0, 0L)))
+    assert(Dedup.exactSubstrDedup(df.filter($"doc_id" > 99),
+      "doc_id", "text", minLen = 6).count() === 0, "empty corpus")
+  }
+
+  test("exactSubstrDedup at minLen == the gram width reproduces " +
+      "removeDuplicatedSpans on a dense low-vocab corpus (exact " +
+      "equivalence classes replace the 64-bit hashes)") {
+    import spark.implicits._
+    // two-word vocabulary, 16 tokens per doc: duplicated 8-grams are
+    // everywhere and overlap messily — both operators must agree on
+    // every covered position and every canonical pick
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 30L).map(i =>
+      (i, (0 until 16).map(_ => if (rnd.nextBoolean()) "a" else "b")
+        .mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val exact = Dedup.exactSubstrDedup(df, "doc_id", "text", minLen = 8)
+      .select("doc_id", "text_kept", "n_tokens", "n_removed")
+      .as[(Long, String, Int, Int)].collect().toSet
+    val hashed = Dedup.removeDuplicatedSpans(df, "doc_id", "text", n = 8)
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(exact === hashed)
+    assert(exact.exists(_._4 > 0), "fixture sanity: spans were removed")
+  }
 }
