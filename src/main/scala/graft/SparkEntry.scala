@@ -82,31 +82,28 @@ object SparkEntry {
       materializeIntermediates: Boolean = true): Seq[(String, DataFrame)] = {
     def snap(df: DataFrame): DataFrame =
       if (materializeIntermediates) df.localCheckpoint(eager = true) else df
-    val (dupB, _) = TextAnalysis.repetitionScores(col("text"))
-    val gated = snap(docs.select(col("doc_id"), col("text"), col("lang"),
-        TextAnalysis.langId(col("text")).as("pred_lang"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        dupB.as("dup_bigram_frac"))
-      .filter(col("pred_lang") === "en" && col("quality") >= 0.9 &&
-        col("dup_bigram_frac") <= 0.05)
-      .select("doc_id", "text", "lang", "quality"))
-    val evalDocs = docs.filter(col("doc_id") % 10 === 3)
-      .select((col("doc_id") + 2000000).as("doc_id"),
-        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
-    val flagged = TextAnalysis.contaminationOverlap(
-        gated.select("doc_id", "text"), evalDocs, "doc_id", "text",
-        n = 5, threshold = 0.5)
-      .filter(col("contaminated")).select("doc_id")
-    val decon = gated.join(flagged, Seq("doc_id"), "left_anti")
-    val deduped = snap(Dedup.normalizedDedup(decon, "doc_id", "text"))
-    val kept = TextAnalysis.importanceResample(deduped, "doc_id", "text",
-        col("lang") === "en", buckets = 1024)
-      .filter(col("kept"))
-      .select(col("doc_id"), col("quality"), col("score"),
-        (round(col("keep_prob"), 6) + lit(0.0)).as("keep_prob"))
+    // stage bodies live in StagePipeline's registry — ONE definition
+    // serves this code-built gate, the Scala API, and the c31 YAML
+    // config front-end (which gates against the same oracle)
+    val gated = snap(graft.pipeline.StagePipeline.qualityGate(
+      docs, "en", minQuality = 0.9, maxDupBigramFrac = 0.05))
+    val evalDocs = c07EvalDocs(docs)
+    val decon = graft.pipeline.StagePipeline.decontaminate(
+      gated, evalDocs, n = 5, threshold = 0.5)
+    val deduped = snap(graft.pipeline.StagePipeline.exactDedup(decon))
+    val kept = graft.pipeline.StagePipeline.importanceResampleStage(
+      deduped, "en", buckets = 1024)
     Seq("a0_input" -> docs, "a1_gated" -> gated, "a2_decon" -> decon,
       "a3_dedup" -> deduped, "a4_resampled" -> kept)
   }
+
+  /** The c07/c31 decontamination reference: a tenth of the corpus posing
+    * as a benchmark (ids offset, leading word stripped).
+    */
+  private[graft] def c07EvalDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
 
   /** Direction-planted ANN probe queries: each query is a corpus vector
     * scaled by 2 (an exact power-of-2 scaling, so every float product and
@@ -2988,6 +2985,40 @@ object SparkEntry {
     // corpus-relative). One composed lazy plan per stage family; every
     // stage reuses the exact operator the standalone queries gate
     "c07_curation_pipeline" -> ((s, dir) => c07Pipeline(t(s, dir, "documents"))),
+
+    // config-as-query: the SAME curation pipeline expressed as YAML and
+    // compiled through StagePipeline's registry — the reference's
+    // declarative-config identity (TableMigrationDefinition.java:17-139)
+    // extended to the training-data operators; gated by c07's oracle
+    // verbatim, so the config front-end provably compiles to the exact
+    // code-built plan
+    "c31_config_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: curation
+          |  stages:
+          |    - stage: qualityGate
+          |      materialize: true
+          |      options:
+          |        lang: en
+          |        minQuality: "0.9"
+          |        maxDupBigramFrac: "0.05"
+          |    - stage: decontaminate
+          |      options:
+          |        eval: benchmark
+          |        n: "5"
+          |        threshold: "0.5"
+          |    - stage: exactDedup
+          |      materialize: true
+          |    - stage: importanceResample
+          |      options:
+          |        lang: en
+          |        buckets: "1024"
+          |""".stripMargin)
+      graft.pipeline.StagePipeline.compile(cfg, docs,
+        Map("benchmark" -> c07EvalDocs(docs)))
+    }),
 
     // curation funnel: documents surviving each c07 stage — the yield
     // report a pipeline owner reads before anything ships; stages share
@@ -7298,6 +7329,8 @@ object SparkEntry {
     "s35_ivf_probe_curve" -> s35OracleSql,
     "s36_kcore" -> s36OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
+    // c31 IS c07 built from YAML — one oracle, zero drift by construction
+    "c31_config_pipeline" -> c07OracleSql,
     // the same CTE chain, counted per stage
     "c12_curation_funnel" ->
       s"""WITH $c07Ctes

@@ -129,6 +129,55 @@ object ConfigCodec {
     }
   }
 
+  // ------------------------------------------------- pipeline config (c31)
+
+  private val knownStageKeys = Set("stage", "options", "materialize")
+
+  /** YAML → [[graft.model.PipelineConfig]]: the config-as-query front-end
+    * extended from table migrations to the training-data operator family.
+    * Shape:
+    * {{{
+    * pipeline:
+    *   name: curation
+    *   stages:
+    *     - stage: qualityGate
+    *       materialize: true
+    *       options:
+    *         lang: en
+    *         minQuality: "0.9"
+    * }}}
+    * Stage names resolve against [[graft.pipeline.StagePipeline.registry]]
+    * (or a fully-qualified GraftStage class); resolution happens at
+    * COMPILE time so a typo'd stage fails before any data moves —
+    * mirroring the reference's init-time plugin loading
+    * (DbMigrator.java:59-74 aborts the whole run on any task init error).
+    */
+  def pipelineFromYaml(yaml: String): PipelineConfig = {
+    val root = asMap(Yaml.parse(yaml), "document root")
+    val p = asMap(root.getOrElse("pipeline",
+      throw ConfigError("missing 'pipeline' section")), "pipeline")
+    (p.keySet -- Set("name", "stages")).foreach { k =>
+      System.err.println(s"[graft-config] ignoring unrecognized pipeline key '$k'")
+    }
+    val stages = asList(p.getOrElse("stages", Nil), "stages").map { s =>
+      val sm = asMap(s, "stage")
+      (sm.keySet -- knownStageKeys).foreach { k =>
+        System.err.println(s"[graft-config] ignoring unrecognized key '$k' " +
+          s"in stage '${sm.getOrElse("stage", "?")}'")
+      }
+      StageDef(
+        stage = required(sm, "stage", "pipeline stage"),
+        options = sm.get("options").map(asMap(_, "options").map {
+          case (k, v) => k -> v.toString
+        }).getOrElse(Map.empty),
+        materialize = bool(sm, "materialize", default = false))
+    }
+    if (stages.isEmpty) throw ConfigError(
+      "pipeline declares no 'stages' — an empty pipeline would silently " +
+        "pass data through; declare at least one stage")
+    PipelineConfig(str(p, "name", "pipeline"), stages)
+  }
+
   // ------------------------------------------------------------- helpers
 
   private def asMap(v: Any, what: String): Map[String, Any] = v match {

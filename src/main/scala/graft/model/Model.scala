@@ -159,3 +159,24 @@ final case class MigrationConfig(
       * result only.
       */
     statusIntervalMillis: Option[Long] = None)
+
+/** One stage of a declarative training-data pipeline: a registered
+  * operator name (or a fully-qualified [[graft.plugin.GraftStage]] class —
+  * the reference's `Class.forName` plugin contract generalized,
+  * TableDataFilterDefinition.java:53-71) plus its options.
+  * `materialize` marks the stage's output for an eager localCheckpoint —
+  * the lineage cut a multi-consumer stage needs (the c07 convention).
+  */
+final case class StageDef(
+    stage: String,
+    options: Map[String, String] = Map.empty,
+    materialize: Boolean = false)
+
+/** Config-as-query for the LLM-data operator family: the YAML front-end
+  * the reference applies to table migrations
+  * (model/config/TableMigrationDefinition.java:17-139), extended to
+  * curation pipelines — a named, ordered `stages:` list compiling to the
+  * exact same operators the Scala API exposes
+  * ([[graft.pipeline.StagePipeline]]).
+  */
+final case class PipelineConfig(name: String, stages: List[StageDef])

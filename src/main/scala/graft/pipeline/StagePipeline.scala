@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import graft.model.{PipelineConfig, StageDef}
+import graft.operators.{Dedup, TextAnalysis}
+import graft.plugin.GraftStage
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Config-as-query for the training-data operator family — the engine's
+ * extension of the reference's core identity (a declarative YAML that IS
+ * the query, model/config/TableMigrationDefinition.java:17-139) from
+ * table migrations to curation pipelines: a [[graft.model.PipelineConfig]]
+ * `stages:` list compiles to the EXACT operators the Scala API exposes,
+ * so a pipeline is data, reviewable and replayable, not code.
+ *
+ * The registry carries the c07 curation shape (quality gate →
+ * decontaminate → exact dedup → importance resample) as named
+ * constructors — [[graft.SparkEntry.c07Stages]] calls the SAME builders,
+ * so the config-driven pipeline and the code-built one cannot drift
+ * (spec- and oracle-pinned: c31 gates the YAML build against c07's
+ * oracle) — plus the generic `filter`/`limit` stages, and any
+ * fully-qualified class name loads a [[graft.plugin.GraftStage]]
+ * reflectively (the reference's `Class.forName` plugin contract,
+ * TableDataFilterDefinition.java:53-71, generalized to whole stages).
+ *
+ * Auxiliary inputs (a decontamination reference corpus, a static
+ * blocklist) are passed as a name → DataFrame table map and referenced
+ * from stage options — config stays declarative, data binding stays in
+ * code, exactly like the reference's source/target DB sections.
+ *
+ * 100 TB posture: compilation is pure plan construction — every stage
+ * returns the same lazy DataFrame the hand-written pipeline builds, so
+ * Catalyst optimizes ACROSS stage boundaries (pushdown through the gate,
+ * pruning into the scan); `materialize: true` marks the deliberate
+ * lineage cuts multi-consumer stages need (the c07 convention).
+ */
+object StagePipeline {
+
+  final case class StageError(msg: String) extends RuntimeException(msg)
+
+  /** A registered stage constructor: (input, options, aux tables) → output. */
+  type StageFn = (DataFrame, Map[String, String], Map[String, DataFrame]) => DataFrame
+
+  // ------------------------------------------------ curation constructors
+  // These are THE c07 stage bodies (SparkEntry.c07Stages delegates here):
+  // one definition serves the Scala API, the code-built gate and the
+  // config front-end.
+
+  /** c07 stage 1: language/quality/repetition gate — map-only kernels,
+    * keeps (id, text, lang, quality).
+    */
+  def qualityGate(df: DataFrame, lang: String, minQuality: Double,
+      maxDupBigramFrac: Double): DataFrame = {
+    val (dupB, _) = TextAnalysis.repetitionScores(col("text"))
+    df.select(col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        dupB.as("dup_bigram_frac"))
+      .filter(col("pred_lang") === lang && col("quality") >= minQuality &&
+        col("dup_bigram_frac") <= maxDupBigramFrac)
+      .select("doc_id", "text", "lang", "quality")
+  }
+
+  /** c07 stage 2: graded n-gram decontamination against a reference
+    * corpus — broadcast-probe overlap, key-only anti-join.
+    */
+  def decontaminate(df: DataFrame, eval: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val flagged = TextAnalysis.contaminationOverlap(
+        df.select("doc_id", "text"), eval, "doc_id", "text", n, threshold)
+      .filter(col("contaminated")).select("doc_id")
+    df.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** c07 stage 3: exact normalized-text dedup (keep lowest id). */
+  def exactDedup(df: DataFrame): DataFrame =
+    Dedup.normalizedDedup(df, "doc_id", "text")
+
+  /** c07 stage 4: DSIR importance resampling toward the target language,
+    * keeping survivors with their rounded keep probability.
+    */
+  def importanceResampleStage(df: DataFrame, lang: String,
+      buckets: Int): DataFrame =
+    TextAnalysis.importanceResample(df, "doc_id", "text",
+        col("lang") === lang, buckets)
+      .filter(col("kept"))
+      .select(col("doc_id"), col("quality"), col("score"),
+        (round(col("keep_prob"), 6) + lit(0.0)).as("keep_prob"))
+
+  // ---------------------------------------------------------- registry
+
+  private def opt(o: Map[String, String], key: String, default: String) =
+    o.getOrElse(key, default)
+  private def table(tables: Map[String, DataFrame],
+      o: Map[String, String], key: String): DataFrame = {
+    val name = o.getOrElse(key, throw StageError(
+      s"stage option '$key' (an aux table name) is required"))
+    tables.getOrElse(name, throw StageError(
+      s"aux table '$name' not bound — caller must pass it in the table map"))
+  }
+
+  val registry: Map[String, StageFn] = Map(
+    "qualityGate" -> ((df, o, _) => qualityGate(df,
+      opt(o, "lang", "en"),
+      opt(o, "minQuality", "0.9").toDouble,
+      opt(o, "maxDupBigramFrac", "0.05").toDouble)),
+    "decontaminate" -> ((df, o, t) => decontaminate(df,
+      table(t, o, "eval"),
+      opt(o, "n", "5").toInt,
+      opt(o, "threshold", "0.5").toDouble)),
+    "exactDedup" -> ((df, _, _) => exactDedup(df)),
+    "importanceResample" -> ((df, o, _) => importanceResampleStage(df,
+      opt(o, "lang", "en"),
+      opt(o, "buckets", "1024").toInt)),
+    // generic building blocks: a SQL predicate and a row cap
+    "filter" -> ((df, o, _) => df.filter(expr(o.getOrElse("expression",
+      throw StageError("filter stage requires 'expression'"))))),
+    "limit" -> ((df, o, _) => df.limit(o.getOrElse("n",
+      throw StageError("limit stage requires 'n'")).toInt)))
+
+  private def resolve(kind: String): StageFn =
+    registry.getOrElse(kind,
+      if (kind.contains(".")) {
+        val stage = GraftStage.load(kind) // fails at compile time on typos
+        (df, o, _) => stage(df, o)
+      } else throw StageError(s"unknown stage '$kind' " +
+        s"(registered: ${registry.keys.toSeq.sorted.mkString(", ")}; or a " +
+        "fully-qualified graft.plugin.GraftStage class)"))
+
+  /** Compile and expose every stage's output (the c12-funnel shape);
+    * `.last._2` is the pipeline result. Stage resolution happens BEFORE
+    * any frame builds, so a misconfigured pipeline fails closed.
+    */
+  def stagesOf(cfg: PipelineConfig, input: DataFrame,
+      tables: Map[String, DataFrame] = Map.empty,
+      materializeIntermediates: Boolean = true): Seq[(String, DataFrame)] = {
+    val resolved: Seq[(StageDef, StageFn)] =
+      cfg.stages.map(s => s -> resolve(s.stage))
+    var acc = input
+    val out = Seq.newBuilder[(String, DataFrame)]
+    out += s"a0_input" -> input
+    resolved.zipWithIndex.foreach { case ((sd, fn), i) =>
+      val built = fn(acc, sd.options, tables)
+      acc =
+        if (sd.materialize && materializeIntermediates)
+          built.localCheckpoint(eager = true)
+        else built
+      out += s"a${i + 1}_${sd.stage}" -> acc
+    }
+    out.result()
+  }
+
+  def compile(cfg: PipelineConfig, input: DataFrame,
+      tables: Map[String, DataFrame] = Map.empty,
+      materializeIntermediates: Boolean = true): DataFrame =
+    stagesOf(cfg, input, tables, materializeIntermediates).last._2
+}
