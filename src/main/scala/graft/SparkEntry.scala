@@ -3250,6 +3250,25 @@ object SparkEntry {
         minSize = 32, maskBits = 6, maxSize = 256)
     }),
 
+    // cross-modal pair mining: text-side vectors paired with a planted
+    // media-side re-embedding (exact 2x scaling — cosine-preserving, so
+    // every text's true best partner is its own media twin at 1.0);
+    // nprobe = numCentroids degenerates the bipartite ANN join exact,
+    // and the oracle replays the full ranking relationally (the s32
+    // convention) with the mining threshold applied after ranking
+    "m09_cross_modal_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val text = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("text_id"), col("embedding"))
+      val media = emb.select((col("vec_id") + 500000).as("media_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Multimodal.crossModalPairs(text, media, "text_id", "embedding",
+          "media_id", "embedding", k = 3, minCosine = 0.5,
+          numCentroids = 8, nprobe = 8, salts = 4)
+        .select(col("text_id"), col("media_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
     "m01_media_pipeline" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
       val decoded = Multimodal.featureStub(Multimodal.decodeStub(media), dim = 8)
@@ -8417,6 +8436,28 @@ object SparkEntry {
     // fmix64 finalizer for feature[0], in HUGEINT mod-2^64 arithmetic
     // (64x64-bit multiply split into 32-bit halves to stay inside HUGEINT)
     "m08_payload_chunk_dedup" -> m08OracleSql,
+    // m09: full relational replay (full probe == exact, the s32 recipe);
+    // threshold filters RAW cosine after ranking on both engines
+    "m09_cross_modal_pairs" ->
+      """WITH l AS (SELECT vec_id AS text_id, embedding FROM embeddings
+                    WHERE vec_id % 2 = 1),
+         r AS (SELECT vec_id + 500000 AS media_id,
+                      list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+               FROM embeddings),
+         scored AS (
+           SELECT l.text_id, r.media_id,
+                  list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) /
+                  (sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))) *
+                   sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))) AS cosine
+           FROM r CROSS JOIN l),
+         ranked AS (
+           SELECT text_id, media_id, cosine,
+                  row_number() OVER (PARTITION BY text_id
+                                     ORDER BY cosine DESC, media_id ASC) AS rank
+           FROM scored)
+         SELECT text_id, media_id, CAST(rank AS INT) AS rank,
+                round(cosine, 6) + 0.0 AS cosine
+         FROM ranked WHERE rank <= 3 AND cosine >= 0.5""",
     // the e-series contract: the drained delta-folded report equals the
     // batch m08 operator over the full payload history
     "e23_streaming_chunk_dedup" -> m08OracleSql,

@@ -324,4 +324,39 @@ object Multimodal {
   private def sharedFramePairs(media: DataFrame, n: Int,
       maxDigestGroup: Int): DataFrame =
     pairsFromDigests(cappedFrameDigests(media, n, maxDigestGroup))
+
+  /** Cross-modal candidate pair mining — the standard LLM-data need the
+    * within-modality family (m05/m06 frame dedup, d-series text dedup)
+    * does not cover: pair TEXT documents with IMAGE/AUDIO assets through
+    * a SHARED embedding space (the CLIP-style contract: one encoder per
+    * modality, one vector space), both sides CORPUS-scale. Each left-side
+    * (text) vector gets its approximate top-`k` right-side (media)
+    * neighbors with cosine ≥ `minCosine` — the candidate set a captioning
+    * / alt-text / paired-pretraining pipeline verifies downstream.
+    *
+    * This IS [[Similarity.annJoin]] (the s32 bipartite recipe) over
+    * per-modality embedding columns plus the mining threshold: coarse
+    * centroids train on the media side, media assigns map-only, text
+    * probes `nprobe` lists, candidates meet in the `(list, salt)` SHUFFLE
+    * equi-join — `numCentroids` scales √N and `salts` sub-splits hot
+    * lists (the replicated-join skew defense, spec-pinned at s32), so
+    * neither a modest centroid count nor a popular-concept list collapses
+    * onto one task. Payload bytes never appear: both sides are skinny
+    * (id, vector) frames; `nprobe = numCentroids` degenerates exact (the
+    * m09 gate configuration, oracle-replayed relationally).
+    *
+    * Output: (leftId, rightId, rank, cosine) with rank per left over the
+    * UNthresholded candidate ranking, thresholded after — so rank 1
+    * missing means "best match was below the bar", not a renumbering.
+    */
+  def crossModalPairs(left: DataFrame, right: DataFrame,
+      leftId: String, leftVec: String, rightId: String, rightVec: String,
+      k: Int, minCosine: Double, numCentroids: Int = 16, nprobe: Int = 4,
+      salts: Int = 4): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must lie in [-1, 1], got $minCosine")
+    Similarity.annJoin(left, right, leftId, leftVec, rightId, rightVec,
+        k, numCentroids, nprobe, salts)
+      .filter(col("cosine") >= minCosine)
+  }
 }

@@ -192,6 +192,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(e4.getMessage.contains("maskBits"))
   }
 
+  test("crossModalPairs: planted aligned pairs surface at rank 1 / cosine " +
+      "1.0 under full probe, the threshold drops junk, and the result is " +
+      "salt-invariant (the s32 skew recipe)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+    val textRows = (0L until 12L).map(i => (i, vec()))
+    val text = textRows.toDF("text_id", "embedding")
+    // media = each text vector re-embedded (exact 0.5x scaling: cosine-
+    // preserving) + unaligned noise assets
+    val media = textRows.map { case (i, v) => (i + 1000L, v.map(_ * 0.5f)) }
+      .++((50L until 56L).map(j => (j + 1000L, vec())))
+      .toDF("media_id", "embedding")
+    def run(salts: Int) = graft.operators.Multimodal.crossModalPairs(
+        text, media, "text_id", "embedding", "media_id", "embedding",
+        k = 2, minCosine = 0.999, numCentroids = 4, nprobe = 4,
+        salts = salts)
+      .select(col("text_id"), col("media_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val got = run(4)
+    val rank1 = got.filter(_._3 == 1)
+    assert(rank1 === textRows.map { case (i, _) =>
+      (i, i + 1000L, 1, 1.0) }.toSet,
+      "every text's best partner must be its planted media twin at 1.0")
+    // threshold semantics: rank assigned BEFORE the cut, so surviving
+    // rows keep their true rank and junk below the bar is simply absent
+    assert(got.forall(_._4 >= 0.999))
+    assert(run(1) === got, "salt count must not change the result")
+  }
+
   test("payloadChunkDedup: identical payloads dedup fully, disjoint ones " +
       "not at all, empty corpus pins ratio 1.0") {
     import spark.implicits._
