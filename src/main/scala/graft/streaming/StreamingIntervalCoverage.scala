@@ -30,9 +30,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * prefixes and then key-restricted by a left-semi join; untouched keys
  * never move. The merge itself is the g14 sweep (per-key window over
  * state blocks + new intervals, bounded by per-key block counts —
- * human-scale activity), never a corpus window. A key's block array is
- * bounded by its disjoint activity periods; a pathological key is the
- * v02 skew report's job to surface before it becomes a wide row.
+ * human-scale activity), never a corpus window.
+ *
+ * Per-key state bound (CHECKED): a key's block array grows with its
+ * DISJOINT activity periods, so an adversarial key feeding millions of
+ * micro-intervals would otherwise grow one fat state row unbounded.
+ * Every batch therefore checks the merged block counts against
+ * `maxBlocksPerKey` (default 100 000 ≈ 1.6 MB/row) and REFUSES with a
+ * diagnostic naming the worst key — the fail-loudly convention (the e22
+ * monotone check): silently coarsening the blocks would break the
+ * drained == batch-g14 equality this monitor is gated on. The per-key
+ * `n_blocks` metric is part of every report emission, so operators see
+ * drift long before the cap; remedies are raising the cap or coarsening
+ * timestamps upstream (where the batch operator would see the same
+ * coarsening and the contract stays exact).
  */
 object StreamingIntervalCoverage {
 
@@ -82,13 +93,14 @@ object StreamingIntervalCoverage {
   def start(spark: SparkSession, source: DataFrame, keyCol: String,
       startCol: String, endCol: String, blocksDir: String,
       reportDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxBlocksPerKey: Int = 100000): StreamingQuery = {
     ensureStore(spark, blocksDir)
     LsmParquetState.withPendingOwners(Seq(blocksDir)) {
       source.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           processBatch(batch, batchId, keyCol, startCol, endCol,
-            blocksDir, reportDir)
+            blocksDir, reportDir, maxBlocksPerKey)
         }
         .option("checkpointLocation", checkpointDir)
         .trigger(trigger)
@@ -101,7 +113,9 @@ object StreamingIntervalCoverage {
     */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       keyCol: String, startCol: String, endCol: String,
-      blocksDir: String, reportDir: String): Unit = {
+      blocksDir: String, reportDir: String,
+      maxBlocksPerKey: Int = 100000): Unit = {
+    require(maxBlocksPerKey >= 1, "maxBlocksPerKey must be positive")
     val s = batch.sparkSession
     ensureStore(s, blocksDir)
     val iv = batch.select(col(keyCol).cast("long").as("user"),
@@ -149,6 +163,18 @@ object StreamingIntervalCoverage {
           col("be").as("e")))).as("blocks"))
       .join(counts, "user")
       .localCheckpoint(eager = true)
+    // CHECKED per-key state bound: refuse the fat row loudly BEFORE it
+    // lands in state (one tiny aggregate over the checkpointed frame —
+    // the e22 contract-check shape)
+    val worst = next.agg(max_by(col("user"), col("n_blocks")).as("u"),
+      max(col("n_blocks")).as("b")).head()
+    if (!worst.isNullAt(1) && worst.getLong(1) > maxBlocksPerKey)
+      throw new IllegalStateException(
+        s"interval-coverage state bound exceeded: key ${worst.get(0)} " +
+          s"holds ${worst.getLong(1)} disjoint blocks " +
+          s"(maxBlocksPerKey=$maxBlocksPerKey) — raise the cap or coarsen " +
+          "timestamps upstream; silently coarsening here would break the " +
+          "drained == batch-g14 contract")
     LsmParquetState.append(
       next.select(col("user"), col("n_intervals"), col("blocks")),
       blocksDir, Some(batchId))

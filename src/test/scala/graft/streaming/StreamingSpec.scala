@@ -1919,6 +1919,38 @@ class StreamingSpec extends SparkTestBase {
       "post-compaction batch must see the folded state")
   }
 
+  test("streaming interval coverage refuses a pathological key loudly: a " +
+      "key whose merged disjoint blocks exceed maxBlocksPerKey fails the " +
+      "batch with a diagnostic BEFORE the fat row lands in state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sic_cap").toString
+    // key 7: disjoint micro-intervals (gap 1 apart) -> one block each;
+    // key 1 stays human-scale and must survive the same batches
+    def run(b: org.apache.spark.sql.DataFrame, id: Long, cap: Int): Unit =
+      StreamingIntervalCoverage.processBatch(b, id, "user_id", "s_us",
+        "e_us", s"$dir/blocks", s"$dir/report", maxBlocksPerKey = cap)
+    val b0 = ((0L until 8L).map(i => (7L, i * 2, i * 2 + 1)) :+
+      ((1L, 0L, 100L))).toDF("user_id", "s_us", "e_us")
+    run(b0, 0L, cap = 10) // 8 blocks for key 7: under the cap, fine
+    val b1 = (8L until 16L).map(i => (7L, i * 2, i * 2 + 1))
+      .toDF("user_id", "s_us", "e_us")
+    val e = intercept[IllegalStateException](run(b1, 1L, cap = 10))
+    assert(e.getMessage.contains("7") &&
+      e.getMessage.contains("maxBlocksPerKey"), e.getMessage)
+    // the refused batch must not have polluted state: a re-run with a
+    // sufficient cap lands the same totals the batch operator computes
+    run(b1, 1L, cap = 100)
+    val want = graft.operators.Events.intervalCoverage(
+        b0.unionByName(b1), "user_id", "s_us", "e_us")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = StreamingIntervalCoverage.report(spark, s"$dir/report")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want, "recovery after a refused batch must stay exact")
+    assert(want(7L)._3 === 16L, "fixture sanity: 16 disjoint blocks")
+  }
+
   test("streaming burstiness: boundary gaps bridge batches through " +
       "persisted last_t, drained report equals the batch g15, replays are " +
       "exact, and out-of-order ingest throws the monotone contract") {
