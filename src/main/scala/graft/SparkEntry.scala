@@ -2647,6 +2647,36 @@ object SparkEntry {
 
     // streaming burstiness: exact per-user gap moments + last_t as
     // latest-wins LSM state; drained report equals the batch g15
+    // streaming PR-AUC + calibration drift: per-distinct-score (rows,
+    // positives) counts fold additively into LSM state (the e18 recipe
+    // with two counters); every batch emits BOTH reports over the
+    // cumulative counts through the SHARED batch-eval code, so the
+    // drained emission equals t48 + t42 over everything streamed
+    "e25_streaming_pr_drift" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e25").toString
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        (col("lang") === "en").cast("int").as("y"))
+      scored.filter(col("doc_id") % 2 === 0).select("quality", "y")
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      scored.filter(col("doc_id") % 2 === 1).select("quality", "y")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream.schema("quality DOUBLE, y INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingPrDrift.start(s, src, "quality", "y",
+        s"$tmp/state", s"$tmp/report", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e25 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingPrDrift.calibrationReport(s, s"$tmp/report")
+        .crossJoin(
+          graft.streaming.StreamingPrDrift.prReport(s, s"$tmp/report")
+            .select(col("pr_auc"), col("baseline"),
+              col("n_pos").as("total_pos"), col("n_neg").as("total_neg")))
+    }),
+
     "e22_streaming_burstiness" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e22").toString
       val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
@@ -6752,6 +6782,54 @@ object SparkEntry {
     // the e-series contract: the drained latest-batch-wins report
     // equals the batch g15 operator over the full event history
     "e22_streaming_burstiness" -> g15OracleSql,
+    // e25: the t42 calibration table cross-joined with the t48 PR row —
+    // the streamed cumulative counts must reproduce both batch evals
+    "e25_streaming_pr_drift" ->
+      s"""WITH q AS ($t02QualitySql),
+         j AS (
+           SELECT q.quality,
+                  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM q JOIN documents d USING (doc_id)),
+         cal AS (
+           SELECT CAST(LEAST(CAST(FLOOR(quality * 10) AS INT), 9) AS INT) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(quality AS DECIMAL(18, 6))) AS DOUBLE)
+                    AS sum_pred,
+                  CAST(SUM(y) AS BIGINT) AS n_pos,
+                  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) + 0.0 AS frac_pos
+           FROM j GROUP BY 1),
+         g AS (SELECT quality AS s, CAST(COUNT(*) AS BIGINT) AS c,
+                      CAST(SUM(y) AS BIGINT) AS p
+               FROM j GROUP BY 1),
+         cum AS (SELECT s, c, p,
+                        CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) AS cumc,
+                        CAST(SUM(p) OVER (ORDER BY s) AS BIGINT) AS cump
+                 FROM g),
+         tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+                        CAST(COALESCE(SUM(p), 0) AS BIGINT) AS np
+                 FROM g),
+         terms AS (
+           SELECT n, np,
+                  ROUND((CAST(p AS DOUBLE) / CAST(np AS DOUBLE)) *
+                        ((CAST(np - cump + p AS DOUBLE)
+                            / CAST(n - cumc + c AS DOUBLE)
+                          + CASE WHEN n - cumc = 0 THEN 1.0
+                                 ELSE CAST(np - cump AS DOUBLE)
+                                      / CAST(n - cumc AS DOUBLE) END)
+                         / 2.0), 10) + 0.0 AS t
+           FROM cum CROSS JOIN tot),
+         pr AS (
+           SELECT CASE WHEN np > 0
+                    THEN ROUND(CAST(SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE), 6)
+                         + 0.0 END AS pr_auc,
+                  CASE WHEN n > 0
+                    THEN ROUND(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+                  END AS baseline,
+                  np AS total_pos, n - np AS total_neg
+           FROM terms GROUP BY n, np)
+         SELECT cal.bin, cal.n, cal.sum_pred, cal.n_pos, cal.frac_pos,
+                pr.pr_auc, pr.baseline, pr.total_pos, pr.total_neg
+         FROM cal CROSS JOIN pr""",
     "e04_event_debounce" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
                      FROM events),

@@ -945,11 +945,19 @@ object CorpusStats {
     * round 6. Output one row: (pr_auc, baseline, n_pos, n_neg);
     * pr_auc/baseline NULL on an all-negative or empty input.
     */
-  def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val byScore = df
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    prAucFromScoreCounts(df
       .select(col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))
       .groupBy("__s")
-      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p")))
+
+  /** [[prAuc]] from a pre-aggregated per-distinct-score count frame
+    * `(__s, __c rows, __p positives)` — the entry point streaming state
+    * folds into (e25): per-score counts merge ADDITIVELY across batches,
+    * so the cumulative frame here IS what the batch operator would
+    * aggregate from the full history.
+    */
+  private[graft] def prAucFromScoreCounts(byScore: DataFrame): DataFrame = {
     val cum = globalRunningTotals(byScore, Seq(col("__s")),
       Seq("__c", "__p"))
     val totals = byScore.agg(
@@ -1001,6 +1009,28 @@ object CorpusStats {
           .cast("double")
           .as("sum_pred"),
         sum(col("__y")).as("n_pos"))
+      .withColumn("frac_pos",
+        round(col("n_pos").cast("double") / col("n"), 6) + lit(0.0))
+  }
+
+  /** [[calibrationBins]] from the same per-distinct-score count frame
+    * [[prAucFromScoreCounts]] consumes: the per-bin prediction sum is
+    * Σ score·count over the bin's distinct scores — DECIMAL arithmetic
+    * is exact, so multiplying a score by its multiplicity equals summing
+    * it per row (spec-pinned against the row-level operator), and ONE
+    * state store serves both drift reports.
+    */
+  private[graft] def calibrationFromScoreCounts(byScore: DataFrame,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 calibration bins, got $bins")
+    byScore.select(
+        least(floor(col("__s") * bins), lit(bins - 1)).cast("int").as("bin"),
+        col("__s"), col("__c"), col("__p"))
+      .groupBy("bin")
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__s").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+          col("__c")).cast("double").as("sum_pred"),
+        sum(col("__p")).as("n_pos"))
       .withColumn("frac_pos",
         round(col("n_pos").cast("double") / col("n"), 6) + lit(0.0))
   }

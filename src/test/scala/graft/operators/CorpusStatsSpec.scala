@@ -523,4 +523,27 @@ class CorpusStatsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Join"), plan)
   }
+
+  test("count-frame entry points reproduce the row-level evals exactly: " +
+      "prAucFromScoreCounts == prAuc and calibrationFromScoreCounts == " +
+      "calibrationBins on a tie-heavy fixture (DECIMAL score*count is " +
+      "exact)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // heavy repetition: 200 rows over 7 distinct scores, mixed labels
+    val rows = (0 until 200).map { _ =>
+      (Seq(0.05, 0.2, 0.2, 0.55, 0.8, 0.95, 1.0)(rnd.nextInt(7)),
+        rnd.nextInt(2))
+    }
+    val df = rows.toDF("score", "y")
+    val counts = df.select(col("score").as("__s"),
+        col("y").cast("long").as("__y"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    assert(CorpusStats.prAucFromScoreCounts(counts).collect().toSeq ===
+      CorpusStats.prAuc(df, "score", "y").collect().toSeq)
+    assert(CorpusStats.calibrationFromScoreCounts(counts, 10)
+      .collect().toSet ===
+      CorpusStats.calibrationBins(df, "score", "y", 10).collect().toSet)
+  }
 }

@@ -2073,6 +2073,50 @@ class StreamingSpec extends SparkTestBase {
     assert(rep() === want, "replay drifted on null-keyed facts")
   }
 
+  test("streaming PR/calibration drift: per-score counts accumulate " +
+      "additively, every batch emits both reports over the cumulative " +
+      "history through the shared batch-eval code, replays and compaction " +
+      "are exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_spr").toString
+    // scores with cross-batch repeats and ties; labels imbalanced
+    val b0 = Seq((0.95, 1), (0.95, 0), (0.40, 0), (0.80, 1))
+      .toDF("score", "y")
+    val b1 = Seq((0.95, 1), (0.40, 0), (0.10, 0), (0.80, 0))
+      .toDF("score", "y")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingPrDrift.processBatch(b, id, "score", "y",
+        s"$dir/state", s"$dir/report")
+    run(b0, 0L)
+    // mid-stream: batch-0 emission equals the batch evals over b0 alone
+    def prAt() = StreamingPrDrift.prReport(spark, s"$dir/report")
+      .as[(Double, Double, Long, Long)].head()
+    def calAt() = StreamingPrDrift
+      .calibrationReport(spark, s"$dir/report")
+      .as[(Int, Long, Double, Long, Double)].collect().toSet
+    def wantPr(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.CorpusStats.prAuc(df, "score", "y")
+        .as[(Double, Double, Long, Long)].head()
+    def wantCal(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.CorpusStats.calibrationBins(df, "score", "y")
+        .as[(Int, Long, Double, Long, Double)].collect().toSet
+    assert(prAt() === wantPr(b0) && calAt() === wantCal(b0),
+      "batch-0 emission must equal the batch evals over batch 0")
+    run(b1, 1L)
+    val all = b0.unionByName(b1)
+    assert(prAt() === wantPr(all), "drained PR-AUC != batch t48 semantics")
+    assert(calAt() === wantCal(all), "drained calibration != batch t42")
+    // crash-replay of the last batch: counts must not double
+    run(b1, 1L)
+    assert(prAt() === wantPr(all) && calAt() === wantCal(all),
+      "replay drifted")
+    StreamingPrDrift.compactState(spark, s"$dir/state")
+    run(Seq((0.95, 0)).toDF("score", "y"), 2L)
+    val all2 = all.unionByName(Seq((0.95, 0)).toDF("score", "y"))
+    assert(prAt() === wantPr(all2) && calAt() === wantCal(all2),
+      "post-compaction batch must see folded counts")
+  }
+
   test("streaming chunk dedup: cross-batch duplicates dedup through the " +
       "persisted chunk-key store, drained report equals the batch m08, " +
       "replays and compaction are exact") {
