@@ -169,6 +169,43 @@ private[streaming] object LsmParquetState {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Memoized parquet reads of state directories. Every
+    * `spark.read.parquet` resolves a fresh file index — for the
+    * partitioned base that is a listing walk over hundreds of
+    * sub-partition directories, and monitors call scan/scanBaseOnly/
+    * scanTailTagged SEVERAL times per micro-batch, so the same listing
+    * used to run 2–4× per batch on state that had not changed (the base
+    * only changes at seed/compaction, the tail once per append). Entries
+    * key on (session, path) and every mutation path invalidates its
+    * directory subtree, so a cached frame can never show stale state.
+    * The cache holds raw source frames only (downstream filters/unions
+    * build on top per call); a crude size bound guards long test runs
+    * with many sessions.
+    */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def cachedRead(spark: SparkSession, path: String): DataFrame = {
+    if (readCache.size > 256) readCache.clear()
+    readCache.computeIfAbsent(
+      (System.identityHashCode(spark), path), _ => spark.read.parquet(path))
+  }
+
+  /** Drop every cached read whose path is inside `dir` (or an ancestor
+    * of it — a seed deletes the whole tree; an append under `dir/tail`
+    * must kill the `dir/tail` listing). All sessions.
+    */
+  private def invalidateReads(dir: String): Unit = {
+    val root = ownerKey(dir)
+    val it = readCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      val p = k._2.stripSuffix("/")
+      if (p == root || p.startsWith(root + "/") || root.startsWith(p + "/"))
+        it.remove()
+    }
+  }
+
   def exists(spark: SparkSession, dir: String): Boolean = {
     val (fs, p) = fsOf(spark, dir)
     fs.exists(p)
@@ -233,6 +270,7 @@ private[streaming] object LsmParquetState {
     val (fs, p) = fsOf(df.sparkSession, s"$dir/base")
     if (!fs.listStatus(p).exists(_.isDirectory))
       df.write.mode("overwrite").parquet(s"$dir/base")
+    invalidateReads(dir)
   }
 
   /** Reset the whole store to exactly `df` (seed). */
@@ -253,10 +291,13 @@ private[streaming] object LsmParquetState {
     * partition column either way.
     */
   def appendTail(df: DataFrame, dir: String,
-      batchId: Option[Long] = None): Unit = batchId match {
-    case Some(id) if !tailIsFlat(df.sparkSession, dir) =>
-      df.write.mode("overwrite").parquet(s"$dir/tail/batch=$id")
-    case _ => df.write.mode("append").parquet(s"$dir/tail")
+      batchId: Option[Long] = None): Unit = {
+    batchId match {
+      case Some(id) if !tailIsFlat(df.sparkSession, dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/tail/batch=$id")
+      case _ => df.write.mode("append").parquet(s"$dir/tail")
+    }
+    invalidateReads(dir)
   }
 
   /** Whether `<dir>/tail` already holds plain flat files (a pre-batch-id
@@ -278,7 +319,7 @@ private[streaming] object LsmParquetState {
     */
   def append(df: DataFrame, dir: String, batchId: Option[Long] = None): Unit =
     if (hasBase(df.sparkSession, dir)) appendTail(df, dir, batchId)
-    else df.write.mode("append").parquet(dir)
+    else { df.write.mode("append").parquet(dir); invalidateReads(dir) }
 
   /** The pruned read: base restricted by `basePredicate` (built by the
     * caller over the layout's partition columns — it classifies as a
@@ -299,7 +340,7 @@ private[streaming] object LsmParquetState {
       basePredicate: Column,
       excludeTailBatch: Option[Long] = None): DataFrame = {
     def tail(cols: Seq[String]): DataFrame = {
-      val raw = spark.read.parquet(s"$dir/tail")
+      val raw = cachedRead(spark, s"$dir/tail")
       val t = excludeTailBatch match {
         case Some(id) if raw.columns.contains("batch") =>
           raw.filter(col("batch") =!= id)
@@ -311,11 +352,11 @@ private[streaming] object LsmParquetState {
       // legacy flat layout. A flat read silently IGNORES any tail/
       // subdirectory, so if one exists (a writer mixed layouts), union
       // it explicitly rather than silently dropping its rows.
-      val flat = spark.read.parquet(dir)
+      val flat = cachedRead(spark, dir)
       return if (!exists(spark, s"$dir/tail")) flat
       else flat.unionByName(tail(flat.columns.toIndexedSeq))
     }
-    val raw = spark.read.parquet(s"$dir/base")
+    val raw = cachedRead(spark, s"$dir/base")
     // a flat-empty base (empty seed) carries no partition columns — the
     // predicate would not resolve, and there is nothing to prune anyway
     val base = (if (layout.partitionCols.forall(raw.columns.contains))
@@ -339,7 +380,7 @@ private[streaming] object LsmParquetState {
       basePredicate: Column): DataFrame = {
     require(hasBase(spark, dir), s"$dir has no base subdirectory — " +
       "scanBaseOnly needs the LSM layout")
-    val raw = spark.read.parquet(s"$dir/base")
+    val raw = cachedRead(spark, s"$dir/base")
     (if (layout.partitionCols.forall(raw.columns.contains))
       raw.filter(basePredicate) else raw).drop(layout.derivedCols: _*)
   }
@@ -355,7 +396,7 @@ private[streaming] object LsmParquetState {
     if (!exists(spark, s"$dir/tail"))
       return scanBaseOnly(spark, dir, layout, lit(false))
         .withColumn("__tail_batch", lit(-1L)).limit(0)
-    val raw = spark.read.parquet(s"$dir/tail")
+    val raw = cachedRead(spark, s"$dir/tail")
     val t = excludeTailBatch match {
       case Some(id) if raw.columns.contains("batch") =>
         raw.filter(col("batch") =!= id)
@@ -375,10 +416,10 @@ private[streaming] object LsmParquetState {
   def snapshotTagged(spark: SparkSession, dir: String,
       layout: LsmLayout): DataFrame =
     if (!hasBase(spark, dir)) {
-      val flat = spark.read.parquet(dir).withColumn("__tail_batch", lit(-1L))
+      val flat = cachedRead(spark, dir).withColumn("__tail_batch", lit(-1L))
       if (!exists(spark, s"$dir/tail")) flat
       else {
-        val t = spark.read.parquet(s"$dir/tail")
+        val t = cachedRead(spark, s"$dir/tail")
         val tagged =
           if (t.columns.contains("batch"))
             t.withColumn("__tail_batch", col("batch").cast("long"))
@@ -410,6 +451,7 @@ private[streaming] object LsmParquetState {
       } else fs.delete(bak, true)
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    invalidateReads(dir)
   }
 
   /** Fold the tail into a fresh partitioned base (one file per live
@@ -466,6 +508,7 @@ private[streaming] object LsmParquetState {
           s"compaction swap failed: live state preserved at $bak — " +
             s"recover($dir) restores it")
       fs.delete(bak, true)
+      invalidateReads(dir)
     } finally claim.cancel()
   }
 }
