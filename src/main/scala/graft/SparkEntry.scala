@@ -2487,6 +2487,30 @@ object SparkEntry {
         k = 5L, l = 3L)
     }),
 
+    // t-closeness, categorical ground distance: each (hour, value-bucket)
+    // class's event-type distribution vs the corpus-global one; every
+    // |p - q| term is an exact DECIMAL integer, one final IEEE division
+    "v04_t_closeness" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        expr("((ts div 1000) div 3600000000) % 24").as("hour_of_day"),
+        floor(col("value") / lit(10.0)).cast("long").as("value_bucket"))
+      Governance.tClosenessAudit(ev, Seq("hour_of_day", "value_bucket"),
+        "event_type", t = 0.2)
+    }),
+
+    // t-closeness, ORDERED (numeric) ground distance: cumulative-
+    // difference EMD of each (event-type, hour) class's value-bucket
+    // distribution over the m-value global grid
+    "v05_t_closeness_ordered" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        expr("((ts div 1000) div 3600000000) % 24").as("hour_of_day"),
+        floor(col("value") / lit(10.0)).cast("long").as("value_bucket"))
+      Governance.tClosenessAudit(ev, Seq("event_type", "hour_of_day"),
+        "value_bucket", t = 0.15, ordered = true)
+    }),
+
     // Neyman-optimal stratified allocation of a 200-doc sample across
     // sources by n_chars variance: one integer aggregate moves, the
     // allocation math is bounded model state with a pinned fold order
@@ -6507,6 +6531,83 @@ object SparkEntry {
     // same k=5 / l=3 literals; hour/bucket arithmetic mirrors the engine
     // (integer micros floor-div; IEEE FLOOR on value/10)
     "v03_k_anonymity" -> v03OracleSql,
+    // v04: categorical EMD — present-value |c·N − g·n| terms in HUGEINT,
+    // the absent-value mass folded in algebraically, one final division
+    "v04_t_closeness" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                  CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket
+           FROM events),
+         g AS (SELECT event_type AS v, CAST(COUNT(*) AS BIGINT) AS gc
+               FROM ev GROUP BY 1),
+         tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gt FROM g),
+         cv AS (SELECT hour_of_day, value_bucket, event_type AS v,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM ev GROUP BY 1, 2, 3),
+         cn AS (SELECT hour_of_day, value_bucket, CAST(SUM(c) AS BIGINT) AS n
+                FROM cv GROUP BY 1, 2),
+         s AS (SELECT cv.hour_of_day, cv.value_bucket, cn.n, tot.gt,
+                      SUM(ABS(CAST(cv.c AS HUGEINT) * tot.gt -
+                              CAST(g.gc AS HUGEINT) * cn.n)) AS s1,
+                      CAST(SUM(g.gc) AS BIGINT) AS s2
+               FROM cv JOIN g USING (v)
+                       JOIN cn USING (hour_of_day, value_bucket)
+                       CROSS JOIN tot
+               GROUP BY 1, 2, 3, 4)
+         SELECT hour_of_day, value_bucket, n AS n_rows,
+                ROUND(CAST(s1 + CAST(gt - s2 AS HUGEINT) * n AS DOUBLE) /
+                      CAST(CAST(n AS HUGEINT) * gt * 2 AS DOUBLE), 9) + 0.0
+                  AS emd,
+                CAST(s1 + CAST(gt - s2 AS HUGEINT) * n AS DOUBLE) /
+                CAST(CAST(n AS HUGEINT) * gt * 2 AS DOUBLE) <= 0.2 AS t_close
+         FROM s""",
+    // v05: ordered EMD over the m-value global grid — per-class
+    // cumulative sums, HUGEINT terms, one final division by n·N·(m−1)
+    "v05_t_closeness_ordered" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                  CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket
+           FROM events),
+         g AS (SELECT value_bucket AS v, CAST(COUNT(*) AS BIGINT) AS gc
+               FROM ev GROUP BY 1),
+         tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gt,
+                        CAST(COUNT(*) AS BIGINT) AS m FROM g),
+         cv AS (SELECT event_type, hour_of_day, value_bucket AS v,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM ev GROUP BY 1, 2, 3),
+         cn AS (SELECT event_type, hour_of_day, CAST(SUM(c) AS BIGINT) AS n
+                FROM cv GROUP BY 1, 2),
+         grid AS (SELECT cn.event_type, cn.hour_of_day, cn.n, g.v, g.gc,
+                         COALESCE(cv.c, 0) AS c
+                  FROM cn CROSS JOIN g
+                  LEFT JOIN cv ON cv.event_type = cn.event_type
+                              AND cv.hour_of_day = cn.hour_of_day
+                              AND cv.v = g.v),
+         cum AS (SELECT event_type, hour_of_day, n,
+                        SUM(c) OVER (PARTITION BY event_type, hour_of_day
+                                     ORDER BY v) AS cc,
+                        SUM(gc) OVER (PARTITION BY event_type, hour_of_day
+                                      ORDER BY v) AS cg
+                 FROM grid),
+         s AS (SELECT event_type, hour_of_day, n, tot.gt, tot.m,
+                      SUM(ABS(CAST(cc AS HUGEINT) * tot.gt -
+                              CAST(cg AS HUGEINT) * n)) AS s1
+               FROM cum CROSS JOIN tot
+               GROUP BY 1, 2, 3, 4, 5)
+         SELECT event_type, hour_of_day, n AS n_rows,
+                CASE WHEN m > 1
+                  THEN ROUND(CAST(s1 AS DOUBLE) /
+                             CAST(CAST(n AS HUGEINT) * gt * (m - 1)
+                                  AS DOUBLE), 9) + 0.0
+                  ELSE 0.0 END AS emd,
+                CASE WHEN m > 1
+                  THEN CAST(s1 AS DOUBLE) /
+                       CAST(CAST(n AS HUGEINT) * gt * (m - 1) AS DOUBLE)
+                         <= 0.15
+                  ELSE TRUE END AS t_close
+         FROM s""",
     // the e-series contract: the drained latest-batch-wins audit equals
     // the batch v03 over the full event history
     "e24_streaming_k_anonymity" -> v03OracleSql,

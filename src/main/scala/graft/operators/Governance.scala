@@ -96,6 +96,111 @@ object Governance {
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third rung of the release-gate ladder after k-anonymity and
+    * l-diversity ([[kAnonymityAudit]]): an equivalence class can be
+    * large AND diverse yet still leak (99% of one diagnosis where the
+    * population has 1%), so each class's SENSITIVE-VALUE DISTRIBUTION
+    * must sit within Earth-Mover's Distance `t` of the corpus-global
+    * one. Two published ground distances:
+    *
+    *  - `ordered = false` (categorical, equal ground distance):
+    *    EMD = ½·Σᵢ|pᵢ − qᵢ|. The absent-value terms fold away
+    *    algebraically — Σ_absent qᵢ = 1 − Σ_present qᵢ — so NO
+    *    class×domain grid is ever built: one (class, value) aggregate,
+    *    one vocabulary-bounded join against the global counts, a
+    *    class-keyed window over each class's ≤ m value rows for the
+    *    class total (null-class-safe where an equi-join is not), one
+    *    per-class aggregate.
+    *  - `ordered = true` (numeric domains): EMD = Σᵢ|Σ_{j≤i}(pⱼ−qⱼ)| /
+    *    (m−1) over the ordered global domain. Cumulative terms need the
+    *    absent values, so classes explode onto the m-value grid — a
+    *    BROADCAST cross join bounded by the sensitive domain (the
+    *    bounded-cardinality metric contract), with a per-class window
+    *    over m rows, never a corpus window.
+    *
+    * Exactness (the c30 convention): pᵢ − qᵢ = (cᵢ·N − gᵢ·n)/(n·N), so
+    * every |…| term is an exact DECIMAL(38,0) integer and the ONLY IEEE
+    * operation is the single final division — engines cannot disagree on
+    * a distance or a verdict. Null sensitive values carry no
+    * distribution mass (the countDistinct convention) and are dropped
+    * from both p and q; a class with only null sensitive rows does not
+    * appear. A single-value global domain pins distance 0.
+    *
+    * Output: (quasi…, n_rows, emd, t_close) — emd rounded to 9, the
+    * verdict compared on the RAW division.
+    */
+  def tClosenessAudit(df: DataFrame, quasiIdCols: Seq[String],
+      sensitiveCol: String, t: Double,
+      ordered: Boolean = false): DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
+    require(t > 0.0 && t <= 1.0, s"t must lie in (0, 1], got $t")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = quasiIdCols.map(col)
+    val rows = df.filter(col(sensitiveCol).isNotNull)
+      .select(q :+ col(sensitiveCol).as("__v"): _*)
+    val global = rows.groupBy("__v").agg(count(lit(1)).as("__g"))
+    val totals = global.agg(coalesce(sum(col("__g")), lit(0L)).as("__gt"),
+      count(lit(1)).as("__m"))
+    val byClassVal = rows.groupBy(q :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // per-class totals ride a CLASS-KEYED window over the class's ≤ m
+    // value rows (vocabulary-bounded, never the corpus) instead of a
+    // classN equi-join: a NULL quasi-id class is its own auditable class
+    // (the kAnonymityAudit contract), and a null-unsafe join would drop
+    // it — the window groups nulls like GROUP BY does
+    val wcls = org.apache.spark.sql.expressions.Window.partitionBy(q: _*)
+    if (!ordered) {
+      val joined = byClassVal
+        .join(global, "__v")
+        .withColumn("__n", sum(col("__c")).over(wcls))
+        .crossJoin(broadcast(totals))
+      val per = joined
+        .groupBy(q :+ col("__n") :+ col("__gt"): _*)
+        .agg(sum(abs(col("__c").cast(dec) * col("__gt").cast(dec) -
+            col("__g").cast(dec) * col("__n").cast(dec))).as("__s1"),
+          sum(col("__g")).as("__s2"))
+      val num = col("__s1") +
+        (col("__gt") - col("__s2")).cast(dec) * col("__n").cast(dec)
+      val emdRaw = num.cast("double") /
+        (col("__n").cast(dec) * col("__gt").cast(dec) * lit(2).cast(dec))
+          .cast("double")
+      per.select(q :+ col("__n").as("n_rows") :+
+        (round(emdRaw, 9) + lit(0.0)).as("emd") :+
+        (emdRaw <= t).as("t_close"): _*)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val classN = byClassVal.groupBy(q: _*).agg(sum(col("__c")).as("__n"))
+      // the grid join is NULL-SAFE on the quasi columns for the same
+      // null-class reason as above
+      val gridCond = (quasiIdCols.map(c =>
+        col(s"cn.$c") <=> col(s"cv.$c")) :+
+        (col("g.__v") === col("cv.__v"))).reduce(_ && _)
+      val grid = classN.as("cn").crossJoin(broadcast(global).as("g"))
+        .join(byClassVal.as("cv"), gridCond, "left")
+        .select(quasiIdCols.map(c => col(s"cn.$c").as(c)) ++
+          Seq(col("cn.__n").as("__n"), col("g.__v").as("__v"),
+            col("g.__g").as("__g"),
+            coalesce(col("cv.__c"), lit(0L)).as("__c")): _*)
+      val w = Window.partitionBy(q: _*).orderBy(col("__v"))
+      val per = grid
+        .withColumn("__cc", sum(col("__c")).over(w))
+        .withColumn("__cg", sum(col("__g")).over(w))
+        .crossJoin(broadcast(totals))
+        .groupBy(q :+ col("__n") :+ col("__gt") :+ col("__m"): _*)
+        .agg(sum(abs(col("__cc").cast(dec) * col("__gt").cast(dec) -
+          col("__cg").cast(dec) * col("__n").cast(dec))).as("__s1"))
+      val emdRaw = col("__s1").cast("double") /
+        (col("__n").cast(dec) * col("__gt").cast(dec) *
+          (col("__m") - lit(1)).cast(dec)).cast("double")
+      per.select(q :+ col("__n").as("n_rows") :+
+        (when(col("__m") > 1, round(emdRaw, 9) + lit(0.0))
+          .otherwise(lit(0.0))).as("emd") :+
+        (when(col("__m") > 1, emdRaw <= t).otherwise(lit(true)))
+          .as("t_close"): _*)
+    }
+  }
+
   /** (table_name, n_purged, n_retained) as two count-only aggregates
     * attached by 1-row joins (the scalar-model convention).
     */

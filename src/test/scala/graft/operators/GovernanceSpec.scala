@@ -132,4 +132,56 @@ class GovernanceSpec extends SparkTestBase {
       }
     }
   }
+
+  test("tClosenessAudit categorical: hand-computed EMDs, null sensitive " +
+      "rows carry no mass, a NULL quasi class audits as its own class") {
+    import spark.implicits._
+    // global (nulls dropped): flu 7, cold 1, hiv 4 -> N = 12
+    val rows =
+      Seq(("A", "flu"), ("A", "flu"), ("A", "cold"), ("A", "hiv"),
+        ("A", null), ("A", null),
+        ("B", "flu"), ("B", "hiv"), ("B", "hiv"), ("B", "hiv"),
+        ("C", "flu"), ("C", "flu"),
+        (null, "flu"), (null, "flu"))
+        .toDF("zip", "disease")
+    val got = Governance
+      .tClosenessAudit(rows, Seq("zip"), "disease", t = 0.2)
+      .as[(Option[String], Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // A: p=(1/2,1/4,1/4) vs q=(7/12,1/12,1/3) -> EMD 1/6; nulls excluded
+    assert(got(Some("A")) === ((4L, 0.166666667, true)))
+    // B: p=(1/4,0,3/4) -> EMD 5/12
+    assert(got(Some("B")) === ((4L, 0.416666667, false)))
+    // C and the null-quasi class: all-flu, p=(1,0,0) -> EMD 5/12
+    assert(got(Some("C")) === ((2L, 0.416666667, false)))
+    assert(got(None) === ((2L, 0.416666667, false)))
+    assert(got.size === 4)
+  }
+
+  test("tClosenessAudit ordered: cumulative-difference EMD over the " +
+      "global value grid; a single-value domain pins distance 0") {
+    import spark.implicits._
+    // domain {1,2,3} each x2 globally: X holds both 1s, Y the rest
+    val rows = Seq(("X", 1L), ("X", 1L),
+      ("Y", 2L), ("Y", 3L), ("Y", 2L), ("Y", 3L)).toDF("zip", "v")
+    val got = Governance
+      .tClosenessAudit(rows, Seq("zip"), "v", t = 0.3, ordered = true)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("X") === ((2L, 0.5, false)), "mass at one end: EMD 1/2")
+    assert(got("Y") === ((4L, 0.25, true)))
+    // same fixture under the categorical ground distance:
+    // X p=(1,0,0) vs q=(1/3,1/3,1/3) -> EMD = (2/3+1/3+1/3)/2 = 2/3
+    val cat = Governance.tClosenessAudit(rows, Seq("zip"), "v", t = 0.3)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(cat("X") === 0.666666667 && cat("Y") === 0.333333333,
+      s"categorical EMDs: $cat")
+    val one = Seq(("X", 5L), ("Y", 5L), ("Y", 5L)).toDF("zip", "v")
+    val got1 = Governance
+      .tClosenessAudit(one, Seq("zip"), "v", t = 0.3, ordered = true)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(got1.forall(r => r._3 === 0.0 && r._4),
+      "single-value global domain must pin EMD 0 / t_close true")
+  }
 }
