@@ -761,6 +761,16 @@ object SparkEntry {
         "ts", Seq("view", "click", "purchase"))
     }),
 
+    // Kaplan–Meier / Nelson–Aalen churn curve: per-user lifetimes with
+    // half-day right-censoring; hazard and log-survival terms on the
+    // t36 1e-6 integer grid so the cumulations are exact longs
+    "g17_survival_curve" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      graft.operators.Events.survivalCurve(ev, "user_id", "ts_us",
+        censorHorizon = 43200000000L)
+    }),
+
     // per-user TOTAL ACTIVE TIME: each event opens an activity interval
     // of `value` seconds; overlaps must not double-count, so the union
     // length comes from the sweep-line identity — one per-user window +
@@ -5945,6 +5955,47 @@ object SparkEntry {
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                  LEFT JOIN s3 ON s1.user_id = s3.user_id""",
     // time-to-convert: the g06 chain CTEs + per-pair durations bucketed
+    // g17: KM/NA survival — lifetimes, strict-< censoring cut, at-risk
+    // suffix counts, 1e-6-grid hazard/ln terms cumulated as BIGINTs,
+    // one final division per row (the t36 integer-ln convention)
+    "g17_survival_curve" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         u AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM ev GROUP BY 1),
+         m AS (SELECT max(t1) AS mx FROM u),
+         s AS (SELECT t1 - t0 AS dur,
+                      CASE WHEN t1 < mx - 43200000000 THEN 1 ELSE 0 END AS e
+               FROM u CROSS JOIN m),
+         pd AS (SELECT dur, CAST(SUM(e) AS BIGINT) AS d,
+                       CAST(SUM(1 - e) AS BIGINT) AS c
+                FROM s GROUP BY 1),
+         tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM pd),
+         r AS (SELECT dur, d, c,
+                      total - CAST(SUM(d + c) OVER (ORDER BY dur) AS BIGINT)
+                        + (d + c) AS n
+               FROM pd CROSS JOIN tot),
+         g AS (SELECT dur, d, c, n,
+                      CAST(round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * 1000000) AS BIGINT) AS hz,
+                      CASE WHEN d < n
+                        THEN CAST(round(ln((CAST(n AS DOUBLE)
+                                            - CAST(d AS DOUBLE))
+                                           / CAST(n AS DOUBLE))
+                                        * 1000000) AS BIGINT)
+                        ELSE 0 END AS lng,
+                      CASE WHEN d = n THEN 1 ELSE 0 END AS z
+               FROM r),
+         f AS (SELECT dur, n, d, c,
+                      CAST(SUM(hz) OVER w AS BIGINT) AS hzc,
+                      CAST(SUM(lng) OVER w AS BIGINT) AS lnc,
+                      CAST(SUM(z) OVER w AS BIGINT) AS zc
+               FROM g WINDOW w AS (ORDER BY dur))
+         SELECT dur AS t, n AS n_risk, d AS n_death, c AS n_censor,
+                round(CAST(hzc AS DOUBLE) / 1000000, 6) + 0.0
+                  AS na_cum_hazard,
+                CASE WHEN zc = 0
+                  THEN round(CAST(lnc AS DOUBLE) / 1000000, 6) + 0.0
+                END AS km_log_s
+         FROM f""",
     // by binary-form length (both engines' bin() of a positive BIGINT)
     "g16_time_to_convert" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsn

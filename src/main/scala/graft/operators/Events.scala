@@ -341,4 +341,77 @@ object Events {
       .select(col("rank"), col("token").as("path"),
         col("n").as("n_sessions"))
   }
+
+  /** Kaplan–Meier / Nelson–Aalen survival over per-key event lifetimes —
+    * the churn curve (Kaplan & Meier 1958; Nelson 1972; Aalen 1978): a
+    * key is "born" at its first event and "dies" at its last, UNLESS
+    * that last event falls within `censorHorizon` of the corpus's
+    * newest observation — such keys are RIGHT-CENSORED (still alive;
+    * treating them as deaths is the classic retention-analysis bias
+    * this estimator exists to fix). At each distinct lifetime `t` (in
+    * the integer time unit of `tsCol`, micros by the events
+    * convention): the at-risk count, deaths, censorings, the
+    * Nelson–Aalen cumulative hazard Σ dᵢ/nᵢ, and the LOG Kaplan–Meier
+    * survival Σ ln(1 − dᵢ/nᵢ) — emitted in log space deliberately:
+    * exponentiating would stack a second libm call per row, while the
+    * log form needs only `ln` under the t36 integer-grid convention
+    * (terms round onto the 1e-6 grid as longs, cumulate exactly, ONE
+    * final division per row — engines cannot disagree). If a time's
+    * deaths exhaust its risk set, survival is exactly 0 and `km_log_s`
+    * is NULL from that point on (log of 0), spec-pinned.
+    *
+    * Plan shape (100 TB posture): one key-bounded (min, max) aggregate,
+    * one scalar max attach, one duration-bounded hash aggregate, then
+    * TWO range-partitioned parallel prefix sums
+    * ([[CorpusStats.globalRunningTotals]] — never a one-task global
+    * window): the first derives at-risk counts, the second cumulates
+    * the grid terms. No join beyond 1-row attaches, no corpus window.
+    *
+    * Output: (t, n_risk, n_death, n_censor, na_cum_hazard, km_log_s)
+    * with one row per distinct lifetime.
+    */
+  def survivalCurve(df: DataFrame, keyCol: String, tsCol: String,
+      censorHorizon: Long): DataFrame = {
+    require(censorHorizon >= 0, "censorHorizon must be non-negative")
+    val subj = df
+      .select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__t"))
+      .groupBy("__k")
+      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
+      .select((col("__t1") - col("__t0")).as("__dur"), col("__t1"))
+    val newest = subj.agg(max(col("__t1")).as("__mx"))
+    val perDur = subj.crossJoin(broadcast(newest))
+      .select(col("__dur"),
+        when(col("__t1") < col("__mx") - lit(censorHorizon), 1L)
+          .otherwise(0L).as("__e"))
+      .groupBy("__dur")
+      .agg(sum(col("__e")).as("n_death"),
+        sum(lit(1L) - col("__e")).as("n_censor"))
+      .withColumn("__dc", col("n_death") + col("n_censor"))
+    val totals = perDur.agg(
+      coalesce(sum(col("__dc")), lit(0L)).as("__tot"))
+    val risky = CorpusStats
+      .globalRunningTotals(perDur, Seq(col("__dur")), Seq("__dc"))
+      .crossJoin(broadcast(totals))
+      .select(col("__dur"), col("n_death"), col("n_censor"),
+        (col("__tot") - col("__dc_cum") + col("__dc")).as("n_risk"))
+    val dD = col("n_death").cast("double")
+    val nD = col("n_risk").cast("double")
+    val prepped = risky
+      .withColumn("__hz", round(dD / nD * lit(1e6), 0).cast("long"))
+      .withColumn("__ln", when(col("n_death") < col("n_risk"),
+        round(log((nD - dD) / nD) * lit(1e6), 0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("__z",
+        when(col("n_death") === col("n_risk"), 1L).otherwise(0L))
+    CorpusStats
+      .globalRunningTotals(prepped, Seq(col("__dur")),
+        Seq("__hz", "__ln", "__z"))
+      .select(col("__dur").as("t"), col("n_risk"), col("n_death"),
+        col("n_censor"),
+        (round(col("__hz_cum").cast("double") / lit(1e6), 6) + lit(0.0))
+          .as("na_cum_hazard"),
+        when(col("__z_cum") === 0,
+          round(col("__ln_cum").cast("double") / lit(1e6), 6) + lit(0.0))
+          .as("km_log_s"))
+  }
 }

@@ -303,4 +303,44 @@ class EventsSpec extends SparkTestBase {
     assert(census.sum <= 40L * 50L,
       s"credited touches must be window-bounded, got ${census.sum}")
   }
+
+  test("survivalCurve: hand-computed KM/NA values, right-censored keys " +
+      "leave the risk set without counting as deaths") {
+    import spark.implicits._
+    // newest observation 100, horizon 50: death iff last event < 50
+    val ev = Seq(
+      (1L, 0L), (1L, 10L), // dur 10, dead
+      (2L, 0L), (2L, 10L), // dur 10, dead
+      (3L, 0L), (3L, 20L), // dur 20, dead
+      (4L, 80L), (4L, 100L), // dur 20, CENSORED (t1 = 100)
+      (5L, 100L)) // dur 0, CENSORED
+      .toDF("user_id", "ts_us")
+    val got = graft.operators.Events
+      .survivalCurve(ev, "user_id", "ts_us", censorHorizon = 50L)
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect()
+      .sortBy(_._1)
+    // ln(1/2) = -0.69314718 -> grid -693147 -> -0.693147
+    assert(got === Array(
+      (0L, 5L, 0L, 1L, 0.0, Some(0.0)),
+      (10L, 4L, 2L, 0L, 0.5, Some(-0.693147)),
+      (20L, 2L, 1L, 1L, 1.0, Some(-1.386294))))
+  }
+
+  test("survivalCurve: a time whose deaths exhaust the risk set pins " +
+      "survival 0 — km_log_s goes NULL from that point") {
+    import spark.implicits._
+    // newest 100, horizon 10: u1/u2 die at dur 5; u3 censored at dur 3
+    val ev = Seq(
+      (1L, 0L), (1L, 5L),
+      (2L, 10L), (2L, 15L),
+      (3L, 97L), (3L, 100L))
+      .toDF("user_id", "ts_us")
+    val got = graft.operators.Events
+      .survivalCurve(ev, "user_id", "ts_us", censorHorizon = 10L)
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect()
+      .sortBy(_._1)
+    assert(got === Array(
+      (3L, 3L, 0L, 1L, 0.0, Some(0.0)),
+      (5L, 2L, 2L, 0L, 1.0, None)))
+  }
 }
