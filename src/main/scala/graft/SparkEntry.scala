@@ -1927,6 +1927,19 @@ object SparkEntry {
         k = 3, maxRounds = 30)
     }),
 
+    // HyperBall neighborhood function over the same kNN graph: per-round
+    // reachable-pair counts N(t) from per-vertex HLL ball sketches; the
+    // oracle recomputes TRUE ball memberships and replays the Mix64
+    // register arithmetic + integer-exact estimate fold bit-for-bit
+    "s37_neighborhood_function" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          dim = 64, k = 3, numPlanes = 5, maxBucketSize = 1000000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      Graph.neighborhoodFunction(emb.select("vec_id"), edges,
+        "vec_id", "src", "dst", rounds = 3, p = 12)
+    }),
+
     // hubness profile of the same graph: per-vector in-degree (how many
     // others chose it as a neighbor) — high-dim kNN graphs skew toward a
     // few hub vectors that drag retrieval quality. Integer-exact output
@@ -4822,6 +4835,78 @@ object SparkEntry {
        |FROM r$rounds JOIN d$rounds ON r$rounds.v = d$rounds.a""".stripMargin
   }
 
+  /** s37: HyperBall replayed from TRUE ball memberships — the k-hop
+    * balls unroll as MATERIALIZED distinct closures over the s36 edge
+    * construction, then every vertex id's Mix64 registers (idx = top p
+    * bits, rank = nlz((h<<p)|1)+1 capped) rebuild relationally in
+    * HUGEINT mod-2^64 SQL, per-ball registers are order-free MAXes, and
+    * the estimate replays the engine's integer-exact fold: S = Σ
+    * 2^(rmax−reg) in HUGEINT (absent registers contribute 2^rmax), ONE
+    * cast-to-double division, the same alpha expression, and the
+    * linear-counting `ln` branch under the shared libm convention.
+    */
+  private def s37OracleSql: String = {
+    import DuckHash._
+    val C1 = BigInt("ff51afd7ed558ccd", 16)
+    val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+    val p = 12
+    val m = 1 << p
+    val rmax = 64 - p
+    val twoRmax = BigInt(1) << rmax
+    val twoP = BigInt(1) << p
+    val balls = (1 to 3).map { t =>
+      s"""b$t AS MATERIALIZED (SELECT DISTINCT v, w FROM (
+         |  SELECT v, w FROM b${t - 1}
+         |  UNION ALL
+         |  SELECT e.a AS v, b.w FROM sym e JOIN b${t - 1} b ON e.b = b.v))"""
+        .stripMargin
+    }.mkString(",\n")
+    def est(t: Int): String =
+      s"""rg_$t AS (SELECT b.v, h.idx, MAX(h.rank) AS reg
+         |          FROM b$t b JOIN hreg h ON h.w = b.w GROUP BY 1, 2),
+         |es_$t AS (SELECT v,
+         |            SUM(CAST(power(2, $rmax - reg) AS HUGEINT))
+         |              + ($m - COUNT(*)) * $twoRmax::HUGEINT AS s,
+         |            $m - COUNT(*) AS zeros
+         |          FROM rg_$t GROUP BY v),
+         |nv_$t AS (SELECT CAST($t AS INT) AS round,
+         |            CAST(SUM(CAST(round(
+         |              CASE WHEN (0.7213 / (1.0 + 1.079 / $m)) * $m * $m /
+         |                        (CAST(s AS DOUBLE) / $twoRmax.0) <= 2.5 * $m
+         |                     AND zeros > 0
+         |                   THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+         |                   ELSE (0.7213 / (1.0 + 1.079 / $m)) * $m * $m /
+         |                        (CAST(s AS DOUBLE) / $twoRmax.0)
+         |              END) AS BIGINT)) AS BIGINT) AS n_pairs
+         |          FROM es_$t)""".stripMargin
+    val ests = (0 to 3).map(est).mkString(",\n")
+    val unioned = (0 to 3).map(t => s"SELECT * FROM nv_$t").mkString(" UNION ALL ")
+    s"""$knnEdgeCtes,
+       |und AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst),
+       |sym AS MATERIALIZED (SELECT DISTINCT a, b FROM
+       |          (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)),
+       |b0 AS MATERIALIZED (SELECT vec_id AS v, vec_id AS w FROM embeddings),
+       |$balls,
+       |h0 AS (SELECT DISTINCT vec_id AS w, CAST(vec_id AS HUGEINT) AS h
+       |       FROM embeddings),
+       |h1 AS (SELECT w, ${xorShift33("h")} AS h FROM h0),
+       |h2 AS (SELECT w, ${mulMod("h", C1)} AS h FROM h1),
+       |h3 AS (SELECT w, ${xorShift33("h")} AS h FROM h2),
+       |h4 AS (SELECT w, ${mulMod("h", C2)} AS h FROM h3),
+       |h5 AS (SELECT w, ${xorShift33("h")} AS hu FROM h4),
+       |hr AS (SELECT w,
+       |         CAST(hu // $twoRmax::HUGEINT AS BIGINT) AS idx,
+       |         (hu * $twoP::HUGEINT) % $U AS rest
+       |       FROM h5),
+       |hreg AS (SELECT w, idx,
+       |           CASE WHEN rest + (1 - rest % 2) >= $H THEN 1
+       |                ELSE LEAST($rmax, 65 - length(bin(CAST(
+       |                  rest + (1 - rest % 2) AS BIGINT)))) END AS rank
+       |         FROM hr),
+       |$ests
+       |SELECT round, n_pairs FROM ($unioned)""".stripMargin
+  }
+
   private def s16OracleSql: String =
     s"""$knnEdgeCtes,
        |nodes AS (SELECT vec_id FROM embeddings),
@@ -7577,6 +7662,7 @@ object SparkEntry {
     "s18_ann_recall" -> s18OracleSql,
     "s35_ivf_probe_curve" -> s35OracleSql,
     "s36_kcore" -> s36OracleSql,
+    "s37_neighborhood_function" -> s37OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
     // c31 IS c07 built from YAML — one oracle, zero drift by construction
     "c31_config_pipeline" -> c07OracleSql,

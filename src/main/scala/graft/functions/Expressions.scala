@@ -476,6 +476,12 @@ object GraftFunctions {
     Bridge.column(JaccardSorted(Bridge.expression(a), Bridge.expression(b)))
   def hll_distinct(c: Column, p: Int = 12): Column = Bridge.column(
     HllSketch(Bridge.expression(c), p).toAggregateExpression())
+  def hll_init(c: Column, p: Int = 12): Column =
+    Bridge.column(HllInitLong(Bridge.expression(c), p))
+  def hll_merge(c: Column, p: Int = 12): Column = Bridge.column(
+    HllMergeSketch(Bridge.expression(c), p).toAggregateExpression())
+  def hll_card(c: Column, p: Int = 12): Column =
+    Bridge.column(HllCardinality(Bridge.expression(c), p))
   def top_k_by(score: Column, id: Column, k: Int): Column = Bridge.column(
     TopKByScore(Bridge.expression(score.cast("double")), Bridge.expression(id), k)
       .toAggregateExpression())

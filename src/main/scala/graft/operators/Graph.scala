@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -318,5 +319,66 @@ object Graph {
           round(lit(2.0) * coalesce(col("__t"), lit(0L)) /
             (col("__d") * (col("__d") - lit(1L))), 6) + lit(0.0))
           .otherwise(lit(0.0)).as("clustering_coef"))
+  }
+
+  /** HyperBall neighborhood function (Boldi & Vigna, 2013 — the method
+    * behind the published web/social-graph distance distributions): per
+    * round t, every vertex's HLL sketch absorbs its neighbors' round
+    * t−1 sketches, so sketch(v, t) approximates |ball(v, t)| — the
+    * vertices within t hops — and N(t) = Σ_v |ball(v, t)| is the
+    * reachable-pair count whose growth curve yields the effective
+    * diameter. THE example of a computation that is only feasible at
+    * scale as a sketch: exact balls are quadratic state, a 2^p-byte
+    * register array per vertex is constant.
+    *
+    * Determinism/oracle: sketches are Mix64-register HLLs
+    * ([[graft.functions.HllOps]]) — register-wise max is order-free, the
+    * estimate's register fold is integer-exact, and its one `ln` +
+    * divisions follow the shared libm convention, so an oracle that
+    * recomputes the TRUE ball member sets relationally and replays the
+    * register/estimate arithmetic reproduces every count bit-for-bit
+    * (`s37`). For balls far smaller than √(2^p·…) the estimate rounds to
+    * the EXACT count (linear counting), spec-pinned on hand graphs.
+    *
+    * Plan shape (100 TB posture): the Pregel shape — per round ONE
+    * equi-join of the symmetrized skinny edge list with the (v, sketch)
+    * frame + ONE map-side-combined hll_merge aggregate, checkpointed per
+    * round (flat lineage); per-round totals are single scalar aggregates
+    * of LONG per-vertex estimates (no double summation anywhere). State
+    * per round: one 2^p-byte sketch per vertex.
+    *
+    * Output: (round, n_pairs) for t = 0..rounds — N(0) = |V|.
+    */
+  def neighborhoodFunction(nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      rounds: Int, p: Int = 12): DataFrame = {
+    require(rounds >= 1, "need at least one expansion round")
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+    val sym = und
+      .unionByName(und.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct().localCheckpoint(true)
+    var cur = nodes.select(col(idCol).cast("long").as("__v")).distinct()
+      .select(col("__v"), GraftFunctions.hll_init(col("__v"), p).as("__sk"))
+      .localCheckpoint(true)
+    def total(t: Int): DataFrame =
+      cur.agg(sum(GraftFunctions.hll_card(col("__sk"), p)).as("n_pairs"))
+        .select(lit(t).cast("int").as("round"), col("n_pairs"))
+    var out = total(0)
+    var t = 1
+    while (t <= rounds) {
+      val contrib = sym
+        .join(cur.select(col("__v").as("__b2"), col("__sk")),
+          col("__b") === col("__b2"))
+        .select(col("__a").as("__v"), col("__sk"))
+      cur = cur.unionByName(contrib)
+        .groupBy(col("__v"))
+        .agg(GraftFunctions.hll_merge(col("__sk"), p).as("__sk"))
+        .localCheckpoint(true)
+      out = out.unionByName(total(t))
+      t += 1
+    }
+    out
   }
 }

@@ -202,4 +202,49 @@ class GraphSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("did not converge"), err.getMessage)
   }
+
+  test("neighborhoodFunction: exact counts on a hand path graph (linear " +
+      "counting is exact for balls far below 2^p) and convergence once " +
+      "every ball is the component") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val got = Graph.neighborhoodFunction(nodes, edges, "id", "src", "dst",
+        rounds = 3, p = 12)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    // balls: t=1 -> {1,2},{1,2,3},{2,3} = 7; t>=2 -> 3x3 = 9
+    assert(got === Array((0, 3L), (1, 7L), (2, 9L), (3, 9L)))
+  }
+
+  test("neighborhoodFunction: tracks true BFS reachable-pair counts on a " +
+      "random sparse graph (monotone, N(0)=|V|, small-ball exactness " +
+      "regime within 15%)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val n = 25
+    val edges = (0 until 40).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val nodes = (0L until n.toLong).toDF("id")
+    val got = Graph.neighborhoodFunction(nodes, edges.toDF("src", "dst"),
+        "id", "src", "dst", rounds = 3, p = 12)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(got.head === n.toLong, "N(0) must be |V|")
+    assert(got.sliding(2).forall(w => w(0) <= w(1)), "N(t) must be monotone")
+    // true reachable-pair counts by BFS
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def truth(rounds: Int): Long = (0L until n.toLong).map { v =>
+      var ball = Set(v)
+      (1 to rounds).foreach { _ =>
+        ball = ball ++ ball.flatMap(w => adj.getOrElse(w, Set.empty))
+      }
+      ball.size.toLong
+    }.sum
+    (0 to 3).foreach { t =>
+      val tv = truth(t)
+      assert(math.abs(got(t) - tv) <= math.max(1L, (0.15 * tv).toLong),
+        s"round $t: estimate ${got(t)} vs true $tv")
+    }
+  }
 }
