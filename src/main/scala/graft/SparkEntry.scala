@@ -2724,6 +2724,32 @@ object SparkEntry {
               col("n_pos").as("total_pos"), col("n_neg").as("total_neg")))
     }),
 
+    // streaming survival: per-key lifetime bounds merge associatively in
+    // LSM state (the e17 recipe); the drained curve routes through the
+    // SHARED survivalFromBounds code, so it equals the batch g17 over
+    // the full history — the batch split deliberately violates time
+    // order to prove the merge needs no ordering contract
+    "e26_streaming_survival" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e26").toString
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      ev.filter(col("ts_us") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("ts_us") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream.schema("user_id BIGINT, ts_us BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingSurvival.start(s, src, "user_id",
+        "ts_us", s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e26 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingSurvival.report(s, s"$tmp/state",
+        censorHorizon = 43200000000L)
+    }),
+
     "e22_streaming_burstiness" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e22").toString
       val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
@@ -4907,6 +4933,45 @@ object SparkEntry {
        |SELECT round, n_pairs FROM ($unioned)""".stripMargin
   }
 
+  private def g17OracleSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         u AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM ev GROUP BY 1),
+         m AS (SELECT max(t1) AS mx FROM u),
+         s AS (SELECT t1 - t0 AS dur,
+                      CASE WHEN t1 < mx - 43200000000 THEN 1 ELSE 0 END AS e
+               FROM u CROSS JOIN m),
+         pd AS (SELECT dur, CAST(SUM(e) AS BIGINT) AS d,
+                       CAST(SUM(1 - e) AS BIGINT) AS c
+                FROM s GROUP BY 1),
+         tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM pd),
+         r AS (SELECT dur, d, c,
+                      total - CAST(SUM(d + c) OVER (ORDER BY dur) AS BIGINT)
+                        + (d + c) AS n
+               FROM pd CROSS JOIN tot),
+         g AS (SELECT dur, d, c, n,
+                      CAST(round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * 1000000) AS BIGINT) AS hz,
+                      CASE WHEN d < n
+                        THEN CAST(round(ln((CAST(n AS DOUBLE)
+                                            - CAST(d AS DOUBLE))
+                                           / CAST(n AS DOUBLE))
+                                        * 1000000) AS BIGINT)
+                        ELSE 0 END AS lng,
+                      CASE WHEN d = n THEN 1 ELSE 0 END AS z
+               FROM r),
+         f AS (SELECT dur, n, d, c,
+                      CAST(SUM(hz) OVER w AS BIGINT) AS hzc,
+                      CAST(SUM(lng) OVER w AS BIGINT) AS lnc,
+                      CAST(SUM(z) OVER w AS BIGINT) AS zc
+               FROM g WINDOW w AS (ORDER BY dur))
+         SELECT dur AS t, n AS n_risk, d AS n_death, c AS n_censor,
+                round(CAST(hzc AS DOUBLE) / 1000000, 6) + 0.0
+                  AS na_cum_hazard,
+                CASE WHEN zc = 0
+                  THEN round(CAST(lnc AS DOUBLE) / 1000000, 6) + 0.0
+                END AS km_log_s
+         FROM f"""
+
   private def s16OracleSql: String =
     s"""$knnEdgeCtes,
        |nodes AS (SELECT vec_id FROM embeddings),
@@ -6043,44 +6108,10 @@ object SparkEntry {
     // g17: KM/NA survival — lifetimes, strict-< censoring cut, at-risk
     // suffix counts, 1e-6-grid hazard/ln terms cumulated as BIGINTs,
     // one final division per row (the t36 integer-ln convention)
-    "g17_survival_curve" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
-         u AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM ev GROUP BY 1),
-         m AS (SELECT max(t1) AS mx FROM u),
-         s AS (SELECT t1 - t0 AS dur,
-                      CASE WHEN t1 < mx - 43200000000 THEN 1 ELSE 0 END AS e
-               FROM u CROSS JOIN m),
-         pd AS (SELECT dur, CAST(SUM(e) AS BIGINT) AS d,
-                       CAST(SUM(1 - e) AS BIGINT) AS c
-                FROM s GROUP BY 1),
-         tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM pd),
-         r AS (SELECT dur, d, c,
-                      total - CAST(SUM(d + c) OVER (ORDER BY dur) AS BIGINT)
-                        + (d + c) AS n
-               FROM pd CROSS JOIN tot),
-         g AS (SELECT dur, d, c, n,
-                      CAST(round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
-                                 * 1000000) AS BIGINT) AS hz,
-                      CASE WHEN d < n
-                        THEN CAST(round(ln((CAST(n AS DOUBLE)
-                                            - CAST(d AS DOUBLE))
-                                           / CAST(n AS DOUBLE))
-                                        * 1000000) AS BIGINT)
-                        ELSE 0 END AS lng,
-                      CASE WHEN d = n THEN 1 ELSE 0 END AS z
-               FROM r),
-         f AS (SELECT dur, n, d, c,
-                      CAST(SUM(hz) OVER w AS BIGINT) AS hzc,
-                      CAST(SUM(lng) OVER w AS BIGINT) AS lnc,
-                      CAST(SUM(z) OVER w AS BIGINT) AS zc
-               FROM g WINDOW w AS (ORDER BY dur))
-         SELECT dur AS t, n AS n_risk, d AS n_death, c AS n_censor,
-                round(CAST(hzc AS DOUBLE) / 1000000, 6) + 0.0
-                  AS na_cum_hazard,
-                CASE WHEN zc = 0
-                  THEN round(CAST(lnc AS DOUBLE) / 1000000, 6) + 0.0
-                END AS km_log_s
-         FROM f""",
+    "g17_survival_curve" -> g17OracleSql,
+    // e26: the drained streaming curve IS the batch g17 over everything
+    // streamed — one oracle, zero drift by construction
+    "e26_streaming_survival" -> g17OracleSql,
     // by binary-form length (both engines' bin() of a positive BIGINT)
     "g16_time_to_convert" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsn

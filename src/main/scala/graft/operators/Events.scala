@@ -371,12 +371,23 @@ object Events {
     * with one row per distinct lifetime.
     */
   def survivalCurve(df: DataFrame, keyCol: String, tsCol: String,
-      censorHorizon: Long): DataFrame = {
-    require(censorHorizon >= 0, "censorHorizon must be non-negative")
-    val subj = df
+      censorHorizon: Long): DataFrame =
+    survivalFromBounds(df
       .select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__t"))
       .groupBy("__k")
-      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1"))
+      .agg(min(col("__t")).as("__t0"), max(col("__t")).as("__t1")),
+      censorHorizon)
+
+  /** [[survivalCurve]] from pre-aggregated per-key lifetime bounds
+    * `(__t0, __t1)` — the entry point the streaming monitor folds into
+    * (e26): min/max bounds merge associatively across batches, so the
+    * cumulative bounds frame IS what the batch operator aggregates from
+    * the full history.
+    */
+  private[graft] def survivalFromBounds(bounds: DataFrame,
+      censorHorizon: Long): DataFrame = {
+    require(censorHorizon >= 0, "censorHorizon must be non-negative")
+    val subj = bounds
       .select((col("__t1") - col("__t0")).as("__dur"), col("__t1"))
     val newest = subj.agg(max(col("__t1")).as("__mx"))
     val perDur = subj.crossJoin(broadcast(newest))

@@ -2073,6 +2073,38 @@ class StreamingSpec extends SparkTestBase {
     assert(rep() === want, "replay drifted on null-keyed facts")
   }
 
+  test("streaming survival: lifetime bounds extend across OUT-OF-ORDER " +
+      "batches (no time contract — min/max merge is associative), drained " +
+      "curve equals the batch g17, replays and compaction are exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ssv").toString
+    // user 1's LAST event arrives before its FIRST (deliberate disorder);
+    // user 2 exists in one batch; user 3 spans both
+    val b0 = Seq((1L, 90L), (3L, 0L), (3L, 40L)).toDF("user_id", "ts_us")
+    val b1 = Seq((1L, 10L), (2L, 95L), (3L, 100L)).toDF("user_id", "ts_us")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingSurvival.processBatch(b, id, "user_id", "ts_us",
+        s"$dir/state")
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep() = StreamingSurvival.report(spark, s"$dir/state",
+        censorHorizon = 20L)
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect().toSet
+    def want(df: org.apache.spark.sql.DataFrame) = graft.operators.Events
+      .survivalCurve(df, "user_id", "ts_us", censorHorizon = 20L)
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect().toSet
+    val all = b0.unionByName(b1)
+    assert(rep() === want(all), "drained curve != batch g17")
+    // crash-replay of the last batch: bounds must not drift
+    run(b1, 1L)
+    assert(rep() === want(all), "replay drifted")
+    StreamingSurvival.compactState(spark, s"$dir/state")
+    run(Seq((2L, 120L)).toDF("user_id", "ts_us"), 2L)
+    assert(rep() === want(all.unionByName(
+      Seq((2L, 120L)).toDF("user_id", "ts_us"))),
+      "post-compaction batch must see folded bounds")
+  }
+
   test("streaming PR/calibration drift: per-score counts accumulate " +
       "additively, every batch emits both reports over the cumulative " +
       "history through the shared batch-eval code, replays and compaction " +
