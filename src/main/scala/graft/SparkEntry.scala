@@ -1567,6 +1567,12 @@ object SparkEntry {
       TextAnalysis.tokenBudgetPlan(t(s, dir, "documents"), "lang", "text",
         targetTokens = 10000000L, alpha = 0.3)),
 
+    // temperature-sensitivity sweep: the c27 planner at every candidate
+    // α from ONE corpus pass (bounded explode over the literal α array)
+    "c32_temperature_sensitivity" -> ((s, dir) =>
+      TextAnalysis.temperatureSensitivity(t(s, dir, "documents"), "lang",
+        "text", targetTokens = 10000000L, alphas = Seq(0.2, 0.3, 0.5, 1.0))),
+
     // relational data-quality audit: null / unique-key / referential /
     // range rules over the warehouse tables, exact violation counts —
     // the set-level pre-flight before O19's per-row dead-letter split.
@@ -4931,6 +4937,47 @@ object SparkEntry {
        |         FROM hr),
        |$ests
        |SELECT round, n_pairs FROM ($unioned)""".stripMargin
+  }
+
+  /** c32: one token-count pass, then the c27 per-α arithmetic unrolled
+    * over the swept temperature list.
+    */
+  private def c32OracleSql: String = {
+    val alphas = Seq(0.2, 0.3, 0.5, 1.0)
+    val per = alphas.zipWithIndex.map { case (a, i) =>
+      s"""pa_$i AS (SELECT lang, n_docs, n_tokens,
+         |            CAST(round(pow(p, $a), 12) AS DECIMAL(38,18)) AS pav
+         |          FROM wp),
+         |z_$i AS (SELECT SUM(pav) AS z FROM pa_$i),
+         |r_$i AS (SELECT CAST($a AS DOUBLE) AS alpha, lang,
+         |           CAST(n_docs AS BIGINT) AS n_docs,
+         |           CAST(n_tokens AS BIGINT) AS n_tokens,
+         |           ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE), 6) + 0.0
+         |             AS q,
+         |           ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE)
+         |                 * 10000000.0, 2) + 0.0 AS tokens_needed,
+         |           ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE)
+         |                 * 10000000.0 / CAST(n_tokens AS DOUBLE), 6) + 0.0
+         |             AS epochs
+         |         FROM pa_$i, z_$i)""".stripMargin
+    }.mkString(",\n")
+    val unioned = alphas.indices.map(i => s"SELECT * FROM r_$i")
+      .mkString(" UNION ALL ")
+    s"""WITH tc AS (
+       |  SELECT doc_id, lang,
+       |         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS nt
+       |  FROM documents),
+       |ps AS (SELECT lang, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+       |       FROM tc GROUP BY lang),
+       |tot AS (SELECT SUM(n_tokens) AS total FROM ps),
+       |wp AS (SELECT lang, n_docs, n_tokens,
+       |              CASE WHEN COALESCE(n_tokens, 0) > 0
+       |                   THEN CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)
+       |              END AS p
+       |       FROM ps, tot),
+       |$per
+       |SELECT alpha, lang, n_docs, n_tokens, q, tokens_needed, epochs
+       |FROM ($unioned)""".stripMargin
   }
 
   private def g17OracleSql: String =
@@ -8372,6 +8419,9 @@ object SparkEntry {
                 ROUND(CAST(pav AS DOUBLE) / CAST(z AS DOUBLE) * 10000000.0
                       / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS epochs
          FROM pa, z""",
+    // c32: the c27 arithmetic replayed per swept α (round-12
+    // DECIMAL(38,18) p^α, per-α normalizer, one IEEE division)
+    "c32_temperature_sensitivity" -> c32OracleSql,
     // integer reproduction of the keep rule: bucket·den < rem·buckets in
     // HUGEINT, with the rolling-x31 fingerprint from the t09 oracle
     "t18_apply_mixture" ->

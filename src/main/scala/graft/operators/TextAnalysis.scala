@@ -1046,6 +1046,59 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6) + lit(0.0)).as("epochs"))
   }
 
+  /** Temperature-sensitivity curve — the d19-style tuning report for the
+    * mixture temperature BEFORE a training run fixes α: for every swept
+    * α, each stratum's mixture share q ∝ p^α, the tokens a target budget
+    * demands of it, and the implied epochs over its available tokens
+    * (epochs > 1 flags the repetition a run would pay at that α). The
+    * knee between "natural distribution" (α = 1) and "flat" (α → 0) is
+    * the decision input.
+    *
+    * Plan shape (100 TB posture): the corpus is scanned ONCE (the same
+    * stratum-bounded count aggregate as [[temperatureMixture]] /
+    * [[tokenBudgetPlan]]); each α level is then pure arithmetic over the
+    * replicated stratum frame (a bounded explode over the literal α
+    * array — strata × |alphas| rows, the d19 recipe) with a per-α
+    * normalizer aggregate. Identical per-α arithmetic to the single-α
+    * operators (round-12 DECIMAL(38,18) p^α, one IEEE division), so the
+    * curve at α equals the single-α report at α by construction.
+    *
+    * Output: (alpha, stratum, n_docs, n_tokens, q, tokens_needed,
+    * epochs), ascending α.
+    */
+  def temperatureSensitivity(df: DataFrame, stratumCol: String,
+      textCol: String, targetTokens: Long,
+      alphas: Seq[Double]): DataFrame = {
+    require(targetTokens > 0, "target token budget must be positive")
+    require(alphas.nonEmpty && alphas.distinct.size == alphas.size,
+      s"alpha levels must be non-empty and distinct, got $alphas")
+    require(alphas.forall(_ > 0), s"alpha levels must be positive, got $alphas")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val perStratum = df.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val total = perStratum.agg(sum("n_tokens").as("__total"))
+    // replicated stratum frame: strata × |alphas| rows, materialized —
+    // the normalizer aggregate and the final join both consume it, and
+    // an unmaterialized lineage would re-run the corpus pass per use
+    val rep = perStratum.crossJoin(broadcast(total))
+      .withColumn("__p", when(coalesce(col("n_tokens"), lit(0L)) > 0,
+        col("n_tokens").cast("double") / col("__total")))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"), col("__p"),
+        explode(typedLit(alphas.sorted)).as("alpha"))
+      .withColumn("__pa", round(pow(col("__p"), col("alpha")), 12).cast(dec))
+      .localCheckpoint(true)
+    val z = rep.groupBy("alpha").agg(sum("__pa").as("__z"))
+    val q = col("__pa").cast("double") / col("__z").cast("double")
+    rep.join(z, "alpha")
+      .select(col("alpha"), col(stratumCol), col("n_docs"), col("n_tokens"),
+        (round(q, 6) + lit(0.0)).as("q"),
+        (round(q * lit(targetTokens.toDouble), 2) + lit(0.0))
+          .as("tokens_needed"),
+        (round(q * lit(targetTokens.toDouble) /
+          col("n_tokens").cast("double"), 6) + lit(0.0)).as("epochs"))
+  }
+
   /** Good–Turing unseen-mass estimate (Good 1953) — the corpus-coverage
     * diagnostic: the probability that the NEXT token drawn is a type
     * never seen in this corpus is estimated by n₁/N (hapax count over

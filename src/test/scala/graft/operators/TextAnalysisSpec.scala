@@ -1212,4 +1212,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, "Table  Scan", 1L)),
       s"the original unnormalized phrase must come back verbatim: ${got.toSeq}")
   }
+
+  test("temperatureSensitivity: each swept slice equals the single-alpha " +
+      "planner, and lowering alpha flattens the dominant share") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c d e f g h i j k l m n o p"),
+      (2L, "en", "a b c d e f g h"),
+      (3L, "fr", "x y z w"),
+      (4L, "de", "u v")).toDF("doc_id", "lang", "text")
+    val curve = TextAnalysis.temperatureSensitivity(docs, "lang", "text",
+        targetTokens = 1000L, alphas = Seq(0.3, 1.0))
+      .as[(Double, String, Long, Long, Double, Double, Double)].collect()
+    def slice(a: Double) = curve.filter(_._1 == a)
+      .map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSet
+    def single(a: Double) = TextAnalysis.tokenBudgetPlan(docs, "lang",
+        "text", targetTokens = 1000L, alpha = a)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(slice(0.3) === single(0.3), "alpha 0.3 slice != single-alpha plan")
+    assert(slice(1.0) === single(1.0), "alpha 1.0 slice != single-alpha plan")
+    // flattening: the dominant stratum's share shrinks as alpha drops
+    def qOf(a: Double, lang: String) =
+      curve.find(r => r._1 == a && r._2 == lang).get._5
+    assert(qOf(0.3, "en") < qOf(1.0, "en"),
+      "lower temperature must flatten the dominant share")
+    assert(qOf(0.3, "de") > qOf(1.0, "de"),
+      "lower temperature must lift the rare share")
+  }
 }
