@@ -1763,6 +1763,22 @@ object SparkEntry {
         minLen = 6)
     }),
 
+    // iterated exact-substring dedup: two full suffix-array passes, the
+    // second over the first's rebuilt text — n_residual certifies how
+    // far from the zero-duplicated-spans fixpoint one pass landed
+    "d21_exact_substr_iterated" -> ((s, dir) => {
+      // half the corpus: d20 already gates the full planted fixture;
+      // this gate proves ITERATION semantics, and two full passes at
+      // full size would double-pay d20's bench cost for no extra power
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 2 === 0)
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(regexp_replace(col("text"), "^\\S+\\s", ""),
+          lit(" u"), col("doc_id").cast("string")).as("text"))
+      Dedup.exactSubstrDedupIterated(docs.unionByName(mangled),
+        "doc_id", "text", minLen = 6, passes = 2)
+    }),
+
     // -------------------------------------------- LLM pipeline: similarity
     "s01_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -4937,6 +4953,59 @@ object SparkEntry {
        |         FROM hr),
        |$ests
        |SELECT round, n_pairs FROM ($unioned)""".stripMargin
+  }
+
+  /** d21: the d20 replay chain applied TWICE — pass 2's input is pass
+    * 1's relational rebuild, so the oracle proves the engine's iterated
+    * dedup end-to-end on gram strings.
+    */
+  private def d21OracleSql: String = {
+    def pass(pref: String, src: String): String =
+      s"""${pref}toks AS (
+         |  SELECT doc_id,
+         |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ts
+         |  FROM $src),
+         |${pref}grams0 AS (
+         |  SELECT doc_id, UNNEST(list_transform(range(1, len(ts) - 4),
+         |    i -> struct_pack(pos := i - 1,
+         |           g := array_to_string(list_slice(ts, CAST(i AS INT), CAST(i + 5 AS INT)), ' ')))) AS u
+         |  FROM ${pref}toks WHERE len(ts) >= 6),
+         |${pref}grams AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM ${pref}grams0),
+         |${pref}occ AS (SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         |         count(*) OVER (PARTITION BY g) AS cnt
+         |       FROM ${pref}grams),
+         |${pref}cov0 AS (SELECT doc_id, UNNEST(range(pos, pos + 6)) AS cov
+         |        FROM ${pref}occ WHERE cnt >= 2 AND rn > 1),
+         |${pref}covered AS (SELECT DISTINCT doc_id, cov FROM ${pref}cov0),
+         |${pref}tokpos0 AS (SELECT doc_id, len(ts) AS n_tokens,
+         |          UNNEST(list_transform(range(1, len(ts) + 1),
+         |            i -> struct_pack(p := i - 1, tok := ts[CAST(i AS INT)]))) AS u
+         |        FROM ${pref}toks),
+         |${pref}tokpos AS (SELECT doc_id, n_tokens, u.p AS p, u.tok AS tok
+         |                  FROM ${pref}tokpos0),
+         |${pref}reb AS (
+         |  SELECT tp.doc_id,
+         |         coalesce(string_agg(CASE WHEN c.cov IS NULL THEN tp.tok END, ' ' ORDER BY tp.p), '') AS text_kept,
+         |         CAST(any_value(tp.n_tokens) AS INT) AS n_tokens,
+         |         CAST(count(c.cov) AS INT) AS n_removed
+         |  FROM ${pref}tokpos tp
+         |  LEFT JOIN ${pref}covered c ON tp.doc_id = c.doc_id AND tp.p = c.cov
+         |  GROUP BY tp.doc_id)""".stripMargin
+    s"""WITH half AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |docs2 AS (
+       |  SELECT doc_id, text FROM half
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |         regexp_replace(text, '^\\S+\\s', '') || ' u' || CAST(doc_id AS VARCHAR)
+       |  FROM half),
+       |${pass("p1_", "docs2")},
+       |p2src AS (SELECT doc_id, text_kept AS text FROM p1_reb),
+       |${pass("p2_", "p2src")}
+       |SELECT a.doc_id, b.text_kept, a.n_tokens,
+       |       CAST(a.n_removed + b.n_removed AS INT) AS n_removed,
+       |       b.n_removed AS n_residual
+       |FROM p1_reb a JOIN p2_reb b USING (doc_id)""".stripMargin
   }
 
   /** c32: one token-count pass, then the c27 per-α arithmetic unrolled
@@ -8422,6 +8491,9 @@ object SparkEntry {
     // c32: the c27 arithmetic replayed per swept α (round-12
     // DECIMAL(38,18) p^α, per-α normalizer, one IEEE division)
     "c32_temperature_sensitivity" -> c32OracleSql,
+    // d21: the d20 gram-string replay applied twice, pass 2 over pass
+    // 1's relational rebuild
+    "d21_exact_substr_iterated" -> d21OracleSql,
     // integer reproduction of the keep rule: bucket·den < rem·buckets in
     // HUGEINT, with the rolling-x31 fingerprint from the t09 oracle
     "t18_apply_mixture" ->

@@ -776,6 +776,34 @@ class DedupSpec extends SparkTestBase {
       "doc_id", "text", minLen = 6).count() === 0, "empty corpus")
   }
 
+  test("exactSubstrDedupIterated: a splice-junction duplicate that pass 1 " +
+      "CREATES is cleared by pass 2, and n_residual certifies convergence") {
+    import spark.implicits._
+    val cRun = "c1 c2 c3 c4 c5 c6"
+    val dRun = "d1 d2 d3 d4 d5 d6"
+    val df = Seq(
+      (1L, s"$cRun mid $dRun"), // canonical for both runs
+      (4L, s"i1 i2 i3 $cRun $dRun k1 k2 k3"), // splices to i1..k3 after pass 1
+      (5L, "i1 i2 i3 k1 k2 k3")) // equals doc 4's pass-1 RESIDUE only
+      .toDF("doc_id", "text")
+    // one pass: doc 5 is untouched (its text duplicates nothing yet)
+    val p1 = Dedup.exactSubstrDedup(df, "doc_id", "text", minLen = 6)
+      .as[(Long, String, Int, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p1(4L)._2 === "i1 i2 i3 k1 k2 k3" && p1(4L)._4 === 12)
+    assert(p1(5L)._4 === 0, "pass 1 cannot see the splice-junction dup")
+    // two passes: doc 4's residue (smaller id) is canonical, doc 5 empties
+    val p2 = Dedup.exactSubstrDedupIterated(df, "doc_id", "text",
+        minLen = 6, passes = 2)
+      .as[(Long, String, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p2(1L) === ((1L, s"$cRun mid $dRun", 13, 0, 0)))
+    assert(p2(4L) === ((4L, "i1 i2 i3 k1 k2 k3", 18, 12, 0)),
+      "pass-1 removals carry into the total; residue is canonical")
+    assert(p2(5L) === ((5L, "", 6, 6, 6)),
+      "the splice-junction duplicate clears only in pass 2")
+  }
+
   test("exactSubstrDedup at minLen == the gram width reproduces " +
       "removeDuplicatedSpans on a dense low-vocab corpus (exact " +
       "equivalence classes replace the 64-bit hashes)") {
