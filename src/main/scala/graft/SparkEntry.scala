@@ -2450,6 +2450,16 @@ object SparkEntry {
         conversionType = "purchase", touchTypes = Seq("click", "view"),
         windowSize = 7L * 24 * 3600 * 1000000L)),
 
+    // first-touch attribution: the acquisition-channel view completing
+    // the g11/g13 triple — earliest in-window touch per conversion,
+    // unattributed conversions surface as the '(none)' row
+    "g19_first_touch_attribution" -> ((s, dir) =>
+      Events.firstTouchAttribution(
+        t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "event_type", "ts_us", "value", "event_id",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        windowSize = 7L * 24 * 3600 * 1000000L)),
+
     // last-touch attribution: each purchase credits the latest
     // click/view of the same user strictly before it, within a 7-day
     // window — the j05 as-of machinery with strict order + tolerance
@@ -2530,6 +2540,21 @@ object SparkEntry {
       Governance.kAnonymityAudit(ev,
         Seq("event_type", "hour_of_day", "value_bucket"), "user_id",
         k = 5L, l = 3L)
+    }),
+
+    // PII retention audit: expired rows (fabricated deterministic
+    // created_us, one third of docs planted with PII) still carrying
+    // email/IPv4/phone matter — the storage-limitation compliance gate
+    "v06_retention_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.test from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(col("text")).as("text"),
+        ((col("doc_id") % 30) * 86400000000L).as("created_us"))
+      Governance.retentionAudit(docs, "created_us", "text",
+        cutoff = 15L * 86400000000L)
     }),
 
     // t-closeness, categorical ground distance: each (hour, value-bucket)
@@ -6473,6 +6498,35 @@ object SparkEntry {
     "e19_streaming_rolling_actives" -> g12OracleSql,
     // linear attribution truth: identical pairing predicate, identical
     // (value * cnt) / n parenthesization, round-then-DECIMAL sums
+    // g19: earliest in-window touch per conversion (ORDER BY tts, tt ==
+    // the engine's min(struct) lexicographic pick), '(none)' for
+    // unattributed, DECIMAL value sums
+    "g19_first_touch_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+           FROM events),
+         p AS (
+           SELECT event_id AS pid, user_id, ts_us AS pts, value
+           FROM ev WHERE event_type = 'purchase'),
+         tou AS (
+           SELECT user_id, ts_us AS tts, event_type AS tt
+           FROM ev WHERE event_type IN ('click', 'view')),
+         pairs AS (
+           SELECT p.pid, t.tts, t.tt
+           FROM p JOIN tou t ON p.user_id = t.user_id
+           WHERE t.tts < p.pts AND t.tts >= p.pts - 604800000000),
+         f AS (
+           SELECT pid, tt FROM (
+             SELECT pid, tt,
+                    row_number() OVER (PARTITION BY pid
+                                       ORDER BY tts, tt) AS rn
+             FROM pairs) WHERE rn = 1)
+         SELECT COALESCE(f.tt, '(none)') AS touch_type,
+                CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                CAST(SUM(CAST(p.value AS DECIMAL(18, 6))) AS DOUBLE)
+                  AS total_value
+         FROM p LEFT JOIN f ON p.pid = f.pid
+         GROUP BY 1""",
     "g13_linear_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
@@ -6814,6 +6868,45 @@ object SparkEntry {
     // same k=5 / l=3 literals; hour/bucket arithmetic mirrors the engine
     // (integer micros floor-div; IEEE FLOOR on value/10)
     "v03_k_anonymity" -> v03OracleSql,
+    // v06: the t17 pattern battery over the expired slice — per-kind
+    // row/hit counts, strict-< cutoff, planted-PII augmentation replayed
+    "v06_retention_audit" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.test from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                       ELSE text END AS text,
+                  (doc_id % 30) * 86400000000 AS created_us
+           FROM documents),
+         ex AS (SELECT * FROM aug WHERE created_us < 1296000000000),
+         c AS (SELECT
+                 CAST(COUNT(*) AS BIGINT) AS n_expired,
+                 CAST(COALESCE(SUM(CASE WHEN len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS d_email,
+                 CAST(COALESCE(SUM(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))), 0)
+                   AS BIGINT) AS h_email,
+                 CAST(COALESCE(SUM(CASE WHEN len(regexp_extract_all(text,
+                   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) > 0
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS d_ipv4,
+                 CAST(COALESCE(SUM(len(regexp_extract_all(text,
+                   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))), 0) AS BIGINT)
+                   AS h_ipv4,
+                 CAST(COALESCE(SUM(CASE WHEN len(regexp_extract_all(text,
+                   '[+]?[0-9][0-9 ()-]{7,}[0-9]')) > 0
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS d_phone,
+                 CAST(COALESCE(SUM(len(regexp_extract_all(text,
+                   '[+]?[0-9][0-9 ()-]{7,}[0-9]'))), 0) AS BIGINT) AS h_phone
+               FROM ex)
+         SELECT 'email' AS kind, n_expired, d_email AS n_rows_with_kind,
+                h_email AS n_hits FROM c
+         UNION ALL
+         SELECT 'ipv4', n_expired, d_ipv4, h_ipv4 FROM c
+         UNION ALL
+         SELECT 'phone', n_expired, d_phone, h_phone FROM c""",
     // v04: categorical EMD — present-value |c·N − g·n| terms in HUGEINT,
     // the absent-value mass folded in algebraically, one final division
     "v04_t_closeness" ->

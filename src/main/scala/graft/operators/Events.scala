@@ -211,6 +211,55 @@ object Events {
         sum(col("__credit")).cast("double").as("total_credit"))
   }
 
+  /** FIRST-touch attribution — completing the attribution triple next to
+    * last-touch (g11) and linear (g13): every conversion credits the
+    * EARLIEST same-user touch within the window (ties on timestamp break
+    * by touch type ascending — deterministic), the acquisition-channel
+    * view of the same pairing g13 splits evenly. Conversions with no
+    * in-window touch surface as the `(none)` row rather than silently
+    * dropping — the unattributed mass IS a channel report's denominator.
+    *
+    * Output: (touch_type, n_conversions, total_value) with DECIMAL-routed
+    * value sums (order-free).
+    *
+    * Plan shape (100 TB posture): the [[linearAttribution]] pair
+    * construction verbatim (user-keyed equi-join + window filter, salted
+    * escape hatch for hot users), then ONE min(struct) aggregate per
+    * conversion and one touch-type-bounded aggregate — no corpus window.
+    */
+  def firstTouchAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, valueCol: String, idCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      windowSize: Long, saltFactor: Int = 1): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(touchTypes.distinct.size == touchTypes.size,
+      s"touch types must be distinct, got $touchTypes")
+    require(!touchTypes.contains(conversionType),
+      "the conversion type cannot also be a touch type")
+    require(windowSize > 0, "attribution window must be positive")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(idCol).as("__pid"), col(userCol).as("__u"),
+        col(tsCol).as("__pts"), col(valueCol).as("__v"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__tts"),
+        col(typeCol).as("__tt"))
+    val joined =
+      if (saltFactor > 1) SkewJoin.saltedJoin(touches, conv, Seq("__u"), saltFactor)
+      else touches.join(conv, Seq("__u"))
+    val pairs = joined
+      .filter(col("__tts") < col("__pts") &&
+        col("__tts") >= col("__pts") - windowSize)
+    val first = pairs.groupBy(col("__pid"))
+      .agg(min(struct(col("__tts"), col("__tt"))).as("__f"))
+    conv.join(first, Seq("__pid"), "left")
+      .select(coalesce(col("__f.__tt"), lit("(none)")).as("touch_type"),
+        col("__v"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+  }
+
   /** Per-key union length of possibly-overlapping intervals — the
     * "total active time" measure (billable session seconds, device
     * uptime, ad-exposure time) that naive `sum(end − start)` double

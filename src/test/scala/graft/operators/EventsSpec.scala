@@ -304,6 +304,34 @@ class EventsSpec extends SparkTestBase {
       s"credited touches must be window-bounded, got ${census.sum}")
   }
 
+  test("firstTouchAttribution: earliest in-window touch wins, timestamp " +
+      "ties break by type, window boundaries are [pts-W, pts), and " +
+      "unattributed conversions land in the (none) row") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view and click tie at t=0 -> 'click' (type asc) wins
+      (10L, 1L, "view", 0L, 0.0),
+      (11L, 1L, "click", 0L, 0.0),
+      (12L, 1L, "purchase", 10L, 5.0),
+      // user 2: its only touch sits EXACTLY at pts - W (inclusive edge)
+      (20L, 2L, "view", 50L, 0.0),
+      (21L, 2L, "purchase", 100L, 2.0),
+      // user 3: a touch AT the purchase instant is excluded (strict <)
+      (30L, 3L, "click", 50L, 0.0),
+      (31L, 3L, "purchase", 50L, 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+    val got = graft.operators.Events.firstTouchAttribution(ev, "user_id",
+        "event_type", "ts_us", "value", "event_id",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        windowSize = 50L)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "click" -> ((1L, 5.0)),
+      "view" -> ((1L, 2.0)),
+      "(none)" -> ((1L, 1.0))))
+  }
+
   test("survivalCurve: hand-computed KM/NA values, right-censored keys " +
       "leave the risk set without counting as deaths") {
     import spark.implicits._

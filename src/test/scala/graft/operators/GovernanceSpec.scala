@@ -133,6 +133,30 @@ class GovernanceSpec extends SparkTestBase {
     }
   }
 
+  test("retentionAudit: strict-< cutoff, multi-hit rows count once in " +
+      "n_rows_with_kind but fully in n_hits, empty expired set pins zeros") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, "a@b.com and c@d.org plus 10.0.0.1"), // expired: 2 emails, 1 ip
+      (2L, 20L, "e@f.net"), // AT the cutoff: NOT expired (strict <)
+      (3L, 5L, "no pii here"), // expired, clean
+      (4L, 30L, "g@h.io")) // not expired
+      .toDF("id", "created_us", "text")
+    val got = Governance.retentionAudit(rows, "created_us", "text",
+        cutoff = 20L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("email") === ((2L, 1L, 2L)),
+      "two expired rows, one carries emails, two matches")
+    assert(got("ipv4") === ((2L, 1L, 1L)))
+    assert(got("phone") === ((2L, 0L, 0L)))
+    val empty = Governance.retentionAudit(rows, "created_us", "text",
+        cutoff = 0L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(empty.length === 3 && empty.forall(r =>
+      r._2 === 0L && r._3 === 0L && r._4 === 0L), empty.toSeq.toString)
+  }
+
   test("tClosenessAudit categorical: hand-computed EMDs, null sensitive " +
       "rows carry no mass, a NULL quasi class audits as its own class") {
     import spark.implicits._
