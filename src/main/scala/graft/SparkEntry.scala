@@ -2309,6 +2309,22 @@ object SparkEntry {
       CorpusStats.cohensKappa(labeled, "lang", "pred_lang")
     }),
 
+    // Krippendorff's alpha over a fabricated multi-rater table: three
+    // raters per doc with ~1/7 of ratings deterministically dropped
+    // (variable m_u including unpairable units), labels = id bucket
+    // with a per-rater perturbation — the kappa generalization for
+    // missing ratings and any rater count
+    "t49_krippendorff_alpha" -> ((s, dir) => {
+      val ratings = t(s, dir, "documents").select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("rater"))
+        .filter((col("doc_id") + col("rater") * 13) % 7 =!= 0)
+        .select(col("doc_id"), col("rater"),
+          ((col("doc_id") % 4 +
+            when((col("doc_id") * 31 + col("rater") * 17) % 10 < 8, 0L)
+              .otherwise(1L)) % 4).as("label"))
+      CorpusStats.krippendorffAlpha(ratings, "doc_id", "label")
+    }),
+
     // exact ROC-AUC of the quality score as an English-detector: rank-sum
     // identity with midrank ties; rows fold to per-distinct-score counts,
     // rank structure from the parallel prefix sum — integers until the
@@ -2647,6 +2663,19 @@ object SparkEntry {
         emb.filter(col("label") === 0).select("embedding"),
         emb.filter(col("label") === 1).select("embedding"),
         "embedding")
+    }),
+
+    // centroid silhouette per label cluster over the first three
+    // embedding dims (snapped to the 6-dp grid): k-bounded centroid
+    // table broadcasts back, per-point a/b in one aggregate — the
+    // cluster-quality number behind every k choice
+    "s38_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("f0"),
+        round(element_at(col("embedding"), 2).cast("double"), 6).as("f1"),
+        round(element_at(col("embedding"), 3).cast("double"), 6).as("f2"))
+      Similarity.silhouetteScore(emb, "vec_id", "label",
+        Seq("f0", "f1", "f2"))
     }),
 
     // local clustering coefficient over the s14 kNN graph: per-vertex
@@ -3371,6 +3400,25 @@ object SparkEntry {
             .as("no_false_negatives"),
           (sum(when(col("flagged") && col("exact_hit").isNull, 1L).otherwise(0L))
             <= count(lit(1)) / 20).as("fp_within_bound"))
+    }),
+
+    // BM25 ranked retrieval: top-5 docs per query through the inverted-
+    // index join; queries are 4-token slices of every 40th document.
+    // The fixture vocabulary is tiny and high-df (31 tokens, df 5%-80%),
+    // so the default 0.1 df cap would drop every term — the gate runs
+    // capless (maxDfFrac=1.0); the cap is spec-pinned. Per-term scores
+    // round to 9 dp and sum as exact DECIMAL — ranking is deterministic
+    "b02_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.filter(col("doc_id") % 40 === 7)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "),
+            2, 4)).as("qtext"))
+      TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+        "query_id", "qtext", k = 5, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          round(col("score"), 6).as("score"))
     }),
 
     // boilerplate cleaning: tags/entities/URLs stripped, whitespace
@@ -5561,6 +5609,45 @@ object SparkEntry {
                                 CAST(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)) - e AS DOUBLE), 6) + 0.0
                 END AS kappa
          FROM tt, ch""",
+    // t49: the same fabricated rater table; per-unit D_o terms replay
+    // the round-9 → DECIMAL(28,9) sum, every other numerator is
+    // DECIMAL-exact integer, marginals restricted to pairable units via
+    // the same key join
+    "t49_krippendorff_alpha" ->
+      """WITH ratings AS (
+           SELECT doc_id, r AS rater,
+                  (doc_id % 4 + CASE WHEN (doc_id * 31 + r * 17) % 10 < 8
+                                     THEN 0 ELSE 1 END) % 4 AS label
+           FROM documents, range(0, 3) t(r)
+           WHERE (doc_id + r * 13) % 7 <> 0),
+         ruv AS (SELECT doc_id, CAST(label AS VARCHAR) AS v, COUNT(*) AS nuc
+                 FROM ratings GROUP BY 1, 2),
+         un AS (SELECT doc_id, SUM(nuc) AS m,
+                       SUM(CAST(nuc AS DECIMAL(19,0)) * CAST(nuc AS DECIMAL(19,0))) AS ss
+                FROM ruv GROUP BY 1 HAVING SUM(nuc) >= 2),
+         dos AS (SELECT COALESCE(SUM(CAST(ROUND(
+                          CAST(CAST(m AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)) - ss AS DOUBLE) /
+                          CAST(m - 1 AS DOUBLE), 9) AS DECIMAL(28,9))),
+                        CAST(0 AS DECIMAL(28,9))) AS do_,
+                        COUNT(*) AS n_units
+                 FROM un),
+         mar AS (SELECT v, SUM(nuc) AS nc
+                 FROM ruv JOIN un USING (doc_id) GROUP BY 1),
+         tt AS (SELECT SUM(nc) AS n,
+                       COALESCE(SUM(CAST(nc AS DECIMAL(19,0)) * CAST(nc AS DECIMAL(19,0))),
+                                CAST(0 AS DECIMAL(38,0))) AS sc
+                FROM mar)
+         SELECT CAST(n_units AS BIGINT) AS n_units,
+                CAST(COALESCE(n, 0) AS BIGINT) AS n_ratings,
+                ROUND(CAST(do_ AS DOUBLE), 6) + 0.0 AS d_obs,
+                ROUND(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) - sc AS DOUBLE) /
+                      CAST(n - 1 AS DOUBLE), 6) + 0.0 AS d_exp,
+                CASE WHEN CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) <> sc AND n > 1
+                     THEN ROUND(1.0 - CAST(do_ AS DOUBLE) /
+                            (CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) - sc AS DOUBLE) /
+                             CAST(n - 1 AS DOUBLE)), 6) + 0.0
+                     ELSE NULL END AS alpha
+         FROM dos, tt""",
     // t01's replay joined back to the labels and aggregated
     "t31_lang_confusion" ->
       s"""WITH pred AS ($t01LangSql)
@@ -7897,6 +7984,42 @@ object SparkEntry {
                 ROUND(CAST(SUM(CAST((ma - mb) * (ma - mb) AS DECIMAL(28, 10)))
                   AS DOUBLE), 8) + 0.0 AS mmd2
          FROM j""",
+    // s38: the same centroid construction (DECIMAL(28,9) sums, one IEEE
+    // division), identical distance expression order, per-point s
+    // round-9 → DECIMAL mean per cluster, round 6 at emission
+    "s38_silhouette" ->
+      """WITH pts AS (
+           SELECT vec_id, CAST(label AS VARCHAR) AS c,
+                  ROUND(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS f0,
+                  ROUND(CAST(embedding[2] AS DOUBLE), 6) + 0.0 AS f1,
+                  ROUND(CAST(embedding[3] AS DOUBLE), 6) + 0.0 AS f2
+           FROM embeddings WHERE label IS NOT NULL),
+         cent AS (
+           SELECT c, COUNT(*) AS n,
+                  CAST(SUM(CAST(f0 AS DECIMAL(28,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m0,
+                  CAST(SUM(CAST(f1 AS DECIMAL(28,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m1,
+                  CAST(SUM(CAST(f2 AS DECIMAL(28,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m2
+           FROM pts GROUP BY 1),
+         d AS (
+           SELECT p.vec_id, p.c, ct.c AS oc,
+                  sqrt((p.f0 - ct.m0) * (p.f0 - ct.m0) +
+                       (p.f1 - ct.m1) * (p.f1 - ct.m1) +
+                       (p.f2 - ct.m2) * (p.f2 - ct.m2)) AS dist
+           FROM pts p, cent ct),
+         ab AS (
+           SELECT vec_id, c,
+                  MAX(CASE WHEN oc = c THEN dist END) AS a,
+                  MIN(CASE WHEN oc <> c THEN dist END) AS b
+           FROM d GROUP BY 1, 2),
+         sv AS (
+           SELECT c, CASE WHEN b IS NULL THEN NULL
+                          WHEN greatest(a, b) = 0 THEN 0.0
+                          ELSE ROUND((b - a) / greatest(a, b), 9) + 0.0 END AS sil
+           FROM ab)
+         SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+                ROUND(CAST(SUM(CAST(sil AS DECIMAL(28,9))) AS DOUBLE) /
+                      CAST(COUNT(sil) AS DOUBLE), 6) + 0.0 AS silhouette
+         FROM sv GROUP BY 1""",
     "s15_graph_rank" -> s15OracleSql,
     "s16_knn_hubness" -> s16OracleSql,
     "s18_ann_recall" -> s18OracleSql,
@@ -8703,6 +8826,51 @@ object SparkEntry {
                 (SELECT count(*) FROM contaminated) AS n_contaminated,
                 TRUE AS no_false_negatives,
                 TRUE AS fp_within_bound""",
+    // b02: the Okapi BM25 formula replayed term-by-term with identical
+    // literals (k1=1.5, b=0.75, df cap 1.0 — the fixture vocabulary is
+    // 31 high-df tokens, so any real cap would empty the query; the
+    // cap's screening behavior is spec-pinned instead) and identical double
+    // parenthesization; per-term ROUND(…,9) → DECIMAL sums make the
+    // (query, doc) score exact, ranking orders by the double cast like
+    // the engine's top-k heap (score DESC, doc_id ASC)
+    "b02_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+         st AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl),
+         dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         qt AS (
+           SELECT DISTINCT query_id, token FROM (
+             SELECT doc_id AS query_id,
+                    unnest(list_slice(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 2, 5)) AS token
+             FROM documents WHERE doc_id % 40 = 7)
+           WHERE length(token) > 0),
+         term AS (
+           SELECT qt.query_id, tf.doc_id,
+                  CAST(ROUND(ln(1.0 + (CAST(st.n - dfq.df AS DOUBLE) + 0.5) /
+                          (CAST(dfq.df AS DOUBLE) + 0.5)) *
+                        ((CAST(tf.tf AS DOUBLE) * 2.5) /
+                         (CAST(tf.tf AS DOUBLE) + 1.5 *
+                          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))), 9)
+                    AS DECIMAL(28, 9)) AS s
+           FROM qt JOIN dfq USING (token) JOIN tf USING (token)
+                JOIN dl ON tf.doc_id = dl.doc_id, st
+           WHERE CAST(dfq.df AS DOUBLE) <= 1.0 * CAST(st.n AS DOUBLE)),
+         agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS sd
+                 FROM term GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, sd,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sd DESC, doc_id) AS rank
+                FROM agg)
+         SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+                ROUND(sd, 6) + 0.0 AS score
+         FROM rk WHERE rank <= 5""",
     "t13_decontaminate" ->
       """WITH tnorm AS (
            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n

@@ -902,6 +902,72 @@ object CorpusStats {
           .as("kappa"))
   }
 
+  /** Krippendorff's alpha inter-annotator agreement (nominal metric;
+    * Krippendorff 2004) — the [[cohensKappa]] generalization a labeling
+    * pipeline needs once raters vary per item: ANY number of raters,
+    * MISSING ratings allowed (units keep whatever ratings they have;
+    * units with fewer than two are unpairable and drop out). α = 1 −
+    * D_o/D_e over the coincidence matrix; with the nominal distance the
+    * terms collapse to per-unit counts:
+    *
+    *   D_o = Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1)
+    *   D_e = (n² − Σ_c n_c²) / (n − 1)
+    *
+    * where n_uc = ratings of value c in unit u, m_u = Σ_c n_uc, and the
+    * marginals n_c count values across pairable units only.
+    *
+    * Determinism: every numerator is INTEGER-EXACT in DECIMAL(38,0);
+    * the only non-exact step is each unit's D_o term (denominators
+    * m_u − 1 differ per unit), which is IEEE-divided from exact
+    * integers, rounded to 9 dp and DECIMAL-summed — order-independent,
+    * so engines agree bit-for-bit after the shared round-at-6 emission.
+    * α is NULL when D_e = 0 (all pairable ratings share one value) or
+    * no pairable unit exists — agreement is undefined, matching the
+    * kappa convention.
+    *
+    * Plan shape (100 TB posture): ONE hash aggregate folds ratings to
+    * the (unit, value) frame; the per-unit moments, the marginals and
+    * both totals are aggregates over that skinny frame (values join
+    * back through a key-only left-semi). No window, no corpus-scale
+    * join; the only crossJoin is the 1-row scalar attach.
+    *
+    * Output one row: (n_units, n_ratings, d_obs, d_exp, alpha).
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(19,0)"
+    val r = df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(valueCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__nuc"))
+    val units = r.groupBy("__u")
+      .agg(sum("__nuc").as("__m"),
+        sum(col("__nuc").cast(dec) * col("__nuc").cast(dec)).as("__ss"))
+      .filter(col("__m") >= 2)
+    val doSum = units.agg(
+      coalesce(sum(
+        round((col("__m").cast(dec) * col("__m").cast(dec) - col("__ss"))
+            .cast("double") / (col("__m") - 1).cast("double"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("__do"),
+      count(lit(1)).as("n_units"))
+    val marg = r.join(units.select("__u"), Seq("__u"), "left_semi")
+      .groupBy("__v").agg(sum("__nuc").as("__nc"))
+    val tot = marg.agg(sum(col("__nc")).as("__n"),
+      coalesce(sum(col("__nc").cast(dec) * col("__nc").cast(dec)),
+        lit(0).cast("decimal(38,0)")).as("__sc"))
+    val nD = col("__n").cast(dec)
+    doSum.crossJoin(tot).select(
+      col("n_units"),
+      coalesce(col("__n"), lit(0L)).as("n_ratings"),
+      (round(col("__do").cast("double"), 6) + lit(0.0)).as("d_obs"),
+      (round((nD * nD - col("__sc")).cast("double") /
+        (col("__n") - 1).cast("double"), 6) + lit(0.0)).as("d_exp"),
+      (when(nD * nD =!= col("__sc") && col("__n") > 1,
+        round(lit(1.0) - col("__do").cast("double") /
+          ((nD * nD - col("__sc")).cast("double") /
+            (col("__n") - 1).cast("double")), 6)) + lit(0.0)).as("alpha"))
+  }
+
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val byScore = df
       .select(col(scoreCol).as("__s"), col(labelCol).cast("long").as("__y"))

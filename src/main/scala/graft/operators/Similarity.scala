@@ -1694,4 +1694,66 @@ object Similarity {
             col("__mismatched").cast("string"), lit(" dimension(s)"))))
           .as("mmd2"))
   }
+
+  /** Centroid-based silhouette score per cluster (the simplified
+    * silhouette of Hruschka et al. 2004, the same formulation Spark
+    * ML's ClusteringEvaluator uses): for each point, a = distance to
+    * its own cluster's centroid, b = distance to the NEAREST other
+    * centroid, s = (b − a)/max(a, b); the exact Rousseeuw silhouette's
+    * O(n²) pairwise distances collapse to O(n·k) centroid distances —
+    * the only variant that exists at corpus scale. The number a
+    * clustering pipeline (s23 k-means, s07 label centroids) watches to
+    * decide whether k is right: near 1 = tight/separated, near 0 =
+    * touching, negative = misassigned.
+    *
+    * Conventions: points with a NULL cluster are dropped; s = 0 when
+    * a = b = 0 (point sits on two coincident centroids); a cluster's
+    * silhouette is NULL when no other cluster exists (b undefined,
+    * k = 1). Callers pass feature columns on a ROUNDED grid (the
+    * quality-signal contract): centroid sums route through
+    * DECIMAL(28,9) so means are order-free, per-point s rounds to 9 dp
+    * and DECIMAL-sums per cluster — engines agree bit-for-bit.
+    *
+    * Plan shape (100 TB posture): ONE hash aggregate builds the
+    * k-bounded centroid table, which BROADCASTS back across the points
+    * (k rows — the k-means literal-model sanction); per-point a/b is
+    * one k-wide aggregate keyed on the point id, and the report is one
+    * cluster-bounded aggregate. No corpus-scale join, no window.
+    *
+    * Output: (cluster, n_points, silhouette), cluster as string.
+    */
+  def silhouetteScore(df: DataFrame, idCol: String, clusterCol: String,
+      featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val fs = featureCols.indices.map(i => s"__f$i")
+    val pts = df.filter(col(clusterCol).isNotNull)
+      .select(col(idCol).as("__id") +: col(clusterCol).cast("string").as("__c") +:
+        featureCols.zipWithIndex.map { case (f, i) =>
+          col(f).cast("double").as(s"__f$i") }: _*)
+    val cents = pts.groupBy("__c")
+      .agg(count(lit(1)).as("__n"),
+        featureCols.indices.map(i =>
+          (sum(col(s"__f$i").cast(dec)).cast("double") /
+            count(lit(1)).cast("double")).as(s"__m$i")): _*)
+      .select(col("__c").as("__oc") +:
+        featureCols.indices.map(i => col(s"__m$i")): _*)
+    val dist = sqrt(featureCols.indices.map(i =>
+      (col(s"__f$i") - col(s"__m$i")) * (col(s"__f$i") - col(s"__m$i")))
+      .reduce(_ + _))
+    val ab = pts.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__c"), col("__oc"), dist.as("__d"))
+      .groupBy("__id", "__c")
+      .agg(max(when(col("__oc") === col("__c"), col("__d"))).as("__a"),
+        min(when(col("__oc") =!= col("__c"), col("__d"))).as("__b"))
+    val s = ab.select(col("__c"),
+      when(col("__b").isNull, lit(null).cast("double"))
+        .when(greatest(col("__a"), col("__b")) === 0, lit(0.0))
+        .otherwise(round((col("__b") - col("__a")) /
+          greatest(col("__a"), col("__b")), 9)).as("__s"))
+    s.groupBy(col("__c").as("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        (round(sum(col("__s").cast(dec)).cast("double") /
+          count(col("__s")).cast("double"), 6) + lit(0.0)).as("silhouette"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Text-analysis operators for training-data pipelines: language ID (stopword
@@ -1874,5 +1875,88 @@ object TextAnalysis {
           .groupBy(col(idCol), col("phrase"))
           .agg(count(lit(1)).as("n_hits"))
     }.reduce(_ unionByName _)
+  }
+
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Okapi BM25
+    * formulation with the Lucene-style non-negative idf
+    * ln(1 + (N - df + 0.5)/(df + 0.5))): top-`k` documents per query by
+    *
+    *   score(q, D) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf + k1·(1−b + b·|D|/avgdl))
+    *
+    * over the shared [[tokens]] tokenization. Terms whose document
+    * frequency exceeds `maxDfFrac`·N are dropped from scoring — the
+    * standard stopword/WAND-style posting cap: at corpus scale a term in
+    * half the documents contributes idf ≈ ln(2) noise but a posting list
+    * the size of the corpus, so the cap is the difference between a
+    * skinny inverted-index join and a quadratic blow-up. Set it to 1.0
+    * to score every term.
+    *
+    * Plan shape (100 TB posture): ONE corpus explode feeds both the
+    * (doc, term) tf aggregate and the term df aggregate; query terms
+    * (distinct per query) join the tf postings on the term — an
+    * inverted-index equi-join whose width is bounded by the df cap —
+    * then doc length joins on the id and the 1-row (N, avgdl) scalar
+    * frame broadcasts. Per-term scores round to 9 dp and sum as exact
+    * DECIMAL(28,9) per (query, doc) — order-independent, so ranking is
+    * deterministic — and ranking is the bounded top-k heap aggregate
+    * ([[Similarity.rankTopK]]’s machinery): O(k) state per query per map
+    * partition, never a per-query row_number over the full candidate
+    * set. No window, no cartesian beyond the 1-row scalar attach.
+    *
+    * Output: (queryIdCol, idCol, rank, score), rank 1..k by
+    * (score DESC, id ASC).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String,
+      queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.5, b: Double = 0.75,
+      maxDfFrac: Double = 0.1): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac in (0,1]")
+    val toks = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    val tf = toks.groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    // corpus stats over documents that HAVE tokens (empty docs can never
+    // be retrieved, and including them would skew avgdl toward zero)
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("__avgdl"))
+    val dfq = toks.groupBy(col("__tok"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val qtoks = queries.select(col(queryIdCol),
+        explode(tokens(col(queryTextCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .distinct()
+    val scored = qtoks
+      .join(dfq, "__tok")
+      .join(tf, "__tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .filter(col("__df").cast("double") <=
+        lit(maxDfFrac) * col("__n").cast("double"))
+      .select(col(queryIdCol), col(idCol),
+        round(
+          log(lit(1.0) + ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+            (col("__df").cast("double") + lit(0.5))) *
+          ((col("__tf").cast("double") * lit(k1 + 1.0)) /
+            (col("__tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) *
+                (col("__dl").cast("double") / col("__avgdl"))))), 9)
+          .cast(DecimalType(28, 9)).as("__s"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__s")).as("__score"))
+      .select(col(queryIdCol), col(idCol),
+        col("__score").cast("double").as("__d"))
+    scored.groupBy(col(queryIdCol))
+      .agg(graft.functions.GraftFunctions.top_k_by(
+        col("__d"), col(idCol), k).as("__topk"))
+      .select(col(queryIdCol), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(queryIdCol), col("__e.id").as(idCol),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.score").as("score"))
   }
 }

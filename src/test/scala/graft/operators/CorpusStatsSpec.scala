@@ -546,4 +546,39 @@ class CorpusStatsSpec extends SparkTestBase {
       .collect().toSet ===
       CorpusStats.calibrationBins(df, "score", "y", 10).collect().toSet)
   }
+
+  test("krippendorffAlpha: hand-computed nominal alpha, unpairable units " +
+      "drop, degenerate cases are NULL") {
+    import spark.implicits._
+    // u1 [a,a], u2 [a,b], u3 [b,b], u4 [a] (unpairable)
+    // D_o = 0 + (4-2)/1 + 0 = 2; marginals a=3, b=3, n=6, Σnc²=18
+    // D_e = (36-18)/5 = 3.6; α = 1 − 2/3.6 = 0.444444
+    val df = Seq(
+      (1L, 1, "a"), (1L, 2, "a"),
+      (2L, 1, "a"), (2L, 2, "b"),
+      (3L, 1, "b"), (3L, 2, "b"),
+      (4L, 1, "a")).toDF("unit", "rater", "label")
+    val r = CorpusStats.krippendorffAlpha(df, "unit", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(r._1 === 3L && r._2 === 6L)
+    assert(r._3 === Some(2.0))
+    assert(r._4 === Some(3.6))
+    assert(math.abs(r._5.get - 0.444444) < 1e-9)
+    // perfect agreement across two categories => alpha = 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("unit", "label").withColumn("rater", lit(0))
+    val p = CorpusStats.krippendorffAlpha(perfect, "unit", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(p._5 === Some(1.0))
+    // single category everywhere: D_e = 0, agreement undefined
+    val mono = Seq((1L, "a"), (1L, "a")).toDF("unit", "label")
+    val m = CorpusStats.krippendorffAlpha(mono, "unit", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(m._5 === None)
+    // nothing pairable: zero counts, NULL alpha
+    val lone = Seq((1L, "a"), (2L, "b")).toDF("unit", "label")
+    val l = CorpusStats.krippendorffAlpha(lone, "unit", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(l._1 === 0L && l._2 === 0L && l._5 === None)
+  }
 }

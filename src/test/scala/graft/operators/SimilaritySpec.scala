@@ -918,4 +918,33 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("probe levels"), err.getMessage)
   }
+
+  test("silhouetteScore: hand-computed symmetric clusters, coincident-" +
+      "centroid zero, k=1 NULL") {
+    import spark.implicits._
+    // A: (0,0),(0,2) centroid (0,1); B: (10,0),(10,2) centroid (10,1).
+    // every point: a = 1, b = sqrt(101), s = 1 - 1/sqrt(101)
+    val pts = Seq(
+      (1L, "A", 0.0, 0.0), (2L, "A", 0.0, 2.0),
+      (3L, "B", 10.0, 0.0), (4L, "B", 10.0, 2.0))
+      .toDF("id", "cl", "x", "y")
+    val got = Similarity.silhouetteScore(pts, "id", "cl", Seq("x", "y"))
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3.get))).toMap
+    val want = BigDecimal(1.0 - 1.0 / math.sqrt(101.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("A") === ((2L, want)))
+    assert(got("B") === ((2L, want)))
+    // a singleton sitting ON another cluster's centroid: a = b = 0 -> s = 0
+    val withC = pts.union(Seq((5L, "C", 0.0, 1.0)).toDF("id", "cl", "x", "y"))
+    val c = Similarity.silhouetteScore(withC, "id", "cl", Seq("x", "y"))
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(c("C") === Some(0.0))
+    // k = 1: b undefined everywhere, silhouette NULL
+    val solo = Similarity.silhouetteScore(
+      pts.filter($"cl" === "A"), "id", "cl", Seq("x", "y"))
+      .as[(String, Long, Option[Double])].head()
+    assert(solo._1 === "A" && solo._2 === 2L && solo._3 === None)
+  }
 }

@@ -1239,4 +1239,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(qOf(0.3, "de") > qOf(1.0, "de"),
       "lower temperature must lift the rare share")
   }
+
+  test("bm25TopK: hand-computed ranking, df cap drops ubiquitous terms, " +
+      "ties break by id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple durian"),
+      (3L, "banana banana banana"),
+      (4L, "unique quince zebra")).toDF("doc_id", "text")
+    val q = Seq((10L, "apple banana"), (20L, "quince")).toDF("qid", "qtext")
+    val out = TextAnalysis.bm25TopK(docs, q, "doc_id", "text", "qid", "qtext",
+        k = 5, maxDfFrac = 1.0)
+      .as[(Long, Long, Int, Double)].collect()
+    // N=4, avgdl=3; df(apple)=df(banana)=2 => idf=ln(2); tf=1 & dl=3 =>
+    // tfn=1 exactly, so d1 scores 2·ln2 ≈ 1.386294; tf=3 => 7.5/4.5·ln2
+    // ≈ 1.155245 (d3); tf=2 => 5/3.5·ln2 ≈ 0.990210 (d2)
+    val q10 = out.filter(_._1 == 10L).sortBy(_._3)
+    assert(q10.map(_._2).toSeq === Seq(1L, 3L, 2L), s"ranking: ${q10.toSeq}")
+    assert(math.abs(q10.head._4 - 2 * math.log(2)) < 1e-6)
+    // rare-term query hits only its doc
+    val q20 = out.filter(_._1 == 20L)
+    assert(q20.map(_._2).toSeq === Seq(4L))
+    // df cap 0.25 (df <= 1): apple/banana (df=2) drop from scoring, so
+    // query 10 has no scorable term and vanishes; quince (df=1) survives
+    val capped = TextAnalysis.bm25TopK(docs, q, "doc_id", "text", "qid",
+        "qtext", k = 5, maxDfFrac = 0.25)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(capped.filter(_._1 == 10L).isEmpty)
+    assert(capped.filter(_._1 == 20L).map(_._2).toSeq === Seq(4L))
+    // identical docs score identically; the lower id takes the lower rank
+    val twins = Seq((7L, "pear kiwi"), (5L, "pear kiwi"), (9L, "fig"))
+      .toDF("doc_id", "text")
+    val tq = Seq((1L, "pear")).toDF("qid", "qtext")
+    val t2 = TextAnalysis.bm25TopK(twins, tq, "doc_id", "text", "qid",
+        "qtext", k = 5, maxDfFrac = 1.0)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(t2.map(_._2).toSeq === Seq(5L, 7L))
+    assert(t2(0)._4 === t2(1)._4)
+  }
 }
