@@ -816,6 +816,23 @@ object SparkEntry {
           round(col("n").cast("double") / col("__tot"), 6).as("p"))
     }),
 
+    // per-state transition entropy: the g08 matrix folded to the
+    // sequence-predictability scalar — H(from) = −Σ p·ln p with round-9
+    // DECIMAL-summed terms, normalized by ln(k); low = scripted flows
+    "g18_transition_entropy" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      Events.transitionEntropy(tr, "from_type", "n")
+    }),
+
     // signup-week cohort retention: users bucketed by their first signup
     // week, counted once per (cohort, week offset) they were active in.
     // Integer week indices (nanos div ns/week), two aggregates + one join
@@ -1949,6 +1966,18 @@ object SparkEntry {
         k = 3, maxRounds = 30)
     }),
 
+    // 3-truss backbone of the same kNN graph: every surviving edge
+    // closes ≥1 triangle within the survivors — the edge-strength
+    // analogue of s36 that prunes bridge edges degree alone keeps;
+    // support peeling via the degree-ordered wedge join per round
+    "s39_ktruss" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          dim = 64, k = 3, numPlanes = 5, maxBucketSize = 1000000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      Graph.kTruss(edges, "src", "dst", k = 3, maxRounds = 20)
+    }),
+
     // HyperBall neighborhood function over the same kNN graph: per-round
     // reachable-pair counts N(t) from per-vertex HLL ball sketches; the
     // oracle recomputes TRUE ball memberships and replays the Mix64
@@ -2572,6 +2601,15 @@ object SparkEntry {
       Governance.retentionAudit(docs, "created_us", "text",
         cutoff = 15L * 86400000000L)
     }),
+
+    // DP count release: per-event-type counts with seeded-deterministic
+    // Laplace(1/ε) noise at ε = 0.5 — the aggregate-publication gate;
+    // the uniform comes from poly_hash64(seed‖key) through ONE
+    // DECIMAL-routed unsigned→double conversion, so both engines draw
+    // the identical noise
+    "v07_dp_release" -> ((s, dir) =>
+      Governance.dpNoisedCounts(t(s, dir, "events"), Seq("event_type"),
+        epsilon = 0.5, seed = "v07:")),
 
     // t-closeness, categorical ground distance: each (hour, value-bucket)
     // class's event-type distribution vs the corpus-global one; every
@@ -4681,6 +4719,45 @@ object SparkEntry {
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM p),
        |edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM r WHERE rank <= 3)""".stripMargin
+  }
+
+  /** s39: fixed-depth unrolled k-truss peel over the s36 edge
+    * construction — MATERIALIZED per round (each round references its
+    * predecessor several times; inlining would expand exponentially).
+    * The oracle enumerates triangles by plain a<b<c nested equi-joins
+    * (the engine's degree-ordered orientation finds the identical
+    * triangle set — orientation only changes the JOIN SHAPE), explodes
+    * each into its three canonical edges, counts support, and filters
+    * at k−2 = 1; after the fixpoint the remaining rounds are no-ops, so
+    * round 20's support frame carries the converged values.
+    */
+  private def s39OracleSql: String = {
+    val rounds = 20
+    val peels = (1 to rounds).map { i =>
+      s"""tr$i AS MATERIALIZED (
+         |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+         |  FROM e${i - 1} e1
+         |  JOIN e${i - 1} e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN e${i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |sup$i AS MATERIALIZED (
+         |  SELECT x, y, COUNT(*) AS c FROM (
+         |    SELECT ta AS x, tb AS y FROM tr$i
+         |    UNION ALL SELECT ta, tc FROM tr$i
+         |    UNION ALL SELECT tb, tc FROM tr$i) GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  LEFT JOIN sup$i s ON e.a = s.x AND e.b = s.y
+         |  WHERE COALESCE(s.c, 0) >= 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnEdgeCtes,
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |$peels
+       |SELECT e.a AS src, e.b AS dst,
+       |       CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+       |FROM e$rounds e
+       |LEFT JOIN sup$rounds s ON e.a = s.x AND e.b = s.y""".stripMargin
   }
 
   /** g12/e19 oracle: rolling 7-day distinct actives per event-bearing
@@ -6955,6 +7032,37 @@ object SparkEntry {
     // same k=5 / l=3 literals; hour/bucket arithmetic mirrors the engine
     // (integer micros floor-div; IEEE FLOOR on value/10)
     "v03_k_anonymity" -> v03OracleSql,
+    // g18: the g08 transition CTEs extended with the entropy fold —
+    // identical p·ln p expression, round-9 → DECIMAL(28,9) sums,
+    // ln(k) normalization, k=1 NULL
+    "g18_transition_entropy" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsn
+                     FROM events),
+         tr0 AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY tsn, event_id) AS to_type
+           FROM ev),
+         tr AS (
+           SELECT from_type, to_type, COUNT(*) AS n FROM tr0
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, SUM(n) AS tt, COUNT(*) AS k
+                 FROM tr GROUP BY 1),
+         terms AS (
+           SELECT tr.from_type, tot.tt, tot.k,
+                  CAST(ROUND((CAST(tr.n AS DOUBLE) / CAST(tot.tt AS DOUBLE)) *
+                        ln(CAST(tr.n AS DOUBLE) / CAST(tot.tt AS DOUBLE)), 9)
+                    AS DECIMAL(28,9)) AS t
+           FROM tr JOIN tot USING (from_type))
+         SELECT from_type,
+                CAST(MAX(tt) AS BIGINT) AS n_transitions,
+                CAST(MAX(k) AS BIGINT) AS n_targets,
+                ROUND(CAST(-SUM(t) AS DOUBLE), 6) + 0.0 AS entropy,
+                CASE WHEN MAX(k) > 1
+                     THEN ROUND(CAST(-SUM(t) AS DOUBLE) /
+                            ln(CAST(MAX(k) AS DOUBLE)), 6) + 0.0
+                     ELSE NULL END AS norm_entropy
+         FROM terms GROUP BY 1""",
     // v06: the t17 pattern battery over the expired slice — per-kind
     // row/hit counts, strict-< cutoff, planted-PII augmentation replayed
     "v06_retention_audit" ->
@@ -6994,6 +7102,31 @@ object SparkEntry {
          SELECT 'ipv4', n_expired, d_ipv4, h_ipv4 FROM c
          UNION ALL
          SELECT 'phone', n_expired, d_phone, h_phone FROM c""",
+    // v07: the Laplace mechanism replayed — the UNSIGNED base-31
+    // polynomial (HUGEINT mod 2^64, one correctly-rounded cast to
+    // DOUBLE, matching the engine's DECIMAL(38,0) route), identical
+    // inverse-CDF expression with the 1e-12 clamp, identical literals
+    "v07_dp_release" ->
+      """WITH c AS (
+           SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+         h AS (
+           SELECT event_type, n,
+                  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(range(1, length(ks)+1),
+                           i -> CAST(unicode(substr(ks, CAST(i AS INT), 1)) AS HUGEINT))),
+                       (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
+                    AS DOUBLE) / 1.8446744073709552e19 AS u
+           FROM (SELECT event_type, n, 'v07:' || event_type AS ks FROM c)),
+         z AS (
+           SELECT event_type, n,
+                  -2.0 * sign(u - 0.5) *
+                  ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) AS noise
+           FROM h)
+         SELECT event_type, CAST(0.5 AS DOUBLE) AS epsilon,
+                ROUND(CAST(n AS DOUBLE) + noise, 6) + 0.0 AS released,
+                greatest(CAST(ROUND(CAST(n AS DOUBLE) + noise, 0) AS BIGINT),
+                         0) AS released_count
+         FROM z""",
     // v04: categorical EMD — present-value |c·N − g·n| terms in HUGEINT,
     // the absent-value mass folded in algebraically, one final division
     "v04_t_closeness" ->
@@ -8025,6 +8158,7 @@ object SparkEntry {
     "s18_ann_recall" -> s18OracleSql,
     "s35_ivf_probe_curve" -> s35OracleSql,
     "s36_kcore" -> s36OracleSql,
+    "s39_ktruss" -> s39OracleSql,
     "s37_neighborhood_function" -> s37OracleSql,
     "c07_curation_pipeline" -> c07OracleSql,
     // c31 IS c07 built from YAML — one oracle, zero drift by construction

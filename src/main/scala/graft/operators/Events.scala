@@ -474,4 +474,41 @@ object Events {
           round(col("__ln_cum").cast("double") / lit(1e6), 6) + lit(0.0))
           .as("km_log_s"))
   }
+
+  /** Per-state Shannon entropy of a first-order transition-count frame
+    * (the g08 matrix folded to the sequence-predictability scalar):
+    * H(from) = −Σ_to p·ln p with p = n/Σn, plus the normalized
+    * H/ln(k) ∈ [0,1] (NULL at k = 1, where predictability is trivial).
+    * Low entropy = scripted/bot-like flows; high = organic browsing —
+    * the session-modeling complement to the burstiness signature.
+    *
+    * Determinism: each −p·ln p term is IEEE from exact integer ratios,
+    * rounded to 9 dp and DECIMAL-summed (order-free), one final
+    * round-6 emission; ln(k) divides once.
+    *
+    * Plan shape (100 TB posture): the input count frame is state-
+    * vocabulary-bounded (it already fit g08's output); two hash
+    * aggregates and one equi-join over it — nothing corpus-scale.
+    *
+    * Output: (fromCol, n_transitions, n_targets, entropy, norm_entropy).
+    */
+  def transitionEntropy(counts: DataFrame, fromCol: String,
+      nCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val tot = counts.groupBy(fromCol)
+      .agg(sum(col(nCol)).as("__tot"), count(lit(1)).as("__k"))
+    val p = col(nCol).cast("double") / col("__tot").cast("double")
+    counts.join(tot, fromCol)
+      .select(col(fromCol), col("__tot"), col("__k"),
+        round(p * log(p), 9).cast(dec).as("__t"))
+      .groupBy(fromCol)
+      .agg(max(col("__tot")).as("n_transitions"),
+        max(col("__k")).as("n_targets"),
+        (round((-sum(col("__t"))).cast("double"), 6) + lit(0.0))
+          .as("entropy"),
+        (when(max(col("__k")) > 1,
+          round((-sum(col("__t"))).cast("double") /
+            log(max(col("__k")).cast("double")), 6)) + lit(0.0))
+          .as("norm_entropy"))
+  }
 }

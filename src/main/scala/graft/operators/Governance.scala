@@ -239,6 +239,59 @@ object Governance {
         col("__v.d").as("n_rows_with_kind"), col("__v.h").as("n_hits"))
   }
 
+  /** Differentially-private count release (the Laplace mechanism, Dwork
+    * et al. 2006): per-group counts with Laplace(1/ε) noise — the
+    * aggregate-statistics publication gate next to the k-anonymity /
+    * t-closeness audits. Count queries have L1 sensitivity 1 (one row
+    * moves one group's count by one), so scale b = 1/ε gives
+    * ε-differential privacy PER RELEASE.
+    *
+    * Noise derivation is SEEDED-DETERMINISTIC for testability and replay:
+    * u = polyHash64(seed ‖ key)/2⁶⁴ ∈ [0,1), then the Laplace inverse
+    * CDF −b·sign(u−½)·ln(1−2|u−½|). A seeded release is formally a
+    * fixed function of the data (re-releasing with the same seed spends
+    * no extra budget, but a NEW seed per release is the caller's duty —
+    * the privacy accounting contract lives with the publisher, as with
+    * any DP system). The hash routes through DECIMAL(38,0) so the
+    * unsigned→double conversion is ONE correctly-rounded step in both
+    * engines; the CDF argument is clamped at 1e-12 (bounds |noise| ≤
+    * 27.6·b, deterministic, measure-zero effect).
+    *
+    * Plan shape (100 TB posture): ONE map-side-combined hash aggregate
+    * to the group-bounded count frame; noise is a map-only expression
+    * over it. Nothing else moves.
+    *
+    * Output: (keyCols…, epsilon, released, released_count) — the noisy
+    * real value and its non-negative integer rounding; the true count
+    * is deliberately NOT emitted.
+    */
+  def dpNoisedCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double,
+      seed: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(epsilon > 0, "epsilon must be positive")
+    val b = 1.0 / epsilon
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val keyStr = concat_ws("",
+      lit(seed) +: keyCols.map(k => col(k).cast("string")): _*)
+    val fp = graft.functions.GraftFunctions.poly_hash64(keyStr)
+    val twoTo64 = lit(new java.math.BigDecimal("18446744073709551616"))
+      .cast("decimal(38,0)")
+    val unsignedD = (fp.cast("decimal(38,0)") +
+      when(fp < 0, twoTo64).otherwise(lit(0).cast("decimal(38,0)")))
+      .cast("double")
+    val u = unsignedD / lit(1.8446744073709552e19)
+    val noise = lit(-b) * signum(u - lit(0.5)) *
+      log(greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)), lit(1e-12)))
+    counts.select(
+      keyCols.map(col) ++ Seq(
+        lit(epsilon).as("epsilon"),
+        (round(col("__n").cast("double") + noise, 6) + lit(0.0))
+          .as("released"),
+        greatest(round(col("__n").cast("double") + noise, 0), lit(0.0))
+          .cast("long").as("released_count")): _*)
+  }
+
   /** (table_name, n_purged, n_retained) as two count-only aggregates
     * attached by 1-row joins (the scalar-model convention).
     */

@@ -371,4 +371,25 @@ class EventsSpec extends SparkTestBase {
       (3L, 3L, 0L, 1L, 0.0, Some(0.0)),
       (5L, 2L, 2L, 0L, 1.0, None)))
   }
+
+  test("transitionEntropy: uniform = ln k (norm 1), deterministic = 0 " +
+      "(norm NULL), skewed matches the hand-computed value") {
+    import spark.implicits._
+    val counts = Seq(
+      ("x", "p", 5L), ("x", "q", 5L), // uniform over 2
+      ("y", "p", 7L),                 // single target
+      ("z", "p", 3L), ("z", "q", 1L)) // 0.75 / 0.25
+      .toDF("from_type", "to_type", "n")
+    val got = Events.transitionEntropy(counts, "from_type", "n")
+      .as[(String, Long, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("x")._1 === 10L && got("x")._2 === 2L)
+    assert(got("x")._3 === BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got("x")._4 === Some(1.0))
+    assert(got("y") === ((7L, 1L, 0.0, None)))
+    // H(z) = −(0.75·ln 0.75 + 0.25·ln 0.25) = 0.562335; /ln 2 = 0.811278
+    assert(got("z")._3 === 0.562335)
+    assert(got("z")._4 === Some(0.811278))
+  }
 }

@@ -208,4 +208,30 @@ class GovernanceSpec extends SparkTestBase {
     assert(got1.forall(r => r._3 === 0.0 && r._4),
       "single-value global domain must pin EMD 0 / t_close true")
   }
+
+  test("dpNoisedCounts: seeded-deterministic, bounded noise scaling with " +
+      "1/epsilon, non-negative integer release, bad epsilon rejected") {
+    import spark.implicits._
+    val rows = (Seq.fill(10)("a") ++ Seq.fill(5)("b")).toDF("k")
+    def run(eps: Double, seed: String) =
+      Governance.dpNoisedCounts(rows, Seq("k"), eps, seed)
+        .as[(String, Double, Double, Long)].collect()
+        .map(r => r._1 -> ((r._3, r._4))).toMap
+    val g1 = run(0.5, "s1:")
+    val g2 = run(0.5, "s1:")
+    assert(g1 === g2, "same seed must replay identically")
+    val g3 = run(0.5, "s2:")
+    assert(g1("a")._1 !== g3("a")._1, "a new seed must redraw the noise")
+    // clamp bound: |noise| <= b·ln(1e12) = 2·27.63
+    assert(math.abs(g1("a")._1 - 10.0) <= 2 * 27.7)
+    assert(g1.values.forall(_._2 >= 0L), "integer release must clamp at 0")
+    // same seed, 20x the epsilon => exactly 1/20 the noise (pre-rounding)
+    val tight = run(10.0, "s1:")
+    val n1 = g1("a")._1 - 10.0
+    val n2 = tight("a")._1 - 10.0
+    assert(math.abs(n2 - n1 / 20.0) < 1e-5, s"noise must scale 1/eps: $n1 $n2")
+    intercept[IllegalArgumentException] {
+      Governance.dpNoisedCounts(rows, Seq("k"), 0.0, "s")
+    }
+  }
 }

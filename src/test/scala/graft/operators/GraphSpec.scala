@@ -247,4 +247,30 @@ class GraphSpec extends SparkTestBase {
         s"round $t: estimate ${got(t)} vs true $tv")
     }
   }
+
+  test("kTruss: triangle survives / pendant drops, shared-edge supports, " +
+      "cascade to empty, k=2 keeps 0-support edges, dup/direction collapse, " +
+      "overrun throws") {
+    import spark.implicits._
+    // two triangles sharing edge (2,3), plus a pendant (3,5); duplicates
+    // and reversed copies must collapse
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (5L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val t3 = Graph.kTruss(edges, "src", "dst", k = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(t3 === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L), s"3-truss: $t3")
+    // 4-truss: only (2,3) has support 2, but alone it closes nothing —
+    // the peel cascades to empty
+    assert(Graph.kTruss(edges, "src", "dst", k = 4).count() === 0L)
+    // k=2 (support >= 0): every simple edge survives, pendant at 0
+    val t2 = Graph.kTruss(edges, "src", "dst", k = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(t2((3L, 5L)) === 0L && t2.size === 6)
+    intercept[IllegalStateException] {
+      Graph.kTruss(edges, "src", "dst", k = 3, maxRounds = 1)
+    }
+  }
 }
