@@ -2864,6 +2864,37 @@ object SparkEntry {
         censorHorizon = 43200000000L)
     }),
 
+    // streaming BM25: the inverted index grows across two doc batches,
+    // each batch answers the fixed b02 query panel over the cumulative
+    // index through the SAME scoring tail — drained report == b02
+    "e27_streaming_bm25" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e27").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.filter(col("doc_id") % 40 === 7)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "),
+            2, 4)).as("qtext"))
+        .localCheckpoint(eager = true)
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingBm25.start(s, src, "doc_id", "text",
+        queries, "query_id", "qtext", s"$tmp/state", s"$tmp/report",
+        s"$tmp/cp", k = 5, maxDfFrac = 1.0)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e27 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingBm25.report(s, s"$tmp/report")
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+    }),
+
     "e22_streaming_burstiness" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e22").toString
       val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
@@ -4700,6 +4731,49 @@ object SparkEntry {
     s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
        |         (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
        |          sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+
+  /** b02's full-formula Okapi replay — shared verbatim by e27 because
+    * the streaming drain must equal the batch operator over the full
+    * history (the e-series contract).
+    */
+  private val b02OracleSql: String =
+    """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+         st AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                FROM dl),
+         dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         qt AS (
+           SELECT DISTINCT query_id, token FROM (
+             SELECT doc_id AS query_id,
+                    unnest(list_slice(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 2, 5)) AS token
+             FROM documents WHERE doc_id % 40 = 7)
+           WHERE length(token) > 0),
+         term AS (
+           SELECT qt.query_id, tf.doc_id,
+                  CAST(ROUND(ln(1.0 + (CAST(st.n - dfq.df AS DOUBLE) + 0.5) /
+                          (CAST(dfq.df AS DOUBLE) + 0.5)) *
+                        ((CAST(tf.tf AS DOUBLE) * 2.5) /
+                         (CAST(tf.tf AS DOUBLE) + 1.5 *
+                          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))), 9)
+                    AS DECIMAL(28, 9)) AS s
+           FROM qt JOIN dfq USING (token) JOIN tf USING (token)
+                JOIN dl ON tf.doc_id = dl.doc_id, st
+           WHERE CAST(dfq.df AS DOUBLE) <= 1.0 * CAST(st.n AS DOUBLE)),
+         agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS sd
+                 FROM term GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, sd,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sd DESC, doc_id) AS rank
+                FROM agg)
+         SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+                ROUND(sd, 6) + 0.0 AS score
+         FROM rk WHERE rank <= 5"""
 
   private def knnEdgeCtes: String = {
     val bucketExpr = bucketExprSql(5)
@@ -8967,45 +9041,11 @@ object SparkEntry {
     // parenthesization; per-term ROUND(…,9) → DECIMAL sums make the
     // (query, doc) score exact, ranking orders by the double cast like
     // the engine's top-k heap (score DESC, doc_id ASC)
-    "b02_bm25_topk" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
-           FROM documents),
-         tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
-         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
-         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
-         st AS (SELECT COUNT(*) AS n,
-                       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-                FROM dl),
-         dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
-         qt AS (
-           SELECT DISTINCT query_id, token FROM (
-             SELECT doc_id AS query_id,
-                    unnest(list_slice(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 2, 5)) AS token
-             FROM documents WHERE doc_id % 40 = 7)
-           WHERE length(token) > 0),
-         term AS (
-           SELECT qt.query_id, tf.doc_id,
-                  CAST(ROUND(ln(1.0 + (CAST(st.n - dfq.df AS DOUBLE) + 0.5) /
-                          (CAST(dfq.df AS DOUBLE) + 0.5)) *
-                        ((CAST(tf.tf AS DOUBLE) * 2.5) /
-                         (CAST(tf.tf AS DOUBLE) + 1.5 *
-                          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))), 9)
-                    AS DECIMAL(28, 9)) AS s
-           FROM qt JOIN dfq USING (token) JOIN tf USING (token)
-                JOIN dl ON tf.doc_id = dl.doc_id, st
-           WHERE CAST(dfq.df AS DOUBLE) <= 1.0 * CAST(st.n AS DOUBLE)),
-         agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS sd
-                 FROM term GROUP BY 1, 2),
-         rk AS (SELECT query_id, doc_id, sd,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sd DESC, doc_id) AS rank
-                FROM agg)
-         SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
-                ROUND(sd, 6) + 0.0 AS score
-         FROM rk WHERE rank <= 5""",
-    "t13_decontaminate" ->
+    "b02_bm25_topk" -> b02OracleSql,
+    // e27 IS b02 over everything streamed — one oracle, zero drift by
+    // construction (the emission calls the same scoring tail)
+    "e27_streaming_bm25" -> b02OracleSql,
+        "t13_decontaminate" ->
       """WITH tnorm AS (
            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
            FROM documents),

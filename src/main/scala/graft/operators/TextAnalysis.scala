@@ -1914,27 +1914,51 @@ object TextAnalysis {
     require(k > 0, "k must be positive")
     require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
     require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac in (0,1]")
-    val toks = docs.select(col(idCol),
-        explode(tokens(col(textCol))).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-    val tf = toks.groupBy(col(idCol), col("__tok"))
-      .agg(count(lit(1)).as("__tf"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val postings = bm25Postings(docs, idCol, textCol)
     // corpus stats over documents that HAVE tokens (empty docs can never
-    // be retrieved, and including them would skew avgdl toward zero)
-    val stats = dl.agg(count(lit(1)).as("__n"),
+    // be retrieved, and including them would skew avgdl toward zero);
+    // the (id, dl) projection is distinct because dl repeats per token
+    val docLens = postings.select(col(idCol), col("__dl")).distinct()
+    val stats = docLens.agg(count(lit(1)).as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1)).cast("double"))
         .as("__avgdl"))
-    val dfq = toks.groupBy(col("__tok"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-    val qtoks = queries.select(col(queryIdCol),
+    val qtoks = queryTokens(queries, queryIdCol, queryTextCol)
+    bm25FromPostings(postings, qtoks, stats, idCol, queryIdCol,
+      k, k1, b, maxDfFrac)
+  }
+
+  /** The distinct (queryId, token) frame of a query table under the
+    * shared [[tokens]] tokenization — split out so the streaming BM25
+    * monitor tokenizes queries identically to the batch operator.
+    */
+  private[graft] def queryTokens(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol),
         explode(tokens(col(queryTextCol))).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .distinct()
+
+  /** The [[bm25TopK]] scoring tail over pre-built postings — the
+    * reusable unit the streaming BM25 monitor feeds from its persisted
+    * inverted index, guaranteeing stream/batch score equality by
+    * construction. `postings` carries (idCol, __tok, __tf, __dl) — at
+    * minimum every posting row of the query terms (extra tokens only
+    * cost df-aggregate rows that the query join drops); `stats` is the
+    * 1-row (__n, __avgdl) corpus frame. Term document frequencies
+    * derive from the postings themselves, so caller-side posting
+    * restriction (the streaming touched-prefix read) cannot change a
+    * scored term's df.
+    */
+  private[graft] def bm25FromPostings(postings: DataFrame, qtoks: DataFrame,
+      stats: DataFrame, idCol: String, queryIdCol: String,
+      k: Int, k1: Double = 1.5, b: Double = 0.75,
+      maxDfFrac: Double = 0.1): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dfq = postings.groupBy(col("__tok"))
+      .agg(countDistinct(col(idCol)).as("__df"))
     val scored = qtoks
       .join(dfq, "__tok")
-      .join(tf, "__tok")
-      .join(dl, idCol)
+      .join(postings, "__tok")
       .crossJoin(broadcast(stats))
       .filter(col("__df").cast("double") <=
         lit(maxDfFrac) * col("__n").cast("double"))
@@ -1958,5 +1982,20 @@ object TextAnalysis {
       .select(col(queryIdCol), col("__e.id").as(idCol),
         (col("__pos") + 1).cast("int").as("rank"),
         col("__e.score").as("score"))
+  }
+
+  /** The per-document token statistics a BM25 index stores: tf per
+    * (id, token) joined with the document length — shared by the batch
+    * operator and the streaming index build.
+    */
+  private[graft] def bm25Postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    val tf = toks.groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    tf.join(dl, idCol)
   }
 }

@@ -2149,6 +2149,46 @@ class StreamingSpec extends SparkTestBase {
       "post-compaction batch must see folded counts")
   }
 
+  test("streaming BM25: the inverted index accumulates across batches, " +
+      "every batch answers the fixed panel over the cumulative index " +
+      "through the shared scoring tail, replays and compaction are exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sbm").toString
+    val b0 = Seq((1L, "apple banana cherry"), (2L, "apple apple durian"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "banana banana banana"), (4L, "unique quince zebra"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "apple banana"), (20L, "quince"))
+      .toDF("qid", "qtext")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingBm25.processBatch(b, id, "doc_id", "text", queries,
+        "qid", "qtext", s"$dir/state", s"$dir/report", k = 5,
+        maxDfFrac = 1.0)
+    def rep() = StreamingBm25.report(spark, s"$dir/report")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    def want(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.bm25TopK(df, queries, "doc_id", "text",
+          "qid", "qtext", k = 5, maxDfFrac = 1.0)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    run(b0, 0L)
+    // mid-stream: batch-0 answers equal the batch operator over b0 alone
+    // (query 20 has no match yet — absent, exactly like the batch op)
+    assert(rep() === want(b0), "batch-0 panel != batch bm25TopK over b0")
+    run(b1, 1L)
+    val all = b0.unionByName(b1)
+    // cross-batch: doc 3 re-ranks query 10 (df/avgdl/N all shift) and
+    // query 20 becomes answerable — must equal the batch truth
+    assert(rep() === want(all), "drained panel != batch bm25TopK")
+    // crash-replay of the last batch: postings and scalars must not double
+    run(b1, 1L)
+    assert(rep() === want(all), "replay drifted")
+    StreamingBm25.compactState(spark, s"$dir/state")
+    val b2 = Seq((5L, "apple quince")).toDF("doc_id", "text")
+    run(b2, 2L)
+    assert(rep() === want(all.unionByName(b2)),
+      "post-compaction batch must see folded postings")
+  }
+
   test("streaming chunk dedup: cross-batch duplicates dedup through the " +
       "persisted chunk-key store, drained report equals the batch m08, " +
       "replays and compaction are exact") {
