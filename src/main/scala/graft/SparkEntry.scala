@@ -2864,6 +2864,34 @@ object SparkEntry {
         censorHorizon = 43200000000L)
     }),
 
+    // streaming transition entropy: events split at the time midpoint
+    // (a REAL cross-batch boundary — users straddle the cut and their
+    // boundary pairs bridge through per-user state), drained == g18
+    "e28_streaming_transition_entropy" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e28").toString
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("event_id"), expr("ts div 1000").as("ts_us"))
+      val Array(lo, hi) = ev.agg(min(col("ts_us")), max(col("ts_us")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = lo + (hi - lo) / 2
+      ev.filter(col("ts_us") <= mid)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("ts_us") > mid)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("user_id BIGINT, event_type STRING, event_id BIGINT, ts_us BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingTransitionEntropy.start(s, src,
+        "user_id", "event_type", "ts_us", "event_id", s"$tmp/state",
+        s"$tmp/report", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e28 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingTransitionEntropy.report(s, s"$tmp/report")
+    }),
+
     // streaming BM25: the inverted index grows across two doc batches,
     // each batch answers the fixed b02 query panel over the cumulative
     // index through the SAME scoring tail — drained report == b02
@@ -4731,6 +4759,39 @@ object SparkEntry {
     s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
        |         (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
        |          sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+
+  /** g18's entropy-fold replay — shared verbatim by e28 because the
+    * streaming drain must equal the batch operator over the full
+    * history (the e-series contract).
+    */
+  private val g18OracleSql: String =
+    """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsn
+                     FROM events),
+         tr0 AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY tsn, event_id) AS to_type
+           FROM ev),
+         tr AS (
+           SELECT from_type, to_type, COUNT(*) AS n FROM tr0
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, SUM(n) AS tt, COUNT(*) AS k
+                 FROM tr GROUP BY 1),
+         terms AS (
+           SELECT tr.from_type, tot.tt, tot.k,
+                  CAST(ROUND((CAST(tr.n AS DOUBLE) / CAST(tot.tt AS DOUBLE)) *
+                        ln(CAST(tr.n AS DOUBLE) / CAST(tot.tt AS DOUBLE)), 9)
+                    AS DECIMAL(28,9)) AS t
+           FROM tr JOIN tot USING (from_type))
+         SELECT from_type,
+                CAST(MAX(tt) AS BIGINT) AS n_transitions,
+                CAST(MAX(k) AS BIGINT) AS n_targets,
+                ROUND(CAST(-SUM(t) AS DOUBLE), 6) + 0.0 AS entropy,
+                CASE WHEN MAX(k) > 1
+                     THEN ROUND(CAST(-SUM(t) AS DOUBLE) /
+                            ln(CAST(MAX(k) AS DOUBLE)), 6) + 0.0
+                     ELSE NULL END AS norm_entropy
+         FROM terms GROUP BY 1"""
 
   /** b02's full-formula Okapi replay — shared verbatim by e27 because
     * the streaming drain must equal the batch operator over the full
@@ -7109,35 +7170,11 @@ object SparkEntry {
     // g18: the g08 transition CTEs extended with the entropy fold —
     // identical p·ln p expression, round-9 → DECIMAL(28,9) sums,
     // ln(k) normalization, k=1 NULL
-    "g18_transition_entropy" ->
-      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsn
-                     FROM events),
-         tr0 AS (
-           SELECT event_type AS from_type,
-                  lead(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY tsn, event_id) AS to_type
-           FROM ev),
-         tr AS (
-           SELECT from_type, to_type, COUNT(*) AS n FROM tr0
-           WHERE to_type IS NOT NULL GROUP BY 1, 2),
-         tot AS (SELECT from_type, SUM(n) AS tt, COUNT(*) AS k
-                 FROM tr GROUP BY 1),
-         terms AS (
-           SELECT tr.from_type, tot.tt, tot.k,
-                  CAST(ROUND((CAST(tr.n AS DOUBLE) / CAST(tot.tt AS DOUBLE)) *
-                        ln(CAST(tr.n AS DOUBLE) / CAST(tot.tt AS DOUBLE)), 9)
-                    AS DECIMAL(28,9)) AS t
-           FROM tr JOIN tot USING (from_type))
-         SELECT from_type,
-                CAST(MAX(tt) AS BIGINT) AS n_transitions,
-                CAST(MAX(k) AS BIGINT) AS n_targets,
-                ROUND(CAST(-SUM(t) AS DOUBLE), 6) + 0.0 AS entropy,
-                CASE WHEN MAX(k) > 1
-                     THEN ROUND(CAST(-SUM(t) AS DOUBLE) /
-                            ln(CAST(MAX(k) AS DOUBLE)), 6) + 0.0
-                     ELSE NULL END AS norm_entropy
-         FROM terms GROUP BY 1""",
-    // v06: the t17 pattern battery over the expired slice — per-kind
+    "g18_transition_entropy" -> g18OracleSql,
+    // e28 IS g18 over everything streamed — one oracle, zero drift by
+    // construction (the emission calls the same entropy fold)
+    "e28_streaming_transition_entropy" -> g18OracleSql,
+        // v06: the t17 pattern battery over the expired slice — per-kind
     // row/hit counts, strict-< cutoff, planted-PII augmentation replayed
     "v06_retention_audit" ->
       """WITH aug AS (

@@ -2149,6 +2149,56 @@ class StreamingSpec extends SparkTestBase {
       "post-compaction batch must see folded counts")
   }
 
+  test("streaming transition entropy: boundary pairs bridge batches " +
+      "through per-user state, drained report equals the batch g18, " +
+      "contract violations throw, replays and compaction are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_ste").toString
+    val cols = Seq("user_id", "event_type", "ts_us", "event_id")
+    val b0 = Seq((1L, "a", 1L, 10L), (1L, "b", 2L, 11L))
+      .toDF(cols: _*)
+    // user 1 continues (boundary pair b->a); user 2 is new (pair c->c)
+    val b1 = Seq((1L, "a", 3L, 12L), (2L, "c", 1L, 13L), (2L, "c", 2L, 14L))
+      .toDF(cols: _*)
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingTransitionEntropy.processBatch(df, id, "user_id",
+        "event_type", "ts_us", "event_id", s"$dir/state", s"$dir/report")
+    def rep() = StreamingTransitionEntropy.report(spark, s"$dir/report")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSet
+    def want(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val tr = df.withColumn("__to", lead(col("event_type"), 1).over(w))
+        .filter(col("__to").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("__to").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Events.transitionEntropy(tr, "from_type", "n")
+        .as[(String, Long, Long, Double, Option[Double])].collect().toSet
+    }
+    run(b0, 0L)
+    assert(rep() === want(b0), "batch-0 emission != batch g18 over b0")
+    run(b1, 1L)
+    val all = b0.unionByName(b1)
+    assert(rep() === want(all), "drained entropy != batch g18 (the " +
+      "boundary pair b->a must have bridged the batches)")
+    // crash-replay of the last batch: counts must not double
+    run(b1, 1L)
+    assert(rep() === want(all), "replay drifted")
+    // contract: an event at (or before) its key's persisted (t, i) throws
+    intercept[IllegalStateException] {
+      run(Seq((1L, "z", 3L, 12L)).toDF(cols: _*), 2L)
+    }
+    assert(rep() === want(all), "a rejected batch must not mutate state")
+    StreamingTransitionEntropy.compactState(spark, s"$dir/state")
+    val b2 = Seq((1L, "b", 4L, 15L)).toDF(cols: _*)
+    run(b2, 2L)
+    assert(rep() === want(all.unionByName(b2)),
+      "post-compaction batch must see folded counts and user state")
+  }
+
   test("streaming BM25: the inverted index accumulates across batches, " +
       "every batch answers the fixed panel over the cumulative index " +
       "through the shared scoring tail, replays and compaction are exact") {
