@@ -1914,7 +1914,11 @@ object TextAnalysis {
     require(k > 0, "k must be positive")
     require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
     require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac in (0,1]")
+    // materialized once (the d06/d08 lesson): the posting frame feeds
+    // THREE consumers (df aggregate, score join, corpus stats) — left
+    // lazy, the corpus would be re-scanned and re-tokenized per consumer
     val postings = bm25Postings(docs, idCol, textCol)
+      .localCheckpoint(eager = true)
     // corpus stats over documents that HAVE tokens (empty docs can never
     // be retrieved, and including them would skew avgdl toward zero);
     // the (id, dl) projection is distinct because dl repeats per token
@@ -1941,27 +1945,39 @@ object TextAnalysis {
   /** The [[bm25TopK]] scoring tail over pre-built postings — the
     * reusable unit the streaming BM25 monitor feeds from its persisted
     * inverted index, guaranteeing stream/batch score equality by
-    * construction. `postings` carries (idCol, __tok, __tf, __dl) — at
-    * minimum every posting row of the query terms (extra tokens only
-    * cost df-aggregate rows that the query join drops); `stats` is the
-    * 1-row (__n, __avgdl) corpus frame. Term document frequencies
-    * derive from the postings themselves, so caller-side posting
-    * restriction (the streaming touched-prefix read) cannot change a
-    * scored term's df.
+    * construction. `postings` carries (idCol, __tok, __tf, __dl), ONE
+    * row per (document, term) — both producers ([[bm25Postings]] and
+    * the streaming index's latest-wins read) group by (id, term), so
+    * df per term is a plain posting count. At minimum every posting
+    * row of the query terms must be present (extra tokens are dropped
+    * map-side before any aggregate); `stats` is the 1-row (__n,
+    * __avgdl) corpus frame. Term document frequencies derive from the
+    * postings themselves, so caller-side posting restriction (the
+    * streaming touched-prefix read) cannot change a scored term's df.
+    *
+    * Plan shape: the panel vocabulary (bounded — it's the fixed query
+    * set's distinct terms) BROADCASTS against the postings, so the df
+    * aggregate and the score join run over query-term posting lists
+    * only, never the full touched-prefix index slice.
     */
   private[graft] def bm25FromPostings(postings: DataFrame, qtoks: DataFrame,
       stats: DataFrame, idCol: String, queryIdCol: String,
       k: Int, k1: Double = 1.5, b: Double = 0.75,
       maxDfFrac: Double = 0.1): DataFrame = {
     require(k > 0, "k must be positive")
-    val dfq = postings.groupBy(col("__tok"))
-      .agg(countDistinct(col(idCol)).as("__df"))
-    val scored = qtoks
-      .join(dfq, "__tok")
-      .join(postings, "__tok")
+    val qterms = qtoks.select(col("__tok")).distinct()
+    val qpost = postings.join(broadcast(qterms), "__tok")
+    // the df cap applies on the SMALL side (per-term df rows × the
+    // 1-row stats frame): a capped term never enters the broadcast
+    // table, so its posting list drops at the hash-join probe map-side
+    // instead of flowing through the score pipeline
+    val dfq = qpost.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(stats))
       .filter(col("__df").cast("double") <=
         lit(maxDfFrac) * col("__n").cast("double"))
+    val scored = qpost
+      .join(broadcast(qtoks.join(dfq, "__tok")), "__tok")
       .select(col(queryIdCol), col(idCol),
         round(
           log(lit(1.0) + ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
@@ -1993,9 +2009,14 @@ object TextAnalysis {
     val toks = docs.select(col(idCol),
         explode(tokens(col(textCol))).as("__tok"))
       .filter(length(col("__tok")) > 0)
+    // ONE tokenize pass: dl = Σtf per doc via a doc-keyed window over the
+    // tf frame (bounded by a document's distinct tokens — never corpus-
+    // global). The join formulation (tf ⋈ dl on id) re-tokenized the
+    // corpus for each side; this halves the explode work
     val tf = toks.groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__tf"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
-    tf.join(dl, idCol)
+    tf.withColumn("__dl",
+      sum(col("__tf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
   }
 }

@@ -110,10 +110,19 @@ object StreamingBm25 {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     LsmParquetState.withPendingOwners(
         Seq(postingsDir(stateDir), scalarsDir(stateDir))) {
+      // the panel is FIXED for the stream's lifetime: tokenize it (and
+      // derive its touched hash prefixes) ONCE here, not per batch
+      val qtoks = TextAnalysis.queryTokens(queries, queryIdCol, queryTextCol)
+        .localCheckpoint(eager = true)
+      val touched = qtoks
+        .select(pmod(hash(col("__tok")), lit(tokenPrefixes)).cast("int")
+          .as("__tp"))
+        .distinct().collect().map(_.getInt(0))
       source.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           processBatch(batch, batchId, idCol, textCol, queries, queryIdCol,
-            queryTextCol, stateDir, reportDir, k, maxDfFrac)
+            queryTextCol, stateDir, reportDir, k, maxDfFrac,
+            panel = Some((qtoks, touched)))
         }
         .option("checkpointLocation", checkpointDir)
         .trigger(trigger)
@@ -126,11 +135,15 @@ object StreamingBm25 {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, queries: DataFrame,
       queryIdCol: String, queryTextCol: String, stateDir: String,
-      reportDir: String, k: Int = 5, maxDfFrac: Double = 0.1): Unit = {
+      reportDir: String, k: Int = 5, maxDfFrac: Double = 0.1,
+      panel: Option[(DataFrame, Array[Int])] = None): Unit = {
     val s = batch.sparkSession
+    // materialized once per batch: the tail write AND the scalar
+    // increment both consume it — left lazy, the batch re-tokenizes
     val posts = TextAnalysis.bm25Postings(batch, idCol, textCol)
       .select(col("__tok"), col(idCol).cast("long").as("__id"),
         col("__tf"), col("__dl"))
+      .localCheckpoint(eager = true)
     if (!LsmParquetState.hasBase(s, postingsDir(stateDir)))
       LsmParquetState.seed(posts.limit(0), postingsDir(stateDir), postLayout)
     if (!LsmParquetState.hasBase(s, scalarsDir(stateDir)))
@@ -151,27 +164,41 @@ object StreamingBm25 {
     LsmParquetState.appendTail(merged, scalarsDir(stateDir), Some(batchId))
     // emission: answer the panel over the cumulative index — base read
     // restricted to the query tokens' hash prefixes
-    val qtoks = TextAnalysis.queryTokens(queries, queryIdCol, queryTextCol)
-      .localCheckpoint(eager = true)
-    val touched = qtoks
-      .select(pmod(hash(col("__tok")), lit(tokenPrefixes)).cast("int")
-        .as("__tp"))
-      .distinct().collect().map(_.getInt(0))
+    val (qtoks, touched) = panel.getOrElse {
+      val qt = TextAnalysis.queryTokens(queries, queryIdCol, queryTextCol)
+        .localCheckpoint(eager = true)
+      (qt, qt
+        .select(pmod(hash(col("__tok")), lit(tokenPrefixes)).cast("int")
+          .as("__tp"))
+        .distinct().collect().map(_.getInt(0)))
+    }
     val tailPred =
       pmod(hash(col("__tok")), lit(tokenPrefixes)).cast("int")
         .isin(touched.toSeq: _*)
+    // materialized once: the df aggregate and the score join both
+    // consume it — left lazy, the state read + latest-wins dedup runs
+    // twice per batch
     val postings = currentPostings(s, stateDir,
         col("__tp").isin(touched.toSeq: _*), tailPred, None)
       .withColumnRenamed("__id", idCol)
+      .localCheckpoint(eager = true)
     val stats = currentScalars(s, stateDir, None)
       .select(col("__n"),
         (col("__sdl").cast("double") / col("__n").cast("double"))
           .as("__avgdl"))
+    // repartition(1), NOT coalesce(1): coalesce propagates the 1-task
+    // constraint through to the last shuffle and serializes the final
+    // aggregation stage; repartition shuffles only the tiny k·|panel|
+    // answer rows into the single output file
     TextAnalysis.bm25FromPostings(postings, qtoks, stats, idCol,
         queryIdCol, k, maxDfFrac = maxDfFrac)
-      .coalesce(1)
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
-    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(qtoks)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(postings)
+    // a caller-provided panel outlives the batch — only per-batch frames drop
+    if (panel.isEmpty)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(qtoks)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(posts)
   }
 
   /** Fold both tails into fresh bases. Call BETWEEN runs. */
