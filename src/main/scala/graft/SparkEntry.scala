@@ -2604,12 +2604,19 @@ object SparkEntry {
 
     // DP count release: per-event-type counts with seeded-deterministic
     // Laplace(1/ε) noise at ε = 0.5 — the aggregate-publication gate;
-    // the uniform comes from poly_hash64(seed‖key) through ONE
+    // the uniform comes from poly_hash64(md5(seed‖key)) through ONE
     // DECIMAL-routed unsigned→double conversion, so both engines draw
     // the identical noise
     "v07_dp_release" -> ((s, dir) =>
       Governance.dpNoisedCounts(t(s, dir, "events"), Seq("event_type"),
         epsilon = 0.5, seed = "v07:")),
+
+    // DP mean release: per-event-type noisy average of `value` clamped
+    // into the public [0, 100] bounds — numerator and denominator each
+    // draw seeded Laplace noise at ε/2 through domain-separated keys
+    "v08_dp_mean_release" -> ((s, dir) =>
+      Governance.dpNoisedMean(t(s, dir, "events"), Seq("event_type"),
+        "value", lo = 0.0, hi = 100.0, epsilon = 0.5, seed = "v08:")),
 
     // t-closeness, categorical ground distance: each (hour, value-bucket)
     // class's event-type distribution vs the corpus-global one; every
@@ -7214,7 +7221,7 @@ object SparkEntry {
          UNION ALL
          SELECT 'phone', n_expired, d_phone, h_phone FROM c""",
     // v07: the Laplace mechanism replayed — the UNSIGNED base-31
-    // polynomial (HUGEINT mod 2^64, one correctly-rounded cast to
+    // polynomial over the md5 image (HUGEINT mod 2^64, one correctly-rounded cast to
     // DOUBLE, matching the engine's DECIMAL(38,0) route), identical
     // inverse-CDF expression with the 1e-12 clamp, identical literals
     "v07_dp_release" ->
@@ -7227,7 +7234,7 @@ object SparkEntry {
                            i -> CAST(unicode(substr(ks, CAST(i AS INT), 1)) AS HUGEINT))),
                        (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
                     AS DOUBLE) / 1.8446744073709552e19 AS u
-           FROM (SELECT event_type, n, 'v07:' || event_type AS ks FROM c)),
+           FROM (SELECT event_type, n, md5('v07:' || event_type) AS ks FROM c)),
          z AS (
            SELECT event_type, n,
                   -2.0 * sign(u - 0.5) *
@@ -7237,6 +7244,46 @@ object SparkEntry {
                 ROUND(CAST(n AS DOUBLE) + noise, 6) + 0.0 AS released,
                 greatest(CAST(ROUND(CAST(n AS DOUBLE) + noise, 0) AS BIGINT),
                          0) AS released_count
+         FROM z""",
+    // v08: the noisy-average composition replayed — clamped values sum
+    // exactly as DECIMAL(28,6), then TWO domain-separated draws of the
+    // identical seeded-Laplace recipe at ε/2 each (b = 400 for the sum,
+    // b = 4 for the count), identical clamps and roundings
+    "v08_dp_mean_release" ->
+      """WITH c AS (
+           SELECT event_type,
+                  SUM(CAST(least(greatest(value, 0.0), 100.0)
+                        AS DECIMAL(28,6))) AS s,
+                  COUNT(*) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         u AS (
+           SELECT event_type, s, n,
+                  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(range(1, length(kss)+1),
+                           i -> CAST(unicode(substr(kss, CAST(i AS INT), 1)) AS HUGEINT))),
+                       (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
+                    AS DOUBLE) / 1.8446744073709552e19 AS us,
+                  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(range(1, length(ksc)+1),
+                           i -> CAST(unicode(substr(ksc, CAST(i AS INT), 1)) AS HUGEINT))),
+                       (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
+                    AS DOUBLE) / 1.8446744073709552e19 AS uc
+           FROM (SELECT event_type, s, n,
+                        md5('v08:S:' || event_type) AS kss,
+                        md5('v08:C:' || event_type) AS ksc FROM c)),
+         z AS (
+           SELECT event_type,
+                  CAST(s AS DOUBLE) +
+                  (-400.0) * sign(us - 0.5) *
+                    ln(greatest(1.0 - 2.0 * abs(us - 0.5), 1e-12)) AS ns,
+                  CAST(n AS DOUBLE) +
+                  (-4.0) * sign(uc - 0.5) *
+                    ln(greatest(1.0 - 2.0 * abs(uc - 0.5), 1e-12)) AS nn
+           FROM u)
+         SELECT event_type, CAST(0.5 AS DOUBLE) AS epsilon,
+                ROUND(ns / greatest(ROUND(nn, 6) + 0.0, 1.0), 6) + 0.0
+                  AS released_mean,
+                greatest(CAST(ROUND(nn, 0) AS BIGINT), 0) AS released_n
          FROM z""",
     // v04: categorical EMD — present-value |c·N − g·n| terms in HUGEINT,
     // the absent-value mass folded in algebraically, one final division

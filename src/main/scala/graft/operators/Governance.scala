@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -247,7 +247,7 @@ object Governance {
     * ε-differential privacy PER RELEASE.
     *
     * Noise derivation is SEEDED-DETERMINISTIC for testability and replay:
-    * u = polyHash64(seed ‖ key)/2⁶⁴ ∈ [0,1), then the Laplace inverse
+    * u = polyHash64(md5(seed ‖ key))/2⁶⁴ ∈ [0,1), then the Laplace inverse
     * CDF −b·sign(u−½)·ln(1−2|u−½|). A seeded release is formally a
     * fixed function of the data (re-releasing with the same seed spends
     * no extra budget, but a NEW seed per release is the caller's duty —
@@ -265,24 +265,40 @@ object Governance {
     * real value and its non-negative integer rounding; the true count
     * is deliberately NOT emitted.
     */
-  def dpNoisedCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double,
-      seed: String): DataFrame = {
-    require(keyCols.nonEmpty, "need at least one key column")
-    require(epsilon > 0, "epsilon must be positive")
-    val b = 1.0 / epsilon
-    val counts = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-    val keyStr = concat_ws("",
-      lit(seed) +: keyCols.map(k => col(k).cast("string")): _*)
-    val fp = graft.functions.GraftFunctions.poly_hash64(keyStr)
+  /** Seeded-deterministic Laplace(b) draw from a key string — the v07
+    * recipe: u = polyHash64(md5(keyStr))/2⁶⁴ through ONE DECIMAL-routed
+    * unsigned→double conversion, then the inverse CDF with the 1e-12
+    * clamp (|noise| ≤ 27.6·b, deterministic). Shared by every DP
+    * release so engine and oracle draw identical noise.
+    *
+    * The md5 expansion is load-bearing: the base-31 polynomial of a
+    * SHORT key never wraps 2⁶⁴ (a 4-char key hashes below 2²⁵, so
+    * u ≈ 0 and every draw collapses onto the clamp bound with the same
+    * sign — seed-insensitive, maximally-biased noise). The 32-hex-char
+    * md5 image wraps the modulus ~25 times over, giving the avalanche
+    * the polynomial alone lacks, and both engines share md5 natively.
+    */
+  private def laplaceNoise(keyStr: Column, b: Double): Column = {
+    val fp = graft.functions.GraftFunctions.poly_hash64(md5(keyStr))
     val twoTo64 = lit(new java.math.BigDecimal("18446744073709551616"))
       .cast("decimal(38,0)")
     val unsignedD = (fp.cast("decimal(38,0)") +
       when(fp < 0, twoTo64).otherwise(lit(0).cast("decimal(38,0)")))
       .cast("double")
     val u = unsignedD / lit(1.8446744073709552e19)
-    val noise = lit(-b) * signum(u - lit(0.5)) *
+    lit(-b) * signum(u - lit(0.5)) *
       log(greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)), lit(1e-12)))
+  }
+
+  def dpNoisedCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double,
+      seed: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(epsilon > 0, "epsilon must be positive")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val keyStr = concat_ws("",
+      lit(seed) +: keyCols.map(k => col(k).cast("string")): _*)
+    val noise = laplaceNoise(keyStr, 1.0 / epsilon)
     counts.select(
       keyCols.map(col) ++ Seq(
         lit(epsilon).as("epsilon"),
@@ -290,6 +306,60 @@ object Governance {
           .as("released"),
         greatest(round(col("__n").cast("double") + noise, 0), lit(0.0))
           .cast("long").as("released_count")): _*)
+  }
+
+  /** Differentially-private mean release — the standard noisy-average
+    * composition (Dwork & Roth 2014 §3.4): per group, release
+    * `(Σ clamp(v, lo, hi) + Lap(Δs/(ε/2))) / max(n + Lap(2/ε), 1)`,
+    * clamping each value into the PUBLIC bounds [lo, hi] first (the
+    * clamp is what gives the sum its finite L1 sensitivity
+    * Δs = max(|lo|, |hi|) — one row entering or leaving moves the sum by
+    * at most that). Numerator and denominator each spend ε/2; by
+    * sequential composition the release is ε-DP. The two draws use
+    * domain-separated key strings (`seed‖S:‖key`, `seed‖C:‖key`)
+    * through the shared seeded-Laplace recipe, so engine and oracle
+    * reproduce identical noise; the seed-accounting contract is the
+    * caller's, as in [[dpNoisedCounts]].
+    *
+    * Null values are excluded before anything counts — a null carries no
+    * subject signal and would otherwise deflate the mean.
+    *
+    * Determinism: clamped values cast to DECIMAL(28,6) and sum exactly
+    * (order-free); every later step is a fixed-shape scalar expression.
+    *
+    * Plan shape (100 TB posture): ONE map-side-combined hash aggregate
+    * to the group-bounded (Σ, n) frame; noise and the division are
+    * map-only expressions over it. Nothing else moves.
+    *
+    * Output: (keyCols…, epsilon, released_mean, released_n) — the noisy
+    * mean and the noisy non-negative row count; true values are
+    * deliberately NOT emitted.
+    */
+  def dpNoisedMean(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, epsilon: Double, seed: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(epsilon > 0, "epsilon must be positive")
+    require(lo < hi, "need lo < hi public bounds")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val sensSum = math.max(math.abs(lo), math.abs(hi))
+    val clamped = least(greatest(col(valueCol).cast("double"), lit(lo)),
+      lit(hi))
+    val agg = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(clamped.cast(dec)).as("__s"), count(lit(1)).as("__n"))
+    def keyStr(tag: String) = concat_ws("",
+      lit(seed) +: lit(tag) +: keyCols.map(k => col(k).cast("string")): _*)
+    val noisySum = col("__s").cast("double") +
+      laplaceNoise(keyStr("S:"), sensSum / (epsilon / 2.0))
+    val noisyN = col("__n").cast("double") +
+      laplaceNoise(keyStr("C:"), 2.0 / epsilon)
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        lit(epsilon).as("epsilon"),
+        (round(noisySum / greatest(round(noisyN, 6), lit(1.0)), 6)
+          + lit(0.0)).as("released_mean"),
+        greatest(round(noisyN, 0), lit(0.0)).cast("long")
+          .as("released_n")): _*)
   }
 
   /** (table_name, n_purged, n_retained) as two count-only aggregates

@@ -234,4 +234,39 @@ class GovernanceSpec extends SparkTestBase {
       Governance.dpNoisedCounts(rows, Seq("k"), 0.0, "s")
     }
   }
+
+  test("dpNoisedMean: seeded-deterministic, values clamp into the public " +
+      "bounds, nulls drop, denominator floors at 1, bad params rejected") {
+    import spark.implicits._
+    val rows = Seq(("a", 5.0), ("a", 500.0), ("a", -3.0), ("b", 10.0))
+      .toDF("k", "v")
+      .unionByName(Seq(("a", Option.empty[Double])).toDF("k", "v"))
+    def run(eps: Double, seed: String) =
+      Governance.dpNoisedMean(rows, Seq("k"), "v", 0.0, 100.0, eps, seed)
+        .as[(String, Double, Double, Long)].collect()
+        .map(r => r._1 -> ((r._3, r._4))).toMap
+    val g1 = run(0.5, "s1:")
+    assert(g1 === run(0.5, "s1:"), "same seed must replay identically")
+    assert(g1("a")._1 !== run(0.5, "s2:")("a")._1,
+      "a new seed must redraw the noise")
+    // a: clamped sum = 5 + 100 + 0 = 105 over n = 3 (the null dropped);
+    // noise bounds: |sum noise| <= 400·27.64, |count noise| <= 4·27.64,
+    // denominator floored at 1 => mean lands in a wide but finite band
+    val mean = g1("a")._1
+    assert(!mean.isNaN && math.abs(mean) <= 105.0 + 400 * 27.7,
+      s"released mean out of band: $mean")
+    assert(g1.values.forall(_._2 >= 0L), "noisy n must clamp at 0")
+    // the count draw is the C: domain at b = 2/eps — independent of the
+    // sum draw: with a huge eps both collapse to the true stats
+    val tight = run(1e9, "s1:")
+    assert(math.abs(tight("a")._1 - 35.0) < 1e-3,
+      "eps->inf must approach the true clamped mean 105/3")
+    assert(tight("a")._2 === 3L, "eps->inf must approach the true count")
+    intercept[IllegalArgumentException] {
+      Governance.dpNoisedMean(rows, Seq("k"), "v", 5.0, 5.0, 0.5, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Governance.dpNoisedMean(rows, Seq("k"), "v", 0.0, 100.0, -1.0, "s")
+    }
+  }
 }
