@@ -2354,6 +2354,13 @@ object SparkEntry {
       CorpusStats.krippendorffAlpha(ratings, "doc_id", "label")
     }),
 
+    // Dunning log-likelihood keyness: which tokens make each language
+    // slice read differently from the rest of the corpus — G² over the
+    // per-(lang, token) 2×2 contingency, exact-integer direction flag
+    "t50_distinctive_terms" -> ((s, dir) =>
+      TextAnalysis.distinctiveTerms(t(s, dir, "documents"), "lang", "text",
+        minCount = 5L)),
+
     // exact ROC-AUC of the quality score as an English-detector: rank-sum
     // identity with midrank ties; rows fold to per-distinct-score counts,
     // rank structure from the parallel prefix sum — integers until the
@@ -5867,6 +5874,52 @@ object SparkEntry {
                              CAST(n - 1 AS DOUBLE)), 6) + 0.0
                      ELSE NULL END AS alpha
          FROM dos, tt""",
+    // t50: the same contingency in DuckDB — every O·ln(O/E) term is
+    // O·ln((O·N)/(rowTot·colTot)) with the products in HUGEINT (the
+    // engine's DECIMAL(38,0) route), rounded to 8 and summed as
+    // DECIMAL(28,8), then ×2.0 (exact) and round 6; direction on
+    // exact integer cross-products
+    "t50_distinctive_terms" ->
+      """WITH toks AS (
+           SELECT lang,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         tk AS (SELECT lang, token FROM toks WHERE length(token) > 0),
+         cells AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS a
+                   FROM tk GROUP BY 1, 2),
+         ct AS (SELECT token, CAST(SUM(a) AS BIGINT) AS ct
+                FROM cells GROUP BY 1),
+         rt AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS rt
+                FROM cells GROUP BY 1),
+         g AS (SELECT CAST(SUM(a) AS BIGINT) AS N FROM cells),
+         j AS (SELECT cells.lang, cells.token, cells.a,
+                      ct.ct - cells.a AS b, rt.rt - cells.a AS c,
+                      g.N - rt.rt - (ct.ct - cells.a) AS d,
+                      ct.ct, rt.rt, g.N
+               FROM cells JOIN ct USING (token) JOIN rt USING (lang), g
+               WHERE cells.a >= 5)
+         SELECT lang, token, a AS n_slice, b AS n_rest,
+                ROUND(2.0 * CAST(
+                  (CASE WHEN a > 0 THEN CAST(ROUND(CAST(a AS DOUBLE) *
+                     ln(CAST(CAST(a AS HUGEINT) * CAST(N AS HUGEINT) AS DOUBLE) /
+                        CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)), 8)
+                     AS DECIMAL(28,8)) ELSE CAST(0 AS DECIMAL(28,8)) END +
+                   CASE WHEN b > 0 THEN CAST(ROUND(CAST(b AS DOUBLE) *
+                     ln(CAST(CAST(b AS HUGEINT) * CAST(N AS HUGEINT) AS DOUBLE) /
+                        CAST(CAST(N - rt AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)), 8)
+                     AS DECIMAL(28,8)) ELSE CAST(0 AS DECIMAL(28,8)) END +
+                   CASE WHEN c > 0 THEN CAST(ROUND(CAST(c AS DOUBLE) *
+                     ln(CAST(CAST(c AS HUGEINT) * CAST(N AS HUGEINT) AS DOUBLE) /
+                        CAST(CAST(rt AS HUGEINT) * CAST(N - ct AS HUGEINT) AS DOUBLE)), 8)
+                     AS DECIMAL(28,8)) ELSE CAST(0 AS DECIMAL(28,8)) END +
+                   CASE WHEN d > 0 THEN CAST(ROUND(CAST(d AS DOUBLE) *
+                     ln(CAST(CAST(d AS HUGEINT) * CAST(N AS HUGEINT) AS DOUBLE) /
+                        CAST(CAST(N - rt AS HUGEINT) * CAST(N - ct AS HUGEINT) AS DOUBLE)), 8)
+                     AS DECIMAL(28,8)) ELSE CAST(0 AS DECIMAL(28,8)) END)
+                  AS DOUBLE), 6) + 0.0 AS g2,
+                CAST(a AS HUGEINT) * CAST(N - rt AS HUGEINT) >
+                  CAST(b AS HUGEINT) * CAST(rt AS HUGEINT) AS overused
+         FROM j""",
     // t01's replay joined back to the labels and aggregated
     "t31_lang_confusion" ->
       s"""WITH pred AS ($t01LangSql)

@@ -294,6 +294,71 @@ object TextAnalysis {
           .as("pmi"))
   }
 
+  /** Log-likelihood-ratio distinctive terms (Dunning 1993, "Accurate
+    * Methods for the Statistics of Surprise and Coincidence"; see
+    * PAPERS.md) — for every (slice, token) pair, the G² statistic of
+    * the 2×2 contingency "token occurrences in the slice vs the rest of
+    * the corpus": `G² = 2·Σ O·ln(O/E)` over the four cells. The
+    * corpus-comparison workhorse keyness measure — which terms make
+    * THIS source/language/time-slice read differently from everything
+    * else — and, unlike PMI, safe on low counts by construction.
+    * `overused` tells the direction (the slice's rate exceeds the
+    * rest's), compared on EXACT integer cross-products.
+    *
+    * Determinism (the t21 libm contract): each O·ln(O/E) term computes
+    * as O·ln((O·N)/(rowTot·colTot)) with the products in DECIMAL(38,0)
+    * (no wrap at corpus scale), rounds to 8 and sums as DECIMAL(28,8)
+    * before the final ×2 and round-6 — a fixed-shape expression both
+    * engines evaluate identically. Zero cells contribute zero.
+    *
+    * Plan shape (100 TB posture): ONE corpus tokenize feeding a
+    * (slice, token) hash aggregate (map-side combined); token totals
+    * and slice totals re-aggregate THAT bounded frame (≤ slices·vocab
+    * rows), and everything joins back small-side-broadcast. Documents
+    * never shuffle; the math is map-only over the bounded frame.
+    *
+    * Output: one row per (slice, token) with count ≥ `minCount`:
+    * (sliceCol, token, n_slice, n_rest, g2, overused).
+    */
+  def distinctiveTerms(df: DataFrame, sliceCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(28, 8)
+    val cells = df
+      .select(col(sliceCol).as("__slice"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("__slice", "token").agg(count(lit(1)).as("__a"))
+    val tokTot = cells.groupBy("token").agg(sum(col("__a")).as("__ct"))
+    val sliceTot = cells.groupBy("__slice").agg(sum(col("__a")).as("__rt"))
+    val grand = cells.agg(sum(col("__a")).as("__N"))
+    def term(o: Column, rowT: Column, colT: Column, n: Column): Column =
+      when(o > 0,
+        round(o.cast("double") *
+          log((o.cast(dec0) * n.cast(dec0)).cast("double") /
+            (rowT.cast(dec0) * colT.cast(dec0)).cast("double")), 8)
+          .cast(dec8))
+        .otherwise(lit(0).cast(dec8))
+    val b = col("__ct") - col("__a")
+    val c = col("__rt") - col("__a")
+    val d = col("__N") - col("__rt") - b
+    cells.filter(col("__a") >= minCount)
+      .join(broadcast(tokTot), "token")
+      .join(broadcast(sliceTot), "__slice")
+      .crossJoin(broadcast(grand))
+      .select(col("__slice").as(sliceCol), col("token"),
+        col("__a").as("n_slice"), b.as("n_rest"),
+        (round(lit(2.0) *
+          (term(col("__a"), col("__rt"), col("__ct"), col("__N")) +
+           term(b, col("__N") - col("__rt"), col("__ct"), col("__N")) +
+           term(c, col("__rt"), col("__N") - col("__ct"), col("__N")) +
+           term(d, col("__N") - col("__rt"), col("__N") - col("__ct"),
+             col("__N"))).cast("double"), 6) + lit(0.0)).as("g2"),
+        (col("__a").cast(dec0) * (col("__N") - col("__rt")).cast(dec0) >
+          b.cast(dec0) * col("__rt").cast(dec0)).as("overused"))
+  }
+
   /** Heaps'-law vocabulary-growth curve (Heaps 1978; see PAPERS.md): for
     * each document in id order, the cumulative token count and the
     * cumulative DISTINCT-vocabulary size after ingesting it — the curve

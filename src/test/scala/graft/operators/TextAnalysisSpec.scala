@@ -885,6 +885,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one.count() === 0L)
   }
 
+  test("distinctiveTerms: hand-computed Dunning G² on a 2-slice corpus, " +
+      "zero cells contribute zero, exact-integer direction, minCount gate") {
+    // slice A: tokens {x:3, y:1}; slice B: {y:4}
+    // ct: x=3 y=5; rt: A=4 B=4; N=8
+    val docs = Seq((1L, "A", "x x x y"), (2L, "B", "y y y y"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.distinctiveTerms(docs, "lang", "text",
+        minCount = 1L)
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // (A,x): a=3 b=0 c=1 d=4 — the b cell is ZERO (contributes 0):
+    // 2·(3·ln2 + 0 + ln(0.4) + 4·ln(1.6)) with per-term round-8
+    val t1 = BigDecimal(3.0 * math.log(2.0))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val t3 = BigDecimal(math.log(0.4))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val t4 = BigDecimal(4.0 * math.log(1.6))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val want = BigDecimal(2.0 * (t1 + t3 + t4).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ax = got(("A", "x"))
+    assert(ax._3 === 3L && ax._4 === 0L)
+    assert(ax._5 === want, s"G² mismatch: ${ax._5} vs $want")
+    assert(ax._6, "x concentrates in A — overused")
+    // the 2×2 G² is symmetric under transposition: (A,y) and (B,y)
+    // carry the SAME statistic, opposite directions
+    assert(got(("A", "y"))._5 === want)
+    assert(got(("B", "y"))._5 === want)
+    assert(!got(("A", "y"))._6 && got(("B", "y"))._6)
+    // minCount prunes the (A,y) singleton cell
+    val pruned = TextAnalysis.distinctiveTerms(docs, "lang", "text",
+        minCount = 3L)
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+    assert(pruned.map(r => (r._1, r._2)).toSet ===
+      Set(("A", "x"), ("B", "y")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.distinctiveTerms(docs, "lang", "text", minCount = 0L)
+    }
+  }
+
   test("substringSearch equals the full-scan contains truth: long patterns " +
       "via the trigram index + verify, short ones via the fallback, " +
       "misses absent") {
