@@ -1428,6 +1428,14 @@ object SparkEntry {
         threshold = 0.9)
     }),
 
+    // weighted all-pairs cosine over unit tf-idf vectors (the Bayardo
+    // AllPairs WEIGHTED case — d11 is the unweighted-set variant): the
+    // max-weight prefix bound keeps high-df terms' corpus-sized posting
+    // lists out of the candidate join; brute-force relational oracle
+    "d22_tfidf_allpairs" -> ((s, dir) =>
+      Dedup.tfidfAllPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9)),
+
     // the STREAMING composition of d08: persistent parquet index state,
     // two MICRO-batches folded through foreachBatch — batch 1 (doc ids
     // ≡ 0 mod 10, +1e6) dedups against the seeded corpus, batch 2 (ids
@@ -8589,6 +8597,46 @@ object SparkEntry {
                      UNION SELECT idB FROM pairs)
          SELECT d.doc_id FROM delta d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)""",
+    // d22: brute-force weighted cosine over the identical tf-idf
+    // pipeline — t07 idf, per-doc norms and pair dots both summed as
+    // round-9 DECIMAL(28,9) terms, threshold on the RAW decimal-sum
+    // double; prefix filtering is recall-lossless by the max-weight
+    // bound, so the engine must reproduce this exactly
+    "d22_tfidf_allpairs" ->
+      """WITH tnorm AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wlist
+           FROM documents),
+         tk AS (
+           SELECT doc_id,
+                  list_aggregate(wlist[CAST(i AS INT):CAST(i AS INT)+4],
+                    'string_agg', ' ') AS token
+           FROM tnorm, lateral unnest(range(1, greatest(len(wlist) - 3, 1))) t(i)
+           WHERE len(wlist) >= 5),
+         tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tk GROUP BY 1, 2),
+         dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
+         w AS (SELECT doc_id, token,
+                      CAST(tf AS DOUBLE) *
+                      ln((CAST(nn AS DOUBLE) + 1.0) /
+                         (CAST(df AS DOUBLE) + 1.0)) AS w
+               FROM tf JOIN dfq USING (token), n),
+         nrm AS (SELECT doc_id,
+                        SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9))) AS n2
+                 FROM w GROUP BY 1),
+         wn AS (SELECT w.doc_id, token,
+                       w / sqrt(CAST(n2 AS DOUBLE)) AS wn
+                FROM w JOIN nrm USING (doc_id)
+                WHERE CAST(n2 AS DOUBLE) > 0),
+         p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+                      SUM(CAST(ROUND(a.wn * b.wn, 9) AS DECIMAL(28,9))) AS c
+               FROM wn a JOIN wn b
+                 ON a.token = b.token AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT idA, idB, ROUND(CAST(c AS DOUBLE), 6) + 0.0 AS cosine
+         FROM p WHERE CAST(c AS DOUBLE) >= 0.9""",
     // overlap coefficient |∩| / min over distinct word-5-gram sets,
     // all pairs relationally; prefix filtering is recall-lossless by the
     // pigeonhole bound, so the engine must reproduce this exactly

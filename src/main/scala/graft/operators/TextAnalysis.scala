@@ -27,7 +27,7 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"),
     "zh" -> Seq("的", "是", "不", "了", "在", "有", "我", "他", "这", "就"))
 
-  private def tokens(text: Column): Column =
+  private[operators] def tokens(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
   /** Heuristic language ID: argmax over languages of stopword hit counts;

@@ -824,4 +824,90 @@ class DedupSpec extends SparkTestBase {
     assert(exact === hashed)
     assert(exact.exists(_._4 > 0), "fixture sanity: spans were removed")
   }
+
+  test("tfidfAllPairs equals the brute-force weighted-cosine truth " +
+      "(prefix filtering lossless), threshold gates, no cartesian") {
+    import spark.implicits._
+    val base = "the zebra quilt jumps over seventeen lazy xylophones " +
+      "while quietly plotting a grand escape from the dusty barn today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra trailing words appended here"), // near-copy
+      (3L, "totally disjoint content qqq www eee rrr ttt yyy uuu iii " +
+        "ooo ppp aaa sss ddd fff ggg"),
+      (4L, "short"), // under the gram width: no features
+      (5L, base)) // exact copy of 1
+      .toDF("doc_id", "text")
+    def brute(th: Double): Map[(Long, Long), Double] = {
+      // the oracle computation, in-spec: same grams, idf, DECIMAL routing
+      val grams = docs.select(col("doc_id"),
+          explode(expr("CASE WHEN size(split(text, ' ')) >= 5 THEN " +
+            "transform(sequence(1, size(split(text, ' ')) - 4), " +
+            "i -> array_join(slice(split(lower(trim(text)), ' '), i, 5), ' ')) " +
+            "ELSE array() END")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val dfq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n"))
+      val w = grams.join(dfq, "g").crossJoin(n)
+        .select(col("doc_id"), col("g"),
+          (col("tf").cast("double") *
+            log((col("n").cast("double") + 1.0) /
+              (col("df").cast("double") + 1.0))).as("w"))
+      val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+      val nrm = w.groupBy("doc_id")
+        .agg(sum(round(col("w") * col("w"), 9).cast(dec)).as("n2"))
+      val wn = w.join(nrm, "doc_id")
+        .select(col("doc_id"), col("g"),
+          (col("w") / sqrt(col("n2").cast("double"))).as("wn"))
+      wn.as("a").join(wn.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("idA"), col("b.doc_id").as("idB"))
+        .agg(sum(round(col("a.wn") * col("b.wn"), 9).cast(dec)).as("c"))
+        .filter(col("c").cast("double") >= th)
+        .select(col("idA"), col("idB"),
+          round(col("c").cast("double"), 6).as("cos"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    }
+    for (th <- Seq(0.5, 0.9)) {
+      val got = Dedup.tfidfAllPairs(docs, "doc_id", "text", threshold = th)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === brute(th), s"engine != brute force at threshold $th")
+    }
+    // the exact copy scores 1.0 (modulo per-term rounding); the
+    // near-copy pairs at 0.5 (its unique high-idf grams dilute the
+    // shared low-idf mass — idf weighting working as designed) but not
+    // at 0.9; the disjoint doc pairs with nothing anywhere
+    val got9 = Dedup.tfidfAllPairs(docs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got9((1L, 5L)) - 1.0) < 1e-6)
+    assert(got9.keySet === Set((1L, 5L)))
+    val got5 = Dedup.tfidfAllPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got5.contains((1L, 2L)) && got5.contains((2L, 5L)),
+      "near-copies must pair at 0.5")
+    assert(!got5.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "the disjoint doc pairs with nothing")
+    // skew cap: with maxBucketSize=1 every gram shared by the three
+    // copies sits in an over-cap indexed bucket and all pairs drop
+    val capped = Dedup.tfidfAllPairs(docs, "doc_id", "text",
+      threshold = 0.9, maxBucketSize = 1)
+    assert(capped.count() === 0L)
+    // unigram feature space still works (the degenerate-vocab caveat is
+    // documented, not broken)
+    val uni = Dedup.tfidfAllPairs(docs, "doc_id", "text",
+        threshold = 0.99, shingleWidth = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(uni.exists(r => r._1 == 1L && r._2 == 5L))
+    // plan shape: no cartesian anywhere
+    val plan = Dedup.tfidfAllPairs(docs, "doc_id", "text", threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+    intercept[IllegalArgumentException] {
+      Dedup.tfidfAllPairs(docs, "doc_id", "text", threshold = 1.5)
+    }
+  }
 }
