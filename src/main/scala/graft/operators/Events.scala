@@ -511,4 +511,153 @@ object Events {
             log(max(col("__k")).cast("double")), 6)) + lit(0.0))
           .as("norm_entropy"))
   }
+
+  /** Markov-chain (removal-effect) multi-touch attribution (Anderl,
+    * Becker, von Wangenheim & Schumann 2014, "Mapping the Customer
+    * Journey"; see PAPERS.md) — the data-driven alternative to the
+    * positional rules (g11 last-touch, g13 linear, g19 first-touch):
+    * model journeys as a first-order absorbing Markov chain over the
+    * touch channels plus START/CONV/NULL, and credit each channel by
+    * how much the conversion probability DROPS when that channel's
+    * value is removed (its state contributes zero — equivalently all
+    * its inbound edges redirect to NULL):
+    * `removal_effect(c) = 1 − P_removed(c)/P_base`, shares normalize
+    * the P-drops. Removal can only shrink P (the chain is monotone in
+    * state values), so effects are non-negative by construction.
+    *
+    * Journey model: one journey per user — the touch sequence strictly
+    * BEFORE the user's first conversion event (ordered by (ts, tie);
+    * post-conversion activity is a different journey and out of scope),
+    * absorbed into CONV if the user converts, NULL otherwise; a
+    * converting user with no prior touches contributes START→CONV mass
+    * (unattributable, kept so P stays honest).
+    *
+    * Determinism: transition probabilities round to 12; P iterates a
+    * FIXED `iterations` rounds of the value recursion
+    * p(s) ← Σ_t round(q(s,t)·val(t), 12) with the terms summed as
+    * exact scale-12 decimals — both engines run the identical
+    * quantized arithmetic, so agreement does not depend on convergence.
+    * The final emissions round to 6.
+    *
+    * Plan shape (100 TB posture): journeys build from ONE user-keyed
+    * join (first-conversion key) + ONE user-keyed window (the g08
+    * transition machinery); everything after the (from, to, n) hash
+    * aggregate is CHANNEL-BOUNDED — the matrix collects as a literal
+    * model (the k-means-centroid convention) and the fixed-point runs
+    * driver-side on ≤ (channels+3)² numbers. Events never shuffle
+    * except by user.
+    *
+    * Output: one row per touch channel (input order) —
+    * (channel, p_base, p_removed, removal_effect, share,
+    * attributed_conversions); share/attributed are NULL when the chain
+    * has no conversions or no channel moves it.
+    */
+  def markovAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, conversionType: String,
+      touchTypes: Seq[String], iterations: Int = 60): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch channel")
+    require(!touchTypes.contains(conversionType),
+      "conversionType must not be a touch channel")
+    require(touchTypes.distinct.size == touchTypes.size,
+      "touch channels must be distinct")
+    require(iterations >= 1, "need at least one iteration")
+    val START = "__START__"; val CONV = "__CONV__"; val NULLS = "__NULL__"
+    val typed = events
+      .filter(col(typeCol).isin((touchTypes :+ conversionType): _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        struct(col(tsCol), col(tieCol)).as("__k"))
+    val convKeys = typed.filter(col("__t") === conversionType)
+      .groupBy("__u").agg(min(col("__k")).as("__ck"))
+    val touches = typed.filter(col("__t") =!= conversionType)
+      .join(convKeys, Seq("__u"), "left")
+      .filter(col("__ck").isNull || col("__k") < col("__ck"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy("__k")
+    val seq = touches
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+    val edges = seq.filter(col("__rn") === 1)
+      .select(lit(START).as("__from"), col("__t").as("__to"))
+      .unionByName(seq.filter(col("__next").isNotNull)
+        .select(col("__t").as("__from"), col("__next").as("__to")))
+      .unionByName(seq.filter(col("__next").isNull)
+        .select(col("__t").as("__from"),
+          when(col("__ck").isNotNull, CONV).otherwise(NULLS).as("__to")))
+      .unionByName(convKeys
+        .join(touches.select("__u").distinct(), Seq("__u"), "left_anti")
+        .select(lit(START).as("__from"), lit(CONV).as("__to")))
+    val counts = edges.groupBy("__from", "__to")
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nConv = convKeys.count()
+    // ----- driver-side fixed point over the channel-bounded matrix ----
+    def round12(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    val outTot = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val q = counts.map { case ((f, t), n) =>
+      (f, t) -> round12(n.toDouble / outTot(f).toDouble).doubleValue()
+    }
+    val froms = outTot.keys.toSeq.sorted
+    def converge(removed: Option[String]): Double = {
+      val states = froms.filterNot(removed.contains)
+      var p: Map[String, java.math.BigDecimal] =
+        states.map(_ -> java.math.BigDecimal.ZERO).toMap
+      def value(t: String): Double =
+        if (t == CONV) 1.0
+        else if (t == NULLS || removed.contains(t)) 0.0
+        else p.getOrElse(t, java.math.BigDecimal.ZERO).doubleValue()
+      (1 to iterations).foreach { _ =>
+        // value() reads the PREVIOUS p: the new map builds strictly
+        // before the reassignment
+        val next = states.map { s =>
+          val terms = q.collect { case ((f, t), qv) if f == s =>
+            round12(qv * value(t))
+          }
+          s -> terms.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        }.toMap
+        p = next
+      }
+      p.getOrElse(START, java.math.BigDecimal.ZERO).doubleValue()
+    }
+    val pBase = converge(None)
+    val pRem = touchTypes.map(c => c -> converge(Some(c))).toMap
+    // exact decimal drops -> order-free share denominator
+    val drops = touchTypes.map(c =>
+      c -> round12(pBase).subtract(round12(pRem(c)))).toMap
+    val sumDrop = drops.values.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    def round6(x: Double): java.lang.Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val spark = events.sparkSession
+    val rows = touchTypes.map { c =>
+      val re =
+        if (pBase > 0.0) round6(1.0 - pRem(c) / pBase)
+        else null.asInstanceOf[java.lang.Double]
+      val (share, attributed) =
+        if (pBase > 0.0 && sumDrop.signum() > 0) {
+          val sh = drops(c).doubleValue() / sumDrop.doubleValue()
+          (round6(sh), round6(sh * nConv.toDouble))
+        } else (null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double])
+      org.apache.spark.sql.Row(c, round6(pBase), round6(pRem(c)),
+        re, share, attributed)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("channel",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("p_base",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p_removed",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("removal_effect",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("share",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("attributed_conversions",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
 }

@@ -392,4 +392,54 @@ class EventsSpec extends SparkTestBase {
     assert(got("z")._3 === 0.562335)
     assert(got("z")._4 === Some(0.811278))
   }
+
+  test("markovAttribution: hand-solved absorbing chain, post-conversion " +
+      "truncation, touchless conversions keep P honest, unseen channel " +
+      "zero effect, no-conversion corpus yields nulls, bad params rejected") {
+    import spark.implicits._
+    // u1: click→purchase; u2: view→(nothing); u3: purchase only;
+    // u4: click→view→purchase (+ a post-conversion click that must drop)
+    // transitions: START→{click:2, view:1, CONV:1}; click→{CONV:1, view:1};
+    // view→{NULL:1, CONV:1}
+    // P(view)=.5, P(click)=.75, P_base=.75; remove click → .375 (re=.5);
+    // remove view → .5 (re=1/3); drops .375/.25 → shares .6/.4; nConv=3
+    val ev = Seq(
+      (1L, "click", 10L, 1L), (1L, "purchase", 20L, 2L),
+      (2L, "view", 10L, 3L),
+      (3L, "purchase", 10L, 4L),
+      (4L, "click", 10L, 5L), (4L, "view", 20L, 6L),
+      (4L, "purchase", 30L, 7L), (4L, "click", 40L, 8L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Events.markovAttribution(ev, "user_id", "event_type", "ts",
+        "event_id", "purchase", Seq("click", "view", "signup"))
+      .as[(String, Double, Double, Option[Double], Option[Double],
+        Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("click")._2 === 0.75 && got("view")._2 === 0.75)
+    assert(got("click")._3 === 0.375)
+    assert(got("click")._4 === Some(0.5))
+    assert(got("view")._3 === 0.5)
+    assert(got("view")._4 === Some(0.333333))
+    assert(got("click")._5 === Some(0.6) && got("view")._5 === Some(0.4))
+    assert(got("click")._6 === Some(1.8) && got("view")._6 === Some(1.2))
+    // the unseen channel: removal changes nothing
+    assert(got("signup")._3 === 0.75 && got("signup")._4 === Some(0.0) &&
+      got("signup")._5 === Some(0.0))
+    // no conversions anywhere -> effects and shares are null
+    val none = Events.markovAttribution(
+        ev.filter(col("event_type") =!= "purchase"),
+        "user_id", "event_type", "ts", "event_id", "purchase",
+        Seq("click", "view"))
+      .as[(String, Double, Double, Option[Double], Option[Double],
+        Option[Double])].collect()
+    assert(none.forall(r => r._2 === 0.0 && r._4.isEmpty && r._5.isEmpty))
+    intercept[IllegalArgumentException] {
+      Events.markovAttribution(ev, "user_id", "event_type", "ts",
+        "event_id", "purchase", Seq("purchase", "click"))
+    }
+    intercept[IllegalArgumentException] {
+      Events.markovAttribution(ev, "user_id", "event_type", "ts",
+        "event_id", "purchase", Seq.empty)
+    }
+  }
 }
