@@ -2928,6 +2928,32 @@ object SparkEntry {
     // streaming BM25: the inverted index grows across two doc batches,
     // each batch answers the fixed b02 query panel over the cumulative
     // index through the SAME scoring tail — drained report == b02
+    // streaming distinctive-terms drift: the t50 G² keyness as an
+    // ingest-time shift detector — the drained LAST batch's report is
+    // batch-2-vs-batch-1 keyness, gated by the same contingency in SQL
+    "e29_streaming_distinctive_terms" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e29").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingDistinctiveTerms.start(s, src,
+        "text", s"$tmp/state", s"$tmp/report", s"$tmp/cp", minCount = 5L)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e29 stream did not drain in 300s")
+      }
+      val rep = graft.streaming.StreamingDistinctiveTerms
+        .report(s, s"$tmp/report")
+      rep.join(rep.agg(max(col("batch")).as("batch")), "batch")
+        .select(col("token"), col("n_batch"), col("n_hist"), col("g2"),
+          col("overused"))
+    }),
+
     "e27_streaming_bm25" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e27").toString
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -5938,6 +5964,48 @@ object SparkEntry {
                   AS DOUBLE), 6) + 0.0 AS g2,
                 CAST(a AS HUGEINT) * CAST(N - rt AS HUGEINT) >
                   CAST(b AS HUGEINT) * CAST(rt AS HUGEINT) AS overused
+         FROM j""",
+    // e29: the drained monitor's last batch (odd doc ids) audited
+    // against its history (even doc ids) — the t50 contingency with
+    // slices = stream batches, identical HUGEINT products and
+    // round-8 DECIMAL(28,8) term sums
+    "e29_streaming_distinctive_terms" ->
+      """WITH toks AS (
+           SELECT doc_id % 2 = 1 AS is_batch,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         tk AS (SELECT is_batch, token FROM toks WHERE length(token) > 0),
+         cells AS (SELECT is_batch, token, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM tk GROUP BY 1, 2),
+         a AS (SELECT token, n AS a FROM cells WHERE is_batch),
+         b AS (SELECT token, n AS b FROM cells WHERE NOT is_batch),
+         na AS (SELECT CAST(SUM(n) AS BIGINT) AS na FROM cells WHERE is_batch),
+         nb AS (SELECT CAST(SUM(n) AS BIGINT) AS nb FROM cells WHERE NOT is_batch),
+         j AS (SELECT a.token, a.a, COALESCE(b.b, 0) AS b, na.na, nb.nb,
+                      na.na + nb.nb AS N, a.a + COALESCE(b.b, 0) AS ct
+               FROM a LEFT JOIN b USING (token), na, nb
+               WHERE a.a >= 5)
+         SELECT token, a AS n_batch, b AS n_hist,
+                ROUND(2.0 * CAST(
+                  (CASE WHEN a > 0 THEN CAST(ROUND(CAST(a AS DOUBLE) *
+                     ln(CAST(CAST(a AS HUGEINT) * CAST(N AS HUGEINT) AS DOUBLE) /
+                        CAST(CAST(na AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)), 8)
+                     AS DECIMAL(28,8)) ELSE CAST(0 AS DECIMAL(28,8)) END +
+                   CASE WHEN b > 0 THEN CAST(ROUND(CAST(b AS DOUBLE) *
+                     ln(CAST(CAST(b AS HUGEINT) * CAST(N AS HUGEINT) AS DOUBLE) /
+                        CAST(CAST(nb AS HUGEINT) * CAST(ct AS HUGEINT) AS DOUBLE)), 8)
+                     AS DECIMAL(28,8)) ELSE CAST(0 AS DECIMAL(28,8)) END +
+                   CASE WHEN na - a > 0 THEN CAST(ROUND(CAST(na - a AS DOUBLE) *
+                     ln(CAST(CAST(na - a AS HUGEINT) * CAST(N AS HUGEINT) AS DOUBLE) /
+                        CAST(CAST(na AS HUGEINT) * CAST(N - ct AS HUGEINT) AS DOUBLE)), 8)
+                     AS DECIMAL(28,8)) ELSE CAST(0 AS DECIMAL(28,8)) END +
+                   CASE WHEN nb - b > 0 THEN CAST(ROUND(CAST(nb - b AS DOUBLE) *
+                     ln(CAST(CAST(nb - b AS HUGEINT) * CAST(N AS HUGEINT) AS DOUBLE) /
+                        CAST(CAST(nb AS HUGEINT) * CAST(N - ct AS HUGEINT) AS DOUBLE)), 8)
+                     AS DECIMAL(28,8)) ELSE CAST(0 AS DECIMAL(28,8)) END)
+                  AS DOUBLE), 6) + 0.0 AS g2,
+                CAST(a AS HUGEINT) * CAST(nb AS HUGEINT) >
+                  CAST(b AS HUGEINT) * CAST(na AS HUGEINT) AS overused
          FROM j""",
     // t01's replay joined back to the labels and aggregated
     "t31_lang_confusion" ->

@@ -324,7 +324,6 @@ object TextAnalysis {
       minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, "minCount must be at least 1")
     val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val dec8 = org.apache.spark.sql.types.DecimalType(28, 8)
     val cells = df
       .select(col(sliceCol).as("__slice"),
         explode(tokens(col(textCol))).as("token"))
@@ -333,30 +332,43 @@ object TextAnalysis {
     val tokTot = cells.groupBy("token").agg(sum(col("__a")).as("__ct"))
     val sliceTot = cells.groupBy("__slice").agg(sum(col("__a")).as("__rt"))
     val grand = cells.agg(sum(col("__a")).as("__N"))
-    def term(o: Column, rowT: Column, colT: Column, n: Column): Column =
-      when(o > 0,
-        round(o.cast("double") *
-          log((o.cast(dec0) * n.cast(dec0)).cast("double") /
-            (rowT.cast(dec0) * colT.cast(dec0)).cast("double")), 8)
-          .cast(dec8))
-        .otherwise(lit(0).cast(dec8))
     val b = col("__ct") - col("__a")
-    val c = col("__rt") - col("__a")
-    val d = col("__N") - col("__rt") - b
     cells.filter(col("__a") >= minCount)
       .join(broadcast(tokTot), "token")
       .join(broadcast(sliceTot), "__slice")
       .crossJoin(broadcast(grand))
       .select(col("__slice").as(sliceCol), col("token"),
         col("__a").as("n_slice"), b.as("n_rest"),
-        (round(lit(2.0) *
-          (term(col("__a"), col("__rt"), col("__ct"), col("__N")) +
-           term(b, col("__N") - col("__rt"), col("__ct"), col("__N")) +
-           term(c, col("__rt"), col("__N") - col("__ct"), col("__N")) +
-           term(d, col("__N") - col("__rt"), col("__N") - col("__ct"),
-             col("__N"))).cast("double"), 6) + lit(0.0)).as("g2"),
+        g2Expr(col("__a"), b, col("__rt"), col("__N") - col("__rt"))
+          .as("g2"),
         (col("__a").cast(dec0) * (col("__N") - col("__rt")).cast(dec0) >
           b.cast(dec0) * col("__rt").cast(dec0)).as("overused"))
+  }
+
+  /** The 2×2 Dunning G² scalar over counts (a in slice A of total na,
+    * b in slice B of total nb) — the [[distinctiveTerms]] arithmetic
+    * split out so the streaming batch-vs-history drift monitor computes
+    * the IDENTICAL quantized statistic: each O·ln(O/E) term takes its
+    * integer products through DECIMAL(38,0), rounds to 8 and sums as
+    * DECIMAL(28,8) before the exact ×2.0 and round-6.
+    */
+  private[graft] def g2Expr(a: Column, b: Column, na: Column,
+      nb: Column): Column = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec8 = org.apache.spark.sql.types.DecimalType(28, 8)
+    val n = na + nb
+    val colT = a + b
+    def term(o: Column, rowT: Column, cT: Column): Column =
+      when(o > 0,
+        round(o.cast("double") *
+          log((o.cast(dec0) * n.cast(dec0)).cast("double") /
+            (rowT.cast(dec0) * cT.cast(dec0)).cast("double")), 8)
+          .cast(dec8))
+        .otherwise(lit(0).cast(dec8))
+    round(lit(2.0) *
+      (term(a, na, colT) + term(b, nb, colT) +
+       term(na - a, na, n - colT) + term(nb - b, nb, n - colT))
+        .cast("double"), 6) + lit(0.0)
   }
 
   /** Heaps'-law vocabulary-growth curve (Heaps 1978; see PAPERS.md): for

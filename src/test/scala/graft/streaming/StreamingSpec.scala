@@ -1453,6 +1453,52 @@ class StreamingSpec extends SparkTestBase {
     assert(rep().size === 3 && rep()(2) === ((2L, 1L, 0L)), rep())
   }
 
+  test("streaming distinctive terms: batch-vs-history G² equals the batch " +
+      "operator's 2-slice statistic, counts accumulate additively, " +
+      "replays are exact, compaction preserves the report") {
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("graft_sdt").toString
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingDistinctiveTerms.processBatch(b, id, "text",
+        s"$dir/state", s"$dir/report", minCount = 1L)
+    val b0 = Seq((1L, "alpha alpha beta gamma")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "alpha beta beta beta zeta")).toDF("doc_id", "text")
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep(batch: Long) = StreamingDistinctiveTerms
+      .report(spark, s"$dir/report")
+      .filter(org.apache.spark.sql.functions.col("batch") === batch)
+      .as[(Long, String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    // batch 1 vs history (= batch 0): the SAME statistic the batch
+    // operator computes over a 2-slice corpus (slice b1 vs slice b0)
+    val want = TextAnalysis.distinctiveTerms(
+        Seq(("b1", "alpha beta beta beta zeta"),
+          ("b0", "alpha alpha beta gamma")).toDF("slice", "text"),
+        "slice", "text", minCount = 1L)
+      .filter(org.apache.spark.sql.functions.col("slice") === "b1")
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(rep(1L) === want,
+      s"stream != batch 2-slice keyness: ${rep(1L)} vs $want")
+    // batch 0 audited against EMPTY history: every token is new,
+    // hist counts 0, and the degenerate contingency stays finite
+    assert(rep(0L).values.forall(v => v._2 === 0L && !v._3.isNaN))
+    // replay of batch 1 excludes its own tail: report identical, the
+    // additive counts do not double
+    val before = rep(1L)
+    run(b1, 1L)
+    assert(rep(1L) === before, "replay drifted the report")
+    // a third batch sees b0+b1 as history: alpha history = 2+1
+    run(Seq((3L, "alpha")).toDF("doc_id", "text"), 2L)
+    assert(rep(2L)("alpha")._1 === 1L && rep(2L)("alpha")._2 === 3L)
+    // compaction folds tails; the next batch reads the same history
+    StreamingDistinctiveTerms.compactState(spark, s"$dir/state")
+    run(Seq((4L, "alpha")).toDF("doc_id", "text"), 3L)
+    assert(rep(3L)("alpha")._2 === 4L,
+      "post-compaction history lost counts")
+  }
+
   test("streaming DQ monitor: per-batch counts sum to the corpus audit, " +
       "a replayed batch overwrites its own partition, self-referential " +
       "ForeignKey refuses") {
