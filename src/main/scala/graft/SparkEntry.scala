@@ -2644,6 +2644,14 @@ object SparkEntry {
       Governance.dpNoisedMean(t(s, dir, "events"), Seq("event_type"),
         "value", lo = 0.0, hi = 100.0, epsilon = 0.5, seed = "v08:")),
 
+    // DP histogram release over the PUBLIC [0,100)×10 grid — every
+    // bucket draws noise, including empty ones (the presence
+    // side-channel is the point); one ε by parallel composition
+    "v09_dp_histogram" -> ((s, dir) =>
+      Governance.dpNoisedHistogram(t(s, dir, "events"), "value",
+        lo = 0.0, hi = 100.0, nBuckets = 10, epsilon = 0.5,
+        seed = "v09:")),
+
     // t-closeness, categorical ground distance: each (hour, value-bucket)
     // class's event-type distribution vs the corpus-global one; every
     // |p - q| term is an exact DECIMAL integer, one final IEEE division
@@ -7516,6 +7524,39 @@ object SparkEntry {
                 ROUND(ns / greatest(ROUND(nn, 6) + 0.0, 1.0), 6) + 0.0
                   AS released_mean,
                 greatest(CAST(ROUND(nn, 0) AS BIGINT), 0) AS released_n
+         FROM z""",
+    // v09: the grid histogram replayed — identical clamp/bucket
+    // expression, the same md5-expanded seeded-Laplace draw per grid
+    // bucket (empty buckets included)
+    "v09_dp_histogram" ->
+      """WITH c AS (
+           SELECT LEAST(CAST(FLOOR((LEAST(GREATEST(value, 0.0), 100.0)
+                    - 0.0) / 10.0) AS INT), 9) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         g AS (SELECT CAST(i AS INT) AS bucket FROM range(0, 10) t(i)),
+         h AS (SELECT g.bucket, COALESCE(c.n, 0) AS n,
+                      md5('v09:' || CAST(g.bucket AS VARCHAR)) AS ks
+               FROM g LEFT JOIN c USING (bucket)),
+         u AS (
+           SELECT bucket, n,
+                  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(range(1, length(ks)+1),
+                           i -> CAST(unicode(substr(ks, CAST(i AS INT), 1)) AS HUGEINT))),
+                       (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
+                    AS DOUBLE) / 1.8446744073709552e19 AS u
+           FROM h),
+         z AS (
+           SELECT bucket, n,
+                  -2.0 * sign(u - 0.5) *
+                  ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) AS noise
+           FROM u)
+         SELECT bucket, CAST(0.0 + bucket * 10.0 AS DOUBLE) AS lo_edge,
+                CAST(0.0 + (bucket + 1) * 10.0 AS DOUBLE) AS hi_edge,
+                CAST(0.5 AS DOUBLE) AS epsilon,
+                ROUND(CAST(n AS DOUBLE) + noise, 6) + 0.0 AS released,
+                greatest(CAST(ROUND(CAST(n AS DOUBLE) + noise, 0) AS BIGINT),
+                         0) AS released_count
          FROM z""",
     // v04: categorical EMD — present-value |c·N − g·n| terms in HUGEINT,
     // the absent-value mass folded in algebraically, one final division

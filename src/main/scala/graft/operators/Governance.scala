@@ -362,6 +362,59 @@ object Governance {
           .as("released_n")): _*)
   }
 
+  /** Differentially-private histogram release — [[dpNoisedCounts]] over
+    * a PUBLIC bucket grid: values clamp into [lo, hi), bucket into
+    * `nBuckets` equal-width bins, and EVERY grid bucket releases a
+    * noisy count — including empty ones. The empty buckets are the
+    * point: releasing only observed buckets leaks which bins have any
+    * data at all (a presence side-channel the noise never touches);
+    * over the public grid, an empty bucket's release is pure
+    * Laplace(1/ε) noise and indistinguishable from a sparse one.
+    * Histogram queries have L1 sensitivity 1 under add/remove-one-row
+    * (a row lands in exactly one bucket), so the WHOLE grid costs one ε
+    * — the parallel-composition property that makes DP histograms
+    * cheap.
+    *
+    * Plan shape (100 TB posture): ONE map-side-combined hash aggregate
+    * to the ≤ nBuckets count frame, an outer join against the
+    * generated literal grid (bucket-bounded), map-only noise. Nothing
+    * corpus-scale moves.
+    *
+    * Output: one row per grid bucket —
+    * (bucket, lo_edge, hi_edge, epsilon, released, released_count);
+    * true counts deliberately NOT emitted. Nulls are excluded (no
+    * subject signal); values at exactly `hi` clamp into the last
+    * bucket.
+    */
+  def dpNoisedHistogram(df: DataFrame, valueCol: String, lo: Double,
+      hi: Double, nBuckets: Int, epsilon: Double,
+      seed: String): DataFrame = {
+    require(lo < hi, "need lo < hi public bounds")
+    require(nBuckets >= 1, "need at least one bucket")
+    require(epsilon > 0, "epsilon must be positive")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(
+      floor((least(greatest(col(valueCol).cast("double"), lit(lo)),
+        lit(hi)) - lit(lo)) / lit(width)).cast("int"),
+      lit(nBuckets - 1))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("__n"))
+    val grid = df.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val noise = laplaceNoise(
+      concat_ws("", lit(seed), col("bucket").cast("string")),
+      1.0 / epsilon)
+    grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("lo_edge"),
+        (lit(lo) + (col("bucket") + 1) * lit(width)).as("hi_edge"),
+        lit(epsilon).as("epsilon"),
+        (round(coalesce(col("__n"), lit(0L)).cast("double") + noise, 6)
+          + lit(0.0)).as("released"),
+        greatest(round(coalesce(col("__n"), lit(0L)).cast("double") +
+          noise, 0), lit(0.0)).cast("long").as("released_count"))
+  }
+
   /** (table_name, n_purged, n_retained) as two count-only aggregates
     * attached by 1-row joins (the scalar-model convention).
     */

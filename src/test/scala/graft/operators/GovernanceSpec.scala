@@ -269,4 +269,37 @@ class GovernanceSpec extends SparkTestBase {
       Governance.dpNoisedMean(rows, Seq("k"), "v", 0.0, 100.0, -1.0, "s")
     }
   }
+
+  test("dpNoisedHistogram: the full public grid releases (empty buckets " +
+      "draw noise too), values clamp into edge buckets, nulls drop, " +
+      "eps->inf recovers true counts, bad params rejected") {
+    import spark.implicits._
+    val rows = Seq(Some(5.0), Some(15.0), Some(15.5), Some(500.0),
+      Some(-3.0), None).toDF("v")
+    def run(eps: Double, seed: String) =
+      Governance.dpNoisedHistogram(rows, "v", 0.0, 100.0, 10, eps, seed)
+        .as[(Int, Double, Double, Double, Double, Long)].collect()
+        .sortBy(_._1)
+    val g = run(0.5, "s1:")
+    assert(g.length === 10, "every grid bucket must release")
+    assert(g.map(_._2).toSeq === (0 until 10).map(_ * 10.0))
+    assert(g.map(_._3).toSeq === (1 to 10).map(_ * 10.0))
+    assert(g === run(0.5, "s1:"), "same seed must replay identically")
+    assert(g.map(_._5).toSeq !== run(0.5, "s2:").map(_._5).toSeq,
+      "a new seed must redraw")
+    // empty buckets carry pure noise - released is NOT uniformly zero
+    assert(g.count(_._5 != 0.0) > 5)
+    // eps->inf: bucket0 = {5.0, -3.0 clamped}, bucket1 = {15.0, 15.5},
+    // bucket9 = {500.0 clamped}; the null dropped; empties exactly 0
+    val tight = run(1e9, "s1:")
+    assert(tight.map(r => r._1 -> r._6).toMap ===
+      (0 until 10).map(b => b ->
+        (if (b == 0 || b == 1) 2L else if (b == 9) 1L else 0L)).toMap)
+    intercept[IllegalArgumentException] {
+      Governance.dpNoisedHistogram(rows, "v", 5.0, 5.0, 10, 0.5, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Governance.dpNoisedHistogram(rows, "v", 0.0, 100.0, 0, 0.5, "s")
+    }
+  }
 }
