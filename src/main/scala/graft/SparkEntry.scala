@@ -2936,6 +2936,36 @@ object SparkEntry {
     // streaming BM25: the inverted index grows across two doc batches,
     // each batch answers the fixed b02 query panel over the cumulative
     // index through the SAME scoring tail — drained report == b02
+    // streaming Markov attribution: two TIME-SPLIT micro-batches (the
+    // monotone-ingest contract needs per-user order across batches, so
+    // the split is a ts cut, never an id parity) — journeys bridge the
+    // boundary through the persisted user state; drained report == g20
+    "e30_streaming_markov_attribution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e30").toString
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+        .select("event_id", "user_id", "ts_us", "event_type")
+      val mm = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+        .collect()(0)
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      ev.filter(col("ts_us") < cut)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("ts_us") >= cut)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, ts_us BIGINT, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingMarkovAttribution.start(s, src,
+        "user_id", "event_type", "ts_us", "event_id", "purchase",
+        Seq("click", "view", "signup"), s"$tmp/state", s"$tmp/report",
+        s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e30 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingMarkovAttribution.report(s, s"$tmp/report")
+    }),
+
     // streaming distinctive-terms drift: the t50 G² keyness as an
     // ingest-time shift detector — the drained LAST batch's report is
     // batch-2-vs-batch-1 keyness, gated by the same contingency in SQL
@@ -4859,6 +4889,97 @@ object SparkEntry {
                             ln(CAST(MAX(k) AS DOUBLE)), 6) + 0.0
                      ELSE NULL END AS norm_entropy
          FROM terms GROUP BY 1"""
+
+  /** g20's absorbing-chain replay — shared verbatim by e30 because
+    * the streaming drain must equal the batch operator over the full
+    * history (the e-series contract).
+    */
+  private val g20OracleSql: String =
+    """WITH RECURSIVE ev AS (
+           SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,
+                  event_id AS o
+           FROM events
+           WHERE event_type IN ('click', 'view', 'signup', 'purchase')),
+         ck AS (
+           SELECT u, ts AS cts, o AS co FROM (
+             SELECT u, ts, o,
+                    row_number() OVER (PARTITION BY u ORDER BY ts, o) AS rn
+             FROM ev WHERE t = 'purchase') WHERE rn = 1),
+         tch AS (
+           SELECT ev.u, ev.t, ev.ts, ev.o, ck.cts IS NOT NULL AS conv
+           FROM ev LEFT JOIN ck USING (u)
+           WHERE ev.t <> 'purchase'
+             AND (ck.cts IS NULL OR ev.ts < ck.cts
+                  OR (ev.ts = ck.cts AND ev.o < ck.co))),
+         sq AS (
+           SELECT u, t, conv,
+                  row_number() OVER (PARTITION BY u ORDER BY ts, o) AS rn,
+                  lead(t) OVER (PARTITION BY u ORDER BY ts, o) AS nxt
+           FROM tch),
+         edges AS (
+           SELECT '__START__' AS f, t AS tt FROM sq WHERE rn = 1
+           UNION ALL
+           SELECT t, nxt FROM sq WHERE nxt IS NOT NULL
+           UNION ALL
+           SELECT t, CASE WHEN conv THEN '__CONV__' ELSE '__NULL__' END
+           FROM sq WHERE nxt IS NULL
+           UNION ALL
+           SELECT '__START__', '__CONV__' FROM ck
+           WHERE u NOT IN (SELECT DISTINCT u FROM tch)),
+         cnt AS (SELECT f, tt, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM edges GROUP BY 1, 2),
+         tot AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot
+                 FROM cnt GROUP BY 1),
+         q AS (SELECT cnt.f, cnt.tt,
+                      ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 12) + 0.0
+                        AS p12
+               FROM cnt JOIN tot USING (f)),
+         removals(removed) AS (
+           VALUES (''), ('click'), ('view'), ('signup')),
+         qr AS (
+           SELECT removed, f, tt, p12 FROM removals, q WHERE f <> removed
+           UNION ALL
+           SELECT removed, s, s, CAST(1.0 AS DOUBLE)
+           FROM removals, (VALUES ('__CONV__'), ('__NULL__')) a(s)),
+         states AS (SELECT DISTINCT removed, f AS st FROM qr),
+         it(removed, k, st, p) AS (
+           SELECT removed, 0, st,
+                  CAST(CASE WHEN st = '__CONV__' THEN 1.0 ELSE 0.0 END
+                    AS DOUBLE)
+           FROM states
+           UNION ALL
+           SELECT it.removed, it.k + 1, qr.f,
+                  CAST(SUM(CAST(ROUND(qr.p12 * it.p, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE)
+           FROM it JOIN qr
+             ON qr.removed = it.removed AND qr.tt = it.st
+           WHERE it.k < 60
+           GROUP BY 1, 2, 3),
+         fin AS (SELECT removed, p FROM it
+                 WHERE k = 60 AND st = '__START__'),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nconv FROM ck),
+         chans(channel) AS (VALUES ('click'), ('view'), ('signup')),
+         drops AS (
+           SELECT c.channel, b.p AS pb, r.p AS pc,
+                  CAST(b.p AS DECIMAL(28,12)) -
+                    CAST(r.p AS DECIMAL(28,12)) AS d
+           FROM chans c
+           JOIN fin r ON r.removed = c.channel
+           JOIN fin b ON b.removed = ''),
+         sd AS (SELECT SUM(CAST(d AS DECIMAL(28,12))) AS sd FROM drops)
+         SELECT channel, ROUND(pb, 6) + 0.0 AS p_base,
+                ROUND(pc, 6) + 0.0 AS p_removed,
+                CASE WHEN pb > 0
+                     THEN ROUND(1.0 - pc / pb, 6) + 0.0 END
+                  AS removal_effect,
+                CASE WHEN pb > 0 AND CAST(sd AS DOUBLE) > 0
+                     THEN ROUND(CAST(d AS DOUBLE) / CAST(sd AS DOUBLE), 6)
+                          + 0.0 END AS share,
+                CASE WHEN pb > 0 AND CAST(sd AS DOUBLE) > 0
+                     THEN ROUND(CAST(d AS DOUBLE) / CAST(sd AS DOUBLE) *
+                            CAST(nconv AS DOUBLE), 6) + 0.0 END
+                  AS attributed_conversions
+         FROM drops, sd, nc"""
 
   /** b02's full-formula Okapi replay — shared verbatim by e27 because
     * the streaming drain must equal the batch operator over the full
@@ -6958,92 +7079,11 @@ object SparkEntry {
     // 60-round value iteration as a recursive CTE with scale-12
     // DECIMAL term sums (absorbing states ride exact self-loops),
     // drops subtracted as exact decimals before the share division
-    "g20_markov_attribution" ->
-      """WITH RECURSIVE ev AS (
-           SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,
-                  event_id AS o
-           FROM events
-           WHERE event_type IN ('click', 'view', 'signup', 'purchase')),
-         ck AS (
-           SELECT u, ts AS cts, o AS co FROM (
-             SELECT u, ts, o,
-                    row_number() OVER (PARTITION BY u ORDER BY ts, o) AS rn
-             FROM ev WHERE t = 'purchase') WHERE rn = 1),
-         tch AS (
-           SELECT ev.u, ev.t, ev.ts, ev.o, ck.cts IS NOT NULL AS conv
-           FROM ev LEFT JOIN ck USING (u)
-           WHERE ev.t <> 'purchase'
-             AND (ck.cts IS NULL OR ev.ts < ck.cts
-                  OR (ev.ts = ck.cts AND ev.o < ck.co))),
-         sq AS (
-           SELECT u, t, conv,
-                  row_number() OVER (PARTITION BY u ORDER BY ts, o) AS rn,
-                  lead(t) OVER (PARTITION BY u ORDER BY ts, o) AS nxt
-           FROM tch),
-         edges AS (
-           SELECT '__START__' AS f, t AS tt FROM sq WHERE rn = 1
-           UNION ALL
-           SELECT t, nxt FROM sq WHERE nxt IS NOT NULL
-           UNION ALL
-           SELECT t, CASE WHEN conv THEN '__CONV__' ELSE '__NULL__' END
-           FROM sq WHERE nxt IS NULL
-           UNION ALL
-           SELECT '__START__', '__CONV__' FROM ck
-           WHERE u NOT IN (SELECT DISTINCT u FROM tch)),
-         cnt AS (SELECT f, tt, CAST(COUNT(*) AS BIGINT) AS n
-                 FROM edges GROUP BY 1, 2),
-         tot AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot
-                 FROM cnt GROUP BY 1),
-         q AS (SELECT cnt.f, cnt.tt,
-                      ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 12) + 0.0
-                        AS p12
-               FROM cnt JOIN tot USING (f)),
-         removals(removed) AS (
-           VALUES (''), ('click'), ('view'), ('signup')),
-         qr AS (
-           SELECT removed, f, tt, p12 FROM removals, q WHERE f <> removed
-           UNION ALL
-           SELECT removed, s, s, CAST(1.0 AS DOUBLE)
-           FROM removals, (VALUES ('__CONV__'), ('__NULL__')) a(s)),
-         states AS (SELECT DISTINCT removed, f AS st FROM qr),
-         it(removed, k, st, p) AS (
-           SELECT removed, 0, st,
-                  CAST(CASE WHEN st = '__CONV__' THEN 1.0 ELSE 0.0 END
-                    AS DOUBLE)
-           FROM states
-           UNION ALL
-           SELECT it.removed, it.k + 1, qr.f,
-                  CAST(SUM(CAST(ROUND(qr.p12 * it.p, 12)
-                    AS DECIMAL(28,12))) AS DOUBLE)
-           FROM it JOIN qr
-             ON qr.removed = it.removed AND qr.tt = it.st
-           WHERE it.k < 60
-           GROUP BY 1, 2, 3),
-         fin AS (SELECT removed, p FROM it
-                 WHERE k = 60 AND st = '__START__'),
-         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nconv FROM ck),
-         chans(channel) AS (VALUES ('click'), ('view'), ('signup')),
-         drops AS (
-           SELECT c.channel, b.p AS pb, r.p AS pc,
-                  CAST(b.p AS DECIMAL(28,12)) -
-                    CAST(r.p AS DECIMAL(28,12)) AS d
-           FROM chans c
-           JOIN fin r ON r.removed = c.channel
-           JOIN fin b ON b.removed = ''),
-         sd AS (SELECT SUM(CAST(d AS DECIMAL(28,12))) AS sd FROM drops)
-         SELECT channel, ROUND(pb, 6) + 0.0 AS p_base,
-                ROUND(pc, 6) + 0.0 AS p_removed,
-                CASE WHEN pb > 0
-                     THEN ROUND(1.0 - pc / pb, 6) + 0.0 END
-                  AS removal_effect,
-                CASE WHEN pb > 0 AND CAST(sd AS DOUBLE) > 0
-                     THEN ROUND(CAST(d AS DOUBLE) / CAST(sd AS DOUBLE), 6)
-                          + 0.0 END AS share,
-                CASE WHEN pb > 0 AND CAST(sd AS DOUBLE) > 0
-                     THEN ROUND(CAST(d AS DOUBLE) / CAST(sd AS DOUBLE) *
-                            CAST(nconv AS DOUBLE), 6) + 0.0 END
-                  AS attributed_conversions
-         FROM drops, sd, nc""",
+    "g20_markov_attribution" -> g20OracleSql,
+    // e30 IS g20 over everything streamed — one oracle, zero drift by
+    // construction (the emission runs the same quantized fixed point)
+    "e30_streaming_markov_attribution" -> g20OracleSql,
+    
     // g19: earliest in-window touch per conversion (ORDER BY tts, tt ==
     // the engine's min(struct) lexicographic pick), '(none)' for
     // unattributed, DECIMAL value sums

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -590,6 +590,22 @@ object Events {
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val nConv = convKeys.count()
+    markovFromCounts(events.sparkSession, counts, nConv, touchTypes,
+      iterations)
+  }
+
+  /** The [[markovAttribution]] fixed-point tail over a pre-built
+    * (from, to) → n transition map — split out so the streaming
+    * attribution monitor runs the IDENTICAL quantized arithmetic on its
+    * persisted counts (stream/batch equality by construction). The map
+    * uses the operator's sentinel states `__START__`/`__CONV__`/
+    * `__NULL__`; `nConv` is the converted-journey count the shares
+    * scale to.
+    */
+  private[graft] def markovFromCounts(spark: SparkSession,
+      counts: Map[(String, String), Long], nConv: Long,
+      touchTypes: Seq[String], iterations: Int): DataFrame = {
+    val START = "__START__"; val CONV = "__CONV__"; val NULLS = "__NULL__"
     // ----- driver-side fixed point over the channel-bounded matrix ----
     def round12(x: Double): java.math.BigDecimal =
       new java.math.BigDecimal(java.lang.Double.toString(x))
@@ -629,7 +645,6 @@ object Events {
     def round6(x: Double): java.lang.Double =
       new java.math.BigDecimal(java.lang.Double.toString(x))
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
-    val spark = events.sparkSession
     val rows = touchTypes.map { c =>
       val re =
         if (pBase > 0.0) round6(1.0 - pRem(c) / pBase)

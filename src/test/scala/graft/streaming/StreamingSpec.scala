@@ -1453,6 +1453,70 @@ class StreamingSpec extends SparkTestBase {
     assert(rep().size === 3 && rep()(2) === ((2L, 1L, 0L)), rep())
   }
 
+  test("streaming Markov attribution: journeys bridge batches through " +
+      "user state, drained report equals the batch operator, replays " +
+      "are exact, post-conversion events drop, monotone violation throws") {
+    import graft.operators.Events
+    val dir = Files.createTempDirectory("graft_sma").toString
+    val cols = Seq("user_id", "event_type", "ts", "event_id")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingMarkovAttribution.processBatch(b, id, "user_id",
+        "event_type", "ts", "event_id", "purchase",
+        Seq("click", "view", "signup"), s"$dir/state", s"$dir/report")
+    // the EventsSpec hand-solved chain, split mid-journey: u1's click
+    // lands in b0 and its purchase in b1 (the boundary bridge); u4's
+    // journey spans both; u4's post-conversion click arrives last
+    val b0 = Seq((1L, "click", 10L, 1L), (2L, "view", 10L, 3L),
+      (4L, "click", 10L, 5L)).toDF(cols: _*)
+    val b1 = Seq((1L, "purchase", 20L, 2L), (3L, "purchase", 20L, 4L),
+      (4L, "view", 20L, 6L), (4L, "purchase", 30L, 7L),
+      (4L, "click", 40L, 8L)).toDF(cols: _*)
+    run(b0, 0L)
+    run(b1, 1L)
+    def rep() = StreamingMarkovAttribution.report(spark, s"$dir/report")
+      .as[(String, Double, Double, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1).toSeq
+    val want = Events.markovAttribution(b0.unionByName(b1), "user_id",
+        "event_type", "ts", "event_id", "purchase",
+        Seq("click", "view", "signup"))
+      .as[(String, Double, Double, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rep() === want, s"drained ${rep()} != batch $want")
+    // hand-check the headline numbers (the EventsSpec chain)
+    assert(want.find(_._1 == "click").get._5 === Some(0.6))
+    // a crash-replay of batch 1 reads only pre-batch state: identical
+    run(b1, 1L)
+    assert(rep() === want, "replay drifted")
+    // batch 2: u4 touches AFTER conversion (ignored — the report must
+    // not move except via u2's journey staying open), u2 converts now
+    val b2 = Seq((4L, "signup", 50L, 9L), (2L, "purchase", 50L, 10L))
+      .toDF(cols: _*)
+    run(b2, 2L)
+    val after = rep()
+    val want2 = Events.markovAttribution(
+        b0.unionByName(b1).unionByName(b2), "user_id", "event_type",
+        "ts", "event_id", "purchase", Seq("click", "view", "signup"))
+      .as[(String, Double, Double, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1).toSeq
+    assert(after === want2, s"3-batch drain $after != batch $want2")
+    // compaction folds all three stores; the next batch sees the same
+    StreamingMarkovAttribution.compactState(spark, s"$dir/state")
+    run(Seq((9L, "view", 60L, 11L)).toDF(cols: _*), 3L)
+    val want3 = Events.markovAttribution(
+        b0.unionByName(b1).unionByName(b2)
+          .unionByName(Seq((9L, "view", 60L, 11L)).toDF(cols: _*)),
+        "user_id", "event_type", "ts", "event_id", "purchase",
+        Seq("click", "view", "signup"))
+      .as[(String, Double, Double, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rep() === want3, "post-compaction drain diverged")
+    // out-of-order delivery fails fast
+    val ex = intercept[IllegalStateException] {
+      run(Seq((1L, "click", 5L, 12L)).toDF(cols: _*), 4L)
+    }
+    assert(ex.getMessage.contains("monotone-ingest"), ex.getMessage)
+  }
+
   test("streaming distinctive terms: batch-vs-history G² equals the batch " +
       "operator's 2-slice statistic, counts accumulate additively, " +
       "replays are exact, compaction preserves the report") {
