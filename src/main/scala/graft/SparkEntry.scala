@@ -2531,6 +2531,26 @@ object SparkEntry {
         conversionType = "purchase",
         touchTypes = Seq("click", "view", "signup"))),
 
+    // nearest-direction as-of join (pandas merge_asof direction =
+    // 'nearest'): each purchase pairs with the temporally CLOSEST
+    // click/view either side, backward winning exact-distance ties,
+    // tolerance nulling (never falling back to the other side) — the
+    // third direction of the as-of family, previously spec-only
+    "j12_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          col("ts_us").as("touch_ts_us"), col("event_type").as("touch_type"))
+      graft.operators.TemporalJoin.asOfJoin(
+        purchases, touches, Seq("user_id"), "purchase_ts_us", "touch_ts_us",
+        payload = Seq("touch_id", "touch_type", "touch_ts_us"), prefix = "",
+        tieBreak = Some("touch_id"), direction = "nearest",
+        tolerance = Some(3L * 24 * 3600 * 1000000L))
+    }),
+
     // last-touch attribution: each purchase credits the latest
     // click/view of the same user strictly before it, within a 7-day
     // window — the j05 as-of machinery with strict order + tolerance
@@ -7144,6 +7164,69 @@ object SparkEntry {
     // last-touch attribution: strict-before + 7-day-window best touch
     // per purchase, ties by greatest touch id, left-outer keeps
     // unattributed purchases
+    // j12: per direction the closest candidate picks FIRST (backward:
+    // greatest (tts, id) with tts <= pts; forward: least tts / greatest
+    // id with tts >= pts), backward wins exact-distance ties, THEN the
+    // tolerance nulls an over-distance pick without falling back — the
+    // engine's documented pandas-merge_asof semantics replayed
+    "j12_asof_nearest" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+         p AS (
+           SELECT event_id AS purchase_id, user_id,
+                  ts_us AS purchase_ts_us
+           FROM ev WHERE event_type = 'purchase'),
+         tch AS (
+           SELECT event_id AS touch_id, user_id,
+                  ts_us AS touch_ts_us, event_type AS touch_type
+           FROM ev WHERE event_type IN ('click', 'view')),
+         cand AS (
+           SELECT p.purchase_id, p.purchase_ts_us AS pts,
+                  t.touch_id, t.touch_ts_us AS tts, t.touch_type
+           FROM p JOIN tch t ON p.user_id = t.user_id),
+         b AS (
+           SELECT purchase_id, touch_id, tts, touch_type FROM (
+             SELECT *, row_number() OVER (PARTITION BY purchase_id
+               ORDER BY tts DESC, touch_id DESC) AS rn
+             FROM cand WHERE tts <= pts) WHERE rn = 1),
+         f AS (
+           SELECT purchase_id, touch_id, tts, touch_type FROM (
+             SELECT *, row_number() OVER (PARTITION BY purchase_id
+               ORDER BY tts ASC, touch_id DESC) AS rn
+             FROM cand WHERE tts >= pts) WHERE rn = 1),
+         pick AS (
+           SELECT p.purchase_id, p.user_id, p.purchase_ts_us,
+                  CASE WHEN b.touch_id IS NULL AND f.touch_id IS NULL
+                         THEN NULL
+                       WHEN b.touch_id IS NULL THEN 'F'
+                       WHEN f.touch_id IS NULL THEN 'B'
+                       WHEN (p.purchase_ts_us - b.tts) <=
+                            (f.tts - p.purchase_ts_us) THEN 'B'
+                       ELSE 'F' END AS side,
+                  b.touch_id AS b_id, b.tts AS b_tts,
+                  b.touch_type AS b_type,
+                  f.touch_id AS f_id, f.tts AS f_tts,
+                  f.touch_type AS f_type
+           FROM p LEFT JOIN b USING (purchase_id)
+                  LEFT JOIN f USING (purchase_id)),
+         chosen AS (
+           SELECT purchase_id, user_id, purchase_ts_us,
+                  CASE side WHEN 'B' THEN b_id WHEN 'F' THEN f_id END
+                    AS touch_id,
+                  CASE side WHEN 'B' THEN b_type WHEN 'F' THEN f_type END
+                    AS touch_type,
+                  CASE side WHEN 'B' THEN b_tts WHEN 'F' THEN f_tts END
+                    AS touch_ts_us
+           FROM pick)
+         SELECT purchase_id, user_id, purchase_ts_us,
+                CASE WHEN abs(touch_ts_us - purchase_ts_us)
+                       <= 259200000000 THEN touch_id END AS touch_id,
+                CASE WHEN abs(touch_ts_us - purchase_ts_us)
+                       <= 259200000000 THEN touch_type END AS touch_type,
+                CASE WHEN abs(touch_ts_us - purchase_ts_us)
+                       <= 259200000000 THEN touch_ts_us END AS touch_ts_us
+         FROM chosen""",
     "g11_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
