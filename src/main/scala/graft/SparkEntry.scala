@@ -701,6 +701,25 @@ object SparkEntry {
         regexp_extract(url, "\\?(.*)$", 1).as("query"))
     }),
 
+    // URL canonicalization: messy synthesized URLs (mixed-case scheme/
+    // host, default ports, tracking params, unsorted query, fragments)
+    // collapse to the crawl dedup key — RFC 3986 §6 normalization subset
+    "f07_url_canonicalize" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "HTTPS://WWW.").otherwise("https://www."),
+        col("source"), lit(".Example.ORG"),
+        when(col("doc_id") % 3 === 0, ":443").otherwise(""),
+        when(col("doc_id") % 5 === 0, "").otherwise(
+          concat(lit("/"), col("lang"), lit("/doc/"),
+            col("doc_id").cast("string"))),
+        lit("?utm_source=x&b="), (col("doc_id") % 5).cast("string"),
+        lit("&a="), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 4 === 0, "&gclid=abc").otherwise(""),
+        lit("#frag"), col("doc_id").cast("string"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.canonicalUrl(url).as("canonical_url"))
+    }),
+
     // lag/lead + running total (DECIMAL-routed so window accumulation
     // strategy differences can't perturb the double)
     "w02_lag_lead" -> ((s, dir) => {
@@ -6753,6 +6772,59 @@ object SparkEntry {
          FROM documents
          WINDOW w AS (PARTITION BY lang
                       ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR) ASC)""",
+    // f07: the same normalization subset in DuckDB — identical regex
+    // extracts, identical tracking-param filter, binary-collation
+    // list_sort == Spark's sort_array, no-match extracts coalesced to ''
+    "f07_url_canonicalize" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                        ELSE 'https://www.' END)
+                  || source || '.Example.ORG'
+                  || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+                  || (CASE WHEN doc_id % 5 = 0 THEN ''
+                           ELSE '/' || lang || '/doc/' ||
+                                CAST(doc_id AS VARCHAR) END)
+                  || '?utm_source=x&b=' || CAST(doc_id % 5 AS VARCHAR)
+                  || '&a=' || CAST(doc_id % 7 AS VARCHAR)
+                  || (CASE WHEN doc_id % 4 = 0 THEN '&gclid=abc'
+                           ELSE '' END)
+                  || '#frag' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id,
+                  lower(COALESCE(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+                  lower(COALESCE(regexp_extract(url,
+                    '^[^:/?#]+://([^/?#]*)', 1), '')) AS hostport,
+                  COALESCE(regexp_extract(url,
+                    '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '') AS path0,
+                  COALESCE(regexp_extract(url, '\?([^#]*)', 1), '')
+                    AS query
+           FROM u),
+         norm AS (
+           SELECT doc_id, scheme,
+                  regexp_replace(hostport, ':[0-9]+$', '') AS host,
+                  COALESCE(regexp_extract(hostport, ':([0-9]+)$', 1), '')
+                    AS port,
+                  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                  COALESCE(list_aggregate(list_sort(
+                    list_filter(string_split(query, '&'),
+                      p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|fbclid|gclid|msclkid)='))),
+                    'string_agg', '&'), '') AS sq
+           FROM parts)
+         SELECT doc_id,
+                CASE WHEN scheme = '' THEN NULL
+                     ELSE scheme || '://' || host ||
+                          (CASE WHEN port <> ''
+                                 AND NOT ((scheme = 'http' AND port = '80')
+                                  OR (scheme = 'https' AND port = '443'))
+                                THEN ':' || port ELSE '' END) ||
+                          path ||
+                          (CASE WHEN sq <> '' THEN '?' || sq
+                                ELSE '' END) END AS canonical_url
+         FROM norm""",
     // URL extraction: identical RE2-safe patterns in both engines
     "f06_url_extract" ->
       """WITH u AS (

@@ -294,6 +294,46 @@ object TextAnalysis {
           .as("pmi"))
   }
 
+  /** URL canonicalization (the RFC 3986 §6 normalization subset every
+    * crawl pipeline applies before using a URL as a dedup/dedup-join
+    * key — two fetches of the same page must collapse to one key):
+    *
+    *  - scheme and host lowercase (case-insensitive by spec);
+    *  - fragment stripped (never sent to the server);
+    *  - default ports dropped (:80 for http, :443 for https);
+    *  - tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *    `msclkid` — client-side analytics noise that multiplies crawl
+    *    duplicates);
+    *  - remaining query parameters SORTED (binary order) and rejoined,
+    *    an empty result dropping the `?`;
+    *  - an empty path canonicalized to `/`.
+    *
+    * Pure fixed-shape string expressions (regexp extracts + one
+    * higher-order filter + sort_array) — map-only, codegen-friendly,
+    * replayable in DuckDB. Non-URL input (no `scheme://`) returns NULL
+    * rather than a half-normalized string.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val host = regexp_replace(hostport, ":[0-9]+$", "")
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path0 = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", "/").otherwise(path0)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)="))
+    val sortedQ = array_join(sort_array(params), "&")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
+  }
+
   /** Log-likelihood-ratio distinctive terms (Dunning 1993, "Accurate
     * Methods for the Statistics of Surprise and Coincidence"; see
     * PAPERS.md) — for every (slice, token) pair, the G² statistic of

@@ -885,6 +885,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one.count() === 0L)
   }
 
+  test("canonicalUrl: scheme/host lowercase, default ports drop, tracking " +
+      "params removed, params sort, fragment strips, empty path is /, " +
+      "non-URL input nulls") {
+    val in = Seq(
+      "HTTPS://WWW.Example.COM:443/A/b?utm_source=x&z=1&a=2#frag",
+      "http://host.org:8080/p?fbclid=f&b=1",
+      "http://host.org:80",
+      "https://h.io/path",
+      "not a url").toDF("u")
+    val got = in.select(TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .as[Option[String]].collect().toSeq
+    assert(got === Seq(
+      Some("https://www.example.com/A/b?a=2&z=1"),
+      Some("http://host.org:8080/p?b=1"),
+      Some("http://host.org/"),
+      Some("https://h.io/path"),
+      None))
+  }
+
   test("distinctiveTerms: hand-computed Dunning G² on a 2-slice corpus, " +
       "zero cells contribute zero, exact-integer direction, minCount gate") {
     // slice A: tokens {x:3, y:1}; slice B: {y:4}
