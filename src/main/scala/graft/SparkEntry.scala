@@ -2972,9 +2972,6 @@ object SparkEntry {
       graft.streaming.StreamingTransitionEntropy.report(s, s"$tmp/report")
     }),
 
-    // streaming BM25: the inverted index grows across two doc batches,
-    // each batch answers the fixed b02 query panel over the cumulative
-    // index through the SAME scoring tail — drained report == b02
     // streaming Markov attribution: two TIME-SPLIT micro-batches (the
     // monotone-ingest contract needs per-user order across batches, so
     // the split is a ts cut, never an id parity) — journeys bridge the
@@ -3031,6 +3028,9 @@ object SparkEntry {
           col("overused"))
     }),
 
+    // streaming BM25: the inverted index grows across two doc batches,
+    // each batch answers the fixed b02 query panel over the cumulative
+    // index through the SAME scoring tail — drained report == b02
     "e27_streaming_bm25" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e27").toString
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -6795,15 +6795,22 @@ object SparkEntry {
            SELECT doc_id,
                   lower(COALESCE(regexp_extract(url,
                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-                  lower(COALESCE(regexp_extract(url,
-                    '^[^:/?#]+://([^/?#]*)', 1), '')) AS hostport,
+                  COALESCE(regexp_extract(url,
+                    '^[^:/?#]+://([^/?#]*)', 1), '') AS authority,
                   COALESCE(regexp_extract(url,
                     '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '') AS path0,
-                  COALESCE(regexp_extract(url, '\?([^#]*)', 1), '')
+                  COALESCE(regexp_extract(
+                    regexp_replace(url, '#.*$', ''), '\?(.*)$', 1), '')
                     AS query
            FROM u),
+         auth AS (
+           SELECT doc_id, scheme, path0, query,
+                  COALESCE(regexp_extract(authority, '^(.*@)', 1), '')
+                    AS userinfo,
+                  lower(regexp_replace(authority, '^.*@', '')) AS hostport
+           FROM parts),
          norm AS (
-           SELECT doc_id, scheme,
+           SELECT doc_id, scheme, userinfo,
                   regexp_replace(hostport, ':[0-9]+$', '') AS host,
                   COALESCE(regexp_extract(hostport, ':([0-9]+)$', 1), '')
                     AS port,
@@ -6813,10 +6820,10 @@ object SparkEntry {
                       p -> p <> '' AND NOT regexp_matches(p,
                         '^(utm_[^=]*|fbclid|gclid|msclkid)='))),
                     'string_agg', '&'), '') AS sq
-           FROM parts)
+           FROM auth)
          SELECT doc_id,
                 CASE WHEN scheme = '' THEN NULL
-                     ELSE scheme || '://' || host ||
+                     ELSE scheme || '://' || userinfo || host ||
                           (CASE WHEN port <> ''
                                  AND NOT ((scheme = 'http' AND port = '80')
                                   OR (scheme = 'https' AND port = '443'))
@@ -7175,7 +7182,7 @@ object SparkEntry {
     // e30 IS g20 over everything streamed — one oracle, zero drift by
     // construction (the emission runs the same quantized fixed point)
     "e30_streaming_markov_attribution" -> g20OracleSql,
-    
+
     // g19: earliest in-window touch per conversion (ORDER BY tts, tt ==
     // the engine's min(struct) lexicographic pick), '(none)' for
     // unattributed, DECIMAL value sums
@@ -7616,7 +7623,7 @@ object SparkEntry {
     // e28 IS g18 over everything streamed — one oracle, zero drift by
     // construction (the emission calls the same entropy fold)
     "e28_streaming_transition_entropy" -> g18OracleSql,
-        // v06: the t17 pattern battery over the expired slice — per-kind
+    // v06: the t17 pattern battery over the expired slice — per-kind
     // row/hit counts, strict-< cutoff, planted-PII augmentation replayed
     "v06_retention_audit" ->
       """WITH aug AS (
@@ -7669,7 +7676,9 @@ object SparkEntry {
                            i -> CAST(unicode(substr(ks, CAST(i AS INT), 1)) AS HUGEINT))),
                        (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
                     AS DOUBLE) / 1.8446744073709552e19 AS u
-           FROM (SELECT event_type, n, md5('v07:' || event_type) AS ks FROM c)),
+           FROM (SELECT event_type, n,
+                        md5('v07:' || chr(31) ||
+                            COALESCE(event_type, chr(30))) AS ks FROM c)),
          z AS (
            SELECT event_type, n,
                   -2.0 * sign(u - 0.5) *
@@ -7704,8 +7713,10 @@ object SparkEntry {
                        (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
                     AS DOUBLE) / 1.8446744073709552e19 AS uc
            FROM (SELECT event_type, s, n,
-                        md5('v08:S:' || event_type) AS kss,
-                        md5('v08:C:' || event_type) AS ksc FROM c)),
+                        md5('v08:S:' || chr(31) ||
+                            COALESCE(event_type, chr(30))) AS kss,
+                        md5('v08:C:' || chr(31) ||
+                            COALESCE(event_type, chr(30))) AS ksc FROM c)),
          z AS (
            SELECT event_type,
                   CAST(s AS DOUBLE) +
@@ -7731,7 +7742,8 @@ object SparkEntry {
            FROM events WHERE value IS NOT NULL GROUP BY 1),
          g AS (SELECT CAST(i AS INT) AS bucket FROM range(0, 10) t(i)),
          h AS (SELECT g.bucket, COALESCE(c.n, 0) AS n,
-                      md5('v09:' || CAST(g.bucket AS VARCHAR)) AS ks
+                      md5('v09:' || chr(31) ||
+                          CAST(g.bucket AS VARCHAR)) AS ks
                FROM g LEFT JOIN c USING (bucket)),
          u AS (
            SELECT bucket, n,
@@ -9637,7 +9649,7 @@ object SparkEntry {
     // e27 IS b02 over everything streamed — one oracle, zero drift by
     // construction (the emission calls the same scoring tail)
     "e27_streaming_bm25" -> b02OracleSql,
-        "t13_decontaminate" ->
+    "t13_decontaminate" ->
       """WITH tnorm AS (
            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
            FROM documents),

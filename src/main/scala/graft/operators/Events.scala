@@ -495,10 +495,14 @@ object Events {
   def transitionEntropy(counts: DataFrame, fromCol: String,
       nCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)
-    val tot = counts.groupBy(fromCol)
+    // Zero-count rows carry no transition mass but would inflate
+    // n_targets and the ln(k) normalizer (a densified count frame is a
+    // legitimate caller input) — drop them before anything counts.
+    val pos = counts.filter(col(nCol) > 0)
+    val tot = pos.groupBy(fromCol)
       .agg(sum(col(nCol)).as("__tot"), count(lit(1)).as("__k"))
     val p = col(nCol).cast("double") / col("__tot").cast("double")
-    counts.join(tot, fromCol)
+    pos.join(tot, fromCol)
       .select(col(fromCol), col("__tot"), col("__k"),
         round(p * log(p), 9).cast(dec).as("__t"))
       .groupBy(fromCol)

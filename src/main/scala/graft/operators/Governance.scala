@@ -290,14 +290,26 @@ object Governance {
       log(greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)), lit(1e-12)))
   }
 
+  /** Seeded noise-draw key: seed and key parts joined with the unit
+    * separator (U+001F — absent from the seed tags and any sane key
+    * text), NULL encoded as the record-separator sentinel (U+001E).
+    * Without the separator, distinct multi-column tuples could collide
+    * (("a","bc") vs ("ab","c")) and draw identical noise; without the
+    * sentinel, concat_ws would silently SKIP a NULL key part while the
+    * oracle's `||` propagates NULL — divergent draws on NULL-keyed
+    * groups. Oracles mirror both (chr(31) / chr(30)).
+    */
+  private def noiseKey(seed: String, parts: Seq[Column]): Column =
+    concat_ws("\u001f", lit(seed) +: parts.map(p =>
+      coalesce(p.cast("string"), lit("\u001e"))): _*)
+
   def dpNoisedCounts(df: DataFrame, keyCols: Seq[String], epsilon: Double,
       seed: String): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(epsilon > 0, "epsilon must be positive")
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-    val keyStr = concat_ws("",
-      lit(seed) +: keyCols.map(k => col(k).cast("string")): _*)
+    val keyStr = noiseKey(seed, keyCols.map(col))
     val noise = laplaceNoise(keyStr, 1.0 / epsilon)
     counts.select(
       keyCols.map(col) ++ Seq(
@@ -347,8 +359,7 @@ object Governance {
     val agg = df.filter(col(valueCol).isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(clamped.cast(dec)).as("__s"), count(lit(1)).as("__n"))
-    def keyStr(tag: String) = concat_ws("",
-      lit(seed) +: lit(tag) +: keyCols.map(k => col(k).cast("string")): _*)
+    def keyStr(tag: String) = noiseKey(seed + tag, keyCols.map(col))
     val noisySum = col("__s").cast("double") +
       laplaceNoise(keyStr("S:"), sensSum / (epsilon / 2.0))
     val noisyN = col("__n").cast("double") +
@@ -402,7 +413,7 @@ object Governance {
     val grid = df.sparkSession.range(nBuckets)
       .select(col("id").cast("int").as("bucket"))
     val noise = laplaceNoise(
-      concat_ws("", lit(seed), col("bucket").cast("string")),
+      noiseKey(seed, Seq(col("bucket"))),
       1.0 / epsilon)
     grid.join(counts, Seq("bucket"), "left")
       .select(col("bucket"),

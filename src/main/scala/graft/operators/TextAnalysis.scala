@@ -315,7 +315,12 @@ object TextAnalysis {
     */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    // userinfo (user:pass@) is case-SENSITIVE (RFC 3986 §6.2.2.1 only
+    // case-normalizes scheme and host) — split the authority at the
+    // last '@' and lowercase the host side alone
+    val authority = regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1)
+    val userinfo = regexp_extract(authority, "^(.*@)", 1)
+    val hostport = lower(regexp_replace(authority, "^.*@", ""))
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val host = regexp_replace(hostport, ":[0-9]+$", "")
     val keepPort = port =!= "" &&
@@ -323,12 +328,15 @@ object TextAnalysis {
         (scheme === "https" && port === "443"))
     val path0 = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", "/").otherwise(path0)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // query anchors AFTER the fragment strip — a '?' inside the
+    // fragment (http://h/p#a?b) is fragment text, not a query
+    val query = regexp_extract(regexp_replace(url, "#.*$", ""),
+      "\\?(.*)$", 1)
     val params = filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)="))
     val sortedQ = array_join(sort_array(params), "&")
     when(scheme === "", lit(null).cast("string"))
-      .otherwise(concat(scheme, lit("://"), host,
+      .otherwise(concat(scheme, lit("://"), userinfo, host,
         when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
         path,
         when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))

@@ -391,6 +391,15 @@ class EventsSpec extends SparkTestBase {
     // H(z) = −(0.75·ln 0.75 + 0.25·ln 0.25) = 0.562335; /ln 2 = 0.811278
     assert(got("z")._3 === 0.562335)
     assert(got("z")._4 === Some(0.811278))
+    // a DENSIFIED count frame (zero-count rows present) must not skew
+    // n_targets or the ln(k) normalizer (ADVICE r12)
+    val dense = counts.unionByName(Seq(
+      ("y", "q", 0L), ("y", "r", 0L), ("z", "r", 0L))
+      .toDF("from_type", "to_type", "n"))
+    val got2 = Events.transitionEntropy(dense, "from_type", "n")
+      .as[(String, Long, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got2 === got, "zero-count rows must be inert")
   }
 
   test("markovAttribution: hand-solved absorbing chain, post-conversion " +

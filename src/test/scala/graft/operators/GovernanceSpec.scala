@@ -235,6 +235,36 @@ class GovernanceSpec extends SparkTestBase {
     }
   }
 
+  test("dpNoisedCounts key encoding: multi-column tuples cannot collide " +
+      "across the column boundary, and NULL key values draw real noise " +
+      "(ADVICE r12)") {
+    import spark.implicits._
+    // ("a","bc") vs ("ab","c"): identical under naive concat — the
+    // separator must force DIFFERENT noise draws
+    val rows = (Seq.fill(3)(("a", "bc")) ++ Seq.fill(3)(("ab", "c")))
+      .toDF("k1", "k2")
+    val got = Governance.dpNoisedCounts(rows, Seq("k1", "k2"), 0.5, "s:")
+      .as[(String, String, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val noiseA = got(("a", "bc"))
+    val noiseB = got(("ab", "c"))
+    assert(noiseA !== noiseB,
+      "distinct tuples with equal naive concat must draw distinct noise")
+    // NULL key part: the sentinel keeps the draw deterministic and
+    // distinct from the empty string
+    val withNull = Seq((Some("x"), None: Option[String]),
+      (Some("x"), Some(""))).toDF("k1", "k2")
+    val g = Governance.dpNoisedCounts(withNull, Seq("k1", "k2"), 0.5, "s:")
+      .select(col("k2"), col("released")).collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(!g(None).isNaN && g(None) != g(Some("")),
+      "NULL and '' key parts must draw from different keys")
+    val g2 = Governance.dpNoisedCounts(withNull, Seq("k1", "k2"), 0.5, "s:")
+      .select(col("k2"), col("released")).collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(g === g2, "NULL-keyed draws must replay deterministically")
+  }
+
   test("dpNoisedMean: seeded-deterministic, values clamp into the public " +
       "bounds, nulls drop, denominator floors at 1, bad params rejected") {
     import spark.implicits._

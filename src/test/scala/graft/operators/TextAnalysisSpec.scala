@@ -893,6 +893,11 @@ class TextAnalysisSpec extends SparkTestBase {
       "http://host.org:8080/p?fbclid=f&b=1",
       "http://host.org:80",
       "https://h.io/path",
+      // '?' inside the fragment is NOT a query (the fragment strips
+      // first, so nothing survives as query text)
+      "http://h.io/p#a?b",
+      // userinfo keeps its case; only the host lowercases
+      "http://UsEr:Pw@HOST.io/x",
       "not a url").toDF("u")
     val got = in.select(TextAnalysis.canonicalUrl(col("u")).as("c"))
       .as[Option[String]].collect().toSeq
@@ -901,6 +906,8 @@ class TextAnalysisSpec extends SparkTestBase {
       Some("http://host.org:8080/p?b=1"),
       Some("http://host.org/"),
       Some("https://h.io/path"),
+      Some("http://h.io/p"),
+      Some("http://UsEr:Pw@host.io/x"),
       None))
   }
 
