@@ -21,10 +21,14 @@ import org.apache.spark.sql.types.DecimalType
  *    the same shuffle shape GraphX's Pregel uses, expressed as DataFrames
  *    so Catalyst/AQE handle skew and partial aggregation.
  *  - The degree-annotated edge list is reused by every iteration, so it is
- *    materialized ONCE (`localCheckpoint`) instead of recomputed per round
- *    (the d06/d08 lesson: multiply-referenced lazy subtrees re-execute).
- *    On a real cluster a reliable `checkpoint()`/parquet round-trip is the
- *    drop-in swap, as in [[Dedup.clusterAssignments]].
+ *    materialized ONCE instead of recomputed per round (the d06/d08
+ *    lesson: multiply-referenced lazy subtrees re-execute). Every loop
+ *    here materializes through [[graft.pipeline.RoundSnapshots]]:
+ *    `localCheckpoint` by default; pass `checkpointDir` for durable
+ *    parquet rounds that survive executor loss on a real cluster (the
+ *    [[Dedup.clusterAssignments]] contract — superseded rounds are
+ *    deleted as the loop advances; consume the result, then remove the
+ *    directory).
  */
 object Graph {
 
@@ -47,12 +51,14 @@ object Graph {
   def pageRank(
       nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one vertex")
     rankLoop(nodes, edges, idCol, srcCol, dstCol, iters, damping,
       initScore = lit(1.0 / n.toDouble),
-      teleportScore = lit((1.0 - damping) / n.toDouble))
+      teleportScore = lit((1.0 - damping) / n.toDouble),
+      checkpointDir = checkpointDir)
   }
 
   /** Personalized PageRank: the teleport mass lands ONLY on the `seeds`
@@ -67,30 +73,37 @@ object Graph {
   def personalizedPageRank(
       nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String, seeds: Seq[Long],
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(seeds.nonEmpty, "personalized PageRank needs a seed set")
     require(seeds.distinct.size == seeds.size, "seeds must be distinct")
     val isSeed = col(idCol).isin(seeds: _*)
     rankLoop(nodes, edges, idCol, srcCol, dstCol, iters, damping,
       initScore = when(isSeed, lit(1.0 / seeds.size)).otherwise(lit(0.0)),
       teleportScore =
-        when(isSeed, lit((1.0 - damping) / seeds.size)).otherwise(lit(0.0)))
+        when(isSeed, lit((1.0 - damping) / seeds.size)).otherwise(lit(0.0)),
+      checkpointDir = checkpointDir)
   }
 
   private def rankLoop(
       nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       iters: Int, damping: Double,
-      initScore: Column, teleportScore: Column): DataFrame = {
+      initScore: Column, teleportScore: Column,
+      checkpointDir: Option[String]): DataFrame = {
+    // per-round materialization through the shared RoundSnapshots:
+    // localCheckpoint by default, durable parquet rounds (executor-loss
+    // safe) when checkpointDir is set — see [[graft.pipeline.RoundSnapshots]]
+    val snaps = new graft.pipeline.RoundSnapshots(checkpointDir)
     val deg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
     // degree-annotated edges: referenced once per iteration — materialize
-    // (skinny: src, dst, deg) so iterations don't recompute the join
-    val contrib = edges.select(col(srcCol), col(dstCol))
-      .join(deg, srcCol)
-      .localCheckpoint(true)
+    // (skinny: src, dst, deg) so iterations don't recompute the join; the
+    // RESULT frame reads it (the last iteration is lazy), so it stays
+    val contrib = snaps.snap(edges.select(col(srcCol), col(dstCol))
+      .join(deg, srcCol), "contrib").df
 
     var ranks = nodes.select(col(idCol), initScore.as("score"))
-    var prevSnap: Option[DataFrame] = None
+    val rankRoll = snaps.roll("ranks")
     for (i <- 0 until iters) {
       val inflow = contrib
         .join(ranks.select(col(idCol).as(srcCol), col("score")), srcCol)
@@ -108,14 +121,10 @@ object Graph {
       // overwhelms the planner the same way the d06 label frames did.
       // Values are unchanged; materialization is not arithmetic. Once the
       // next snapshot is eagerly materialized the previous one is dead —
-      // free it (the covarianceModel rule: superseded snapshots must not
-      // sit in BlockManager storage for the driver's lifetime)
-      if ((i + 1) % 5 == 0 && i != iters - 1) {
-        ranks = ranks.localCheckpoint(true)
-        prevSnap.foreach(
-          org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
-        prevSnap = Some(ranks)
-      }
+      // the roll frees it (the covarianceModel rule: superseded snapshots
+      // must not sit in storage for the driver's lifetime)
+      if ((i + 1) % 5 == 0 && i != iters - 1)
+        ranks = rankRoll.advance(ranks)
     }
     ranks
   }
@@ -168,12 +177,14 @@ object Graph {
   def labelPropagation(
       nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "need at least one round")
-    val e = edges.select(col(srcCol), col(dstCol)).localCheckpoint(true)
-    var labels = nodes
-      .select(col(idCol), col(idCol).cast("long").as("label"))
-      .localCheckpoint(true)
+    val snaps = new graft.pipeline.RoundSnapshots(checkpointDir)
+    val eSnap = snaps.snap(edges.select(col(srcCol), col(dstCol)), "edges")
+    val e = eSnap.df
+    val labelRoll = snaps.roll("labels")
+    var labels = labelRoll.advance(
+      nodes.select(col(idCol), col(idCol).cast("long").as("label")))
     for (_ <- 1 to iters) {
       val msgs = e.join(
           labels.select(col(idCol).as(srcCol), col("label")), srcCol)
@@ -183,10 +194,11 @@ object Graph {
       val best = counts.groupBy(col(dstCol))
         .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__b"))
         .select(col(dstCol).as(idCol), (-col("__b.__nl")).as("__new"))
-      labels = labels.join(best, Seq(idCol), "left")
-        .select(col(idCol), coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint(true)
+      labels = labelRoll.advance(labels.join(best, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__new"), col("label")).as("label")))
     }
+    // the result IS the final label snapshot — the edge frame is dead
+    snaps.free(eSnap)
     labels
   }
 
@@ -216,17 +228,23 @@ object Graph {
     */
   def kCore(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 30): DataFrame = {
+      k: Int, maxRounds: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, "need at least one peeling round")
+    val snaps = new graft.pipeline.RoundSnapshots(checkpointDir)
     val und = edges.filter(col(srcCol) =!= col(dstCol))
       .select(col(srcCol).cast("long").as("__a"),
         col(dstCol).cast("long").as("__b"))
-    val sym = und
+    val sym = snaps.snap(und
       .unionByName(und.select(col("__b").as("__a"), col("__a").as("__b")))
-      .distinct().localCheckpoint(true)
-    var alive = nodes.select(col(idCol).cast("long").as("__v"))
-      .distinct().localCheckpoint(true)
+      .distinct(), "edges").df
+    // keep = 1: the RESULT joins the final live set against the last
+    // round's degree frame, which lazily reads the round-START live set —
+    // the previous snapshot must outlive the loop
+    val aliveRoll = snaps.roll("alive", keep = 1)
+    var alive = aliveRoll.advance(
+      nodes.select(col(idCol).cast("long").as("__v")).distinct())
     var aliveCount = alive.count()
     var rounds = 0
     var degrees: DataFrame = null
@@ -241,8 +259,8 @@ object Graph {
         .join(alive.select(col("__v").as("__b")), Seq("__b"), "left_semi")
       degrees = liveEdges.groupBy(col("__a"))
         .agg(count(lit(1)).as("__d"))
-      val next = degrees.filter(col("__d") >= k)
-        .select(col("__a").as("__v")).localCheckpoint(true)
+      val next = aliveRoll.advance(degrees.filter(col("__d") >= k)
+        .select(col("__a").as("__v")))
       val n = next.count()
       converged = n == aliveCount
       alive = next
@@ -351,34 +369,46 @@ object Graph {
     */
   def neighborhoodFunction(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
-      rounds: Int, p: Int = 12): DataFrame = {
+      rounds: Int, p: Int = 12,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, "need at least one expansion round")
+    val snaps = new graft.pipeline.RoundSnapshots(checkpointDir)
     val und = edges.filter(col(srcCol) =!= col(dstCol))
       .select(col(srcCol).cast("long").as("__a"),
         col(dstCol).cast("long").as("__b"))
-    val sym = und
+    val symSnap = snaps.snap(und
       .unionByName(und.select(col("__b").as("__a"), col("__a").as("__b")))
-      .distinct().localCheckpoint(true)
-    var cur = nodes.select(col(idCol).cast("long").as("__v")).distinct()
-      .select(col("__v"), GraftFunctions.hll_init(col("__v"), p).as("__sk"))
-      .localCheckpoint(true)
+      .distinct(), "edges")
+    val sym = symSnap.df
+    val curRoll = snaps.roll("sketches")
+    var cur = curRoll.advance(
+      nodes.select(col(idCol).cast("long").as("__v")).distinct()
+        .select(col("__v"),
+          GraftFunctions.hll_init(col("__v"), p).as("__sk")))
     def total(t: Int): DataFrame =
       cur.agg(sum(GraftFunctions.hll_card(col("__sk"), p)).as("n_pairs"))
         .select(lit(t).cast("int").as("round"), col("n_pairs"))
-    var out = total(0)
+    // the growing (round, n_pairs) frame snapshots per round too — tiny,
+    // but it lazily reads the round's sketch frame, and materializing it
+    // is what lets the SUPERSEDED sketch rounds be freed as the loop
+    // advances instead of all being pinned until the caller consumes
+    val outRoll = snaps.roll("totals")
+    var out = outRoll.advance(total(0))
     var t = 1
     while (t <= rounds) {
       val contrib = sym
         .join(cur.select(col("__v").as("__b2"), col("__sk")),
           col("__b") === col("__b2"))
         .select(col("__a").as("__v"), col("__sk"))
-      cur = cur.unionByName(contrib)
+      cur = curRoll.advance(cur.unionByName(contrib)
         .groupBy(col("__v"))
-        .agg(GraftFunctions.hll_merge(col("__sk"), p).as("__sk"))
-        .localCheckpoint(true)
-      out = out.unionByName(total(t))
+        .agg(GraftFunctions.hll_merge(col("__sk"), p).as("__sk")))
+      out = outRoll.advance(out.unionByName(total(t)))
       t += 1
     }
+    // the result IS the final totals snapshot — sketches and edges are dead
+    curRoll.close()
+    snaps.free(symSnap)
     out
   }
 
@@ -391,7 +421,8 @@ object Graph {
     * canonical edges for ONE hash-aggregated count, left-joined back so
     * zero-support edges stay visible.
     */
-  private def edgeSupport(live: DataFrame): DataFrame = {
+  private def edgeSupport(live: DataFrame,
+      snap: DataFrame => DataFrame): DataFrame = {
     val deg = live.select(col("__a").as("__v"))
       .unionAll(live.select(col("__b").as("__v")))
       .groupBy("__v").agg(count(lit(1)).as("__d"))
@@ -400,13 +431,12 @@ object Graph {
       .join(deg.select(col("__v").as("__b"), col("__d").as("__db")), "__b")
     val aFirst = struct(col("__da"), col("__a")) <
       struct(col("__db"), col("__b"))
-    val o = keyed.select(
+    val o = snap(keyed.select(
         when(aFirst, col("__a")).otherwise(col("__b")).as("__u"),
         when(aFirst, col("__b")).otherwise(col("__a")).as("__v"),
         when(aFirst, struct(col("__db").as("d"), col("__b").as("v")))
           .otherwise(struct(col("__da").as("d"), col("__a").as("v")))
-          .as("__kv"))
-      .localCheckpoint(true) // reused 3x (wedges twice + closure)
+          .as("__kv"))) // reused 3x (wedges twice + closure)
     val wedges = o.select(col("__u"), col("__v").as("__x"),
         col("__kv").as("__kx"))
       .join(o.select(col("__u"), col("__v").as("__y"),
@@ -449,14 +479,21 @@ object Graph {
     * (src < dst) edges with their converged support.
     */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 20): DataFrame = {
+      k: Int, maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(maxRounds >= 1, "need at least one peeling round")
-    var live = edges.filter(col(srcCol) =!= col(dstCol))
+    val snaps = new graft.pipeline.RoundSnapshots(checkpointDir)
+    // keep = 1 on both rolls: the RESULT joins the final live set against
+    // the last round's support frame, which lazily reads that round's
+    // INPUT live set and its oriented-edge scratch frame
+    val liveRoll = snaps.roll("live", keep = 1)
+    val orientRoll = snaps.roll("oriented", keep = 1)
+    var live = liveRoll.advance(edges.filter(col(srcCol) =!= col(dstCol))
       .select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("__a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("__b"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     var liveCount = live.count()
     var support: DataFrame = null
     var converged = false
@@ -466,9 +503,9 @@ object Graph {
         throw new IllegalStateException(
           s"k-truss peeling did not converge within $maxRounds rounds " +
             s"($liveCount edges still live) — raise maxRounds")
-      support = edgeSupport(live)
-      val next = support.filter(col("__s") >= k - 2)
-        .select("__a", "__b").localCheckpoint(true)
+      support = edgeSupport(live, orientRoll.advance)
+      val next = liveRoll.advance(support.filter(col("__s") >= k - 2)
+        .select("__a", "__b"))
       val n = next.count()
       converged = n == liveCount
       live = next

@@ -175,39 +175,47 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int,
-      lambda: Double = 0.7, poolSize: Int = 50): DataFrame = {
+      lambda: Double = 0.7, poolSize: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val snaps = new graft.pipeline.RoundSnapshots(checkpointDir)
     val pool = bruteForceTopK(corpus, queries, corpusId, corpusVec,
         queryId, queryVec, poolSize)
       .select(col(queryId), col(corpusId), col("cosine").as("__rel"))
       .join(corpus.select(col(corpusId), col(corpusVec).as("__vec")),
         corpusId)
-    var remaining = pool.withColumn("__ms", lit(-1.0d)).localCheckpoint(true)
+    val remainingRoll = snaps.roll("remaining")
+    var remaining = remainingRoll.advance(
+      pool.withColumn("__ms", lit(-1.0d)))
     val picks = Seq.newBuilder[DataFrame]
     for (r <- 1 to k) {
       val scored = remaining.withColumn("__mmr",
         lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms"))
-      val pick = scored.groupBy(col(queryId))
+      // every round's pick backs the RESULT (the final union) — plain
+      // snaps, never freed here; in durable mode the caller consumes the
+      // result, then removes the directory
+      val pick = snaps.snap(scored.groupBy(col(queryId))
         .agg(max_by(
           struct(col(corpusId).as("__pid"), col("__vec").as("__pvec"),
             col("__mmr")),
           struct(col("__mmr"), (-col(corpusId)).as("__tie"))).as("__p"))
         .select(col(queryId), col("__p.__pid").as("__pid"),
-          col("__p.__pvec").as("__pvec"), col("__p.__mmr").as("__mmr"))
-        .localCheckpoint(true)
+          col("__p.__pvec").as("__pvec"), col("__p.__mmr").as("__mmr")),
+        "pick").df
       picks += pick.select(col(queryId), col("__pid").as(corpusId),
         lit(r).cast("int").as("round"), col("__mmr").as("mmr"))
       if (r < k)
-        remaining = remaining
+        remaining = remainingRoll.advance(remaining
           .join(pick.select(col(queryId), col("__pid"), col("__pvec")),
             Seq(queryId))
           .filter(col(corpusId) =!= col("__pid"))
           .withColumn("__ms",
             greatest(col("__ms"), cosine(col("__vec"), col("__pvec"))))
-          .drop("__pid", "__pvec")
-          .localCheckpoint(true)
+          .drop("__pid", "__pvec"))
     }
+    // the survivor frame is dead once the last pick landed
+    remainingRoll.close()
     picks.result().reduce(_.unionByName(_))
   }
 
