@@ -2691,6 +2691,14 @@ object SparkEntry {
         lo = 0.0, hi = 100.0, nBuckets = 10, epsilon = 0.5,
         seed = "v09:")),
 
+    // DP quantile release: exponential mechanism over the PUBLIC
+    // [0,100]×20 grid via the Gumbel-max trick — seeded Gumbels at every
+    // (quantile, grid point), so both engines draw the identical argmax
+    "v10_dp_quantiles" -> ((s, dir) =>
+      Governance.dpNoisedQuantiles(t(s, dir, "events"), "value",
+        quantiles = Seq(0.1, 0.5, 0.9), lo = 0.0, hi = 100.0,
+        nBuckets = 20, epsilon = 0.5, seed = "v10:")),
+
     // t-closeness, categorical ground distance: each (hour, value-bucket)
     // class's event-type distribution vs the corpus-global one; every
     // |p - q| term is an exact DECIMAL integer, one final IEEE division
@@ -3698,6 +3706,24 @@ object SparkEntry {
           numCentroids = 8, nprobe = 8, salts = 4)
         .select(col("text_id"), col("media_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // DCT perceptual-hash image near-dup: every doc's deterministic
+    // pixel stand-in plus a BRIGHTNESS-SHIFTED variant (+3 on every 5th
+    // doc, id+100000) — exactly the perturbation a DCT hash must shrug
+    // off (brightness rides the excluded DC term; the quantized basis
+    // leaks only a few bits) — banded pairing at maxHamming=12
+    "m10_phash_neardup" -> ((s, dir) => {
+      val base = Multimodal.pixelGridStub(
+        t(s, dir, "documents"), "doc_id", "text")
+      val variants = base.filter(col("doc_id") % 5 === 3)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          transform(col("pixels"), p => least(p + lit(3), lit(255)))
+            .as("pixels"))
+      val hashes = Multimodal.pHash64(
+        base.unionByName(variants), "doc_id", "pixels")
+      Multimodal.pHashPairs(hashes, "doc_id", "phash", maxHamming = 12,
+        maxBucketSize = 10000)
     }),
 
     "m01_media_pipeline" -> ((s, dir) => {
@@ -4928,6 +4954,71 @@ object SparkEntry {
                             ln(CAST(MAX(k) AS DOUBLE)), 6) + 0.0
                      ELSE NULL END AS norm_entropy
          FROM terms GROUP BY 1"""
+
+  /** m10's full pHash replay: the SAME fixed-point DCT basis spliced as
+    * integer literals from [[Multimodal.dctK]] (neither engine trusts
+    * its libm cos), identical stretch-sampled pixel stub + brightness
+    * variant, identical 63-coefficient median-threshold bits; pairs by
+    * brute-force Hamming ≤ 12 — the banded engine plan has recall 1.0 at
+    * that radius by pigeonhole, so the sets must match exactly.
+    */
+  private lazy val m10OracleSql: String = {
+    val kLit = graft.operators.Multimodal.dctK
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH kt AS (SELECT $kLit AS kk),
+         base AS (
+           SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+           FROM documents WHERE text IS NOT NULL),
+         px0 AS (
+           SELECT doc_id,
+                  list_transform(range(0, 1024), i ->
+                    unicode(substr(t,
+                      CAST((i * length(t)) // 1024 AS INT) + 1, 1)) % 256)
+                    AS px
+           FROM base WHERE length(t) > 0),
+         px AS (
+           SELECT doc_id, px FROM px0
+           UNION ALL
+           SELECT doc_id + 100000,
+                  list_transform(px, p -> LEAST(p + 3, 255))
+           FROM px0 WHERE doc_id % 5 = 3),
+         rd AS (
+           SELECT doc_id, kk,
+                  list_transform(range(0, 256), j ->
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(0, 32), rr ->
+                        CAST(px[CAST(rr * 32 + (j % 32) AS INT) + 1]
+                             AS BIGINT)
+                        * kk[CAST(j // 32 AS INT) + 1]
+                            [CAST(rr AS INT) + 1])),
+                      (a, x) -> a + x)) AS r
+           FROM px CROSS JOIN kt),
+         cf AS (
+           SELECT doc_id,
+                  list_transform(range(0, 64), tt ->
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(0, 32), cc ->
+                        r[CAST((tt // 8) * 32 + cc AS INT) + 1]
+                        * kk[CAST(tt % 8 AS INT) + 1]
+                            [CAST(cc AS INT) + 1])),
+                      (a, x) -> a + x)) AS c
+           FROM rd),
+         med AS (
+           SELECT doc_id, c, list_sort(c[2:64])[32] AS m FROM cf),
+         h AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(0, 63), b ->
+                      CASE WHEN c[CAST(b AS INT) + 2] > m
+                           THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                           ELSE CAST(0 AS BIGINT) END)),
+                    (a, x) -> a + x) AS phash
+           FROM med)
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+                CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 12"""
+  }
 
   /** g20's absorbing-chain replay — shared verbatim by e30 because
     * the streaming drain must equal the batch operator over the full
@@ -7765,6 +7856,55 @@ object SparkEntry {
                 greatest(CAST(ROUND(CAST(n AS DOUBLE) + noise, 0) AS BIGINT),
                          0) AS released_count
          FROM z""",
+    // v10: the exponential mechanism replayed — identical clamp/bucket,
+    // bucketed ranks from the same triangular grid join, the SAME
+    // seeded uniform per (quantile, grid point) through the md5 +
+    // poly_hash64 recipe, the identical Gumbel expression, argmax ties
+    // to the smaller grid index
+    "v10_dp_quantiles" ->
+      """WITH vals AS (
+           SELECT LEAST(GREATEST(value, 0.0), 100.0) AS v
+           FROM events WHERE value IS NOT NULL),
+         c AS (
+           SELECT LEAST(CAST(FLOOR((v - 0.0) / 5.0) AS INT), 19) AS b,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM vals GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+         g AS (SELECT CAST(i AS INT) AS gi FROM range(0, 21) t(i)),
+         r AS (
+           SELECT g.gi, COALESCE(SUM(c.cnt), 0) AS rnk
+           FROM g LEFT JOIN c ON c.b < g.gi GROUP BY 1),
+         q AS (SELECT CAST(q AS DOUBLE) AS q, qi FROM (VALUES
+                 (0.1, 0), (0.5, 1), (0.9, 2)) AS t(q, qi)),
+         s AS (
+           SELECT q.q, q.qi, r.gi, r.rnk,
+                  md5('v10:' || chr(31) || CAST(q.qi AS VARCHAR) ||
+                      chr(31) || CAST(r.gi AS VARCHAR)) AS ks
+           FROM q CROSS JOIN r),
+         u AS (
+           SELECT q, qi, gi, rnk,
+                  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(range(1, length(ks)+1),
+                           i -> CAST(unicode(substr(ks, CAST(i AS INT), 1)) AS HUGEINT))),
+                       (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
+                    AS DOUBLE) / 1.8446744073709552e19 AS u
+           FROM s),
+         z AS (
+           SELECT q, gi,
+                  0.25 * (-abs(CAST(rnk AS DOUBLE) -
+                               q * CAST((SELECT n FROM n) AS DOUBLE)))
+                  + (-ln(-ln(GREATEST(LEAST(u, 1.0 - 1e-12), 1e-12))))
+                    AS s
+           FROM u),
+         pick AS (
+           SELECT q, gi FROM (
+             SELECT q, gi,
+                    row_number() OVER (PARTITION BY q
+                                       ORDER BY s DESC, gi ASC) AS rn
+             FROM z) WHERE rn = 1)
+         SELECT q, CAST(0.5 AS DOUBLE) AS epsilon,
+                CAST(0.0 + gi * 5.0 AS DOUBLE) AS released_value
+         FROM pick""",
     // v04: categorical EMD — present-value |c·N − g·n| terms in HUGEINT,
     // the absent-value mass folded in algebraically, one final division
     "v04_t_closeness" ->
@@ -9969,6 +10109,9 @@ object SparkEntry {
     // the e-series contract: the drained delta-folded report equals the
     // batch m08 operator over the full payload history
     "e23_streaming_chunk_dedup" -> m08OracleSql,
+    // m10: the generated full-DCT replay (shared fixed-point basis) +
+    // brute-force Hamming pairs — see m10OracleSql
+    "m10_phash_neardup" -> m10OracleSql,
     "m01_media_pipeline" ->
       """WITH b AS (
            SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,

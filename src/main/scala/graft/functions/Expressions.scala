@@ -161,6 +161,24 @@ case class ByteWindowEnergies(child: Expression, w: Int) extends UnaryExpression
   override def prettyName: String = "byte_window_energies"
 }
 
+/** DCT perceptual-hash kernel over a 1024-int pixel grid (see
+  * [[HashKernels.pHashDct]]) — an imperative kernel rather than the
+  * transform/aggregate formulation because CollapseProject inlines each
+  * HOF stage into every downstream element access (multiplicative
+  * re-evaluation; the m10 lesson).
+  */
+case class PHashDct(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.pHashDct(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.pHashDct($c)")
+  override protected def withNewChildInternal(newChild: Expression): PHashDct =
+    copy(child = newChild)
+  override def prettyName: String = "phash_dct"
+}
+
 /** One-pass repetition fractions kernel (see
   * [[HashKernels.dupFractions]]) — replaces the higher-order
   * filter/zip_with/array_distinct chain that broke whole-stage codegen
@@ -448,6 +466,8 @@ object GraftFunctions {
     ByteWindowEnergies(Bridge.expression(c), w))
   def dup_fractions(c: Column): Column = Bridge.column(
     DupFractions(Bridge.expression(c)))
+  def phash_dct(c: Column): Column = Bridge.column(
+    PHashDct(Bridge.expression(c)))
   def token_set_hits(c: Column, table: Seq[Seq[String]]): Column = Bridge.column(
     TokenSetHits(Bridge.expression(c), table))
 

@@ -380,6 +380,68 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
   }
 
+  /** The 8×32 fixed-point DCT basis behind [[pHashDct]]: K(u,r) =
+    * round(cos(π(2r+1)u/64)·2¹⁵) — quantized ONCE here and spliced as
+    * integer literals into the generated DuckDB oracle, so the two
+    * engines share the exact table instead of trusting their libm `cos`
+    * to agree at the last ULP.
+    */
+  val dctK: Array[Array[Long]] = Array.tabulate(8, 32)((u, r) =>
+    Math.round(math.cos(math.Pi * (2 * r + 1) * u / 64.0) * 32768.0))
+
+  /** 64-bit DCT perceptual-hash kernel: separable integer 2D DCT-II of a
+    * row-major 32×32 pixel grid on the [[dctK]] fixed-point basis
+    * (row pass: 8×32 sums over 32; column pass: 64 sums over 32 —
+    * ~10k multiply-adds, exact in 64-bit), then the 63 non-DC
+    * coefficients of the top-left 8×8 block median-threshold into bits
+    * (median = the 32nd smallest of the 63; bit i set when coefficient
+    * i+1 exceeds it). One imperative pass per row — the
+    * transform/aggregate higher-order formulation is NOT usable here:
+    * CollapseProject inlines each stage's array into every downstream
+    * element access, re-evaluating the 1024-pixel stage per access
+    * (measured: a multiplicative ~10¹⁰-ops-per-row blowup).
+    */
+  def pHashDct(pixels: ArrayData): Long = {
+    require(pixels.numElements() == 1024,
+      s"pHash needs a 32x32 grid (1024 ints), got ${pixels.numElements()}")
+    val p = pixels.toIntArray()
+    val k = dctK
+    val rdct = new Array[Long](256)
+    var u = 0
+    while (u < 8) {
+      var c = 0
+      while (c < 32) {
+        var s = 0L
+        var r = 0
+        while (r < 32) { s += p(r * 32 + c).toLong * k(u)(r); r += 1 }
+        rdct(u * 32 + c) = s
+        c += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var c = 0
+        while (c < 32) { s += rdct(u * 32 + c) * k(v)(c); c += 1 }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val rest = java.util.Arrays.copyOfRange(coef, 1, 64)
+    val sorted = rest.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var h = 0L
+    var i = 0
+    while (i < 63) { if (rest(i) > med) h |= 1L << i; i += 1 }
+    h
+  }
+
   private val wsRun = java.util.regex.Pattern.compile("\\s+")
 
   private def round6(x: Double): Double =

@@ -279,15 +279,24 @@ object Governance {
     * the polynomial alone lacks, and both engines share md5 natively.
     */
   private def laplaceNoise(keyStr: Column, b: Double): Column = {
+    val u = seededUniform(keyStr)
+    lit(-b) * signum(u - lit(0.5)) *
+      log(greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)), lit(1e-12)))
+  }
+
+  /** The seeded uniform in [0,1) behind every DP draw — ONE
+    * DECIMAL-routed unsigned→double conversion of poly_hash64(md5(key)),
+    * shared by the Laplace inverse-CDF ([[laplaceNoise]]) and the Gumbel
+    * draws of the exponential mechanism ([[dpNoisedQuantiles]]).
+    */
+  private def seededUniform(keyStr: Column): Column = {
     val fp = graft.functions.GraftFunctions.poly_hash64(md5(keyStr))
     val twoTo64 = lit(new java.math.BigDecimal("18446744073709551616"))
       .cast("decimal(38,0)")
     val unsignedD = (fp.cast("decimal(38,0)") +
       when(fp < 0, twoTo64).otherwise(lit(0).cast("decimal(38,0)")))
       .cast("double")
-    val u = unsignedD / lit(1.8446744073709552e19)
-    lit(-b) * signum(u - lit(0.5)) *
-      log(greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)), lit(1e-12)))
+    unsignedD / lit(1.8446744073709552e19)
   }
 
   /** Seeded noise-draw key: seed and key parts joined with the unit
@@ -424,6 +433,91 @@ object Governance {
           + lit(0.0)).as("released"),
         greatest(round(coalesce(col("__n"), lit(0L)).cast("double") +
           noise, 0), lit(0.0)).cast("long").as("released_count"))
+  }
+
+  /** Differentially-private quantile release — the EXPONENTIAL mechanism
+    * (McSherry & Talwar, FOCS 2007; Dwork & Roth 2014 §3.4) over a
+    * PUBLIC value grid, completing the DP family next to the Laplace
+    * releases ([[dpNoisedCounts]] / [[dpNoisedMean]] /
+    * [[dpNoisedHistogram]]): for each requested quantile q the mechanism
+    * selects grid point g with probability ∝ exp(ε·u(g)/2), utility
+    * u(g) = −|rank(g) − q·n| — the negated rank error, whose
+    * sensitivity is 1 under add/remove-one-row (one row moves every
+    * rank by at most 1), so each released quantile is ε-DP. The
+    * selection is drawn via the GUMBEL-MAX trick — argmax over the grid
+    * of ε·u(g)/2 + Gumbel(seed, q, g) is distributionally identical to
+    * the exponential mechanism and, with the seeded uniforms of the
+    * sibling releases, DETERMINISTICALLY replayable: engine and oracle
+    * draw the identical Gumbel at every (quantile, grid point) and
+    * cannot disagree on the argmax. Each quantile in `quantiles` is its
+    * own ε-DP release; composition accounting is the caller's, as in
+    * the sibling releases.
+    *
+    * Rank semantics: values clamp into the public [lo, hi] and quantize
+    * onto the `nBuckets` equal-width grid (the [[dpNoisedHistogram]]
+    * bucketing); rank(gᵢ) = #values in buckets < i — the bucketed rank
+    * at grid point i, the published "quantile over a public
+    * discretization". Grid points are the nBuckets+1 bucket EDGES.
+    *
+    * Determinism: the Gumbel is −ln(−ln(u)) with u clamped into
+    * [1e-12, 1−1e-12]; utility multiplies exact integer ranks by the
+    * fixed q·n double — fixed-shape IEEE expressions both engines
+    * evaluate identically; argmax ties (measure-zero) break to the
+    * smaller grid index.
+    *
+    * Plan shape (100 TB posture): ONE map-side-combined hash aggregate
+    * to the ≤ nBuckets count frame; ranks come from a triangular join of
+    * the (nBuckets+1)-point grid against it (grid-bounded); scoring is a
+    * |quantiles|×(nBuckets+1) literal cross of that bounded frame with
+    * ONE max_by hash aggregate per quantile. Nothing corpus-scale moves
+    * after the first aggregate.
+    *
+    * Output: one row per requested quantile —
+    * (q, epsilon, released_value); true quantiles deliberately NOT
+    * emitted. Nulls drop (no subject signal).
+    */
+  def dpNoisedQuantiles(df: DataFrame, valueCol: String,
+      quantiles: Seq[Double], lo: Double, hi: Double, nBuckets: Int,
+      epsilon: Double, seed: String): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got $quantiles")
+    require(lo < hi, "need lo < hi public bounds")
+    require(nBuckets >= 1, "need at least one bucket")
+    require(epsilon > 0, "epsilon must be positive")
+    val spark = df.sparkSession
+    val width = (hi - lo) / nBuckets
+    val bucket = least(
+      floor((least(greatest(col(valueCol).cast("double"), lit(lo)),
+        lit(hi)) - lit(lo)) / lit(width)).cast("int"),
+      lit(nBuckets - 1))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(bucket.as("__b")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"))
+    val grid = spark.range(nBuckets + 1)
+      .select(col("id").cast("int").as("__i"))
+    // bucketed rank at each grid point: triangular join over the
+    // grid-bounded count frame ((nBuckets+1)·nBuckets pairs at most)
+    val ranks = grid.join(counts, col("__b") < col("__i"), "left")
+      .groupBy(col("__i"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__rank"))
+    import spark.implicits._
+    val qdf = quantiles.zipWithIndex.toDF("__q", "__qi")
+    val u = seededUniform(noiseKey(seed, Seq(col("__qi"), col("__i"))))
+    val gumbel = -log(-log(greatest(least(u, lit(1.0 - 1e-12)),
+      lit(1e-12))))
+    val util = -abs(col("__rank").cast("double") -
+      col("__q") * col("__n").cast("double"))
+    val scored = qdf.crossJoin(ranks).crossJoin(total)
+      .select(col("__q"), col("__i"),
+        (lit(epsilon / 2.0) * util + gumbel).as("__s"))
+    scored.groupBy(col("__q"))
+      .agg(max_by(col("__i"), struct(col("__s"), (-col("__i")).as("__t")))
+        .as("__pick"))
+      .select(col("__q").as("q"), lit(epsilon).as("epsilon"),
+        (lit(lo) + col("__pick") * lit(width)).cast("double")
+          .as("released_value"))
   }
 
   /** (table_name, n_purged, n_retained) as two count-only aggregates

@@ -325,6 +325,84 @@ object Multimodal {
       maxDigestGroup: Int): DataFrame =
     pairsFromDigests(cappedFrameDigests(media, n, maxDigestGroup))
 
+  /** The 8×32 fixed-point DCT basis behind [[pHash64]]: K(u,r) =
+    * round(cos(π(2r+1)u/64)·2¹⁵) — quantized ONCE here and spliced as
+    * integer literals into both the engine expression and the generated
+    * DuckDB oracle, so the two engines share the exact table instead of
+    * trusting their libm `cos` to agree at the last ULP.
+    */
+  private[graft] def dctK: Array[Array[Long]] =
+    graft.functions.HashKernels.dctK
+
+  /** STUB pixel grid: a deterministic 32×32 grayscale stand-in for an
+    * image decoder + resizer — sample the printable-ASCII byte stream at
+    * 1024 STRETCHED positions (sample i reads offset ⌊i·len/1024⌋, the
+    * nearest-neighbor resize mapping, so content at 10% longer length
+    * still samples the same relative regions — the resize invariance a
+    * real pHash pipeline gets from its image resizer). Pure fixed-shape
+    * expressions (mirrored in the oracle); a real pipeline swaps this one
+    * function for decode+grayscale+resize and keeps everything downstream.
+    * Empty/NULL payload text yields no row. Output: (idCol, pixels) with
+    * pixels a 1024-int array in [0, 255], row-major 32×32.
+    */
+  def pixelGridStub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        regexp_replace(col(textCol), "[^ -~]", "").as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol), expr(
+        """transform(sequence(0, 1023), i ->
+          |  ascii(substring(__t,
+          |    CAST((i * length(__t)) DIV 1024 AS INT) + 1, 1)) % 256)"""
+          .stripMargin).as("pixels"))
+
+  /** 64-bit DCT perceptual hash (pHash — the published image near-dup
+    * workhorse: 32×32 grayscale → 2D DCT-II → top-left 8×8 block →
+    * median-threshold bits; see PAPERS.md) over a caller-supplied pixel
+    * grid ([[pixelGridStub]] here; a real decoder at deployment). Two
+    * documented departures that buy exact cross-engine replay:
+    * the DCT drops the α(u) normalization (a per-coefficient positive
+    * scale — the bit pattern is a *variant* hash, equally stable), and
+    * the cosine basis is the FIXED-POINT integer table [[dctK]], so every
+    * coefficient is an exact 64-bit integer both engines compute
+    * identically. The separable form runs row-DCT (8×32 sums over 32)
+    * then column-DCT (64 sums over 32) — ~10k integer multiply-adds per
+    * asset, ONE map-only projection; nothing shuffles.
+    *
+    * Bits: the 63 non-DC coefficients of the 8×8 block, each compared to
+    * their MEDIAN (the 32nd smallest of the 63 — odd count, no averaging
+    * ambiguity); bit i set when coefficient i+1 exceeds it. The DC term
+    * is excluded from bits and median (brightness — exactly what a
+    * perceptual hash must ignore). Output: (idCol, phash) — a LONG with
+    * bit 63 always clear.
+    *
+    * The whole DCT+threshold is ONE codegen kernel call per row
+    * ([[graft.functions.HashKernels.pHashDct]]) — the higher-order
+    * transform/aggregate formulation is a trap here: CollapseProject
+    * inlines each stage's array expression into every downstream
+    * element access, so the 1024-pixel stage re-evaluates ~10⁶ times
+    * per row (measured as a never-finishing sf0.01 run).
+    */
+  def pHash64(pixels: DataFrame, idCol: String, pixelsCol: String): DataFrame =
+    pixels.select(col(idCol),
+      graft.functions.GraftFunctions.phash_dct(col(pixelsCol)).as("phash"))
+
+  /** Perceptual near-duplicate pairs over [[pHash64]] signatures — the
+    * d04 Hamming-band LSH recipe VERBATIM
+    * ([[Dedup.simhashPairsFromSignatures]]): maxHamming+1 bands
+    * (pigeonhole recall 1.0), over-cap buckets refined by secondary
+    * banding, exact `bit_count(xor)` verification. Payloads never appear:
+    * by this stage each asset is one (id, long) row.
+    * Output: (idA, idB, hamming) with idA < idB, hamming ≤ maxHamming.
+    */
+  def pHashPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 10, maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 62,
+      s"maxHamming must lie in [0, 62], got $maxHamming")
+    Dedup.simhashPairsFromSignatures(hashes, idCol, hashCol, maxHamming,
+      maxBucketSize)
+  }
+
   /** Cross-modal candidate pair mining — the standard LLM-data need the
     * within-modality family (m05/m06 frame dedup, d-series text dedup)
     * does not cover: pair TEXT documents with IMAGE/AUDIO assets through

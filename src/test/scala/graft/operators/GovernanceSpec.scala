@@ -332,4 +332,44 @@ class GovernanceSpec extends SparkTestBase {
       Governance.dpNoisedHistogram(rows, "v", 0.0, 100.0, 0, 0.5, "s")
     }
   }
+
+  test("dpNoisedQuantiles: seeded-deterministic, eps->inf recovers the " +
+      "bucketed quantile, releases stay on the public grid, bad params " +
+      "rejected") {
+    import spark.implicits._
+    // 100 values 0.5, 1.5, ..., 99.5 — one per [i, i+1) bucket
+    val rows = (0 until 100).map(_ + 0.5).map(Some(_))
+      .toDF("v")
+    def run(eps: Double, seed: String) =
+      Governance.dpNoisedQuantiles(rows, "v", Seq(0.1, 0.5, 0.9),
+          0.0, 100.0, 100, eps, seed)
+        .as[(Double, Double, Double)].collect()
+        .map(r => r._1 -> r._3).toMap
+    val g = run(0.5, "s1:")
+    assert(g.keySet === Set(0.1, 0.5, 0.9))
+    assert(g === run(0.5, "s1:"), "same seed must replay identically")
+    assert(g !== run(0.5, "s2:"), "a new seed must redraw")
+    // every release sits on a grid edge of [0,100]/100
+    assert(g.values.forall(v => v == math.rint(v) && v >= 0 && v <= 100))
+    // eps->inf: utility dominates the Gumbel — rank(g_i) = i here, so the
+    // argmax of -|i - q*100| is exactly the true quantile edge
+    val tight = run(1e9, "s1:")
+    assert(tight === Map(0.1 -> 10.0, 0.5 -> 50.0, 0.9 -> 90.0), tight)
+    // low eps: the Gumbel dominates — at least one release strays from
+    // the true edge (the privacy noise is real)
+    val loose = run(1e-6, "s1:")
+    assert(loose !== tight, "near-zero eps must be noise-dominated")
+    intercept[IllegalArgumentException] {
+      Governance.dpNoisedQuantiles(rows, "v", Seq(1.5), 0.0, 100.0, 10,
+        0.5, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Governance.dpNoisedQuantiles(rows, "v", Seq(0.5), 5.0, 5.0, 10,
+        0.5, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Governance.dpNoisedQuantiles(rows, "v", Seq.empty, 0.0, 100.0, 10,
+        0.5, "s")
+    }
+  }
 }

@@ -244,4 +244,78 @@ class MultimodalSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Long, Double)].head()
     assert(empty === ((0L, 0L, 0L, 0L, 0L, 1.0)))
   }
+
+  test("pixelGridStub: 1024 samples in [0,255], stretch-sampled (constant " +
+      "text maps to a constant grid at any length), empty/null drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("a" * 100)), (2L, Some("a" * 999)),
+      (3L, Some("")), (4L, None: Option[String]),
+      (5L, Some("ab"))).toDF("doc_id", "text")
+    val got = Multimodal.pixelGridStub(docs, "doc_id", "text")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 5L), "empty/null payloads drop")
+    assert(got.values.forall(p => p.length === 1024 &&
+      p.forall(v => v >= 0 && v <= 255)))
+    // stretch invariance: 'aaaa…' reads 'a' at every sample whatever len
+    assert(got(1L) === got(2L))
+    // len=2: samples 0..511 read 'a', 512..1023 read 'b'
+    assert(got(5L).take(512).forall(_ === 'a'.toInt) &&
+      got(5L).drop(512).forall(_ === 'b'.toInt))
+  }
+
+  test("pHash64: deterministic, brightness-shift lands within a small " +
+      "Hamming radius (the DC term is excluded), unrelated content lands " +
+      "far, flat grids hash to 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(1024)(rnd.nextInt(256))
+    val bright = base.map(p => math.min(p + 3, 255))
+    val other = Seq.fill(1024)(rnd.nextInt(256))
+    val flat = Seq.fill(1024)(77)
+    val px = Seq((1L, base), (2L, bright), (3L, other), (4L, flat))
+      .toDF("id", "pixels")
+    val h = Multimodal.pHash64(px, "id", "pixels")
+      .as[(Long, Long)].collect().toMap
+    assert(h === Multimodal.pHash64(px, "id", "pixels")
+      .as[(Long, Long)].collect().toMap)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // brightness rides the excluded DC term; only quantization leaks bits
+    assert(ham(h(1L), h(2L)) <= 8,
+      s"brightness shift must stay near: ${ham(h(1L), h(2L))}")
+    // independent random grids: 63 fair coin flips — far apart
+    assert(ham(h(1L), h(3L)) >= 15,
+      s"unrelated content must land far: ${ham(h(1L), h(3L))}")
+    // every non-DC coefficient of a flat grid is the same tiny residue
+    // class around 0; none exceeds the median strictly on all-equal ties
+    assert(h(4L) === 0L)
+    // bit 63 clear by construction (63-bit hash)
+    assert(h.values.forall(_ >= 0L))
+  }
+
+  test("pHashPairs: banded candidate generation finds EVERY pair within " +
+      "maxHamming (pigeonhole recall 1.0) and nothing beyond") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val sigs = (0 until 60).map { i =>
+      val base = rnd.nextLong() & ((1L << 63) - 1)
+      (i.toLong, if (i % 3 == 0) base
+      else {
+        // flip i%13 bits of the previous base-ish signature
+        var s = base
+        (0 until i % 13).foreach(b => s ^= 1L << ((b * 7 + i) % 63))
+        s
+      })
+    }.toDF("id", "phash")
+    val got = Multimodal.pHashPairs(sigs, "id", "phash", maxHamming = 6,
+        maxBucketSize = 1000)
+      .as[(Long, Long, Int)].collect().toSet
+    val rows = sigs.as[(Long, Long)].collect()
+    val want = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) if h <= 6
+    } yield (a._1, b._1, h)).toSet
+    assert(got === want, s"banded pairs must equal brute force " +
+      s"(${got.size} vs ${want.size})")
+  }
 }
