@@ -2450,6 +2450,14 @@ object SparkEntry {
     "t37_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", numMerges = 5)),
 
+    // unigram-LM tokenizer training (SentencePiece-style): all chars +
+    // top-200 substrings seeded, 2 fixed rounds of quantized Viterbi-EM
+    // — the oracle replays the unrolled rounds position by position
+    "t51_unigram_lm_train" -> ((s, dir) =>
+      TextAnalysis.unigramLmTrain(t(s, dir, "documents"), "text",
+        vocabSize = 200, numRounds = 2, maxPieceLen = 4,
+        maxWordLen = 20)),
+
     // BPE ENCODING under the trained merges (rank order, same stack
     // fold): one map-only corpus pass, merges as plan-time literals
     "t38_bpe_encode" -> ((s, dir) => {
@@ -5020,6 +5028,104 @@ object SparkEntry {
          WHERE bit_count(xor(a.phash, b.phash)) <= 12"""
   }
 
+  /** t51's full unrolled replay: the SAME tokenize/seed counts, the
+    * identical quantization (ROUND(ln(c/total)·10⁶) — both engines'
+    * round is half-away-from-zero), and each fixed EM round's Viterbi
+    * UNROLLED position by position — forward stages carry per-word
+    * (bests, backpointers) lists, each stage LEFT-JOINing the previous
+    * model on the ≤ maxPieceLen candidate pieces and picking the max
+    * (score, pieceLen) struct (ties to the LONGER piece — the kernel's
+    * ascending-j strict-> rule); backward stages walk the pointers to
+    * emit the path pieces. Integer scores make every argmax exact.
+    */
+  private lazy val t51OracleSql: String = {
+    val P = 4; val L = 20; val V = 200; val R = 2
+    def modelCte(name: String, cnts: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, c,
+         |         CAST(ROUND(ln(CAST(c AS DOUBLE) /
+         |           CAST((SELECT SUM(c) FROM $cnts) AS DOUBLE)) * 1e6, 0)
+         |           AS BIGINT) AS q
+         |  FROM $cnts)""".stripMargin
+    def viterbiBlock(r: Int, model: String): String = {
+      val fwd = (1 to L).map { i =>
+        val ts = 1 to math.min(P, i)
+        val joins = ts.map(t =>
+          s"LEFT JOIN $model m$t ON $i <= length(v.word) AND " +
+            s"m$t.piece = substr(v.word, ${i - t + 1}, $t)")
+          .mkString("\n  ")
+        val cands = ts.map(t =>
+          s"CASE WHEN bests[${i - t + 1}] IS NOT NULL AND " +
+            s"m$t.q IS NOT NULL THEN " +
+            s"struct_pack(c := bests[${i - t + 1}] + m$t.q, t := $t) END")
+          .mkString(", ")
+        s"""v${r}_$i AS MATERIALIZED (
+           |  SELECT v.word, v.n,
+           |    list_append(bests, CASE WHEN $i <= length(v.word) THEN
+           |      (list_sort(list_filter([$cands], x -> x IS NOT NULL)))[-1].c
+           |      END) AS bests,
+           |    list_append(bps, CASE WHEN $i <= length(v.word) THEN
+           |      $i - (list_sort(list_filter([$cands],
+           |        x -> x IS NOT NULL)))[-1].t END) AS bps
+           |  FROM v${r}_${i - 1} v
+           |  $joins)""".stripMargin
+      }.mkString(",\n")
+      val back = (1 to L).map { k =>
+        s"""s${r}_$k AS MATERIALIZED (
+           |  SELECT word, n,
+           |    CASE WHEN pos > 0 THEN bps[pos + 1] ELSE pos END AS pos,
+           |    bps,
+           |    CASE WHEN pos > 0 THEN list_append(pieces,
+           |      substr(word, bps[pos + 1] + 1, pos - bps[pos + 1]))
+           |      ELSE pieces END AS pieces
+           |  FROM s${r}_${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""v${r}_0 AS MATERIALIZED (
+         |  SELECT token AS word, n, [CAST(0 AS BIGINT)] AS bests,
+         |         [0] AS bps
+         |  FROM toks),
+         |$fwd,
+         |s${r}_0 AS MATERIALIZED (
+         |  SELECT word, n,
+         |    CASE WHEN bests[length(word) + 1] IS NOT NULL
+         |         THEN length(word) ELSE 0 END AS pos,
+         |    bps, CAST([] AS VARCHAR[]) AS pieces
+         |  FROM v${r}_$L),
+         |$back,
+         |cnt$r AS MATERIALIZED (
+         |  SELECT u.piece, CAST(SUM(n) AS BIGINT) AS c
+         |  FROM s${r}_$L, UNNEST(pieces) AS u(piece)
+         |  GROUP BY 1),
+         |${modelCte(s"model$r", s"cnt$r")}""".stripMargin
+    }
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT t.token, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT UNNEST(string_split(regexp_replace(lower(trim(text)),
+       |          '\\s+', ' ', 'g'), ' ')) AS token FROM documents) t
+       |  WHERE t.token <> '' AND length(t.token) <= $L
+       |  GROUP BY 1),
+       |subs AS MATERIALIZED (
+       |  SELECT u.piece, CAST(SUM(n) AS BIGINT) AS c
+       |  FROM toks, UNNEST(flatten(list_transform(
+       |    range(1, length(token) + 1), i ->
+       |      list_transform(range(i, least(i + ${P - 1},
+       |          length(token)) + 1), j ->
+       |        substr(token, CAST(i AS INT),
+       |          CAST(j - i + 1 AS INT)))))) AS u(piece)
+       |  GROUP BY 1),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, c FROM subs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c,
+       |           row_number() OVER (ORDER BY c DESC, piece ASC) AS rn
+       |    FROM subs WHERE length(piece) >= 2) WHERE rn <= $V),
+       |${modelCte("model0", "seed")},
+       |${(1 to R).map(r => viterbiBlock(r, s"model${r - 1}"))
+           .mkString(",\n")}
+       |SELECT piece, c AS n_piece, q AS q_logp FROM model$R""".stripMargin
+  }
+
   /** g20's absorbing-chain replay — shared verbatim by e30 because
     * the streaming drain must equal the batch operator over the full
     * history (the e-series contract).
@@ -7468,6 +7574,8 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5""",
     // BPE training: 5 unrolled census→argmax→stack-fold rounds
     "t37_bpe_train" -> t37OracleSql(5),
+    // t51: the generated unrolled Viterbi-EM replay — see t51OracleSql
+    "t51_unigram_lm_train" -> t51OracleSql,
     // media integrity: byte lengths via octet_length over encode()d
     // blobs (no blob substring — the truncation happens on the VARCHAR)
     "m07_media_integrity" ->

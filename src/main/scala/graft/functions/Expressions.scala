@@ -161,6 +161,32 @@ case class ByteWindowEnergies(child: Expression, w: Int) extends UnaryExpression
   override def prettyName: String = "byte_window_energies"
 }
 
+/** Unigram-LM Viterbi segmentation under a trained quantized-log-prob
+  * vocabulary (see [[HashKernels.unigramViterbi]]) — the vocabulary is a
+  * plan-time constant shipped as a codegen reference object (the
+  * [[BpeEncodeSyms]] bounded-model pattern): one static call per word,
+  * primitive DP loops, exact integer score comparisons.
+  */
+case class UnigramViterbi(child: Expression, vocab: Seq[(String, Long)],
+    maxPieceLen: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, q) => m.put(p, java.lang.Long.valueOf(q)) }
+    m
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.unigramViterbi(v.asInstanceOf[UTF8String], table, maxPieceLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.unigramViterbi($c, $ref, $maxPieceLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramViterbi =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_viterbi"
+}
+
 /** DCT perceptual-hash kernel over a 1024-int pixel grid (see
   * [[HashKernels.pHashDct]]) — an imperative kernel rather than the
   * transform/aggregate formulation because CollapseProject inlines each
@@ -468,6 +494,9 @@ object GraftFunctions {
     DupFractions(Bridge.expression(c)))
   def phash_dct(c: Column): Column = Bridge.column(
     PHashDct(Bridge.expression(c)))
+  def unigram_viterbi(c: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int): Column = Bridge.column(
+    UnigramViterbi(Bridge.expression(c), vocab, maxPieceLen))
   def token_set_hits(c: Column, table: Seq[Seq[String]]): Column = Bridge.column(
     TokenSetHits(Bridge.expression(c), table))
 

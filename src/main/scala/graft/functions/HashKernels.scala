@@ -380,6 +380,76 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
   }
 
+  /** Unigram-LM Viterbi segmentation kernel (the decode step of the
+    * Kudo 2018 SentencePiece unigram model; see PAPERS.md): DP over a
+    * word's CODE POINTS — best(i) = max over piece lengths t ≤
+    * `maxPieceLen` of best(i−t) + q(piece), scores being the QUANTIZED
+    * integer log-probs of the trained vocabulary (`table`), so the
+    * argmax compares exact integers and engines cannot disagree. Ties
+    * break to the SMALLEST split point j (= the LONGEST last piece):
+    * j iterates ascending with a strict `>`. Returns the best path's
+    * pieces in order; a word not fully coverable by the vocabulary
+    * returns the EMPTY array (the caller's documented skip semantics —
+    * with all single characters seeded the trainer never produces one,
+    * since every piece on a previous best path survives pruning).
+    * One imperative pass (O(len · maxPieceLen) map lookups) — the
+    * per-stage DataFrame formulation would shuffle the vocabulary per
+    * position; this is the [[bpeEncodeSyms]] bounded-model pattern.
+    */
+  def unigramViterbi(s: UTF8String, table: java.util.HashMap[String, java.lang.Long],
+      maxPieceLen: Int): ArrayData = {
+    val str = s.toString
+    val cps = new java.util.ArrayList[String]()
+    var ci = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      val n = Character.charCount(cp)
+      cps.add(str.substring(ci, ci + n))
+      ci += n
+    }
+    val L = cps.size()
+    if (L == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val NEG = java.lang.Long.MIN_VALUE
+    val best = Array.fill(L + 1)(NEG)
+    val bp = new Array[Int](L + 1)
+    best(0) = 0L
+    var i = 1
+    while (i <= L) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != NEG) {
+          val sb = new java.lang.StringBuilder()
+          var k = j
+          while (k < i) { sb.append(cps.get(k)); k += 1 }
+          val q = table.get(sb.toString)
+          if (q != null && best(j) + q > best(i)) {
+            best(i) = best(j) + q
+            bp(i) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (best(L) == NEG)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val out = new java.util.ArrayList[UTF8String]()
+    var pos = L
+    while (pos > 0) {
+      val j = bp(pos)
+      val sb = new java.lang.StringBuilder()
+      var k = j
+      while (k < pos) { sb.append(cps.get(k)); k += 1 }
+      out.add(0, UTF8String.fromString(sb.toString))
+      pos = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
   /** The 8×32 fixed-point DCT basis behind [[pHashDct]]: K(u,r) =
     * round(cos(π(2r+1)u/64)·2¹⁵) — quantized ONCE here and spliced as
     * integer literals into the generated DuckDB oracle, so the two

@@ -853,6 +853,88 @@ object TextAnalysis {
         array_join(slice(col("__syms"), 1, 8), " ").as("head_syms"))
   }
 
+  /** Unigram-LM tokenizer TRAINING (Kudo 2018, "Subword Regularization"
+    * — the SentencePiece unigram model; see PAPERS.md), completing the
+    * tokenizer family next to BPE ([[bpeTrain]]/[[bpeEncode]]). Two
+    * published-variant choices buy exact cross-engine replay:
+    *
+    *  - FIXED-ROUND hard EM (Viterbi-EM) instead of run-to-convergence
+    *    soft EM: each round segments every vocabulary word by Viterbi
+    *    under the current piece probabilities, re-estimates each piece's
+    *    probability from its count along those best paths, and PRUNES
+    *    pieces no path used (the g20 fixed-round convention — engines
+    *    agree without a convergence test; hard EM is the standard
+    *    decode-time approximation of the same objective).
+    *  - QUANTIZED log-probs: q(piece) = round(ln(count/total)·10⁶) as a
+    *    LONG, so Viterbi argmaxes compare exact integers and the two
+    *    engines cannot disagree on a path (the zipfFit integer-grid
+    *    convention; the one ln per piece follows the t21 libm contract).
+    *
+    * Seeding: ALL single characters (coverage — every word stays
+    * segmentable: any piece on a best path earns count ≥ 1 and
+    * survives pruning, inductively) plus the `vocabSize` most frequent
+    * multi-character substrings of length ≤ `maxPieceLen` (occurrences
+    * weighted by word frequency; ties by piece string — deterministic).
+    * Words longer than `maxWordLen` code points are excluded from
+    * training (the SentencePiece max-length contract).
+    *
+    * Scale posture: everything after tokenization operates on the
+    * VOCABULARY frame (distinct words × counts — the t20 contract), not
+    * the corpus; each EM round is ONE codegen Viterbi kernel pass
+    * ([[graft.functions.HashKernels.unigramViterbi]] — the bpeEncodeSyms
+    * bounded-model pattern, the trained table shipped as a plan-time
+    * reference object) + ONE vocab-bounded hash aggregate; the per-round
+    * model collect is ≤ chars + vocabSize rows (the sanctioned
+    * model-fit collect — the piece table IS the model).
+    *
+    * Output: the trained model — (piece, n_piece, q_logp): each
+    * surviving piece, its final-round path count, and its quantized
+    * log-probability.
+    */
+  def unigramLmTrain(df: DataFrame, textCol: String, vocabSize: Int,
+      numRounds: Int, maxPieceLen: Int = 4,
+      maxWordLen: Int = 20): DataFrame = {
+    require(vocabSize >= 1, "need at least one multi-char piece slot")
+    require(numRounds >= 1, "need at least one EM round")
+    require(maxPieceLen >= 2, "pieces beyond single chars need length >= 2")
+    require(maxWordLen >= 1, "need a positive word-length cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def qlog(c: Long, total: Long): Long =
+      BigDecimal(math.log(c.toDouble / total.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def toModel(rows: Array[(String, Long)]): Seq[(String, Long, Long)] = {
+      val total = rows.map(_._2).sum
+      rows.toSeq.map { case (p, c) => (p, c, qlog(c, total)) }.sortBy(_._1)
+    }
+    val words = tokenCounts(df, textCol)
+      .filter(length(col("token")) <= maxWordLen)
+      .localCheckpoint(true)
+    // seed counts: every substring occurrence up to maxPieceLen, weighted
+    // by word frequency (one vocab-bounded explode + hash aggregate)
+    val subs = words.select(col("n"), explode(expr(
+        s"""flatten(transform(sequence(1, length(token)), i ->
+           |  transform(sequence(i, least(i + ${maxPieceLen - 1},
+           |      length(token))), j ->
+           |    substring(token, i, j - i + 1))))""".stripMargin))
+        .as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("c"))
+    val seed = subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("c").desc, col("piece").asc).limit(vocabSize))
+    var model = toModel(seed.as[(String, Long)].collect())
+    for (_ <- 1 to numRounds) {
+      val vocabLit = model.map(m => (m._1, m._3))
+      val counts = words.select(col("n"),
+          explode(graft.functions.GraftFunctions.unigram_viterbi(
+            col("token"), vocabLit, maxPieceLen)).as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("c"))
+        .as[(String, Long)].collect()
+      model = toModel(counts) // unused pieces are absent — pruned
+    }
+    model.toDF("piece", "n_piece", "q_logp")
+  }
+
   /** Zipf rank–frequency fit: ordinary-least-squares slope/intercept of
     * `ln(count)` on `ln(rank)` over the corpus's top `topN` vocabulary
     * ranks — the standard corpus-health diagnostic (natural language sits

@@ -1018,6 +1018,92 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3L) === ((0L, "")), "empty doc encodes to zero symbols")
   }
 
+  test("unigramLmTrain: hand-computed two-round EM on a tiny corpus — " +
+      "seed probs, Viterbi paths, pruning of unused chars, quantized " +
+      "log-probs; bad params rejected") {
+    import spark.implicits._
+    // tokens: ab x3, cd x1. Seed counts: a/b/ab 3 each, c/d/cd 1 each,
+    // total 12. q(ab) = round(ln(3/12)*1e6) = -1386294; [ab] beats [a,b]
+    // (-1386294 > -2772588), [cd] beats [c,d] — so round 1 counts are
+    // ab:3, cd:1 (total 4) and ALL single chars prune away (hard-EM
+    // pruning); round 2 re-segments identically under the pruned vocab.
+    val docs = Seq("ab ab ab", "cd").toDF("text")
+    val got = TextAnalysis.unigramLmTrain(docs, "text", vocabSize = 10,
+        numRounds = 2, maxPieceLen = 4, maxWordLen = 20)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    def q(c: Long, tot: Long): Long =
+      BigDecimal(math.log(c.toDouble / tot.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(got.toSeq === Seq(("ab", 3L, q(3, 4)), ("cd", 1L, q(1, 4))),
+      got.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramLmTrain(docs, "text", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramLmTrain(docs, "text", 10, 0)
+    }
+  }
+
+  test("unigramLmTrain coverage: with all single chars seeded, every " +
+      "training word stays segmentable through pruning rounds (piece " +
+      "counts bound the word occurrences)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = (1 to 40).map(_ =>
+      (1 to 6).map(_ => "abcde".charAt(rnd.nextInt(5))).mkString)
+      .mkString(" ").split(" ").grouped(8).map(_.mkString(" ")).toSeq
+      .toDF("text")
+    val words = TextAnalysis.tokenCounts(docs, "text")
+      .as[(String, Long)].collect()
+    val model = TextAnalysis.unigramLmTrain(docs, "text", vocabSize = 20,
+        numRounds = 3, maxPieceLen = 3, maxWordLen = 20)
+      .as[(String, Long, Long)].collect()
+    // every word segments into >= 1 piece per occurrence, and a word
+    // shorter than 2*minPiece can't split more than its length
+    val totalPieces = model.map(_._2).sum
+    val totalWords = words.map(_._2).sum
+    assert(totalPieces >= totalWords,
+      s"unsegmentable words dropped from EM: $totalPieces < $totalWords")
+    // log-probs normalize over the surviving vocab: Σ exp(q/1e6) ≈ 1
+    val mass = model.map(m => math.exp(m._3.toDouble / 1e6)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"prob mass $mass")
+  }
+
+  test("unigram Viterbi kernel: max-score segmentation equals brute-force " +
+      "enumeration (exact integer scores), empty/uncoverable words yield " +
+      "the empty array") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // random vocab over {a,b}: all chars + random multi pieces
+    val vocab = Seq("a" -> -100000L, "b" -> -150000L) ++
+      Seq("aa", "ab", "ba", "aab", "bba", "abab")
+        .map(p => p -> (-50000L - rnd.nextInt(200000).toLong))
+    val words = (1 to 60).map(_ =>
+      (1 to (3 + rnd.nextInt(6))).map(_ => "ab".charAt(rnd.nextInt(2)))
+        .mkString) :+ "xzq" :+ ""
+    val got = words.toDF("w")
+      .select(col("w"), graft.functions.GraftFunctions.unigram_viterbi(
+        col("w"), vocab, 4).as("pieces"))
+      .as[(String, Seq[String])].collect().toMap
+    val table = vocab.toMap
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, w.length)).flatMap { t =>
+        val p = w.take(t)
+        if (table.contains(p)) allSegs(w.drop(t)).map(p +: _)
+        else Seq.empty
+      }
+    words.filter(w => w.nonEmpty && !w.contains('x')).foreach { w =>
+      val best = allSegs(w).map(seg => seg.map(table).sum).max
+      val gotScore = got(w).map(table).sum
+      assert(got(w).mkString === w, s"$w: pieces must tile the word")
+      assert(gotScore === best,
+        s"$w: kernel score $gotScore != brute force $best")
+    }
+    assert(got("xzq") === Seq.empty, "uncoverable word yields empty")
+    assert(got("") === Seq.empty, "empty word yields empty")
+  }
+
   test("gopherRules: each rule trips on its planted violation, clean " +
       "prose passes all, and boundary ratios sit on the integer fence") {
     import spark.implicits._
