@@ -2878,6 +2878,38 @@ object SparkEntry {
         Seq("event_type", "hour_of_day", "value_bucket"))
     }),
 
+    // streaming t-closeness: class-value counters + the global-value
+    // scalar store update incrementally; per-batch rows flag touched
+    // classes against the CURRENT global, and the drained gate
+    // recomputes ALL classes from final state through the SHARED v04
+    // arithmetic — drained report == v04 by construction
+    "e31_streaming_t_closeness" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e31").toString
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        expr("((ts div 1000) div 3600000000) % 24").as("hour_of_day"),
+        floor(col("value") / lit(10.0)).cast("long").as("value_bucket"))
+      ev.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("event_id BIGINT, event_type STRING, hour_of_day BIGINT, " +
+          "value_bucket BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingTCloseness.start(s, src,
+        Seq("hour_of_day", "value_bucket"), "event_type", t = 0.2,
+        ordered = false, s"$tmp/vals", s"$tmp/global", s"$tmp/report",
+        s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e31 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingTCloseness.report(s, s"$tmp/vals",
+        s"$tmp/global", Seq("hour_of_day", "value_bucket"), t = 0.2)
+    }),
+
     // streaming chunk dedup: the m08 storage report kept current at
     // ingest — chunk-key state is append-only facts, emissions are
     // per-batch deltas (pure sums, replay-proof)
@@ -5125,6 +5157,42 @@ object SparkEntry {
            .mkString(",\n")}
        |SELECT piece, c AS n_piece, q AS q_logp FROM model$R""".stripMargin
   }
+
+  /** v04's categorical EMD replay — present-value |c·N − g·n| terms in
+    * HUGEINT, the absent-value mass folded in algebraically, one final
+    * division. Shared verbatim by e31 because the streaming monitor's
+    * drained report must equal the batch audit over everything streamed
+    * (the e-series contract).
+    */
+  private val v04OracleSql: String =
+    """WITH ev AS (
+           SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                  CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket
+           FROM events),
+         g AS (SELECT event_type AS v, CAST(COUNT(*) AS BIGINT) AS gc
+               FROM ev GROUP BY 1),
+         tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gt FROM g),
+         cv AS (SELECT hour_of_day, value_bucket, event_type AS v,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM ev GROUP BY 1, 2, 3),
+         cn AS (SELECT hour_of_day, value_bucket, CAST(SUM(c) AS BIGINT) AS n
+                FROM cv GROUP BY 1, 2),
+         s AS (SELECT cv.hour_of_day, cv.value_bucket, cn.n, tot.gt,
+                      SUM(ABS(CAST(cv.c AS HUGEINT) * tot.gt -
+                              CAST(g.gc AS HUGEINT) * cn.n)) AS s1,
+                      CAST(SUM(g.gc) AS BIGINT) AS s2
+               FROM cv JOIN g USING (v)
+                       JOIN cn USING (hour_of_day, value_bucket)
+                       CROSS JOIN tot
+               GROUP BY 1, 2, 3, 4)
+         SELECT hour_of_day, value_bucket, n AS n_rows,
+                ROUND(CAST(s1 + CAST(gt - s2 AS HUGEINT) * n AS DOUBLE) /
+                      CAST(CAST(n AS HUGEINT) * gt * 2 AS DOUBLE), 9) + 0.0
+                  AS emd,
+                CAST(s1 + CAST(gt - s2 AS HUGEINT) * n AS DOUBLE) /
+                CAST(CAST(n AS HUGEINT) * gt * 2 AS DOUBLE) <= 0.2 AS t_close
+         FROM s"""
 
   /** g20's absorbing-chain replay — shared verbatim by e30 because
     * the streaming drain must equal the batch operator over the full
@@ -8015,35 +8083,8 @@ object SparkEntry {
          FROM pick""",
     // v04: categorical EMD — present-value |c·N − g·n| terms in HUGEINT,
     // the absent-value mass folded in algebraically, one final division
-    "v04_t_closeness" ->
-      """WITH ev AS (
-           SELECT event_type,
-                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
-                  CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket
-           FROM events),
-         g AS (SELECT event_type AS v, CAST(COUNT(*) AS BIGINT) AS gc
-               FROM ev GROUP BY 1),
-         tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gt FROM g),
-         cv AS (SELECT hour_of_day, value_bucket, event_type AS v,
-                       CAST(COUNT(*) AS BIGINT) AS c
-                FROM ev GROUP BY 1, 2, 3),
-         cn AS (SELECT hour_of_day, value_bucket, CAST(SUM(c) AS BIGINT) AS n
-                FROM cv GROUP BY 1, 2),
-         s AS (SELECT cv.hour_of_day, cv.value_bucket, cn.n, tot.gt,
-                      SUM(ABS(CAST(cv.c AS HUGEINT) * tot.gt -
-                              CAST(g.gc AS HUGEINT) * cn.n)) AS s1,
-                      CAST(SUM(g.gc) AS BIGINT) AS s2
-               FROM cv JOIN g USING (v)
-                       JOIN cn USING (hour_of_day, value_bucket)
-                       CROSS JOIN tot
-               GROUP BY 1, 2, 3, 4)
-         SELECT hour_of_day, value_bucket, n AS n_rows,
-                ROUND(CAST(s1 + CAST(gt - s2 AS HUGEINT) * n AS DOUBLE) /
-                      CAST(CAST(n AS HUGEINT) * gt * 2 AS DOUBLE), 9) + 0.0
-                  AS emd,
-                CAST(s1 + CAST(gt - s2 AS HUGEINT) * n AS DOUBLE) /
-                CAST(CAST(n AS HUGEINT) * gt * 2 AS DOUBLE) <= 0.2 AS t_close
-         FROM s""",
+    // v04: the generated shared categorical-EMD replay — see v04OracleSql
+    "v04_t_closeness" -> v04OracleSql,
     // v05: ordered EMD over the m-value global grid — per-class
     // cumulative sums, HUGEINT terms, one final division by n·N·(m−1)
     "v05_t_closeness_ordered" ->
@@ -8093,6 +8134,9 @@ object SparkEntry {
     // the e-series contract: the drained latest-batch-wins audit equals
     // the batch v03 over the full event history
     "e24_streaming_k_anonymity" -> v03OracleSql,
+    // e31 IS v04 over everything streamed — one oracle, zero drift by
+    // construction (the drained report runs the same distance arithmetic)
+    "e31_streaming_t_closeness" -> v04OracleSql,
     // dataset card: every stat replayed with the engine's exact
     // arithmetic (DECIMAL quality sum, rounded-then-DECIMAL entropy
     // terms, md5-of-normalized dup definition)

@@ -134,16 +134,31 @@ object Governance {
       sensitiveCol: String, t: Double,
       ordered: Boolean = false): DataFrame = {
     require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
-    require(t > 0.0 && t <= 1.0, s"t must lie in (0, 1], got $t")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val q = quasiIdCols.map(col)
     val rows = df.filter(col(sensitiveCol).isNotNull)
       .select(q :+ col(sensitiveCol).as("__v"): _*)
     val global = rows.groupBy("__v").agg(count(lit(1)).as("__g"))
-    val totals = global.agg(coalesce(sum(col("__g")), lit(0L)).as("__gt"),
-      count(lit(1)).as("__m"))
     val byClassVal = rows.groupBy(q :+ col("__v"): _*)
       .agg(count(lit(1)).as("__c"))
+    tClosenessFromCounts(byClassVal, global, quasiIdCols, t, ordered)
+  }
+
+  /** The SHARED v04/v05 distance arithmetic over pre-aggregated counts —
+    * `byClassVal` is (quasi…, __v, __c) and `global` is (__v, __g); the
+    * batch audit ([[tClosenessAudit]]) derives both from the rows, the
+    * streaming monitor ([[graft.streaming.StreamingTCloseness]])
+    * resolves both from its LSM state — one arithmetic, zero drift by
+    * construction (the e-series contract).
+    */
+  private[graft] def tClosenessFromCounts(byClassVal: DataFrame,
+      global: DataFrame, quasiIdCols: Seq[String], t: Double,
+      ordered: Boolean): DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
+    require(t > 0.0 && t <= 1.0, s"t must lie in (0, 1], got $t")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = quasiIdCols.map(col)
+    val totals = global.agg(coalesce(sum(col("__g")), lit(0L)).as("__gt"),
+      count(lit(1)).as("__m"))
     // per-class totals ride a CLASS-KEYED window over the class's ≤ m
     // value rows (vocabulary-bounded, never the corpus) instead of a
     // classN equi-join: a NULL quasi-id class is its own auditable class

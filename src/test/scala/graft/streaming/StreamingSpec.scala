@@ -2387,4 +2387,63 @@ class StreamingSpec extends SparkTestBase {
     assert(after._1 === want._1 + 1 && after._5 === want._5,
       "a post-compaction repeat adds bytes but zero unique bytes")
   }
+
+  test("streaming t-closeness: threshold crossing flags the drifting " +
+      "class at its touching batch, drained report equals the batch " +
+      "audit, replay is idempotent, compaction preserves the report, " +
+      "null classes and null sensitive follow the batch contract") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_e31_spec").toString
+    // batch 1: A balanced over {x, y}; B is the large balanced ANCHOR
+    // class (a small class can only drift from a global it does not
+    // itself dominate); global = x:22, y:21
+    val b1 = (Seq(
+      (Some("A"), Some("x")), (Some("A"), Some("y")),
+      // null sensitive carries no mass (the v04 contract)
+      (Some("A"), None),
+      // a NULL quasi class is its own auditable class
+      (None, Some("x"))) ++
+      (1 to 20).flatMap(_ => Seq((Some("B"), Some("x")),
+        (Some("B"), Some("y"))))).toDF("zip", "diag")
+    // batch 2: A drifts hard toward x — it must cross t; B is untouched
+    val b2 = (1 to 6).map(_ => (Some("A"), Some("x"))).toDF("zip", "diag")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingTCloseness.processBatch(df, id, Seq("zip"), "diag",
+        t = 0.2, ordered = false, s"$dir/vals", s"$dir/global",
+        s"$dir/report")
+    run(b1, 0L)
+    val r0 = spark.read.parquet(s"$dir/report/batch=0")
+      .as[(Option[String], Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // A vs (22/43, 21/43): exact integer route 2/172 = 0.011627907
+    assert(r0(Some("A")) === ((2L, 0.011627907, true)),
+      s"A starts near the global: ${r0(Some("A"))}")
+    // the all-x null class: 42/86 = 0.488372093 — audited, and far
+    assert(r0(None) === ((1L, 0.488372093, false)),
+      s"the null class must report: ${r0(None)}")
+    run(b2, 1L)
+    val r1 = spark.read.parquet(s"$dir/report/batch=1")
+      .as[(Option[String], Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(r1.keySet === Set(Some("A")),
+      "only the touched class re-emits at its touching batch")
+    assert(r1(Some("A"))._1 === 8L && !r1(Some("A"))._3,
+      s"A must cross the t bound when it drifts: ${r1(Some("A"))}")
+    // drained report == the batch audit over everything streamed
+    def drained() = StreamingTCloseness.report(spark, s"$dir/vals",
+        s"$dir/global", Seq("zip"), t = 0.2)
+      .as[(Option[String], Long, Double, Boolean)].collect().toSet
+    val want = graft.operators.Governance.tClosenessAudit(
+        b1.unionByName(b2), Seq("zip"), "diag", t = 0.2)
+      .as[(Option[String], Long, Double, Boolean)].collect().toSet
+    assert(drained() === want, s"drained != batch: ${drained()} vs $want")
+    // crash-replay of batch 1: state unchanged (batch-keyed tails are
+    // overwritten; the exclude-own-batch scan sees only prior state)
+    run(b2, 1L)
+    assert(drained() === want, "replay double-counted")
+    // compaction folds tails latest-wins; the report is unchanged
+    StreamingTCloseness.compactState(spark, s"$dir/vals", s"$dir/global",
+      Seq("zip"))
+    assert(drained() === want, "compaction changed the report")
+  }
 }
