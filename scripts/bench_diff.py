@@ -7,22 +7,30 @@ fail to parse; capture local baselines with
 `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Bench" | grep -o '{"metric".*' > bench.json`.
 
 Usage: bench_diff.py <old.json> <new.json> [threshold_ratio=2.0]
+       [--isolate <sfDir>]
 
 Exits non-zero when any overlapping query regressed past the threshold,
 so it works as a gate after a bench run (see README "Bench-regression
 tripwire"). Bench numbers swing 2-3x with machine load (see
-.claude/skills/verify): treat flags as "profile this isolated on the
-same machine", not as proof — the gate is a tripwire, not a verdict.
+.claude/skills/verify) — which is why, with `--isolate <sfDir>`, every
+flag is AUTOMATICALLY re-measured isolated: the flagged queries re-run
+through `graft.Bench` in a FRESH JVM (SPARK_GRAFT_ONLY restricts it),
+and the gate prints `flagged -> isolated` pairs. A flag whose isolated
+time clears the same threshold is adjudicated machine drift and no
+longer fails the gate (every r12 flag was hand-adjudicated exactly this
+way — s11, d20/d21/d22, e27, c27; this encodes it). Without --isolate
+the old treat-as-tripwire semantics hold.
 
 NEW queries (no previous-round counterpart) get an ABSOLUTE tripwire
 (r10 verdict #2: d15 shipped at 90.8 s unflagged because only shared
 queries were compared): a new query exceeding NEW_ABS_BUDGET seconds
 or 3x its prefix-family median (family = the letter prefix of the
 query id, medians taken over the queries both rounds share) is flagged
-and exits non-zero — it needs an isolated re-measure + plan audit in
+— isolated re-measure applies to these too; one that clears both its
+triggers isolated is adjudicated, the rest need a plan audit in
 BENCH_AB_r{N}.md before the closing snapshot commits.
 """
-import json, statistics, sys
+import json, os, re, statistics, subprocess, sys
 
 NEW_ABS_BUDGET = 10.0  # seconds at sf0.1
 NEW_FAMILY_RATIO = 3.0
@@ -54,8 +62,51 @@ def load(path):
     raise SystemExit(f"{path}: no parseable bench JSON line found{detail}")
 
 
-old, new = load(sys.argv[1]), load(sys.argv[2])
-thr = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+def parse_bench_stdout(text):
+    for line in text.splitlines():
+        i = line.find('{"metric"')
+        if i < 0:
+            continue
+        try:
+            obj, _ = json.JSONDecoder().raw_decode(line[i:])
+            return obj.get("queries", {})
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def isolated_rerun(sf_dir, names):
+    """Re-run exactly `names` through graft.Bench in a fresh JVM and
+    return {name: seconds} (None on launch/parse failure — the caller
+    keeps the un-adjudicated flags)."""
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_ONLY=",".join(sorted(names)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench"],
+            env=env, cwd=repo, capture_output=True, text=True,
+            timeout=3600)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"  isolate: re-run failed to launch ({e}); flags stand")
+        return None
+    q = parse_bench_stdout(out.stdout + "\n" + out.stderr)
+    if q is None:
+        print("  isolate: no bench JSON in re-run output; flags stand")
+    return q
+
+
+args = [a for a in sys.argv[1:] if a != "--isolate"]
+iso_dir = None
+if "--isolate" in sys.argv:
+    i = sys.argv.index("--isolate")
+    if i + 1 >= len(sys.argv):
+        raise SystemExit("--isolate needs an <sfDir> argument")
+    iso_dir = sys.argv[i + 1]
+    args = sys.argv[1:i] + sys.argv[i + 2:]
+old, new = load(args[0]), load(args[1])
+thr = float(args[2]) if len(args) > 2 else 2.0
 oq, nq = old.get("queries", {}), new.get("queries", {})
 flags = []
 added, gone = sorted(nq.keys() - oq.keys()), sorted(oq.keys() - nq.keys())
@@ -92,6 +143,48 @@ for name in added:
 for b, name, why in sorted(new_flags, reverse=True):
     print(f"  NEW   {name}: {b:.2f}s ({why}) — isolated plan audit "
           f"required in BENCH_AB before round close")
+
+# --isolate: machine-check every flag in a fresh JVM; flags whose
+# isolated time clears the same trigger are adjudicated drift
+if iso_dir and (flags or new_flags):
+    names = [n for _, n, _, _ in flags] + [n for _, n, _ in new_flags]
+    print(f"  isolate: re-running {len(names)} flagged queries fresh "
+          f"({iso_dir}) ...")
+    iso = isolated_rerun(iso_dir, names)
+    if iso is not None:
+        kept = []
+        for r, name, a, b in flags:
+            it = iso.get(name)
+            if it is None:
+                kept.append((r, name, a, b))
+                print(f"  flagged -> isolated  {name}: {b:.2f}s -> "
+                      f"(missing from re-run); flag stands")
+            elif a > 0 and it / a >= thr and it > 0.5:
+                kept.append((it / a, name, a, it))
+                print(f"  flagged -> isolated  {name}: {b:.2f}s -> "
+                      f"{it:.2f}s — STILL {it / a:.1f}x; flag stands")
+            else:
+                print(f"  flagged -> isolated  {name}: {b:.2f}s -> "
+                      f"{it:.2f}s — clears {thr:.1f}x; adjudicated drift")
+        flags = kept
+        kept_new = []
+        for b, name, why in new_flags:
+            it = iso.get(name)
+            f = family(name)
+            med = fam_med.get(f)
+            still_abs = it is None or it > NEW_ABS_BUDGET
+            still_fam = it is not None and med is not None and med > 0 \
+                and it / med >= NEW_FAMILY_RATIO and it > 0.5
+            if still_abs or still_fam:
+                kept_new.append((b if it is None else it, name, why))
+                shown = "missing" if it is None else f"{it:.2f}s"
+                print(f"  flagged -> isolated  NEW {name}: {b:.2f}s -> "
+                      f"{shown}; flag stands")
+            else:
+                print(f"  flagged -> isolated  NEW {name}: {b:.2f}s -> "
+                      f"{it:.2f}s — clears budget+family; adjudicated")
+        new_flags = kept_new
+
 print(f"total: {old.get('value', '?')} -> {new.get('value', '?')} sec; "
       f"{len(flags)} flagged >= {thr}x; {len(new_flags)} new-query flags; "
       f"new: {', '.join(added) or '-'}; "

@@ -2458,6 +2458,18 @@ object SparkEntry {
         vocabSize = 200, numRounds = 2, maxPieceLen = 4,
         maxWordLen = 20)),
 
+    // unigram-LM ENCODING under the trained model (plan-time literals,
+    // the t38 convention): one map-only kernel pass over the corpus
+    "t52_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.unigramLmTrain(docs, "text",
+          vocabSize = 200, numRounds = 2, maxPieceLen = 4,
+          maxWordLen = 20)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      TextAnalysis.unigramEncode(docs, "doc_id", "text", model,
+        maxPieceLen = 4, maxWordLen = 20)
+    }),
+
     // BPE ENCODING under the trained merges (rank order, same stack
     // fold): one map-only corpus pass, merges as plan-time literals
     "t38_bpe_encode" -> ((s, dir) => {
@@ -3081,12 +3093,18 @@ object SparkEntry {
     // index through the SAME scoring tail — drained report == b02
     "e27_streaming_bm25" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_e27").toString
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // the b02 planted-selective-term panel + df cap (see b02) — the
+      // per-batch scoring join is postings-bounded, not corpus-wide
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" tok"),
+          (col("doc_id") % 50).cast("string")).as("text"))
       val queries = docs.filter(col("doc_id") % 40 === 7)
         .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(
-            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "),
-            2, 4)).as("qtext"))
+          concat_ws(" ",
+            concat(lit("tok"), (col("doc_id") % 50).cast("string")),
+            concat_ws(" ", slice(
+              split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+                " "), 2, 2))).as("qtext"))
         .localCheckpoint(eager = true)
       docs.filter(col("doc_id") % 2 === 0)
         .coalesce(1).write.parquet(s"$tmp/stream/b1")
@@ -3097,7 +3115,7 @@ object SparkEntry {
         .parquet(s"$tmp/stream/*")
       val q = graft.streaming.StreamingBm25.start(s, src, "doc_id", "text",
         queries, "query_id", "qtext", s"$tmp/state", s"$tmp/report",
-        s"$tmp/cp", k = 5, maxDfFrac = 1.0)
+        s"$tmp/cp", k = 5, maxDfFrac = 0.5)
       if (!q.awaitTermination(300000)) {
         q.stop()
         throw new IllegalStateException("e27 stream did not drain in 300s")
@@ -3690,14 +3708,24 @@ object SparkEntry {
     // capless (maxDfFrac=1.0); the cap is spec-pinned. Per-term scores
     // round to 9 dp and sum as exact DECIMAL — ranking is deterministic
     "b02_bm25_topk" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // planted selective terms: each doc carries ' tokM' (M = id % 50,
+      // df ≈ 2%) so the panel mixes a rare term with the fixture's
+      // 31-token universal vocabulary — and the df cap at 0.5 SCREENS
+      // the universal terms, collapsing the scoring join to the rare
+      // term's postings (the real retrieval shape; the universal-vocab
+      // worst case stays spec-pinned in TextAnalysisSpec)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" tok"),
+          (col("doc_id") % 50).cast("string")).as("text"))
       val queries = docs.filter(col("doc_id") % 40 === 7)
         .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(
-            split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "),
-            2, 4)).as("qtext"))
+          concat_ws(" ",
+            concat(lit("tok"), (col("doc_id") % 50).cast("string")),
+            concat_ws(" ", slice(
+              split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+                " "), 2, 2))).as("qtext"))
       TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
-        "query_id", "qtext", k = 5, maxDfFrac = 1.0)
+        "query_id", "qtext", k = 5, maxDfFrac = 0.5)
         .select(col("query_id"), col("doc_id"), col("rank"),
           round(col("score"), 6).as("score"))
     }),
@@ -5070,67 +5098,110 @@ object SparkEntry {
     * ascending-j strict-> rule); backward stages walk the pointers to
     * emit the path pieces. Integer scores make every argmax exact.
     */
-  private lazy val t51OracleSql: String = {
-    val P = 4; val L = 20; val V = 200; val R = 2
-    def modelCte(name: String, cnts: String): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT piece, c,
-         |         CAST(ROUND(ln(CAST(c AS DOUBLE) /
-         |           CAST((SELECT SUM(c) FROM $cnts) AS DOUBLE)) * 1e6, 0)
-         |           AS BIGINT) AS q
-         |  FROM $cnts)""".stripMargin
-    def viterbiBlock(r: Int, model: String): String = {
-      val fwd = (1 to L).map { i =>
-        val ts = 1 to math.min(P, i)
-        val joins = ts.map(t =>
-          s"LEFT JOIN $model m$t ON $i <= length(v.word) AND " +
-            s"m$t.piece = substr(v.word, ${i - t + 1}, $t)")
-          .mkString("\n  ")
-        val cands = ts.map(t =>
-          s"CASE WHEN bests[${i - t + 1}] IS NOT NULL AND " +
-            s"m$t.q IS NOT NULL THEN " +
-            s"struct_pack(c := bests[${i - t + 1}] + m$t.q, t := $t) END")
-          .mkString(", ")
-        s"""v${r}_$i AS MATERIALIZED (
-           |  SELECT v.word, v.n,
-           |    list_append(bests, CASE WHEN $i <= length(v.word) THEN
-           |      (list_sort(list_filter([$cands], x -> x IS NOT NULL)))[-1].c
-           |      END) AS bests,
-           |    list_append(bps, CASE WHEN $i <= length(v.word) THEN
-           |      $i - (list_sort(list_filter([$cands],
-           |        x -> x IS NOT NULL)))[-1].t END) AS bps
-           |  FROM v${r}_${i - 1} v
-           |  $joins)""".stripMargin
-      }.mkString(",\n")
-      val back = (1 to L).map { k =>
-        s"""s${r}_$k AS MATERIALIZED (
-           |  SELECT word, n,
-           |    CASE WHEN pos > 0 THEN bps[pos + 1] ELSE pos END AS pos,
-           |    bps,
-           |    CASE WHEN pos > 0 THEN list_append(pieces,
-           |      substr(word, bps[pos + 1] + 1, pos - bps[pos + 1]))
-           |      ELSE pieces END AS pieces
-           |  FROM s${r}_${k - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""v${r}_0 AS MATERIALIZED (
-         |  SELECT token AS word, n, [CAST(0 AS BIGINT)] AS bests,
-         |         [0] AS bps
-         |  FROM toks),
-         |$fwd,
-         |s${r}_0 AS MATERIALIZED (
+  private lazy val t51OracleSql: String =
+    s"""WITH ${unigramCtes(2)}
+       |SELECT piece, c AS n_piece, q AS q_logp FROM model2""".stripMargin
+
+  /** t52's replay: the t51 training CTEs + ONE MORE unrolled Viterbi
+    * block against the FINAL model (encode segments under model2, while
+    * round 2's own segmentation used model1), then every document's
+    * token sequence maps through the word→pieces dictionary in position
+    * order (backtrack emits pieces back-to-front, hence list_reverse).
+    */
+  private lazy val t52OracleSql: String =
+    s"""WITH ${unigramCtes(2)},
+       |${unigramViterbiBlock(3, "model2", 4, 20)},
+       |docw AS MATERIALIZED (
+       |  SELECT doc_id, pos, ws[CAST(pos AS INT)] AS token
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(lower(trim(text)),
+       |            '\\s+', ' ', 'g'), ' ') AS ws
+       |        FROM documents),
+       |       UNNEST(range(1, len(ws) + 1)) AS t(pos)),
+       |enc AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(len(pieces)) AS BIGINT) AS np,
+       |         flatten(list(list_reverse(pieces) ORDER BY docw.pos))
+       |           AS allp
+       |  FROM docw JOIN s3_20 ON docw.token = s3_20.word
+       |  WHERE docw.token <> '' AND length(docw.token) <= 20
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(np, CAST(0 AS BIGINT)) AS n_pieces,
+       |       COALESCE(array_to_string(list_slice(allp, 1, 8), ' '), '')
+       |         AS head_pieces
+       |FROM documents d LEFT JOIN enc USING (doc_id)""".stripMargin
+
+  /** One unrolled Viterbi-EM round (forward DP stages + backtrack +
+    * counts + re-quantized model) against `model` — shared by the t51
+    * and t52 generators.
+    */
+  private def unigramModelCte(name: String, cnts: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece, c,
+       |         CAST(ROUND(ln(CAST(c AS DOUBLE) /
+       |           CAST((SELECT SUM(c) FROM $cnts) AS DOUBLE)) * 1e6, 0)
+       |           AS BIGINT) AS q
+       |  FROM $cnts)""".stripMargin
+
+  private def unigramViterbiBlock(r: Int, model: String, P: Int,
+      L: Int): String = {
+    val fwd = (1 to L).map { i =>
+      val ts = 1 to math.min(P, i)
+      val joins = ts.map(t =>
+        s"LEFT JOIN $model m$t ON $i <= length(v.word) AND " +
+          s"m$t.piece = substr(v.word, ${i - t + 1}, $t)")
+        .mkString("\n  ")
+      val cands = ts.map(t =>
+        s"CASE WHEN bests[${i - t + 1}] IS NOT NULL AND " +
+          s"m$t.q IS NOT NULL THEN " +
+          s"struct_pack(c := bests[${i - t + 1}] + m$t.q, t := $t) END")
+        .mkString(", ")
+      s"""v${r}_$i AS MATERIALIZED (
+         |  SELECT v.word, v.n,
+         |    list_append(bests, CASE WHEN $i <= length(v.word) THEN
+         |      (list_sort(list_filter([$cands], x -> x IS NOT NULL)))[-1].c
+         |      END) AS bests,
+         |    list_append(bps, CASE WHEN $i <= length(v.word) THEN
+         |      $i - (list_sort(list_filter([$cands],
+         |        x -> x IS NOT NULL)))[-1].t END) AS bps
+         |  FROM v${r}_${i - 1} v
+         |  $joins)""".stripMargin
+    }.mkString(",\n")
+    val back = (1 to L).map { k =>
+      s"""s${r}_$k AS MATERIALIZED (
          |  SELECT word, n,
-         |    CASE WHEN bests[length(word) + 1] IS NOT NULL
-         |         THEN length(word) ELSE 0 END AS pos,
-         |    bps, CAST([] AS VARCHAR[]) AS pieces
-         |  FROM v${r}_$L),
-         |$back,
-         |cnt$r AS MATERIALIZED (
-         |  SELECT u.piece, CAST(SUM(n) AS BIGINT) AS c
-         |  FROM s${r}_$L, UNNEST(pieces) AS u(piece)
-         |  GROUP BY 1),
-         |${modelCte(s"model$r", s"cnt$r")}""".stripMargin
-    }
-    s"""WITH toks AS MATERIALIZED (
+         |    CASE WHEN pos > 0 THEN bps[pos + 1] ELSE pos END AS pos,
+         |    bps,
+         |    CASE WHEN pos > 0 THEN list_append(pieces,
+         |      substr(word, bps[pos + 1] + 1, pos - bps[pos + 1]))
+         |      ELSE pieces END AS pieces
+         |  FROM s${r}_${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""v${r}_0 AS MATERIALIZED (
+       |  SELECT token AS word, n, [CAST(0 AS BIGINT)] AS bests,
+       |         [0] AS bps
+       |  FROM toks),
+       |$fwd,
+       |s${r}_0 AS MATERIALIZED (
+       |  SELECT word, n,
+       |    CASE WHEN bests[length(word) + 1] IS NOT NULL
+       |         THEN length(word) ELSE 0 END AS pos,
+       |    bps, CAST([] AS VARCHAR[]) AS pieces
+       |  FROM v${r}_$L),
+       |$back,
+       |cnt$r AS MATERIALIZED (
+       |  SELECT u.piece, CAST(SUM(n) AS BIGINT) AS c
+       |  FROM s${r}_$L, UNNEST(pieces) AS u(piece)
+       |  GROUP BY 1),
+       |${unigramModelCte(s"model$r", s"cnt$r")}""".stripMargin
+  }
+
+  /** The shared t51/t52 training CTE chain (tokenize, substring seed,
+    * model0, `rounds` unrolled Viterbi-EM rounds) — callers prepend
+    * `WITH` and append their own consumer CTEs / final SELECT.
+    */
+  private def unigramCtes(rounds: Int): String = {
+    val P = 4; val L = 20; val V = 200
+    s"""toks AS MATERIALIZED (
        |  SELECT t.token, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM (SELECT UNNEST(string_split(regexp_replace(lower(trim(text)),
        |          '\\s+', ' ', 'g'), ' ')) AS token FROM documents) t
@@ -5152,10 +5223,10 @@ object SparkEntry {
        |    SELECT piece, c,
        |           row_number() OVER (ORDER BY c DESC, piece ASC) AS rn
        |    FROM subs WHERE length(piece) >= 2) WHERE rn <= $V),
-       |${modelCte("model0", "seed")},
-       |${(1 to R).map(r => viterbiBlock(r, s"model${r - 1}"))
-           .mkString(",\n")}
-       |SELECT piece, c AS n_piece, q AS q_logp FROM model$R""".stripMargin
+       |${unigramModelCte("model0", "seed")},
+       |${(1 to rounds).map(r =>
+           unigramViterbiBlock(r, s"model${r - 1}", P, L)).mkString(",\n")}"""
+      .stripMargin
   }
 
   /** v04's categorical EMD replay — present-value |c·N − g·n| terms in
@@ -5290,10 +5361,14 @@ object SparkEntry {
     * history (the e-series contract).
     */
   private val b02OracleSql: String =
-    """WITH toks AS (
+    """WITH aug AS (
+           SELECT doc_id,
+                  text || ' tok' || CAST(doc_id % 50 AS VARCHAR) AS text
+           FROM documents),
+         toks AS (
            SELECT doc_id,
                   unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
-           FROM documents),
+           FROM aug),
          tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
          tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
          dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
@@ -5304,8 +5379,10 @@ object SparkEntry {
          qt AS (
            SELECT DISTINCT query_id, token FROM (
              SELECT doc_id AS query_id,
-                    unnest(list_slice(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 2, 5)) AS token
-             FROM documents WHERE doc_id % 40 = 7)
+                    unnest(list_append(
+                      list_slice(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 2, 3),
+                      'tok' || CAST(doc_id % 50 AS VARCHAR))) AS token
+             FROM aug WHERE doc_id % 40 = 7)
            WHERE length(token) > 0),
          term AS (
            SELECT qt.query_id, tf.doc_id,
@@ -5317,7 +5394,7 @@ object SparkEntry {
                     AS DECIMAL(28, 9)) AS s
            FROM qt JOIN dfq USING (token) JOIN tf USING (token)
                 JOIN dl ON tf.doc_id = dl.doc_id, st
-           WHERE CAST(dfq.df AS DOUBLE) <= 1.0 * CAST(st.n AS DOUBLE)),
+           WHERE CAST(dfq.df AS DOUBLE) <= 0.5 * CAST(st.n AS DOUBLE)),
          agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS sd
                  FROM term GROUP BY 1, 2),
          rk AS (SELECT query_id, doc_id, sd,
@@ -7644,6 +7721,9 @@ object SparkEntry {
     "t37_bpe_train" -> t37OracleSql(5),
     // t51: the generated unrolled Viterbi-EM replay — see t51OracleSql
     "t51_unigram_lm_train" -> t51OracleSql,
+    // t52: the t51 CTEs + one more unrolled Viterbi block against the
+    // FINAL model + the doc-ordered piece mapping — see t52OracleSql
+    "t52_unigram_encode" -> t52OracleSql,
     // media integrity: byte lengths via octet_length over encode()d
     // blobs (no blob substring — the truncation happens on the VARCHAR)
     "m07_media_integrity" ->
@@ -9931,12 +10011,13 @@ object SparkEntry {
                 TRUE AS no_false_negatives,
                 TRUE AS fp_within_bound""",
     // b02: the Okapi BM25 formula replayed term-by-term with identical
-    // literals (k1=1.5, b=0.75, df cap 1.0 — the fixture vocabulary is
-    // 31 high-df tokens, so any real cap would empty the query; the
-    // cap's screening behavior is spec-pinned instead) and identical double
-    // parenthesization; per-term ROUND(…,9) → DECIMAL sums make the
-    // (query, doc) score exact, ranking orders by the double cast like
-    // the engine's top-k heap (score DESC, doc_id ASC)
+    // literals (k1=1.5, b=0.75, df cap 0.5 over the planted-selective
+    // panel — the cap screens the fixture's 31 universal tokens so the
+    // scoring join is postings-bounded like a real retrieval workload;
+    // the universal-vocab worst case stays spec-pinned) and identical
+    // double parenthesization; per-term ROUND(…,9) → DECIMAL sums make
+    // the (query, doc) score exact, ranking orders by the double cast
+    // like the engine's top-k heap (score DESC, doc_id ASC)
     "b02_bm25_topk" -> b02OracleSql,
     // e27 IS b02 over everything streamed — one oracle, zero drift by
     // construction (the emission calls the same scoring tail)

@@ -187,6 +187,32 @@ case class UnigramViterbi(child: Expression, vocab: Seq[(String, Long)],
   override def prettyName: String = "unigram_viterbi"
 }
 
+/** Unigram-LM document encode under a trained vocabulary (see
+  * [[HashKernels.unigramEncodeSyms]]) — the [[UnigramViterbi]] kernel
+  * lifted to whole normalized documents, one static call per row.
+  */
+case class UnigramEncodeSyms(child: Expression, vocab: Seq[(String, Long)],
+    maxPieceLen: Int, maxWordLen: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, q) => m.put(p, java.lang.Long.valueOf(q)) }
+    m
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.unigramEncodeSyms(v.asInstanceOf[UTF8String], table,
+      maxPieceLen, maxWordLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.unigramEncodeSyms($c, $ref, " +
+        s"$maxPieceLen, $maxWordLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeSyms =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_encode_syms"
+}
+
 /** DCT perceptual-hash kernel over a 1024-int pixel grid (see
   * [[HashKernels.pHashDct]]) — an imperative kernel rather than the
   * transform/aggregate formulation because CollapseProject inlines each
@@ -497,6 +523,9 @@ object GraftFunctions {
   def unigram_viterbi(c: Column, vocab: Seq[(String, Long)],
       maxPieceLen: Int): Column = Bridge.column(
     UnigramViterbi(Bridge.expression(c), vocab, maxPieceLen))
+  def unigram_encode_syms(c: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int, maxWordLen: Int): Column = Bridge.column(
+    UnigramEncodeSyms(Bridge.expression(c), vocab, maxPieceLen, maxWordLen))
   def token_set_hits(c: Column, table: Seq[Seq[String]]): Column = Bridge.column(
     TokenSetHits(Bridge.expression(c), table))
 

@@ -450,6 +450,42 @@ object HashKernels {
       out.toArray(new Array[AnyRef](out.size())))
   }
 
+  /** Unigram-LM encode of a WHITESPACE-NORMALIZED document (the
+    * [[bpeEncodeSyms]] shape): per word, the [[unigramViterbi]] best
+    * path's pieces, concatenated in document order. Words longer than
+    * `maxWordLen` code points sit outside the trained coverage contract
+    * (the trainer excluded them) and emit no pieces, as does a word the
+    * pruned vocabulary cannot tile (cannot arise for training-corpus
+    * words within the cap — the coverage invariant). One kernel call
+    * per document, primitive loops only.
+    */
+  def unigramEncodeSyms(s: UTF8String,
+      table: java.util.HashMap[String, java.lang.Long],
+      maxPieceLen: Int, maxWordLen: Int): ArrayData = {
+    val str = s.toString
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i <= str.length) {
+      val sp = str.indexOf(' ', i)
+      val e = if (sp < 0) str.length else sp
+      if (e > i) {
+        val w = str.substring(i, e)
+        if (w.codePointCount(0, w.length) <= maxWordLen) {
+          val pieces = unigramViterbi(UTF8String.fromString(w), table,
+            maxPieceLen)
+          var k = 0
+          while (k < pieces.numElements()) {
+            out.add(pieces.getUTF8String(k))
+            k += 1
+          }
+        }
+      }
+      i = e + 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** The 8×32 fixed-point DCT basis behind [[pHashDct]]: K(u,r) =
     * round(cos(π(2r+1)u/64)·2¹⁵) — quantized ONCE here and spliced as
     * integer literals into the generated DuckDB oracle, so the two

@@ -294,7 +294,9 @@ object Graph {
     * no cartesian.
     */
   def localClustering(vertices: DataFrame, edges: DataFrame, idCol: String,
-      srcCol: String, dstCol: String): DataFrame = {
+      srcCol: String, dstCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val snaps = new graft.pipeline.RoundSnapshots(checkpointDir)
     val und = edges.filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("__a"),
         greatest(col(srcCol), col(dstCol)).as("__b"))
@@ -307,15 +309,16 @@ object Graph {
       .join(deg.select(col("__v").as("__b"), col("__d").as("__db")), "__b")
     val aFirst = struct(col("__da"), col("__a")) <
       struct(col("__db"), col("__b"))
-    // oriented edge u -> v with v's orientation key carried for wedge dedup
-    val o = keyed.select(
+    // oriented edge u -> v with v's orientation key carried for wedge
+    // dedup; materialized — reused 3x below (the d06/d08 lesson), durable
+    // under checkpointDir like every other loop/scratch snapshot
+    val o = snaps.snap(keyed.select(
         when(aFirst, col("__a")).otherwise(col("__b")).as("__u"),
         when(aFirst, col("__b")).otherwise(col("__a")).as("__v"),
         when(aFirst,
             struct(col("__db").as("d"), col("__b").as("v")))
           .otherwise(struct(col("__da").as("d"), col("__a").as("v")))
-          .as("__kv"))
-      .localCheckpoint(true) // reused 3x below (the d06/d08 lesson)
+          .as("__kv")), "oriented").df
     val wedges = o.select(col("__u"), col("__v").as("__x"), col("__kv").as("__kx"))
       .join(o.select(col("__u"), col("__v").as("__y"), col("__kv").as("__ky")),
         Seq("__u"))

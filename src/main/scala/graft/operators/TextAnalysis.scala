@@ -935,6 +935,32 @@ object TextAnalysis {
     model.toDF("piece", "n_piece", "q_logp")
   }
 
+  /** Unigram-LM ENCODING under a trained model ([[unigramLmTrain]]'s
+    * (piece, q_logp) pairs collected as plan-time literals — the
+    * [[bpeEncode]] bounded-model convention): every document's
+    * normalized words segment through the SAME Viterbi kernel the
+    * trainer ran, concatenated in document order — so encode(train
+    * corpus) reproduces exactly the segmentations the final EM round
+    * counted. ONE map-only corpus pass
+    * ([[graft.functions.HashKernels.unigramEncodeSyms]]), no joins, no
+    * shuffle, no state. Words beyond `maxWordLen` code points sit
+    * outside the trained coverage contract and emit no pieces (the
+    * trainer's exclusion, mirrored).
+    *
+    * Output: (idCol, n_pieces, head_pieces) — the piece count and the
+    * first 8 pieces space-joined (the inspection prefix, the t38 shape).
+    */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+      model: Seq[(String, Long)], maxPieceLen: Int = 4,
+      maxWordLen: Int = 20): DataFrame =
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.unigram_encode_syms(
+          Dedup.normalized(coalesce(col(textCol), lit(""))), model,
+          maxPieceLen, maxWordLen).as("__syms"))
+      .select(col(idCol),
+        size(col("__syms")).cast("long").as("n_pieces"),
+        array_join(slice(col("__syms"), 1, 8), " ").as("head_pieces"))
+
   /** Zipf rank–frequency fit: ordinary-least-squares slope/intercept of
     * `ln(count)` on `ln(rank)` over the corpus's top `topN` vocabulary
     * ranks — the standard corpus-health diagnostic (natural language sits

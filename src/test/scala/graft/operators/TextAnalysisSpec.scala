@@ -1069,6 +1069,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(mass - 1.0) < 1e-3, s"prob mass $mass")
   }
 
+  test("unigramEncode round-trip: encode(train corpus) reproduces the " +
+      "trainer's final segmentations (piece totals match), pieces emit " +
+      "in document order, over-cap words and empty docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab"), (2L, "cd"), (3L, "ab cd"),
+      (4L, ""), (5L, "a" * 30)).toDF("doc_id", "text")
+    val model = TextAnalysis.unigramLmTrain(docs, "text", vocabSize = 10,
+        numRounds = 2, maxPieceLen = 4, maxWordLen = 20)
+      .as[(String, Long, Long)].collect()
+    val enc = TextAnalysis.unigramEncode(docs, "doc_id", "text",
+        model.map(m => (m._1, m._3)).toSeq, maxPieceLen = 4,
+        maxWordLen = 20)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // the trainer counted each word occurrence's best path; encoding the
+    // same corpus must produce exactly that many pieces in total
+    assert(enc.values.map(_._1).sum === model.map(_._2).sum,
+      s"piece totals diverge: $enc vs ${model.toSeq}")
+    // document order: "ab cd" must emit [ab, cd], not [cd, ab]
+    assert(enc(3L) === ((2L, "ab cd")), enc(3L).toString)
+    assert(enc(4L) === ((0L, "")), "empty doc encodes to zero pieces")
+    assert(enc(5L) === ((0L, "")),
+      "an over-cap word sits outside trained coverage and emits nothing")
+  }
+
   test("unigram Viterbi kernel: max-score segmentation equals brute-force " +
       "enumeration (exact integer scores), empty/uncoverable words yield " +
       "the empty array") {
