@@ -2922,6 +2922,37 @@ object SparkEntry {
         s"$tmp/global", Seq("hour_of_day", "value_bucket"), t = 0.2)
     }),
 
+    // streaming t-closeness, ORDERED ground distance: the e31 monitor
+    // with the v05 configuration — same stores, same shared arithmetic,
+    // the cumulative-difference EMD over the value-bucket grid
+    "e32_streaming_t_closeness_ordered" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e32").toString
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        expr("((ts div 1000) div 3600000000) % 24").as("hour_of_day"),
+        floor(col("value") / lit(10.0)).cast("long").as("value_bucket"))
+      ev.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      ev.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("event_id BIGINT, event_type STRING, hour_of_day BIGINT, " +
+          "value_bucket BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingTCloseness.start(s, src,
+        Seq("event_type", "hour_of_day"), "value_bucket", t = 0.15,
+        ordered = true, s"$tmp/vals", s"$tmp/global", s"$tmp/report",
+        s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e32 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingTCloseness.report(s, s"$tmp/vals",
+        s"$tmp/global", Seq("event_type", "hour_of_day"), t = 0.15,
+        ordered = true)
+    }),
+
     // streaming chunk dedup: the m08 storage report kept current at
     // ingest — chunk-key state is append-only facts, emissions are
     // per-batch deltas (pure sums, replay-proof)
@@ -5263,6 +5294,56 @@ object SparkEntry {
                   AS emd,
                 CAST(s1 + CAST(gt - s2 AS HUGEINT) * n AS DOUBLE) /
                 CAST(CAST(n AS HUGEINT) * gt * 2 AS DOUBLE) <= 0.2 AS t_close
+         FROM s"""
+
+  /** v05's ordered EMD replay — per-class cumulative sums over the
+    * m-value global grid, HUGEINT terms, one final division by
+    * n·N·(m−1). Shared verbatim by e32 (the streaming monitor's drained
+    * report must equal the batch audit — the e-series contract).
+    */
+  private val v05OracleSql: String =
+    """WITH ev AS (
+           SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                  CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket
+           FROM events),
+         g AS (SELECT value_bucket AS v, CAST(COUNT(*) AS BIGINT) AS gc
+               FROM ev GROUP BY 1),
+         tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gt,
+                        CAST(COUNT(*) AS BIGINT) AS m FROM g),
+         cv AS (SELECT event_type, hour_of_day, value_bucket AS v,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM ev GROUP BY 1, 2, 3),
+         cn AS (SELECT event_type, hour_of_day, CAST(SUM(c) AS BIGINT) AS n
+                FROM cv GROUP BY 1, 2),
+         grid AS (SELECT cn.event_type, cn.hour_of_day, cn.n, g.v, g.gc,
+                         COALESCE(cv.c, 0) AS c
+                  FROM cn CROSS JOIN g
+                  LEFT JOIN cv ON cv.event_type = cn.event_type
+                              AND cv.hour_of_day = cn.hour_of_day
+                              AND cv.v = g.v),
+         cum AS (SELECT event_type, hour_of_day, n,
+                        SUM(c) OVER (PARTITION BY event_type, hour_of_day
+                                     ORDER BY v) AS cc,
+                        SUM(gc) OVER (PARTITION BY event_type, hour_of_day
+                                      ORDER BY v) AS cg
+                 FROM grid),
+         s AS (SELECT event_type, hour_of_day, n, tot.gt, tot.m,
+                      SUM(ABS(CAST(cc AS HUGEINT) * tot.gt -
+                              CAST(cg AS HUGEINT) * n)) AS s1
+               FROM cum CROSS JOIN tot
+               GROUP BY 1, 2, 3, 4, 5)
+         SELECT event_type, hour_of_day, n AS n_rows,
+                CASE WHEN m > 1
+                  THEN ROUND(CAST(s1 AS DOUBLE) /
+                             CAST(CAST(n AS HUGEINT) * gt * (m - 1)
+                                  AS DOUBLE), 9) + 0.0
+                  ELSE 0.0 END AS emd,
+                CASE WHEN m > 1
+                  THEN CAST(s1 AS DOUBLE) /
+                       CAST(CAST(n AS HUGEINT) * gt * (m - 1) AS DOUBLE)
+                         <= 0.15
+                  ELSE TRUE END AS t_close
          FROM s"""
 
   /** g20's absorbing-chain replay — shared verbatim by e30 because
@@ -8167,56 +8248,16 @@ object SparkEntry {
     "v04_t_closeness" -> v04OracleSql,
     // v05: ordered EMD over the m-value global grid — per-class
     // cumulative sums, HUGEINT terms, one final division by n·N·(m−1)
-    "v05_t_closeness_ordered" ->
-      """WITH ev AS (
-           SELECT event_type,
-                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
-                  CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket
-           FROM events),
-         g AS (SELECT value_bucket AS v, CAST(COUNT(*) AS BIGINT) AS gc
-               FROM ev GROUP BY 1),
-         tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gt,
-                        CAST(COUNT(*) AS BIGINT) AS m FROM g),
-         cv AS (SELECT event_type, hour_of_day, value_bucket AS v,
-                       CAST(COUNT(*) AS BIGINT) AS c
-                FROM ev GROUP BY 1, 2, 3),
-         cn AS (SELECT event_type, hour_of_day, CAST(SUM(c) AS BIGINT) AS n
-                FROM cv GROUP BY 1, 2),
-         grid AS (SELECT cn.event_type, cn.hour_of_day, cn.n, g.v, g.gc,
-                         COALESCE(cv.c, 0) AS c
-                  FROM cn CROSS JOIN g
-                  LEFT JOIN cv ON cv.event_type = cn.event_type
-                              AND cv.hour_of_day = cn.hour_of_day
-                              AND cv.v = g.v),
-         cum AS (SELECT event_type, hour_of_day, n,
-                        SUM(c) OVER (PARTITION BY event_type, hour_of_day
-                                     ORDER BY v) AS cc,
-                        SUM(gc) OVER (PARTITION BY event_type, hour_of_day
-                                      ORDER BY v) AS cg
-                 FROM grid),
-         s AS (SELECT event_type, hour_of_day, n, tot.gt, tot.m,
-                      SUM(ABS(CAST(cc AS HUGEINT) * tot.gt -
-                              CAST(cg AS HUGEINT) * n)) AS s1
-               FROM cum CROSS JOIN tot
-               GROUP BY 1, 2, 3, 4, 5)
-         SELECT event_type, hour_of_day, n AS n_rows,
-                CASE WHEN m > 1
-                  THEN ROUND(CAST(s1 AS DOUBLE) /
-                             CAST(CAST(n AS HUGEINT) * gt * (m - 1)
-                                  AS DOUBLE), 9) + 0.0
-                  ELSE 0.0 END AS emd,
-                CASE WHEN m > 1
-                  THEN CAST(s1 AS DOUBLE) /
-                       CAST(CAST(n AS HUGEINT) * gt * (m - 1) AS DOUBLE)
-                         <= 0.15
-                  ELSE TRUE END AS t_close
-         FROM s""",
+    // v05: the generated shared ordered-EMD replay — see v05OracleSql
+    "v05_t_closeness_ordered" -> v05OracleSql,
     // the e-series contract: the drained latest-batch-wins audit equals
     // the batch v03 over the full event history
     "e24_streaming_k_anonymity" -> v03OracleSql,
     // e31 IS v04 over everything streamed — one oracle, zero drift by
     // construction (the drained report runs the same distance arithmetic)
     "e31_streaming_t_closeness" -> v04OracleSql,
+    // e32 IS v05 over everything streamed — same monitor, ordered path
+    "e32_streaming_t_closeness_ordered" -> v05OracleSql,
     // dataset card: every stat replayed with the engine's exact
     // arithmetic (DECIMAL quality sum, rounded-then-DECIMAL entropy
     // terms, md5-of-normalized dup definition)
