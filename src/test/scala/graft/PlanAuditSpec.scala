@@ -826,4 +826,55 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"window crept into path mining:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in path mining:\n$p")
   }
+
+  test("m10 pHash pairs: the DCT runs as ONE codegen kernel call (no " +
+      "higher-order transform chain — the CollapseProject re-evaluation " +
+      "trap), pixels never shuffle, no cartesian/window") {
+    val df = SparkEntry.queries("m10_phash_neardup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("phash_dct"), s"DCT kernel missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair scan in pHash plan:\n$p")
+    assert(!p.contains("Window"), s"window crept into pHash:\n$p")
+    // the banded self-join must shuffle hashed signatures, never the
+    // 1024-int pixel arrays: no Exchange carries the pixels column
+    val shuffles = p.split("\n").filter(_.contains("Exchange"))
+    assert(shuffles.nonEmpty && shuffles.forall(!_.contains("pixels")),
+      s"pixel arrays on a shuffle boundary:\n$p")
+  }
+
+  test("t51 unigram EM round: the Viterbi is ONE codegen kernel pass over " +
+      "the vocab frame + one hash aggregate — no window, no join beyond " +
+      "the count frame, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val words = Seq(("ab", 3L), ("cd", 1L)).toDF("token", "n")
+    val vocab = Seq("a" -> -10L, "b" -> -10L, "ab" -> -5L, "c" -> -10L,
+      "d" -> -10L, "cd" -> -5L)
+    val round = words.select(col("n"),
+        explode(graft.functions.GraftFunctions.unigram_viterbi(
+          col("token"), vocab, 4)).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("c"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(p.contains("unigram_viterbi"), s"Viterbi kernel missing:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("Join"), s"EM round plan regressed:\n$p")
+    assert(p.contains("HashAggregate"), s"count frame not hash-agg:\n$p")
+  }
+
+  test("t52 unigram encoding is map-only over the scan — one kernel call " +
+      "per document, no join, no shuffle") {
+    // a parquet-backed input: a local Seq constant-folds the whole
+    // deterministic pipeline into a LocalTableScan and hides the plan
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val df = graft.operators.TextAnalysis.unigramEncode(docs, "doc_id",
+      "text", Seq("ab" -> -5L, "cd" -> -5L), 4, 20)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("unigram_encode_syms"), s"encode kernel missing:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"shuffle/join in the encode plan:\n$p")
+  }
 }
