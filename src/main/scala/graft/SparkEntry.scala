@@ -3819,8 +3819,13 @@ object SparkEntry {
         .select((col("doc_id") + 100000).as("doc_id"),
           transform(col("pixels"), p => least(p + lit(3), lit(255)))
             .as("pixels"))
+      // the skinny (id, hash) frame materializes ONCE: the band join
+      // references it four ways (a/b sides, sizes, refinement), and an
+      // unmaterialized lineage re-runs the pixel+DCT kernels per
+      // reference (measured 7 s -> ~1 s at sf0.1)
       val hashes = Multimodal.pHash64(
-        base.unionByName(variants), "doc_id", "pixels")
+          base.unionByName(variants), "doc_id", "pixels")
+        .localCheckpoint(true)
       Multimodal.pHashPairs(hashes, "doc_id", "phash", maxHamming = 12,
         maxBucketSize = 10000)
     }),

@@ -213,6 +213,19 @@ case class UnigramEncodeSyms(child: Expression, vocab: Seq[(String, Long)],
   override def prettyName: String = "unigram_encode_syms"
 }
 
+/** Stretch-sampled pixel grid kernel (see [[HashKernels.stretchPixels]]). */
+case class StretchPixels(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.stretchPixels(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.stretchPixels($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): StretchPixels =
+    copy(child = newChild)
+  override def prettyName: String = "stretch_pixels"
+}
+
 /** DCT perceptual-hash kernel over a 1024-int pixel grid (see
   * [[HashKernels.pHashDct]]) — an imperative kernel rather than the
   * transform/aggregate formulation because CollapseProject inlines each
@@ -520,6 +533,8 @@ object GraftFunctions {
     DupFractions(Bridge.expression(c)))
   def phash_dct(c: Column): Column = Bridge.column(
     PHashDct(Bridge.expression(c)))
+  def stretch_pixels(c: Column, n: Int): Column = Bridge.column(
+    StretchPixels(Bridge.expression(c), n))
   def unigram_viterbi(c: Column, vocab: Seq[(String, Long)],
       maxPieceLen: Int): Column = Bridge.column(
     UnigramViterbi(Bridge.expression(c), vocab, maxPieceLen))

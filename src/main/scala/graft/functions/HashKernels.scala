@@ -486,6 +486,30 @@ object HashKernels {
       out.toArray(new Array[AnyRef](out.size)))
   }
 
+  /** Stretch-sampled pixel stand-in behind
+    * [[graft.operators.Multimodal.pixelGridStub]]: sample `n` code
+    * points of `s` at positions ⌊i·len/n⌋ (nearest-neighbor resize),
+    * value = codepoint % 256. Bit-identical to the SQL formulation the
+    * oracle replays (`unicode(substr(t, (i*len)//n + 1, 1)) % 256`);
+    * kernelized because the higher-order transform evaluated 1024
+    * interpreted substring expressions per REFERENCE of the pixels
+    * column — multiplied by the band join's re-executions, that was
+    * most of m10's 34 s at sf0.1.
+    */
+  def stretchPixels(s: UTF8String, n: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    if (len == 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = cps(((i.toLong * len) / n).toInt) % 256
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** The 8×32 fixed-point DCT basis behind [[pHashDct]]: K(u,r) =
     * round(cos(π(2r+1)u/64)·2¹⁵) — quantized ONCE here and spliced as
     * integer literals into the generated DuckDB oracle, so the two

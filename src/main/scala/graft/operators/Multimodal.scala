@@ -350,11 +350,12 @@ object Multimodal {
       .select(col(idCol),
         regexp_replace(col(textCol), "[^ -~]", "").as("__t"))
       .filter(length(col("__t")) > 0)
-      .select(col(idCol), expr(
-        """transform(sequence(0, 1023), i ->
-          |  ascii(substring(__t,
-          |    CAST((i * length(__t)) DIV 1024 AS INT) + 1, 1)) % 256)"""
-          .stripMargin).as("pixels"))
+      // ONE codegen kernel call per row — the transform/substring HOF
+      // formulation evaluated 1024 interpreted expressions per reference
+      // (most of m10's cost); values are bit-identical to the SQL the
+      // oracle replays
+      .select(col(idCol), graft.functions.GraftFunctions
+        .stretch_pixels(col("__t"), 1024).as("pixels"))
 
   /** 64-bit DCT perceptual hash (pHash — the published image near-dup
     * workhorse: 32×32 grayscale → 2D DCT-II → top-left 8×8 block →

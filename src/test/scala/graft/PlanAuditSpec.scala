@@ -827,12 +827,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in path mining:\n$p")
   }
 
-  test("m10 pHash pairs: the DCT runs as ONE codegen kernel call (no " +
-      "higher-order transform chain — the CollapseProject re-evaluation " +
-      "trap), pixels never shuffle, no cartesian/window") {
-    val df = SparkEntry.queries("m10_phash_neardup")(spark, dir)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("phash_dct"), s"DCT kernel missing from plan:\n$p")
+  test("m10 pHash: pixel sampling + DCT are single codegen kernel calls " +
+      "in a map-only hash stage (no higher-order transform chain — the " +
+      "CollapseProject re-evaluation trap), and the pair join never " +
+      "shuffles pixels — no cartesian/window") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val hashes = Multimodal.pHash64(
+      Multimodal.pixelGridStub(docs, "doc_id", "text"), "doc_id", "pixels")
+    val hp = hashes.queryExecution.executedPlan.toString
+    assert(hp.contains("phash_dct") && hp.contains("stretch_pixels"),
+      s"pixel/DCT kernels missing from the hash stage:\n$hp")
+    assert(!hp.contains("Exchange"),
+      s"the hash computation must be map-only over the scan:\n$hp")
+    val pairs = Multimodal.pHashPairs(hashes, "doc_id", "phash",
+      maxHamming = 12, maxBucketSize = 10000)
+    val p = pairs.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"pair scan in pHash plan:\n$p")
