@@ -3830,6 +3830,23 @@ object SparkEntry {
         maxBucketSize = 10000)
     }),
 
+    // audio constellation fingerprint matching: every 25th doc gets a
+    // TIME-SHIFTED copy (a 32-byte = 2-window pad prefix, id+1000000) —
+    // the offset histogram must find it at offset 2 with most landmarks
+    // aligned, exactly what whole-payload hashes miss
+    "m11_audio_fingerprint" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = docs.select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("content"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000).as("media_id"),
+            encode(concat(lit("P" * 32), col("text")), "UTF-8")
+              .as("content")))
+      Multimodal.audioFingerprintPairs(media, "media_id", "content",
+        windowBytes = 16, fanout = 3, zone = 16, minAligned = 3,
+        maxHashGroup = 10000)
+    }),
+
     "m01_media_pipeline" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
       val decoded = Multimodal.featureStub(Multimodal.decodeStub(media), dim = 8)
@@ -10391,6 +10408,61 @@ object SparkEntry {
     // m10: the generated full-DCT replay (shared fixed-point basis) +
     // brute-force Hamming pairs — see m10OracleSql
     "m10_phash_neardup" -> m10OracleSql,
+    // m11: the constellation scheme replayed — identical window
+    // energies (the m04 replay), strict interior peaks, the same packed
+    // (e_a·2^28 + e_b·2^14 + Δt) landmark hashes, the offset histogram
+    // and per-pair best-alignment pick (ties to the smaller offset)
+    "m11_audio_fingerprint" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id, text AS t FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, repeat('P', 32) || text
+           FROM documents WHERE doc_id % 25 = 0),
+         pos AS (
+           SELECT media_id, t, UNNEST(range(1, length(t) + 1)) AS i
+           FROM media),
+         en AS (
+           SELECT media_id, CAST((i - 1) // 16 AS INT) AS wno,
+                  CAST(SUM(unicode(substr(t, CAST(i AS INT), 1)))
+                    AS BIGINT) AS e
+           FROM pos GROUP BY 1, 2),
+         ea AS (SELECT media_id, list(e ORDER BY wno) AS es
+                FROM en GROUP BY 1),
+         pk AS (
+           SELECT media_id, es,
+                  list_filter(range(2, len(es)), p ->
+                    es[p] > es[p - 1] AND es[p] > es[p + 1]) AS ps
+           FROM ea),
+         fp AS (
+           -- (peak j, fan k) flattened onto one index q (j = q//3 + 1,
+           -- k = q%3 + 1): a single-level lambda — the nested
+           -- transform-inside-filter capture of j fails to bind here
+           SELECT media_id, u.fp.h AS h, u.fp.a AS a
+           FROM pk, UNNEST(list_filter(
+             list_transform(range(0, len(ps) * 3), q ->
+               CASE WHEN (q // 3 + 1) + (q % 3 + 1) <= len(ps)
+                     AND ps[CAST(q // 3 + 1 + q % 3 + 1 AS INT)]
+                       - ps[CAST(q // 3 + 1 AS INT)] <= 16
+                    THEN struct_pack(
+                      h := es[ps[CAST(q // 3 + 1 AS INT)]] * 268435456
+                         + es[ps[CAST(q // 3 + 1 + q % 3 + 1 AS INT)]]
+                           * 16384
+                         + (ps[CAST(q // 3 + 1 + q % 3 + 1 AS INT)]
+                            - ps[CAST(q // 3 + 1 AS INT)]),
+                      a := ps[CAST(q // 3 + 1 AS INT)] - 1) END),
+             x -> x IS NOT NULL)) AS u(fp)),
+         m AS (
+           SELECT a.media_id AS idA, b.media_id AS idB,
+                  b.a - a.a AS t_offset, CAST(COUNT(*) AS BIGINT) AS n
+           FROM fp a JOIN fp b ON a.h = b.h AND a.media_id < b.media_id
+           GROUP BY 1, 2, 3),
+         best AS (
+           SELECT idA, idB, t_offset, n,
+                  row_number() OVER (PARTITION BY idA, idB
+                                     ORDER BY n DESC, t_offset ASC) AS rn
+           FROM m)
+         SELECT idA, idB, t_offset, n AS n_aligned
+         FROM best WHERE rn = 1 AND n >= 3""",
     "m01_media_pipeline" ->
       """WITH b AS (
            SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,

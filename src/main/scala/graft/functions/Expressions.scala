@@ -213,6 +213,25 @@ case class UnigramEncodeSyms(child: Expression, vocab: Seq[(String, Long)],
   override def prettyName: String = "unigram_encode_syms"
 }
 
+/** Audio constellation fingerprint kernel (see
+  * [[HashKernels.constellationHashes]]) — interleaved [hash, anchor]
+  * pairs, one codegen call per payload.
+  */
+case class ConstellationHashes(child: Expression, w: Int, fanout: Int,
+    zone: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.constellationHashes(v.asInstanceOf[Array[Byte]], w, fanout,
+      zone)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.constellationHashes($c, $w, " +
+        s"$fanout, $zone)")
+  override protected def withNewChildInternal(newChild: Expression): ConstellationHashes =
+    copy(child = newChild)
+  override def prettyName: String = "constellation_hashes"
+}
+
 /** Stretch-sampled pixel grid kernel (see [[HashKernels.stretchPixels]]). */
 case class StretchPixels(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -535,6 +554,9 @@ object GraftFunctions {
     PHashDct(Bridge.expression(c)))
   def stretch_pixels(c: Column, n: Int): Column = Bridge.column(
     StretchPixels(Bridge.expression(c), n))
+  def constellation_hashes(c: Column, w: Int, fanout: Int,
+      zone: Int): Column = Bridge.column(
+    ConstellationHashes(Bridge.expression(c), w, fanout, zone))
   def unigram_viterbi(c: Column, vocab: Seq[(String, Long)],
       maxPieceLen: Int): Column = Bridge.column(
     UnigramViterbi(Bridge.expression(c), vocab, maxPieceLen))

@@ -510,6 +510,57 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Audio constellation fingerprints (Wang 2003, "An Industrial-Strength
+    * Audio Search Algorithm" — the Shazam scheme; see PAPERS.md) over the
+    * byte-window energy stand-in ([[byteWindowEnergies]] — a real
+    * pipeline swaps per-window byte sums for STFT band peaks, keeping
+    * every shape downstream): energies per `w`-byte window → STRICT
+    * interior local maxima as the constellation points → each peak pairs
+    * with its next `fanout` peaks within `zone` windows, hashed as
+    * e(a)·2²⁸ + e(b)·2¹⁴ + Δt (exact integers — w ≤ 64 keeps window
+    * energies under 2¹⁴). Returns interleaved `[hash0, anchor0, hash1,
+    * anchor1, …]` (anchors are 0-based window indices — the offset
+    * histogram's evidence). One kernel pass per payload; bytes never
+    * shuffle.
+    */
+  def constellationHashes(bytes: Array[Byte], w: Int, fanout: Int,
+      zone: Int): ArrayData = {
+    require(w >= 1 && w <= 64,
+      s"window must be 1..64 bytes (energy must fit 14 bits), got $w")
+    require(fanout >= 1 && zone >= 1 && zone < (1 << 14),
+      s"need fanout >= 1 and 1 <= zone < 2^14, got $fanout/$zone")
+    val n = (bytes.length + w - 1) / w
+    val e = new Array[Long](n)
+    var i = 0
+    while (i < bytes.length) { e(i / w) += (bytes(i) & 0xffL); i += 1 }
+    val peaks = new java.util.ArrayList[Int]()
+    i = 1
+    while (i < n - 1) {
+      if (e(i) > e(i - 1) && e(i) > e(i + 1)) peaks.add(i)
+      i += 1
+    }
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var j = 0
+    while (j < peaks.size) {
+      var k = 1
+      while (k <= fanout && j + k < peaks.size) {
+        val a = peaks.get(j)
+        val b = peaks.get(j + k)
+        val dt = b - a
+        if (dt <= zone) {
+          out.add((e(a) << 28) | (e(b) << 14) | dt.toLong)
+          out.add(a.toLong)
+        }
+        k += 1
+      }
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
   /** The 8×32 fixed-point DCT basis behind [[pHashDct]]: K(u,r) =
     * round(cos(π(2r+1)u/64)·2¹⁵) — quantized ONCE here and spliced as
     * integer literals into the generated DuckDB oracle, so the two

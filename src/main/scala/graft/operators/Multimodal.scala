@@ -404,6 +404,66 @@ object Multimodal {
       maxBucketSize)
   }
 
+  /** Audio near-duplicate pairs by constellation fingerprint matching
+    * (Wang 2003 — the Shazam scheme; see PAPERS.md), completing the
+    * modality dedup family next to image pHash ([[pHashPairs]]) and
+    * video frame digests ([[frameNearDupPairs]]): two assets match when
+    * at least `minAligned` of their landmark fingerprints agree AT A
+    * CONSISTENT TIME OFFSET — the offset histogram is what makes the
+    * scheme robust to a clip starting mid-asset, which whole-payload
+    * hashes and unanchored feature sets both miss. Fingerprints come
+    * from the byte-window energy stand-in (one codegen kernel per
+    * payload — [[graft.functions.HashKernels.constellationHashes]]; a
+    * real pipeline swaps byte sums for STFT band peaks and keeps every
+    * shape downstream, including the window-aligned-shift caveat an STFT
+    * hop has too).
+    *
+    * Scale shape: payloads collapse map-side to skinny (hash, id,
+    * anchor) rows; the candidate join is hash-keyed with the standard
+    * [[Dedup.capBuckets]] skew guard (`audio_fp_skew_guard` — jingle/
+    * silence fingerprints shared by millions of assets would otherwise
+    * explode quadratically); the offset histogram and the per-pair best
+    * offset are two hash aggregates. Nothing corpus-scale moves after
+    * the kernel.
+    *
+    * Output: (idA, idB, t_offset, n_aligned) with idA < idB — the best
+    * (most-aligned, ties to the smaller offset) alignment per pair, at
+    * least `minAligned` strong.
+    */
+  def audioFingerprintPairs(media: DataFrame, idCol: String,
+      payloadCol: String, windowBytes: Int = 16, fanout: Int = 3,
+      zone: Int = 16, minAligned: Int = 3,
+      maxHashGroup: Int = 10000): DataFrame = {
+    require(minAligned >= 1, s"need minAligned >= 1, got $minAligned")
+    val fps = media.select(col(idCol).as("__id"),
+        graft.functions.GraftFunctions.constellation_hashes(
+          col(payloadCol), windowBytes, fanout, zone).as("__c"))
+      .filter(size(col("__c")) >= 2)
+      .select(col("__id"), explode(expr(
+        """transform(sequence(1, size(__c) div 2),
+          |  i -> struct(element_at(__c, CAST(2*i-1 AS INT)) AS h,
+          |              element_at(__c, CAST(2*i AS INT)) AS a))"""
+          .stripMargin)).as("__p"))
+      .select(col("__id"), col("__p.h").as("__h"), col("__p.a").as("__a"))
+    val capped = Dedup.capBuckets(fps, Seq("__h"), maxHashGroup,
+      "audio_fp_skew_guard")
+    val a = capped.select(col("__h"), col("__id").as("idA"),
+      col("__a").as("__aa"))
+    val b = capped.select(col("__h"), col("__id").as("idB"),
+      col("__a").as("__ab"))
+    a.join(b, Seq("__h"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"),
+        (col("__ab") - col("__aa")).as("t_offset"))
+      .agg(count(lit(1)).as("n_aligned"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(max_by(struct(col("t_offset"), col("n_aligned")),
+        struct(col("n_aligned"), (-col("t_offset")).as("__t"))).as("__b"))
+      .select(col("idA"), col("idB"), col("__b.t_offset").as("t_offset"),
+        col("__b.n_aligned").as("n_aligned"))
+      .filter(col("n_aligned") >= minAligned)
+  }
+
   /** Cross-modal candidate pair mining — the standard LLM-data need the
     * within-modality family (m05/m06 frame dedup, d-series text dedup)
     * does not cover: pair TEXT documents with IMAGE/AUDIO assets through

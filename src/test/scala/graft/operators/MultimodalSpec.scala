@@ -293,6 +293,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(h.values.forall(_ >= 0L))
   }
 
+  test("audioFingerprintPairs: a window-aligned time-shifted copy matches " +
+      "at exactly the shift offset with most landmarks aligned, unrelated " +
+      "payloads stay unmatched, and the kernel's landmark arithmetic is " +
+      "hand-checkable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val base = Array.fill[Byte](640)((rnd.nextInt(96) + 32).toByte)
+    val pad = Array.fill[Byte](32)('P'.toByte) // exactly 2 16-byte windows
+    val other = Array.fill[Byte](640)((rnd.nextInt(96) + 32).toByte)
+    val media = Seq(
+      (1L, base), (2L, pad ++ base), (3L, other)).toDF("media_id", "content")
+    val got = Multimodal.audioFingerprintPairs(media, "media_id",
+        "content", windowBytes = 16, fanout = 3, zone = 16,
+        minAligned = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.contains((1L, 2L)),
+      s"the shifted copy must match its original: $got")
+    val (off, n) = got((1L, 2L))
+    assert(off === 2L, s"alignment must sit at the 2-window shift: $off")
+    assert(n >= 5, s"most landmarks must align: $n")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      s"unrelated payloads must not reach minAligned: $got")
+    // kernel hand-check: one interior peak pair on a tiny signal —
+    // windows [16x'a'=1552, 16x'z'=1952, 16x'a'=1552, 16x'y'=1936,
+    // 16x'a'=1552]: peaks at windows 1 and 3, one landmark
+    // h = 1952*2^28 + 1936*2^14 + 2, anchor 1
+    val tiny = ("a" * 16 + "z" * 16 + "a" * 16 + "y" * 16 + "a" * 16)
+      .getBytes("UTF-8")
+    val fp = Seq((9L, tiny)).toDF("media_id", "content")
+      .select(graft.functions.GraftFunctions.constellation_hashes(
+        col("content"), 16, 3, 16).as("c"))
+      .as[Seq[Long]].head()
+    assert(fp === Seq(1952L * (1L << 28) + 1936L * (1L << 14) + 2L, 1L),
+      s"hand-computed landmark mismatch: $fp")
+  }
+
   test("pHashPairs: banded candidate generation finds EVERY pair within " +
       "maxHamming (pigeonhole recall 1.0) and nothing beyond") {
     import spark.implicits._
