@@ -3847,6 +3847,36 @@ object SparkEntry {
         maxHashGroup = 10000)
     }),
 
+    // streaming pHash dedup: the m10 fixture streamed — half the
+    // brightness variants ride WITH their originals (within-batch
+    // pairs), half arrive a batch later (cross-batch pairs through the
+    // persistent band index); drained pairs == the batch m10 pair set
+    "e33_streaming_phash_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e33").toString
+      val base = Multimodal.pixelGridStub(
+        t(s, dir, "documents"), "doc_id", "text")
+      val variants = base.filter(col("doc_id") % 5 === 3)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          transform(col("pixels"), p => least(p + lit(3), lit(255)))
+            .as("pixels"))
+      base.unionByName(variants.filter(col("doc_id") % 10 === 3))
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      variants.filter(col("doc_id") % 10 === 8)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, pixels ARRAY<INT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingPHashDedup.start(s, src, "doc_id",
+        "pixels", s"$tmp/index", s"$tmp/pairs", s"$tmp/cp",
+        maxHamming = 12, maxBucketSize = 10000)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e33 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingPHashDedup.pairs(s, s"$tmp/pairs")
+    }),
+
     "m01_media_pipeline" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
       val decoded = Multimodal.featureStub(Multimodal.decodeStub(media), dim = 8)
@@ -10408,6 +10438,10 @@ object SparkEntry {
     // m10: the generated full-DCT replay (shared fixed-point basis) +
     // brute-force Hamming pairs — see m10OracleSql
     "m10_phash_neardup" -> m10OracleSql,
+    // e33 IS m10 over everything streamed — every fixture pair has a
+    // streamed member (everything streams), so the d09-style restriction
+    // is vacuous and one oracle serves both
+    "e33_streaming_phash_dedup" -> m10OracleSql,
     // m11: the constellation scheme replayed — identical window
     // energies (the m04 replay), strict interior peaks, the same packed
     // (e_a·2^28 + e_b·2^14 + Δt) landmark hashes, the offset histogram

@@ -2388,6 +2388,63 @@ class StreamingSpec extends SparkTestBase {
       "a post-compaction repeat adds bytes but zero unique bytes")
   }
 
+  test("streaming pHash dedup: cross-batch pairs surface through the " +
+      "persisted band index, within-batch pairs in their own batch, " +
+      "replay is idempotent, compaction preserves later probes, the " +
+      "skew guard drops hot buckets with an observed metric") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_e33_spec").toString
+    val rnd = new scala.util.Random(41)
+    def grid(): Seq[Int] = Seq.fill(1024)(rnd.nextInt(256))
+    val g1 = grid(); val g2 = grid(); val g3 = grid()
+    def bright(g: Seq[Int]) = g.map(p => math.min(p + 3, 255))
+    // batch 0: asset 1, its brightness twin 2 (WITHIN-batch pair), and
+    // unrelated 3; batch 1: 4 = twin of 1 (CROSS-batch via the index)
+    val b0 = Seq((1L, g1), (2L, bright(g1)), (3L, g2))
+      .toDF("id", "pixels")
+    val b1 = Seq((4L, bright(g1)), (5L, g3)).toDF("id", "pixels")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long,
+        cap: Int = 1000): Unit =
+      StreamingPHashDedup.processBatch(df, id, "id", "pixels",
+        s"$dir/index", s"$dir/pairs", maxHamming = 12,
+        maxBucketSize = cap)
+    run(b0, 0L)
+    run(b1, 1L)
+    def drained() = StreamingPHashDedup.pairs(spark, s"$dir/pairs")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    // the batch operator over everything is the contract
+    val want = graft.operators.Multimodal.pHashPairs(
+        graft.operators.Multimodal.pHash64(
+          b0.unionByName(b1), "id", "pixels"), "id", "phash",
+        maxHamming = 12, maxBucketSize = 1000)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(drained() === want, s"drained != batch: ${drained()} vs $want")
+    assert(want.contains((1L, 2L)) && want.contains((1L, 4L)),
+      s"fixture must carry a within-batch AND a cross-batch pair: $want")
+    val perBatch = spark.read.parquet(s"$dir/pairs")
+      .select("batch", "idA", "idB")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(perBatch.contains((0L, 1L, 2L)),
+      "the within-batch pair lands in its own batch")
+    assert(perBatch.contains((1L, 1L, 4L)),
+      "the cross-batch pair lands in its later member's batch")
+    // crash replay: batch 1 re-runs against its pre-state exactly
+    run(b1, 1L)
+    assert(drained() === want, "replay drifted the pair set")
+    // compaction folds the tail; a later batch still probes everything
+    StreamingPHashDedup.compactState(spark, s"$dir/index")
+    run(Seq((6L, bright(g3))).toDF("id", "pixels"), 2L)
+    assert(drained().contains((5L, 6L)),
+      "a post-compaction batch must still find pre-compaction assets")
+    // hot-bucket guard: an identical-signature crowd OVER the cap drops
+    // (observed), so the probe stays sub-quadratic — crowd pairs absent
+    val crowd = (100L to 140L).map(i => (i, g1)).toDF("id", "pixels")
+    run(crowd, 3L, cap = 10)
+    val withCrowd = drained()
+    assert(!withCrowd.contains((100L, 101L)),
+      "an over-cap signature crowd must drop under the guard")
+  }
+
   test("streaming t-closeness: threshold crossing flags the drifting " +
       "class at its touching batch, drained report equals the batch " +
       "audit, replay is idempotent, compaction preserves the report, " +
