@@ -3877,6 +3877,38 @@ object SparkEntry {
       graft.streaming.StreamingPHashDedup.pairs(s, s"$tmp/pairs")
     }),
 
+    // streaming audio fingerprints: the m11 fixture streamed — shifted
+    // copies of ids % 50 == 0 ride WITH their originals (within-batch),
+    // ids % 50 == 25 arrive a batch later (cross-batch through the
+    // persistent landmark index); drained pairs == batch m11
+    "e34_streaming_audio_fingerprint" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e34").toString
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))
+      val variants = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("media_id"),
+          encode(concat(lit("P" * 32), col("text")), "UTF-8")
+            .as("content"))
+      base.unionByName(variants.filter(col("media_id") % 50 === 0))
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      variants.filter(col("media_id") % 50 === 25)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("media_id BIGINT, content BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingAudioFingerprint.start(s, src,
+        "media_id", "content", s"$tmp/index", s"$tmp/pairs", s"$tmp/cp",
+        windowBytes = 16, fanout = 3, zone = 16, minAligned = 3,
+        maxHashGroup = 10000)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e34 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingAudioFingerprint.pairs(s, s"$tmp/pairs")
+    }),
+
     "m01_media_pipeline" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
       val decoded = Multimodal.featureStub(Multimodal.decodeStub(media), dim = 8)
@@ -5397,6 +5429,64 @@ object SparkEntry {
                          <= 0.15
                   ELSE TRUE END AS t_close
          FROM s"""
+
+  /** m11's constellation replay — identical window energies, strict
+    * interior peaks, packed landmark hashes, offset histogram +
+    * best-alignment pick. Shared verbatim by e34 (the streaming
+    * monitor's drained pairs must equal the batch operator — the
+    * e-series contract).
+    */
+  private val m11OracleSql: String =
+    """WITH media AS (
+           SELECT doc_id AS media_id, text AS t FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, repeat('P', 32) || text
+           FROM documents WHERE doc_id % 25 = 0),
+         pos AS (
+           SELECT media_id, t, UNNEST(range(1, length(t) + 1)) AS i
+           FROM media),
+         en AS (
+           SELECT media_id, CAST((i - 1) // 16 AS INT) AS wno,
+                  CAST(SUM(unicode(substr(t, CAST(i AS INT), 1)))
+                    AS BIGINT) AS e
+           FROM pos GROUP BY 1, 2),
+         ea AS (SELECT media_id, list(e ORDER BY wno) AS es
+                FROM en GROUP BY 1),
+         pk AS (
+           SELECT media_id, es,
+                  list_filter(range(2, len(es)), p ->
+                    es[p] > es[p - 1] AND es[p] > es[p + 1]) AS ps
+           FROM ea),
+         fp AS (
+           -- (peak j, fan k) flattened onto one index q (j = q//3 + 1,
+           -- k = q%3 + 1): a single-level lambda — the nested
+           -- transform-inside-filter capture of j fails to bind here
+           SELECT media_id, u.fp.h AS h, u.fp.a AS a
+           FROM pk, UNNEST(list_filter(
+             list_transform(range(0, len(ps) * 3), q ->
+               CASE WHEN (q // 3 + 1) + (q % 3 + 1) <= len(ps)
+                     AND ps[CAST(q // 3 + 1 + q % 3 + 1 AS INT)]
+                       - ps[CAST(q // 3 + 1 AS INT)] <= 16
+                    THEN struct_pack(
+                      h := es[ps[CAST(q // 3 + 1 AS INT)]] * 268435456
+                         + es[ps[CAST(q // 3 + 1 + q % 3 + 1 AS INT)]]
+                           * 16384
+                         + (ps[CAST(q // 3 + 1 + q % 3 + 1 AS INT)]
+                            - ps[CAST(q // 3 + 1 AS INT)]),
+                      a := ps[CAST(q // 3 + 1 AS INT)] - 1) END),
+             x -> x IS NOT NULL)) AS u(fp)),
+         m AS (
+           SELECT a.media_id AS idA, b.media_id AS idB,
+                  b.a - a.a AS t_offset, CAST(COUNT(*) AS BIGINT) AS n
+           FROM fp a JOIN fp b ON a.h = b.h AND a.media_id < b.media_id
+           GROUP BY 1, 2, 3),
+         best AS (
+           SELECT idA, idB, t_offset, n,
+                  row_number() OVER (PARTITION BY idA, idB
+                                     ORDER BY n DESC, t_offset ASC) AS rn
+           FROM m)
+         SELECT idA, idB, t_offset, n AS n_aligned
+         FROM best WHERE rn = 1 AND n >= 3"""
 
   /** g20's absorbing-chain replay — shared verbatim by e30 because
     * the streaming drain must equal the batch operator over the full
@@ -10446,57 +10536,11 @@ object SparkEntry {
     // energies (the m04 replay), strict interior peaks, the same packed
     // (e_a·2^28 + e_b·2^14 + Δt) landmark hashes, the offset histogram
     // and per-pair best-alignment pick (ties to the smaller offset)
-    "m11_audio_fingerprint" ->
-      """WITH media AS (
-           SELECT doc_id AS media_id, text AS t FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, repeat('P', 32) || text
-           FROM documents WHERE doc_id % 25 = 0),
-         pos AS (
-           SELECT media_id, t, UNNEST(range(1, length(t) + 1)) AS i
-           FROM media),
-         en AS (
-           SELECT media_id, CAST((i - 1) // 16 AS INT) AS wno,
-                  CAST(SUM(unicode(substr(t, CAST(i AS INT), 1)))
-                    AS BIGINT) AS e
-           FROM pos GROUP BY 1, 2),
-         ea AS (SELECT media_id, list(e ORDER BY wno) AS es
-                FROM en GROUP BY 1),
-         pk AS (
-           SELECT media_id, es,
-                  list_filter(range(2, len(es)), p ->
-                    es[p] > es[p - 1] AND es[p] > es[p + 1]) AS ps
-           FROM ea),
-         fp AS (
-           -- (peak j, fan k) flattened onto one index q (j = q//3 + 1,
-           -- k = q%3 + 1): a single-level lambda — the nested
-           -- transform-inside-filter capture of j fails to bind here
-           SELECT media_id, u.fp.h AS h, u.fp.a AS a
-           FROM pk, UNNEST(list_filter(
-             list_transform(range(0, len(ps) * 3), q ->
-               CASE WHEN (q // 3 + 1) + (q % 3 + 1) <= len(ps)
-                     AND ps[CAST(q // 3 + 1 + q % 3 + 1 AS INT)]
-                       - ps[CAST(q // 3 + 1 AS INT)] <= 16
-                    THEN struct_pack(
-                      h := es[ps[CAST(q // 3 + 1 AS INT)]] * 268435456
-                         + es[ps[CAST(q // 3 + 1 + q % 3 + 1 AS INT)]]
-                           * 16384
-                         + (ps[CAST(q // 3 + 1 + q % 3 + 1 AS INT)]
-                            - ps[CAST(q // 3 + 1 AS INT)]),
-                      a := ps[CAST(q // 3 + 1 AS INT)] - 1) END),
-             x -> x IS NOT NULL)) AS u(fp)),
-         m AS (
-           SELECT a.media_id AS idA, b.media_id AS idB,
-                  b.a - a.a AS t_offset, CAST(COUNT(*) AS BIGINT) AS n
-           FROM fp a JOIN fp b ON a.h = b.h AND a.media_id < b.media_id
-           GROUP BY 1, 2, 3),
-         best AS (
-           SELECT idA, idB, t_offset, n,
-                  row_number() OVER (PARTITION BY idA, idB
-                                     ORDER BY n DESC, t_offset ASC) AS rn
-           FROM m)
-         SELECT idA, idB, t_offset, n AS n_aligned
-         FROM best WHERE rn = 1 AND n >= 3""",
+    // m11: the generated shared constellation replay — see m11OracleSql
+    "m11_audio_fingerprint" -> m11OracleSql,
+    // e34 IS m11 over everything streamed — every fixture pair has a
+    // streamed member, so one oracle serves both (the e33 contract)
+    "e34_streaming_audio_fingerprint" -> m11OracleSql,
     "m01_media_pipeline" ->
       """WITH b AS (
            SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,

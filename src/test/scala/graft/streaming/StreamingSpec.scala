@@ -2445,6 +2445,55 @@ class StreamingSpec extends SparkTestBase {
       "an over-cap signature crowd must drop under the guard")
   }
 
+  test("streaming audio fingerprints: cross-batch pairs align through the " +
+      "persisted landmark index at the true offset, within-batch " +
+      "alignment counts match the batch operator exactly (no " +
+      "double-probe doubling), replay and compaction are exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_e34_spec").toString
+    val rnd = new scala.util.Random(43)
+    val base = Array.fill[Byte](640)((rnd.nextInt(96) + 32).toByte)
+    val pad = Array.fill[Byte](32)('P'.toByte)
+    val other = Array.fill[Byte](640)((rnd.nextInt(96) + 32).toByte)
+    // batch 0: asset 1 and its shifted twin 2 (WITHIN-batch) + 3;
+    // batch 1: 4 = shifted twin of 1 (CROSS-batch), 5 unrelated-ish
+    val b0 = Seq((1L, base), (2L, pad ++ base), (3L, other))
+      .toDF("media_id", "content")
+    val b1 = Seq((4L, pad ++ base), (5L, Array.fill[Byte](320)(65.toByte)))
+      .toDF("media_id", "content")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingAudioFingerprint.processBatch(df, id, "media_id",
+        "content", s"$dir/index", s"$dir/pairs", windowBytes = 16,
+        fanout = 3, zone = 16, minAligned = 3, maxHashGroup = 10000)
+    run(b0, 0L)
+    run(b1, 1L)
+    def drained() = StreamingAudioFingerprint
+      .pairs(spark, s"$dir/pairs")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val want = graft.operators.Multimodal.audioFingerprintPairs(
+        b0.unionByName(b1), "media_id", "content", windowBytes = 16,
+        fanout = 3, zone = 16, minAligned = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // the equality is EXACT including alignment counts — the
+    // within-batch (1,2) pair would double its n_aligned if both
+    // members' probes counted the same landmark pair
+    assert(drained() === want, s"drained != batch: ${drained()} vs $want")
+    assert(want.contains((1L, 2L)) && want.contains((1L, 4L)),
+      s"fixture must carry within-batch AND cross-batch pairs: $want")
+    assert(want((1L, 4L))._1 === 2L,
+      "the cross-batch twin must align at the 2-window shift")
+    // replay: batch 1 recomputes against its pre-state exactly
+    run(b1, 1L)
+    assert(drained() === want, "replay drifted the pair set")
+    // compaction folds the landmark tail; later batches still align
+    StreamingAudioFingerprint.compactState(spark, s"$dir/index")
+    run(Seq((6L, pad ++ other)).toDF("media_id", "content"), 2L)
+    assert(drained().get((3L, 6L)).exists(_._1 == 2L),
+      "a post-compaction batch must align against pre-compaction assets")
+  }
+
   test("streaming t-closeness: threshold crossing flags the drifting " +
       "class at its touching batch, drained report equals the batch " +
       "audit, replay is idempotent, compaction preserves the report, " +
