@@ -2719,6 +2719,21 @@ object SparkEntry {
         quantiles = Seq(0.1, 0.5, 0.9), lo = 0.0, hi = 100.0,
         nBuckets = 20, epsilon = 0.5, seed = "v10:")),
 
+    // DP vocabulary release (stability histogram): planted per-doc-unique
+    // rtok tokens mostly stay suppressed below the threshold while the
+    // corpus vocabulary and the 20 planted mtok terms surface — the
+    // unknown-domain release v07 cannot do (WHICH keys exist is the leak)
+    "v11_dp_token_release" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        concat(col("text"), lit(" mtok"),
+          (col("doc_id") % 20).cast("string"),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" rtok"), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      Governance.dpTokenRelease(docs, "text", maxTokensPerDoc = 30,
+        epsilon = 5.0, threshold = 10.0, seed = "v11:")
+    }),
+
     // t-closeness, categorical ground distance: each (hour, value-bucket)
     // class's event-type distribution vs the corpus-global one; every
     // |p - q| term is an exact DECIMAL integer, one final IEEE division
@@ -8335,6 +8350,43 @@ object SparkEntry {
                 greatest(CAST(ROUND(CAST(n AS DOUBLE) + noise, 0) AS BIGINT),
                          0) AS released_count
          FROM z""",
+    // v11: the stability-histogram release replayed — identical
+    // bounded-token derivation (distinct → sort → first 30), the same
+    // seeded Laplace(L/ε) draw per token through the md5 + poly_hash64
+    // recipe, threshold compared on the RAW noisy value
+    "v11_dp_token_release" ->
+      """WITH aug AS (
+           SELECT text || ' mtok' || CAST(doc_id % 20 AS VARCHAR) ||
+                  (CASE WHEN doc_id % 4 = 1
+                        THEN ' rtok' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END) AS text
+           FROM documents),
+         dt AS (
+           SELECT UNNEST(list_slice(list_sort(list_filter(list_distinct(
+                    string_split(regexp_replace(lower(trim(text)),
+                      '\s+', ' ', 'g'), ' ')), x -> x <> '')), 1, 30))
+                  AS token
+           FROM aug),
+         c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+               FROM dt GROUP BY 1),
+         h AS (SELECT token, n,
+                      md5('v11:' || chr(31) || token) AS ks FROM c),
+         u AS (
+           SELECT token, n,
+                  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(range(1, length(ks)+1),
+                           i -> CAST(unicode(substr(ks, CAST(i AS INT), 1)) AS HUGEINT))),
+                       (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
+                    AS DOUBLE) / 1.8446744073709552e19 AS u
+           FROM h),
+         z AS (
+           SELECT token, n,
+                  CAST(n AS DOUBLE) + (-6.0) * sign(u - 0.5) *
+                  ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) AS nz
+           FROM u)
+         SELECT token, CAST(5.0 AS DOUBLE) AS epsilon,
+                ROUND(nz, 6) + 0.0 AS released
+         FROM z WHERE nz >= 10.0""",
     // v10: the exponential mechanism replayed — identical clamp/bucket,
     // bucketed ranks from the same triangular grid join, the SAME
     // seeded uniform per (quantile, grid point) through the md5 +

@@ -535,6 +535,56 @@ object Governance {
           .as("released_value"))
   }
 
+  /** Differentially-private VOCABULARY release (the stability-histogram
+    * pattern behind private heavy-hitter / private-SQL token releases —
+    * Korolova et al. 2009; Wilson et al. 2020; see PAPERS.md): release a
+    * token only when its noisy document frequency crosses a public
+    * threshold, so rare (potentially identifying) strings never appear —
+    * the unknown-domain case v07's per-group counts cannot handle
+    * (releasing WHICH keys exist is itself the leak).
+    *
+    * Contribution bounding (the user-level-DP prerequisite): each
+    * document contributes each token at most ONCE and at most
+    * `maxTokensPerDoc` tokens — the lexicographically smallest distinct
+    * tokens (deterministic, so both engines bound identically). One
+    * document then changes at most `maxTokensPerDoc` counts by 1 each
+    * (L1 sensitivity = maxTokensPerDoc), and each count draws seeded
+    * Laplace(maxTokensPerDoc/ε) noise through the shared recipe.
+    * τ calibration is the CALLER's: with Laplace(L/ε) noise, releasing
+    * only counts whose noisy value ≥ τ bounds the probability a
+    * unique-document token surfaces by ½·exp(−(τ−1)·ε/L) — pick τ for
+    * the target δ.
+    *
+    * Plan shape (100 TB posture): one map-only bounded-token explode,
+    * ONE vocab-bounded hash aggregate (map-side combined), map-only
+    * noise + threshold. Nothing corpus-scale moves after the aggregate.
+    *
+    * Output: (token, epsilon, released) for tokens whose RAW noisy count
+    * crosses `threshold` (the verdict compares unrounded; `released`
+    * rounds at emission). True counts deliberately NOT emitted.
+    */
+  def dpTokenRelease(df: DataFrame, textCol: String,
+      maxTokensPerDoc: Int, epsilon: Double, threshold: Double,
+      seed: String): DataFrame = {
+    require(maxTokensPerDoc >= 1, "need a positive per-doc token bound")
+    require(epsilon > 0, "epsilon must be positive")
+    require(threshold >= 1.0, "a sub-1 threshold releases noise as vocab")
+    val toks = df.select(explode(expr(
+        s"""slice(array_sort(filter(array_distinct(
+           |  split(regexp_replace(lower(trim($textCol)), '\\\\s+', ' '),
+           |    ' ')), x -> x != '')), 1, $maxTokensPerDoc)"""
+          .stripMargin)).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("__n"))
+    val noisy = col("__n").cast("double") +
+      laplaceNoise(noiseKey(seed, Seq(col("token"))),
+        maxTokensPerDoc.toDouble / epsilon)
+    counts.select(col("token"), lit(epsilon).as("epsilon"),
+        noisy.as("__nz"))
+      .filter(col("__nz") >= threshold)
+      .select(col("token"), col("epsilon"),
+        (round(col("__nz"), 6) + lit(0.0)).as("released"))
+  }
+
   /** (table_name, n_purged, n_retained) as two count-only aggregates
     * attached by 1-row joins (the scalar-model convention).
     */

@@ -333,6 +333,41 @@ class GovernanceSpec extends SparkTestBase {
     }
   }
 
+  test("dpTokenRelease: contribution bounding (distinct per doc, " +
+      "lexicographic cap), eps->inf releases exactly the >=tau " +
+      "vocabulary at true counts, sub-threshold tokens suppressed, " +
+      "seeded-deterministic, bad params rejected") {
+    import spark.implicits._
+    // d1 repeats 'a' (distinct-per-doc: counts once) and carries 'c'
+    // BEYOND the L=2 lexicographic cap ([a, b] kept, c dropped); c's
+    // released count must therefore be 2 (d4, d5 only), not 3
+    val docs = Seq("b a a a c", "a b", "a zz", "c", "c").toDF("text")
+    def run(eps: Double, tau: Double, seed: String) =
+      Governance.dpTokenRelease(docs, "text", maxTokensPerDoc = 2,
+          epsilon = eps, threshold = tau, seed = seed)
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> r._3).toMap
+    // tau between the counts (1.5): a count exactly AT tau would flip on
+    // the sign of the nano-noise — the threshold compares the raw value
+    val exact = run(1e9, 1.5, "s1:")
+    assert(exact === Map("a" -> 3.0, "b" -> 2.0, "c" -> 2.0),
+      s"eps->inf must release the true >=tau vocabulary: $exact")
+    // 'zz' (count 1) stays suppressed; 'c' counts 2, not 3 — the cap bit
+    assert(!exact.contains("zz"), "a sub-threshold token leaked")
+    val g1 = run(5.0, 1.5, "s1:")
+    assert(g1 === run(5.0, 1.5, "s1:"), "same seed must replay")
+    assert(run(5.0, 1.5, "s2:") !== g1, "a new seed must redraw")
+    intercept[IllegalArgumentException] {
+      Governance.dpTokenRelease(docs, "text", 0, 1.0, 2.0, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Governance.dpTokenRelease(docs, "text", 2, -1.0, 2.0, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Governance.dpTokenRelease(docs, "text", 2, 1.0, 0.5, "s")
+    }
+  }
+
   test("dpNoisedQuantiles: seeded-deterministic, eps->inf recovers the " +
       "bucketed quantile, releases stay on the public grid, bad params " +
       "rejected") {
