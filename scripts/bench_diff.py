@@ -145,7 +145,12 @@ for b, name, why in sorted(new_flags, reverse=True):
           f"required in BENCH_AB before round close")
 
 # --isolate: machine-check every flag in a fresh JVM; flags whose
-# isolated time clears the same trigger are adjudicated drift
+# isolated time clears the same trigger are adjudicated drift. Every
+# adjudication is also emitted as a markdown row meant to be pasted
+# VERBATIM into BENCH_AB_r{N}.md, so the round record keeps the
+# evidence (an exit-0 adjudication with no persisted trail would let a
+# bimodal/warm-cache regression silently pass the gate).
+adjudications = []  # (name, old, shared-run, isolated, verdict)
 if iso_dir and (flags or new_flags):
     names = [n for _, n, _, _ in flags] + [n for _, n, _ in new_flags]
     print(f"  isolate: re-running {len(names)} flagged queries fresh "
@@ -157,13 +162,16 @@ if iso_dir and (flags or new_flags):
             it = iso.get(name)
             if it is None:
                 kept.append((r, name, a, b))
+                adjudications.append((name, a, b, None, "flag stands (missing from re-run)"))
                 print(f"  flagged -> isolated  {name}: {b:.2f}s -> "
                       f"(missing from re-run); flag stands")
             elif a > 0 and it / a >= thr and it > 0.5:
                 kept.append((it / a, name, a, it))
+                adjudications.append((name, a, b, it, f"flag STANDS ({it / a:.1f}x isolated)"))
                 print(f"  flagged -> isolated  {name}: {b:.2f}s -> "
                       f"{it:.2f}s — STILL {it / a:.1f}x; flag stands")
             else:
+                adjudications.append((name, a, b, it, f"adjudicated drift (clears {thr:.1f}x isolated)"))
                 print(f"  flagged -> isolated  {name}: {b:.2f}s -> "
                       f"{it:.2f}s — clears {thr:.1f}x; adjudicated drift")
         flags = kept
@@ -178,12 +186,25 @@ if iso_dir and (flags or new_flags):
             if still_abs or still_fam:
                 kept_new.append((b if it is None else it, name, why))
                 shown = "missing" if it is None else f"{it:.2f}s"
+                adjudications.append((name, None, b, it, f"NEW-query flag stands ({why})"))
                 print(f"  flagged -> isolated  NEW {name}: {b:.2f}s -> "
                       f"{shown}; flag stands")
             else:
+                adjudications.append((name, None, b, it, "NEW-query adjudicated (clears budget+family isolated)"))
                 print(f"  flagged -> isolated  NEW {name}: {b:.2f}s -> "
                       f"{it:.2f}s — clears budget+family; adjudicated")
         new_flags = kept_new
+
+if adjudications:
+    print("\n  paste into BENCH_AB_r{N}.md:")
+    print("  | query | r{N-1} | r{N} shared run | isolated fresh-JVM | verdict |")
+    print("  |---|---|---|---|---|")
+    for name, a, b, it, verdict in adjudications:
+        olds = "new" if a is None else f"{a:.2f}s"
+        isos = "missing" if it is None else f"{it:.2f}s"
+        print(f"  | {name} | {olds} | {b:.2f}s | {isos} | {verdict} |")
+    print("  (single clearing re-run — for sub-3s queries corroborate "
+          "with `graft.Profile <q> <dir> 3` warm repeats)\n")
 
 print(f"total: {old.get('value', '?')} -> {new.get('value', '?')} sec; "
       f"{len(flags)} flagged >= {thr}x; {len(new_flags)} new-query flags; "

@@ -499,8 +499,13 @@ object HashKernels {
   def stretchPixels(s: UTF8String, n: Int): ArrayData = {
     val cps = s.toString.codePoints().toArray
     val len = cps.length
-    if (len == 0)
-      return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+    // fixed-shape contract: the grid is ALWAYS n samples. Empty input
+    // has no position to sample, so it must fail HERE, at the sampling
+    // step — a 0-length early return would surface as a confusing
+    // "needs 1024 ints, got 0" require in pHashDct downstream. Callers
+    // filter empties first (pixelGridStub's length > 0 gate).
+    require(len > 0,
+      s"stretchPixels needs a non-empty string to sample $n positions from")
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {

@@ -303,6 +303,17 @@ object Governance {
     * DECIMAL-routed unsigned→double conversion of poly_hash64(md5(key)),
     * shared by the Laplace inverse-CDF ([[laplaceNoise]]) and the Gumbel
     * draws of the exponential mechanism ([[dpNoisedQuantiles]]).
+    *
+    * SECURITY CONTRACT (applies to every release built on this draw —
+    * dpNoisedCounts/Mean/Histogram/Quantiles/TokenRelease): the draws
+    * are a DETERMINISTIC function of the seed, so the stated ε-DP
+    * guarantee holds only when the seed is SECRET and high-entropy (a
+    * per-release value from a CSPRNG, handled like a key). With a known
+    * or guessable seed the noise is publicly computable and subtracts
+    * off — the release degenerates to the raw statistic. The short
+    * plan-literal seeds in the test fixtures ("v10:", "v11:", …) exist
+    * for deterministic oracle REPLAY only; they are not a DP deployment
+    * posture.
     */
   private def seededUniform(keyStr: Column): Column = {
     val fp = graft.functions.GraftFunctions.poly_hash64(md5(keyStr))
@@ -489,7 +500,9 @@ object Governance {
     *
     * Output: one row per requested quantile —
     * (q, epsilon, released_value); true quantiles deliberately NOT
-    * emitted. Nulls drop (no subject signal).
+    * emitted. Nulls drop (no subject signal). The ε-DP claim inherits
+    * [[seededUniform]]'s security contract: it holds only under a
+    * secret high-entropy seed — fixture seeds are replay-only.
     */
   def dpNoisedQuantiles(df: DataFrame, valueCol: String,
       quantiles: Seq[Double], lo: Double, hi: Double, nBuckets: Int,
@@ -561,7 +574,10 @@ object Governance {
     *
     * Output: (token, epsilon, released) for tokens whose RAW noisy count
     * crosses `threshold` (the verdict compares unrounded; `released`
-    * rounds at emission). True counts deliberately NOT emitted.
+    * rounds at emission). True counts deliberately NOT emitted. The
+    * (ε, δ)-DP claim inherits [[seededUniform]]'s security contract:
+    * it holds only under a secret high-entropy seed — fixture seeds
+    * are replay-only.
     */
   def dpTokenRelease(df: DataFrame, textCol: String,
       maxTokensPerDoc: Int, epsilon: Double, threshold: Double,

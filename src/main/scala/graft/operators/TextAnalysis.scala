@@ -910,29 +910,34 @@ object TextAnalysis {
     val words = tokenCounts(df, textCol)
       .filter(length(col("token")) <= maxWordLen)
       .localCheckpoint(true)
-    // seed counts: every substring occurrence up to maxPieceLen, weighted
-    // by word frequency (one vocab-bounded explode + hash aggregate)
-    val subs = words.select(col("n"), explode(expr(
-        s"""flatten(transform(sequence(1, length(token)), i ->
-           |  transform(sequence(i, least(i + ${maxPieceLen - 1},
-           |      length(token))), j ->
-           |    substring(token, i, j - i + 1))))""".stripMargin))
-        .as("piece"))
-      .groupBy("piece").agg(sum(col("n")).as("c"))
-    val seed = subs.filter(length(col("piece")) === 1)
-      .unionByName(subs.filter(length(col("piece")) >= 2)
-        .orderBy(col("c").desc, col("piece").asc).limit(vocabSize))
-    var model = toModel(seed.as[(String, Long)].collect())
-    for (_ <- 1 to numRounds) {
-      val vocabLit = model.map(m => (m._1, m._3))
-      val counts = words.select(col("n"),
-          explode(graft.functions.GraftFunctions.unigram_viterbi(
-            col("token"), vocabLit, maxPieceLen)).as("piece"))
+    try {
+      // seed counts: every substring occurrence up to maxPieceLen, weighted
+      // by word frequency (one vocab-bounded explode + hash aggregate)
+      val subs = words.select(col("n"), explode(expr(
+          s"""flatten(transform(sequence(1, length(token)), i ->
+             |  transform(sequence(i, least(i + ${maxPieceLen - 1},
+             |      length(token))), j ->
+             |    substring(token, i, j - i + 1))))""".stripMargin))
+          .as("piece"))
         .groupBy("piece").agg(sum(col("n")).as("c"))
-        .as[(String, Long)].collect()
-      model = toModel(counts) // unused pieces are absent — pruned
-    }
-    model.toDF("piece", "n_piece", "q_logp")
+      val seed = subs.filter(length(col("piece")) === 1)
+        .unionByName(subs.filter(length(col("piece")) >= 2)
+          .orderBy(col("c").desc, col("piece").asc).limit(vocabSize))
+      var model = toModel(seed.as[(String, Long)].collect())
+      for (_ <- 1 to numRounds) {
+        val vocabLit = model.map(m => (m._1, m._3))
+        val counts = words.select(col("n"),
+            explode(graft.functions.GraftFunctions.unigram_viterbi(
+              col("token"), vocabLit, maxPieceLen)).as("piece"))
+          .groupBy("piece").agg(sum(col("n")).as("c"))
+          .as[(String, Long)].collect()
+        model = toModel(counts) // unused pieces are absent — pruned
+      }
+      model.toDF("piece", "n_piece", "q_logp")
+    } finally
+      // the snapshot's blocks would otherwise stay pinned for the
+      // driver's lifetime — the RoundSnapshots free discipline
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(words)
   }
 
   /** Unigram-LM ENCODING under a trained model ([[unigramLmTrain]]'s
