@@ -1527,6 +1527,55 @@ object SparkEntry {
       s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
     }),
 
+    // config-as-query ON THE STREAMING PATH: e05's exact fixture, but the
+    // per-batch screen (quality gate + decontamination) is DECLARED AS
+    // YAML and compiled through the same StagePipeline registry c31 uses,
+    // bound onto the streaming curation fold — the reference's identity
+    // (a YAML definition executed as a stream) generalized to the LLM
+    // family. Gated VERBATIM by e05's oracle: the declared pipeline and
+    // the code-built screen provably cannot drift
+    "e35_streaming_config_curation" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e35").toString
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"))
+      val evalDocs = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      StreamingCuration.seedFingerprints(
+        docs.filter(col("doc_id") % 3 === 0), "text", s"$tmp/fp")
+      docs.filter(col("doc_id") % 3 === 1)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      docs.filter(col("doc_id") % 3 === 2)
+        .coalesce(1).write.parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: streaming-curation
+          |  stages:
+          |    - stage: qualityGate
+          |      options:
+          |        lang: en
+          |        minQuality: "0.9"
+          |        maxDupBigramFrac: "0.05"
+          |    - stage: decontaminate
+          |      options:
+          |        eval: benchmark
+          |        n: "5"
+          |        threshold: "0.5"
+          |""".stripMargin)
+      val q = StreamingCuration.startFromConfig(s, src, cfg,
+        Map("benchmark" -> evalDocs), "doc_id", "text", "lang",
+        s"$tmp/fp", s"$tmp/kept", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e35 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
+    }),
+
     // streaming drift monitor: the reference third of the corpus vs the
     // other two thirds streamed in (drifted by stripping the first word)
     // across 2 micro-batches; the drained monitor's published PSI must
@@ -9417,6 +9466,9 @@ object SparkEntry {
          |UNION ALL SELECT 'a3_dedup', COUNT(*) FROM dedup
          |UNION ALL SELECT 'a4_resampled', COUNT(*) FROM kept""".stripMargin,
     "e05_streaming_curation" -> e05OracleSql,
+    // e35 IS e05 with the per-batch screen declared as YAML — one oracle
+    // serves both (the c31 contract on the streaming path)
+    "e35_streaming_config_curation" -> e05OracleSql,
     // exact decile bucketing: cumulative histogram of the length domain;
     // boundary b = smallest value with cum >= ceil(b*n/10) in integer
     // arithmetic; bucket = 1 + #(inner boundaries < value)

@@ -119,6 +119,16 @@ object StagePipeline {
     "limit" -> ((df, o, _) => df.limit(o.getOrElse("n",
       throw StageError("limit stage requires 'n'")).toInt)))
 
+  /** Resolve every stage of `cfg` without building any frame — the
+    * fail-closed pre-flight a STREAMING binding runs before its query
+    * starts (the reference's init-time plugin loading,
+    * DbMigrator.java:59-74: a typo'd stage must abort the run, never
+    * surface mid-stream as a dead foreachBatch). Batch callers get the
+    * same check for free from [[stagesOf]]'s resolve-before-build.
+    */
+  def validate(cfg: PipelineConfig): Unit =
+    cfg.stages.foreach(s => resolve(s.stage))
+
   private def resolve(kind: String): StageFn =
     registry.getOrElse(kind,
       if (kind.contains(".")) {

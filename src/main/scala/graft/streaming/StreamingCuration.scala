@@ -140,9 +140,80 @@ object StreamingCuration {
     }
   }
 
+  /** Start the screen with the PER-BATCH STAGES DECLARED AS CONFIG — the
+    * reference's config-as-query identity (a YAML definition EXECUTED as
+    * a stream, TableMigrationDefinition.java:17-139 driving
+    * MigrateTableTask.java:304-345's paged pull) extended to the curation
+    * family: `cfg`'s `stages:` compile through the SAME
+    * [[graft.pipeline.StagePipeline]] registry the batch front-end (c31)
+    * uses, applied to each micro-batch, and the stateful cross-batch
+    * dedup + batch-keyed delivery is [[dedupAndCommit]] — the exact
+    * code [[start]] runs. A `stages:` list of (qualityGate,
+    * decontaminate) is therefore RESULT-IDENTICAL to [[start]] with the
+    * matching thresholds (oracle-pinned: e35 gates this path against
+    * e05's oracle verbatim).
+    *
+    * Fail-closed: every stage resolves and the compiled pipeline's
+    * column contract — (idCol, textCol, langCol, quality) out, the
+    * columns [[dedupAndCommit]] consumes — is checked against the
+    * source schema BEFORE the stream starts (the reference's init-time
+    * plugin loading, DbMigrator.java:59-74); a typo'd stage or a
+    * contract-breaking pipeline never reaches a live foreachBatch.
+    * Stage `materialize:` flags are ignored here: a micro-batch is
+    * already bounded, and an eager per-batch checkpoint would pin
+    * blocks for the stream's lifetime.
+    */
+  def startFromConfig(spark: SparkSession, source: DataFrame,
+      cfg: graft.model.PipelineConfig, tables: Map[String, DataFrame],
+      idCol: String, textCol: String, langCol: String,
+      fpDir: String, keptDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(tables.values.forall(!_.isStreaming),
+      "aux tables must be bounded batch frames")
+    graft.pipeline.StagePipeline.validate(cfg)
+    // dry-compile against an empty frame with the source's schema: the
+    // column contract must fail at START, not in batch 0
+    val probe = graft.pipeline.StagePipeline.compile(cfg,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        source.schema),
+      tables, materializeIntermediates = false)
+    val missing = Seq(idCol, textCol, langCol, "quality")
+      .filterNot(probe.columns.contains)
+    require(missing.isEmpty,
+      s"config pipeline must emit (${Seq(idCol, textCol, langCol,
+        "quality").mkString(", ")}) for the curation state fold; " +
+        s"missing: ${missing.mkString(", ")}")
+    LsmParquetState.withPendingOwners(Seq(fpDir)) {
+      source.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processConfigBatch(batch, batchId, cfg, tables, idCol, textCol,
+            langCol, fpDir, keptDir)
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
+  }
+
+  /** One micro-batch of the CONFIG-declared screen — compile the YAML
+    * stages over the batch, then the shared stateful fold. Split out for
+    * the replay spec (the [[processBatch]] convention).
+    */
+  private[streaming] def processConfigBatch(batch: DataFrame, batchId: Long,
+      cfg: graft.model.PipelineConfig, tables: Map[String, DataFrame],
+      idCol: String, textCol: String, langCol: String,
+      fpDir: String, keptDir: String): Unit =
+    dedupAndCommit(batch,
+      graft.pipeline.StagePipeline.compile(cfg, batch, tables,
+        materializeIntermediates = false),
+      batchId, idCol, textCol, langCol, fpDir, keptDir)
+
   /** One micro-batch of the screen — the foreachBatch body, split out so
     * the replay spec can drive it with a pinned `batchId` through the
-    * exact production path (see the delivery contract above).
+    * exact production path (see the delivery contract above). The
+    * stateless per-batch screen (gate + decon) lives here; everything
+    * stateful (cross-batch dedup, batch-keyed writes) is the shared
+    * [[dedupAndCommit]] the config-driven twin also routes through.
     */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       evalDocs: DataFrame,
@@ -150,7 +221,6 @@ object StreamingCuration {
       fpDir: String, keptDir: String,
       lang: String, minQuality: Double, maxDupBigramFrac: Double,
       overlapN: Int, overlapThreshold: Double): Unit = {
-    val s = batch.sparkSession
     val (dupB, _) = TextAnalysis.repetitionScores(col(textCol))
     val gated = batch.select(col(idCol), col(textCol), col(langCol),
         TextAnalysis.langId(col(textCol)).as("__pred"),
@@ -164,7 +234,26 @@ object StreamingCuration {
         n = overlapN, threshold = overlapThreshold)
       .filter(col("contaminated")).select(idCol)
     val decon = gated.join(flagged, Seq(idCol), "left_anti")
-    val deduped = Dedup.normalizedDedup(decon, idCol, textCol)
+    dedupAndCommit(batch, decon, batchId, idCol, textCol, langCol,
+      fpDir, keptDir)
+  }
+
+  /** The STATEFUL half of a curation micro-batch, shared by the
+    * code-built screen ([[processBatch]]) and the YAML-declared one
+    * ([[processConfigBatch]]): cross-batch exact dedup of the already-
+    * screened docs against the fingerprint state, then the batch-keyed
+    * survivor + fingerprint writes (the delivery contract above).
+    * `screened` must carry (idCol, textCol, langCol, quality); `batch`
+    * is the RAW micro-batch, used only to bound the touched-prefix set
+    * (a superset of the screened docs' prefixes — so the screen chain
+    * never re-executes for the prefix collect).
+    */
+  private[streaming] def dedupAndCommit(batch: DataFrame,
+      screened: DataFrame, batchId: Long,
+      idCol: String, textCol: String, langCol: String,
+      fpDir: String, keptDir: String): Unit = {
+    val s = batch.sparkSession
+    val deduped = Dedup.normalizedDedup(screened, idCol, textCol)
       .withColumn("__fp", md5(Dedup.normalized(col(textCol))))
     // restriction of the stored index before the anti join: on the
     // partitioned-base layout, the bounded touched-prefix set —

@@ -958,6 +958,148 @@ class StreamingSpec extends SparkTestBase {
     assert(fpRows() === f0, "post-crash replay changed the fingerprint state")
   }
 
+  // the YAML screen for the config-as-query streaming tests: e05's gate
+  // thresholds opened wide the way the code-built curation specs do
+  private def curationCfg(minQuality: String = "0.0",
+      maxDupBigramFrac: String = "1.0"): PipelineConfig =
+    graft.config.ConfigCodec.pipelineFromYaml(
+      s"""pipeline:
+         |  name: streaming-curation
+         |  stages:
+         |    - stage: qualityGate
+         |      options:
+         |        lang: en
+         |        minQuality: "$minQuality"
+         |        maxDupBigramFrac: "$maxDupBigramFrac"
+         |    - stage: decontaminate
+         |      options:
+         |        eval: benchmark
+         |        n: "5"
+         |        threshold: "0.5"
+         |""".stripMargin)
+
+  test("streaming config-as-query: the YAML-declared screen drains to the " +
+      "exact survivor and fingerprint state the code-built screen leaves") {
+    import org.apache.spark.sql.functions._
+    val seedText = "the seed corpus document that we already kept and curated"
+    val evalText = "the held out evaluation prompt that must never leak into training"
+    val evalDocs = Seq((900L, evalText)).toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the first unique document about engines and the data we keep", "en"),
+      (12L, seedText, "en"),
+      (13L, evalText, "en"),
+      (15L, "the shared duplicate text that appears twice in this batch", "en"),
+      (14L, "the shared duplicate text that appears twice in this batch", "en"),
+      (16L, "der hund und die katze sind nicht ein tier mit dem anderen", "de"),
+      (17L, null.asInstanceOf[String], "en"))
+    val b2 = Seq(
+      (21L, "the first unique document about engines and the data we keep", "en"),
+      (22L, "the second unique document and the words it is made of", "en"))
+    def drain(viaConfig: Boolean): (Seq[Long], Seq[String]) = {
+      val dir = Files.createTempDirectory(
+        s"graft_sc_cfg_$viaConfig").toString
+      StreamingCuration.seedFingerprints(
+        Seq((0L, seedText)).toDF("doc_id", "text"), "text", s"$dir/fp",
+        partitionedBase = true)
+      b1.toDF("doc_id", "text", "lang").coalesce(1).write.parquet(s"$dir/src")
+      b2.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("append").parquet(s"$dir/src")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+      val q =
+        if (viaConfig) StreamingCuration.startFromConfig(spark, stream,
+          curationCfg(), Map("benchmark" -> evalDocs),
+          "doc_id", "text", "lang", s"$dir/fp", s"$dir/kept", s"$dir/cp")
+        else StreamingCuration.start(spark, stream, evalDocs,
+          "doc_id", "text", "lang", s"$dir/fp", s"$dir/kept", s"$dir/cp",
+          minQuality = 0.0, maxDupBigramFrac = 1.0)
+      assert(q.awaitTermination(120000), "stream did not drain")
+      (spark.read.parquet(s"$dir/kept")
+        .select("doc_id").as[Long].collect().sorted.toSeq,
+        StreamingCuration.fingerprintSnapshot(spark, s"$dir/fp")
+          .select("fp").as[String].collect().sorted.toSeq)
+    }
+    val (codeKept, codeFps) = drain(viaConfig = false)
+    val (cfgKept, cfgFps) = drain(viaConfig = true)
+    assert(codeKept === Seq(11L, 14L, 22L), s"code-path survivors off: $codeKept")
+    assert(cfgKept === codeKept, "YAML screen drifted from the code screen")
+    assert(cfgFps === codeFps, "YAML fingerprint state drifted")
+  }
+
+  test("streaming config-as-query fails closed: a typo'd stage and a " +
+      "contract-breaking pipeline abort BEFORE the stream starts") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sc_cfg_fail").toString
+    StreamingCuration.seedFingerprints(
+      Seq((0L, "seed")).toDF("doc_id", "text"), "text", s"$dir/fp",
+      partitionedBase = true)
+    Seq((1L, "a doc", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/src")
+    def stream() = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val typod = PipelineConfig("p", List(StageDef("qualityGrate", Map.empty)))
+    val e1 = intercept[graft.pipeline.StagePipeline.StageError] {
+      StreamingCuration.startFromConfig(spark, stream(), typod, Map.empty,
+        "doc_id", "text", "lang", s"$dir/fp", s"$dir/kept", s"$dir/cp")
+    }
+    assert(e1.getMessage.contains("unknown stage"))
+    // a pipeline that drops the quality/text contract columns: the limit
+    // stage resolves fine, but the compiled output has no 'quality'
+    val noQuality = PipelineConfig("p", List(StageDef("limit", Map("n" -> "5"))))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingCuration.startFromConfig(spark, stream(), noQuality, Map.empty,
+        "doc_id", "text", "lang", s"$dir/fp", s"$dir/kept", s"$dir/cp")
+    }
+    assert(e2.getMessage.contains("quality"))
+    assert(!new java.io.File(s"$dir/kept").exists(),
+      "a failed-closed start must not have written survivors")
+  }
+
+  test("streaming config-as-query replay idempotence: a replayed " +
+      "in-flight batch through the YAML path lands exactly once") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sc_cfg_replay").toString
+    val seedText = "the seed corpus document that we already kept and curated"
+    StreamingCuration.seedFingerprints(
+      Seq((0L, seedText)).toDF("doc_id", "text"), "text", s"$dir/fp",
+      partitionedBase = true)
+    val evalDocs = Seq((900L,
+      "the held out evaluation prompt that must never leak into training"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the first unique document about engines and the data we keep", "en"),
+      (12L, seedText, "en"))
+    val b2 = Seq(
+      (21L, "the first unique document about engines and the data we keep", "en"),
+      (22L, "the second unique document about layouts and the state we fold", "en"))
+    b1.toDF("doc_id", "text", "lang").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingCuration.startFromConfig(spark, stream,
+      curationCfg(), Map("benchmark" -> evalDocs),
+      "doc_id", "text", "lang", s"$dir/fp", s"$dir/kept", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def keptRows() = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def fpRows() = StreamingCuration.fingerprintSnapshot(spark, s"$dir/fp")
+      .select("fp").as[String].collect().sorted.toSeq
+    val (k0, f0) = (keptRows(), fpRows())
+    assert(k0 === Seq(11L, 22L), s"drained survivors off: $k0")
+    // replay the in-flight batch (b2 ran as batch id 1) through the exact
+    // production config path: batch-keyed overwrite + exclude-own-tail
+    StreamingCuration.processConfigBatch(
+      b2.toDF("doc_id", "text", "lang"), 1L, curationCfg(),
+      Map("benchmark" -> evalDocs), "doc_id", "text", "lang",
+      s"$dir/fp", s"$dir/kept")
+    assert(keptRows() === k0, "replay changed the survivor set")
+    assert(fpRows() === f0, "replay changed the fingerprint state")
+  }
+
   test("prunedDocsScan: candidate id prefixes land as PartitionFilters on " +
       "the docs base, untouched prefix files never opened, tail visible") {
     val dir = Files.createTempDirectory("graft_snd_docprune").toString
