@@ -3911,6 +3911,25 @@ object SparkEntry {
         maxHashGroup = 10000)
     }),
 
+    // video clip alignment: every 25th (ASCII-pure, >= 80-byte) doc gets
+    // a CLIPPED copy starting 2 frames (32 bytes) in — the frame-set
+    // operators (m05/m06) would see little overlap (the n-chunk grid
+    // rescales), but the fixed-grid digest join + offset histogram must
+    // find each planted clip at exactly f_offset = -2 with all surviving
+    // frames aligned
+    "m12_video_clip_align" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = docs.select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("content"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0 &&
+            length(col("text")) >= 80 &&
+            octet_length(col("text")) === length(col("text")))
+          .select((col("doc_id") + 1000000).as("media_id"),
+            encode(expr("substring(text, 33)"), "UTF-8").as("content")))
+      Multimodal.videoClipAlign(media, "media_id", "content",
+        frameBytes = 16, minAligned = 3, maxDigestGroup = 10000)
+    }),
+
     // streaming pHash dedup: the m10 fixture streamed — half the
     // brightness variants ride WITH their originals (within-batch
     // pairs), half arrive a batch later (cross-batch pairs through the
@@ -10645,6 +10664,39 @@ object SparkEntry {
     // e34 IS m11 over everything streamed — every fixture pair has a
     // streamed member, so one oracle serves both (the e33 contract)
     "e34_streaming_audio_fingerprint" -> m11OracleSql,
+    // m12: fixed-grid frame digests (md5 over the hex image, the m05
+    // convention — 32 hex chars per 16-byte frame) + the m11 offset
+    // histogram / row_number best-alignment pick
+    "m12_video_clip_align" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, hex(encode(substr(text, 33)))
+           FROM documents
+           WHERE doc_id % 25 = 0 AND length(text) >= 80
+             AND strlen(text) = length(text)),
+         sized AS (
+           SELECT media_id, hx, length(hx) // 32 AS nf
+           FROM media WHERE length(hx) >= 32),
+         fr AS (
+           SELECT media_id, u.f.fn AS frame_no, u.f.d AS d
+           FROM sized, UNNEST(list_transform(range(0, nf), i ->
+             struct_pack(fn := i,
+               d := md5(substr(hx, CAST(i * 32 + 1 AS INT), 32))))) AS u(f)),
+         hist AS (
+           SELECT a.media_id AS idA, b2.media_id AS idB,
+                  b2.frame_no - a.frame_no AS f_offset,
+                  CAST(COUNT(*) AS BIGINT) AS n_aligned
+           FROM fr a JOIN fr b2 ON a.d = b2.d AND a.media_id < b2.media_id
+           GROUP BY 1, 2, 3),
+         best AS (
+           SELECT idA, idB, f_offset, n_aligned,
+                  row_number() OVER (PARTITION BY idA, idB
+                                     ORDER BY n_aligned DESC, f_offset ASC)
+                    AS rn
+           FROM hist)
+         SELECT idA, idB, f_offset, n_aligned
+         FROM best WHERE rn = 1 AND n_aligned >= 3""",
     "m01_media_pipeline" ->
       """WITH b AS (
            SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -464,6 +464,77 @@ object Multimodal {
       .filter(col("n_aligned") >= minAligned)
   }
 
+  /** Video clip alignment — the m-family's re-edit detector: find pairs
+    * of video assets where one is a CLIP of the other (or both cut from
+    * a common source) at a CONSISTENT temporal offset, which the
+    * frame-SET operators ([[frameNearDupPairs]]/[[frameJaccardPairs]])
+    * cannot see (a clip shares few of the union's frames) and
+    * whole-payload hashes miss entirely. The recipe composes the two
+    * proven pieces: m05's frame digests as the landmark stream — here
+    * over a FIXED-size frame grid, so a frame-aligned cut leaves every
+    * surviving frame bit-identical at a shifted index (the
+    * [[frameSample]] n-chunk grid would rescale with the clip's length
+    * and share nothing) — and m11's offset histogram
+    * ([[audioFingerprintPairs]]'s groupBy(idA, idB, offset) + max_by
+    * shape) as the alignment verdict: the pair's best offset is where
+    * the aligned-frame count peaks.
+    *
+    * Only FULL `frameBytes`-sized frames digest (a partial tail frame
+    * differs between source and clip by construction and would only add
+    * noise); frames digest as md5 of their hex image (the m05
+    * cross-engine convention). Boilerplate frames (intros, credits,
+    * black frames — shared by millions of assets) are the quadratic
+    * blowup here exactly as jingles are for audio: the standard
+    * [[Dedup.capBuckets]] guard drops digest groups above
+    * `maxDigestGroup`, observe-reported as `clip_frame_skew_guard`.
+    *
+    * Scale shape: payload bytes collapse map-side to skinny
+    * (digest, id, frame_no) rows before anything shuffles; the
+    * candidate join is digest-keyed; the histogram and best-offset pick
+    * are two hash aggregates — the m11 plan over a different landmark
+    * extractor (a real pipeline swaps the byte framing for decoded
+    * frames + a perceptual frame hash and keeps every shape downstream).
+    *
+    * Output: (idA, idB, f_offset, n_aligned) with idA < idB — the best
+    * (most-aligned, ties to the smaller offset) alignment per pair, at
+    * least `minAligned` frames strong. `f_offset` = idB's frame index
+    * minus idA's for the matched frames: a clip of idA starting at
+    * frame k of the source aligns at `f_offset = -k`.
+    */
+  def videoClipAlign(media: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int = 16, minAligned: Int = 3,
+      maxDigestGroup: Int = 10000): DataFrame = {
+    require(frameBytes >= 1, s"need a positive frame size, got $frameBytes")
+    require(minAligned >= 1, s"need minAligned >= 1, got $minAligned")
+    val digests = media
+      .filter(length(col(payloadCol)) >= frameBytes)
+      .select(col(idCol).as("__id"), col(payloadCol).as("__c"),
+        floor(length(col(payloadCol)) / lit(frameBytes.toDouble))
+          .cast("int").as("__nf"))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), col("__nf") - 1,  lit(1)),
+          i => md5(hex(col("__c").substr(
+            i * frameBytes + 1, lit(frameBytes))))))
+          .as(Seq("frame_no", "__d")))
+    val capped = Dedup.capBuckets(digests, Seq("__d"), maxDigestGroup,
+      "clip_frame_skew_guard")
+    val a = capped.select(col("__d"), col("__id").as("idA"),
+      col("frame_no").as("__fa"))
+    val b = capped.select(col("__d"), col("__id").as("idB"),
+      col("frame_no").as("__fb"))
+    a.join(b, Seq("__d"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"),
+        (col("__fb") - col("__fa")).as("f_offset"))
+      .agg(count(lit(1)).as("n_aligned"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(max_by(struct(col("f_offset"), col("n_aligned")),
+        struct(col("n_aligned"), (-col("f_offset")).as("__t"))).as("__b"))
+      .select(col("idA"), col("idB"), col("__b.f_offset").as("f_offset"),
+        col("__b.n_aligned").as("n_aligned"))
+      .filter(col("n_aligned") >= minAligned)
+  }
+
   /** Cross-modal candidate pair mining — the standard LLM-data need the
     * within-modality family (m05/m06 frame dedup, d-series text dedup)
     * does not cover: pair TEXT documents with IMAGE/AUDIO assets through

@@ -330,6 +330,60 @@ class MultimodalSpec extends SparkTestBase {
       s"hand-computed landmark mismatch: $fp")
   }
 
+  test("videoClipAlign: a frame-aligned clip is found at exactly the " +
+      "shift, frame-set jaccard misses it, boilerplate frames drop " +
+      "under the skew guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // 40 frames of 16 random bytes; the clip drops the first 10 frames
+    val base = Array.fill[Byte](640)((rnd.nextInt(96) + 32).toByte)
+    val clip = base.drop(160)
+    val other = Array.fill[Byte](640)((rnd.nextInt(96) + 32).toByte)
+    val media = Seq((1L, base), (2L, clip), (3L, other))
+      .toDF("media_id", "content")
+    val got = Multimodal.videoClipAlign(media, "media_id", "content",
+        frameBytes = 16, minAligned = 3)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.contains((1L, 2L)), s"clip must align with its source: $got")
+    // source frame k+10 == clip frame k → f_offset = fB - fA = -10,
+    // every one of the clip's 30 frames aligned
+    assert(got((1L, 2L)) === ((-10, 30L)),
+      s"alignment must sit at exactly the cut: ${got((1L, 2L))}")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      s"unrelated payloads must not align: $got")
+    // the frame-SET verdict on the same pair: the n-chunk grid rescales
+    // with the clip's length, so m06-style jaccard sees (almost) nothing
+    // — the gap m12 exists to close
+    val jac = Multimodal.frameJaccardPairs(
+      Seq((1L, base), (2L, clip)).toDF("media_id", "content")
+        .select(col("media_id"), col("content"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.lit("video").as("format"),
+            org.apache.spark.sql.functions.length(col("content"))
+              .cast("long").as("n_bytes"),
+            org.apache.spark.sql.functions.lit(null).cast("int").as("width"),
+            org.apache.spark.sql.functions.lit(null).cast("int").as("height"))
+            .as("meta")),
+      n = 4, threshold = 0.5)
+    assert(jac.count() === 0L, "frame-set jaccard should miss the clip")
+    // boilerplate frames (an identical intro on every asset) explode the
+    // digest join quadratically: the guard drops the hot digests and the
+    // residual unique content decides — here nothing else is shared
+    val intro = Array.fill[Byte](48)('I'.toByte) // 3 shared intro frames
+    val many = (1L to 30L).map(i =>
+      (i, intro ++ Array.fill[Byte](64)((rnd.nextInt(96) + 32).toByte)))
+      .toDF("media_id", "content")
+    val guarded = Multimodal.videoClipAlign(many, "media_id", "content",
+      frameBytes = 16, minAligned = 1, maxDigestGroup = 10)
+    assert(guarded.count() === 0L,
+      "intro-frame digests over the cap must drop, not pair every asset")
+    val unguarded = Multimodal.videoClipAlign(many, "media_id", "content",
+      frameBytes = 16, minAligned = 3, maxDigestGroup = 1000)
+    assert(unguarded.count() === (30L * 29L) / 2,
+      "under the cap the 3 shared intro frames align every pair at 0")
+  }
+
   test("pHashPairs: banded candidate generation finds EVERY pair within " +
       "maxHamming (pigeonhole recall 1.0) and nothing beyond") {
     import spark.implicits._
