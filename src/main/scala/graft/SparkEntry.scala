@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3682,6 +3682,41 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
     }),
 
+    // streaming CDC merge: c03's change log streamed in two event-id-
+    // parity batches (so a key's winning change can sit in either), the
+    // per-batch keep-last folds into the LSM change store, and the
+    // drained MERGE-ON-READ snapshot — applyCdc(seed, stored changes),
+    // the batch operator itself — must equal batch c03 over everything
+    // streamed; same oracle
+    "e36_streaming_cdc_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e36").toString
+      val snap = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val changes = t(s, dir, "events").select(
+        col("user_id").as("c_custkey"),
+        concat(lit("upd_"), col("event_id").cast("string")).as("c_name"),
+        col("value").as("c_acctbal"),
+        col("ts").as("ver"),
+        col("event_id"),
+        when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U").as("op"))
+      StreamingCdcMerge.seedState(snap, s"$tmp/state")
+      changes.filter(pmod(col("event_id"), lit(2)) === 0)
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      changes.filter(pmod(col("event_id"), lit(2)) === 1)
+        .coalesce(1).write.parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingCdcMerge.start(s, src, Seq("c_custkey"), "ver", "op",
+        s"$tmp/state", s"$tmp/cp", tieBreak = Seq("event_id"))
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e36 stream did not drain in 300s")
+      }
+      StreamingCdcMerge.currentSnapshot(s, s"$tmp/state", Seq("c_custkey"),
+        "ver", "op", tieBreak = Seq("event_id"))
+    }),
+
     // mixture application: deterministic per-doc repetition factors from
     // integer-permille targets — all keep decisions are integer
     // arithmetic (a float boundary would be an engine-ulp coin flip)
@@ -5512,6 +5547,31 @@ object SparkEntry {
                          <= 0.15
                   ELSE TRUE END AS t_close
          FROM s"""
+
+  /** c03's CDC-merge replay — latest change per key by (ver, event_id),
+    * delete drops the key, update/insert takes the change payload.
+    * Shared verbatim by e36 (the streaming merge-on-read snapshot must
+    * equal the batch operator over everything streamed — the e-series
+    * contract).
+    */
+  private val c03OracleSql: String =
+    """WITH ch AS (
+           SELECT user_id AS c_custkey,
+                  'upd_' || CAST(event_id AS VARCHAR) AS c_name,
+                  value AS c_acctbal,
+                  epoch_ns(ts) AS ver, event_id,
+                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM events),
+         latest AS (
+           SELECT c_custkey, c_name, c_acctbal, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_custkey
+                         ORDER BY ver DESC, event_id DESC) AS rn
+             FROM ch) t WHERE rn = 1)
+         SELECT c_custkey,
+                CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE c.c_name END AS c_name,
+                CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE c.c_acctbal END AS c_acctbal
+         FROM customer c FULL JOIN latest l USING (c_custkey)
+         WHERE l.op IS NULL OR l.op <> 'D'"""
 
   /** m11's constellation replay — identical window energies, strict
     * interior peaks, packed landmark hashes, offset histogram +
@@ -7523,24 +7583,11 @@ object SparkEntry {
                 lead(epoch_us(ts)) OVER w IS NULL AS is_current
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""",
-    "c03_apply_cdc" ->
-      """WITH ch AS (
-           SELECT user_id AS c_custkey,
-                  'upd_' || CAST(event_id AS VARCHAR) AS c_name,
-                  value AS c_acctbal,
-                  epoch_ns(ts) AS ver, event_id,
-                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
-           FROM events),
-         latest AS (
-           SELECT c_custkey, c_name, c_acctbal, op FROM (
-             SELECT *, row_number() OVER (PARTITION BY c_custkey
-                         ORDER BY ver DESC, event_id DESC) AS rn
-             FROM ch) t WHERE rn = 1)
-         SELECT c_custkey,
-                CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE c.c_name END AS c_name,
-                CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE c.c_acctbal END AS c_acctbal
-         FROM customer c FULL JOIN latest l USING (c_custkey)
-         WHERE l.op IS NULL OR l.op <> 'D'""",
+    "c03_apply_cdc" -> c03OracleSql,
+    // e36 IS c03 over everything streamed — the drained merge-on-read
+    // snapshot equals the batch operator under any batching (the
+    // keep-last fold is a max-semilattice), so one oracle serves both
+    "e36_streaming_cdc_merge" -> c03OracleSql,
     "e01_event_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                 COUNT(*) AS n_events,

@@ -18,9 +18,13 @@ object Cdc {
   /** Keep the highest-`ord` change per group — max_by over a hash
     * aggregate, so duplicates combine map-side and the shuffle carries
     * one candidate per (partition × key), never a sorted window of the
-    * whole log.
+    * whole log. Package-visible: [[graft.streaming.StreamingCdcMerge]]
+    * pre-collapses each micro-batch and compacts its change store
+    * through THIS arithmetic, so the streaming fold cannot drift from
+    * the batch operator (max over a union of per-batch maxes is the
+    * global max — the fold is batching-independent by construction).
     */
-  private def keepLast(df: DataFrame, groupCols: Seq[String],
+  private[graft] def keepLast(df: DataFrame, groupCols: Seq[String],
       ordCols: Seq[String]): DataFrame = {
     val payload = df.columns.filterNot(groupCols.contains)
     df.groupBy(groupCols.map(col): _*)

@@ -958,6 +958,95 @@ class StreamingSpec extends SparkTestBase {
     assert(fpRows() === f0, "post-crash replay changed the fingerprint state")
   }
 
+  test("streaming CDC merge: drained merge-on-read snapshot equals batch " +
+      "applyCdc under cross-batch key competition, deletes and ties") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_scdc").toString
+    val seed = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    // batch 1 holds key 1's OLDER update and key 2's delete; batch 2 the
+    // NEWER update for 1, a STALE (pre-delete) update for 2 — which must
+    // NOT resurrect it — and an insert for a new key 4
+    val b1 = Seq((1L, "u1", 11.0, 5L, 100L, "U"), (2L, "d", 0.0, 9L, 101L, "D"))
+    val b2 = Seq((1L, "u2", 12.0, 7L, 102L, "U"), (2L, "stale", 99.0, 3L, 103L, "U"),
+      (4L, "new", 40.0, 6L, 104L, "U"))
+    val cols = Seq("k", "name", "bal", "ver", "eid", "op")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    StreamingCdcMerge.seedState(seed, s"$dir/state")
+    val stream = spark.readStream
+      .schema("k BIGINT, name STRING, bal DOUBLE, ver BIGINT, eid BIGINT, op STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingCdcMerge.start(spark, stream, Seq("k"), "ver", "op",
+      s"$dir/state", s"$dir/cp", tieBreak = Seq("eid"))
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def snap() = StreamingCdcMerge.currentSnapshot(spark, s"$dir/state",
+        Seq("k"), "ver", "op", tieBreak = Seq("eid"))
+      .select("k", "name", "bal").as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    val batchTruth = graft.operators.Cdc.applyCdc(seed,
+        (b1 ++ b2).toDF(cols: _*), Seq("k"), "ver", "op",
+        tieBreak = Seq("eid"))
+      .select("k", "name", "bal").as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    assert(snap() === batchTruth, "drained snapshot drifted from batch")
+    assert(snap() === Seq((1L, "u2", 12.0), (3L, "c", 30.0),
+      (4L, "new", 40.0)), s"merge semantics off: ${snap()}")
+    // compaction: one winner row per key, TOMBSTONES RETAINED, snapshot
+    // byte-identical before/after
+    StreamingCdcMerge.compactState(spark, s"$dir/state", Seq("k"), "ver",
+      tieBreak = Seq("eid"))
+    assert(!new java.io.File(s"$dir/state/changes/tail").exists(),
+      "compaction must fold the tail")
+    val stored = StreamingCdcMerge.storedChanges(spark, s"$dir/state", Seq("k"))
+    assert(stored.count() === 3L, "one winner row per touched key")
+    assert(stored.filter(col("op") === "D").count() === 1L,
+      "the delete tombstone must survive compaction")
+    assert(snap() === batchTruth, "compaction changed the snapshot")
+    // a post-compaction batch redelivering the STALE update for the
+    // deleted key: the retained tombstone must keep beating it
+    StreamingCdcMerge.processBatch(
+      Seq((2L, "stale", 99.0, 3L, 103L, "U")).toDF(cols: _*), 2L,
+      Seq("k"), "ver", "op", s"$dir/state", Seq("eid"))
+    assert(snap() === batchTruth,
+      "a stale post-compaction redelivery resurrected a deleted key")
+  }
+
+  test("streaming CDC merge replay idempotence: a replayed in-flight " +
+      "batch (including batch 0) leaves state and snapshot unchanged") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_scdc_replay").toString
+    val seed = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
+    val cols = Seq("k", "name", "bal", "ver", "eid", "op")
+    val b1 = Seq((1L, "u1", 11.0, 5L, 100L, "U"), (1L, "u0", 9.0, 4L, 99L, "U"))
+    val b2 = Seq((2L, "new", 20.0, 6L, 101L, "U"))
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    StreamingCdcMerge.seedState(seed, s"$dir/state")
+    val stream = spark.readStream
+      .schema("k BIGINT, name STRING, bal DOUBLE, ver BIGINT, eid BIGINT, op STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingCdcMerge.start(spark, stream, Seq("k"), "ver", "op",
+      s"$dir/state", s"$dir/cp", tieBreak = Seq("eid"))
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def state() = StreamingCdcMerge.storedChanges(spark, s"$dir/state", Seq("k"))
+      .collect().map(_.toString).sorted.toSeq
+    def snap() = StreamingCdcMerge.currentSnapshot(spark, s"$dir/state",
+        Seq("k"), "ver", "op", tieBreak = Seq("eid"))
+      .collect().map(_.toString).sorted.toSeq
+    val (s0, n0) = (state(), snap())
+    // the within-batch keep-last collapsed batch 0's two changes to one
+    assert(s0.size === 2, s"per-batch pre-collapse missing: $s0")
+    // replay BOTH batches through the production path — batch 0's replay
+    // must not re-seed the store over batch 1's tail
+    StreamingCdcMerge.processBatch(b1.toDF(cols: _*), 0L, Seq("k"), "ver",
+      "op", s"$dir/state", Seq("eid"))
+    StreamingCdcMerge.processBatch(b2.toDF(cols: _*), 1L, Seq("k"), "ver",
+      "op", s"$dir/state", Seq("eid"))
+    assert(state() === s0, "replay changed the change store")
+    assert(snap() === n0, "replay changed the snapshot")
+  }
+
   // the YAML screen for the config-as-query streaming tests: e05's gate
   // thresholds opened wide the way the code-built curation specs do
   private def curationCfg(minQuality: String = "0.0",
