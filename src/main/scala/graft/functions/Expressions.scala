@@ -232,6 +232,27 @@ case class ConstellationHashes(child: Expression, w: Int, fanout: Int,
   override def prettyName: String = "constellation_hashes"
 }
 
+/** Constellation landmark extraction over an already-decoded energy
+  * envelope (see [[HashKernels.constellationFromEnergies]]) — the
+  * algorithm half of the [[graft.operators.MediaDecoder]] codec seam.
+  */
+case class ConstellationFromEnergies(child: Expression, fanout: Int,
+    zone: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.constellationFromEnergies(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      fanout, zone)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.constellationFromEnergies($c, " +
+        s"$fanout, $zone)")
+  override protected def withNewChildInternal(
+      newChild: Expression): ConstellationFromEnergies =
+    copy(child = newChild)
+  override def prettyName: String = "constellation_from_energies"
+}
+
 /** Stretch-sampled pixel grid kernel (see [[HashKernels.stretchPixels]]). */
 case class StretchPixels(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -557,6 +578,9 @@ object GraftFunctions {
   def constellation_hashes(c: Column, w: Int, fanout: Int,
       zone: Int): Column = Bridge.column(
     ConstellationHashes(Bridge.expression(c), w, fanout, zone))
+  def constellation_from_energies(c: Column, fanout: Int,
+      zone: Int): Column = Bridge.column(
+    ConstellationFromEnergies(Bridge.expression(c), fanout, zone))
   def unigram_viterbi(c: Column, vocab: Seq[(String, Long)],
       maxPieceLen: Int): Column = Bridge.column(
     UnigramViterbi(Bridge.expression(c), vocab, maxPieceLen))

@@ -532,14 +532,27 @@ object HashKernels {
       zone: Int): ArrayData = {
     require(w >= 1 && w <= 64,
       s"window must be 1..64 bytes (energy must fit 14 bits), got $w")
+    constellationFromEnergies(byteWindowEnergies(bytes, w), fanout, zone)
+  }
+
+  /** The ALGORITHM half of [[constellationHashes]], split at the
+    * [[graft.operators.MediaDecoder]] codec seam: landmark extraction
+    * (strict interior peaks → fanout-paired packed hashes) over an
+    * already-decoded energy envelope. [[constellationHashes]] IS this
+    * over [[byteWindowEnergies]] (bit-identical by construction —
+    * spec-pinned), and a real decoder feeds STFT band energies in
+    * instead. Peak energies must fit 14 bits (the hash packing) —
+    * quantize decoder output; violations fail loudly at the landmark,
+    * not as silently colliding hashes.
+    */
+  def constellationFromEnergies(energies: ArrayData, fanout: Int,
+      zone: Int): ArrayData = {
     require(fanout >= 1 && zone >= 1 && zone < (1 << 14),
       s"need fanout >= 1 and 1 <= zone < 2^14, got $fanout/$zone")
-    val n = (bytes.length + w - 1) / w
-    val e = new Array[Long](n)
-    var i = 0
-    while (i < bytes.length) { e(i / w) += (bytes(i) & 0xffL); i += 1 }
+    val e = energies.toLongArray()
+    val n = e.length
     val peaks = new java.util.ArrayList[Int]()
-    i = 1
+    var i = 1
     while (i < n - 1) {
       if (e(i) > e(i - 1) && e(i) > e(i + 1)) peaks.add(i)
       i += 1
@@ -553,6 +566,9 @@ object HashKernels {
         val b = peaks.get(j + k)
         val dt = b - a
         if (dt <= zone) {
+          require(e(a) < (1 << 14) && e(b) < (1 << 14),
+            s"peak energy must fit 14 bits (got ${e(a)}/${e(b)}) — " +
+              "quantize the decoder's energy envelope")
           out.add((e(a) << 28) | (e(b) << 14) | dt.toLong)
           out.add(a.toLong)
         }

@@ -198,19 +198,18 @@ object Multimodal {
         col("content").substr(lit(1), col("new_width") * col("new_height")))
   }
 
-  /** Frame sampling: split a binary payload into `n` evenly-spaced chunks
-    * (stands in for video frame extraction) — pure column expressions, no
-    * UDF: one output row per (media, frame) via posexplode.
+  /** Frame sampling: `n` evenly-spaced frame images per payload through
+    * the [[MediaDecoder]] seam (the stub cuts the byte stream into `n`
+    * chunks; a real decoder samples n frames across the clip) — pure
+    * column expressions, no UDF: one output row per (media, frame) via
+    * posexplode.
     */
-  def frameSample(df: DataFrame, n: Int): DataFrame = {
-    val chunk = greatest(ceil(length(col("content")) / lit(n.toDouble)).cast("int"), lit(1))
-    df.select(col("media_id"), col("content"), chunk.as("__chunk"))
-      .select(
-        col("media_id"),
-        posexplode(transform(sequence(lit(0), lit(n - 1)),
-          i => col("content").substr(i * col("__chunk") + 1, col("__chunk"))))
-          .as(Seq("frame_no", "frame_bytes")))
-  }
+  def frameSample(df: DataFrame, n: Int,
+      decoder: MediaDecoder = ByteStubDecoder()): DataFrame =
+    df.select(
+      col("media_id"),
+      posexplode(decoder.sampleFrames(col("content"), n))
+        .as(Seq("frame_no", "frame_bytes")))
 
   /** STUB audio loudness: per fixed-size byte window, the unsigned byte
     * sum of the payload (one codegen'd kernel call per row — a real
@@ -245,8 +244,9 @@ object Multimodal {
     * Output: (idA, idB, n_shared) with idA < idB.
     */
   def frameNearDupPairs(media: DataFrame, n: Int = 4, minShared: Int = 3,
-      maxDigestGroup: Int = 10000): DataFrame =
-    sharedFramePairs(media, n, maxDigestGroup)
+      maxDigestGroup: Int = 10000,
+      decoder: MediaDecoder = ByteStubDecoder()): DataFrame =
+    sharedFramePairs(media, n, maxDigestGroup, decoder)
       .filter(col("n_shared") >= minShared)
 
   /** Whole-asset frame-set resemblance: per media pair, the Jaccard of
@@ -283,8 +283,9 @@ object Multimodal {
     * Output: (idA, idB, n_shared, jaccard) with idA < idB.
     */
   def frameJaccardPairs(media: DataFrame, n: Int = 4,
-      threshold: Double = 0.5, maxDigestGroup: Int = 10000): DataFrame = {
-    val capped = cappedFrameDigests(media, n, maxDigestGroup)
+      threshold: Double = 0.5, maxDigestGroup: Int = 10000,
+      decoder: MediaDecoder = ByteStubDecoder()): DataFrame = {
+    val capped = cappedFrameDigests(media, n, maxDigestGroup, decoder)
     val counts = capped.groupBy("media_id").agg(count(lit(1)).as("__nf"))
     pairsFromDigests(capped)
       .join(counts.select(col("media_id").as("idA"), col("__nf").as("__na")), "idA")
@@ -300,16 +301,17 @@ object Multimodal {
     * Digest of the hex encoding (not the raw bytes) so the exact same
     * digest is computable by engines whose md5 is string-only.
     */
-  private def frameDigests(media: DataFrame, n: Int): DataFrame =
-    frameSample(media, n)
+  private def frameDigests(media: DataFrame, n: Int,
+      decoder: MediaDecoder): DataFrame =
+    frameSample(media, n, decoder)
       .filter(length(col("frame_bytes")) > 0)
       .select(col("media_id"), md5(hex(col("frame_bytes"))).as("__d"))
       .distinct()
 
   private def cappedFrameDigests(media: DataFrame, n: Int,
-      maxDigestGroup: Int): DataFrame = {
+      maxDigestGroup: Int, decoder: MediaDecoder): DataFrame = {
     require(n >= 1, "need at least one frame")
-    Dedup.capBuckets(frameDigests(media, n), Seq("__d"),
+    Dedup.capBuckets(frameDigests(media, n, decoder), Seq("__d"),
       maxDigestGroup, "frame_digest_skew_guard")
   }
 
@@ -322,8 +324,8 @@ object Multimodal {
   }
 
   private def sharedFramePairs(media: DataFrame, n: Int,
-      maxDigestGroup: Int): DataFrame =
-    pairsFromDigests(cappedFrameDigests(media, n, maxDigestGroup))
+      maxDigestGroup: Int, decoder: MediaDecoder): DataFrame =
+    pairsFromDigests(cappedFrameDigests(media, n, maxDigestGroup, decoder))
 
   /** The 8×32 fixed-point DCT basis behind [[pHash64]]: K(u,r) =
     * round(cos(π(2r+1)u/64)·2¹⁵) — quantized ONCE here and spliced as
@@ -346,16 +348,20 @@ object Multimodal {
     * pixels a 1024-int array in [0, 255], row-major 32×32.
     */
   def pixelGridStub(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        regexp_replace(col(textCol), "[^ -~]", "").as("__t"))
-      .filter(length(col("__t")) > 0)
-      // ONE codegen kernel call per row — the transform/substring HOF
-      // formulation evaluated 1024 interpreted expressions per reference
-      // (most of m10's cost); values are bit-identical to the SQL the
-      // oracle replays
-      .select(col(idCol), graft.functions.GraftFunctions
-        .stretch_pixels(col("__t"), 1024).as("pixels"))
+    pixelGrid(df, idCol, textCol, ByteStubDecoder())
+
+  /** Decoder-parameterized pixel grid — the [[MediaDecoder]] seam's
+    * image entry: (idCol, pixels) with undecodable payloads dropped.
+    * The stub binding reproduces [[pixelGridStub]]'s byte transform
+    * exactly (ONE codegen kernel call per row — the transform/substring
+    * HOF formulation evaluated 1024 interpreted expressions per
+    * reference, most of m10's original cost; values bit-identical to
+    * the SQL the oracle replays).
+    */
+  def pixelGrid(df: DataFrame, idCol: String, payloadCol: String,
+      decoder: MediaDecoder): DataFrame =
+    df.select(col(idCol), decoder.pixelGrid(col(payloadCol)).as("pixels"))
+      .filter(col("pixels").isNotNull)
 
   /** 64-bit DCT perceptual hash (pHash — the published image near-dup
     * workhorse: 32×32 grayscale → 2D DCT-II → top-left 8×8 block →
@@ -433,11 +439,18 @@ object Multimodal {
   def audioFingerprintPairs(media: DataFrame, idCol: String,
       payloadCol: String, windowBytes: Int = 16, fanout: Int = 3,
       zone: Int = 16, minAligned: Int = 3,
-      maxHashGroup: Int = 10000): DataFrame = {
+      maxHashGroup: Int = 10000,
+      decoder: Option[MediaDecoder] = None): DataFrame = {
     require(minAligned >= 1, s"need minAligned >= 1, got $minAligned")
+    // the decode half routes through the MediaDecoder seam (energy
+    // envelope; `windowBytes` configures the default stub binding and is
+    // ignored under an explicit decoder); the landmark algebra is the
+    // decoder-independent kernel — the fused byte path is this exact
+    // composition (spec-pinned bit-identical)
+    val dec = decoder.getOrElse(ByteStubDecoder(windowBytes = windowBytes))
     val fps = media.select(col(idCol).as("__id"),
-        graft.functions.GraftFunctions.constellation_hashes(
-          col(payloadCol), windowBytes, fanout, zone).as("__c"))
+        graft.functions.GraftFunctions.constellation_from_energies(
+          dec.energyEnvelope(col(payloadCol)), fanout, zone).as("__c"))
       .filter(size(col("__c")) >= 2)
       .select(col("__id"), explode(expr(
         """transform(sequence(1, size(__c) div 2),
@@ -503,19 +516,20 @@ object Multimodal {
     */
   def videoClipAlign(media: DataFrame, idCol: String, payloadCol: String,
       frameBytes: Int = 16, minAligned: Int = 3,
-      maxDigestGroup: Int = 10000): DataFrame = {
+      maxDigestGroup: Int = 10000,
+      decoder: Option[MediaDecoder] = None): DataFrame = {
     require(frameBytes >= 1, s"need a positive frame size, got $frameBytes")
     require(minAligned >= 1, s"need minAligned >= 1, got $minAligned")
+    // frame decode through the MediaDecoder seam (`frameBytes` configures
+    // the default stub binding; posexplode skips the NULL grid of
+    // frame-less payloads); digesting and everything after is
+    // decoder-independent
+    val dec = decoder.getOrElse(ByteStubDecoder(frameBytes = frameBytes))
     val digests = media
-      .filter(length(col(payloadCol)) >= frameBytes)
-      .select(col(idCol).as("__id"), col(payloadCol).as("__c"),
-        floor(length(col(payloadCol)) / lit(frameBytes.toDouble))
-          .cast("int").as("__nf"))
-      .select(col("__id"),
-        posexplode(transform(sequence(lit(0), col("__nf") - 1,  lit(1)),
-          i => md5(hex(col("__c").substr(
-            i * frameBytes + 1, lit(frameBytes))))))
-          .as(Seq("frame_no", "__d")))
+      .select(col(idCol).as("__id"),
+        posexplode(dec.frameGrid(col(payloadCol)))
+          .as(Seq("frame_no", "__f")))
+      .select(col("__id"), col("frame_no"), md5(hex(col("__f"))).as("__d"))
     val capped = Dedup.capBuckets(digests, Seq("__d"), maxDigestGroup,
       "clip_frame_skew_guard")
     val a = capped.select(col("__d"), col("__id").as("idA"),

@@ -384,6 +384,61 @@ class MultimodalSpec extends SparkTestBase {
       "under the cap the 3 shared intro frames align every pair at 0")
   }
 
+  test("MediaDecoder seam: the fused byte kernel IS the split " +
+      "energies->landmarks composition, and a custom decoder binding " +
+      "swaps the decode without touching the pair algebra") {
+    import spark.implicits._
+    // bit-identical split: constellation_hashes(bytes, w, f, z) ==
+    // constellation_from_energies(byte_window_energies(bytes, w), f, z)
+    // on random payloads (the refactor contract behind m11/e34)
+    val rnd = new scala.util.Random(7)
+    val payloads = (1L to 50L)
+      .map(i => (i, Array.fill[Byte](rnd.nextInt(400))(
+        (rnd.nextInt(96) + 32).toByte)))
+      .toDF("media_id", "content")
+    val both = payloads.select(
+      graft.functions.GraftFunctions.constellation_hashes(
+        col("content"), 16, 3, 16).as("fused"),
+      graft.functions.GraftFunctions.constellation_from_energies(
+        graft.functions.GraftFunctions.byte_window_energies(
+          col("content"), 16), 3, 16).as("split"))
+    assert(both.filter(not(col("fused") === col("split"))).count() === 0L,
+      "fused and split constellation kernels diverged")
+    // an out-of-contract energy envelope (>= 2^14) fails loudly at the
+    // landmark, never as silently colliding hashes
+    val bad = Seq(Seq(1L, 99999L, 1L, 88888L, 1L)).toDF("e")
+      .select(graft.functions.GraftFunctions.constellation_from_energies(
+        col("e"), 3, 16).as("c"))
+    val err = intercept[Exception] { bad.collect() }
+    assert(err.getMessage.contains("14 bits") ||
+      err.getCause != null && err.getCause.getMessage.contains("14 bits"))
+    // a custom binding: decode = constant-pixel grid / flat envelope /
+    // one-frame grid. The operators run unchanged over it — the trait is
+    // the ONLY thing a real codec implements
+    object FlatDecoder extends MediaDecoder {
+      def pixelGrid(payload: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(1023)), _ => lit(7))
+      def energyEnvelope(payload: org.apache.spark.sql.Column) =
+        graft.functions.GraftFunctions.byte_window_energies(payload, 32)
+      def sampleFrames(payload: org.apache.spark.sql.Column, n: Int) =
+        transform(sequence(lit(0), lit(n - 1)),
+          i => payload.substr(i + 1, lit(1)))
+      def frameGrid(payload: org.apache.spark.sql.Column) = sampleFrames(payload, 4)
+    }
+    val media = payloads.filter(length(col("content")) >= 64)
+    val px = Multimodal.pixelGrid(media, "media_id", "content", FlatDecoder)
+    assert(px.count() === media.count() &&
+      Multimodal.pHash64(px, "media_id", "pixels")
+        .select("phash").distinct().count() === 1L,
+      "constant pixels must hash identically through the unchanged DCT")
+    assert(Multimodal.audioFingerprintPairs(media, "media_id", "content",
+      minAligned = 1, decoder = Some(FlatDecoder)).columns.toSeq ===
+      Seq("idA", "idB", "t_offset", "n_aligned"))
+    assert(Multimodal.videoClipAlign(media, "media_id", "content",
+      minAligned = 1, decoder = Some(FlatDecoder)).columns.toSeq ===
+      Seq("idA", "idB", "f_offset", "n_aligned"))
+  }
+
   test("pHashPairs: banded candidate generation finds EVERY pair within " +
       "maxHamming (pigeonhole recall 1.0) and nothing beyond") {
     import spark.implicits._
