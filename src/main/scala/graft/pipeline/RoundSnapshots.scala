@@ -28,6 +28,20 @@ import org.apache.spark.sql.DataFrame
  *    stop and mutates the session-global checkpoint dir; an explicit
  *    parquet round-trip leaks nothing and touches no global state.
  *
+ * When to flip the mode — measured guidance (BENCH_AB_r14, sf0.1 on
+ * local[32] with a local-disk checkpointDir, alternating-mode A/B via
+ * `graft.DurableBench`): durable rounds cost **1.3–1.6× end-to-end**
+ * (d20 1.39×, d21 1.33×, s36 1.44×, s39 1.55×), with ≤ 9 residual files /
+ * < 1 MB left after the result is consumed (the superseded-round
+ * cleanup). Keep the default (localCheckpoint) on local[*] runs, short
+ * interactive jobs, or anywhere a retry is cheaper than a 1.5× tax on
+ * every run. Flip to durable when (expected executor losses per run) ×
+ * (cost of a full restart) exceeds the tax — on a 1000-executor cluster
+ * an 8-round loop over 100 TB virtually always loses an executor
+ * mid-run, so durable is the production default there; on fast shared
+ * storage (NVMe/S3-express) the round-trip share shrinks further while
+ * the restart cost only grows with scale.
+ *
  * Cleanup contract (both modes): superseded snapshots are released as the
  * loop advances ([[Roll]]); the FINAL result frame stays backed by its last
  * round's snapshot(s) — consume the result, then remove `dir`. The modes
