@@ -4027,6 +4027,40 @@ object SparkEntry {
       graft.streaming.StreamingAudioFingerprint.pairs(s, s"$tmp/pairs")
     }),
 
+    // streaming video clip alignment: the m12 fixture streamed — clips
+    // of ids % 50 == 0 ride WITH their sources (within-batch pairs),
+    // ids % 50 == 25 arrive a batch later (cross-batch through the
+    // persistent frame-digest index); drained pairs == batch m12, each
+    // pair once in its later member's batch, through the SHARED
+    // LandmarkAlign engine e34 runs
+    "e37_streaming_clip_align" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e37").toString
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))
+      val clips = docs.filter(col("doc_id") % 25 === 0 &&
+          length(col("text")) >= 80 &&
+          octet_length(col("text")) === length(col("text")))
+        .select((col("doc_id") + 1000000).as("media_id"),
+          encode(expr("substring(text, 33)"), "UTF-8").as("content"))
+      base.unionByName(clips.filter(col("media_id") % 50 === 0))
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      clips.filter(col("media_id") % 50 === 25)
+        .coalesce(1).write.parquet(s"$tmp/stream/b2")
+      val src = s.readStream
+        .schema("media_id BIGINT, content BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = graft.streaming.StreamingClipAlign.start(s, src,
+        "media_id", "content", s"$tmp/index", s"$tmp/pairs", s"$tmp/cp",
+        frameBytes = 16, minAligned = 3, maxDigestGroup = 10000)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e37 stream did not drain in 300s")
+      }
+      graft.streaming.StreamingClipAlign.pairs(s, s"$tmp/pairs")
+    }),
+
     "m01_media_pipeline" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "txt")
       val decoded = Multimodal.featureStub(Multimodal.decodeStub(media), dim = 8)
@@ -5572,6 +5606,43 @@ object SparkEntry {
                 CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE c.c_acctbal END AS c_acctbal
          FROM customer c FULL JOIN latest l USING (c_custkey)
          WHERE l.op IS NULL OR l.op <> 'D'"""
+
+  /** m12's clip-alignment replay — fixed-grid frame digests (md5 over
+    * the hex image, 32 hex chars per 16-byte frame) + the offset
+    * histogram / row_number best-alignment pick. Shared verbatim by e37
+    * (drained pairs must equal the batch operator — the e-series
+    * contract).
+    */
+  private val m12OracleSql: String =
+    """WITH media AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, hex(encode(substr(text, 33)))
+           FROM documents
+           WHERE doc_id % 25 = 0 AND length(text) >= 80
+             AND strlen(text) = length(text)),
+         sized AS (
+           SELECT media_id, hx, length(hx) // 32 AS nf
+           FROM media WHERE length(hx) >= 32),
+         fr AS (
+           SELECT media_id, u.f.fn AS frame_no, u.f.d AS d
+           FROM sized, UNNEST(list_transform(range(0, nf), i ->
+             struct_pack(fn := i,
+               d := md5(substr(hx, CAST(i * 32 + 1 AS INT), 32))))) AS u(f)),
+         hist AS (
+           SELECT a.media_id AS idA, b2.media_id AS idB,
+                  b2.frame_no - a.frame_no AS f_offset,
+                  CAST(COUNT(*) AS BIGINT) AS n_aligned
+           FROM fr a JOIN fr b2 ON a.d = b2.d AND a.media_id < b2.media_id
+           GROUP BY 1, 2, 3),
+         best AS (
+           SELECT idA, idB, f_offset, n_aligned,
+                  row_number() OVER (PARTITION BY idA, idB
+                                     ORDER BY n_aligned DESC, f_offset ASC)
+                    AS rn
+           FROM hist)
+         SELECT idA, idB, f_offset, n_aligned
+         FROM best WHERE rn = 1 AND n_aligned >= 3"""
 
   /** m11's constellation replay — identical window energies, strict
     * interior peaks, packed landmark hashes, offset histogram +
@@ -10714,36 +10785,10 @@ object SparkEntry {
     // m12: fixed-grid frame digests (md5 over the hex image, the m05
     // convention — 32 hex chars per 16-byte frame) + the m11 offset
     // histogram / row_number best-alignment pick
-    "m12_video_clip_align" ->
-      """WITH media AS (
-           SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, hex(encode(substr(text, 33)))
-           FROM documents
-           WHERE doc_id % 25 = 0 AND length(text) >= 80
-             AND strlen(text) = length(text)),
-         sized AS (
-           SELECT media_id, hx, length(hx) // 32 AS nf
-           FROM media WHERE length(hx) >= 32),
-         fr AS (
-           SELECT media_id, u.f.fn AS frame_no, u.f.d AS d
-           FROM sized, UNNEST(list_transform(range(0, nf), i ->
-             struct_pack(fn := i,
-               d := md5(substr(hx, CAST(i * 32 + 1 AS INT), 32))))) AS u(f)),
-         hist AS (
-           SELECT a.media_id AS idA, b2.media_id AS idB,
-                  b2.frame_no - a.frame_no AS f_offset,
-                  CAST(COUNT(*) AS BIGINT) AS n_aligned
-           FROM fr a JOIN fr b2 ON a.d = b2.d AND a.media_id < b2.media_id
-           GROUP BY 1, 2, 3),
-         best AS (
-           SELECT idA, idB, f_offset, n_aligned,
-                  row_number() OVER (PARTITION BY idA, idB
-                                     ORDER BY n_aligned DESC, f_offset ASC)
-                    AS rn
-           FROM hist)
-         SELECT idA, idB, f_offset, n_aligned
-         FROM best WHERE rn = 1 AND n_aligned >= 3""",
+    "m12_video_clip_align" -> m12OracleSql,
+    // e37 IS m12 over everything streamed — every fixture pair has a
+    // streamed member, so one oracle serves both (the e33/e34 contract)
+    "e37_streaming_clip_align" -> m12OracleSql,
     "m01_media_pipeline" ->
       """WITH b AS (
            SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -2725,6 +2725,52 @@ class StreamingSpec extends SparkTestBase {
       "a post-compaction batch must align against pre-compaction assets")
   }
 
+  test("streaming clip alignment: a cross-batch clip aligns through the " +
+      "persisted frame-digest index at exactly the cut, within-batch " +
+      "pairs match the batch operator exactly, replay and compaction " +
+      "are exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_e37_spec").toString
+    val rnd = new scala.util.Random(53)
+    val base = Array.fill[Byte](640)((rnd.nextInt(96) + 32).toByte)
+    val clip = base.drop(160) // drops frames 0..9
+    val other = Array.fill[Byte](640)((rnd.nextInt(96) + 32).toByte)
+    // batch 0: source 1 and its clip 2 (WITHIN-batch) + unrelated 3;
+    // batch 1: 4 = another clip of 1 (CROSS-batch), 5 unrelated
+    val b0 = Seq((1L, base), (2L, clip), (3L, other))
+      .toDF("media_id", "content")
+    val b1 = Seq((4L, base.drop(320)),
+      (5L, Array.fill[Byte](320)((rnd.nextInt(96) + 32).toByte)))
+      .toDF("media_id", "content")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingClipAlign.processBatch(df, id, "media_id", "content",
+        s"$dir/index", s"$dir/pairs", frameBytes = 16, minAligned = 3,
+        maxDigestGroup = 10000)
+    run(b0, 0L)
+    run(b1, 1L)
+    def drained() = StreamingClipAlign.pairs(spark, s"$dir/pairs")
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val want = graft.operators.Multimodal.videoClipAlign(
+        b0.unionByName(b1), "media_id", "content", frameBytes = 16,
+        minAligned = 3)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(drained() === want, s"drained != batch: ${drained()} vs $want")
+    assert(want((1L, 2L)) === ((-10, 30L)) && want((1L, 4L)) === ((-20, 20L)),
+      s"fixture must carry within- and cross-batch clips at their cuts: $want")
+    // the two clips of the same source also align with EACH OTHER
+    assert(want((2L, 4L)) === ((-10, 20L)), s"clip-clip alignment off: $want")
+    // replay: batch 1 recomputes against its pre-state exactly
+    run(b1, 1L)
+    assert(drained() === want, "replay drifted the pair set")
+    // compaction folds the digest tail; later batches still align
+    StreamingClipAlign.compactState(spark, s"$dir/index")
+    run(Seq((6L, other.drop(160))).toDF("media_id", "content"), 2L)
+    assert(drained().get((3L, 6L)).exists(_ == ((-10, 30L))),
+      "a post-compaction batch must align against pre-compaction assets")
+  }
+
   test("streaming t-closeness: threshold crossing flags the drifting " +
       "class at its touching batch, drained report equals the batch " +
       "audit, replay is idempotent, compaction preserves the report, " +
