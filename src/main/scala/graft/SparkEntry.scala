@@ -4082,6 +4082,18 @@ object SparkEntry {
           length(col("resized_content")).as("resized_bytes"))
     }),
 
+    // scene segmentation: hard cuts where the energy envelope jumps by
+    // more than the threshold between adjacent 16-byte windows, per
+    // scene its bounds + peak (keyframe) window — all-integer cut
+    // decisions, both engines agree on every boundary exactly
+    "m13_scene_segments" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))
+      Multimodal.sceneSegments(media, "media_id", "content",
+        windowBytes = 16, cutThreshold = 120)
+    }),
+
     "m04_audio_energy" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text", "wav")
       Multimodal.audioEnergyStub(media, windowBytes = 64)
@@ -10869,6 +10881,38 @@ object SparkEntry {
          SELECT media_id, CAST((i - 1) // 64 AS INT) AS window_no,
                 CAST(SUM(unicode(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS energy
          FROM pos GROUP BY 1, 2""",
+    // m13: the m04 window-energy replay at w=16 + lag-window cut
+    // decisions, running-sum scene labels, per-scene peak keyframe
+    "m13_scene_segments" ->
+      """WITH pos AS (
+           SELECT doc_id AS media_id, text, UNNEST(range(1, length(text) + 1)) AS i
+           FROM documents),
+         en AS (
+           SELECT media_id, CAST((i - 1) // 16 AS INT) AS w,
+                  CAST(SUM(unicode(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS e
+           FROM pos GROUP BY 1, 2),
+         cuts AS (
+           SELECT media_id, w, e,
+                  CASE WHEN abs(e - lag(e) OVER (PARTITION BY media_id
+                                                 ORDER BY w)) > 120
+                       THEN 1 ELSE 0 END AS cut
+           FROM en),
+         lbl AS (
+           SELECT media_id, w, e,
+                  CAST(SUM(cut) OVER (PARTITION BY media_id ORDER BY w)
+                       AS BIGINT) AS scene_no
+           FROM cuts),
+         pk AS (
+           SELECT media_id, scene_no, w, e,
+                  row_number() OVER (PARTITION BY media_id, scene_no
+                                     ORDER BY e DESC, w ASC) AS rn
+           FROM lbl)
+         SELECT l.media_id, l.scene_no,
+                MIN(l.w) AS start_w, COUNT(*) AS n_windows,
+                MIN(p.w) AS peak_w, MIN(p.e) AS peak_energy
+         FROM lbl l JOIN pk p ON p.media_id = l.media_id
+                             AND p.scene_no = l.scene_no AND p.rn = 1
+         GROUP BY 1, 2""",
     "m02_frame_sample" ->
       """SELECT media_id, CAST(i AS INT) AS frame_no,
                 CAST(LEAST(chunk, GREATEST(L - i * chunk, 0)) AS INT) AS frame_len

@@ -549,6 +549,54 @@ object Multimodal {
       .filter(col("n_aligned") >= minAligned)
   }
 
+  /** Video scene segmentation + keyframe selection — the clip-SPLITTING
+    * operator a video pretraining pipeline runs before anything trains
+    * on long assets (captioning, clip sampling, temporal grounding all
+    * consume scenes, not whole videos): cut wherever the energy envelope
+    * jumps by more than `cutThreshold` between adjacent windows (the
+    * classic hard-cut detector — a real pipeline swaps the byte-sum
+    * envelope for frame-difference scores through the SAME
+    * [[MediaDecoder.energyEnvelope]] seam and keeps everything here),
+    * then per scene: its bounds and its PEAK window (highest energy,
+    * ties to the earlier window) — the keyframe stand-in.
+    *
+    * Scale shape: one decode kernel pass collapses payloads to skinny
+    * (id, window, energy) rows; the cut/label pass is one window
+    * partitioned BY ASSET (per-asset window counts are duration-bounded
+    * — thousands, never corpus-scale — so the sort is partition-local
+    * and skew-free); the scene roll-up is one hash aggregate. All
+    * integer arithmetic: both engines agree on every cut exactly.
+    *
+    * Output: (media_id, scene_no, start_w, n_windows, peak_w,
+    * peak_energy), scene_no 0-based per asset in temporal order.
+    */
+  def sceneSegments(media: DataFrame, idCol: String, payloadCol: String,
+      windowBytes: Int = 16, cutThreshold: Long = 120,
+      decoder: Option[MediaDecoder] = None): DataFrame = {
+    require(cutThreshold >= 0, s"need a non-negative threshold, got $cutThreshold")
+    val dec = decoder.getOrElse(ByteStubDecoder(windowBytes = windowBytes))
+    val en = media.select(col(idCol).as("media_id"),
+      posexplode(dec.energyEnvelope(col(payloadCol))).as(Seq("w", "e")))
+    val byAsset = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("w")
+    val run = byAsset.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    en
+      // window 0 opens scene 0 (lag is NULL -> no cut), every
+      // over-threshold jump opens the next: scene = running cut count
+      .withColumn("__cut",
+        when(abs(col("e") - lag(col("e"), 1).over(byAsset)) > cutThreshold,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("scene_no", sum(col("__cut")).over(run))
+      .groupBy(col("media_id"), col("scene_no"))
+      .agg(min(col("w")).as("start_w"), count(lit(1)).as("n_windows"),
+        max_by(struct(col("w"), col("e")),
+          struct(col("e"), (-col("w")).as("__t"))).as("__p"))
+      .select(col("media_id"), col("scene_no"), col("start_w"),
+        col("n_windows"), col("__p.w").as("peak_w"),
+        col("__p.e").as("peak_energy"))
+  }
+
   /** Cross-modal candidate pair mining — the standard LLM-data need the
     * within-modality family (m05/m06 frame dedup, d-series text dedup)
     * does not cover: pair TEXT documents with IMAGE/AUDIO assets through

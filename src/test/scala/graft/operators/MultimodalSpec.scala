@@ -384,6 +384,32 @@ class MultimodalSpec extends SparkTestBase {
       "under the cap the 3 shared intro frames align every pair at 0")
   }
 
+  test("sceneSegments: cuts land exactly at over-threshold energy jumps, " +
+      "scene 0 opens at window 0, the keyframe is the peak window with " +
+      "ties to the earlier one") {
+    import spark.implicits._
+    // 16-byte windows: 'a'*16 = 1552, 'z'*16 = 1952, 'b'*16 = 1568.
+    // Payload windows: a a z z a b  → |Δ| = 0, 400, 0, 400, 16
+    // threshold 120 → cuts open at windows 2 and 4: scenes
+    // [0,1], [2,3], [4,5]; scene 2's energies (1552, 1568) peak at 5;
+    // scene 1's tie (1952, 1952) must pick the EARLIER window 2
+    val payload = ("a" * 32 + "z" * 32 + "a" * 16 + "b" * 16).getBytes("UTF-8")
+    val got = Multimodal.sceneSegments(
+        Seq((1L, payload)).toDF("media_id", "content"),
+        "media_id", "content", windowBytes = 16, cutThreshold = 120)
+      .as[(Long, Long, Int, Long, Int, Long)].collect().sortBy(_._2).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0, 2L, 0, 1552L),
+      (1L, 1L, 2, 2L, 2, 1952L),
+      (1L, 2L, 4, 2L, 5, 1568L)), s"scene layout off: $got")
+    // a threshold above every jump yields ONE scene per asset
+    val one = Multimodal.sceneSegments(
+        Seq((1L, payload)).toDF("media_id", "content"),
+        "media_id", "content", windowBytes = 16, cutThreshold = 10000)
+      .as[(Long, Long, Int, Long, Int, Long)].collect().toSeq
+    assert(one === Seq((1L, 0L, 0, 6L, 2, 1952L)), s"one-scene case off: $one")
+  }
+
   test("MediaDecoder seam: the fused byte kernel IS the split " +
       "energies->landmarks composition, and a custom decoder binding " +
       "swaps the decode without touching the pair algebra") {
