@@ -3860,6 +3860,41 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
+    // hybrid retrieval: b02's BM25 leg and an s01-shape dense cosine leg
+    // (each top-10), fused by reciprocal-rank fusion — the standard
+    // no-calibration combiner (a lexical ranker's scores and a vector
+    // ranker's cosines are incomparable; their RANKS fuse safely). The
+    // doc/vec id spaces align by fixture construction, so query 7's text
+    // leg and vector leg rank the same corpus. Self-matches are excluded
+    // from the dense leg (a query trivially retrieving itself at rank 1
+    // would dominate the fusion and test nothing)
+    "b03_rrf_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" tok"),
+          (col("doc_id") % 50).cast("string")).as("text"))
+      val queries = docs.filter(col("doc_id") % 40 === 7)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            concat(lit("tok"), (col("doc_id") % 50).cast("string")),
+            concat_ws(" ", slice(
+              split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+                " "), 2, 2))).as("qtext"))
+      val textLeg = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+          "query_id", "qtext", k = 10, maxDfFrac = 0.5)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val vecQueries = emb.filter(col("vec_id") % 40 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val vecLeg = Similarity.filteredBruteForceTopK(emb, vecQueries,
+          "vec_id", "embedding", "query_id", "embedding", k = 10,
+          pairFilter = col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(textLeg, vecLeg), "query_id", "doc_id",
+          "rank", k = 5)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          round(col("rrf"), 6).as("rrf"))
+    }),
+
     // boilerplate cleaning: tags/entities/URLs stripped, whitespace
     // collapsed — fixture text is already clean, so the contract is
     // "cleaning never corrupts clean text" plus the whitespace collapse
@@ -5807,9 +5842,10 @@ object SparkEntry {
 
   /** b02's full-formula Okapi replay — shared verbatim by e27 because
     * the streaming drain must equal the batch operator over the full
-    * history (the e-series contract).
+    * history (the e-series contract), and as the lexical leg of b03's
+    * fusion (same CTE block, deeper rank cut).
     */
-  private val b02OracleSql: String =
+  private val bm25RankCtes: String =
     """WITH aug AS (
            SELECT doc_id,
                   text || ' tok' || CAST(doc_id % 50 AS VARCHAR) AS text
@@ -5849,10 +5885,56 @@ object SparkEntry {
          rk AS (SELECT query_id, doc_id, sd,
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY sd DESC, doc_id) AS rank
-                FROM agg)
+                FROM agg)"""
+
+  private val b02OracleSql: String =
+    bm25RankCtes +
+      """
          SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
                 ROUND(sd, 6) + 0.0 AS score
          FROM rk WHERE rank <= 5"""
+
+  /** b03: the b02 lexical CTEs (rank cut 10) unioned with the s01-shape
+    * dense cosine leg (self-matches excluded, rank cut 10), each
+    * candidate scored ROUND(1/(60+rank), 9) and summed as DECIMAL —
+    * replaying [[graft.operators.Similarity.rrfFuse]]'s exact
+    * round-then-decimal-sum arithmetic so the fused score is
+    * addend-order-free in both engines.
+    */
+  private val b03OracleSql: String =
+    bm25RankCtes +
+      """,
+         vq AS (SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id % 40 = 7),
+         vp AS (
+           SELECT q.query_id, c.vec_id AS doc_id,
+                  list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                  (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+                   sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+           FROM embeddings c CROSS JOIN vq q
+           WHERE c.vec_id <> q.query_id),
+         vr AS (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, doc_id ASC) AS rank
+           FROM vp WHERE cosine IS NOT NULL),
+         legs AS (
+           SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10
+           UNION ALL
+           SELECT query_id, doc_id, rank FROM vr WHERE rank <= 10),
+         fused AS (
+           SELECT query_id, doc_id,
+                  CAST(SUM(CAST(ROUND(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9)
+                    AS DECIMAL(28, 9))) AS DOUBLE) AS s
+           FROM legs GROUP BY 1, 2),
+         fr AS (
+           SELECT query_id, doc_id, s,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, doc_id ASC) AS rank
+           FROM fused)
+         SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+                ROUND(s, 6) + 0.0 AS rrf
+         FROM fr WHERE rank <= 5"""
 
   private def knnEdgeCtes: String = {
     val bucketExpr = bucketExprSql(5)
@@ -10455,6 +10537,9 @@ object SparkEntry {
     // the (query, doc) score exact, ranking orders by the double cast
     // like the engine's top-k heap (score DESC, doc_id ASC)
     "b02_bm25_topk" -> b02OracleSql,
+    // b03 fuses b02's lexical CTEs with the s01 dense-leg shape; the
+    // fusion arithmetic is decimal-summed so it is addend-order-free
+    "b03_rrf_hybrid" -> b03OracleSql,
     // e27 IS b02 over everything streamed — one oracle, zero drift by
     // construction (the emission calls the same scoring tail)
     "e27_streaming_bm25" -> b02OracleSql,

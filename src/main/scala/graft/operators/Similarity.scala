@@ -219,6 +219,45 @@ object Similarity {
     picks.result().reduce(_.unionByName(_))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * N ranked retrieval legs — the standard hybrid-retrieval combiner
+    * (BM25 leg + dense leg, or any mix of rankers). Each leg is a
+    * `(queryIdCol, itemIdCol, rankCol)` frame with 1-based ranks bounded
+    * by that leg's own k; `score(q, d) = Σ_legs 1/(k0 + rank_leg(q, d))`
+    * with absent legs contributing nothing (RRF needs no score
+    * calibration across legs — only ranks — which is why it fuses a
+    * text ranker with a vector ranker safely).
+    *
+    * Determinism: each term is rounded to 9 decimals and summed as
+    * DECIMAL(28,9) so the fused score is exact under any addend order
+    * (Spark's partial aggregation order is nondeterministic for doubles
+    * with 3+ legs; the DuckDB oracle replays the identical
+    * round-then-decimal-sum arithmetic).
+    *
+    * Scale shape: the unioned candidate frame is bounded by Σ legs' k
+    * rows per query (candidates, not corpus), one hash aggregate on
+    * (query, item), then the same bounded top-k heap every retrieval
+    * operator here ends with — no window, no shuffle wider than the
+    * candidate frame, so fusion cost is independent of corpus size.
+    * Output: (queryIdCol, itemIdCol, rrf, rank) with rank in 1..k.
+    */
+  def rrfFuse(legs: Seq[DataFrame], queryIdCol: String, itemIdCol: String,
+      rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    require(k > 0, "k must be positive")
+    require(k0 >= 0, "k0 must be non-negative")
+    val candidates = legs
+      .map(_.select(col(queryIdCol), col(itemIdCol),
+        col(rankCol).cast("int").as("__r")))
+      .reduce(_ unionByName _)
+    val fused = candidates
+      .groupBy(col(queryIdCol), col(itemIdCol))
+      .agg(sum(round(lit(1.0) / (lit(k0.toDouble) + col("__r")), 9)
+        .cast("decimal(28,9)")).cast("double").as("cosine"))
+    rankTopK(fused, queryIdCol, itemIdCol, k)
+      .withColumnRenamed("cosine", "rrf")
+  }
+
   /** Rank candidate scores per query with the bounded top-k aggregate
     * ([[graft.functions.TopKByScore]]) — shuffles k entries per query per
     * map partition. A per-query `row_number` window here would ship EVERY

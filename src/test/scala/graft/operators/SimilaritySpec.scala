@@ -947,4 +947,42 @@ class SimilaritySpec extends SparkTestBase {
       .as[(String, Long, Option[Double])].head()
     assert(solo._1 === "A" && solo._2 === 2L && solo._3 === None)
   }
+
+  test("rrfFuse: hand-computed fusion, single-leg items, tie-break, k bound") {
+    // leg A ranks docs (1,2,3); leg B ranks (3,2,4) — doc 5 only exists
+    // for query 2 in leg B
+    val legA = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3), (2L, 9L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val legB = Seq((1L, 3L, 1), (1L, 2L, 2), (1L, 4L, 3), (2L, 5L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(legA, legB), "query_id", "doc_id",
+        "rank", k = 3)
+      .select($"query_id", $"doc_id", $"rank", round($"rrf", 9).as("rrf"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    def r(n: Int) = BigDecimal(1.0 / (60.0 + n))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // q1: doc2 = r(2)+r(2), doc3 = r(3)+r(1), doc1 = r(1), doc4 = r(3);
+    // doc3 (1/63 + 1/61 ≈ .0322665) > doc2 (2/62 ≈ .0322581) > doc1
+    // (1/61) — doc4 misses k=3
+    assert(got.filter(_._1 == 1L) === Set(
+      (1L, 3L, 1, (r(3) + r(1)).toDouble),
+      (1L, 2L, 2, (r(2) + r(2)).toDouble),
+      (1L, 1L, 3, r(1).toDouble)))
+    // q2: two single-leg docs tie at r(1) — tie breaks to the smaller id
+    assert(got.filter(_._1 == 2L) === Set(
+      (2L, 5L, 1, r(1).toDouble), (2L, 9L, 2, r(1).toDouble)))
+  }
+
+  test("rrfFuse: one leg is the identity fusion; k0 shifts scores monotonically") {
+    val leg = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val alone = Similarity.rrfFuse(Seq(leg), "query_id", "doc_id", "rank",
+        k = 3)
+      .select($"doc_id", $"rank").as[(Long, Int)].collect().toSet
+    assert(alone === Set((10L, 1), (20L, 2), (30L, 3)))
+    val k0Zero = Similarity.rrfFuse(Seq(leg), "query_id", "doc_id", "rank",
+        k = 1, k0 = 0)
+      .select($"doc_id", $"rrf").as[(Long, Double)].head()
+    assert(k0Zero === ((10L, 1.0)))
+  }
 }
