@@ -2519,6 +2519,31 @@ object SparkEntry {
         maxPieceLen = 4, maxWordLen = 20)
     }),
 
+    // Naive Bayes training — the fastText-class quality/language
+    // classifier's fit expressed as pure counting: one corpus explode,
+    // one (label, token) hash agg, model = a vocabulary-bounded frame.
+    // A ' mkLANG' marker token is planted per doc (the b02 selective-term
+    // recipe) so the synthetic fixture's classes are actually separable
+    // and the add-one smoothing sees both marker and shared vocabulary
+    "t53_nb_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"),
+        concat(col("text"), lit(" mk"), col("lang")).as("text"))
+      TextAnalysis.naiveBayesTrain(docs, "text", "lang")
+        .select(col("lang"), col("token"), col("cnt"),
+          round(col("logp"), 6).as("logp"))
+    }),
+
+    // Naive Bayes held-out classification: train on doc_id % 7 != 3,
+    // classify the rest — per (doc, class) log-posteriors are round-9
+    // DECIMAL sums (addend-order-free), ties break to the smallest label
+    "t54_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" mk"), col("lang")).as("text"))
+      val train = docs.filter(col("doc_id") % 7 =!= 3)
+      val test = docs.filter(col("doc_id") % 7 === 3)
+      TextAnalysis.naiveBayesClassify(train, test, "doc_id", "text", "lang")
+    }),
+
     // BPE ENCODING under the trained merges (rank order, same stack
     // fold): one map-only corpus pass, merges as plan-time literals
     "t38_bpe_encode" -> ((s, dir) => {
@@ -5936,6 +5961,83 @@ object SparkEntry {
                 ROUND(s, 6) + 0.0 AS rrf
          FROM fr WHERE rank <= 5"""
 
+  /** t53: add-one-smoothed multinomial NB model replay — counts are
+    * exact integers, logp = round-9 ln over integer ratios (ln is
+    * IEEE-identical across engines; the round-9-then-round-6 double
+    * rounding mirrors the engine's model-precision-then-display chain).
+    */
+  private val t53OracleSql: String =
+    """WITH aug AS (SELECT lang, text || ' mk' || lang AS text FROM documents),
+         tk AS (SELECT lang, token FROM (
+                  SELECT lang,
+                         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+                  FROM aug)
+                WHERE length(token) > 0),
+         cnt AS (SELECT lang, token, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+         tot AS (SELECT lang, SUM(cnt) AS nc FROM cnt GROUP BY 1),
+         voc AS (SELECT COUNT(DISTINCT token) AS v FROM cnt)
+         SELECT c.lang, c.token, c.cnt,
+                ROUND(ROUND(ln((CAST(c.cnt AS DOUBLE) + 1.0) /
+                  CAST(t.nc + voc.v AS DOUBLE)), 9) + 0.0, 6) + 0.0 AS logp
+         FROM cnt c JOIN tot t USING (lang), voc"""
+
+  /** t54: the full train-then-classify replay — model terms and priors
+    * round-9 → DECIMAL(28,9) sums (addend-order-free in both engines),
+    * unseen tokens fall back to the per-class smoothing floor, argmax
+    * via max-score join with MIN(label) tie-break.
+    */
+  private val t54OracleSql: String =
+    """WITH aug AS (SELECT doc_id, lang, text || ' mk' || lang AS text FROM documents),
+         tr AS (SELECT * FROM aug WHERE doc_id % 7 <> 3),
+         te AS (SELECT * FROM aug WHERE doc_id % 7 = 3),
+         tk AS (SELECT lang, token FROM (
+                  SELECT lang,
+                         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+                  FROM tr)
+                WHERE length(token) > 0),
+         cnt AS (SELECT lang, token, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+         tot AS (SELECT lang, SUM(cnt) AS nc FROM cnt GROUP BY 1),
+         voc AS (SELECT COUNT(DISTINCT token) AS v FROM cnt),
+         model AS (
+           SELECT c.lang, c.token,
+                  ROUND(ln((CAST(c.cnt AS DOUBLE) + 1.0) /
+                    CAST(t.nc + voc.v AS DOUBLE)), 9) + 0.0 AS logp
+           FROM cnt c JOIN tot t USING (lang), voc),
+         cls AS (SELECT lang, COUNT(*) AS docs FROM tr GROUP BY 1),
+         pri AS (
+           SELECT lang, CAST(ROUND(ln(CAST(docs AS DOUBLE) /
+                    CAST(td.tot AS DOUBLE)), 9) AS DECIMAL(28, 9)) AS prior
+           FROM cls, (SELECT SUM(docs) AS tot FROM cls) td),
+         fb AS (
+           SELECT c.lang, ln(1.0 / CAST(COALESCE(t.nc, 0) + voc.v AS DOUBLE)) AS fb
+           FROM cls c LEFT JOIN tot t USING (lang), voc),
+         qtk AS (
+           SELECT doc_id, token, COUNT(*) AS tc FROM (
+             SELECT doc_id,
+                    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+             FROM te)
+           WHERE length(token) > 0 GROUP BY 1, 2),
+         terms AS (
+           SELECT q.doc_id, f.lang,
+                  CAST(ROUND(CAST(q.tc AS DOUBLE) * COALESCE(m.logp, f.fb), 9)
+                    AS DECIMAL(28, 9)) AS term
+           FROM qtk q CROSS JOIN fb f
+           LEFT JOIN model m ON m.lang = f.lang AND m.token = q.token),
+         sums AS (SELECT doc_id, lang, SUM(term) AS ll FROM terms GROUP BY 1, 2),
+         base AS (SELECT d.doc_id, p.lang, p.prior
+                  FROM (SELECT DISTINCT doc_id FROM te) d CROSS JOIN pri p),
+         scored AS (
+           SELECT b.doc_id, b.lang,
+                  b.prior + COALESCE(s.ll, CAST(0 AS DECIMAL(28, 9))) AS score
+           FROM base b LEFT JOIN sums s
+             ON s.doc_id = b.doc_id AND s.lang = b.lang),
+         best AS (SELECT doc_id, MAX(score) AS score FROM scored GROUP BY 1)
+         SELECT s.doc_id, MIN(s.lang) AS predicted,
+                ROUND(CAST(s.score AS DOUBLE), 6) + 0.0 AS score
+         FROM scored s JOIN best b
+           ON b.doc_id = s.doc_id AND b.score = s.score
+         GROUP BY s.doc_id, s.score"""
+
   private def knnEdgeCtes: String = {
     val bucketExpr = bucketExprSql(5)
     s"""WITH sig AS (
@@ -8242,6 +8344,8 @@ object SparkEntry {
     // t52: the t51 CTEs + one more unrolled Viterbi block against the
     // FINAL model + the doc-ordered piece mapping — see t52OracleSql
     "t52_unigram_encode" -> t52OracleSql,
+    "t53_nb_train" -> t53OracleSql,
+    "t54_nb_classify" -> t54OracleSql,
     // media integrity: byte lengths via octet_length over encode()d
     // blobs (no blob substring — the truncation happens on the VARCHAR)
     "m07_media_integrity" ->

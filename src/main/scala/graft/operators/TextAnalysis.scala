@@ -2257,4 +2257,120 @@ object TextAnalysis {
       sum(col("__tf"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
   }
+
+  /** Per-(label, token) training counts under the shared [[tokens]]
+    * tokenization — the sufficient statistic of multinomial Naive Bayes
+    * (counts are additive across data splits, which is what makes the
+    * model streamable and the training one corpus pass + one
+    * vocabulary-bounded aggregate).
+    */
+  private def nbCounts(docs: DataFrame, textCol: String,
+      labelCol: String): DataFrame =
+    docs.select(col(labelCol).as("__lbl"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col("__lbl"), col("__tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Add-one-smoothed conditional log-probabilities over a count frame:
+    * logp(t|c) = ln((cnt + 1) / (N_c + V)) with V the GLOBAL training
+    * vocabulary, rounded to 9 decimals (the model's native precision —
+    * every downstream score term multiplies this, so both engines must
+    * agree on the leaf bits; ln itself is IEEE-identical, b02 relies on
+    * the same).
+    */
+  private def nbModel(counts: DataFrame, labelCol: String): DataFrame = {
+    val totals = counts.groupBy(col("__lbl")).agg(sum(col("cnt")).as("__nc"))
+    val vocab = counts.select(col("__tok")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    counts.join(totals, "__lbl").crossJoin(broadcast(vocab))
+      .select(col("__lbl").as(labelCol), col("__tok").as("token"), col("cnt"),
+        round(log((col("cnt") + 1).cast("double") /
+          (col("__nc") + col("__v")).cast("double")), 9).as("logp"))
+  }
+
+  /** Multinomial Naive Bayes trainer — the fastText-class quality /
+    * language classifier of LLM data pipelines (CCNet's and GPT-3's
+    * quality filters are linear classifiers of exactly this shape)
+    * expressed as pure aggregation: training IS counting, so the whole
+    * fit is one corpus explode + one (label, token)-keyed hash
+    * aggregate, and the model is a vocabulary-bounded frame — never
+    * driver-side state, shuffles bounded by |vocab|×|classes| however
+    * large the corpus. Output: (labelCol, token, cnt, logp) with
+    * add-one-smoothed logp (see [[nbModel]]).
+    */
+  def naiveBayesTrain(docs: DataFrame, textCol: String,
+      labelCol: String): DataFrame =
+    nbModel(nbCounts(docs, textCol, labelCol), labelCol)
+
+  /** Train-on-`train`, classify-`test` Naive Bayes: per test document,
+    * argmax over classes of ln prior(c) + Σ_t tc(t)·logp(t|c), unseen
+    * tokens falling back to the smoothing floor ln(1/(N_c + V)).
+    *
+    * Determinism: every score term rounds to 9 decimals and sums as
+    * DECIMAL(28,9) (the b02 convention — addend-order-free), priors are
+    * round-9 DECIMAL too, so per-(doc, class) scores are exact and the
+    * argmax is replayable; score ties break to the smallest label.
+    *
+    * Plan shape: ONE test-corpus explode into (doc, token, tc); the
+    * |classes|-bounded fallback table broadcasts against it (the only
+    * row multiplier, ×|classes|); the model joins by (label, token) —
+    * vocabulary-scale, an equi-join, never corpus×corpus; then two hash
+    * aggregates (per-(doc, class) score sum, per-doc max) and the
+    * tie-break join. Zero-token test documents keep their prior-only
+    * scores via the doc×class base frame. No window, no driver collect.
+    * Output: (idCol, predicted, score) — score the winning class's
+    * round-6 log-posterior (unnormalized).
+    */
+  def naiveBayesClassify(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    // counts feed THREE consumers (model, class totals, vocab) — the
+    // d06/d08 lesson: left lazy the corpus re-tokenizes per consumer
+    val counts = nbCounts(train, textCol, labelCol)
+      .localCheckpoint(eager = true)
+    val model = nbModel(counts, labelCol)
+    val totals = counts.groupBy(col("__lbl")).agg(sum(col("cnt")).as("__nc"))
+    val vocab = counts.select(col("__tok")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val classes = train.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("__docs"))
+    val priors = classes
+      .crossJoin(broadcast(classes.agg(sum(col("__docs")).as("__tot"))))
+      .select(col("__lbl"),
+        round(log(col("__docs").cast("double") / col("__tot").cast("double")), 9)
+          .cast(DecimalType(28, 9)).as("__prior"))
+    // smoothing floor per class; a class whose training docs had no
+    // tokens still gets a floor (N_c = 0) rather than a null cascade
+    val floors = classes.select(col("__lbl"))
+      .join(totals, Seq("__lbl"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__lbl"), log(lit(1.0) /
+        (coalesce(col("__nc"), lit(0L)) + col("__v")).cast("double")).as("__fb"))
+    val testCounts = test.select(col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__tc"))
+    val termSums = testCounts
+      .crossJoin(broadcast(floors))
+      .join(model.select(col(labelCol).as("__lbl"), col("token"), col("logp")),
+        Seq("__lbl", "token"), "left")
+      .select(col(idCol), col("__lbl"),
+        round(col("__tc").cast("double") * coalesce(col("logp"), col("__fb")), 9)
+          .cast(DecimalType(28, 9)).as("__t"))
+      .groupBy(col(idCol), col("__lbl"))
+      .agg(sum(col("__t")).as("__ll"))
+    val scored = test.select(col(idCol)).distinct()
+      .crossJoin(broadcast(priors))
+      .join(termSums, Seq(idCol, "__lbl"), "left")
+      .select(col(idCol), col("__lbl"),
+        (col("__prior") + coalesce(col("__ll"),
+          lit(0).cast(DecimalType(28, 9)))).as("__score"))
+    val best = scored.groupBy(col(idCol)).agg(max(col("__score")).as("__score"))
+    scored.join(best, Seq(idCol, "__score"))
+      .groupBy(col(idCol), col("__score"))
+      .agg(min(col("__lbl")).as("predicted"))
+      .select(col(idCol), col("predicted"),
+        round(col("__score").cast("double"), 6).as("score"))
+  }
 }

@@ -1455,4 +1455,60 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(t2.map(_._2).toSeq === Seq(5L, 7L))
     assert(t2(0)._4 === t2(1)._4)
   }
+
+  test("naiveBayesTrain: hand-computed smoothed log-probs over a 2-class corpus") {
+    val docs = Seq(
+      ("spam", "buy now buy"), ("spam", "buy cheap"),
+      ("ham", "hello friend")).toDF("label", "text")
+    val got = TextAnalysis.naiveBayesTrain(docs, "text", "label")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // vocab = {buy, now, cheap, hello, friend} -> V = 5
+    // spam totals: 5 tokens; ham: 2
+    def lp(cnt: Long, nc: Long) = BigDecimal(math.log((cnt + 1.0) / (nc + 5.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("spam", "buy")) === ((3L, lp(3, 5))))
+    assert(got(("spam", "now")) === ((1L, lp(1, 5))))
+    assert(got(("ham", "hello")) === ((1L, lp(1, 2))))
+    // only observed (class, token) pairs appear in the model frame
+    assert(!got.contains(("ham", "buy")))
+    assert(got.size === 5)
+  }
+
+  test("naiveBayesClassify: marker docs classify right; unseen tokens fall back; ties break to smallest label") {
+    // classes have EQUAL token totals (7 each) and EQUAL doc counts so
+    // the all-unseen doc ties exactly (same floors, same priors)
+    val train = Seq(
+      (1L, "aa", "buy now buy cheap"), (2L, "aa", "buy cheap now"),
+      (3L, "bb", "hello friend hello friend"),
+      (4L, "bb", "friend hello hello")).toDF("doc_id", "label", "text")
+    val test = Seq(
+      (10L, "buy buy cheap"),          // spam-shaped -> aa
+      (11L, "hello friend"),           // ham-shaped -> bb
+      (12L, "zzz qqq")).toDF("doc_id", "text") // all-unseen: equal floors +
+    // equal priors -> per-class scores tie exactly, MIN(label) wins
+    val got = TextAnalysis.naiveBayesClassify(train, test, "doc_id", "text", "label")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(10L) === "aa")
+    assert(got(11L) === "bb")
+    assert(got(12L) === "aa")
+    // one verdict per test doc, even for the tie
+    assert(got.size === 3)
+  }
+
+  test("naiveBayesClassify: zero-token test doc gets the prior-only argmax") {
+    val train = Seq(
+      (1L, "big", "x y"), (2L, "big", "x z"), (3L, "big", "y z"),
+      (4L, "sml", "x q")).toDF("doc_id", "label", "text")
+    val test = Seq((20L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.naiveBayesClassify(train, test, "doc_id", "text", "label")
+      .as[(Long, String, Double)].collect()
+    assert(got.length === 1)
+    // prior(big) = ln(3/4) > prior(sml) = ln(1/4); score is the prior alone
+    assert(got.head._1 === 20L && got.head._2 === "big")
+    val want = BigDecimal(math.log(3.0 / 4.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._3 === want)
+  }
 }
