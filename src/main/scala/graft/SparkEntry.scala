@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3740,6 +3740,35 @@ object SparkEntry {
       }
       StreamingCdcMerge.currentSnapshot(s, s"$tmp/state", Seq("c_custkey"),
         "ver", "op", tieBreak = Seq("event_id"))
+    }),
+
+    // streaming NB training: t53's corpus streamed in three doc-id
+    // residue batches — NB's sufficient statistic is additive, so each
+    // batch appends only its own (label, token) count deltas (O(batch),
+    // never reads state) and the drained MERGE-ON-READ model — the
+    // shared smoothing arithmetic over summed deltas — must equal batch
+    // t53 over everything streamed; same oracle verbatim
+    "e38_streaming_nb_train" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e38").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" mk"), col("lang")).as("text"))
+      for (r <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === r)
+          .select("lang", "text")
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingNbTrain.start(s, src, "text", "lang",
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e38 stream did not drain in 300s")
+      }
+      StreamingNbTrain.currentModel(s, s"$tmp/state", "lang")
+        .select(col("lang"), col("token"), col("cnt"),
+          round(col("logp"), 6).as("logp"))
     }),
 
     // mixture application: deterministic per-doc repetition factors from
@@ -8345,6 +8374,10 @@ object SparkEntry {
     // FINAL model + the doc-ordered piece mapping — see t52OracleSql
     "t52_unigram_encode" -> t52OracleSql,
     "t53_nb_train" -> t53OracleSql,
+    // e38 IS t53 over everything streamed — summed count deltas through
+    // the same smoothing arithmetic; one oracle, zero drift by
+    // construction
+    "e38_streaming_nb_train" -> t53OracleSql,
     "t54_nb_classify" -> t54OracleSql,
     // media integrity: byte lengths via octet_length over encode()d
     // blobs (no blob substring — the truncation happens on the VARCHAR)

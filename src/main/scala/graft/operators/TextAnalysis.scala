@@ -2264,7 +2264,7 @@ object TextAnalysis {
     * model streamable and the training one corpus pass + one
     * vocabulary-bounded aggregate).
     */
-  private def nbCounts(docs: DataFrame, textCol: String,
+  private[graft] def nbCounts(docs: DataFrame, textCol: String,
       labelCol: String): DataFrame =
     docs.select(col(labelCol).as("__lbl"),
         explode(tokens(col(textCol))).as("__tok"))
@@ -2279,7 +2279,7 @@ object TextAnalysis {
     * agree on the leaf bits; ln itself is IEEE-identical, b02 relies on
     * the same).
     */
-  private def nbModel(counts: DataFrame, labelCol: String): DataFrame = {
+  private[graft] def nbModel(counts: DataFrame, labelCol: String): DataFrame = {
     val totals = counts.groupBy(col("__lbl")).agg(sum(col("cnt")).as("__nc"))
     val vocab = counts.select(col("__tok")).distinct()
       .agg(count(lit(1)).as("__v"))

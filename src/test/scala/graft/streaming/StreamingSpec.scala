@@ -2829,4 +2829,67 @@ class StreamingSpec extends SparkTestBase {
       Seq("zip"))
     assert(drained() === want, "compaction changed the report")
   }
+
+  test("streaming NB training: drained merge-on-read model equals batch " +
+      "train under cross-batch token overlap; compaction is invisible") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_snb").toString
+    // 'buy' counts split across batches; 'friend' only in batch 2 —
+    // both the summed-delta and the new-token paths are exercised
+    val b1 = Seq(("spam", "buy now buy"), ("ham", "hello there"))
+    val b2 = Seq(("spam", "buy cheap"), ("ham", "hello friend"))
+    val cols = Seq("label", "text")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema("label STRING, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingNbTrain.start(spark, stream, "text", "label",
+      s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def model() = StreamingNbTrain.currentModel(spark, s"$dir/state", "label")
+      .as[(String, String, Long, Double)].collect().sorted.toSeq
+    val batchTruth = graft.operators.TextAnalysis.naiveBayesTrain(
+        (b1 ++ b2).toDF(cols: _*), "text", "label")
+      .as[(String, String, Long, Double)].collect().sorted.toSeq
+    assert(model() === batchTruth, "drained model drifted from batch train")
+    // the cross-batch sum actually happened: buy = 2 + 1
+    assert(model().find(r => r._1 == "spam" && r._2 == "buy")
+      .map(_._3) === Some(3L))
+    // compaction: one summed row per (label, token), model unchanged
+    StreamingNbTrain.compactState(spark, s"$dir/state")
+    assert(!new java.io.File(s"$dir/state/tail").exists(),
+      "compaction must fold the tail")
+    val stored = StreamingNbTrain.storedCounts(spark, s"$dir/state")
+    assert(stored.count() === stored.select("__lbl", "__tok").distinct().count(),
+      "compaction left multiple delta rows for a (label, token)")
+    assert(model() === batchTruth, "compaction changed the model")
+  }
+
+  test("streaming NB training replay idempotence: a replayed in-flight " +
+      "batch (including batch 0) never double-counts") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_snb_replay").toString
+    val b1 = Seq(("spam", "buy now"), ("ham", "hello"))
+    val b2 = Seq(("spam", "buy"))
+    val cols = Seq("label", "text")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema("label STRING, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingNbTrain.start(spark, stream, "text", "label",
+      s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def counts() = StreamingNbTrain.storedCounts(spark, s"$dir/state")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    val c0 = counts()
+    assert(c0.contains(("spam", "buy", 2L)), s"cross-batch sum missing: $c0")
+    // replay BOTH batches through the production path — count deltas are
+    // not idempotent by value, so the batch-keyed overwrite is the only
+    // thing standing between a replay and a corrupted model
+    StreamingNbTrain.processBatch(b1.toDF(cols: _*), 0L, "text", "label",
+      s"$dir/state")
+    StreamingNbTrain.processBatch(b2.toDF(cols: _*), 1L, "text", "label",
+      s"$dir/state")
+    assert(counts() === c0, "replay double-counted the deltas")
+  }
 }
