@@ -2544,6 +2544,21 @@ object SparkEntry {
       TextAnalysis.naiveBayesClassify(train, test, "doc_id", "text", "lang")
     }),
 
+    // classifier evaluation: t54's NB WITHOUT the planted marker (the
+    // honest-confusion fixture — the shared synthetic vocabulary gives
+    // real cross-class errors), per-class precision/recall/F1 from the
+    // |classes|²-bounded confusion table
+    "t55_classifier_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val train = docs.filter(col("doc_id") % 7 =!= 3)
+      val test = docs.filter(col("doc_id") % 7 === 3)
+      val pred = TextAnalysis.naiveBayesClassify(train, test,
+        "doc_id", "text", "lang").select("doc_id", "predicted")
+      CorpusStats.classifierEval(
+        test.select(col("doc_id"), col("lang")).join(pred, "doc_id"),
+        "lang", "predicted")
+    }),
+
     // BPE ENCODING under the trained merges (rank order, same stack
     // fold): one map-only corpus pass, merges as plan-time literals
     "t38_bpe_encode" -> ((s, dir) => {
@@ -6010,13 +6025,17 @@ object SparkEntry {
                   CAST(t.nc + voc.v AS DOUBLE)), 9) + 0.0, 6) + 0.0 AS logp
          FROM cnt c JOIN tot t USING (lang), voc"""
 
-  /** t54: the full train-then-classify replay — model terms and priors
-    * round-9 → DECIMAL(28,9) sums (addend-order-free in both engines),
-    * unseen tokens fall back to the per-class smoothing floor, argmax
-    * via max-score join with MIN(label) tie-break.
+  /** The NB train-then-classify CTE chain (through `scored`/`best`) —
+    * model terms and priors round-9 → DECIMAL(28,9) sums
+    * (addend-order-free in both engines), unseen tokens fall back to the
+    * per-class smoothing floor. `marker` plants the per-lang ' mkLANG'
+    * token (t54's separable fixture); without it the classifier runs on
+    * the shared vocabulary alone (t55's honest-confusion fixture).
     */
-  private val t54OracleSql: String =
-    """WITH aug AS (SELECT doc_id, lang, text || ' mk' || lang AS text FROM documents),
+  private def nbClassifyCtes(marker: Boolean): String = {
+    val augText = if (marker) "text || ' mk' || lang" else "text"
+    "WITH aug AS (SELECT doc_id, lang, " + augText +
+      """ AS text FROM documents),
          tr AS (SELECT * FROM aug WHERE doc_id % 7 <> 3),
          te AS (SELECT * FROM aug WHERE doc_id % 7 = 3),
          tk AS (SELECT lang, token FROM (
@@ -6060,12 +6079,66 @@ object SparkEntry {
                   b.prior + COALESCE(s.ll, CAST(0 AS DECIMAL(28, 9))) AS score
            FROM base b LEFT JOIN sums s
              ON s.doc_id = b.doc_id AND s.lang = b.lang),
-         best AS (SELECT doc_id, MAX(score) AS score FROM scored GROUP BY 1)
+         best AS (SELECT doc_id, MAX(score) AS score FROM scored GROUP BY 1)"""
+  }
+
+  private val t54OracleSql: String =
+    nbClassifyCtes(marker = true) +
+      """
          SELECT s.doc_id, MIN(s.lang) AS predicted,
                 ROUND(CAST(s.score AS DOUBLE), 6) + 0.0 AS score
          FROM scored s JOIN best b
            ON b.doc_id = s.doc_id AND b.score = s.score
          GROUP BY s.doc_id, s.score"""
+
+  /** t55: the marker-FREE t54 classify replayed, then per-class
+    * precision/recall/F1 from the |classes|²-bounded confusion table —
+    * tp/fp/fn exact integers, each metric one integer-ratio division
+    * (IEEE-identical), F1 over the two unrounded ratios.
+    */
+  private val t55OracleSql: String =
+    nbClassifyCtes(marker = false) +
+      """,
+         pred AS (
+           SELECT s.doc_id, MIN(s.lang) AS predicted
+           FROM scored s JOIN best b
+             ON b.doc_id = s.doc_id AND b.score = s.score
+           GROUP BY s.doc_id, s.score),
+         ev AS (SELECT te.lang AS truth, p.predicted
+                FROM te JOIN pred p USING (doc_id)),
+         cont AS (SELECT truth, predicted, COUNT(*) AS n
+                  FROM ev GROUP BY 1, 2),
+         labels AS (SELECT truth AS label FROM cont
+                    UNION SELECT predicted FROM cont),
+         diag AS (SELECT truth AS label, n AS tp FROM cont
+                  WHERE truth = predicted),
+         pt AS (SELECT predicted AS label, CAST(SUM(n) AS BIGINT) AS predn
+                FROM cont GROUP BY 1),
+         tt AS (SELECT truth AS label, CAST(SUM(n) AS BIGINT) AS truthn
+                FROM cont GROUP BY 1)
+         SELECT c.label,
+                COALESCE(d.tp, 0) AS tp,
+                COALESCE(p.predn, 0) - COALESCE(d.tp, 0) AS fp,
+                COALESCE(t.truthn, 0) - COALESCE(d.tp, 0) AS fn,
+                CASE WHEN p.predn > 0 THEN
+                  ROUND(CAST(COALESCE(d.tp, 0) AS DOUBLE) /
+                    CAST(p.predn AS DOUBLE), 6) + 0.0 END AS precision,
+                CASE WHEN t.truthn > 0 THEN
+                  ROUND(CAST(COALESCE(d.tp, 0) AS DOUBLE) /
+                    CAST(t.truthn AS DOUBLE), 6) + 0.0 END AS recall,
+                CASE WHEN p.predn > 0 AND t.truthn > 0 AND
+                     (CAST(COALESCE(d.tp, 0) AS DOUBLE) / CAST(p.predn AS DOUBLE)
+                      + CAST(COALESCE(d.tp, 0) AS DOUBLE) / CAST(t.truthn AS DOUBLE)) > 0
+                  THEN ROUND(
+                    2.0 * (CAST(COALESCE(d.tp, 0) AS DOUBLE) / CAST(p.predn AS DOUBLE))
+                        * (CAST(COALESCE(d.tp, 0) AS DOUBLE) / CAST(t.truthn AS DOUBLE))
+                    / (CAST(COALESCE(d.tp, 0) AS DOUBLE) / CAST(p.predn AS DOUBLE)
+                       + CAST(COALESCE(d.tp, 0) AS DOUBLE) / CAST(t.truthn AS DOUBLE)), 6)
+                  + 0.0 END AS f1
+         FROM labels c
+         LEFT JOIN diag d USING (label)
+         LEFT JOIN pt p USING (label)
+         LEFT JOIN tt t USING (label)"""
 
   private def knnEdgeCtes: String = {
     val bucketExpr = bucketExprSql(5)
@@ -8379,6 +8452,7 @@ object SparkEntry {
     // construction
     "e38_streaming_nb_train" -> t53OracleSql,
     "t54_nb_classify" -> t54OracleSql,
+    "t55_classifier_eval" -> t55OracleSql,
     // media integrity: byte lengths via octet_length over encode()d
     // blobs (no blob substring — the truncation happens on the VARCHAR)
     "m07_media_integrity" ->

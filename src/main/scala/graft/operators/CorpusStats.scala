@@ -1100,4 +1100,58 @@ object CorpusStats {
       .withColumn("frac_pos",
         round(col("n_pos").cast("double") / col("n"), 6) + lit(0.0))
   }
+
+  /** Per-class precision / recall / F1 over (truth, predicted) label
+    * pairs — the evaluation readout every classifier in the pipeline
+    * (t54's NB, t31's language-ID, any quality filter) reports. A class
+    * is any label appearing on EITHER side; never-predicted classes get
+    * fp = 0 and NULL precision, never-true classes fn = 0 and NULL
+    * recall (0/0 is undefined, the textbook convention); F1 is NULL
+    * unless both terms exist and p + r > 0.
+    *
+    * Determinism: tp/fp/fn are exact integers; precision and recall are
+    * ONE integer-ratio division each (IEEE-identical across engines),
+    * F1 one expression over those two doubles — no summation of
+    * doubles anywhere, so no DECIMAL routing is needed.
+    *
+    * Plan shape (100 TB posture): ONE map-side-combined hash aggregate
+    * folds the pair frame to the |classes|²-bounded confusion table;
+    * everything after is joins/aggregates over that skinny frame. No
+    * window, no corpus-scale join.
+    * Output: (label, tp, fp, fn, precision, recall, f1).
+    */
+  def classifierEval(df: DataFrame, truthCol: String,
+      predCol: String): DataFrame = {
+    // the confusion table feeds FOUR consumers (classes, diagonal, both
+    // marginals) — left lazy, the corpus re-aggregates per consumer
+    val cont = df
+      .filter(col(truthCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(truthCol).cast("string").as("__t"),
+        col(predCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = true)
+    val classes = cont.select(col("__t").as("label"))
+      .union(cont.select(col("__p").as("label"))).distinct()
+    val diag = cont.filter(col("__t") === col("__p"))
+      .select(col("__t").as("label"), col("__n").as("__tp"))
+    val predTotals = cont.groupBy(col("__p").as("label"))
+      .agg(sum(col("__n")).as("__pred"))
+    val truthTotals = cont.groupBy(col("__t").as("label"))
+      .agg(sum(col("__n")).as("__truth"))
+    val tp = coalesce(col("__tp"), lit(0L))
+    val pd = tp.cast("double") / col("__pred").cast("double")
+    val rd = tp.cast("double") / col("__truth").cast("double")
+    classes
+      .join(diag, Seq("label"), "left")
+      .join(predTotals, Seq("label"), "left")
+      .join(truthTotals, Seq("label"), "left")
+      .select(col("label"),
+        tp.as("tp"),
+        (coalesce(col("__pred"), lit(0L)) - tp).as("fp"),
+        (coalesce(col("__truth"), lit(0L)) - tp).as("fn"),
+        (when(col("__pred") > 0, round(pd, 6)) + lit(0.0)).as("precision"),
+        (when(col("__truth") > 0, round(rd, 6)) + lit(0.0)).as("recall"),
+        (when(col("__pred") > 0 && col("__truth") > 0 && pd + rd > 0,
+          round(lit(2.0) * pd * rd / (pd + rd), 6)) + lit(0.0)).as("f1"))
+  }
 }

@@ -581,4 +581,32 @@ class CorpusStatsSpec extends SparkTestBase {
       .as[(Long, Long, Option[Double], Option[Double], Option[Double])].head()
     assert(l._1 === 0L && l._2 === 0L && l._5 === None)
   }
+
+  test("classifierEval: hand-computed P/R/F1, never-predicted and never-true classes") {
+    // 'd' never occurs in truth but is predicted once; 'e' is true once
+    // but never predicted
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
+      ("c", "c"), ("e", "d")).toDF("truth", "pred")
+    val got = CorpusStats.classifierEval(df, "truth", "pred")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // a: tp=2, fp=0 (pred a twice, both true a), fn=1 -> P=1, R=2/3
+    assert(got("a")._2 === 2L && got("a")._3 === 0L && got("a")._4 === 1L)
+    assert(got("a")._5 === Some(1.0))
+    assert(got("a")._6 === Some(BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got("a")._7 === Some(BigDecimal(2.0 * 1.0 * (2.0 / 3.0) / (1.0 + 2.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // b: tp=1, fp=1 (a misread as b), fn=1 -> P=R=F1=0.5
+    assert(got("b")._2 === 1L && got("b")._3 === 1L && got("b")._4 === 1L)
+    assert(got("b")._7 === Some(0.5))
+    // d: predicted once, never true -> fp=1, fn=0, precision 0, recall NULL, f1 NULL
+    assert(got("d")._2 === 0L && got("d")._3 === 1L && got("d")._4 === 0L)
+    assert(got("d")._5 === Some(0.0) && got("d")._6 === None && got("d")._7 === None)
+    // e: true once, never predicted -> fp=0, fn=1, precision NULL
+    assert(got("e")._2 === 0L && got("e")._3 === 0L && got("e")._4 === 1L)
+    assert(got("e")._5 === None && got("e")._6 === Some(0.0) && got("e")._7 === None)
+    assert(got.size === 5)
+  }
 }
