@@ -888,4 +888,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange") && !p.contains("Join"),
       s"shuffle/join in the encode plan:\n$p")
   }
+
+  test("b03 RRF fusion: ranking stays on the bounded heap (no window), " +
+      "no cartesian beyond the dense leg's broadcast query attach") {
+    val p = plan("b03_rrf_hybrid")
+    assert(!p.contains("Window"), s"fusion ranking uses a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"bounded heap aggregate missing:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian in the fusion plan:\n$p")
+  }
+
+  test("t54 NB classify: hash aggregates + equi-joins only — no window, " +
+      "no cartesian beyond the classes-bounded broadcast attaches") {
+    val p = plan("t54_nb_classify")
+    assert(!p.contains("Window"), s"NB scoring uses a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian in the classify plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"classes/floors table lost its broadcast:\n$p")
+  }
 }
