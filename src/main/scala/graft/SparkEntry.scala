@@ -1935,6 +1935,22 @@ object SparkEntry {
           (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
     }),
 
+    // hard negatives at banked-corpus scale: s17's label-mismatch
+    // contract over IVF candidate lists — full probe makes the plan
+    // exact, so the brute-force oracle gates the SCALE PATH itself
+    // (the s28 recipe); partial-probe recall is spec'd in SimilaritySpec
+    "s40_hard_negatives_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      Similarity.hardNegativesIvf(corpus, queries,
+          "vec_id", "embedding", "label", "query_id", "embedding", "label",
+          k = 5, numCentroids = 8, nprobe = 8)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
+    }),
+
     // ANN index-quality evaluation: recall@20 of the multi-probe LSH
     // index against exact brute force, per query — the number that
     // decides whether the cheap index is good enough to replace the
@@ -6140,6 +6156,28 @@ object SparkEntry {
          LEFT JOIN pt p USING (label)
          LEFT JOIN tt t USING (label)"""
 
+  /** s17's filtered brute-force truth — shared verbatim by s40 (at full
+    * probe the IVF candidate set is the whole corpus, so the banked-scale
+    * plan must reproduce the exact result).
+    */
+  private val s17OracleSql: String =
+      """WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+              scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                       (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+                FROM c CROSS JOIN q
+                WHERE c.label <> q.label),
+              ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored)
+         SELECT query_id, vec_id, rank, ROUND(cosine, 6) + 0.0 AS cosine
+         FROM ranked WHERE rank <= 5"""
+
   private def knnEdgeCtes: String = {
     val bucketExpr = bucketExprSql(5)
     s"""WITH sig AS (
@@ -9592,23 +9630,11 @@ object SparkEntry {
          SELECT query_id, vec_id, rank, ROUND(cosine, 6) + 0.0 AS cosine
          FROM ranked WHERE rank <= 5""",
     // s17: the s01 scoring with the label-mismatch filter before ranking
-    "s17_hard_negatives" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
-              scored AS (
-                SELECT q.query_id, c.vec_id,
-                       list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
-                       (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
-                        sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
-                FROM c CROSS JOIN q
-                WHERE c.label <> q.label),
-              ranked AS (
-                SELECT query_id, vec_id, cosine,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY cosine DESC, vec_id ASC) AS rank
-                FROM scored)
-         SELECT query_id, vec_id, rank, ROUND(cosine, 6) + 0.0 AS cosine
-         FROM ranked WHERE rank <= 5""",
+    "s17_hard_negatives" -> s17OracleSql,
+    // s40 IS s17 at full probe: nprobe = numCentroids makes the IVF
+    // candidate set the whole corpus, so the banked-scale path is gated
+    // by the exact filtered brute-force truth — one oracle, two plans
+    "s40_hard_negatives_ivf" -> s17OracleSql,
     // truncated-vs-full ranking overlap: the s01 scoring replayed twice
     // (full vectors; 16-element prefixes via list slicing), integer count
     "s13_truncated_recall" ->

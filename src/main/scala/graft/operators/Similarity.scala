@@ -92,6 +92,30 @@ object Similarity {
       corpusId, corpusVec, queryId, k,
       pairFilter = Some(col(corpusLabel) =!= col("__ql")))
 
+  /** [[hardNegatives]] at banked-corpus scale: the same label-mismatch
+    * contract over IVF candidate generation instead of the broadcast
+    * cross product — per query only the probed lists' vectors are scored,
+    * so cost is O(|corpus|·nprobe/numCentroids·|Q|) and the corpus never
+    * broadcasts. The mismatch filter applies INSIDE the probed lists,
+    * before the heap (negatives never crowd out — the [[hardNegatives]]
+    * posture). At full probe (nprobe = numCentroids) the candidate set is
+    * the whole corpus and the result is EXACTLY [[hardNegatives]]
+    * (s40 gates this against s17's brute-force oracle verbatim); partial
+    * probe trades recall for scan fraction like every IVF read.
+    * Output: (queryId, corpusId, cosine, rank).
+    */
+  def hardNegativesIvf(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, corpusLabel: String,
+      queryId: String, queryVec: String, queryLabel: String,
+      k: Int, numCentroids: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 3): DataFrame =
+    filteredIvfTopK(corpus,
+      queries.select(col(queryId), col(queryVec), col(queryLabel).as("__ql")),
+      corpusId, corpusVec, queryId, queryVec, k,
+      pairFilter = col(corpusLabel) =!= col("__ql"),
+      numCentroids, nprobe, kmeansIters)
+
   /** Filtered vector search (metadata-predicate ANN), brute-force form:
     * per query, the top-k corpus vectors among those satisfying
     * `pairFilter` — the "top matches in MY language / category / date

@@ -948,6 +948,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(solo._1 === "A" && solo._2 === 2L && solo._3 === None)
   }
 
+  test("hardNegativesIvf: full probe equals brute-force hardNegatives; " +
+      "partial probe keeps reasonable recall and never returns same-label rows") {
+    val labeled = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val q = labeled.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding", $"label")
+    val c = labeled.filter($"vec_id" >= 5)
+    val exact = Similarity.hardNegatives(c, q, "vec_id", "embedding",
+        "label", "query_id", "embedding", "label", k = 5)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val full = Similarity.hardNegativesIvf(c, q, "vec_id", "embedding",
+        "label", "query_id", "embedding", "label", k = 5,
+        numCentroids = 4, nprobe = 4)
+      .select($"query_id", $"vec_id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(full === exact, "full probe must reproduce brute force exactly")
+    val partial = Similarity.hardNegativesIvf(c, q, "vec_id", "embedding",
+        "label", "query_id", "embedding", "label", k = 5,
+        numCentroids = 4, nprobe = 2)
+    val labels = labeled.select($"vec_id", $"label".as("clabel"))
+    assert(partial.join(q.select($"query_id", $"label"), "query_id")
+      .join(labels, "vec_id").filter($"label" === $"clabel").count() === 0L,
+      "a same-label row leaked through the mismatch filter")
+    val pset = partial.select($"query_id", $"vec_id").as[(Long, Long)]
+      .collect().toSet
+    val eset = exact.map(r => (r._1, r._2))
+    val recall = (eset intersect pset).size.toDouble / eset.size
+    assert(recall >= 0.3, s"partial-probe recall $recall too low")
+  }
+
   test("rrfFuse: hand-computed fusion, single-leg items, tie-break, k bound") {
     // leg A ranks docs (1,2,3); leg B ranks (3,2,4) — doc 5 only exists
     // for query 2 in leg B
