@@ -889,6 +889,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"shuffle/join in the encode plan:\n$p")
   }
 
+  test("m12 clip alignment: digest-keyed equi-join + hash aggregates — " +
+      "no cartesian, no nested loop, payload bytes never cross a shuffle") {
+    val p = plan("m12_video_clip_align")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"m12 pair join regressed:\n$p")
+    // the digest frame (id, frame_no, digest) is what shuffles — the
+    // binary payload column must be projected away before any Exchange
+    val exchanges = p.split("Exchange").drop(1)
+    assert(exchanges.nonEmpty, "expected shuffles in the alignment plan")
+    assert(!exchanges.exists(_.take(400).contains("content#")),
+      s"payload bytes on a shuffle boundary:\n$p")
+  }
+
   test("b03 RRF fusion: ranking stays on the bounded heap (no window), " +
       "no cartesian beyond the dense leg's broadcast query attach") {
     val p = plan("b03_rrf_hybrid")
