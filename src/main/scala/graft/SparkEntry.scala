@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3800,6 +3800,37 @@ object SparkEntry {
       StreamingNbTrain.currentModel(s, s"$tmp/state", "lang")
         .select(col("lang"), col("token"), col("cnt"),
           round(col("logp"), 6).as("logp"))
+    }),
+
+    // streaming classifier evaluation: t55's (truth, predicted) pairs
+    // streamed in three doc-id residue batches — confusion counts are
+    // additive, so each batch appends its own ≤|classes|² delta rows and
+    // the drained MERGE-ON-READ report — the shared metric tail over
+    // summed deltas — must equal batch t55; same oracle verbatim
+    "e39_streaming_classifier_eval" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e39").toString
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val train = docs.filter(col("doc_id") % 7 =!= 3)
+      val test = docs.filter(col("doc_id") % 7 === 3)
+      val pairs = TextAnalysis.naiveBayesClassify(train, test,
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("predicted"))
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+      for (r <- 0 until 3)
+        pairs.filter(pmod(col("doc_id"), lit(3)) === r)
+          .select(col("lang"), col("predicted"))
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("lang STRING, predicted STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingClassifierEval.start(s, src, "lang", "predicted",
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e39 stream did not drain in 300s")
+      }
+      StreamingClassifierEval.currentEval(s, s"$tmp/state")
     }),
 
     // mixture application: deterministic per-doc repetition factors from
@@ -8491,6 +8522,10 @@ object SparkEntry {
     "e38_streaming_nb_train" -> t53OracleSql,
     "t54_nb_classify" -> t54OracleSql,
     "t55_classifier_eval" -> t55OracleSql,
+    // e39 IS t55 over everything streamed — summed confusion deltas
+    // through the same metric tail; one oracle, zero drift by
+    // construction
+    "e39_streaming_classifier_eval" -> t55OracleSql,
     // media integrity: byte lengths via octet_length over encode()d
     // blobs (no blob substring — the truncation happens on the VARCHAR)
     "m07_media_integrity" ->

@@ -1121,15 +1121,25 @@ object CorpusStats {
     * Output: (label, tp, fp, fn, precision, recall, f1).
     */
   def classifierEval(df: DataFrame, truthCol: String,
-      predCol: String): DataFrame = {
-    // the confusion table feeds FOUR consumers (classes, diagonal, both
-    // marginals) — left lazy, the corpus re-aggregates per consumer
-    val cont = df
+      predCol: String): DataFrame =
+    classifierEvalFromConfusion(df
       .filter(col(truthCol).isNotNull && col(predCol).isNotNull)
       .groupBy(col(truthCol).cast("string").as("__t"),
         col(predCol).cast("string").as("__p"))
-      .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = true)
+      .agg(count(lit(1)).as("__n")))
+
+  /** The [[classifierEval]] metric tail over a pre-built confusion frame
+    * (`__t`, `__p`, `__n`) — split out so the streaming evaluation
+    * monitor computes its metrics from SUMMED count deltas through the
+    * identical arithmetic (drained == batch, one oracle). `cont` must
+    * carry one row per (truth, predicted) pair; both producers group
+    * before calling.
+    */
+  private[graft] def classifierEvalFromConfusion(
+      confusion: DataFrame): DataFrame = {
+    // the confusion table feeds FOUR consumers (classes, diagonal, both
+    // marginals) — left lazy, the producer re-aggregates per consumer
+    val cont = confusion.localCheckpoint(eager = true)
     val classes = cont.select(col("__t").as("label"))
       .union(cont.select(col("__p").as("label"))).distinct()
     val diag = cont.filter(col("__t") === col("__p"))

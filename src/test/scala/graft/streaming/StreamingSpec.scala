@@ -2892,4 +2892,46 @@ class StreamingSpec extends SparkTestBase {
       s"$dir/state")
     assert(counts() === c0, "replay double-counted the deltas")
   }
+
+  test("streaming classifier eval: drained merge-on-read report equals " +
+      "batch classifierEval; replays and compaction are invisible") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sceval").toString
+    // class 'a' splits its tp/fp across batches; 'c' appears only in
+    // batch 2 — both the summed-delta and the new-class paths exercise
+    val b1 = Seq(("a", "a"), ("a", "b"), ("b", "b"))
+    val b2 = Seq(("a", "a"), ("b", "c"), ("c", "c"))
+    val cols = Seq("truth", "pred")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema("truth STRING, pred STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingClassifierEval.start(spark, stream, "truth", "pred",
+      s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def report() = StreamingClassifierEval.currentEval(spark, s"$dir/state")
+      .collect().map(_.toString).sorted.toSeq
+    val batchTruth = graft.operators.CorpusStats.classifierEval(
+        (b1 ++ b2).toDF(cols: _*), "truth", "pred")
+      .collect().map(_.toString).sorted.toSeq
+    assert(report() === batchTruth, "drained report drifted from batch eval")
+    // the cross-batch sum actually happened: a's tp = 1 + 1
+    val aTp = StreamingClassifierEval.currentEval(spark, s"$dir/state")
+      .filter(col("label") === "a").select("tp").as[Long].head()
+    assert(aTp === 2L, "cross-batch confusion sum missing")
+    // replay both batches through the production path
+    StreamingClassifierEval.processBatch(b1.toDF(cols: _*), 0L, "truth",
+      "pred", s"$dir/state")
+    StreamingClassifierEval.processBatch(b2.toDF(cols: _*), 1L, "truth",
+      "pred", s"$dir/state")
+    assert(report() === batchTruth, "replay double-counted the confusion")
+    // compaction: one summed row per (truth, pred), report unchanged
+    StreamingClassifierEval.compactState(spark, s"$dir/state")
+    assert(!new java.io.File(s"$dir/state/tail").exists(),
+      "compaction must fold the tail")
+    val stored = StreamingClassifierEval.storedConfusion(spark, s"$dir/state")
+    assert(stored.count() === stored.select("__t", "__p").distinct().count(),
+      "compaction left multiple delta rows for a (truth, pred) pair")
+    assert(report() === batchTruth, "compaction changed the report")
+  }
 }
