@@ -2575,6 +2575,40 @@ object SparkEntry {
         "lang", "predicted")
     }),
 
+    // logistic-regression training — the fastText-class quality screen
+    // actually FIT by gradient descent (not just counted, t53's NB):
+    // binary hashed token features (dim 64, bias folded in as bucket -1),
+    // 10 synchronous full-batch GD rounds at eta 10.0, every round's
+    // arithmetic DECIMAL-exact so the oracle unrolls the identical
+    // rounds. The t54 ' mkLANG' marker is planted (the honest corpus is
+    // label-free word salad — no text-derivable signal exists without
+    // it); label: is-English
+    "t56_lr_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" mk"), col("lang")).as("text"))
+      TextAnalysis.logRegTrain(docs, "doc_id", "text",
+          (col("lang") === "en").cast("int"), dim = 64, rounds = 10,
+          eta = 10.0)
+        .select(col("bucket"), round(col("w").cast("double"), 6).as("weight"))
+    }),
+
+    // held-out LR classification under the t54 split: train on
+    // doc_id % 7 != 3, score the rest — margins are DECIMAL-exact sums,
+    // the decision boundary compares ON the decimal (replayable), the
+    // reported score is the round-6 sigmoid. Learned (not memorized):
+    // held-out accuracy is 1.0 at every fixture SF, with a third of the
+    // split predicted positive — the marker bucket's weight is what GD
+    // actually finds
+    "t57_lr_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" mk"), col("lang")).as("text"))
+      val train = docs.filter(col("doc_id") % 7 =!= 3)
+      val test = docs.filter(col("doc_id") % 7 === 3)
+      TextAnalysis.logRegClassify(train, test, "doc_id", "text",
+        (col("lang") === "en").cast("int"), dim = 64, rounds = 10,
+        eta = 10.0)
+    }),
+
     // BPE ENCODING under the trained merges (rank order, same stack
     // fold): one map-only corpus pass, merges as plan-time literals
     "t38_bpe_encode" -> ((s, dir) => {
@@ -6187,6 +6221,97 @@ object SparkEntry {
          LEFT JOIN pt p USING (label)
          LEFT JOIN tt t USING (label)"""
 
+  /** The poly_hash64(md5(e)) replay (the v10/v11 recipe): fold the md5
+    * hex image's chars through (a·31 + ch) mod 2⁶⁴ as HUGEINT.
+    */
+  private def lrBucketSql(tokenExpr: String, dim: Int): String =
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |  list_transform(range(1, length(md5($tokenExpr))+1),
+       |    i -> CAST(unicode(substr(md5($tokenExpr), CAST(i AS INT), 1)) AS HUGEINT))),
+       |  (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT) % $dim AS INT)""".stripMargin
+
+  /** The hashed-feature frame replay over a docs CTE named `src`
+    * carrying (doc_id, y, text): binary bucket presence (DISTINCT
+    * (doc, bucket) with x = 1), bucket via [[lrBucketSql]] (dim a power
+    * of two, so the HUGEINT mod equals Spark's signed-long mask), the
+    * bias folded in as bucket −1 with x = 1. Emits CTEs `tk$tag`,
+    * `feat$tag`.
+    */
+  private def lrFeatCtes(tag: String, src: String, dim: Int): String =
+    s"""tk$tag AS (
+       |  SELECT DISTINCT doc_id, y, token FROM (
+       |    SELECT doc_id, y,
+       |           unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+       |    FROM $src)
+       |  WHERE length(token) > 0),
+       |feat$tag AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, y, ${lrBucketSql("token", dim)} AS bucket,
+       |         CAST(1.0 AS DOUBLE) AS x
+       |  FROM tk$tag
+       |  UNION ALL
+       |  SELECT doc_id, y, -1 AS bucket, CAST(1.0 AS DOUBLE) AS x FROM $src)""".stripMargin
+
+  /** t56's training replayed: the [[lrFeatCtes]] frame over `trainSrc`,
+    * then `rounds` UNROLLED gradient-descent rounds — per round the
+    * DECIMAL margin sum, the round-9 residual, the (dim+1)-bounded
+    * DECIMAL gradient aggregate, and the exact weight subtraction —
+    * mirroring [[graft.operators.TextAnalysis.logRegFit]] step for step.
+    * Callers consume `w$rounds`.
+    */
+  private def lrTrainCtes(trainSrc: String, dim: Int, rounds: Int,
+      eta: String): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y,
+         |         SUM(CAST(ROUND(f.x * CAST(w.w AS DOUBLE), 9) AS DECIMAL(28,9))) AS m
+         |  FROM feattr f JOIN w${r - 1} w USING (bucket) GROUP BY 1, 2),
+         |g$r AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))) - CAST(y AS DOUBLE), 9)
+         |              AS DECIMAL(28,9)) AS g
+         |  FROM m$r),
+         |gr$r AS (
+         |  SELECT f.bucket,
+         |         SUM(CAST(ROUND(CAST(g.g AS DOUBLE) * f.x, 9) AS DECIMAL(28,9))) AS gr
+         |  FROM feattr f JOIN g$r g USING (doc_id) GROUP BY 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.bucket,
+         |         CAST(w.w - CAST(ROUND($eta * CAST(COALESCE(r.gr, CAST(0 AS DECIMAL(28,9))) AS DOUBLE)
+         |                               / CAST(nn.n AS DOUBLE), 9) AS DECIMAL(28,9))
+         |              AS DECIMAL(28,9)) AS w
+         |  FROM w${r - 1} w LEFT JOIN gr$r r USING (bucket) CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""${lrFeatCtes("tr", trainSrc, dim)},
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $trainSrc),
+       |w0 AS (SELECT CAST(i AS INT) AS bucket, CAST(0 AS DECIMAL(28,9)) AS w
+       |       FROM range(-1, $dim) t(i)),
+       |$roundCtes""".stripMargin
+  }
+
+  private lazy val t56OracleSql: String =
+    s"""WITH tr AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |                   text || ' mk' || lang AS text
+       |            FROM documents),
+       |${lrTrainCtes("tr", 64, 10, "10.0")}
+       |SELECT bucket, ROUND(CAST(w AS DOUBLE), 6) + 0.0 AS weight FROM w10""".stripMargin
+
+  private lazy val t57OracleSql: String =
+    s"""WITH tr AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |                   text || ' mk' || lang AS text
+       |            FROM documents WHERE doc_id % 7 <> 3),
+       |te AS (SELECT doc_id, 0 AS y, text || ' mk' || lang AS text
+       |       FROM documents WHERE doc_id % 7 = 3),
+       |${lrTrainCtes("tr", 64, 10, "10.0")},
+       |${lrFeatCtes("te", "te", 64)},
+       |sm AS (
+       |  SELECT f.doc_id,
+       |         SUM(CAST(ROUND(f.x * CAST(w.w AS DOUBLE), 9) AS DECIMAL(28,9))) AS m
+       |  FROM featte f JOIN w10 w USING (bucket) GROUP BY 1)
+       |SELECT doc_id,
+       |       CASE WHEN m >= 0 THEN 1 ELSE 0 END AS predicted,
+       |       ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 6) + 0.0 AS score
+       |FROM sm""".stripMargin
+
   /** s17's filtered brute-force truth — shared verbatim by s40 (at full
     * probe the IVF candidate set is the whole corpus, so the banked-scale
     * plan must reproduce the exact result).
@@ -8522,6 +8647,10 @@ object SparkEntry {
     "e38_streaming_nb_train" -> t53OracleSql,
     "t54_nb_classify" -> t54OracleSql,
     "t55_classifier_eval" -> t55OracleSql,
+    // t56/t57: the generated unrolled gradient-descent replay — see
+    // lrTrainCtes
+    "t56_lr_train" -> t56OracleSql,
+    "t57_lr_classify" -> t57OracleSql,
     // e39 IS t55 over everything streamed — summed confusion deltas
     // through the same metric tail; one oracle, zero drift by
     // construction

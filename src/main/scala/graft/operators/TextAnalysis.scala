@@ -2373,4 +2373,148 @@ object TextAnalysis {
       .select(col(idCol), col("predicted"),
         round(col("__score").cast("double"), 6).as("score"))
   }
+
+  /** Hashed-feature frame of binary logistic regression — the hashing
+    * trick (Weinberger et al. 2009, see PAPERS.md): token → bucket =
+    * poly_hash64(md5(token)) & (dim−1) (dim a power of two, so the
+    * signed-long mask equals the oracle's unsigned HUGEINT mod), feature
+    * value = 1.0 if any of the document's tokens hash to the bucket
+    * (binary presence — on this corpus's uniform word salad, tf-weighted
+    * features drown a low-tf discriminative token in shared-vocabulary
+    * mass; presence keeps every informative coordinate at unit scale).
+    * The BIAS is folded in as bucket −1 with x = 1.0 on EVERY document —
+    * one uniform feature space, so the training rounds need no bias
+    * special case and zero-token documents still carry a row (their
+    * margin is the bias).
+    *
+    * Featurization is strictly per-document, which is what makes the
+    * frame additive across arbitrary corpus splits — the property
+    * [[graft.streaming.StreamingLrTrain]] banks on.
+    * Output: (idCol, y, bucket, x) with y the 0/1 label.
+    */
+  private[graft] def lrFeatures(docs: DataFrame, idCol: String,
+      yCol: Column, textCol: String, dim: Int): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
+    val base = docs.select(col(idCol), yCol.cast("int").as("y"), col(textCol))
+    val toks = base.select(col(idCol), col("y"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .select(col(idCol), col("y"),
+        graft.functions.GraftFunctions.poly_hash64(md5(col("__tok")))
+          .bitwiseAND(lit((dim - 1).toLong)).cast("int").as("bucket"))
+      .distinct()
+      .withColumn("x", lit(1.0))
+    val bias = base.select(col(idCol), col("y"),
+      lit(-1).as("bucket"), lit(1.0).as("x"))
+    toks.unionByName(bias)
+  }
+
+  /** Fixed-round full-batch gradient descent over a hashed feature frame
+    * (`feat` = [[lrFeatures]] output) — the fastText-class quality /
+    * language screen TRAINED, not just counted: minimize logistic loss
+    * with `rounds` synchronous epochs at learning rate `eta`.
+    *
+    * Determinism (the oracle contract, the t51/t54 conventions): per-row
+    * score terms round to 9 decimals and sum as DECIMAL(28,9)
+    * (addend-order-free margins), the per-doc residual g = round9(σ(m)−y),
+    * per-bucket gradients are DECIMAL sums of round-9 g·x products, and
+    * the weight update w ← w − round9(eta·grad/N) subtracts exactly — so
+    * every round's weights are bit-replayable and the DuckDB oracle
+    * unrolls the identical rounds as CTEs. σ's `exp` is IEEE-identical
+    * across the engines on round-trip-exact inputs (the b02/ln
+    * precedent); every consumer of it re-rounds to 9 before summing.
+    *
+    * Scale posture: each round is ONE job — feat ⋈ broadcast(weights) →
+    * per-doc hash-agg margin → map-only residual → feat ⋈ residual
+    * (equi-join on the id) → (dim+1)-bounded hash agg — and the ONLY
+    * driver state is the (dim+1)-row weight table (collected per round:
+    * provably small, the t51 bounded-model rule). The corpus never
+    * re-tokenizes: `feat` is the input, computed once by the caller.
+    * Output: (bucket, w DECIMAL(28,9)) — dim+1 rows, bucket −1 the bias.
+    */
+  private[graft] def logRegFit(feat: DataFrame, idCol: String, dim: Int,
+      rounds: Int, eta: Double): DataFrame = {
+    val spark = feat.sparkSession
+    val dec = DecimalType(28, 9)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("w", dec, nullable = false)))
+    def litFrame(ws: Seq[(Int, java.math.BigDecimal)]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(ws.map { case (b, w) =>
+          org.apache.spark.sql.Row(b, w) }: _*), schema)
+    // feat feeds two joins per round; left lazy it re-runs its whole
+    // upstream (tokenize + explode) 2×rounds times
+    val f = feat.localCheckpoint(eager = true)
+    val n = f.filter(col("bucket") === -1).count()
+    require(n > 0, "logRegFit: empty training frame")
+    var ws: Seq[(Int, java.math.BigDecimal)] =
+      (-1 until dim).map(b => (b, java.math.BigDecimal.ZERO.setScale(9)))
+    for (_ <- 1 to rounds) {
+      val wLit = litFrame(ws)
+      val margins = f.join(broadcast(wLit), Seq("bucket"))
+        .select(col(idCol), col("y"),
+          round(col("x") * col("w").cast("double"), 9).cast(dec).as("__t"))
+        .groupBy(col(idCol), col("y"))
+        .agg(sum(col("__t")).as("__m"))
+      val resid = margins.select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double")))
+          - col("y").cast("double"), 9).cast(dec).as("__g"))
+      val grad = f.join(resid, Seq(idCol))
+        .select(col("bucket"),
+          round(col("__g").cast("double") * col("x"), 9).cast(dec).as("__gx"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("__gx")).as("__gr"))
+      // no broadcast hint: the weight table is the LEFT (preserved) side
+      // of the outer join, so only grad — (dim+1)-bounded itself — can
+      // build; both sides are tiny
+      val updated = litFrame(ws)
+        .join(broadcast(grad), Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("w") - round(lit(eta) * coalesce(col("__gr"),
+              lit(java.math.BigDecimal.ZERO)).cast("double") / lit(n.toDouble), 9)
+            .cast(dec)).cast(dec).as("w"))
+        .collect()
+      ws = updated.map(r => (r.getInt(0),
+        r.getDecimal(1).setScale(9))).toSeq.sortBy(_._1)
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(f)
+    litFrame(ws)
+  }
+
+  /** Binary logistic-regression trainer over raw documents: hashed
+    * features ([[lrFeatures]]) + fixed-round gradient descent
+    * ([[logRegFit]]). `yCol` is any 0/1 integer expression over `docs`.
+    * Output: (bucket, w) — dim+1 rows, bucket −1 the bias.
+    */
+  def logRegTrain(docs: DataFrame, idCol: String, textCol: String,
+      yCol: Column, dim: Int = 64, rounds: Int = 10,
+      eta: Double = 10.0): DataFrame =
+    logRegFit(lrFeatures(docs, idCol, yCol, textCol, dim), idCol, dim,
+      rounds, eta)
+
+  /** Train-on-`train`, score-`test` logistic regression. Scoring is one
+    * map-side broadcast join + one per-doc hash aggregate: margin m =
+    * Σ round9(x·w) as DECIMAL (exact), predicted = [m ≥ 0] decided ON the
+    * decimal (replayable), score = round-6 σ(m). Zero-token test docs
+    * score on the bias alone (their one feature row).
+    * Output: (idCol, predicted, score).
+    */
+  def logRegClassify(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, yCol: Column, dim: Int = 64, rounds: Int = 10,
+      eta: Double = 10.0): DataFrame = {
+    val w = logRegTrain(train, idCol, textCol, yCol, dim, rounds, eta)
+    val dec = DecimalType(28, 9)
+    lrFeatures(test, idCol, lit(0), textCol, dim)
+      .join(broadcast(w), Seq("bucket"))
+      .select(col(idCol),
+        round(col("x") * col("w").cast("double"), 9).cast(dec).as("__t"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__t")).as("__m"))
+      .select(col(idCol),
+        when(col("__m") >= 0, 1).otherwise(0).as("predicted"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double"))), 6)
+          .as("score"))
+  }
 }

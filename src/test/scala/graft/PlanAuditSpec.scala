@@ -922,4 +922,18 @@ class PlanAuditSpec extends SparkTestBase {
       p.contains("BroadcastNestedLoopJoin"),
       s"classes/floors table lost its broadcast:\n$p")
   }
+
+  test("t57 LR classify: weights broadcast against the feature frame, " +
+      "no window, no cartesian") {
+    // (training already ran at plan-construction time — per-round jobs
+    // with a collected (dim+1)-row model, the t51 bounded-model rule;
+    // what's pinned here is the SCORING plan the query returns)
+    val p = plan("t57_lr_classify")
+    assert(!p.contains("Window"), s"LR scoring uses a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the scoring plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight table lost its broadcast:\n$p")
+  }
 }

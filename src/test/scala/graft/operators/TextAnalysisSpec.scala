@@ -1511,4 +1511,66 @@ class TextAnalysisSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.head._3 === want)
   }
+
+  test("lrFeatures: binary bucket presence + the bias row; zero-token doc carries bias only") {
+    val docs = Seq(
+      (1L, 1, "aa bb aa aa"),   // repeated token: presence, not tf
+      (2L, 0, "    ")).toDF("doc_id", "y", "text")
+    val feat = TextAnalysis.lrFeatures(docs, "doc_id", $"y", "text", 16)
+      .as[(Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    // doc 1: two distinct token buckets (aa, bb hash apart at dim 16 on
+    // this fixture) + bias; doc 2: bias alone
+    val d1 = feat.filter(_._1 == 1L)
+    val d2 = feat.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0, -1, 1.0)))
+    assert(d1.count(_._3 == -1) === 1)
+    assert(d1.forall(_._4 == 1.0))
+    assert(d1.length === 3, s"expected 2 token buckets + bias, got ${d1.toSeq}")
+  }
+
+  test("logRegFit: one gradient round replays the hand-computed update") {
+    // synthetic feature frame (bypasses hashing): doc 1 (y=1) lights
+    // bucket 0, doc 2 (y=0) lights bucket 1, both carry the bias (-1).
+    // Round 1 from w=0: every margin is 0, sigma = 0.5, so g = +-0.5;
+    // grad(b0) = -0.5, grad(b1) = +0.5, grad(bias) = 0; with eta=1, N=2:
+    // w(b0) = +0.25, w(b1) = -0.25, bias = 0.
+    val feat = Seq(
+      (1L, 1, 0, 1.0), (1L, 1, -1, 1.0),
+      (2L, 0, 1, 1.0), (2L, 0, -1, 1.0)).toDF("doc_id", "y", "bucket", "x")
+    val w = TextAnalysis.logRegFit(feat, "doc_id", dim = 2, rounds = 1, eta = 1.0)
+      .as[(Int, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> BigDecimal(r._2)).toMap
+    assert(w(-1) === BigDecimal("0.000000000"))
+    assert(w(0) === BigDecimal("0.250000000"))
+    assert(w(1) === BigDecimal("-0.250000000"))
+  }
+
+  test("logRegFit is replayable: two runs produce bit-identical weights") {
+    val docs = Seq(
+      (1L, 1, "ppp aa bb"), (2L, 1, "ppp bb cc"), (3L, 0, "nnn aa cc"),
+      (4L, 0, "nnn bb aa")).toDF("doc_id", "y", "text")
+    def weights() = TextAnalysis.logRegTrain(docs, "doc_id", "text", $"y",
+        dim = 32, rounds = 4, eta = 5.0)
+      .as[(Int, java.math.BigDecimal)].collect().sortBy(_._1).toSeq
+    assert(weights() === weights())
+  }
+
+  test("logRegClassify: learns a planted marker; zero-token doc scores on the bias") {
+    val train = (1L to 12L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) 1 else 0,
+        s"shared tok${i % 3} " + (if (pos) "mkpos" else "mkneg"))
+    }.toDF("doc_id", "y", "text")
+    val test = Seq(
+      (100L, "shared tok1 mkpos"), (101L, "shared tok2 mkneg"),
+      (102L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.logRegClassify(train, test, "doc_id", "text", $"y")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(100L)._1 === 1)
+    assert(got(101L)._1 === 0)
+    // every test doc gets a verdict, the blank one on the bias feature
+    assert(got.contains(102L) && got.size === 3)
+    // scores are valid round-6 sigmoids, ordered with the verdicts
+    assert(got(100L)._2 > 0.5 && got(101L)._2 < 0.5)
+  }
 }
