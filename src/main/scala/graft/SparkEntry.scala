@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3865,6 +3865,36 @@ object SparkEntry {
         throw new IllegalStateException("e39 stream did not drain in 300s")
       }
       StreamingClassifierEval.currentEval(s, s"$tmp/state")
+    }),
+
+    // streaming LR training: t56's corpus streamed in three doc-id
+    // residue batches — gradient descent has no additive sufficient
+    // statistic, but featurization is per-document, so each batch banks
+    // its own hashed feature deltas (tokenize paid once at ingest) and
+    // the drained model runs the SHARED fixed-round descent over the
+    // bank — drained == batch t56, same oracle verbatim
+    "e40_streaming_lr_train" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e40").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" mk"), col("lang")).as("text"))
+      for (r <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === r)
+          .select("doc_id", "lang", "text")
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingLrTrain.start(s, src, "doc_id", "text",
+        (col("lang") === "en").cast("int"), dim = 64,
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e40 stream did not drain in 300s")
+      }
+      StreamingLrTrain.currentModel(s, s"$tmp/state", "doc_id", dim = 64,
+          rounds = 10, eta = 10.0)
+        .select(col("bucket"), round(col("w").cast("double"), 6).as("weight"))
     }),
 
     // mixture application: deterministic per-doc repetition factors from
@@ -8651,6 +8681,8 @@ object SparkEntry {
     // lrTrainCtes
     "t56_lr_train" -> t56OracleSql,
     "t57_lr_classify" -> t57OracleSql,
+    // e40 must equal batch t56 over everything streamed — same oracle
+    "e40_streaming_lr_train" -> t56OracleSql,
     // e39 IS t55 over everything streamed — summed confusion deltas
     // through the same metric tail; one oracle, zero drift by
     // construction

@@ -2934,4 +2934,65 @@ class StreamingSpec extends SparkTestBase {
       "compaction left multiple delta rows for a (truth, pred) pair")
     assert(report() === batchTruth, "compaction changed the report")
   }
+
+  test("streaming LR training: drained model equals batch logRegTrain " +
+      "under any batching; compaction is invisible") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_slr").toString
+    val b1 = Seq((1L, 1, "ppp aa bb"), (2L, 0, "nnn aa cc"))
+    val b2 = Seq((3L, 1, "ppp cc"), (4L, 0, "nnn bb"))
+    val cols = Seq("doc_id", "y", "text")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema("doc_id BIGINT, y INT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingLrTrain.start(spark, stream, "doc_id", "text", col("y"),
+      dim = 32, s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def model() = StreamingLrTrain.currentModel(spark, s"$dir/state",
+        "doc_id", dim = 32, rounds = 3, eta = 5.0)
+      .as[(Int, java.math.BigDecimal)].collect().sortBy(_._1).toSeq
+    val batchTruth = graft.operators.TextAnalysis.logRegTrain(
+        (b1 ++ b2).toDF(cols: _*), "doc_id", "text", col("y"),
+        dim = 32, rounds = 3, eta = 5.0)
+      .as[(Int, java.math.BigDecimal)].collect().sortBy(_._1).toSeq
+    assert(model() === batchTruth, "drained model drifted from batch train")
+    // descent actually moved: at least one non-bias weight is nonzero
+    assert(batchTruth.exists(r => r._1 >= 0 && r._2.signum != 0))
+    // compaction: tail folded, stored features unchanged, model unchanged
+    StreamingLrTrain.compactState(spark, s"$dir/state")
+    assert(!new java.io.File(s"$dir/state/tail").exists(),
+      "compaction must fold the tail")
+    val stored = StreamingLrTrain.storedFeatures(spark, s"$dir/state", "doc_id")
+    assert(stored.count() ===
+      stored.select("doc_id", "bucket").distinct().count(),
+      "compaction duplicated a (doc, bucket) feature row")
+    assert(model() === batchTruth, "compaction changed the model")
+  }
+
+  test("streaming LR training replay idempotence: a replayed in-flight " +
+      "batch (including batch 0) never double-banks features") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_slr_replay").toString
+    val b1 = Seq((1L, 1, "ppp aa"), (2L, 0, "nnn bb"))
+    val b2 = Seq((3L, 1, "ppp cc"))
+    val cols = Seq("doc_id", "y", "text")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema("doc_id BIGINT, y INT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingLrTrain.start(spark, stream, "doc_id", "text", col("y"),
+      dim = 32, s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def feats() = StreamingLrTrain.storedFeatures(spark, s"$dir/state", "doc_id")
+      .as[(Long, Int, Int, Double)].collect().sorted.toSeq
+    val f0 = feats()
+    // a doubled feature row would double that doc's gradient weight —
+    // the batch-keyed overwrite is what makes replay invisible
+    StreamingLrTrain.processBatch(b1.toDF(cols: _*), 0L, "doc_id", "text",
+      col("y"), 32, s"$dir/state")
+    StreamingLrTrain.processBatch(b2.toDF(cols: _*), 1L, "doc_id", "text",
+      col("y"), 32, s"$dir/state")
+    assert(feats() === f0, "replay double-banked feature rows")
+  }
 }
