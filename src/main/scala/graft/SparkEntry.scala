@@ -1455,6 +1455,27 @@ object SparkEntry {
       Dedup.tfidfAllPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.9)),
 
+    // weighted (multiset) Jaccard near-dup over 3-word shingles: the d03
+    // corpus plus DOUBLED copies (text repeated twice, +2e6) — each
+    // shingle's multiplicity doubles, so the doubled copy is weighted-J
+    // ~0.5 against its original (set Jaccard would say ~1.0) and is
+    // correctly EXCLUDED at 0.7, while the first-word-dropped copies
+    // (+1e6) are found; oracle = exact all-pairs weighted Jaccard via
+    // the sum-min identity (Σmax = TA+TB-Σmin), join degree bounded by
+    // shingle near-uniqueness (a single-token join key would be Σ df²
+    // quadratic in any engine)
+    "d23_weighted_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"))
+      val doubled = docs.select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+      Dedup.weightedNearDupPairs(
+          docs.unionByName(mangled).unionByName(doubled),
+          "doc_id", "text", threshold = 0.7)
+        .select(col("idA"), col("idB"), round(col("wjaccard"), 4).as("wjaccard"))
+    }),
+
     // the STREAMING composition of d08: persistent parquet index state,
     // two MICRO-batches folded through foreachBatch — batch 1 (doc ids
     // ≡ 0 mod 10, +1e6) dedups against the seeded corpus, batch 2 (ids
@@ -10344,6 +10365,53 @@ object SparkEntry {
     // round-9 DECIMAL(28,9) terms, threshold on the RAW decimal-sum
     // double; prefix filtering is recall-lossless by the max-weight
     // bound, so the engine must reproduce this exactly
+    // d23: TRUE all-pairs weighted (multiset) Jaccard over 3-word
+    // shingles — per-(doc, shingle) tf frames joined on the shingle
+    // string, I = Σ min(tf_a, tf_b) over shared shingles, and the union
+    // mass via the identity Σ max = T_a + T_b − I; pairs sharing no
+    // shingle never materialize and shingle near-uniqueness keeps the
+    // join degree bounded (the d03/d22 relational set-similarity shape).
+    // Docs shorter than 3 words contribute their whole normalized text
+    // as one shingle (the wordShingleHashes short-input rule). Spark's
+    // banded-CWS candidates recall 100% on this corpus (deterministic:
+    // fixed hashes, fixed fixture) and 64-bit occurrence hashing is
+    // collision-free at corpus scale, so expansion-set Jaccard ==
+    // shingle-multiset Jaccard on both engines
+    "d23_weighted_jaccard_pairs" ->
+      """WITH docs3 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' ' || text FROM documents),
+         wl AS (
+           SELECT doc_id, n, string_split(n, ' ') AS wlist FROM (
+             SELECT doc_id,
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+             FROM docs3)
+           WHERE n <> ''),
+         tk AS (
+           SELECT doc_id,
+                  list_aggregate(wlist[CAST(i AS INT):CAST(i AS INT)+2],
+                    'string_agg', ' ') AS shingle
+           FROM wl, lateral unnest(range(1, len(wlist) - 1)) t(i)
+           WHERE len(wlist) >= 3
+           UNION ALL
+           SELECT doc_id, n AS shingle FROM wl WHERE len(wlist) < 3),
+         tf AS (SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tk GROUP BY 1, 2),
+         tot AS (SELECT doc_id, SUM(tf) AS t FROM tf GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+                  CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS i
+           FROM tf a JOIN tf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT idA, idB,
+                ROUND(CAST(i AS DOUBLE) / CAST(ta.t + tb.t - i AS DOUBLE), 4) + 0.0 AS wjaccard
+         FROM inter
+         JOIN tot ta ON ta.doc_id = idA
+         JOIN tot tb ON tb.doc_id = idB
+         WHERE CAST(i AS DOUBLE) / CAST(ta.t + tb.t - i AS DOUBLE) >= 0.7""",
     "d22_tfidf_allpairs" ->
       """WITH tnorm AS (
            SELECT doc_id,

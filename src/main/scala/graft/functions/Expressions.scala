@@ -599,6 +599,8 @@ object GraftFunctions {
   def shingle_hashes(c: Column, k: Int, word: Boolean = false,
       distinct: Boolean = true): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))
+  def occurrence_expand(c: Column): Column =
+    Bridge.column(OccurrenceExpand(Bridge.expression(c)))
   def winnow_hashes(c: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowHashes(Bridge.expression(c), k, w))
   def cdc_chunks(c: Column, minSize: Int, maskBits: Int,
@@ -667,6 +669,20 @@ object GraftFunctions {
   * O(len·k) loop runs in [[HashKernels]] — the shingling stage of the
   * MinHash pipeline (MMDS §3.2) without per-shingle expression overhead.
   */
+/** Occurrence expansion of a hash multiset into a hash set for weighted
+  * (multiset) Jaccard — see [[HashKernels.occurrenceExpand]].
+  */
+case class OccurrenceExpand(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.occurrenceExpand(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.occurrenceExpand($c)")
+  override protected def withNewChildInternal(newChild: Expression): OccurrenceExpand =
+    copy(child = newChild)
+  override def prettyName: String = "occurrence_expand"
+}
+
 case class ShingleHashes(child: Expression, k: Int, word: Boolean,
     distinct: Boolean = true) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

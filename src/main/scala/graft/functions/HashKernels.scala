@@ -224,6 +224,33 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(if (distinct) distinctSorted(out) else out)
   }
 
+  /** Occurrence expansion of a hash MULTISET into a hash SET for
+    * weighted (multiset) Jaccard: the k-th occurrence of value h in the
+    * input rehashes as mix(h ^ k·φ) — so an element with multiplicity w
+    * contributes w DISTINCT outputs (h,1)…(h,w), and plain SET
+    * intersection over two expansions counts Σ_h min(tf_a, tf_b): set
+    * Jaccard of the expansions IS weighted Jaccard of the multisets
+    * (the integer-weight replication view of consistent weighted
+    * sampling — see PAPERS.md). Feed it POSITIONAL (non-distinct)
+    * shingle/token hashes; output is distinct-sorted for the
+    * [[sortedJaccard]] merge and [[minhashSig]]. One pass, one
+    * occurrence counter per row.
+    */
+  def occurrenceExpand(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val occ = new java.util.HashMap[java.lang.Long, Integer]()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      val k = occ.merge(h, 1, (x, y) => x + y)
+      out(i) = Mix64.mix(h ^ (k.toLong * 0x9E3779B97F4A7C15L))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(distinctSorted(out))
+  }
+
   /** MinHash signature: element i = min over hashes of fmix64(h ^ seed_i).
     * Null-free long array in, long array out.
     */

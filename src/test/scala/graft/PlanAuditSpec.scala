@@ -49,7 +49,7 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("LSH operators never produce a cartesian or nested-loop join") {
     Seq("d03_minhash_pairs", "d04_simhash_pairs", "s03_cosine_neardup",
-        "d11_containment").foreach { q =>
+        "d11_containment", "d23_weighted_jaccard_pairs").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("LSH-family skew guards are on by default (CollectMetrics in plan)") {
-    Seq("d03_minhash_pairs", "d04_simhash_pairs", "s03_cosine_neardup").foreach { q =>
+    Seq("d03_minhash_pairs", "d04_simhash_pairs", "s03_cosine_neardup",
+        "d23_weighted_jaccard_pairs").foreach { q =>
       val p = plan(q)
       assert(p.contains("CollectMetrics"), s"$q missing skew-guard metrics:\n$p")
     }

@@ -910,4 +910,63 @@ class DedupSpec extends SparkTestBase {
       Dedup.tfidfAllPairs(docs, "doc_id", "text", threshold = 1.5)
     }
   }
+
+  test("occurrenceExpand: occurrences expand to distinct elements; " +
+      "set Jaccard of expansions is the multiset measure") {
+    import graft.functions.GraftFunctions.{jaccard_sorted, occurrence_expand, shingle_hashes}
+    val df = Seq(
+      (1L, "a a b"),   // multiset {a:2, b:1}
+      (2L, "a b"),     // {a:1, b:1} -> I = 2, U = 3
+      (3L, "a a b a a b"), // doc 1 doubled -> vs doc 1: I = 3, U = 6
+      (4L, "")).toDF("id", "text")
+    val sets = df.select(col("id"),
+      occurrence_expand(shingle_hashes(Dedup.normalized(col("text")), 1,
+        word = true, distinct = false)).as("h"))
+    val sizes = sets.select(col("id"), size(col("h")))
+      .as[(Long, Int)].collect().toMap
+    assert(sizes === Map(1L -> 3, 2L -> 2, 3L -> 6, 4L -> 0))
+    def j(a: Long, b: Long): Double = sets.filter(col("id") === a)
+      .crossJoin(sets.filter(col("id") === b).select(col("h").as("h2")))
+      .select(jaccard_sorted(col("h"), col("h2"))).as[Double].head()
+    assert(math.abs(j(1L, 2L) - 2.0 / 3.0) < 1e-12)
+    assert(j(1L, 3L) === 0.5)
+    assert(j(1L, 1L) === 1.0)
+  }
+
+  test("weightedNearDupPairs: tf-aware — a doubled copy is NOT a near-dup " +
+      "of its original, a one-word edit is") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "beta gamma delta epsilon zeta eta theta iota kappa"), // drop 1st: wJ = 9/10
+      (3L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2).trim), // doubled: wJ = 0.5
+      (4L, "totally unrelated words here")).toDF("doc_id", "text")
+    // shingleK = 1: token-level multisets, the hand-checkable case
+    val pairs = Dedup.weightedNearDupPairs(base, "doc_id", "text",
+        threshold = 0.7, shingleK = 1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.keySet === Set((1L, 2L)), s"got $pairs")
+    assert(pairs((1L, 2L)) === 0.9)
+    // but the doubled copy IS found at a threshold that admits 0.5
+    val loose = Dedup.weightedNearDupPairs(base, "doc_id", "text",
+        threshold = 0.45, shingleK = 1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(loose.get((1L, 3L)) === Some(0.5))
+  }
+
+  test("weightedNearDupPairs at shingleK=3: repeated-shingle multiplicity " +
+      "halves the doubled-copy score") {
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq(
+      (1L, words),
+      (2L, (words + " " + words)),   // every 3-shingle tf doubles + 2 seam shingles
+      (3L, "beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val got = Dedup.weightedNearDupPairs(base, "doc_id", "text",
+        threshold = 0.4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // (1,2): I = 8 original shingles, TA = 8, TB = 18 -> 8/18
+    assert(got.get((1L, 2L)).exists(j => math.abs(j - 8.0 / 18.0) < 1e-9),
+      s"got $got")
+    // (1,3): drop-first loses 1 shingle: 7/8
+    assert(got.get((1L, 3L)).exists(j => math.abs(j - 7.0 / 8.0) < 1e-9))
+  }
 }
