@@ -2596,6 +2596,17 @@ object SparkEntry {
         "lang", "predicted")
     }),
 
+    // k-fold cross-validation of the NB classifier WITHOUT retraining:
+    // fold f's leave-out model = global counts - fold f's counts (the
+    // additive sufficient statistic again), so all 5 models come from
+    // ONE corpus pass; every doc is scored under the model that never
+    // saw it. Honest fixture (no marker) — real cross-class confusion,
+    // the generalization estimate a production screen would report
+    "t58_nb_cv" -> ((s, dir) =>
+      TextAnalysis.naiveBayesCrossVal(t(s, dir, "documents")
+        .select("doc_id", "lang", "text"), "doc_id", "text", "lang",
+        numFolds = 5)),
+
     // logistic-regression training — the fastText-class quality screen
     // actually FIT by gradient descent (not just counted, t53's NB):
     // binary hashed token features (dim 64, bias folded in as bucket -1),
@@ -6272,6 +6283,100 @@ object SparkEntry {
          LEFT JOIN pt p USING (label)
          LEFT JOIN tt t USING (label)"""
 
+  /** t58's replay: the t53/t54 CTE chain with `f` (the fold) carried as
+    * one more key everywhere — leave-out counts by the global − fold
+    * subtraction, per-fold smoothing/priors/floors, each doc scored
+    * under its own fold's model, MIN-label ties, per-fold + pooled
+    * accuracy rows.
+    */
+  private lazy val t58OracleSql: String =
+    """WITH base AS (
+         SELECT doc_id, doc_id % 5 AS f, lang, text FROM documents),
+       fc AS MATERIALIZED (
+         SELECT f, lang, token, CAST(COUNT(*) AS BIGINT) AS cf FROM (
+           SELECT f, lang,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM base)
+         WHERE length(token) > 0 GROUP BY 1, 2, 3),
+       gc AS (SELECT lang, token, SUM(cf) AS c FROM fc GROUP BY 1, 2),
+       folds AS (SELECT DISTINCT f FROM fc),
+       lo AS MATERIALIZED (
+         SELECT fo.f, g.lang, g.token, g.c - COALESCE(fc.cf, 0) AS cnt
+         FROM gc g CROSS JOIN folds fo
+         LEFT JOIN fc ON fc.f = fo.f AND fc.lang = g.lang AND fc.token = g.token
+         WHERE g.c - COALESCE(fc.cf, 0) > 0),
+       tot AS (SELECT f, lang, SUM(cnt) AS nc FROM lo GROUP BY 1, 2),
+       voc AS (SELECT f, COUNT(DISTINCT token) AS v FROM lo GROUP BY 1),
+       model AS (
+         SELECT l.f, l.lang, l.token,
+                ROUND(ln((CAST(l.cnt AS DOUBLE) + 1.0) /
+                  CAST(t.nc + v.v AS DOUBLE)), 9) + 0.0 AS logp
+         FROM lo l JOIN tot t USING (f, lang) JOIN voc v USING (f)),
+       fd AS (SELECT f, lang, CAST(COUNT(*) AS BIGINT) AS df
+              FROM base GROUP BY 1, 2),
+       gd AS (SELECT lang, SUM(df) AS d FROM fd GROUP BY 1),
+       lod AS (
+         SELECT fo.f, g.lang, g.d - COALESCE(fd.df, 0) AS docs
+         FROM gd g CROSS JOIN folds fo
+         LEFT JOIN fd ON fd.f = fo.f AND fd.lang = g.lang
+         WHERE g.d - COALESCE(fd.df, 0) > 0),
+       lot AS (SELECT f, SUM(docs) AS tot FROM lod GROUP BY 1),
+       pri AS (
+         SELECT d.f, d.lang,
+                CAST(ROUND(ln(CAST(d.docs AS DOUBLE) / CAST(t.tot AS DOUBLE)), 9)
+                     AS DECIMAL(28, 9)) AS prior
+         FROM lod d JOIN lot t USING (f)),
+       fb AS (
+         SELECT d.f, d.lang,
+                ln(1.0 / CAST(COALESCE(t.nc, 0) + v.v AS DOUBLE)) AS fb
+         FROM lod d
+         LEFT JOIN tot t ON t.f = d.f AND t.lang = d.lang
+         JOIN voc v ON v.f = d.f),
+       qtk AS MATERIALIZED (
+         SELECT doc_id, f, token, CAST(COUNT(*) AS BIGINT) AS tc FROM (
+           SELECT doc_id, f,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+           FROM base)
+         WHERE length(token) > 0 GROUP BY 1, 2, 3),
+       terms AS (
+         SELECT q.doc_id, q.f, b.lang,
+                CAST(ROUND(CAST(q.tc AS DOUBLE) * COALESCE(m.logp, b.fb), 9)
+                     AS DECIMAL(28, 9)) AS term
+         FROM qtk q JOIN fb b ON b.f = q.f
+         LEFT JOIN model m ON m.f = q.f AND m.lang = b.lang AND m.token = q.token),
+       sums AS (SELECT doc_id, f, lang, SUM(term) AS ll
+                FROM terms GROUP BY 1, 2, 3),
+       bse AS (
+         SELECT b.doc_id, b.f, b.truth, p.lang, p.prior
+         FROM (SELECT DISTINCT doc_id, f, lang AS truth FROM base) b
+         JOIN pri p USING (f)),
+       scored AS (
+         SELECT b.doc_id, b.f, b.truth, b.lang,
+                b.prior + COALESCE(s.ll, CAST(0 AS DECIMAL(28, 9))) AS score
+         FROM bse b LEFT JOIN sums s
+           ON s.doc_id = b.doc_id AND s.f = b.f AND s.lang = b.lang),
+       bst AS (SELECT doc_id, f, truth, MAX(score) AS score
+               FROM scored GROUP BY 1, 2, 3),
+       pred AS (
+         SELECT s.doc_id, s.f, s.truth, MIN(s.lang) AS pred
+         FROM scored s JOIN bst b
+           ON b.doc_id = s.doc_id AND b.f = s.f AND b.score = s.score
+         GROUP BY s.doc_id, s.f, s.truth, s.score),
+       pf AS (
+         SELECT f AS fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_correct
+         FROM pred GROUP BY 1),
+       allr AS (
+         SELECT CAST(-1 AS BIGINT) AS fold,
+                CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                CAST(SUM(n_correct) AS BIGINT) AS n_correct
+         FROM pf)
+       SELECT fold, n_docs, n_correct,
+              ROUND(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0.0
+                AS accuracy
+       FROM (SELECT * FROM pf UNION ALL SELECT * FROM allr)"""
+
   /** The poly_hash64(md5(e)) replay (the v10/v11 recipe): fold the md5
     * hex image's chars through (a·31 + ch) mod 2⁶⁴ as HUGEINT.
     */
@@ -8702,6 +8807,7 @@ object SparkEntry {
     // lrTrainCtes
     "t56_lr_train" -> t56OracleSql,
     "t57_lr_classify" -> t57OracleSql,
+    "t58_nb_cv" -> t58OracleSql,
     // e40 must equal batch t56 over everything streamed — same oracle
     "e40_streaming_lr_train" -> t56OracleSql,
     // e39 IS t55 over everything streamed — summed confusion deltas

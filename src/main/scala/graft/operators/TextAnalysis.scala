@@ -2374,6 +2374,112 @@ object TextAnalysis {
         round(col("__score").cast("double"), 6).as("score"))
   }
 
+  /** k-fold cross-validation of the multinomial Naive Bayes classifier
+    * WITHOUT retraining — the additive-sufficient-statistic trick at its
+    * strongest: fold f's leave-out model is (global counts − fold f's
+    * counts), so ALL k models come from ONE corpus pass (one
+    * (fold, label, token) aggregate + one global roll-up) and a
+    * vocabulary×classes×k-bounded subtraction — never k re-tokenizations,
+    * never k training jobs. Every downstream frame just carries `fold`
+    * as one more key through t54's exact classify arithmetic (round-9
+    * DECIMAL(28,9) score sums, per-(fold, class) smoothing floors and
+    * priors, MIN-label tie-break), and each document is scored under the
+    * model that never saw it.
+    *
+    * Folds are `idCol % numFolds` (deterministic, replayable). Output:
+    * (fold, n_docs, n_correct, accuracy) per fold plus the pooled row
+    * fold = −1 — the cross-validated generalization estimate of the
+    * t53/t54 quality/language screen.
+    */
+  def naiveBayesCrossVal(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, numFolds: Int = 5): DataFrame = {
+    require(numFolds >= 2, s"numFolds must be >= 2, got $numFolds")
+    val dec = DecimalType(28, 9)
+    val base = docs.select(col(idCol), pmod(col(idCol), lit(numFolds)).as("__f"),
+      col(labelCol).as("__lbl"), col(textCol).as("__text"))
+    // ONE tokenize pass: per-(fold, label, token) counts, then the global
+    // roll-up is an aggregate OVER THE COUNTS (vocab-scale, not corpus)
+    val foldCounts = base.select(col("__f"), col("__lbl"),
+        explode(tokens(col("__text"))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col("__f"), col("__lbl"), col("__tok"))
+      .agg(count(lit(1)).as("__cf"))
+      .localCheckpoint(eager = true)
+    val globalCounts = foldCounts.groupBy(col("__lbl"), col("__tok"))
+      .agg(sum(col("__cf")).as("__c"))
+    val folds = foldCounts.select(col("__f")).distinct()
+    // leave-out counts: global − fold, dropped where nothing remains
+    val loCounts = globalCounts.crossJoin(broadcast(folds))
+      .join(foldCounts, Seq("__f", "__lbl", "__tok"), "left")
+      .select(col("__f"), col("__lbl"), col("__tok"),
+        (col("__c") - coalesce(col("__cf"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+    val totals = loCounts.groupBy(col("__f"), col("__lbl"))
+      .agg(sum(col("cnt")).as("__nc"))
+    val vocab = loCounts.groupBy(col("__f"))
+      .agg(countDistinct(col("__tok")).as("__v"))
+    val model = loCounts.join(totals, Seq("__f", "__lbl"))
+      .join(broadcast(vocab), "__f")
+      .select(col("__f"), col("__lbl"), col("__tok"),
+        round(log((col("cnt") + 1).cast("double") /
+          (col("__nc") + col("__v")).cast("double")), 9).as("__logp"))
+    // leave-out doc counts per class — the same subtraction on doc counts
+    val foldDocs = base.groupBy(col("__f"), col("__lbl"))
+      .agg(count(lit(1)).as("__df"))
+    val globalDocs = foldDocs.groupBy(col("__lbl"))
+      .agg(sum(col("__df")).as("__d"))
+    val loDocs = globalDocs.crossJoin(broadcast(folds))
+      .join(foldDocs, Seq("__f", "__lbl"), "left")
+      .select(col("__f"), col("__lbl"),
+        (col("__d") - coalesce(col("__df"), lit(0L))).as("__docs"))
+      .filter(col("__docs") > 0)
+    val loTotals = loDocs.groupBy(col("__f")).agg(sum(col("__docs")).as("__tot"))
+    val priors = loDocs.join(broadcast(loTotals), "__f")
+      .select(col("__f"), col("__lbl"),
+        round(log(col("__docs").cast("double") / col("__tot").cast("double")), 9)
+          .cast(dec).as("__prior"))
+    val floors = loDocs.select(col("__f"), col("__lbl"))
+      .join(totals, Seq("__f", "__lbl"), "left")
+      .join(broadcast(vocab), "__f")
+      .select(col("__f"), col("__lbl"), log(lit(1.0) /
+        (coalesce(col("__nc"), lit(0L)) + col("__v")).cast("double")).as("__fb"))
+    // each doc scores under ITS OWN fold's leave-out model
+    val testCounts = base.select(col(idCol), col("__f"),
+        explode(tokens(col("__text"))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col(idCol), col("__f"), col("__tok"))
+      .agg(count(lit(1)).as("__tc"))
+    val termSums = testCounts
+      .join(broadcast(floors), Seq("__f"))
+      .join(model, Seq("__f", "__lbl", "__tok"), "left")
+      .select(col(idCol), col("__f"), col("__lbl"),
+        round(col("__tc").cast("double") * coalesce(col("__logp"), col("__fb")), 9)
+          .cast(dec).as("__t"))
+      .groupBy(col(idCol), col("__f"), col("__lbl"))
+      .agg(sum(col("__t")).as("__ll"))
+    val scored = base.select(col(idCol), col("__f"),
+        col("__lbl").as("__truth")).distinct()
+      .join(broadcast(priors), Seq("__f"))
+      .join(termSums, Seq(idCol, "__f", "__lbl"), "left")
+      .select(col(idCol), col("__f"), col("__truth"), col("__lbl"),
+        (col("__prior") + coalesce(col("__ll"), lit(0).cast(dec))).as("__score"))
+    val best = scored.groupBy(col(idCol), col("__f"), col("__truth"))
+      .agg(max(col("__score")).as("__score"))
+    val verdicts = scored.join(best, Seq(idCol, "__f", "__truth", "__score"))
+      .groupBy(col(idCol), col("__f"), col("__truth"), col("__score"))
+      .agg(min(col("__lbl")).as("__pred"))
+    val perFold = verdicts.groupBy(col("__f").as("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pred") === col("__truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+    perFold.unionByName(perFold.groupBy()
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_correct")).as("n_correct"))
+        .select(lit(-1L).as("fold"), col("n_docs"), col("n_correct")))
+      .select(col("fold"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"), 6)
+          .as("accuracy"))
+  }
+
   /** Hashed-feature frame of binary logistic regression — the hashing
     * trick (Weinberger et al. 2009, see PAPERS.md): token → bucket =
     * poly_hash64(md5(token)) & (dim−1) (dim a power of two, so the

@@ -1512,6 +1512,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.head._3 === want)
   }
 
+  test("naiveBayesCrossVal equals k explicit retrains (the subtraction " +
+      "IS leave-one-fold-out training)") {
+    val docs = Seq(
+      (0L, "aa", "buy now buy"), (1L, "bb", "hello friend"),
+      (2L, "aa", "buy cheap now"), (3L, "bb", "friend hello there"),
+      (4L, "aa", "cheap buy"), (5L, "bb", "hello there friend"),
+      (6L, "aa", "now now buy"), (7L, "bb", "   ")).toDF("doc_id", "label", "text")
+    val cv = TextAnalysis.naiveBayesCrossVal(docs, "doc_id", "text", "label",
+        numFolds = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // explicit baseline: train on the complement, classify the fold
+    val explicit = (0 until 2).map { f =>
+      val train = docs.filter(col("doc_id") % 2 =!= f)
+      val test = docs.filter(col("doc_id") % 2 === f)
+      val pred = TextAnalysis.naiveBayesClassify(train, test,
+        "doc_id", "text", "label").select(col("doc_id"), col("predicted"))
+      val joined = test.select(col("doc_id"), col("label")).join(pred, "doc_id")
+      val n = joined.count()
+      val correct = joined.filter(col("predicted") === col("label")).count()
+      f.toLong -> ((n, correct))
+    }.toMap
+    assert(cv(0L) === explicit(0L), s"fold 0: cv=${cv(0L)} explicit=${explicit(0L)}")
+    assert(cv(1L) === explicit(1L), s"fold 1: cv=${cv(1L)} explicit=${explicit(1L)}")
+    assert(cv(-1L) === ((explicit(0L)._1 + explicit(1L)._1,
+      explicit(0L)._2 + explicit(1L)._2)))
+  }
+
   test("lrFeatures: binary bucket presence + the bias row; zero-token doc carries bias only") {
     val docs = Seq(
       (1L, 1, "aa bb aa aa"),   // repeated token: presence, not tf
