@@ -4072,6 +4072,33 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
+    // retrieval evaluation over the b02 run: qrels are fully derivable
+    // (grade 2 = the query doc itself, grade 1 = the ~2%-df docs sharing
+    // its planted rare token), the run is BM25 top-10 — MRR/recall@10/
+    // graded nDCG@10 pooled over the query panel, the readout a
+    // retrieval stack reports next to b02/b03
+    "b04_retrieval_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" tok"),
+          (col("doc_id") % 50).cast("string")).as("text"))
+      val queries = docs.filter(col("doc_id") % 40 === 7)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            concat(lit("tok"), (col("doc_id") % 50).cast("string")),
+            concat_ws(" ", slice(
+              split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+                " "), 2, 2))).as("qtext"))
+      val runs = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+          "query_id", "qtext", k = 10, maxDfFrac = 0.5)
+        .select("query_id", "doc_id", "rank")
+      val qrels = docs.select(col("doc_id"), (col("doc_id") % 50).as("__m"))
+        .join(queries.select(col("query_id"),
+          (col("query_id") % 50).as("__m")), "__m")
+        .select(col("query_id"), col("doc_id"),
+          when(col("doc_id") === col("query_id"), 2).otherwise(1).as("grade"))
+      CorpusStats.retrievalEval(runs, qrels, k = 10)
+    }),
+
     // hybrid retrieval: b02's BM25 leg and an s01-shape dense cosine leg
     // (each top-10), fused by reciprocal-rank fusion — the standard
     // no-calibration combiner (a lexical ranker's scores and a vector
@@ -6147,6 +6174,58 @@ object SparkEntry {
          SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
                 ROUND(s, 6) + 0.0 AS rrf
          FROM fr WHERE rank <= 5"""
+
+  /** b04: the b02 ranking CTEs cut at 10, joined to the derivable qrels
+    * (grade 2 self, grade 1 same rare token), then the metric tail —
+    * round-9 DECIMAL per-rank DCG terms (natural-log discount: the
+    * 1/ln 2 constant cancels in the nDCG ratio), per-query
+    * rr/recall/ndcg round-9, pooled means round-6.
+    */
+  private val b04OracleSql: String =
+    bm25RankCtes +
+      """,
+         qp AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 40 = 7),
+         qr AS (
+           SELECT q.query_id, d.doc_id,
+                  CASE WHEN d.doc_id = q.query_id THEN 2 ELSE 1 END AS grade
+           FROM documents d JOIN qp q ON d.doc_id % 50 = q.query_id % 50),
+         hits AS (
+           SELECT r.query_id, r.rank, qr.grade
+           FROM rk r JOIN qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+           WHERE r.rank <= 10),
+         pq AS (
+           SELECT query_id,
+                  SUM(CAST(ROUND((pow(2.0, CAST(grade AS DOUBLE)) - 1.0) /
+                        ln(CAST(rank AS DOUBLE) + 1.0), 9) AS DECIMAL(28,9))) AS dcg,
+                  MIN(rank) AS frst,
+                  CAST(COUNT(*) AS BIGINT) AS found
+           FROM hits GROUP BY 1),
+         ideal AS (
+           SELECT query_id,
+                  SUM(CASE WHEN ir <= 10 THEN
+                        CAST(ROUND((pow(2.0, CAST(grade AS DOUBLE)) - 1.0) /
+                          ln(CAST(ir AS DOUBLE) + 1.0), 9) AS DECIMAL(28,9))
+                      ELSE CAST(0 AS DECIMAL(28,9)) END) AS idcg,
+                  CAST(COUNT(*) AS BIGINT) AS nrel
+           FROM (SELECT query_id, grade, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY grade DESC, doc_id ASC) AS ir
+                 FROM qr)
+           GROUP BY 1),
+         perq AS (
+           SELECT i.query_id,
+                  COALESCE(CAST(ROUND(1.0 / CAST(p.frst AS DOUBLE), 9)
+                    AS DECIMAL(28,9)), CAST(0 AS DECIMAL(28,9))) AS rr,
+                  CAST(ROUND(CAST(COALESCE(p.found, 0) AS DOUBLE) /
+                    CAST(i.nrel AS DOUBLE), 9) AS DECIMAL(28,9)) AS recall,
+                  CAST(ROUND(CAST(COALESCE(p.dcg, CAST(0 AS DECIMAL(28,9))) AS DOUBLE) /
+                    CAST(i.idcg AS DOUBLE), 9) AS DECIMAL(28,9)) AS ndcg
+           FROM ideal i LEFT JOIN pq p USING (query_id))
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                ROUND(CAST(SUM(rr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mrr,
+                ROUND(CAST(SUM(recall) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS recall_at_k,
+                ROUND(CAST(SUM(ndcg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS ndcg
+         FROM perq"""
 
   /** t53: add-one-smoothed multinomial NB model replay — counts are
     * exact integers, logp = round-9 ln over integer ratios (ln is
@@ -11147,6 +11226,7 @@ object SparkEntry {
     // b03 fuses b02's lexical CTEs with the s01 dense-leg shape; the
     // fusion arithmetic is decimal-summed so it is addend-order-free
     "b03_rrf_hybrid" -> b03OracleSql,
+    "b04_retrieval_eval" -> b04OracleSql,
     // e27 IS b02 over everything streamed — one oracle, zero drift by
     // construction (the emission calls the same scoring tail)
     "e27_streaming_bm25" -> b02OracleSql,

@@ -1164,4 +1164,78 @@ object CorpusStats {
         (when(col("__pred") > 0 && col("__truth") > 0 && pd + rd > 0,
           round(lit(2.0) * pd * rd / (pd + rd), 6)) + lit(0.0)).as("f1"))
   }
+
+  /** Ranked-retrieval evaluation — the readout harness for the retrieval
+    * family (b02's BM25, b03's hybrid fusion, any (query, doc, rank)
+    * run): MRR@k, recall@k, and graded nDCG@k against a qrels frame
+    * (query_id, doc_id, grade >= 1), pooled over queries.
+    *
+    * Scale posture: the run is cut to rank <= k BEFORE the qrels join
+    * (k rows per query), per-query aggregates are hash aggs over those
+    * k rows, and the ideal-DCG window partitions by query over the
+    * qrels frame alone — judged relevance is assessment-bounded (tiny
+    * per query by construction), never corpus-bounded. The corpus never
+    * appears: whoever produced the run paid that cost.
+    *
+    * The DCG discount uses the NATURAL log (1/ln(rank+1)) rather than
+    * the textbook log₂ — the two differ by the constant 1/ln 2, which is
+    * COMMON to DCG and ideal DCG and cancels in the reported nDCG ratio,
+    * and ln is the one transcendental with an established IEEE-identical
+    * cross-engine record here (the b02/t53 precedent; log2 has none).
+    *
+    * Determinism (the b03 convention): per-rank DCG terms, per-query
+    * reciprocal ranks, recalls, and nDCG ratios all round to 9 decimals
+    * and pool as DECIMAL(28,9) sums; the pooled means divide once and
+    * round to 6. Queries with no relevant doc retrieved contribute 0 to
+    * MRR and recall and 0 nDCG (their DCG is 0; IDCG > 0 since every
+    * query carries qrels — enforced by the inner queries frame).
+    * Output: ONE row (n_queries, mrr, recall_at_k, ndcg).
+    */
+  def retrievalEval(runs: DataFrame, qrels: DataFrame,
+      k: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val hits = runs.filter(col("rank") <= k)
+      .join(qrels.filter(col("grade") > 0), Seq("query_id", "doc_id"))
+    val perQ = hits.groupBy(col("query_id"))
+      .agg(
+        sum(round((pow(lit(2.0), col("grade").cast("double")) - lit(1.0)) /
+            log(col("rank").cast("double") + lit(1.0)), 9).cast(dec))
+          .as("__dcg"),
+        min(col("rank")).as("__first"),
+        count(lit(1)).as("__found"))
+    val irank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col("doc_id").asc)
+    val ideal = qrels.filter(col("grade") > 0)
+      .withColumn("__ir", row_number().over(irank))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("__ir") <= k,
+            round((pow(lit(2.0), col("grade").cast("double")) - lit(1.0)) /
+              log(col("__ir").cast("double") + lit(1.0)), 9).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__idcg"),
+        count(lit(1)).as("__nrel"))
+    val zero = lit(0).cast(dec)
+    val perQuery = ideal.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(col("__first").isNotNull,
+            round(lit(1.0) / col("__first").cast("double"), 9).cast(dec))
+          .otherwise(zero).as("__rr"),
+        round(coalesce(col("__found"), lit(0L)).cast("double") /
+            col("__nrel").cast("double"), 9).cast(dec).as("__recall"),
+        round(coalesce(col("__dcg"), zero).cast("double") /
+            col("__idcg").cast("double"), 9).cast(dec).as("__ndcg"))
+    perQuery.groupBy()
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("__rr")).as("__srr"),
+        sum(col("__recall")).as("__sre"),
+        sum(col("__ndcg")).as("__snd"))
+      .select(col("n_queries"),
+        round(col("__srr").cast("double") / col("n_queries").cast("double"), 6)
+          .as("mrr"),
+        round(col("__sre").cast("double") / col("n_queries").cast("double"), 6)
+          .as("recall_at_k"),
+        round(col("__snd").cast("double") / col("n_queries").cast("double"), 6)
+          .as("ndcg"))
+  }
 }

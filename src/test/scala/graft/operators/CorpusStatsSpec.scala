@@ -609,4 +609,33 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(got("e")._5 === None && got("e")._6 === Some(0.0) && got("e")._7 === None)
     assert(got.size === 5)
   }
+
+  test("retrievalEval: hand-computed MRR/recall/nDCG, a query with nothing " +
+      "retrieved pools as zeros") {
+    def r9(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(x).setScale(9, java.math.RoundingMode.HALF_UP)
+    // query 1: run = [d2(g1)@1, d9(-)@2, d1(g2)@3]; qrels d1:2, d2:1, d3:1
+    // query 2: nothing relevant retrieved
+    val runs = Seq(
+      (1L, 2L, 1), (1L, 9L, 2), (1L, 1L, 3),
+      (2L, 9L, 1), (2L, 8L, 2)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 1L, 2), (1L, 2L, 1), (1L, 3L, 1),
+      (2L, 5L, 1)).toDF("query_id", "doc_id", "grade")
+    val got = CorpusStats.retrievalEval(runs, qrels, k = 3)
+      .as[(Long, Double, Double, Double)].head()
+    val dcg = r9(1.0 / math.log(2.0)).add(r9(3.0 / math.log(4.0)))
+    val idcg = r9(3.0 / math.log(2.0)).add(r9(1.0 / math.log(3.0)))
+      .add(r9(1.0 / math.log(4.0)))
+    def r6mean2(a: java.math.BigDecimal): Double =
+      new java.math.BigDecimal(a.doubleValue() / 2.0)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got._1 === 2L)
+    // q1 rr = 1.0, q2 rr = 0 -> mean 0.5
+    assert(got._2 === 0.5)
+    // q1 recall = round9(2/3), q2 = 0
+    assert(got._3 === r6mean2(r9(2.0 / 3.0)))
+    // q1 ndcg = round9(dcg/idcg), q2 = 0
+    assert(got._4 === r6mean2(r9(dcg.doubleValue() / idcg.doubleValue())))
+  }
 }
