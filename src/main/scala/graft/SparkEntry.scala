@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -4097,6 +4097,48 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"),
           when(col("doc_id") === col("query_id"), 2).otherwise(1).as("grade"))
       CorpusStats.retrievalEval(runs, qrels, k = 10)
+    }),
+
+    // streaming retrieval evaluation: b04's run streamed in three
+    // query-residue batches (whole queries per batch — the shard shape
+    // eval runs naturally have) against the STATIC qrels — per-query
+    // metric rows are additive, so each batch banks its own through the
+    // shared retrievalPerQuery arithmetic and the drained pooled report
+    // equals batch b04; same oracle verbatim
+    "e41_streaming_retrieval_eval" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e41").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" tok"),
+          (col("doc_id") % 50).cast("string")).as("text"))
+      val queries = docs.filter(col("doc_id") % 40 === 7)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            concat(lit("tok"), (col("doc_id") % 50).cast("string")),
+            concat_ws(" ", slice(
+              split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+                " "), 2, 2))).as("qtext"))
+      val runs = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+          "query_id", "qtext", k = 10, maxDfFrac = 0.5)
+        .select("query_id", "doc_id", "rank")
+      val qrels = docs.select(col("doc_id"), (col("doc_id") % 50).as("__m"))
+        .join(queries.select(col("query_id"),
+          (col("query_id") % 50).as("__m")), "__m")
+        .select(col("query_id"), col("doc_id"),
+          when(col("doc_id") === col("query_id"), 2).otherwise(1).as("grade"))
+      for (r <- 0 until 3)
+        runs.filter(pmod(col("query_id"), lit(3)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("query_id BIGINT, doc_id BIGINT, rank INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingRetrievalEval.start(s, src, qrels, k = 10,
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e41 stream did not drain in 300s")
+      }
+      StreamingRetrievalEval.currentEval(s, s"$tmp/state")
     }),
 
     // hybrid retrieval: b02's BM25 leg and an s01-shape dense cosine leg
@@ -11227,6 +11269,8 @@ object SparkEntry {
     // fusion arithmetic is decimal-summed so it is addend-order-free
     "b03_rrf_hybrid" -> b03OracleSql,
     "b04_retrieval_eval" -> b04OracleSql,
+    // e41 must equal batch b04 over everything streamed — same oracle
+    "e41_streaming_retrieval_eval" -> b04OracleSql,
     // e27 IS b02 over everything streamed — one oracle, zero drift by
     // construction (the emission calls the same scoring tail)
     "e27_streaming_bm25" -> b02OracleSql,

@@ -1192,7 +1192,17 @@ object CorpusStats {
     * Output: ONE row (n_queries, mrr, recall_at_k, ndcg).
     */
   def retrievalEval(runs: DataFrame, qrels: DataFrame,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    retrievalPooled(retrievalPerQuery(runs, qrels, k))
+
+  /** Per-query metric rows (query_id, __rr, __recall, __ndcg as
+    * DECIMAL(28,9)) — the additive half of [[retrievalEval]]: rows for
+    * disjoint query sets union to the full frame, which is what the
+    * streaming twin ([[graft.streaming.StreamingRetrievalEval]]) banks
+    * per batch.
+    */
+  private[graft] def retrievalPerQuery(runs: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)
     val hits = runs.filter(col("rank") <= k)
       .join(qrels.filter(col("grade") > 0), Seq("query_id", "doc_id"))
@@ -1216,7 +1226,7 @@ object CorpusStats {
           .otherwise(lit(0).cast(dec))).as("__idcg"),
         count(lit(1)).as("__nrel"))
     val zero = lit(0).cast(dec)
-    val perQuery = ideal.join(perQ, Seq("query_id"), "left")
+    ideal.join(perQ, Seq("query_id"), "left")
       .select(col("query_id"),
         when(col("__first").isNotNull,
             round(lit(1.0) / col("__first").cast("double"), 9).cast(dec))
@@ -1225,6 +1235,12 @@ object CorpusStats {
             col("__nrel").cast("double"), 9).cast(dec).as("__recall"),
         round(coalesce(col("__dcg"), zero).cast("double") /
             col("__idcg").cast("double"), 9).cast(dec).as("__ndcg"))
+  }
+
+  /** The pooled tail over a [[retrievalPerQuery]] frame — DECIMAL sums,
+    * one division per metric, round-6 means.
+    */
+  private[graft] def retrievalPooled(perQuery: DataFrame): DataFrame =
     perQuery.groupBy()
       .agg(count(lit(1)).as("n_queries"),
         sum(col("__rr")).as("__srr"),
@@ -1237,5 +1253,4 @@ object CorpusStats {
           .as("recall_at_k"),
         round(col("__snd").cast("double") / col("n_queries").cast("double"), 6)
           .as("ndcg"))
-  }
 }

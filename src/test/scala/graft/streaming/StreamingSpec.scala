@@ -2995,4 +2995,67 @@ class StreamingSpec extends SparkTestBase {
       col("y"), 32, s"$dir/state")
     assert(feats() === f0, "replay double-banked feature rows")
   }
+
+  test("streaming retrieval eval: drained pooled report equals batch " +
+      "retrievalEval; compaction is invisible") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sre").toString
+    // two query shards; q1 has a hit at rank 1 and a miss, q2 retrieves
+    // nothing relevant, q3 arrives in batch 2 with a rank-2 hit
+    val qrels = Seq(
+      (1L, 10L, 2), (1L, 11L, 1), (2L, 20L, 1), (3L, 30L, 1))
+      .toDF("query_id", "doc_id", "grade")
+    val b1 = Seq((1L, 10L, 1), (1L, 99L, 2), (2L, 98L, 1))
+    val b2 = Seq((3L, 97L, 1), (3L, 30L, 2))
+    val cols = Seq("query_id", "doc_id", "rank")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema("query_id BIGINT, doc_id BIGINT, rank INT")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingRetrievalEval.start(spark, stream, qrels, k = 3,
+      s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def report() = StreamingRetrievalEval.currentEval(spark, s"$dir/state")
+      .as[(Long, Double, Double, Double)].head()
+    val batchTruth = graft.operators.CorpusStats.retrievalEval(
+        (b1 ++ b2).toDF(cols: _*), qrels, k = 3)
+      .as[(Long, Double, Double, Double)].head()
+    assert(report() === batchTruth, "drained report drifted from batch eval")
+    assert(report()._1 === 3L)
+    // compaction: one metric row per query, report unchanged
+    StreamingRetrievalEval.compactState(spark, s"$dir/state")
+    assert(!new java.io.File(s"$dir/state/tail").exists(),
+      "compaction must fold the tail")
+    val stored = StreamingRetrievalEval.storedMetrics(spark, s"$dir/state")
+    assert(stored.count() === stored.select("query_id").distinct().count())
+    assert(report() === batchTruth, "compaction changed the report")
+  }
+
+  test("streaming retrieval eval replay idempotence: a replayed batch " +
+      "never double-weights its queries") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sre_replay").toString
+    val qrels = Seq((1L, 10L, 1), (2L, 20L, 1)).toDF("query_id", "doc_id", "grade")
+    val b1 = Seq((1L, 10L, 1))
+    val b2 = Seq((2L, 20L, 1))
+    val cols = Seq("query_id", "doc_id", "rank")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema("query_id BIGINT, doc_id BIGINT, rank INT")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingRetrievalEval.start(spark, stream, qrels, k = 3,
+      s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def rows() = StreamingRetrievalEval.storedMetrics(spark, s"$dir/state")
+      .collect().map(_.toString).sorted.toSeq
+    val r0 = rows()
+    assert(r0.length === 2)
+    StreamingRetrievalEval.processBatch(b1.toDF(cols: _*), 0L, qrels, 3,
+      s"$dir/state")
+    StreamingRetrievalEval.processBatch(b2.toDF(cols: _*), 1L, qrels, 3,
+      s"$dir/state")
+    assert(rows() === r0, "replay double-banked metric rows")
+  }
 }
