@@ -2905,6 +2905,21 @@ object SparkEntry {
         epsilon = 5.0, threshold = 10.0, seed = "v11:")
     }),
 
+    // DP NB model release: private classifier training by noising the
+    // count sufficient statistic — distinct-token bounding makes the
+    // (label, token) vector's L1 sensitivity exactly 30, one seeded
+    // Laplace(30/eps) draw per coordinate, stability threshold +
+    // smoothed-logp tail are post-processing over released values only.
+    // The t53 marker fixture keeps classes separable in the released
+    // model
+    "v12_dp_nb_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"),
+        concat(col("text"), lit(" mk"), col("lang")).as("text"))
+      Governance.dpNbModelRelease(docs, "text", "lang",
+        maxTokensPerDoc = 30, epsilon = 5.0, threshold = 10.0,
+        seed = "v12:")
+    }),
+
     // t-closeness, categorical ground distance: each (hour, value-bucket)
     // class's event-type distribution vs the corpus-global one; every
     // |p - q| term is an exact DECIMAL integer, one final IEEE division
@@ -9360,6 +9375,51 @@ object SparkEntry {
          SELECT token, CAST(5.0 AS DOUBLE) AS epsilon,
                 ROUND(nz, 6) + 0.0 AS released
          FROM z WHERE nz >= 10.0""",
+    // v12: the DP NB model release replayed — the v11 bounded-token
+    // derivation keyed by (label, token), the same seeded Laplace(30/ε)
+    // draw per coordinate (key = seed‖label‖token through chr(31)),
+    // threshold on the RAW noisy value, then the post-processing model
+    // tail over released values only (DECIMAL-routed round-6 counts,
+    // round-9 ln)
+    "v12_dp_nb_model" ->
+      """WITH aug AS (
+           SELECT lang, text || ' mk' || lang AS text FROM documents),
+         dt AS (
+           SELECT lang,
+                  UNNEST(list_slice(list_sort(list_filter(list_distinct(
+                    string_split(regexp_replace(lower(trim(text)),
+                      '\s+', ' ', 'g'), ' ')), x -> x <> '')), 1, 30))
+                  AS token
+           FROM aug),
+         c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+               FROM dt GROUP BY 1, 2),
+         h AS (SELECT lang, token, n,
+                      md5('v12:' || chr(31) || lang || chr(31) || token)
+                        AS ks FROM c),
+         u AS (
+           SELECT lang, token, n,
+                  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(range(1, length(ks)+1),
+                           i -> CAST(unicode(substr(ks, CAST(i AS INT), 1)) AS HUGEINT))),
+                       (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
+                    AS DOUBLE) / 1.8446744073709552e19 AS u
+           FROM h),
+         z AS (
+           SELECT lang, token,
+                  CAST(n AS DOUBLE) + (-6.0) * sign(u - 0.5) *
+                  ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) AS nz
+           FROM u),
+         rel AS (
+           SELECT lang, token, CAST(ROUND(nz, 6) AS DECIMAL(28, 6)) AS r
+           FROM z WHERE nz >= 10.0),
+         tot AS (SELECT lang, SUM(r) AS nc FROM rel GROUP BY 1),
+         voc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM rel)
+         SELECT rel.lang, rel.token, CAST(5.0 AS DOUBLE) AS epsilon,
+                CAST(rel.r AS DOUBLE) AS released,
+                ROUND(ln((CAST(rel.r AS DOUBLE) + 1.0) /
+                  (CAST(tot.nc AS DOUBLE) + CAST(voc.v AS DOUBLE))), 9) + 0.0
+                  AS logp
+         FROM rel JOIN tot USING (lang), voc""",
     // v10: the exponential mechanism replayed — identical clamp/bucket,
     // bucketed ranks from the same triangular grid join, the SAME
     // seeded uniform per (quantile, grid point) through the md5 +

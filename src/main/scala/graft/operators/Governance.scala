@@ -601,6 +601,64 @@ object Governance {
         (round(col("__nz"), 6) + lit(0.0)).as("released"))
   }
 
+  /** Differentially-private Naive Bayes MODEL release — private
+    * classifier training by noising the sufficient statistic (NB's
+    * training IS counting, so privatizing the counts privatizes the
+    * model; Vaidya et al. 2013, see PAPERS.md):
+    *
+    *   - Contribution bounding: each document contributes its first
+    *     `maxTokensPerDoc` DISTINCT tokens (sorted — the v11
+    *     derivation), each once. One document therefore changes at most
+    *     `maxTokensPerDoc` coordinates of the (label, token) count
+    *     vector by 1 each (all under its own label), so the vector's L1
+    *     sensitivity is EXACTLY `maxTokensPerDoc`.
+    *   - Release: seeded Laplace(maxTokensPerDoc/ε) per coordinate →
+    *     ε-DP for the whole count vector. The stability threshold on
+    *     the raw noisy value (release only ≥ `threshold`) and the
+    *     smoothed log-probability tail are POST-PROCESSING — they spend
+    *     no additional budget, and the vocabulary revealed is only the
+    *     thresholded one (the v11 argument).
+    *   - Model tail over released values only: logp = round-9
+    *     ln((r + 1)/(N_c + V)) with r the round-6 released count
+    *     (DECIMAL-routed on both engines), N_c the DECIMAL sum of the
+    *     class's released counts, V the released vocabulary size.
+    *
+    * SECURITY CONTRACT: [[seededUniform]]'s — the guarantee holds only
+    * under a secret high-entropy seed; fixture seeds are replay-only.
+    * Output: (labelCol, token, epsilon, released, logp).
+    */
+  def dpNbModelRelease(df: DataFrame, textCol: String, labelCol: String,
+      maxTokensPerDoc: Int, epsilon: Double, threshold: Double,
+      seed: String): DataFrame = {
+    require(maxTokensPerDoc >= 1, "need a positive per-doc token bound")
+    require(epsilon > 0, "epsilon must be positive")
+    require(threshold >= 1.0, "a sub-1 threshold releases noise as vocab")
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val toks = df.select(col(labelCol).as("__lbl"), explode(expr(
+        s"""slice(array_sort(filter(array_distinct(
+           |  split(regexp_replace(lower(trim($textCol)), '\\\\s+', ' '),
+           |    ' ')), x -> x != '')), 1, $maxTokensPerDoc)"""
+          .stripMargin)).as("token"))
+    val counts = toks.groupBy(col("__lbl"), col("token"))
+      .agg(count(lit(1)).as("__n"))
+    val released = counts
+      .withColumn("__nz", col("__n").cast("double") +
+        laplaceNoise(noiseKey(seed, Seq(col("__lbl"), col("token"))),
+          maxTokensPerDoc.toDouble / epsilon))
+      .filter(col("__nz") >= threshold)
+      .withColumn("__r", round(col("__nz"), 6).cast(dec6))
+    val totals = released.groupBy(col("__lbl")).agg(sum(col("__r")).as("__nc"))
+    val vocab = released.select(col("token")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    released.join(totals, "__lbl").crossJoin(broadcast(vocab))
+      .select(col("__lbl").as(labelCol), col("token"),
+        lit(epsilon).as("epsilon"),
+        col("__r").cast("double").as("released"),
+        round(log((col("__r").cast("double") + lit(1.0)) /
+          (col("__nc").cast("double") + col("__v").cast("double"))), 9)
+          .as("logp"))
+  }
+
   /** (table_name, n_purged, n_retained) as two count-only aggregates
     * attached by 1-row joins (the scalar-model convention).
     */

@@ -407,4 +407,40 @@ class GovernanceSpec extends SparkTestBase {
         0.5, "s")
     }
   }
+
+  test("dpNbModelRelease: per-label bounding, eps->inf releases true " +
+      "counts with the exact smoothed-logp tail, seeded-deterministic") {
+    import spark.implicits._
+    // label x: 'a' appears in both docs (count 2), 'b' once, 'c' beyond
+    // the L=2 cap of doc 1; label y: 'a' once, 'q' once
+    val docs = Seq(
+      ("x", "b a a c"), ("x", "a zz"),
+      ("y", "a q")).toDF("label", "text")
+    def run(eps: Double, tau: Double, seed: String) =
+      Governance.dpNbModelRelease(docs, "text", "label",
+          maxTokensPerDoc = 2, epsilon = eps, threshold = tau, seed = seed)
+        .as[(String, String, Double, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    val exact = run(1e9, 1.5, "s1:")
+    // released: only (x, a) count 2 clears tau = 1.5; everything else
+    // (b 1, zz 1, y-a 1, q 1) is suppressed; c was capped out entirely
+    assert(exact.keySet === Set(("x", "a")), s"got $exact")
+    assert(exact(("x", "a"))._1 === 2.0)
+    // post-processing tail over RELEASED values only: Nc = 2, V = 1
+    val wantLogp = BigDecimal(math.log(3.0 / 3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(exact(("x", "a"))._2 === wantLogp)
+    val g1 = run(5.0, 1.5, "s1:")
+    assert(g1 === run(5.0, 1.5, "s1:"), "same seed must replay")
+    assert(run(5.0, 1.5, "s2:") !== g1, "a new seed must redraw")
+    intercept[IllegalArgumentException] {
+      Governance.dpNbModelRelease(docs, "text", "label", 0, 1.0, 2.0, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Governance.dpNbModelRelease(docs, "text", "label", 2, -1.0, 2.0, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Governance.dpNbModelRelease(docs, "text", "label", 2, 1.0, 0.5, "s")
+    }
+  }
 }
