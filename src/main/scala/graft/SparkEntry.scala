@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2916,6 +2916,35 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("lang"),
         concat(col("text"), lit(" mk"), col("lang")).as("text"))
       Governance.dpNbModelRelease(docs, "text", "lang",
+        maxTokensPerDoc = 30, epsilon = 5.0, threshold = 10.0,
+        seed = "v12:")
+    }),
+
+    // streaming DP NB release: v12's corpus streamed in three doc-id
+    // residue batches — the bounded counts are additive (e38's shape
+    // with contribution bounding), each batch banks its own deltas, the
+    // drained release runs the SHARED seeded-noise + post-processing
+    // tail — drained == batch v12, same oracle verbatim. One release
+    // per seed (the PRIVATE state/one-shot-release contract)
+    "e42_streaming_dp_nb_release" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e42").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" mk"), col("lang")).as("text"))
+      for (r <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === r)
+          .select("lang", "text")
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingDpNbRelease.start(s, src, "text", "lang",
+        maxTokensPerDoc = 30, s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e42 stream did not drain in 300s")
+      }
+      StreamingDpNbRelease.currentRelease(s, s"$tmp/state", "lang",
         maxTokensPerDoc = 30, epsilon = 5.0, threshold = 10.0,
         seed = "v12:")
     }),
@@ -6425,6 +6454,52 @@ object SparkEntry {
     * under its own fold's model, MIN-label ties, per-fold + pooled
     * accuracy rows.
     */
+  /** v12's replay — the v11 bounded-token derivation keyed by
+    * (label, token), the same seeded Laplace(30/ε) draw per coordinate
+    * (key = seed‖label‖token through chr(31)), threshold on the RAW
+    * noisy value, then the post-processing model tail over released
+    * values only. Shared verbatim by e42 (drained == batch contract).
+    */
+  private lazy val v12OracleSql: String =
+    """WITH aug AS (
+           SELECT lang, text || ' mk' || lang AS text FROM documents),
+         dt AS (
+           SELECT lang,
+                  UNNEST(list_slice(list_sort(list_filter(list_distinct(
+                    string_split(regexp_replace(lower(trim(text)),
+                      '\s+', ' ', 'g'), ' ')), x -> x <> '')), 1, 30))
+                  AS token
+           FROM aug),
+         c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+               FROM dt GROUP BY 1, 2),
+         h AS (SELECT lang, token, n,
+                      md5('v12:' || chr(31) || lang || chr(31) || token)
+                        AS ks FROM c),
+         u AS (
+           SELECT lang, token, n,
+                  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(range(1, length(ks)+1),
+                           i -> CAST(unicode(substr(ks, CAST(i AS INT), 1)) AS HUGEINT))),
+                       (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
+                    AS DOUBLE) / 1.8446744073709552e19 AS u
+           FROM h),
+         z AS (
+           SELECT lang, token,
+                  CAST(n AS DOUBLE) + (-6.0) * sign(u - 0.5) *
+                  ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) AS nz
+           FROM u),
+         rel AS (
+           SELECT lang, token, CAST(ROUND(nz, 6) AS DECIMAL(28, 6)) AS r
+           FROM z WHERE nz >= 10.0),
+         tot AS (SELECT lang, SUM(r) AS nc FROM rel GROUP BY 1),
+         voc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM rel)
+         SELECT rel.lang, rel.token, CAST(5.0 AS DOUBLE) AS epsilon,
+                CAST(rel.r AS DOUBLE) AS released,
+                ROUND(ln((CAST(rel.r AS DOUBLE) + 1.0) /
+                  (CAST(tot.nc AS DOUBLE) + CAST(voc.v AS DOUBLE))), 9) + 0.0
+                  AS logp
+         FROM rel JOIN tot USING (lang), voc"""
+
   private lazy val t58OracleSql: String =
     """WITH base AS (
          SELECT doc_id, doc_id % 5 AS f, lang, text FROM documents),
@@ -9381,45 +9456,9 @@ object SparkEntry {
     // threshold on the RAW noisy value, then the post-processing model
     // tail over released values only (DECIMAL-routed round-6 counts,
     // round-9 ln)
-    "v12_dp_nb_model" ->
-      """WITH aug AS (
-           SELECT lang, text || ' mk' || lang AS text FROM documents),
-         dt AS (
-           SELECT lang,
-                  UNNEST(list_slice(list_sort(list_filter(list_distinct(
-                    string_split(regexp_replace(lower(trim(text)),
-                      '\s+', ' ', 'g'), ' ')), x -> x <> '')), 1, 30))
-                  AS token
-           FROM aug),
-         c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
-               FROM dt GROUP BY 1, 2),
-         h AS (SELECT lang, token, n,
-                      md5('v12:' || chr(31) || lang || chr(31) || token)
-                        AS ks FROM c),
-         u AS (
-           SELECT lang, token, n,
-                  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-                         list_transform(range(1, length(ks)+1),
-                           i -> CAST(unicode(substr(ks, CAST(i AS INT), 1)) AS HUGEINT))),
-                       (a, ch) -> (a * 31 + ch) % 18446744073709551616::HUGEINT)
-                    AS DOUBLE) / 1.8446744073709552e19 AS u
-           FROM h),
-         z AS (
-           SELECT lang, token,
-                  CAST(n AS DOUBLE) + (-6.0) * sign(u - 0.5) *
-                  ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) AS nz
-           FROM u),
-         rel AS (
-           SELECT lang, token, CAST(ROUND(nz, 6) AS DECIMAL(28, 6)) AS r
-           FROM z WHERE nz >= 10.0),
-         tot AS (SELECT lang, SUM(r) AS nc FROM rel GROUP BY 1),
-         voc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM rel)
-         SELECT rel.lang, rel.token, CAST(5.0 AS DOUBLE) AS epsilon,
-                CAST(rel.r AS DOUBLE) AS released,
-                ROUND(ln((CAST(rel.r AS DOUBLE) + 1.0) /
-                  (CAST(tot.nc AS DOUBLE) + CAST(voc.v AS DOUBLE))), 9) + 0.0
-                  AS logp
-         FROM rel JOIN tot USING (lang), voc""",
+    "v12_dp_nb_model" -> v12OracleSql,
+    // e42 must equal batch v12 over everything streamed — same replay
+    "e42_streaming_dp_nb_release" -> v12OracleSql,
     // v10: the exponential mechanism replayed — identical clamp/bucket,
     // bucketed ranks from the same triangular grid join, the SAME
     // seeded uniform per (quantile, grid point) through the md5 +

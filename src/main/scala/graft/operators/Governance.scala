@@ -631,16 +631,44 @@ object Governance {
       maxTokensPerDoc: Int, epsilon: Double, threshold: Double,
       seed: String): DataFrame = {
     require(maxTokensPerDoc >= 1, "need a positive per-doc token bound")
-    require(epsilon > 0, "epsilon must be positive")
-    require(threshold >= 1.0, "a sub-1 threshold releases noise as vocab")
-    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    dpNbReleaseTail(dpNbBoundedCounts(df, textCol, labelCol,
+      maxTokensPerDoc), maxTokensPerDoc, epsilon, threshold, seed, labelCol)
+  }
+
+  /** The contribution-bounded (label, token) count frame behind
+    * [[dpNbModelRelease]] — each doc's first `maxTokensPerDoc` sorted
+    * DISTINCT tokens, once each. Strictly per-document, hence additive
+    * across corpus splits: the streaming twin
+    * ([[graft.streaming.StreamingDpNbRelease]]) banks these deltas
+    * per batch. Output: (__lbl, token, __n).
+    */
+  private[graft] def dpNbBoundedCounts(df: DataFrame, textCol: String,
+      labelCol: String, maxTokensPerDoc: Int): DataFrame = {
+    require(maxTokensPerDoc >= 1, "need a positive per-doc token bound")
     val toks = df.select(col(labelCol).as("__lbl"), explode(expr(
         s"""slice(array_sort(filter(array_distinct(
            |  split(regexp_replace(lower(trim($textCol)), '\\\\s+', ' '),
            |    ' ')), x -> x != '')), 1, $maxTokensPerDoc)"""
           .stripMargin)).as("token"))
-    val counts = toks.groupBy(col("__lbl"), col("token"))
+    toks.groupBy(col("__lbl"), col("token"))
       .agg(count(lit(1)).as("__n"))
+  }
+
+  /** The noise + post-processing tail of [[dpNbModelRelease]] over a
+    * [[dpNbBoundedCounts]] frame. ONE release per seed: the draws are a
+    * deterministic function of (seed, label, token), so re-reading the
+    * SAME counts replays the same release (free), but releasing
+    * EVOLVING counts under one seed reveals the exact count deltas
+    * (correlated noise cancels in the difference) — callers releasing
+    * more than once must use a fresh seed per release and account ε
+    * per release by composition.
+    */
+  private[graft] def dpNbReleaseTail(counts: DataFrame,
+      maxTokensPerDoc: Int, epsilon: Double, threshold: Double,
+      seed: String, labelCol: String): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    require(threshold >= 1.0, "a sub-1 threshold releases noise as vocab")
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
     val released = counts
       .withColumn("__nz", col("__n").cast("double") +
         laplaceNoise(noiseKey(seed, Seq(col("__lbl"), col("token"))),

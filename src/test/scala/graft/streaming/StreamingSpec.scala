@@ -3058,4 +3058,42 @@ class StreamingSpec extends SparkTestBase {
       s"$dir/state")
     assert(rows() === r0, "replay double-banked metric rows")
   }
+
+  test("streaming DP NB release: drained release equals batch " +
+      "dpNbModelRelease; replay and compaction are invisible") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sdp").toString
+    // 'a' counts split across batches under label x; cap L=2 bites doc 1
+    val b1 = Seq(("x", "b a a c"), ("y", "a q"))
+    val b2 = Seq(("x", "a zz"), ("x", "a b"))
+    val cols = Seq("label", "text")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema("label STRING, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingDpNbRelease.start(spark, stream, "text", "label",
+      maxTokensPerDoc = 2, s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    def release() = StreamingDpNbRelease.currentRelease(spark,
+        s"$dir/state", "label", maxTokensPerDoc = 2, epsilon = 1e9,
+        threshold = 1.5, seed = "s1:")
+      .as[(String, String, Double, Double, Double)].collect().sorted.toSeq
+    val batchTruth = graft.operators.Governance.dpNbModelRelease(
+        (b1 ++ b2).toDF(cols: _*), "text", "label", maxTokensPerDoc = 2,
+        epsilon = 1e9, threshold = 1.5, seed = "s1:")
+      .as[(String, String, Double, Double, Double)].collect().sorted.toSeq
+    assert(release() === batchTruth, "drained release drifted from batch")
+    // the cross-batch sum happened: (x, a) = 3 under eps->inf
+    assert(batchTruth.exists(r => r._1 == "x" && r._2 == "a" && r._4 == 3.0))
+    // replay both batches through the production path — count deltas are
+    // not redelivery-idempotent, the batch-keyed overwrite must absorb it
+    StreamingDpNbRelease.processBatch(b1.toDF(cols: _*), 0L, "text",
+      "label", 2, s"$dir/state")
+    StreamingDpNbRelease.processBatch(b2.toDF(cols: _*), 1L, "text",
+      "label", 2, s"$dir/state")
+    assert(release() === batchTruth, "replay double-counted the deltas")
+    StreamingDpNbRelease.compactState(spark, s"$dir/state")
+    assert(!new java.io.File(s"$dir/state/tail").exists())
+    assert(release() === batchTruth, "compaction changed the release")
+  }
 }
