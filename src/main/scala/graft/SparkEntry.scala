@@ -3759,6 +3759,32 @@ object SparkEntry {
         Map("benchmark" -> c07EvalDocs(docs)))
     }),
 
+    // config-as-query for the TRAINED classifier: the t57 LR screen
+    // declared as a YAML stage (train corpus bound as an aux table, the
+    // label a SQL expression in config) — the CCNet/GPT-3 quality-filter
+    // shape as reviewable data, gated by replaying the t57 chain's kept
+    // set. minScore compares the round-6 score (replayable; 0.5 is
+    // t57's decision boundary up to that rounding)
+    "c33_config_lr_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" mk"), col("lang")).as("text"))
+      val train = docs.filter(col("doc_id") % 7 =!= 3)
+      val input = docs.filter(col("doc_id") % 7 === 3)
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: lr-screen
+          |  stages:
+          |    - stage: lrScreen
+          |      options:
+          |        train: labeled
+          |        yExpression: "lang = 'en'"
+          |        minScore: "0.5"
+          |""".stripMargin)
+      graft.pipeline.StagePipeline.compile(cfg, input,
+          Map("labeled" -> train))
+        .select("doc_id", "lang")
+    }),
+
     // curation funnel: documents surviving each c07 stage — the yield
     // report a pipeline owner reads before anything ships; stages share
     // the EXACT c07 construction so the funnel can't drift from the gate
@@ -9019,6 +9045,23 @@ object SparkEntry {
     "t56_lr_train" -> t56OracleSql,
     "t57_lr_classify" -> t57OracleSql,
     "t58_nb_cv" -> t58OracleSql,
+    // c33: the t57 chain's kept set — docs whose round-6 sigmoid clears
+    // 0.5 — with the fixture's lang attached
+    "c33_config_lr_screen" -> (
+      s"""WITH tr AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |                   text || ' mk' || lang AS text
+         |            FROM documents WHERE doc_id % 7 <> 3),
+         |te AS (SELECT doc_id, 0 AS y, text || ' mk' || lang AS text
+         |       FROM documents WHERE doc_id % 7 = 3),
+         |${lrTrainCtes("tr", 64, 10, "10.0")},
+         |${lrFeatCtes("te", "te", 64)},
+         |sm AS (
+         |  SELECT f.doc_id,
+         |         SUM(CAST(ROUND(f.x * CAST(w.w AS DOUBLE), 9) AS DECIMAL(28,9))) AS m
+         |  FROM featte f JOIN w10 w USING (bucket) GROUP BY 1)
+         |SELECT sm.doc_id, d.lang
+         |FROM sm JOIN documents d USING (doc_id)
+         |WHERE ROUND(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 6) + 0.0 >= 0.5""".stripMargin),
     // e40 must equal batch t56 over everything streamed — same oracle
     "e40_streaming_lr_train" -> t56OracleSql,
     // e39 IS t55 over everything streamed — summed confusion deltas

@@ -88,6 +88,23 @@ object StagePipeline {
       .select(col("doc_id"), col("quality"), col("score"),
         (round(col("keep_prob"), 6) + lit(0.0)).as("keep_prob"))
 
+  /** Trained-classifier quality screen — t57's logistic regression as a
+    * curation stage: fit on a labeled aux corpus (`train`, with a 0/1
+    * `yExpression` over its columns), keep input docs whose round-6
+    * sigmoid score clears `minScore`. The threshold compares the ROUND-6
+    * score (deterministic on both engines — the t57 arithmetic), so the
+    * screen is replayable; at minScore 0.5 it is t57's decision boundary
+    * up to that rounding. The CCNet/GPT-3 quality-filter shape,
+    * declarable from YAML like every other stage.
+    */
+  def lrScreen(df: DataFrame, train: DataFrame, yExpression: String,
+      minScore: Double, dim: Int, rounds: Int, eta: Double): DataFrame = {
+    val kept = TextAnalysis.logRegClassify(train, df, "doc_id", "text",
+        expr(yExpression), dim, rounds, eta)
+      .filter(col("score") >= minScore).select("doc_id")
+    df.join(kept, Seq("doc_id"), "left_semi")
+  }
+
   // ---------------------------------------------------------- registry
 
   private def opt(o: Map[String, String], key: String, default: String) =
@@ -113,6 +130,14 @@ object StagePipeline {
     "importanceResample" -> ((df, o, _) => importanceResampleStage(df,
       opt(o, "lang", "en"),
       opt(o, "buckets", "1024").toInt)),
+    "lrScreen" -> ((df, o, t) => lrScreen(df,
+      table(t, o, "train"),
+      o.getOrElse("yExpression",
+        throw StageError("lrScreen stage requires 'yExpression'")),
+      opt(o, "minScore", "0.5").toDouble,
+      opt(o, "dim", "64").toInt,
+      opt(o, "rounds", "10").toInt,
+      opt(o, "eta", "10.0").toDouble)),
     // generic building blocks: a SQL predicate and a row cap
     "filter" -> ((df, o, _) => df.filter(expr(o.getOrElse("expression",
       throw StageError("filter stage requires 'expression'"))))),
