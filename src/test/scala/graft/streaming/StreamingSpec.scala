@@ -3096,4 +3096,60 @@ class StreamingSpec extends SparkTestBase {
     assert(!new java.io.File(s"$dir/state/tail").exists())
     assert(release() === batchTruth, "compaction changed the release")
   }
+
+  test("streaming config-as-query resolves the trained-classifier stage: " +
+      "a (qualityGate -> lrScreen) YAML drains to the batch compile's kept set") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sc_lr").toString
+    // labeled train corpus for the screen (aux table, batch-bound)
+    val train = (1L to 12L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) 1 else 0,
+        s"the shared english vocabulary document number ${i % 3} " +
+          (if (pos) "mkpos" else "mkneg"))
+    }.toDF("doc_id", "y", "text")
+    val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+      """pipeline:
+        |  name: lr-screen-stream
+        |  stages:
+        |    - stage: qualityGate
+        |      options:
+        |        lang: en
+        |        minQuality: "0.0"
+        |        maxDupBigramFrac: "1.0"
+        |    - stage: lrScreen
+        |      options:
+        |        train: labeled
+        |        yExpression: "y"
+        |        dim: "32"
+        |""".stripMargin)
+    val b1 = Seq(
+      (101L, "the first document with the english words and mkpos inside", "en"),
+      (102L, "the second document with the english words and mkneg inside", "en"))
+    val b2 = Seq(
+      (103L, "the third document of english words carrying mkpos too", "en"))
+    StreamingCuration.seedFingerprints(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", s"$dir/fp",
+      partitionedBase = true)
+    b1.toDF("doc_id", "text", "lang").coalesce(1).write.parquet(s"$dir/src")
+    b2.toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingCuration.startFromConfig(spark, stream, cfg,
+      Map("labeled" -> train), "doc_id", "text", "lang",
+      s"$dir/fp", s"$dir/kept", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val streamed = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val batchKept = graft.pipeline.StagePipeline.compile(cfg,
+        (b1 ++ b2).toDF("doc_id", "text", "lang"), Map("labeled" -> train))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed === batchKept,
+      s"streamed kept $streamed != batch kept $batchKept")
+    // the screen actually screened: the mkneg doc was dropped
+    assert(batchKept.contains(101L) && !batchKept.contains(102L),
+      s"classifier screen did not separate: $batchKept")
+  }
 }
