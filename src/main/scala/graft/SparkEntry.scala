@@ -2596,6 +2596,22 @@ object SparkEntry {
         "lang", "predicted")
     }),
 
+    // per-pair BLEU — the synthetic-data/distillation QA readout:
+    // candidates are (a) first-word-dropped copies (high BLEU, brevity
+    // penalty < 1 — one word short) and (b) doubled copies (clipping
+    // halves every modified precision: cand grams appear twice, the
+    // reference has them once; bp = 1 since the candidate is longer)
+    "t59_bleu" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("pair_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("cand"),
+          col("text").as("ref"))
+        .unionByName(docs.select((col("doc_id") + 1000000).as("pair_id"),
+          concat(col("text"), lit(" "), col("text")).as("cand"),
+          col("text").as("ref")))
+      TextAnalysis.bleuPairs(pairs, "pair_id", "cand", "ref", maxN = 4)
+    }),
+
     // k-fold cross-validation of the NB classifier WITHOUT retraining:
     // fold f's leave-out model = global counts - fold f's counts (the
     // additive sufficient statistic again), so all 5 models come from
@@ -6614,6 +6630,96 @@ object SparkEntry {
                 AS accuracy
        FROM (SELECT * FROM pf UNION ALL SELECT * FROM allr)"""
 
+  /** One side's (pair, n, gram, count) CTE chain for the t59 BLEU
+    * replay: positional `n`-word shingle strings per n = 1..maxN over a
+    * word-list CTE `src` (pair_id, wl), docs shorter than n words
+    * contributing their whole text as one gram (the wordShingleHashes
+    * short-input rule).
+    */
+  private def bleuGramSql(name: String, src: String, maxN: Int): String = {
+    val perN = (1 to maxN).map { n =>
+      val slices =
+        s"""SELECT pair_id, $n AS n,
+           |       list_aggregate(wl[CAST(i AS INT):CAST(i AS INT)+${n - 1}],
+           |         'string_agg', ' ') AS g
+           |FROM $src, lateral unnest(range(1, len(wl) - $n + 2)) t(i)
+           |WHERE len(wl) >= $n""".stripMargin
+      if (n == 1) slices
+      else slices +
+        s"""
+           |UNION ALL
+           |SELECT pair_id, $n AS n, array_to_string(wl, ' ') AS g
+           |FROM $src WHERE len(wl) < $n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$name AS MATERIALIZED (
+       |  SELECT pair_id, n, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |$perN)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** t59's replay: the pair fixture, both sides' gram counts
+    * ([[bleuGramSql]]), clipped counts via LEAST on the (pair, n, gram)
+    * join, p_n = one IEEE division, round-9 DECIMAL log sum, brevity
+    * penalty and the zero-guard — mirroring
+    * [[graft.operators.TextAnalysis.bleuPairs]] step for step.
+    */
+  private lazy val t59OracleSql: String = {
+    val pList = (1 to 4).map(n =>
+      s"MAX(CASE WHEN n = $n THEN ROUND(p, 6) + 0.0 END) AS p$n").mkString(",\n         ")
+    val pOut = (1 to 4).map(n => s"f.p$n + 0.0 AS p$n").mkString(", ")
+    s"""WITH prs AS (
+       |  SELECT doc_id AS pair_id,
+       |         regexp_replace(text, '^\\S+\\s', '') AS cand, text AS ref
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' ' || text, text FROM documents),
+       |cw AS MATERIALIZED (
+       |  SELECT pair_id, string_split(cn, ' ') AS wl FROM (
+       |    SELECT pair_id,
+       |           regexp_replace(lower(trim(cand)), '\\s+', ' ', 'g') AS cn
+       |    FROM prs)
+       |  WHERE cn <> ''),
+       |rw AS MATERIALIZED (
+       |  SELECT pair_id, string_split(rn, ' ') AS wl FROM (
+       |    SELECT pair_id,
+       |           regexp_replace(lower(trim(ref)), '\\s+', ' ', 'g') AS rn
+       |    FROM prs)
+       |  WHERE rn <> ''),
+       |${bleuGramSql("cg", "cw", 4)},
+       |${bleuGramSql("rg", "rw", 4)},
+       |perN AS (
+       |  SELECT c.pair_id, c.n,
+       |         SUM(LEAST(c.c, COALESCE(r.c, 0))) AS clip, SUM(c.c) AS tot
+       |  FROM cg c LEFT JOIN rg r
+       |    ON r.pair_id = c.pair_id AND r.n = c.n AND r.g = c.g
+       |  GROUP BY 1, 2),
+       |pn AS (SELECT pair_id, n,
+       |              CAST(clip AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+       |       FROM perN),
+       |lens AS (
+       |  SELECT p1.pair_id, p1.tot AS clen, rl.rlen
+       |  FROM perN p1
+       |  JOIN (SELECT pair_id, SUM(c) AS rlen FROM rg WHERE n = 1
+       |        GROUP BY 1) rl USING (pair_id)
+       |  WHERE p1.n = 1),
+       |folded AS (
+       |  SELECT pair_id, MIN(p) AS pmin,
+       |         SUM(CAST(ROUND(CASE WHEN p > 0 THEN ln(p) END, 9)
+       |             AS DECIMAL(28,9))) AS lsum,
+       |         $pList
+       |  FROM pn GROUP BY 1)
+       |SELECT f.pair_id, $pOut,
+       |       ROUND(CASE WHEN l.clen >= l.rlen THEN 1.0
+       |             ELSE exp(1.0 - CAST(l.rlen AS DOUBLE) / CAST(l.clen AS DOUBLE))
+       |             END, 6) + 0.0 AS bp,
+       |       ROUND(CASE WHEN f.pmin > 0 THEN
+       |               (CASE WHEN l.clen >= l.rlen THEN 1.0
+       |                ELSE exp(1.0 - CAST(l.rlen AS DOUBLE) / CAST(l.clen AS DOUBLE)) END)
+       |               * exp(CAST(f.lsum AS DOUBLE) / 4.0)
+       |             ELSE 0.0 END, 6) + 0.0 AS bleu
+       |FROM folded f JOIN lens l USING (pair_id)""".stripMargin
+  }
+
   /** The poly_hash64(md5(e)) replay (the v10/v11 recipe): fold the md5
     * hex image's chars through (a·31 + ch) mod 2⁶⁴ as HUGEINT.
     */
@@ -9045,6 +9151,8 @@ object SparkEntry {
     "t56_lr_train" -> t56OracleSql,
     "t57_lr_classify" -> t57OracleSql,
     "t58_nb_cv" -> t58OracleSql,
+    // t59: the generated per-n gram replay — see t59OracleSql
+    "t59_bleu" -> t59OracleSql,
     // c33: the t57 chain's kept set — docs whose round-6 sigmoid clears
     // 0.5 — with the fixture's lang attached
     "c33_config_lr_screen" -> (

@@ -2374,6 +2374,75 @@ object TextAnalysis {
         round(col("__score").cast("double"), 6).as("score"))
   }
 
+  /** Per-pair BLEU (Papineni et al. 2002, see PAPERS.md) — the n-gram
+    * overlap score a synthetic-data / distillation pipeline reports for
+    * (candidate, reference) text pairs: modified n-gram precision with
+    * CLIPPING (a candidate gram counts at most as often as the reference
+    * has it — Σ min(tf_cand, tf_ref), the d23 multiset machinery) for
+    * n = 1..`maxN`, the brevity penalty, and the geometric mean.
+    *
+    * Plan shape: one tagged union of `maxN` positional word-shingle
+    * kernel passes (gram = 64-bit hash; collision-free at corpus scale,
+    * the d03 argument) per side, ONE (pair, n, gram) hash aggregate per
+    * side, one equi-join on (pair, n, gram) for the clipped counts, and
+    * per-pair hash aggs — never corpus×corpus, text never shuffles past
+    * the explode. Counts stay exact integers until the final per-pair
+    * arithmetic: p_n = clip_n/tot_n (one IEEE division each), the log
+    * terms round to 9 and sum as DECIMAL, bp = exp(min(0, 1 − r/c)).
+    * Zero-match convention: any p_n = 0 → bleu = 0 (no smoothing —
+    * unsmoothed BLEU is the published corpus default, applied per pair).
+    * Docs shorter than n words contribute their whole text as one gram
+    * for that n (the wordShingleHashes short-input rule — mirrored by
+    * the oracle).
+    * Output: (idCol, p1..p`maxN`, bp, bleu) — all round-6.
+    */
+  def bleuPairs(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"maxN must be in [1, 9], got $maxN")
+    val dec = DecimalType(28, 9)
+    def grams(c: String): DataFrame =
+      (1 to maxN).map { n =>
+        pairs.select(col(idCol), lit(n).as("__n"),
+            explode(graft.functions.GraftFunctions.shingle_hashes(
+              graft.operators.Dedup.normalized(col(c)), n, word = true,
+              distinct = false)).as("__g"))
+      }.reduce(_ unionByName _)
+        .groupBy(col(idCol), col("__n"), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+    val cand = grams(candCol)
+    val ref = grams(refCol).select(col(idCol), col("__n"), col("__g"),
+      col("__c").as("__r"))
+    val perN = cand.join(ref, Seq(idCol, "__n", "__g"), "left")
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__clip"),
+        sum(col("__c")).as("__tot"))
+    val pn = perN.select(col(idCol), col("__n"),
+      (col("__clip").cast("double") / col("__tot").cast("double")).as("__p"))
+    val lens = perN.filter(col("__n") === 1)
+      .select(col(idCol), col("__tot").as("__clen"))
+      .join(ref.filter(col("__n") === 1).groupBy(col(idCol))
+        .agg(sum(col("__r")).as("__rlen")), Seq(idCol))
+    val foldedAggs: Seq[Column] =
+      sum(round(log(when(col("__p") > 0, col("__p"))), 9).cast(dec))
+        .as("__lsum") +:
+      (0 until maxN).map(i => max(when(col("__n") === i + 1,
+        round(col("__p"), 6))).as(s"p${i + 1}"))
+    val folded = pn.groupBy(col(idCol))
+      .agg(min(col("__p")).as("__pmin"), foldedAggs: _*)
+    folded.join(lens, Seq(idCol))
+      .select(col(idCol) +:
+        (1 to maxN).map(n => (col(s"p$n") + lit(0.0)).as(s"p$n")) :+
+        (round(when(col("__clen") >= col("__rlen"), lit(1.0))
+          .otherwise(exp(lit(1.0) - col("__rlen").cast("double") /
+            col("__clen").cast("double"))), 6) + lit(0.0)).as("bp") :+
+        (round(when(col("__pmin") > 0,
+            when(col("__clen") >= col("__rlen"), lit(1.0))
+              .otherwise(exp(lit(1.0) - col("__rlen").cast("double") /
+                col("__clen").cast("double"))) *
+            exp(col("__lsum").cast("double") / lit(maxN.toDouble)))
+          .otherwise(lit(0.0)), 6) + lit(0.0)).as("bleu"): _*)
+  }
+
   /** k-fold cross-validation of the multinomial Naive Bayes classifier
     * WITHOUT retraining — the additive-sufficient-statistic trick at its
     * strongest: fold f's leave-out model is (global counts − fold f's

@@ -1601,4 +1601,40 @@ class TextAnalysisSpec extends SparkTestBase {
     // scores are valid round-6 sigmoids, ordered with the verdicts
     assert(got(100L)._2 > 0.5 && got(101L)._2 < 0.5)
   }
+
+  test("bleuPairs: hand-computed clipping, brevity penalty and zero-guard") {
+    def r9(x: Double) = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val pairs = Seq(
+      // exact copy: every p_n = 1, bp = 1, bleu = 1
+      (1L, "a b c d e", "a b c d e"),
+      // clipping: cand repeats 'a' 4x, ref has 2 -> p1 = min(4,2)/4 = 0.5;
+      // no shared bigram+ -> p2..p4 = 0 -> bleu = 0
+      (2L, "a a a a", "a b a c"),
+      // short candidate: p_n = 1 for its grams, bp = exp(1 - 5/3)
+      (3L, "a b c", "a b c d e")).toDF("pair_id", "cand", "ref")
+    val got = TextAnalysis.bleuPairs(pairs, "pair_id", "cand", "ref")
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)))
+    assert(got(2L)._2 === 0.5 && got(2L)._5 === 0.0 && got(2L)._7 === 0.0)
+    // pair 3: p1..p3 = 1 over its own grams; n=4: whole-text gram,
+    // 'a b c' != any ref 4-gram -> p4 = 0 -> bleu 0? No: the SHORT-INPUT
+    // rule hashes the whole cand text as the one 4-gram, and the ref has
+    // 4-grams 'a b c d','b c d e' -> no match -> p4 = 0 -> bleu = 0
+    assert(got(3L)._2 === 1.0 && got(3L)._4 === 1.0)
+    assert(got(3L)._6 === r6(math.exp(1.0 - 5.0 / 3.0)))
+    assert(got(3L)._7 === 0.0)
+    // a 4-gram-capable near-copy carries the full geometric mean
+    val p2 = Seq((9L, "a b c d e x", "a b c d e y"))
+      .toDF("pair_id", "cand", "ref")
+    val g9 = TextAnalysis.bleuPairs(p2, "pair_id", "cand", "ref")
+      .as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    // p1 = 5/6, p2 = 4/5, p3 = 3/4, p4 = 2/3, bp = 1 (equal length)
+    val want = r6(math.exp((r9(math.log(5.0 / 6.0)) + r9(math.log(4.0 / 5.0)) +
+      r9(math.log(3.0 / 4.0)) + r9(math.log(2.0 / 3.0))) / 4.0))
+    assert(g9._7 === want)
+  }
 }
