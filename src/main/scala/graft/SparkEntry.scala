@@ -2104,6 +2104,19 @@ object SparkEntry {
         "vec_id", "src", "dst", rounds = 3, p = 12)
     }),
 
+    // effective diameter of the kNN graph at alpha = 0.9 — the
+    // one-number connectivity readout over s37's neighborhood function
+    // (discrete: the smallest hop count reaching 90% of final
+    // reachability); same HyperBall rounds, one-row readout
+    "g21_effective_diameter" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          dim = 64, k = 3, numPlanes = 5, maxBucketSize = 1000000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      Graph.effectiveDiameter(emb.select("vec_id"), edges,
+        "vec_id", "src", "dst", rounds = 3, p = 12, alpha = 0.9)
+    }),
+
     // hubness profile of the same graph: per-vector in-degree (how many
     // others chose it as a neighbor) — high-dim kNN graphs skew toward a
     // few hub vectors that drag retrieval quality. Integer-exact output
@@ -10616,6 +10629,17 @@ object SparkEntry {
     "s36_kcore" -> s36OracleSql,
     "s39_ktruss" -> s39OracleSql,
     "s37_neighborhood_function" -> s37OracleSql,
+    // g21: the s37 replay wrapped by the discrete alpha-quantile readout
+    "g21_effective_diameter" -> (
+      s"""SELECT (SELECT CAST(MIN(round) AS INT)
+         |        FROM (${s37OracleSql}) nf,
+         |             (SELECT n_pairs AS f FROM (${s37OracleSql}) x
+         |              WHERE round = 3) fin
+         |        WHERE CAST(n_pairs AS DOUBLE) >= 0.9 * CAST(f AS DOUBLE))
+         |         AS eff_diameter,
+         |       (SELECT n_pairs FROM (${s37OracleSql}) y WHERE round = 3)
+         |         AS nf_final,
+         |       CAST(0.9 AS DOUBLE) AS alpha""".stripMargin),
     "c07_curation_pipeline" -> c07OracleSql,
     // c31 IS c07 built from YAML — one oracle, zero drift by construction
     "c31_config_pipeline" -> c07OracleSql,

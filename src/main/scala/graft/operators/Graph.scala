@@ -519,4 +519,32 @@ object Graph {
       .select(col("__a").as(srcCol), col("__b").as(dstCol),
         col("__s").as("support"))
   }
+
+  /** Effective diameter at quantile `alpha` (Boldi & Vigna's HyperBall
+    * readout, see PAPERS.md): the smallest round t whose neighborhood
+    * function reaches alpha × N(rounds) — "within how many hops are
+    * alpha of all reachable pairs". DISCRETE variant (no inter-round
+    * interpolation): the readout is an integer hop count, replayable
+    * exactly; the continuous interpolation adds nothing a threshold
+    * consumer uses. Cost: [[neighborhoodFunction]]'s rounds + a
+    * (rounds+1)-row readout — one broadcast scalar attach, one filter,
+    * one min. Output: ONE row (eff_diameter, nf_final, alpha).
+    */
+  def effectiveDiameter(nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      rounds: Int, p: Int = 12, alpha: Double = 0.9,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val nf = neighborhoodFunction(nodes, edges, idCol, srcCol, dstCol,
+      rounds, p, checkpointDir)
+    val fin = nf.filter(col("round") === rounds)
+      .select(col("n_pairs").as("__final"))
+    nf.crossJoin(broadcast(fin))
+      .filter(col("n_pairs").cast("double") >=
+        lit(alpha) * col("__final").cast("double"))
+      .agg(min(col("round")).as("eff_diameter"),
+        max(col("__final")).as("nf_final"))
+      .select(col("eff_diameter"), col("nf_final"),
+        lit(alpha).as("alpha"))
+  }
 }

@@ -273,4 +273,24 @@ class GraphSpec extends SparkTestBase {
       Graph.kTruss(edges, "src", "dst", k = 3, maxRounds = 1)
     }
   }
+
+  test("effectiveDiameter: internally consistent with the neighborhood " +
+      "function it reads (discrete alpha-quantile)") {
+    // path a-b-c-d: NF grows 4 -> 10 -> 14 -> 16 over 3 rounds
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nf = Graph.neighborhoodFunction(nodes, edges, "id", "src", "dst",
+        rounds = 3)
+      .as[(Int, Long)].collect().toMap
+    val fin = nf(3)
+    for (alpha <- Seq(0.5, 0.8, 0.9, 1.0)) {
+      val got = Graph.effectiveDiameter(nodes, edges, "id", "src", "dst",
+          rounds = 3, alpha = alpha)
+        .as[(Int, Long, Double)].head()
+      val want = (0 to 3).filter(t => nf(t).toDouble >= alpha * fin).min
+      assert(got === ((want, fin, alpha)), s"alpha=$alpha nf=$nf")
+    }
+    // NF is monotone and the sketch is effectively exact on 4 nodes
+    assert(nf(0) === 4L && nf(3) > nf(0))
+  }
 }
