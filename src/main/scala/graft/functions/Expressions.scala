@@ -599,6 +599,8 @@ object GraftFunctions {
   def shingle_hashes(c: Column, k: Int, word: Boolean = false,
       distinct: Boolean = true): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))
+  def lr_buckets(c: Column, dim: Int): Column =
+    Bridge.column(LrBuckets(Bridge.expression(c), dim))
   def occurrence_expand(c: Column): Column =
     Bridge.column(OccurrenceExpand(Bridge.expression(c)))
   def winnow_hashes(c: Column, k: Int, w: Int): Column =
@@ -669,6 +671,20 @@ object GraftFunctions {
   * O(len·k) loop runs in [[HashKernels]] — the shingling stage of the
   * MinHash pipeline (MMDS §3.2) without per-shingle expression overhead.
   */
+/** Distinct hashed-feature buckets for the LR featurization — see
+  * [[HashKernels.lrBuckets]].
+  */
+case class LrBuckets(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.lrBuckets(v.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.lrBuckets($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): LrBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "lr_buckets"
+}
+
 /** Occurrence expansion of a hash multiset into a hash set for weighted
   * (multiset) Jaccard — see [[HashKernels.occurrenceExpand]].
   */

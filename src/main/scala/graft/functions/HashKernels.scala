@@ -224,6 +224,52 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(if (distinct) distinctSorted(out) else out)
   }
 
+  /** Distinct hashed-feature buckets of a space-separated (normalized)
+    * document — the t56 featurization collapsed to ONE map-side kernel
+    * pass: per token, bucket = polyFold(md5Hex(token)) & (dim−1),
+    * bit-identical to the column formulation
+    * `poly_hash64(md5(tok)) & (dim−1)` (md5 hex is lowercase in both;
+    * dim a power of two so the signed mask equals the oracle's unsigned
+    * mod), deduplicated and sorted HERE so the caller needs no
+    * `distinct()` shuffle — binary presence features come out of the
+    * scan map-only.
+    */
+  def lrBuckets(s: UTF8String, dim: Int): ArrayData = {
+    val str = s.toString
+    if (str.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+    val seen = new java.util.TreeSet[Integer]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var start = 0
+    var i = 0
+    while (i <= str.length) {
+      if (i == str.length || str.charAt(i) == ' ') {
+        if (i > start) {
+          val bytes = md.digest(str.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.reset()
+          var h = 0L
+          var j = 0
+          while (j < bytes.length) {
+            val b = bytes(j) & 0xff
+            val hex1 = Character.forDigit(b >>> 4, 16)
+            val hex2 = Character.forDigit(b & 0xf, 16)
+            h = h * 31L + hex1.toLong
+            h = h * 31L + hex2.toLong
+            j += 1
+          }
+          seen.add((h & (dim - 1).toLong).toInt)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Int](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Occurrence expansion of a hash MULTISET into a hash SET for
     * weighted (multiset) Jaccard: the k-th occurrence of value h in the
     * input rehashes as mix(h ^ k·φ) — so an element with multiplicity w

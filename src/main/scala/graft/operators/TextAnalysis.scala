@@ -2571,13 +2571,14 @@ object TextAnalysis {
       yCol: Column, textCol: String, dim: Int): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
     val base = docs.select(col(idCol), yCol.cast("int").as("y"), col(textCol))
+    // ONE codegen kernel pass per doc emits the distinct sorted bucket
+    // set (bit-identical to poly_hash64(md5(tok)) & (dim−1) — pinned in
+    // TextAnalysisSpec), so presence features come out of the scan
+    // MAP-ONLY: the former explode → distinct() paid a corpus-scale
+    // shuffle before training even started
     val toks = base.select(col(idCol), col("y"),
-        explode(tokens(col(textCol))).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .select(col(idCol), col("y"),
-        graft.functions.GraftFunctions.poly_hash64(md5(col("__tok")))
-          .bitwiseAND(lit((dim - 1).toLong)).cast("int").as("bucket"))
-      .distinct()
+        explode(graft.functions.GraftFunctions.lr_buckets(
+          graft.operators.Dedup.normalized(col(textCol)), dim)).as("bucket"))
       .withColumn("x", lit(1.0))
     val bias = base.select(col(idCol), col("y"),
       lit(-1).as("bucket"), lit(1.0).as("x"))

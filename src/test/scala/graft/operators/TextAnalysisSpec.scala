@@ -1540,6 +1540,21 @@ class TextAnalysisSpec extends SparkTestBase {
       explicit(0L)._2 + explicit(1L)._2)))
   }
 
+  test("lr_buckets kernel is bit-identical to the poly_hash64(md5) column formulation") {
+    import graft.functions.GraftFunctions.{lr_buckets, poly_hash64}
+    val docs = Seq((1L, "The quick   brown fox fox jumps high"),
+      (2L, "unicode töken ünïque 漢字 mixed"), (3L, "")).toDF("id", "text")
+    val viaKernel = docs.select($"id",
+        explode(lr_buckets(Dedup.normalized($"text"), 64)).as("b"))
+      .as[(Long, Int)].collect().toSet
+    val viaColumns = docs.select($"id",
+        explode(TextAnalysis.tokens(Dedup.normalized($"text"))).as("t"))
+      .filter(length($"t") > 0)
+      .select($"id", poly_hash64(md5($"t")).bitwiseAND(lit(63L)).cast("int").as("b"))
+      .distinct().as[(Long, Int)].collect().toSet
+    assert(viaKernel === viaColumns)
+  }
+
   test("lrFeatures: binary bucket presence + the bias row; zero-token doc carries bias only") {
     val docs = Seq(
       (1L, 1, "aa bb aa aa"),   // repeated token: presence, not tf
