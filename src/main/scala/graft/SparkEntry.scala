@@ -2625,6 +2625,23 @@ object SparkEntry {
       TextAnalysis.bleuPairs(pairs, "pair_id", "cand", "ref", maxN = 4)
     }),
 
+    // per-pair chrF over the t59 fixture — the character-level
+    // complement: the doubled copies score ~0.83 (recall-weighted beta=2
+    // forgives duplication BLEU punishes at 0.49), the mangled copies
+    // stay high on both; reading the two metrics together separates
+    // "padded" from "edited"
+    "t60_chrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("pair_id"),
+          regexp_replace(col("text"), "^\\S+\\s", "").as("cand"),
+          col("text").as("ref"))
+        .unionByName(docs.select((col("doc_id") + 1000000).as("pair_id"),
+          concat(col("text"), lit(" "), col("text")).as("cand"),
+          col("text").as("ref")))
+      TextAnalysis.chrfPairs(pairs, "pair_id", "cand", "ref",
+        maxN = 6, beta = 2.0)
+    }),
+
     // k-fold cross-validation of the NB classifier WITHOUT retraining:
     // fold f's leave-out model = global counts - fold f's counts (the
     // additive sufficient statistic again), so all 5 models come from
@@ -6733,6 +6750,70 @@ object SparkEntry {
        |FROM folded f JOIN lens l USING (pair_id)""".stripMargin
   }
 
+  /** One side's CHAR-gram (pair, n, gram, count) CTE chain for the t60
+    * chrF replay — positional substrings per n, short inputs
+    * contributing their whole text (the charShingleHashes rule).
+    */
+  private def chrfGramSql(name: String, src: String, maxN: Int): String = {
+    val perN = (1 to maxN).map { n =>
+      val slices =
+        s"""SELECT pair_id, $n AS n, substr(s, CAST(i AS INT), $n) AS g
+           |FROM $src, lateral unnest(range(1, length(s) - $n + 2)) t(i)
+           |WHERE length(s) >= $n""".stripMargin
+      if (n == 1) slices
+      else slices +
+        s"""
+           |UNION ALL
+           |SELECT pair_id, $n AS n, s AS g FROM $src WHERE length(s) < $n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$name AS MATERIALIZED (
+       |  SELECT pair_id, n, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |$perN)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** t60's replay: per-n char-gram clipped matches, per-n P/R (one IEEE
+    * division each), round-9 DECIMAL means over n, chrF_2 with the
+    * 0-guard — mirroring [[graft.operators.TextAnalysis.chrfPairs]].
+    */
+  private lazy val t60OracleSql: String =
+    s"""WITH prs AS (
+       |  SELECT doc_id AS pair_id,
+       |         regexp_replace(text, '^\\S+\\s', '') AS cand, text AS ref
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' ' || text, text FROM documents),
+       |cs AS MATERIALIZED (
+       |  SELECT pair_id, regexp_replace(lower(trim(cand)), '\\s+', ' ', 'g') AS s
+       |  FROM prs WHERE regexp_replace(lower(trim(cand)), '\\s+', ' ', 'g') <> ''),
+       |rs AS MATERIALIZED (
+       |  SELECT pair_id, regexp_replace(lower(trim(ref)), '\\s+', ' ', 'g') AS s
+       |  FROM prs WHERE regexp_replace(lower(trim(ref)), '\\s+', ' ', 'g') <> ''),
+       |${chrfGramSql("cg", "cs", 6)},
+       |${chrfGramSql("rg", "rs", 6)},
+       |rt AS (SELECT pair_id, n, SUM(c) AS rtot FROM rg GROUP BY 1, 2),
+       |perN AS (
+       |  SELECT c.pair_id, c.n,
+       |         SUM(LEAST(c.c, COALESCE(r.c, 0))) AS m, SUM(c.c) AS ctot
+       |  FROM cg c LEFT JOIN rg r
+       |    ON r.pair_id = c.pair_id AND r.n = c.n AND r.g = c.g
+       |  GROUP BY 1, 2),
+       |folded AS (
+       |  SELECT p.pair_id,
+       |         CAST(SUM(CAST(ROUND(CAST(p.m AS DOUBLE) / CAST(p.ctot AS DOUBLE), 9)
+       |               AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS pp,
+       |         CAST(SUM(CAST(ROUND(CAST(p.m AS DOUBLE) / CAST(t.rtot AS DOUBLE), 9)
+       |               AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS rr
+       |  FROM perN p JOIN rt t ON t.pair_id = p.pair_id AND t.n = p.n
+       |  GROUP BY 1)
+       |SELECT pair_id,
+       |       ROUND(pp, 6) + 0.0 AS precision,
+       |       ROUND(rr, 6) + 0.0 AS recall,
+       |       ROUND(CASE WHEN pp + rr > 0
+       |             THEN 5.0 * pp * rr / (4.0 * pp + rr) ELSE 0.0 END, 6) + 0.0
+       |         AS chrf
+       |FROM folded""".stripMargin
+
   /** The poly_hash64(md5(e)) replay (the v10/v11 recipe): fold the md5
     * hex image's chars through (a·31 + ch) mod 2⁶⁴ as HUGEINT.
     */
@@ -9166,6 +9247,7 @@ object SparkEntry {
     "t58_nb_cv" -> t58OracleSql,
     // t59: the generated per-n gram replay — see t59OracleSql
     "t59_bleu" -> t59OracleSql,
+    "t60_chrf" -> t60OracleSql,
     // c33: the t57 chain's kept set — docs whose round-6 sigmoid clears
     // 0.5 — with the fixture's lang attached
     "c33_config_lr_screen" -> (

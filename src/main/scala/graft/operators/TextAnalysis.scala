@@ -2443,6 +2443,67 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6) + lit(0.0)).as("bleu"): _*)
   }
 
+  /** Per-pair chrF (Popović 2015, see PAPERS.md) — the character-level
+    * complement of [[bleuPairs]], robust to tokenization and morphology:
+    * per n = 1..`maxN` CHARACTER n-grams, clipped matches
+    * m_n = Σ_g min(tf_cand, tf_ref), precision P_n = m_n/|cand grams|,
+    * recall R_n = m_n/|ref grams|; P and R are the arithmetic MEANS over
+    * n (round-9 DECIMAL sums, one division), and
+    * chrF_β = (1+β²)·P·R / (β²·P + R) with the 0-guard when both are 0.
+    *
+    * Plan shape is [[bleuPairs]]'s verbatim (tagged union of positional
+    * char-shingle kernel passes per side, one (pair, n, gram) hash agg
+    * each, one equi-join) with a FULL outer fold replaced by: the
+    * candidate side LEFT-joins for clipping, and the reference side's
+    * per-(pair, n) totals join back for recall — grams only the
+    * reference has contribute to R_n's denominator through that total,
+    * never as rows. Inputs shorter than n chars contribute their whole
+    * text as the one n-gram (the charShingleHashes short-input rule).
+    * Output: (idCol, precision, recall, chrf) — round-6.
+    */
+  def chrfPairs(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"maxN must be in [1, 9], got $maxN")
+    val dec = DecimalType(28, 9)
+    def grams(c: String): DataFrame =
+      (1 to maxN).map { n =>
+        pairs.select(col(idCol), lit(n).as("__n"),
+            explode(graft.functions.GraftFunctions.shingle_hashes(
+              graft.operators.Dedup.normalized(col(c)), n, word = false,
+              distinct = false)).as("__g"))
+      }.reduce(_ unionByName _)
+        .groupBy(col(idCol), col("__n"), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+    val cand = grams(candCol)
+    val ref = grams(refCol).select(col(idCol), col("__n"), col("__g"),
+      col("__c").as("__r"))
+    val refTot = ref.groupBy(col(idCol), col("__n"))
+      .agg(sum(col("__r")).as("__rtot"))
+    val perN = cand.join(ref, Seq(idCol, "__n", "__g"), "left")
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__m"),
+        sum(col("__c")).as("__ctot"))
+      .join(refTot, Seq(idCol, "__n"))
+    val folded = perN.groupBy(col(idCol))
+      .agg(
+        sum(round(col("__m").cast("double") / col("__ctot").cast("double"), 9)
+          .cast(dec)).as("__ps"),
+        sum(round(col("__m").cast("double") / col("__rtot").cast("double"), 9)
+          .cast(dec)).as("__rs"),
+        count(lit(1)).as("__k"))
+      .select(col(idCol),
+        (col("__ps").cast("double") / col("__k").cast("double")).as("__p"),
+        (col("__rs").cast("double") / col("__k").cast("double")).as("__r"))
+    val b2 = beta * beta
+    folded.select(col(idCol),
+      (round(col("__p"), 6) + lit(0.0)).as("precision"),
+      (round(col("__r"), 6) + lit(0.0)).as("recall"),
+      (round(when(col("__p") + col("__r") > 0,
+          lit(1.0 + b2) * col("__p") * col("__r") /
+            (lit(b2) * col("__p") + col("__r")))
+        .otherwise(lit(0.0)), 6) + lit(0.0)).as("chrf"))
+  }
+
   /** k-fold cross-validation of the multinomial Naive Bayes classifier
     * WITHOUT retraining — the additive-sufficient-statistic trick at its
     * strongest: fold f's leave-out model is (global counts − fold f's

@@ -1652,4 +1652,32 @@ class TextAnalysisSpec extends SparkTestBase {
       r9(math.log(3.0 / 4.0)) + r9(math.log(2.0 / 3.0))) / 4.0))
     assert(g9._7 === want)
   }
+
+  test("chrfPairs: hand-computed per-n precision/recall means and the " +
+      "beta=2 F-score; identical pair scores 1") {
+    def r9(x: Double) = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val pairs = Seq(
+      (1L, "abc", "abc"),
+      // cand 'aa' vs ref 'ab' at maxN=2:
+      // n=1: cand {a:2}, ref {a:1,b:1} -> m=1, P1=1/2, R1=1/2
+      // n=2: cand {aa}, ref {ab} -> m=0, P2=0, R2=0
+      (2L, "aa", "ab")).toDF("pair_id", "cand", "ref")
+    val got = TextAnalysis.chrfPairs(pairs, "pair_id", "cand", "ref",
+        maxN = 2, beta = 2.0)
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1.0, 1.0, 1.0)))
+    val p = (r9(0.5) + r9(0.0)) / 2.0
+    val r = (r9(0.5) + r9(0.0)) / 2.0
+    assert(got(2L)._2 === r6(p) && got(2L)._3 === r6(r))
+    assert(got(2L)._4 === r6(5.0 * p * r / (4.0 * p + r)))
+    // total miss -> 0-guard
+    val miss = TextAnalysis.chrfPairs(
+        Seq((3L, "xyz", "abc")).toDF("pair_id", "cand", "ref"),
+        "pair_id", "cand", "ref", maxN = 2)
+      .as[(Long, Double, Double, Double)].head()
+    assert(miss._4 === 0.0)
+  }
 }
