@@ -4254,7 +4254,7 @@ object SparkEntry {
         q.stop()
         throw new IllegalStateException("e41 stream did not drain in 300s")
       }
-      StreamingRetrievalEval.currentEval(s, s"$tmp/state")
+      StreamingRetrievalEval.currentEval(s, s"$tmp/state", qrels)
     }),
 
     // hybrid retrieval: b02's BM25 leg and an s01-shape dense cosine leg
@@ -6784,11 +6784,11 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT doc_id + 1000000, text || ' ' || text, text FROM documents),
        |cs AS MATERIALIZED (
-       |  SELECT pair_id, regexp_replace(lower(trim(cand)), '\\s+', ' ', 'g') AS s
-       |  FROM prs WHERE regexp_replace(lower(trim(cand)), '\\s+', ' ', 'g') <> ''),
+       |  SELECT pair_id, regexp_replace(lower(trim(cand)), '\\s+', '', 'g') AS s
+       |  FROM prs WHERE regexp_replace(lower(trim(cand)), '\\s+', '', 'g') <> ''),
        |rs AS MATERIALIZED (
-       |  SELECT pair_id, regexp_replace(lower(trim(ref)), '\\s+', ' ', 'g') AS s
-       |  FROM prs WHERE regexp_replace(lower(trim(ref)), '\\s+', ' ', 'g') <> ''),
+       |  SELECT pair_id, regexp_replace(lower(trim(ref)), '\\s+', '', 'g') AS s
+       |  FROM prs WHERE regexp_replace(lower(trim(ref)), '\\s+', '', 'g') <> ''),
        |${chrfGramSql("cg", "cs", 6)},
        |${chrfGramSql("rg", "rs", 6)},
        |rt AS (SELECT pair_id, n, SUM(c) AS rtot FROM rg GROUP BY 1, 2),

@@ -612,12 +612,21 @@ object Governance {
     *     `maxTokensPerDoc` coordinates of the (label, token) count
     *     vector by 1 each (all under its own label), so the vector's L1
     *     sensitivity is EXACTLY `maxTokensPerDoc`.
-    *   - Release: seeded Laplace(maxTokensPerDoc/ε) per coordinate →
-    *     ε-DP for the whole count vector. The stability threshold on
-    *     the raw noisy value (release only ≥ `threshold`) and the
-    *     smoothed log-probability tail are POST-PROCESSING — they spend
-    *     no additional budget, and the vocabulary revealed is only the
-    *     thresholded one (the v11 argument).
+    *   - Release: seeded Laplace(maxTokensPerDoc/ε) per coordinate.
+    *     The released NUMBERS are ε-DP post-processing, but the
+    *     released VOCABULARY (which (label, token) coordinates clear
+    *     the stability threshold) is data-dependent — a coordinate
+    *     present only in one contributor's documents clears τ with
+    *     probability ≤ ½·exp(−(τ−1)·ε/L) under D and probability 0
+    *     under the neighbor D′, so the overall release is (ε, δ)-DP,
+    *     NOT pure ε-DP. τ calibration is the CALLER's, exactly as on
+    *     [[dpTokenRelease]]: with Laplace(L/ε) noise and
+    *     L = maxTokensPerDoc, releasing only coordinates whose noisy
+    *     count ≥ τ bounds that surfacing probability per coordinate;
+    *     pick τ for the target δ (union-bounded over the ≤ L
+    *     coordinates one document can touch). The smoothed
+    *     log-probability tail over ALREADY-released values is genuine
+    *     budget-free post-processing.
     *   - Model tail over released values only: logp = round-9
     *     ln((r + 1)/(N_c + V)) with r the round-6 released count
     *     (DECIMAL-routed on both engines), N_c the DECIMAL sum of the

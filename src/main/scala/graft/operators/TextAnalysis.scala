@@ -2444,7 +2444,9 @@ object TextAnalysis {
   }
 
   /** Per-pair chrF (Popović 2015, see PAPERS.md) — the character-level
-    * complement of [[bleuPairs]], robust to tokenization and morphology:
+    * complement of [[bleuPairs]], robust to tokenization and morphology.
+    * Whitespace is STRIPPED before char-shingling (the published chrF /
+    * sacreBLEU default — lowercase-then-remove-spaces here):
     * per n = 1..`maxN` CHARACTER n-grams, clipped matches
     * m_n = Σ_g min(tf_cand, tf_ref), precision P_n = m_n/|cand grams|,
     * recall R_n = m_n/|ref grams|; P and R are the arithmetic MEANS over
@@ -2469,8 +2471,8 @@ object TextAnalysis {
       (1 to maxN).map { n =>
         pairs.select(col(idCol), lit(n).as("__n"),
             explode(graft.functions.GraftFunctions.shingle_hashes(
-              graft.operators.Dedup.normalized(col(c)), n, word = false,
-              distinct = false)).as("__g"))
+              regexp_replace(lower(trim(col(c))), "\\s+", ""), n,
+              word = false, distinct = false)).as("__g"))
       }.reduce(_ unionByName _)
         .groupBy(col(idCol), col("__n"), col("__g"))
         .agg(count(lit(1)).as("__c"))
@@ -2602,12 +2604,18 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__pred") === col("__truth"), 1L).otherwise(0L))
           .as("n_correct"))
-    perFold.unionByName(perFold.groupBy()
+    val out = perFold.unionByName(perFold.groupBy()
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_correct")).as("n_correct"))
         .select(lit(-1L).as("fold"), col("n_docs"), col("n_correct")))
       .select(col("fold"), col("n_docs"), col("n_correct"),
         round(col("n_correct").cast("double") / col("n_docs").cast("double"), 6)
           .as("accuracy"))
+      // the result is numFolds+1 rows — checkpointing IT cuts the lineage
+      // back to foldCounts, so the corpus-scale (fold, label, token)
+      // blocks can be released here instead of living until session end
+      .localCheckpoint(eager = true)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(foldCounts)
+    out
   }
 
   /** Hashed-feature frame of binary logistic regression — the hashing

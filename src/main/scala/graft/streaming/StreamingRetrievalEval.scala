@@ -27,7 +27,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *     rows per batch, never reads history.
  *   - [[currentEval]] (the read path) pools the stored rows through the
  *     SHARED [[CorpusStats.retrievalPooled]] tail — drained == batch
- *     b04 over everything streamed, same oracle verbatim (`e41`).
+ *     b04 over everything streamed, same oracle verbatim (`e41`). The
+ *     qrels-aware overload additionally zero-fills judged queries the
+ *     system never retrieved for (they appear in no batch, so they are
+ *     never banked; batch counts them as zero-metric rows).
  *   - [[compactState]] folds the tail into the base as-is (metric rows
  *     are per-query facts): compacted state is O(queries).
  *
@@ -81,12 +84,38 @@ object StreamingRetrievalEval {
       .select(col("query_id"), col("__rr"), col("__recall"), col("__ndcg"))
 
   /** The maintained pooled report — the batch operator's own tail over
-    * the banked rows: equals batch [[CorpusStats.retrievalEval]] over
-    * everything streamed so far, under any whole-query batching.
-    * Output: (n_queries, mrr, recall_at_k, ndcg).
+    * the banked rows. NOTE: a judged query the system NEVER retrieved
+    * for appears in no micro-batch, so it is never banked — batch
+    * retrievalEval counts it as a zero-metric row (its n_queries is
+    * qrels-driven). Use the qrels-aware overload to match batch for
+    * such systems; this one equals batch only when every judged query
+    * has at least one run row. Output: (n_queries, mrr, recall_at_k,
+    * ndcg).
     */
   def currentEval(spark: SparkSession, stateDir: String): DataFrame =
     CorpusStats.retrievalPooled(storedMetrics(spark, stateDir))
+
+  /** The pooled report zero-filled against the qrels query set: judged
+    * queries with no banked metrics (the system retrieved NOTHING for
+    * them, so no batch ever carried them) enter as zero-metric rows —
+    * exactly how batch [[CorpusStats.retrievalPerQuery]]'s ideal-side
+    * left join counts them. With this overload, drained == batch b04
+    * under any whole-query batching, including retrieve-nothing
+    * queries.
+    */
+  def currentEval(spark: SparkSession, stateDir: String,
+      qrels: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val zero = lit(0).cast(dec)
+    val filled = qrels.filter(col("grade") > 0)
+      .select(col("query_id")).distinct()
+      .join(storedMetrics(spark, stateDir), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__rr"), zero).as("__rr"),
+        coalesce(col("__recall"), zero).as("__recall"),
+        coalesce(col("__ndcg"), zero).as("__ndcg"))
+    CorpusStats.retrievalPooled(filled)
+  }
 
   /** Fold the metric tail into the base. Call BETWEEN runs; the swap is
     * crash-safe and refuses under a live stream.
