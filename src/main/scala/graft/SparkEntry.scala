@@ -2642,6 +2642,30 @@ object SparkEntry {
         maxN = 6, beta = 2.0)
     }),
 
+    // main-content HTML extraction, stage 0 of every web pipeline: each
+    // document wrapped in synthesized page chrome (nav/aside/footer/
+    // heading templates), then the boilerpipe-style densitometric block
+    // classifier — per-block integer features and content labels. The
+    // oracle replays the identical block split + arithmetic relationally
+    "t61_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Html.htmlBlockFeatures(
+        docs.select(col("doc_id"),
+          htmlWrap(col("doc_id"), col("text")).as("html")),
+        "doc_id", "html")
+    }),
+
+    // the extraction's page-level surface: content blocks rebuilt in
+    // document order — map-only (the rebuild happens inside each page's
+    // own block array; zero shuffle at any corpus size)
+    "t62_html_main_content" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Html.htmlMainContent(
+        docs.select(col("doc_id"),
+          htmlWrap(col("doc_id"), col("text")).as("html")),
+        "doc_id", "html")
+    }),
+
     // k-fold cross-validation of the NB classifier WITHOUT retraining:
     // fold f's leave-out model = global counts - fold f's counts (the
     // additive sufficient statistic again), so all 5 models come from
@@ -3831,6 +3855,23 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // extraction feeding the existing curation gate (the c07 stage-1
+    // body): wrap every document in page chrome, extract main content
+    // map-only, then language/quality/repetition-gate the EXTRACTED
+    // text — the composition a web-corpus pipeline actually runs
+    "c34_html_extract_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val blocks = graft.operators.Html.htmlBlocks(
+        htmlWrap(col("doc_id"), col("text")))
+      val fed = docs.select(col("doc_id"),
+        array_join(transform(
+          filter(blocks, b => b.getField("is_content")),
+          b => b.getField("text")), " ").as("text"),
+        col("lang"))
+      graft.pipeline.StagePipeline.qualityGate(fed, "en",
+        minQuality = 0.9, maxDupBigramFrac = 0.05)
+    }),
+
     // curation funnel: documents surviving each c07 stage — the yield
     // report a pipeline owner reads before anything ships; stages share
     // the EXACT c07 construction so the funnel can't drift from the gate
@@ -4987,10 +5028,15 @@ object SparkEntry {
 
   // shared oracle fragments: t01/t02/t12 are gated standalone AND stitched
   // into the composed c01 pipeline oracle
-  private val t01LangSql =
-    """WITH toks AS (SELECT doc_id,
-                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-              FROM documents)
+  private val t01LangSql = langOverSql("documents")
+
+  /** t01's language-ID replay over any table exposing (doc_id, text) —
+    * c34 re-runs it over HTML-extracted main content.
+    */
+  private def langOverSql(table: String): String =
+    s"""WITH toks AS (SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM $table)
          SELECT doc_id, CASE WHEN CAST(substr(best, 1, 10) AS INT) > 0
                              THEN substr(best, 11) ELSE 'und' END AS pred_lang
          FROM (SELECT doc_id, greatest(
@@ -5566,6 +5612,25 @@ object SparkEntry {
     * RE-COMPUTED over the surviving corpus (importance statistics are
     * corpus-relative) feeding the t24 fingerprint-coin resample.
     */
+  /** c34's replay: extraction (the t62 chain) feeding the c07 stage-1
+    * gate — language/quality/repetition are re-run over the EXTRACTED
+    * text via the source-parameterized CTE builders, so this oracle and
+    * c07's can never disagree on the gate arithmetic.
+    */
+  private def c34OracleSql: String =
+    s"""WITH ${htmlBlocksCtes()},
+       |$htmlMainCte,
+       |exdocs AS (SELECT h.doc_id, h.main_text AS text, d.lang
+       |           FROM hmain h JOIN documents d USING (doc_id)),
+       |lang AS (${langOverSql("exdocs")}),
+       |qual AS (${qualityOverSql("exdocs")}),
+       |rep AS (${repetitionOverSql("exdocs")})
+       |SELECT e.doc_id, e.text, e.lang, q.quality
+       |FROM exdocs e JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |     JOIN rep r USING (doc_id)
+       |WHERE l.pred_lang = 'en' AND q.quality >= 0.9
+       |  AND r.dup_bigram_frac <= 0.05""".stripMargin
+
   private def c07OracleSql: String =
     s"""WITH $c07Ctes
        |SELECT * FROM kept""".stripMargin
@@ -7571,6 +7636,112 @@ object SparkEntry {
     * `FixtureContractSpec` canary pinning no-degenerate-docs stays as the
     * second line of defense.
     */
+  // ------------------------------------------------------- t61/t62/c34
+  // Synthesized page wrapper for the HTML-extraction gates: nav + aside
+  // chrome, an article whose paragraphs carry the document's text, a
+  // link-only footer — one template string shared by the Spark fixture
+  // and the DuckDB oracle so the two can never drift. No single quotes
+  // anywhere in the literals (they embed in SQL '...' strings verbatim).
+  private val htmlTplHead = "<html><head><title>doc "
+  private val htmlTplChrome =
+    "</title><style>body{margin:0}</style></head><body>" +
+      "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/all\">All docs</a></li>" +
+      "<li><a href=\"/about\">About us</a></li></ul></nav>" +
+      "<aside><p>Related: <a href=\"/r1\">first related doc</a> " +
+      "<a href=\"/r2\">second related doc</a></p></aside><article><h1>Document "
+  private val htmlTplMid = "</h1><p>"
+  private val htmlTplP2 = "</p><p>"
+  private val htmlTplTail =
+    " tail words &amp; the end here.</p><p>Share <a href=\"/s\">this</a></p>" +
+      "</article><footer><p><a href=\"/t\">Terms of service</a> " +
+      "<a href=\"/p\">Privacy notice</a> <a href=\"/c\">Contact page</a></p>" +
+      "</footer></body></html>"
+
+  /** The page column both engines extract from: every boilerplate class
+    * the classifier must reject (link-dense nav/aside/footer, a short
+    * heading, a short share-link paragraph) around the document's text
+    * split into two paragraphs, with one `&amp;` to exercise the entity
+    * decode and a `<style>` body the noise pass must drop.
+    */
+  private def htmlWrap(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    lit(htmlTplHead), id.cast("string"), lit(htmlTplChrome),
+    id.cast("string"), lit(htmlTplMid), substring(text, 1, 150),
+    lit(htmlTplP2), substring(text, 151, 1 << 30), lit(htmlTplTail))
+
+  private val htmlWrapSql: String =
+    s"'$htmlTplHead' || CAST(doc_id AS VARCHAR) || '$htmlTplChrome' || " +
+      s"CAST(doc_id AS VARCHAR) || '$htmlTplMid' || substr(text, 1, 150) || " +
+      s"'$htmlTplP2' || substr(text, 151) || '$htmlTplTail'"
+
+  /** [[graft.operators.Html]]'s block split + feature arithmetic replayed
+    * relationally over the wrapped `documents` pages — CTE chain (no
+    * leading WITH) ending in `hblocks(doc_id, block_idx, text,
+    * text_chars, link_chars, words, stop_hits, is_content)`. Every regex
+    * is the operator's own RE2-safe constant; the entity-decode chain and
+    * the stopword list are injected from the same Scala values the
+    * operator compiles.
+    */
+  private def htmlBlocksCtes(minWords: Int = 5): String = {
+    def strip(x: String) = s"regexp_replace($x, '${graft.operators.Html.anyTagRe}', ' ', 'g')"
+    def ent(x: String) = graft.operators.Html.entityDecodes.foldLeft(x) {
+      case (acc, (from, to)) =>
+        s"replace($acc, '$from', '${to.replace("'", "''")}')"
+    }
+    val dropChain = graft.operators.Html.dropWithContentRes.foldLeft("html")(
+      (acc, re) => s"regexp_replace($acc, '$re', ' ', 'g')")
+    val stops = TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""hraw AS (SELECT doc_id, $htmlWrapSql AS html FROM documents),
+       |hpre AS (SELECT doc_id, $dropChain AS h FROM hraw),
+       |hblk AS (SELECT doc_id, string_split(
+       |    regexp_replace(h, '${graft.operators.Html.boundaryTagRe}', chr(7), 'g'),
+       |    chr(7)) AS bs FROM hpre),
+       |hex AS (SELECT doc_id, CAST(i - 1 AS INT) AS block_idx,
+       |    bs[CAST(i AS INT)] AS b
+       |  FROM hblk, lateral unnest(range(1, len(bs) + 1)) t(i)),
+       |hfx AS (SELECT doc_id, block_idx, ${ent(strip("b"))} AS traw,
+       |    ${
+        // DuckDB array_to_string([]) is NULL where Spark array_join is ''
+        ent(strip("coalesce(array_to_string(regexp_extract_all(b, '" +
+          graft.operators.Html.anchorRe + "', 1), ' '), '')"))
+      } AS lraw
+       |  FROM hex),
+       |hfe AS (SELECT doc_id, block_idx,
+       |    trim(regexp_replace(traw, '\\s+', ' ', 'g')) AS text,
+       |    CAST(length(regexp_replace(traw, '\\s+', '', 'g')) AS INT) AS text_chars,
+       |    CAST(length(regexp_replace(lraw, '\\s+', '', 'g')) AS INT) AS link_chars
+       |  FROM hfx),
+       |hfw AS (SELECT *, CAST(CASE WHEN text_chars = 0 THEN 0
+       |      ELSE len(string_split(text, ' ')) END AS INT) AS words,
+       |    CAST(len(list_filter(
+       |      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |      x -> list_contains($stops, x))) AS INT) AS stop_hits
+       |  FROM hfe),
+       |hblocks AS (SELECT doc_id, block_idx, text, text_chars, link_chars,
+       |    words, stop_hits,
+       |    (words >= $minWords AND 3 * link_chars <= text_chars) AS is_content
+       |  FROM hfw WHERE text_chars > 0)""".stripMargin
+  }
+
+  /** t62's per-doc rebuild as a CTE over [[htmlBlocksCtes]]'s `hblocks`
+    * — `hmain(doc_id, main_text, n_blocks, n_content)`, LEFT-joined from
+    * `documents` so a page with zero blocks still yields its row (the
+    * operator is map-only per input row).
+    */
+  private val htmlMainCte: String =
+    s"""hmain AS (
+       |  SELECT d.doc_id, coalesce(g.mt, '') AS main_text,
+       |         CAST(coalesce(g.nb, 0) AS INT) AS n_blocks,
+       |         CAST(coalesce(g.nc, 0) AS INT) AS n_content
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id,
+       |           string_agg(text, ' ' ORDER BY block_idx)
+       |             FILTER (WHERE is_content) AS mt,
+       |           COUNT(*) AS nb,
+       |           COUNT(*) FILTER (WHERE is_content) AS nc
+       |    FROM hblocks GROUP BY doc_id) g USING (doc_id))""".stripMargin
+
   private def qualityOverSql(table: String): String =
     s"""SELECT doc_id, ROUND(raw_quality, 6) + 0.0 AS quality FROM (
          SELECT doc_id,
@@ -7845,12 +8016,17 @@ object SparkEntry {
        |FROM scored""".stripMargin
   }
 
-  private val t12RepetitionSql =
-    """WITH b AS (
+  private val t12RepetitionSql = repetitionOverSql("documents")
+
+  /** t12's repetition replay over any table exposing (doc_id, text) —
+    * c34 re-runs it over HTML-extracted main content.
+    */
+  private def repetitionOverSql(table: String): String =
+    s"""WITH b AS (
            SELECT doc_id,
-                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
                   list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
-           FROM documents),
+           FROM $table),
          g AS (
            SELECT doc_id, lines,
                   CASE WHEN len(toks) >= 2
@@ -9248,6 +9424,19 @@ object SparkEntry {
     // t59: the generated per-n gram replay — see t59OracleSql
     "t59_bleu" -> t59OracleSql,
     "t60_chrf" -> t60OracleSql,
+
+    // t61/t62: the block split + densitometric feature arithmetic and
+    // the per-page content rebuild, replayed relationally from the
+    // operator's OWN regex/entity/stopword constants
+    "t61_html_extract" ->
+      s"""WITH ${htmlBlocksCtes()}
+         |SELECT * FROM hblocks""".stripMargin,
+    "t62_html_main_content" ->
+      s"""WITH ${htmlBlocksCtes()},
+         |$htmlMainCte
+         |SELECT * FROM hmain""".stripMargin,
+    "c34_html_extract_gate" -> c34OracleSql,
+
     // c33: the t57 chain's kept set — docs whose round-6 sigmoid clears
     // 0.5 — with the fixture's lang attached
     "c33_config_lr_screen" -> (

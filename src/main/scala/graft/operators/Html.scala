@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Main-content HTML extraction — the stage-0 web-pipeline operator
+ * (C4 / RefinedWeb both start here): segment a PAGE into blocks at
+ * structural tags and classify each block as main content vs
+ * boilerplate, so navigation chrome, sidebars and footers never reach
+ * the downstream quality/dedup/tokenize stages.
+ *
+ * The classifier is the published densitometric line-block rule
+ * (Kohlschütter et al., WSDM 2010 "Boilerplate detection using shallow
+ * text features" — boilerpipe; jusText's context-free core is the same
+ * shape; see PAPERS.md): per block the INTEGER features
+ *
+ *   - `text_chars` — non-whitespace characters after tag-strip + the
+ *     basic-entity decode,
+ *   - `link_chars` — non-whitespace characters of text inside
+ *     `<a>…</a>` anchors (same strip/decode),
+ *   - `words`      — whitespace token count,
+ *   - `stop_hits`  — tokens in the shared English stopword list
+ *     ([[TextAnalysis.stopwords]], via the `token_set_hits` kernel) —
+ *     emitted as a feature for downstream gates, deliberately NOT used
+ *     by the label rule (densitometric classification needs no
+ *     language-specific list; jusText's stopword rule is a variant),
+ *
+ * and the content rule: `words >= minWords AND 3·link_chars <=
+ * text_chars` (link density ≤ 1/3). Short headings (`<h1>` of <
+ * `minWords` words) classify as boilerplate by design — the extraction
+ * target is running text, and the threshold is the caller's knob.
+ *
+ * Scope/limitations (documented, not hidden): the block split is
+ * regex-structural (no DOM tree), `<head>`/`<script>`/`<style>` bodies
+ * and comments are removed WHEN WELL-FORMED (an unclosed `<script>`
+ * leaks — a real crawler fronts this with a tag-soup repair pass), and
+ * only the five basic character entities plus `&nbsp;` decode. Every
+ * pattern is RE2-safe (no backreferences, no lookaround) so the DuckDB
+ * oracle replays the exact split + arithmetic relationally.
+ *
+ * 100 TB posture: both surfaces are MAP-ONLY — the block split, the
+ * per-block features and the content rebuild all run inside one
+ * projection over the page scan (array ops on the split vector; no
+ * explode, no shuffle, no per-doc state). [[htmlBlockFeatures]] adds
+ * one explode for the per-block frame; nothing shuffles.
+ */
+object Html {
+
+  /** Structural block-boundary tags — the Kohlschütter block split.
+    * Inline/flow tags (`<a> <b> <i> <em> <strong> <span> <img> <code>`)
+    * deliberately do NOT split: an anchor mid-sentence stays inside its
+    * block (that is what link density measures).
+    */
+  val boundaryTagRe: String =
+    "(?i)</?(?:p|div|h[1-6]|li|td|th|tr|ul|ol|table|nav|footer|header|" +
+      "aside|section|article|main|form|blockquote|pre|br|hr|body|html)\\b[^>]*>"
+
+  /** Container tags removed WITH their content before block-splitting. */
+  val dropWithContentRes: Seq[String] = Seq(
+    "(?is)<head\\b[^>]*>.*?</head>",
+    "(?is)<script\\b[^>]*>.*?</script>",
+    "(?is)<style\\b[^>]*>.*?</style>",
+    "(?s)<!--.*?-->")
+
+  /** Any remaining tag (inline ones, after the boundary split). */
+  val anyTagRe: String = "(?s)<[^>]*>"
+
+  /** Anchor inner text (group 1) — link-density's numerator source. */
+  val anchorRe: String = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** Basic entity decode, applied AFTER tag-strip in this order
+    * (`&amp;` last, per the standard decode discipline). Shared with
+    * the oracle builder so both engines decode identically.
+    */
+  val entityDecodes: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** The block separator sentinel boundary tags collapse to (BEL — never
+    * occurs in text-bearing HTML).
+    */
+  val sep = "\u0007"
+
+  private def decodeEntities(c: Column): Column =
+    entityDecodes.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+
+  private def stripTags(c: Column): Column =
+    regexp_replace(c, anyTagRe, " ")
+
+  /** Page → the block vector (noise containers dropped, boundary tags
+    * collapsed to [[sep]], split). Still carries inline tags.
+    */
+  private def rawBlocks(html: Column): Column = {
+    val noNoise = dropWithContentRes.foldLeft(html)(
+      (acc, re) => regexp_replace(acc, re, " "))
+    split(regexp_replace(noNoise, boundaryTagRe, sep), sep)
+  }
+
+  /** One block's feature/label struct; `idx` is the block's 0-based
+    * position in the PRE-filter split (stable across both engines).
+    */
+  private def blockStruct(b: Column, idx: Column, minWords: Int): Column = {
+    val text = decodeEntities(stripTags(b))
+    val linkText = decodeEntities(stripTags(
+      array_join(regexp_extract_all(b, lit(anchorRe), lit(1)), " ")))
+    val textChars = length(regexp_replace(text, "\\s+", ""))
+    val linkChars = length(regexp_replace(linkText, "\\s+", ""))
+    val norm = trim(regexp_replace(text, "\\s+", " "))
+    val words = when(textChars === 0, lit(0)).otherwise(size(split(norm, " ")))
+    val stops = element_at(graft.functions.GraftFunctions.token_set_hits(
+      norm, Seq(TextAnalysis.stopwords("en"))), 1).cast("int")
+    struct(
+      idx.cast("int").as("block_idx"),
+      norm.as("text"),
+      textChars.as("text_chars"),
+      linkChars.as("link_chars"),
+      words.as("words"),
+      stops.as("stop_hits"),
+      (words >= minWords && lit(3) * linkChars <= textChars).as("is_content"))
+  }
+
+  /** The page's classified block vector:
+    * array<struct<block_idx, text, text_chars, link_chars, words,
+    * stop_hits, is_content>> — empty (pure-markup) blocks dropped,
+    * `block_idx` preserving pre-filter order. Map-only.
+    */
+  def htmlBlocks(html: Column, minWords: Int = 5): Column = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    filter(
+      transform(rawBlocks(html), (b, i) => blockStruct(b, i, minWords)),
+      s => s.getField("text_chars") > 0)
+  }
+
+  /** Per-block feature/label frame — the t61 gate surface. One explode
+    * over [[htmlBlocks]]; everything upstream is map-only. Output:
+    * (idCol, block_idx, text, text_chars, link_chars, words, stop_hits,
+    * is_content).
+    */
+  def htmlBlockFeatures(df: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 5): DataFrame =
+    df.select(col(idCol), explode(htmlBlocks(col(htmlCol), minWords)).as("__b"))
+      .select(col(idCol), col("__b.block_idx"), col("__b.text"),
+        col("__b.text_chars"), col("__b.link_chars"), col("__b.words"),
+        col("__b.stop_hits"), col("__b.is_content"))
+
+  /** Per-page main content: content blocks rejoined in document order
+    * with single spaces, plus block counts. ZERO shuffle — the rebuild
+    * happens inside the page's own array (no explode, no groupBy), so
+    * at 100 TB this is a pure scan→project stage. Output:
+    * (idCol, main_text, n_blocks, n_content).
+    */
+  def htmlMainContent(df: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 5): DataFrame =
+    // staged projections: the block vector (one regex pass over the
+    // page) and the content subset each materialize ONCE per row —
+    // referenced multiple times below, CollapseProject keeps the
+    // non-cheap producers from being inlined (and re-evaluated) 3×
+    df.select(col(idCol), htmlBlocks(col(htmlCol), minWords).as("__blocks"))
+      .select(col(idCol),
+        filter(col("__blocks"), s => s.getField("is_content"))
+          .as("__content"),
+        size(col("__blocks")).as("n_blocks"))
+      .select(col(idCol),
+        array_join(transform(col("__content"), s => s.getField("text")), " ")
+          .as("main_text"),
+        col("n_blocks"),
+        size(col("__content")).as("n_content"))
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class HtmlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val page =
+    """<html><head><title>T</title><style>p{margin:0}</style></head><body>
+      |<!-- chrome -->
+      |<nav><ul><li><a href="/">Home</a></li><li><a href="/all">All docs</a></li></ul></nav>
+      |<article><h1>Doc one</h1>
+      |<p>the quick brown fox jumps over the lazy dog</p>
+      |<p>Share <a href="/s">this</a></p></article>
+      |<footer><p><a href="/t">Terms of service</a> <a href="/p">Privacy notice</a></p></footer>
+      |</body></html>""".stripMargin
+
+  test("htmlBlockFeatures: hand-computed block split, features and labels") {
+    val df = Seq((1L, page)).toDF("doc_id", "html")
+    val rows = Html.htmlBlockFeatures(df, "doc_id", "html")
+      .orderBy("block_idx")
+      .as[(Long, Int, String, Int, Int, Int, Int, Boolean)].collect()
+    val byText = rows.map(r => r._3 -> r).toMap
+    // six text-bearing blocks survive (whitespace-only splits drop)
+    assert(rows.length === 6)
+    // nav items: short AND all-link -> boilerplate
+    assert(byText("Home") === ((1L, byText("Home")._2, "Home", 4, 4, 1, 0, false)))
+    assert(byText("All docs")._4 === 7 && byText("All docs")._5 === 7 &&
+      byText("All docs")._6 === 2 && !byText("All docs")._8)
+    // short heading -> boilerplate by minWords (documented behavior)
+    assert(byText("Doc one")._6 === 2 && byText("Doc one")._5 === 0 &&
+      !byText("Doc one")._8)
+    // the one running-text paragraph: 9 words, 35 non-ws chars, no links,
+    // two 'the' stopword hits -> content
+    val main = byText("the quick brown fox jumps over the lazy dog")
+    assert(main._4 === 35 && main._5 === 0 && main._6 === 9 && main._7 === 2)
+    assert(main._8)
+    // 'Share this': 2 words -> boilerplate by length (link chars counted)
+    assert(byText("Share this")._5 === 4 && !byText("Share this")._8)
+    // footer: 5 words (passes minWords) but 27/27 link chars -> killed by
+    // the link-density rule specifically
+    val footer = byText("Terms of service Privacy notice")
+    assert(footer._4 === 27 && footer._5 === 27 && footer._6 === 5 &&
+      !footer._8)
+    // block_idx strictly increasing in document order
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+  }
+
+  test("htmlMainContent rebuilds content blocks in order, map-only counts") {
+    val df = Seq((1L, page)).toDF("doc_id", "html")
+    val got = Html.htmlMainContent(df, "doc_id", "html")
+      .as[(Long, String, Int, Int)].head()
+    assert(got === ((1L,
+      "the quick brown fox jumps over the lazy dog", 6, 1)))
+  }
+
+  test("entity decode (amp last), multi-paragraph order, tagless input") {
+    val df = Seq(
+      (1L, "<p>A &amp;lt; B &lt;x&gt; stays &quot;q&#39;s&quot; &nbsp;ok</p>" +
+        "<p>second content block here with words enough</p>"),
+      (2L, "plain text with no tags at all counts as one block")
+    ).toDF("doc_id", "html")
+    val rows = Html.htmlBlockFeatures(df, "doc_id", "html", minWords = 4)
+      .orderBy("doc_id", "block_idx")
+      .as[(Long, Int, String, Int, Int, Int, Int, Boolean)].collect()
+    // &amp; decodes LAST: '&amp;lt;' -> '&lt;' literally, never '<'
+    assert(rows(0)._3 === "A &lt; B <x> stays \"q's\" ok")
+    val main = Html.htmlMainContent(df, "doc_id", "html", minWords = 4)
+      .orderBy("doc_id").as[(Long, String, Int, Int)].collect()
+    assert(main(0)._2 === "A &lt; B <x> stays \"q's\" ok " +
+      "second content block here with words enough")
+    assert(main(1) === ((2L,
+      "plain text with no tags at all counts as one block", 1, 1)))
+  }
+
+  test("script/style/head/comment bodies drop; empty page yields no blocks") {
+    val df = Seq(
+      (1L, "<head><title>gone</title></head><script>var x='gone';</script>" +
+        "<style>.x{}</style><!-- gone --><p>kept words here for sure</p>"),
+      (2L, ""), (3L, "<div></div><p>  </p>")).toDF("doc_id", "html")
+    val rows = Html.htmlBlockFeatures(df, "doc_id", "html", minWords = 3)
+      .as[(Long, Int, String, Int, Int, Int, Int, Boolean)].collect()
+    assert(rows.length === 1 && rows(0)._1 === 1L &&
+      rows(0)._3 === "kept words here for sure" && rows(0)._8)
+    val main = Html.htmlMainContent(df, "doc_id", "html", minWords = 3)
+      .orderBy("doc_id").as[(Long, String, Int, Int)].collect()
+    assert(main(1) === ((2L, "", 0, 0)) && main(2) === ((3L, "", 0, 0)))
+  }
+}
