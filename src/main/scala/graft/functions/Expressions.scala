@@ -253,6 +253,74 @@ case class ConstellationFromEnergies(child: Expression, fanout: Int,
   override def prettyName: String = "constellation_from_energies"
 }
 
+/** Real-format 24-bit BMP decode to the 32×32 grayscale grid (see
+  * [[MediaCodecs.bmpPixelGrid]]) — null (not error) for a non-BMP
+  * payload, so mixed-format corpora drop foreign rows.
+  */
+case class BmpPixelGrid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodecs.bmpPixelGrid(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaCodecs.bmpPixelGrid($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): BmpPixelGrid =
+    copy(child = newChild)
+  override def prettyName: String = "bmp_pixel_grid"
+}
+
+/** BMP-reel demux into per-frame byte slices (see
+  * [[MediaCodecs.bmpFrameGrid]]).
+  */
+case class BmpFrameGrid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodecs.bmpFrameGrid(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaCodecs.bmpFrameGrid($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): BmpFrameGrid =
+    copy(child = newChild)
+  override def prettyName: String = "bmp_frame_grid"
+}
+
+/** WAV PCM channel-0 energy envelope (see
+  * [[MediaCodecs.wavEnergyEnvelope]]).
+  */
+case class WavEnergyEnvelope(child: Expression, windowSamples: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodecs.wavEnergyEnvelope(v.asInstanceOf[Array[Byte]], windowSamples)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaCodecs.wavEnergyEnvelope($c, $windowSamples);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(
+      newChild: Expression): WavEnergyEnvelope = copy(child = newChild)
+  override def prettyName: String = "wav_energy_envelope"
+}
+
+/** WAV PCM n-slice frame sampling (see [[MediaCodecs.wavSampleFrames]]). */
+case class WavSampleFrames(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodecs.wavSampleFrames(v.asInstanceOf[Array[Byte]], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaCodecs.wavSampleFrames($c, $n);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(
+      newChild: Expression): WavSampleFrames = copy(child = newChild)
+  override def prettyName: String = "wav_sample_frames"
+}
+
 /** Stretch-sampled pixel grid kernel (see [[HashKernels.stretchPixels]]). */
 case class StretchPixels(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -590,6 +658,14 @@ object GraftFunctions {
   def token_set_hits(c: Column, table: Seq[Seq[String]]): Column = Bridge.column(
     TokenSetHits(Bridge.expression(c), table))
 
+  def bmp_pixel_grid(c: Column): Column = Bridge.column(
+    BmpPixelGrid(Bridge.expression(c)))
+  def bmp_frame_grid(c: Column): Column = Bridge.column(
+    BmpFrameGrid(Bridge.expression(c)))
+  def wav_energy_envelope(c: Column, windowSamples: Int): Column =
+    Bridge.column(WavEnergyEnvelope(Bridge.expression(c), windowSamples))
+  def wav_sample_frames(c: Column, n: Int): Column = Bridge.column(
+    WavSampleFrames(Bridge.expression(c), n))
   def bpe_encode_syms(c: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncodeSyms(Bridge.expression(c), merges))
   def alpha_space_count(c: Column): Column = Bridge.column(

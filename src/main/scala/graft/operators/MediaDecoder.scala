@@ -71,6 +71,40 @@ trait MediaDecoder {
  *   - frames: substring framing over BINARY (n-chunk for sampling,
  *     full `frameBytes`-sized frames for the grid).
  */
+/**
+ * REAL-codec binding over the pure-JVM parsers in
+ * [[graft.functions.MediaCodecs]] — the production-shaped proof that the
+ * seam holds: uncompressed 24-bit BMP for the image/video surfaces
+ * (single image → [[pixelGrid]]; a "BMP reel" of concatenated records →
+ * [[frameGrid]], demuxed by each record's own declared size) and PCM WAV
+ * for the audio surfaces (channel-0 mean-|amplitude| windows quantized
+ * below 2¹⁴ → [[energyEnvelope]]; block-aligned even slices of the data
+ * chunk → [[sampleFrames]]). A payload in the WRONG format decodes to
+ * null and the row drops — the MediaDecoder contract — so a corpus
+ * mixing images and audio routes each asset to the operators that can
+ * read it. All four remain map-only Column transforms (codegen'd kernel
+ * call per row); every m-family gate is byte-identical under either
+ * binding because everything past the decode is decoder-independent.
+ */
+final case class BmpWavDecoder(windowSamples: Int = 512)
+    extends MediaDecoder {
+  require(windowSamples >= 1, s"need a positive window, got $windowSamples")
+
+  override def pixelGrid(payload: Column): Column =
+    graft.functions.GraftFunctions.bmp_pixel_grid(payload.cast("binary"))
+
+  override def energyEnvelope(payload: Column): Column =
+    graft.functions.GraftFunctions.wav_energy_envelope(
+      payload.cast("binary"), windowSamples)
+
+  override def sampleFrames(payload: Column, n: Int): Column =
+    graft.functions.GraftFunctions.wav_sample_frames(
+      payload.cast("binary"), n)
+
+  override def frameGrid(payload: Column): Column =
+    graft.functions.GraftFunctions.bmp_frame_grid(payload.cast("binary"))
+}
+
 final case class ByteStubDecoder(windowBytes: Int = 16,
     frameBytes: Int = 16) extends MediaDecoder {
   require(windowBytes >= 1 && windowBytes <= 64,
