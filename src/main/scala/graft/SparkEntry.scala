@@ -3019,6 +3019,94 @@ object SparkEntry {
         seed = "v12:")
     }),
 
+    // near-dup screening on the STREAMING config path (the e35 shape):
+    // the same YAML stage kind compiled per micro-batch — scope contract
+    // is the batch (crawl ingest shards neighborhoods together; the
+    // cross-batch index variant is StreamingNearDup/d08). doc_id % 2
+    // batching co-locates each doc with its mangled twin (1000000 is
+    // even), so the twin screen happens in-batch; cross-doc accidental
+    // pairs spanning batches survive — the oracle replays that scope
+    // EXACTLY (pairs restricted to equal batch id)
+    "e44_streaming_config_neardup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e44").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text"),
+        col("lang")))
+      StreamingCuration.seedFingerprints(docs.limit(0), "text", s"$tmp/fp")
+      for (r <- 0 until 2)
+        corpus.filter(pmod(col("doc_id"), lit(2)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: streaming-neardup-screen
+          |  stages:
+          |    - stage: nearDupScreen
+          |      options:
+          |        threshold: "0.7"
+          |    - stage: qualityGate
+          |      options:
+          |        lang: en
+          |        minQuality: "0.9"
+          |        maxDupBigramFrac: "0.05"
+          |""".stripMargin)
+      val q = StreamingCuration.startFromConfig(s, src, cfg, Map.empty,
+        "doc_id", "text", "lang", s"$tmp/fp", s"$tmp/kept", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e44 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
+    }),
+
+    // PII redaction on the STREAMING config path: redact-then-gate per
+    // micro-batch — per-document and map-only, so drained == batch under
+    // ANY batching (quality is computed over the REDACTED text, making
+    // the stage's effect observable in the gate's membership)
+    "e45_streaming_config_pii" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e45").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from "), (col("doc_id") % 256).cast("string"), lit(".0.10."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" tel +1 555 01"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"),
+        col("lang"))
+      StreamingCuration.seedFingerprints(docs.limit(0), "text", s"$tmp/fp")
+      for (r <- 0 until 2)
+        docs.filter(pmod(col("doc_id"), lit(2)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: streaming-pii-gate
+          |  stages:
+          |    - stage: piiRedact
+          |    - stage: qualityGate
+          |      options:
+          |        lang: en
+          |        minQuality: "0.9"
+          |        maxDupBigramFrac: "0.05"
+          |""".stripMargin)
+      val q = StreamingCuration.startFromConfig(s, src, cfg, Map.empty,
+        "doc_id", "text", "lang", s"$tmp/fp", s"$tmp/kept", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e45 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
+    }),
+
     // t-closeness, categorical ground distance: each (hour, value-bucket)
     // class's event-type distribution vs the corpus-global one; every
     // |p - q| term is an exact DECIMAL integer, one final IEEE division
@@ -3870,6 +3958,48 @@ object SparkEntry {
         col("lang"))
       graft.pipeline.StagePipeline.qualityGate(fed, "en",
         minQuality = 0.9, maxDupBigramFrac = 0.05)
+    }),
+
+    // near-dup screening declared from YAML — d03's recipe as the
+    // registry stage every production config lists: pairs at 0.7 over
+    // the d03 corpus, greedy keep-lowest (idB of any pair drops)
+    "c35_config_neardup_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s", "").as("text")))
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: neardup-screen
+          |  stages:
+          |    - stage: nearDupScreen
+          |      options:
+          |        threshold: "0.7"
+          |""".stripMargin)
+      graft.pipeline.StagePipeline.compile(cfg, corpus)
+        .select("doc_id", "text")
+    }),
+
+    // PII redaction declared from YAML — t17's redaction as an in-place
+    // stage: text replaced by its redacted form, every other column
+    // passing through (the redact-first compliance pipeline shape)
+    "c36_config_pii_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from "), (col("doc_id") % 256).cast("string"), lit(".0.10."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" tel +1 555 01"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: pii-redact
+          |  stages:
+          |    - stage: piiRedact
+          |""".stripMargin)
+      graft.pipeline.StagePipeline.compile(cfg, docs)
+        .select("doc_id", "text")
     }),
 
     // curation funnel: documents surviving each c07 stage — the yield
@@ -5612,6 +5742,131 @@ object SparkEntry {
     * RE-COMPUTED over the surviving corpus (importance statistics are
     * corpus-relative) feeding the t24 fingerprint-coin resample.
     */
+  /** The d03 fixture corpus (originals + first-word-dropped copies) as a
+    * `docs2` CTE — shared by d03 and the c35/e44 screen gates.
+    */
+  private val d03Docs2Cte: String =
+    """docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents)"""
+      .stripMargin
+
+  /** d03's all-pairs 5-gram Jaccard truth as a reusable CTE chain over a
+    * caller-defined `docs2(doc_id, text, ...)` CTE — ending in
+    * `ndpairs(idA, idB, j)` with the threshold applied on the unrounded
+    * ratio (d03's own rule) and `j` round-4. `scopeCol` (a batch id)
+    * restricts pairs to equal-scope rows — the streaming per-batch
+    * screen's scope contract (e44).
+    */
+  private def nearDupPairCtes(threshold: Double,
+      scopeCol: Option[String] = None): String = {
+    val scopeJoin = scopeCol.map(c => s" AND a.$c = b.$c").getOrElse("")
+    val scopeSel = scopeCol.map(c => s", $c").getOrElse("")
+    s"""ndnorm AS (
+       |  SELECT doc_id$scopeSel,
+       |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+       |  FROM docs2),
+       |ndgrams AS (
+       |  SELECT doc_id$scopeSel,
+       |         CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
+       |              ELSE list_distinct(list_transform(range(1, length(n) - 3),
+       |                     i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
+       |  FROM ndnorm),
+       |ndgs AS (SELECT doc_id$scopeSel, g, len(g) AS n FROM ndgrams WHERE len(g) > 0),
+       |ndex AS (SELECT doc_id$scopeSel, n, unnest(g) AS p FROM ndgs),
+       |ndpairs AS (
+       |  SELECT idA, idB, ROUND(jraw, 4) + 0.0 AS j FROM (
+       |    SELECT a.doc_id AS idA, b.doc_id AS idB,
+       |           CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) AS jraw
+       |    FROM ndex a JOIN ndex b ON a.p = b.p AND a.doc_id < b.doc_id$scopeJoin
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+       |  WHERE jraw >= $threshold)""".stripMargin
+  }
+
+  /** t17's PII fixture (emails/IPv4s/phones appended per doc) as an
+    * `aug` CTE carrying (doc_id, text, lang) — shared by t17/c36/e45.
+    */
+  private val t17AugCte: String =
+    // no line here may START with '||' — this CTE interpolates into
+    // stripMargin callers (c36/e45), which would eat the first pipe
+    """aug AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+      |         ' from ' || CAST(doc_id % 256 AS VARCHAR) || '.0.10.' ||
+      |         CAST((doc_id * 7) % 256 AS VARCHAR) ||
+      |         ' tel +1 555 01' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |           AS text,
+      |         lang
+      |  FROM documents)""".stripMargin
+
+  /** t17's three-pattern redaction chain over a text expression —
+    * shared verbatim by the t17 gate and the c36/e45 stage gates.
+    */
+  private def piiRedactExprSql(textExpr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($textExpr,
+       |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |  '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g'),
+       |  '[+]?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')""".stripMargin
+
+  /** e44's replay: the per-batch near-dup screen scope EXACTLY — pairs
+    * restricted to equal batch id (doc_id % 2; a doc and its mangled
+    * twin share parity, cross-doc accidental pairs spanning batches
+    * survive by the documented scope contract) — then the c07 stage-1
+    * gate over survivors and the e05 fingerprint fold (earliest batch's
+    * min-id doc wins per exact-dup fingerprint).
+    */
+  private def e44OracleSql: String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text, lang, doc_id % 2 AS b FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s', ''),
+       |         lang, doc_id % 2
+       |  FROM documents),
+       |${nearDupPairCtes(0.7, Some("b"))},
+       |screened AS (
+       |  SELECT d.* FROM docs2 d
+       |  ANTI JOIN (SELECT DISTINCT idB AS doc_id FROM ndpairs) x USING (doc_id)),
+       |lang AS (${langOverSql("screened")}),
+       |qual AS (${qualityOverSql("screened")}),
+       |rep AS (${repetitionOverSql("screened")}),
+       |gated AS (
+       |  SELECT s.doc_id, s.lang, s.b, q.quality,
+       |         md5(regexp_replace(lower(trim(s.text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM screened s JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |       JOIN rep r USING (doc_id)
+       |  WHERE l.pred_lang = 'en' AND q.quality >= 0.9
+       |    AND r.dup_bigram_frac <= 0.05)
+       |SELECT doc_id, lang, quality FROM (
+       |  SELECT doc_id, lang, quality,
+       |         row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+       |  FROM gated) WHERE rn = 1""".stripMargin
+
+  /** e45's replay: t17's redaction chain, then the c07 stage-1 gate over
+    * the REDACTED text (per-document stages — any batching drains
+    * identically), then the e05 fingerprint fold.
+    */
+  private def e45OracleSql: String =
+    s"""WITH $t17AugCte,
+       |red AS (
+       |  SELECT doc_id, ${piiRedactExprSql("text")} AS text, lang,
+       |         doc_id % 2 AS b
+       |  FROM aug),
+       |lang AS (${langOverSql("red")}),
+       |qual AS (${qualityOverSql("red")}),
+       |rep AS (${repetitionOverSql("red")}),
+       |gated AS (
+       |  SELECT s.doc_id, s.lang, s.b, q.quality,
+       |         md5(regexp_replace(lower(trim(s.text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM red s JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |       JOIN rep r USING (doc_id)
+       |  WHERE l.pred_lang = 'en' AND q.quality >= 0.9
+       |    AND r.dup_bigram_frac <= 0.05)
+       |SELECT doc_id, lang, quality FROM (
+       |  SELECT doc_id, lang, quality,
+       |         row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+       |  FROM gated) WHERE rn = 1""".stripMargin
+
   /** c34's replay: extraction (the t62 chain) feeding the c07 stage-1
     * gate — language/quality/repetition are re-run over the EXTRACTED
     * text via the source-parameterized CTE builders, so this oracle and
@@ -9437,6 +9692,22 @@ object SparkEntry {
          |SELECT * FROM hmain""".stripMargin,
     "c34_html_extract_gate" -> c34OracleSql,
 
+    // c35/c36: the registry's near-dup screen and PII redaction stages,
+    // gated by d03's pair truth / t17's redaction chain verbatim (the
+    // shared CTE builders)
+    "c35_config_neardup_screen" ->
+      s"""WITH $d03Docs2Cte,
+         |${nearDupPairCtes(0.7)}
+         |SELECT d.doc_id, d.text FROM docs2 d
+         |ANTI JOIN (SELECT DISTINCT idB AS doc_id FROM ndpairs) x USING (doc_id)"""
+        .stripMargin,
+    "c36_config_pii_redact" ->
+      s"""WITH $t17AugCte
+         |SELECT doc_id, ${piiRedactExprSql("text")} AS text FROM aug"""
+        .stripMargin,
+    "e44_streaming_config_neardup" -> e44OracleSql,
+    "e45_streaming_config_pii" -> e45OracleSql,
+
     // c33: the t57 chain's kept set — docs whose round-6 sigmoid clears
     // 0.5 — with the fixture's lang attached
     "c33_config_lr_screen" -> (
@@ -11015,28 +11286,9 @@ object SparkEntry {
     // 64-bit gram hashing is collision-free at ~550 grams/doc, so
     // hashed-set Jaccard == string-set Jaccard on both engines.
     "d03_minhash_pairs" ->
-      """WITH docs2 AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s', '') FROM documents),
-         norm AS (
-           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM docs2),
-         grams AS (
-           SELECT doc_id,
-                  CASE WHEN length(n) < 5 THEN (CASE WHEN length(n) = 0 THEN [] ELSE [hash(n)] END)
-                       ELSE list_distinct(list_transform(range(1, length(n) - 3),
-                              i -> hash(substr(n, CAST(i AS INT), 5)))) END AS g
-           FROM norm),
-         gs AS (SELECT doc_id, g, len(g) AS n FROM grams WHERE len(g) > 0),
-         ex AS (SELECT doc_id, n, unnest(g) AS p FROM gs),
-         inter AS (
-           SELECT a.doc_id AS idA, b.doc_id AS idB, a.n AS na, b.n AS nb, COUNT(*) AS i
-           FROM ex a JOIN ex b ON a.p = b.p AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4)
-         SELECT idA, idB,
-                ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) + 0.0 AS jaccard
-         FROM inter
-         WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7""",
+      s"""WITH $d03Docs2Cte,
+         ${nearDupPairCtes(0.7)}
+         SELECT idA, idB, j AS jaccard FROM ndpairs""",
     // the d03 all-pairs truth swept over the literal threshold array:
     // per-threshold pair count + distinct involved docs, zero rows kept
     "d19_dedup_sensitivity" ->
@@ -11725,23 +11977,13 @@ object SparkEntry {
     // same RE2-safe patterns and replacement order as
     // TextAnalysis.piiPatterns; counts come from the pre-redaction text
     "t17_pii_redaction" ->
-      """WITH aug AS (
-           SELECT doc_id,
-                  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                       || ' from ' || CAST(doc_id % 256 AS VARCHAR) || '.0.10.'
-                       || CAST((doc_id * 7) % 256 AS VARCHAR)
-                       || ' tel +1 555 01' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                    AS text
-           FROM documents)
+      s"""WITH $t17AugCte
          SELECT doc_id,
-                regexp_replace(regexp_replace(regexp_replace(text,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g'),
-                  '[+]?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS text_redacted,
+                ${piiRedactExprSql("text")} AS text_redacted,
                 CAST(len(regexp_extract_all(text,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
                 CAST(len(regexp_extract_all(text,
-                  '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                  '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
                 CAST(len(regexp_extract_all(text,
                   '[+]?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone
          FROM aug""",

@@ -105,6 +105,45 @@ object StagePipeline {
     df.join(kept, Seq("doc_id"), "left_semi")
   }
 
+  /** Near-dup screen — d03's MinHash-LSH recipe as a curation stage:
+    * near-dup pairs at `threshold` over THE FRAME THE STAGE SEES, then
+    * the greedy keep-lowest screen (any doc that is the HIGHER id of a
+    * qualifying pair drops — the minimum id of every near-dup cluster
+    * always survives, and a doc's own dropped status never un-drops its
+    * neighbors, matching the pairwise d03 truth).
+    *
+    * SCOPE CONTRACT (the e41 whole-queries precedent): the screen's
+    * scope is its input frame — the whole corpus under the batch
+    * front-end (c31/c35), ONE MICRO-BATCH under the streaming front-end
+    * (e44): crawl ingest naturally shards near-dup neighborhoods
+    * together (a domain's pages arrive in one slice), and the
+    * cross-batch incremental-index variant is
+    * [[graft.streaming.StreamingNearDup]]'s job (d08), not a per-batch
+    * stage's. The e44 oracle replays the per-batch scope exactly.
+    */
+  def nearDupScreen(df: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"nearDupScreen threshold must be in (0, 1], got $threshold")
+    val drop = Dedup.minhashNearDupPairs(df.select(col("doc_id"), col("text")),
+        "doc_id", "text", threshold)
+      .select(col("idB").as("doc_id")).distinct()
+    df.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** PII redaction — t17's [[TextAnalysis.redactPii]] IN PLACE: `text`
+    * is replaced by its redacted form (emails/IPv4s/phones → typed
+    * placeholder tokens), every other column passes through unchanged —
+    * the redact-before-anything-else stage a compliance pipeline lists
+    * first. Per-document and map-only, so batch and streaming
+    * application are trivially identical. The match-count report is
+    * t17's own surface; a stage keeps the frame contract stable.
+    */
+  def piiRedact(df: DataFrame): DataFrame = {
+    val r = TextAnalysis.redactPii(df, "text")
+    r.select(df.columns.map(c =>
+      if (c == "text") col("text_redacted").as("text") else col(c)): _*)
+  }
+
   // ---------------------------------------------------------- registry
 
   private def opt(o: Map[String, String], key: String, default: String) =
@@ -138,6 +177,9 @@ object StagePipeline {
       opt(o, "dim", "64").toInt,
       opt(o, "rounds", "10").toInt,
       opt(o, "eta", "10.0").toDouble)),
+    "nearDupScreen" -> ((df, o, _) => nearDupScreen(df,
+      opt(o, "threshold", "0.7").toDouble)),
+    "piiRedact" -> ((df, _, _) => piiRedact(df)),
     // generic building blocks: a SQL predicate and a row cap
     "filter" -> ((df, o, _) => df.filter(expr(o.getOrElse("expression",
       throw StageError("filter stage requires 'expression'"))))),

@@ -101,6 +101,48 @@ class StagePipelineSpec extends SparkTestBase {
     assert(out.forall(_._2.endsWith("?")))
   }
 
+  test("nearDupScreen stage: the minimum id of every near-dup cluster " +
+      "survives, singletons pass, bad options fail closed") {
+    // 1 and 2 are near-identical (one word dropped), 7 is unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (1L, base, "en"),
+      (2L, base.stripPrefix("alpha "), "en"),
+      (7L, "completely different content about spark shuffles and jaccard",
+        "en")).toDF("doc_id", "text", "lang")
+    val cfg = PipelineConfig("s", List(
+      StageDef("nearDupScreen", Map("threshold" -> "0.7"))))
+    val kept = StagePipeline.compile(cfg, df)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 7L), s"expected min-of-cluster + singleton, got $kept")
+    // pass-through: every input column survives the screen
+    assert(StagePipeline.compile(cfg, df).columns.toSeq ===
+      Seq("doc_id", "text", "lang"))
+    intercept[IllegalArgumentException] {
+      StagePipeline.compile(PipelineConfig("s", List(
+        StageDef("nearDupScreen", Map("threshold" -> "0.0")))), df)
+    }
+    intercept[NumberFormatException] {
+      StagePipeline.compile(PipelineConfig("s", List(
+        StageDef("nearDupScreen", Map("threshold" -> "high")))), df)
+    }
+  }
+
+  test("piiRedact stage: text replaced in place, other columns and " +
+      "column order untouched") {
+    val df = Seq(
+      (1L, "mail me at bob@example.com or call +1 555 0100 200 today", "en"),
+      (2L, "nothing sensitive here", "fr")).toDF("doc_id", "text", "lang")
+    val out = StagePipeline.compile(
+      PipelineConfig("p", List(StageDef("piiRedact"))), df)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "lang"))
+    val rows = out.as[(Long, String, String)].collect().sortBy(_._1)
+    assert(rows(0)._2.contains("<EMAIL>") && rows(0)._2.contains("<PHONE>"))
+    assert(!rows(0)._2.contains("bob@") && rows(0)._3 === "en")
+    assert(rows(1) === ((2L, "nothing sensitive here", "fr")))
+  }
+
   test("stagesOf exposes every stage output under indexed names (the " +
       "funnel shape)") {
     val df = Seq((1L, "a", "en"), (2L, "b", "en")).toDF("doc_id", "text", "lang")
