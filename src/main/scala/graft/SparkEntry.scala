@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3019,6 +3019,31 @@ object SparkEntry {
         seed = "v12:")
     }),
 
+    // streaming scene segmentation — m13's ingest twin (the last
+    // multimodal operator without one): strictly per-asset, so per-batch
+    // application IS the batch operator; drained scenes == batch m13
+    // under any batching, same oracle verbatim; batch-keyed exactly-once
+    "e43_streaming_scene_segments" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e43").toString
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))
+      for (r <- 0 until 3)
+        media.filter(pmod(col("media_id"), lit(3)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("media_id BIGINT, content BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingSceneSegments.start(s, src, "media_id", "content",
+        s"$tmp/scenes", s"$tmp/cp", windowBytes = 16, cutThreshold = 120)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e43 stream did not drain in 300s")
+      }
+      StreamingSceneSegments.scenes(s, s"$tmp/scenes")
+    }),
+
     // near-dup screening on the STREAMING config path (the e35 shape):
     // the same YAML stage kind compiled per micro-batch — scope contract
     // is the batch (crawl ingest shards neighborhoods together; the
@@ -5808,6 +5833,41 @@ object SparkEntry {
        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
        |  '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g'),
        |  '[+]?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')""".stripMargin
+
+  /** m13's replay (shared verbatim by the e43 streaming twin): the
+    * m04 window-energy chain at w=16 + lag-window cut decisions,
+    * running-sum scene labels, per-scene peak keyframe.
+    */
+  private val m13OracleSql: String =
+    """WITH pos AS (
+           SELECT doc_id AS media_id, text, UNNEST(range(1, length(text) + 1)) AS i
+           FROM documents),
+         en AS (
+           SELECT media_id, CAST((i - 1) // 16 AS INT) AS w,
+                  CAST(SUM(unicode(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS e
+           FROM pos GROUP BY 1, 2),
+         cuts AS (
+           SELECT media_id, w, e,
+                  CASE WHEN abs(e - lag(e) OVER (PARTITION BY media_id
+                                                 ORDER BY w)) > 120
+                       THEN 1 ELSE 0 END AS cut
+           FROM en),
+         lbl AS (
+           SELECT media_id, w, e,
+                  CAST(SUM(cut) OVER (PARTITION BY media_id ORDER BY w)
+                       AS BIGINT) AS scene_no
+           FROM cuts),
+         pk AS (
+           SELECT media_id, scene_no, w, e,
+                  row_number() OVER (PARTITION BY media_id, scene_no
+                                     ORDER BY e DESC, w ASC) AS rn
+           FROM lbl)
+         SELECT l.media_id, l.scene_no,
+                MIN(l.w) AS start_w, COUNT(*) AS n_windows,
+                MIN(p.w) AS peak_w, MIN(p.e) AS peak_energy
+         FROM lbl l JOIN pk p ON p.media_id = l.media_id
+                             AND p.scene_no = l.scene_no AND p.rn = 1
+         GROUP BY 1, 2"""
 
   /** e44's replay: the per-batch near-dup screen scope EXACTLY — pairs
     * restricted to equal batch id (doc_id % 2; a doc and its mangled
@@ -12486,36 +12546,10 @@ object SparkEntry {
          FROM pos GROUP BY 1, 2""",
     // m13: the m04 window-energy replay at w=16 + lag-window cut
     // decisions, running-sum scene labels, per-scene peak keyframe
-    "m13_scene_segments" ->
-      """WITH pos AS (
-           SELECT doc_id AS media_id, text, UNNEST(range(1, length(text) + 1)) AS i
-           FROM documents),
-         en AS (
-           SELECT media_id, CAST((i - 1) // 16 AS INT) AS w,
-                  CAST(SUM(unicode(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS e
-           FROM pos GROUP BY 1, 2),
-         cuts AS (
-           SELECT media_id, w, e,
-                  CASE WHEN abs(e - lag(e) OVER (PARTITION BY media_id
-                                                 ORDER BY w)) > 120
-                       THEN 1 ELSE 0 END AS cut
-           FROM en),
-         lbl AS (
-           SELECT media_id, w, e,
-                  CAST(SUM(cut) OVER (PARTITION BY media_id ORDER BY w)
-                       AS BIGINT) AS scene_no
-           FROM cuts),
-         pk AS (
-           SELECT media_id, scene_no, w, e,
-                  row_number() OVER (PARTITION BY media_id, scene_no
-                                     ORDER BY e DESC, w ASC) AS rn
-           FROM lbl)
-         SELECT l.media_id, l.scene_no,
-                MIN(l.w) AS start_w, COUNT(*) AS n_windows,
-                MIN(p.w) AS peak_w, MIN(p.e) AS peak_energy
-         FROM lbl l JOIN pk p ON p.media_id = l.media_id
-                             AND p.scene_no = l.scene_no AND p.rn = 1
-         GROUP BY 1, 2""",
+    "m13_scene_segments" -> m13OracleSql,
+    // e43: per-asset scene segmentation drains identically under any
+    // batching (assets arrive whole) -- m13's oracle verbatim
+    "e43_streaming_scene_segments" -> m13OracleSql,
     "m02_frame_sample" ->
       """SELECT media_id, CAST(i AS INT) AS frame_no,
                 CAST(LEAST(chunk, GREATEST(L - i * chunk, 0)) AS INT) AS frame_len

@@ -3152,4 +3152,59 @@ class StreamingSpec extends SparkTestBase {
     assert(batchKept.contains(101L) && !batchKept.contains(102L),
       s"classifier screen did not separate: $batchKept")
   }
+
+  test("streaming scene segments: drained scenes equal batch m13 under " +
+      "any batching; a replayed batch rewrites exactly its own rows") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_ssc").toString
+    val media = (1L to 9L).map(i =>
+      (i, (("a" * 40) + ("z" * 40) * (i % 3).toInt).getBytes("UTF-8")))
+    val df = media.toDF("media_id", "content")
+    val batchTruth = graft.operators.Multimodal.sceneSegments(df,
+        "media_id", "content", windowBytes = 16, cutThreshold = 120)
+      .as[(Long, Long, Int, Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    // drive the production path batch by batch, replaying batch 0
+    def run(b: Seq[(Long, Array[Byte])], id: Long): Unit =
+      StreamingSceneSegments.processBatch(b.toDF("media_id", "content"),
+        id, "media_id", "content", s"$dir/scenes", 16, 120, None)
+    run(media.filter(_._1 <= 4), 0L)
+    run(media.filter(_._1 <= 4), 0L) // replay: overwrites its own partition
+    run(media.filter(_._1 > 4), 1L)
+    val drained = StreamingSceneSegments.scenes(spark, s"$dir/scenes")
+      .as[(Long, Long, Int, Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(drained.toSeq === batchTruth.toSeq,
+      "drained scenes drifted from batch m13")
+  }
+
+  test("streaming retrieval eval qrels-aware report: a judged query the " +
+      "system never retrieved for zero-fills to match batch") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_srz").toString
+    // q9 is judged but the system retrieves NOTHING for it — it appears
+    // in no micro-batch, so only the qrels-aware overload can count it
+    val qrels = Seq((1L, 10L, 1), (9L, 90L, 1))
+      .toDF("query_id", "doc_id", "grade")
+    val runs = Seq((1L, 10L, 1))
+    runs.toDF("query_id", "doc_id", "rank").coalesce(1)
+      .write.parquet(s"$dir/src")
+    val stream = spark.readStream
+      .schema("query_id BIGINT, doc_id BIGINT, rank INT")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = StreamingRetrievalEval.start(spark, stream, qrels, k = 3,
+      s"$dir/state", s"$dir/cp")
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val batchTruth = graft.operators.CorpusStats.retrievalEval(
+        runs.toDF("query_id", "doc_id", "rank"), qrels, k = 3)
+      .as[(Long, Double, Double, Double)].head()
+    assert(batchTruth._1 === 2L)
+    val filled = StreamingRetrievalEval
+      .currentEval(spark, s"$dir/state", qrels)
+      .as[(Long, Double, Double, Double)].head()
+    assert(filled === batchTruth,
+      "qrels-aware report must zero-fill the retrieve-nothing query")
+    // the plain overload documents the divergence: only banked queries
+    val plain = StreamingRetrievalEval.currentEval(spark, s"$dir/state")
+      .as[(Long, Double, Double, Double)].head()
+    assert(plain._1 === 1L)
+  }
 }
