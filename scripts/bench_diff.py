@@ -108,6 +108,28 @@ if "--isolate" in sys.argv:
 old, new = load(args[0]), load(args[1])
 thr = float(args[2]) if len(args) > 2 else 2.0
 oq, nq = old.get("queries", {}), new.get("queries", {})
+
+
+def rows_of(d):
+    """Absolute observed output rows per query. Newer Bench emits `rows`
+    directly; older files carry only rows_per_sec, from which rows
+    reconstruct as rate*seconds (rounded — the emission rounded the
+    rate, so tolerate ~1% when comparing)."""
+    if "rows" in d:
+        return {k: float(v) for k, v in d["rows"].items()}
+    out = {}
+    for k, rate in d.get("rows_per_sec", {}).items():
+        sec = d.get("queries", {}).get(k)
+        if sec and sec > 0:
+            out[k] = float(rate) * sec
+    return out
+
+
+def rows_equal(a, b):
+    return abs(a - b) <= 0.01 * max(a, b, 1.0)
+
+
+orows, nrows = rows_of(old), rows_of(new)
 flags = []
 added, gone = sorted(nq.keys() - oq.keys()), sorted(oq.keys() - nq.keys())
 for name in sorted(oq.keys() & nq.keys()):
@@ -115,7 +137,21 @@ for name in sorted(oq.keys() & nq.keys()):
     if a > 0 and b / a >= thr and b > 0.5:  # ignore sub-500ms noise
         flags.append((b / a, name, a, b))
 for r, name, a, b in sorted(flags, reverse=True):
-    print(f"  {r:5.1f}x  {name}: {a:.2f}s -> {b:.2f}s")
+    # streaming drains are trigger-overhead-dominated: wall is the wrong
+    # lone metric (round-14 watch item). When both rounds observed the
+    # query's output rows, classify the flag: identical rows mean the
+    # work done is identical (drift candidate — isolation still applies);
+    # changed rows mean the query computed something different.
+    note = ""
+    if name in orows and name in nrows:
+        if rows_equal(orows[name], nrows[name]):
+            note = (f"  [same output rows ({nrows[name]:.0f}) — "
+                    "drift candidate]") if name.startswith("e") else \
+                   f"  [same output rows ({nrows[name]:.0f})]"
+        else:
+            note = (f"  [output rows {orows[name]:.0f} -> {nrows[name]:.0f}"
+                    " — work changed, audit the query/fixture]")
+    print(f"  {r:5.1f}x  {name}: {a:.2f}s -> {b:.2f}s{note}")
 
 
 def family(name):

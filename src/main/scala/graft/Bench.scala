@@ -70,8 +70,13 @@ object Bench {
     val rates = results.collect { case (k, v, true) if observedRows.containsKey(k) =>
       "\"" + k + "\":" + f"${observedRows.get(k) / math.max(v, 1e-9)}%.0f"
     }.mkString("{", ",", "}")
+    // absolute observed output rows — bench_diff separates "same rows,
+    // slower wall" (drift) from "rows changed" (the work itself moved)
+    val rows = results.collect { case (k, _, true) if observedRows.containsKey(k) =>
+      "\"" + k + "\":" + observedRows.get(k)
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rows_per_sec":$rates,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rows_per_sec":$rates,"rows":$rows,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

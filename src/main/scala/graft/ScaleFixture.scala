@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Synthetic scale-up fixture for the scaling probe:
   * `runMain graft.ScaleFixture <srcSfDir> <outDir> [factor]` writes
-  * `documents`, `orders` and `region` parquet under `outDir` with
-  * `factor`× the source rows — the source unioned with id-shifted copies
-  * (copy k shifts doc_id by k·100000 / o_orderkey by k·10⁷, far below the
-  * +10⁶/+2·10⁶ offsets the query fixtures add, so nothing collides).
+  * `documents`, `orders`, `embeddings` and `region` parquet under
+  * `outDir` with `factor`× the source rows — the source unioned with
+  * id-shifted copies (copy k shifts doc_id/vec_id by k·100000 /
+  * o_orderkey by k·10⁷, far below the +10⁶/+2·10⁶ offsets the query
+  * fixtures add, so nothing collides).
   *
   * Copy TEXT is Caesar-shifted per copy (a per-copy `translate` over the
   * lowercase alphabet): token/shingle spaces of different copies are
@@ -45,9 +46,31 @@ object ScaleFixture {
       orders.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 10000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // embeddings (the s-family / g21 probe tables): copy k applies a
+    // PER-COPY ISOMETRY — component rotation by k plus a fixed per-copy
+    // sign pattern. Within a copy every pairwise distance (and thus the
+    // copy's whole ANN/kNN structure) is exactly the source's; across
+    // copies vectors decorrelate, so candidate sets stay independent —
+    // the embedding analogue of the Caesar shift (cluster sizes cannot
+    // inflate by fixture construction).
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = 64
+    def remix(k: Int) =
+      if (k == 0) col("embedding")
+      else expr(
+        s"""transform(sequence(0, ${dim - 1}), i ->
+           |  CAST(element_at(embedding, (CAST(i AS INT) + $k) % $dim + 1) *
+           |       CASE WHEN (CAST(i AS INT) + $k) % 3 = 0
+           |            THEN -1.0 ELSE 1.0 END AS FLOAT))""".stripMargin)
+    (0 until factor).map { k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k.toLong * 100000))
+        .withColumn("embedding", remix(k))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     spark.read.parquet(s"$src/region.parquet")
       .write.mode("overwrite").parquet(s"$out/region.parquet")
-    println(s"[scale-fixture] wrote ${factor}x documents/orders + region to $out")
+    println(s"[scale-fixture] wrote ${factor}x documents/orders/embeddings" +
+      s" + region to $out")
     spark.stop()
   }
 }

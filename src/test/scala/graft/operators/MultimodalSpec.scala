@@ -490,4 +490,82 @@ class MultimodalSpec extends SparkTestBase {
     assert(got === want, s"banded pairs must equal brute force " +
       s"(${got.size} vs ${want.size})")
   }
+
+  private def guardMetric(name: String)(run: => Unit): Option[(Long, Long)] = {
+    @volatile var got: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get(name).foreach(r =>
+          got = Some((r.getAs[Long]("dropped_buckets"),
+            r.getAs[Long]("max_bucket_size"))))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      run
+      var waited = 0
+      while (got.isEmpty && waited < 10000) { Thread.sleep(50); waited += 50 }
+      got
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("audio_fp_skew_guard under fire: a jingle landmark shared by every " +
+      "asset drops at the cap (observe-counted) and creates NO pairs; the " +
+      "genuine duplicate pair survives on its own landmarks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val jingle = Array.fill[Byte](160)((rnd.nextInt(96) + 32).toByte)
+    def tail(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill[Byte](160)((r.nextInt(96) + 32).toByte)
+    }
+    // 30 assets share the jingle prefix; assets 1 and 2 are FULL dups
+    val media = (1L to 30L).map(i =>
+      (i, jingle ++ tail(if (i == 2L) 1001 else 1000 + i.toInt)))
+      .toDF("media_id", "content")
+    var pairs: Seq[(Long, Long, Long, Long)] = Nil
+    val metric = guardMetric("audio_fp_skew_guard") {
+      pairs = Multimodal.audioFingerprintPairs(media, "media_id", "content",
+          windowBytes = 16, minAligned = 2, maxHashGroup = 10)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)),
+      s"only the genuine dup pair may survive the jingle, got $pairs")
+    assert(pairs.head._3 === 0L, "full dups align at offset 0")
+    val (dropped, maxSize) = metric.getOrElse(fail("guard metric never fired"))
+    assert(dropped >= 1L, s"jingle landmark groups must drop, got $dropped")
+    assert(maxSize === 30L, s"hottest group is the 30-asset jingle, got $maxSize")
+  }
+
+  test("clip_frame_skew_guard under fire: a boilerplate frame digest in " +
+      "every reel drops at the cap (observe-counted); the genuine clip " +
+      "pair aligns on its unique frames alone") {
+    import spark.implicits._
+    val black = Array.fill[Byte](16)(0x11.toByte)
+    def frame(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill[Byte](16)((r.nextInt(250) + 1).toByte)
+    }
+    // every reel opens with the boilerplate frame; reels 1 and 2 share
+    // their four content frames too (the true clip pair)
+    val media = (1L to 30L).map { i =>
+      val base = if (i == 2L) 1L else i
+      (i, black ++ (1 to 4).flatMap(f => frame(5000 + base.toInt * 10 + f)).toArray)
+    }.toDF("media_id", "content")
+    var pairs: Seq[(Long, Long, Long, Long)] = Nil
+    val metric = guardMetric("clip_frame_skew_guard") {
+      pairs = Multimodal.videoClipAlign(media, "media_id", "content",
+          frameBytes = 16, minAligned = 3, maxDigestGroup = 10)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)),
+      s"only the genuine clip pair may survive the boilerplate frame, got $pairs")
+    assert(pairs.head._3 === 0L && pairs.head._4 === 4L,
+      s"the pair aligns on its 4 unique frames at offset 0, got $pairs")
+    val (dropped, maxSize) = metric.getOrElse(fail("guard metric never fired"))
+    assert(dropped === 1L, s"exactly the boilerplate digest drops, got $dropped")
+    assert(maxSize === 30L, s"hottest group is the 30-reel frame, got $maxSize")
+  }
 }
