@@ -42,13 +42,19 @@ object SkewProbe {
           e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
-    // the adversarial corpus: a shared 64-byte boilerplate lead (jingle /
-    // black frame) on EVERY asset, distinct content after it — the hot
-    // bucket is corpus-sized, the genuine signal is per-asset
+    // the adversarial corpus: a shared 512-byte boilerplate lead (a
+    // 32-window jingle / 32 lead frames, window- and frame-aligned so
+    // every lead landmark/digest is shared verbatim; VARIED bytes — a
+    // constant-energy lead would have no peaks and hence no landmarks)
+    // on EVERY asset, distinct content after it — the hot buckets are
+    // corpus-sized, the genuine signal is per-asset
+    val lead = {
+      val r = new scala.util.Random(42)
+      (1 to 512).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
     val media = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").as("media_id"),
-        encode(concat(lit("BOILERPLATE-LEAD-" * 4), col("text")), "UTF-8")
-          .as("content"))
+        encode(concat(lit(lead), col("text")), "UTF-8").as("content"))
     val t0 = System.nanoTime()
     val n =
       if (op == "audio")
