@@ -3044,6 +3044,42 @@ object SparkEntry {
       StreamingSceneSegments.scenes(s, s"$tmp/scenes")
     }),
 
+    // outlink extraction feeding URL canonicalization — stage 0 of the
+    // web GRAPH (crawl frontiers / link-spam screens / host PageRank):
+    // messy anchors (uppercase host, default port, tracking params,
+    // fragments, one relative link) extract raw and collapse to
+    // canonical keys; relative URLs canonicalize to NULL (the documented
+    // drop)
+    "t63_html_outlinks" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        htmlLinkPage(col("doc_id"), col("text")).as("html"))
+      graft.operators.Html.outlinks(pages, "doc_id", "html")
+        .withColumn("canonical_url",
+          TextAnalysis.canonicalUrl(col("url")))
+    }),
+
+    // the web-graph composition: pages → outlinks → canonical URLs →
+    // (src, dst) edges → the EXISTING PageRank operator — extraction
+    // feeding graph analytics end-to-end. Self-links filtered; doc 0
+    // ends up dangling (all its targets are itself), exercising the
+    // dangling-mass drop on both engines
+    "g22_web_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"),
+        htmlLinkPage(col("doc_id"), col("text")).as("html"))
+      val edges = graft.operators.Html.outlinks(pages, "doc_id", "html")
+        .select(col("doc_id").as("src"),
+          regexp_extract(TextAnalysis.canonicalUrl(col("url")),
+            "/doc/([0-9]+)", 1).as("__d"))
+        .filter(col("__d") =!= "")
+        .select(col("src"), col("__d").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      Graph.pageRank(docs.select("doc_id"), edges, "doc_id", "src", "dst",
+          iters = 3, damping = 0.85)
+        .select(col("doc_id"), (round(col("score"), 8) + lit(0.0)).as("score"))
+    }),
+
     // near-dup screening on the STREAMING config path (the e35 shape):
     // the same YAML stage kind compiled per micro-batch — scope contract
     // is the batch (crawl ingest shards neighborhoods together; the
@@ -5767,6 +5803,134 @@ object SparkEntry {
     * RE-COMPUTED over the surviving corpus (importance statistics are
     * corpus-relative) feeding the t24 fingerprint-coin resample.
     */
+  // ------------------------------------------------------- t63/g22
+  // The LINKED page template (one relative nav link + three absolute
+  // links with every canonicalization hazard: uppercase host, default
+  // port, tracking params, fragment). Targets doc_id÷{2,3,5} are
+  // self-contained (always existing ids, no corpus-size constant) —
+  // doc 0's targets are all itself, making it the dangling vertex.
+  private val linkTplHead =
+    "<html><body><nav><a href=\"/local/nav\">Home</a></nav><article><p>"
+  private val linkTplA = " see <a href=\"HTTP://Example.COM:80/doc/"
+  private val linkTplAEnd = "?utm_source=feed&ref=rss#f\">one</a>"
+  private val linkTplB = " and <a href=\"https://Example.COM:443/doc/"
+  private val linkTplBEnd = "?z=1&a=2\">two</a>"
+  private val linkTplC = " and <a href=\"http://example.com/doc/"
+  private val linkTplCEnd = "\">three</a></p></article></body></html>"
+
+  private def htmlLinkPage(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def idiv(k: Int) = ((id - pmod(id, lit(k))) / k).cast("long").cast("string")
+    concat(lit(linkTplHead), text,
+      lit(linkTplA), idiv(2), lit(linkTplAEnd),
+      lit(linkTplB), idiv(3), lit(linkTplBEnd),
+      lit(linkTplC), idiv(5), lit(linkTplCEnd))
+  }
+
+  /** The linked-page fixture + raw outlink extraction as CTEs ending in
+    * `u(doc_id, url)` — the [[canonicalUrlCtes]] input contract.
+    */
+  private val linkPagesCtes: String =
+    s"""lpages AS (
+       |  SELECT doc_id,
+       |         '$linkTplHead' || text ||
+       |         '$linkTplA' || CAST(doc_id // 2 AS VARCHAR) || '$linkTplAEnd' ||
+       |         '$linkTplB' || CAST(doc_id // 3 AS VARCHAR) || '$linkTplBEnd' ||
+       |         '$linkTplC' || CAST(doc_id // 5 AS VARCHAR) || '$linkTplCEnd'
+       |           AS html
+       |  FROM documents),
+       |lraw AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(html, '${graft.operators.Html.hrefRe}', 1)) AS url
+       |  FROM lpages),
+       |u AS (SELECT doc_id, url FROM lraw WHERE url <> '')""".stripMargin
+
+  /** [[TextAnalysis.canonicalUrl]]'s relational replay over a
+    * caller-defined `u(doc_id, url)` CTE — ending in
+    * `cu(doc_id, url, canonical_url)`. The chain is f07's inline oracle
+    * stage for stage (same extracts, same tracking-param filter, same
+    * binary-collation sort) with the raw `url` carried through so
+    * multi-link pages keep row identity.
+    */
+  private val canonicalUrlCtes: String =
+    """parts AS (
+      |  SELECT doc_id, url,
+      |         lower(COALESCE(regexp_extract(url,
+      |           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+      |         COALESCE(regexp_extract(url,
+      |           '^[^:/?#]+://([^/?#]*)', 1), '') AS authority,
+      |         COALESCE(regexp_extract(url,
+      |           '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '') AS path0,
+      |         COALESCE(regexp_extract(
+      |           regexp_replace(url, '#.*$', ''), '\?(.*)$', 1), '') AS query
+      |  FROM u),
+      |auth AS (
+      |  SELECT doc_id, url, scheme, path0, query,
+      |         COALESCE(regexp_extract(authority, '^(.*@)', 1), '') AS userinfo,
+      |         lower(regexp_replace(authority, '^.*@', '')) AS hostport
+      |  FROM parts),
+      |norm AS (
+      |  SELECT doc_id, url, scheme, userinfo,
+      |         regexp_replace(hostport, ':[0-9]+$', '') AS host,
+      |         COALESCE(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+      |         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+      |         COALESCE(list_aggregate(list_sort(
+      |           list_filter(string_split(query, '&'),
+      |             p -> p <> '' AND NOT regexp_matches(p,
+      |               '^(utm_[^=]*|fbclid|gclid|msclkid)='))),
+      |           'string_agg', '&'), '') AS sq
+      |  FROM auth),
+      |cu AS (
+      |  SELECT doc_id, url,
+      |         CASE WHEN scheme = '' THEN NULL
+      |              ELSE scheme || '://' || userinfo || host ||
+      |                   (CASE WHEN port <> ''
+      |                          AND NOT ((scheme = 'http' AND port = '80')
+      |                           OR (scheme = 'https' AND port = '443'))
+      |                         THEN ':' || port ELSE '' END) ||
+      |                   path ||
+      |                   (CASE WHEN sq <> '' THEN '?' || sq ELSE '' END) END
+      |           AS canonical_url
+      |  FROM norm)""".stripMargin
+
+  /** g22's replay: the t63 link chain, edge parse (first `/doc/<n>`
+    * group of the canonical URL, self-links out, DISTINCT), then s15's
+    * PageRank iteration CTEs over doc ids — the SUBTRACTED teleport
+    * term, IEEE per-edge division, DECIMAL(28,10) contribution sums and
+    * dangling-mass drop, exactly [[graft.operators.Graph.pageRank]].
+    */
+  private def g22OracleSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT t.doc_id,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |         + CAST(0.85 AS DOUBLE)
+         |           * COALESCE(CAST(s.m AS DOUBLE), CAST(0.0 AS DOUBLE)) AS score
+         |  FROM nodes t LEFT JOIN (
+         |    SELECT ed.dst AS doc_id,
+         |           SUM(CAST(rr.score / ed.d AS DECIMAL(28,10))) AS m
+         |    FROM dedges ed JOIN $prev rr ON ed.src = rr.doc_id
+         |    GROUP BY 1) s ON t.doc_id = s.doc_id)""".stripMargin
+    s"""WITH $linkPagesCtes,
+       |$canonicalUrlCtes,
+       |edges AS (
+       |  SELECT DISTINCT doc_id AS src,
+       |         CAST(regexp_extract(canonical_url, '/doc/([0-9]+)', 1) AS BIGINT) AS dst
+       |  FROM cu
+       |  WHERE canonical_url IS NOT NULL
+       |    AND COALESCE(regexp_extract(canonical_url, '/doc/([0-9]+)', 1), '') <> ''
+       |    AND CAST(regexp_extract(canonical_url, '/doc/([0-9]+)', 1) AS BIGINT) <> doc_id),
+       |nodes AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |dedges AS (SELECT e.src, e.dst, dg.d FROM edges e JOIN deg dg ON e.src = dg.src),
+       |r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS score FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT doc_id, ROUND(score, 8) + 0.0 AS score FROM r3""".stripMargin
+  }
+
   /** The d03 fixture corpus (originals + first-word-dropped copies) as a
     * `docs2` CTE — shared by d03 and the c35/e44 screen gates.
     */
@@ -9751,6 +9915,14 @@ object SparkEntry {
          |$htmlMainCte
          |SELECT * FROM hmain""".stripMargin,
     "c34_html_extract_gate" -> c34OracleSql,
+
+    // t63/g22: outlink extraction + canonicalization, and the web-graph
+    // PageRank composition (s15's iteration CTEs over parsed link edges)
+    "t63_html_outlinks" ->
+      s"""WITH $linkPagesCtes,
+         |$canonicalUrlCtes
+         |SELECT doc_id, url, canonical_url FROM cu""".stripMargin,
+    "g22_web_pagerank" -> g22OracleSql,
 
     // c35/c36: the registry's near-dup screen and PII redaction stages,
     // gated by d03's pair truth / t17's redaction chain verbatim (the

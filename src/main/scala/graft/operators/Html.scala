@@ -146,6 +146,27 @@ object Html {
         col("__b.text_chars"), col("__b.link_chars"), col("__b.words"),
         col("__b.stop_hits"), col("__b.is_content"))
 
+  /** Anchor HREF (`<a href="…">`) value of the web graph's outlink
+    * surface, group 1. Double-quoted values only (the synthesized-page
+    * contract; a tag-soup crawler normalizes quoting upstream).
+    */
+  val hrefRe: String = "(?is)<a\\b[^>]*?\\bhref=\"([^\"]*)\"[^>]*>"
+
+  /** Per-page outlink extraction — the edge surface of the web graph
+    * (host-level PageRank, link-spam screens, crawl frontiers all start
+    * here): every anchor's raw href, one row per occurrence, in
+    * document order. Map-only + one explode; compose with
+    * [[TextAnalysis.canonicalUrl]] to collapse tracking-param/case/port
+    * variants before using the target as a join key. Output:
+    * (idCol, url) — relative URLs (no scheme) pass through raw and
+    * canonicalize to NULL downstream, the caller's drop.
+    */
+  def outlinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(htmlCol), lit(hrefRe), lit(1)))
+          .as("url"))
+      .filter(col("url") =!= "")
+
   /** Per-page main content: content blocks rejoined in document order
     * with single spaces, plus block counts. ZERO shuffle — the rebuild
     * happens inside the page's own array (no explode, no groupBy), so
