@@ -3125,6 +3125,43 @@ object SparkEntry {
       s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
     }),
 
+    // HTML extraction on the STREAMING config path: pages extract at
+    // INGEST (decode-once posture) then gate — both stages per-document
+    // map-only, so drained == batch under ANY batching
+    "e46_streaming_config_extract" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e46").toString
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        htmlWrap(col("doc_id"), col("text")).as("html"), col("lang"))
+      StreamingCuration.seedFingerprints(
+        pages.limit(0).select(col("doc_id"), lit("").as("text")),
+        "text", s"$tmp/fp")
+      for (r <- 0 until 2)
+        pages.filter(pmod(col("doc_id"), lit(2)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("doc_id BIGINT, html STRING, lang STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: streaming-extract-gate
+          |  stages:
+          |    - stage: htmlExtract
+          |    - stage: qualityGate
+          |      options:
+          |        lang: en
+          |        minQuality: "0.9"
+          |        maxDupBigramFrac: "0.05"
+          |""".stripMargin)
+      val q = StreamingCuration.startFromConfig(s, src, cfg, Map.empty,
+        "doc_id", "text", "lang", s"$tmp/fp", s"$tmp/kept", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e46 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
+    }),
+
     // PII redaction on the STREAMING config path: redact-then-gate per
     // micro-batch — per-document and map-only, so drained == batch under
     // ANY batching (quality is computed over the REDACTED text, making
@@ -4061,6 +4098,44 @@ object SparkEntry {
           |""".stripMargin)
       graft.pipeline.StagePipeline.compile(cfg, docs)
         .select("doc_id", "text")
+    }),
+
+    // the FULL web pipeline from ONE YAML — every stage a production
+    // config lists, in production order: extract main content from page
+    // chrome, redact PII, language/quality/repetition-gate the redacted
+    // text, near-dup screen, exact dedup. Fixture: t17's PII-augmented
+    // text wrapped in t61's page chrome, so extraction AND redaction
+    // both do observable work
+    "c37_config_web_pipeline" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from "), (col("doc_id") % 256).cast("string"), lit(".0.10."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" tel +1 555 01"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"),
+        col("lang"))
+      val pages = aug.select(col("doc_id"),
+        htmlWrap(col("doc_id"), col("text")).as("html"), col("lang"))
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: web-pipeline
+          |  stages:
+          |    - stage: htmlExtract
+          |    - stage: piiRedact
+          |    - stage: qualityGate
+          |      options:
+          |        lang: en
+          |        minQuality: "0.9"
+          |        maxDupBigramFrac: "0.05"
+          |    - stage: nearDupScreen
+          |      options:
+          |        threshold: "0.7"
+          |    - stage: exactDedup
+          |""".stripMargin)
+      graft.pipeline.StagePipeline.compile(cfg, pages)
+        .select("doc_id", "text", "lang", "quality")
     }),
 
     // curation funnel: documents surviving each c07 stage — the yield
@@ -6076,6 +6151,65 @@ object SparkEntry {
        |  SELECT doc_id, ${piiRedactExprSql("text")} AS text, lang,
        |         doc_id % 2 AS b
        |  FROM aug),
+       |lang AS (${langOverSql("red")}),
+       |qual AS (${qualityOverSql("red")}),
+       |rep AS (${repetitionOverSql("red")}),
+       |gated AS (
+       |  SELECT s.doc_id, s.lang, s.b, q.quality,
+       |         md5(regexp_replace(lower(trim(s.text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM red s JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |       JOIN rep r USING (doc_id)
+       |  WHERE l.pred_lang = 'en' AND q.quality >= 0.9
+       |    AND r.dup_bigram_frac <= 0.05)
+       |SELECT doc_id, lang, quality FROM (
+       |  SELECT doc_id, lang, quality,
+       |         row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+       |  FROM gated) WHERE rn = 1""".stripMargin
+
+  /** c37's replay — the full web pipeline, each stage its own verified
+    * chain in production order: t61/t62's extraction over the
+    * PII-augmented pages, t17's redaction over the extracted text, the
+    * c07 stage-1 gate, d03's pair truth as the near-dup screen, and the
+    * d02 keep-min-id exact dedup.
+    */
+  private def c37OracleSql: String =
+    s"""WITH $t17AugCte,
+       |${htmlBlocksCtes(5, "aug")},
+       |${htmlMainCteOver("aug")},
+       |red AS (
+       |  SELECT h.doc_id, ${piiRedactExprSql("h.main_text")} AS text, d.lang
+       |  FROM hmain h JOIN documents d USING (doc_id)),
+       |lang AS (${langOverSql("red")}),
+       |qual AS (${qualityOverSql("red")}),
+       |rep AS (${repetitionOverSql("red")}),
+       |gated AS (
+       |  SELECT r0.doc_id, r0.text, r0.lang, q.quality
+       |  FROM red r0 JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |       JOIN rep r USING (doc_id)
+       |  WHERE l.pred_lang = 'en' AND q.quality >= 0.9
+       |    AND r.dup_bigram_frac <= 0.05),
+       |docs2 AS (SELECT doc_id, text FROM gated),
+       |${nearDupPairCtes(0.7)},
+       |screened AS (
+       |  SELECT g.* FROM gated g
+       |  ANTI JOIN (SELECT DISTINCT idB AS doc_id FROM ndpairs) x USING (doc_id))
+       |SELECT doc_id, text, lang, quality FROM (
+       |  SELECT doc_id, text, lang, quality,
+       |         row_number() OVER (
+       |           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |           ORDER BY doc_id) AS rn
+       |  FROM screened) WHERE rn = 1""".stripMargin
+
+  /** e46's replay: the t62 extraction chain, then the c07 stage-1 gate
+    * over the EXTRACTED text, then the e05 fingerprint fold — both
+    * stages per-document, so any batching drains identically.
+    */
+  private def e46OracleSql: String =
+    s"""WITH ${htmlBlocksCtes(5)},
+       |$htmlMainCte,
+       |red AS (
+       |  SELECT h.doc_id, h.main_text AS text, d.lang, d.doc_id % 2 AS b
+       |  FROM hmain h JOIN documents d USING (doc_id)),
        |lang AS (${langOverSql("red")}),
        |qual AS (${qualityOverSql("red")}),
        |rep AS (${repetitionOverSql("red")}),
@@ -8161,7 +8295,8 @@ object SparkEntry {
     * the stopword list are injected from the same Scala values the
     * operator compiles.
     */
-  private def htmlBlocksCtes(minWords: Int = 5): String = {
+  private def htmlBlocksCtes(minWords: Int = 5,
+      src: String = "documents"): String = {
     def strip(x: String) = s"regexp_replace($x, '${graft.operators.Html.anyTagRe}', ' ', 'g')"
     def ent(x: String) = graft.operators.Html.entityDecodes.foldLeft(x) {
       case (acc, (from, to)) =>
@@ -8171,7 +8306,7 @@ object SparkEntry {
       (acc, re) => s"regexp_replace($acc, '$re', ' ', 'g')")
     val stops = TextAnalysis.stopwords("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""hraw AS (SELECT doc_id, $htmlWrapSql AS html FROM documents),
+    s"""hraw AS (SELECT doc_id, $htmlWrapSql AS html FROM $src),
        |hpre AS (SELECT doc_id, $dropChain AS h FROM hraw),
        |hblk AS (SELECT doc_id, string_split(
        |    regexp_replace(h, '${graft.operators.Html.boundaryTagRe}', chr(7), 'g'),
@@ -8208,12 +8343,14 @@ object SparkEntry {
     * `documents` so a page with zero blocks still yields its row (the
     * operator is map-only per input row).
     */
-  private val htmlMainCte: String =
+  private val htmlMainCte: String = htmlMainCteOver("documents")
+
+  private def htmlMainCteOver(src: String): String =
     s"""hmain AS (
        |  SELECT d.doc_id, coalesce(g.mt, '') AS main_text,
        |         CAST(coalesce(g.nb, 0) AS INT) AS n_blocks,
        |         CAST(coalesce(g.nc, 0) AS INT) AS n_content
-       |  FROM documents d LEFT JOIN (
+       |  FROM $src d LEFT JOIN (
        |    SELECT doc_id,
        |           string_agg(text, ' ' ORDER BY block_idx)
        |             FILTER (WHERE is_content) AS mt,
@@ -9939,6 +10076,8 @@ object SparkEntry {
         .stripMargin,
     "e44_streaming_config_neardup" -> e44OracleSql,
     "e45_streaming_config_pii" -> e45OracleSql,
+    "c37_config_web_pipeline" -> c37OracleSql,
+    "e46_streaming_config_extract" -> e46OracleSql,
 
     // c33: the t57 chain's kept set — docs whose round-6 sigmoid clears
     // 0.5 — with the fixture's lang attached

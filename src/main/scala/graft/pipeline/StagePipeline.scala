@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.model.{PipelineConfig, StageDef}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Html, TextAnalysis}
 import graft.plugin.GraftStage
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -105,6 +105,21 @@ object StagePipeline {
     df.join(kept, Seq("doc_id"), "left_semi")
   }
 
+  /** Main-content HTML extraction as a stage — the web pipeline's stage
+    * 0 ([[Html.htmlMainContent]]'s rebuild, in-place): the `html` column
+    * is consumed and the extracted main content emerges as `text`;
+    * every other column passes through. Map-only (the t62 posture), so
+    * batch and streaming application are trivially identical.
+    */
+  def htmlExtract(df: DataFrame, minWords: Int): DataFrame = {
+    val blocks = Html.htmlBlocks(col("html"), minWords)
+    val others = df.columns.filterNot(_ == "html").map(col).toIndexedSeq
+    df.select(others :+
+      array_join(transform(
+        filter(blocks, b => b.getField("is_content")),
+        b => b.getField("text")), " ").as("text"): _*)
+  }
+
   /** Near-dup screen — d03's MinHash-LSH recipe as a curation stage:
     * near-dup pairs at `threshold` over THE FRAME THE STAGE SEES, then
     * the greedy keep-lowest screen (any doc that is the HIGHER id of a
@@ -177,6 +192,8 @@ object StagePipeline {
       opt(o, "dim", "64").toInt,
       opt(o, "rounds", "10").toInt,
       opt(o, "eta", "10.0").toDouble)),
+    "htmlExtract" -> ((df, o, _) => htmlExtract(df,
+      opt(o, "minWords", "5").toInt)),
     "nearDupScreen" -> ((df, o, _) => nearDupScreen(df,
       opt(o, "threshold", "0.7").toDouble)),
     "piiRedact" -> ((df, _, _) => piiRedact(df)),
