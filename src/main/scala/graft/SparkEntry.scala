@@ -3044,6 +3044,19 @@ object SparkEntry {
       StreamingSceneSegments.scenes(s, s"$tmp/scenes")
     }),
 
+    // SITE-level template removal — the inter-document complement of
+    // t61's per-page densitometrics: a host-wide motto paragraph (long,
+    // link-free — the per-page rule calls it CONTENT) is byte-identical
+    // on every page of the host, so the (host, block-digest) page-count
+    // rule kills it; unique article paragraphs survive. host = source
+    "t64_site_template_extract" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        htmlSitePage(col("doc_id"), col("text")).as("html"),
+        col("source"))
+      graft.operators.Html.htmlMainContentSiteAware(pages, "doc_id",
+        "html", "source", minWords = 5, minRepeats = 5)
+    }),
+
     // outlink extraction feeding URL canonicalization — stage 0 of the
     // web GRAPH (crawl frontiers / link-spam screens / host PageRank):
     // messy anchors (uppercase host, default port, tracking params,
@@ -5878,6 +5891,50 @@ object SparkEntry {
     * RE-COMPUTED over the surviving corpus (importance statistics are
     * corpus-relative) feeding the t24 fingerprint-coin resample.
     */
+  // ------------------------------------------------------- t64
+  // The SITE page template: the t61 chrome plus a host-wide MOTTO
+  // paragraph — long, link-free (the densitometric rule calls it
+  // CONTENT) and byte-identical on every page, so only the site-level
+  // frequency rule can kill it.
+  private val htmlSiteMid = "</h1><p>Quality journalism since 1999 " +
+    "crafted daily by our newsroom for readers everywhere</p><p>"
+
+  private def htmlSitePage(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(htmlTplHead), id.cast("string"), lit(htmlTplChrome),
+      id.cast("string"), lit(htmlSiteMid), substring(text, 1, 150),
+      lit(htmlTplP2), substring(text, 151, 1 << 30), lit(htmlTplTail))
+
+  // lazy: the htmlTpl* vals it references are declared LATER in this
+  // object — an eager val here would interpolate their nulls at init
+  private lazy val htmlSiteWrapSql: String =
+    s"'$htmlTplHead' || CAST(doc_id AS VARCHAR) || '$htmlTplChrome' || " +
+      s"CAST(doc_id AS VARCHAR) || '$htmlSiteMid' || substr(text, 1, 150) || " +
+      s"'$htmlTplP2' || substr(text, 151) || '$htmlTplTail'"
+
+  /** t64's replay: the t61 block chain over the motto'd site pages, the
+    * (host, digest) page-count frequency rule, the per-doc rebuild.
+    */
+  private def t64OracleSql: String =
+    s"""WITH ${htmlBlocksCtes(5, "documents", htmlSiteWrapSql)},
+       |hb AS (SELECT b.*, d.source AS host
+       |       FROM hblocks b JOIN documents d USING (doc_id)),
+       |freq AS (SELECT host, md5(text) AS dg, COUNT(DISTINCT doc_id) AS np
+       |         FROM hb GROUP BY 1, 2),
+       |kept AS (SELECT hb.*, f.np >= 5 AS boiler
+       |         FROM hb JOIN freq f ON f.host = hb.host
+       |                            AND f.dg = md5(hb.text))
+       |SELECT d.doc_id, coalesce(g.mt, '') AS main_text,
+       |       CAST(coalesce(g.nc, 0) AS INT) AS n_content,
+       |       CAST(coalesce(g.nb, 0) AS INT) AS n_boiler
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id,
+       |         string_agg(text, ' ' ORDER BY block_idx)
+       |           FILTER (WHERE is_content AND NOT boiler) AS mt,
+       |         COUNT(*) FILTER (WHERE is_content AND NOT boiler) AS nc,
+       |         COUNT(*) FILTER (WHERE is_content AND boiler) AS nb
+       |  FROM kept GROUP BY doc_id) g USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------- t63/g22
   // The LINKED page template (one relative nav link + three absolute
   // links with every canonicalization hazard: uppercase host, default
@@ -8296,7 +8353,8 @@ object SparkEntry {
     * operator compiles.
     */
   private def htmlBlocksCtes(minWords: Int = 5,
-      src: String = "documents"): String = {
+      src: String = "documents", wrapSql: String = null): String = {
+    val wrap = if (wrapSql == null) htmlWrapSql else wrapSql
     def strip(x: String) = s"regexp_replace($x, '${graft.operators.Html.anyTagRe}', ' ', 'g')"
     def ent(x: String) = graft.operators.Html.entityDecodes.foldLeft(x) {
       case (acc, (from, to)) =>
@@ -8306,7 +8364,7 @@ object SparkEntry {
       (acc, re) => s"regexp_replace($acc, '$re', ' ', 'g')")
     val stops = TextAnalysis.stopwords("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""hraw AS (SELECT doc_id, $htmlWrapSql AS html FROM $src),
+    s"""hraw AS (SELECT doc_id, $wrap AS html FROM $src),
        |hpre AS (SELECT doc_id, $dropChain AS h FROM hraw),
        |hblk AS (SELECT doc_id, string_split(
        |    regexp_replace(h, '${graft.operators.Html.boundaryTagRe}', chr(7), 'g'),
@@ -10052,6 +10110,8 @@ object SparkEntry {
          |$htmlMainCte
          |SELECT * FROM hmain""".stripMargin,
     "c34_html_extract_gate" -> c34OracleSql,
+
+    "t64_site_template_extract" -> t64OracleSql,
 
     // t63/g22: outlink extraction + canonicalization, and the web-graph
     // PageRank composition (s15's iteration CTEs over parsed link edges)

@@ -146,6 +146,59 @@ object Html {
         col("__b.text_chars"), col("__b.link_chars"), col("__b.words"),
         col("__b.stop_hits"), col("__b.is_content"))
 
+  /** SITE-AWARE main-content extraction — the inter-document complement
+    * of the densitometric rule (jusText's site-level pass / RefinedWeb's
+    * template removal): a block whose exact text appears on at least
+    * `minRepeats` PAGES of the same host is template chrome no matter
+    * how content-like it reads (mottos, subscription pitches, legal
+    * blurbs — long, link-free, and on every page). Per page the
+    * densitometric blocks compute as in [[htmlBlocks]]; per (host,
+    * block-digest) a page count decides the frequency kill; content
+    * blocks that survive both rules rebuild in document order.
+    *
+    * 100 TB shape: one explode to skinny block rows, ONE (host, digest)
+    * hash aggregate (map-side combined; digests, never block text,
+    * shuffle beyond their page), one digest-keyed join back, one per-doc
+    * rebuild aggregate — the corpus-level signal costs exactly one
+    * shuffle more than the map-only per-page rule, which is the minimum
+    * any inter-document rule can pay. Host-keyed aggregation also means
+    * a crawl partitioned by host co-locates everything.
+    *
+    * Output: (idCol, main_text, n_content, n_boiler) — `n_boiler` counts
+    * densitometric-CONTENT blocks killed by the frequency rule (the
+    * blocks the per-page rule alone would have shipped to training).
+    */
+  def htmlMainContentSiteAware(df: DataFrame, idCol: String,
+      htmlCol: String, hostCol: String, minWords: Int = 5,
+      minRepeats: Int = 5): DataFrame = {
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    val blocks = df
+      .select(col(idCol), col(hostCol).as("__host"),
+        explode(htmlBlocks(col(htmlCol), minWords)).as("__b"))
+      .select(col(idCol), col("__host"), col("__b.block_idx"),
+        col("__b.text"), col("__b.is_content"),
+        md5(col("__b.text")).as("__dg"))
+    val freq = blocks.groupBy(col("__host"), col("__dg"))
+      .agg(countDistinct(col(idCol)).as("__np"))
+    val flagged = blocks.join(freq, Seq("__host", "__dg"))
+      .withColumn("__boiler", col("__np") >= minRepeats)
+    val rebuilt = flagged.groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("is_content") && !col("__boiler"),
+              struct(col("block_idx"), col("text"))))),
+          s => s.getField("text")), " ").as("main_text"),
+        count(when(col("is_content") && !col("__boiler"), 1))
+          .cast("int").as("n_content"),
+        count(when(col("is_content") && col("__boiler"), 1))
+          .cast("int").as("n_boiler"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("main_text"), lit("")).as("main_text"),
+        coalesce(col("n_content"), lit(0)).as("n_content"),
+        coalesce(col("n_boiler"), lit(0)).as("n_boiler"))
+  }
+
   /** Anchor HREF (`<a href="…">`) value of the web graph's outlink
     * surface, group 1. Double-quoted values only (the synthesized-page
     * contract; a tag-soup crawler normalizes quoting upstream).

@@ -74,6 +74,28 @@ class HtmlSpec extends SparkTestBase {
       "plain text with no tags at all counts as one block", 1, 1)))
   }
 
+  test("htmlMainContentSiteAware: a host-wide content-looking block dies " +
+      "by page-count; unique blocks survive; small hosts keep it; hosts " +
+      "never cross-contaminate") {
+    val motto = "<p>our quality motto repeats on every page of this host</p>"
+    def page(i: Long, body: String) =
+      s"$motto<p>unique article number $i body with plenty of words here</p>$body"
+    // host A: 5 pages (motto count 5 >= minRepeats) — motto dies
+    // host B: 4 pages (count 4 < 5) — the SAME motto survives there
+    val df = ((1L to 5L).map(i => (i, page(i, ""), "A")) ++
+      (11L to 14L).map(i => (i, page(i, ""), "B")))
+      .toDF("doc_id", "html", "host")
+    val got = Html.htmlMainContentSiteAware(df, "doc_id", "html", "host",
+        minWords = 5, minRepeats = 5)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === "unique article number 1 body with plenty of words here")
+    assert(got(1L)._3 === 1 && got(1L)._4 === 1,
+      s"host A pages keep 1 block and drop the motto, got ${got(1L)}")
+    assert(got(11L)._2 === ("our quality motto repeats on every page of " +
+      "this host unique article number 11 body with plenty of words here"))
+    assert(got(11L)._4 === 0, "a 4-page host is under minRepeats")
+  }
+
   test("script/style/head/comment bodies drop; empty page yields no blocks") {
     val df = Seq(
       (1L, "<head><title>gone</title></head><script>var x='gone';</script>" +
