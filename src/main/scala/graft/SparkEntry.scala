@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingTokenBudget, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingSiteTemplate, StreamingTokenBudget, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3136,6 +3136,34 @@ object SparkEntry {
         throw new IllegalStateException("e44 stream did not drain in 300s")
       }
       s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
+    }),
+
+    // streaming site-template removal — t64's ingest twin, merge-on-read
+    // (the e36 posture): the frequency rule is CORPUS-level, so state
+    // banks per-page block evidence and the drained read applies the
+    // rule through the SHARED siteRebuild — a motto crossing minRepeats
+    // on a late page still drops from the EARLY pages; drained == batch
+    // t64 under any batching, same oracle verbatim
+    "e47_streaming_site_template" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e47").toString
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        htmlSitePage(col("doc_id"), col("text")).as("html"),
+        col("source"))
+      for (r <- 0 until 2)
+        pages.filter(pmod(col("doc_id"), lit(2)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("doc_id BIGINT, html STRING, source STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingSiteTemplate.start(s, src, "doc_id", "html",
+        "source", s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e47 stream did not drain in 300s")
+      }
+      StreamingSiteTemplate.currentExtract(s, s"$tmp/state", "doc_id",
+        minRepeats = 5)
     }),
 
     // HTML extraction on the STREAMING config path: pages extract at
@@ -10112,6 +10140,9 @@ object SparkEntry {
     "c34_html_extract_gate" -> c34OracleSql,
 
     "t64_site_template_extract" -> t64OracleSql,
+    // e47 drains to batch t64 under any batching (merge-on-read; the
+    // frequency rule applies at READ over all banked evidence)
+    "e47_streaming_site_template" -> t64OracleSql,
 
     // t63/g22: outlink extraction + canonicalization, and the web-graph
     // PageRank composition (s15's iteration CTEs over parsed link edges)

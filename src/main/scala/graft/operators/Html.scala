@@ -170,14 +170,33 @@ object Html {
     */
   def htmlMainContentSiteAware(df: DataFrame, idCol: String,
       htmlCol: String, hostCol: String, minWords: Int = 5,
-      minRepeats: Int = 5): DataFrame = {
-    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
-    val blocks = df
-      .select(col(idCol), col(hostCol).as("__host"),
+      minRepeats: Int = 5): DataFrame =
+    siteRebuild(siteBlockRows(df, idCol, htmlCol, hostCol, minWords),
+      df.select(col(idCol)), idCol, minRepeats)
+
+  /** The skinny per-block rows behind [[htmlMainContentSiteAware]] —
+    * strictly per-document (one decode, one explode), hence additive
+    * across corpus splits: the streaming twin
+    * ([[graft.streaming.StreamingSiteTemplate]]) banks exactly these per
+    * batch. Output: (idCol, __host, block_idx, text, is_content, __dg).
+    */
+  private[graft] def siteBlockRows(df: DataFrame, idCol: String,
+      htmlCol: String, hostCol: String, minWords: Int): DataFrame =
+    df.select(col(idCol), col(hostCol).as("__host"),
         explode(htmlBlocks(col(htmlCol), minWords)).as("__b"))
       .select(col(idCol), col("__host"), col("__b.block_idx"),
         col("__b.text"), col("__b.is_content"),
         md5(col("__b.text")).as("__dg"))
+
+  /** The corpus half of [[htmlMainContentSiteAware]]: the (host, digest)
+    * page-count frequency rule over `blocks` and the per-doc rebuild,
+    * LEFT-joined from `docs` so block-less pages keep their empty row.
+    * ONE shared implementation — the batch operator and the streaming
+    * twin's drained read cannot drift.
+    */
+  private[graft] def siteRebuild(blocks: DataFrame, docs: DataFrame,
+      idCol: String, minRepeats: Int): DataFrame = {
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
     val freq = blocks.groupBy(col("__host"), col("__dg"))
       .agg(countDistinct(col(idCol)).as("__np"))
     val flagged = blocks.join(freq, Seq("__host", "__dg"))
@@ -192,7 +211,7 @@ object Html {
           .cast("int").as("n_content"),
         count(when(col("is_content") && col("__boiler"), 1))
           .cast("int").as("n_boiler"))
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+    docs.join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("main_text"), lit("")).as("main_text"),
         coalesce(col("n_content"), lit(0)).as("n_content"),

@@ -3176,6 +3176,42 @@ class StreamingSpec extends SparkTestBase {
       "drained scenes drifted from batch m13")
   }
 
+  test("streaming site template: a motto crossing minRepeats on a LATE " +
+      "batch retro-drops from early pages (merge-on-read); replay exact; " +
+      "drained equals batch") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sst").toString
+    val motto = "<p>our quality motto repeats on every page of this host</p>"
+    def page(i: Long) = (i,
+      s"$motto<p>unique article number $i body with plenty of words here</p>",
+      "A")
+    val cols = Seq("doc_id", "html", "host")
+    val all = (1L to 6L).map(page)
+    def run(b: Seq[(Long, String, String)], id: Long): Unit =
+      StreamingSiteTemplate.processBatch(b.toDF(cols: _*), id,
+        "doc_id", "html", "host", s"$dir/state", 5)
+    def extract() = StreamingSiteTemplate
+      .currentExtract(spark, s"$dir/state", "doc_id", minRepeats = 5)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    // batch 0: 3 pages — motto count 3 < 5, still CONTENT everywhere
+    run(all.take(3), 0L)
+    run(all.take(3), 0L) // replay: must not double page counts
+    assert(extract().forall(r => r._2.startsWith("our quality motto") &&
+      r._4 === 0), "under minRepeats the motto must survive (and a " +
+      "replayed batch must not inflate its page count)")
+    // batch 1: 3 more pages — count 6 >= 5: the motto retro-drops from
+    // the batch-0 pages too, which no per-batch decision could do
+    run(all.drop(3), 1L)
+    val drained = extract()
+    assert(drained.forall(r => r._2.startsWith("unique article") &&
+      r._4 === 1), s"motto must retro-drop host-wide, got $drained")
+    val batchTruth = graft.operators.Html.htmlMainContentSiteAware(
+        all.toDF(cols: _*), "doc_id", "html", "host", minWords = 5,
+        minRepeats = 5)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(drained === batchTruth, "drained extraction drifted from batch t64")
+  }
+
   test("streaming retrieval eval qrels-aware report: a judged query the " +
       "system never retrieved for zero-fills to match batch") {
     import org.apache.spark.sql.functions._
