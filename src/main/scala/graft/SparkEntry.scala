@@ -3044,6 +3044,32 @@ object SparkEntry {
       StreamingSceneSegments.scenes(s, s"$tmp/scenes")
     }),
 
+    // WARC record source — the CommonCrawl container, read the way a
+    // crawl ships: documents pack into per-blob record streams (one
+    // byte-exact Content-Length-framed record each + a torn trailing
+    // record the parser must drop), then frame + field-parse. The oracle
+    // states the ground truth relationally from the fixture
+    "f08_warc_parse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://example.com/doc/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+      val blobs = docs
+        .select(pmod(col("doc_id"), lit(50)).as("warc_id"), col("doc_id"),
+          rec.as("__r"))
+        .groupBy("warc_id")
+        .agg(concat(
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("__r")))),
+            r => r.getField("__r")), ""),
+          lit("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999" +
+            "\r\n\r\ntorn")).as("warc"))
+      graft.sources.Warc.records(blobs, "warc_id", "warc")
+    }),
+
     // SITE-level template removal — the inter-document complement of
     // t61's per-page densitometrics: a host-wide motto paragraph (long,
     // link-free — the per-page rule calls it CONTENT) is byte-identical
@@ -10138,6 +10164,22 @@ object SparkEntry {
          |$htmlMainCte
          |SELECT * FROM hmain""".stripMargin,
     "c34_html_extract_gate" -> c34OracleSql,
+
+    // f08: the fixture's ground truth stated relationally — the engine
+    // does the real byte framing; the oracle knows what was packed
+    "f08_warc_parse" ->
+      """WITH recs AS (
+           SELECT doc_id % 50 AS warc_id, doc_id,
+                  'response' AS warc_type,
+                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+                  text AS body
+           FROM documents)
+         SELECT warc_id,
+                CAST(row_number() OVER (PARTITION BY warc_id
+                                        ORDER BY doc_id) - 1 AS INT) AS record_no,
+                warc_type, target_uri, content_length, body
+         FROM recs""",
 
     "t64_site_template_extract" -> t64OracleSql,
     // e47 drains to batch t64 under any batching (merge-on-read; the

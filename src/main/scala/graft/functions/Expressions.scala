@@ -321,6 +321,23 @@ case class WavSampleFrames(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "wav_sample_frames"
 }
 
+/** WARC record framing (see [[WarcCodec.warcRecords]]) — null for
+  * non-WARC input.
+  */
+case class WarcRecords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    WarcCodec.warcRecords(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcCodec.warcRecords($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
+    copy(child = newChild)
+  override def prettyName: String = "warc_records"
+}
+
 /** Stretch-sampled pixel grid kernel (see [[HashKernels.stretchPixels]]). */
 case class StretchPixels(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -658,6 +675,8 @@ object GraftFunctions {
   def token_set_hits(c: Column, table: Seq[Seq[String]]): Column = Bridge.column(
     TokenSetHits(Bridge.expression(c), table))
 
+  def warc_records(c: Column): Column = Bridge.column(
+    WarcRecords(Bridge.expression(c)))
   def bmp_pixel_grid(c: Column): Column = Bridge.column(
     BmpPixelGrid(Bridge.expression(c)))
   def bmp_frame_grid(c: Column): Column = Bridge.column(
