@@ -113,14 +113,17 @@ oq, nq = old.get("queries", {}), new.get("queries", {})
 def rows_of(d):
     """Absolute observed output rows per query. Newer Bench emits `rows`
     directly; older files carry only rows_per_sec, from which rows
-    reconstruct as rate*seconds (rounded — the emission rounded the
-    rate, so tolerate ~1% when comparing)."""
+    reconstruct as rate*seconds — but the emitted rate was rounded to
+    integer, so SMALL counts reconstruct garbage (rows=1 at 0.5s emits
+    rate 2, reconstructing to whatever the new wall is). Reconstructed
+    values below 1000 are dropped rather than risk a false
+    "work changed" verdict."""
     if "rows" in d:
         return {k: float(v) for k, v in d["rows"].items()}
     out = {}
     for k, rate in d.get("rows_per_sec", {}).items():
         sec = d.get("queries", {}).get(k)
-        if sec and sec > 0:
+        if sec and sec > 0 and float(rate) * sec >= 1000:
             out[k] = float(rate) * sec
     return out
 
