@@ -3192,6 +3192,59 @@ object SparkEntry {
         minRepeats = 5)
     }),
 
+    // the FULL crawl ingest, streaming: WARC blobs → response records
+    // (byte-exact framing, via the SHIPPED WarcIngestStage plugin —
+    // the reference's Class.forName contract exercised by a real
+    // plugin on the streaming path) → main-content extraction → gate,
+    // all per-document, exactly-once with the e05 fingerprint fold
+    "e48_streaming_warc_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e48").toString
+      val docs = t(s, dir, "documents")
+      val page = htmlWrap(col("doc_id"), col("text"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://example.com/doc/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Length: "), octet_length(page).cast("string"),
+        lit("\r\n\r\n"), page, lit("\r\n\r\n"))
+      val blobs = docs
+        .select(pmod(col("doc_id"), lit(50)).as("warc_id"), col("doc_id"),
+          rec.as("__r"))
+        .groupBy("warc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("__r")))),
+          r => r.getField("__r")), "").as("warc"))
+      StreamingCuration.seedFingerprints(
+        docs.limit(0).select(col("doc_id"), lit("").as("text")),
+        "text", s"$tmp/fp")
+      for (r <- 0 until 2)
+        blobs.filter(pmod(col("warc_id"), lit(2)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("warc_id BIGINT, warc STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: streaming-warc-ingest
+          |  stages:
+          |    - stage: graft.plugin.WarcIngestStage
+          |    - stage: htmlExtract
+          |    - stage: qualityGate
+          |      options:
+          |        lang: en
+          |        minQuality: "0.9"
+          |        maxDupBigramFrac: "0.05"
+          |""".stripMargin)
+      val q = StreamingCuration.startFromConfig(s, src, cfg, Map.empty,
+        "doc_id", "text", "lang", s"$tmp/fp", s"$tmp/kept", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e48 stream did not drain in 300s")
+      }
+      s.read.parquet(s"$tmp/kept").select("doc_id", "lang", "quality")
+    }),
+
     // HTML extraction on the STREAMING config path: pages extract at
     // INGEST (decode-once posture) then gate — both stages per-document
     // map-only, so drained == batch under ANY batching
@@ -6321,6 +6374,33 @@ object SparkEntry {
        |red AS (
        |  SELECT h.doc_id, h.main_text AS text, d.lang, d.doc_id % 2 AS b
        |  FROM hmain h JOIN documents d USING (doc_id)),
+       |lang AS (${langOverSql("red")}),
+       |qual AS (${qualityOverSql("red")}),
+       |rep AS (${repetitionOverSql("red")}),
+       |gated AS (
+       |  SELECT s.doc_id, s.lang, s.b, q.quality,
+       |         md5(regexp_replace(lower(trim(s.text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM red s JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+       |       JOIN rep r USING (doc_id)
+       |  WHERE l.pred_lang = 'en' AND q.quality >= 0.9
+       |    AND r.dup_bigram_frac <= 0.05)
+       |SELECT doc_id, lang, quality FROM (
+       |  SELECT doc_id, lang, quality,
+       |         row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+       |  FROM gated) WHERE rn = 1""".stripMargin
+
+  /** e48's replay: the WARC framing + URI parse recover exactly the
+    * wrapped pages (f08's ground-truth argument), so the chain is e46's
+    * — extraction then the gate over extracted text — with the carried
+    * lang being the raw-crawl 'und' constant and the e05 fold.
+    */
+  private def e48OracleSql: String =
+    s"""WITH ${htmlBlocksCtes(5)},
+       |$htmlMainCte,
+       |red AS (
+       |  SELECT h.doc_id, h.main_text AS text, 'und' AS lang,
+       |         h.doc_id % 2 AS b
+       |  FROM hmain h),
        |lang AS (${langOverSql("red")}),
        |qual AS (${qualityOverSql("red")}),
        |rep AS (${repetitionOverSql("red")}),
@@ -10211,6 +10291,7 @@ object SparkEntry {
     "e45_streaming_config_pii" -> e45OracleSql,
     "c37_config_web_pipeline" -> c37OracleSql,
     "e46_streaming_config_extract" -> e46OracleSql,
+    "e48_streaming_warc_ingest" -> e48OracleSql,
 
     // c33: the t57 chain's kept set — docs whose round-6 sigmoid clears
     // 0.5 — with the fixture's lang attached
