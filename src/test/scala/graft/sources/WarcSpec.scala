@@ -41,6 +41,24 @@ class WarcSpec extends SparkTestBase {
       "length framing must carry the header-lookalike payload whole")
   }
 
+  test("WarcIngestStage plugin: blob -> (doc_id, html, lang) by URI " +
+      "parse; non-matching records drop; loads reflectively from YAML") {
+    val blob = rec("http://example.com/doc/7", "<p>seven page body</p>") +
+      rec("http://example.com/about", "<p>not a doc page</p>") +
+      rec("http://example.com/doc/9", "<p>nine page body</p>")
+    val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+      """pipeline:
+        |  name: warc-in
+        |  stages:
+        |    - stage: graft.plugin.WarcIngestStage
+        |""".stripMargin)
+    val out = graft.pipeline.StagePipeline.compile(cfg,
+        Seq((1L, blob)).toDF("warc_id", "warc"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((7L, "<p>seven page body</p>", "und"),
+      (9L, "<p>nine page body</p>", "und")))
+  }
+
   test("mid-stream corruption fails loudly instead of resyncing") {
     val blob = rec("http://a/1", "ok body here") +
       "garbage that is not a record\r\n\r\n" + rec("http://a/2", "x")
