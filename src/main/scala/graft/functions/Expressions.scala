@@ -322,20 +322,43 @@ case class WavSampleFrames(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** WARC record framing (see [[WarcCodec.warcRecords]]) — null for
-  * non-WARC input.
+  * non-WARC input. Accepts STRING (test fixtures) or BINARY (the real
+  * crawl shape — [[GunzipMembers]] output); either way the record
+  * slices are byte-exact UTF8String wraps.
   */
 case class WarcRecords(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
-  override protected def nullSafeEval(v: Any): Any =
-    WarcCodec.warcRecords(v.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => WarcCodec.warcRecords(s)
+    case b: Array[Byte] => WarcCodec.warcRecords(b)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the generated call resolves the (UTF8String | byte[]) overload by
+    // the child's static Java type
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = graft.functions.WarcCodec.warcRecords($c);
       ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(newChild: Expression): WarcRecords =
     copy(child = newChild)
   override def prettyName: String = "warc_records"
+}
+
+/** Concatenated-gzip-member inflation (see [[WarcCodec.gunzipMembers]])
+  * — BINARY → BINARY, null for non-gzip input.
+  */
+case class GunzipMembers(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    WarcCodec.gunzipMembers(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcCodec.gunzipMembers($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): GunzipMembers =
+    copy(child = newChild)
+  override def prettyName: String = "gunzip_members"
 }
 
 /** Stretch-sampled pixel grid kernel (see [[HashKernels.stretchPixels]]). */
@@ -677,6 +700,8 @@ object GraftFunctions {
 
   def warc_records(c: Column): Column = Bridge.column(
     WarcRecords(Bridge.expression(c)))
+  def gunzip_members(c: Column): Column = Bridge.column(
+    GunzipMembers(Bridge.expression(c)))
   def bmp_pixel_grid(c: Column): Column = Bridge.column(
     BmpPixelGrid(Bridge.expression(c)))
   def bmp_frame_grid(c: Column): Column = Bridge.column(

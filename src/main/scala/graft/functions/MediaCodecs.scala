@@ -87,7 +87,12 @@ object MediaCodecs {
     val rawHeight = le32(bytes, off + 22)
     val bpp = le16(bytes, off + 28)
     val compression = le32(bytes, off + 30)
-    if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0)
+    // dataOff below the 54-byte header (or negative) is a malformed
+    // header, not a foreign format quirk: decoding header bytes as
+    // pixels (or indexing negatively inside codegen) must never happen —
+    // null per the documented wrong-format contract
+    if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0 ||
+        dataOff < 54)
       return null
     val height = math.abs(rawHeight)
     val bottomUp = rawHeight > 0

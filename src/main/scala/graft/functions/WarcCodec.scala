@@ -26,11 +26,14 @@ object WarcCodec {
   private val Magic = "WARC/".getBytes("US-ASCII")
   private val ClKey = "\r\nCONTENT-LENGTH:".getBytes("US-ASCII")
 
+  /** ASCII-case-insensitive prefix test — for header field NAMES only
+    * (ISO 28500 makes names case-insensitive; the `WARC/` version line
+    * is NOT, see [[startsWithExact]]).
+    */
   private def startsWith(b: Array[Byte], at: Int, p: Array[Byte]): Boolean = {
     if (at + p.length > b.length) return false
     var i = 0
     while (i < p.length) {
-      // ASCII-case-insensitive (WARC header names are case-insensitive)
       val c = b(at + i)
       val u = if (c >= 'a' && c <= 'z') (c - 32).toByte else c
       if (u != p(i)) return false
@@ -39,13 +42,37 @@ object WarcCodec {
     true
   }
 
+  /** Exact-byte prefix test — the record-start magic is the ISO 28500
+    * version line (`WARC/1.0`), which is case-SENSITIVE: `warc/1.0`
+    * must NOT frame as a record.
+    */
+  private def startsWithExact(b: Array[Byte], at: Int,
+      p: Array[Byte]): Boolean = {
+    if (at + p.length > b.length) return false
+    var i = 0
+    while (i < p.length) {
+      if (b(at + i) != p(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** [[warcRecords]] over a BINARY blob column — the shape a real crawl
+    * ships (gzip members inflate to bytes, [[gunzipMembers]]); record
+    * slices come back as UTF8String WRAPS of the raw record bytes
+    * (Spark STRING does not validate UTF-8, so framing stays byte-exact
+    * even for payload bytes that are not valid text).
+    */
+  def warcRecords(bytes: Array[Byte]): ArrayData = warcRecordsBytes(bytes)
+
   /** Split concatenated WARC records into per-record string slices
     * (header block + blank line + payload; the inter-record CRLFCRLF
     * consumed). ARRAY<STRING> in file order, or null for non-WARC input.
     */
-  def warcRecords(s: UTF8String): ArrayData = {
-    val bytes = s.getBytes
-    if (bytes.length < Magic.length || !startsWith(bytes, 0, Magic))
+  def warcRecords(s: UTF8String): ArrayData = warcRecordsBytes(s.getBytes)
+
+  private def warcRecordsBytes(bytes: Array[Byte]): ArrayData = {
+    if (bytes.length < Magic.length || !startsWithExact(bytes, 0, Magic))
       return null
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var pos = 0
@@ -54,7 +81,7 @@ object WarcCodec {
       while (pos < bytes.length &&
         (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
       if (pos >= bytes.length) return new GenericArrayData(out.toArray)
-      if (!startsWith(bytes, pos, Magic))
+      if (!startsWithExact(bytes, pos, Magic))
         throw new IllegalArgumentException(
           s"WARC stream lost sync at byte $pos: expected a WARC/ record " +
             "header (a mid-stream resync would mis-frame every later record)")
@@ -73,9 +100,19 @@ object WarcCodec {
           var j = i + ClKey.length
           while (j < he && bytes(j) == ' ') j += 1
           var v = 0L
+          var digits = 0
           while (j < he && bytes(j) >= '0' && bytes(j) <= '9') {
-            v = v * 10 + (bytes(j) - '0'); j += 1
+            v = v * 10 + (bytes(j) - '0'); j += 1; digits += 1
           }
+          // a non-numeric value must fail LOUDLY like a missing header —
+          // a silent cl=0 mis-frame would re-scan inside the payload,
+          // violating the fail-loudly-mid-stream contract; 19+ digits
+          // would overflow the Long accumulator (and no real payload is
+          // within 10^3 of that), so they are rejected the same way
+          if (digits == 0 || digits > 18)
+            throw new IllegalArgumentException(
+              s"WARC record at byte $pos has an unparseable " +
+                s"Content-Length value ($digits digits)")
           cl = v
         }
         i += 1
@@ -91,5 +128,101 @@ object WarcCodec {
       pos = end.toInt
     }
     new GenericArrayData(out.toArray)
+  }
+
+  private def le32u(b: Array[Byte], at: Int): Long =
+    (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+      ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+
+  /** Inflate a stream of CONCATENATED gzip members (RFC 1952 — the
+    * CommonCrawl WARC shipping format packs one member per record) into
+    * the concatenated inflated bytes, pure-JVM (`java.util.zip.Inflater`
+    * nowrap + a manual member-header/trailer walk — member boundaries
+    * must be OURS to own, because the torn-tail/corruption contract
+    * below is per member).
+    *
+    * The codec discipline, mirrored from [[warcRecords]]:
+    *  - input not starting with the gzip magic (1f 8b) → null (foreign
+    *    rows drop);
+    *  - a structurally torn TRAILING member (EOF mid-header, mid-deflate
+    *    or mid-trailer) drops — earlier members survive, like a torn
+    *    trailing WARC record;
+    *  - corruption MID-STREAM fails loudly: a CRC32 or ISIZE trailer
+    *    mismatch, corrupt deflate data, an unsupported compression
+    *    method, or post-member bytes that are not another member all
+    *    throw (a silent resync would mis-frame every later member).
+    */
+  def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
+        (bytes(1) & 0xff) != 0x8b) return null
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < bytes.length) {
+      if (!(pos + 2 <= bytes.length && (bytes(pos) & 0xff) == 0x1f &&
+          (bytes(pos + 1) & 0xff) == 0x8b))
+        throw new IllegalArgumentException(
+          s"gzip stream lost sync at byte $pos: expected a member header")
+      if (pos + 10 > bytes.length) return out.toByteArray // torn tail
+      if ((bytes(pos + 2) & 0xff) != 8)
+        throw new IllegalArgumentException(
+          s"gzip member at byte $pos has unsupported compression method " +
+            s"${bytes(pos + 2) & 0xff} (only deflate/8 exists in practice)")
+      val flg = bytes(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > bytes.length) return out.toByteArray
+        p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+        if (p > bytes.length) return out.toByteArray
+      }
+      var skipZ = 0 // FNAME then FCOMMENT: zero-terminated fields
+      while (skipZ < 2) {
+        if ((flg & (if (skipZ == 0) 8 else 16)) != 0) {
+          while (p < bytes.length && bytes(p) != 0) p += 1
+          if (p >= bytes.length) return out.toByteArray
+          p += 1
+        }
+        skipZ += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        p += 2
+        if (p > bytes.length) return out.toByteArray
+      }
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val crc = new java.util.zip.CRC32()
+        val member = new java.io.ByteArrayOutputStream()
+        var inflated = 0L
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                throw new IllegalArgumentException(
+                  s"gzip member at byte $pos has corrupt deflate data: " +
+                    e.getMessage)
+            }
+          if (n > 0) {
+            member.write(buf, 0, n); crc.update(buf, 0, n); inflated += n
+          } else if (!inf.finished() && inf.needsInput())
+            return out.toByteArray // deflate stream torn at EOF: tail drops
+          else if (n == 0 && !inf.finished())
+            throw new IllegalArgumentException(
+              s"gzip member at byte $pos stalled mid-inflate")
+        }
+        val tpos = p + ((bytes.length - p) - inf.getRemaining)
+        if (tpos + 8 > bytes.length) return out.toByteArray // torn trailer
+        if (le32u(bytes, tpos) != crc.getValue)
+          throw new IllegalArgumentException(
+            s"gzip member at byte $pos fails its CRC32 trailer check")
+        if (le32u(bytes, tpos + 4) != (inflated & 0xffffffffL))
+          throw new IllegalArgumentException(
+            s"gzip member at byte $pos fails its ISIZE trailer check")
+        member.writeTo(out)
+        pos = tpos + 8
+      } finally inf.end()
+    }
+    out.toByteArray
   }
 }

@@ -113,7 +113,13 @@ object StagePipeline {
     */
   def htmlExtract(df: DataFrame, minWords: Int): DataFrame = {
     val blocks = Html.htmlBlocks(col("html"), minWords)
-    val others = df.columns.filterNot(_ == "html").map(col).toIndexedSeq
+    // a pre-existing `text` column is CONSUMED too (the stage's output
+    // text replaces it) — passing it through would emit two `text`
+    // columns and surface as an ambiguous-reference error in the NEXT
+    // stage instead of here
+    val others =
+      df.columns.filterNot(c => c == "html" || c == "text").map(col)
+        .toIndexedSeq
     df.select(others :+
       array_join(transform(
         filter(blocks, b => b.getField("is_content")),

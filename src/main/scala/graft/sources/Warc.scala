@@ -40,4 +40,54 @@ object Warc {
         regexp_extract(col("__rec"), "(?m)^Content-Length: *([0-9]+)", 1)
           .cast("long").as("content_length"),
         regexp_extract(col("__rec"), "(?s)\\r\\n\\r\\n(.*)$", 1).as("body"))
+
+  /** [[records]] over gzip-shipped blobs — the byte layout CommonCrawl
+    * actually uses (concatenated RFC 1952 members, one per record): one
+    * member-wise inflate kernel
+    * ([[graft.functions.WarcCodec.gunzipMembers]], BINARY → BINARY) in
+    * front of the same byte-exact framing. Still map-only + one explode.
+    */
+  def recordsGzip(df: DataFrame, idCol: String, warcCol: String): DataFrame =
+    records(
+      df.withColumn(warcCol,
+        graft.functions.GraftFunctions.gunzip_members(col(warcCol))),
+      idCol, warcCol)
+
+  /** Parse the HTTP-response layer INSIDE a framed record's payload — a
+    * real `WARC-Type: response` payload is an HTTP response (status
+    * line, headers, CRLFCRLF, then the entity body), so reading `body`
+    * as the page glues HTTP headers onto the HTML. Adds to `df`:
+    *
+    *  - `http_status` — the status-line code (INT; NULL when the payload
+    *    is not an HTTP response — consumers filter on it),
+    *  - `mime` — the `Content-Type` media type, lowercased, parameters
+    *    stripped ('' when absent),
+    *  - `charset` — the `Content-Type` charset parameter, lowercased
+    *    ('' when absent),
+    *  - `http_body` — the entity body after the first header/body
+    *    CRLFCRLF boundary ('' for header-only responses).
+    *
+    * All plain relational `regexp_extract`s over the payload column
+    * (RE2-safe: lazy quantifiers only, no lookaround, no backrefs), so
+    * the DuckDB oracle replays this layer GENUINELY — unlike the WARC
+    * framing itself, nothing here restates fixture ground truth. The
+    * header search is restricted to the pre-CRLFCRLF header block, so
+    * header-lookalike text in the entity body cannot false-match.
+    * Map-only; `bodyCol` is consumed (replaced by the parse).
+    */
+  def httpResponses(df: DataFrame, bodyCol: String): DataFrame = {
+    val others = df.columns.filterNot(_ == bodyCol).map(col).toIndexedSeq
+    df.select(others :+
+        regexp_extract(col(bodyCol), "(?s)^(.*?)\\r\\n\\r\\n", 1)
+          .as("__hdr") :+ col(bodyCol).as("__pay"): _*)
+      .select(others :+
+        nullif(regexp_extract(col("__hdr"), "^HTTP/[0-9.]+ ([0-9]{3})", 1),
+          lit("")).cast("int").as("http_status") :+
+        lower(trim(regexp_extract(col("__hdr"),
+          "(?i)\\r\\nContent-Type: *([^;\\r\\n]+)", 1))).as("mime") :+
+        lower(regexp_extract(col("__hdr"),
+          "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1)).as("charset") :+
+        regexp_extract(col("__pay"), "(?s)\\r\\n\\r\\n(.*)$", 1)
+          .as("http_body"): _*)
+  }
 }

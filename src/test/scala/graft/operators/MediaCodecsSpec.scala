@@ -108,6 +108,21 @@ class MediaCodecsSpec extends SparkTestBase {
       (err.getCause != null && err.getCause.getMessage.contains("overruns")))
   }
 
+  test("bmp dataOff below the 54-byte header (or negative) is a " +
+      "malformed header -> null, never header-bytes-as-pixels") {
+    val good = bmp(2, 2, Seq(white, red, green, blue))
+    for (off <- Seq(0, 14, -4)) {
+      val evil = good.clone()
+      // dataOff lives at LE32 @10
+      evil(10) = (off & 0xff).toByte; evil(11) = ((off >> 8) & 0xff).toByte
+      evil(12) = ((off >> 16) & 0xff).toByte
+      evil(13) = ((off >> 24) & 0xff).toByte
+      val out = Seq((1L, evil)).toDF("id", "c")
+        .select(GraftFunctions.bmp_pixel_grid($"c")).collect()
+      assert(out.head.isNullAt(0), s"dataOff=$off must decode to null")
+    }
+  }
+
   test("wavEnergyEnvelope: hand-computed 16-bit/8-bit quantization, " +
       "channel-0 only, partial window drops") {
     // 16-bit mono, window 2: mean(|100|,|-100|)=100 >> 2 = 25;

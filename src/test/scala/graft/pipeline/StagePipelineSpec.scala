@@ -143,6 +143,18 @@ class StagePipelineSpec extends SparkTestBase {
     assert(rows(1) === ((2L, "nothing sensitive here", "fr")))
   }
 
+  test("htmlExtract stage consumes a pre-existing text column instead of " +
+      "emitting an ambiguous duplicate") {
+    val df = Seq((1L, "stale previous text",
+      "<p>the real page body has plenty of words to clear the gate</p>"))
+      .toDF("doc_id", "text", "html")
+    val out = StagePipeline.compile(
+      PipelineConfig("p", List(StageDef("htmlExtract"))), df)
+    assert(out.columns.count(_ == "text") === 1)
+    assert(out.select("text").as[String].head()
+      .startsWith("the real page body"))
+  }
+
   test("stagesOf exposes every stage output under indexed names (the " +
       "funnel shape)") {
     val df = Seq((1L, "a", "en"), (2L, "b", "en")).toDF("doc_id", "text", "lang")

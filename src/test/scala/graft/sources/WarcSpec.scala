@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkTestBase
 import graft.functions.GraftFunctions
+import graft.plugin.WarcIngestStage
 import org.apache.spark.sql.functions._
 
 class WarcSpec extends SparkTestBase {
@@ -57,6 +58,115 @@ class WarcSpec extends SparkTestBase {
       .as[(Long, String, String)].collect().sortBy(_._1)
     assert(out.toSeq === Seq((7L, "<p>seven page body</p>", "und"),
       (9L, "<p>nine page body</p>", "und")))
+  }
+
+  test("version-line magic is case-SENSITIVE; Content-Length value must " +
+      "be numeric and bounded") {
+    // ISO 28500's version line is exact bytes — 'warc/1.0' must NOT frame
+    val lower = Warc.records(
+      Seq((1L, "warc/1.0\r\nContent-Length: 2\r\n\r\nxx\r\n\r\n"))
+        .toDF("warc_id", "warc"), "warc_id", "warc").collect()
+    assert(lower.isEmpty, "lowercase magic must be foreign input (null)")
+    // header NAMES stay case-insensitive
+    val mixed = "WARC/1.0\r\ncontent-length: 4\r\n\r\nbody\r\n\r\n"
+    val ok = Seq((1L, mixed)).toDF("id", "w")
+      .select(GraftFunctions.warc_records($"w")).as[Seq[String]].collect()
+    assert(ok.head.size === 1)
+    // a non-numeric Content-Length value must fail LOUDLY (a silent cl=0
+    // would re-scan inside the payload), and so must a 19+-digit value
+    for (bad <- Seq("WARC/1.0\r\nContent-Length: abc\r\n\r\nbody\r\n\r\n",
+        "WARC/1.0\r\nContent-Length: 99999999999999999999\r\n\r\nx\r\n\r\n")) {
+      val err = intercept[Exception] {
+        Seq((1L, bad)).toDF("id", "w")
+          .select(GraftFunctions.warc_records($"w")).collect()
+      }
+      val msg = err.getMessage + Option(err.getCause).map(_.getMessage).mkString
+      assert(msg.contains("unparseable"), s"wanted loud CL failure, got $msg")
+    }
+  }
+
+  private def gz(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(s.getBytes("UTF-8")); g.close()
+    bos.toByteArray
+  }
+
+  test("gunzip_members: member-wise inflate; torn tail drops; foreign " +
+      "null; CRC corruption mid-stream fails loudly") {
+    val r1 = rec("http://a/1", "first body")
+    val r2 = rec("http://a/2", "café second")
+    val whole = gz(r1) ++ gz(r2)
+    val torn = whole ++ gz(rec("http://a/3", "torn")).dropRight(6)
+    val out = Warc.recordsGzip(
+        Seq((1L, whole), (2L, torn), (3L, "no gzip".getBytes("UTF-8")))
+          .toDF("warc_id", "warc"), "warc_id", "warc")
+      .as[(Long, Int, String, String, Long, String)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2, r._6)).toSeq === Seq(
+      (1L, 0, "first body"), (1L, 1, "café second"),
+      (2L, 0, "first body"), (2L, 1, "café second")),
+      s"two full members survive, torn trailing member + non-gzip drop: ${out.toSeq}")
+    // flip a deflate byte of the FIRST member (not the tail) → loud
+    val corrupt = whole.clone(); corrupt(14) = (corrupt(14) ^ 0x55).toByte
+    val err = intercept[Exception] {
+      Seq((1L, corrupt)).toDF("id", "w")
+        .select(GraftFunctions.gunzip_members($"w")).collect()
+    }
+    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).mkString
+    assert(msg.contains("gzip member"), s"wanted loud gzip failure, got $msg")
+  }
+
+  test("httpResponses: status/mime/charset/entity parse is relational; " +
+      "non-HTTP payload -> NULL status; body lookalikes cannot false-match") {
+    def http(status: String, ctype: String, body: String): String =
+      s"HTTP/1.1 $status\r\nServer: x\r\nContent-Type: $ctype\r\n\r\n$body"
+    val blob = rec("http://a/1",
+        http("200 OK", "text/html; charset=UTF-8", "<p>page one</p>")) +
+      rec("http://a/2", http("404 Not Found", "text/html", "<p>gone</p>")) +
+      rec("http://a/3", http("200 OK", "text/plain", "robots here")) +
+      rec("http://a/4", "no http layer at all") +
+      rec("http://a/5", http("200 OK", "text/html",
+        "body with\r\nContent-Type: text/evil\r\n\r\nlookalike"))
+    val out = Warc.httpResponses(
+        Warc.records(Seq((1L, blob)).toDF("warc_id", "warc"), "warc_id", "warc"),
+        "body")
+      .select("target_uri", "http_status", "mime", "charset", "http_body")
+      .as[(String, Option[Int], String, String, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("http://a/1", Some(200), "text/html", "utf-8", "<p>page one</p>"),
+      ("http://a/2", Some(404), "text/html", "", "<p>gone</p>"),
+      ("http://a/3", Some(200), "text/plain", "", "robots here"),
+      ("http://a/4", None, "", "", ""),
+      ("http://a/5", Some(200), "text/html", "",
+        "body with\r\nContent-Type: text/evil\r\n\r\nlookalike")))
+  }
+
+  test("WarcIngestStage http mode routes only matching-status/mime " +
+      "responses and drops non-response record types") {
+    def http(status: String, ctype: String, body: String): String =
+      s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n\r\n$body"
+    def recT(tpe: String, uri: String, body: String): String = {
+      val len = body.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: $len\r\n\r\n$body\r\n\r\n"
+    }
+    val blob =
+      recT("response", "http://e.com/doc/1",
+        http("200 OK", "text/html", "<p>good</p>")) +
+      recT("request", "http://e.com/doc/1", "GET /doc/1 HTTP/1.1\r\n\r\n") +
+      recT("metadata", "http://e.com/doc/1",
+        http("200 OK", "text/html", "<p>meta junk</p>")) +
+      recT("response", "http://e.com/doc/2",
+        http("404 Not Found", "text/html", "<p>dead</p>")) +
+      recT("response", "http://e.com/doc/3",
+        http("200 OK", "text/plain", "plain stuff"))
+    val out = new WarcIngestStage()(
+        Seq((1L, blob)).toDF("warc_id", "warc"), Map("http" -> "true"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(out === Seq((1L, "<p>good</p>", "und")),
+      s"request/metadata types and non-200/non-html responses must drop: $out")
   }
 
   test("mid-stream corruption fails loudly instead of resyncing") {
