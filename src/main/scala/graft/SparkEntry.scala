@@ -3070,6 +3070,78 @@ object SparkEntry {
       graft.sources.Warc.records(blobs, "warc_id", "warc")
     }),
 
+    // the HTTP-response layer INSIDE WARC records — what a real
+    // `WARC-Type: response` payload actually is (status line + headers +
+    // CRLFCRLF + entity): records pack full HTTP responses with per-doc
+    // status/content-type variation (404s, non-HTML 200s — the records a
+    // response-only pipeline must be able to SEE and drop), and the
+    // parse is pure relational regexp over the framed payload, so the
+    // oracle replays this layer GENUINELY (only the byte framing is
+    // ground-truth-restated, as in f08)
+    "f09_warc_http" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val payload = concat(
+        lit("HTTP/1.1 "),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("404 Not Found"))
+          .otherwise(lit("200 OK")),
+        lit("\r\nServer: synthetic/1.0\r\nContent-Type: "),
+        when(pmod(col("doc_id"), lit(7)) === 1, lit("text/plain"))
+          .otherwise(lit("text/html; charset=UTF-8")),
+        lit("\r\n\r\n"), col("text"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://example.com/doc/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val blobs = docs
+        .select(pmod(col("doc_id"), lit(50)).as("warc_id"), col("doc_id"),
+          rec.as("__r"))
+        .groupBy("warc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("__r")))),
+          r => r.getField("__r")), "").as("warc"))
+      graft.sources.Warc.httpResponses(
+          graft.sources.Warc.records(blobs, "warc_id", "warc"), "body")
+        .select("warc_id", "record_no", "target_uri", "http_status",
+          "mime", "charset", "http_body")
+    }),
+
+    // gzip-shipped WARC blobs — the byte layout CommonCrawl actually
+    // uses (concatenated RFC 1952 members, ONE per record): f08's exact
+    // fixture, member-wise gzipped (fixture-side compression via typed
+    // map — compression is fixture construction, the QUERY inflates
+    // through the gunzip_members kernel), plus a torn trailing MEMBER
+    // the inflate kernel must drop. Output == f08, same oracle verbatim
+    "f10_warc_gzip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://example.com/doc/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+      val blobs = docs
+        .select(pmod(col("doc_id"), lit(50)).as("warc_id"), col("doc_id"),
+          rec.as("__r"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (wid, it) =>
+          def gz(x: String): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(x.getBytes("UTF-8")); g.close(); bos.toByteArray
+          }
+          val members = it.toSeq.sortBy(_._2).map(r => gz(r._3))
+          val torn = gz("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "Content-Length: 4\r\n\r\ntorn\r\n\r\n").dropRight(4)
+          (wid, (members :+ torn).reduce(_ ++ _))
+        }
+        .toDF("warc_id", "warc")
+      graft.sources.Warc.recordsGzip(blobs, "warc_id", "warc")
+    }),
+
     // SITE-level template removal — the inter-document complement of
     // t61's per-page densitometrics: a host-wide motto paragraph (long,
     // link-free — the per-page rule calls it CONTENT) is byte-identical
@@ -3192,28 +3264,67 @@ object SparkEntry {
         minRepeats = 5)
     }),
 
-    // the FULL crawl ingest, streaming: WARC blobs → response records
-    // (byte-exact framing, via the SHIPPED WarcIngestStage plugin —
-    // the reference's Class.forName contract exercised by a real
-    // plugin on the streaming path) → main-content extraction → gate,
-    // all per-document, exactly-once with the e05 fingerprint fold
+    // the FULL crawl ingest, streaming, REAL-crawl-shaped: gzip-member
+    // WARC blobs → byte framing + member-wise inflate → response-type
+    // filter → HTTP-response-layer parse (only text/html 200s route) →
+    // main-content extraction → gate, all per-document, exactly-once
+    // with the e05 fingerprint fold. The SHIPPED WarcIngestStage plugin
+    // (the reference's Class.forName contract) carries the whole ingest
+    // front from YAML. Distractor records gate each filter: a `request`
+    // record sharing a good doc's URI (type filter), a 404 response
+    // (status filter), a text/plain 200 (mime filter) — each with a
+    // page body that would PASS the quality gate if mis-routed
     "e48_streaming_warc_ingest" -> ((s, dir) => {
+      import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_e48").toString
       val docs = t(s, dir, "documents")
-      val page = htmlWrap(col("doc_id"), col("text"))
-      val rec = concat(
-        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
-          "WARC-Target-URI: http://example.com/doc/"),
-        col("doc_id").cast("string"),
-        lit("\r\nContent-Length: "), octet_length(page).cast("string"),
-        lit("\r\n\r\n"), page, lit("\r\n\r\n"))
-      val blobs = docs
-        .select(pmod(col("doc_id"), lit(50)).as("warc_id"), col("doc_id"),
-          rec.as("__r"))
-        .groupBy("warc_id")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("doc_id"), col("__r")))),
-          r => r.getField("__r")), "").as("warc"))
+      def http(status: String, ctype: String,
+          body: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit(s"HTTP/1.1 $status\r\nServer: synthetic/1.0\r\n" +
+          s"Content-Type: $ctype\r\n\r\n"), body)
+      def warcRec(tpe: String, uri: org.apache.spark.sql.Column,
+          payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit(s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: "),
+          uri, lit("\r\nContent-Length: "),
+          octet_length(payload).cast("string"),
+          lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      def uriOf(
+          id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("http://example.com/doc/"), id.cast("string"))
+      val wid = pmod(col("doc_id"), lit(50)).as("warc_id")
+      val good = docs.select(wid, (col("doc_id") * 10).as("k"),
+        warcRec("response", uriOf(col("doc_id")),
+          http("200 OK", "text/html; charset=utf-8",
+            htmlWrap(col("doc_id"), col("text")))).as("__r"))
+      val dis = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val dReq = dis.select(wid, (col("doc_id") * 10 + 1).as("k"),
+        warcRec("request", uriOf(col("doc_id")),
+          http("200 OK", "text/html",
+            htmlWrap(col("doc_id"),
+              concat(lit("requestnoise "), col("text"))))).as("__r"))
+      val d404 = dis.select(wid, (col("doc_id") * 10 + 2).as("k"),
+        warcRec("response", uriOf(col("doc_id") + 3000000),
+          http("404 Not Found", "text/html",
+            htmlWrap(col("doc_id") + 3000000,
+              concat(lit("deadpage "), col("text"))))).as("__r"))
+      val dPlain = dis.select(wid, (col("doc_id") * 10 + 3).as("k"),
+        warcRec("response", uriOf(col("doc_id") + 4000000),
+          http("200 OK", "text/plain",
+            htmlWrap(col("doc_id") + 4000000,
+              concat(lit("plainpage "), col("text"))))).as("__r"))
+      val blobs = good.unionByName(dReq).unionByName(d404)
+        .unionByName(dPlain)
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (w, it) =>
+          def gz(x: String): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(x.getBytes("UTF-8")); g.close(); bos.toByteArray
+          }
+          (w, it.toSeq.sortBy(_._2).map(r => gz(r._3)).reduce(_ ++ _))
+        }
+        .toDF("warc_id", "warc")
       StreamingCuration.seedFingerprints(
         docs.limit(0).select(col("doc_id"), lit("").as("text")),
         "text", s"$tmp/fp")
@@ -3221,7 +3332,7 @@ object SparkEntry {
         blobs.filter(pmod(col("warc_id"), lit(2)) === r)
           .coalesce(1).write.parquet(s"$tmp/stream/b$r")
       val src = s.readStream
-        .schema("warc_id BIGINT, warc STRING")
+        .schema("warc_id BIGINT, warc BINARY")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/stream/*")
       val cfg = graft.config.ConfigCodec.pipelineFromYaml(
@@ -3229,6 +3340,9 @@ object SparkEntry {
           |  name: streaming-warc-ingest
           |  stages:
           |    - stage: graft.plugin.WarcIngestStage
+          |      options:
+          |        gzip: "true"
+          |        http: "true"
           |    - stage: htmlExtract
           |    - stage: qualityGate
           |      options:
@@ -6415,6 +6529,62 @@ object SparkEntry {
        |  SELECT doc_id, lang, quality,
        |         row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
        |  FROM gated) WHERE rn = 1""".stripMargin
+
+  /** f08's (and f10's) replay: the fixture's ground truth stated
+    * relationally — the engine does the real byte framing (and, for
+    * f10, the member-wise gzip inflation); the oracle knows what was
+    * packed.
+    */
+  private def f08OracleSql: String =
+    """WITH recs AS (
+         SELECT doc_id % 50 AS warc_id, doc_id,
+                'response' AS warc_type,
+                'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+                CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+                text AS body
+         FROM documents)
+       SELECT warc_id,
+              CAST(row_number() OVER (PARTITION BY warc_id
+                                      ORDER BY doc_id) - 1 AS INT) AS record_no,
+              warc_type, target_uri, content_length, body
+       FROM recs"""
+
+  /** f09's replay: the WARC framing ground truth restated from the
+    * fixture (as in f08 — framing is the byte kernel's job), then the
+    * HTTP-response-layer parse replayed GENUINELY: the same header/body
+    * split, status-line, Content-Type and entity regexes
+    * [[graft.sources.Warc.httpResponses]] compiles, over the identical
+    * reconstructed payload.
+    */
+  private def f09OracleSql: String =
+    """WITH recs AS (
+      |  SELECT doc_id % 50 AS warc_id, doc_id,
+      |         'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |         'HTTP/1.1 ' ||
+      |         (CASE WHEN doc_id % 7 = 0 THEN '404 Not Found' ELSE '200 OK' END) ||
+      |         chr(13) || chr(10) || 'Server: synthetic/1.0' ||
+      |         chr(13) || chr(10) || 'Content-Type: ' ||
+      |         (CASE WHEN doc_id % 7 = 1 THEN 'text/plain'
+      |               ELSE 'text/html; charset=UTF-8' END) ||
+      |         chr(13) || chr(10) || chr(13) || chr(10) || text AS payload
+      |  FROM documents),
+      |parsed AS (
+      |  SELECT warc_id,
+      |         CAST(row_number() OVER (PARTITION BY warc_id
+      |                                 ORDER BY doc_id) - 1 AS INT) AS record_no,
+      |         target_uri,
+      |         regexp_extract(payload, '(?s)^(.*?)\r\n\r\n', 1) AS hdr,
+      |         payload
+      |  FROM recs)
+      |SELECT warc_id, record_no, target_uri,
+      |       CAST(nullif(regexp_extract(hdr, '^HTTP/[0-9.]+ ([0-9]{3})', 1), '')
+      |            AS INT) AS http_status,
+      |       lower(trim(regexp_extract(hdr,
+      |         '(?i)\r\nContent-Type: *([^;\r\n]+)', 1))) AS mime,
+      |       lower(regexp_extract(hdr,
+      |         '(?i)charset="?([A-Za-z0-9_.:-]+)', 1)) AS charset,
+      |       regexp_extract(payload, '(?s)\r\n\r\n(.*)$', 1) AS http_body
+      |FROM parsed""".stripMargin
 
   /** c34's replay: extraction (the t62 chain) feeding the c07 stage-1
     * gate — language/quality/repetition are re-run over the EXTRACTED
@@ -10247,19 +10417,13 @@ object SparkEntry {
 
     // f08: the fixture's ground truth stated relationally — the engine
     // does the real byte framing; the oracle knows what was packed
-    "f08_warc_parse" ->
-      """WITH recs AS (
-           SELECT doc_id % 50 AS warc_id, doc_id,
-                  'response' AS warc_type,
-                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
-                  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
-                  text AS body
-           FROM documents)
-         SELECT warc_id,
-                CAST(row_number() OVER (PARTITION BY warc_id
-                                        ORDER BY doc_id) - 1 AS INT) AS record_no,
-                warc_type, target_uri, content_length, body
-         FROM recs""",
+    "f08_warc_parse" -> f08OracleSql,
+    // f09: framing restated (the f08 argument), the HTTP layer replayed
+    // genuinely — see f09OracleSql
+    "f09_warc_http" -> f09OracleSql,
+    // f10: f08's fixture shipped as per-record gzip members — inflation
+    // must be lossless, so the gate is f08's oracle VERBATIM
+    "f10_warc_gzip" -> f08OracleSql,
 
     "t64_site_template_extract" -> t64OracleSql,
     // e47 drains to batch t64 under any batching (merge-on-read; the
