@@ -3169,18 +3169,69 @@ object SparkEntry {
           TextAnalysis.canonicalUrl(col("url")))
     }),
 
-    // the web-graph composition: pages → outlinks → canonical URLs →
-    // (src, dst) edges → the EXISTING PageRank operator — extraction
-    // feeding graph analytics end-to-end. Self-links filtered; doc 0
-    // ends up dangling (all its targets are itself), exercising the
-    // dangling-mass drop on both engines
+    // RFC 3986 reference resolution — the step between outlink
+    // extraction and canonicalization a REAL crawl cannot skip (most
+    // in-page links are relative): every branch of the spec's
+    // transform-references table over a per-doc base URI — absolute,
+    // network-path, rooted, relative, ../ and ../../ pops, ./ same-dir,
+    // query-only, fragment-only, empty, dot-segment gymnastics. The
+    // oracle replays the identical extract/rewrite chain
+    "t65_url_resolve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = concat(lit("http://example.com/dir"),
+        pmod(col("doc_id"), lit(3)).cast("string"),
+        lit("/sub/page"), col("doc_id").cast("string"), lit("?bq=1"))
+      val hrefs = array(t65Hrefs.map(lit): _*)
+      docs.select(col("doc_id"), base.as("__base"),
+          posexplode(hrefs).as(Seq("case_id", "href")))
+        .select(col("doc_id"), col("case_id"), col("href"),
+          TextAnalysis.resolveUrl(col("__base"), col("href"))
+            .as("resolved"))
+    }),
+
+    // extraction over TAG-SOUP markup: the unclosed <script>'s text
+    // must truncate at the next boundary tag (never reach a block), the
+    // unclosed <style> must not swallow the footer, and the document's
+    // own text — split around the unclosed script — must still rebuild.
+    // Same densitometric rule, same oracle chain, messier pages
+    "t66_tagsoup_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Html.htmlBlockFeatures(
+        docs.select(col("doc_id"),
+          htmlSoupPage(col("doc_id"), col("text")).as("html")),
+        "doc_id", "html")
+    }),
+
+    // outlink extraction over TAG-SOUP markup: single-quoted, unquoted
+    // and double-quoted hrefs all extract (quote normalization), in
+    // document order, with canonicalization on top
+    "t67_tagsoup_outlinks" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        htmlSoupPage(col("doc_id"), col("text")).as("html"))
+      graft.operators.Html.outlinks(pages, "doc_id", "html")
+        .withColumn("canonical_url",
+          TextAnalysis.canonicalUrl(col("url")))
+    }),
+
+    // the web-graph composition, real-crawl-shaped: pages → outlinks
+    // (all three quote styles) → RFC 3986 resolution against each
+    // page's own URI (the relative `../doc/<n>` and rooted
+    // `/doc/<n>#top` links become edges ONLY through resolution) →
+    // canonical URLs → (src, dst) edges → the EXISTING PageRank
+    // operator. Self-links filtered; doc 0 ends up dangling (all its
+    // targets are itself), exercising the dangling-mass drop on both
+    // engines
     "g22_web_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pages = docs.select(col("doc_id"),
         htmlLinkPage(col("doc_id"), col("text")).as("html"))
+      val base = concat(lit("http://example.com/doc/"),
+        col("doc_id").cast("string"))
       val edges = graft.operators.Html.outlinks(pages, "doc_id", "html")
+        .select(col("doc_id"),
+          TextAnalysis.resolveUrl(base, col("url")).as("__res"))
         .select(col("doc_id").as("src"),
-          regexp_extract(TextAnalysis.canonicalUrl(col("url")),
+          regexp_extract(TextAnalysis.canonicalUrl(col("__res")),
             "/doc/([0-9]+)", 1).as("__d"))
         .filter(col("__d") =!= "")
         .select(col("src"), col("__d").cast("long").as("dst"))
@@ -6156,10 +6207,50 @@ object SparkEntry {
        |         COUNT(*) FILTER (WHERE is_content AND boiler) AS nb
        |  FROM kept GROUP BY doc_id) g USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------------- t66/t67
+  // The TAG-SOUP page: what real markup does that the clean templates
+  // don't — a single-quoted href, an unquoted href, an UNCLOSED
+  // <script> (its text must truncate at the next boundary tag, never
+  // reach a block), and an unclosed <style> swallowed before the
+  // footer. The document's text splits around the unclosed script so
+  // the containment is load-bearing for the content rebuild.
+  private val soupTplHead = "<html><body><h1>Doc "
+  private val soupTplP1 = "</h1><p>"
+  private val soupTplScript =
+    "</p><script type='text/javascript'>var x = 1; track(x); this " +
+      "unclosed script text must never reach a block<p>"
+  private val soupTplLinks =
+    "</p><div><a href='/m/one'>single quoted</a> and " +
+      "<a href=/m/two?a=1>unquoted link</a> and " +
+      "<a href=\"http://example.com/m/"
+  private val soupTplTail =
+    "\">quoted abs</a></div><style>.x{color:red}" +
+      "<footer><p><a href='/terms'>Terms</a> <a href=/privacy>Privacy</a> " +
+      "<a href=\"/contact\">Contact</a></p></footer></body></html>"
+
+  private def htmlSoupPage(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(soupTplHead), id.cast("string"), lit(soupTplP1),
+      substring(text, 1, 150), lit(soupTplScript),
+      substring(text, 151, 1 << 30), lit(soupTplLinks), id.cast("string"),
+      lit(soupTplTail))
+
+  private lazy val soupWrapSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    s"'${esc(soupTplHead)}' || CAST(doc_id AS VARCHAR) || " +
+      s"'${esc(soupTplP1)}' || substr(text, 1, 150) || " +
+      s"'${esc(soupTplScript)}' || substr(text, 151) || " +
+      s"'${esc(soupTplLinks)}' || CAST(doc_id AS VARCHAR) || " +
+      s"'${esc(soupTplTail)}'"
+  }
+
   // ------------------------------------------------------- t63/g22
   // The LINKED page template (one relative nav link + three absolute
   // links with every canonicalization hazard: uppercase host, default
-  // port, tracking params, fragment). Targets doc_id÷{2,3,5} are
+  // port, tracking params, fragment — plus, real-crawl-shaped, a
+  // SINGLE-QUOTED relative `../doc/<n>` link and an UNQUOTED rooted
+  // `/doc/<n>#top` link that only quote normalization + RFC 3986
+  // resolution can turn into edges). Targets doc_id÷{2,3,5,7,11} are
   // self-contained (always existing ids, no corpus-size constant) —
   // doc 0's targets are all itself, making it the dangling vertex.
   private val linkTplHead =
@@ -6169,7 +6260,11 @@ object SparkEntry {
   private val linkTplB = " and <a href=\"https://Example.COM:443/doc/"
   private val linkTplBEnd = "?z=1&a=2\">two</a>"
   private val linkTplC = " and <a href=\"http://example.com/doc/"
-  private val linkTplCEnd = "\">three</a></p></article></body></html>"
+  private val linkTplCEnd = "\">three</a>"
+  private val linkTplD = " also <a href='../doc/"
+  private val linkTplDEnd = "?utm_source=mail'>four</a>"
+  private val linkTplE = " finally <a href=/doc/"
+  private val linkTplEEnd = "#top>five</a></p></article></body></html>"
 
   private def htmlLinkPage(id: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -6177,26 +6272,45 @@ object SparkEntry {
     concat(lit(linkTplHead), text,
       lit(linkTplA), idiv(2), lit(linkTplAEnd),
       lit(linkTplB), idiv(3), lit(linkTplBEnd),
-      lit(linkTplC), idiv(5), lit(linkTplCEnd))
+      lit(linkTplC), idiv(5), lit(linkTplCEnd),
+      lit(linkTplD), idiv(7), lit(linkTplDEnd),
+      lit(linkTplE), idiv(11), lit(linkTplEEnd))
   }
 
-  /** The linked-page fixture + raw outlink extraction as CTEs ending in
-    * `u(doc_id, url)` — the [[canonicalUrlCtes]] input contract.
+  /** [[graft.operators.Html.normalizeHrefQuotes]] in DuckDB SQL — the
+    * same two rewrites (RE2 replacement backrefs use `\1` where Java
+    * uses `$1`; the semantics are identical).
     */
-  private val linkPagesCtes: String =
+  private def normalizeHrefSql(x: String): String = {
+    def esc(s: String) = s.replace("'", "''")
+    s"""regexp_replace(regexp_replace($x,
+       |  '${esc(graft.operators.Html.hrefSingleRe)}', 'href="\\1"', 'g'),
+       |  '${esc(graft.operators.Html.hrefBareRe)}', 'href="\\1"', 'g')""".stripMargin
+  }
+
+  /** The linked-page fixture + quote-normalized outlink extraction as
+    * CTEs ending in `u(doc_id, url)` — the [[canonicalUrlCtes]] input
+    * contract.
+    */
+  private lazy val linkPagesCtes: String = {
+    def esc(s: String) = s.replace("'", "''")
     s"""lpages AS (
        |  SELECT doc_id,
-       |         '$linkTplHead' || text ||
-       |         '$linkTplA' || CAST(doc_id // 2 AS VARCHAR) || '$linkTplAEnd' ||
-       |         '$linkTplB' || CAST(doc_id // 3 AS VARCHAR) || '$linkTplBEnd' ||
-       |         '$linkTplC' || CAST(doc_id // 5 AS VARCHAR) || '$linkTplCEnd'
+       |         '${esc(linkTplHead)}' || text ||
+       |         '${esc(linkTplA)}' || CAST(doc_id // 2 AS VARCHAR) || '${esc(linkTplAEnd)}' ||
+       |         '${esc(linkTplB)}' || CAST(doc_id // 3 AS VARCHAR) || '${esc(linkTplBEnd)}' ||
+       |         '${esc(linkTplC)}' || CAST(doc_id // 5 AS VARCHAR) || '${esc(linkTplCEnd)}' ||
+       |         '${esc(linkTplD)}' || CAST(doc_id // 7 AS VARCHAR) || '${esc(linkTplDEnd)}' ||
+       |         '${esc(linkTplE)}' || CAST(doc_id // 11 AS VARCHAR) || '${esc(linkTplEEnd)}'
        |           AS html
        |  FROM documents),
        |lraw AS (
        |  SELECT doc_id,
-       |         unnest(regexp_extract_all(html, '${graft.operators.Html.hrefRe}', 1)) AS url
+       |         unnest(regexp_extract_all(${normalizeHrefSql("html")},
+       |           '${graft.operators.Html.hrefRe}', 1)) AS url
        |  FROM lpages),
        |u AS (SELECT doc_id, url FROM lraw WHERE url <> '')""".stripMargin
+  }
 
   /** [[TextAnalysis.canonicalUrl]]'s relational replay over a
     * caller-defined `u(doc_id, url)` CTE — ending in
@@ -6205,7 +6319,7 @@ object SparkEntry {
     * binary-collation sort) with the raw `url` carried through so
     * multi-link pages keep row identity.
     */
-  private val canonicalUrlCtes: String =
+  private def canonicalUrlCtes(src: String = "u"): String =
     """parts AS (
       |  SELECT doc_id, url,
       |         lower(COALESCE(regexp_extract(url,
@@ -6216,7 +6330,7 @@ object SparkEntry {
       |           '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '') AS path0,
       |         COALESCE(regexp_extract(
       |           regexp_replace(url, '#.*$', ''), '\?(.*)$', 1), '') AS query
-      |  FROM u),
+      |  FROM __CUSRC__),
       |auth AS (
       |  SELECT doc_id, url, scheme, path0, query,
       |         COALESCE(regexp_extract(authority, '^(.*@)', 1), '') AS userinfo,
@@ -6244,10 +6358,147 @@ object SparkEntry {
       |                   path ||
       |                   (CASE WHEN sq <> '' THEN '?' || sq ELSE '' END) END
       |           AS canonical_url
-      |  FROM norm)""".stripMargin
+      |  FROM norm)""".stripMargin.replace("__CUSRC__", src)
 
-  /** g22's replay: the t63 link chain, edge parse (first `/doc/<n>`
-    * group of the canonical URL, self-links out, DISTINCT), then s15's
+  // ------------------------------------------------------- t65
+  /** The t65 href case table — shared verbatim by the Spark fixture and
+    * the oracle so the case set cannot drift: one entry per branch of
+    * the RFC 3986 transform-references table.
+    */
+  private val t65Hrefs: Seq[String] = Seq(
+    "http://other.org/abs/p?q=2#z", // absolute (scheme defined)
+    "//cdn.example.net/lib/a.js", // network-path (authority defined)
+    "/rooted/x", // absolute path
+    "img/photo.png", // relative path (merge)
+    "../up/one", // one-level pop
+    "../../up/two", // two-level pop
+    "./here.html", // same-dir
+    "?page=2", // query-only (empty path keeps base path)
+    "#sec", // fragment-only (same-document reference)
+    "", // empty (the base itself)
+    "a/../b/./c/../d", // dot-segment gymnastics
+    "/abs/./x/../y?q=3#f") // rooted with dots + query + fragment
+
+  /** [[TextAnalysis.removeDotSegments]]'s bounded rewrite fold in DuckDB
+    * SQL — the SAME six per-pass rewrites over the same RE2-safe
+    * patterns, `passes` deep (must equal the operator's bound: both
+    * engines run the identical unroll, so they agree even past it).
+    */
+  private def dotsSql(x: String, passes: Int = 8): String = {
+    val seg = "(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+    (1 to passes).foldLeft(x) { (acc, _) =>
+      val a1 = s"regexp_replace($acc, '/\\./', '/', 'g')"
+      val a2 = s"regexp_replace($a1, '/\\.$$', '/', 'g')"
+      val a3 = s"regexp_replace($a2, '/$seg/\\.\\./', '/', 'g')"
+      val a4 = s"regexp_replace($a3, '/$seg/\\.\\.$$', '/', 'g')"
+      val a5 = s"regexp_replace($a4, '^/\\.\\./', '/', 'g')"
+      s"regexp_replace($a5, '^/\\.\\.$$', '/', 'g')"
+    }
+  }
+
+  /** [[TextAnalysis.resolveUrl]]'s relational replay over a
+    * caller-defined `u(<carry>, url, base)` CTE — ending in
+    * `ru(<carry>, url, resolved)`. Extract-for-extract,
+    * rewrite-for-rewrite the operator's own chain (appendix-B component
+    * split, §5.2.3 merge, the bounded §5.2.4 fold, the branch table).
+    */
+  private def resolveUrlCtes(inCte: String, carry: Seq[String],
+      passes: Int = 8): String = {
+    val cs = carry.mkString(", ")
+    s"""rr0 AS (
+       |  SELECT $cs, url, base,
+       |         COALESCE(regexp_extract(url,
+       |           '^([A-Za-z][A-Za-z0-9+.-]*):', 1), '') AS rscheme,
+       |         regexp_replace(url, '(?s)#.*$$', '') AS nofrag,
+       |         (url LIKE '%#%') AS hasfrag,
+       |         COALESCE(regexp_extract(url, '(?s)#(.*)$$', 1), '') AS frag
+       |  FROM $inCte),
+       |rr1 AS (
+       |  SELECT *, CASE WHEN rscheme <> ''
+       |                 THEN regexp_replace(nofrag,
+       |                        '^[A-Za-z][A-Za-z0-9+.-]*:', '')
+       |                 ELSE nofrag END AS asch,
+       |         (nofrag LIKE '%?%') AS hasq,
+       |         COALESCE(regexp_extract(nofrag, '(?s)\\?(.*)$$', 1), '')
+       |           AS rquery
+       |  FROM rr0),
+       |rr2 AS (
+       |  SELECT *, (asch LIKE '//%') AS hasauth,
+       |         COALESCE(regexp_extract(asch, '^//([^/?#]*)', 1), '') AS rauth,
+       |         CASE WHEN asch LIKE '//%'
+       |              THEN COALESCE(regexp_extract(asch,
+       |                     '^//[^/?#]*([^?#]*)', 1), '')
+       |              ELSE COALESCE(regexp_extract(asch, '^([^?#]*)', 1), '')
+       |              END AS rpath
+       |  FROM rr1),
+       |rrb AS (
+       |  SELECT *, COALESCE(regexp_extract(base,
+       |           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '') AS bscheme,
+       |         COALESCE(regexp_extract(base,
+       |           '^[^:/?#]+://([^/?#]*)', 1), '') AS bauth,
+       |         COALESCE(regexp_extract(base,
+       |           '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '') AS bpath,
+       |         (regexp_replace(base, '(?s)#.*$$', '') LIKE '%?%') AS bhasq,
+       |         COALESCE(regexp_extract(
+       |           regexp_replace(base, '(?s)#.*$$', ''),
+       |           '(?s)\\?(.*)$$', 1), '') AS bquery
+       |  FROM rr2),
+       |rrm AS (
+       |  SELECT *, CASE WHEN bauth <> '' AND bpath = '' THEN '/' || rpath
+       |                 ELSE regexp_replace(bpath, '[^/]*$$', '') || rpath
+       |                 END AS merged
+       |  FROM rrb),
+       |rrp AS (
+       |  SELECT *, CASE WHEN rscheme <> '' OR hasauth THEN rpath
+       |                 WHEN rpath = '' THEN NULL
+       |                 WHEN rpath LIKE '/%' THEN rpath
+       |                 ELSE merged END AS tin
+       |  FROM rrm),
+       |rrq AS (
+       |  SELECT *, CASE WHEN tin IS NULL THEN bpath
+       |                 ELSE ${dotsSql("tin", passes)} END AS tpath,
+       |         (rscheme <> '' OR hasauth OR rpath <> '' OR hasq)
+       |           AS refownsq
+       |  FROM rrp),
+       |ru AS (
+       |  SELECT $cs, url,
+       |         CASE WHEN bscheme = '' THEN NULL
+       |              ELSE (CASE WHEN rscheme <> '' THEN rscheme
+       |                         ELSE bscheme END) ||
+       |                   '://' ||
+       |                   (CASE WHEN rscheme <> '' OR hasauth THEN rauth
+       |                         ELSE bauth END) ||
+       |                   tpath ||
+       |                   (CASE WHEN (CASE WHEN refownsq THEN hasq
+       |                                    ELSE bhasq END)
+       |                         THEN '?' || (CASE WHEN refownsq THEN rquery
+       |                                           ELSE bquery END)
+       |                         ELSE '' END) ||
+       |                   (CASE WHEN hasfrag THEN '#' || frag
+       |                         ELSE '' END)
+       |              END AS resolved
+       |  FROM rrq)""".stripMargin
+  }
+
+  /** t65's replay: the shared href case table unrolled per doc, the
+    * resolve chain over the identical per-doc base URI.
+    */
+  private def t65OracleSql: String = {
+    val hrefList = t65Hrefs.map(h => s"'$h'").mkString("[", ", ", "]")
+    s"""WITH u AS (
+       |  SELECT doc_id, CAST(i - 1 AS INT) AS case_id,
+       |         ($hrefList)[CAST(i AS INT)] AS url,
+       |         'http://example.com/dir' || CAST(doc_id % 3 AS VARCHAR) ||
+       |         '/sub/page' || CAST(doc_id AS VARCHAR) || '?bq=1' AS base
+       |  FROM documents, LATERAL unnest(range(1, ${t65Hrefs.size + 1})) t(i)),
+       |${resolveUrlCtes("u", Seq("doc_id", "case_id"))}
+       |SELECT doc_id, case_id, url AS href, resolved FROM ru""".stripMargin
+  }
+
+  /** g22's replay: the t63 link chain, RFC 3986 resolution against each
+    * page's own URI (the t65 chain verbatim — relative and rooted links
+    * become edges only through it), edge parse (first `/doc/<n>` group
+    * of the canonical URL, self-links out, DISTINCT), then s15's
     * PageRank iteration CTEs over doc ids — the SUBTRACTED teleport
     * term, IEEE per-edge division, DECIMAL(28,10) contribution sums and
     * dangling-mass drop, exactly [[graft.operators.Graph.pageRank]].
@@ -6265,14 +6516,25 @@ object SparkEntry {
          |    FROM dedges ed JOIN $prev rr ON ed.src = rr.doc_id
          |    GROUP BY 1) s ON t.doc_id = s.doc_id)""".stripMargin
     s"""WITH $linkPagesCtes,
-       |$canonicalUrlCtes,
-       |edges AS (
+       |ub AS (SELECT doc_id, url,
+       |       'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS base
+       |       FROM u),
+       |${resolveUrlCtes("ub", Seq("doc_id"))},
+       |ures AS (SELECT doc_id, resolved AS url FROM ru),
+       |${canonicalUrlCtes("ures")},
+       |edges AS MATERIALIZED (
+       |  -- MATERIALIZED: each PageRank round references the edge chain,
+       |  -- and inlining the (deliberately huge) bounded resolve unroll
+       |  -- once per round blows up DuckDB's planner
        |  SELECT DISTINCT doc_id AS src,
-       |         CAST(regexp_extract(canonical_url, '/doc/([0-9]+)', 1) AS BIGINT) AS dst
+       |         CAST(nullif(regexp_extract(canonical_url, '/doc/([0-9]+)', 1), '')
+       |              AS BIGINT) AS dst
        |  FROM cu
        |  WHERE canonical_url IS NOT NULL
-       |    AND COALESCE(regexp_extract(canonical_url, '/doc/([0-9]+)', 1), '') <> ''
-       |    AND CAST(regexp_extract(canonical_url, '/doc/([0-9]+)', 1) AS BIGINT) <> doc_id),
+       |    AND COALESCE(nullif(regexp_extract(canonical_url, '/doc/([0-9]+)', 1), ''),
+       |                 '') <> ''
+       |    AND CAST(nullif(regexp_extract(canonical_url, '/doc/([0-9]+)', 1), '')
+       |             AS BIGINT) <> doc_id),
        |nodes AS (SELECT doc_id FROM documents),
        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
        |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
@@ -8671,7 +8933,9 @@ object SparkEntry {
     s"""hraw AS (SELECT doc_id, $wrap AS html FROM $src),
        |hpre AS (SELECT doc_id, $dropChain AS h FROM hraw),
        |hblk AS (SELECT doc_id, string_split(
-       |    regexp_replace(h, '${graft.operators.Html.boundaryTagRe}', chr(7), 'g'),
+       |    regexp_replace(
+       |      regexp_replace(h, '${graft.operators.Html.boundaryTagRe}', chr(7), 'g'),
+       |      '${graft.operators.Html.unclosedNoiseRe}', ' ', 'g'),
        |    chr(7)) AS bs FROM hpre),
        |hex AS (SELECT doc_id, CAST(i - 1 AS INT) AS block_idx,
        |    bs[CAST(i AS INT)] AS b
@@ -10434,9 +10698,27 @@ object SparkEntry {
     // PageRank composition (s15's iteration CTEs over parsed link edges)
     "t63_html_outlinks" ->
       s"""WITH $linkPagesCtes,
-         |$canonicalUrlCtes
+         |${canonicalUrlCtes()}
          |SELECT doc_id, url, canonical_url FROM cu""".stripMargin,
     "g22_web_pagerank" -> g22OracleSql,
+    // t65: RFC 3986 reference resolution, replayed rewrite-for-rewrite
+    "t65_url_resolve" -> t65OracleSql,
+    // t66/t67: the t61/t63 chains over tag-soup pages — the unclosed
+    // script/style containment and quote normalization replay through
+    // the SAME shared CTE builders
+    "t66_tagsoup_extract" ->
+      s"""WITH ${htmlBlocksCtes(5, "documents", soupWrapSql)}
+         |SELECT * FROM hblocks""".stripMargin,
+    "t67_tagsoup_outlinks" ->
+      s"""WITH spages AS (SELECT doc_id, $soupWrapSql AS html FROM documents),
+         |sraw AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(${normalizeHrefSql("html")},
+         |           '${graft.operators.Html.hrefRe}', 1)) AS url
+         |  FROM spages),
+         |u AS (SELECT doc_id, url FROM sraw WHERE url <> ''),
+         |${canonicalUrlCtes()}
+         |SELECT doc_id, url, canonical_url FROM cu""".stripMargin,
 
     // c35/c36: the registry's near-dup screen and PII redaction stages,
     // gated by d03's pair truth / t17's redaction chain verbatim (the

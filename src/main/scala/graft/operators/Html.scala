@@ -32,12 +32,15 @@ import org.apache.spark.sql.functions._
  * target is running text, and the threshold is the caller's knob.
  *
  * Scope/limitations (documented, not hidden): the block split is
- * regex-structural (no DOM tree), `<head>`/`<script>`/`<style>` bodies
- * and comments are removed WHEN WELL-FORMED (an unclosed `<script>`
- * leaks — a real crawler fronts this with a tag-soup repair pass), and
- * only the five basic character entities plus `&nbsp;` decode. Every
- * pattern is RE2-safe (no backreferences, no lookaround) so the DuckDB
- * oracle replays the exact split + arithmetic relationally.
+ * regex-structural (no DOM tree); `<head>`/`<script>`/`<style>` bodies
+ * and comments are removed when well-formed, and an UNCLOSED
+ * `<script>`/`<style>` is contained — its text truncates at the next
+ * boundary tag ([[unclosedNoiseRe]] runs after the boundary collapse,
+ * so the block the opener sits in loses its tail and the NEXT block
+ * survives intact) rather than leaking to end-of-page. Only the five
+ * basic character entities plus `&nbsp;` decode. Every pattern is
+ * RE2-safe (no backreferences in patterns, no lookaround) so the
+ * DuckDB oracle replays the exact split + arithmetic relationally.
  *
  * 100 TB posture: both surfaces are MAP-ONLY — the block split, the
  * per-block features and the content rebuild all run inside one
@@ -90,13 +93,25 @@ object Html {
   private def stripTags(c: Column): Column =
     regexp_replace(c, anyTagRe, " ")
 
+  /** An UNCLOSED `<script>`/`<style>` opener and its trailing text, up
+    * to the next block boundary (the [[sep]] sentinel — this pattern
+    * runs AFTER the boundary collapse, and after the well-formed
+    * droppers removed every closed noise container, so a remaining
+    * opener provably has no close). The tag-soup containment rule:
+    * script text truncates at the next boundary tag instead of leaking
+    * to end-of-page.
+    */
+  val unclosedNoiseRe: String = "(?is)<(?:script|style)\\b[^>]*>[^\\x07]*"
+
   /** Page → the block vector (noise containers dropped, boundary tags
-    * collapsed to [[sep]], split). Still carries inline tags.
+    * collapsed to [[sep]], unclosed script/style contained, split).
+    * Still carries inline tags.
     */
   private def rawBlocks(html: Column): Column = {
     val noNoise = dropWithContentRes.foldLeft(html)(
       (acc, re) => regexp_replace(acc, re, " "))
-    split(regexp_replace(noNoise, boundaryTagRe, sep), sep)
+    val collapsed = regexp_replace(noNoise, boundaryTagRe, sep)
+    split(regexp_replace(collapsed, unclosedNoiseRe, " "), sep)
   }
 
   /** One block's feature/label struct; `idx` is the block's 0-based
@@ -219,23 +234,45 @@ object Html {
   }
 
   /** Anchor HREF (`<a href="…">`) value of the web graph's outlink
-    * surface, group 1. Double-quoted values only (the synthesized-page
-    * contract; a tag-soup crawler normalizes quoting upstream).
+    * surface, group 1, over QUOTE-NORMALIZED markup (see
+    * [[normalizeHrefQuotes]] — real pages use single-quoted and
+    * unquoted attribute values constantly, so [[outlinks]] normalizes
+    * before extracting).
     */
   val hrefRe: String = "(?is)<a\\b[^>]*?\\bhref=\"([^\"]*)\"[^>]*>"
 
+  /** Single-quoted href value — rewritten to the double-quoted form. */
+  val hrefSingleRe: String = "(?is)\\bhref\\s*=\\s*'([^']*)'"
+
+  /** Unquoted href value (runs to whitespace or `>`), rewritten to the
+    * double-quoted form. Applied AFTER [[hrefSingleRe]], and the first
+    * character class excludes `"` so already-quoted values never
+    * re-wrap.
+    */
+  val hrefBareRe: String = "(?is)\\bhref\\s*=\\s*([^\\s\"'>][^\\s>]*)"
+
+  /** Normalize single-quoted and unquoted href attribute values to the
+    * double-quoted form [[hrefRe]] extracts — tag-soup quoting
+    * tolerance as two RE2-safe rewrites (backreferences appear only in
+    * the REPLACEMENT, which RE2/Java both support).
+    */
+  def normalizeHrefQuotes(html: Column): Column =
+    regexp_replace(regexp_replace(html, hrefSingleRe, "href=\"$1\""),
+      hrefBareRe, "href=\"$1\"")
+
   /** Per-page outlink extraction — the edge surface of the web graph
     * (host-level PageRank, link-spam screens, crawl frontiers all start
-    * here): every anchor's raw href, one row per occurrence, in
-    * document order. Map-only + one explode; compose with
-    * [[TextAnalysis.canonicalUrl]] to collapse tracking-param/case/port
-    * variants before using the target as a join key. Output:
-    * (idCol, url) — relative URLs (no scheme) pass through raw and
-    * canonicalize to NULL downstream, the caller's drop.
+    * here): every anchor's raw href (double-, single- or un-quoted),
+    * one row per occurrence, in document order. Map-only + one explode;
+    * compose with [[TextAnalysis.resolveUrl]] (relative links) and
+    * [[TextAnalysis.canonicalUrl]] (tracking-param/case/port variants)
+    * before using the target as a join key. Output: (idCol, url) —
+    * relative URLs pass through raw for the caller to resolve.
     */
   def outlinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
     df.select(col(idCol),
-        explode(regexp_extract_all(col(htmlCol), lit(hrefRe), lit(1)))
+        explode(regexp_extract_all(normalizeHrefQuotes(col(htmlCol)),
+          lit(hrefRe), lit(1)))
           .as("url"))
       .filter(col("url") =!= "")
 

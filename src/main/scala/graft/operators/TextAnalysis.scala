@@ -342,6 +342,100 @@ object TextAnalysis {
         when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
   }
 
+  /** Any path segment EXCEPT exactly `.` or `..` — the guard that keeps
+    * the `/seg/../` pop rewrite from cancelling two `..`s against each
+    * other. RE2-safe (pure alternation, no lookaround).
+    */
+  private val nonDotSegRe = "(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+
+  /** RFC 3986 §5.2.4 remove_dot_segments as a BOUNDED fold of RE2-safe
+    * rewrites over an absolute path: per pass, collapse `/./` (and a
+    * trailing `/.`), pop one `/seg/../` level (leftmost-first, like the
+    * spec's left-to-right walk), and drop excess leading `/../`. Each
+    * pass resolves at least one remaining dot segment, so `passes`
+    * bounds the NESTING depth handled (8 covers any real crawl URL;
+    * deeper chains keep their residual dots — and since the oracle
+    * replays the identical bounded unroll, the two engines agree even
+    * past the bound). Input must be an absolute (`/`-leading) path.
+    */
+  def removeDotSegments(p: Column, passes: Int = 8): Column = {
+    require(passes >= 1, "need at least one rewrite pass")
+    (1 to passes).foldLeft(p) { (acc, _) =>
+      val a1 = regexp_replace(acc, "/\\./", "/")
+      val a2 = regexp_replace(a1, "/\\.$", "/")
+      val a3 = regexp_replace(a2, s"/$nonDotSegRe/\\.\\./", "/")
+      val a4 = regexp_replace(a3, s"/$nonDotSegRe/\\.\\.$$", "/")
+      val a5 = regexp_replace(a4, "^/\\.\\./", "/")
+      regexp_replace(a5, "^/\\.\\.$", "/")
+    }
+  }
+
+  /** RFC 3986 §5.2 reference resolution — the step between outlink
+    * extraction and URL canonicalization that a REAL crawl cannot skip:
+    * most in-page links are relative (`img/x.png`, `../doc/7`,
+    * `/rooted`, `?page=2`, `#sec`), and without resolution they never
+    * become graph edges. Implements the spec's transform-references
+    * branch table over `base` (which must be an absolute hierarchical
+    * URL — `scheme://…` — or the result is NULL):
+    *
+    *  - ref has a scheme → ref itself (path dot-normalized);
+    *  - network-path `//host/p` → base's scheme + ref's authority/path;
+    *  - absolute path `/p` → base's scheme+authority + dot-normalized p;
+    *  - relative path → merged with the base path (strip after the last
+    *    `/`; `/`+ref when the base path is empty) then dot-normalized;
+    *  - empty path → base's path verbatim, query from ref IF PRESENT
+    *    else from base (so `?page=2`, `#sec` and `` behave per spec);
+    *  - the ref's fragment always carries (strip it downstream via
+    *    [[canonicalUrl]]).
+    *
+    * Everything is fixed-shape regexp extracts/rewrites plus the
+    * [[removeDotSegments]] bounded fold — map-only, codegen-friendly,
+    * and replayed operation-for-operation by the DuckDB oracle (t65).
+    */
+  def resolveUrl(base: Column, ref: Column, passes: Int = 8): Column = {
+    val rScheme = regexp_extract(ref, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val hasScheme = rScheme =!= ""
+    val noFrag = regexp_replace(ref, "(?s)#.*$", "")
+    val hasFrag = ref.rlike("#")
+    val frag = regexp_extract(ref, "(?s)#(.*)$", 1)
+    val afterScheme = when(hasScheme,
+      regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*:", ""))
+      .otherwise(noFrag)
+    val hasAuth = afterScheme.startsWith("//")
+    val rAuth = regexp_extract(afterScheme, "^//([^/?#]*)", 1)
+    val rPath = when(hasAuth,
+      regexp_extract(afterScheme, "^//[^/?#]*([^?#]*)", 1))
+      .otherwise(regexp_extract(afterScheme, "^([^?#]*)", 1))
+    val hasQuery = noFrag.rlike("\\?")
+    val rQuery = regexp_extract(noFrag, "(?s)\\?(.*)$", 1)
+    val bScheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val bAuth = regexp_extract(base, "^[^:/?#]+://([^/?#]*)", 1)
+    val bPath = regexp_extract(base, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val bNoFrag = regexp_replace(base, "(?s)#.*$", "")
+    val bHasQuery = bNoFrag.rlike("\\?")
+    val bQuery = regexp_extract(bNoFrag, "(?s)\\?(.*)$", 1)
+    // §5.2.3 merge: base path up to its last '/', or '/'+ref when the
+    // base (an authority-bearing URL) has an empty path
+    val merged = when(bAuth =!= "" && bPath === "", concat(lit("/"), rPath))
+      .otherwise(concat(regexp_replace(bPath, "[^/]*$", ""), rPath))
+    // the path the dot-removal fold runs over; NULL marks the
+    // empty-ref-path branch where the base path carries VERBATIM
+    val tIn = when(hasScheme || hasAuth, rPath)
+      .otherwise(when(rPath === "", lit(null).cast("string"))
+        .otherwise(when(rPath.startsWith("/"), rPath).otherwise(merged)))
+    val tPath = when(tIn.isNull, bPath)
+      .otherwise(removeDotSegments(tIn, passes))
+    val tScheme = when(hasScheme, rScheme).otherwise(bScheme)
+    val tAuth = when(hasScheme || hasAuth, rAuth).otherwise(bAuth)
+    val refOwnsQuery = hasScheme || hasAuth || rPath =!= "" || hasQuery
+    val tHasQ = when(refOwnsQuery, hasQuery).otherwise(bHasQuery)
+    val tQuery = when(refOwnsQuery, rQuery).otherwise(bQuery)
+    when(bScheme === "", lit(null).cast("string"))
+      .otherwise(concat(tScheme, lit("://"), tAuth, tPath,
+        when(tHasQ, concat(lit("?"), tQuery)).otherwise(lit("")),
+        when(hasFrag, concat(lit("#"), frag)).otherwise(lit(""))))
+  }
+
   /** Log-likelihood-ratio distinctive terms (Dunning 1993, "Accurate
     * Methods for the Statistics of Surprise and Coincidence"; see
     * PAPERS.md) — for every (slice, token) pair, the G² statistic of

@@ -96,6 +96,33 @@ class HtmlSpec extends SparkTestBase {
     assert(got(11L)._4 === 0, "a 4-page host is under minRepeats")
   }
 
+  test("unclosed <script>/<style> text truncates at the next boundary " +
+      "tag — the following block survives intact") {
+    val df = Seq(
+      (1L, "<p>first real paragraph with plenty of words</p>" +
+        "<script>var leak = 'this must never reach a block'" +
+        "<p>second real paragraph with plenty of words</p>" +
+        "<style>.x{color:red}<p>third real paragraph with plenty of words</p>"))
+      .toDF("doc_id", "html")
+    val texts = Html.htmlBlockFeatures(df, "doc_id", "html", minWords = 3)
+      .orderBy("block_idx").select("text").as[String].collect().toSeq
+    assert(texts === Seq(
+      "first real paragraph with plenty of words",
+      "second real paragraph with plenty of words",
+      "third real paragraph with plenty of words"), s"got $texts")
+  }
+
+  test("outlinks extracts single-quoted, unquoted and double-quoted " +
+      "hrefs in document order") {
+    val df = Seq(
+      (1L, "<a href='/one'>a</a> <a href=/two?x=1>b</a> " +
+        "<a class='z' href=\"/three\">c</a> <a href = '/four'>d</a>"))
+      .toDF("doc_id", "html")
+    val urls = Html.outlinks(df, "doc_id", "html")
+      .select("url").as[String].collect().toSeq
+    assert(urls === Seq("/one", "/two?x=1", "/three", "/four"), s"got $urls")
+  }
+
   test("script/style/head/comment bodies drop; empty page yields no blocks") {
     val df = Seq(
       (1L, "<head><title>gone</title></head><script>var x='gone';</script>" +

@@ -911,6 +911,36 @@ class TextAnalysisSpec extends SparkTestBase {
       None))
   }
 
+  test("resolveUrl: every RFC 3986 transform-references branch against a " +
+      "fixed base; non-absolute base nulls") {
+    val base = "http://h.io/a/b/page?bq=1"
+    val cases = Seq(
+      "https://o.net/x?q#z" -> Some("https://o.net/x?q#z"),
+      "//cdn.net/lib.js" -> Some("http://cdn.net/lib.js"),
+      "/rooted/x" -> Some("http://h.io/rooted/x"),
+      "img/p.png" -> Some("http://h.io/a/b/img/p.png"),
+      "../up" -> Some("http://h.io/a/up"),
+      "../../up" -> Some("http://h.io/up"),
+      "../../../over" -> Some("http://h.io/over"), // excess .. clamps at root
+      "./here" -> Some("http://h.io/a/b/here"),
+      "?page=2" -> Some("http://h.io/a/b/page?page=2"),
+      "#sec" -> Some("http://h.io/a/b/page?bq=1#sec"),
+      "" -> Some("http://h.io/a/b/page?bq=1"),
+      "g/../h/./i/../j" -> Some("http://h.io/a/b/h/j"),
+      "/abs/./x/../y?q#f" -> Some("http://h.io/abs/y?q#f"),
+      // RFC oddity coverage: dot-segment-only relative ref
+      ".." -> Some("http://h.io/a/"),
+      "." -> Some("http://h.io/a/b/"))
+    val got = cases.map(_._1).toDF("r")
+      .select(TextAnalysis.resolveUrl(lit(base), col("r")).as("t"))
+      .as[Option[String]].collect().toSeq
+    assert(got === cases.map(_._2), s"got $got")
+    val badBase = Seq("relative/base").toDF("b")
+      .select(TextAnalysis.resolveUrl(col("b"), lit("x")).as("t"))
+      .as[Option[String]].head()
+    assert(badBase.isEmpty, "a non-absolute base must resolve to NULL")
+  }
+
   test("distinctiveTerms: hand-computed Dunning G² on a 2-slice corpus, " +
       "zero cells contribute zero, exact-integer direction, minCount gate") {
     // slice A: tokens {x:3, y:1}; slice B: {y:4}
