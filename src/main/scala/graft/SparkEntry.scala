@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingSiteTemplate, StreamingTokenBudget, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingSiteTemplate, StreamingTokenBudget, StreamingWebGraph, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3224,19 +3224,11 @@ object SparkEntry {
     "g22_web_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pages = docs.select(col("doc_id"),
-        htmlLinkPage(col("doc_id"), col("text")).as("html"))
-      val base = concat(lit("http://example.com/doc/"),
-        col("doc_id").cast("string"))
-      val edges = graft.operators.Html.outlinks(pages, "doc_id", "html")
-        .select(col("doc_id"),
-          TextAnalysis.resolveUrl(base, col("url")).as("__res"))
-        .select(col("doc_id").as("src"),
-          regexp_extract(TextAnalysis.canonicalUrl(col("__res")),
-            "/doc/([0-9]+)", 1).as("__d"))
-        .filter(col("__d") =!= "")
-        .select(col("src"), col("__d").cast("long").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
+        htmlLinkPage(col("doc_id"), col("text")).as("html"),
+        concat(lit("http://example.com/doc/"),
+          col("doc_id").cast("string")).as("base_uri"))
+      val edges = graft.operators.Html.docLinkEdges(pages, "doc_id",
+        "html", "base_uri")
       Graph.pageRank(docs.select("doc_id"), edges, "doc_id", "src", "dst",
           iters = 3, damping = 0.85)
         .select(col("doc_id"), (round(col("score"), 8) + lit(0.0)).as("score"))
@@ -3313,6 +3305,37 @@ object SparkEntry {
       }
       StreamingSiteTemplate.currentExtract(s, s"$tmp/state", "doc_id",
         minRepeats = 5)
+    }),
+
+    // streaming web graph — g22's ingest twin, merge-on-read (the e47
+    // posture): PageRank is CORPUS-level, so state banks each page's
+    // resolved/canonicalized doc-link edges at ingest (decode-once,
+    // O(batch) appends) and the drained read runs the SHARED
+    // Graph.pageRank over the banked edge facts — a page from the first
+    // batch gains rank from links that arrive in the last; drained ==
+    // batch g22 under any batching, same oracle verbatim
+    "e49_streaming_web_graph" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e49").toString
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        htmlLinkPage(col("doc_id"), col("text")).as("html"),
+        concat(lit("http://example.com/doc/"),
+          col("doc_id").cast("string")).as("base_uri"))
+      for (r <- 0 until 2)
+        pages.filter(pmod(col("doc_id"), lit(2)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("doc_id BIGINT, html STRING, base_uri STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingWebGraph.start(s, src, "doc_id", "html",
+        "base_uri", s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e49 stream did not drain in 300s")
+      }
+      StreamingWebGraph.currentRank(s, s"$tmp/state", "doc_id",
+          iters = 3, damping = 0.85)
+        .select(col("doc_id"), (round(col("score"), 8) + lit(0.0)).as("score"))
     }),
 
     // the FULL crawl ingest, streaming, REAL-crawl-shaped: gzip-member
@@ -10701,6 +10724,9 @@ object SparkEntry {
          |${canonicalUrlCtes()}
          |SELECT doc_id, url, canonical_url FROM cu""".stripMargin,
     "g22_web_pagerank" -> g22OracleSql,
+    // e49 drains to batch g22 under any batching (merge-on-read: state
+    // holds edge facts, the read runs the shared PageRank)
+    "e49_streaming_web_graph" -> g22OracleSql,
     // t65: RFC 3986 reference resolution, replayed rewrite-for-rewrite
     "t65_url_resolve" -> t65OracleSql,
     // t66/t67: the t61/t63 chains over tag-soup pages — the unclosed

@@ -52,13 +52,14 @@ object Graph {
       nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      observeDeltas: Seq[org.apache.spark.sql.Observation] = Nil): DataFrame = {
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one vertex")
     rankLoop(nodes, edges, idCol, srcCol, dstCol, iters, damping,
       initScore = lit(1.0 / n.toDouble),
       teleportScore = lit((1.0 - damping) / n.toDouble),
-      checkpointDir = checkpointDir)
+      checkpointDir = checkpointDir, observeDeltas = observeDeltas)
   }
 
   /** Personalized PageRank: the teleport mass lands ONLY on the `seeds`
@@ -85,12 +86,26 @@ object Graph {
       checkpointDir = checkpointDir)
   }
 
+  /** Convergence observability (the round-justifies-`iters` readout): a
+    * caller passing one [[org.apache.spark.sql.Observation]] per round
+    * (`observeDeltas.length >= iters`) gets, after consuming the
+    * result, each round's `max_delta` = max_v |r_t(v) − r_{t−1}(v)| —
+    * free metrics riding the round's own materialization, no extra
+    * aggregation job. In observe mode every round snaps eagerly (the
+    * action the metric needs; it also makes the carried previous-score
+    * frame cheap to reference twice) — values are unchanged, the
+    * default no-observation plan is untouched.
+    */
   private def rankLoop(
       nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       iters: Int, damping: Double,
       initScore: Column, teleportScore: Column,
-      checkpointDir: Option[String]): DataFrame = {
+      checkpointDir: Option[String],
+      observeDeltas: Seq[org.apache.spark.sql.Observation] = Nil): DataFrame = {
+    require(observeDeltas.isEmpty || observeDeltas.length >= iters,
+      s"need one Observation per round: got ${observeDeltas.length} for " +
+        s"$iters iterations")
     // per-round materialization through the shared RoundSnapshots:
     // localCheckpoint by default, durable parquet rounds (executor-loss
     // safe) when checkpointDir is set — see [[graft.pipeline.RoundSnapshots]]
@@ -110,21 +125,36 @@ object Graph {
         .select(col(dstCol).as(idCol),
           (col("score") / col("__deg")).cast(DecimalType(28, 10)).as("__c"))
         .groupBy(col(idCol)).agg(sum(col("__c")).as("__m"))
-      ranks = nodes.select(col(idCol))
-        .join(inflow, Seq(idCol), "left")
-        .select(col(idCol),
-          (teleportScore +
-            lit(damping) * coalesce(col("__m").cast("double"), lit(0.0)))
-            .as("score"))
-      // deep runs: snap the (skinny) rank frame every few rounds so the
-      // lineage stays shallow — an unbroken chain of N join+agg layers
-      // overwhelms the planner the same way the d06 label frames did.
-      // Values are unchanged; materialization is not arithmetic. Once the
-      // next snapshot is eagerly materialized the previous one is dead —
-      // the roll frees it (the covarianceModel rule: superseded snapshots
-      // must not sit in storage for the driver's lifetime)
-      if ((i + 1) % 5 == 0 && i != iters - 1)
-        ranks = rankRoll.advance(ranks)
+      val newScore =
+        (teleportScore +
+          lit(damping) * coalesce(col("__m").cast("double"), lit(0.0)))
+          .as("score")
+      if (observeDeltas.isEmpty) {
+        ranks = nodes.select(col(idCol))
+          .join(inflow, Seq(idCol), "left")
+          .select(col(idCol), newScore)
+        // deep runs: snap the (skinny) rank frame every few rounds so the
+        // lineage stays shallow — an unbroken chain of N join+agg layers
+        // overwhelms the planner the same way the d06 label frames did.
+        // Values are unchanged; materialization is not arithmetic. Once the
+        // next snapshot is eagerly materialized the previous one is dead —
+        // the roll frees it (the covarianceModel rule: superseded snapshots
+        // must not sit in storage for the driver's lifetime)
+        if ((i + 1) % 5 == 0 && i != iters - 1)
+          ranks = rankRoll.advance(ranks)
+      } else {
+        // observe mode: the round's frame carries the previous score so
+        // max|Δ| computes inside the round's own materialization; using
+        // ranks (a per-round snapshot here) as the left side keeps the
+        // vertex set identical to `nodes`
+        val withDelta = ranks
+          .select(col(idCol), col("score").as("__prev"))
+          .join(inflow, Seq(idCol), "left")
+          .select(col(idCol), newScore, col("__prev"))
+          .observe(observeDeltas(i),
+            max(abs(col("score") - col("__prev"))).as("max_delta"))
+        ranks = rankRoll.advance(withDelta.select(col(idCol), col("score")))
+      }
     }
     ranks
   }

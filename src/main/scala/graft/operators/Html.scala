@@ -276,6 +276,30 @@ object Html {
           .as("url"))
       .filter(col("url") =!= "")
 
+  /** Pages → web-graph doc edges, the FULL real-crawl link chain in one
+    * place so the batch composition (g22) and the streaming ingest twin
+    * ([[graft.streaming.StreamingWebGraph]]) cannot drift: outlink
+    * extraction (quote-normalized), RFC 3986 resolution against each
+    * page's own URI (`baseUriCol`), canonicalization, then the doc-id
+    * parse (`idPattern` group 1), self-links out, DISTINCT. Map-only +
+    * one explode + the final distinct — edges are skinny (long, long)
+    * from the first shuffle on.
+    */
+  def docLinkEdges(df: DataFrame, idCol: String, htmlCol: String,
+      baseUriCol: String, idPattern: String = "/doc/([0-9]+)"): DataFrame =
+    df.select(col(idCol), col(baseUriCol).as("__base"),
+        explode(regexp_extract_all(normalizeHrefQuotes(col(htmlCol)),
+          lit(hrefRe), lit(1))).as("url"))
+      .filter(col("url") =!= "")
+      .select(col(idCol).as("src"),
+        regexp_extract(TextAnalysis.canonicalUrl(
+            TextAnalysis.resolveUrl(col("__base"), col("url"))),
+          idPattern, 1).as("__d"))
+      .filter(col("__d") =!= "")
+      .select(col("src"), col("__d").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
   /** Per-page main content: content blocks rejoined in document order
     * with single spaces, plus block counts. ZERO shuffle — the rebuild
     * happens inside the page's own array (no explode, no groupBy), so

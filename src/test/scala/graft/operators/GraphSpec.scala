@@ -48,6 +48,35 @@ class GraphSpec extends SparkTestBase {
     r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-9, r))
   }
 
+  test("pageRank observeDeltas: per-round max|delta| metrics fire, equal " +
+      "the brute-force round-to-round diff, shrink toward convergence, " +
+      "and leave the scores unchanged") {
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L)
+    val edges = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 0L -> 1L)
+    val iters = 4
+    val obs = (0 until iters).map(i =>
+      org.apache.spark.sql.Observation(s"pr_round_$i"))
+    val observed = Graph.pageRank(nodes.toDF("id"),
+        edges.toDF("src", "dst"), "id", "src", "dst", iters = iters,
+        observeDeltas = obs)
+      .as[(Long, Double)].collect().toMap
+    // observation never changes arithmetic
+    val plain = ranks(nodes, edges, iters = iters)
+    assert(observed === plain, "observe mode changed the scores")
+    val deltas = obs.map(_.get("max_delta").asInstanceOf[Double])
+    // brute force: max|r_i - r_{i-1}| from independent fixed-iter runs
+    // (identical DECIMAL-exact chains, so equality is exact)
+    val byIter = (0 to iters).map(i =>
+      if (i == 0)
+        nodes.map(_ -> 1.0 / nodes.size).toMap
+      else ranks(nodes, edges, iters = i))
+    val want = (1 to iters).map(i =>
+      nodes.map(v => math.abs(byIter(i)(v) - byIter(i - 1)(v))).max)
+    assert(deltas === want, s"observed $deltas, brute-force $want")
+    assert(deltas.last < deltas.head,
+      s"deltas must shrink toward convergence: $deltas")
+  }
+
   test("knnHubness: in-degrees, hub and antihub flags") {
     val edges = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 0L -> 1L)
     val out = Graph.knnHubness(Seq(0L, 1L, 2L, 3L).toDF("id"),

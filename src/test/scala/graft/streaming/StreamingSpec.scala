@@ -3212,6 +3212,44 @@ class StreamingSpec extends SparkTestBase {
     assert(drained === batchTruth, "drained extraction drifted from batch t64")
   }
 
+  test("streaming web graph: drained rank equals batch g22 composition " +
+      "under any batching (late links raise early pages); replay exact; " +
+      "link-less pages keep their teleport rank") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_swg").toString
+    // pages 1..6: page i links to doc i/2 via a RELATIVE href (the
+    // resolution path is load-bearing); page 6 has no links at all
+    def page(i: Long) = (i,
+      if (i == 6L) "<p>no links on this page</p>"
+      else s"<p>see <a href='../doc/${i / 2}?utm_source=x'>here</a></p>",
+      s"http://example.com/doc/$i")
+    val cols = Seq("doc_id", "html", "base_uri")
+    val all = (1L to 6L).map(page)
+    def run(b: Seq[(Long, String, String)], id: Long): Unit =
+      StreamingWebGraph.processBatch(b.toDF(cols: _*), id,
+        "doc_id", "html", "base_uri", s"$dir/state", "/doc/([0-9]+)")
+    run(all.take(3), 0L)
+    run(all.take(3), 0L) // replay: must not double edges or sentinels
+    run(all.drop(3), 1L)
+    val drained = StreamingWebGraph
+      .currentRank(spark, s"$dir/state", "doc_id", iters = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val pagesDf = all.toDF(cols: _*)
+    val batchEdges = graft.operators.Html.docLinkEdges(pagesDf,
+      "doc_id", "html", "base_uri")
+    val batchTruth = graft.operators.Graph.pageRank(
+        pagesDf.select("doc_id"), batchEdges, "doc_id", "src", "dst",
+        iters = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(drained === batchTruth, "drained rank drifted from batch g22")
+    assert(drained.map(_._1) === (1L to 6L),
+      "every page (including the link-less one) must keep its vertex")
+    // the relative hrefs really became edges: page 2 (linked from 4 and
+    // 5) outranks page 6 (linked from nothing)
+    val rank = drained.toMap
+    assert(rank(2L) > rank(6L), s"resolution-built edges missing: $drained")
+  }
+
   test("streaming retrieval eval qrels-aware report: a judged query the " +
       "system never retrieved for zero-fills to match batch") {
     import org.apache.spark.sql.functions._
