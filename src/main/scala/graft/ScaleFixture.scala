@@ -34,11 +34,19 @@ object ScaleFixture {
     spark.sparkContext.setLogLevel("WARN")
     val abc = "abcdefghijklmnopqrstuvwxyz"
     def shifted(k: Int) = abc.drop(k % 26) + abc.take(k % 26)
+    // `source` doubles as the HOST key of the web family (t64's
+    // site-level template removal): copy k gets its own host namespace,
+    // so 10x data means 10 disjoint crawls of 10x the SITES — per-host
+    // template page-counts stay source-scale (the honest measurement)
+    // instead of every host's count inflating 10x by fixture construction
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until factor).map { k =>
       docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * 100000))
         .withColumn("text",
           if (k == 0) col("text") else translate(col("text"), abc, shifted(k)))
+        .withColumn("source",
+          if (k == 0) col("source")
+          else concat(col("source"), lit(s"_c$k")))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val orders = spark.read.parquet(s"$src/orders.parquet")
