@@ -286,19 +286,32 @@ object Html {
     * from the first shuffle on.
     */
   def docLinkEdges(df: DataFrame, idCol: String, htmlCol: String,
-      baseUriCol: String, idPattern: String = "/doc/([0-9]+)"): DataFrame =
-    df.select(col(idCol), col(baseUriCol).as("__base"),
+      baseUriCol: String, idPattern: String = "/doc/([0-9]+)"): DataFrame = {
+    val links = df.select(col(idCol).as("src"),
+        col(baseUriCol).as("__base"),
         explode(regexp_extract_all(normalizeHrefQuotes(col(htmlCol)),
           lit(hrefRe), lit(1))).as("url"))
       .filter(col("url") =!= "")
-      .select(col(idCol).as("src"),
-        regexp_extract(TextAnalysis.canonicalUrl(
-            TextAnalysis.resolveUrl(col("__base"), col("url"))),
+    // the STAGED resolve surface (see [[TextAnalysis.withResolvedUrl]]):
+    // each RFC component evaluates once per row — the single-Column
+    // composition re-evaluated the bounded unroll ~10x per row here.
+    // The no-doc-target drop is a GENERATE (explode of a 0/1-element
+    // array), NOT a filter: predicate pushdown substitutes a filtered
+    // computed column's defining expression into the pushed condition
+    // (measured: a 45k-node Filter tree = the whole resolve chain
+    // inlined multiplicatively), and a Generate is the barrier it
+    // cannot cross
+    TextAnalysis.withResolvedUrl(links, "__base", "url", "__res")
+      .select(col("src"),
+        regexp_extract(TextAnalysis.canonicalUrl(col("__res")),
           idPattern, 1).as("__d"))
-      .filter(col("__d") =!= "")
-      .select(col("src"), col("__d").cast("long").as("dst"))
+      .select(col("src"),
+        explode(when(col("__d") =!= "", array(col("__d")))
+          .otherwise(array().cast("array<string>"))).as("__dv"))
+      .select(col("src"), col("__dv").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+  }
 
   /** Per-page main content: content blocks rejoined in document order
     * with single spaces, plus block counts. ZERO shuffle — the rebuild

@@ -436,6 +436,81 @@ object TextAnalysis {
         when(hasFrag, concat(lit("#"), frag)).otherwise(lit(""))))
   }
 
+  /** [[resolveUrl]] as a STAGED DataFrame transform — the corpus-scale
+    * surface. A Scala `val` inside a Column expression DUPLICATES its
+    * subtree at every reference (the single-Column form above embeds
+    * `afterScheme` ~20×), which is fine for a handful of rows but is a
+    * measured ~10× per-row tax on a crawl-sized outlink frame. Here
+    * every RFC component materializes ONCE per row as a scratch column
+    * (each stage one projection — the exact shape of the oracle's
+    * rr0…rrq CTE chain), `outCol` assembles from attributes, scratch
+    * drops. Same branch table, same bounded [[removeDotSegments]] fold,
+    * bit-identical output (t65 gates this surface).
+    */
+  def withResolvedUrl(df: DataFrame, baseCol: String, urlCol: String,
+      outCol: String, passes: Int = 8): DataFrame = {
+    val u = col(urlCol)
+    val b = col(baseCol)
+    val s1 = df.withColumns(Map(
+      "__rsch" -> regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*):", 1),
+      "__nofrag" -> regexp_replace(u, "(?s)#.*$", ""),
+      "__hasfrag" -> u.rlike("#"),
+      "__frag" -> regexp_extract(u, "(?s)#(.*)$", 1),
+      "__bsch" -> regexp_extract(b, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1),
+      "__bauth" -> regexp_extract(b, "^[^:/?#]+://([^/?#]*)", 1),
+      "__bpath" -> regexp_extract(b, "^[^:/?#]+://[^/?#]*([^?#]*)", 1),
+      "__bnofrag" -> regexp_replace(b, "(?s)#.*$", "")))
+    val s2 = s1.withColumns(Map(
+      "__asch" -> when(col("__rsch") =!= "",
+        regexp_replace(col("__nofrag"), "^[A-Za-z][A-Za-z0-9+.-]*:", ""))
+        .otherwise(col("__nofrag")),
+      "__hasq" -> col("__nofrag").rlike("\\?"),
+      "__rq" -> regexp_extract(col("__nofrag"), "(?s)\\?(.*)$", 1),
+      "__bhasq" -> col("__bnofrag").rlike("\\?"),
+      "__bq" -> regexp_extract(col("__bnofrag"), "(?s)\\?(.*)$", 1)))
+    val s3 = s2.withColumns(Map(
+      "__hasauth" -> col("__asch").startsWith("//"),
+      "__rauth" -> regexp_extract(col("__asch"), "^//([^/?#]*)", 1),
+      "__rpath" -> when(col("__asch").startsWith("//"),
+        regexp_extract(col("__asch"), "^//[^/?#]*([^?#]*)", 1))
+        .otherwise(regexp_extract(col("__asch"), "^([^?#]*)", 1))))
+    val s4 = s3.withColumn("__tin",
+      when(col("__rsch") =!= "" || col("__hasauth"), col("__rpath"))
+        .otherwise(when(col("__rpath") === "", lit(null).cast("string"))
+          .otherwise(when(col("__rpath").startsWith("/"), col("__rpath"))
+            .otherwise(
+              when(col("__bauth") =!= "" && col("__bpath") === "",
+                concat(lit("/"), col("__rpath")))
+                .otherwise(concat(
+                  regexp_replace(col("__bpath"), "[^/]*$", ""),
+                  col("__rpath")))))))
+    val s5 = s4.withColumns(Map(
+      "__tpath" -> when(col("__tin").isNull, col("__bpath"))
+        .otherwise(removeDotSegments(col("__tin"), passes)),
+      "__ownq" -> (col("__rsch") =!= "" || col("__hasauth") ||
+        col("__rpath") =!= "" || col("__hasq"))))
+    val scratch = Seq("__rsch", "__nofrag", "__hasfrag", "__frag",
+      "__bsch", "__bauth", "__bpath", "__bnofrag", "__asch", "__hasq",
+      "__rq", "__bhasq", "__bq", "__hasauth", "__rauth", "__rpath",
+      "__tin", "__tpath", "__ownq")
+    s5.withColumn(outCol,
+        when(col("__bsch") === "", lit(null).cast("string"))
+          .otherwise(concat(
+            when(col("__rsch") =!= "", col("__rsch"))
+              .otherwise(col("__bsch")),
+            lit("://"),
+            when(col("__rsch") =!= "" || col("__hasauth"), col("__rauth"))
+              .otherwise(col("__bauth")),
+            col("__tpath"),
+            when(when(col("__ownq"), col("__hasq")).otherwise(col("__bhasq")),
+              concat(lit("?"),
+                when(col("__ownq"), col("__rq")).otherwise(col("__bq"))))
+              .otherwise(lit("")),
+            when(col("__hasfrag"), concat(lit("#"), col("__frag")))
+              .otherwise(lit("")))))
+      .drop(scratch: _*)
+  }
+
   /** Log-likelihood-ratio distinctive terms (Dunning 1993, "Accurate
     * Methods for the Statistics of Surprise and Coincidence"; see
     * PAPERS.md) — for every (slice, token) pair, the G² statistic of
