@@ -3213,6 +3213,46 @@ object SparkEntry {
           TextAnalysis.canonicalUrl(col("url")))
     }),
 
+    // anchor text keyed by resolved TARGET doc — the web graph's classic
+    // side product (anchor text describes the target page better than
+    // the page itself; retrieval-training corpora key it by dst):
+    // (href, inner text) pairs in document order across all three quote
+    // styles, resolved per-page, id-parsed; self-links kept. The /local/
+    // nav link resolves but has no doc target, so it drops
+    "t68_anchor_text" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        htmlLinkPage(col("doc_id"), col("text")).as("html"),
+        concat(lit("http://example.com/doc/"),
+          col("doc_id").cast("string")).as("base_uri"))
+      graft.operators.Html.anchorTextEdges(pages, "doc_id", "html",
+        "base_uri")
+    }),
+
+    // robots.txt admission — the crawl-politeness gate, RFC 9309 core:
+    // stacked user-agent groups (megabot + * share rules; fancybot's
+    // Disallow:/ must NOT leak to *), comment stripping, the empty
+    // Disallow no-op, and the longest-match argmax with Allow winning
+    // exact ties — every branch planted in the per-host fixture paths
+    "t69_robots_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = graft.operators.Robots.rules(
+        docs.select(col("source").as("host")).distinct()
+          .select(col("host"), lit(robotsFixtureBody).as("robots")),
+        "host", "robots")
+      val m = pmod(col("doc_id"), lit(6))
+      val id = col("doc_id").cast("string")
+      val path = when(m === 0, concat(lit("/articles/"), id))
+        .when(m === 1, concat(lit("/private/"), id))
+        .when(m === 2, concat(lit("/private/pub/"), id))
+        .when(m === 3, concat(lit("/tmp"), id))
+        .when(m === 4, concat(lit("/cgi/"), id))
+        .otherwise(lit("/private/pub"))
+      val urls = docs.select(col("doc_id"), col("source").as("host"),
+        path.as("path"))
+      graft.operators.Robots.allowed(urls, robots, "host", "path")
+        .select("doc_id", "host", "path", "allowed")
+    }),
+
     // the web-graph composition, real-crawl-shaped: pages → outlinks
     // (all three quote styles) → RFC 3986 resolution against each
     // page's own URI (the relative `../doc/<n>` and rooted
@@ -6517,6 +6557,120 @@ object SparkEntry {
        |${resolveUrlCtes("u", Seq("doc_id", "case_id"))}
        |SELECT doc_id, case_id, url AS href, resolved FROM ru""".stripMargin
   }
+
+  /** t68's replay: the linked-page fixture, BOTH capture groups of the
+    * operator's own href+anchor pattern extracted over the
+    * quote-normalized page (identical match sequences ⇒ positional zip
+    * is exact), the anchor cleaned through the shared strip/entity
+    * chain, the t65 resolve chain, the path-structured id parse.
+    */
+  private def t68OracleSql: String = {
+    def strip(x: String) =
+      s"regexp_replace($x, '${graft.operators.Html.anyTagRe}', ' ', 'g')"
+    def ent(x: String) = graft.operators.Html.entityDecodes.foldLeft(x) {
+      case (acc, (from, to)) =>
+        s"replace($acc, '$from', '${to.replace("'", "''")}')"
+    }
+    val pat = graft.operators.Html.hrefAnchorRe
+    s"""WITH $linkPagesCtes,
+       |apz AS (
+       |  SELECT doc_id,
+       |         regexp_extract_all(${normalizeHrefSql("html")}, '$pat', 1) AS us,
+       |         regexp_extract_all(${normalizeHrefSql("html")}, '$pat', 2) AS ans
+       |  FROM lpages),
+       |apair AS (
+       |  SELECT doc_id, us[CAST(i AS INT)] AS url,
+       |         trim(regexp_replace(${ent(strip("ans[CAST(i AS INT)]"))},
+       |           '\\s+', ' ', 'g')) AS anchor
+       |  FROM apz, LATERAL unnest(range(1, len(us) + 1)) t(i)),
+       |ub AS (SELECT doc_id, url, anchor,
+       |       'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS base
+       |       FROM apair WHERE url <> ''),
+       |${resolveUrlCtes("ub", Seq("doc_id", "anchor"))}
+       |SELECT doc_id AS src,
+       |       CAST(nullif(regexp_extract(resolved, '/doc/([0-9]+)', 1), '')
+       |            AS BIGINT) AS dst,
+       |       anchor
+       |FROM ru
+       |WHERE COALESCE(nullif(regexp_extract(resolved, '/doc/([0-9]+)', 1), ''),
+       |               '') <> ''""".stripMargin
+  }
+
+  // ------------------------------------------------------- t69
+  /** The per-host robots.txt fixture body — shared verbatim by the
+    * Spark query and the oracle. Plants every parser/argmax branch: a
+    * foreign-agent group whose blanket Disallow must NOT leak to `*`,
+    * a STACKED user-agent group (megabot + *), a comment, the
+    * longest-match pair (/private/ vs /private/pub/), an exact-length
+    * Allow/Disallow tie (/cgi), the empty-Disallow no-op, and an
+    * ignored Sitemap field. No single quotes (embeds in SQL literals).
+    */
+  private val robotsFixtureBody: String =
+    "User-agent: fancybot\nDisallow: /\n\n# site policy applies to all\n" +
+      "User-agent: megabot\nUser-agent: *\nDisallow: /private/\n" +
+      "Allow: /private/pub/\nDisallow: /tmp\nAllow: /cgi\nDisallow: /cgi\n" +
+      "Disallow:\nSitemap: http://example.com/sitemap.xml\n"
+
+  /** t69's replay: the robots grammar (line split + ordinality, comment
+    * strip, field regexes, the stacked-group window pair) and the
+    * integer-encoded longest-match argmax, relationally.
+    */
+  private def t69OracleSql: String =
+    s"""WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+       |rb AS (SELECT host, '$robotsFixtureBody' AS robots FROM hosts),
+       |rlines AS (
+       |  SELECT host, CAST(i AS INT) AS ln,
+       |         trim(regexp_replace(ls[CAST(i AS INT)], '#.*$$', '')) AS line
+       |  FROM (SELECT host, string_split(robots, chr(10)) AS ls FROM rb),
+       |       LATERAL unnest(range(1, len(ls) + 1)) t(i)),
+       |rkind AS (
+       |  SELECT host, ln,
+       |         lower(COALESCE(regexp_extract(line,
+       |           '(?i)^(user-agent|allow|disallow)\\s*:', 1), '')) AS kind,
+       |         trim(COALESCE(regexp_extract(line,
+       |           '(?i)^(?:user-agent|allow|disallow)\\s*:(.*)$$', 1), ''))
+       |           AS val
+       |  FROM rlines),
+       |rk AS (SELECT * FROM rkind WHERE kind <> ''),
+       |rg0 AS (
+       |  SELECT *, (kind = 'user-agent') AS isua,
+       |         ((kind = 'user-agent') AND NOT COALESCE(
+       |            lag(kind = 'user-agent')
+       |              OVER (PARTITION BY host ORDER BY ln), false)) AS opens
+       |  FROM rk),
+       |rgrp AS (
+       |  SELECT *, SUM(CASE WHEN opens THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY host ORDER BY ln
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              AS grp
+       |  FROM rg0),
+       |ragents AS (SELECT host, grp, val AS agent FROM rgrp WHERE isua),
+       |rrules AS (
+       |  SELECT g.host, a.agent, g.kind AS rule_type, g.val AS prefix
+       |  FROM rgrp g JOIN ragents a USING (host, grp)
+       |  WHERE NOT g.isua AND g.val <> ''),
+       |rurls AS (
+       |  SELECT doc_id, source AS host,
+       |         CASE CAST(doc_id % 6 AS INT)
+       |           WHEN 0 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+       |           WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+       |           WHEN 2 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
+       |           WHEN 3 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+       |           WHEN 4 THEN '/cgi/' || CAST(doc_id AS VARCHAR)
+       |           ELSE '/private/pub' END AS path
+       |  FROM documents),
+       |rmatch AS (
+       |  SELECT u.doc_id, u.host, u.path,
+       |         max(CASE WHEN r.prefix IS NULL THEN NULL
+       |                  ELSE 2 * length(r.prefix) +
+       |                       (CASE WHEN r.rule_type = 'allow'
+       |                             THEN 1 ELSE 0 END) END) AS best
+       |  FROM rurls u LEFT JOIN rrules r
+       |    ON r.host = u.host AND r.agent = '*'
+       |       AND starts_with(u.path, r.prefix)
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, host, path, COALESCE(best % 2 = 1, true) AS allowed
+       |FROM rmatch""".stripMargin
 
   /** g22's replay: the t63 link chain, RFC 3986 resolution against each
     * page's own URI (the t65 chain verbatim — relative and rooted links
@@ -10735,6 +10889,11 @@ object SparkEntry {
     "t66_tagsoup_extract" ->
       s"""WITH ${htmlBlocksCtes(5, "documents", soupWrapSql)}
          |SELECT * FROM hblocks""".stripMargin,
+    // t68/t69: the anchor-text-by-target side product and the RFC 9309
+    // robots admission gate — grammar, stacked groups and the
+    // longest-match argmax replayed relationally
+    "t68_anchor_text" -> t68OracleSql,
+    "t69_robots_filter" -> t69OracleSql,
     "t67_tagsoup_outlinks" ->
       s"""WITH spages AS (SELECT doc_id, $soupWrapSql AS html FROM documents),
          |sraw AS (

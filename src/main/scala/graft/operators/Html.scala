@@ -313,6 +313,73 @@ object Html {
       .distinct()
   }
 
+  /** href + anchor-inner-text pair pattern over quote-normalized markup
+    * (groups: 1 = href value, 2 = inner text). Unlike [[hrefRe]] this
+    * requires the CLOSING `</a>` — anchor text is delimited by it, so
+    * an unclosed anchor has no text to collect.
+    */
+  val hrefAnchorRe: String =
+    "(?is)<a\\b[^>]*?\\bhref=\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** Per-page (href, anchor text) pairs in document order — the web
+    * graph's classic side product (anchor text describes the TARGET
+    * page better than the target page does; search engines and
+    * retrieval-training corpora both key it by destination). Two
+    * extract_all passes over the same quote-normalized page (group 1
+    * then group 2 — identical match sequences, so positional zip is
+    * exact), one posexplode, inner text tag-stripped + entity-decoded +
+    * whitespace-normalized. Map-only + one explode. Output:
+    * (idCol, url, anchor) — empty hrefs drop, empty anchors (image
+    * links) carry ''.
+    */
+  /** The (href, cleaned anchor) explode shared by [[anchorTexts]] and
+    * [[anchorTextEdges]] — `carry` columns ride along.
+    */
+  private def anchorPairs(df: DataFrame, carry: Seq[Column],
+      htmlCol: String): DataFrame = {
+    val norm = normalizeHrefQuotes(col(htmlCol))
+    df.select(carry :+
+        regexp_extract_all(norm, lit(hrefAnchorRe), lit(1)).as("__u") :+
+        regexp_extract_all(norm, lit(hrefAnchorRe), lit(2)).as("__a"): _*)
+      .select(carry :+ posexplode(col("__u")).as(Seq("__i", "url")) :+
+        col("__a"): _*)
+      .select(carry :+ col("url") :+
+        trim(regexp_replace(
+          decodeEntities(stripTags(
+            element_at(col("__a"), col("__i") + 1))),
+          "\\s+", " ")).as("anchor"): _*)
+      .filter(col("url") =!= "")
+  }
+
+  def anchorTexts(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    anchorPairs(df, Seq(col(idCol)), htmlCol)
+
+  /** Anchor text keyed by resolved TARGET doc — [[anchorTexts]] composed
+    * with the RFC 3986 resolution chain (staged resolve and the
+    * Generate-based no-target drop — [[docLinkEdges]]'s two
+    * plan-pathology fixes apply verbatim). The id parse runs on the
+    * RESOLVED URL directly: `idPattern` is path-structured, and a
+    * path's bytes are untouched by the case/port/param normalization
+    * canonicalization adds (that step matters when the URL itself is
+    * the join key — [[docLinkEdges]] — not here). Self-links kept: a
+    * page's anchor text about itself is still anchor text. Output:
+    * (src, dst, anchor), one row per anchor occurrence.
+    */
+  def anchorTextEdges(df: DataFrame, idCol: String, htmlCol: String,
+      baseUriCol: String, idPattern: String = "/doc/([0-9]+)"): DataFrame = {
+    val withAnchor = anchorPairs(
+      df.select(col(idCol).as("src"), col(baseUriCol).as("__base"),
+        col(htmlCol)),
+      Seq(col("src"), col("__base")), htmlCol)
+    TextAnalysis.withResolvedUrl(withAnchor, "__base", "url", "__res")
+      .select(col("src"), col("anchor"),
+        regexp_extract(col("__res"), idPattern, 1).as("__d"))
+      .select(col("src"), col("anchor"),
+        explode(when(col("__d") =!= "", array(col("__d")))
+          .otherwise(array().cast("array<string>"))).as("__dv"))
+      .select(col("src"), col("__dv").cast("long").as("dst"), col("anchor"))
+  }
+
   /** Per-page main content: content blocks rejoined in document order
     * with single spaces, plus block counts. ZERO shuffle — the rebuild
     * happens inside the page's own array (no explode, no groupBy), so

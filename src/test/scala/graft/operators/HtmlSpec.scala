@@ -123,6 +123,24 @@ class HtmlSpec extends SparkTestBase {
     assert(urls === Seq("/one", "/two?x=1", "/three", "/four"), s"got $urls")
   }
 
+  test("anchorTexts: (href, cleaned inner text) pairs in document order " +
+      "across quote styles; anchorTextEdges resolves relative targets " +
+      "and keeps self-links") {
+    val df = Seq((3L,
+      "<a href='/doc/1'><b>bold  one</b></a> " +
+        "<a href=\"../doc/2\">two &amp; more</a> " +
+        "<a href=/doc/3#f>self</a> <a href=\"/nope\">off-graph</a>",
+      "http://h.io/doc/3")).toDF("doc_id", "html", "base_uri")
+    val pairs = Html.anchorTexts(df, "doc_id", "html")
+      .select("url", "anchor").as[(String, String)].collect().toSeq
+    assert(pairs === Seq(("/doc/1", "bold one"), ("../doc/2", "two & more"),
+      ("/doc/3#f", "self"), ("/nope", "off-graph")), s"got $pairs")
+    val edges = Html.anchorTextEdges(df, "doc_id", "html", "base_uri")
+      .as[(Long, Long, String)].collect().sortBy(_._2).toSeq
+    assert(edges === Seq((3L, 1L, "bold one"), (3L, 2L, "two & more"),
+      (3L, 3L, "self")), s"resolution + self-link keep: $edges")
+  }
+
   test("script/style/head/comment bodies drop; empty page yields no blocks") {
     val df = Seq(
       (1L, "<head><title>gone</title></head><script>var x='gone';</script>" +
