@@ -3233,6 +3233,42 @@ object SparkEntry {
     // Disallow:/ must NOT leak to *), comment stripping, the empty
     // Disallow no-op, and the longest-match argmax with Allow winning
     // exact ties — every branch planted in the per-host fixture paths
+    // crawl-frontier scheduling — the composition that turns the link
+    // graph into the next fetch list: cross-host outlinks → canonical
+    // candidate URLs → inlink counts → already-crawled anti-join →
+    // robots admission → per-host budget via the BOUNDED top-k heap
+    // aggregate (k rows per host per map partition — never a per-host
+    // row_number window). Candidate construction is fixture ground
+    // truth (the extraction chain is t63/t67-gated); the frontier
+    // logic — counts, robots argmax, budget rank — replays genuinely
+    "g23_crawl_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def host(e: org.apache.spark.sql.Column) =
+        concat(lit("s"), e.cast("string"), lit(".example"))
+      val id = col("doc_id")
+      val page = concat(
+        lit("<html><body><p>"), col("text"),
+        lit(" <a href=\"http://"), host(pmod(id, lit(7))), lit("/page/"),
+        pmod(id * 3, lit(1000)).cast("string"), lit("\">a</a>"),
+        lit(" <a href='http://"), host(pmod(id, lit(7))), lit("/private/"),
+        pmod(id, lit(100)).cast("string"), lit("'>b</a>"),
+        lit(" <a href=\"http://"), host(pmod(id + 3, lit(7))), lit("/page/"),
+        pmod(id * 5, lit(1000)).cast("string"),
+        lit("\">c</a></p></body></html>"))
+      val pages = docs.select(col("doc_id"), page.as("html"))
+      val cands = graft.operators.Html.outlinks(pages, "doc_id", "html")
+        .select(TextAnalysis.canonicalUrl(col("url")).as("url"))
+      // "already crawled": every /page/ url whose page number ends in 0
+      val crawled = cands.filter(col("url").rlike("/page/[0-9]*0$"))
+        .select("url").distinct()
+      val robots = graft.operators.Robots.rules(
+        s.range(0, 7).select(host(col("id")).as("host"),
+          lit(robotsFixtureBody).as("robots")),
+        "host", "robots")
+      graft.operators.WebFrontier.schedule(cands, crawled, robots,
+        "url", budget = 10)
+    }),
+
     "t69_robots_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val robots = graft.operators.Robots.rules(
@@ -6611,13 +6647,13 @@ object SparkEntry {
       "Allow: /private/pub/\nDisallow: /tmp\nAllow: /cgi\nDisallow: /cgi\n" +
       "Disallow:\nSitemap: http://example.com/sitemap.xml\n"
 
-  /** t69's replay: the robots grammar (line split + ordinality, comment
-    * strip, field regexes, the stacked-group window pair) and the
-    * integer-encoded longest-match argmax, relationally.
+  /** The robots grammar (line split + ordinality, comment strip, field
+    * regexes, the stacked-group window pair) replayed relationally over
+    * a caller-defined `hosts(host)` CTE — ending in
+    * `rrules(host, agent, rule_type, prefix)`. Shared by t69 and g23.
     */
-  private def t69OracleSql: String =
-    s"""WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
-       |rb AS (SELECT host, '$robotsFixtureBody' AS robots FROM hosts),
+  private def robotsRulesCtes: String =
+    s"""rb AS (SELECT host, '$robotsFixtureBody' AS robots FROM hosts),
        |rlines AS (
        |  SELECT host, CAST(i AS INT) AS ln,
        |         trim(regexp_replace(ls[CAST(i AS INT)], '#.*$$', '')) AS line
@@ -6648,7 +6684,14 @@ object SparkEntry {
        |rrules AS (
        |  SELECT g.host, a.agent, g.kind AS rule_type, g.val AS prefix
        |  FROM rgrp g JOIN ragents a USING (host, grp)
-       |  WHERE NOT g.isua AND g.val <> ''),
+       |  WHERE NOT g.isua AND g.val <> '')""".stripMargin
+
+  /** t69's replay: the shared grammar chain + the integer-encoded
+    * longest-match argmax over the fixture paths.
+    */
+  private def t69OracleSql: String =
+    s"""WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+       |$robotsRulesCtes,
        |rurls AS (
        |  SELECT doc_id, source AS host,
        |         CASE CAST(doc_id % 6 AS INT)
@@ -6671,6 +6714,51 @@ object SparkEntry {
        |  GROUP BY 1, 2, 3)
        |SELECT doc_id, host, path, COALESCE(best % 2 = 1, true) AS allowed
        |FROM rmatch""".stripMargin
+
+  /** g23's replay: candidate ground truth from the fixture's link math,
+    * then the frontier logic genuinely — occurrence counts, the
+    * crawled-screen anti-rule, the shared robots grammar + argmax, and
+    * the per-host budget as the equivalent row_number ≤ k.
+    */
+  private def g23OracleSql: String =
+    s"""WITH cand AS (
+       |  SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS h,
+       |         '/page/' || CAST(doc_id * 3 % 1000 AS VARCHAR) AS p
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+       |         '/private/' || CAST(doc_id % 100 AS VARCHAR)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 's' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.example',
+       |         '/page/' || CAST(doc_id * 5 % 1000 AS VARCHAR)
+       |  FROM documents),
+       |curls AS (SELECT 'http://' || h || p AS url, h AS host, p AS path
+       |          FROM cand),
+       |counts AS (SELECT url, host, path, COUNT(*) AS n
+       |           FROM curls GROUP BY 1, 2, 3),
+       |fresh AS (SELECT * FROM counts
+       |          WHERE NOT regexp_matches(path, '/page/[0-9]*0$$')),
+       |hosts AS (SELECT DISTINCT host FROM curls),
+       |$robotsRulesCtes,
+       |fmatch AS (
+       |  SELECT f.url, f.host, f.n,
+       |         max(CASE WHEN r.prefix IS NULL THEN NULL
+       |                  ELSE 2 * length(r.prefix) +
+       |                       (CASE WHEN r.rule_type = 'allow'
+       |                             THEN 1 ELSE 0 END) END) AS best
+       |  FROM fresh f LEFT JOIN rrules r
+       |    ON r.host = f.host AND r.agent = '*'
+       |       AND starts_with(f.path, r.prefix)
+       |  GROUP BY 1, 2, 3),
+       |fok AS (SELECT url, host, n FROM fmatch
+       |        WHERE COALESCE(best % 2 = 1, true)),
+       |ranked AS (SELECT host, url, n,
+       |           row_number() OVER (PARTITION BY host
+       |                              ORDER BY n DESC, url ASC) AS rk
+       |           FROM fok)
+       |SELECT host, CAST(rk AS INT) AS rank, url, n AS n_inlinks
+       |FROM ranked WHERE rk <= 10""".stripMargin
 
   /** g22's replay: the t63 link chain, RFC 3986 resolution against each
     * page's own URI (the t65 chain verbatim — relative and rooted links
@@ -10894,6 +10982,9 @@ object SparkEntry {
     // longest-match argmax replayed relationally
     "t68_anchor_text" -> t68OracleSql,
     "t69_robots_filter" -> t69OracleSql,
+    // g23: frontier scheduling — counts/robots/budget replayed
+    // genuinely, candidates ground-truth-restated (chain t63/t67-gated)
+    "g23_crawl_frontier" -> g23OracleSql,
     "t67_tagsoup_outlinks" ->
       s"""WITH spages AS (SELECT doc_id, $soupWrapSql AS html FROM documents),
          |sraw AS (

@@ -924,6 +924,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"classes/floors table lost its broadcast:\n$p")
   }
 
+  test("g22/t68 web-link chains: no plan node carries a blown-up " +
+      "substituted expression tree (the r16 pushdown pathology)") {
+    // filtering on a computed column let predicate pushdown substitute
+    // the whole staged resolve chain into the pushed condition — a
+    // 45,258-node Filter tree before the Generate-barrier fix. Pin the
+    // per-node expression budget so a refactor can't regress it.
+    for (name <- Seq("g22_web_pagerank", "t68_anchor_text")) {
+      val lp = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      lp.foreach { n =>
+        val sz = n.expressions.map(_.collect { case x => x }.size).sum
+        assert(sz < 3000,
+          s"$name: ${n.nodeName} carries $sz expression nodes — " +
+            "a computed-column filter is being substituted down again")
+      }
+    }
+  }
+
   test("t57 LR classify: weights broadcast against the feature frame, " +
       "no window, no cartesian") {
     // (training already ran at plan-construction time — per-round jobs
