@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingSiteTemplate, StreamingTokenBudget, StreamingWebGraph, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingFrontier, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingSiteTemplate, StreamingTokenBudget, StreamingWebGraph, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3243,30 +3243,43 @@ object SparkEntry {
     // logic — counts, robots argmax, budget rank — replays genuinely
     "g23_crawl_frontier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      def host(e: org.apache.spark.sql.Column) =
-        concat(lit("s"), e.cast("string"), lit(".example"))
-      val id = col("doc_id")
-      val page = concat(
-        lit("<html><body><p>"), col("text"),
-        lit(" <a href=\"http://"), host(pmod(id, lit(7))), lit("/page/"),
-        pmod(id * 3, lit(1000)).cast("string"), lit("\">a</a>"),
-        lit(" <a href='http://"), host(pmod(id, lit(7))), lit("/private/"),
-        pmod(id, lit(100)).cast("string"), lit("'>b</a>"),
-        lit(" <a href=\"http://"), host(pmod(id + 3, lit(7))), lit("/page/"),
-        pmod(id * 5, lit(1000)).cast("string"),
-        lit("\">c</a></p></body></html>"))
-      val pages = docs.select(col("doc_id"), page.as("html"))
+      val pages = docs.select(col("doc_id"),
+        frontierPage(col("doc_id"), col("text")).as("html"))
       val cands = graft.operators.Html.outlinks(pages, "doc_id", "html")
         .select(TextAnalysis.canonicalUrl(col("url")).as("url"))
-      // "already crawled": every /page/ url whose page number ends in 0
-      val crawled = cands.filter(col("url").rlike("/page/[0-9]*0$"))
-        .select("url").distinct()
-      val robots = graft.operators.Robots.rules(
-        s.range(0, 7).select(host(col("id")).as("host"),
-          lit(robotsFixtureBody).as("robots")),
-        "host", "robots")
-      graft.operators.WebFrontier.schedule(cands, crawled, robots,
-        "url", budget = 10)
+      graft.operators.WebFrontier.schedule(cands,
+        frontierCrawled(cands), frontierRobots(s), "url", budget = 10)
+    }),
+
+    // the frontier's ingest twin — merge-on-read (the e49 posture):
+    // priority (inlink count) is CORPUS-level, so state banks per-batch
+    // additive (url, n) count facts (extraction per micro-batch,
+    // decode-once) and the drained read sums them into the SHARED
+    // scheduleCounts — a URL discovered in batch 0 gains priority from
+    // batch 1's links; drained == batch g23 under any batching, same
+    // oracle verbatim
+    "e50_streaming_frontier" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e50").toString
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"),
+        frontierPage(col("doc_id"), col("text")).as("html"))
+      for (r <- 0 until 2)
+        pages.filter(pmod(col("doc_id"), lit(2)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("doc_id BIGINT, html STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingFrontier.start(s, src, "doc_id", "html",
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e50 stream did not drain in 300s")
+      }
+      val cands = graft.operators.Html.outlinks(pages, "doc_id", "html")
+        .select(TextAnalysis.canonicalUrl(col("url")).as("url"))
+      StreamingFrontier.currentSchedule(s, s"$tmp/state",
+        frontierCrawled(cands), frontierRobots(s), budget = 10)
     }),
 
     "t69_robots_filter" -> ((s, dir) => {
@@ -6714,6 +6727,45 @@ object SparkEntry {
        |  GROUP BY 1, 2, 3)
        |SELECT doc_id, host, path, COALESCE(best % 2 = 1, true) AS allowed
        |FROM rmatch""".stripMargin
+
+  // ------------------------------------------------------- g23/e50
+  /** The frontier fixture page: three cross-host links per doc (two
+    * /page/ candidates on rotated hosts + one robots-disallowed
+    * /private/ single-quoted link), shared by the batch composition and
+    * the streaming twin.
+    */
+  private def frontierPage(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def host(e: org.apache.spark.sql.Column) =
+      concat(lit("s"), e.cast("string"), lit(".example"))
+    concat(
+      lit("<html><body><p>"), text,
+      lit(" <a href=\"http://"), host(pmod(id, lit(7))), lit("/page/"),
+      pmod(id * 3, lit(1000)).cast("string"), lit("\">a</a>"),
+      lit(" <a href='http://"), host(pmod(id, lit(7))), lit("/private/"),
+      pmod(id, lit(100)).cast("string"), lit("'>b</a>"),
+      lit(" <a href=\"http://"), host(pmod(id + 3, lit(7))), lit("/page/"),
+      pmod(id * 5, lit(1000)).cast("string"),
+      lit("\">c</a></p></body></html>"))
+  }
+
+  /** The "already crawled" rule: every /page/ url whose page number
+    * ends in 0.
+    */
+  private def frontierCrawled(
+      cands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cands.filter(col("url").rlike("/page/[0-9]*0$"))
+      .select("url").distinct()
+
+  /** The per-host robots table for the s0..s6.example frontier hosts. */
+  private def frontierRobots(
+      s: SparkSession): org.apache.spark.sql.DataFrame =
+    graft.operators.Robots.rules(
+      s.range(0, 7).select(
+        concat(lit("s"), col("id").cast("string"), lit(".example"))
+          .as("host"),
+        lit(robotsFixtureBody).as("robots")),
+      "host", "robots")
 
   /** g23's replay: candidate ground truth from the fixture's link math,
     * then the frontier logic genuinely — occurrence counts, the
@@ -10985,6 +11037,9 @@ object SparkEntry {
     // g23: frontier scheduling — counts/robots/budget replayed
     // genuinely, candidates ground-truth-restated (chain t63/t67-gated)
     "g23_crawl_frontier" -> g23OracleSql,
+    // e50 drains to batch g23 under any batching (additive count facts,
+    // read runs the shared scheduleCounts)
+    "e50_streaming_frontier" -> g23OracleSql,
     "t67_tagsoup_outlinks" ->
       s"""WITH spages AS (SELECT doc_id, $soupWrapSql AS html FROM documents),
          |sraw AS (

@@ -35,10 +35,21 @@ object WebFrontier {
     */
   def schedule(candidates: DataFrame, crawled: DataFrame,
       robots: DataFrame, urlCol: String, budget: Int,
+      agent: String = "*"): DataFrame =
+    scheduleCounts(
+      candidates.select(col(urlCol).as("url"))
+        .groupBy("url").agg(count(lit(1)).as("n_inlinks")),
+      crawled, robots, urlCol, budget, agent)
+
+  /** [[schedule]] from PRE-AGGREGATED (url, n_inlinks) counts — the
+    * surface the streaming twin drains through (per-batch counts are
+    * additive facts; the read sums them and runs the identical
+    * gate/budget logic, so drained == batch under any batching).
+    */
+  def scheduleCounts(counts: DataFrame, crawled: DataFrame,
+      robots: DataFrame, urlCol: String, budget: Int,
       agent: String = "*"): DataFrame = {
     require(budget > 0, s"per-host budget must be > 0, got $budget")
-    val counts = candidates.select(col(urlCol).as("url"))
-      .groupBy("url").agg(count(lit(1)).as("n_inlinks"))
     val fresh = counts.join(crawled.select(col(urlCol).as("url")),
       Seq("url"), "left_anti")
     val parsed = fresh

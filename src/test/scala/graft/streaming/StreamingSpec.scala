@@ -3250,6 +3250,36 @@ class StreamingSpec extends SparkTestBase {
     assert(rank(2L) > rank(6L), s"resolution-built edges missing: $drained")
   }
 
+  test("streaming frontier: late batches raise a url's priority " +
+      "(merge-on-read counts); replay must not inflate; drained equals " +
+      "batch schedule") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sfr").toString
+    // /p/hot is mentioned once in batch 0 and twice in batch 1 — its
+    // rank-1 spot only exists if counts accumulate ACROSS batches
+    val b0 = Seq("http://a.io/p/hot", "http://a.io/p/cold1",
+      "http://a.io/p/cold2").toDF("url")
+    val b1 = Seq("http://a.io/p/hot", "http://a.io/p/hot",
+      "http://a.io/p/cold1").toDF("url")
+    StreamingFrontier.processBatch(b0, 0L, "url", s"$dir/state")
+    StreamingFrontier.processBatch(b0, 0L, "url", s"$dir/state") // replay
+    StreamingFrontier.processBatch(b1, 1L, "url", s"$dir/state")
+    val robots = graft.operators.Robots.rules(
+      Seq(("a.io", "User-agent: *\nDisallow: /private/\n"))
+        .toDF("host", "robots"), "host", "robots")
+    val crawled = Seq.empty[String].toDF("url")
+    val drained = StreamingFrontier.currentSchedule(spark, s"$dir/state",
+        crawled, robots, budget = 2)
+      .as[(String, Int, String, Long)].collect().sortBy(_._2).toSeq
+    assert(drained === Seq(("a.io", 1, "http://a.io/p/hot", 3L),
+      ("a.io", 2, "http://a.io/p/cold1", 2L)),
+      s"cross-batch priority accumulation / replay exactness: $drained")
+    val batchTruth = graft.operators.WebFrontier.schedule(
+        b0.unionByName(b1), crawled, robots, "url", budget = 2)
+      .as[(String, Int, String, Long)].collect().sortBy(_._2).toSeq
+    assert(drained === batchTruth, "drained schedule drifted from batch")
+  }
+
   test("streaming retrieval eval qrels-aware report: a judged query the " +
       "system never retrieved for zero-fills to match batch") {
     import org.apache.spark.sql.functions._
