@@ -6498,7 +6498,7 @@ object SparkEntry {
     */
   private def dotsSql(x: String, passes: Int = 8): String = {
     val seg = "(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
-    (1 to passes).foldLeft(x) { (acc, _) =>
+    val folded = (1 to passes).foldLeft(x) { (acc, _) =>
       val a1 = s"regexp_replace($acc, '/\\./', '/', 'g')"
       val a2 = s"regexp_replace($a1, '/\\.$$', '/', 'g')"
       val a3 = s"regexp_replace($a2, '/$seg/\\.\\./', '/', 'g')"
@@ -6506,6 +6506,8 @@ object SparkEntry {
       val a5 = s"regexp_replace($a4, '^/\\.\\./', '/', 'g')"
       s"regexp_replace($a5, '^/\\.\\.$$', '/', 'g')"
     }
+    // the operator's dot-segment presence guard, mirrored
+    s"CASE WHEN regexp_matches($x, '/\\.\\.?(/|$$)') THEN $folded ELSE $x END"
   }
 
   /** [[TextAnalysis.resolveUrl]]'s relational replay over a
