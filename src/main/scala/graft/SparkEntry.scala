@@ -3142,6 +3142,47 @@ object SparkEntry {
       graft.sources.Warc.recordsGzip(blobs, "warc_id", "warc")
     }),
 
+    // charset-aware entity decode — the byte-level fact a real crawl
+    // cannot dodge: servers ship ISO-8859-1 and Windows-1252 bodies,
+    // and any String-typed path smashes their bytes to U+FFFD before a
+    // decode could see them. Bodies pack ENCODED per the record's own
+    // Content-Type charset (the € marker exists only in cp1252; the
+    // accents differ byte-wise between latin-1 and utf-8), framing and
+    // entity split stay binary, and the decode routes per declared
+    // charset — the oracle states the recovered TEXT, so a wrong route
+    // shows as mojibake and fails the hash
+    "f11_warc_charset" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val blobs = docs.as[(Long, String)]
+        .groupByKey(_._1 % 50)
+        .mapGroups { (wid, it) =>
+          def rec(id: Long, text: String): Array[Byte] = {
+            val (cs, label, marker) = (id % 3) match {
+              case 0 => ("UTF-8", "UTF-8", "café naïve ")
+              case 1 => ("ISO-8859-1", "iso-8859-1", "café naïve ")
+              case _ => ("windows-1252", "Windows-1252", "café € naïve ")
+            }
+            val body = (marker + text)
+              .getBytes(java.nio.charset.Charset.forName(cs))
+            val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+              s"charset=$label\r\n\r\n").getBytes("US-ASCII") ++ body
+            ("WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://example.com/doc/$id\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n")
+              .getBytes("US-ASCII") ++ payload ++
+              "\r\n\r\n".getBytes("US-ASCII")
+          }
+          (wid, it.toSeq.sortBy(_._1).map(r => rec(r._1, r._2))
+            .reduce(_ ++ _))
+        }
+        .toDF("warc_id", "warc")
+      graft.sources.Warc.recordsHttpDecoded(blobs, "warc_id", "warc",
+          charsets = Seq("iso-8859-1", "windows-1252"))
+        .select("warc_id", "record_no", "target_uri", "http_status",
+          "mime", "charset", "text")
+    }),
+
     // SITE-level template removal — the inter-document complement of
     // t61's per-page densitometrics: a host-wide motto paragraph (long,
     // link-free — the per-page rule calls it CONTENT) is byte-identical
@@ -3280,6 +3321,36 @@ object SparkEntry {
         .select(TextAnalysis.canonicalUrl(col("url")).as("url"))
       StreamingFrontier.currentSchedule(s, s"$tmp/state",
         frontierCrawled(cands), frontierRobots(s), budget = 10)
+    }),
+
+    // sitemap URL-set parsing — the frontier's OTHER discovery channel:
+    // per-host sitemaps assembled from the corpus (whitespace-padded
+    // locs exercising the spec's trim tolerance; lastmod/priority each
+    // OPTIONAL per entry — the block parse must not positional-zip),
+    // split at </url> and parsed relationally on both engines
+    "t70_sitemap_parse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val entry = concat(
+        lit("<url><loc> http://"), col("source"), lit(".example/doc/"),
+        col("doc_id").cast("string"), lit(" </loc>"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(""))
+          .otherwise(concat(lit("<lastmod>2024-01-"),
+            lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+            lit("</lastmod>"))),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(""))
+          .otherwise(concat(lit("<priority>0."),
+            pmod(col("doc_id"), lit(10)).cast("string"),
+            lit("</priority>"))),
+        lit("</url>"))
+      val maps = docs
+        .select(col("source").as("host"), col("doc_id"), entry.as("__e"))
+        .groupBy("host")
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("__e")))),
+            x => x.getField("__e")), ""),
+          lit("</urlset>")).as("xml"))
+      graft.operators.Sitemaps.entries(maps, "host", "xml")
     }),
 
     "t69_robots_filter" -> ((s, dir) => {
@@ -11007,6 +11078,24 @@ object SparkEntry {
     // f10: f08's fixture shipped as per-record gzip members — inflation
     // must be lossless, so the gate is f08's oracle VERBATIM
     "f10_warc_gzip" -> f08OracleSql,
+    // f11: the oracle states the RECOVERED text per record — a wrong
+    // charset route shows as mojibake and fails the hash
+    "f11_warc_charset" ->
+      """WITH recs AS (
+           SELECT doc_id % 50 AS warc_id, doc_id,
+                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+                  200 AS http_status, 'text/html' AS mime,
+                  CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+                    ELSE 'windows-1252' END AS charset,
+                  (CASE WHEN doc_id % 3 = 2 THEN 'café € naïve '
+                        ELSE 'café naïve ' END) || text AS text
+           FROM documents)
+         SELECT warc_id,
+                CAST(row_number() OVER (PARTITION BY warc_id
+                                        ORDER BY doc_id) - 1 AS INT) AS record_no,
+                target_uri, http_status, mime, charset, text
+         FROM recs""",
 
     "t64_site_template_extract" -> t64OracleSql,
     // e47 drains to batch t64 under any batching (merge-on-read; the
@@ -11036,6 +11125,38 @@ object SparkEntry {
     // longest-match argmax replayed relationally
     "t68_anchor_text" -> t68OracleSql,
     "t69_robots_filter" -> t69OracleSql,
+    // t70: per-host sitemap assembly + the block parse, both replayed
+    "t70_sitemap_parse" ->
+      """WITH entries AS (
+           SELECT source AS host, doc_id,
+                  '<url><loc> http://' || source || '.example/doc/' ||
+                  CAST(doc_id AS VARCHAR) || ' </loc>' ||
+                  (CASE WHEN doc_id % 4 = 0 THEN ''
+                        ELSE '<lastmod>2024-01-' ||
+                             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+                             '</lastmod>' END) ||
+                  (CASE WHEN doc_id % 5 = 0 THEN ''
+                        ELSE '<priority>0.' || CAST(doc_id % 10 AS VARCHAR) ||
+                             '</priority>' END) ||
+                  '</url>' AS e
+           FROM documents),
+         xmls AS (
+           SELECT host, '<?xml version="1.0"?><urlset>' ||
+                  string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+           FROM entries GROUP BY host),
+         blocks AS (
+           SELECT host, unnest(string_split(xml, '</url>')) AS b FROM xmls),
+         parsed AS (
+           SELECT host,
+                  trim(COALESCE(regexp_extract(b,
+                    '(?s)<loc>([^<]*)</loc>', 1), '')) AS loc,
+                  trim(COALESCE(regexp_extract(b,
+                    '(?s)<lastmod>([^<]*)</lastmod>', 1), '')) AS lastmod,
+                  CAST(nullif(trim(COALESCE(regexp_extract(b,
+                    '(?s)<priority>([^<]*)</priority>', 1), '')), '')
+                    AS DOUBLE) AS priority
+           FROM blocks)
+         SELECT host, loc, lastmod, priority FROM parsed WHERE loc <> ''""",
     // g23: frontier scheduling — counts/robots/budget replayed
     // genuinely, candidates ground-truth-restated (chain t63/t67-gated)
     "g23_crawl_frontier" -> g23OracleSql,

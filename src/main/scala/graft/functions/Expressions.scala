@@ -344,6 +344,56 @@ case class WarcRecords(child: Expression) extends UnaryExpression {
   override def prettyName: String = "warc_records"
 }
 
+/** WARC framing with BINARY record slices (see
+  * [[WarcCodec.warcRecordsBin]]) — for non-UTF-8 entity bodies.
+  */
+case class WarcRecordsBin(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    WarcCodec.warcRecordsBin(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcCodec.warcRecordsBin($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(
+      newChild: Expression): WarcRecordsBin = copy(child = newChild)
+  override def prettyName: String = "warc_records_bin"
+}
+
+/** Any-JVM-charset byte decode (see [[WarcCodec.decodeCharset]]) —
+  * charset is a plan-time literal.
+  */
+case class DecodeCharset(child: Expression, charset: String)
+    extends UnaryExpression {
+  // fail at construction, not mid-task, on a typo'd charset name
+  java.nio.charset.Charset.forName(charset)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    WarcCodec.decodeCharset(v.asInstanceOf[Array[Byte]], charset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("charset", charset, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WarcCodec.decodeCharset($c, $cs)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): DecodeCharset = copy(child = newChild)
+  override def prettyName: String = "decode_charset"
+}
+
+/** HTTP entity body as bytes (see [[WarcCodec.httpEntityBytes]]). */
+case class HttpEntityBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    WarcCodec.httpEntityBytes(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WarcCodec.httpEntityBytes($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): HttpEntityBytes = copy(child = newChild)
+  override def prettyName: String = "http_entity_bytes"
+}
+
 /** Concatenated-gzip-member inflation (see [[WarcCodec.gunzipMembers]])
   * — BINARY → BINARY, null for non-gzip input.
   */
@@ -702,6 +752,12 @@ object GraftFunctions {
     WarcRecords(Bridge.expression(c)))
   def gunzip_members(c: Column): Column = Bridge.column(
     GunzipMembers(Bridge.expression(c)))
+  def warc_records_bin(c: Column): Column = Bridge.column(
+    WarcRecordsBin(Bridge.expression(c)))
+  def http_entity_bytes(c: Column): Column = Bridge.column(
+    HttpEntityBytes(Bridge.expression(c)))
+  def decode_charset(c: Column, charset: String): Column = Bridge.column(
+    DecodeCharset(Bridge.expression(c), charset))
   def bmp_pixel_grid(c: Column): Column = Bridge.column(
     BmpPixelGrid(Bridge.expression(c)))
   def bmp_frame_grid(c: Column): Column = Bridge.column(

@@ -130,6 +130,48 @@ object WarcCodec {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[warcRecords]] with BINARY record slices — for payloads that are
+    * NOT valid UTF-8 (a real crawl's entity bodies arrive in whatever
+    * charset the server sent; any String-typed regexp would smash the
+    * non-UTF-8 bytes to U+FFFD before a decode could see them). Same
+    * framing walk, same contracts.
+    */
+  def warcRecordsBin(bytes: Array[Byte]): ArrayData = {
+    val recs = warcRecordsBytes(bytes)
+    if (recs == null) null
+    else new GenericArrayData(
+      (0 until recs.numElements()).map(i =>
+        recs.getUTF8String(i).getBytes: Any).toArray)
+  }
+
+  /** The HTTP entity body as BYTES: everything after the first
+    * header/body CRLFCRLF boundary of `payload` (empty when no boundary
+    * exists — a non-HTTP payload has no entity). The binary complement
+    * of [[graft.sources.Warc.httpResponses]]'s `http_body`, for bodies
+    * whose charset is not UTF-8 (decode AFTER splitting, on raw bytes).
+    */
+  def httpEntityBytes(payload: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+      i += 1
+    }
+    Array.emptyByteArray
+  }
+
+  /** Decode bytes under any JVM charset (Spark's `decode` whitelists a
+    * handful and rejects e.g. windows-1252, which real crawls ship
+    * constantly). Malformed sequences REPLACE (U+FFFD) — the lossy
+    * tolerance a crawl pipeline wants for a server-declared charset the
+    * server itself violates; the declared-vs-actual mismatch is a
+    * quality-gate concern, not a crash.
+    */
+  def decodeCharset(bytes: Array[Byte], charset: String): UTF8String =
+    UTF8String.fromString(
+      new String(bytes, java.nio.charset.Charset.forName(charset)))
+
   private def le32u(b: Array[Byte], at: Int): Long =
     (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
       ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)

@@ -53,6 +53,59 @@ object Warc {
         graft.functions.GraftFunctions.gunzip_members(col(warcCol))),
       idCol, warcCol)
 
+  /** The full real-crawl read for NON-UTF-8 bodies: BINARY record
+    * framing ([[graft.functions.WarcCodec.warcRecordsBin]] — a
+    * String-typed path would smash non-UTF-8 entity bytes to U+FFFD
+    * before any decode could see them), header fields parsed over the
+    * record's ASCII header region (a byte-preserving string wrap; the
+    * U+FFFD replacement only ever lands in the entity region, which no
+    * header pattern touches), the HTTP layer's status/mime/charset from
+    * the payload's own header block, and the entity decoded FROM BYTES
+    * under its declared charset — `charsets` lists the supported
+    * non-UTF-8 labels (each becomes one literal-charset `decode`
+    * branch; unlisted or absent charsets decode as UTF-8, the web
+    * default). The entity bytes are the double kernel application:
+    * entity(record) is the WARC payload, entity(payload) is the HTTP
+    * body. Map-only + one explode. Output: (idCol, record_no,
+    * warc_type, target_uri, http_status, mime, charset, text).
+    */
+  def recordsHttpDecoded(df: DataFrame, idCol: String, warcCol: String,
+      charsets: Seq[String] = Seq("iso-8859-1", "windows-1252"))
+      : DataFrame = {
+    val G = graft.functions.GraftFunctions
+    val staged = df.select(col(idCol),
+        posexplode(G.warc_records_bin(col(warcCol)))
+          .as(Seq("record_no", "__rec")))
+      // byte-preserving wrap: header regexes only ever match ASCII
+      .withColumn("__s", col("__rec").cast("string"))
+      // HTTP header block = between the record's first CRLFCRLF (end of
+      // WARC headers) and the next (end of HTTP headers)
+      .withColumn("__hh",
+        regexp_extract(col("__s"), "(?s)\\r\\n\\r\\n(.*?)\\r\\n\\r\\n", 1))
+      // entity bytes: payload = entity(record), body = entity(payload)
+      .withColumn("__body",
+        G.http_entity_bytes(G.http_entity_bytes(col("__rec"))))
+      .withColumn("charset",
+        lower(regexp_extract(col("__hh"),
+          "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1)))
+    val G2 = graft.functions.GraftFunctions
+    val text = charsets.foldLeft(G2.decode_charset(col("__body"), "UTF-8")) {
+      (acc, cs) =>
+        when(col("charset") === cs, G2.decode_charset(col("__body"), cs))
+          .otherwise(acc)
+    }
+    staged.select(col(idCol), col("record_no"),
+      regexp_extract(col("__s"), "(?m)^WARC-Type: *([^\\r\\n]+)", 1)
+        .as("warc_type"),
+      regexp_extract(col("__s"), "(?m)^WARC-Target-URI: *([^\\r\\n]+)", 1)
+        .as("target_uri"),
+      nullif(regexp_extract(col("__hh"), "^HTTP/[0-9.]+ ([0-9]{3})", 1),
+        lit("")).cast("int").as("http_status"),
+      lower(trim(regexp_extract(col("__hh"),
+        "(?i)(?:^|\\r\\n)Content-Type: *([^;\\r\\n]+)", 1))).as("mime"),
+      col("charset"), text.as("text"))
+  }
+
   /** Parse the HTTP-response layer INSIDE a framed record's payload — a
     * real `WARC-Type: response` payload is an HTTP response (status
     * line, headers, CRLFCRLF, then the entity body), so reading `body`

@@ -169,6 +169,30 @@ class WarcSpec extends SparkTestBase {
       s"request/metadata types and non-200/non-html responses must drop: $out")
   }
 
+  test("recordsHttpDecoded: latin-1 and cp1252 entity bytes decode under " +
+      "their declared charset; a String-typed path would have smashed " +
+      "them to U+FFFD") {
+    def rec(id: Long, cs: String, label: String, body: String): Array[Byte] = {
+      val b = body.getBytes(java.nio.charset.Charset.forName(cs))
+      val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        s"charset=$label\r\n\r\n").getBytes("US-ASCII") ++ b
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h/$id" +
+        s"\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val blob = rec(1, "UTF-8", "UTF-8", "café utf") ++
+      rec(2, "ISO-8859-1", "iso-8859-1", "café latin") ++
+      rec(3, "windows-1252", "Windows-1252", "café € cp1252")
+    val out = Warc.recordsHttpDecoded(
+        Seq((1L, blob)).toDF("warc_id", "warc"), "warc_id", "warc")
+      .select("target_uri", "charset", "text")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("http://h/1", "utf-8", "café utf"),
+      ("http://h/2", "iso-8859-1", "café latin"),
+      ("http://h/3", "windows-1252", "café € cp1252")), s"got $out")
+  }
+
   test("mid-stream corruption fails loudly instead of resyncing") {
     val blob = rec("http://a/1", "ok body here") +
       "garbage that is not a record\r\n\r\n" + rec("http://a/2", "x")
