@@ -6461,13 +6461,14 @@ object SparkEntry {
   }
 
   /** [[graft.operators.Html.normalizeHrefQuotes]] in DuckDB SQL — the
-    * same two rewrites (RE2 replacement backrefs use `\1` where Java
+    * same three rewrites (RE2 replacement backrefs use `\1` where Java
     * uses `$1`; the semantics are identical).
     */
   private def normalizeHrefSql(x: String): String = {
     def esc(s: String) = s.replace("'", "''")
-    s"""regexp_replace(regexp_replace($x,
+    s"""regexp_replace(regexp_replace(regexp_replace($x,
        |  '${esc(graft.operators.Html.hrefSingleRe)}', 'href="\\1"', 'g'),
+       |  '${esc(graft.operators.Html.hrefBareCloseRe)}', 'href="\\1"/>', 'g'),
        |  '${esc(graft.operators.Html.hrefBareRe)}', 'href="\\1"', 'g')""".stripMargin
   }
 
@@ -6560,7 +6561,10 @@ object SparkEntry {
     "#sec", // fragment-only (same-document reference)
     "", // empty (the base itself)
     "a/../b/./c/../d", // dot-segment gymnastics
-    "/abs/./x/../y?q=3#f") // rooted with dots + query + fragment
+    "/abs/./x/../y?q=3#f", // rooted with dots + query + fragment
+    "mailto:someone@example.org", // scheme WITHOUT authority (§5.3:
+    "javascript:void(0)", //   no '//' may be glued on — these three
+    "tel:+1-816-555-1212") //   recompose as scheme:path verbatim
 
   /** [[TextAnalysis.removeDotSegments]]'s bounded rewrite fold in DuckDB
     * SQL — the SAME six per-pass rewrites over the same RE2-safe
@@ -6650,9 +6654,14 @@ object SparkEntry {
        |         CASE WHEN bscheme = '' THEN NULL
        |              ELSE (CASE WHEN rscheme <> '' THEN rscheme
        |                         ELSE bscheme END) ||
-       |                   '://' ||
-       |                   (CASE WHEN rscheme <> '' OR hasauth THEN rauth
-       |                         ELSE bauth END) ||
+       |                   ':' ||
+       |                   -- §5.3: '//'+authority only when the winning
+       |                   -- component set has one (mailto:/tel: don't)
+       |                   (CASE WHEN hasauth OR rscheme = ''
+       |                         THEN '//' ||
+       |                              (CASE WHEN rscheme <> '' OR hasauth
+       |                                    THEN rauth ELSE bauth END)
+       |                         ELSE '' END) ||
        |                   tpath ||
        |                   (CASE WHEN (CASE WHEN refownsq THEN hasq
        |                                    ELSE bhasq END)

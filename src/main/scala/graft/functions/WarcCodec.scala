@@ -200,8 +200,11 @@ object WarcCodec {
     val out = new java.io.ByteArrayOutputStream()
     var pos = 0
     while (pos < bytes.length) {
-      if (!(pos + 2 <= bytes.length && (bytes(pos) & 0xff) == 0x1f &&
-          (bytes(pos + 1) & 0xff) == 0x8b))
+      // fewer than 2 bytes left cannot even hold the magic — that is a
+      // torn trailing member header (e.g. a single 0x1f of a next
+      // member), the documented tail-drops case, not lost sync
+      if (pos + 2 > bytes.length) return out.toByteArray
+      if (!((bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b))
         throw new IllegalArgumentException(
           s"gzip stream lost sync at byte $pos: expected a member header")
       if (pos + 10 > bytes.length) return out.toByteArray // torn tail

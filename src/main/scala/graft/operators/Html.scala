@@ -244,20 +244,34 @@ object Html {
   /** Single-quoted href value — rewritten to the double-quoted form. */
   val hrefSingleRe: String = "(?is)\\bhref\\s*=\\s*'([^']*)'"
 
-  /** Unquoted href value (runs to whitespace or `>`), rewritten to the
-    * double-quoted form. Applied AFTER [[hrefSingleRe]], and the first
-    * character class excludes `"` so already-quoted values never
-    * re-wrap.
+  /** Unquoted href value immediately followed by a self-closing `/>`
+    * (XHTML-style `<a href=/doc/5/>`): the `/` belongs to the TAG, not
+    * the value, so this rewrite runs BEFORE [[hrefBareRe]] (whose value
+    * class would swallow it) and leaves the `/>` outside the quotes.
     */
-  val hrefBareRe: String = "(?is)\\bhref\\s*=\\s*([^\\s\"'>][^\\s>]*)"
+  val hrefBareCloseRe: String =
+    "(?is)\\bhref\\s*=\\s*([^\\s\"'>][^\\s\">]*)/>"
+
+  /** Unquoted href value (runs to whitespace, `"` or `>`), rewritten to
+    * the double-quoted form. Applied AFTER [[hrefSingleRe]] and
+    * [[hrefBareCloseRe]]; the first character class excludes `"` so
+    * already-quoted values never re-wrap, and the tail class excludes
+    * `"` too — an embedded double quote inside a bare value would
+    * otherwise corrupt the rewritten attribute (tag-soup truncation at
+    * the quote is the standard tolerant-parser behavior).
+    */
+  val hrefBareRe: String = "(?is)\\bhref\\s*=\\s*([^\\s\"'>][^\\s\">]*)"
 
   /** Normalize single-quoted and unquoted href attribute values to the
     * double-quoted form [[hrefRe]] extracts — tag-soup quoting
-    * tolerance as two RE2-safe rewrites (backreferences appear only in
-    * the REPLACEMENT, which RE2/Java both support).
+    * tolerance as three RE2-safe rewrites (backreferences appear only
+    * in the REPLACEMENT, which RE2/Java both support): single-quoted,
+    * then the self-closing bare case, then general bare.
     */
   def normalizeHrefQuotes(html: Column): Column =
-    regexp_replace(regexp_replace(html, hrefSingleRe, "href=\"$1\""),
+    regexp_replace(
+      regexp_replace(regexp_replace(html, hrefSingleRe, "href=\"$1\""),
+        hrefBareCloseRe, "href=\"$1\"/>"),
       hrefBareRe, "href=\"$1\"")
 
   /** Per-page outlink extraction — the edge surface of the web graph

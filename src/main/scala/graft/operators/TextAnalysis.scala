@@ -437,8 +437,17 @@ object TextAnalysis {
     val refOwnsQuery = hasScheme || hasAuth || rPath =!= "" || hasQuery
     val tHasQ = when(refOwnsQuery, hasQuery).otherwise(bHasQuery)
     val tQuery = when(refOwnsQuery, rQuery).otherwise(bQuery)
+    // §5.3 recomposition: '//' + authority only when the WINNING
+    // component set has an authority — a scheme-bearing ref without
+    // '//' (mailto:x, javascript:void(0), tel:…) has none, and gluing
+    // '://' on would corrupt it to 'mailto://x'. Authority is defined
+    // iff the ref carries one (hasAuth) or the base's wins (!hasScheme;
+    // the base is required to be scheme://-absolute, else NULL below).
+    val tAuthDefined = hasAuth || !hasScheme
     when(bScheme === "", lit(null).cast("string"))
-      .otherwise(concat(tScheme, lit("://"), tAuth, tPath,
+      .otherwise(concat(tScheme, lit(":"),
+        when(tAuthDefined, concat(lit("//"), tAuth)).otherwise(lit("")),
+        tPath,
         when(tHasQ, concat(lit("?"), tQuery)).otherwise(lit("")),
         when(hasFrag, concat(lit("#"), frag)).otherwise(lit(""))))
   }
@@ -505,9 +514,14 @@ object TextAnalysis {
           .otherwise(concat(
             when(col("__rsch") =!= "", col("__rsch"))
               .otherwise(col("__bsch")),
-            lit("://"),
-            when(col("__rsch") =!= "" || col("__hasauth"), col("__rauth"))
-              .otherwise(col("__bauth")),
+            lit(":"),
+            // §5.3: '//' + authority only when the winning component
+            // set HAS one (see [[resolveUrl]]'s recomposition note)
+            when(col("__hasauth") || col("__rsch") === "",
+              concat(lit("//"),
+                when(col("__rsch") =!= "" || col("__hasauth"),
+                  col("__rauth")).otherwise(col("__bauth"))))
+              .otherwise(lit("")),
             col("__tpath"),
             when(when(col("__ownq"), col("__hasq")).otherwise(col("__bhasq")),
               concat(lit("?"),

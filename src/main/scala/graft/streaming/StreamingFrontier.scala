@@ -60,7 +60,12 @@ object StreamingFrontier {
   def processBatch(candidates: DataFrame, batchId: Long, urlCol: String,
       stateDir: String): Unit = {
     val s = candidates.sparkSession
+    // NULL urls (canonicalUrl's documented drop for relative/unparseable
+    // hrefs) are dead rows the schedule can never fetch — filtering
+    // BEFORE banking keeps them out of state forever (they would also
+    // all hash-partition into one bucket)
     val rows = candidates.select(col(urlCol).as("url"))
+      .filter(col("url").isNotNull)
       .groupBy("url").agg(count(lit(1)).as("n"))
     if (!LsmParquetState.exists(s, stateDir))
       LsmParquetState.seed(rows.limit(0), stateDir, layout)

@@ -123,6 +123,18 @@ class HtmlSpec extends SparkTestBase {
     assert(urls === Seq("/one", "/two?x=1", "/three", "/four"), s"got $urls")
   }
 
+  test("outlinks tag-soup edges: a self-closing tag's `/>` stays out of " +
+      "a bare href value; an embedded double quote truncates it") {
+    val df = Seq(
+      (1L, "<a href=/doc/5/>x</a> <a href=/dir/5/ >y</a> " +
+        "<a href=/a\"b>z</a> <a href=q/>w</a>")).toDF("doc_id", "html")
+    val urls = Html.outlinks(df, "doc_id", "html")
+      .select("url").as[String].collect().toSeq
+    // /doc/5 (the / belongs to />), /dir/5/ (legit trailing slash —
+    // whitespace before >), /a (truncated at the embedded quote), q
+    assert(urls === Seq("/doc/5", "/dir/5/", "/a", "q"), s"got $urls")
+  }
+
   test("anchorTexts: (href, cleaned inner text) pairs in document order " +
       "across quote styles; anchorTextEdges resolves relative targets " +
       "and keeps self-links") {

@@ -930,7 +930,12 @@ class TextAnalysisSpec extends SparkTestBase {
       "/abs/./x/../y?q#f" -> Some("http://h.io/abs/y?q#f"),
       // RFC oddity coverage: dot-segment-only relative ref
       ".." -> Some("http://h.io/a/"),
-      "." -> Some("http://h.io/a/b/"))
+      "." -> Some("http://h.io/a/b/"),
+      // §5.3: authority-less schemes recompose WITHOUT '//' — gluing
+      // '://' on would corrupt them to 'mailto://…'
+      "mailto:x@y.org" -> Some("mailto:x@y.org"),
+      "javascript:void(0)" -> Some("javascript:void(0)"),
+      "tel:+1-816-555-1212" -> Some("tel:+1-816-555-1212"))
     val got = cases.map(_._1).toDF("r")
       .select(TextAnalysis.resolveUrl(lit(base), col("r")).as("t"))
       .as[Option[String]].collect().toSeq

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.SparkTestBase
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, WarcCodec}
 import graft.plugin.WarcIngestStage
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,12 @@ class WarcSpec extends SparkTestBase {
     }
     val msg = err.getMessage + Option(err.getCause).map(_.getMessage).mkString
     assert(msg.contains("gzip member"), s"wanted loud gzip failure, got $msg")
+    // a SINGLE trailing byte of a next member's magic is a torn tail
+    // (drops), not lost sync — the <2-byte EOF-mid-header case
+    val oneByteTail = whole ++ Array(0x1f.toByte)
+    val kept = WarcCodec.gunzipMembers(oneByteTail)
+    assert(new String(kept, "UTF-8") === r1 + r2,
+      "a 1-byte torn next-member header must drop, keeping prior members")
   }
 
   test("httpResponses: status/mime/charset/entity parse is relational; " +
