@@ -3373,6 +3373,35 @@ object SparkEntry {
         .select("doc_id", "host", "path", "allowed")
     }),
 
+    // RFC 9309 §2.2.3 wildcards — what real robots.txt files actually
+    // use: `*` mid-rule (extension screens, directory-at-any-depth),
+    // a trailing `$` end anchor (so `.pdfx` escapes a `.pdf$` rule), a
+    // longer Allow beating a wildcard Disallow, and a mid-rule literal
+    // `$` that the metachar escape must neutralize. Wildcard-free
+    // rules keep the startsWith fast path; the oracle replays the
+    // identical pattern compile + argmax
+    "t72_robots_wildcards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = graft.operators.Robots.rules(
+        docs.select(col("source").as("host")).distinct()
+          .select(col("host"), lit(robotsWildFixtureBody).as("robots")),
+        "host", "robots")
+      val m = pmod(col("doc_id"), lit(8))
+      val id = col("doc_id").cast("string")
+      val path = when(m === 0, concat(lit("/articles/"), id))
+        .when(m === 1, concat(lit("/files/"), id, lit(".pdf")))
+        .when(m === 2, concat(lit("/pub/"), id, lit(".pdf")))
+        .when(m === 3, concat(lit("/search"), id))
+        .when(m === 4, lit("/search/help"))
+        .when(m === 5, concat(lit("/a/tmp/"), id))
+        .when(m === 6, concat(lit("/files/"), id, lit(".pdfx")))
+        .otherwise(concat(lit("/d$r"), id))
+      val urls = docs.select(col("doc_id"), col("source").as("host"),
+        path.as("path"))
+      graft.operators.Robots.allowed(urls, robots, "host", "path")
+        .select("doc_id", "host", "path", "allowed")
+    }),
+
     // the web-graph composition, real-crawl-shaped: pages → outlinks
     // (all three quote styles) → RFC 3986 resolution against each
     // page's own URI (the relative `../doc/<n>` and rooted
@@ -6742,13 +6771,43 @@ object SparkEntry {
       "Allow: /private/pub/\nDisallow: /tmp\nAllow: /cgi\nDisallow: /cgi\n" +
       "Disallow:\nSitemap: http://example.com/sitemap.xml\n"
 
+  /** The t72 wildcard robots body — every §2.2.3 branch planted: `*`
+    * mid-rule and leading, a trailing `$` anchor, a longer Allow over a
+    * wildcard Disallow, and a mid-rule literal `$` the metachar escape
+    * must neutralize. No single quotes (embeds in SQL literals).
+    */
+  private val robotsWildFixtureBody: String =
+    "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\n" +
+      "Disallow: /search*\nAllow: /search/help\nDisallow: /*/tmp/\n" +
+      "Disallow: /d$r*\n"
+
+  /** [[graft.operators.Robots.allowed]]'s rule-match condition in DuckDB
+    * SQL over rule alias `r` and a path expression — the identical
+    * §2.2.3 wildcard compile (strip a trailing `$`, escape RE2
+    * metacharacters, `*` → `.*`, re-anchor) with the wildcard-free
+    * fast path as plain starts_with. Shared by t69/t72/g23 so the
+    * match semantics cannot drift between gates.
+    */
+  private def robotsMatchCondSql(pathExpr: String): String =
+    """(CASE WHEN r.prefix LIKE '%*%' OR r.prefix LIKE '%$'
+      |      THEN regexp_matches(__P__, '^' ||
+      |           replace(regexp_replace(
+      |             regexp_replace(r.prefix, '\$$', ''),
+      |             '([.^$+?(){}\[\]|\\])', '\\\1', 'g'),
+      |           '*', '.*') ||
+      |           (CASE WHEN r.prefix LIKE '%$' THEN '$' ELSE '' END))
+      |      ELSE starts_with(__P__, r.prefix) END)""".stripMargin
+      .replace("__P__", pathExpr)
+
   /** The robots grammar (line split + ordinality, comment strip, field
     * regexes, the stacked-group window pair) replayed relationally over
     * a caller-defined `hosts(host)` CTE — ending in
-    * `rrules(host, agent, rule_type, prefix)`. Shared by t69 and g23.
+    * `rrules(host, agent, rule_type, prefix)`. Shared by t69/t72/g23.
     */
-  private def robotsRulesCtes: String =
-    s"""rb AS (SELECT host, '$robotsFixtureBody' AS robots FROM hosts),
+  private def robotsRulesCtes: String = robotsRulesCtesFor(robotsFixtureBody)
+
+  private def robotsRulesCtesFor(body: String): String =
+    s"""rb AS (SELECT host, '$body' AS robots FROM hosts),
        |rlines AS (
        |  SELECT host, CAST(i AS INT) AS ln,
        |         trim(regexp_replace(ls[CAST(i AS INT)], '#.*$$', '')) AS line
@@ -6800,12 +6859,44 @@ object SparkEntry {
        |rmatch AS (
        |  SELECT u.doc_id, u.host, u.path,
        |         max(CASE WHEN r.prefix IS NULL THEN NULL
-       |                  ELSE 2 * length(r.prefix) +
+       |                  ELSE 2 * strlen(r.prefix) +
        |                       (CASE WHEN r.rule_type = 'allow'
        |                             THEN 1 ELSE 0 END) END) AS best
        |  FROM rurls u LEFT JOIN rrules r
        |    ON r.host = u.host AND r.agent = '*'
-       |       AND starts_with(u.path, r.prefix)
+       |       AND ${robotsMatchCondSql("u.path")}
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, host, path, COALESCE(best % 2 = 1, true) AS allowed
+       |FROM rmatch""".stripMargin
+
+  /** t72's replay: the shared grammar chain over the WILDCARD fixture
+    * body + the shared §2.2.3 pattern-compile match + the same
+    * integer-encoded argmax.
+    */
+  private def t72OracleSql: String =
+    s"""WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+       |${robotsRulesCtesFor(robotsWildFixtureBody)},
+       |rurls AS (
+       |  SELECT doc_id, source AS host,
+       |         CASE CAST(doc_id % 8 AS INT)
+       |           WHEN 0 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+       |           WHEN 1 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.pdf'
+       |           WHEN 2 THEN '/pub/' || CAST(doc_id AS VARCHAR) || '.pdf'
+       |           WHEN 3 THEN '/search' || CAST(doc_id AS VARCHAR)
+       |           WHEN 4 THEN '/search/help'
+       |           WHEN 5 THEN '/a/tmp/' || CAST(doc_id AS VARCHAR)
+       |           WHEN 6 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.pdfx'
+       |           ELSE '/d$$r' || CAST(doc_id AS VARCHAR) END AS path
+       |  FROM documents),
+       |rmatch AS (
+       |  SELECT u.doc_id, u.host, u.path,
+       |         max(CASE WHEN r.prefix IS NULL THEN NULL
+       |                  ELSE 2 * strlen(r.prefix) +
+       |                       (CASE WHEN r.rule_type = 'allow'
+       |                             THEN 1 ELSE 0 END) END) AS best
+       |  FROM rurls u LEFT JOIN rrules r
+       |    ON r.host = u.host AND r.agent = '*'
+       |       AND ${robotsMatchCondSql("u.path")}
        |  GROUP BY 1, 2, 3)
        |SELECT doc_id, host, path, COALESCE(best % 2 = 1, true) AS allowed
        |FROM rmatch""".stripMargin
@@ -6878,12 +6969,12 @@ object SparkEntry {
        |fmatch AS (
        |  SELECT f.url, f.host, f.n,
        |         max(CASE WHEN r.prefix IS NULL THEN NULL
-       |                  ELSE 2 * length(r.prefix) +
+       |                  ELSE 2 * strlen(r.prefix) +
        |                       (CASE WHEN r.rule_type = 'allow'
        |                             THEN 1 ELSE 0 END) END) AS best
        |  FROM fresh f LEFT JOIN rrules r
        |    ON r.host = f.host AND r.agent = '*'
-       |       AND starts_with(f.path, r.prefix)
+       |       AND ${robotsMatchCondSql("f.path")}
        |  GROUP BY 1, 2, 3),
        |fok AS (SELECT url, host, n FROM fmatch
        |        WHERE COALESCE(best % 2 = 1, true)),
@@ -11134,6 +11225,9 @@ object SparkEntry {
     // longest-match argmax replayed relationally
     "t68_anchor_text" -> t68OracleSql,
     "t69_robots_filter" -> t69OracleSql,
+    // t72: §2.2.3 wildcard admission — the pattern compile replayed
+    // rewrite-for-rewrite through the shared match builder
+    "t72_robots_wildcards" -> t72OracleSql,
     // t70: per-host sitemap assembly + the block parse, both replayed
     "t70_sitemap_parse" ->
       """WITH entries AS (

@@ -17,17 +17,26 @@ import org.apache.spark.sql.functions._
  *    field names are case-insensitive, `#` comments strip, unknown
  *    lines are ignored;
  *  - an empty-value `Disallow:` permits everything (dropped at parse);
- *  - admission for a URL path: among the agent's group rules whose
- *    prefix matches the path, the MOST SPECIFIC (longest octet length)
- *    wins, `Allow` winning exact-length ties; no matching rule ⇒
- *    allowed (RFC 9309 §2.2.2).
+ *  - admission for a URL path: among the agent's group rules matching
+ *    the path, the MOST SPECIFIC (longest rule in octets) wins,
+ *    `Allow` winning exact-length ties; no matching rule ⇒ allowed
+ *    (RFC 9309 §2.2.2);
+ *  - rule values are RFC 9309 §2.2.3 patterns: `*` matches any
+ *    character sequence and a TRAILING `$` anchors the match at
+ *    end-of-path (a mid-value `$` is literal, the reference-
+ *    implementation reading); wildcard-free rules match as plain
+ *    prefixes (the fast path — the overwhelmingly common case).
+ *    Specificity counts the rule's own octets verbatim (wildcards
+ *    included), the reference-implementation tiebreak.
  *
- * Out of scope (documented, not hidden): the `*`/`$` wildcard
- * extension, percent-encoding normalization, agent-name
- * longest-substring selection (callers pass the already-chosen agent
- * token, typically `*`), and `Crawl-delay`/`Sitemap` fields (ignored
- * lines). All parsing is RE2-safe line regexes, so the DuckDB oracle
- * replays the grammar AND the longest-match argmax relationally.
+ * Out of scope (documented, not hidden): percent-encoding
+ * normalization, agent-name longest-substring selection (callers pass
+ * the already-chosen agent token, typically `*`), and
+ * `Crawl-delay` fields (ignored lines; `Sitemap:` lines parse via
+ * [[sitemaps]] for the frontier's discovery channel). All parsing is
+ * RE2-safe line regexes and the wildcard compile is two rewrites + a
+ * literal replace, so the DuckDB oracle replays the grammar, the
+ * wildcard match AND the longest-match argmax relationally.
  *
  * 100 TB posture: parsing is one line-explode + two PER-HOST windows
  * (bounded — a robots body is one small file per host, the same
@@ -77,34 +86,68 @@ object Robots {
       .select(col(hostCol), col("agent"), col("rule_type"), col("prefix"))
   }
 
-  /** Admission verdict per URL row: longest-matching-prefix rule of
+  /** Admission verdict per URL row: the longest-matching rule of
     * `agent`'s groups decides, Allow wins length ties, no match ⇒
-    * allowed. `urls` carries (hostCol, pathCol, …); every input row
-    * comes back with an `allowed` BOOLEAN appended.
+    * allowed. `urls` carries (hostCol, pathCol, …); EVERY input row
+    * comes back with an `allowed` BOOLEAN appended — rows with a NULL
+    * host or path have no rules to match, so they come back `true`
+    * (the no-matching-rule default; callers screening fetchability
+    * should drop NULL keys themselves).
     *
-    * The argmax encodes (specificity, allow-beats-disallow) as ONE
-    * integer — `2·octet_length(prefix) + (allow ? 1 : 0)` — so the
+    * Wildcard rules (§2.2.3) compile per RULE (the tiny frame) into an
+    * anchored RE2 pattern — metacharacters escaped, `*` → `.*`, a
+    * trailing `$` kept as the end anchor — and only rules that carry a
+    * wildcard pay the regex; plain rules keep the `startsWith` fast
+    * path. The argmax encodes (specificity, allow-beats-disallow) as
+    * ONE integer — `2·octet_length(rule) + (allow ? 1 : 0)` — so the
     * winning rule is a plain integer `max` both engines order
     * identically (no struct-comparison semantics to align), and the
     * verdict is the max's parity.
     */
   def allowed(urls: DataFrame, robots: DataFrame, hostCol: String,
       pathCol: String, agent: String = "*"): DataFrame = {
+    val endAnchor = col("prefix").endsWith("$")
+    val core = regexp_replace(col("prefix"), "\\$$", "")
+    val escaped = regexp_replace(core, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    val wildRe = concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
+      when(endAnchor, lit("$")).otherwise(lit("")))
     val ruleFrame = robots.filter(col("agent") === agent)
-      .select(col(hostCol).as("__rh"), col("rule_type"), col("prefix"))
+      .select(col(hostCol).as("__rh"), col("rule_type"), col("prefix"),
+        (col("prefix").contains("*") || endAnchor).as("__w"),
+        wildRe.as("__re"))
+    val matches = when(col("__w"), regexp_like(col("__up"), col("__re")))
+      .otherwise(col("__up").startsWith(col("prefix")))
     val verdicts = urls
       .select(col(hostCol).as("__uh"), col(pathCol).as("__up"))
       .distinct()
-      .join(ruleFrame, col("__uh") === col("__rh") &&
-        col("__up").startsWith(col("prefix")), "left")
+      .join(ruleFrame, col("__uh") === col("__rh") && matches, "left")
       .groupBy(col("__uh"), col("__up"))
-      .agg(max(length(col("prefix")) * 2 +
+      .agg(max(octet_length(col("prefix")) * 2 +
         when(col("rule_type") === "allow", 1).otherwise(0)).as("__best"))
       .select(col("__uh"), col("__up"),
         coalesce(pmod(col("__best"), lit(2)) === 1, lit(true))
           .as("allowed"))
+    // null-safe join-back: verdicts is exactly the distinct (host,
+    // path) set INCLUDING null keys, so every input row matches one
+    // verdict row; the left join + coalesce is belt-and-braces for the
+    // documented every-row-comes-back contract
     urls.join(verdicts,
-        col(hostCol) === col("__uh") && col(pathCol) === col("__up"))
+        col(hostCol) <=> col("__uh") && col(pathCol) <=> col("__up"),
+        "left")
+      .withColumn("allowed", coalesce(col("allowed"), lit(true)))
       .drop("__uh", "__up")
   }
+
+  /** `Sitemap:` lines of a robots body — the discovery-channel pointer
+    * RFC 9309 carries for the sitemaps.org protocol (the field is
+    * group-INDEPENDENT per the sitemaps spec, so no group attribution:
+    * one row per line). Output: (hostCol, sitemap_url).
+    */
+  def sitemaps(df: DataFrame, hostCol: String,
+      robotsCol: String): DataFrame =
+    df.select(col(hostCol), explode(split(col(robotsCol), "\n")).as("__raw"))
+      .select(col(hostCol),
+        trim(regexp_extract(trim(regexp_replace(col("__raw"), "#.*$", "")),
+          "(?i)^sitemap\\s*:(.*)$", 1)).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
 }

@@ -50,8 +50,11 @@ object WebFrontier {
       robots: DataFrame, urlCol: String, budget: Int,
       agent: String = "*"): DataFrame = {
     require(budget > 0, s"per-host budget must be > 0, got $budget")
-    val fresh = counts.join(crawled.select(col(urlCol).as("url")),
-      Seq("url"), "left_anti")
+    // NULL urls (canonicalization's documented drop) are unfetchable —
+    // screen them here, since Robots.allowed's every-row-comes-back
+    // contract would otherwise wave them through as allowed
+    val fresh = counts.filter(col("url").isNotNull)
+      .join(crawled.select(col(urlCol).as("url")), Seq("url"), "left_anti")
     val parsed = fresh
       .withColumn("host",
         regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))

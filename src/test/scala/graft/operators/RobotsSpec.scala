@@ -49,4 +49,51 @@ class RobotsSpec extends SparkTestBase {
       .select("id", "allowed").as[(Long, Boolean)].collect().toMap
     assert(fb.values.forall(_ == false), s"fancybot blanket disallow: $fb")
   }
+
+  test("allowed: RFC 9309 §2.2.3 wildcards — * any-sequence, trailing $ " +
+      "anchor, longer Allow beats wildcard Disallow, literal $ escapes") {
+    val wbody = "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\n" +
+      "Disallow: /search*\nAllow: /search/help\nDisallow: /d$r*\n"
+    val robots = Robots.rules(Seq(("h.io", wbody)).toDF("host", "robots"),
+      "host", "robots")
+    val urls = Seq(
+      (1L, "h.io", "/files/a.pdf"), // /*.pdf$ -> disallow
+      (2L, "h.io", "/files/a.pdfx"), // $ anchor: no match -> allowed
+      (3L, "h.io", "/pub/a.pdf"), // longer allow wins over /*.pdf$
+      (4L, "h.io", "/search123"), // /search* -> disallow
+      (5L, "h.io", "/search/help"), // longer literal allow wins
+      (6L, "h.io", "/d$rx"), // literal mid-rule $ must match escaped
+      (7L, "h.io", "/dzrx") // and must NOT behave as regex anchor
+    ).toDF("id", "host", "path")
+    val got = Robots.allowed(urls, robots, "host", "path")
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true), s"got $got")
+  }
+
+  test("allowed: every input row comes back — NULL host/path rows get " +
+      "the no-matching-rule default (true)") {
+    val robots = Robots.rules(Seq(("h.io", body)).toDF("host", "robots"),
+      "host", "robots")
+    val urls = Seq(
+      (1L, Some("h.io"), Some("/private/x")),
+      (2L, None: Option[String], Some("/private/x")),
+      (3L, Some("h.io"), None: Option[String])
+    ).toDF("id", "host", "path")
+    val got = Robots.allowed(urls, robots, "host", "path")
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true),
+      s"NULL-key rows must come back allowed=true: $got")
+  }
+
+  test("sitemaps: Sitemap: lines parse per host, case-insensitive, " +
+      "comments strip, other lines drop") {
+    val b = "User-agent: *\nDisallow: /x\nSitemap: http://h/a.xml\n" +
+      "sitemap: http://h/b.xml # the index\nCrawl-delay: 3\n"
+    val got = Robots.sitemaps(Seq(("h.io", b)).toDF("host", "robots"),
+        "host", "robots")
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("h.io", "http://h/a.xml"), ("h.io", "http://h/b.xml")),
+      s"got $got")
+  }
 }
