@@ -3177,8 +3177,121 @@ object SparkEntry {
             .reduce(_ ++ _))
         }
         .toDF("warc_id", "warc")
-      graft.sources.Warc.recordsHttpDecoded(blobs, "warc_id", "warc",
-          charsets = Seq("iso-8859-1", "windows-1252"))
+      graft.sources.Warc.recordsHttpDecoded(blobs, "warc_id", "warc")
+        .select("warc_id", "record_no", "target_uri", "http_status",
+          "mime", "charset", "text")
+    }),
+
+    // what real SERVERS actually send, layer by layer: chunked
+    // transfer-coding (hex-framed chunks the dechunk kernel must
+    // reassemble — read verbatim, the "HTML" would be hex framing),
+    // gzip content-coding (the inflate kernel over the entity), and
+    // both STACKED in wire order (dechunk first, then inflate — the
+    // reverse order feeds chunk framing into the gunzipper and dies).
+    // The oracle states the recovered text per record (the f10/f11
+    // byte-transform posture); the truncation/corruption contracts are
+    // unit-spec territory (WarcSpec)
+    "f12_http_transfer_codings" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val blobs = docs.as[(Long, String)]
+        .groupByKey(_._1 % 50)
+        .mapGroups { (wid, it) =>
+          def gz(x: Array[Byte]): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(x); g.close(); bos.toByteArray
+          }
+          def chunked(b: Array[Byte], n: Int): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            var i = 0
+            while (i < b.length) {
+              val len = math.min(n, b.length - i)
+              bos.write((len.toHexString + "\r\n").getBytes("US-ASCII"))
+              bos.write(b, i, len)
+              bos.write("\r\n".getBytes("US-ASCII"))
+              i += len
+            }
+            bos.write("0\r\n\r\n".getBytes("US-ASCII"))
+            bos.toByteArray
+          }
+          def rec(id: Long, text: String): Array[Byte] = {
+            val raw = ("mode:" + (id % 4) + " " + text).getBytes("UTF-8")
+            val (hdrs, body) = (id % 4) match {
+              case 0 => ("", raw)
+              case 1 => ("Transfer-Encoding: chunked\r\n", chunked(raw, 120))
+              case 2 => ("Content-Encoding: gzip\r\n", gz(raw))
+              case _ => ("Transfer-Encoding: chunked\r\n" +
+                "Content-Encoding: gzip\r\n", chunked(gz(raw), 100))
+            }
+            val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+              "charset=UTF-8\r\n" + hdrs + "\r\n").getBytes("US-ASCII") ++
+              body
+            ("WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://example.com/doc/$id\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n")
+              .getBytes("US-ASCII") ++ payload ++
+              "\r\n\r\n".getBytes("US-ASCII")
+          }
+          (wid, it.toSeq.sortBy(_._1).map(r => rec(r._1, r._2))
+            .reduce(_ ++ _))
+        }
+        .toDF("warc_id", "warc")
+      graft.sources.Warc.recordsHttpDecoded(blobs, "warc_id", "warc")
+        .select("warc_id", "record_no", "target_uri", "http_status",
+          "mime", "transfer_encoding", "content_encoding", "text")
+    }),
+
+    // charset SNIFFING under the HTML5 precedence — servers omit and
+    // MISLABEL charsets constantly, pages declare their own: BOM beats
+    // a (wrong) header label, header beats meta, <meta charset> and
+    // the http-equiv form both sniff, Shift_JIS exercises a CJK
+    // multi-byte decode, UTF-16LE exercises the BOM-only route, and
+    // the undeclared branch falls back to UTF-8. Per-branch markers
+    // (é/€/日本語) prove the routing — a wrong route is mojibake and
+    // fails the stated-text oracle
+    "f13_charset_sniff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val blobs = docs.as[(Long, String)]
+        .groupByKey(_._1 % 50)
+        .mapGroups { (wid, it) =>
+          def rec(id: Long, text: String): Array[Byte] = {
+            val (ctype, body) = (id % 6) match {
+              case 0 => ("text/html; charset=iso-8859-1",
+                ("café naïve " + text).getBytes("ISO-8859-1"))
+              case 1 => ("text/html",
+                ("<html><head><meta charset=\"windows-1252\"></head>" +
+                  "<body>café € naïve " + text + "</body></html>")
+                  .getBytes("windows-1252"))
+              case 2 => ("text/html",
+                ("<html><head><meta http-equiv=\"Content-Type\" " +
+                  "content=\"text/html; charset=shift_jis\"></head>" +
+                  "<body>日本語テスト " + text + "</body></html>")
+                  .getBytes("Shift_JIS"))
+              case 3 => ("text/html; charset=iso-8859-1", // header LIES
+                Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+                  ("café naïve " + text).getBytes("UTF-8"))
+              case 4 => ("text/html", ("café naïve " + text)
+                .getBytes("UTF-8")) // undeclared -> UTF-8 default
+              case _ => ("text/html",
+                Array(0xFF.toByte, 0xFE.toByte) ++
+                  ("utf16 café " + text).getBytes("UTF-16LE"))
+            }
+            val payload =
+              s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n"
+                .getBytes("US-ASCII") ++ body
+            ("WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://example.com/doc/$id\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n")
+              .getBytes("US-ASCII") ++ payload ++
+              "\r\n\r\n".getBytes("US-ASCII")
+          }
+          (wid, it.toSeq.sortBy(_._1).map(r => rec(r._1, r._2))
+            .reduce(_ ++ _))
+        }
+        .toDF("warc_id", "warc")
+      graft.sources.Warc.recordsHttpDecoded(blobs, "warc_id", "warc")
         .select("warc_id", "record_no", "target_uri", "http_status",
           "mime", "charset", "text")
     }),
@@ -11190,6 +11303,51 @@ object SparkEntry {
                     ELSE 'windows-1252' END AS charset,
                   (CASE WHEN doc_id % 3 = 2 THEN 'café € naïve '
                         ELSE 'café naïve ' END) || text AS text
+           FROM documents)
+         SELECT warc_id,
+                CAST(row_number() OVER (PARTITION BY warc_id
+                                        ORDER BY doc_id) - 1 AS INT) AS record_no,
+                target_uri, http_status, mime, charset, text
+         FROM recs""",
+
+    // f12: headers + recovered text restated from fixture math (the
+    // f10/f11 byte-transform posture) — a wrong dechunk shows hex
+    // framing, a wrong inflate shows compressed garbage, a wrong
+    // ORDER dies structurally; all three fail the stated text
+    "f12_http_transfer_codings" ->
+      """WITH recs AS (
+           SELECT doc_id % 50 AS warc_id, doc_id,
+                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+                  200 AS http_status, 'text/html' AS mime,
+                  CASE WHEN doc_id % 4 IN (1, 3) THEN 'chunked'
+                       ELSE '' END AS transfer_encoding,
+                  CASE WHEN doc_id % 4 IN (2, 3) THEN 'gzip'
+                       ELSE '' END AS content_encoding,
+                  'mode:' || CAST(doc_id % 4 AS VARCHAR) || ' ' || text AS text
+           FROM documents)
+         SELECT warc_id,
+                CAST(row_number() OVER (PARTITION BY warc_id
+                                        ORDER BY doc_id) - 1 AS INT) AS record_no,
+                target_uri, http_status, mime, transfer_encoding,
+                content_encoding, text
+         FROM recs""",
+    // f13: the effective charset and recovered text restated per
+    // precedence branch — a wrong precedence or route is mojibake
+    // (the é/€/日本語 markers) and fails the hash
+    "f13_charset_sniff" ->
+      """WITH recs AS (
+           SELECT doc_id % 50 AS warc_id, doc_id,
+                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+                  200 AS http_status, 'text/html' AS mime,
+                  CASE CAST(doc_id % 6 AS INT)
+                    WHEN 0 THEN 'iso-8859-1' WHEN 1 THEN 'windows-1252'
+                    WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'utf-8'
+                    WHEN 4 THEN '' ELSE 'utf-16le' END AS charset,
+                  CASE CAST(doc_id % 6 AS INT)
+                    WHEN 1 THEN '<html><head><meta charset="windows-1252"></head><body>café € naïve ' || text || '</body></html>'
+                    WHEN 2 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=shift_jis"></head><body>日本語テスト ' || text || '</body></html>'
+                    WHEN 5 THEN 'utf16 café ' || text
+                    ELSE 'café naïve ' || text END AS text
            FROM documents)
          SELECT warc_id,
                 CAST(row_number() OVER (PARTITION BY warc_id

@@ -381,6 +381,42 @@ case class DecodeCharset(child: Expression, charset: String)
   override def prettyName: String = "decode_charset"
 }
 
+/** Chunked transfer-coding decode (see [[WarcCodec.httpDechunk]]) —
+  * BINARY → BINARY, null for input that is not chunked.
+  */
+case class HttpDechunk(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    WarcCodec.httpDechunk(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcCodec.httpDechunk($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): HttpDechunk =
+    copy(child = newChild)
+  override def prettyName: String = "http_dechunk"
+}
+
+/** Per-ROW-label charset decode (see [[WarcCodec.decodeCharsetDyn]]) —
+  * (BINARY, STRING label) → STRING; WHATWG label mapping, unknown →
+  * UTF-8, BOM stripped. The data-dependent-dispatch replacement for a
+  * per-charset `when`-fold over [[DecodeCharset]] branches.
+  */
+case class DecodeCharsetDyn(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(data: Any, label: Any): Any =
+    WarcCodec.decodeCharsetDyn(data.asInstanceOf[Array[Byte]],
+      label.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (d, l) => s"graft.functions.WarcCodec.decodeCharsetDyn($d, $l)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DecodeCharsetDyn = copy(left = l, right = r)
+  override def prettyName: String = "decode_charset_dyn"
+}
+
 /** HTTP entity body as bytes (see [[WarcCodec.httpEntityBytes]]). */
 case class HttpEntityBytes(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
@@ -758,6 +794,10 @@ object GraftFunctions {
     HttpEntityBytes(Bridge.expression(c)))
   def decode_charset(c: Column, charset: String): Column = Bridge.column(
     DecodeCharset(Bridge.expression(c), charset))
+  def decode_charset_dyn(c: Column, label: Column): Column = Bridge.column(
+    DecodeCharsetDyn(Bridge.expression(c), Bridge.expression(label)))
+  def http_dechunk(c: Column): Column = Bridge.column(
+    HttpDechunk(Bridge.expression(c)))
   def bmp_pixel_grid(c: Column): Column = Bridge.column(
     BmpPixelGrid(Bridge.expression(c)))
   def bmp_frame_grid(c: Column): Column = Bridge.column(

@@ -172,6 +172,163 @@ object WarcCodec {
     UTF8String.fromString(
       new String(bytes, java.nio.charset.Charset.forName(charset)))
 
+  /** The supported charset-LABEL table for [[decodeCharsetDyn]] —
+    * lowercased server/page labels → JVM charset names, following the
+    * WHATWG Encoding Standard's label mapping where it deviates from
+    * the IANA name (the browser behavior a web corpus was authored
+    * against): `iso-8859-1`/`latin1`/`us-ascii` decode as
+    * windows-1252 (their C1 range 0x80–0x9F carries cp1252 symbols on
+    * the real web), `gb2312` as GBK, bare `utf-16` as little-endian.
+    * Unlisted or empty labels fall back to UTF-8, the web default.
+    */
+  private val charsetLabels: Map[String, java.nio.charset.Charset] = {
+    import java.nio.charset.Charset.{forName => cs}
+    Map(
+      "utf-8" -> cs("UTF-8"), "utf8" -> cs("UTF-8"),
+      "iso-8859-1" -> cs("windows-1252"), "latin-1" -> cs("windows-1252"),
+      "latin1" -> cs("windows-1252"), "us-ascii" -> cs("windows-1252"),
+      "ascii" -> cs("windows-1252"), "windows-1252" -> cs("windows-1252"),
+      "cp1252" -> cs("windows-1252"),
+      "iso-8859-2" -> cs("ISO-8859-2"), "iso-8859-15" -> cs("ISO-8859-15"),
+      "windows-1250" -> cs("windows-1250"),
+      "windows-1251" -> cs("windows-1251"),
+      "windows-1254" -> cs("windows-1254"), "koi8-r" -> cs("KOI8-R"),
+      "shift_jis" -> cs("Shift_JIS"), "shift-jis" -> cs("Shift_JIS"),
+      "sjis" -> cs("Shift_JIS"), "x-sjis" -> cs("Shift_JIS"),
+      "euc-jp" -> cs("EUC-JP"), "gbk" -> cs("GBK"), "gb2312" -> cs("GBK"),
+      "gb18030" -> cs("GB18030"), "big5" -> cs("Big5"),
+      "euc-kr" -> cs("EUC-KR"),
+      "utf-16le" -> cs("UTF-16LE"), "utf-16be" -> cs("UTF-16BE"),
+      "utf-16" -> cs("UTF-16LE"))
+  }
+
+  /** [[decodeCharset]] with the charset label as a PER-ROW argument —
+    * the shape a real crawl needs (a corpus spans ~15+ charsets, and a
+    * per-charset `when`-branch over the whole decode expression is
+    * plan bloat that grows with the label set; here dispatch is one
+    * map lookup inside one kernel). Label resolution via
+    * [[charsetLabels]] (WHATWG mapping, unknown/NULL → UTF-8); a
+    * leading byte-order mark the resolved charset owns (UTF-8's
+    * EF BB BF, UTF-16's FF FE / FE FF) strips before the decode — the
+    * text must not lead with U+FEFF. Malformed sequences REPLACE.
+    */
+  def decodeCharsetDyn(bytes: Array[Byte], label: UTF8String): UTF8String = {
+    val l = if (label == null) "" else label.toString.trim.toLowerCase
+    val cs = charsetLabels.getOrElse(l,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val name = cs.name()
+    val skip =
+      if (name == "UTF-8" && bytes.length >= 3 &&
+        (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb &&
+        (bytes(2) & 0xff) == 0xbf) 3
+      else if (name == "UTF-16LE" && bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) 2
+      else if (name == "UTF-16BE" && bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) 2
+      else 0
+    UTF8String.fromString(
+      new String(bytes, skip, bytes.length - skip, cs))
+  }
+
+  private def hexVal(b: Byte): Int =
+    if (b >= '0' && b <= '9') b - '0'
+    else if (b >= 'a' && b <= 'f') b - 'a' + 10
+    else if (b >= 'A' && b <= 'F') b - 'A' + 10
+    else -1
+
+  /** Decode an HTTP/1.1 `Transfer-Encoding: chunked` entity (RFC 9112
+    * §7.1: `<hex-size>[;ext]CRLF <data> CRLF` repeated, then
+    * `0 CRLF [trailer lines] CRLF`) into the reassembled body bytes.
+    * Chunk framing is length-driven — chunk data may contain anything,
+    * including CRLF-plus-hex lookalikes — so this is a byte kernel,
+    * same argument as the WARC/gzip framing.
+    *
+    * The codec discipline, mirrored from [[warcRecords]] /
+    * [[gunzipMembers]]:
+    *  - input that does not START with a hex chunk-size line → null
+    *    (not actually chunked — a server that says chunked but ships
+    *    identity is a quality concern, not a crash);
+    *  - a structurally TORN tail (EOF mid size-line, mid chunk-data,
+    *    or before the terminal 0-chunk) returns the COMPLETE chunks
+    *    assembled so far — truncated responses are a crawl staple
+    *    (`WARC-Truncated`); the torn partial chunk drops;
+    *  - corruption MID-STREAM fails loudly: a complete chunk whose
+    *    data is not followed by CRLF, garbage where a chunk-size line
+    *    must start, or an unreasonable (>7 hex digit) size;
+    *  - bytes after the terminal chunk's trailer section fail loudly
+    *    (the entity is length-framed by its WARC record — extras mean
+    *    the stream is mis-framed).
+    */
+  def httpDechunk(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    var first = true
+    while (true) {
+      // hex chunk-size (≤7 digits = 256 MB: far beyond any real chunk;
+      // an 8th digit is corruption, not a size)
+      var p = pos
+      var size = 0
+      var digits = 0
+      while (p < bytes.length && digits <= 7 && hexVal(bytes(p)) >= 0) {
+        size = size * 16 + hexVal(bytes(p)); p += 1; digits += 1
+      }
+      if (digits == 0 || digits > 7) {
+        if (first) return null
+        throw new IllegalArgumentException(
+          s"chunked stream lost sync at byte $pos: expected a hex " +
+            "chunk-size line")
+      }
+      // chunk extension / BWS, then CRLF
+      if (p < bytes.length &&
+        !(bytes(p) == '\r' || bytes(p) == ';' || bytes(p) == ' ' ||
+          bytes(p) == '\t')) {
+        if (first) return null
+        throw new IllegalArgumentException(
+          s"chunked stream at byte $pos has garbage after the chunk size")
+      }
+      while (p < bytes.length && bytes(p) != '\r') p += 1
+      if (p + 1 >= bytes.length) return out.toByteArray // torn size line
+      if (bytes(p + 1) != '\n') {
+        if (first) return null
+        throw new IllegalArgumentException(
+          s"chunked stream at byte $pos: chunk-size line not CRLF-terminated")
+      }
+      val dataStart = p + 2
+      if (size == 0) {
+        // trailer section: empty (immediate CRLF) or trailer lines
+        // ending CRLFCRLF; EOF inside it is a torn-but-complete body
+        var q = dataStart
+        if (q + 1 < bytes.length && bytes(q) == '\r' && bytes(q + 1) == '\n')
+          q += 2
+        else {
+          var found = false
+          while (!found && q + 3 < bytes.length) {
+            if (bytes(q) == '\r' && bytes(q + 1) == '\n' &&
+              bytes(q + 2) == '\r' && bytes(q + 3) == '\n') {
+              q += 4; found = true
+            } else q += 1
+          }
+          if (!found) return out.toByteArray // torn trailer
+        }
+        if (q != bytes.length)
+          throw new IllegalArgumentException(
+            s"chunked stream has ${bytes.length - q} bytes after the " +
+              "terminal chunk (mis-framed entity)")
+        return out.toByteArray
+      }
+      val dataEnd = dataStart + size
+      if (dataEnd + 2 > bytes.length) return out.toByteArray // torn chunk
+      if (!(bytes(dataEnd) == '\r' && bytes(dataEnd + 1) == '\n'))
+        throw new IllegalArgumentException(
+          s"chunk at byte $pos: data not followed by CRLF (size lies " +
+            "or stream corrupt)")
+      out.write(bytes, dataStart, size)
+      pos = dataEnd + 2
+      first = false
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def le32u(b: Array[Byte], at: Int): Long =
     (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
       ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)

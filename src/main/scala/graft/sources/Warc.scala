@@ -53,26 +53,46 @@ object Warc {
         graft.functions.GraftFunctions.gunzip_members(col(warcCol))),
       idCol, warcCol)
 
-  /** The full real-crawl read for NON-UTF-8 bodies: BINARY record
-    * framing ([[graft.functions.WarcCodec.warcRecordsBin]] — a
+  /** The full real-crawl read for what servers ACTUALLY send: BINARY
+    * record framing ([[graft.functions.WarcCodec.warcRecordsBin]] — a
     * String-typed path would smash non-UTF-8 entity bytes to U+FFFD
     * before any decode could see them), header fields parsed over the
     * record's ASCII header region (a byte-preserving string wrap; the
     * U+FFFD replacement only ever lands in the entity region, which no
-    * header pattern touches), the HTTP layer's status/mime/charset from
-    * the payload's own header block, and the entity decoded FROM BYTES
-    * under its declared charset — `charsets` lists the supported
-    * non-UTF-8 labels (each becomes one literal-charset `decode`
-    * branch; unlisted or absent charsets decode as UTF-8, the web
-    * default). The entity bytes are the double kernel application:
-    * entity(record) is the WARC payload, entity(payload) is the HTTP
-    * body. Map-only + one explode. Output: (idCol, record_no,
-    * warc_type, target_uri, http_status, mime, charset, text).
+    * header pattern touches), the HTTP layer's status/mime from the
+    * payload's own header block, then the three entity-layer decodes
+    * in wire order:
+    *
+    *  1. `Transfer-Encoding: chunked` → chunk reassembly
+    *     ([[graft.functions.WarcCodec.httpDechunk]] — applied FIRST:
+    *     transfer coding is the outermost layer);
+    *  2. `Content-Encoding: gzip` → inflate
+    *     ([[graft.functions.WarcCodec.gunzipMembers]]);
+    *  3. charset decode FROM BYTES under the HTML5 precedence — a
+    *     byte-order mark beats the HTTP `Content-Type` charset beats an
+    *     in-page `<meta charset=…>` / `http-equiv` declaration (sniffed
+    *     over the first ~1 KB, the spec's prescan window) beats the
+    *     UTF-8 web default — via the per-row-label
+    *     [[graft.functions.WarcCodec.decodeCharsetDyn]] kernel (WHATWG
+    *     label mapping, one kernel instead of a per-charset
+    *     `when`-fold that grows the plan with the label set).
+    *
+    * The entity bytes are the double kernel application: entity(record)
+    * is the WARC payload, entity(payload) is the HTTP body. Map-only +
+    * one explode; bytes never shuffle. Output: (idCol, record_no,
+    * warc_type, target_uri, http_status, mime, transfer_encoding,
+    * content_encoding, charset, text) — `charset` is the EFFECTIVE
+    * label the decode used ('' = undeclared → UTF-8); `text` is NULL
+    * when a declared coding lies structurally (says-chunked-but-isn't,
+    * says-gzip-but-isn't — the foreign-input null contract surfacing
+    * per row).
     */
-  def recordsHttpDecoded(df: DataFrame, idCol: String, warcCol: String,
-      charsets: Seq[String] = Seq("iso-8859-1", "windows-1252"))
-      : DataFrame = {
+  def recordsHttpDecoded(df: DataFrame, idCol: String,
+      warcCol: String): DataFrame = {
     val G = graft.functions.GraftFunctions
+    val bomUtf8 = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    val bomLe = Array(0xFF.toByte, 0xFE.toByte)
+    val bomBe = Array(0xFE.toByte, 0xFF.toByte)
     val staged = df.select(col(idCol),
         posexplode(G.warc_records_bin(col(warcCol)))
           .as(Seq("record_no", "__rec")))
@@ -82,18 +102,36 @@ object Warc {
       // WARC headers) and the next (end of HTTP headers)
       .withColumn("__hh",
         regexp_extract(col("__s"), "(?s)\\r\\n\\r\\n(.*?)\\r\\n\\r\\n", 1))
+      .withColumn("__te", lower(trim(regexp_extract(col("__hh"),
+        "(?i)(?:^|\\r\\n)Transfer-Encoding: *([^\\r\\n]+)", 1))))
+      .withColumn("__ce", lower(trim(regexp_extract(col("__hh"),
+        "(?i)(?:^|\\r\\n)Content-Encoding: *([^\\r\\n]+)", 1))))
       // entity bytes: payload = entity(record), body = entity(payload)
-      .withColumn("__body",
+      .withColumn("__e0",
         G.http_entity_bytes(G.http_entity_bytes(col("__rec"))))
+      .withColumn("__e1",
+        when(col("__te").contains("chunked"), G.http_dechunk(col("__e0")))
+          .otherwise(col("__e0")))
+      .withColumn("__ent",
+        when(col("__ce") === "gzip" || col("__ce") === "x-gzip",
+          G.gunzip_members(col("__e1"))).otherwise(col("__e1")))
+      .withColumn("__hcs", lower(regexp_extract(col("__hh"),
+        "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1)))
+      // meta prescan: ASCII declarations survive the byte-preserving
+      // wrap even mid-mojibake; covers <meta charset=…> AND the
+      // http-equiv content="…charset=…" form in one pattern
+      .withColumn("__mcs", lower(regexp_extract(
+        substring(col("__ent").cast("string"), 1, 1024),
+        "(?i)<meta[^>]*\\bcharset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1)))
+      .withColumn("__bom",
+        when(substring(col("__ent"), 1, 3) === lit(bomUtf8), "utf-8")
+          .when(substring(col("__ent"), 1, 2) === lit(bomLe), "utf-16le")
+          .when(substring(col("__ent"), 1, 2) === lit(bomBe), "utf-16be")
+          .otherwise(""))
       .withColumn("charset",
-        lower(regexp_extract(col("__hh"),
-          "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1)))
-    val G2 = graft.functions.GraftFunctions
-    val text = charsets.foldLeft(G2.decode_charset(col("__body"), "UTF-8")) {
-      (acc, cs) =>
-        when(col("charset") === cs, G2.decode_charset(col("__body"), cs))
-          .otherwise(acc)
-    }
+        when(col("__bom") =!= "", col("__bom"))
+          .when(col("__hcs") =!= "", col("__hcs"))
+          .otherwise(col("__mcs")))
     staged.select(col(idCol), col("record_no"),
       regexp_extract(col("__s"), "(?m)^WARC-Type: *([^\\r\\n]+)", 1)
         .as("warc_type"),
@@ -103,7 +141,10 @@ object Warc {
         lit("")).cast("int").as("http_status"),
       lower(trim(regexp_extract(col("__hh"),
         "(?i)(?:^|\\r\\n)Content-Type: *([^;\\r\\n]+)", 1))).as("mime"),
-      col("charset"), text.as("text"))
+      col("__te").as("transfer_encoding"),
+      col("__ce").as("content_encoding"),
+      col("charset"),
+      G.decode_charset_dyn(col("__ent"), col("charset")).as("text"))
   }
 
   /** Parse the HTTP-response layer INSIDE a framed record's payload — a

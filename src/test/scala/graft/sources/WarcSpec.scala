@@ -123,6 +123,62 @@ class WarcSpec extends SparkTestBase {
       "a 1-byte torn next-member header must drop, keeping prior members")
   }
 
+  test("httpDechunk: reassembly, extensions/BWS tolerated, trailers " +
+      "consumed; torn tail drops partial chunk; mid-stream corruption " +
+      "and post-terminal bytes fail loudly; non-chunked null") {
+    def b(s: String) = s.getBytes("UTF-8")
+    // two chunks + empty trailer section
+    assert(new String(WarcCodec.httpDechunk(
+      b("5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")), "UTF-8") === "hello world")
+    // chunk extension and a trailer line
+    assert(new String(WarcCodec.httpDechunk(
+      b("5;ext=1\r\nhello\r\n0\r\nX-T: v\r\n\r\n")), "UTF-8") === "hello")
+    // hex sizes beyond 9 (0x0b = 11 bytes)
+    assert(new String(WarcCodec.httpDechunk(
+      b("b\r\nhello world\r\n0\r\n\r\n")), "UTF-8") === "hello world")
+    // torn mid-data: complete chunks survive, partial drops
+    assert(new String(WarcCodec.httpDechunk(
+      b("5\r\nhello\r\n6\r\n wo")), "UTF-8") === "hello")
+    // torn mid-size-line
+    assert(new String(WarcCodec.httpDechunk(
+      b("5\r\nhello\r\n6")), "UTF-8") === "hello")
+    // not chunked at all -> null
+    assert(WarcCodec.httpDechunk(b("<html>hi</html>")) === null)
+    // size lies (data not followed by CRLF) -> loud
+    intercept[IllegalArgumentException] {
+      WarcCodec.httpDechunk(b("3\r\nhello\r\n0\r\n\r\n"))
+    }
+    // garbage where a size line must start, after a complete chunk
+    intercept[IllegalArgumentException] {
+      WarcCodec.httpDechunk(b("5\r\nhello\r\nzz\r\n0\r\n\r\n"))
+    }
+    // bytes after the terminal chunk -> loud (mis-framed entity)
+    intercept[IllegalArgumentException] {
+      WarcCodec.httpDechunk(b("5\r\nhello\r\n0\r\n\r\nextra"))
+    }
+  }
+
+  test("decodeCharsetDyn: WHATWG label mapping (latin-1 family -> " +
+      "cp1252, gb2312 -> GBK), unknown/empty -> UTF-8, BOMs strip") {
+    def d(bytes: Array[Byte], label: String): String =
+      WarcCodec.decodeCharsetDyn(bytes,
+        org.apache.spark.unsafe.types.UTF8String.fromString(label)).toString
+    // 0x80 is € in cp1252; the iso-8859-1 LABEL must route there too
+    assert(d(Array(0x80.toByte), "iso-8859-1") === "€")
+    assert(d(Array(0x80.toByte), "Windows-1252") === "€")
+    assert(d("café".getBytes("UTF-8"), "unknown-label") === "café")
+    assert(d("café".getBytes("UTF-8"), "") === "café")
+    assert(d("日本".getBytes("Shift_JIS"), "shift_jis") === "日本")
+    assert(d("中文".getBytes("GBK"), "gb2312") === "中文")
+    // BOMs strip: the text must not lead with U+FEFF
+    assert(d(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "x".getBytes("UTF-8"), "utf-8") === "x")
+    assert(d(Array(0xFF.toByte, 0xFE.toByte) ++
+      "ab".getBytes("UTF-16LE"), "utf-16le") === "ab")
+    assert(d(Array(0xFE.toByte, 0xFF.toByte) ++
+      "ab".getBytes("UTF-16BE"), "utf-16be") === "ab")
+  }
+
   test("httpResponses: status/mime/charset/entity parse is relational; " +
       "non-HTTP payload -> NULL status; body lookalikes cannot false-match") {
     def http(status: String, ctype: String, body: String): String =
