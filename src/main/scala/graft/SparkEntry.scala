@@ -3382,6 +3382,38 @@ object SparkEntry {
         "base_uri")
     }),
 
+    // <base href> — the HTML5 re-rooting a real crawl cannot skip: a
+    // page carrying it mis-resolves EVERY relative link if the resolver
+    // keeps using the page URI. Branches: no base (page-URI resolve),
+    // a rooted base, a RELATIVE single-quoted base (itself resolved
+    // against the page URI, and through quote normalization), and two
+    // base tags (only the FIRST counts). Each page also carries an
+    // absolute link the base must NOT affect. The whole chain — quote
+    // normalization, base extract, both resolves, canonicalization,
+    // id parse — replays genuinely in the oracle
+    "t71_base_href" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = pmod(col("doc_id"), lit(4))
+      def idiv(k: Int) = ((col("doc_id") - pmod(col("doc_id"), lit(k))) / k)
+        .cast("long").cast("string")
+      val baseTag = when(m === 1, lit("<base href=\"/doc/\">"))
+        .when(m === 2, lit("<base href='../doc/'>"))
+        .when(m === 3, lit("<base href=\"/doc/\"><base href=\"/wrong/\">"))
+        .otherwise(lit(""))
+      val relHref = when(m === 0, concat(lit("../doc/"), idiv(2)))
+        .otherwise(idiv(2))
+      val html = concat(lit("<html><head>"), baseTag,
+        lit("</head><body><p>"), substring(col("text"), 1, 200),
+        lit(" <a href=\""), relHref, lit("\">rel</a>"),
+        lit(" <a href=\"http://example.com/doc/"), idiv(5),
+        lit("\">abs</a></p></body></html>"))
+      val pages = docs.select(col("doc_id"), html.as("html"),
+        concat(lit("http://example.com/sub/page"),
+          col("doc_id").cast("string")).as("base_uri"))
+      graft.operators.Html.docLinkEdges(pages, "doc_id", "html",
+        "base_uri")
+    }),
+
     // robots.txt admission — the crawl-politeness gate, RFC 9309 core:
     // stacked user-agent groups (megabot + * share rules; fancybot's
     // Disallow:/ must NOT leak to *), comment stripping, the empty
@@ -6816,6 +6848,19 @@ object SparkEntry {
        |  FROM rrq)""".stripMargin
   }
 
+  /** [[resolveUrlCtes]] with PREFIXED CTE names — for oracles that need
+    * the resolve chain TWICE (t71: base-href resolve per page, then
+    * link resolve against the effective base). Token-replaces the
+    * builder's own CTE names (`rr*` → `<p>r*`, final `ru` → `<p>u`);
+    * the builder's output contains no other `rr`/`ru AS (` substrings,
+    * and callers read the result from `<p>u`.
+    */
+  private def resolveUrlCtesP(p: String, inCte: String,
+      carry: Seq[String], passes: Int = 8): String =
+    resolveUrlCtes(inCte, carry, passes)
+      .replace("rr", p + "r")
+      .replace("ru AS (", p + "u AS (")
+
   /** t65's replay: the shared href case table unrolled per doc, the
     * resolve chain over the identical per-doc base URI.
     */
@@ -6867,6 +6912,65 @@ object SparkEntry {
        |FROM ru
        |WHERE COALESCE(nullif(regexp_extract(resolved, '/doc/([0-9]+)', 1), ''),
        |               '') <> ''""".stripMargin
+  }
+
+  /** t71's replay — GENUINE end to end: the fixture page build, quote
+    * normalization, the first-base-wins extract, the base resolve
+    * against the page URI (chain 1, prefixed `b1`), the link resolve
+    * against the effective base (chain 2, prefixed `b2`),
+    * canonicalization, id parse, self-drop, DISTINCT. The two
+    * intermediate frames materialize (the g22 lesson: inlining a
+    * bounded resolve unroll through a second chain blows up DuckDB's
+    * planner).
+    */
+  private def t71OracleSql: String = {
+    val idp = "'/doc/([0-9]+)'"
+    s"""WITH tb AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         '<html><head>' ||
+       |         (CASE CAST(doc_id % 4 AS INT)
+       |            WHEN 1 THEN '<base href="/doc/">'
+       |            WHEN 2 THEN '<base href=''../doc/''>'
+       |            WHEN 3 THEN '<base href="/doc/"><base href="/wrong/">'
+       |            ELSE '' END) ||
+       |         '</head><body><p>' || substr(text, 1, 200) ||
+       |         ' <a href="' ||
+       |         (CASE WHEN doc_id % 4 = 0
+       |               THEN '../doc/' || CAST(doc_id // 2 AS VARCHAR)
+       |               ELSE CAST(doc_id // 2 AS VARCHAR) END) ||
+       |         '">rel</a> <a href="http://example.com/doc/' ||
+       |         CAST(doc_id // 5 AS VARCHAR) ||
+       |         '">abs</a></p></body></html>' AS html,
+       |         'http://example.com/sub/page' || CAST(doc_id AS VARCHAR)
+       |           AS pageuri
+       |  FROM documents),
+       |bh AS (
+       |  SELECT doc_id,
+       |         COALESCE(regexp_extract(${normalizeHrefSql("html")},
+       |           '${graft.operators.Html.baseHrefRe}', 1), '') AS url,
+       |         pageuri AS base
+       |  FROM tb),
+       |${resolveUrlCtesP("b1", "bh", Seq("doc_id"))},
+       |eb AS MATERIALIZED (SELECT doc_id, resolved AS ebase FROM b1u),
+       |lr AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(${normalizeHrefSql("html")},
+       |           '${graft.operators.Html.hrefRe}', 1)) AS url
+       |  FROM tb),
+       |lu AS (SELECT l.doc_id, l.url, e.ebase AS base
+       |       FROM lr l JOIN eb e USING (doc_id) WHERE l.url <> ''),
+       |${resolveUrlCtesP("b2", "lu", Seq("doc_id"))},
+       |ures AS (SELECT doc_id, resolved AS url FROM b2u),
+       |${canonicalUrlCtes("ures")}
+       |SELECT DISTINCT doc_id AS src,
+       |       CAST(nullif(regexp_extract(canonical_url, $idp, 1), '')
+       |            AS BIGINT) AS dst
+       |FROM cu
+       |WHERE canonical_url IS NOT NULL
+       |  AND COALESCE(nullif(regexp_extract(canonical_url, $idp, 1), ''),
+       |               '') <> ''
+       |  AND CAST(nullif(regexp_extract(canonical_url, $idp, 1), '')
+       |           AS BIGINT) <> doc_id""".stripMargin
   }
 
   // ------------------------------------------------------- t69
@@ -11382,6 +11486,9 @@ object SparkEntry {
     // robots admission gate — grammar, stacked groups and the
     // longest-match argmax replayed relationally
     "t68_anchor_text" -> t68OracleSql,
+    // t71: the <base href> re-rooted link chain, replayed genuinely
+    // end to end (both resolve chains, prefixed CTE instantiations)
+    "t71_base_href" -> t71OracleSql,
     "t69_robots_filter" -> t69OracleSql,
     // t72: §2.2.3 wildcard admission — the pattern compile replayed
     // rewrite-for-rewrite through the shared match builder

@@ -290,21 +290,46 @@ object Html {
           .as("url"))
       .filter(col("url") =!= "")
 
+  /** First `<base href>` value over quote-normalized markup (group 1).
+    * HTML5 honors only the FIRST base element with an href — a later
+    * one is ignored, which `regexp_extract`'s first-match semantics
+    * give for free.
+    */
+  val baseHrefRe: String = "(?is)<base\\b[^>]*?\\bhref=\"([^\"]*)\"[^>]*>"
+
+  /** The per-PAGE link-chain prologue shared by [[docLinkEdges]] and
+    * [[anchorTextEdges]]: quote-normalize the page once (`__h`),
+    * extract its first `<base href>`, and resolve it against the
+    * page's own URI into the EFFECTIVE base (`__base`) — a page
+    * carrying `<base href>` re-roots every relative link (HTML5
+    * §4.2.3), and a page without one resolves '' to its own URI via
+    * the empty-reference branch. ONE resolve per page, BEFORE the
+    * per-link explode, so the base chain never multiplies per link.
+    */
+  private def withEffectiveBase(df: DataFrame, idCol: String,
+      htmlCol: String, baseUriCol: String): DataFrame =
+    TextAnalysis.withResolvedUrl(
+      df.select(col(idCol).as("src"), col(baseUriCol).as("__pb"),
+          normalizeHrefQuotes(col(htmlCol)).as("__h"))
+        .withColumn("__bh", regexp_extract(col("__h"), baseHrefRe, 1)),
+      "__pb", "__bh", "__base")
+
   /** Pages → web-graph doc edges, the FULL real-crawl link chain in one
     * place so the batch composition (g22) and the streaming ingest twin
     * ([[graft.streaming.StreamingWebGraph]]) cannot drift: outlink
-    * extraction (quote-normalized), RFC 3986 resolution against each
-    * page's own URI (`baseUriCol`), canonicalization, then the doc-id
-    * parse (`idPattern` group 1), self-links out, DISTINCT. Map-only +
-    * one explode + the final distinct — edges are skinny (long, long)
+    * extraction (quote-normalized), the `<base href>` override
+    * ([[withEffectiveBase]]), RFC 3986 resolution against each page's
+    * effective base, canonicalization, then the doc-id parse
+    * (`idPattern` group 1), self-links out, DISTINCT. Map-only + one
+    * explode + the final distinct — edges are skinny (long, long)
     * from the first shuffle on.
     */
   def docLinkEdges(df: DataFrame, idCol: String, htmlCol: String,
       baseUriCol: String, idPattern: String = "/doc/([0-9]+)"): DataFrame = {
-    val links = df.select(col(idCol).as("src"),
-        col(baseUriCol).as("__base"),
-        explode(regexp_extract_all(normalizeHrefQuotes(col(htmlCol)),
-          lit(hrefRe), lit(1))).as("url"))
+    val links = withEffectiveBase(df, idCol, htmlCol, baseUriCol)
+      .select(col("src"), col("__base"),
+        explode(regexp_extract_all(col("__h"), lit(hrefRe), lit(1)))
+          .as("url"))
       .filter(col("url") =!= "")
     // the STAGED resolve surface (see [[TextAnalysis.withResolvedUrl]]):
     // each RFC component evaluates once per row — the single-Column
@@ -350,8 +375,7 @@ object Html {
     * [[anchorTextEdges]] — `carry` columns ride along.
     */
   private def anchorPairs(df: DataFrame, carry: Seq[Column],
-      htmlCol: String): DataFrame = {
-    val norm = normalizeHrefQuotes(col(htmlCol))
+      norm: Column): DataFrame = {
     df.select(carry :+
         regexp_extract_all(norm, lit(hrefAnchorRe), lit(1)).as("__u") :+
         regexp_extract_all(norm, lit(hrefAnchorRe), lit(2)).as("__a"): _*)
@@ -366,25 +390,25 @@ object Html {
   }
 
   def anchorTexts(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
-    anchorPairs(df, Seq(col(idCol)), htmlCol)
+    anchorPairs(df, Seq(col(idCol)), normalizeHrefQuotes(col(htmlCol)))
 
   /** Anchor text keyed by resolved TARGET doc — [[anchorTexts]] composed
-    * with the RFC 3986 resolution chain (staged resolve and the
-    * Generate-based no-target drop — [[docLinkEdges]]'s two
-    * plan-pathology fixes apply verbatim). The id parse runs on the
-    * RESOLVED URL directly: `idPattern` is path-structured, and a
-    * path's bytes are untouched by the case/port/param normalization
-    * canonicalization adds (that step matters when the URL itself is
-    * the join key — [[docLinkEdges]] — not here). Self-links kept: a
-    * page's anchor text about itself is still anchor text. Output:
+    * with the `<base href>` override ([[withEffectiveBase]]) and the
+    * RFC 3986 resolution chain (staged resolve and the Generate-based
+    * no-target drop — [[docLinkEdges]]'s two plan-pathology fixes
+    * apply verbatim). The id parse runs on the RESOLVED URL directly:
+    * `idPattern` is path-structured, and a path's bytes are untouched
+    * by the case/port/param normalization canonicalization adds (that
+    * step matters when the URL itself is the join key —
+    * [[docLinkEdges]] — not here). Self-links kept: a page's anchor
+    * text about itself is still anchor text. Output:
     * (src, dst, anchor), one row per anchor occurrence.
     */
   def anchorTextEdges(df: DataFrame, idCol: String, htmlCol: String,
       baseUriCol: String, idPattern: String = "/doc/([0-9]+)"): DataFrame = {
     val withAnchor = anchorPairs(
-      df.select(col(idCol).as("src"), col(baseUriCol).as("__base"),
-        col(htmlCol)),
-      Seq(col("src"), col("__base")), htmlCol)
+      withEffectiveBase(df, idCol, htmlCol, baseUriCol),
+      Seq(col("src"), col("__base")), col("__h"))
     TextAnalysis.withResolvedUrl(withAnchor, "__base", "url", "__res")
       .select(col("src"), col("anchor"),
         regexp_extract(col("__res"), idPattern, 1).as("__d"))

@@ -153,6 +153,25 @@ class HtmlSpec extends SparkTestBase {
       (3L, 3L, "self")), s"resolution + self-link keep: $edges")
   }
 
+  test("docLinkEdges honors <base href>: re-roots relative links, only " +
+      "the first base counts, absolute links unaffected") {
+    val df = Seq(
+      // no base: relative resolves against the page URI
+      (1L, "<a href=\"../doc/2\">x</a>", "http://h.io/sub/p1"),
+      // rooted base re-roots the bare relative link
+      (2L, "<base href=\"/doc/\"><a href=\"3\">x</a>", "http://h.io/sub/p2"),
+      // only the FIRST base counts; absolute link unaffected
+      (3L, "<base href='/doc/'><base href=\"/wrong/\"><a href=4>x</a>" +
+        "<a href=\"http://h.io/doc/5\">y</a>", "http://h.io/sub/p3"),
+      // without base, the bare relative misses the doc space: no edge
+      (4L, "<a href=\"6\">x</a>", "http://h.io/sub/p4"))
+      .toDF("doc_id", "html", "base_uri")
+    val edges = Html.docLinkEdges(df, "doc_id", "html", "base_uri")
+      .as[(Long, Long)].collect().toSet
+    assert(edges === Set((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L)),
+      s"got $edges")
+  }
+
   test("script/style/head/comment bodies drop; empty page yields no blocks") {
     val df = Seq(
       (1L, "<head><title>gone</title></head><script>var x='gone';</script>" +
