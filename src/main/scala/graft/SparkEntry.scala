@@ -3437,6 +3437,29 @@ object SparkEntry {
         frontierCrawled(cands), frontierRobots(s), "url", budget = 10)
     }),
 
+    // sitemap→frontier integration — the discovery channel WIRED to
+    // the scheduler it was built for: robots `Sitemap:` pointers (the
+    // baked-in foreign pointer must drop at the corpus join), a
+    // <sitemapindex> resolving to two children (the protocol's single
+    // recursion level as a loc-keyed join), child entries scored into
+    // the schedule as n_inlinks + priority hint (explicit 0.9 /
+    // spec-default 0.5 / unlisted 0), sitemap-ONLY urls entering with
+    // zero inlinks, and the same crawled/robots/budget gates on top.
+    // Candidate + sitemap construction are fixture ground truth; the
+    // merge, scoring, gates and budget replay genuinely
+    "g24_sitemap_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"),
+        frontierPage(col("doc_id"), col("text")).as("html"))
+      val cands = graft.operators.Html.outlinks(pages, "doc_id", "html")
+        .select(TextAnalysis.canonicalUrl(col("url")).as("url"))
+      val counts = cands.filter(col("url").isNotNull)
+        .groupBy("url").agg(count(lit(1)).as("n_inlinks"))
+      graft.operators.WebFrontier.scheduleWithSitemaps(counts,
+        frontierSitemapEntries(s), frontierCrawled(cands),
+        frontierRobots(s), "url", budget = 10)
+    }),
+
     // the frontier's ingest twin — merge-on-read (the e49 posture):
     // priority (inlink count) is CORPUS-level, so state banks per-batch
     // additive (url, n) count facts (extraction per micro-batch,
@@ -3466,6 +3489,37 @@ object SparkEntry {
         .select(TextAnalysis.canonicalUrl(col("url")).as("url"))
       StreamingFrontier.currentSchedule(s, s"$tmp/state",
         frontierCrawled(cands), frontierRobots(s), budget = 10)
+    }),
+
+    // the sitemap-aware frontier's ingest twin — link-count evidence
+    // banks per batch exactly as e50 (state is the SAME additive
+    // (url, n) facts; sitemap entries are READ-side config like the
+    // robots frame), and the drained read runs the SHARED
+    // scheduleWithSitemaps — drained == batch g24 under any batching,
+    // same oracle verbatim
+    "e51_streaming_sitemap_frontier" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e51").toString
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(col("doc_id"),
+        frontierPage(col("doc_id"), col("text")).as("html"))
+      for (r <- 0 until 2)
+        pages.filter(pmod(col("doc_id"), lit(2)) === r)
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("doc_id BIGINT, html STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingFrontier.start(s, src, "doc_id", "html",
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e51 stream did not drain in 300s")
+      }
+      val cands = graft.operators.Html.outlinks(pages, "doc_id", "html")
+        .select(TextAnalysis.canonicalUrl(col("url")).as("url"))
+      StreamingFrontier.currentScheduleWithSitemaps(s, s"$tmp/state",
+        frontierSitemapEntries(s), frontierCrawled(cands),
+        frontierRobots(s), budget = 10)
     }),
 
     // sitemap URL-set parsing — the frontier's OTHER discovery channel:
@@ -7150,12 +7204,75 @@ object SparkEntry {
   /** The per-host robots table for the s0..s6.example frontier hosts. */
   private def frontierRobots(
       s: SparkSession): org.apache.spark.sql.DataFrame =
-    graft.operators.Robots.rules(
-      s.range(0, 7).select(
-        concat(lit("s"), col("id").cast("string"), lit(".example"))
-          .as("host"),
-        lit(robotsFixtureBody).as("robots")),
+    graft.operators.Robots.rules(frontierRobotsBodies(s), "host", "robots")
+
+  /** The g24/e51 robots bodies: the shared fixture rules PLUS a
+    * per-host `Sitemap:` pointer at its own index (the body's baked-in
+    * example.com pointer stays — a foreign pointer matching nothing in
+    * the sitemap corpus, which the discovery join must drop).
+    */
+  private def frontierRobotsBodies(
+      s: SparkSession): org.apache.spark.sql.DataFrame =
+    s.range(0, 7).select(
+      concat(lit("s"), col("id").cast("string"), lit(".example"))
+        .as("host"),
+      concat(lit(robotsFixtureBody), lit("Sitemap: http://s"),
+        col("id").cast("string"), lit(".example/smidx.xml\n"))
+        .as("robots"))
+
+  /** The g24/e51 sitemap corpus, constant per host (like the robots
+    * frame): an INDEX at /smidx.xml pointing at two children; child A
+    * lists five /page/ locs at priority 0.9 (some collide with
+    * link-discovered candidates — the boost; host s0's all end in 0 —
+    * the crawled screen applies to sitemap locs too, but only where
+    * the link chain actually crawled them); child B lists five
+    * /smonly/ locs with NO priority (the spec's 0.5 default;
+    * sitemap-ONLY candidates with zero inlinks). Output:
+    * (host, url, xml).
+    */
+  private def frontierSitemaps(
+      s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val h = concat(lit("s"), col("id").cast("string"), lit(".example"))
+    val hu = concat(lit("http://"), h)
+    val idx = s.range(0, 7).select(h.as("host"),
+      concat(hu, lit("/smidx.xml")).as("url"),
+      concat(lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>"),
+        hu, lit("/sm-a.xml</loc></sitemap><sitemap><loc> "),
+        hu, lit("/sm-b.xml </loc></sitemap></sitemapindex>")).as("xml"))
+    val aEntries = (0 until 5).map(j => concat(lit("<url><loc>"), hu,
+      lit("/page/"), (col("id") + lit(200 * j)).cast("string"),
+      lit("</loc><priority>0.9</priority></url>")))
+    val childA = s.range(0, 7).select(h.as("host"),
+      concat(hu, lit("/sm-a.xml")).as("url"),
+      concat(lit("<?xml version=\"1.0\"?><urlset>") +:
+        aEntries :+ lit("</urlset>"): _*).as("xml"))
+    val bEntries = (0 until 5).map(j => concat(lit("<url><loc>"), hu,
+      lit("/smonly/"), (col("id") + lit(10 * j)).cast("string"),
+      lit("</loc></url>")))
+    val childB = s.range(0, 7).select(h.as("host"),
+      concat(hu, lit("/sm-b.xml")).as("url"),
+      concat(lit("<?xml version=\"1.0\"?><urlset>") +:
+        bEntries :+ lit("</urlset>"): _*).as("xml"))
+    idx.unionByName(childA).unionByName(childB)
+  }
+
+  /** The g24/e51 sitemap DISCOVERY chain — robots `Sitemap:` pointers
+    * → index docs → child pointers → child docs → entries — shared by
+    * the batch query and the streaming twin's read.
+    */
+  private def frontierSitemapEntries(
+      s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val corpus = frontierSitemaps(s)
+    val ptr = graft.operators.Robots.sitemaps(frontierRobotsBodies(s),
       "host", "robots")
+    val idxDocs = corpus.join(
+      ptr.select(col("sitemap_url").as("url")).distinct(), Seq("url"))
+    val children = graft.operators.Sitemaps.indexEntries(idxDocs,
+      "host", "xml")
+    val childDocs = corpus.join(
+      children.select(col("loc").as("url")).distinct(), Seq("url"))
+    graft.operators.Sitemaps.entries(childDocs, "host", "xml")
+  }
 
   /** g23's replay: candidate ground truth from the fixture's link math,
     * then the frontier logic genuinely — occurrence counts, the
@@ -7200,6 +7317,84 @@ object SparkEntry {
        |                              ORDER BY n DESC, url ASC) AS rk
        |           FROM fok)
        |SELECT host, CAST(rk AS INT) AS rank, url, n AS n_inlinks
+       |FROM ranked WHERE rk <= 10""".stripMargin
+
+  /** g24's (and e51's) replay: link candidates AND sitemap entries
+    * ground-truth-restated from fixture math (parse chains t63/t70/
+    * robots-gated elsewhere), then the NEW logic genuinely — the
+    * priority-default/max aggregation, the full-outer merge and
+    * `n + hint` scoring, the crawled screen as a real anti-join (a
+    * sitemap loc is only "crawled" if the LINK chain produced it),
+    * the shared robots argmax, and the budget rank over the score.
+    */
+  private def g24OracleSql: String =
+    s"""WITH cand AS (
+       |  SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS h,
+       |         '/page/' || CAST(doc_id * 3 % 1000 AS VARCHAR) AS p
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 's' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+       |         '/private/' || CAST(doc_id % 100 AS VARCHAR)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 's' || CAST((doc_id + 3) % 7 AS VARCHAR) || '.example',
+       |         '/page/' || CAST(doc_id * 5 % 1000 AS VARCHAR)
+       |  FROM documents),
+       |curls AS (SELECT 'http://' || h || p AS url, h AS host, p AS path
+       |          FROM cand),
+       |counts AS (SELECT url, COUNT(*) AS n FROM curls GROUP BY 1),
+       |sment AS (
+       |  SELECT 'http://s' || CAST(k AS VARCHAR) || '.example/page/' ||
+       |         CAST(200 * j + k AS VARCHAR) AS url,
+       |         CAST(0.9 AS DOUBLE) AS priority
+       |  FROM range(7) t(k), range(5) u(j)
+       |  UNION ALL
+       |  SELECT 'http://s' || CAST(k AS VARCHAR) || '.example/smonly/' ||
+       |         CAST(10 * j + k AS VARCHAR), NULL
+       |  FROM range(7) t(k), range(5) u(j)),
+       |smagg AS (SELECT url, max(COALESCE(priority, CAST(0.5 AS DOUBLE)))
+       |            AS pr
+       |          FROM sment GROUP BY 1),
+       |merged AS (
+       |  SELECT COALESCE(c.url, s.url) AS url,
+       |         COALESCE(c.n, 0) AS n_inlinks,
+       |         CAST(COALESCE(c.n, 0) AS DOUBLE) +
+       |         COALESCE(s.pr, CAST(0.0 AS DOUBLE)) AS score
+       |  FROM counts c FULL OUTER JOIN smagg s ON c.url = s.url),
+       |crawled AS (SELECT DISTINCT url FROM curls
+       |            WHERE regexp_matches(path, '/page/[0-9]*0$$')),
+       |fresh AS (
+       |  SELECT m.url,
+       |         regexp_extract(m.url,
+       |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host,
+       |         CASE WHEN COALESCE(regexp_extract(m.url,
+       |                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+       |                '') = '' THEN '/'
+       |              ELSE regexp_extract(m.url,
+       |                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+       |              END AS path,
+       |         m.n_inlinks, m.score
+       |  FROM merged m ANTI JOIN crawled w ON m.url = w.url),
+       |hosts AS (SELECT 's' || CAST(k AS VARCHAR) || '.example' AS host
+       |          FROM range(7) t(k)),
+       |$robotsRulesCtes,
+       |fmatch AS (
+       |  SELECT f.url, f.host, f.n_inlinks, f.score,
+       |         max(CASE WHEN r.prefix IS NULL THEN NULL
+       |                  ELSE 2 * strlen(r.prefix) +
+       |                       (CASE WHEN r.rule_type = 'allow'
+       |                             THEN 1 ELSE 0 END) END) AS best
+       |  FROM fresh f LEFT JOIN rrules r
+       |    ON r.host = f.host AND r.agent = '*'
+       |       AND ${robotsMatchCondSql("f.path")}
+       |  GROUP BY 1, 2, 3, 4),
+       |fok AS (SELECT url, host, n_inlinks, score FROM fmatch
+       |        WHERE COALESCE(best % 2 = 1, true)),
+       |ranked AS (SELECT host, url, n_inlinks, score,
+       |           row_number() OVER (PARTITION BY host
+       |                              ORDER BY score DESC, url ASC) AS rk
+       |           FROM fok)
+       |SELECT host, CAST(rk AS INT) AS rank, url, n_inlinks, score
        |FROM ranked WHERE rk <= 10""".stripMargin
 
   /** g22's replay: the t63 link chain, RFC 3986 resolution against each
@@ -11531,6 +11726,13 @@ object SparkEntry {
     // e50 drains to batch g23 under any batching (additive count facts,
     // read runs the shared scheduleCounts)
     "e50_streaming_frontier" -> g23OracleSql,
+    // g24: the sitemap discovery channel wired into scheduling —
+    // merge/score/gates/budget replayed genuinely, candidates and
+    // sitemap entries ground-truth-restated (chains t63/t70-gated)
+    "g24_sitemap_frontier" -> g24OracleSql,
+    // e51 drains to batch g24 under any batching (same additive count
+    // facts as e50; sitemap entries are read-side config)
+    "e51_streaming_sitemap_frontier" -> g24OracleSql,
     "t67_tagsoup_outlinks" ->
       s"""WITH spages AS (SELECT doc_id, $soupWrapSql AS html FROM documents),
          |sraw AS (

@@ -51,18 +51,75 @@ object WebFrontier {
       agent: String = "*"): DataFrame = {
     require(budget > 0, s"per-host budget must be > 0, got $budget")
     // NULL urls (canonicalization's documented drop) are unfetchable —
-    // screen them here, since Robots.allowed's every-row-comes-back
-    // contract would otherwise wave them through as allowed
-    val fresh = counts.filter(col("url").isNotNull)
+    // screened before the gate, since Robots.allowed's
+    // every-row-comes-back contract would wave them through as allowed
+    gateAndBudget(counts.filter(col("url").isNotNull)
+        .select(col("url"), col("n_inlinks")),
+      crawled, robots, urlCol, budget, agent)
+      .select(col("host"), col("rank"), col("url"),
+        // the heap's score IS the integer count (exact through double
+        // far beyond any real inlink count)
+        col("__score").cast("long").as("n_inlinks"))
+  }
+
+  /** [[scheduleCounts]] with the SITEMAP discovery channel folded in —
+    * the other half of a real frontier (sites publish the pages they
+    * WANT crawled): `sitemapEntries` is [[Sitemaps.entries]] output
+    * (loc, priority, …), and a URL's score becomes
+    * `n_inlinks + priority-hint` — the spec default 0.5 for a listed
+    * entry with no `<priority>`, 0 for unlisted URLs, the max over
+    * multiple listings. A sitemap-ONLY URL (zero inlinks — the whole
+    * point of the channel) enters with its hint alone; the same
+    * crawled screen, robots gate and per-host heap budget apply.
+    * Output: (host, rank, url, n_inlinks, score).
+    *
+    * 100 TB posture: the merge is one url-keyed full-outer join of two
+    * pre-aggregated frames; the budget output (≤ budget·hosts rows)
+    * broadcasts back for the inlink-count attach, so no second scan
+    * shuffles.
+    */
+  def scheduleWithSitemaps(counts: DataFrame, sitemapEntries: DataFrame,
+      crawled: DataFrame, robots: DataFrame, urlCol: String, budget: Int,
+      agent: String = "*"): DataFrame = {
+    require(budget > 0, s"per-host budget must be > 0, got $budget")
+    val sm = sitemapEntries
+      .select(col("loc").as("url"),
+        coalesce(col("priority"), lit(0.5)).as("__p"))
+      .filter(col("url").isNotNull && col("url") =!= "")
+      .groupBy("url").agg(max(col("__p")).as("__p"))
+    val merged = counts.filter(col("url").isNotNull)
+      .select(col("url"), col("n_inlinks"))
+      .join(sm, Seq("url"), "full_outer")
+      .select(col("url"),
+        coalesce(col("n_inlinks"), lit(0L)).as("n_inlinks"),
+        (coalesce(col("n_inlinks"), lit(0L)).cast("double") +
+          coalesce(col("__p"), lit(0.0))).as("__sc"))
+    val ranked = gateAndBudget(
+      merged.select(col("url"), col("__sc").as("n_inlinks")),
+      crawled, robots, urlCol, budget, agent)
+    merged.select(col("url"), col("n_inlinks"))
+      .join(broadcast(ranked), Seq("url"))
+      .select(col("host"), col("rank"), col("url"), col("n_inlinks"),
+        col("__score").as("score"))
+  }
+
+  /** The shared frontier tail: crawled anti-join, (host, path) parse,
+    * robots admission, per-host bounded-heap budget. `scored` carries
+    * (url, n_inlinks) where n_inlinks is the RANKING score (castable
+    * to double). Output: (host, rank, url, __score).
+    */
+  private def gateAndBudget(scored: DataFrame, crawled: DataFrame,
+      robots: DataFrame, urlCol: String, budget: Int,
+      agent: String): DataFrame = {
+    val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+    val fresh = scored
       .join(crawled.select(col(urlCol).as("url")), Seq("url"), "left_anti")
     val parsed = fresh
       .withColumn("host",
         regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
       .withColumn("path",
-        when(regexp_extract(col("url"),
-          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1) === "", "/")
-          .otherwise(regexp_extract(col("url"),
-            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)))
+        when(regexp_extract(col("url"), pathRe, 1) === "", "/")
+          .otherwise(regexp_extract(col("url"), pathRe, 1)))
     Robots.allowed(parsed, robots, "host", "path", agent)
       .filter(col("allowed"))
       .groupBy("host")
@@ -70,9 +127,6 @@ object WebFrontier {
         col("url"), budget).as("__topk"))
       .select(col("host"), posexplode(col("__topk")).as(Seq("__pos", "__e")))
       .select(col("host"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__e.id").as("url"),
-        // the heap's score IS the integer count (exact through double
-        // far beyond any real inlink count)
-        col("__e.score").cast("long").as("n_inlinks"))
+        col("__e.id").as("url"), col("__e.score").as("__score"))
   }
 }

@@ -86,6 +86,21 @@ object StreamingFrontier {
       agent)
   }
 
+  /** [[currentSchedule]] with the sitemap discovery channel — sitemap
+    * entries are READ-side configuration (like the robots frame): the
+    * banked counts sum as before and feed the SHARED
+    * [[WebFrontier.scheduleWithSitemaps]], so drained == batch g24
+    * under any batching. Output: (host, rank, url, n_inlinks, score).
+    */
+  def currentScheduleWithSitemaps(spark: SparkSession, stateDir: String,
+      sitemapEntries: DataFrame, crawled: DataFrame, robots: DataFrame,
+      budget: Int, agent: String = "*"): DataFrame = {
+    val counts = LsmParquetState.snapshot(spark, stateDir, layout)
+      .groupBy("url").agg(sum(col("n")).as("n_inlinks"))
+    WebFrontier.scheduleWithSitemaps(counts, sitemapEntries, crawled,
+      robots, "url", budget, agent)
+  }
+
   /** Fold the count tail into the base. Call BETWEEN runs. */
   def compactState(spark: SparkSession, stateDir: String): Unit =
     LsmParquetState.compact(spark, stateDir, layout,

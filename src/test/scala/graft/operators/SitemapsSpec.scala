@@ -23,4 +23,24 @@ class SitemapsSpec extends SparkTestBase {
       ("h.io", "http://h.io/b", "", None),
       ("h.io", "http://h.io/c", "", Some(0.3))), s"got $got")
   }
+
+  test("indexEntries parses <sitemapindex> children; the root-marker " +
+      "guards route a MIXED corpus to the right parser") {
+    val idx = "<?xml version=\"1.0\"?><sitemapindex>" +
+      "<sitemap><loc>http://h.io/sm-a.xml</loc>" +
+      "<lastmod>2024-03-01</lastmod></sitemap>" +
+      "<sitemap><loc> http://h.io/sm-b.xml </loc></sitemap>" +
+      "</sitemapindex>"
+    val urlset = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>http://h.io/p</loc></url></urlset>"
+    val corpus = Seq(("h.io", idx), ("h.io", urlset)).toDF("host", "xml")
+    val kids = Sitemaps.indexEntries(corpus, "host", "xml")
+      .as[(String, String, String)].collect().sortBy(_._2).toSeq
+    assert(kids === Seq(("h.io", "http://h.io/sm-a.xml", "2024-03-01"),
+      ("h.io", "http://h.io/sm-b.xml", "")), s"got $kids")
+    // the urlset parser must NOT see the index doc (and vice versa)
+    val locs = Sitemaps.entries(corpus, "host", "xml")
+      .as[(String, String, String, Option[Double])].collect().toSeq
+    assert(locs === Seq(("h.io", "http://h.io/p", "", None)), s"got $locs")
+  }
 }
