@@ -3296,6 +3296,59 @@ object SparkEntry {
           "mime", "charset", "text")
     }),
 
+    // payload-digest crawl dedup — the real pipeline's FIRST dedup,
+    // before any MinHash: recrawl duplicates (same body, later date),
+    // bodyless `revisit` records (CommonCrawl's unchanged-page marker),
+    // a boilerplate error page shared VERBATIM across many docs (one
+    // digest, many URIs — the cross-blob case), and a dangling revisit
+    // whose original is outside the crawl (drops: nothing to read).
+    // Keep-earliest-response per digest as ONE min_by hash aggregate
+    "f14_warc_digest_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def rec(typ: String, uri: org.apache.spark.sql.Column,
+          date: String, digest: org.apache.spark.sql.Column,
+          body: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("WARC/1.0\r\nWARC-Type: " + typ +
+            "\r\nWARC-Target-URI: "), uri,
+          lit("\r\nWARC-Date: " + date + "\r\nWARC-Payload-Digest: "),
+          digest,
+          lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+          lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+      val uri = concat(lit("http://example.com/doc/"),
+        col("doc_id").cast("string"))
+      def dg(b: org.apache.spark.sql.Column) = concat(lit("md5:"), md5(b))
+      val err = lit("404 page not found")
+      val base = docs.select(col("doc_id"), lit(0).as("__seq"),
+        rec("response", uri, "2024-01-01T00:00:00Z", dg(col("text")),
+          col("text")).as("__r"))
+      val dup = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), lit(1).as("__seq"),
+          rec("response", uri, "2024-02-01T00:00:00Z", dg(col("text")),
+            col("text")).as("__r"))
+      val errRec = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), lit(2).as("__seq"),
+          rec("response", uri, "2024-01-01T00:00:00Z", dg(err), err)
+            .as("__r"))
+      val revisit = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), lit(3).as("__seq"),
+          rec("revisit", uri, "2024-03-01T00:00:00Z", dg(col("text")),
+            lit("")).as("__r"))
+      val dangling = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"), lit(4).as("__seq"),
+          rec("revisit", uri, "2024-03-01T00:00:00Z",
+            dg(lit("vanished original")), lit("")).as("__r"))
+      val blobs = base.unionByName(dup).unionByName(errRec)
+        .unionByName(revisit).unionByName(dangling)
+        .select(pmod(col("doc_id"), lit(50)).as("warc_id"),
+          col("doc_id"), col("__seq"), col("__r"))
+        .groupBy("warc_id")
+        .agg(array_join(transform(array_sort(collect_list(
+            struct(col("doc_id"), col("__seq"), col("__r")))),
+          r => r.getField("__r")), "").as("warc"))
+      graft.sources.Warc.dedupByDigest(
+        graft.sources.Warc.recordsFull(blobs, "warc_id", "warc"))
+    }),
+
     // SITE-level template removal — the inter-document complement of
     // t61's per-page densitometrics: a host-wide motto paragraph (long,
     // link-free — the per-page rule calls it CONTENT) is byte-identical
@@ -11653,6 +11706,49 @@ object SparkEntry {
                                         ORDER BY doc_id) - 1 AS INT) AS record_no,
                 target_uri, http_status, mime, charset, text
          FROM recs""",
+
+    // f14: captures restated from fixture math (framing is the byte
+    // kernel's job, digests are md5 both engines compute identically);
+    // the keep-earliest-response argmin, the capture/revisit counts
+    // and the dangling-digest drop replay GENUINELY
+    "f14_warc_digest_dedup" ->
+      """WITH caps AS (
+           SELECT 'md5:' || md5(text) AS dg,
+                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+                  '2024-01-01T00:00:00Z' AS d, text AS body, true AS isresp
+           FROM documents
+           UNION ALL
+           SELECT 'md5:' || md5(text),
+                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+                  '2024-02-01T00:00:00Z', text, true
+           FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT 'md5:' || md5('404 page not found'),
+                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+                  '2024-01-01T00:00:00Z', '404 page not found', true
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT 'md5:' || md5(text),
+                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+                  '2024-03-01T00:00:00Z', '', false
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT 'md5:' || md5('vanished original'),
+                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+                  '2024-03-01T00:00:00Z', '', false
+           FROM documents WHERE doc_id % 11 = 0),
+         win AS (
+           SELECT dg, uri, d, body,
+                  row_number() OVER (PARTITION BY dg
+                                     ORDER BY d, uri) AS rn
+           FROM caps WHERE isresp),
+         cnt AS (SELECT dg, COUNT(*) AS n_captures,
+                        COUNT(CASE WHEN NOT isresp THEN 1 END) AS n_revisits
+                 FROM caps GROUP BY 1)
+         SELECT w.dg AS payload_digest, w.uri AS target_uri,
+                w.d AS warc_date, c.n_captures, c.n_revisits,
+                w.body AS body
+         FROM win w JOIN cnt c USING (dg) WHERE w.rn = 1""",
 
     "t64_site_template_extract" -> t64OracleSql,
     // e47 drains to batch t64 under any batching (merge-on-read; the

@@ -41,6 +41,68 @@ object Warc {
           .cast("long").as("content_length"),
         regexp_extract(col("__rec"), "(?s)\\r\\n\\r\\n(.*)$", 1).as("body"))
 
+  /** [[records]] with the capture-identity headers a crawl DEDUP needs:
+    * `WARC-Date` (capture time), `WARC-Payload-Digest` (the content
+    * digest CommonCrawl keys revisits by) and
+    * `WARC-Refers-To-Target-URI` (a revisit's pointer at the original
+    * capture). Same framing kernel, same explode; '' where a header is
+    * absent. Output: (idCol, record_no, warc_type, target_uri,
+    * warc_date, payload_digest, refers_to_uri, content_length, body).
+    */
+  def recordsFull(df: DataFrame, idCol: String,
+      warcCol: String): DataFrame = {
+    def hdr(name: String) =
+      regexp_extract(col("__rec"), s"(?m)^$name: *([^\\r\\n]+)", 1)
+    df.select(col(idCol),
+        posexplode(graft.functions.GraftFunctions.warc_records(col(warcCol)))
+          .as(Seq("record_no", "__rec")))
+      .select(col(idCol), col("record_no"),
+        hdr("WARC-Type").as("warc_type"),
+        hdr("WARC-Target-URI").as("target_uri"),
+        hdr("WARC-Date").as("warc_date"),
+        hdr("WARC-Payload-Digest").as("payload_digest"),
+        hdr("WARC-Refers-To-Target-URI").as("refers_to_uri"),
+        hdr("Content-Length").cast("long").as("content_length"),
+        regexp_extract(col("__rec"), "(?s)\\r\\n\\r\\n(.*)$", 1).as("body"))
+  }
+
+  /** Payload-digest crawl dedup — the REAL pipeline's first dedup,
+    * BEFORE any MinHash: a recrawl of an unchanged page ships either a
+    * full duplicate `response` or a bodyless `revisit` record carrying
+    * only the digest, and training corpora keep ONE capture per
+    * digest. Keeps the EARLIEST response per digest (order:
+    * `warc_date`, ties by `target_uri` — both ASCII, so the encoded
+    * `date|uri` min is the same lexicographic argmin on both engines),
+    * counting every capture (responses + revisits) that pointed at it.
+    * Digests with NO response in the frame (a revisit whose original
+    * fell outside the crawl) drop — there is nothing to read
+    * (documented; count them upstream if completeness tracking needs
+    * them). Records without a digest drop (nothing to key on).
+    *
+    * 100 TB posture: ONE digest-keyed hash aggregate (map-side
+    * combined) — `min_by` + counts, never a per-digest window; bodies
+    * shuffle once, keyed by digest, exactly like the upsert operator
+    * (O13). Input: a [[recordsFull]]-shaped frame. Output:
+    * (payload_digest, target_uri, warc_date, n_captures, n_revisits,
+    * body).
+    */
+  def dedupByDigest(records: DataFrame): DataFrame = {
+    val ord = concat(col("warc_date"), lit("|"), col("target_uri"))
+    records.filter(col("payload_digest") =!= "")
+      .groupBy("payload_digest")
+      .agg(
+        min_by(struct(col("target_uri"), col("warc_date"), col("body")),
+          when(col("warc_type") === "response", ord)).as("__w"),
+        count(lit(1)).as("n_captures"),
+        count(when(col("warc_type") === "revisit", 1)).as("n_revisits"))
+      .filter(col("__w").isNotNull)
+      .select(col("payload_digest"),
+        col("__w.target_uri").as("target_uri"),
+        col("__w.warc_date").as("warc_date"),
+        col("n_captures"), col("n_revisits"),
+        col("__w.body").as("body"))
+  }
+
   /** [[records]] over gzip-shipped blobs — the byte layout CommonCrawl
     * actually uses (concatenated RFC 1952 members, one per record): one
     * member-wise inflate kernel

@@ -123,6 +123,33 @@ class WarcSpec extends SparkTestBase {
       "a 1-byte torn next-member header must drop, keeping prior members")
   }
 
+  test("dedupByDigest: earliest response wins (date, then uri), revisits " +
+      "count but never win, dangling digests and digest-less records drop") {
+    def full(typ: String, uri: String, date: String, dgst: String,
+        body: String): String = {
+      val len = body.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: $date\r\n" +
+        (if (dgst.nonEmpty) s"WARC-Payload-Digest: $dgst\r\n" else "") +
+        s"Content-Length: $len\r\n\r\n$body\r\n\r\n"
+    }
+    val blob =
+      full("response", "http://b/1", "2024-02-01T00:00:00Z", "md5:aa", "x") +
+        full("response", "http://a/1", "2024-01-01T00:00:00Z", "md5:aa", "x") +
+        full("response", "http://a/2", "2024-01-01T00:00:00Z", "md5:bb", "y") +
+        full("revisit", "http://c/1", "2024-03-01T00:00:00Z", "md5:aa", "") +
+        full("revisit", "http://c/2", "2024-03-01T00:00:00Z", "md5:zz", "") +
+        full("response", "http://d/1", "2024-01-01T00:00:00Z", "", "w")
+    val got = Warc.dedupByDigest(Warc.recordsFull(
+        Seq((1L, blob)).toDF("warc_id", "warc"), "warc_id", "warc"))
+      .as[(String, String, String, Long, Long, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("md5:aa", "http://a/1", "2024-01-01T00:00:00Z", 3L, 1L, "x"),
+      ("md5:bb", "http://a/2", "2024-01-01T00:00:00Z", 1L, 0L, "y")),
+      s"got $got")
+  }
+
   test("httpDechunk: reassembly, extensions/BWS tolerated, trailers " +
       "consumed; torn tail drops partial chunk; mid-stream corruption " +
       "and post-terminal bytes fail loudly; non-chunked null") {
