@@ -942,6 +942,27 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("g24 sitemap frontier: budget on the bounded heap (no ranking " +
+      "window), count attach broadcasts, no cartesian") {
+    val p = plan("g24_sitemap_frontier")
+    // the robots GRAMMAR's per-host-bounded lag/sum windows are fine;
+    // what must never appear is a per-host ranking window
+    assert(!p.contains("row_number"), s"frontier ranking uses a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("TopKByScore"),
+      s"bounded heap aggregate missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"budget-rows count attach lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian in the frontier plan:\n$p")
+  }
+
+  test("f14 digest dedup: ONE digest-keyed hash aggregate (min_by), " +
+      "never a per-digest window") {
+    val p = plan("f14_warc_digest_dedup")
+    assert(!p.contains("Window"), s"dedup uses a window:\n$p")
+    assert(p.contains("min_by"), s"min_by argmin missing:\n$p")
+  }
+
   test("t57 LR classify: weights broadcast against the feature frame, " +
       "no window, no cartesian") {
     // (training already ran at plan-construction time — per-round jobs
