@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingFrontier, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingSiteTemplate, StreamingTokenBudget, StreamingWebGraph, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingFrontier, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingSiteTemplate, StreamingTokenBudget, StreamingWarcDedup, StreamingWebGraph, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3304,49 +3304,100 @@ object SparkEntry {
     // whose original is outside the crawl (drops: nothing to read).
     // Keep-earliest-response per digest as ONE min_by hash aggregate
     "f14_warc_digest_dedup" -> ((s, dir) => {
+      graft.sources.Warc.dedupByDigest(
+        graft.sources.Warc.recordsFull(f14Blobs(t(s, dir, "documents")),
+          "warc_id", "warc"))
+    }),
+
+    // f14's ingest twin — keep-earliest is CORPUS-level (a later shard
+    // can carry an EARLIER capture: the 2024-01 base records stream in
+    // batch 1 here, after batch 0's dups/revisits), so state banks the
+    // per-batch capture FACTS (parse once per batch) and the drained
+    // read runs the SHARED dedupByDigest — min_by over an unordered
+    // union is order-free, drained == batch f14 under any sharding,
+    // same oracle verbatim
+    "e52_streaming_digest_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e52").toString
+      val blobs = f14Blobs(t(s, dir, "documents"))
+      for (r <- 0 until 2)
+        blobs.filter(pmod(col("warc_id"), lit(2)) === (1 - r))
+          .coalesce(1).write.parquet(s"$tmp/stream/b$r")
+      val src = s.readStream
+        .schema("warc_id BIGINT, warc STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingWarcDedup.start(s, src, "warc_id", "warc",
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e52 stream did not drain in 300s")
+      }
+      StreamingWarcDedup.currentDedup(s, s"$tmp/state")
+    }),
+
+    // HTTP redirect chains — ~a fifth of a real crawl is 3xx, and every
+    // consumer wants the FINAL target: a 2-hop chain (302 with a
+    // RELATIVE rooted Location, then 301 absolute), a 2-cycle LOOP the
+    // hop bound must flag unresolved, a dot-segment relative Location
+    // (../r/<id>) resolved against the request URI, and a dangling
+    // target outside the crawl (resolved — just uncrawled). Header
+    // parse is f09-gated; the 3xx screen, Location resolution and the
+    // unrolled chain collapse replay genuinely
+    "t73_redirect_chains" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      def rec(typ: String, uri: org.apache.spark.sql.Column,
-          date: String, digest: org.apache.spark.sql.Column,
-          body: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        concat(lit("WARC/1.0\r\nWARC-Type: " + typ +
-            "\r\nWARC-Target-URI: "), uri,
-          lit("\r\nWARC-Date: " + date + "\r\nWARC-Payload-Digest: "),
-          digest,
-          lit("\r\nContent-Length: "), octet_length(body).cast("string"),
-          lit("\r\n\r\n"), body, lit("\r\n\r\n"))
-      val uri = concat(lit("http://example.com/doc/"),
-        col("doc_id").cast("string"))
-      def dg(b: org.apache.spark.sql.Column) = concat(lit("md5:"), md5(b))
-      val err = lit("404 page not found")
-      val base = docs.select(col("doc_id"), lit(0).as("__seq"),
-        rec("response", uri, "2024-01-01T00:00:00Z", dg(col("text")),
-          col("text")).as("__r"))
-      val dup = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select(col("doc_id"), lit(1).as("__seq"),
-          rec("response", uri, "2024-02-01T00:00:00Z", dg(col("text")),
-            col("text")).as("__r"))
-      val errRec = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select(col("doc_id"), lit(2).as("__seq"),
-          rec("response", uri, "2024-01-01T00:00:00Z", dg(err), err)
-            .as("__r"))
-      val revisit = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id"), lit(3).as("__seq"),
-          rec("revisit", uri, "2024-03-01T00:00:00Z", dg(col("text")),
-            lit("")).as("__r"))
-      val dangling = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-        .select(col("doc_id"), lit(4).as("__seq"),
-          rec("revisit", uri, "2024-03-01T00:00:00Z",
-            dg(lit("vanished original")), lit("")).as("__r"))
-      val blobs = base.unionByName(dup).unionByName(errRec)
-        .unionByName(revisit).unionByName(dangling)
+      val id = col("doc_id").cast("string")
+      def rec(uri: org.apache.spark.sql.Column, status: String,
+          location: org.apache.spark.sql.Column,
+          body: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val payload = concat(lit("HTTP/1.1 " + status +
+            "\r\nServer: synthetic/1.0\r\n"),
+          when(location =!= "",
+            concat(lit("Location: "), location, lit("\r\n")))
+            .otherwise(lit("")),
+          lit("Content-Type: text/html\r\n\r\n"), body)
+        concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+          uri, lit("\r\nContent-Length: "),
+          octet_length(payload).cast("string"), lit("\r\n\r\n"),
+          payload, lit("\r\n\r\n"))
+      }
+      def u(p: String) = concat(lit("http://example.com" + p), id)
+      val m = pmod(col("doc_id"), lit(5))
+      def part(mv: Int, seq: Int, r: org.apache.spark.sql.Column) =
+        docs.filter(m === mv).select(col("doc_id"), lit(seq).as("__seq"),
+          r.as("__r"))
+      val none = lit("")
+      val pieces = Seq(
+        part(0, 0, rec(u("/doc/"), "200 OK", none, col("text"))),
+        part(1, 0, rec(u("/hop0/"), "302 Found",
+          concat(lit("/hop1/"), id), lit(""))),
+        part(1, 1, rec(u("/hop1/"), "301 Moved Permanently",
+          u("/hop2/"), lit(""))),
+        part(1, 2, rec(u("/hop2/"), "200 OK", none, col("text"))),
+        part(2, 0, rec(u("/loopA/"), "301 Moved Permanently",
+          concat(lit("/loopB/"), id), lit(""))),
+        part(2, 1, rec(u("/loopB/"), "302 Found",
+          concat(lit("/loopA/"), id), lit(""))),
+        part(3, 0, rec(u("/a/b/"), "301 Moved Permanently",
+          concat(lit("../r/"), id), lit(""))),
+        part(4, 0, rec(u("/doc/"), "200 OK", none, col("text"))))
+      val blobs = pieces.reduce(_ unionByName _)
         .select(pmod(col("doc_id"), lit(50)).as("warc_id"),
           col("doc_id"), col("__seq"), col("__r"))
         .groupBy("warc_id")
         .agg(array_join(transform(array_sort(collect_list(
             struct(col("doc_id"), col("__seq"), col("__r")))),
           r => r.getField("__r")), "").as("warc"))
-      graft.sources.Warc.dedupByDigest(
-        graft.sources.Warc.recordsFull(blobs, "warc_id", "warc"))
+      val recs = graft.sources.Warc.httpResponses(
+        graft.sources.Warc.records(blobs, "warc_id", "warc"), "body")
+      val redirects = recs
+        .filter(col("http_status").between(300, 399) &&
+          col("location") =!= "")
+        .select(col("target_uri"), col("location"))
+      val edges = TextAnalysis.withResolvedUrl(redirects, "target_uri",
+          "location", "__t")
+        .select(col("target_uri").as("url"), col("__t").as("target"))
+      graft.operators.Redirects.collapse(edges, "url", "target",
+        maxHops = 5)
     }),
 
     // SITE-level template removal — the inter-document complement of
@@ -7080,6 +7131,62 @@ object SparkEntry {
        |           AS BIGINT) <> doc_id""".stripMargin
   }
 
+  /** t73's replay: the per-record (uri, status, location) table
+    * restated from fixture math (the header regexes are f09-gated),
+    * then GENUINELY — the 3xx/location screen, the Location resolution
+    * against each request URI (the shared resolve chain), the
+    * `maxHops − 1` unrolled LEFT-join collapse, and the final
+    * outgoing-edge anti-lookup.
+    */
+  private def t73OracleSql: String = {
+    val hops = (2 to 5).map { i =>
+      s"""c$i AS (
+         |  SELECT c.url, COALESCE(e$i.target, c.final_url) AS final_url,
+         |         CASE WHEN e$i.target IS NOT NULL THEN c.hops + 1
+         |              ELSE c.hops END AS hops
+         |  FROM c${i - 1} c LEFT JOIN e e$i ON c.final_url = e$i.url)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH parsed AS (
+       |  SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       |         200 AS status, '' AS loc
+       |  FROM documents WHERE doc_id % 5 IN (0, 4)
+       |  UNION ALL
+       |  SELECT 'http://example.com/hop0/' || CAST(doc_id AS VARCHAR),
+       |         302, '/hop1/' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL
+       |  SELECT 'http://example.com/hop1/' || CAST(doc_id AS VARCHAR),
+       |         301, 'http://example.com/hop2/' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL
+       |  SELECT 'http://example.com/hop2/' || CAST(doc_id AS VARCHAR),
+       |         200, ''
+       |  FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL
+       |  SELECT 'http://example.com/loopA/' || CAST(doc_id AS VARCHAR),
+       |         301, '/loopB/' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 5 = 2
+       |  UNION ALL
+       |  SELECT 'http://example.com/loopB/' || CAST(doc_id AS VARCHAR),
+       |         302, '/loopA/' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 5 = 2
+       |  UNION ALL
+       |  SELECT 'http://example.com/a/b/' || CAST(doc_id AS VARCHAR),
+       |         301, '../r/' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 5 = 3),
+       |redir AS (SELECT uri, loc FROM parsed
+       |          WHERE status BETWEEN 300 AND 399 AND loc <> ''),
+       |rbase AS (SELECT uri, loc AS url, uri AS base FROM redir),
+       |${resolveUrlCtes("rbase", Seq("uri"))},
+       |e AS MATERIALIZED (SELECT uri AS url, resolved AS target FROM ru),
+       |c1 AS (SELECT url, target AS final_url, 1 AS hops FROM e),
+       |$hops
+       |SELECT c.url, c.final_url, c.hops, (t.url IS NULL) AS resolved
+       |FROM c5 c LEFT JOIN (SELECT DISTINCT url FROM e) t
+       |  ON c.final_url = t.url""".stripMargin
+  }
+
   // ------------------------------------------------------- t69
   /** The per-host robots.txt fixture body — shared verbatim by the
     * Spark query and the oracle. Plants every parser/argmax branch: a
@@ -7746,6 +7853,101 @@ object SparkEntry {
        |  SELECT doc_id, lang, quality,
        |         row_number() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
        |  FROM gated) WHERE rn = 1""".stripMargin
+
+  /** The f14/e52 capture-fixture blobs — base responses, recrawl dups
+    * (ids %5), a cross-blob shared error page (ids %7), bodyless
+    * revisits (ids %3) and a dangling revisit (ids %11), packed into
+    * per-`warc_id` record streams. ONE builder so the batch query and
+    * the streaming twin shard the IDENTICAL bytes.
+    */
+  private def f14Blobs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def rec(typ: String, uri: org.apache.spark.sql.Column,
+        date: String, digest: org.apache.spark.sql.Column,
+        body: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("WARC/1.0\r\nWARC-Type: " + typ +
+          "\r\nWARC-Target-URI: "), uri,
+        lit("\r\nWARC-Date: " + date + "\r\nWARC-Payload-Digest: "),
+        digest,
+        lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+        lit("\r\n\r\n"), body, lit("\r\n\r\n"))
+    val uri = concat(lit("http://example.com/doc/"),
+      col("doc_id").cast("string"))
+    def dg(b: org.apache.spark.sql.Column) = concat(lit("md5:"), md5(b))
+    val err = lit("404 page not found")
+    val base = docs.select(col("doc_id"), lit(0).as("__seq"),
+      rec("response", uri, "2024-01-01T00:00:00Z", dg(col("text")),
+        col("text")).as("__r"))
+    val dup = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), lit(1).as("__seq"),
+        rec("response", uri, "2024-02-01T00:00:00Z", dg(col("text")),
+          col("text")).as("__r"))
+    val errRec = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), lit(2).as("__seq"),
+        rec("response", uri, "2024-01-01T00:00:00Z", dg(err), err)
+          .as("__r"))
+    val revisit = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), lit(3).as("__seq"),
+        rec("revisit", uri, "2024-03-01T00:00:00Z", dg(col("text")),
+          lit("")).as("__r"))
+    val dangling = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select(col("doc_id"), lit(4).as("__seq"),
+        rec("revisit", uri, "2024-03-01T00:00:00Z",
+          dg(lit("vanished original")), lit("")).as("__r"))
+    base.unionByName(dup).unionByName(errRec)
+      .unionByName(revisit).unionByName(dangling)
+      .select(pmod(col("doc_id"), lit(50)).as("warc_id"),
+        col("doc_id"), col("__seq"), col("__r"))
+      .groupBy("warc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("doc_id"), col("__seq"), col("__r")))),
+        r => r.getField("__r")), "").as("warc"))
+  }
+
+  /** f14's (and e52's) replay: captures restated from fixture math
+    * (framing is the byte kernel's job; digests are md5 both engines
+    * compute identically); the keep-earliest-response argmin, the
+    * capture/revisit counts and the dangling-digest drop replay
+    * GENUINELY.
+    */
+  private def f14OracleSql: String =
+    """WITH caps AS (
+         SELECT 'md5:' || md5(text) AS dg,
+                'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+                '2024-01-01T00:00:00Z' AS d, text AS body, true AS isresp
+         FROM documents
+         UNION ALL
+         SELECT 'md5:' || md5(text),
+                'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+                '2024-02-01T00:00:00Z', text, true
+         FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT 'md5:' || md5('404 page not found'),
+                'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+                '2024-01-01T00:00:00Z', '404 page not found', true
+         FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT 'md5:' || md5(text),
+                'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+                '2024-03-01T00:00:00Z', '', false
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT 'md5:' || md5('vanished original'),
+                'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
+                '2024-03-01T00:00:00Z', '', false
+         FROM documents WHERE doc_id % 11 = 0),
+       win AS (
+         SELECT dg, uri, d, body,
+                row_number() OVER (PARTITION BY dg
+                                   ORDER BY d, uri) AS rn
+         FROM caps WHERE isresp),
+       cnt AS (SELECT dg, COUNT(*) AS n_captures,
+                      COUNT(CASE WHEN NOT isresp THEN 1 END) AS n_revisits
+               FROM caps GROUP BY 1)
+       SELECT w.dg AS payload_digest, w.uri AS target_uri,
+              w.d AS warc_date, c.n_captures, c.n_revisits,
+              w.body AS body
+       FROM win w JOIN cnt c USING (dg) WHERE w.rn = 1"""
 
   /** f08's (and f10's) replay: the fixture's ground truth stated
     * relationally — the engine does the real byte framing (and, for
@@ -11711,44 +11913,10 @@ object SparkEntry {
     // kernel's job, digests are md5 both engines compute identically);
     // the keep-earliest-response argmin, the capture/revisit counts
     // and the dangling-digest drop replay GENUINELY
-    "f14_warc_digest_dedup" ->
-      """WITH caps AS (
-           SELECT 'md5:' || md5(text) AS dg,
-                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
-                  '2024-01-01T00:00:00Z' AS d, text AS body, true AS isresp
-           FROM documents
-           UNION ALL
-           SELECT 'md5:' || md5(text),
-                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
-                  '2024-02-01T00:00:00Z', text, true
-           FROM documents WHERE doc_id % 5 = 0
-           UNION ALL
-           SELECT 'md5:' || md5('404 page not found'),
-                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
-                  '2024-01-01T00:00:00Z', '404 page not found', true
-           FROM documents WHERE doc_id % 7 = 0
-           UNION ALL
-           SELECT 'md5:' || md5(text),
-                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
-                  '2024-03-01T00:00:00Z', '', false
-           FROM documents WHERE doc_id % 3 = 0
-           UNION ALL
-           SELECT 'md5:' || md5('vanished original'),
-                  'http://example.com/doc/' || CAST(doc_id AS VARCHAR),
-                  '2024-03-01T00:00:00Z', '', false
-           FROM documents WHERE doc_id % 11 = 0),
-         win AS (
-           SELECT dg, uri, d, body,
-                  row_number() OVER (PARTITION BY dg
-                                     ORDER BY d, uri) AS rn
-           FROM caps WHERE isresp),
-         cnt AS (SELECT dg, COUNT(*) AS n_captures,
-                        COUNT(CASE WHEN NOT isresp THEN 1 END) AS n_revisits
-                 FROM caps GROUP BY 1)
-         SELECT w.dg AS payload_digest, w.uri AS target_uri,
-                w.d AS warc_date, c.n_captures, c.n_revisits,
-                w.body AS body
-         FROM win w JOIN cnt c USING (dg) WHERE w.rn = 1""",
+    "f14_warc_digest_dedup" -> f14OracleSql,
+    // e52 drains to batch f14 under any sharding (banked capture
+    // facts; min_by over an unordered union is order-free)
+    "e52_streaming_digest_dedup" -> f14OracleSql,
 
     "t64_site_template_extract" -> t64OracleSql,
     // e47 drains to batch t64 under any batching (merge-on-read; the
@@ -11780,6 +11948,9 @@ object SparkEntry {
     // t71: the <base href> re-rooted link chain, replayed genuinely
     // end to end (both resolve chains, prefixed CTE instantiations)
     "t71_base_href" -> t71OracleSql,
+    // t73: redirect-chain collapse — screen/resolve/unrolled-joins/
+    // anti-lookup replayed genuinely, record table fixture-restated
+    "t73_redirect_chains" -> t73OracleSql,
     "t69_robots_filter" -> t69OracleSql,
     // t72: §2.2.3 wildcard admission — the pattern compile replayed
     // rewrite-for-rewrite through the shared match builder

@@ -220,6 +220,10 @@ object Warc {
     *    stripped ('' when absent),
     *  - `charset` — the `Content-Type` charset parameter, lowercased
     *    ('' when absent),
+    *  - `location` — the `Location` header verbatim ('' when absent;
+    *    3xx responses carry the redirect target here, and RFC 9110
+    *    allows it to be RELATIVE — resolve against the request URI,
+    *    then collapse chains via [[graft.operators.Redirects]]),
     *  - `http_body` — the entity body after the first header/body
     *    CRLFCRLF boundary ('' for header-only responses).
     *
@@ -243,6 +247,8 @@ object Warc {
           "(?i)\\r\\nContent-Type: *([^;\\r\\n]+)", 1))).as("mime") :+
         lower(regexp_extract(col("__hdr"),
           "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1)).as("charset") :+
+        trim(regexp_extract(col("__hdr"),
+          "(?i)\\r\\nLocation: *([^\\r\\n]+)", 1)).as("location") :+
         regexp_extract(col("__pay"), "(?s)\\r\\n\\r\\n(.*)$", 1)
           .as("http_body"): _*)
   }
