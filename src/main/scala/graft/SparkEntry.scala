@@ -3595,6 +3595,45 @@ object SparkEntry {
         frontierCrawled(cands), frontierRobots(s), budget = 10)
     }),
 
+    // freshness RECRAWL scheduling — lastmod finally consumed: a
+    // crawled page re-schedules when its sitemap lastmod is NEWER than
+    // its fetch ('stale'), an uncrawled listed page is discovery
+    // ('new'), undated entries only schedule uncrawled, /private/ locs
+    // die at the robots gate, priorities rank per host, and each
+    // host's Crawl-delay paces the queue (fetch_offset_sec =
+    // (rank-1)·delay — fractional .5 delays prove exact double
+    // arithmetic). Entries/crawl-log restated (parse chains t70/t69-
+    // gated); reason/gate/rank/pacing AND the crawl-delay group
+    // grammar replay genuinely
+    "g25_recrawl_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val loc = concat(lit("http://"), col("source"), lit(".example"),
+        when(pmod(col("doc_id"), lit(6)) === 1, lit("/private/"))
+          .otherwise(lit("/doc/")), id)
+      val entries = docs.select(loc.as("loc"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(""))
+          .otherwise(concat(lit("2024-01-"),
+            lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2,
+              "0"))).as("lastmod"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(null).cast("double"))
+          .otherwise(pmod(col("doc_id"), lit(10)).cast("double") / lit(10))
+          .as("priority"))
+      val crawled = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(loc.as("url"), lit("2024-01-15").as("fetched_at"))
+      val bodies = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"))
+        .select(col("host"),
+          concat(lit(robotsFixtureBody), lit("Crawl-delay: "),
+            (pmod(length(col("host")), lit(5)) + 1).cast("string"),
+            lit(".5\n")).as("robots"))
+      graft.operators.WebFrontier.recrawlSchedule(entries, crawled,
+        graft.operators.Robots.rules(bodies, "host", "robots"),
+        graft.operators.Robots.crawlDelays(bodies, "host", "robots"),
+        budget = 10)
+    }),
+
     // the sitemap-aware frontier's ingest twin — link-count evidence
     // banks per batch exactly as e50 (state is the SAME additive
     // (url, n) facts; sitemap entries are READ-side config like the
@@ -7556,6 +7595,115 @@ object SparkEntry {
        |           FROM fok)
        |SELECT host, CAST(rk AS INT) AS rank, url, n_inlinks, score
        |FROM ranked WHERE rk <= 10""".stripMargin
+
+  /** g25's replay: entries/crawl-log restated from fixture math (parse
+    * chains t70/t69-gated), then GENUINELY — the per-url
+    * priority/lastmod aggregation, the new/stale reason rule over the
+    * left-joined crawl log, the shared robots argmax, the budget rank
+    * over priority, the CRAWL-DELAY GROUP GRAMMAR (line split, stacked
+    * user-agent groups, max-per-group, TRY_CAST drops garbage) over
+    * the per-host body, and the (rank−1)·delay pacing arithmetic.
+    */
+  private def g25OracleSql: String = {
+    val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+    s"""WITH ent AS (
+       |  SELECT 'http://' || source || '.example' ||
+       |         (CASE WHEN doc_id % 6 = 1 THEN '/private/'
+       |               ELSE '/doc/' END) ||
+       |         CAST(doc_id AS VARCHAR) AS url,
+       |         CASE WHEN doc_id % 4 = 0 THEN ''
+       |              ELSE '2024-01-' ||
+       |                   lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       |              END AS lastmod,
+       |         CASE WHEN doc_id % 5 = 0 THEN NULL
+       |              ELSE CAST(doc_id % 10 AS DOUBLE) / 10 END AS priority,
+       |         doc_id % 2 AS par
+       |  FROM documents),
+       |cagg AS (SELECT url, max(lastmod) AS lastmod,
+       |                max(COALESCE(priority, CAST(0.5 AS DOUBLE))) AS p
+       |         FROM ent GROUP BY 1),
+       |crawledg AS (SELECT url, '2024-01-15' AS fetched_at FROM ent
+       |             WHERE par = 0),
+       |cand AS (
+       |  SELECT c.url, c.lastmod, c.p,
+       |         CASE WHEN w.url IS NULL THEN 'new'
+       |              WHEN c.lastmod <> '' AND c.lastmod > w.fetched_at
+       |                   THEN 'stale' END AS reason
+       |  FROM cagg c LEFT JOIN crawledg w ON c.url = w.url),
+       |cok AS (SELECT url, lastmod, p, reason,
+       |        regexp_extract(url,
+       |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host,
+       |        CASE WHEN COALESCE(regexp_extract(url, '$pathRe', 1), '')
+       |                  = '' THEN '/'
+       |             ELSE regexp_extract(url, '$pathRe', 1) END AS path
+       |        FROM cand WHERE reason IS NOT NULL),
+       |hosts AS (SELECT DISTINCT source || '.example' AS host
+       |          FROM documents),
+       |$robotsRulesCtes,
+       |rb2 AS (SELECT host, '$robotsFixtureBody' || 'Crawl-delay: ' ||
+       |               CAST(strlen(host) % 5 + 1 AS VARCHAR) || '.5' ||
+       |               chr(10) AS robots
+       |        FROM hosts),
+       |dl0 AS (SELECT host, CAST(i AS INT) AS ln,
+       |               trim(regexp_replace(ls[CAST(i AS INT)], '#.*$$', ''))
+       |                 AS line
+       |        FROM (SELECT host, string_split(robots, chr(10)) AS ls
+       |              FROM rb2),
+       |             LATERAL unnest(range(1, len(ls) + 1)) t(i)),
+       |dl1 AS (SELECT host, ln,
+       |               lower(COALESCE(regexp_extract(line,
+       |                 '(?i)^(user-agent|crawl-delay)\\s*:', 1), ''))
+       |                 AS kind,
+       |               trim(COALESCE(regexp_extract(line,
+       |                 '(?i)^(?:user-agent|crawl-delay)\\s*:(.*)$$', 1),
+       |                 '')) AS val
+       |        FROM dl0),
+       |dl2 AS (SELECT * FROM dl1 WHERE kind <> ''),
+       |dl3 AS (SELECT *, (kind = 'user-agent') AS isua,
+       |               ((kind = 'user-agent') AND NOT COALESCE(
+       |                  lag(kind = 'user-agent')
+       |                    OVER (PARTITION BY host ORDER BY ln), false))
+       |                 AS opens
+       |        FROM dl2),
+       |dl4 AS (SELECT *, SUM(CASE WHEN opens THEN 1 ELSE 0 END)
+       |                    OVER (PARTITION BY host ORDER BY ln
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND CURRENT ROW) AS grp
+       |        FROM dl3),
+       |dlagents AS (SELECT host, grp, val AS agent FROM dl4 WHERE isua),
+       |rdelays AS (SELECT g.host, a.agent,
+       |                   max(TRY_CAST(g.val AS DOUBLE)) AS crawl_delay
+       |            FROM dl4 g JOIN dlagents a USING (host, grp)
+       |            WHERE NOT g.isua
+       |              AND TRY_CAST(g.val AS DOUBLE) IS NOT NULL
+       |            GROUP BY 1, 2),
+       |fmatch AS (
+       |  SELECT f.url, f.host, f.lastmod, f.p, f.reason,
+       |         max(CASE WHEN r.prefix IS NULL THEN NULL
+       |                  ELSE 2 * strlen(r.prefix) +
+       |                       (CASE WHEN r.rule_type = 'allow'
+       |                             THEN 1 ELSE 0 END) END) AS best
+       |  FROM cok f LEFT JOIN rrules r
+       |    ON r.host = f.host AND r.agent = '*'
+       |       AND ${robotsMatchCondSql("f.path")}
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |fok AS (SELECT url, host, lastmod, p, reason FROM fmatch
+       |        WHERE COALESCE(best % 2 = 1, true)),
+       |ranked AS (SELECT host, url, reason, lastmod, p,
+       |                  row_number() OVER (PARTITION BY host
+       |                                     ORDER BY p DESC, url ASC)
+       |                    AS rk
+       |           FROM fok)
+       |SELECT r.host, CAST(r.rk AS INT) AS rank, r.url, r.reason,
+       |       r.lastmod,
+       |       CAST(r.rk - 1 AS DOUBLE) *
+       |       COALESCE(d.crawl_delay, CAST(1.0 AS DOUBLE))
+       |         AS fetch_offset_sec
+       |FROM ranked r LEFT JOIN (SELECT host, crawl_delay FROM rdelays
+       |                         WHERE agent = '*') d
+       |  ON r.host = d.host
+       |WHERE r.rk <= 10""".stripMargin
+  }
 
   /** g22's replay: the t63 link chain, RFC 3986 resolution against each
     * page's own URI (the t65 chain verbatim — relative and rooted links
@@ -12000,6 +12148,9 @@ object SparkEntry {
     // e51 drains to batch g24 under any batching (same additive count
     // facts as e50; sitemap entries are read-side config)
     "e51_streaming_sitemap_frontier" -> g24OracleSql,
+    // g25: freshness recrawl — reason/gate/rank/pacing + the
+    // crawl-delay group grammar replayed genuinely
+    "g25_recrawl_schedule" -> g25OracleSql,
     "t67_tagsoup_outlinks" ->
       s"""WITH spages AS (SELECT doc_id, $soupWrapSql AS html FROM documents),
          |sraw AS (

@@ -138,6 +138,48 @@ object Robots {
       .drop("__uh", "__up")
   }
 
+  /** `Crawl-delay:` per agent group — the de-facto politeness field
+    * (not in RFC 9309 but honored by most crawlers): same
+    * line-grammar/stacked-group machinery as [[rules]], value parsed
+    * as seconds (DOUBLE; non-numeric drops), the MAX over a group's
+    * multiple lines (the conservative politeness read). Output:
+    * (hostCol, agent, crawl_delay).
+    */
+  def crawlDelays(df: DataFrame, hostCol: String,
+      robotsCol: String): DataFrame = {
+    val lines = df
+      .select(col(hostCol), posexplode(split(col(robotsCol), "\n"))
+        .as(Seq("__ln", "__raw")))
+      .select(col(hostCol), col("__ln"),
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+      .select(col(hostCol), col("__ln"),
+        lower(regexp_extract(col("__line"),
+          "(?i)^(user-agent|crawl-delay)\\s*:", 1)).as("__kind"),
+        trim(regexp_extract(col("__line"),
+          "(?i)^(?:user-agent|crawl-delay)\\s*:(.*)$", 1)).as("__val"))
+      .filter(col("__kind") =!= "")
+    val w = Window.partitionBy(hostCol).orderBy("__ln")
+    val grouped = lines
+      .withColumn("__isUa", col("__kind") === "user-agent")
+      .withColumn("__opens",
+        col("__isUa") && !coalesce(lag(col("__isUa"), 1).over(w),
+          lit(false)))
+      .withColumn("__grp",
+        sum(when(col("__opens"), 1).otherwise(0)).over(w))
+    val agents = grouped.filter(col("__isUa"))
+      .select(col(hostCol), col("__grp"), col("__val").as("agent"))
+    grouped
+      .filter(!col("__isUa"))
+      // try_cast: a real robots file ships garbage values ("10s") —
+      // they must drop, not throw (ANSI cast would)
+      .select(col(hostCol), col("__grp"),
+        expr("try_cast(__val AS DOUBLE)").as("__d"))
+      .filter(col("__d").isNotNull)
+      .join(agents, Seq(hostCol, "__grp"))
+      .groupBy(col(hostCol), col("agent"))
+      .agg(max(col("__d")).as("crawl_delay"))
+  }
+
   /** `Sitemap:` lines of a robots body — the discovery-channel pointer
     * RFC 9309 carries for the sitemaps.org protocol (the field is
     * group-INDEPENDENT per the sitemaps spec, so no group attribution:

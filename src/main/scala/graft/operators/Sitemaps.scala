@@ -40,8 +40,11 @@ object Sitemaps {
         trim(regexp_extract(col("__b"),
           "(?s)<lastmod>([^<]*)</lastmod>", 1)).as("lastmod"),
         nullif(trim(regexp_extract(col("__b"),
-          "(?s)<priority>([^<]*)</priority>", 1)), lit(""))
-          .cast("double").as("priority"))
+          "(?s)<priority>([^<]*)</priority>", 1)), lit("")).as("__pr"))
+      // try_cast: a generator shipping a garbage <priority> must yield
+      // NULL (the absent-field value), not an ANSI cast failure
+      .withColumn("priority", expr("try_cast(__pr AS DOUBLE)"))
+      .drop("__pr")
       .filter(col("loc") =!= "")
 
   /** `<sitemapindex>` documents → their child-sitemap pointers, one row

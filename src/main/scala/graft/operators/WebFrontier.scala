@@ -53,9 +53,10 @@ object WebFrontier {
     // NULL urls (canonicalization's documented drop) are unfetchable —
     // screened before the gate, since Robots.allowed's
     // every-row-comes-back contract would wave them through as allowed
-    gateAndBudget(counts.filter(col("url").isNotNull)
-        .select(col("url"), col("n_inlinks")),
-      crawled, robots, urlCol, budget, agent)
+    val fresh = counts.filter(col("url").isNotNull)
+      .select(col("url"), col("n_inlinks"))
+      .join(crawled.select(col(urlCol).as("url")), Seq("url"), "left_anti")
+    gateAndBudget(fresh, robots, budget, agent)
       .select(col("host"), col("rank"), col("url"),
         // the heap's score IS the integer count (exact through double
         // far beyond any real inlink count)
@@ -94,27 +95,78 @@ object WebFrontier {
         coalesce(col("n_inlinks"), lit(0L)).as("n_inlinks"),
         (coalesce(col("n_inlinks"), lit(0L)).cast("double") +
           coalesce(col("__p"), lit(0.0))).as("__sc"))
+    val fresh = merged
+      .join(crawled.select(col(urlCol).as("url")), Seq("url"), "left_anti")
     val ranked = gateAndBudget(
-      merged.select(col("url"), col("__sc").as("n_inlinks")),
-      crawled, robots, urlCol, budget, agent)
+      fresh.select(col("url"), col("__sc").as("n_inlinks")),
+      robots, budget, agent)
     merged.select(col("url"), col("n_inlinks"))
       .join(broadcast(ranked), Seq("url"))
       .select(col("host"), col("rank"), col("url"), col("n_inlinks"),
         col("__score").as("score"))
   }
 
-  /** The shared frontier tail: crawled anti-join, (host, path) parse,
-    * robots admission, per-host bounded-heap budget. `scored` carries
-    * (url, n_inlinks) where n_inlinks is the RANKING score (castable
-    * to double). Output: (host, rank, url, __score).
+  /** Freshness RECRAWL scheduling — the sitemap channel's other half
+    * (`lastmod` consumed): an already-crawled page re-schedules when
+    * its sitemap `lastmod` is NEWER than its last fetch (`stale`), an
+    * uncrawled listed page schedules as discovery (`new`), everything
+    * else skips. Candidates rank per host by sitemap priority (spec
+    * default 0.5, max over listings), gated by robots; `Crawl-delay`
+    * paces each host's queue — `fetch_offset_sec = (rank − 1) · delay`
+    * (1 s when the host declares none), the fetcher's dispatch
+    * timeline. Dates compare as ISO-8601 STRINGS (lexicographic ==
+    * chronological for same-format dates, identical on both engines);
+    * entries without `lastmod` cannot prove staleness and only
+    * schedule when uncrawled. `crawled` carries (url, fetched_at);
+    * `delays` is [[Robots.crawlDelays]] output with hostCol `host`.
+    * Output: (host, rank, url, reason, lastmod, fetch_offset_sec).
+    *
+    * 100 TB posture: one url-keyed pre-aggregate + one left join
+    * against the crawl log, the shared robots/heap tail, and the
+    * ≤ budget·hosts ranked rows broadcast back for the detail attach
+    * and against the (tiny, per-host) delay frame.
     */
-  private def gateAndBudget(scored: DataFrame, crawled: DataFrame,
-      robots: DataFrame, urlCol: String, budget: Int,
-      agent: String): DataFrame = {
+  def recrawlSchedule(entries: DataFrame, crawled: DataFrame,
+      robots: DataFrame, delays: DataFrame, budget: Int,
+      agent: String = "*"): DataFrame = {
+    require(budget > 0, s"per-host budget must be > 0, got $budget")
+    val cand = entries
+      .select(col("loc").as("url"), col("lastmod"),
+        coalesce(col("priority"), lit(0.5)).as("__p"))
+      .filter(col("url").isNotNull && col("url") =!= "")
+      .groupBy("url")
+      .agg(max(col("lastmod")).as("lastmod"), max(col("__p")).as("__p"))
+      .join(crawled.select(col("url"), col("fetched_at")), Seq("url"),
+        "left")
+      .withColumn("reason",
+        when(col("fetched_at").isNull, "new")
+          .when(col("lastmod") =!= "" && col("lastmod") > col("fetched_at"),
+            "stale"))
+      .filter(col("reason").isNotNull)
+    val ranked = gateAndBudget(
+      cand.select(col("url"), col("__p").as("n_inlinks")),
+      robots, budget, agent)
+    cand.select(col("url"), col("reason"), col("lastmod"))
+      .join(broadcast(ranked), Seq("url"))
+      .join(delays.filter(col("agent") === agent)
+        .select(col("host"), col("crawl_delay")), Seq("host"), "left")
+      .select(col("host"), col("rank"), col("url"), col("reason"),
+        col("lastmod"),
+        ((col("rank") - 1).cast("double") *
+          coalesce(col("crawl_delay"), lit(1.0)))
+          .as("fetch_offset_sec"))
+  }
+
+  /** The shared frontier tail: (host, path) parse, robots admission,
+    * per-host bounded-heap budget — callers screen crawled/NULL urls
+    * first (the recrawl path deliberately ranks ALREADY-crawled urls).
+    * `scored` carries (url, n_inlinks) where n_inlinks is the RANKING
+    * score (castable to double). Output: (host, rank, url, __score).
+    */
+  private def gateAndBudget(scored: DataFrame, robots: DataFrame,
+      budget: Int, agent: String): DataFrame = {
     val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-    val fresh = scored
-      .join(crawled.select(col(urlCol).as("url")), Seq("url"), "left_anti")
-    val parsed = fresh
+    val parsed = scored
       .withColumn("host",
         regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
       .withColumn("path",

@@ -86,6 +86,20 @@ class RobotsSpec extends SparkTestBase {
       s"NULL-key rows must come back allowed=true: $got")
   }
 
+  test("crawlDelays: group-scoped, stacked agents share, max over " +
+      "multiple lines, garbage values drop (never throw)") {
+    val b = "User-agent: slowbot\nCrawl-delay: 30\n\n" +
+      "User-agent: megabot\nUser-agent: *\nDisallow: /x\n" +
+      "Crawl-delay: 2.5\nCrawl-delay: 1\nCrawl-delay: 10s\n"
+    val got = Robots.crawlDelays(Seq(("h.io", b)).toDF("host", "robots"),
+        "host", "robots")
+      .as[(String, String, Double)].collect()
+      .map { case (h, a, d) => (a, d) }.toMap
+    // max(2.5, 1) for the */megabot group; '10s' drops; slowbot separate
+    assert(got === Map("slowbot" -> 30.0, "megabot" -> 2.5, "*" -> 2.5),
+      s"got $got")
+  }
+
   test("sitemaps: Sitemap: lines parse per host, case-insensitive, " +
       "comments strip, other lines drop") {
     val b = "User-agent: *\nDisallow: /x\nSitemap: http://h/a.xml\n" +
