@@ -5,7 +5,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import graft.operators.{Cdc, CorpusStats, Dedup, Events, Governance, Graph, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.MigrationPlanner
-import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingFrontier, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingSiteTemplate, StreamingTokenBudget, StreamingWarcDedup, StreamingWebGraph, StreamingWinnow}
+import graft.streaming.{StreamingCdcMerge, StreamingClassifierEval, StreamingCuration, StreamingDpNbRelease, StreamingDrift, StreamingEntityResolution, StreamingFrontier, StreamingHeavyHitters, StreamingLrTrain, StreamingMigration, StreamingNbTrain, StreamingNearDup, StreamingRedirects, StreamingRetrievalEval, StreamingSceneSegments, StreamingSemanticScreen, StreamingSiteTemplate, StreamingTokenBudget, StreamingWarcDedup, StreamingWebGraph, StreamingWinnow}
 import graft.schema.Reconciler
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3344,49 +3344,7 @@ object SparkEntry {
     // parse is f09-gated; the 3xx screen, Location resolution and the
     // unrolled chain collapse replay genuinely
     "t73_redirect_chains" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val id = col("doc_id").cast("string")
-      def rec(uri: org.apache.spark.sql.Column, status: String,
-          location: org.apache.spark.sql.Column,
-          body: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val payload = concat(lit("HTTP/1.1 " + status +
-            "\r\nServer: synthetic/1.0\r\n"),
-          when(location =!= "",
-            concat(lit("Location: "), location, lit("\r\n")))
-            .otherwise(lit("")),
-          lit("Content-Type: text/html\r\n\r\n"), body)
-        concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
-          uri, lit("\r\nContent-Length: "),
-          octet_length(payload).cast("string"), lit("\r\n\r\n"),
-          payload, lit("\r\n\r\n"))
-      }
-      def u(p: String) = concat(lit("http://example.com" + p), id)
-      val m = pmod(col("doc_id"), lit(5))
-      def part(mv: Int, seq: Int, r: org.apache.spark.sql.Column) =
-        docs.filter(m === mv).select(col("doc_id"), lit(seq).as("__seq"),
-          r.as("__r"))
-      val none = lit("")
-      val pieces = Seq(
-        part(0, 0, rec(u("/doc/"), "200 OK", none, col("text"))),
-        part(1, 0, rec(u("/hop0/"), "302 Found",
-          concat(lit("/hop1/"), id), lit(""))),
-        part(1, 1, rec(u("/hop1/"), "301 Moved Permanently",
-          u("/hop2/"), lit(""))),
-        part(1, 2, rec(u("/hop2/"), "200 OK", none, col("text"))),
-        part(2, 0, rec(u("/loopA/"), "301 Moved Permanently",
-          concat(lit("/loopB/"), id), lit(""))),
-        part(2, 1, rec(u("/loopB/"), "302 Found",
-          concat(lit("/loopA/"), id), lit(""))),
-        part(3, 0, rec(u("/a/b/"), "301 Moved Permanently",
-          concat(lit("../r/"), id), lit(""))),
-        part(4, 0, rec(u("/doc/"), "200 OK", none, col("text"))))
-      val blobs = pieces.reduce(_ unionByName _)
-        .select(pmod(col("doc_id"), lit(50)).as("warc_id"),
-          col("doc_id"), col("__seq"), col("__r"))
-        .groupBy("warc_id")
-        .agg(array_join(transform(array_sort(collect_list(
-            struct(col("doc_id"), col("__seq"), col("__r")))),
-          r => r.getField("__r")), "").as("warc"))
+      val blobs = t73Blobs(t(s, dir, "documents"))
       val recs = graft.sources.Warc.httpResponses(
         graft.sources.Warc.records(blobs, "warc_id", "warc"), "body")
       val redirects = recs
@@ -3398,6 +3356,34 @@ object SparkEntry {
         .select(col("target_uri").as("url"), col("__t").as("target"))
       graft.operators.Redirects.collapse(edges, "url", "target",
         maxHops = 5)
+    }),
+
+    // t73's ingest twin — redirect HOPS of one chain arrive in
+    // DIFFERENT crawl shards (here BY CONSTRUCTION: batch 0 ships each
+    // chain's hop-0 record, batch 1 its hop-1/2 records), so the final
+    // target is a corpus-level verdict: state banks per-batch redirect
+    // EDGE facts (3xx screen + Location resolution once per batch) and
+    // the drained read runs the SHARED collapse — the unrolled walk is
+    // a pure function of the edge SET, which unions order-free;
+    // drained == batch t73, same oracle verbatim
+    "e53_streaming_redirects" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e53").toString
+      val pieces = t73Pieces(t(s, dir, "documents"))
+      t73Pack(pieces.filter(col("__seq") === 0))
+        .coalesce(1).write.parquet(s"$tmp/stream/b0")
+      t73Pack(pieces.filter(col("__seq") >= 1))
+        .coalesce(1).write.parquet(s"$tmp/stream/b1")
+      val src = s.readStream
+        .schema("warc_id BIGINT, warc STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream/*")
+      val q = StreamingRedirects.start(s, src, "warc_id", "warc",
+        s"$tmp/state", s"$tmp/cp")
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("e53 stream did not drain in 300s")
+      }
+      StreamingRedirects.currentCollapse(s, s"$tmp/state", maxHops = 5)
     }),
 
     // SITE-level template removal — the inter-document complement of
@@ -4975,6 +4961,26 @@ object SparkEntry {
           |""".stripMargin)
       graft.pipeline.StagePipeline.compile(cfg, pages)
         .select("doc_id", "text", "lang", "quality")
+    }),
+
+    // payload-digest dedup on the CONFIG path — the crawl pipeline's
+    // first dedup declarable from YAML like every other stage: the f14
+    // capture frame through a two-stage config (digestDedup, then a
+    // filter keeping the digests that actually had duplicate captures
+    // — the dedup-report shape a pipeline owner inspects)
+    "c38_config_digest_dedup" -> ((s, dir) => {
+      val recs = graft.sources.Warc.recordsFull(
+        f14Blobs(t(s, dir, "documents")), "warc_id", "warc")
+      val cfg = graft.config.ConfigCodec.pipelineFromYaml(
+        """pipeline:
+          |  name: digest-dedup
+          |  stages:
+          |    - stage: digestDedup
+          |    - stage: filter
+          |      options:
+          |        expression: "n_captures > 1"
+          |""".stripMargin)
+      graft.pipeline.StagePipeline.compile(cfg, recs)
     }),
 
     // curation funnel: documents surviving each c07 stage — the yield
@@ -8051,6 +8057,71 @@ object SparkEntry {
           struct(col("doc_id"), col("__seq"), col("__r")))),
         r => r.getField("__r")), "").as("warc"))
   }
+
+  /** The t73/e53 redirect-fixture records — a 2-hop chain (relative
+    * then absolute Location), a 2-cycle loop, a dot-segment relative
+    * Location and plain 200 pages, one (doc_id, __seq, __r) row per
+    * record. ONE builder so the batch query and the streaming twin
+    * shard the IDENTICAL bytes.
+    */
+  private def t73Pieces(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val id = col("doc_id").cast("string")
+    def rec(uri: org.apache.spark.sql.Column, status: String,
+        location: org.apache.spark.sql.Column,
+        body: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val payload = concat(lit("HTTP/1.1 " + status +
+          "\r\nServer: synthetic/1.0\r\n"),
+        when(location =!= "",
+          concat(lit("Location: "), location, lit("\r\n")))
+          .otherwise(lit("")),
+        lit("Content-Type: text/html\r\n\r\n"), body)
+      concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri, lit("\r\nContent-Length: "),
+        octet_length(payload).cast("string"), lit("\r\n\r\n"),
+        payload, lit("\r\n\r\n"))
+    }
+    def u(p: String) = concat(lit("http://example.com" + p), id)
+    val m = pmod(col("doc_id"), lit(5))
+    def part(mv: Int, seq: Int, r: org.apache.spark.sql.Column) =
+      docs.filter(m === mv).select(col("doc_id"), lit(seq).as("__seq"),
+        r.as("__r"))
+    val none = lit("")
+    Seq(
+      part(0, 0, rec(u("/doc/"), "200 OK", none, col("text"))),
+      part(1, 0, rec(u("/hop0/"), "302 Found",
+        concat(lit("/hop1/"), id), lit(""))),
+      part(1, 1, rec(u("/hop1/"), "301 Moved Permanently",
+        u("/hop2/"), lit(""))),
+      part(1, 2, rec(u("/hop2/"), "200 OK", none, col("text"))),
+      part(2, 0, rec(u("/loopA/"), "301 Moved Permanently",
+        concat(lit("/loopB/"), id), lit(""))),
+      part(2, 1, rec(u("/loopB/"), "302 Found",
+        concat(lit("/loopA/"), id), lit(""))),
+      part(3, 0, rec(u("/a/b/"), "301 Moved Permanently",
+        concat(lit("../r/"), id), lit(""))),
+      part(4, 0, rec(u("/doc/"), "200 OK", none, col("text"))))
+      .reduce(_ unionByName _)
+  }
+
+  /** Pack [[t73Pieces]]-shaped rows into per-`warc_id` blobs. Separate
+    * from the piece builder so the streaming twin can shard the SAME
+    * records by hop position — a chain's hop-0 and hop-1 land in
+    * DIFFERENT batches, the cross-shard case the twin exists for.
+    */
+  private def t73Pack(
+      pieces: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pieces
+      .select(pmod(col("doc_id"), lit(50)).as("warc_id"),
+        col("doc_id"), col("__seq"), col("__r"))
+      .groupBy("warc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("doc_id"), col("__seq"), col("__r")))),
+        r => r.getField("__r")), "").as("warc"))
+
+  private def t73Blobs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    t73Pack(t73Pieces(docs))
 
   /** f14's (and e52's) replay: captures restated from fixture math
     * (framing is the byte kernel's job; digests are md5 both engines
@@ -12065,6 +12136,12 @@ object SparkEntry {
     // e52 drains to batch f14 under any sharding (banked capture
     // facts; min_by over an unordered union is order-free)
     "e52_streaming_digest_dedup" -> f14OracleSql,
+    // e53 drains to batch t73 under any sharding (banked edge facts;
+    // the collapse walk is a pure function of the edge set)
+    "e53_streaming_redirects" -> t73OracleSql,
+    // c38: f14's dedup through the YAML registry + the dup-only filter
+    "c38_config_digest_dedup" ->
+      s"""SELECT * FROM ($f14OracleSql) WHERE n_captures > 1""",
 
     "t64_site_template_extract" -> t64OracleSql,
     // e47 drains to batch t64 under any batching (merge-on-read; the

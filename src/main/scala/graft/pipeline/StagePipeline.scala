@@ -202,6 +202,11 @@ object StagePipeline {
       opt(o, "minWords", "5").toInt)),
     "nearDupScreen" -> ((df, o, _) => nearDupScreen(df,
       opt(o, "threshold", "0.7").toDouble)),
+    // payload-digest crawl dedup as a stage — the real pipeline's FIRST
+    // dedup, declarable before any content stage; input must be a
+    // recordsFull-shaped frame (warc_type/target_uri/warc_date/
+    // payload_digest/body)
+    "digestDedup" -> ((df, _, _) => graft.sources.Warc.dedupByDigest(df)),
     "piiRedact" -> ((df, _, _) => piiRedact(df)),
     // generic building blocks: a SQL predicate and a row cap
     "filter" -> ((df, o, _) => df.filter(expr(o.getOrElse("expression",
