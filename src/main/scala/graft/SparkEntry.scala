@@ -3681,6 +3681,37 @@ object SparkEntry {
       graft.operators.Sitemaps.entries(maps, "host", "xml")
     }),
 
+    // page-level robots directives + the nofollow LINK policy — the
+    // page-body complement of robots.txt every production crawler
+    // honors: <meta name=robots> noindex/nofollow (both attribute
+    // orders, bare and quoted values), rel=nofollow anchors dropped
+    // from the edge surface, a nofollow PAGE contributing no edges at
+    // all; every regex replays genuinely in the oracle
+    "t74_meta_robots" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = pmod(col("doc_id"), lit(4))
+      def idiv(k: Int) = ((col("doc_id") - pmod(col("doc_id"), lit(k))) / k)
+        .cast("long").cast("string")
+      val meta = when(m === 1,
+        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(m === 2, lit("<meta content=noindex name=robots>"))
+        .otherwise(lit(""))
+      val a2rel = when(m === 3, lit(" rel=nofollow")).otherwise(lit(""))
+      val html = concat(lit("<html><head>"), meta,
+        lit("</head><body><p>"), substring(col("text"), 1, 150),
+        lit(" <a href=\"/doc/"), idiv(2), lit("\">one</a>"),
+        lit(" <a"), a2rel, lit(" href=\"/doc/"), idiv(3),
+        lit("\">two</a></p></body></html>"))
+      val pages = docs.select(col("doc_id"), html.as("html"))
+      val flags = pages.select(col("doc_id"),
+          graft.operators.Html.pageRobotsDirectives(col("html")).as("__d"))
+        .select(col("doc_id"), col("__d.noindex").as("noindex"),
+          col("__d.nofollow").as("nofollow"))
+      flags.join(
+        graft.operators.Html.outlinksFollowable(pages, "doc_id", "html"),
+        Seq("doc_id"), "left")
+    }),
+
     "t69_robots_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val robots = graft.operators.Robots.rules(
@@ -7230,6 +7261,61 @@ object SparkEntry {
        |SELECT c.url, c.final_url, c.hops, (t.url IS NULL) AS resolved
        |FROM c5 c LEFT JOIN (SELECT DISTINCT url FROM e) t
        |  ON c.final_url = t.url""".stripMargin
+  }
+
+  /** t74's replay — GENUINE end to end: the fixture page build, both
+    * meta-robots attribute-order regexes + the directive-token tests,
+    * the page-level nofollow screen, the whole-tag/href zip, the
+    * rel=nofollow anchor drop, and the flags-to-links left join.
+    */
+  private def t74OracleSql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    val H = graft.operators.Html
+    s"""WITH tp AS (
+       |  SELECT doc_id,
+       |         '<html><head>' ||
+       |         (CASE CAST(doc_id % 4 AS INT)
+       |            WHEN 1 THEN '<meta name="robots" content="noindex, nofollow">'
+       |            WHEN 2 THEN '<meta content=noindex name=robots>'
+       |            ELSE '' END) ||
+       |         '</head><body><p>' || substr(text, 1, 150) ||
+       |         ' <a href="/doc/' || CAST(doc_id // 2 AS VARCHAR) ||
+       |         '">one</a> <a' ||
+       |         (CASE WHEN doc_id % 4 = 3 THEN ' rel=nofollow'
+       |               ELSE '' END) ||
+       |         ' href="/doc/' || CAST(doc_id // 3 AS VARCHAR) ||
+       |         '">two</a></p></body></html>' AS html
+       |  FROM documents),
+       |dirs AS (
+       |  SELECT doc_id, html,
+       |         lower(COALESCE(regexp_extract(html,
+       |                 '${esc(H.metaRobotsNameFirstRe)}', 1), '') || ' ' ||
+       |               COALESCE(regexp_extract(html,
+       |                 '${esc(H.metaRobotsContentFirstRe)}', 1), '')) AS c
+       |  FROM tp),
+       |flags AS (
+       |  SELECT doc_id, html,
+       |         (regexp_matches(c, '\\bnoindex\\b') OR
+       |          regexp_matches(c, '\\bnone\\b')) AS noindex,
+       |         (regexp_matches(c, '\\bnofollow\\b') OR
+       |          regexp_matches(c, '\\bnone\\b')) AS nofollow
+       |  FROM dirs),
+       |lz AS (
+       |  SELECT doc_id,
+       |         regexp_extract_all(${normalizeHrefSql("html")},
+       |           '${esc(H.hrefRe)}', 0) AS tags,
+       |         regexp_extract_all(${normalizeHrefSql("html")},
+       |           '${esc(H.hrefRe)}', 1) AS us
+       |  FROM flags WHERE NOT nofollow),
+       |lp AS (
+       |  SELECT doc_id, us[CAST(i AS INT)] AS url,
+       |         tags[CAST(i AS INT)] AS tag
+       |  FROM lz, LATERAL unnest(range(1, len(us) + 1)) t(i)),
+       |lk AS (SELECT doc_id, url FROM lp
+       |       WHERE url <> ''
+       |         AND NOT regexp_matches(tag, '${esc(H.relNofollowRe)}'))
+       |SELECT f.doc_id, f.noindex, f.nofollow, l.url
+       |FROM flags f LEFT JOIN lk l ON f.doc_id = l.doc_id""".stripMargin
   }
 
   // ------------------------------------------------------- t69
@@ -12176,6 +12262,8 @@ object SparkEntry {
     // t73: redirect-chain collapse — screen/resolve/unrolled-joins/
     // anti-lookup replayed genuinely, record table fixture-restated
     "t73_redirect_chains" -> t73OracleSql,
+    // t74: meta-robots directives + nofollow link policy, genuine
+    "t74_meta_robots" -> t74OracleSql,
     "t69_robots_filter" -> t69OracleSql,
     // t72: §2.2.3 wildcard admission — the pattern compile replayed
     // rewrite-for-rewrite through the shared match builder

@@ -418,6 +418,70 @@ object Html {
       .select(col("src"), col("__dv").cast("long").as("dst"), col("anchor"))
   }
 
+  /** `<meta name="robots" content="…">`, name-first attribute order —
+    * group 1 is the directive list. Quote-tolerant on both attributes.
+    */
+  val metaRobotsNameFirstRe: String =
+    "(?is)<meta\\b[^>]*?\\bname\\s*=\\s*[\"']?robots[\"']?" +
+      "[^>]*?\\bcontent\\s*=\\s*[\"']?([^\"'>]*)"
+
+  /** The content-first attribute order of the same tag (generators emit
+    * both orders; a name-first-only parse misses half the web).
+    */
+  val metaRobotsContentFirstRe: String =
+    "(?is)<meta\\b[^>]*?\\bcontent\\s*=\\s*[\"']?([^\"'>]*)[\"']?" +
+      "[^>]*?\\bname\\s*=\\s*[\"']?robots"
+
+  /** An anchor tag carrying `rel=nofollow` anywhere in its rel list
+    * (quoted or bare, alone or among `ugc sponsored` tokens).
+    */
+  val relNofollowRe: String =
+    "(?i)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow"
+
+  /** Page-level robots META directives (the robots.txt of the page
+    * body): `noindex` (exclude the PAGE from the corpus/index) and
+    * `nofollow` (count NO outlink of this page as an endorsement);
+    * `none` means both per the de-facto standard. Both attribute
+    * orders parse; directives from multiple matches union via the
+    * concatenated directive string. Output:
+    * struct(noindex BOOLEAN, nofollow BOOLEAN). Map-only.
+    */
+  def pageRobotsDirectives(html: Column): Column = {
+    val c = lower(concat(
+      regexp_extract(html, metaRobotsNameFirstRe, 1), lit(" "),
+      regexp_extract(html, metaRobotsContentFirstRe, 1)))
+    struct(
+      (c.rlike("\\bnoindex\\b") || c.rlike("\\bnone\\b")).as("noindex"),
+      (c.rlike("\\bnofollow\\b") || c.rlike("\\bnone\\b")).as("nofollow"))
+  }
+
+  /** [[outlinks]] honoring the NOFOLLOW policy — the link-graph
+    * admission rule every production crawler applies (a nofollow link
+    * is explicitly "not an endorsement", and counting it corrupts
+    * PageRank/frontier priority): anchors carrying `rel=nofollow`
+    * drop, and a page whose `<meta name=robots>` says nofollow (or
+    * `none`) contributes NO edges at all. The per-anchor test zips the
+    * WHOLE-TAG matches (group 0) with the href captures (group 1) of
+    * the same pattern — identical match sequences, exact zip (the t68
+    * recipe). Map-only + one explode; the page-level screen runs
+    * BEFORE the explode.
+    */
+  def outlinksFollowable(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    val norm = normalizeHrefQuotes(col(htmlCol))
+    df.select(col(idCol),
+        pageRobotsDirectives(col(htmlCol)).as("__dir"),
+        regexp_extract_all(norm, lit(hrefRe), lit(0)).as("__tags"),
+        regexp_extract_all(norm, lit(hrefRe), lit(1)).as("__us"))
+      .filter(!col("__dir").getField("nofollow"))
+      .select(col(idCol), posexplode(col("__us")).as(Seq("__i", "url")),
+        col("__tags"))
+      .select(col(idCol), col("url"),
+        element_at(col("__tags"), col("__i") + 1).as("__tag"))
+      .filter(col("url") =!= "" && !col("__tag").rlike(relNofollowRe))
+      .select(col(idCol), col("url"))
+  }
+
   /** Per-page main content: content blocks rejoined in document order
     * with single spaces, plus block counts. ZERO shuffle — the rebuild
     * happens inside the page's own array (no explode, no groupBy), so

@@ -172,6 +172,29 @@ class HtmlSpec extends SparkTestBase {
       s"got $edges")
   }
 
+  test("meta robots + rel=nofollow: both attribute orders, 'none' means " +
+      "both, nofollow page yields no edges, nofollow anchor drops") {
+    val df = Seq(
+      (1L, "<meta name='robots' content='noindex'><a href=\"/a\">x</a>"),
+      (2L, "<meta content=\"nofollow\" name=robots><a href=\"/b\">x</a>"),
+      (3L, "<meta name=robots content=none><a href=\"/c\">x</a>"),
+      (4L, "<a rel=\"nofollow ugc\" href=\"/d\">x</a><a href=\"/e\">y</a>"),
+      (5L, "<a rel=nofollow href=\"/f\">x</a>"),
+      (6L, "plain <a href=\"/g\">x</a>")).toDF("doc_id", "html")
+    val flags = df.select(col("doc_id"),
+        Html.pageRobotsDirectives(col("html")).as("d"))
+      .select(col("doc_id"), col("d.noindex"), col("d.nofollow"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(flags === Map(1L -> ((true, false)), 2L -> ((false, true)),
+      3L -> ((true, true)), 4L -> ((false, false)),
+      5L -> ((false, false)), 6L -> ((false, false))), s"got $flags")
+    val links = Html.outlinksFollowable(df, "doc_id", "html")
+      .as[(Long, String)].collect().toSet
+    assert(links === Set((1L, "/a"), (4L, "/e"), (6L, "/g")),
+      s"nofollow pages/anchors must contribute no edges: $links")
+  }
+
   test("script/style/head/comment bodies drop; empty page yields no blocks") {
     val df = Seq(
       (1L, "<head><title>gone</title></head><script>var x='gone';</script>" +
