@@ -3712,6 +3712,56 @@ object SparkEntry {
         Seq("doc_id"), "left")
     }),
 
+    // rel=canonical page dedup — the page-DECLARED dedup signal that
+    // runs before any content hashing: variant groups of three pages
+    // (no tag = self-canonical; a rel-first rooted declaration; an
+    // href-first single-quoted RELATIVE one) collapse to one kept page
+    // per canonical target; resolution + canonicalization + the
+    // min_by group all replay genuinely
+    "t77_canonical_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = (col("doc_id") - pmod(col("doc_id"), lit(3))).cast("string")
+      val m = pmod(col("doc_id"), lit(3))
+      val tag = when(m === 1, concat(
+        lit("<link rel=\"canonical\" href=\"/page/"), g, lit("\">")))
+        .when(m === 2, concat(
+          lit("<link href='./"), g, lit("' rel=canonical>")))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), tag,
+        lit("</head><body><p>"), substring(col("text"), 1, 100),
+        lit("</p></body></html>"))
+      val pages = docs.select(col("doc_id"), html.as("html"),
+        concat(lit("http://example.com/page/"),
+          col("doc_id").cast("string")).as("base_uri"))
+      graft.operators.Html.canonicalDedup(pages, "doc_id", "html",
+        "base_uri")
+    }),
+
+    // per-page HEAD metadata — the enrichment columns a corpus carries
+    // alongside text: <title> (entity-decoded, ws-normalized) and
+    // OpenGraph og:title/og:description in BOTH attribute orders;
+    // every regex replays genuinely
+    "t76_page_metadata" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val m = pmod(col("doc_id"), lit(3))
+      val og = when(m === 0, concat(
+        lit("<meta property=\"og:title\" content=\"OG Doc "), id,
+        lit("\"><meta property=\"og:description\" content=\"About doc "),
+        id, lit("\">")))
+        .when(m === 1, concat(
+          lit("<meta content=\"CF Doc "), id,
+          lit("\" property=\"og:title\">")))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title> Doc "), id,
+        lit(" &amp; more </title>"), og,
+        lit("</head><body><p>"), substring(col("text"), 1, 100),
+        lit("</p></body></html>"))
+      graft.operators.Html.pageMetadata(
+        docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+    }),
+
     "t69_robots_filter" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val robots = graft.operators.Robots.rules(
@@ -7261,6 +7311,94 @@ object SparkEntry {
        |SELECT c.url, c.final_url, c.hops, (t.url IS NULL) AS resolved
        |FROM c5 c LEFT JOIN (SELECT DISTINCT url FROM e) t
        |  ON c.final_url = t.url""".stripMargin
+  }
+
+  /** t77's replay — GENUINE: the fixture page build, quote
+    * normalization, both canonical-link attribute orders, resolution
+    * against the page URI (prefixed chain), canonicalization, the
+    * min/count group.
+    */
+  private def t77OracleSql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    val H = graft.operators.Html
+    s"""WITH tcp AS (
+       |  SELECT doc_id,
+       |         '<html><head>' ||
+       |         (CASE CAST(doc_id % 3 AS INT)
+       |            WHEN 1 THEN '<link rel="canonical" href="/page/' ||
+       |                 CAST(doc_id - doc_id % 3 AS VARCHAR) || '">'
+       |            WHEN 2 THEN '<link href=''./' ||
+       |                 CAST(doc_id - doc_id % 3 AS VARCHAR) ||
+       |                 ''' rel=canonical>'
+       |            ELSE '' END) ||
+       |         '</head><body><p>' || substr(text, 1, 100) ||
+       |         '</p></body></html>' AS html,
+       |         'http://example.com/page/' || CAST(doc_id AS VARCHAR)
+       |           AS pageuri
+       |  FROM documents),
+       |cb AS (
+       |  SELECT doc_id, pageuri,
+       |         COALESCE(
+       |           nullif(COALESCE(regexp_extract(${normalizeHrefSql("html")},
+       |             '${esc(H.canonicalRelFirstRe)}', 1), ''), ''),
+       |           nullif(COALESCE(regexp_extract(${normalizeHrefSql("html")},
+       |             '${esc(H.canonicalHrefFirstRe)}', 1), ''), ''),
+       |           '') AS url,
+       |         pageuri AS base
+       |  FROM tcp),
+       |${resolveUrlCtesP("cn", "cb", Seq("doc_id", "pageuri"))},
+       |ures AS (SELECT doc_id, resolved AS url FROM cnu),
+       |${canonicalUrlCtes("ures")},
+       |withpb AS (
+       |  SELECT c.doc_id, COALESCE(c.canonical_url, t.pageuri)
+       |           AS canonical_url
+       |  FROM cu c JOIN tcp t ON c.doc_id = t.doc_id)
+       |SELECT canonical_url, min(doc_id) AS kept_id,
+       |       COUNT(*) AS n_variants
+       |FROM withpb GROUP BY 1""".stripMargin
+  }
+
+  /** t76's replay — GENUINE: title extraction + the shared entity/ws
+    * chain, OpenGraph property-first and content-first orders.
+    */
+  private def t76OracleSql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    def ent(x: String) = graft.operators.Html.entityDecodes.foldLeft(x) {
+      case (acc, (from, to)) =>
+        s"replace($acc, '$from', '${to.replace("'", "''")}')"
+    }
+    def og(prop: String): String = {
+      val pf = esc("(?is)<meta\\b[^>]*?\\bproperty\\s*=\\s*[\"']og:" +
+        prop + "[\"'][^>]*?\\bcontent\\s*=\\s*[\"']([^\"'>]*)")
+      val cf = esc("(?is)<meta\\b[^>]*?\\bcontent\\s*=\\s*[\"']([^\"'>]*)" +
+        "[\"'][^>]*?\\bproperty\\s*=\\s*[\"']og:" + prop)
+      s"""COALESCE(nullif(COALESCE(regexp_extract(html, '$pf', 1), ''), ''),
+         |         nullif(COALESCE(regexp_extract(html, '$cf', 1), ''), ''),
+         |         '')""".stripMargin
+    }
+    s"""WITH tmp AS (
+       |  SELECT doc_id,
+       |         '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
+       |         ' &amp; more </title>' ||
+       |         (CASE CAST(doc_id % 3 AS INT)
+       |            WHEN 0 THEN '<meta property="og:title" content="OG Doc '
+       |                 || CAST(doc_id AS VARCHAR) ||
+       |                 '"><meta property="og:description" content="About doc '
+       |                 || CAST(doc_id AS VARCHAR) || '">'
+       |            WHEN 1 THEN '<meta content="CF Doc ' ||
+       |                 CAST(doc_id AS VARCHAR) ||
+       |                 '" property="og:title">'
+       |            ELSE '' END) ||
+       |         '</head><body><p>' || substr(text, 1, 100) ||
+       |         '</p></body></html>' AS html
+       |  FROM documents)
+       |SELECT doc_id,
+       |       trim(regexp_replace(${ent(
+      s"COALESCE(regexp_extract(html, '${esc("(?is)<title[^>]*>(.*?)</title>")}', 1), '')")},
+       |         '\\s+', ' ', 'g')) AS title,
+       |       ${og("title")} AS og_title,
+       |       ${og("description")} AS og_description
+       |FROM tmp""".stripMargin
   }
 
   /** t74's replay — GENUINE end to end: the fixture page build, both
@@ -12264,6 +12402,10 @@ object SparkEntry {
     "t73_redirect_chains" -> t73OracleSql,
     // t74: meta-robots directives + nofollow link policy, genuine
     "t74_meta_robots" -> t74OracleSql,
+    // t76/t77: head-metadata extraction and the rel=canonical dedup
+    // group — both replayed genuinely
+    "t76_page_metadata" -> t76OracleSql,
+    "t77_canonical_dedup" -> t77OracleSql,
     "t69_robots_filter" -> t69OracleSql,
     // t72: §2.2.3 wildcard admission — the pattern compile replayed
     // rewrite-for-rewrite through the shared match builder

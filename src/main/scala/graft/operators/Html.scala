@@ -482,6 +482,80 @@ object Html {
       .select(col(idCol), col("url"))
   }
 
+  /** `<link rel="canonical" href="…">`, rel-first attribute order —
+    * over quote-normalized markup (href already double-quoted), group 1
+    * is the href.
+    */
+  val canonicalRelFirstRe: String =
+    "(?is)<link\\b[^>]*?\\brel\\s*=\\s*[\"']?canonical[\"']?" +
+      "[^>]*?\\bhref=\"([^\"]*)\""
+
+  /** The href-first attribute order of the same tag. */
+  val canonicalHrefFirstRe: String =
+    "(?is)<link\\b[^>]*?\\bhref=\"([^\"]*)\"" +
+      "[^>]*?\\brel\\s*=\\s*[\"']?canonical"
+
+  /** rel=canonical page dedup — the page-DECLARED dedup signal every
+    * search/crawl pipeline honors before any content hashing: variant
+    * URLs (print views, tracking params, mobile mirrors, paginated
+    * copies) declare one canonical, and the corpus keeps ONE page per
+    * canonical target. Per page: the first canonical link (either
+    * attribute order) resolves against the page URI ([[TextAnalysis
+    * .withResolvedUrl]] — relative canonicals are legal and common),
+    * '' (no tag) resolving to the page itself via the empty-reference
+    * branch; targets canonicalize ([[TextAnalysis.canonicalUrl]]) into
+    * the group key; each group keeps the LOWEST `idCol` (min_by — the
+    * O13 hash-agg shape, never a window) with its variant count.
+    * Pages whose canonical target fails to canonicalize (no scheme)
+    * group under their own URI — a broken declaration must not merge
+    * unrelated pages. Output: (canonical_url, kept_id, n_variants).
+    * Map-only + ONE key hash aggregate.
+    */
+  def canonicalDedup(df: DataFrame, idCol: String, htmlCol: String,
+      baseUriCol: String): DataFrame = {
+    val norm = normalizeHrefQuotes(col(htmlCol))
+    val decl = coalesce(
+      nullif(regexp_extract(norm, canonicalRelFirstRe, 1), lit("")),
+      nullif(regexp_extract(norm, canonicalHrefFirstRe, 1), lit("")),
+      lit(""))
+    val pages = df.select(col(idCol), col(baseUriCol).as("__pb"),
+      decl.as("__ch"))
+    TextAnalysis.withResolvedUrl(pages, "__pb", "__ch", "__ct")
+      .select(col(idCol),
+        coalesce(TextAnalysis.canonicalUrl(col("__ct")),
+          TextAnalysis.canonicalUrl(col("__pb"))).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("kept_id"),
+        count(lit(1)).as("n_variants"))
+  }
+
+  /** Per-page HEAD metadata — the enrichment columns a training corpus
+    * carries alongside the text: the first `<title>` (tag-stripped,
+    * entity-decoded, whitespace-normalized) and the OpenGraph
+    * `og:title` / `og:description` (property-first and content-first
+    * attribute orders both parse; '' when absent). Map-only, one
+    * projection. Output: (idCol, title, og_title, og_description).
+    */
+  def pageMetadata(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    def og(prop: String): Column = {
+      val pf = "(?is)<meta\\b[^>]*?\\bproperty\\s*=\\s*[\"']og:" + prop +
+        "[\"'][^>]*?\\bcontent\\s*=\\s*[\"']([^\"'>]*)"
+      val cf = "(?is)<meta\\b[^>]*?\\bcontent\\s*=\\s*[\"']([^\"'>]*)" +
+        "[\"'][^>]*?\\bproperty\\s*=\\s*[\"']og:" + prop
+      coalesce(
+        nullif(regexp_extract(col(htmlCol), pf, 1), lit("")),
+        nullif(regexp_extract(col(htmlCol), cf, 1), lit("")),
+        lit(""))
+    }
+    df.select(col(idCol),
+      trim(regexp_replace(decodeEntities(
+        regexp_extract(col(htmlCol), "(?is)<title[^>]*>(.*?)</title>", 1)),
+        "\\s+", " ")).as("title"),
+      og("title").as("og_title"),
+      og("description").as("og_description"))
+  }
+
   /** Per-page main content: content blocks rejoined in document order
     * with single spaces, plus block counts. ZERO shuffle — the rebuild
     * happens inside the page's own array (no explode, no groupBy), so

@@ -195,6 +195,32 @@ class HtmlSpec extends SparkTestBase {
       s"nofollow pages/anchors must contribute no edges: $links")
   }
 
+  test("canonicalDedup: both attribute orders, relative canonicals " +
+      "resolve, no tag = self-canonical, lowest id kept per group") {
+    val df = Seq(
+      (1L, "<link rel=\"canonical\" href=\"/p/1\">", "http://h.io/p/1"),
+      (2L, "<link href='/p/1' rel=canonical>", "http://h.io/p/2"),
+      (3L, "<link rel=canonical href=../p/1>", "http://h.io/x/p3"),
+      (4L, "no tag", "http://h.io/p/4")).toDF("doc_id", "html", "base_uri")
+    val got = Html.canonicalDedup(df, "doc_id", "html", "base_uri")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("http://h.io/p/1", 1L, 3L),
+      ("http://h.io/p/4", 4L, 1L)), s"got $got")
+  }
+
+  test("pageMetadata: title entity/ws chain, OG both attribute orders, " +
+      "absent fields ''") {
+    val df = Seq(
+      (1L, "<title> A &amp; B </title>" +
+        "<meta property=\"og:title\" content=\"T1\">" +
+        "<meta content=\"D1\" property=\"og:description\">"),
+      (2L, "<p>no head</p>")).toDF("doc_id", "html")
+    val got = Html.pageMetadata(df, "doc_id", "html")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(got === Set((1L, "A & B", "T1", "D1"), (2L, "", "", "")),
+      s"got $got")
+  }
+
   test("script/style/head/comment bodies drop; empty page yields no blocks") {
     val df = Seq(
       (1L, "<head><title>gone</title></head><script>var x='gone';</script>" +
