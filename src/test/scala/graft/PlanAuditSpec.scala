@@ -956,6 +956,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"non-broadcast cartesian in the frontier plan:\n$p")
   }
 
+  test("t73 redirect collapse: the edge frame materializes ONCE — the " +
+      "hop joins must not re-run the WARC parse chain per reference") {
+    val p = plan("t73_redirect_chains")
+    // pre-fix the executed plan carried warc_records 6x (once per hop
+    // join + the anti-lookup); post-fix the chain runs once at the
+    // snapshot and every join reads the materialized skinny edges
+    assert(!p.contains("warc_records"),
+      s"edge chain re-evaluated inside the hop joins:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"materialized edge snapshot missing:\n$p")
+  }
+
   test("f14 digest dedup: ONE digest-keyed hash aggregate (min_by), " +
       "never a per-digest window") {
     val p = plan("f14_warc_digest_dedup")
