@@ -88,13 +88,17 @@ object WebFrontier {
         coalesce(col("priority"), lit(0.5)).as("__p"))
       .filter(col("url").isNotNull && col("url") =!= "")
       .groupBy("url").agg(max(col("__p")).as("__p"))
-    val merged = counts.filter(col("url").isNotNull)
-      .select(col("url"), col("n_inlinks"))
-      .join(sm, Seq("url"), "full_outer")
-      .select(col("url"),
-        coalesce(col("n_inlinks"), lit(0L)).as("n_inlinks"),
-        (coalesce(col("n_inlinks"), lit(0L)).cast("double") +
-          coalesce(col("__p"), lit(0.0))).as("__sc"))
+    // merged is read twice (the gate chain + the count attach) —
+    // materialize once so the candidate/sitemap merge runs once
+    val merged = new graft.pipeline.RoundSnapshots(None).snap(
+      counts.filter(col("url").isNotNull)
+        .select(col("url"), col("n_inlinks"))
+        .join(sm, Seq("url"), "full_outer")
+        .select(col("url"),
+          coalesce(col("n_inlinks"), lit(0L)).as("n_inlinks"),
+          (coalesce(col("n_inlinks"), lit(0L)).cast("double") +
+            coalesce(col("__p"), lit(0.0))).as("__sc")),
+      "sitemap_merged").df
     val fresh = merged
       .join(crawled.select(col(urlCol).as("url")), Seq("url"), "left_anti")
     val ranked = gateAndBudget(
@@ -130,19 +134,23 @@ object WebFrontier {
       robots: DataFrame, delays: DataFrame, budget: Int,
       agent: String = "*"): DataFrame = {
     require(budget > 0, s"per-host budget must be > 0, got $budget")
-    val cand = entries
-      .select(col("loc").as("url"), col("lastmod"),
-        coalesce(col("priority"), lit(0.5)).as("__p"))
-      .filter(col("url").isNotNull && col("url") =!= "")
-      .groupBy("url")
-      .agg(max(col("lastmod")).as("lastmod"), max(col("__p")).as("__p"))
-      .join(crawled.select(col("url"), col("fetched_at")), Seq("url"),
-        "left")
-      .withColumn("reason",
-        when(col("fetched_at").isNull, "new")
-          .when(col("lastmod") =!= "" && col("lastmod") > col("fetched_at"),
-            "stale"))
-      .filter(col("reason").isNotNull)
+    // cand is read twice (gate chain + detail attach) — materialize
+    // once so the entry aggregation + crawl-log join run once
+    val cand = new graft.pipeline.RoundSnapshots(None).snap(
+      entries
+        .select(col("loc").as("url"), col("lastmod"),
+          coalesce(col("priority"), lit(0.5)).as("__p"))
+        .filter(col("url").isNotNull && col("url") =!= "")
+        .groupBy("url")
+        .agg(max(col("lastmod")).as("lastmod"), max(col("__p")).as("__p"))
+        .join(crawled.select(col("url"), col("fetched_at")), Seq("url"),
+          "left")
+        .withColumn("reason",
+          when(col("fetched_at").isNull, "new")
+            .when(col("lastmod") =!= "" &&
+              col("lastmod") > col("fetched_at"), "stale"))
+        .filter(col("reason").isNotNull),
+      "recrawl_candidates").df
     val ranked = gateAndBudget(
       cand.select(col("url"), col("__p").as("n_inlinks")),
       robots, budget, agent)
@@ -166,12 +174,20 @@ object WebFrontier {
   private def gateAndBudget(scored: DataFrame, robots: DataFrame,
       budget: Int, agent: String): DataFrame = {
     val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-    val parsed = scored
-      .withColumn("host",
-        regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-      .withColumn("path",
-        when(regexp_extract(col("url"), pathRe, 1) === "", "/")
-          .otherwise(regexp_extract(col("url"), pathRe, 1)))
+    // materialize the skinny candidate frame ONCE before the robots
+    // gate: Robots.allowed reads its input twice (the distinct verdict
+    // side + the join-back), and without this each read re-evaluates
+    // the whole upstream candidate chain — at crawl scale that is the
+    // outlink extraction run twice (the t73 lesson applied here)
+    val parsed = new graft.pipeline.RoundSnapshots(None).snap(
+      scored
+        .withColumn("host",
+          regexp_extract(col("url"),
+            "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+        .withColumn("path",
+          when(regexp_extract(col("url"), pathRe, 1) === "", "/")
+            .otherwise(regexp_extract(col("url"), pathRe, 1))),
+      "frontier_candidates").df
     Robots.allowed(parsed, robots, "host", "path", agent)
       .filter(col("allowed"))
       .groupBy("host")
