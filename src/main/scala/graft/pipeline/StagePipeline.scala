@@ -53,13 +53,24 @@ object StagePipeline {
   def qualityGate(df: DataFrame, lang: String, minQuality: Double,
       maxDupBigramFrac: Double): DataFrame = {
     val (dupB, _) = TextAnalysis.repetitionScores(col("text"))
-    df.select(col("doc_id"), col("text"), col("lang"),
-        TextAnalysis.langId(col("text")).as("pred_lang"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        dupB.as("dup_bigram_frac"))
-      .filter(col("pred_lang") === lang && col("quality") >= minQuality &&
-        col("dup_bigram_frac") <= maxDupBigramFrac)
-      .select("doc_id", "text", "lang", "quality")
+    val scored = df.select(col("doc_id"), col("text"), col("lang"),
+      TextAnalysis.langId(col("text")).as("pred_lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      dupB.as("dup_bigram_frac"))
+    // the gate drop is a GENERATE, not a filter (the r16 docLinkEdges
+    // fix applied here): filtering on the computed feature columns let
+    // predicate pushdown substitute each feature's defining chain —
+    // and, when `text` is itself an extraction stage's output, the
+    // whole upstream extract/redact chain — into the pushed condition
+    // (measured: SEVEN ~10k-expression-node Filters in c37's optimized
+    // plan, ~650 regexp_replace calls per row per filter)
+    scored
+      .select(col("doc_id"), col("text"), col("lang"), col("quality"),
+        explode(when(col("pred_lang") === lang &&
+          col("quality") >= minQuality &&
+          col("dup_bigram_frac") <= maxDupBigramFrac, array(lit(1)))
+          .otherwise(array().cast("array<int>"))).as("__keep"))
+      .drop("__keep")
   }
 
   /** c07 stage 2: graded n-gram decontamination against a reference
@@ -145,10 +156,15 @@ object StagePipeline {
   def nearDupScreen(df: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"nearDupScreen threshold must be in (0, 1], got $threshold")
-    val drop = Dedup.minhashNearDupPairs(df.select(col("doc_id"), col("text")),
+    // the input is read 3+ times (the LSH pair join's two sides + the
+    // anti-join left) and each read re-evaluates the upstream stage
+    // chain — materialize once (the t73/frontier pattern)
+    val d = new graft.pipeline.RoundSnapshots(None)
+      .snap(df, "neardup_input").df
+    val drop = Dedup.minhashNearDupPairs(d.select(col("doc_id"), col("text")),
         "doc_id", "text", threshold)
       .select(col("idB").as("doc_id")).distinct()
-    df.join(drop, Seq("doc_id"), "left_anti")
+    d.join(drop, Seq("doc_id"), "left_anti")
   }
 
   /** PII redaction — t17's [[TextAnalysis.redactPii]] IN PLACE: `text`
