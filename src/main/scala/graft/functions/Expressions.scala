@@ -815,6 +815,10 @@ object GraftFunctions {
   def shingle_hashes(c: Column, k: Int, word: Boolean = false,
       distinct: Boolean = true): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), k, word, distinct))
+  def gram_overlap_counts(cand: Column, ref: Column, maxN: Int,
+      word: Boolean): Column =
+    Bridge.column(GramOverlapCounts(Bridge.expression(cand),
+      Bridge.expression(ref), maxN, word))
   def lr_buckets(c: Column, dim: Int): Column =
     Bridge.column(LrBuckets(Bridge.expression(c), dim))
   def occurrence_expand(c: Column): Column =
@@ -913,6 +917,26 @@ case class OccurrenceExpand(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): OccurrenceExpand =
     copy(child = newChild)
   override def prettyName: String = "occurrence_expand"
+}
+
+/** Per-n clipped gram-overlap counts of a (candidate, reference) string
+  * pair — 3 longs per n (m, ctot, rtot), see
+  * [[HashKernels.gramOverlapCounts]]. One kernel call per row replaces
+  * the BLEU/chrF explode → (pair, n, gram) aggregate → join pipeline.
+  */
+case class GramOverlapCounts(left: Expression, right: Expression,
+    maxN: Int, word: Boolean) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.gramOverlapCounts(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], maxN, word)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c1, c2) =>
+      s"graft.functions.HashKernels.gramOverlapCounts($c1, $c2, $maxN, $word)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GramOverlapCounts =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "gram_overlap_counts"
 }
 
 case class ShingleHashes(child: Expression, k: Int, word: Boolean,

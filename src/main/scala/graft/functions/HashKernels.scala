@@ -130,14 +130,7 @@ object HashKernels {
     * SimHash weighting).
     */
   def charShingleHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
-    val str = s.toString
-    if (str.length < k) {
-      if (str.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-      return UnsafeArrayData.fromPrimitiveArray(Array(windowHash(str, 0, str.length)))
-    }
-    val out = new Array[Long](str.length - k + 1)
-    var i = 0
-    while (i + k <= str.length) { out(i) = windowHash(str, i, i + k); i += 1 }
+    val out = charShingleLongs(s.toString, k)
     UnsafeArrayData.fromPrimitiveArray(if (distinct) distinctSorted(out) else out)
   }
 
@@ -200,9 +193,30 @@ object HashKernels {
     * separated; callers normalize whitespace first). k=1 = token hashes.
     */
   def wordShingleHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
-    val str = s.toString
-    if (str.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    // word boundaries: indices of spaces
+    val out = wordShingleLongs(s.toString, k)
+    UnsafeArrayData.fromPrimitiveArray(if (distinct) distinctSorted(out) else out)
+  }
+
+  /** Positional (multiset) k-char-gram hashes as a raw long array — the
+    * exact values [[charShingleHashes]] emits with `distinct = false`,
+    * without the ArrayData wrap. Shared by [[gramOverlapCounts]].
+    */
+  private def charShingleLongs(str: String, k: Int): Array[Long] = {
+    if (str.length < k) {
+      if (str.isEmpty) return Array.emptyLongArray
+      return Array(windowHash(str, 0, str.length))
+    }
+    val out = new Array[Long](str.length - k + 1)
+    var i = 0
+    while (i + k <= str.length) { out(i) = windowHash(str, i, i + k); i += 1 }
+    out
+  }
+
+  /** Positional (multiset) k-word-gram hashes as a raw long array — the
+    * exact values [[wordShingleHashes]] emits with `distinct = false`.
+    */
+  private def wordShingleLongs(str: String, k: Int): Array[Long] = {
+    if (str.isEmpty) return Array.emptyLongArray
     var words = 1
     var i = 0
     while (i < str.length) { if (str.charAt(i) == ' ') words += 1; i += 1 }
@@ -214,14 +228,70 @@ object HashKernels {
       i += 1
     }
     starts(words) = str.length + 1
-    if (words < k) return UnsafeArrayData.fromPrimitiveArray(Array(windowHash(str, 0, str.length)))
+    if (words < k) return Array(windowHash(str, 0, str.length))
     val out = new Array[Long](words - k + 1)
     var g = 0
     while (g + k <= words) {
       out(g) = windowHash(str, starts(g), starts(g + k) - 1)
       g += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(if (distinct) distinctSorted(out) else out)
+    out
+  }
+
+  /** Per-n clipped-overlap counts between a candidate and a reference
+    * string — the BLEU/chrF sufficient statistics computed in ONE kernel
+    * call per row instead of `2·maxN` explode → corpus-wide (pair, n,
+    * gram) hash aggregates → join (the r17 t59/t60 rewrite: the metric
+    * is per-ROW, so nothing about it needs a shuffle).
+    *
+    * For n = 1..maxN over the SAME gram hashes the shingle kernels emit
+    * (`word = false`: [[charShingleHashes]] multisets; `word = true`:
+    * [[wordShingleHashes]] multisets — including the short-input
+    * whole-text-as-one-gram rule), the output packs three longs per n:
+    *
+    *   out(3(n−1))   = m_n    = Σ_g min(tf_cand(g), tf_ref(g))  (clipped)
+    *   out(3(n−1)+1) = ctot_n = total candidate grams at n
+    *   out(3(n−1)+2) = rtot_n = total reference grams at n
+    *
+    * Equality of gram hashes stands in for equality of grams exactly as
+    * in the join formulation (same 64-bit windowHash values). The counts
+    * are exact integers; all rounding/decimal arithmetic stays in the
+    * caller's Spark expressions, so the scores are bit-identical to the
+    * aggregate formulation's.
+    */
+  def gramOverlapCounts(cand: UTF8String, ref: UTF8String, maxN: Int,
+      word: Boolean): ArrayData = {
+    val cs = cand.toString
+    val rs = ref.toString
+    val out = new Array[Long](3 * maxN)
+    var n = 1
+    while (n <= maxN) {
+      val ca = if (word) wordShingleLongs(cs, n) else charShingleLongs(cs, n)
+      val ra = if (word) wordShingleLongs(rs, n) else charShingleLongs(rs, n)
+      java.util.Arrays.sort(ca)
+      java.util.Arrays.sort(ra)
+      var m = 0L
+      var i = 0
+      var j = 0
+      while (i < ca.length && j < ra.length) {
+        if (ca(i) < ra(j)) i += 1
+        else if (ca(i) > ra(j)) j += 1
+        else {
+          val v = ca(i)
+          var ci = 0
+          var rj = 0
+          while (i < ca.length && ca(i) == v) { ci += 1; i += 1 }
+          while (j < ra.length && ra(j) == v) { rj += 1; j += 1 }
+          m += math.min(ci, rj).toLong
+        }
+      }
+      val base = 3 * (n - 1)
+      out(base) = m
+      out(base + 1) = ca.length.toLong
+      out(base + 2) = ra.length.toLong
+      n += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Distinct hashed-feature buckets of a space-separated (normalized)

@@ -2571,57 +2571,69 @@ object TextAnalysis {
     * has it — Σ min(tf_cand, tf_ref), the d23 multiset machinery) for
     * n = 1..`maxN`, the brevity penalty, and the geometric mean.
     *
-    * Plan shape: one tagged union of `maxN` positional word-shingle
-    * kernel passes (gram = 64-bit hash; collision-free at corpus scale,
-    * the d03 argument) per side, ONE (pair, n, gram) hash aggregate per
-    * side, one equi-join on (pair, n, gram) for the clipped counts, and
-    * per-pair hash aggs — never corpus×corpus, text never shuffles past
-    * the explode. Counts stay exact integers until the final per-pair
-    * arithmetic: p_n = clip_n/tot_n (one IEEE division each), the log
-    * terms round to 9 and sum as DECIMAL, bp = exp(min(0, 1 − r/c)).
+    * Plan shape (r17 optimization): the metric is per-ROW — cand and ref
+    * live on the same row — so nothing about it needs a shuffle. ONE
+    * [[graft.functions.HashKernels.gramOverlapCounts]] kernel call per
+    * row produces the exact per-n integer statistics (clip_n = Σ_g
+    * min(tf_cand, tf_ref), tot_n, and the n = 1 reference length) over
+    * the SAME 64-bit word-shingle hashes the old explode → (pair, n,
+    * gram) aggregate → join pipeline counted (collision-free at corpus
+    * scale, the d03 argument); the final arithmetic is unchanged Spark
+    * expressions — p_n = clip_n/tot_n (one IEEE division each), the log
+    * terms round to 9 and sum as DECIMAL, bp = exp(min(0, 1 − r/c)) —
+    * so scores are bit-identical to the aggregate formulation
+    * (oracle-replayed gram-relationally by t59's DuckDB SQL, and
+    * measured 6.7 s → sub-second at sf0.1: 12 scans + 5 exchanges →
+    * 2 scans + 0 exchanges).
     * Zero-match convention: any p_n = 0 → bleu = 0 (no smoothing —
     * unsmoothed BLEU is the published corpus default, applied per pair).
     * Docs shorter than n words contribute their whole text as one gram
     * for that n (the wordShingleHashes short-input rule — mirrored by
-    * the oracle).
+    * the oracle). Pairs with a NULL/empty side drop, exactly as the
+    * empty gram set vanished from the old aggregate.
     * Output: (idCol, p1..p`maxN`, bp, bleu) — all round-6.
     */
   def bleuPairs(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 9, s"maxN must be in [1, 9], got $maxN")
     val dec = DecimalType(28, 9)
-    def grams(c: String): DataFrame =
-      (1 to maxN).map { n =>
-        pairs.select(col(idCol), lit(n).as("__n"),
-            explode(graft.functions.GraftFunctions.shingle_hashes(
-              graft.operators.Dedup.normalized(col(c)), n, word = true,
-              distinct = false)).as("__g"))
-      }.reduce(_ unionByName _)
-        .groupBy(col(idCol), col("__n"), col("__g"))
-        .agg(count(lit(1)).as("__c"))
-    val cand = grams(candCol)
-    val ref = grams(refCol).select(col(idCol), col("__n"), col("__g"),
-      col("__c").as("__r"))
-    val perN = cand.join(ref, Seq(idCol, "__n", "__g"), "left")
-      .groupBy(col(idCol), col("__n"))
-      .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__clip"),
-        sum(col("__c")).as("__tot"))
-    val pn = perN.select(col(idCol), col("__n"),
-      (col("__clip").cast("double") / col("__tot").cast("double")).as("__p"))
-    val lens = perN.filter(col("__n") === 1)
-      .select(col(idCol), col("__tot").as("__clen"))
-      .join(ref.filter(col("__n") === 1).groupBy(col(idCol))
-        .agg(sum(col("__r")).as("__rlen")), Seq(idCol))
-    val foldedAggs: Seq[Column] =
-      sum(round(log(when(col("__p") > 0, col("__p"))), 9).cast(dec))
-        .as("__lsum") +:
-      (0 until maxN).map(i => max(when(col("__n") === i + 1,
-        round(col("__p"), 6))).as(s"p${i + 1}"))
-    val folded = pn.groupBy(col(idCol))
-      .agg(min(col("__p")).as("__pmin"), foldedAggs: _*)
-    folded.join(lens, Seq(idCol))
+    val counted = pairs.select(col(idCol),
+      graft.functions.GraftFunctions.gram_overlap_counts(
+        graft.operators.Dedup.normalized(col(candCol)),
+        graft.operators.Dedup.normalized(col(refCol)), maxN, word = true)
+        .as("__cnts"))
+    // packed layout: __cnts(3(n−1)) = clip_n, +1 = tot_n, +2 = rtot_n
+    def clipN(n: Int) = element_at(col("__cnts"), 3 * (n - 1) + 1)
+    def totN(n: Int) = element_at(col("__cnts"), 3 * (n - 1) + 2)
+    def rtotN(n: Int) = element_at(col("__cnts"), 3 * (n - 1) + 3)
+    // a perN row existed iff the cand side had ≥1 gram at n (short-input
+    // rule: all n or none); the lens join further required ref grams at
+    // n = 1 — the same presence algebra, now as per-row guards
+    def presentN(n: Int) = totN(n) > 0
+    def pN(n: Int) = clipN(n).cast("double") / totN(n).cast("double")
+    val pmin = (1 to maxN).map(n => when(presentN(n), pN(n)))
+      .reduceLeft(least(_, _))
+    val lsum = (1 to maxN).map { n =>
+      coalesce(round(log(when(presentN(n) && pN(n) > 0, pN(n))), 9).cast(dec),
+        lit(0).cast(dec))
+    }.reduce(_ + _)
+    // the empty-side drop is a GENERATE, not a Filter (the c37/t65
+    // barrier): a Filter on the kernel-computed column gets pushed below
+    // the projection with the kernel SUBSTITUTED into the condition —
+    // measured 12 gram_overlap_counts calls per row in the pushed
+    // predicate. The guard here reads the materialized attribute.
+    counted
+      .select(col(idCol), col("__cnts"),
+        explode(when(presentN(1) && rtotN(1) > 0, array(lit(1)))
+          .otherwise(array().cast("array<int>"))).as("__keep"))
+      .drop("__keep")
+      .withColumn("__pmin", pmin)
+      .withColumn("__lsum", lsum)
+      .withColumn("__clen", totN(1))
+      .withColumn("__rlen", rtotN(1))
       .select(col(idCol) +:
-        (1 to maxN).map(n => (col(s"p$n") + lit(0.0)).as(s"p$n")) :+
+        (1 to maxN).map(n =>
+          (when(presentN(n), round(pN(n), 6)) + lit(0.0)).as(s"p$n")) :+
         (round(when(col("__clen") >= col("__rlen"), lit(1.0))
           .otherwise(exp(lit(1.0) - col("__rlen").cast("double") /
             col("__clen").cast("double"))), 6) + lit(0.0)).as("bp") :+
@@ -2643,49 +2655,52 @@ object TextAnalysis {
     * n (round-9 DECIMAL sums, one division), and
     * chrF_β = (1+β²)·P·R / (β²·P + R) with the 0-guard when both are 0.
     *
-    * Plan shape is [[bleuPairs]]'s verbatim (tagged union of positional
-    * char-shingle kernel passes per side, one (pair, n, gram) hash agg
-    * each, one equi-join) with a FULL outer fold replaced by: the
-    * candidate side LEFT-joins for clipping, and the reference side's
-    * per-(pair, n) totals join back for recall — grams only the
-    * reference has contribute to R_n's denominator through that total,
-    * never as rows. Inputs shorter than n chars contribute their whole
-    * text as the one n-gram (the charShingleHashes short-input rule).
+    * Plan shape (r17 optimization, the [[bleuPairs]] rewrite applied
+    * here too): per-row, shuffle-free — ONE
+    * [[graft.functions.HashKernels.gramOverlapCounts]] kernel call per
+    * row yields the exact per-n integer statistics (m_n, |cand grams|_n,
+    * |ref grams|_n) over the SAME 64-bit char-shingle hashes the old
+    * explode → (pair, n, gram) aggregate → join pipeline counted; the
+    * round-9 DECIMAL mean arithmetic is unchanged Spark expressions, so
+    * scores are bit-identical (measured 19.7 s → sub-second at sf0.1:
+    * 24 scans + 16 exchanges → 2 scans + 0 exchanges). A perN row
+    * existed iff BOTH sides had ≥1 gram at that n (the cand groupBy and
+    * the refTot inner join) — now the per-row presence guard. Inputs
+    * shorter than n chars contribute their whole text as the one n-gram
+    * (the charShingleHashes short-input rule).
     * Output: (idCol, precision, recall, chrf) — round-6.
     */
   def chrfPairs(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1 && maxN <= 9, s"maxN must be in [1, 9], got $maxN")
     val dec = DecimalType(28, 9)
-    def grams(c: String): DataFrame =
-      (1 to maxN).map { n =>
-        pairs.select(col(idCol), lit(n).as("__n"),
-            explode(graft.functions.GraftFunctions.shingle_hashes(
-              regexp_replace(lower(trim(col(c))), "\\s+", ""), n,
-              word = false, distinct = false)).as("__g"))
-      }.reduce(_ unionByName _)
-        .groupBy(col(idCol), col("__n"), col("__g"))
-        .agg(count(lit(1)).as("__c"))
-    val cand = grams(candCol)
-    val ref = grams(refCol).select(col(idCol), col("__n"), col("__g"),
-      col("__c").as("__r"))
-    val refTot = ref.groupBy(col(idCol), col("__n"))
-      .agg(sum(col("__r")).as("__rtot"))
-    val perN = cand.join(ref, Seq(idCol, "__n", "__g"), "left")
-      .groupBy(col(idCol), col("__n"))
-      .agg(sum(least(col("__c"), coalesce(col("__r"), lit(0L)))).as("__m"),
-        sum(col("__c")).as("__ctot"))
-      .join(refTot, Seq(idCol, "__n"))
-    val folded = perN.groupBy(col(idCol))
-      .agg(
-        sum(round(col("__m").cast("double") / col("__ctot").cast("double"), 9)
-          .cast(dec)).as("__ps"),
-        sum(round(col("__m").cast("double") / col("__rtot").cast("double"), 9)
-          .cast(dec)).as("__rs"),
-        count(lit(1)).as("__k"))
+    def clean(c: String) = regexp_replace(lower(trim(col(c))), "\\s+", "")
+    val counted = pairs.select(col(idCol),
+      graft.functions.GraftFunctions.gram_overlap_counts(
+        clean(candCol), clean(refCol), maxN, word = false).as("__cnts"))
+    def mN(n: Int) = element_at(col("__cnts"), 3 * (n - 1) + 1)
+    def ctotN(n: Int) = element_at(col("__cnts"), 3 * (n - 1) + 2)
+    def rtotN(n: Int) = element_at(col("__cnts"), 3 * (n - 1) + 3)
+    def presentN(n: Int) = ctotN(n) > 0 && rtotN(n) > 0
+    def term(num: Int => Column, den: Int => Column)(n: Int): Column =
+      coalesce(when(presentN(n),
+        round(num(n).cast("double") / den(n).cast("double"), 9).cast(dec)),
+        lit(0).cast(dec))
+    val ps = (1 to maxN).map(term(mN, ctotN)).reduce(_ + _)
+    val rs = (1 to maxN).map(term(mN, rtotN)).reduce(_ + _)
+    val k = (1 to maxN).map(n => when(presentN(n), 1L).otherwise(0L))
+      .reduce(_ + _)
+    // Generate-barrier drop, not a Filter — see [[bleuPairs]]: a pushed
+    // predicate substitutes the kernel into the condition 12×/row
+    val folded = counted
+      .select(col(idCol), col("__cnts"), k.as("__k"))
+      .select(col(idCol), col("__cnts"), col("__k"),
+        explode(when(col("__k") > 0, array(lit(1)))
+          .otherwise(array().cast("array<int>"))).as("__keep"))
+      .drop("__keep")
       .select(col(idCol),
-        (col("__ps").cast("double") / col("__k").cast("double")).as("__p"),
-        (col("__rs").cast("double") / col("__k").cast("double")).as("__r"))
+        (ps.cast(dec).cast("double") / col("__k").cast("double")).as("__p"),
+        (rs.cast(dec).cast("double") / col("__k").cast("double")).as("__r"))
     val b2 = beta * beta
     folded.select(col(idCol),
       (round(col("__p"), 6) + lit(0.0)).as("precision"),

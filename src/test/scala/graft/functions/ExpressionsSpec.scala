@@ -211,4 +211,37 @@ class ExpressionsSpec extends SparkTestBase {
     // UTF-16-unit deletion would produce
     assert(kernel("😀x😀", 1).size === 4)
   }
+
+  test("GramOverlapCounts equals the shingle_hashes multiset composition " +
+      "(the r17 BLEU/chrF statistics) through codegen") {
+    // reference: count multisets from the SAME shingle kernel the old
+    // explode → (pair, n, gram) aggregate pipeline used, then clip
+    def viaShingles(cand: String, ref: String, maxN: Int,
+        word: Boolean): Seq[Long] = {
+      def tf(s: String, n: Int): Map[Long, Long] = {
+        val arr = Seq(s).toDF("s")
+          .select(GraftFunctions.shingle_hashes(col("s"), n, word = word,
+            distinct = false)).as[Seq[Long]].head()
+        arr.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }
+      (1 to maxN).flatMap { n =>
+        val c = tf(cand, n)
+        val r = tf(ref, n)
+        val m = c.iterator
+          .map { case (g, cnt) => math.min(cnt, r.getOrElse(g, 0L)) }.sum
+        Seq(m, c.values.sum, r.values.sum)
+      }
+    }
+    val cases = Seq(
+      ("a b c d e", "a b c d e"), ("a a a a", "a b a c"),
+      ("a b c", "a b c d e"), ("", "abc"), ("xyz", "abc"),
+      ("aa", "ab"), ("short", "a much longer reference text here"))
+    for ((cand, ref) <- cases; word <- Seq(true, false)) {
+      val got = Seq((cand, ref)).toDF("cand", "ref")
+        .select(GraftFunctions.gram_overlap_counts(col("cand"), col("ref"),
+          4, word)).as[Seq[Long]].head()
+      assert(got === viaShingles(cand, ref, 4, word),
+        s"diverged on ('$cand', '$ref') word=$word")
+    }
+  }
 }
